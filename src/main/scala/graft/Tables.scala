@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver's test tables (TESTDATA.md).
+  *
+  * All tables are single Parquet files per scale factor. Reading through
+  * here (rather than ad-hoc paths) keeps every query's scan going through
+  * the vectorized Parquet reader with Catalyst column pruning / predicate
+  * pushdown intact — at 100 TB these become partitioned table roots and
+  * nothing else changes.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
+
+  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
+    * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by every
+    * session in this engine) it surfaces as LONG nanoseconds. Convert to a
+    * microsecond TIMESTAMP here with integer division — `ts div 1000` stays
+    * in LONG (a double roundtrip would lose precision above 2^53). DuckDB
+    * reads the same file truncated to micros, so both engines agree.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}

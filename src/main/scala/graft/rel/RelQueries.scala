@@ -1,0 +1,587 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** Relational operator inventory (SURVEY.md §2.C–2.H + §2.K) as named,
+  * oracle-checked queries over the driver's star schema / events tables.
+  *
+  * Design rules (scale + oracle parity):
+  *  - Declarative DataFrame ops only — Catalyst pushes filters/prunes
+  *    columns into the Parquet scan; no collect-driven logic.
+  *  - Small dimension tables (region/nation/supplier/bands) are broadcast
+  *    explicitly: at 100 TB the fact side never shuffles for those joins.
+  *  - Aggregated DOUBLE outputs are rounded (2 or 4 dp) in BOTH engines:
+  *    double addition is order-sensitive, so unrounded sums of 600 k
+  *    values can differ in the last ulp between Spark and DuckDB.
+  *  - Every query output is deterministically sorted by its key columns;
+  *    per-row arithmetic (IEEE 754) is left unrounded.
+  *  - Timestamps are never emitted raw: epoch seconds (BIGINT) instead,
+  *    avoiding engine-specific parquet timestamp-zone conventions.
+  */
+object RelQueries {
+
+  private def r2(c: Column): Column = round(c, 2)
+  private def r4(c: Column): Column = round(c, 4)
+
+  // ---------------------------------------------------------------- q1
+  // TPC-H Q1-shaped pricing summary: scan + filter + hash aggregate with
+  // partial (map-side) aggregation. [SURVEY §2.E E1/E2, §2.K hash agg]
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base_price"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("sum_disc_price"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+        r4(avg("l_quantity")).as("avg_qty"),
+        r4(avg("l_extendedprice")).as("avg_price"),
+        r4(avg("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  round(avg(l_discount), 4) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q2
+  // Filter + projection + per-row arithmetic: pushdown check — the scan
+  // must read only 4 columns with the shipdate predicate pushed.
+  // [SURVEY §2.C C1/C3/C5, §2.H H3]
+  def q2FilterProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_quantity") > lit(45.0))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q2Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_extendedprice * (1.0 - l_discount) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_quantity > 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q3
+  // Shuffled-revenue top-10: customer ⋈ orders ⋈ lineitem with a selective
+  // dimension filter, group, order, limit. customer side is broadcast
+  // (1.5 M rows at SF100 still ≪ fact); lineitem↔orders co-shuffle on
+  // orderkey. [SURVEY §2.K equi-joins, §2.G top-k]
+  def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = orders(s, d).select("o_orderkey", "o_custkey")
+    val l = lineitem(s, d)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey")
+      .agg(r2(sum("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q4
+  // Semi join with a non-equi residual: orders having a late-shipped line
+  // (ship > order date + 90 days). LeftSemi keeps the probe side lean —
+  // no fact-side row duplication before the aggregate. [SURVEY §2.K]
+  def q4LateShipPriority(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val l = lineitem(s, d).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey
+      |    AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q5
+  // Five-way star join (TPC-H Q5 shape): fact ⋈ orders, then broadcast
+  // dims customer/supplier/nation/region; revenue per nation. The
+  // c_nationkey = s_nationkey condition correlates the two dim paths.
+  def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+      (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val o = orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = customer(s, d).select("c_custkey", "c_nationkey")
+    val su = supplier(s, d).select("s_suppkey", "s_nationkey")
+    val n = nation(s, d)
+    val r = region(s, d).filter(col("r_name") === "ASIA")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(r2(sum("rev")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  // ---------------------------------------------------------------- q6
+  // Pure scan-filter-aggregate (TPC-H Q6 shape): single-row result, the
+  // canonical predicate-pushdown + whole-stage-codegen microbench.
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q6Sql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24.0""".stripMargin
+
+  // ---------------------------------------------------------------- q7
+  // Anti join: customers with no order since 2001, per market segment
+  // (every customer has *some* order in this data, so the recency filter
+  // keeps the anti join's output non-trivial).
+  def q7CustomersNoOrders(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy("c_mktsegment")
+
+  val q7Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q8
+  // Ranking window + top-k per group: 3 priciest orders per customer.
+  // Single hash-partitioned shuffle on o_custkey; rank pushed before the
+  // projection so the sort is per-partition. [SURVEY §2.K ranking]
+  def q8TopOrdersPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  val q8Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q9
+  // ROLLUP: hierarchical aggregate with map-side partials reused across
+  // grouping sets. NULL-filled super-aggregate rows mirror ANSI.
+  def q9Rollup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), r2(sum("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  val q9Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // CUBE over order status × priority.
+  def q10Cube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        r2(sum("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q10Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  // Distinct aggregates: exact distinct counts expand to two-phase
+  // aggregation; paired with a plain count in the same pass.
+  def q11DistinctCounts(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct("l_partkey").as("n_part"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q11Sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp,
+      |  count(DISTINCT l_partkey) AS n_part, count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // Interval (range) join — the reference's centerpiece operator D1
+  // re-expressed relationally: price bands × orders via a broadcast
+  // non-equi join (BroadcastNestedLoopJoin over a 5-row build side;
+  // at scale the bands stay broadcast, the fact side never moves).
+  // Half-open [lo, hi) semantics per SURVEY quirk Q1.
+  def q12IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("p0_100k", 0.0, 100000.0),
+      ("p100_200k", 100000.0, 200000.0),
+      ("p200_300k", 200000.0, 300000.0),
+      ("p300_400k", 300000.0, 400000.0),
+      ("p400k_up", 400000.0, 1e9)).toDF("band", "lo", "hi")
+    orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        r2(avg("o_totalprice")).as("avg_price"))
+      .orderBy("band")
+  }
+
+  val q12Sql: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('p0_100k', 0.0, 100000.0),
+      |  ('p100_200k', 100000.0, 200000.0),
+      |  ('p200_300k', 200000.0, 300000.0),
+      |  ('p300_400k', 300000.0, 400000.0),
+      |  ('p400k_up', 400000.0, 1e9))
+      |SELECT band, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+      |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+      |GROUP BY band
+      |ORDER BY band""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  // Running cumulative sum per customer (reference op B7/F1 in event
+  // order): one shuffle on o_custkey, in-partition ordered prefix sum.
+  def q13RunningTotal(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy("order_epoch", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_totalprice"))
+      .withColumn("running_spend", r2(sum("o_totalprice").over(w)))
+      .orderBy("o_custkey", "order_epoch", "o_orderkey")
+  }
+
+  val q13Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+      |  o_totalprice,
+      |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, order_epoch, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // JSON extraction from the events.props payload column, aggregated per
+  // event type. Spark uses get_json_object (codegen'd path traversal);
+  // the oracle uses a regexp equivalent — same values.  [SURVEY §2.K]
+  def q14JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
+        r4(avg("k")).as("avg_k"), r2(sum("value")).as("sum_value"))
+      .orderBy("event_type")
+
+  val q14Sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)), 4) AS avg_k,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // Event-time tumbling window (batch form of the streaming agg):
+  // hour buckets emitted as epoch seconds — engine-neutral, and at scale
+  // the natural partition key for the downstream sink.
+  def q15HourlyEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  val q15Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // Gap-based sessionization (batch): the event-time analogue of the
+  // reference's time-segmentation (SURVEY D1/§2.K). 30-minute inactivity
+  // gap → session ids via lag + running conditional sum; one shuffle on
+  // user_id covers both windows and the final aggregate.
+  def q16Sessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum("new_session").over(cum))
+      .groupBy("user_id")
+      .agg(max("session_id").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  val q16Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM sess
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // Set op: UNION ALL of two entity projections + aggregate.
+  def q17UnionEntities(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nationkey"),
+        lit("customer").as("kind"))
+      .unionAll(supplier(s, d).select(col("s_nationkey").as("nationkey"),
+        lit("supplier").as("kind")))
+      .groupBy("nationkey", "kind")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("nationkey", "kind")
+
+  val q17Sql: String =
+    """SELECT nationkey, kind, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier) t
+      |GROUP BY nationkey, kind
+      |ORDER BY nationkey, kind""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  // Scalar-function exercise (SURVEY §2.H): string + math built-ins,
+  // all whole-stage-codegen'd, checked row-level against the oracle.
+  def q18ScalarFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_type"), 1, 5).as("type_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        (col("p_size") % 5).cast("long").as("size_mod"),
+        floor(col("p_retailprice") / 100.0).as("price_bucket"),
+        when(col("p_size") >= 25, "large").otherwise("small").as("size_class"))
+      .orderBy("p_partkey")
+
+  val q18Sql: String =
+    """SELECT p_partkey, upper(p_brand) AS brand_uc,
+      |  substr(p_type, 1, 5) AS type_prefix,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  CAST(p_size % 5 AS BIGINT) AS size_mod,
+      |  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
+      |  CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  // Argmax / top-1 per group (reference op G4 relationally): for each
+  // event type, the busiest hour. Two-level aggregate + rank.
+  def q19BusiestHour(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"),
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("hour_epoch"))
+    hourly.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("event_type", "hour_epoch", "n_events")
+      .orderBy("event_type")
+  }
+
+  val q19Sql: String =
+    """SELECT event_type, hour_epoch, n_events FROM (
+      |  SELECT event_type, hour_epoch, n_events,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY n_events DESC, hour_epoch) AS rn
+      |  FROM (
+      |    SELECT event_type,
+      |      CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |      count(*) AS n_events
+      |    FROM events GROUP BY 1, 2) h) t
+      |WHERE rn = 1
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  // Correlated rank via join back to an aggregate: customers whose total
+  // spend exceeds 10× the global average order value (scalar subquery →
+  // broadcast). Exercises two aggregation granularities in one plan.
+  def q20BigSpenders(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val perCust = o.groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("spend_raw"), count(lit(1)).as("n_orders"))
+    val avgOrder = o.agg(avg("o_totalprice").as("global_avg"))
+    perCust.crossJoin(broadcast(avgOrder))
+      .filter(col("spend_raw") > col("global_avg") * 10.0)
+      .select(col("o_custkey"), r2(col("spend_raw")).as("spend"),
+        col("n_orders"))
+      .orderBy("o_custkey")
+  }
+
+  val q20Sql: String =
+    """SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |HAVING sum(o_totalprice) >
+      |  10.0 * (SELECT avg(o_totalprice) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+
+  /** name → query */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> q1PricingSummary _,
+    "q02_filter_project" -> q2FilterProject _,
+    "q03_top_revenue" -> q3TopRevenue _,
+    "q04_late_ship_priority" -> q4LateShipPriority _,
+    "q05_nation_revenue" -> q5NationRevenue _,
+    "q06_forecast_revenue" -> q6ForecastRevenue _,
+    "q07_customers_no_orders" -> q7CustomersNoOrders _,
+    "q08_top_orders_per_customer" -> q8TopOrdersPerCustomer _,
+    "q09_rollup" -> q9Rollup _,
+    "q10_cube" -> q10Cube _,
+    "q11_distinct_counts" -> q11DistinctCounts _,
+    "q12_interval_join" -> q12IntervalJoin _,
+    "q13_running_total" -> q13RunningTotal _,
+    "q14_json_extract" -> q14JsonExtract _,
+    "q15_hourly_events" -> q15HourlyEvents _,
+    "q16_sessionize" -> q16Sessionize _,
+    "q17_union_entities" -> q17UnionEntities _,
+    "q18_scalar_funcs" -> q18ScalarFuncs _,
+    "q19_busiest_hour" -> q19BusiestHour _,
+    "q20_big_spenders" -> q20BigSpenders _)
+
+  /** name → DuckDB oracle SQL */
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" -> q1Sql,
+    "q02_filter_project" -> q2Sql,
+    "q03_top_revenue" -> q3Sql,
+    "q04_late_ship_priority" -> q4Sql,
+    "q05_nation_revenue" -> q5Sql,
+    "q06_forecast_revenue" -> q6Sql,
+    "q07_customers_no_orders" -> q7Sql,
+    "q08_top_orders_per_customer" -> q8Sql,
+    "q09_rollup" -> q9Sql,
+    "q10_cube" -> q10Sql,
+    "q11_distinct_counts" -> q11Sql,
+    "q12_interval_join" -> q12Sql,
+    "q13_running_total" -> q13Sql,
+    "q14_json_extract" -> q14Sql,
+    "q15_hourly_events" -> q15Sql,
+    "q16_sessionize" -> q16Sql,
+    "q17_union_entities" -> q17Sql,
+    "q18_scalar_funcs" -> q18Sql,
+    "q19_busiest_hour" -> q19Sql,
+    "q20_big_spenders" -> q20Sql)
+}
