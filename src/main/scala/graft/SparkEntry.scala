@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    rel.RelQueries.queries
+    rel.RelQueries.queries ++ text.TextQueries.queries ++
+      sim.SimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    rel.RelQueries.oracle
+    rel.RelQueries.oracle ++ text.TextQueries.oracle ++
+      sim.SimQueries.oracle
 }

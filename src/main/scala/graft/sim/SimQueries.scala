@@ -1,0 +1,122 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.K).
+  *
+  * Layers:
+  *  - q30: brute-force cosine top-k — the exact baseline. The (small)
+  *    query set is broadcast; candidates stream through a narrow map —
+  *    no shuffle until the per-query top-k, which AQE keeps tiny.
+  *  - q31: all-pairs near-duplicate by cosine — exact backstop; the
+  *    sub-quadratic path is the LSH variant (nq_knn_lsh in NoOracle).
+  *  - q32: per-label centroids — the coarse-quantizer training step of
+  *    an IVF index (k-means-style assignment would iterate this).
+  *
+  * Cosine is computed in DOUBLE (cast from the stored FLOAT) with a
+  * sequential left fold — the same accumulation order DuckDB's
+  * list_cosine_similarity uses, so rounded values match the oracle.
+  */
+object SimQueries {
+
+  /** cosine(a, b) as a codegen-friendly higher-order-function expression. */
+  private def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
+        "0D, (acc, v) -> acc + v)"
+    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  }
+
+  // ---------------------------------------------------------------- q30
+  // Exact k-NN: top-5 cosine neighbors for each of the first 10 vectors.
+  def q30KnnExact(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val pairs = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine("qe", "embedding").as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  val q30Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce
+      |      FROM embeddings),
+      |p AS (SELECT query_id, neighbor_id,
+      |        list_cosine_similarity(qe, ce) AS cos
+      |      FROM q, c WHERE neighbor_id <> query_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY cos DESC, neighbor_id) AS rn
+      |      FROM p)
+      |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn
+      |FROM r WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  // Embedding near-duplicate pairs: cosine ≥ 0.4 over all i<j pairs.
+  // Exact quadratic form — correct at test scale; at 100 TB the same
+  // result comes from nq_knn_lsh's bucketed join.
+  def q31EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
+    val a = embeddings(s, d).select(col("vec_id").as("id1"),
+      col("embedding").as("e1"))
+    val b = embeddings(s, d).select(col("vec_id").as("id2"),
+      col("embedding").as("e2"))
+    a.join(b, col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine("e1", "e2").as("cos"))
+      .filter(col("cos") >= 0.4)
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))
+      .orderBy("id1", "id2")
+  }
+
+  val q31Sql: String =
+    """SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |  round(list_cosine_similarity(a.embedding::DOUBLE[],
+      |                               b.embedding::DOUBLE[]), 6) AS cosine
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+      |                             b.embedding::DOUBLE[]) >= 0.4
+      |ORDER BY id1, id2""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  // Per-label centroids (IVF coarse-quantizer step): posexplode the
+  // vector, aggregate per (label, dim). One shuffle keyed (label, dim) —
+  // at scale this is the canonical map-side-combinable layout.
+  def q32LabelCentroids(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy("label", "dim")
+
+  val q32Sql: String =
+    """SELECT label, CAST(i AS BIGINT) AS dim,
+      |  round(avg(e[i]), 6) AS centroid, count(*) AS n_vectors
+      |FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t,
+      |  LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
+      |GROUP BY label, i
+      |ORDER BY label, dim""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_knn_exact" -> q30KnnExact _,
+    "q31_embedding_neardup" -> q31EmbeddingNeardup _,
+    "q32_label_centroids" -> q32LabelCentroids _)
+
+  val oracle: Map[String, String] = Map(
+    "q30_knn_exact" -> q30Sql,
+    "q31_embedding_neardup" -> q31Sql,
+    "q32_label_centroids" -> q32Sql)
+}

@@ -1,0 +1,188 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * (SURVEY.md §2.K: the LLM-data-pipeline extension surface).
+  *
+  * Scale notes:
+  *  - Tokenization / shingling / fingerprints are per-row expressions —
+  *    narrow, codegen'd, embarrassingly parallel.
+  *  - Exact dedup is a hash aggregate on a fingerprint, NOT on the raw
+  *    text: at 100 TB you shuffle 16-byte md5 keys, not document bodies.
+  *  - Near-dup jaccard uses an inverted shingle index (explode + equi-join
+  *    on the shingle) — the classic scale-out plan; the quadratic
+  *    all-pairs form never appears. Hot shingles are the skew risk: the
+  *    DF-style mitigation is filtering ultra-frequent shingles (stop-
+  *    shingles) before the self-join, which we do with a frequency cap.
+  */
+object TextQueries {
+
+  /** tokens column (array<string>) from the raw text. */
+  private val toks = split(col("text"), "\\s+")
+
+  // ---------------------------------------------------------------- q21
+  // Corpus profile per language: row counts + length stats.
+  def q21LangStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  val q21Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // Token counting (whitespace tokenizer) aggregated per source.
+  def q22TokenStats(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), size(toks).cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"),
+        max("n_tokens").as("max_tokens"))
+      .orderBy("lang")
+
+  val q22Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |  round(avg(n), 4) AS avg_tokens,
+      |  CAST(max(n) AS BIGINT) AS max_tokens
+      |FROM (SELECT lang,
+      |        len(regexp_split_to_array(text, '\s+')) AS n
+      |      FROM documents) t
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  // Exact deduplication by content fingerprint: md5(text) is the shuffle
+  // key; keeper = min doc_id per group (deterministic, unlike
+  // dropDuplicates' arbitrary-row semantics). [SURVEY §2.K exact dedup,
+  // reference op C2]
+  def q23DedupExact(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(md5(col("text")).as("fingerprint"), col("doc_id"))
+      .groupBy("fingerprint")
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+      .orderBy("fingerprint")
+
+  val q23Sql: String =
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keeper_id,
+      |  count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY fingerprint""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  // Per-document quality scoring: token counts, lexical diversity,
+  // stopword ratio, mean token length — the standard pre-training
+  // quality filters, all as codegen'd array expressions.
+  def q24QualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"), toks.as("t"))
+      .select(
+        col("doc_id"), col("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"),
+        (size(array_distinct(col("t"))).cast("double") /
+          size(col("t")).cast("double")).as("distinct_ratio"),
+        (expr("size(filter(t, x -> x IN ('the', 'a')))").cast("double") /
+          size(col("t")).cast("double")).as("stopword_ratio"),
+        (expr("aggregate(transform(t, x -> length(x)), 0, (acc, x) -> acc + x)")
+          .cast("double") / size(col("t")).cast("double"))
+          .as("avg_token_len"))
+      .orderBy("doc_id")
+
+  val q24Sql: String =
+    """SELECT doc_id, n_chars,
+      |  CAST(len(t) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+      |  CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS distinct_ratio,
+      |  CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE) / len(t)
+      |    AS stopword_ratio,
+      |  CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+      |    AS avg_token_len
+      |FROM (SELECT doc_id, n_chars,
+      |        regexp_split_to_array(text, '\s+') AS t
+      |      FROM documents) d
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // Near-duplicate detection via word-3-gram shingle Jaccard, computed
+  // with an inverted shingle index: explode distinct shingles, equi-join
+  // doc lists on the shingle (shuffle key = shingle), count intersections
+  // per pair, then jaccard = |∩| / (|A| + |B| − |∩|). Pairs ≥ 0.1 emitted.
+  // This is the exact-counting backstop; MinHashLSH (nq_minhash_neardup)
+  // is the sub-quadratic approximation of the same join.
+  def q25NeardupJaccard(s: SparkSession, d: String): DataFrame = {
+    val tri = documents(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(sequence(0, size(t) - 3), " +
+            "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"))).as("tri"))
+    val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = tri.as("a"); val b = tri.as("b")
+    val inter = a.join(b,
+        col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(broadcast(sizes).as("sa"), col("d1") === col("sa.doc_id"))
+      .join(broadcast(sizes).as("sb"), col("d2") === col("sb.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("sa.sz") + col("sb.sz") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.1)
+      .orderBy("d1", "d2")
+  }
+
+  val q25Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l FROM documents
+      |), tri AS (
+      |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tri a JOIN tri b ON a.tri = b.tri AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2,
+      |  CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON d1 = sa.doc_id
+      |JOIN sizes sb ON d2 = sb.doc_id
+      |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.1
+      |ORDER BY d1, d2""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q21_lang_stats" -> q21LangStats _,
+    "q22_token_stats" -> q22TokenStats _,
+    "q23_dedup_exact" -> q23DedupExact _,
+    "q24_quality_score" -> q24QualityScore _,
+    "q25_neardup_jaccard" -> q25NeardupJaccard _)
+
+  val oracle: Map[String, String] = Map(
+    "q21_lang_stats" -> q21Sql,
+    "q22_token_stats" -> q22Sql,
+    "q23_dedup_exact" -> q23Sql,
+    "q24_quality_score" -> q24Sql,
+    "q25_neardup_jaccard" -> q25Sql)
+}
