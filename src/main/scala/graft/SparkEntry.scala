@@ -19,7 +19,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     rel.RelQueries.queries ++ text.TextQueries.queries ++
-      sim.SimQueries.queries
+      sim.SimQueries.queries ++
+      // rows-only checked (not SQL-expressible): LSH/sketch/heuristic ops
+      text.NearDup.queries ++ sim.LshKnn.queries ++ text.LangId.queries ++
+      rel.ApproxQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
