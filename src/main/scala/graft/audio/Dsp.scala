@@ -1,0 +1,117 @@
+package graft.audio
+
+/** Pure-Scala DSP primitives for the mel-spectrogram path
+  * (reference: `librosa.feature.melspectrogram`,
+  * `/root/reference/src/voice_classifier.py:82`). No native deps —
+  * published textbook formulas only (Cooley–Tukey radix-2 FFT, Hann
+  * window, Slaney-style mel filterbank as defined in the librosa docs /
+  * Slaney's Auditory Toolbox).
+  */
+object Dsp {
+
+  /** In-place iterative radix-2 Cooley–Tukey FFT.
+    * re/im are length n = power of two.
+    */
+  def fft(re: Array[Double], im: Array[Double]): Unit = {
+    val n = re.length
+    require((n & (n - 1)) == 0, s"FFT size must be a power of two, got $n")
+    // bit reversal
+    var i = 1; var j = 0
+    while (i < n) {
+      var bit = n >> 1
+      while ((j & bit) != 0) { j ^= bit; bit >>= 1 }
+      j |= bit
+      if (i < j) {
+        val tr = re(i); re(i) = re(j); re(j) = tr
+        val ti = im(i); im(i) = im(j); im(j) = ti
+      }
+      i += 1
+    }
+    // butterflies
+    var len = 2
+    while (len <= n) {
+      val ang = -2.0 * math.Pi / len
+      val wr = math.cos(ang); val wi = math.sin(ang)
+      var blk = 0
+      while (blk < n) {
+        var cr = 1.0; var ci = 0.0
+        var k = 0
+        while (k < len / 2) {
+          val a = blk + k; val b = blk + k + len / 2
+          val vr = re(b) * cr - im(b) * ci
+          val vi = re(b) * ci + im(b) * cr
+          re(b) = re(a) - vr; im(b) = im(a) - vi
+          re(a) += vr; im(a) += vi
+          val ncr = cr * wr - ci * wi
+          ci = cr * wi + ci * wr; cr = ncr
+          k += 1
+        }
+        blk += len
+      }
+      len <<= 1
+    }
+  }
+
+  /** Periodic Hann window of length n (matches the STFT convention). */
+  def hannWindow(n: Int): Array[Double] =
+    Array.tabulate(n)(i => 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / n))
+
+  /** Power spectrum |FFT(x·w)|² of one frame, bins 0..n/2 inclusive. */
+  def powerSpectrum(frame: Array[Double], window: Array[Double]): Array[Double] = {
+    val n = window.length
+    val re = new Array[Double](n)
+    val im = new Array[Double](n)
+    var i = 0
+    while (i < n) { re(i) = frame(i) * window(i); i += 1 }
+    fft(re, im)
+    Array.tabulate(n / 2 + 1)(k => re(k) * re(k) + im(k) * im(k))
+  }
+
+  // ----- Slaney-style mel scale (librosa default, htk=false) -----
+  private val FMinLog = 1000.0
+  private val LinStep = 200.0 / 3.0
+  private val LogStep = math.log(6.4) / 27.0
+
+  def hzToMel(hz: Double): Double =
+    if (hz < FMinLog) hz / LinStep
+    else FMinLog / LinStep + math.log(hz / FMinLog) / LogStep
+
+  def melToHz(mel: Double): Double = {
+    val minLogMel = FMinLog / LinStep
+    if (mel < minLogMel) mel * LinStep
+    else FMinLog * math.exp(LogStep * (mel - minLogMel))
+  }
+
+  /** Triangular mel filterbank, Slaney-normalized (each filter scaled by
+    * 2 / bandwidth-in-Hz), shape nMels × (nFft/2 + 1).
+    */
+  def melFilterbank(nMels: Int, nFft: Int, sampleRate: Int,
+      fMin: Double = 0.0, fMax: Double = 8000.0): Array[Array[Double]] = {
+    val nBins = nFft / 2 + 1
+    val fftFreqs = Array.tabulate(nBins)(k => k.toDouble * sampleRate / nFft)
+    val melPts = {
+      val lo = hzToMel(fMin); val hi = hzToMel(fMax)
+      Array.tabulate(nMels + 2)(i => melToHz(lo + (hi - lo) * i / (nMels + 1)))
+    }
+    Array.tabulate(nMels) { m =>
+      val (fLo, fC, fHi) = (melPts(m), melPts(m + 1), melPts(m + 2))
+      val enorm = 2.0 / (fHi - fLo)
+      Array.tabulate(nBins) { k =>
+        val f = fftFreqs(k)
+        val up = (f - fLo) / (fC - fLo)
+        val down = (fHi - f) / (fHi - fC)
+        math.max(0.0, math.min(up, down)) * enorm
+      }
+    }
+  }
+
+  /** 16-bit little-endian PCM bytes → [-1, 1] doubles. */
+  def pcm16ToDoubles(pcm: Array[Byte]): Array[Double] = {
+    val n = pcm.length / 2
+    Array.tabulate(n) { i =>
+      val lo = pcm(2 * i) & 0xff
+      val hi = pcm(2 * i + 1).toInt
+      ((hi << 8) | lo).toShort / 32768.0
+    }
+  }
+}

@@ -1,0 +1,149 @@
+package graft.ml
+
+import org.apache.spark.ml.classification.MultilayerPerceptronClassifier
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.feature.{IndexToString, PCA, StandardScaler, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.audio.MelSpectrogram
+import graft.gen.VoiceDataGen
+
+/** The reference's whole train/predict/report pipeline
+  * (`/root/reference/src/voice_classifier.py:45-347`) as one lazy Spark
+  * DAG (SURVEY §3.2): generation → mel frames → dB → PCA(4) → interval
+  * join against segment boundaries → MI selection → StringIndexer →
+  * assemble → MLP → evaluate/confusion.
+  *
+  * Deliberate rebuild choices (SURVEY §2.J):
+  *  - Q1: interval join is half-open [start, end) — exactly one label per
+  *    frame (reference double-matched boundary frames then truncated).
+  *  - Q2: ONE label mapping end-to-end: StringIndexer(alphabetAsc) —
+  *    Female→0, Male→1 — drives both class indices and decoded names
+  *    (reference mixed appearance order with alphabetical encoding).
+  *  - Q5: the fitted PipelineModel is self-contained; no hidden
+  *    train-time state is needed for inference.
+  *  - Q6: everything seeded (generation 42, split 42, MLP 42).
+  *  - I6: no Conv1D in MLlib — MLP [2, 50, 50, 2] over the same (Time, X)
+  *    features (+ standardization standing in for BatchNorm); acceptance
+  *    is held-out accuracy ≥ 0.80 (reference: 0.8731), per SURVEY §6.
+  */
+object VoicePipeline {
+
+  val NPhrases = 11
+  val Seed = 42L
+
+  /** Stage 1-3: generated clips → labeled PCA frames
+    * (Time, c0..c3, speaker).
+    */
+  def labeledFrames(spark: SparkSession, nPhrases: Int = NPhrases,
+      seed: Long = Seed): DataFrame = {
+    val clips = VoiceDataGen.generate(spark, nPhrases, seed)
+    val segments = clips.select(col("speaker").as("seg_speaker"),
+      col("start_sec"), col("end_sec"))
+    val frames = MelSpectrogram.toDb(
+      new MelSpectrogram().transform(clips.drop("speaker")))
+    val pca = new PCA().setK(4).setInputCol("mel_vec").setOutputCol("pca")
+    val withVec = frames
+      .withColumn("mel_vec", array_to_vector(col("mel_db")))
+    val pcaFrames = pca.fit(withVec).transform(withVec)
+      .withColumn("c", vector_to_array(col("pca")))
+      .select(col("frame_time").as("Time"),
+        col("c").getItem(0).as("c0"), col("c").getItem(1).as("c1"),
+        col("c").getItem(2).as("c2"), col("c").getItem(3).as("c3"))
+    // D1 interval join, half-open, broadcast segment boundaries
+    pcaFrames.join(broadcast(segments),
+        col("Time") >= col("start_sec") && col("Time") < col("end_sec"))
+      .select(col("Time"), col("c0"), col("c1"), col("c2"), col("c3"),
+        col("seg_speaker").as("speaker"))
+  }
+
+  /** Stage 4-5: MI-select the winning component → (Time, X, speaker). */
+  def timeSeries(spark: SparkSession, nPhrases: Int = NPhrases,
+      seed: Long = Seed): DataFrame = {
+    val lf = labeledFrames(spark, nPhrases, seed)
+    val selector = new MiSelector()
+      .setFeatureCols(Array("c0", "c1", "c2", "c3"))
+      .setLabelCol("speaker").setOutputCol("X")
+    selector.fit(lf).transform(lf).select("Time", "X", "speaker")
+  }
+
+  case class Result(predictions: DataFrame, confusion: DataFrame,
+    accuracy: Double, logLoss: Double)
+
+  /** Stage 6-8: split, fit, predict, evaluate. */
+  def trainAndEvaluate(spark: SparkSession, nPhrases: Int = NPhrases,
+      seed: Long = Seed): Result = {
+    val ts = timeSeries(spark, nPhrases, seed).cache()
+    val Array(train, test) = ts.randomSplit(Array(0.8, 0.2), seed = 42)
+    val indexer = new StringIndexer().setInputCol("speaker")
+      .setOutputCol("label").setStringOrderType("alphabetAsc")
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("Time", "X")).setOutputCol("rawFeatures")
+    val scaler = new StandardScaler().setInputCol("rawFeatures")
+      .setOutputCol("features").setWithMean(true).setWithStd(true)
+    val mlp = new MultilayerPerceptronClassifier()
+      .setLayers(Array(2, 50, 50, 2)).setSeed(42).setMaxIter(100)
+      .setFeaturesCol("features").setLabelCol("label")
+    val pipeline = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(indexer, assembler, scaler, mlp))
+    val model = pipeline.fit(train)
+    val labels = model.stages(0)
+      .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel].labelsArray(0)
+    val decoded = new IndexToString().setInputCol("prediction")
+      .setOutputCol("speaker_pred").setLabels(labels)
+    val preds = decoded.transform(model.transform(test))
+      .withColumn("p", vector_to_array(col("probability")))
+      .select(col("Time"), col("X"), col("speaker"), col("label"),
+        col("prediction"), col("speaker_pred"),
+        col("p").getItem(0).as(s"p_${labels(0)}"),
+        col("p").getItem(1).as(s"p_${labels(1)}"))
+      .orderBy("Time")
+    val confusion = preds.groupBy("speaker").pivot("speaker_pred", labels)
+      .count().na.fill(0L).orderBy("speaker")
+    val acc = new MulticlassClassificationEvaluator().setLabelCol("label")
+      .setPredictionCol("prediction").setMetricName("accuracy")
+      .evaluate(preds)
+    val ll = new MulticlassClassificationEvaluator().setLabelCol("label")
+      .setProbabilityCol("probability").setMetricName("logLoss")
+      .evaluate(decoded.transform(model.transform(test)))
+    Result(preds, confusion, acc, ll)
+  }
+
+  /** Per-class precision/recall/F1 report (reference E5), derived from
+    * the confusion counts with the indexer's label set (never hardcoded —
+    * SURVEY quirk Q3).
+    */
+  def classificationReport(preds: DataFrame): DataFrame = {
+    val byPair = preds.groupBy("speaker", "speaker_pred").count()
+    val tp = byPair.filter(col("speaker") === col("speaker_pred"))
+      .select(col("speaker").as("cls"), col("count").as("tp"))
+    val actual = byPair.groupBy("speaker").agg(sum("count").as("support"))
+      .withColumnRenamed("speaker", "cls")
+    val predicted = byPair.groupBy("speaker_pred").agg(sum("count").as("n_pred"))
+      .withColumnRenamed("speaker_pred", "cls")
+    actual.join(predicted, Seq("cls"), "left").join(tp, Seq("cls"), "left")
+      .na.fill(0L, Seq("tp", "n_pred"))
+      .select(col("cls").as("speaker"),
+        round(col("tp") / col("n_pred"), 4).as("precision"),
+        round(col("tp") / col("support"), 4).as("recall"),
+        round(lit(2.0) * col("tp") / (col("n_pred") + col("support")), 4)
+          .as("f1"),
+        col("support"))
+      .orderBy("speaker")
+  }
+
+  // --- driver-contract queries (rows-only: generated data, not DuckDB-visible)
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_voice_transcript" -> ((s: SparkSession, _: String) =>
+      VoiceDataGen.transcript(s, NPhrases, Seed)
+        .withColumn("seconds", round(col("seconds"), 2))),
+    "nq_voice_timeseries" -> ((s: SparkSession, _: String) =>
+      timeSeries(s).withColumn("Time", round(col("Time"), 6))
+        .withColumn("X", round(col("X"), 6)).orderBy("Time")),
+    "nq_voice_eval" -> ((s: SparkSession, _: String) => {
+      val r = trainAndEvaluate(s)
+      val report = classificationReport(r.predictions)
+      report.withColumn("accuracy", round(lit(r.accuracy), 4))
+    }))
+}
