@@ -1,0 +1,43 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class MiSelectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("selects the class-separating column over noise and constant") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 2000).map { i =>
+      val label = if (i % 2 == 0) "Male" else "Female"
+      val separating = (if (label == "Male") 5.0 else -5.0) + rnd.nextGaussian()
+      val noise = rnd.nextGaussian() * 3.0
+      val const = 1.0
+      (label, separating, noise, const)
+    }
+    val df = rows.toDF("speaker", "good", "noise", "const")
+    val model = new MiSelector()
+      .setFeatureCols(Array("noise", "good", "const"))
+      .setLabelCol("speaker").setOutputCol("X")
+      .fit(df)
+    assert(model.selectedCol == "good",
+      s"picked ${model.selectedCol}, MI=${model.miScores.mkString(",")}")
+    // output column projects the winner
+    val out = model.transform(df)
+    assert(out.filter($"X" =!= $"good").count() == 0)
+  }
+
+  test("MI score ordering: separating > noise, constant ≈ 0") {
+    val rnd = new scala.util.Random(4)
+    val rows = (0 until 2000).map { i =>
+      val label = if (i % 2 == 0) "A" else "B"
+      ((if (label == "A") 1.0 else -1.0) + 0.1 * rnd.nextGaussian(),
+        rnd.nextGaussian(), 7.0, label)
+    }
+    val df = rows.toDF("good", "noise", "const", "speaker")
+    val m = new MiSelector().setFeatureCols(Array("good", "noise", "const"))
+      .setLabelCol("speaker").fit(df)
+    val Array(miGood, miNoise, miConst) = m.miScores
+    assert(miGood > miNoise && miGood > 0.5)
+    assert(miConst < 0.01)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import graft.sim.LshKnn
+
+/** Cross-checks the approximate near-dup/ANN paths against their exact
+  * counterparts on the driver's sf0.001 tables.
+  */
+class NearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val exactPairs: Set[(Long, Long)] =
+    TextQueries.q25NeardupJaccard(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+
+  test("minhash candidates recover all exact jaccard>=0.1 pairs") {
+    val mh = NearDup.minhashNeardup(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
+    val missed = exactPairs -- mh
+    assert(missed.isEmpty, s"minhash missed: $missed")
+  }
+
+  test("simhash pairs are a subset of strong exact pairs") {
+    val sh = NearDup.simhashNeardup(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // hamming<=3 on 64-bit simhash ⇒ high similarity ⇒ must appear in
+    // the exact jaccard>=0.1 pair set
+    val wrong = sh -- exactPairs
+    assert(wrong.isEmpty, s"simhash false positives: $wrong")
+    assert(sh.nonEmpty, "simhash should find the strongest planted dups")
+  }
+
+  test("BRP-LSH near-dup recall vs exact cosine pairs") {
+    val exact = graft.sim.SimQueries.q31EmbeddingNeardup(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val approx = LshKnn.lshNeardup(spark, sf0001)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9")
+    // no false positives: LSH verifies the true distance, so approx ⊆ exact
+    assert((approx -- exact).isEmpty)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val exact = graft.Tables.lineitem(spark, sf0001)
+      .selectExpr("count(DISTINCT l_partkey) AS p", "count(DISTINCT l_suppkey) AS s")
+      .as[(Long, Long)].head()
+    val approx = graft.rel.ApproxQueries.approxDistinct(spark, sf0001)
+      .selectExpr("sum(approx_parts)", "max(approx_supps)")
+      .as[(Long, Long)].head()
+    // per-group sums overcount shared keys; just bound the supp estimate
+    assert(math.abs(approx._2 - exact._2).toDouble / exact._2 < 0.05)
+  }
+}
