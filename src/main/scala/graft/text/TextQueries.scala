@@ -128,13 +128,10 @@ object TextQueries {
   // This is the exact-counting backstop; MinHashLSH (nq_minhash_neardup)
   // is the sub-quadratic approximation of the same join.
   def q25NeardupJaccard(s: SparkSession, d: String): DataFrame = {
-    val tri = documents(s, d)
-      .select(col("doc_id"), toks.as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(expr(
-          "transform(sequence(0, size(t) - 3), " +
-            "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"))).as("tri"))
+    // shingling shares NearDup.shingles (typed map — see its scaladoc for
+    // why the transform+explode expression route is pathologically slow)
+    val tri = NearDup.shingles(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("tri"))
     val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = tri.as("a"); val b = tri.as("b")
     val inter = a.join(b,

@@ -1,0 +1,61 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Ad-hoc profiling main (not part of the driver contract). */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val docs = graft.Tables.documents(spark, d)
+    time("read docs")(println("  docs=" + docs.count()))
+    time("split only")(println("  toks=" + docs
+      .select(split(col("text"), "\\s+").as("t")).selectExpr("sum(size(t))")
+      .first().getLong(0)))
+    time("shingle arrays")(println("  docs=" + graft.text.NearDup
+      .shingles(spark, d).selectExpr("sum(size(shingles))").first().getLong(0)))
+    time("explode no cache")(println("  rows=" + graft.text.NearDup
+      .shingles(spark, d)
+      .select(col("doc_id"), explode(col("shingles")).as("sh")).count()))
+    import spark.implicits._
+    val typed = graft.Tables.documents(spark, d).select("doc_id", "text")
+      .as[(Long, String)].flatMap { case (id, text) =>
+        val t = text.split("\\s+")
+        if (t.length < 3) Iterator.empty
+        else t.indices.dropRight(2).iterator
+          .map(i => t(i) + " " + t(i + 1) + " " + t(i + 2)).toSet.iterator
+          .map((sh: String) => (id, sh))
+      }.toDF("doc_id", "sh")
+    time("typed shingles no cache")(println("  rows=" + typed.count()))
+    val sh = typed.cache()
+    time("typed shingles cached")(println("  rows=" + sh.count()))
+    val sigCols = (0 until 32).map(k => min(xxhash64(col("sh"), lit(k))).as(s"m$k"))
+    val mh = time("minhash agg")(sh.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*).cache())
+    time("minhash materialize")(println("  docs=" + mh.count()))
+    val bands = mh.select(col("doc_id"),
+      posexplode(array((0 until 32).map(k => col(s"m$k")): _*)).as(Seq("band", "sig")))
+    val cands = bands.as("ba").join(bands.as("bb"),
+        col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
+          col("ba.doc_id") < col("bb.doc_id"))
+      .select(col("ba.doc_id").as("d1"), col("bb.doc_id").as("d2")).distinct().cache()
+    time("candidates")(println("  cands=" + cands.count()))
+    val full = time("full query")(
+      graft.text.NearDup.minhashNeardupFast(spark, d).count())
+    println("  pairs=" + full)
+    spark.stop()
+  }
+}

@@ -13,12 +13,21 @@ class NearDupSpec extends SparkSpec {
     TextQueries.q25NeardupJaccard(spark, sf0001)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
 
-  test("minhash candidates recover all exact jaccard>=0.1 pairs") {
+  test("MLlib minhash candidates recover all exact jaccard>=0.1 pairs") {
     val mh = NearDup.minhashNeardup(spark, sf0001)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
     assert(exactPairs.nonEmpty, "fixture should contain planted near-dups")
     val missed = exactPairs -- mh
     assert(missed.isEmpty, s"minhash missed: $missed")
+  }
+
+  test("columnar minhash+verify equals the exact jaccard query") {
+    val fast = NearDup.minhashNeardupFast(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    // exact verification on candidates ⇒ no false positives; banding at
+    // b=32,r=1 ⇒ (deterministically, for this seed set) full recall
+    assert(fast == exactPairs,
+      s"missed=${exactPairs -- fast} extra=${fast -- exactPairs}")
   }
 
   test("simhash pairs are a subset of strong exact pairs") {
