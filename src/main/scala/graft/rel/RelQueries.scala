@@ -539,6 +539,91 @@ object RelQueries {
       |  10.0 * (SELECT avg(o_totalprice) FROM orders)
       |ORDER BY o_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  // Built-in session_window in batch mode (the same expression the
+  // streaming path uses — StreamingOps.sessionWindows): 30-min gap
+  // sessions per user. Session start emitted as epoch micros. A new
+  // session opens when the gap is >= the window size, which the oracle
+  // mirrors with a lag/cumsum rewrite.
+  def q26SessionWindowBatch(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start_us")
+
+  val q26Sql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, epoch_us(min(ts)) AS session_start_us,
+      |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  // Positional (zip-by-rank) join — reference op D2
+  // (`voice_classifier.py:297-300` joins tables by row position):
+  // the general Spark form is row_number over an explicit total order on
+  // each side + equi-join on the rank. Top-50 customers by balance zipped
+  // with top-50 suppliers by balance.
+  def q27ZipPosition(s: SparkSession, d: String): DataFrame = {
+    val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val ws = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+    val c = customer(s, d)
+      .select(col("c_custkey"), col("c_acctbal"),
+        row_number().over(wc).as("rn"))
+      .filter(col("rn") <= 50)
+    val su = supplier(s, d)
+      .select(col("s_suppkey"), col("s_acctbal"),
+        row_number().over(ws).as("rn"))
+      .filter(col("rn") <= 50)
+    c.join(su, "rn")
+      .select(col("rn"), col("c_custkey"), col("c_acctbal"),
+        col("s_suppkey"), col("s_acctbal"))
+      .orderBy("rn")
+  }
+
+  val q27Sql: String =
+    """SELECT c.rn AS rn, c_custkey, c_acctbal, s_suppkey, s_acctbal
+      |FROM (SELECT c_custkey, c_acctbal,
+      |        row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |      FROM customer) c
+      |JOIN (SELECT s_suppkey, s_acctbal,
+      |        row_number() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      |      FROM supplier) s ON c.rn = s.rn
+      |WHERE c.rn <= 50
+      |ORDER BY rn""".stripMargin
+
+  /** q28 runs VERBATIM in both engines — the SQL surface check. */
+  val q28Text: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, l_returnflag,
+      |  count(*) AS n_rows,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY ship_year, l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  // spark.sql(...) surface: the engine accepts ANSI SQL text directly;
+  // the oracle runs the IDENTICAL string.
+  def q28SqlSurface(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q28Text)
+  }
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -560,7 +645,10 @@ object RelQueries {
     "q17_union_entities" -> q17UnionEntities _,
     "q18_scalar_funcs" -> q18ScalarFuncs _,
     "q19_busiest_hour" -> q19BusiestHour _,
-    "q20_big_spenders" -> q20BigSpenders _)
+    "q20_big_spenders" -> q20BigSpenders _,
+    "q26_session_window" -> q26SessionWindowBatch _,
+    "q27_zip_position" -> q27ZipPosition _,
+    "q28_sql_surface" -> q28SqlSurface _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -583,5 +671,8 @@ object RelQueries {
     "q17_union_entities" -> q17Sql,
     "q18_scalar_funcs" -> q18Sql,
     "q19_busiest_hour" -> q19Sql,
-    "q20_big_spenders" -> q20Sql)
+    "q20_big_spenders" -> q20Sql,
+    "q26_session_window" -> q26Sql,
+    "q27_zip_position" -> q27Sql,
+    "q28_sql_surface" -> q28Text)
 }

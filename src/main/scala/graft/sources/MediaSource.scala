@@ -1,0 +1,81 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal binary sources/sinks (SURVEY §2.A A3/A5, §2.K multimodal
+  * columns): opaque media bytes + typed metadata, decode behind a
+  * per-partition boundary.
+  *
+  * The engine's convention for image/audio/video at 100 TB:
+  *   - at rest: either raw files (binaryFile source) or Parquet with a
+  *     BINARY column + metadata struct (this file supports both);
+  *   - decode / feature-extract: mapPartitions over the binary column —
+  *     never a per-row driver loop; decoders initialize once per
+  *     partition;
+  *   - only this container ships no media codecs, so decode here is the
+  *     REAL PCM16 decoder (graft.audio.Dsp) for audio, and downstream
+  *     feature extraction is the real MelSpectrogram transformer.
+  */
+object MediaSource {
+
+  /** Binary sink: one file per row, named <id>.pcm (the distributed
+    * analogue of the reference's per-phrase MP3 export,
+    * `data_generator.py:26-27`). Executor-side writes, no driver loop.
+    */
+  def writePcmFiles(df: DataFrame, idCol: String, pcmCol: String,
+      dir: String): Unit = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    df.select(col(idCol).cast("long"), col(pcmCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.pcm"),
+            r.getAs[Array[Byte]](1))
+        }
+      }
+  }
+
+  /** binaryFile scan (A3): files → (clip_id from filename, pcm bytes,
+    * metadata). Filters and the 4-column projection are handled by the
+    * binaryFile datasource; decode happens lazily downstream.
+    */
+  def readPcmFiles(spark: SparkSession, dir: String,
+      sampleRate: Int = graft.gen.VoiceDataGen.SampleRate): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pcm")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.pcm$", 1).cast("long")
+          .as("clip_id"),
+        col("content").as("pcm"),
+        (length(col("content")) / 2).cast("int").as("n_samples"),
+        lit(sampleRate).as("sample_rate"))
+
+  /** Decode + summary feature extraction over the binary column in one
+    * mapPartitions pass: waveform stats the cheap way (no shuffle).
+    */
+  def audioFeatures(clips: DataFrame): DataFrame = {
+    val spark = clips.sparkSession
+    import spark.implicits._
+    clips.select(col("clip_id"), col("pcm"), col("sample_rate"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.map { case (id, pcm, sr) =>
+          val x = graft.audio.Dsp.pcm16ToDoubles(pcm)
+          val n = x.length
+          val mean = x.sum / math.max(1, n)
+          val rms = math.sqrt(x.map(v => v * v).sum / math.max(1, n))
+          val peak = if (n == 0) 0.0 else x.map(math.abs).max
+          // zero-crossing rate: voicing proxy
+          var zc = 0
+          var i = 1
+          while (i < n) { if (x(i - 1) * x(i) < 0) zc += 1; i += 1 }
+          (id, n, n.toDouble / sr, mean, rms, peak,
+            zc.toDouble / math.max(1, n - 1))
+        }
+      }
+      .toDF("clip_id", "n_samples", "duration_sec", "mean", "rms", "peak",
+        "zcr")
+  }
+}

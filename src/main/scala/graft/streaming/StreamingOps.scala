@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators (SURVEY §2.K event-time ops) — the
+  * streaming form of the engine's time-segmentation family: the same
+  * transforms run on a `readStream` source with watermark-bounded state.
+  *
+  * All functions take a DataFrame that may be batch or streaming —
+  * identical code paths (the Spark contract); tests drive them both ways
+  * and assert batch ≡ streaming-with-processAllAvailable.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization via the built-in session_window:
+    * 30-minute inactivity gap per user.
+    */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming dedup on a key column (exact-dedup streaming
+    * form: state = seen keys inside the watermark horizon).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicates(keyCols :+ "ts")
+
+  case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
+
+  /** Custom stateful op: running per-user totals via mapGroupsWithState
+    * (the reference's "accumulate in event order" pattern, keyed state).
+    */
+  def runningUserTotals(events: Dataset[(Long, Double)])
+      : Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.nEvents; var tot = prev.totalValue
+          it.foreach { case (_, v) => n += 1; tot += v }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.gen.VoiceDataGen
+import org.apache.spark.sql.functions._
+
+/** Round-trips for the peripheral sources/sinks (SURVEY §2.A):
+  * binary media files (A3/A5), CSV transcript (A1/A2), and the
+  * mapPartitions decode/feature path.
+  */
+class MediaSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("pcm binary sink + binaryFile scan round-trip") {
+    val dir = tmpDir("pcm")
+    val gen = VoiceDataGen.generate(spark, 3).cache()
+    MediaSource.writePcmFiles(gen, "phrase_id", "pcm", dir)
+    val back = MediaSource.readPcmFiles(spark, dir)
+    assert(back.count() == 3)
+    val orig = gen.select("phrase_id", "n_samples")
+      .as[(Long, Int)].collect().toMap
+    back.select("clip_id", "n_samples").as[(Long, Int)].collect()
+      .foreach { case (id, n) => assert(orig(id) == n, s"clip $id") }
+    // byte-exact content round-trip
+    val origBytes = gen.filter($"phrase_id" === 0).select("pcm")
+      .as[Array[Byte]].head()
+    val backBytes = back.filter($"clip_id" === 0).select("pcm")
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(origBytes, backBytes))
+  }
+
+  test("audio feature extraction over binary column") {
+    val gen = VoiceDataGen.generate(spark, 2)
+    val feats = MediaSource.audioFeatures(
+      gen.select(col("phrase_id").as("clip_id"), col("pcm"),
+        col("sample_rate")))
+    val rows = feats.collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rms") > 0.01, "silent clip?")
+      assert(r.getAs[Double]("peak") <= 1.0)
+      assert(r.getAs[Double]("zcr") > 0.0)
+      assert(r.getAs[Double]("duration_sec") >= 1.0)
+    }
+  }
+
+  test("transcript CSV sink + schema'd scan round-trip (A1/A2)") {
+    val dir = tmpDir("csv")
+    val t = VoiceDataGen.transcript(spark, 5)
+    t.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("speaker",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("seconds",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    val a = t.orderBy("seconds").collect()
+    val b = back.orderBy("seconds").collect()
+    assert(a.sameElements(b))
+  }
+
+  test("fitted PipelineModel save/load is self-contained (A7, quirk Q5)") {
+    val dir = tmpDir("model")
+    val ts = graft.ml.VoicePipeline.timeSeries(spark, nPhrases = 3).cache()
+    val indexer = new org.apache.spark.ml.feature.StringIndexer()
+      .setInputCol("speaker").setOutputCol("label")
+      .setStringOrderType("alphabetAsc")
+    val assembler = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(Array("Time", "X")).setOutputCol("features")
+    val lr = new org.apache.spark.ml.classification.LogisticRegression()
+      .setFeaturesCol("features").setLabelCol("label")
+    val model = new org.apache.spark.ml.Pipeline()
+      .setStages(Array(indexer, assembler, lr)).fit(ts)
+    model.write.overwrite().save(dir)
+    // a fresh load must be able to predict with NO train-time state
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val preds = loaded.transform(ts)
+    assert(preds.select("prediction").distinct().count() == 2)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming ≡ batch equivalence: the same StreamingOps transforms run
+  * over a file-stream source (driver parquet as the backlog) and a batch
+  * read must agree once the stream drains.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchEvents = graft.Tables.events(spark, sf0001)
+
+  // FileStreamSource wants a directory: stage the single parquet file
+  private lazy val streamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  private def streamEvents = {
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    spark.readStream.schema(schema)
+      .parquet(streamDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def drain(name: String, df: org.apache.spark.sql.DataFrame) = {
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  test("hourly windowed counts: streaming equals batch") {
+    val streamed = drain("hourly_s", StreamingOps.hourlyCounts(streamEvents))
+      .select("window_start_us", "event_type", "n_events")
+      .orderBy("window_start_us", "event_type").collect()
+    val batch = StreamingOps.hourlyCounts(batchEvents)
+      .select("window_start_us", "event_type", "n_events")
+      .orderBy("window_start_us", "event_type").collect()
+    assert(streamed.sameElements(batch))
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows: streaming equals batch") {
+    val streamed = drain("sess_s", StreamingOps.sessionWindows(streamEvents))
+      .select("user_id", "session_start_us", "n_events")
+      .orderBy("user_id", "session_start_us").collect()
+    val batch = StreamingOps.sessionWindows(batchEvents)
+      .select("user_id", "session_start_us", "n_events")
+      .orderBy("user_id", "session_start_us").collect()
+    assert(streamed.sameElements(batch))
+    assert(batch.nonEmpty)
+  }
+
+  test("stateful running totals accumulate per user") {
+    val ds = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS()
+    val out = StreamingOps.runningUserTotals(ds).collect()
+      .map(r => r.userId -> (r.nEvents, r.totalValue)).toMap
+    assert(out(1L) == (2L, 5.0))
+    assert(out(2L) == (1L, 5.0))
+  }
+}
