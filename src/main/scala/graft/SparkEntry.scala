@@ -22,7 +22,8 @@ object SparkEntry {
       sim.SimQueries.queries ++
       // rows-only checked (not SQL-expressible): LSH/sketch/heuristic ops
       text.NearDup.queries ++ sim.LshKnn.queries ++ text.LangId.queries ++
-      rel.ApproxQueries.queries ++ ml.VoicePipeline.queries
+      rel.ApproxQueries.queries ++ ml.VoicePipeline.queries ++
+      sim.IvfKnn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

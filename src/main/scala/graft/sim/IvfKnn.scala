@@ -1,0 +1,72 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** IVF (inverted-file) approximate nearest-neighbor search — the
+  * second scale path for q30's exact kNN (alongside BRP-LSH):
+  *
+  *  1. TRAIN: k-means over the corpus → k coarse centroids (the
+  *     quantizer; q32_label_centroids is the degenerate labeled form).
+  *  2. INDEX: assign every vector to its nearest centroid — at rest this
+  *     is a partition/cluster-by column, so a probe touches only
+  *     nProbe/k of the data.
+  *  3. SEARCH: route each query to its nProbe nearest centroids
+  *     (tiny broadcast cross join), then exact cosine (codegen'd
+  *     vec_dot) ONLY inside the probed cells, top-k per query.
+  *
+  * Seeded k-means → deterministic. Recall vs exact q30 is asserted in
+  * the test suite.
+  */
+object IvfKnn {
+
+  def ivfKnn(s: SparkSession, d: String, k: Int = 16, nProbe: Int = 4,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.VecFunctions.register(s)
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        array_to_vector(col("embedding")).as("v"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    val model = new KMeans().setK(k).setSeed(42).setFeaturesCol("v")
+      .setPredictionCol("cluster").fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
+    // centroid table: k rows of float arrays (broadcast everywhere)
+    val spark = s
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cluster", "centroid")
+    // probe routing: each query → nProbe nearest centroids by cosine
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cdist").desc, col("cluster"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("cdist", expr("vec_dot(qe, centroid)"))
+      .withColumn("rp", row_number().over(wProbe))
+      .filter(col("rp") <= nProbe)
+      .select(col("query_id"), col("qe"), col("qn"), col("cluster"))
+    // exact cosine inside probed cells only
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
+          .as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_ivf_knn" -> ((s: SparkSession, d: String) => ivfKnn(s, d)))
+}

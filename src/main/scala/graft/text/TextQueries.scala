@@ -169,7 +169,49 @@ object TextQueries {
       |WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.1
       |ORDER BY d1, d2""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  // BPE-style regex tokenization (word / number / punctuation classes)
+  // — the second tokenizer next to whitespace q22; regexp_extract_all is
+  // codegen'd and identical in DuckDB.
+  def q33RegexTokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+          .as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"))
+      .orderBy("lang")
+
+  val q33Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS sum_tokens,
+      |  round(avg(n), 4) AS avg_tokens
+      |FROM (SELECT lang,
+      |        len(regexp_extract_all(lower(text),
+      |            '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n
+      |      FROM documents) t
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  // Literal dropDuplicates (reference op C2): distinct (lang, source)
+  // combinations — all projected columns are the dedup key, so the
+  // arbitrary-row-pick semantics of dropDuplicates are deterministic.
+  def q34DropdupPairs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select("lang", "source")
+      .dropDuplicates()
+      .orderBy("lang", "source")
+
+  val q34Sql: String =
+    """SELECT DISTINCT lang, source FROM documents
+      |ORDER BY lang, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q33_regex_tokens" -> q33RegexTokens _,
+    "q34_dropdup_pairs" -> q34DropdupPairs _,
     "q21_lang_stats" -> q21LangStats _,
     "q22_token_stats" -> q22TokenStats _,
     "q23_dedup_exact" -> q23DedupExact _,
@@ -177,6 +219,8 @@ object TextQueries {
     "q25_neardup_jaccard" -> q25NeardupJaccard _)
 
   val oracle: Map[String, String] = Map(
+    "q33_regex_tokens" -> q33Sql,
+    "q34_dropdup_pairs" -> q34Sql,
     "q21_lang_stats" -> q21Sql,
     "q22_token_stats" -> q22Sql,
     "q23_dedup_exact" -> q23Sql,

@@ -21,6 +21,16 @@ object Scratch {
       r
     }
 
+    if (args.headOption.contains("explain")) {
+      for (q <- args.drop(1)) {
+        println(s"\n=================== $q ===================")
+        println(graft.SparkEntry.queries(q)(spark, d)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      }
+      spark.stop(); return
+    }
+
     val docs = graft.Tables.documents(spark, d)
     time("read docs")(println("  docs=" + docs.count()))
     time("split only")(println("  toks=" + docs
