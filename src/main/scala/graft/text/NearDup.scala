@@ -108,26 +108,37 @@ object NearDup {
   // Pure-DataFrame MinHash near-dup: stays in whole-stage codegen end to
   // end (no Vector materialization, unlike the MLlib variant — measured
   // ~20× faster on the same data):
-  //   1. one shuffle: per-doc signature = 32 min(xxhash64(shingle, salt))
+  //   1. one shuffle: per-doc signature = 64 min(xxhash64(shingle, salt))
   //      aggregates computed in a single groupBy pass;
-  //   2. candidate pairs = docs sharing any (band, value) — b=32, r=1
-  //      banding (catch-probability 1-(1-j)^32 ≈ .97 at j=0.1; at
-  //      production scale raise r to 2-4 to keep candidates sub-linear);
-  //   3. exact jaccard verification ONLY on candidates via the inverted
-  //      shingle index — so emitted pairs are exact, not estimates.
-  def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 32,
-      threshold: Double = 0.1): DataFrame = {
+  //   2. candidate pairs = docs sharing any banded signature — b=16
+  //      bands of r=4 rows (P(catch) = 1-(1-j⁴)^16: ≈1.0 at j≥0.8,
+  //      0.64 at j=0.5, while j≈0.01 noise pairs essentially never
+  //      collide → the candidate set stays ~linear in the true dups, the
+  //      property that makes this run at 100 TB);
+  //   3. exact jaccard verification ONLY on candidates via broadcast
+  //      hash sets — emitted pairs are exact, not estimates.
+  def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
+    val nBands = nHashes / rowsPerBand
     // hash every shingle once to a LONG — all downstream work (minhash,
     // banding, verification) is integer-keyed, never re-touching strings
     val hashed = shingles(s, d)
       .select(col("doc_id"), explode(col("shingles")).as("sh"))
       .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    // ONE aggregation pass builds both the min-hash signatures and the
+    // per-doc sorted hash set used for exact verification
     val sigCols = (0 until nHashes).map(k =>
       min(xxhash64(col("h"), lit(k))).as(s"m$k"))
-    val mh = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val mh = hashed.groupBy("doc_id")
+      .agg(sort_array(collect_set("h")).as("hs"), sigCols: _*)
+      .withColumn("sz", size(col("hs")))
+      .cache() // reused by banding AND verification below
+    val bandSigs = (0 until nBands).map { b =>
+      xxhash64((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
     val bands = mh.select(col("doc_id"),
-      posexplode(array((0 until nHashes).map(k => col(s"m$k")): _*))
-        .as(Seq("band", "sig")))
+      posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
     val cands = bands.as("ba").join(bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
           col("ba.doc_id") < col("bb.doc_id"))
@@ -135,9 +146,7 @@ object NearDup {
       .distinct()
     // verify on the candidate set only: per-doc sorted hash sets are a
     // few MB → broadcast to both sides, intersect in-place per pair
-    val docSets = hashed.groupBy("doc_id")
-      .agg(sort_array(collect_set("h")).as("hs"))
-      .select(col("doc_id"), col("hs"), size(col("hs")).as("sz"))
+    val docSets = mh.select(col("doc_id"), col("hs"), col("sz"))
     cands
       .join(broadcast(docSets).as("za"), col("d1") === col("za.doc_id"))
       .join(broadcast(docSets).as("zb"), col("d2") === col("zb.doc_id"))
