@@ -624,6 +624,133 @@ object RelQueries {
     s.sql(q28Text)
   }
 
+  /** q35 runs VERBATIM in both engines (GROUPING SETS surface). */
+  val q35Text: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+      |                        (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- q35
+  // Explicit GROUPING SETS (beyond rollup/cube): via the SQL surface,
+  // identical text in both engines.
+  def q35GroupingSets(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("lineitem")
+    s.sql(q35Text)
+  }
+
+  // ---------------------------------------------------------------- q36
+  // LEFT OUTER join with null-group accounting: order counts per
+  // customer including order-less customers (null-safe aggregation).
+  def q36OuterJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d)
+          .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_orderkey")).as("n_orders"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0))
+          .as("n_unmatched"))
+      .orderBy("c_mktsegment")
+
+  val q36Sql: String =
+    """SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+      |  CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched
+      |FROM customer
+      |LEFT JOIN orders ON c_custkey = o_custkey
+      |  AND o_orderdate >= TIMESTAMP '2001-01-01'
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  // Set operations: INTERSECT and EXCEPT of key sets, counted.
+  def q37SetOps(s: SparkSession, d: String): DataFrame = {
+    val early = orders(s, d)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val late = orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val both = early.intersect(late).agg(count(lit(1)).as("n"))
+      .withColumn("set_op", lit("both_eras"))
+    val onlyEarly = early.distinct().except(late).agg(count(lit(1)).as("n"))
+      .withColumn("set_op", lit("early_only"))
+    both.unionAll(onlyEarly).select("set_op", "n").orderBy("set_op")
+  }
+
+  val q37Sql: String =
+    """SELECT set_op, n FROM (
+      |  SELECT 'both_eras' AS set_op, count(*) AS n FROM (
+      |    SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |    INTERSECT
+      |    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') a
+      |  UNION ALL
+      |  SELECT 'early_only' AS set_op, count(*) AS n FROM (
+      |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+      |    EXCEPT
+      |    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01') b) t
+      |ORDER BY set_op""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  // lead/lag analytics: inter-order gap per customer (days between
+  // consecutive orders), aggregated per customer.
+  def q38OrderGaps(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days",
+        (unix_timestamp(col("o_orderdate")) - unix_timestamp(col("prev_date")))
+          / 86400.0)
+      .groupBy("o_custkey")
+      .agg(count(col("gap_days")).as("n_gaps"),
+        r4(avg("gap_days")).as("avg_gap_days"),
+        r4(max("gap_days")).as("max_gap_days"))
+      .orderBy("o_custkey")
+
+  }
+
+  val q38Sql: String =
+    """SELECT o_custkey,
+      |  CAST(count(gap_days) AS BIGINT) AS n_gaps,
+      |  round(avg(gap_days), 4) AS avg_gap_days,
+      |  round(max(gap_days), 4) AS max_gap_days
+      |FROM (
+      |  SELECT o_custkey,
+      |    (epoch(o_orderdate) - epoch(lag(o_orderdate) OVER
+      |      (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)))
+      |      / 86400.0 AS gap_days
+      |  FROM orders) t
+      |GROUP BY o_custkey
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  // Exact percentiles (interpolated, ANSI percentile_cont semantics in
+  // both engines) per order status.
+  def q39Percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(
+        r2(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        r2(expr("percentile(o_totalprice, 0.9)")).as("p90"),
+        r2(expr("percentile(o_totalprice, 0.99)")).as("p99"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  val q39Sql: String =
+    """SELECT o_orderstatus,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+      |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99,
+      |  count(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -648,7 +775,12 @@ object RelQueries {
     "q20_big_spenders" -> q20BigSpenders _,
     "q26_session_window" -> q26SessionWindowBatch _,
     "q27_zip_position" -> q27ZipPosition _,
-    "q28_sql_surface" -> q28SqlSurface _)
+    "q28_sql_surface" -> q28SqlSurface _,
+    "q35_grouping_sets" -> q35GroupingSets _,
+    "q36_outer_join" -> q36OuterJoin _,
+    "q37_set_ops" -> q37SetOps _,
+    "q38_order_gaps" -> q38OrderGaps _,
+    "q39_percentiles" -> q39Percentiles _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -674,5 +806,10 @@ object RelQueries {
     "q20_big_spenders" -> q20Sql,
     "q26_session_window" -> q26Sql,
     "q27_zip_position" -> q27Sql,
-    "q28_sql_surface" -> q28Text)
+    "q28_sql_surface" -> q28Text,
+    "q35_grouping_sets" -> q35Text,
+    "q36_outer_join" -> q36Sql,
+    "q37_set_ops" -> q37Sql,
+    "q38_order_gaps" -> q38Sql,
+    "q39_percentiles" -> q39Sql)
 }
