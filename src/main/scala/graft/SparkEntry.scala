@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Five-way star join + aggregate (SURVEY §2.K) — the engine's spine.
+    * Three-way join + aggregate + top-k (SURVEY §2.K) — the engine's
+    * spine, with a guaranteed non-empty result at every scale factor.
     */
   def entry(spark: SparkSession): DataFrame =
-    rel.RelQueries.q5NationRevenue(spark, "/root/testdata/sf0.001")
+    rel.RelQueries.q3TopRevenue(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -471,7 +471,9 @@ object RelQueries {
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         (col("p_size") % 5).cast("long").as("size_mod"),
         floor(col("p_retailprice") / 100.0).as("price_bucket"),
-        when(col("p_size") >= 25, "large").otherwise("small").as("size_class"))
+        when(col("p_size") >= 25, "large").otherwise("small").as("size_class"),
+        format_string("%s#%02d", col("p_brand"), col("p_size"))
+          .as("brand_tag"))
       .orderBy("p_partkey")
 
   val q18Sql: String =
@@ -481,7 +483,8 @@ object RelQueries {
       |  concat_ws('|', p_brand, p_type) AS brand_type,
       |  CAST(p_size % 5 AS BIGINT) AS size_mod,
       |  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS price_bucket,
-      |  CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class
+      |  CASE WHEN p_size >= 25 THEN 'large' ELSE 'small' END AS size_class,
+      |  printf('%s#%02d', p_brand, p_size) AS brand_tag
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 

@@ -209,7 +209,57 @@ object TextQueries {
     """SELECT DISTINCT lang, source FROM documents
       |ORDER BY lang, source""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  // TF-IDF scoring, fully relational (the exact form of HashingTF+IDF):
+  // tf from an explode+groupBy, df from a per-term aggregate (broadcast —
+  // vocabulary ≪ corpus), idf = ln(N / df), top-3 terms per doc.
+  // The same two-aggregate shape MLlib's IDF estimator distributes.
+  def q40Tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(toks).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tfidf"), 6).as("tfidf"), col("rn"))
+      .orderBy("doc_id", "rn")
+  }
+
+  val q40Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(text, '\s+')) AS term
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2
+      |), df AS (
+      |  SELECT term, count(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1
+      |), n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf,
+      |    tf * ln(CAST(n_docs AS DOUBLE) / df) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, tfidf,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY tfidf DESC, term) AS rn
+      |  FROM scored)
+      |SELECT doc_id, term, tf, round(tfidf, 6) AS tfidf, rn
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_tfidf" -> q40Tfidf _,
     "q33_regex_tokens" -> q33RegexTokens _,
     "q34_dropdup_pairs" -> q34DropdupPairs _,
     "q21_lang_stats" -> q21LangStats _,
@@ -219,6 +269,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> q25NeardupJaccard _)
 
   val oracle: Map[String, String] = Map(
+    "q40_tfidf" -> q40Sql,
     "q33_regex_tokens" -> q33Sql,
     "q34_dropdup_pairs" -> q34Sql,
     "q21_lang_stats" -> q21Sql,
