@@ -129,9 +129,12 @@ object TextQueries {
   // is the sub-quadratic approximation of the same join.
   def q25NeardupJaccard(s: SparkSession, d: String): DataFrame = {
     // shingling shares NearDup.shingles (typed map — see its scaladoc for
-    // why the transform+explode expression route is pathologically slow)
+    // why the transform+explode expression route is pathologically slow);
+    // cached: the plan references this relation 4× (both join sides +
+    // the size aggregate) and would otherwise re-shingle the corpus 4×
     val tri = NearDup.shingles(s, d)
       .select(col("doc_id"), explode(col("shingles")).as("tri"))
+      .cache()
     val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = tri.as("a"); val b = tri.as("b")
     val inter = a.join(b,
