@@ -754,6 +754,52 @@ object RelQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  // RANGE-frame window: trailing-30-day order count/spend per customer —
+  // the value-based frame (vs q13's ROWS frame) over epoch seconds.
+  def q41TrailingWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("epoch_s")
+      .rangeBetween(-30L * 86400, 0)
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        col("o_totalprice"))
+      .withColumn("n_trailing_30d", count(lit(1)).over(w))
+      .withColumn("spend_trailing_30d", r2(sum("o_totalprice").over(w)))
+      .orderBy("o_custkey", "epoch_s", "o_orderkey")
+  }
+
+  val q41Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s, o_totalprice,
+      |  count(*) OVER w AS n_trailing_30d,
+      |  round(sum(o_totalprice) OVER w, 2) AS spend_trailing_30d
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+      |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, epoch_s, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  // ntile + percent_rank: price quartiles within each order status
+  // (deterministic under the unique (price, orderkey) total order).
+  def q42Quartiles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", r4(percent_rank().over(w)))
+      .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
+  }
+
+  val q42Sql: String =
+    """SELECT o_orderstatus, o_orderkey, o_totalprice,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 4) AS pct_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -783,7 +829,9 @@ object RelQueries {
     "q36_outer_join" -> q36OuterJoin _,
     "q37_set_ops" -> q37SetOps _,
     "q38_order_gaps" -> q38OrderGaps _,
-    "q39_percentiles" -> q39Percentiles _)
+    "q39_percentiles" -> q39Percentiles _,
+    "q41_trailing_window" -> q41TrailingWindow _,
+    "q42_quartiles" -> q42Quartiles _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -814,5 +862,7 @@ object RelQueries {
     "q36_outer_join" -> q36Sql,
     "q37_set_ops" -> q37Sql,
     "q38_order_gaps" -> q38Sql,
-    "q39_percentiles" -> q39Sql)
+    "q39_percentiles" -> q39Sql,
+    "q41_trailing_window" -> q41Sql,
+    "q42_quartiles" -> q42Sql)
 }
