@@ -21,6 +21,43 @@ object Scratch {
       r
     }
 
+    if (args.headOption.contains("scale")) {
+      // 10x scale probe: replicate the sf0.1 fact tables with shifted
+      // keys (6M lineitem rows) and time the spine plans — evidence that
+      // agg/join/window scale ~linearly (no quadratic/driver behavior).
+      val reps = 10
+      val li0 = graft.Tables.lineitem(spark, d)
+      val o0 = graft.Tables.orders(spark, d)
+      def rep(df: org.apache.spark.sql.DataFrame, keys: Seq[String]) =
+        (0 until reps).map { r =>
+          keys.foldLeft(df)((acc, k) =>
+            acc.withColumn(k, col(k) + lit(r * 100000000L)))
+        }.reduce(_ unionAll _)
+      val li = rep(li0, Seq("l_orderkey")).cache()
+      val o = rep(o0, Seq("o_orderkey", "o_custkey")).cache()
+      println(s"[scale] lineitem rows=${li.count()}, orders rows=${o.count()}")
+      time("scale q01-shape agg") {
+        li.filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity"), sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("scale join+agg (6M x 1.5M SMJ)") {
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(sum("l_quantity"), count(lit(1)))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("scale window running total") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        o.withColumn("run", sum("o_totalprice").over(w))
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("explain")) {
       for (q <- args.drop(1)) {
         println(s"\n=================== $q ===================")
