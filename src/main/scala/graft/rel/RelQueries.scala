@@ -800,6 +800,81 @@ object RelQueries {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  // Event funnel via self range-join: signup → purchase by the same user
+  // within 1 hour. The equi key (user_id) carries the shuffle; the time
+  // range is a join residual — the batch form of the stream-stream
+  // interval join (StreamingOps.signupPurchaseJoin).
+  def q43Funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    signups.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") > col("signup_ts") &&
+          col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .groupBy("user_id")
+      .agg(countDistinct("signup_id").as("converted_signups"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
+  val q43Sql: String =
+    """SELECT s.user_id,
+      |  count(DISTINCT s.event_id) AS converted_signups,
+      |  count(*) AS n_pairs
+      |FROM events s
+      |JOIN events p ON s.user_id = p.user_id
+      |  AND s.event_type = 'signup' AND p.event_type = 'purchase'
+      |  AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+      |GROUP BY s.user_id
+      |ORDER BY s.user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  // As-of join by composition (survey preference (a)): for each 'error'
+  // event, the user's most recent prior event of any other type —
+  // equi-join on user + time residual, then row_number picks the latest.
+  def q44AsofJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = events(s, d)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("err_id"),
+        col("ts").as("err_ts"))
+    val others = ev.filter(col("event_type") =!= "error")
+      .select(col("user_id").as("o_user_id"), col("event_id").as("prior_id"),
+        col("event_type").as("prior_type"), col("ts").as("prior_ts"))
+    val w = Window.partitionBy("err_id")
+      .orderBy(col("prior_ts").desc, col("prior_id"))
+    errors.join(others,
+        col("user_id") === col("o_user_id") && col("prior_ts") < col("err_ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("err_id"), col("user_id"),
+        unix_micros(col("err_ts")).as("err_ts_us"),
+        col("prior_id"), col("prior_type"),
+        unix_micros(col("prior_ts")).as("prior_ts_us"))
+      .orderBy("err_id")
+  }
+
+  val q44Sql: String =
+    """SELECT err_id, user_id, err_ts_us, prior_id, prior_type, prior_ts_us
+      |FROM (
+      |  SELECT e.event_id AS err_id, e.user_id,
+      |    epoch_us(e.ts) AS err_ts_us,
+      |    p.event_id AS prior_id, p.event_type AS prior_type,
+      |    epoch_us(p.ts) AS prior_ts_us,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |                       ORDER BY p.ts DESC, p.event_id) AS rn
+      |  FROM events e
+      |  JOIN events p ON e.user_id = p.user_id
+      |    AND e.event_type = 'error' AND p.event_type <> 'error'
+      |    AND p.ts < e.ts) t
+      |WHERE rn = 1
+      |ORDER BY err_id""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -831,7 +906,9 @@ object RelQueries {
     "q38_order_gaps" -> q38OrderGaps _,
     "q39_percentiles" -> q39Percentiles _,
     "q41_trailing_window" -> q41TrailingWindow _,
-    "q42_quartiles" -> q42Quartiles _)
+    "q42_quartiles" -> q42Quartiles _,
+    "q43_funnel" -> q43Funnel _,
+    "q44_asof_join" -> q44AsofJoin _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -864,5 +941,7 @@ object RelQueries {
     "q38_order_gaps" -> q38Sql,
     "q39_percentiles" -> q39Sql,
     "q41_trailing_window" -> q41Sql,
-    "q42_quartiles" -> q42Sql)
+    "q42_quartiles" -> q42Sql,
+    "q43_funnel" -> q43Sql,
+    "q44_asof_join" -> q44Sql)
 }

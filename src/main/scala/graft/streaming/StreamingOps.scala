@@ -42,6 +42,28 @@ object StreamingOps {
     events.withWatermark("ts", "2 hours")
       .dropDuplicates(keyCols :+ "ts")
 
+  /** Stream-stream interval join: signups joined to purchases of the
+    * same user within 1 hour — watermarks bound the join state on both
+    * sides. Batch form: q43_funnel (same expressions).
+    */
+  def signupPurchaseJoin(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "2 hours")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"),
+        col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    signups.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        unix_micros(col("signup_ts")).as("signup_ts_us"),
+        unix_micros(col("purchase_ts")).as("purchase_ts_us"))
+  }
+
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom stateful op: running per-user totals via mapGroupsWithState

@@ -59,6 +59,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join equals batch form") {
+    val q = StreamingOps.signupPurchaseJoin(streamEvents)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_s")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("funnel_s")
+      .select("signup_id", "purchase_id").orderBy("signup_id", "purchase_id")
+      .collect()
+    val batch = StreamingOps.signupPurchaseJoin(batchEvents)
+      .select("signup_id", "purchase_id").orderBy("signup_id", "purchase_id")
+      .collect()
+    assert(streamed.sameElements(batch))
+    assert(batch.nonEmpty)
+  }
+
   test("stateful running totals accumulate per user") {
     val ds = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS()
     val out = StreamingOps.runningUserTotals(ds).collect()
