@@ -21,6 +21,23 @@ object Scratch {
       r
     }
 
+    if (args.headOption.contains("voice")) {
+      // end-to-end voice pipeline timing vs BASELINE.md (reference:
+      // ~35 s train for 30 epochs on ~17.6k frames, accuracy 0.8731)
+      val t0 = System.nanoTime()
+      val ts = graft.ml.VoicePipeline.timeSeries(spark)
+      val nFrames = ts.count()
+      val tFeat = (System.nanoTime() - t0) / 1e9
+      println(f"[voice] features: $nFrames frames in $tFeat%.1f s " +
+        "(gen + mel + dB + PCA + interval join + MI select)")
+      val t1 = System.nanoTime()
+      val r = graft.ml.VoicePipeline.trainAndEvaluate(spark)
+      val tTrain = (System.nanoTime() - t1) / 1e9
+      println(f"[voice] train+eval: $tTrain%.1f s, accuracy ${r.accuracy}%.4f, " +
+        f"logLoss ${r.logLoss}%.4f (reference: ~35 s train, acc 0.8731)")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("scale")) {
       // 10x scale probe: replicate the sf0.1 fact tables with shifted
       // keys (6M lineitem rows) and time the spine plans — evidence that
