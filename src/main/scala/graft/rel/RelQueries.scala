@@ -301,10 +301,12 @@ object RelQueries {
 
   // ---------------------------------------------------------------- q12
   // Interval (range) join — the reference's centerpiece operator D1
-  // re-expressed relationally: price bands × orders via a broadcast
-  // non-equi join (BroadcastNestedLoopJoin over a 5-row build side;
-  // at scale the bands stay broadcast, the fact side never moves).
-  // Half-open [lo, hi) semantics per SURVEY quirk Q1.
+  // (`/root/reference/src/voice_classifier.py:125-134`: frame-time vs
+  // segment-boundary labeling loop) re-expressed relationally: price
+  // bands × orders via a broadcast non-equi join
+  // (BroadcastNestedLoopJoin over a 5-row build side; at scale the bands
+  // stay broadcast, the fact side never moves). Half-open [lo, hi)
+  // semantics per SURVEY quirk Q1.
   def q12IntervalJoin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val bands = Seq(
@@ -335,8 +337,10 @@ object RelQueries {
       |ORDER BY band""".stripMargin
 
   // ---------------------------------------------------------------- q13
-  // Running cumulative sum per customer (reference op B7/F1 in event
-  // order): one shuffle on o_custkey, in-partition ordered prefix sum.
+  // Running cumulative sum per customer (reference op B7/F1 — the
+  // transcript's cumulative end-seconds accumulator,
+  // `/root/reference/src/data_generator.py:21`): one shuffle on
+  // o_custkey, in-partition ordered prefix sum.
   def q13RunningTotal(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
       .orderBy("order_epoch", "o_orderkey")
@@ -578,7 +582,8 @@ object RelQueries {
 
   // ---------------------------------------------------------------- q27
   // Positional (zip-by-rank) join — reference op D2
-  // (`voice_classifier.py:297-300` joins tables by row position):
+  // (`/root/reference/src/voice_classifier.py:297-300` joins prediction
+  // and feature tables by row position):
   // the general Spark form is row_number over an explicit total order on
   // each side + equi-join on the rank. Top-50 customers by balance zipped
   // with top-50 suppliers by balance.
