@@ -588,16 +588,20 @@ object RelQueries {
   // each side + equi-join on the rank. Top-50 customers by balance zipped
   // with top-50 suppliers by balance.
   def q27ZipPosition(s: SparkSession, d: String): DataFrame = {
+    // top-50 via orderBy+limit (distributed TakeOrdered — per-partition
+    // top-50 then merge), NOT a global no-partition window (which would
+    // funnel the whole table through one partition at scale); the rank
+    // window then runs over just 50 rows.
     val wc = Window.orderBy(col("c_acctbal").desc, col("c_custkey"))
     val ws = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
     val c = customer(s, d)
-      .select(col("c_custkey"), col("c_acctbal"),
-        row_number().over(wc).as("rn"))
-      .filter(col("rn") <= 50)
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey")).limit(50)
+      .withColumn("rn", row_number().over(wc))
     val su = supplier(s, d)
-      .select(col("s_suppkey"), col("s_acctbal"),
-        row_number().over(ws).as("rn"))
-      .filter(col("rn") <= 50)
+      .select(col("s_suppkey"), col("s_acctbal"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey")).limit(50)
+      .withColumn("rn", row_number().over(ws))
     c.join(su, "rn")
       .select(col("rn"), col("c_custkey"), col("c_acctbal"),
         col("s_suppkey"), col("s_acctbal"))
@@ -787,6 +791,9 @@ object RelQueries {
   // ---------------------------------------------------------------- q42
   // ntile + percent_rank: price quartiles within each order status
   // (deterministic under the unique (price, orderkey) total order).
+  // Scale note: global ranking within a partition key is inherently one
+  // sorted partition per key — with few huge keys, the two-phase rewrite
+  // (approx quantile boundaries → bucket join) replaces this shape.
   def q42Quartiles(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
