@@ -69,18 +69,15 @@ object NearDup {
     val toks = shingles(s, d)
       .select(col("doc_id"), explode(col("shingles")).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = toks
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, 63), " +
-          "b -> named_struct('b', b, 'v', " +
-          "CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END))")).as("bv"))
-      .groupBy(col("doc_id"), col("bv.b").as("b"))
-      .agg(sum(col("bv.v")).as("vote"))
-    val bits = votes
-      .groupBy("doc_id")
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(b, vote))), " +
-          "x -> CASE WHEN x.vote > 0 THEN 1 ELSE 0 END)").as("bits"))
+    // 64 per-bit ±1 vote sums as ONE 64-column aggregate (no tokens×64
+    // row explosion — at scale that factor is the whole shuffle volume)
+    val voteCols = (0 until 64).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val bits = toks.groupBy("doc_id")
+      .agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 64).map(b =>
+          when(col(s"v$b") > 0, 1).otherwise(0)): _*).as("bits"))
     // 16-bit bands for candidate generation
     val banded = bits.select(col("doc_id"), col("bits"), explode(expr(
       "transform(sequence(0, 3), band -> named_struct('band', band, " +
