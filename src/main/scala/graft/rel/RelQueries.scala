@@ -887,6 +887,56 @@ object RelQueries {
       |WHERE rn = 1
       |ORDER BY err_id""".stripMargin
 
+  // ---------------------------------------------------------------- q45
+  // Calendar reporting: monthly revenue per year/month/quarter.
+  def q45MonthlyRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(year(col("l_shipdate")).cast("long").as("ship_year"),
+        quarter(col("l_shipdate")).cast("long").as("ship_quarter"),
+        month(col("l_shipdate")).cast("long").as("ship_month"))
+      .agg(count(lit(1)).as("n_rows"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("revenue"))
+      .orderBy("ship_year", "ship_month")
+
+  val q45Sql: String =
+    """SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+      |  CAST(quarter(l_shipdate) AS BIGINT) AS ship_quarter,
+      |  CAST(month(l_shipdate) AS BIGINT) AS ship_month,
+      |  count(*) AS n_rows,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |GROUP BY 1, 2, 3
+      |ORDER BY ship_year, ship_month""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  // Null semantics: nullif manufactures NULLs (zero discounts), then
+  // null-aware aggregation + coalesce — ANSI three-valued logic path
+  // (the reference has no null handling at all; the engine must).
+  def q46NullHandling(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("disc_or_null",
+        when(col("l_discount") === 0.0, lit(null)).otherwise(col("l_discount")))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("disc_or_null")).as("n_discounted"),
+        sum(when(col("disc_or_null").isNull, 1).otherwise(0))
+          .as("n_zero_disc"),
+        r4(avg(col("disc_or_null"))).as("avg_nonzero_disc"),
+        r4(avg(coalesce(col("disc_or_null"), lit(0.0)))).as("avg_all_disc"))
+      .orderBy("l_returnflag")
+
+  val q46Sql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  count(nullif(l_discount, 0.0)) AS n_discounted,
+      |  CAST(sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_zero_disc,
+      |  round(avg(nullif(l_discount, 0.0)), 4) AS avg_nonzero_disc,
+      |  round(avg(coalesce(nullif(l_discount, 0.0), 0.0)), 4) AS avg_all_disc
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -920,7 +970,9 @@ object RelQueries {
     "q41_trailing_window" -> q41TrailingWindow _,
     "q42_quartiles" -> q42Quartiles _,
     "q43_funnel" -> q43Funnel _,
-    "q44_asof_join" -> q44AsofJoin _)
+    "q44_asof_join" -> q44AsofJoin _,
+    "q45_monthly_revenue" -> q45MonthlyRevenue _,
+    "q46_null_handling" -> q46NullHandling _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -955,5 +1007,7 @@ object RelQueries {
     "q41_trailing_window" -> q41Sql,
     "q42_quartiles" -> q42Sql,
     "q43_funnel" -> q43Sql,
-    "q44_asof_join" -> q44Sql)
+    "q44_asof_join" -> q44Sql,
+    "q45_monthly_revenue" -> q45Sql,
+    "q46_null_handling" -> q46Sql)
 }
