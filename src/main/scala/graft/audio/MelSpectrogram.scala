@@ -63,10 +63,12 @@ class MelSpectrogram(override val uid: String) extends Transformer {
     rows.mapPartitions { it =>
       var window: Array[Double] = null
       var fb: Array[Array[Double]] = null
+      var fbSr = -1 // filterbank depends on the row's sample rate
       it.flatMap { case (id, startSec, pcm, sr) =>
-        if (window == null) {
-          window = Dsp.hannWindow(nf)
+        if (window == null) window = Dsp.hannWindow(nf)
+        if (fbSr != sr) {
           fb = Dsp.melFilterbank(nm, nf, sr, 0.0, fm)
+          fbSr = sr
         }
         val x = Dsp.pcm16ToDoubles(pcm)
         val nFrames = if (x.length >= nf) (x.length - nf) / hp + 1 else 0

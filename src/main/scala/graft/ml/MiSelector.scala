@@ -47,6 +47,7 @@ class MiSelector(override val uid: String)
     val aggExprs = cands.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggExprs.head, aggExprs.tail: _*).first()
+    require(!stats.isNullAt(0), "MiSelector.fit on empty dataset")
     val ranges = cands.indices.map { i =>
       val lo = stats.getDouble(2 * i); val hi = stats.getDouble(2 * i + 1)
       (lo, if (hi > lo) hi - lo else 1.0)
@@ -65,7 +66,6 @@ class MiSelector(override val uid: String)
       .count()
       .collect() // contingency table: nCands × nBins × nLabels rows — tiny
     // MI per candidate from the contingency counts
-    val total = counts.map(_.getLong(3)).sum.toDouble
     val mi = cands.indices.map { ci =>
       val cells = counts.filter(_.getInt(0) == ci)
       val n = cells.map(_.getLong(3)).sum.toDouble
@@ -76,7 +76,6 @@ class MiSelector(override val uid: String)
         pbl * math.log(pbl / (pBin(r.getInt(1)) * pLab(r.getString(2))))
       }.sum
     }.toArray
-    require(total > 0, "MiSelector.fit on empty dataset")
     val best = mi.indices.maxBy(mi)
     val model = new MiSelectorModel(uid, cands(best), mi, $(outputCol))
     model.setParent(this)

@@ -41,8 +41,11 @@ object VoicePipeline {
     val clips = VoiceDataGen.generate(spark, nPhrases, seed)
     val segments = clips.select(col("speaker").as("seg_speaker"),
       col("start_sec"), col("end_sec"))
+    // cache the synth+FFT+mel output: toDb's ref-max aggregate, PCA.fit,
+    // MiSelector's two passes and the final materialization would each
+    // re-run the waveform synthesis and FFT otherwise
     val frames = MelSpectrogram.toDb(
-      new MelSpectrogram().transform(clips.drop("speaker")))
+      new MelSpectrogram().transform(clips.drop("speaker")).cache())
     val pca = new PCA().setK(4).setInputCol("mel_vec").setOutputCol("pca")
     val withVec = frames
       .withColumn("mel_vec", array_to_vector(col("mel_db")))
@@ -99,7 +102,10 @@ object VoicePipeline {
       .asInstanceOf[org.apache.spark.ml.feature.StringIndexerModel].labelsArray(0)
     val decoded = new IndexToString().setInputCol("prediction")
       .setOutputCol("speaker_pred").setLabels(labels)
-    val preds = decoded.transform(model.transform(test))
+    // one inference pass, cached: predictions feed the report, confusion
+    // matrix, and both evaluators
+    val scored = decoded.transform(model.transform(test)).cache()
+    val preds = scored
       .withColumn("p", vector_to_array(col("probability")))
       .select(col("Time"), col("X"), col("speaker"), col("label"),
         col("prediction"), col("speaker_pred"),
@@ -110,10 +116,10 @@ object VoicePipeline {
       .count().na.fill(0L).orderBy("speaker")
     val acc = new MulticlassClassificationEvaluator().setLabelCol("label")
       .setPredictionCol("prediction").setMetricName("accuracy")
-      .evaluate(preds)
+      .evaluate(scored)
     val ll = new MulticlassClassificationEvaluator().setLabelCol("label")
       .setProbabilityCol("probability").setMetricName("logLoss")
-      .evaluate(decoded.transform(model.transform(test)))
+      .evaluate(scored)
     Result(preds, confusion, acc, ll)
   }
 

@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   *  - a skewed JOIN key against a small-but-not-broadcastable side:
   *    salt the big side, replicate the small side per salt.
   *
-  * Both are deterministic: the salt is `pmod(hash(entire row), n)` — no
-  * rand(), so replays/retries are stable (quirk Q6 discipline).
+  * The salt must differ BETWEEN COPIES of identical rows (the canonical
+  * hot key is a duplicated/sentinel row) — a content hash cannot do
+  * that, so the salt is seeded rand(): Spark seeds rand per partition
+  * index, so recomputation of a partition under task retry reproduces
+  * the same salts (quirk Q6 discipline holds).
   */
 object Skew {
 
-  private def saltCol(df: DataFrame, nSalts: Int): Column =
-    pmod(hash(df.columns.map(col).toSeq: _*), lit(nSalts))
+  private def saltCol(nSalts: Int): Column =
+    (rand(42) * nSalts).cast("int")
 
   /** Two-phase salted sum/count aggregation: groupBy(key, salt) partial →
     * groupBy(key) final. The hot key's rows spread over nSalts reducers
@@ -27,7 +30,7 @@ object Skew {
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
       nSalts: Int = 16): DataFrame = {
     val k = keyCols.map(col)
-    df.withColumn("__salt", saltCol(df, nSalts))
+    df.withColumn("__salt", saltCol(nSalts))
       .groupBy((k :+ col("__salt")): _*)
       .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
       .groupBy(k: _*)
@@ -41,7 +44,7 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       nSalts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt", saltCol(big, nSalts))
+    val saltedBig = big.withColumn("__salt", saltCol(nSalts))
     val repSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(nSalts - 1))))
     saltedBig.join(repSmall, Seq(key, "__salt")).drop("__salt")

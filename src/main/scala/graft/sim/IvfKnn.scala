@@ -39,16 +39,20 @@ object IvfKnn {
     val spark = s
     import spark.implicits._
     val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cluster", "centroid")
+      .map { case (c, i) =>
+        (i, c.toArray.map(_.toFloat), math.sqrt(c.toArray.map(v => v * v).sum))
+      }
+      .toSeq.toDF("cluster", "centroid", "cnorm")
     // probe routing: each query → nProbe nearest centroids by cosine
+    // (dot / centroid norm — query norm is constant within a query's
+    // ranking, but centroid norms vary and must be divided out)
     val queries = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cdist").desc, col("cluster"))
     val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("cdist", expr("vec_dot(qe, centroid)"))
+      .withColumn("cdist", expr("vec_dot(qe, centroid)") / col("cnorm"))
       .withColumn("rp", row_number().over(wProbe))
       .filter(col("rp") <= nProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cluster"))

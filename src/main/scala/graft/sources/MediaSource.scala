@@ -25,9 +25,11 @@ object MediaSource {
     */
   def writePcmFiles(df: DataFrame, idCol: String, pcmCol: String,
       dir: String): Unit = {
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
     df.select(col(idCol).cast("long"), col(pcmCol))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // executors create the directory themselves: on a multi-node
+        // cluster a driver-side mkdir would only exist on the driver
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
         it.foreach { r =>
           java.nio.file.Files.write(
             java.nio.file.Paths.get(dir, s"${r.getLong(0)}.pcm"),
