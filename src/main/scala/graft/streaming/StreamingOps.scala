@@ -64,6 +64,35 @@ object StreamingOps {
         unix_micros(col("purchase_ts")).as("purchase_ts_us"))
   }
 
+  /** Typed-API sessionization: the same 30-minute-gap semantics as the
+    * declarative q16/q26, expressed as a KeyValueGroupedDataset mapGroups
+    * (the imperative per-key escape hatch for logic SQL can't express;
+    * here it CAN, so the test suite asserts all three formulations agree).
+    * Scale shape: one shuffle on user_id, per-group in-memory sort —
+    * valid while a single user's events fit an executor (true for
+    * bounded sessions; unbounded heavy hitters would use the window
+    * formulation instead).
+    */
+  def sessionCountsTyped(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("ts").cast("double").as("t"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val ts = it.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        var sessions = if (ts.isEmpty) 0 else 1
+        var i = 1
+        while (i < ts.length) {
+          if (ts(i) - ts(i - 1) > 1800.0) sessions += 1
+          i += 1
+        }
+        (uid, sessions.toLong, ts.length.toLong)
+      }
+      .toDF("user_id", "n_sessions", "n_events")
+  }
+
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom stateful op: running per-user totals via mapGroupsWithState

@@ -75,6 +75,16 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("typed mapGroups sessionizer agrees with the declarative window form") {
+    val typed = StreamingOps.sessionCountsTyped(batchEvents)
+      .orderBy("user_id").collect()
+    val declarative = graft.rel.RelQueries.q16Sessionize(spark, sf0001)
+      .select("user_id", "n_sessions", "n_events")
+      .orderBy("user_id").collect()
+    assert(typed.sameElements(declarative))
+    assert(typed.nonEmpty)
+  }
+
   test("stateful running totals accumulate per user") {
     val ds = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS()
     val out = StreamingOps.runningUserTotals(ds).collect()
