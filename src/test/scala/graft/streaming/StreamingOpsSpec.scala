@@ -85,6 +85,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(typed.nonEmpty)
   }
 
+  test("checkpointed restart processes only new files (exactly-once sink)") {
+    val inDir = java.nio.file.Files.createTempDirectory("ckpt_in")
+    val outDir = java.nio.file.Files.createTempDirectory("ckpt_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ckpt_meta").toString
+    val src = java.nio.file.Paths.get(s"$sf0001/events.parquet")
+    java.nio.file.Files.copy(src, inDir.resolve("batch1.parquet"))
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+
+    def drainOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(inDir.toString)
+        .select("event_id", "user_id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    drainOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    // second input file arrives; restart from the same checkpoint
+    java.nio.file.Files.copy(src, inDir.resolve("batch2.parquet"))
+    drainOnce()
+    val n2 = spark.read.parquet(outDir).count()
+    assert(n1 > 0)
+    assert(n2 == 2 * n1, s"expected exactly one reprocess-free increment: " +
+      s"first=$n1 total=$n2")
+  }
+
   test("stateful running totals accumulate per user") {
     val ds = Seq((1L, 2.0), (1L, 3.0), (2L, 5.0)).toDS()
     val out = StreamingOps.runningUserTotals(ds).collect()
