@@ -937,6 +937,24 @@ object RelQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q47 runs VERBATIM in both engines: correlated scalar subquery
+    * (Catalyst decorrelates it into an aggregate + join).
+    */
+  val q47Text: String =
+    """SELECT o.o_custkey, count(*) AS n_big_orders
+      |FROM orders o
+      |WHERE o.o_totalprice > (
+      |  SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+      |  WHERE o2.o_custkey = o.o_custkey)
+      |GROUP BY o.o_custkey
+      |ORDER BY o.o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  def q47CorrelatedSubquery(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q47Text)
+  }
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -972,7 +990,8 @@ object RelQueries {
     "q43_funnel" -> q43Funnel _,
     "q44_asof_join" -> q44AsofJoin _,
     "q45_monthly_revenue" -> q45MonthlyRevenue _,
-    "q46_null_handling" -> q46NullHandling _)
+    "q46_null_handling" -> q46NullHandling _,
+    "q47_correlated_subquery" -> q47CorrelatedSubquery _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -1009,5 +1028,6 @@ object RelQueries {
     "q43_funnel" -> q43Sql,
     "q44_asof_join" -> q44Sql,
     "q45_monthly_revenue" -> q45Sql,
-    "q46_null_handling" -> q46Sql)
+    "q46_null_handling" -> q46Sql,
+    "q47_correlated_subquery" -> q47Text)
 }

@@ -261,7 +261,32 @@ object TextQueries {
       |FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  // Edit-distance text similarity: Levenshtein over consecutive-doc
+  // prefixes (codegen'd dynamic-programming expression in both engines).
+  def q48Levenshtein(s: SparkSession, d: String): DataFrame = {
+    val a = documents(s, d).filter(col("doc_id") < 100)
+      .select(col("doc_id").as("d1"),
+        substring(col("text"), 1, 40).as("t1"))
+    val b = documents(s, d)
+      .select((col("doc_id") - 1).as("d1"),
+        substring(col("text"), 1, 40).as("t2"))
+    a.join(b, "d1")
+      .select(col("d1"),
+        levenshtein(col("t1"), col("t2")).cast("long").as("edit_dist"))
+      .orderBy("d1")
+  }
+
+  val q48Sql: String =
+    """SELECT a.doc_id AS d1,
+      |  levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS edit_dist
+      |FROM documents a
+      |JOIN documents b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id < 100
+      |ORDER BY d1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_levenshtein" -> q48Levenshtein _,
     "q40_tfidf" -> q40Tfidf _,
     "q33_regex_tokens" -> q33RegexTokens _,
     "q34_dropdup_pairs" -> q34DropdupPairs _,
@@ -272,6 +297,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> q25NeardupJaccard _)
 
   val oracle: Map[String, String] = Map(
+    "q48_levenshtein" -> q48Sql,
     "q40_tfidf" -> q40Sql,
     "q33_regex_tokens" -> q33Sql,
     "q34_dropdup_pairs" -> q34Sql,
