@@ -116,12 +116,48 @@ object SimQueries {
       |GROUP BY label, i
       |ORDER BY label, dim""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  // Cross-modal retrieval: vector kNN joined back to the documents table
+  // (vec_id ≡ doc_id in the corpus) — the "semantic search returns text"
+  // shape: ANN candidates (here the exact top-k baseline) → broadcast
+  // hydration join against the doc store.
+  def q49CrossModal(s: SparkSession, d: String): DataFrame = {
+    val hits = q30KnnExact(s, d)
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 30).as("preview"))
+    hits.join(broadcast(docs), col("neighbor_id") === col("doc_id"))
+      .select(col("query_id"), col("rn"), col("neighbor_id"),
+        col("cosine"), col("lang"), col("preview"))
+      .orderBy("query_id", "rn")
+  }
+
+  val q49Sql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      |           FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS ce
+      |      FROM embeddings),
+      |p AS (SELECT query_id, neighbor_id,
+      |        list_cosine_similarity(qe, ce) AS cos
+      |      FROM q, c WHERE neighbor_id <> query_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY cos DESC, neighbor_id) AS rn
+      |      FROM p)
+      |SELECT query_id, rn, neighbor_id, round(cos, 6) AS cosine,
+      |  lang, substr(text, 1, 30) AS preview
+      |FROM r JOIN documents ON neighbor_id = doc_id
+      |WHERE rn <= 5
+      |ORDER BY query_id, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_cross_modal" -> q49CrossModal _,
     "q30_knn_exact" -> q30KnnExact _,
     "q31_embedding_neardup" -> q31EmbeddingNeardup _,
     "q32_label_centroids" -> q32LabelCentroids _)
 
   val oracle: Map[String, String] = Map(
+    "q49_cross_modal" -> q49Sql,
     "q30_knn_exact" -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,
     "q32_label_centroids" -> q32Sql)
