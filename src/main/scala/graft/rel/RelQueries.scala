@@ -955,6 +955,55 @@ object RelQueries {
     s.sql(q47Text)
   }
 
+  // ---------------------------------------------------------------- q50
+  // PIVOT: wide per-linestatus quantity sums (explicit value list keeps
+  // the output schema static — the scale-safe form; dynamic pivot needs
+  // a values scan first). Oracle mirrors with conditional aggregation.
+  def q50Pivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(round(sum("l_quantity"), 2))
+      .na.fill(0.0)
+      .orderBy("l_returnflag")
+
+  val q50Sql: String =
+    """SELECT l_returnflag,
+      |  coalesce(round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2), 0.0) AS F,
+      |  coalesce(round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2), 0.0) AS O
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  // UNPIVOT (melt): three measure columns back to (measure, value) rows.
+  def q51Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = orders(s, d)
+      .groupBy("o_orderstatus")
+      .agg(round(sum("o_totalprice"), 2).as("sum_price"),
+        round(avg("o_totalprice"), 2).as("avg_price"),
+        round(max("o_totalprice"), 2).as("max_price"))
+    wide.unpivot(Array(col("o_orderstatus")),
+        Array(col("sum_price"), col("avg_price"), col("max_price")),
+        "measure", "value")
+      .orderBy("o_orderstatus", "measure")
+  }
+
+  val q51Sql: String =
+    """WITH wide AS (
+      |  SELECT o_orderstatus,
+      |    round(sum(o_totalprice), 2) AS sum_price,
+      |    round(avg(o_totalprice), 2) AS avg_price,
+      |    round(max(o_totalprice), 2) AS max_price
+      |  FROM orders GROUP BY o_orderstatus)
+      |SELECT o_orderstatus, measure, value FROM (
+      |  SELECT o_orderstatus, 'sum_price' AS measure, sum_price AS value FROM wide
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+      |  UNION ALL
+      |  SELECT o_orderstatus, 'max_price', max_price FROM wide) t
+      |ORDER BY o_orderstatus, measure""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -991,7 +1040,9 @@ object RelQueries {
     "q44_asof_join" -> q44AsofJoin _,
     "q45_monthly_revenue" -> q45MonthlyRevenue _,
     "q46_null_handling" -> q46NullHandling _,
-    "q47_correlated_subquery" -> q47CorrelatedSubquery _)
+    "q47_correlated_subquery" -> q47CorrelatedSubquery _,
+    "q50_pivot" -> q50Pivot _,
+    "q51_unpivot" -> q51Unpivot _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -1029,5 +1080,7 @@ object RelQueries {
     "q44_asof_join" -> q44Sql,
     "q45_monthly_revenue" -> q45Sql,
     "q46_null_handling" -> q46Sql,
-    "q47_correlated_subquery" -> q47Text)
+    "q47_correlated_subquery" -> q47Text,
+    "q50_pivot" -> q50Sql,
+    "q51_unpivot" -> q51Sql)
 }
