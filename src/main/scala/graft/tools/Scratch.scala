@@ -21,6 +21,28 @@ object Scratch {
       r
     }
 
+    if (args.headOption.contains("scaletext")) {
+      // 10x near-dup scale probe: replicate documents with a per-copy
+      // marker token appended — every original gains 9 strong near-dups
+      // (cross-copy), so the candidate volume grows with TRUE dups (the
+      // property the banded MinHash relies on at 100 TB).
+      val docs0 = graft.Tables.documents(spark, d)
+      val n = docs0.count()
+      val docs10 = (0 until 10).map { r =>
+        docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copymark$r")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      val tmp = java.nio.file.Files.createTempDirectory("docs10").toString
+      docs10.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      println(s"[scaletext] corpus: ${n * 10} docs")
+      time("minhash near-dup on 10x corpus") {
+        val pairs = graft.text.NearDup.minhashNeardupFast(spark, tmp).count()
+        println(s"  pairs=$pairs (expect ≈ ${n} originals × C(10,2)=45)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("voice")) {
       // end-to-end voice pipeline timing vs BASELINE.md (reference:
       // ~35 s train for 30 epochs on ~17.6k frames, accuracy 0.8731)

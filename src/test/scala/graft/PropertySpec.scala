@@ -69,6 +69,14 @@ object GraftProps extends Properties("graft") {
       decoded.filter($"speaker" =!= $"back").count() == 0
     }
 
+  property("seeded sample is deterministic (reference quirk Q6 discipline)") =
+    forAll(Gen.choose(1L, 1000L)) { seed =>
+      val df = (0 until 500).toDF("i")
+      val a = df.sample(0.2, seed).as[Int].collect().toSeq
+      val b = df.sample(0.2, seed).as[Int].collect().toSeq
+      a == b
+    }
+
   property("md5 fingerprint dedup groups exactly equal texts") =
     forAll(Gen.listOfN(30, Gen.oneOf("aa", "bb", "cc", "dd"))) { texts =>
       val df = texts.toDF("text")
