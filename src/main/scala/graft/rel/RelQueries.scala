@@ -1004,6 +1004,33 @@ object RelQueries {
       |  SELECT o_orderstatus, 'max_price', max_price FROM wide) t
       |ORDER BY o_orderstatus, measure""".stripMargin
 
+  // ---------------------------------------------------------------- q52
+  // Statistical aggregates: sample stddev/variance, Pearson correlation,
+  // sample covariance per group (two-pass-free single-aggregation forms
+  // in both engines). Rounded at 4 dp — the moment sums are
+  // order-sensitive doubles.
+  def q52StatsAggs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_samp(col("l_quantity"))).as("var_qty"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        r4(covar_samp(col("l_discount"), col("l_tax"))).as("covar_disc_tax"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q52Sql: String =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 4) AS var_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> q1PricingSummary _,
@@ -1042,7 +1069,8 @@ object RelQueries {
     "q46_null_handling" -> q46NullHandling _,
     "q47_correlated_subquery" -> q47CorrelatedSubquery _,
     "q50_pivot" -> q50Pivot _,
-    "q51_unpivot" -> q51Unpivot _)
+    "q51_unpivot" -> q51Unpivot _,
+    "q52_stats_aggs" -> q52StatsAggs _)
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
@@ -1082,5 +1110,6 @@ object RelQueries {
     "q46_null_handling" -> q46Sql,
     "q47_correlated_subquery" -> q47Text,
     "q50_pivot" -> q50Sql,
-    "q51_unpivot" -> q51Sql)
+    "q51_unpivot" -> q51Sql,
+    "q52_stats_aggs" -> q52Sql)
 }
