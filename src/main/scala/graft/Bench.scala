@@ -23,7 +23,7 @@ object Bench {
     "q08_top_orders_per_customer", "q09_rollup", "q11_distinct_counts",
     "q12_interval_join", "q13_running_total", "q14_json_extract",
     "q15_hourly_events", "q16_sessionize", "q23_dedup_exact",
-    "q25_neardup_jaccard", "q30_knn_exact", "q31_embedding_neardup",
+    "q25_neardup_jaccard", "q30_knn_exact", "nq_lsh_neardup",
     "nq_minhash_neardup", "nq_approx_distinct")
 
   def main(args: Array[String]): Unit = {
@@ -61,7 +61,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt prefixes stdout with [info], which defeats line-oriented JSON
+    // parsing — also write the bare line to a file the driver can read.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(out),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -22,9 +22,10 @@ object SparkEntry {
     rel.RelQueries.queries ++ text.TextQueries.queries ++
       sim.SimQueries.queries ++
       // rows-only checked (not SQL-expressible): LSH/sketch/heuristic ops
-      text.NearDup.queries ++ sim.LshKnn.queries ++ text.LangId.queries ++
+      text.NearDup.queries ++ text.DedupClusters.queries ++
+      sim.LshKnn.queries ++ text.LangId.queries ++
       rel.ApproxQueries.queries ++ ml.VoicePipeline.queries ++
-      sim.IvfKnn.queries
+      sim.IvfKnn.queries ++ sources.MultimodalStubs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

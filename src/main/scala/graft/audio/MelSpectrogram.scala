@@ -2,7 +2,7 @@ package graft.audio
 
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, IntParam, DoubleParam, ParamMap}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -25,7 +25,8 @@ import org.apache.spark.sql.types._
   * [f·hop, f·hop+nFft), a documented deviation (SURVEY §7.4 risk 1;
   * acceptance is downstream separability, not float parity).
   */
-class MelSpectrogram(override val uid: String) extends Transformer {
+class MelSpectrogram(override val uid: String) extends Transformer
+    with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("melspec"))
 
@@ -101,7 +102,7 @@ class MelSpectrogram(override val uid: String) extends Transformer {
   override def copy(extra: ParamMap): MelSpectrogram = defaultCopy(extra)
 }
 
-object MelSpectrogram {
+object MelSpectrogram extends DefaultParamsReadable[MelSpectrogram] {
 
   /** `power_to_db(ref = global max, top_db = 80)` — the reference's E6
     * (`voice_classifier.py:83`), kept lazy/distributed: the global max is

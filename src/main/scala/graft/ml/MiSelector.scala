@@ -1,11 +1,11 @@
 package graft.ml
 
 import org.apache.spark.ml.{Estimator, Model}
-import org.apache.spark.ml.param.{IntParam, Param, ParamMap, StringArrayParam}
-import org.apache.spark.ml.util.Identifiable
+import org.apache.spark.ml.param.{DoubleArrayParam, IntParam, Param, ParamMap, StringArrayParam}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Custom `ml.Estimator`: mutual-information feature selection —
   * the rebuild of the reference's `select_most_informative_component`
@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.StructType
   * size), MI from the contingency table on the driver, argmax wins.
   */
 class MiSelector(override val uid: String)
-    extends Estimator[MiSelectorModel] {
+    extends Estimator[MiSelectorModel] with DefaultParamsWritable {
 
   def this() = this(Identifiable.randomUID("miselect"))
 
@@ -77,24 +77,57 @@ class MiSelector(override val uid: String)
       }.sum
     }.toArray
     val best = mi.indices.maxBy(mi)
-    val model = new MiSelectorModel(uid, cands(best), mi, $(outputCol))
+    val model = new MiSelectorModel(uid)
+      .setSelectedCol(cands(best)).setMiScores(mi).setOutputCol($(outputCol))
     model.setParent(this)
   }
 
-  override def transformSchema(schema: StructType): StructType = schema
+  // appends the output column so downstream stages validate during
+  // Pipeline.fit's schema propagation (candidates are numeric → double)
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+
+      StructField($(outputCol), org.apache.spark.sql.types.DoubleType))
   override def copy(extra: ParamMap): MiSelector = defaultCopy(extra)
 }
 
-/** Projects the winning candidate column to `outputColName`. */
-class MiSelectorModel(override val uid: String, val selectedCol: String,
-    val miScores: Array[Double], val outputColName: String)
-    extends Model[MiSelectorModel] {
+object MiSelector extends DefaultParamsReadable[MiSelector]
+
+/** Projects the winning candidate column to the output column.
+  *
+  * All fitted state lives in Params (not constructor fields) so the stock
+  * `DefaultParamsWritable` machinery persists it — a `PipelineModel`
+  * containing this stage round-trips through save/load with no custom
+  * reader (SURVEY §1.3 quirk Q5: the full pipeline must be
+  * self-contained on disk, unlike the reference's model-only checkpoint
+  * at voice_classifier.py:64-71).
+  */
+class MiSelectorModel(override val uid: String)
+    extends Model[MiSelectorModel] with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("miselectmodel"))
+
+  final val selectedCol = new Param[String](this, "selectedCol",
+    "winning candidate column")
+  final val miScores = new DoubleArrayParam(this, "miScores",
+    "MI score per candidate, candidate order")
+  final val outputCol = new Param[String](this, "outputCol",
+    "name of the selected-feature output column")
+
+  def setSelectedCol(v: String): this.type = set(selectedCol, v)
+  def setMiScores(v: Array[Double]): this.type = set(miScores, v)
+  def setOutputCol(v: String): this.type = set(outputCol, v)
+  def getSelectedCol: String = $(selectedCol)
+  def getMiScores: Array[Double] = $(miScores)
 
   override def transform(ds: Dataset[_]): DataFrame =
-    ds.toDF().withColumn(outputColName, col(selectedCol))
+    ds.toDF().withColumn($(outputCol), col($(selectedCol)))
 
-  override def transformSchema(schema: StructType): StructType = schema
-  override def copy(extra: ParamMap): MiSelectorModel =
-    new MiSelectorModel(uid, selectedCol, miScores, outputColName)
-      .setParent(parent)
+  override def transformSchema(schema: StructType): StructType =
+    StructType(schema.fields :+ StructField($(outputCol),
+      if (isSet(selectedCol) && schema.fieldNames.contains($(selectedCol)))
+        schema($(selectedCol)).dataType
+      else org.apache.spark.sql.types.DoubleType))
+  override def copy(extra: ParamMap): MiSelectorModel = defaultCopy(extra)
 }
+
+object MiSelectorModel extends DefaultParamsReadable[MiSelectorModel]

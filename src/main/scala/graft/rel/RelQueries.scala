@@ -847,27 +847,34 @@ object RelQueries {
 
   // ---------------------------------------------------------------- q44
   // As-of join by composition (survey preference (a)): for each 'error'
-  // event, the user's most recent prior event of any other type —
-  // equi-join on user + time residual, then row_number picks the latest.
+  // event, the user's most recent prior event of any other type.
+  //
+  // Scale form: NO self-join. A join errors×events fans out quadratically
+  // within a heavy user (every prior event × every error) before the
+  // rank-filter discards all but one row per error. Instead both sides
+  // ride ONE window over the unioned stream: partition by user, order by
+  // event time, RANGE frame ending 1 µs before the current row (strict
+  // "prior", excluding same-timestamp events), carrying the max-by-
+  // (ts, min event_id) non-error event as a struct. One shuffle on
+  // user_id, per-row state O(1), no fan-out — survives any user skew.
   def q44AsofJoin(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = events(s, d)
-    val errors = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("err_id"),
-        col("ts").as("err_ts"))
-    val others = ev.filter(col("event_type") =!= "error")
-      .select(col("user_id").as("o_user_id"), col("event_id").as("prior_id"),
-        col("event_type").as("prior_type"), col("ts").as("prior_ts"))
-    val w = Window.partitionBy("err_id")
-      .orderBy(col("prior_ts").desc, col("prior_id"))
-    errors.join(others,
-        col("user_id") === col("o_user_id") && col("prior_ts") < col("err_ts"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("err_id"), col("user_id"),
-        unix_micros(col("err_ts")).as("err_ts_us"),
-        col("prior_id"), col("prior_type"),
-        unix_micros(col("prior_ts")).as("prior_ts_us"))
+    val ev = events(s, d).select(col("user_id"), col("event_id"),
+      col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    // struct max = latest ts, tie-broken to the SMALLEST event_id via the
+    // negated id field (struct comparison is lexicographic; event_id is
+    // unique so later fields never decide).
+    val prior = max(when(col("event_type") =!= "error",
+      struct(col("ts_us").as("pts"), (-col("event_id")).as("nid"),
+        col("event_type").as("ptype"), col("event_id").as("pid")))).over(w)
+    ev.withColumn("prior", prior)
+      .filter(col("event_type") === "error" && col("prior").isNotNull)
+      .select(col("event_id").as("err_id"), col("user_id"),
+        col("ts_us").as("err_ts_us"),
+        col("prior.pid").as("prior_id"), col("prior.ptype").as("prior_type"),
+        col("prior.pts").as("prior_ts_us"))
       .orderBy("err_id")
   }
 
@@ -1016,7 +1023,9 @@ object RelQueries {
         r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
         r4(var_samp(col("l_quantity"))).as("var_qty"),
         r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
-        r4(covar_samp(col("l_discount"), col("l_tax"))).as("covar_disc_tax"),
+        // +0.0 normalizes IEEE negative zero: covar of near-independent
+        // columns rounds to ±0.0 whose sign differs across engines.
+        (r4(covar_samp(col("l_discount"), col("l_tax"))) + lit(0.0)).as("covar_disc_tax"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
@@ -1025,7 +1034,7 @@ object RelQueries {
       |  round(stddev_samp(l_quantity), 4) AS sd_qty,
       |  round(var_samp(l_quantity), 4) AS var_qty,
       |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      |  round(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax,
+      |  round(covar_samp(l_discount, l_tax), 4) + 0.0 AS covar_disc_tax,
       |  count(*) AS n_rows
       |FROM lineitem
       |GROUP BY l_returnflag

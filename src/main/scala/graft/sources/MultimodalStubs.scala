@@ -1,7 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables.documents
 
 /** Image/video multimodal operators: REAL Spark plumbing (schemas,
   * partitioning, per-partition batch shape) with STUBBED codecs — this
@@ -68,4 +69,27 @@ object MultimodalStubs {
       }
       .toDF("video_id", "frame_idx", "frame_ts_sec", "frame_sig")
   }
+
+  /** Driver-contract entries (rows-only): run the image/video plumbing
+    * over binary fixtures derived deterministically from the documents
+    * table (doc text bytes as opaque content, char count as duration) —
+    * the stubs execute inside Verify/Bench, not only in specs. Swap in a
+    * real codec and these queries are the production feature-extract
+    * jobs unchanged.
+    */
+  def imageFeaturesQuery(s: SparkSession, d: String): DataFrame =
+    imageFeatures(documents(s, d).select(col("doc_id").as("image_id"),
+        encode(col("text"), "UTF-8").as("content")))
+      .orderBy("image_id")
+
+  def videoFramesQuery(s: SparkSession, d: String): DataFrame =
+    sampleFrames(documents(s, d).select(col("doc_id").as("video_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        (col("n_chars") % 8 + 1).cast("double").as("duration_sec")),
+      fps = 1.0)
+      .orderBy("video_id", "frame_idx")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_image_features" -> (imageFeaturesQuery _),
+    "nq_video_frames" -> (videoFramesQuery _))
 }

@@ -112,8 +112,8 @@ object NearDup {
   //      0.64 at j=0.5, while j≈0.01 noise pairs essentially never
   //      collide → the candidate set stays ~linear in the true dups, the
   //      property that makes this run at 100 TB);
-  //   3. exact jaccard verification ONLY on candidates via broadcast
-  //      hash sets — emitted pairs are exact, not estimates.
+  //   3. exact jaccard verification ONLY on candidates via plain
+  //      equi-joins on doc_id — emitted pairs are exact, not estimates.
   def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 64,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
@@ -141,12 +141,15 @@ object NearDup {
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("d1"), col("bb.doc_id").as("d2"))
       .distinct()
-    // verify on the candidate set only: per-doc sorted hash sets are a
-    // few MB → broadcast to both sides, intersect in-place per pair
+    // verify on the candidate set only. Deliberately NOT broadcast: the
+    // per-doc hash-set relation grows with the corpus, so a broadcast
+    // here OOMs the driver at 100 TB by construction. Plain shuffle
+    // equi-joins on doc_id scale linearly, and AQE demotes them to
+    // broadcast automatically whenever the side is actually small.
     val docSets = mh.select(col("doc_id"), col("hs"), col("sz"))
     cands
-      .join(broadcast(docSets).as("za"), col("d1") === col("za.doc_id"))
-      .join(broadcast(docSets).as("zb"), col("d2") === col("zb.doc_id"))
+      .join(docSets.as("za"), col("d1") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("d2") === col("zb.doc_id"))
       .select(col("d1"), col("d2"),
         size(array_intersect(col("za.hs"), col("zb.hs"))).as("n_inter"),
         col("za.sz").as("sz1"), col("zb.sz").as("sz2"))

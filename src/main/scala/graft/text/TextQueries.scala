@@ -127,23 +127,38 @@ object TextQueries {
   // per pair, then jaccard = |∩| / (|A| + |B| − |∩|). Pairs ≥ 0.1 emitted.
   // This is the exact-counting backstop; MinHashLSH (nq_minhash_neardup)
   // is the sub-quadratic approximation of the same join.
-  def q25NeardupJaccard(s: SparkSession, d: String): DataFrame = {
+  //
+  // Skew guard: a shingle appearing in k docs yields k²/2 candidate rows,
+  // so one viral stop-shingle quadratically blows up the self-join. Docs'
+  // shingle sets are therefore capped to shingles with document frequency
+  // ≤ maxDf BEFORE the join (and before the size aggregate, so jaccard is
+  // consistent over the capped universe). The hot-shingle list is by
+  // construction tiny (≤ |corpus|/maxDf entries) → AQE broadcasts the
+  // anti-join. At the test SFs max df = 25, so maxDf=100 filters nothing
+  // and the oracle is unaffected; the cap's effect is pinned by
+  // TextSkewSpec on a fixture with an injected hot shingle.
+  def q25NeardupJaccard(s: SparkSession, d: String, maxDf: Int = 100): DataFrame = {
     // shingling shares NearDup.shingles (typed map — see its scaladoc for
     // why the transform+explode expression route is pathologically slow);
     // cached: the plan references this relation 4× (both join sides +
     // the size aggregate) and would otherwise re-shingle the corpus 4×
-    val tri = NearDup.shingles(s, d)
+    val raw = NearDup.shingles(s, d)
       .select(col("doc_id"), explode(col("shingles")).as("tri"))
-      .cache()
+    val hot = raw.groupBy("tri").agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select("tri")
+    val tri = raw.join(hot, Seq("tri"), "left_anti").cache()
     val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = tri.as("a"); val b = tri.as("b")
     val inter = a.join(b,
         col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .agg(count(lit(1)).as("n_inter"))
+    // plain equi-joins on doc_id (NOT broadcast(sizes)): the per-doc size
+    // relation grows with the corpus — a broadcast would pin every doc id
+    // in driver/executor memory at 100 TB. AQE broadcasts when small.
     inter
-      .join(broadcast(sizes).as("sa"), col("d1") === col("sa.doc_id"))
-      .join(broadcast(sizes).as("sb"), col("d2") === col("sb.doc_id"))
+      .join(sizes.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("d2") === col("sb.doc_id"))
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
           (col("sa.sz") + col("sb.sz") - col("n_inter")).cast("double"))
@@ -155,9 +170,13 @@ object TextQueries {
   val q25Sql: String =
     """WITH toks AS (
       |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l FROM documents
-      |), tri AS (
+      |), tri0 AS (
       |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g
+      |), hot AS (
+      |  SELECT tri FROM tri0 GROUP BY tri HAVING count(*) > 100
+      |), tri AS (
+      |  SELECT * FROM tri0 WHERE tri NOT IN (SELECT tri FROM hot)
       |), sizes AS (
       |  SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id
       |), inter AS (
@@ -294,7 +313,7 @@ object TextQueries {
     "q22_token_stats" -> q22TokenStats _,
     "q23_dedup_exact" -> q23DedupExact _,
     "q24_quality_score" -> q24QualityScore _,
-    "q25_neardup_jaccard" -> q25NeardupJaccard _)
+    "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q48_levenshtein" -> q48Sql,

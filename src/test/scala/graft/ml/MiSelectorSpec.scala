@@ -19,8 +19,8 @@ class MiSelectorSpec extends SparkSpec {
       .setFeatureCols(Array("noise", "good", "const"))
       .setLabelCol("speaker").setOutputCol("X")
       .fit(df)
-    assert(model.selectedCol == "good",
-      s"picked ${model.selectedCol}, MI=${model.miScores.mkString(",")}")
+    assert(model.getSelectedCol == "good",
+      s"picked ${model.getSelectedCol}, MI=${model.getMiScores.mkString(",")}")
     // output column projects the winner
     val out = model.transform(df)
     assert(out.filter($"X" =!= $"good").count() == 0)
@@ -36,7 +36,7 @@ class MiSelectorSpec extends SparkSpec {
     val df = rows.toDF("good", "noise", "const", "speaker")
     val m = new MiSelector().setFeatureCols(Array("good", "noise", "const"))
       .setLabelCol("speaker").fit(df)
-    val Array(miGood, miNoise, miConst) = m.miScores
+    val Array(miGood, miNoise, miConst) = m.getMiScores
     assert(miGood > miNoise && miGood > 0.5)
     assert(miConst < 0.01)
   }

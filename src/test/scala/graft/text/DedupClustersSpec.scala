@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-components dup-cluster grouping (SURVEY §2.K near-dup row:
+  * pairs → components → keeper).
+  */
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("components equal the transitive closure of the pair set") {
+    // chain 1-2-3 (1-3 never paired directly), clique {10,11}, singleton 7,
+    // and a second chain 20-21-22-23 with shuffled edge order
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (22L, 21L),
+      (23L, 22L)).toDF("d1", "d2")
+    val nodes = Seq(1L, 2L, 3L, 7L, 10L, 11L, 20L, 21L, 22L, 23L)
+      .toDF("doc_id")
+    val got = DedupClusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 10L -> 10L,
+      11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    assert(got === want)
+  }
+
+  test("long path converges within maxIter (worst-case diameter)") {
+    val n = 12L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
+    val nodes = (0L until n).toDF("doc_id")
+    val got = DedupClusters.connectedComponents(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(0L), s"all nodes should label 0: $got")
+  }
+
+  test("dedupClusters on sf0.001: keepers are cluster minima, clusters cover all docs") {
+    val d = sf0001
+    val out = DedupClusters.dedupClusters(spark, d).cache()
+    val nDocs = graft.Tables.documents(spark, d).count()
+    assert(out.count() === nDocs) // every doc assigned
+    // keeper = min doc_id of its cluster, exactly one keeper per cluster
+    val bad = out.groupBy("cluster_id")
+      .agg(min("doc_id").as("mn"), sum(when(col("is_keeper"), 1).otherwise(0)).as("nk"))
+      .filter(col("mn") =!= col("cluster_id") || col("nk") =!= 1)
+      .count()
+    assert(bad === 0)
+    // consistency with the pair set: every near-dup pair is in one cluster
+    val pairs = NearDup.minhashNeardupFast(spark, d).select("d1", "d2")
+    val lab = out.select("doc_id", "cluster_id")
+    val split = pairs
+      .join(lab.withColumnRenamed("doc_id", "d1").withColumnRenamed("cluster_id", "c1"), "d1")
+      .join(lab.withColumnRenamed("doc_id", "d2").withColumnRenamed("cluster_id", "c2"), "d2")
+      .filter(col("c1") =!= col("c2")).count()
+    assert(split === 0)
+    out.unpersist()
+  }
+}
