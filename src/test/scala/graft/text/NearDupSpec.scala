@@ -45,7 +45,7 @@ class NearDupSpec extends SparkSpec {
     assert(sh.nonEmpty, "simhash should find the strongest planted dups")
   }
 
-  test("BRP-LSH near-dup recall vs exact cosine pairs") {
+  test("sign-LSH near-dup recall vs exact cosine pairs") {
     val exact = graft.sim.SimQueries.q31EmbeddingNeardup(spark, sf0001)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     val approx = LshKnn.lshNeardup(spark, sf0001)
