@@ -102,11 +102,11 @@ object NearDup {
   }
 
   // ------------------------------------------------- columnar MinHash
-  // Pure-DataFrame MinHash near-dup: stays in whole-stage codegen end to
-  // end (no Vector materialization, unlike the MLlib variant — measured
-  // ~20× faster on the same data):
-  //   1. one shuffle: per-doc signature = 64 min(xxhash64(shingle, salt))
-  //      aggregates computed in a single groupBy pass;
+  // Columnar MinHash near-dup (no MLlib Vector materialization — the
+  // estimator variant above is ~20× slower on the same data):
+  //   1. NO shuffle for signatures: shingles arrive as per-doc arrays,
+  //      so one narrow typed pass computes the 64 minhashes, the band
+  //      signatures, and the sorted hash set per doc;
   //   2. candidate pairs = docs sharing any banded signature — b=16
   //      bands of r=4 rows (P(catch) = 1-(1-j⁴)^16: ≈1.0 at j≥0.8,
   //      0.64 at j=0.5, while j≈0.01 noise pairs essentially never
@@ -114,28 +114,82 @@ object NearDup {
   //      property that makes this run at 100 TB);
   //   3. exact jaccard verification ONLY on candidates via plain
   //      equi-joins on doc_id — emitted pairs are exact, not estimates.
+  /** splitmix64 finalizer — a full-avalanche 64-bit mix (public-domain
+    * constant set from the SplitMix64 PRNG). Used as both the shingle
+    * string-hash finisher and the per-k hash family generator.
+    */
+  @inline private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** FNV-1a 64 over UTF-8 bytes, finished with mix64. */
+  @inline private[graft] def hashShingle(sh: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = sh.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L
+      i += 1
+    }
+    mix64(h)
+  }
+
   def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 64,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
     val nBands = nHashes / rowsPerBand
-    // hash every shingle once to a LONG — all downstream work (minhash,
-    // banding, verification) is integer-keyed, never re-touching strings
-    val hashed = shingles(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("sh"))
-      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-    // ONE aggregation pass builds both the min-hash signatures and the
-    // per-doc sorted hash set used for exact verification
-    val sigCols = (0 until nHashes).map(k =>
-      min(xxhash64(col("h"), lit(k))).as(s"m$k"))
-    val mh = hashed.groupBy("doc_id")
-      .agg(sort_array(collect_set("h")).as("hs"), sigCols: _*)
-      .withColumn("sz", size(col("hs")))
+    import s.implicits._
+    // ONE narrow typed pass per doc computes everything hash-shaped:
+    // the sorted shingle-hash set (for exact verification), and the
+    // per-band signatures. Shingles are already per-doc arrays, so no
+    // explode + shuffle + collect_set re-assembly is ever needed — the
+    // only shuffles in this whole operator are the band candidate join
+    // and the verify equi-joins. Per-k hash family g_k = h + k·mix64(h)
+    // (Kirsch–Mitzenmacher double hashing): 2 hash evaluations + a
+    // mul-add per k, in JVM arithmetic where wrap-around is free (the
+    // SQL route trips ANSI overflow checks).
+    val mh = shingles(s, d).as[(Long, Array[String])]
+      .map { case (id, sh) =>
+        val hs = new Array[Long](sh.length)
+        var i = 0
+        while (i < sh.length) { hs(i) = hashShingle(sh(i)); i += 1 }
+        val sigs = Array.fill(nHashes)(Long.MaxValue)
+        i = 0
+        while (i < hs.length) {
+          val h1 = hs(i); val h2 = mix64(h1)
+          var k = 0
+          while (k < nHashes) {
+            val g = h1 + k * h2
+            if (g < sigs(k)) sigs(k) = g
+            k += 1
+          }
+          i += 1
+        }
+        val bandSigs = new Array[Long](nBands)
+        var b = 0
+        while (b < nBands) {
+          var acc = 0L
+          var r = 0
+          while (r < rowsPerBand) {
+            acc = mix64(acc ^ sigs(b * rowsPerBand + r)); r += 1
+          }
+          bandSigs(b) = acc
+          b += 1
+        }
+        java.util.Arrays.sort(hs)
+        (id, hs, hs.length, bandSigs)
+      }
+      .toDF("doc_id", "hs", "sz", "band_sigs")
+      // docs with <3 tokens have no shingles: their all-MaxValue
+      // signatures would mutually collide in every band (false cartesian
+      // block) and their jaccard is undefined — drop before banding
+      .filter(col("sz") > 0)
       .cache() // reused by banding AND verification below
-    val bandSigs = (0 until nBands).map { b =>
-      xxhash64((0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
-    }
     val bands = mh.select(col("doc_id"),
-      posexplode(array(bandSigs: _*)).as(Seq("band", "sig")))
+      posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val cands = bands.as("ba").join(bands.as("bb"),
         col("ba.band") === col("bb.band") && col("ba.sig") === col("bb.sig") &&
           col("ba.doc_id") < col("bb.doc_id"))

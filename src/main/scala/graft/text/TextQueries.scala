@@ -142,8 +142,22 @@ object TextQueries {
     // why the transform+explode expression route is pathologically slow);
     // cached: the plan references this relation 4× (both join sides +
     // the size aggregate) and would otherwise re-shingle the corpus 4×
-    val raw = NearDup.shingles(s, d)
-      .select(col("doc_id"), explode(col("shingles")).as("tri"))
+    // cached: referenced by the hot-shingle aggregate AND the anti-join
+    // left side — shingling (the typed-map tokenize pass) runs once.
+    // Shingles are hashed to LONGs in the same pass: every downstream
+    // shuffle/join/aggregate keys on 8-byte ints instead of ~25-byte
+    // strings (hash collisions across 2⁶⁴ are negligible, and the
+    // jaccard only counts matches, so the result is unchanged).
+    // groupBy (not a count window) for the df: partial aggregation
+    // map-side combines the hot key, so the skewed shingle never lands
+    // on one reducer.
+    val raw = {
+      import s.implicits._
+      NearDup.shingles(s, d).as[(Long, Array[String])]
+        .flatMap { case (id, sh) =>
+          sh.iterator.map(x => (id, NearDup.hashShingle(x)))
+        }.toDF("doc_id", "tri")
+    }.cache()
     val hot = raw.groupBy("tri").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("tri")
     val tri = raw.join(hot, Seq("tri"), "left_anti").cache()
@@ -304,7 +318,42 @@ object TextQueries {
       |WHERE a.doc_id < 100
       |ORDER BY d1""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  // Document fingerprinting by Karp–Rabin rolling hash: polynomial hash
+  // of every w=8-char window mod a prime, fingerprint = min over windows
+  // (the winnowing primitive — robust to edits outside the minimizing
+  // window, unlike whole-text md5). Arithmetic stays < 2³¹ (acc < P,
+  // acc·31+127 ≪ 2³¹) so the identical integer recurrence runs in both
+  // engines with no overflow under ANSI mode. Per-row scalar expression:
+  // narrow, codegen'd, embarrassingly parallel — no shuffle at any
+  // scale. (The O(len) true-rolling update — subtract the outgoing
+  // char's B^(w-1) term — needs a stateful scan; the O(len·w) windowed
+  // form keeps it a pure expression and w is a constant 8.)
+  def q53Fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("n_chars") >= 8)
+      .select(col("doc_id"),
+        expr("""array_min(transform(sequence(1, length(text) - 7), i ->
+                 aggregate(sequence(i, i + 7), 0L,
+                   (acc, j) -> (acc * 31 + ascii(substring(text, j, 1))) % 1000003)))""")
+          .as("fingerprint"),
+        (length(col("text")) - 7).cast("long").as("n_windows"))
+      .orderBy("doc_id")
+
+  val q53Sql: String =
+    """SELECT doc_id,
+      |  list_min(list_transform(generate_series(1, length(text) - 7), i ->
+      |    list_reduce(
+      |      list_prepend(0, list_transform(generate_series(i, i + 7),
+      |                        j -> ascii(substr(text, j, 1)))),
+      |      (acc, c) -> (acc * 31 + c) % 1000003)))::BIGINT AS fingerprint,
+      |  CAST(length(text) - 7 AS BIGINT) AS n_windows
+      |FROM documents
+      |WHERE n_chars >= 8
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_fingerprint" -> q53Fingerprint _,
     "q48_levenshtein" -> q48Levenshtein _,
     "q40_tfidf" -> q40Tfidf _,
     "q33_regex_tokens" -> q33RegexTokens _,
@@ -316,6 +365,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q53_fingerprint" -> q53Sql,
     "q48_levenshtein" -> q48Sql,
     "q40_tfidf" -> q40Sql,
     "q33_regex_tokens" -> q33Sql,
