@@ -22,9 +22,14 @@ object NearDup {
     * HOF lambda escapes whole-stage codegen and projection collapse
     * inlines the split under it. The typed path tokenizes once per doc.
     */
-  private[graft] def shingles(s: SparkSession, d: String): DataFrame = {
+  private[graft] def shingles(s: SparkSession, d: String): DataFrame =
+    shinglesOf(documents(s, d))
+
+  /** Same shingling over an arbitrary (doc_id, text) relation. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    documents(s, d).select("doc_id", "text").as[(Long, String)]
+    docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) =>
         val t = text.split("\\s+")
         val sh =
@@ -137,21 +142,24 @@ object NearDup {
     mix64(h)
   }
 
-  def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 64,
-      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+  /** ONE narrow typed pass per doc computes everything hash-shaped:
+    * the sorted shingle-hash set (for exact verification), and the
+    * per-band signatures. Shingles are already per-doc arrays, so no
+    * explode + shuffle + collect_set re-assembly is ever needed — the
+    * only shuffles in the near-dup operators are the band candidate join
+    * and the verify equi-joins. Per-k hash family g_k = h + k·mix64(h)
+    * (Kirsch–Mitzenmacher double hashing): 2 hash evaluations + a
+    * mul-add per k, in JVM arithmetic where wrap-around is free (the
+    * SQL route trips ANSI overflow checks).
+    * Returns (doc_id, hs: sorted hash set, sz, band_sigs).
+    */
+  private[graft] def signatures(docs: DataFrame, nHashes: Int,
+      rowsPerBand: Int): DataFrame = {
     require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
     val nBands = nHashes / rowsPerBand
+    val s = docs.sparkSession
     import s.implicits._
-    // ONE narrow typed pass per doc computes everything hash-shaped:
-    // the sorted shingle-hash set (for exact verification), and the
-    // per-band signatures. Shingles are already per-doc arrays, so no
-    // explode + shuffle + collect_set re-assembly is ever needed — the
-    // only shuffles in this whole operator are the band candidate join
-    // and the verify equi-joins. Per-k hash family g_k = h + k·mix64(h)
-    // (Kirsch–Mitzenmacher double hashing): 2 hash evaluations + a
-    // mul-add per k, in JVM arithmetic where wrap-around is free (the
-    // SQL route trips ANSI overflow checks).
-    val mh = shingles(s, d).as[(Long, Array[String])]
+    shinglesOf(docs).as[(Long, Array[String])]
       .map { case (id, sh) =>
         val hs = new Array[Long](sh.length)
         var i = 0
@@ -187,6 +195,11 @@ object NearDup {
       // signatures would mutually collide in every band (false cartesian
       // block) and their jaccard is undefined — drop before banding
       .filter(col("sz") > 0)
+  }
+
+  def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 64,
+      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val mh = signatures(documents(s, d), nHashes, rowsPerBand)
       .cache() // reused by banding AND verification below
     val bands = mh.select(col("doc_id"),
       posexplode(col("band_sigs")).as(Seq("band", "sig")))
@@ -215,8 +228,63 @@ object NearDup {
       .orderBy("d1", "d2")
   }
 
+  // ------------------------------------------------- incremental MinHash
+  /** Near-dup pairs TOUCHING a new batch: (new × corpus) ∪ (new × new),
+    * never corpus × corpus — the daily-ingest pattern. At 100 TB the
+    * corpus signatures are a stored table computed once per doc at ingest
+    * (`signatures` is deterministic, so append-only); each batch then
+    * costs |batch|·bands join probes against it instead of re-running
+    * near-dup over the whole corpus. Same banding, same exact-jaccard
+    * verification ⇒ output equals the full run filtered to pairs with a
+    * new-side member (asserted in NearDupSpec).
+    */
+  def minhashNeardupIncremental(corpus: DataFrame, newDocs: DataFrame,
+      nHashes: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sigC = signatures(corpus, nHashes, rowsPerBand).cache()
+    val sigN = signatures(newDocs, nHashes, rowsPerBand).cache()
+    def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
+      posexplode(col("band_sigs")).as(Seq("band", "sig")))
+    val bandsC = bandsOf(sigC); val bandsN = bandsOf(sigN)
+    // cross candidates need no id ordering predicate (the sides are
+    // disjoint); orientation normalized to (min, max) to match the full
+    // run's d1 < d2 convention
+    val cross = bandsN.as("n").join(bandsC.as("c"),
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+      .select(least(col("n.doc_id"), col("c.doc_id")).as("d1"),
+        greatest(col("n.doc_id"), col("c.doc_id")).as("d2"))
+    val intra = bandsN.as("x").join(bandsN.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val cands = cross.union(intra).distinct()
+    val docSets = sigC.select(col("doc_id"), col("hs"), col("sz"))
+      .union(sigN.select(col("doc_id"), col("hs"), col("sz")))
+    cands
+      .join(docSets.as("za"), col("d1") === col("za.doc_id"))
+      .join(docSets.as("zb"), col("d2") === col("zb.doc_id"))
+      .select(col("d1"), col("d2"),
+        size(array_intersect(col("za.hs"), col("zb.hs"))).as("n_inter"),
+        col("za.sz").as("sz1"), col("zb.sz").as("sz2"))
+      .select(col("d1"), col("d2"),
+        (col("n_inter").cast("double") /
+          (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  /** Driver entry: docs with doc_id ≡ 0 (mod 10) play the "new batch". */
+  def incrementalQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    minhashNeardupIncremental(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_minhash_neardup" -> ((s: SparkSession, d: String) => minhashNeardupFast(s, d)),
     "nq_minhash_mllib" -> (minhashNeardup _),
+    "nq_dedup_incremental" -> (incrementalQuery _),
     "nq_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNeardup(s, d)))
 }

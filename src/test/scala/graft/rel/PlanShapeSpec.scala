@@ -1,0 +1,52 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.Join
+
+/** Pins the plan-shape properties the round-2 rewrites bought — the
+  * structures that decide whether an operator survives a 100× scale-up:
+  * the as-of join must stay join-free (one windowed pass), and no
+  * near-dup/dedup path may plan a cartesian/broadcast-nested-loop or a
+  * corpus-sized build side.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def optimizedJoins(df: DataFrame): Seq[Join] =
+    df.queryExecution.optimizedPlan.collect { case j: Join => j }
+
+  private def finalPhysical(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save() // settle AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q44 as-of join plans ZERO joins — a single windowed pass") {
+    val df = graft.SparkEntry.queries("q44_asof_join")(spark, sf0001)
+    assert(optimizedJoins(df).isEmpty,
+      s"expected join-free plan:\n${df.queryExecution.optimizedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected a Window operator:\n$plan")
+  }
+
+  test("near-dup/dedup paths never plan cartesian or nested-loop joins") {
+    for (q <- Seq("nq_minhash_neardup", "q25_neardup_jaccard",
+        "nq_lsh_neardup", "nq_simhash_neardup")) {
+      val plan = finalPhysical(graft.SparkEntry.queries(q)(spark, sf0001))
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$plan")
+    }
+  }
+
+  test("minhash verify joins are equi-joins on doc ids (no explicit corpus broadcast)") {
+    val df = graft.text.NearDup.minhashNeardupFast(spark, sf0001)
+    val joins = optimizedJoins(df)
+    assert(joins.nonEmpty)
+    // every join must carry an equi condition (hashable keys) — the
+    // logical plan has no ResolvedHint forcing a broadcast of docSets
+    val hinted = df.queryExecution.analyzed.collect {
+      case j: Join if j.hint.leftHint.isDefined || j.hint.rightHint.isDefined => j
+    }
+    assert(hinted.isEmpty, "near-dup verify must not force broadcast hints")
+  }
+}

@@ -35,6 +35,21 @@ class NearDupSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("incremental near-dup equals the full run restricted to new-batch pairs") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val newIds = docs.filter($"doc_id" % 10 === 0)
+      .select("doc_id").as[Long].collect().toSet
+    val full = NearDup.minhashNeardupFast(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    val expected = full.filter { case (a, b) =>
+      newIds.contains(a) || newIds.contains(b) }
+    val inc = NearDup.incrementalQuery(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(inc === expected,
+      s"missing=${expected -- inc} extra=${inc -- expected}")
+    assert(inc.nonEmpty, "fixture should have dups touching the new batch")
+  }
+
   test("simhash pairs are a subset of strong exact pairs") {
     val sh = NearDup.simhashNeardup(spark, sf0001)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
