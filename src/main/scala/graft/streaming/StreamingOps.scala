@@ -93,6 +93,55 @@ object StreamingOps {
       .toDF("user_id", "n_sessions", "n_events")
   }
 
+  case class BucketState(ids: Seq[Long])
+
+  /** Streaming near-dup candidate detection — the ingest-time dedup gate
+    * of a training-data pipeline: documents arrive as a stream of
+    * (doc_id, text); each doc's MinHash band signatures are computed in
+    * the same narrow typed pass as the batch path
+    * (`NearDup.signatures`), then keyed state per (band, sig) bucket
+    * emits a candidate pair the moment a new doc lands in a bucket that
+    * already holds others. Candidates then flow to exact verification
+    * against the signature store (the batch verify join) — same
+    * two-phase shape as `minhashNeardupFast`, incremental by
+    * construction.
+    *
+    * State per bucket is a doc-id list capped at maxBucket (a viral
+    * bucket stops emitting pairs instead of going quadratic — the
+    * streaming analogue of the stop-shingle df cap); production
+    * deployments would add a state TTL (`GroupStateTimeout`) to bound
+    * the horizon. A pair colliding in several bands is emitted once per
+    * band — dedup downstream (the verify join's groupBy), as the batch
+    * path does with `distinct()`.
+    */
+  def neardupCandidatesStream(docs: DataFrame, nHashes: Int = 64,
+      rowsPerBand: Int = 4, maxBucket: Int = 64): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = graft.text.NearDup.signatures(docs, nHashes, rowsPerBand)
+      .select(col("doc_id"), posexplode(col("band_sigs")).as(Seq("band", "sig")))
+      .as[(Long, Int, Long)]
+    bands.groupByKey { case (_, band, sig) => (band, sig) }
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        case (_, it, state: GroupState[BucketState]) =>
+          val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+          val arrivals = it.map(_._1).toSeq.distinct.filterNot(seen.contains)
+          val pairs = Seq.newBuilder[(Long, Long)]
+          var held = seen
+          arrivals.foreach { id =>
+            if (held.size < maxBucket) {
+              held.foreach { p =>
+                pairs += ((math.min(p, id), math.max(p, id)))
+              }
+              held = held :+ id
+            }
+          }
+          state.update(BucketState(held))
+          pairs.result().iterator
+      }
+  }
+
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom stateful op: running per-user totals via mapGroupsWithState
