@@ -11,8 +11,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * nothing else changes.
   */
 object Tables {
+  // Memoized per (session, path): spark.read.parquet re-lists the
+  // directory and re-reads footers on every call, a fixed ~50-150 ms tax
+  // per query that dominates sub-second queries at test SFs. The
+  // DataFrame (an immutable logical plan + resolved FileIndex) is safe
+  // to share across queries in a session. On a real deployment these
+  // are catalog tables and the metastore plays this role.
+  private val memo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    memo.getOrElseUpdate((spark, s"$dir/$name.parquet"),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")
