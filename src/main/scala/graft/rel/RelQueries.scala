@@ -1040,8 +1040,37 @@ object RelQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  // Conditional aggregation + calendar arithmetic per priority class:
+  // FILTER-style counting, day spans from date min/max, distinct month
+  // buckets — one hash aggregate, map-side partials, no extra shuffle
+  // for the conditional counts (they ride the same exchange).
+  def q54CondDateAggs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_totalprice") > 150000, 1)).as("n_big"),
+        datediff(max(col("o_orderdate")), min(col("o_orderdate")))
+          .cast("long").as("span_days"),
+        countDistinct(trunc(col("o_orderdate"), "month"))
+          .as("n_months"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority")
+
+  val q54Sql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+      |  CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate)) AS BIGINT)
+      |    AS span_days,
+      |  count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+      |  count(*) AS n_rows
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_cond_date_aggs" -> q54CondDateAggs _,
     "q01_pricing_summary" -> q1PricingSummary _,
     "q02_filter_project" -> q2FilterProject _,
     "q03_top_revenue" -> q3TopRevenue _,
@@ -1120,5 +1149,6 @@ object RelQueries {
     "q47_correlated_subquery" -> q47Text,
     "q50_pivot" -> q50Sql,
     "q51_unpivot" -> q51Sql,
-    "q52_stats_aggs" -> q52Sql)
+    "q52_stats_aggs" -> q52Sql,
+    "q54_cond_date_aggs" -> q54Sql)
 }

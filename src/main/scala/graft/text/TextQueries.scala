@@ -352,7 +352,32 @@ object TextQueries {
       |WHERE n_chars >= 8
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q55
+  // Ordered string aggregation (listagg/string_agg): doc ids per
+  // language as a deterministic comma list. collect_list carries no
+  // ordering guarantee under parallel merge, so the sort happens inside
+  // the row (array_sort) — the scale-correct formulation; an unsorted
+  // listagg would be nondeterministic across partitionings.
+  def q55StringAgg(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") < 100)
+      .groupBy("lang")
+      .agg(concat_ws(",",
+        expr("transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING))"))
+        .as("ids"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  val q55Sql: String =
+    """SELECT lang, string_agg(doc_id, ',' ORDER BY doc_id) AS ids,
+      |  count(*) AS n_docs
+      |FROM documents
+      |WHERE doc_id < 100
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_string_agg" -> q55StringAgg _,
     "q53_fingerprint" -> q53Fingerprint _,
     "q48_levenshtein" -> q48Levenshtein _,
     "q40_tfidf" -> q40Tfidf _,
@@ -365,6 +390,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q55_string_agg" -> q55Sql,
     "q53_fingerprint" -> q53Sql,
     "q48_levenshtein" -> q48Sql,
     "q40_tfidf" -> q40Sql,
