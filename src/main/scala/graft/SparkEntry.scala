@@ -23,6 +23,7 @@ object SparkEntry {
       sim.SimQueries.queries ++
       // rows-only checked (not SQL-expressible): LSH/sketch/heuristic ops
       text.NearDup.queries ++ text.DedupClusters.queries ++
+      text.Curation.queries ++
       sim.LshKnn.queries ++ text.LangId.queries ++
       rel.ApproxQueries.queries ++ ml.VoicePipeline.queries ++
       sim.IvfKnn.queries ++ sources.MultimodalStubs.queries

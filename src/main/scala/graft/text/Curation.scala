@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** End-to-end training-corpus curation: the composition a 100 TB
+  * pipeline actually runs, assembled from the engine's own operators —
+  *
+  *   exact dedup (md5 keeper)  →  near-dup clusters (MinHash bands +
+  *   connected components keeper)  →  quality filters (token count,
+  *   lexical diversity)
+  *
+  * One row per document with the keep/drop decision and the FIRST
+  * failing gate as the reason (precedence: exact_dup → near_dup →
+  * low_quality), so corpus loss is attributable per stage — the
+  * accounting every data-curation run needs.
+  *
+  * Scale shape: exact dedup shuffles 16-byte fingerprints; near-dup is
+  * the banded sub-quadratic path; quality is a narrow per-row
+  * expression; the final assembly is two equi-joins on doc_id. Nothing
+  * here is quadratic or driver-bound at any corpus size.
+  */
+object Curation {
+
+  def curate(s: SparkSession, d: String, minTokens: Int = 5,
+      minDistinctRatio: Double = 0.2): DataFrame = {
+    val docs = documents(s, d)
+    // gate 1: exact duplicates — keeper = min doc_id per fingerprint
+    val exact = docs
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .withColumn("exact_keeper",
+        min("doc_id").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("fp")))
+      .select(col("doc_id"), (col("doc_id") === col("exact_keeper"))
+        .as("is_exact_keeper"))
+    // gate 2: near-duplicate clusters — keeper = cluster min
+    val clusters = DedupClusters.dedupClusters(s, d)
+      .select(col("doc_id"), col("cluster_id"),
+        col("is_keeper").as("is_cluster_keeper"))
+    // gate 3: per-row quality
+    val toks = split(col("text"), "\\s+")
+    val quality = docs.select(col("doc_id"), col("lang"),
+      size(toks).cast("long").as("n_tokens"),
+      (size(array_distinct(toks)).cast("double") /
+        size(toks).cast("double")).as("distinct_ratio"))
+    quality
+      .join(exact, "doc_id")
+      .join(clusters, "doc_id")
+      .withColumn("drop_reason",
+        when(!col("is_exact_keeper"), "exact_dup")
+          .when(!col("is_cluster_keeper"), "near_dup")
+          .when(col("n_tokens") < minTokens ||
+            col("distinct_ratio") < minDistinctRatio, "low_quality"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("distinct_ratio"), 4).as("distinct_ratio"),
+        col("cluster_id"), col("drop_reason").isNull.as("keep"),
+        col("drop_reason"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-stage corpus-loss accounting over the curation output. */
+  def curationStats(curated: DataFrame): DataFrame =
+    curated
+      .groupBy(coalesce(col("drop_reason"), lit("kept")).as("outcome"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("outcome")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_curation" -> ((s: SparkSession, d: String) => curate(s, d)),
+    "nq_curation_stats" -> ((s: SparkSession, d: String) =>
+      curationStats(curate(s, d))))
+}

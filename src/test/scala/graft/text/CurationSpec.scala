@@ -1,0 +1,68 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The composed curation pipeline must be consistent with each gate it
+  * is assembled from, and its accounting must cover the corpus exactly.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val curated = Curation.curate(spark, sf0001).cache()
+
+  test("every doc appears exactly once with a decision") {
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(curated.count() === nDocs)
+    assert(curated.select("doc_id").distinct().count() === nDocs)
+    val bad = curated.filter(col("keep") && col("drop_reason").isNotNull)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("exact_dup gate: dup copies drop, the min-id original is kept") {
+    // the driver corpus has no byte-identical dups (only mutated
+    // near-dups), so the exact gate is pinned on a fixture: doc 1000 is
+    // a byte-identical copy of doc 0, doc 1001 of doc 1
+    val docs = graft.Tables.documents(spark, sf0001)
+    val copies = docs.filter(col("doc_id") < 2)
+      .select((col("doc_id") + 1000L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("curdocs").toString
+    docs.unionByName(copies).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val cur = Curation.curate(spark, dir).cache()
+    val dupRows = cur.filter(col("doc_id") >= 1000L)
+      .select("drop_reason").as[String].collect()
+    assert(dupRows.toSet === Set("exact_dup"),
+      s"copies must drop as exact_dup: ${dupRows.mkString(",")}")
+    val originals = cur.filter(col("doc_id") < 2)
+      .select("drop_reason").as[String].collect()
+    assert(!originals.contains("exact_dup"),
+      "min-id originals must not be flagged exact_dup")
+    cur.unpersist()
+  }
+
+  test("near_dup drops share a cluster with exactly one keeper") {
+    val byCluster = curated
+      .groupBy("cluster_id")
+      .agg(sum(when(col("drop_reason") === "near_dup", 1).otherwise(0))
+        .as("n_near_dropped"),
+        sum(when(col("keep") || col("drop_reason") === "low_quality", 1)
+          .otherwise(0)).as("n_keeper_side"))
+      .filter(col("n_near_dropped") > 0)
+    // a cluster that dropped near-dups must still have its keeper row
+    // (which may itself fail quality later — that's a different reason)
+    assert(byCluster.filter(col("n_keeper_side") === 0).count() === 0)
+  }
+
+  test("stats partition the corpus and reconcile with the decisions") {
+    val stats = Curation.curationStats(curated)
+      .as[(String, Long)].collect().toMap
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(stats.values.sum === nDocs)
+    assert(stats("kept") === curated.filter(col("keep")).count())
+    assert(stats.keySet.subsetOf(
+      Set("kept", "exact_dup", "near_dup", "low_quality")))
+  }
+}
