@@ -26,7 +26,8 @@ object SparkEntry {
       text.Curation.queries ++
       sim.LshKnn.queries ++ text.LangId.queries ++
       rel.ApproxQueries.queries ++ ml.VoicePipeline.queries ++
-      sim.IvfKnn.queries ++ sources.MultimodalStubs.queries
+      sim.IvfKnn.queries ++ sim.PqKnn.queries ++
+      sources.MultimodalStubs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
