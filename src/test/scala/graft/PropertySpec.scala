@@ -84,4 +84,40 @@ object GraftProps extends Properties("graft") {
       groups.length == texts.distinct.length &&
         groups.map(_.getLong(1)).sum == texts.length
     }
+
+  // random graphs vs a reference union-find: the DataFrame min-label
+  // propagation must produce exactly the same components
+  private val edgeGen = for {
+    n <- Gen.choose(2, 16)
+    m <- Gen.choose(0, 20)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+    } yield (a, b))
+  } yield (n.toLong, edges.filter(e => e._1 != e._2))
+
+  property("connected components equal reference union-find on random graphs") =
+    forAll(edgeGen) { case (n, edges) =>
+      val parent = Array.tabulate(n.toInt)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // reference label = min node id in component
+      val want = (0 until n.toInt).groupBy(find).flatMap { case (_, ns) =>
+        val mn = ns.min.toLong; ns.map(_.toLong -> mn)
+      }
+      val nodes = (0L until n).toDF("doc_id")
+      val pairs =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("d1", "d2")
+        else edges.toDF("d1", "d2")
+      val got = graft.text.DedupClusters.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
 }
