@@ -104,13 +104,15 @@ object SimQueries {
     embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
-      .agg(round(avg(col("v").cast("double")), 6).as("centroid"),
+      // +0.0 normalizes IEEE −0.0: a signed average an ulp below zero
+      // rounds to −0.0 in DuckDB but +0.0 here (same hazard as q52)
+      .agg((round(avg(col("v").cast("double")), 6) + lit(0.0)).as("centroid"),
         count(lit(1)).as("n_vectors"))
       .orderBy("label", "dim")
 
   val q32Sql: String =
     """SELECT label, CAST(i AS BIGINT) AS dim,
-      |  round(avg(e[i]), 6) AS centroid, count(*) AS n_vectors
+      |  round(avg(e[i]), 6) + 0.0 AS centroid, count(*) AS n_vectors
       |FROM (SELECT label, embedding::DOUBLE[] AS e FROM embeddings) t,
       |  LATERAL (SELECT unnest(generate_series(1, len(e))) AS i) g
       |GROUP BY label, i
