@@ -25,7 +25,8 @@ object SparkEntry {
       text.NearDup.queries ++ text.DedupClusters.queries ++
       text.Curation.queries ++
       sim.LshKnn.queries ++ text.LangId.queries ++
-      rel.ApproxQueries.queries ++ ml.VoicePipeline.queries ++
+      rel.ApproxQueries.queries ++ rel.Skew.queries ++
+      ml.VoicePipeline.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++
       sources.MultimodalStubs.queries
 

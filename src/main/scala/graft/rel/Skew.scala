@@ -37,6 +37,21 @@ object Skew {
       .agg(sum("__psum").as(s"sum_$valueCol"), sum("__pcnt").as("n_rows"))
   }
 
+  /** Driver entry (rows-only): salted per-user value totals over events,
+    * ordered for determinism — the salted plan must agree with the plain
+    * groupBy (asserted in SkewSpec); this runs it inside the contract.
+    */
+  def saltedAggQuery(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    saltedSumCount(graft.Tables.events(s, d).select("user_id", "value"),
+        Seq("user_id"), "value")
+      .select(col("user_id"), round(col("sum_value"), 2).as("sum_value"),
+        col("n_rows"))
+      .orderBy("user_id")
+
+  val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
+    Map("nq_salted_agg" -> (saltedAggQuery _))
+
   /** Salted equi-join: big side gets a deterministic salt in [0, nSalts);
     * the small side is replicated nSalts times (explode) so every
     * (key, salt) pair still matches. Hot keys on the big side fan out

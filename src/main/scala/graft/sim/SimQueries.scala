@@ -152,7 +152,31 @@ object SimQueries {
       |WHERE rn <= 5
       |ORDER BY query_id, rn""".stripMargin
 
+  // ------------------------------------------------- embedding PCA
+  /** Embedding dimensionality reduction (rows-only): MLlib PCA 64→8 over
+    * the corpus, reporting per-component explained variance — the
+    * standard preprocessing step before ANN indexing (shorter vectors →
+    * cheaper distance evaluations; variance tells how much recall the
+    * truncation costs). Train is one distributed covariance pass; the
+    * projection itself would be a narrow matrix multiply per row.
+    */
+  def embeddingPca(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    import s.implicits._
+    val vecs = embeddings(s, d)
+      .select(array_to_vector(col("embedding")).as("v"))
+    val model = new PCA().setK(k).setInputCol("v").setOutputCol("p")
+      .fit(vecs)
+    model.explainedVariance.toArray.zipWithIndex
+      .map { case (ev, i) => (i.toLong, BigDecimal(ev).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("component", "explained_variance")
+      .orderBy("component")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_embedding_pca" -> ((s: SparkSession, d: String) => embeddingPca(s, d)),
     "q49_cross_modal" -> q49CrossModal _,
     "q30_knn_exact" -> q30KnnExact _,
     "q31_embedding_neardup" -> q31EmbeddingNeardup _,

@@ -38,6 +38,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q05 star join broadcasts the dimension sides") {
+    val plan = finalPhysical(
+      graft.SparkEntry.queries("q05_nation_revenue")(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"dims should broadcast-hash-join:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("minhash verify joins are equi-joins on doc ids (no explicit corpus broadcast)") {
     val df = graft.text.NearDup.minhashNeardupFast(spark, sf0001)
     val joins = optimizedJoins(df)
