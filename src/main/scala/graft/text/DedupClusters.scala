@@ -65,21 +65,30 @@ object DedupClusters {
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  // memoized per (session, dir, threshold): the driver contract runs
+  // this twice per Verify (nq_dedup_clusters + the curation pipeline) —
+  // the iterative CC prefix is label-propagation over cached frames, so
+  // recomputing it is pure waste
+  private val ccCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Double), DataFrame]
+
   /** Full dedup assignment over the documents corpus: near-dup pairs from
     * the columnar MinHash path → components → (doc_id, cluster_id,
     * is_keeper). keeper = min doc_id per cluster (deterministic, same
     * policy as exact dedup q23). Downstream dedup = `filter(is_keeper)`.
     */
   def dedupClusters(s: SparkSession, d: String,
-      threshold: Double = 0.5): DataFrame = {
-    val pairs = NearDup.minhashNeardupFast(s, d, threshold = threshold)
-      .select("d1", "d2")
-    val nodes = documents(s, d).select("doc_id")
-    connectedComponents(nodes, pairs)
-      .select(col("doc_id"), col("cluster_id"),
-        (col("doc_id") === col("cluster_id")).as("is_keeper"))
-      .orderBy("doc_id")
-  }
+      threshold: Double = 0.5): DataFrame =
+    ccCache.getOrElseUpdate((s, d, threshold), {
+      val pairs = NearDup.minhashNeardupFast(s, d, threshold = threshold)
+        .select("d1", "d2")
+      val nodes = documents(s, d).select("doc_id")
+      connectedComponents(nodes, pairs)
+        .select(col("doc_id"), col("cluster_id"),
+          (col("doc_id") === col("cluster_id")).as("is_keeper"))
+        .orderBy("doc_id")
+        .localCheckpoint() // materialized once; both contract queries reuse
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
