@@ -376,7 +376,45 @@ object TextQueries {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- q56
+  // Sequence packing — the tokenize-and-pack step of a training-data
+  // pipeline: documents are laid head-to-tail per language in doc_id
+  // order and split into fixed-size token windows; each doc gets the
+  // pack it starts in and its offset there. Pure window arithmetic:
+  // running cumsum partitioned by lang (parallel across languages —
+  // a GLOBAL pack order would serialize the window; at 100 TB you pack
+  // within shards and number packs (shard, pack_id), exactly this
+  // shape).
+  def q56PackSequences(s: SparkSession, d: String,
+      seqLen: Int = 2048): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum("n_tokens").over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        (col("start_tok") / seqLen).cast("long").as("pack_id"),
+        (col("start_tok") % seqLen).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  val q56Sql: String =
+    """SELECT doc_id, lang, n_tokens,
+      |  CAST(floor(start_tok / 2048) AS BIGINT) AS pack_id,
+      |  CAST(start_tok % 2048 AS BIGINT) AS pack_offset
+      |FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+      |      - n_tokens AS start_tok
+      |  FROM (SELECT doc_id, lang,
+      |          len(regexp_split_to_array(text, '\s+')) AS n_tokens
+      |        FROM documents) t) p
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_pack_sequences" -> ((s: SparkSession, d: String) => q56PackSequences(s, d)),
     "q55_string_agg" -> q55StringAgg _,
     "q53_fingerprint" -> q53Fingerprint _,
     "q48_levenshtein" -> q48Levenshtein _,
@@ -390,6 +428,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q56_pack_sequences" -> q56Sql,
     "q55_string_agg" -> q55Sql,
     "q53_fingerprint" -> q53Sql,
     "q48_levenshtein" -> q48Sql,
