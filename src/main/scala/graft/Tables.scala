@@ -11,18 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * nothing else changes.
   */
 object Tables {
-  // Memoized per (session, path): spark.read.parquet re-lists the
-  // directory and re-reads footers on every call, a fixed ~50-150 ms tax
-  // per query that dominates sub-second queries at test SFs. The
-  // DataFrame (an immutable logical plan + resolved FileIndex) is safe
-  // to share across queries in a session. On a real deployment these
-  // are catalog tables and the metastore plays this role.
+  // Memoized per (session, path) for the IMMUTABLE driver test data
+  // only: spark.read.parquet re-lists the directory and re-reads footers
+  // on every call, a fixed ~50-150 ms tax per query that dominates
+  // sub-second queries at test SFs. Mutable locations (spec fixture temp
+  // dirs, which are rewritten with mode=overwrite) always read fresh —
+  // a memoized FileIndex would serve stale or deleted files. On a real
+  // deployment catalog tables + the metastore play this role.
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    memo.getOrElseUpdate((spark, s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    if (dir.startsWith("/root/testdata"))
+      memo.getOrElseUpdate((spark, path), spark.read.parquet(path))
+    else spark.read.parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = t(s, d, "nation")

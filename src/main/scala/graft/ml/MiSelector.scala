@@ -83,10 +83,18 @@ class MiSelector(override val uid: String)
   }
 
   // appends the output column so downstream stages validate during
-  // Pipeline.fit's schema propagation (candidates are numeric → double)
-  override def transformSchema(schema: StructType): StructType =
-    StructType(schema.fields :+
-      StructField($(outputCol), org.apache.spark.sql.types.DoubleType))
+  // Pipeline.fit's schema propagation. The winner's type is unknown
+  // until fit, but all candidates share one type — declare that (fall
+  // back to double when candidates aren't set/present); replace any
+  // pre-existing output column, matching withColumn semantics.
+  override def transformSchema(schema: StructType): StructType = {
+    val dt = if (isSet(featureCols) && $(featureCols).nonEmpty &&
+        schema.fieldNames.contains($(featureCols).head))
+      schema($(featureCols).head).dataType
+    else org.apache.spark.sql.types.DoubleType
+    StructType(schema.fields.filterNot(_.name == $(outputCol)) :+
+      StructField($(outputCol), dt))
+  }
   override def copy(extra: ParamMap): MiSelector = defaultCopy(extra)
 }
 
@@ -123,10 +131,11 @@ class MiSelectorModel(override val uid: String)
     ds.toDF().withColumn($(outputCol), col($(selectedCol)))
 
   override def transformSchema(schema: StructType): StructType =
-    StructType(schema.fields :+ StructField($(outputCol),
-      if (isSet(selectedCol) && schema.fieldNames.contains($(selectedCol)))
-        schema($(selectedCol)).dataType
-      else org.apache.spark.sql.types.DoubleType))
+    StructType(schema.fields.filterNot(_.name == $(outputCol)) :+
+      StructField($(outputCol),
+        if (isSet(selectedCol) && schema.fieldNames.contains($(selectedCol)))
+          schema($(selectedCol)).dataType
+        else org.apache.spark.sql.types.DoubleType))
   override def copy(extra: ParamMap): MiSelectorModel = defaultCopy(extra)
 }
 

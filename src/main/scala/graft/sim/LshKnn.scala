@@ -54,18 +54,21 @@ object LshKnn {
     val s = emb.sparkSession
     import s.implicits._
     val nBits = rowsPerBand * nTables
-    val dim = emb.select("embedding").head().getSeq[Float](0).length
-    val planes = {
-      val r = new scala.util.Random(seed)
-      Array.fill(nBits, dim)(r.nextGaussian())
-    }
     // sign(e·h) = sign(unit(e)·h): hashing needs no normalization.
     // Carry the embedding + norm through the banded relation so the
     // verify happens inline in the join — n×t rows of ~(dim·4)B each.
+    // Hyperplanes are regenerated lazily per partition from the seed and
+    // the first row's dimensionality (a few hundred KB of gaussians —
+    // cheaper than a driver head() job to probe the dim, and empty-safe).
     emb.select(col("vec_id"), col("embedding"), col("nrm"))
       .as[(Long, Array[Float], Double)]
       .mapPartitions { it =>
+        var planes: Array[Array[Double]] = null
         it.flatMap { case (id, e, nrm) =>
+          if (planes == null) {
+            val r = new scala.util.Random(seed)
+            planes = Array.fill(nBits, e.length)(r.nextGaussian())
+          }
           val bits = new Array[Boolean](nBits)
           var j = 0
           while (j < nBits) {

@@ -76,9 +76,15 @@ object PqKnn {
     import s.implicits._
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
-    // 1. TRAIN on a seeded bounded sample (≤ ~2k rows regardless of SF)
-    val sample = emb.sample(withReplacement = false, 0.5, seed = 42)
-      .limit(2000).collect().map(_._2)
+    // 1. TRAIN on a content-deterministic bounded sample (≤ ~2k rows
+    // regardless of SF): hash-of-id selection + ordered limit is
+    // independent of partition layout, unlike Bernoulli sample() +
+    // LocalLimit whose rows depend on split sizes / parallelism — the
+    // codebooks must not change when SPARK_GRAFT_CPUS does
+    val sample = emb
+      .filter(x => (x._1 & 1) == 0)
+      .orderBy("vec_id").limit(2000).as[(Long, Array[Float])]
+      .collect().map(_._2)
     val dim = sample.head.length
     require(dim % m == 0, "dim must divide into m subspaces")
     val sub = dim / m

@@ -23,8 +23,19 @@ import graft.Tables._
   */
 object Curation {
 
+  // memoized per (session, dir, params): the contract runs nq_curation
+  // AND nq_curation_stats in one Verify pass — without the memo the md5
+  // window, quality pass, and both assembly joins execute twice
+  private val memo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int, Double), DataFrame]
+
   def curate(s: SparkSession, d: String, minTokens: Int = 5,
-      minDistinctRatio: Double = 0.2): DataFrame = {
+      minDistinctRatio: Double = 0.2): DataFrame =
+    memo.getOrElseUpdate((s, d, minTokens, minDistinctRatio),
+      curateUncached(s, d, minTokens, minDistinctRatio).localCheckpoint())
+
+  private def curateUncached(s: SparkSession, d: String, minTokens: Int,
+      minDistinctRatio: Double): DataFrame = {
     val docs = documents(s, d)
     // gate 1: exact duplicates — keeper = min doc_id per fingerprint
     val exact = docs

@@ -34,7 +34,7 @@ object DedupClusters {
     * `pairs` are singletons labeled with themselves.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 50): DataFrame = {
     // symmetrize: neighbor lists in both directions
     val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
       .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
@@ -62,6 +62,13 @@ object DedupClusters {
       labels = next
       iter += 1
     }
+    // a silent non-convergence would split one true cluster into several,
+    // each electing its own keeper — fail loudly instead (raise maxIter
+    // for graphs with genuinely larger diameter)
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter iterations " +
+        s"($changed labels still changing) — component diameter exceeds " +
+        "maxIter; raise it")
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -16,7 +16,10 @@ class PlanShapeSpec extends SparkSpec {
     df.queryExecution.optimizedPlan.collect { case j: Join => j }
 
   private def finalPhysical(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save() // settle AQE
+    // an action on THIS Dataset settles its own AdaptiveSparkPlanExec;
+    // (a noop write would execute a separate QueryExecution and leave
+    // df's plan in its initial, pre-AQE state)
+    df.collect()
     df.queryExecution.executedPlan.toString
   }
 
