@@ -23,7 +23,7 @@ object SparkEntry {
       sim.SimQueries.queries ++
       // rows-only checked (not SQL-expressible): LSH/sketch/heuristic ops
       text.NearDup.queries ++ text.DedupClusters.queries ++
-      text.Curation.queries ++
+      text.Curation.queries ++ text.Mixing.queries ++
       sim.LshKnn.queries ++ text.LangId.queries ++
       rel.ApproxQueries.queries ++ rel.Skew.queries ++
       ml.VoicePipeline.queries ++

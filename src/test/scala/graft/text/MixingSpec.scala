@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MixingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("domain mix: hash-threshold sampling hits target fractions, layout-independent") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val mixed = Mixing.domainMix(docs, "lang",
+      Map("en" -> 1.0, "de" -> 0.5)).cache()
+    // en kept fully, de halved (tolerance for small per-lang counts),
+    // every other lang dropped (fraction 0)
+    val before = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val after = mixed.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(after("en") === before("en"))
+    assert(after.keySet === Set("en", "de"))
+    val deRatio = after("de").toDouble / before("de")
+    assert(deRatio > 0.25 && deRatio < 0.75, s"de ratio $deRatio")
+    // determinism is structural (pure function of doc_id + seed): a
+    // repartitioned input must select the IDENTICAL doc set
+    val repart = Mixing.domainMix(docs.repartition(13), "lang",
+      Map("en" -> 1.0, "de" -> 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(repart === mixed.select("doc_id").as[Long].collect().toSet)
+    mixed.unpersist()
+  }
+
+  test("contamination: planted cross-split near-dups are flagged, clean docs are not") {
+    // benchmark = doc_id % 10 == 0; the corpus contains mutated
+    // near-dup copies of some benchmark docs (planted by the driver
+    // data), which share most shingles -> high overlap for those docs
+    val out = Mixing.contaminationQuery(spark, sf0001).cache()
+    val nBench = graft.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 10 === 0)
+      .filter(size(split($"text", "\\s+")) >= 3).count()
+    assert(out.count() === nBench) // every bench doc gets a verdict
+    assert(out.filter($"contaminated").count() > 0,
+      "planted cross-split dups should contaminate")
+    assert(out.filter(!$"contaminated").count() > 0,
+      "not every bench doc is a dup")
+    // contaminated docs really do share a near-dup pair across the split
+    val pairs = NearDup.minhashNeardupFast(spark, sf0001)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    val crossSplit = pairs.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => a
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => b
+    }.toSet
+    val flagged = out.filter($"contaminated")
+      .select("doc_id").as[Long].collect().toSet
+    assert(crossSplit.subsetOf(flagged),
+      s"near-dup bench docs missing from contamination: ${crossSplit -- flagged}")
+    out.unpersist()
+  }
+}
