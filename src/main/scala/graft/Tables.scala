@@ -21,9 +21,18 @@ object Tables {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** The driver's immutable test-data root (TESTDATA.md). Results and
+    * file listings under it may be memoized for the session; anything
+    * else (spec fixture temp dirs, user paths) must always read fresh.
+    * Trailing separator so sibling dirs (e.g. …/testdata_v2) don't match.
+    */
+  val ImmutableRoot = "/root/testdata/"
+  def isImmutable(dir: String): Boolean =
+    dir.startsWith(ImmutableRoot) || dir == ImmutableRoot.stripSuffix("/")
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    if (dir.startsWith("/root/testdata"))
+    if (isImmutable(dir))
       memo.getOrElseUpdate((spark, path), spark.read.parquet(path))
     else spark.read.parquet(path)
   }

@@ -92,8 +92,7 @@ class MiSelector(override val uid: String)
         schema.fieldNames.contains($(featureCols).head))
       schema($(featureCols).head).dataType
     else org.apache.spark.sql.types.DoubleType
-    StructType(schema.fields.filterNot(_.name == $(outputCol)) :+
-      StructField($(outputCol), dt))
+    MiSelectorModel.withOutputField(schema, $(outputCol), dt)
   }
   override def copy(extra: ParamMap): MiSelector = defaultCopy(extra)
 }
@@ -131,12 +130,21 @@ class MiSelectorModel(override val uid: String)
     ds.toDF().withColumn($(outputCol), col($(selectedCol)))
 
   override def transformSchema(schema: StructType): StructType =
-    StructType(schema.fields.filterNot(_.name == $(outputCol)) :+
-      StructField($(outputCol),
-        if (isSet(selectedCol) && schema.fieldNames.contains($(selectedCol)))
-          schema($(selectedCol)).dataType
-        else org.apache.spark.sql.types.DoubleType))
+    MiSelectorModel.withOutputField(schema, $(outputCol),
+      if (isSet(selectedCol) && schema.fieldNames.contains($(selectedCol)))
+        schema($(selectedCol)).dataType
+      else org.apache.spark.sql.types.DoubleType)
   override def copy(extra: ParamMap): MiSelectorModel = defaultCopy(extra)
 }
 
-object MiSelectorModel extends DefaultParamsReadable[MiSelectorModel]
+object MiSelectorModel extends DefaultParamsReadable[MiSelectorModel] {
+  /** Replace the output field IN PLACE when it already exists (matching
+    * `withColumn`'s position-preserving semantics), append otherwise.
+    */
+  private[ml] def withOutputField(schema: StructType, name: String,
+      dt: org.apache.spark.sql.types.DataType): StructType =
+    if (schema.fieldNames.contains(name))
+      StructType(schema.fields.map(f =>
+        if (f.name == name) StructField(name, dt) else f))
+    else StructType(schema.fields :+ StructField(name, dt))
+}

@@ -77,13 +77,15 @@ object PqKnn {
     val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])]
     // 1. TRAIN on a content-deterministic bounded sample (≤ ~2k rows
-    // regardless of SF): hash-of-id selection + ordered limit is
-    // independent of partition layout, unlike Bernoulli sample() +
-    // LocalLimit whose rows depend on split sizes / parallelism — the
-    // codebooks must not change when SPARK_GRAFT_CPUS does
+    // regardless of SF): order by a hash of the id and take the first
+    // 2000 — independent of partition layout (unlike Bernoulli sample()
+    // + LocalLimit, whose rows depend on split sizes / parallelism, so
+    // codebooks would change with SPARK_GRAFT_CPUS) AND spread uniformly
+    // over the id space (an id-prefix sample would bias the codebooks
+    // toward whatever was ingested first)
     val sample = emb
-      .filter(x => (x._1 & 1) == 0)
-      .orderBy("vec_id").limit(2000).as[(Long, Array[Float])]
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2000)
+      .as[(Long, Array[Float])]
       .collect().map(_._2)
     val dim = sample.head.length
     require(dim % m == 0, "dim must divide into m subspaces")

@@ -31,8 +31,12 @@ object Curation {
 
   def curate(s: SparkSession, d: String, minTokens: Int = 5,
       minDistinctRatio: Double = 0.2): DataFrame =
-    memo.getOrElseUpdate((s, d, minTokens, minDistinctRatio),
-      curateUncached(s, d, minTokens, minDistinctRatio).localCheckpoint())
+    // memoize only immutable driver data (fixture dirs re-read fresh —
+    // same policy as Tables.t and DedupClusters)
+    if (graft.Tables.isImmutable(d))
+      memo.getOrElseUpdate((s, d, minTokens, minDistinctRatio),
+        curateUncached(s, d, minTokens, minDistinctRatio).localCheckpoint())
+    else curateUncached(s, d, minTokens, minDistinctRatio)
 
   private def curateUncached(s: SparkSession, d: String, minTokens: Int,
       minDistinctRatio: Double): DataFrame = {

@@ -41,34 +41,44 @@ object DedupClusters {
       .distinct().localCheckpoint()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint()
-    var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    def step(ls: DataFrame): (DataFrame, Long) = {
       val nbrMin = edges
-        .join(labels.withColumnRenamed("doc_id", "dst_id"),
+        .join(ls.withColumnRenamed("doc_id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src"))
         .agg(min("label").as("nbr_label"))
-      val next = labels
+      val next = ls
         .join(nbrMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"))
         .localCheckpoint()
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+      val ch = next.as("n")
+        .join(ls.as("o"), col("n.doc_id") === col("o.doc_id"))
         .filter(col("n.label") =!= col("o.label"))
         .count()
-      labels = next
-      iter += 1
+      (next, ch)
     }
-    // a silent non-convergence would split one true cluster into several,
-    // each electing its own keeper — fail loudly instead (raise maxIter
-    // for graphs with genuinely larger diameter)
-    require(changed == 0,
-      s"connectedComponents did not converge in $maxIter iterations " +
-        s"($changed labels still changing) — component diameter exceeds " +
-        "maxIter; raise it")
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val (next, ch) = step(labels)
+      changed = ch; labels = next; iter += 1
+    }
+    if (changed > 0) {
+      // the loop hit the iteration cap with the final round still
+      // changing labels: one extra probe distinguishes "converged exactly
+      // at maxIter" from true non-convergence. A silent non-convergence
+      // would split one true cluster into several, each electing its own
+      // keeper — fail loudly instead (raise maxIter for graphs with
+      // genuinely larger diameter).
+      val (next, ch) = step(labels)
+      changed = ch; labels = next
+      require(changed == 0,
+        s"connectedComponents did not converge in $maxIter iterations " +
+          s"($changed labels still changing) — component diameter " +
+          "exceeds maxIter; raise it")
+    }
     labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
@@ -85,8 +95,8 @@ object DedupClusters {
     * policy as exact dedup q23). Downstream dedup = `filter(is_keeper)`.
     */
   def dedupClusters(s: SparkSession, d: String,
-      threshold: Double = 0.5): DataFrame =
-    ccCache.getOrElseUpdate((s, d, threshold), {
+      threshold: Double = 0.5): DataFrame = {
+    def build() = {
       val pairs = NearDup.minhashNeardupFast(s, d, threshold = threshold)
         .select("d1", "d2")
       val nodes = documents(s, d).select("doc_id")
@@ -94,8 +104,13 @@ object DedupClusters {
         .select(col("doc_id"), col("cluster_id"),
           (col("doc_id") === col("cluster_id")).as("is_keeper"))
         .orderBy("doc_id")
-        .localCheckpoint() // materialized once; both contract queries reuse
-    })
+    }
+    // memoize only the immutable driver data — a mutable fixture dir
+    // rewritten in place must never serve a stale checkpoint
+    if (graft.Tables.isImmutable(d))
+      ccCache.getOrElseUpdate((s, d, threshold), build().localCheckpoint())
+    else build()
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))

@@ -24,10 +24,8 @@ object Mixing {
     val frac = fractions.foldLeft(lit(0.0)) { case (acc, (dom, f)) =>
       when(col(domainCol) === dom, lit(f)).otherwise(acc)
     }
-    docs.withColumn("__frac", frac)
-      .filter(pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000L)) <
-        col("__frac") * 1000000L)
-      .drop("__frac")
+    docs.filter(pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000L)) <
+      frac * 1000000L)
   }
 
   /** Benchmark decontamination: per benchmark document, the fraction of
@@ -36,7 +34,10 @@ object Mixing {
     * (8-byte keys — at 100 TB this is the big-but-linear side of one
     * semi-join keyed on the hash); the benchmark side is tiny by
     * definition. Docs with overlap ≥ `flagAt` are contaminated and must
-    * be dropped from the corpus or the benchmark.
+    * be dropped from the corpus or the benchmark. EVERY benchmark doc
+    * gets a verdict row; docs too short to shingle (< 3 tokens) carry
+    * null overlap/contaminated — "unknown", not "clean" (the n-gram
+    * method simply cannot judge them; screen them by exact match).
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       flagAt: Double = 0.8): DataFrame = {
@@ -51,14 +52,20 @@ object Mixing {
     val benchSh = hashed(benchmark)
     val matched = benchSh.join(corpusSh, Seq("h"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    benchSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val counts = benchSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // contaminated derives from the ROUNDED overlap so the emitted flag
+    // always agrees with a consumer re-deriving it from the column
+    benchmark.select(col("doc_id")).distinct()
+      .join(counts, Seq("doc_id"), "left")
       .join(matched, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_matched"))
-      .select(col("doc_id"), col("n_shingles"), col("n_matched"),
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        when(col("n_shingles").isNotNull,
+          coalesce(col("n_matched"), lit(0L))).as("n_matched"))
+      .withColumn("overlap",
         round(col("n_matched").cast("double") /
-          col("n_shingles").cast("double"), 4).as("overlap"),
-        (col("n_matched").cast("double") /
-          col("n_shingles").cast("double") >= flagAt).as("contaminated"))
+          col("n_shingles").cast("double"), 4))
+      .withColumn("contaminated", col("overlap") >= flagAt)
       .orderBy("doc_id")
   }
 

@@ -33,9 +33,12 @@ class MixingSpec extends SparkSpec {
     // data), which share most shingles -> high overlap for those docs
     val out = Mixing.contaminationQuery(spark, sf0001).cache()
     val nBench = graft.Tables.documents(spark, sf0001)
-      .filter($"doc_id" % 10 === 0)
-      .filter(size(split($"text", "\\s+")) >= 3).count()
-    assert(out.count() === nBench) // every bench doc gets a verdict
+      .filter($"doc_id" % 10 === 0).count()
+    assert(out.count() === nBench) // every bench doc gets a verdict row
+    // shingle-less docs (< 3 tokens) must report null ("unknown"), never
+    // a false "clean"
+    val shortDocs = out.filter($"n_shingles" === 0)
+    assert(shortDocs.filter($"contaminated".isNotNull).count() === 0)
     assert(out.filter($"contaminated").count() > 0,
       "planted cross-split dups should contaminate")
     assert(out.filter(!$"contaminated").count() > 0,
