@@ -413,7 +413,38 @@ object TextQueries {
       |        FROM documents) t) p
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  // Overlapping chunking — the retrieval-side sibling of q56's packing:
+  // each document splits into 64-token windows with stride 48 (16-token
+  // overlap), one row per chunk. Narrow per-row expression (generate
+  // chunk starts, slice the token array) — embarrassingly parallel, no
+  // shuffle; the natural feed for embedding/indexing stages.
+  def q57ChunkDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), split(col("text"), "\\s+").as("t"))
+      .select(col("doc_id"),
+        posexplode(expr("sequence(1, size(t), 48)")).as(Seq("chunk_id", "start")),
+        col("t"))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        size(expr("slice(t, start, 64)")).cast("long").as("n_tokens"),
+        array_join(expr("slice(t, start, 64)"), " ").as("chunk_text"))
+      .orderBy("doc_id", "chunk_id")
+
+  val q57Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l FROM documents
+      |), c AS (
+      |  SELECT doc_id, CAST(floor((i - 1) / 48) AS BIGINT) AS chunk_id,
+      |    list_slice(l, i, i + 63) AS ch
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(l), 48)) AS i) g)
+      |SELECT doc_id, chunk_id, CAST(len(ch) AS BIGINT) AS n_tokens,
+      |  array_to_string(ch, ' ') AS chunk_text
+      |FROM c
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_chunk_docs" -> q57ChunkDocs _,
     "q56_pack_sequences" -> ((s: SparkSession, d: String) => q56PackSequences(s, d)),
     "q55_string_agg" -> q55StringAgg _,
     "q53_fingerprint" -> q53Fingerprint _,
@@ -428,6 +459,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q57_chunk_docs" -> q57Sql,
     "q56_pack_sequences" -> q56Sql,
     "q55_string_agg" -> q55Sql,
     "q53_fingerprint" -> q53Sql,
