@@ -21,6 +21,28 @@ object Scratch {
       r
     }
 
+    if (args.headOption.contains("curation")) {
+      // end-to-end curation probe on the 10x replicated corpus (50k docs
+      // with 9 strong near-dups per original): exact dedup -> near-dup
+      // clusters -> quality gates, with per-stage accounting.
+      val docs0 = graft.Tables.documents(spark, d)
+      val n = docs0.count()
+      val docs10 = (0 until 10).map { r =>
+        docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copymark$r")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      val tmp = java.nio.file.Files.createTempDirectory("docs10c").toString
+      docs10.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      println(s"[curation] corpus: ${n * 10} docs")
+      time("full curation on 10x corpus") {
+        val cur = graft.text.Curation.curate(spark, tmp)
+        graft.text.Curation.curationStats(cur).collect()
+          .foreach(r => println(s"  ${r.getString(0)}: ${r.getLong(1)}"))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("scaletext")) {
       // 10x near-dup scale probe: replicate documents with a per-copy
       // marker token appended — every original gains 9 strong near-dups
