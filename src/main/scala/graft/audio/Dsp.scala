@@ -107,6 +107,10 @@ object Dsp {
 
   /** 16-bit little-endian PCM bytes → [-1, 1] doubles. */
   def pcm16ToDoubles(pcm: Array[Byte]): Array[Double] = {
+    // fail fast on malformed input instead of silently dropping the
+    // trailing byte and shifting every downstream frame
+    require(pcm.length % 2 == 0,
+      s"pcm16ToDoubles: odd byte count ${pcm.length} is not 16-bit PCM")
     val n = pcm.length / 2
     Array.tabulate(n) { i =>
       val lo = pcm(2 * i) & 0xff

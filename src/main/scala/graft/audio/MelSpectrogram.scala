@@ -48,6 +48,7 @@ class MelSpectrogram(override val uid: String) extends Transformer
   def setIdCol(v: String): this.type = set(idCol, v)
   def setPcmCol(v: String): this.type = set(pcmCol, v)
   def setStartSecCol(v: String): this.type = set(startSecCol, v)
+  def setSampleRateCol(v: String): this.type = set(sampleRateCol, v)
   def setNMels(v: Int): this.type = set(nMels, v)
   def setNFft(v: Int): this.type = set(nFft, v)
   def setHop(v: Int): this.type = set(hop, v)

@@ -114,9 +114,15 @@ object VoiceDataGen {
         lit(SampleRate).as("sample_rate"))
       .withColumn("dur_sec",
         col("n_samples").cast("double") / col("sample_rate"))
-      // B7: running cumulative end time == the transcript's `seconds`
+      // B7: running cumulative end time == the transcript's `seconds`.
+      // start_sec is the PREVIOUS row's cumsum (lag), not seconds −
+      // dur_sec: fl(fl(S+d)−d) == S is not guaranteed in IEEE-754, and
+      // an ulp of overlap would let the half-open interval join label a
+      // boundary frame twice (with the wrong speaker). lag makes
+      // start_i ≡ end_{i−1} exactly, so segments tile the timeline.
       .withColumn("seconds", sum("dur_sec").over(w))
-      .withColumn("start_sec", col("seconds") - col("dur_sec"))
+      .withColumn("start_sec", coalesce(
+        lag("seconds", 1).over(Window.orderBy("phrase_id")), lit(0.0)))
       .withColumnRenamed("seconds", "end_sec")
       .withColumn("seconds", col("end_sec"))
   }

@@ -42,13 +42,16 @@ class MiSelector(override val uid: String)
   override def fit(ds: Dataset[_]): MiSelectorModel = {
     val df = ds.toDF()
     val cands = $(featureCols)
+    require(cands.nonEmpty, "MiSelector.fit: featureCols must be non-empty")
     val bins = $(nBins)
     // pass 1: per-candidate min/max (one aggregate row)
     val aggExprs = cands.flatMap(c =>
       Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
     val stats = df.agg(aggExprs.head, aggExprs.tail: _*).first()
-    require(!stats.isNullAt(0), "MiSelector.fit on empty dataset")
     val ranges = cands.indices.map { i =>
+      require(!stats.isNullAt(2 * i),
+        s"MiSelector.fit: candidate '${cands(i)}' is all-null or the " +
+          "dataset is empty")
       val lo = stats.getDouble(2 * i); val hi = stats.getDouble(2 * i + 1)
       (lo, if (hi > lo) hi - lo else 1.0)
     }
@@ -60,8 +63,11 @@ class MiSelector(override val uid: String)
           floor((col(c).cast("double") - lit(lo)) / lit(span) * bins)
             .cast("int"))).as("bin"))
     }
+    // label as string: MI only needs label identity, and the cast makes
+    // numeric/boolean label columns work (counts.getString below)
     val counts = df
-      .select(col($(labelCol)).as("label"), explode(array(binStructs: _*)).as("cb"))
+      .select(col($(labelCol)).cast("string").as("label"),
+        explode(array(binStructs: _*)).as("cb"))
       .groupBy(col("cb.cand").as("cand"), col("cb.bin").as("bin"), col("label"))
       .count()
       .collect() // contingency table: nCands × nBins × nLabels rows — tiny

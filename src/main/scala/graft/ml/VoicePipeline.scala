@@ -84,7 +84,7 @@ object VoicePipeline {
   /** Stage 6-8: split, fit, predict, evaluate. */
   def trainAndEvaluate(spark: SparkSession, nPhrases: Int = NPhrases,
       seed: Long = Seed): Result = {
-    val ts = timeSeries(spark, nPhrases, seed).cache()
+    val ts = timeSeries(spark, nPhrases, seed) // already cached by tsCache
     val Array(train, test) = ts.randomSplit(Array(0.8, 0.2), seed = 42)
     val indexer = new StringIndexer().setInputCol("speaker")
       .setOutputCol("label").setStringOrderType("alphabetAsc")

@@ -14,12 +14,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
-  /** Tumbling 1-hour event-time windows with a 2-hour watermark. */
+  /** Tumbling 1-hour event-time windows with a 2-hour watermark.
+    * Sums are rounded: incremental stateful accumulation adds in a
+    * different order than the batch hash aggregate, and IEEE addition
+    * is non-associative — rounding keeps the asserted batch ≡ streaming
+    * equality ulp-proof (same discipline as the oracle queries).
+    */
   def hourlyCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
@@ -30,13 +36,18 @@ object StreamingOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 2).as("sum_value"))
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start_us"),
         col("n_events"), col("sum_value"))
 
-  /** Watermarked streaming dedup on a key column (exact-dedup streaming
-    * form: state = seen keys inside the watermark horizon).
+  /** Watermarked streaming dedup on (keys, event time) — exact replay
+    * suppression: state = seen (key, ts) pairs inside the watermark
+    * horizon, so a re-delivered event (same key AND same timestamp) is
+    * dropped while a genuinely new event of the same key at a different
+    * time passes. For key-only dedup within the horizon use
+    * `dropDuplicatesWithinWatermark(keyCols)` instead.
     */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events.withWatermark("ts", "2 hours")
@@ -64,8 +75,12 @@ object StreamingOps {
         unix_micros(col("purchase_ts")).as("purchase_ts_us"))
   }
 
-  /** Typed-API sessionization: the same 30-minute-gap semantics as the
-    * declarative q16/q26, expressed as a KeyValueGroupedDataset mapGroups
+  /** Typed-API sessionization with q16's strict-gap convention (a new
+    * session when the gap EXCEEDS 30 min, matching the lag/cumsum form
+    * and its oracle; the built-in session_window (q26) splits at
+    * gap ≥ 30 min — the two differ only on exact-boundary gaps, which
+    * micro-second event times make practically impossible), expressed
+    * as a KeyValueGroupedDataset mapGroups
     * (the imperative per-key escape hatch for logic SQL can't express;
     * here it CAN, so the test suite asserts all three formulations agree).
     * Scale shape: one shuffle on user_id, per-group in-memory sort —
