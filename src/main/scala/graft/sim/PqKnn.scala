@@ -87,6 +87,7 @@ object PqKnn {
       .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2000)
       .as[(Long, Array[Float])]
       .collect().map(_._2)
+    require(sample.nonEmpty, "pqKnn: embeddings table is empty")
     val dim = sample.head.length
     require(dim % m == 0, "dim must divide into m subspaces")
     val sub = dim / m
@@ -135,10 +136,14 @@ object PqKnn {
       }
     // per-partition top-`shortlist` heaps per query: only ~shortlist
     // candidates per (partition, query) ever leave the scoring pass
+    // heap eviction order matches the downstream (est_cos desc, cand_id)
+    // window exactly — lexicographic (-score, id) makes score TIES evict
+    // the larger id deterministically, so the shortlist cannot depend on
+    // partition arrival order
     val cands = codes.mapPartitions { it =>
       val heaps = luts.map(q =>
         (q._1, new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
-          Ordering.by(-_._1))))
+          Ordering.by(x => (-x._1, x._2)))))
       it.foreach { case (id, code) =>
         var qi = 0
         while (qi < luts.length) {
@@ -151,8 +156,8 @@ object PqKnn {
             }
             val cos = est / (qn * math.max(math.sqrt(n2), 1e-12))
             val h = heaps(qi)._2
-            if (h.size < shortlist) h.enqueue((cos, id))
-            else if (h.head._1 < cos) { h.dequeue(); h.enqueue((cos, id)) }
+            h.enqueue((cos, id))
+            if (h.size > shortlist) h.dequeue()
           }
           qi += 1
         }

@@ -128,7 +128,10 @@ object SimQueries {
     val docs = documents(s, d)
       .select(col("doc_id"), col("lang"),
         substring(col("text"), 1, 30).as("preview"))
-    hits.join(broadcast(docs), col("neighbor_id") === col("doc_id"))
+    // broadcast the HITS (10 queries × 5 rows — constant), never the
+    // documents table: the doc store grows with the corpus and a
+    // broadcast of it is the driver-OOM-by-construction anti-pattern
+    docs.join(broadcast(hits), col("neighbor_id") === col("doc_id"))
       .select(col("query_id"), col("rn"), col("neighbor_id"),
         col("cosine"), col("lang"), col("preview"))
       .orderBy("query_id", "rn")

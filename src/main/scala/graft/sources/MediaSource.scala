@@ -27,13 +27,18 @@ object MediaSource {
       dir: String): Unit = {
     df.select(col(idCol).cast("long"), col(pcmCol))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        // executors create the directory themselves: on a multi-node
-        // cluster a driver-side mkdir would only exist on the driver
-        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+        // Hadoop FileSystem API, resolved per-executor from the path's
+        // scheme: plain java.nio would write to each executor's LOCAL
+        // disk on a multi-node cluster, silently scattering the sink.
+        // With an hdfs://, s3a://, file://-on-shared-mount dir this
+        // lands all files in one place; local mode behaves identically.
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(base)
         it.foreach { r =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(dir, s"${r.getLong(0)}.pcm"),
-            r.getAs[Array[Byte]](1))
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.pcm"), true)
+          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
         }
       }
   }

@@ -23,17 +23,31 @@ object LangId {
     "es" -> Seq("el", "los", "las", "es", "una", "y"),
     "zh" -> Seq("的", "是", "了", "在", "我", "不"))
 
-  private def score(lang: String): Column = {
-    val set = profiles(lang).map(w => s"'$w'").mkString(", ")
-    expr(s"size(filter(t, x -> x IN ($set)))")
-  }
+  /** Profile score. Token-based profiles match case-insensitively
+    * (sentence-initial "The"/"Der"/"Le" count). zh scores by CHARACTER
+    * occurrences in the raw text — Chinese has no whitespace, so a
+    * tokenizer-based profile would never fire on real zh input; counting
+    * marker characters works for both spaced (synthetic) and unspaced
+    * (real) text.
+    */
+  private def score(lang: String): Column =
+    if (lang == "zh")
+      profiles(lang).map(m =>
+        ((length(col("text")) - length(regexp_replace(col("text"), m, "")))
+          / m.length).cast("int"))
+        .reduce(_ + _)
+    else {
+      val set = profiles(lang).map(w => s"'$w'").mkString(", ")
+      expr(s"size(filter(t, x -> lcase(x) IN ($set)))")
+    }
 
   /** Per-doc predicted language + per-profile scores; 'und' when no
     * profile matches at all.
     */
   def langId(s: SparkSession, d: String): DataFrame = {
     val scored = documents(s, d)
-      .select(col("doc_id"), col("lang"), split(col("text"), "\\s+").as("t"))
+      .select(col("doc_id"), col("lang"), col("text"),
+        split(col("text"), "\\s+").as("t"))
       .select((col("doc_id") +: col("lang") +:
         profiles.keys.toSeq.sorted.map(l => score(l).as(s"score_$l"))): _*)
     val langsSorted = profiles.keys.toSeq.sorted

@@ -49,19 +49,20 @@ object Mixing {
           sh.iterator.map(x => (id, NearDup.hashShingle(x)))
         }.toDF("doc_id", "h")
     val corpusSh = hashed(corpus).select("h").distinct()
-    val benchSh = hashed(benchmark)
-    val matched = benchSh.join(corpusSh, Seq("h"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_matched"))
-    val counts = benchSh.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    // ONE pass over the benchmark shingles computes both counts: left
+    // join against the distinct corpus hashes (multiplicity-safe) with a
+    // match marker, then a single aggregate — no second tokenize scan
+    val both = hashed(benchmark)
+      .join(corpusSh.withColumn("__m", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("__m")).as("n_matched"))
     // contaminated derives from the ROUNDED overlap so the emitted flag
     // always agrees with a consumer re-deriving it from the column
     benchmark.select(col("doc_id")).distinct()
-      .join(counts, Seq("doc_id"), "left")
-      .join(matched, Seq("doc_id"), "left")
+      .join(both, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
-        when(col("n_shingles").isNotNull,
-          coalesce(col("n_matched"), lit(0L))).as("n_matched"))
+        when(col("n_shingles").isNotNull, col("n_matched")).as("n_matched"))
       .withColumn("overlap",
         round(col("n_matched").cast("double") /
           col("n_shingles").cast("double"), 4))

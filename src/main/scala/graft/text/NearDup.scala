@@ -92,16 +92,18 @@ object NearDup {
       .select(col("doc_id"), col("bits"),
         col("bb.band").as("band"), col("bb.bv").as("bv"))
     val a = banded.as("a"); val b = banded.as("b")
-    val cands = a.join(b,
+    // Hamming distance computed IN the join projection, BEFORE the
+    // dedup: only a (d1, d2, hamming) scalar row crosses the
+    // dropDuplicates exchange, not two 64-element bit arrays per
+    // colliding band (the distance is identical for every duplicate
+    // pair, so deduping after is equivalent and far lighter on the wire)
+    a.join(b,
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
-        col("a.bits").as("bits1"), col("b.bits").as("bits2"))
-      .dropDuplicates("d1", "d2")
-    cands
-      .select(col("d1"), col("d2"), expr(
-        "aggregate(zip_with(bits1, bits2, (x, y) -> abs(x - y)), 0, " +
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"), expr(
+        "aggregate(zip_with(a.bits, b.bits, (x, y) -> abs(x - y)), 0, " +
           "(acc, v) -> acc + v)").as("hamming"))
+      .dropDuplicates("d1", "d2")
       .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
   }
@@ -208,12 +210,20 @@ object NearDup {
           col("ba.doc_id") < col("bb.doc_id"))
       .select(col("ba.doc_id").as("d1"), col("bb.doc_id").as("d2"))
       .distinct()
-    // verify on the candidate set only. Deliberately NOT broadcast: the
-    // per-doc hash-set relation grows with the corpus, so a broadcast
-    // here OOMs the driver at 100 TB by construction. Plain shuffle
-    // equi-joins on doc_id scale linearly, and AQE demotes them to
-    // broadcast automatically whenever the side is actually small.
-    val docSets = mh.select(col("doc_id"), col("hs"), col("sz"))
+    verifyJaccard(cands, mh.select(col("doc_id"), col("hs"), col("sz")),
+      threshold)
+  }
+
+  /** Exact-jaccard verification of candidate pairs against per-doc
+    * sorted hash sets — shared by the full and incremental paths so the
+    * "incremental ≡ full restricted to new pairs" invariant can't drift.
+    * Deliberately NOT broadcast: the per-doc hash-set relation grows
+    * with the corpus, so a broadcast here OOMs the driver at 100 TB by
+    * construction. Plain shuffle equi-joins on doc_id scale linearly,
+    * and AQE demotes them to broadcast whenever actually small.
+    */
+  private def verifyJaccard(cands: DataFrame, docSets: DataFrame,
+      threshold: Double): DataFrame =
     cands
       .join(docSets.as("za"), col("d1") === col("za.doc_id"))
       .join(docSets.as("zb"), col("d2") === col("zb.doc_id"))
@@ -226,7 +236,6 @@ object NearDup {
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .orderBy("d1", "d2")
-  }
 
   // ------------------------------------------------- incremental MinHash
   /** Near-dup pairs TOUCHING a new batch: (new × corpus) ∪ (new × new),
@@ -260,18 +269,7 @@ object NearDup {
     val cands = cross.union(intra).distinct()
     val docSets = sigC.select(col("doc_id"), col("hs"), col("sz"))
       .union(sigN.select(col("doc_id"), col("hs"), col("sz")))
-    cands
-      .join(docSets.as("za"), col("d1") === col("za.doc_id"))
-      .join(docSets.as("zb"), col("d2") === col("zb.doc_id"))
-      .select(col("d1"), col("d2"),
-        size(array_intersect(col("za.hs"), col("zb.hs"))).as("n_inter"),
-        col("za.sz").as("sz1"), col("zb.sz").as("sz2"))
-      .select(col("d1"), col("d2"),
-        (col("n_inter").cast("double") /
-          (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .orderBy("d1", "d2")
+    verifyJaccard(cands, docSets, threshold)
   }
 
   /** Driver entry: docs with doc_id ≡ 0 (mod 10) play the "new batch". */
