@@ -24,7 +24,11 @@ object Bench {
     "q12_interval_join", "q13_running_total", "q14_json_extract",
     "q15_hourly_events", "q16_sessionize", "q23_dedup_exact",
     "q25_neardup_jaccard", "q30_knn_exact", "nq_lsh_neardup",
-    "nq_minhash_neardup", "nq_approx_distinct")
+    "nq_minhash_neardup", "nq_approx_distinct",
+    // LLM-pipeline composites: regressions in connected components,
+    // end-to-end curation, and IVF ANN must show up in the bench, not
+    // only in specs
+    "nq_dedup_clusters", "nq_curation", "nq_ivf_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -32,6 +36,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -63,9 +68,8 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
-    // sbt prefixes stdout with [info], which defeats line-oriented JSON
-    // parsing — also write the bare line to a file the driver can read.
+    // also write the bare line to a file in case stdout gets decorated
+    // by a wrapper (documented in README: SPARK_GRAFT_BENCH_OUT)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
@@ -74,5 +78,12 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
+    // print LAST, after spark.stop()'s log flood: with build.sbt's
+    // `run / outputStrategy := StdoutOutput` the forked JVM inherits the
+    // real stdout, so this is a bare un-prefixed line (sbt's default
+    // LoggedOutput would stamp it "[info] ", defeating line-oriented
+    // JSON parsing driver-side — BENCH_r02 "parsed": null).
+    println(line)
+    System.out.flush()
   }
 }

@@ -75,9 +75,18 @@ case class FloatVecDot(left: Expression, right: Expression)
 
 object VecFunctions {
   /** Idempotent per-session registration; afterwards `expr("vec_dot(a,b)")`
-    * resolves to the codegen'd expression.
+    * resolves to the codegen'd expression. Checks before replacing so
+    * repeated calls stay silent (no "replaced a previously registered
+    * function" warn-noise). The idiomatic deployment path is
+    * `spark.sql.extensions=graft.GraftExtensions` (Bench/Verify/tests set
+    * it), which makes this a no-op; query entry points still call it so a
+    * plain SparkSession works too.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    if (!reg.functionExists(id))
+      reg.createOrReplaceTempFunction(
+        "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+  }
 }

@@ -247,9 +247,15 @@ object TextQueries {
 
   // ---------------------------------------------------------------- q40
   // TF-IDF scoring, fully relational (the exact form of HashingTF+IDF):
-  // tf from an explode+groupBy, df from a per-term aggregate (broadcast —
-  // vocabulary ≪ corpus), idf = ln(N / df), top-3 terms per doc.
-  // The same two-aggregate shape MLlib's IDF estimator distributes.
+  // tf from an explode+groupBy, df from a per-term aggregate, idf =
+  // ln(N / df), top-3 terms per doc. The same two-aggregate shape
+  // MLlib's IDF estimator distributes.
+  // The tf⋈df join is a plain equi-join on the term, NOT broadcast(df):
+  // the document-frequency relation IS the vocabulary and grows with the
+  // corpus (billions of terms on web-scale text) — a forced broadcast
+  // pins it in every executor. AQE demotes the shuffle to a broadcast
+  // whenever df is actually small, so the hint buys nothing even on tiny
+  // corpora. Only nDocs (one row) is safe to broadcast unconditionally.
   def q40Tfidf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
@@ -260,7 +266,7 @@ object TextQueries {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("tfidf").desc, col("term"))
-    tf.join(broadcast(df), "term")
+    tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         col("tf") * log(col("n_docs").cast("double") / col("df")))

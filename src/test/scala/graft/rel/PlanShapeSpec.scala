@@ -50,6 +50,26 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("no text-family query force-broadcasts a corpus-derived relation") {
+    // Anything that grows with the corpus (per-doc sizes, per-term df,
+    // shingle index …) must reach joins unhinted — AQE broadcasts it when
+    // actually small. The only legitimate hints are provably-single-row
+    // relations (global aggregates like nDocs), which Catalyst knows via
+    // maxRows == 1.
+    for ((name, fn) <- graft.text.TextQueries.queries) {
+      val df = fn(spark, sf0001)
+      val offending = df.queryExecution.analyzed.collect {
+        case j: Join =>
+          val sides = Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          sides.collect { case (Some(_), child)
+            if !child.maxRows.contains(1L) => child }
+      }.flatten
+      assert(offending.isEmpty,
+        s"$name broadcast-hints a relation that can exceed one row:\n" +
+          offending.mkString("\n---\n"))
+    }
+  }
+
   test("minhash verify joins are equi-joins on doc ids (no explicit corpus broadcast)") {
     val df = graft.text.NearDup.minhashNeardupFast(spark, sf0001)
     val joins = optimizedJoins(df)
