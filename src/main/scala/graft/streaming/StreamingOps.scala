@@ -123,11 +123,13 @@ object StreamingOps {
     *
     * State per bucket is a doc-id list capped at maxBucket (a viral
     * bucket stops emitting pairs instead of going quadratic — the
-    * streaming analogue of the stop-shingle df cap); production
-    * deployments would add a state TTL (`GroupStateTimeout`) to bound
-    * the horizon. A pair colliding in several bands is emitted once per
-    * band — dedup downstream (the verify join's groupBy), as the batch
-    * path does with `distinct()`.
+    * streaming analogue of the stop-shingle df cap). This entry point
+    * keeps state forever (NoTimeout) — safe for finite replays and for
+    * the batch-parity spec, never for a real unbounded stream; the
+    * ingest-time form is `neardupCandidatesStreamTtl` below, whose
+    * watermark-driven TTL bounds state. A pair colliding in several
+    * bands is emitted once per band — dedup downstream (the verify
+    * join's groupBy), as the batch path does with `distinct()`.
     */
   def neardupCandidatesStream(docs: DataFrame, nHashes: Int = 64,
       rowsPerBand: Int = 4, maxBucket: Int = 64): Dataset[(Long, Long)] = {
@@ -140,21 +142,93 @@ object StreamingOps {
       .flatMapGroupsWithState[BucketState, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         case (_, it, state: GroupState[BucketState]) =>
-          val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
-          val arrivals = it.map(_._1).toSeq.distinct.filterNot(seen.contains)
-          val pairs = Seq.newBuilder[(Long, Long)]
-          var held = seen
-          arrivals.foreach { id =>
-            if (held.size < maxBucket) {
-              held.foreach { p =>
-                pairs += ((math.min(p, id), math.max(p, id)))
-              }
-              held = held :+ id
-            }
-          }
-          state.update(BucketState(held))
-          pairs.result().iterator
+          emitPairs(it.map(_._1), state, maxBucket)
       }
+  }
+
+  /** The unbounded-stream form: each (band, sig) bucket carries an
+    * EVENT-TIME TTL — a bucket that sees no arrival for `ttlMs` of
+    * event time is evicted once the watermark passes its deadline, so
+    * state size is bounded by arrival rate × TTL horizon instead of
+    * growing with the whole history. Docs farther apart than the TTL
+    * stop being matched — the explicit dedup-horizon tradeoff every
+    * ingest-time gate makes.
+    *
+    * Event-time, not processing-time, deliberately: (a) the horizon is
+    * a data property ("dedup against the last 7 days of documents"),
+    * reproducible on replay — a processing-time TTL gives a different
+    * answer every run; (b) with `ProcessingTimeTimeout` Spark considers
+    * every trigger a potential timeout check
+    * (`FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is always
+    * true), so micro-batches construct continuously even with no data —
+    * with `EventTimeTimeout` extra batches run only when the watermark
+    * actually advances.
+    *
+    * Input must carry an event-time column `ts`; `watermarkDelay`
+    * bounds out-of-orderness. The watermark is applied AFTER the
+    * signature map, on the reconstructed per-band timestamp: a typed
+    * map's SerializeFromObject mints metadata-free attributes, so a
+    * watermark applied upstream would not reach the stateful operator
+    * (UnsupportedOperationChecker requires the watermarked column among
+    * the FlatMapGroupsWithState child's output). Same watermark values
+    * either way — the band explosion preserves each doc's event time.
+    */
+  def neardupCandidatesStreamTtl(docs: DataFrame, ttlMs: Long,
+      watermarkDelay: String = "0 seconds", nHashes: Int = 64,
+      rowsPerBand: Int = 4, maxBucket: Int = 64): Dataset[(Long, Long)] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bands = graft.text.NearDup
+      .bandedSignaturesTs(docs, nHashes, rowsPerBand)
+      .select(col("doc_id"), timestamp_millis(col("ts_ms")).as("ts"),
+        col("band"), col("sig"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+    bands.groupByKey { case (_, _, band, sig) => (band, sig) }
+      .flatMapGroupsWithState[BucketState, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
+        case (_, it, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the bucket's deadline with no arrivals
+            // since — evict. (Spark never times out a key that has data
+            // in the current trigger, so arrivals can't be lost.)
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val out = emitPairs(rows.iterator.map(_._1), state, maxBucket)
+            // sliding TTL re-armed on every touch: deadline = newest
+            // arrival + ttl (clamped above the watermark, which
+            // setTimeoutTimestamp requires for late stragglers)
+            val deadline = math.max(
+              rows.iterator.map(_._2.getTime).max + ttlMs,
+              state.getCurrentWatermarkMs() + 1)
+            state.setTimeoutTimestamp(deadline)
+            out
+          }
+      }
+  }
+
+  /** Shared bucket-state transition: emit (min, max) pairs of each new
+    * arrival against the held ids, append arrivals up to maxBucket.
+    */
+  private def emitPairs(arrivalsIt: Iterator[Long],
+      state: GroupState[BucketState], maxBucket: Int)
+      : Iterator[(Long, Long)] = {
+    val seen = state.getOption.map(_.ids).getOrElse(Seq.empty)
+    val arrivals = arrivalsIt.toSeq.distinct.filterNot(seen.contains)
+    val pairs = Seq.newBuilder[(Long, Long)]
+    var held = seen
+    arrivals.foreach { id =>
+      if (held.size < maxBucket) {
+        held.foreach { p =>
+          pairs += ((math.min(p, id), math.max(p, id)))
+        }
+        held = held :+ id
+      }
+    }
+    state.update(BucketState(held))
+    pairs.result().iterator
   }
 
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)

@@ -29,6 +29,9 @@ object Curation {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int, Double), DataFrame]
 
+  /** Bench hook — see DedupClusters.clearMemo. */
+  private[graft] def clearMemo(): Unit = memo.clear()
+
   def curate(s: SparkSession, d: String, minTokens: Int = 5,
       minDistinctRatio: Double = 0.2): DataFrame =
     // memoize only immutable driver data (fixture dirs re-read fresh —

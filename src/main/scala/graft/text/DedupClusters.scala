@@ -32,6 +32,14 @@ object DedupClusters {
   /** (doc_id, cluster_id) for every node, cluster_id = min doc_id of its
     * connected component in `pairs` (columns d1, d2). Nodes absent from
     * `pairs` are singletons labeled with themselves.
+    *
+    * Two-phase: min-label propagation (rounds = diameter — tiny on dup
+    * graphs, which are near-cliques) with an automatic switch to the
+    * O(log n)-round large-star/small-star alternation when a pathological
+    * long-chain graph exhausts `maxIter`. The changed-label count is
+    * computed as a `changed` column inside the same select that builds
+    * the next labels frame, so detecting convergence is a filter-count
+    * over the round's already-checkpointed blocks — not a second join.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
@@ -51,13 +59,12 @@ object DedupClusters {
         .join(nbrMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
-            .as("label"))
+            .as("label"),
+          // null nbr_label (isolated node) compares to null → filtered out
+          (col("nbr_label") < col("label")).as("changed"))
         .localCheckpoint()
-      val ch = next.as("n")
-        .join(ls.as("o"), col("n.doc_id") === col("o.doc_id"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
-      (next, ch)
+      val ch = next.filter(col("changed")).count() // scans cached blocks only
+      (next.select("doc_id", "label"), ch)
     }
     var iter = 0
     var changed = 1L
@@ -65,21 +72,70 @@ object DedupClusters {
       val (next, ch) = step(labels)
       changed = ch; labels = next; iter += 1
     }
-    if (changed > 0) {
-      // the loop hit the iteration cap with the final round still
-      // changing labels: one extra probe distinguishes "converged exactly
-      // at maxIter" from true non-convergence. A silent non-convergence
-      // would split one true cluster into several, each electing its own
-      // keeper — fail loudly instead (raise maxIter for graphs with
-      // genuinely larger diameter).
-      val (next, ch) = step(labels)
-      changed = ch; labels = next
-      require(changed == 0,
-        s"connectedComponents did not converge in $maxIter iterations " +
-          s"($changed labels still changing) — component diameter " +
-          "exceeds maxIter; raise it")
+    if (changed > 0)
+      // component diameter exceeds maxIter (e.g. a 200-node chain):
+      // min-label would need O(diameter) more rounds — switch to the
+      // logarithmic-round algorithm instead of failing or crawling
+      connectedComponentsStar(nodes, pairs)
+    else
+      labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Large-star/small-star connected components — O(log n) rounds on ANY
+    * graph shape (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014): alternate
+    *   large-star: per node u, hook every neighbor v > u onto
+    *               m = min(Γ(u) ∪ u);
+    *   small-star: orient edges (larger → smaller), per node u hook every
+    *               smaller neighbor and u itself onto m = min(Γ(u) ∪ u)
+    * until the edge set is stable, at which point edges form stars
+    * (node → component-min). Each operation is one groupBy-min plus one
+    * equi-join on the node id — the same shuffle shape as one min-label
+    * round, but the round COUNT is logarithmic, so chains and other
+    * high-diameter graphs converge where label propagation cannot.
+    */
+  def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+        .distinct()
+      val mins = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    def smallStar(e: DataFrame): DataFrame = {
+      val or = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v")).distinct()
+      val mins = or.groupBy("u").agg(min("v").as("m")) // v ≤ u, so min ≤ u
+      val fromNbrs = or.join(mins, "u").select(col("v").as("n"), col("m"))
+      val fromSelf = mins.select(col("u").as("n"), col("m"))
+      fromNbrs.union(fromSelf)
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    var e = pairs.select(col("d1").as("u"), col("d2").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var stable = e.isEmpty
+    var round = 0
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // set equality via symmetric difference — one job over two
+      // checkpointed frames
+      stable = next.exceptAll(e).union(e.exceptAll(next)).isEmpty
+      e = next; round += 1
+    }
+    require(stable,
+      s"large-star/small-star did not stabilize in $maxRounds rounds — " +
+        "not reachable for any graph with < 2^64 nodes; indicates a bug")
+    // stars: every non-root node has exactly one edge to its root
+    nodes.join(e.select(col("u").as("doc_id"), col("v").as("root")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("doc_id")).as("cluster_id"))
   }
 
   // memoized per (session, dir, threshold): the driver contract runs
@@ -88,6 +144,14 @@ object DedupClusters {
   // recomputing it is pure waste
   private val ccCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Double), DataFrame]
+
+  /** Drop memoized cluster assignments so the next call recomputes the
+    * full pipeline — the bench calls this before every timed run
+    * (otherwise run 2 of best-of-2 noop-reads the checkpoint and the
+    * bench stops measuring the operator). Checkpoint blocks are
+    * reclaimed by the ContextCleaner once unreferenced.
+    */
+  private[graft] def clearMemo(): Unit = ccCache.clear()
 
   /** Full dedup assignment over the documents corpus: near-dup pairs from
     * the columnar MinHash path → components → (doc_id, cluster_id,

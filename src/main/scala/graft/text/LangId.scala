@@ -5,52 +5,87 @@ import org.apache.spark.sql.functions._
 import graft.Tables._
 
 /** Heuristic language identification (SURVEY §2.K text analysis):
-  * score each candidate language by marker-token hits (n-gram/stopword
-  * profile), pick the argmax with a deterministic tie-break. Pure
-  * codegen'd array expressions — no UDF, no shuffle (narrow map), so it
-  * runs at scan speed on 100 TB.
+  * score each candidate language by marker-token hits (stopword
+  * profile) with a character-n-gram fallback for docs too short to
+  * contain a stopword, pick the argmax with a deterministic tie-break.
+  * Pure codegen'd array/string expressions — no UDF, no shuffle (narrow
+  * map), so it runs at scan speed on 100 TB.
   *
   * On the driver's synthetic corpus the text is language-neutral word
-  * salad, so predictions skew to the fallback — the operator contract
-  * (deterministic scoring + argmax) is what's exercised.
+  * salad, so predictions skew to the fallback — accuracy on real text
+  * is asserted in LangIdSpec on per-language fixtures.
   */
 object LangId {
 
-  private val profiles: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "a", "of", "and", "in", "to", "is"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "est"),
-    "es" -> Seq("el", "los", "las", "es", "una", "y"),
-    "zh" -> Seq("的", "是", "了", "在", "我", "不"))
-
-  /** Profile score. Token-based profiles match case-insensitively
-    * (sentence-initial "The"/"Der"/"Le" count). zh scores by CHARACTER
-    * occurrences in the raw text — Chinese has no whitespace, so a
-    * tokenizer-based profile would never fire on real zh input; counting
-    * marker characters works for both spaced (synthetic) and unspaced
-    * (real) text.
+  /** High-frequency stopword profiles (public frequency-list staples).
+    * zh profiles by CHARACTER occurrence in the raw text — Chinese has
+    * no whitespace, so a tokenizer-based profile would never fire on
+    * real zh input; counting marker characters works for both spaced
+    * (synthetic) and unspaced (real) text.
     */
-  private def score(lang: String): Column =
-    if (lang == "zh")
-      profiles(lang).map(m =>
-        ((length(col("text")) - length(regexp_replace(col("text"), m, "")))
-          / m.length).cast("int"))
-        .reduce(_ + _)
-    else {
-      val set = profiles(lang).map(w => s"'$w'").mkString(", ")
-      expr(s"size(filter(t, x -> lcase(x) IN ($set)))")
-    }
+  private val tokenProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "was", "that",
+      "it", "for", "on", "with", "are"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "eine", "nicht",
+      "mit", "von", "zu", "den", "sind", "auf"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans",
+      "que", "pour", "pas", "sur", "avec", "ce"),
+    "es" -> Seq("el", "los", "las", "es", "una", "y", "en", "que", "no",
+      "por", "con", "para", "del", "se"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "不", "人", "有", "这"))
 
-  /** Per-doc predicted language + per-profile scores; 'und' when no
-    * profile matches at all.
+  /** Orthography-characteristic substrings — the short-doc fallback: a
+    * three-word fragment rarely contains a stopword, but its spelling
+    * still betrays the language (English -ing/-tion, German sch/umlauts,
+    * French/Spanish accent repertoires). Character evidence only breaks
+    * ties the stopword score leaves (see the combined score below).
+    * zh needs no fallback — its marker characters ARE the primary score.
     */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val scored = documents(s, d)
+  private val charProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("th", "ing", "tion"),
+    "de" -> Seq("sch", "ung", "ich", "ä", "ö", "ü", "ß"),
+    "fr" -> Seq("é", "è", "ç", "eau", "oi"),
+    "es" -> Seq("ñ", "ó", "í", "ll", "ción"),
+    "zh" -> Seq.empty)
+
+  /** Occurrence count of a literal substring (length-delta / |m| —
+    * literal `replace`, no regex escaping concerns).
+    */
+  private def occurrences(src: Column, m: String): Column =
+    ((length(src) - length(replace(src, lit(m), lit("")))) / m.length)
+      .cast("int")
+
+  /** Combined score: stopword hits dominate (×1000); character-n-gram
+    * occurrences decide only when stopword evidence ties (typically
+    * short docs where every profile scores 0). Token-based profiles
+    * match case-insensitively (sentence-initial "The"/"Der"/"Le" count).
+    */
+  private def score(lang: String): Column = {
+    val tok: Column =
+      if (lang == "zh")
+        tokenProfiles(lang).map(m => occurrences(col("text"), m))
+          .reduce(_ + _)
+      else {
+        val set = tokenProfiles(lang).map(w => s"'$w'").mkString(", ")
+        expr(s"size(filter(t, x -> lcase(x) IN ($set)))")
+      }
+    val chars = charProfiles(lang)
+    val ch: Column =
+      if (chars.isEmpty) lit(0)
+      else chars.map(m => occurrences(lower(col("text")), m)).reduce(_ + _)
+    tok * 1000 + ch
+  }
+
+  /** Per-doc predicted language + per-profile scores over an arbitrary
+    * (doc_id, lang, text) relation; 'und' when no profile matches.
+    */
+  def langIdOf(docs: DataFrame): DataFrame = {
+    val langsSorted = tokenProfiles.keys.toSeq.sorted
+    val scored = docs
       .select(col("doc_id"), col("lang"), col("text"),
         split(col("text"), "\\s+").as("t"))
       .select((col("doc_id") +: col("lang") +:
-        profiles.keys.toSeq.sorted.map(l => score(l).as(s"score_$l"))): _*)
-    val langsSorted = profiles.keys.toSeq.sorted
+        langsSorted.map(l => score(l).as(s"score_$l"))): _*)
     val best = langsSorted.map(l => struct(col(s"score_$l").as("sc"),
       lit(l).as("lg")))
     scored
@@ -61,6 +96,9 @@ object LangId {
         langsSorted.map(l => col(s"score_$l")): _*)
       .orderBy("doc_id")
   }
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    langIdOf(documents(s, d))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_lang_id" -> (langId _))

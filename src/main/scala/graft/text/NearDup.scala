@@ -155,41 +155,52 @@ object NearDup {
     * SQL route trips ANSI overflow checks).
     * Returns (doc_id, hs: sorted hash set, sz, band_sigs).
     */
+  /** Per-doc kernel shared by the batch and streaming paths: shingle
+    * hashes → nHashes minhashes → nBands band signatures. Returns
+    * (sorted shingle-hash set, band signatures); empty hs for docs too
+    * short to shingle.
+    */
+  private def sigKernel(sh: Array[String], nHashes: Int,
+      rowsPerBand: Int): (Array[Long], Array[Long]) = {
+    val nBands = nHashes / rowsPerBand
+    val hs = new Array[Long](sh.length)
+    var i = 0
+    while (i < sh.length) { hs(i) = hashShingle(sh(i)); i += 1 }
+    val sigs = Array.fill(nHashes)(Long.MaxValue)
+    i = 0
+    while (i < hs.length) {
+      val h1 = hs(i); val h2 = mix64(h1)
+      var k = 0
+      while (k < nHashes) {
+        val g = h1 + k * h2
+        if (g < sigs(k)) sigs(k) = g
+        k += 1
+      }
+      i += 1
+    }
+    val bandSigs = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = mix64(acc ^ sigs(b * rowsPerBand + r)); r += 1
+      }
+      bandSigs(b) = acc
+      b += 1
+    }
+    java.util.Arrays.sort(hs)
+    (hs, bandSigs)
+  }
+
   private[graft] def signatures(docs: DataFrame, nHashes: Int,
       rowsPerBand: Int): DataFrame = {
     require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
-    val nBands = nHashes / rowsPerBand
     val s = docs.sparkSession
     import s.implicits._
     shinglesOf(docs).as[(Long, Array[String])]
       .map { case (id, sh) =>
-        val hs = new Array[Long](sh.length)
-        var i = 0
-        while (i < sh.length) { hs(i) = hashShingle(sh(i)); i += 1 }
-        val sigs = Array.fill(nHashes)(Long.MaxValue)
-        i = 0
-        while (i < hs.length) {
-          val h1 = hs(i); val h2 = mix64(h1)
-          var k = 0
-          while (k < nHashes) {
-            val g = h1 + k * h2
-            if (g < sigs(k)) sigs(k) = g
-            k += 1
-          }
-          i += 1
-        }
-        val bandSigs = new Array[Long](nBands)
-        var b = 0
-        while (b < nBands) {
-          var acc = 0L
-          var r = 0
-          while (r < rowsPerBand) {
-            acc = mix64(acc ^ sigs(b * rowsPerBand + r)); r += 1
-          }
-          bandSigs(b) = acc
-          b += 1
-        }
-        java.util.Arrays.sort(hs)
+        val (hs, bandSigs) = sigKernel(sh, nHashes, rowsPerBand)
         (id, hs, hs.length, bandSigs)
       }
       .toDF("doc_id", "hs", "sz", "band_sigs")
@@ -197,6 +208,38 @@ object NearDup {
       // signatures would mutually collide in every band (false cartesian
       // block) and their jaccard is undefined — drop before banding
       .filter(col("sz") > 0)
+  }
+
+  /** Exploded (doc_id, ts_ms, band, sig) rows for the event-time
+    * streaming path — same kernel, but the typed map carries the event
+    * time through so the stateful operator downstream can arm
+    * per-bucket timeout timestamps. Input: (doc_id, text, ts:timestamp);
+    * the caller re-applies its watermark on the reconstructed timestamp
+    * downstream (typed maps mint metadata-free attributes, so an
+    * upstream watermark column would not survive this pass).
+    */
+  private[graft] def bandedSignaturesTs(docs: DataFrame, nHashes: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"), unix_millis(col("ts")).as("ts_ms"))
+      .as[(Long, String, Long)]
+      .flatMap { case (id, text, tsMs) =>
+        val t = text.split("\\s+")
+        val sh =
+          if (t.length < 3) Array.empty[String]
+          else Array.tabulate(t.length - 2)(i =>
+            t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
+        if (sh.isEmpty) Iterator.empty
+        else {
+          val (_, bandSigs) = sigKernel(sh, nHashes, rowsPerBand)
+          bandSigs.iterator.zipWithIndex.map { case (sig, band) =>
+            (id, tsMs, band, sig)
+          }
+        }
+      }
+      .toDF("doc_id", "ts_ms", "band", "sig")
   }
 
   def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 64,
@@ -239,19 +282,47 @@ object NearDup {
 
   // ------------------------------------------------- incremental MinHash
   /** Near-dup pairs TOUCHING a new batch: (new × corpus) ∪ (new × new),
-    * never corpus × corpus — the daily-ingest pattern. At 100 TB the
-    * corpus signatures are a stored table computed once per doc at ingest
-    * (`signatures` is deterministic, so append-only); each batch then
-    * costs |batch|·bands join probes against it instead of re-running
-    * near-dup over the whole corpus. Same banding, same exact-jaccard
-    * verification ⇒ output equals the full run filtered to pairs with a
-    * new-side member (asserted in NearDupSpec).
+    * never corpus × corpus — the daily-ingest pattern. This entry point
+    * recomputes corpus signatures (self-contained, for one-off runs);
+    * `minhashNeardupIncrementalStored` below reads them from the
+    * persisted store `writeSignatureStore` maintains, so each batch
+    * costs |batch|·bands join probes instead of re-shingling the whole
+    * corpus. Same banding, same exact-jaccard verification ⇒ output
+    * equals the full run filtered to pairs with a new-side member
+    * (asserted in NearDupSpec, as is stored ≡ recomputed).
     */
   def minhashNeardupIncremental(corpus: DataFrame, newDocs: DataFrame,
       nHashes: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
-    val sigC = signatures(corpus, nHashes, rowsPerBand).cache()
-    val sigN = signatures(newDocs, nHashes, rowsPerBand).cache()
+      threshold: Double = 0.5): DataFrame =
+    incrementalFromSignatures(
+      signatures(corpus, nHashes, rowsPerBand).cache(),
+      signatures(newDocs, nHashes, rowsPerBand).cache(), threshold)
+
+  /** The stored-at-ingest form: corpus signatures come from a persisted
+    * table (written once per doc by `writeSignatureStore`) instead of
+    * being recomputed per batch — the shape that makes daily ingest
+    * affordable at 100 TB, where re-shingling the corpus on every batch
+    * is the dominant (and avoidable) cost. `signatures` is a pure
+    * function of the text, so the store is append-only: new batches
+    * append their own signature rows after being deduped.
+    */
+  def minhashNeardupIncrementalStored(s: SparkSession, storePath: String,
+      newDocs: DataFrame, nHashes: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame =
+    incrementalFromSignatures(s.read.parquet(storePath),
+      signatures(newDocs, nHashes, rowsPerBand).cache(), threshold)
+
+  /** Persist the signature store (doc_id, hs, sz, band_sigs) via the
+    * engine's own parquet writer. Overwrite mode: the initial bootstrap;
+    * ingest appends with mode("append") on the same schema.
+    */
+  def writeSignatureStore(corpus: DataFrame, path: String,
+      nHashes: Int = 64, rowsPerBand: Int = 4): Unit =
+    signatures(corpus, nHashes, rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+
+  private def incrementalFromSignatures(sigC: DataFrame, sigN: DataFrame,
+      threshold: Double): DataFrame = {
     def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
       posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val bandsC = bandsOf(sigC); val bandsN = bandsOf(sigN)

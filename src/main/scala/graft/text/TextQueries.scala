@@ -388,9 +388,8 @@ object TextQueries {
   // order and split into fixed-size token windows; each doc gets the
   // pack it starts in and its offset there. Pure window arithmetic:
   // running cumsum partitioned by lang (parallel across languages —
-  // a GLOBAL pack order would serialize the window; at 100 TB you pack
-  // within shards and number packs (shard, pack_id), exactly this
-  // shape).
+  // a GLOBAL pack order would serialize the window; q58 below is the
+  // 100 TB form, packing within (lang, shard) partitions).
   def q56PackSequences(s: SparkSession, d: String,
       seqLen: Int = 2048): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -413,6 +412,44 @@ object TextQueries {
       |FROM (
       |  SELECT doc_id, lang, n_tokens,
       |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+      |      - n_tokens AS start_tok
+      |  FROM (SELECT doc_id, lang,
+      |          len(regexp_split_to_array(text, '\s+')) AS n_tokens
+      |        FROM documents) t) p
+      |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  // Shard-parallel sequence packing — the 100 TB form of q56: a single
+  // per-lang window funnels each language's whole corpus through ONE
+  // task's sort, so the scale path partitions the window by
+  // (lang, shard) and numbers packs (lang, shard, pack_id) — window
+  // parallelism grows with nShards × |langs| instead of |langs|.
+  // shard = doc_id % nShards (not a hash) so the oracle runs the
+  // identical expression in DuckDB; any deterministic doc→shard map
+  // works — trainers read packs per (shard, pack_id) either way.
+  def q58PackSharded(s: SparkSession, d: String, seqLen: Int = 2048,
+      nShards: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        coalesce(sum("n_tokens").over(w) - col("n_tokens"), lit(0L)))
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tokens"),
+        (col("start_tok") / seqLen).cast("long").as("pack_id"),
+        (col("start_tok") % seqLen).as("pack_offset"))
+      .orderBy("doc_id")
+  }
+
+  val q58Sql: String =
+    """SELECT doc_id, lang, doc_id % 8 AS shard, n_tokens,
+      |  CAST(floor(start_tok / 2048) AS BIGINT) AS pack_id,
+      |  CAST(start_tok % 2048 AS BIGINT) AS pack_offset
+      |FROM (
+      |  SELECT doc_id, lang, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY lang, doc_id % 8 ORDER BY doc_id)
       |      - n_tokens AS start_tok
       |  FROM (SELECT doc_id, lang,
       |          len(regexp_split_to_array(text, '\s+')) AS n_tokens
@@ -450,6 +487,7 @@ object TextQueries {
       |ORDER BY doc_id, chunk_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_pack_sharded" -> ((s: SparkSession, d: String) => q58PackSharded(s, d)),
     "q57_chunk_docs" -> q57ChunkDocs _,
     "q56_pack_sequences" -> ((s: SparkSession, d: String) => q56PackSequences(s, d)),
     "q55_string_agg" -> q55StringAgg _,
@@ -465,6 +503,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q58_pack_sharded" -> q58Sql,
     "q57_chunk_docs" -> q57Sql,
     "q56_pack_sequences" -> q56Sql,
     "q55_string_agg" -> q55Sql,

@@ -50,6 +50,36 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  /** Joins whose hint forces a side that can exceed one row.
+    *
+    * Collected from the OPTIMIZED plan: in the analyzed plan hints are
+    * still ResolvedHint wrapper nodes and Join.hint is JoinHint.NONE —
+    * EliminateResolvedHint only folds them into Join.hint during
+    * optimization, so an analyzed-plan check passes vacuously.
+    */
+  private def hintedNonSingletonSides(df: DataFrame) =
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join =>
+        Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
+          .collect { case (Some(_), child)
+            if !child.maxRows.contains(1L) => child }
+    }.flatten
+
+  test("hint collector catches a real broadcast hint (non-vacuity control)") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val a = spark.range(10).toDF("id")
+    val b = spark.range(10).toDF("id2")
+    val bad = a.join(broadcast(b), col("id") === col("id2"))
+    assert(hintedNonSingletonSides(bad).nonEmpty,
+      "collector failed to flag an explicit broadcast of a 10-row relation " +
+        "— the guards below would be asserting nothing")
+    // and the single-row escape really does exempt global aggregates
+    val nDocs = b.agg(org.apache.spark.sql.functions.count(col("id2")).as("n"))
+    val ok = a.crossJoin(broadcast(nDocs))
+    assert(hintedNonSingletonSides(ok).isEmpty,
+      "maxRows==1 escape must exempt broadcast global aggregates")
+  }
+
   test("no text-family query force-broadcasts a corpus-derived relation") {
     // Anything that grows with the corpus (per-doc sizes, per-term df,
     // shingle index …) must reach joins unhinted — AQE broadcasts it when
@@ -57,13 +87,7 @@ class PlanShapeSpec extends SparkSpec {
     // relations (global aggregates like nDocs), which Catalyst knows via
     // maxRows == 1.
     for ((name, fn) <- graft.text.TextQueries.queries) {
-      val df = fn(spark, sf0001)
-      val offending = df.queryExecution.analyzed.collect {
-        case j: Join =>
-          val sides = Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
-          sides.collect { case (Some(_), child)
-            if !child.maxRows.contains(1L) => child }
-      }.flatten
+      val offending = hintedNonSingletonSides(fn(spark, sf0001))
       assert(offending.isEmpty,
         s"$name broadcast-hints a relation that can exceed one row:\n" +
           offending.mkString("\n---\n"))
@@ -74,11 +98,10 @@ class PlanShapeSpec extends SparkSpec {
     val df = graft.text.NearDup.minhashNeardupFast(spark, sf0001)
     val joins = optimizedJoins(df)
     assert(joins.nonEmpty)
-    // every join must carry an equi condition (hashable keys) — the
-    // logical plan has no ResolvedHint forcing a broadcast of docSets
-    val hinted = df.queryExecution.analyzed.collect {
-      case j: Join if j.hint.leftHint.isDefined || j.hint.rightHint.isDefined => j
-    }
-    assert(hinted.isEmpty, "near-dup verify must not force broadcast hints")
+    // every join must carry an equi condition (hashable keys), and no
+    // join may force-broadcast a side that grows with the corpus
+    // (checked on the optimized plan — see hintedNonSingletonSides)
+    assert(hintedNonSingletonSides(df).isEmpty,
+      "near-dup verify must not force broadcast hints")
   }
 }

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import graft.text.NearDup
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.timestamp_seconds
 import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming near-dup candidate detection: documents fed in several
@@ -45,5 +46,42 @@ class StreamingNearDupSpec extends SparkSpec {
     val n = docs.length.toLong
     assert(cands.size < n * (n - 1) / 4,
       s"${cands.size} candidates for $n docs is not sub-quadratic-ish")
+  }
+
+  test("event-time TTL evicts idle buckets: an expired bucket stops matching") {
+    implicit val sqlCtx = spark.sqlContext
+    // identical texts share every band signature → guaranteed same buckets
+    val dupText = "the quick brown fox jumps over the lazy dog once again today"
+    val tickText = "completely different words with entirely unrelated content flowing"
+    // event times in seconds — entirely simulated, no wall-clock sleeps
+    // (away from epoch 0, the initial watermark value, where a row would
+    // count as late): dupA at t=1000, a watermark-advancing tick at
+    // t=1100, dupB at t=1101. After the tick's batch the watermark is
+    // 1100 s; EventTimeTimeout then runs one extra batch that evicts
+    // every bucket whose deadline < 1100 s.
+    def run(ttlMs: Long, name: String): Set[(Long, Long)] = {
+      val stream = MemoryStream[(Long, String, Long)]
+      val docs = stream.toDF.toDF("doc_id", "text", "t_s")
+        .select($"doc_id", $"text", timestamp_seconds($"t_s").as("ts"))
+      val q = StreamingOps
+        .neardupCandidatesStreamTtl(docs, ttlMs = ttlMs)
+        .toDF("d1", "d2")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      stream.addData((1L, dupText, 1000L)); q.processAllAvailable()
+      stream.addData((3L, tickText, 1100L)); q.processAllAvailable()
+      stream.addData((2L, dupText, 1101L)); q.processAllAvailable()
+      q.stop()
+      spark.table(name).select("d1", "d2").as[(Long, Long)].collect().toSet
+    }
+
+    // control: 1000 s TTL — deadline 2000 s > watermark 1100 s, bucket
+    // survives the gap and the pair is emitted
+    assert(run(1000000L, "neardup_ttl_long").contains((1L, 2L)))
+    // 10 s TTL — dupA's buckets' deadline (1010 s) expires when the
+    // watermark reaches 1100 s, before dupB arrives: no pair
+    assert(!run(10000L, "neardup_ttl_short").contains((1L, 2L)))
   }
 }

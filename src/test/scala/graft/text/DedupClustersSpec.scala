@@ -32,6 +32,35 @@ class DedupClustersSpec extends SparkSpec {
     assert(got.values.toSet === Set(0L), s"all nodes should label 0: $got")
   }
 
+  test("200-node chain: min-label exhausts maxIter, falls back to star, converges") {
+    // diameter 199 ≫ maxIter=10 — min-label alone cannot finish; the
+    // automatic large-star/small-star fallback must (in O(log n) rounds)
+    val n = 200L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("d1", "d2")
+    val nodes = (0L until n).toDF("doc_id")
+    val got = DedupClusters.connectedComponents(nodes, pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === n)
+    assert(got.values.toSet === Set(0L), "chain should collapse to root 0")
+  }
+
+  test("large-star/small-star agrees with min-label on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 3) {
+      val nNodes = 60
+      val edges = Seq.fill(50)(
+        (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+        .filter(p => p._1 != p._2)
+      val pairs = edges.toDF("d1", "d2")
+      val nodes = (0L until nNodes.toLong).toDF("doc_id")
+      val viaLabels = DedupClusters.connectedComponents(nodes, pairs, maxIter = 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStars = DedupClusters.connectedComponentsStar(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStars === viaLabels)
+    }
+  }
+
   test("dedupClusters on sf0.001: keepers are cluster minima, clusters cover all docs") {
     val d = sf0001
     val out = DedupClusters.dedupClusters(spark, d).cache()

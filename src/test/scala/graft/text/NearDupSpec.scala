@@ -50,6 +50,31 @@ class NearDupSpec extends SparkSpec {
     assert(inc.nonEmpty, "fixture should have dups touching the new batch")
   }
 
+  test("incremental from a persisted signature store equals the recompute run") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" % 10 =!= 0)
+    val batch = docs.filter($"doc_id" % 10 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigstore")
+    val path = dir.resolve("signatures.parquet").toString
+    try {
+      NearDup.writeSignatureStore(corpus, path)
+      val stored = NearDup
+        .minhashNeardupIncrementalStored(spark, path, batch)
+        .select("d1", "d2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      val recomputed = NearDup.minhashNeardupIncremental(corpus, batch)
+        .select("d1", "d2", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+      assert(stored === recomputed,
+        s"missing=${recomputed -- stored} extra=${stored -- recomputed}")
+      assert(stored.nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("simhash pairs are a subset of strong exact pairs") {
     val sh = NearDup.simhashNeardup(spark, sf0001)
       .select("d1", "d2").as[(Long, Long)].collect().toSet
