@@ -110,6 +110,11 @@ object StreamingOps {
 
   case class BucketState(ids: Seq[Long])
 
+  /** TTL-path bucket state: held ids plus each member's newest event
+    * time (parallel seqs), so live buckets can age-prune members.
+    */
+  case class TtlBucketState(ids: Seq[Long], ts: Seq[Long])
+
   /** Streaming near-dup candidate detection — the ingest-time dedup gate
     * of a training-data pipeline: documents arrive as a stream of
     * (doc_id, text); each doc's MinHash band signatures are computed in
@@ -147,12 +152,15 @@ object StreamingOps {
   }
 
   /** The unbounded-stream form: each (band, sig) bucket carries an
-    * EVENT-TIME TTL — a bucket that sees no arrival for `ttlMs` of
-    * event time is evicted once the watermark passes its deadline, so
-    * state size is bounded by arrival rate × TTL horizon instead of
-    * growing with the whole history. Docs farther apart than the TTL
-    * stop being matched — the explicit dedup-horizon tradeoff every
-    * ingest-time gate makes.
+    * EVENT-TIME TTL with true horizon semantics, enforced at two
+    * levels: (a) an idle bucket is evicted once the watermark passes
+    * its deadline (newest arrival + ttl), and (b) within a LIVE bucket,
+    * held members older than ttl relative to the newest arrival are
+    * pruned before matching — so two docs farther apart than the TTL
+    * never pair, even in a hot bucket that is touched continuously.
+    * State size is thus bounded by arrival rate × TTL horizon instead
+    * of growing with the whole history; the horizon is the explicit
+    * dedup-recency tradeoff every ingest-time gate makes.
     *
     * Event-time, not processing-time, deliberately: (a) the horizon is
     * a data property ("dedup against the last 7 days of documents"),
@@ -185,9 +193,9 @@ object StreamingOps {
       .withWatermark("ts", watermarkDelay)
       .as[(Long, java.sql.Timestamp, Int, Long)]
     bands.groupByKey { case (_, _, band, sig) => (band, sig) }
-      .flatMapGroupsWithState[BucketState, (Long, Long)](
+      .flatMapGroupsWithState[TtlBucketState, (Long, Long)](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout()) {
-        case (_, it, state: GroupState[BucketState]) =>
+        case (_, it, state: GroupState[TtlBucketState]) =>
           if (state.hasTimedOut) {
             // watermark passed the bucket's deadline with no arrivals
             // since — evict. (Spark never times out a key that has data
@@ -195,16 +203,41 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            val rows = it.toSeq
-            val out = emitPairs(rows.iterator.map(_._1), state, maxBucket)
+            val arrivalTs = it.foldLeft(Map.empty[Long, Long]) {
+              case (m, (id, ts, _, _)) =>
+                val t = ts.getTime
+                m.updated(id, math.max(t, m.getOrElse(id, Long.MinValue)))
+            }
+            val newest = arrivalTs.valuesIterator.max
+            val horizon = newest - ttlMs
+            val prev = state.getOption
+              .map(st => st.ids.zip(st.ts)).getOrElse(Seq.empty)
+              // re-arrivals refresh recency, then age-prune: a held doc
+              // older than ttl relative to the newest arrival can never
+              // legally pair again — drop it NOW, not at bucket eviction
+              .map { case (id, t) =>
+                (id, math.max(t, arrivalTs.getOrElse(id, Long.MinValue)))
+              }
+              .filter(_._2 >= horizon)
+            val arrivals = arrivalTs.toSeq.sortBy(_._1)
+              .filterNot { case (id, _) => prev.exists(_._1 == id) }
+            val pairs = Seq.newBuilder[(Long, Long)]
+            var held = prev
+            arrivals.foreach { case (id, t) =>
+              if (held.size < maxBucket) {
+                held.foreach { case (p, _) =>
+                  pairs += ((math.min(p, id), math.max(p, id)))
+                }
+                held = held :+ ((id, t))
+              }
+            }
+            state.update(TtlBucketState(held.map(_._1), held.map(_._2)))
             // sliding TTL re-armed on every touch: deadline = newest
             // arrival + ttl (clamped above the watermark, which
             // setTimeoutTimestamp requires for late stragglers)
-            val deadline = math.max(
-              rows.iterator.map(_._2.getTime).max + ttlMs,
-              state.getCurrentWatermarkMs() + 1)
-            state.setTimeoutTimestamp(deadline)
-            out
+            state.setTimeoutTimestamp(
+              math.max(newest + ttlMs, state.getCurrentWatermarkMs() + 1))
+            pairs.result().iterator
           }
       }
   }

@@ -117,8 +117,18 @@ object DedupClusters {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
     }
+    // restrict to the node-induced subgraph: min-label propagates only
+    // labels that exist in `nodes`, so an edge endpoint absent from
+    // `nodes` is inert there — but unrestricted star hooking would root
+    // components at such phantom ids (cluster_ids no node carries →
+    // keeper-less clusters downstream). Semi-joins keep the two paths
+    // answer-equivalent, which the automatic fallback depends on.
+    val ids = nodes.select(col("doc_id"))
     var e = pairs.select(col("d1").as("u"), col("d2").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+      .filter(col("u") =!= col("v"))
+      .join(ids.withColumnRenamed("doc_id", "u"), Seq("u"), "left_semi")
+      .join(ids.withColumnRenamed("doc_id", "v"), Seq("v"), "left_semi")
+      .select(col("u"), col("v")).distinct().localCheckpoint()
     var stable = e.isEmpty
     var round = 0
     while (!stable && round < maxRounds) {

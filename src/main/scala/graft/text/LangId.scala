@@ -53,12 +53,16 @@ object LangId {
     */
   private def occurrences(src: Column, m: String): Column =
     ((length(src) - length(replace(src, lit(m), lit("")))) / m.length)
-      .cast("int")
+      .cast("long")
 
   /** Combined score: stopword hits dominate (×1000); character-n-gram
     * occurrences decide only when stopword evidence ties (typically
-    * short docs where every profile scores 0). Token-based profiles
-    * match case-insensitively (sentence-initial "The"/"Der"/"Le" count).
+    * short docs where every profile scores 0) — capped at 999 so char
+    * evidence can NEVER outweigh a single stopword hit, no matter how
+    * long the document. Token-based profiles match case-insensitively
+    * (sentence-initial "The"/"Der"/"Le" count). Long arithmetic: an Int
+    * tok × 1000 overflows (ANSI mode → job-killing exception) on a doc
+    * with > ~2M marker hits — realistic at web-corpus doc sizes.
     */
   private def score(lang: String): Column = {
     val tok: Column =
@@ -72,8 +76,10 @@ object LangId {
     val chars = charProfiles(lang)
     val ch: Column =
       if (chars.isEmpty) lit(0)
-      else chars.map(m => occurrences(lower(col("text")), m)).reduce(_ + _)
-    tok * 1000 + ch
+      else least(
+        chars.map(m => occurrences(lower(col("text")), m)).reduce(_ + _),
+        lit(999))
+    tok.cast("long") * 1000L + ch
   }
 
   /** Per-doc predicted language + per-profile scores over an arbitrary

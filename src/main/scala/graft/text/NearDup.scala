@@ -25,19 +25,24 @@ object NearDup {
   private[graft] def shingles(s: SparkSession, d: String): DataFrame =
     shinglesOf(documents(s, d))
 
+  /** The shingle definition itself — ONE place, shared by the batch
+    * path (`shinglesOf`) and the streaming-TTL path
+    * (`bandedSignaturesTs`), so the two can't silently drift apart.
+    */
+  private def shingleArray(text: String): Array[String] = {
+    val t = text.split("\\s+")
+    if (t.length < 3) Array.empty[String]
+    else Array.tabulate(t.length - 2)(i =>
+      t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
+  }
+
   /** Same shingling over an arbitrary (doc_id, text) relation. */
   private[graft] def shinglesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     docs.select("doc_id", "text").as[(Long, String)]
-      .map { case (id, text) =>
-        val t = text.split("\\s+")
-        val sh =
-          if (t.length < 3) Array.empty[String]
-          else Array.tabulate(t.length - 2)(i =>
-            t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
-        (id, sh)
-      }.toDF("doc_id", "shingles")
+      .map { case (id, text) => (id, shingleArray(text)) }
+      .toDF("doc_id", "shingles")
   }
 
   // ------------------------------------------------- MinHash + LSH
@@ -144,21 +149,13 @@ object NearDup {
     mix64(h)
   }
 
-  /** ONE narrow typed pass per doc computes everything hash-shaped:
-    * the sorted shingle-hash set (for exact verification), and the
-    * per-band signatures. Shingles are already per-doc arrays, so no
-    * explode + shuffle + collect_set re-assembly is ever needed — the
-    * only shuffles in the near-dup operators are the band candidate join
-    * and the verify equi-joins. Per-k hash family g_k = h + k·mix64(h)
-    * (Kirsch–Mitzenmacher double hashing): 2 hash evaluations + a
-    * mul-add per k, in JVM arithmetic where wrap-around is free (the
-    * SQL route trips ANSI overflow checks).
-    * Returns (doc_id, hs: sorted hash set, sz, band_sigs).
-    */
-  /** Per-doc kernel shared by the batch and streaming paths: shingle
-    * hashes → nHashes minhashes → nBands band signatures. Returns
-    * (sorted shingle-hash set, band signatures); empty hs for docs too
-    * short to shingle.
+  /** Per-doc signature kernel shared by the batch and streaming paths:
+    * shingle hashes → nHashes minhashes → nBands band signatures.
+    * Per-k hash family g_k = h + k·mix64(h) (Kirsch–Mitzenmacher double
+    * hashing): 2 hash evaluations + a mul-add per k, in JVM arithmetic
+    * where wrap-around is free (the SQL route trips ANSI overflow
+    * checks). Returns (sorted shingle-hash set, band signatures); empty
+    * hs for docs too short to shingle.
     */
   private def sigKernel(sh: Array[String], nHashes: Int,
       rowsPerBand: Int): (Array[Long], Array[Long]) = {
@@ -193,6 +190,13 @@ object NearDup {
     (hs, bandSigs)
   }
 
+  /** ONE narrow typed pass per doc computes everything hash-shaped: the
+    * sorted shingle-hash set (for exact verification) and the per-band
+    * signatures. Shingles are already per-doc arrays, so no explode +
+    * shuffle + collect_set re-assembly is ever needed — the only
+    * shuffles in the near-dup operators are the band candidate join and
+    * the verify equi-joins. Returns (doc_id, hs, sz, band_sigs).
+    */
   private[graft] def signatures(docs: DataFrame, nHashes: Int,
       rowsPerBand: Int): DataFrame = {
     require(nHashes % rowsPerBand == 0, "nHashes must divide into bands")
@@ -226,11 +230,7 @@ object NearDup {
     docs.select(col("doc_id"), col("text"), unix_millis(col("ts")).as("ts_ms"))
       .as[(Long, String, Long)]
       .flatMap { case (id, text, tsMs) =>
-        val t = text.split("\\s+")
-        val sh =
-          if (t.length < 3) Array.empty[String]
-          else Array.tabulate(t.length - 2)(i =>
-            t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
+        val sh = shingleArray(text)
         if (sh.isEmpty) Iterator.empty
         else {
           val (_, bandSigs) = sigKernel(sh, nHashes, rowsPerBand)
@@ -308,9 +308,22 @@ object NearDup {
     */
   def minhashNeardupIncrementalStored(s: SparkSession, storePath: String,
       newDocs: DataFrame, nHashes: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame =
-    incrementalFromSignatures(s.read.parquet(storePath),
+      threshold: Double = 0.5): DataFrame = {
+    val store = s.read.parquet(storePath)
+    // A store written under different banding parameters joins on a
+    // DIFFERENT hash family: the band equi-join almost never collides
+    // and cross (new × corpus) dups silently vanish. The band count is
+    // checkable from the schema-carried array — fail fast instead.
+    val nBands = nHashes / rowsPerBand
+    val badBands = store
+      .filter(size(col("band_sigs")) =!= nBands).limit(1).count()
+    require(badBands == 0,
+      s"signature store at $storePath has band_sigs arrays of length != " +
+        s"$nBands — it was written under different (nHashes, rowsPerBand) " +
+        "parameters than this query's; rewrite the store or match them")
+    incrementalFromSignatures(store,
       signatures(newDocs, nHashes, rowsPerBand).cache(), threshold)
+  }
 
   /** Persist the signature store (doc_id, hs, sz, band_sigs) via the
     * engine's own parquet writer. Overwrite mode: the initial bootstrap;

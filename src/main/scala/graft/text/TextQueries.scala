@@ -425,15 +425,17 @@ object TextQueries {
   // (lang, shard) and numbers packs (lang, shard, pack_id) — window
   // parallelism grows with nShards × |langs| instead of |langs|.
   // shard = doc_id % nShards (not a hash) so the oracle runs the
-  // identical expression in DuckDB; any deterministic doc→shard map
-  // works — trainers read packs per (shard, pack_id) either way.
+  // identical expression in DuckDB — Spark's % like DuckDB's keeps the
+  // dividend's sign (pmod would diverge on negative ids); any
+  // deterministic doc→shard map works — trainers read packs per
+  // (shard, pack_id) either way.
   def q58PackSharded(s: SparkSession, d: String, seqLen: Int = 2048,
       nShards: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
     documents(s, d)
       .select(col("doc_id"), col("lang"),
-        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"),
+        (col("doc_id") % lit(nShards.toLong)).as("shard"),
         size(split(col("text"), "\\s+")).cast("long").as("n_tokens"))
       .withColumn("start_tok",
         coalesce(sum("n_tokens").over(w) - col("n_tokens"), lit(0L)))

@@ -84,4 +84,34 @@ class StreamingNearDupSpec extends SparkSpec {
     // watermark reaches 1100 s, before dupB arrives: no pair
     assert(!run(10000L, "neardup_ttl_short").contains((1L, 2L)))
   }
+
+  test("hot buckets age-prune members: docs farther apart than the TTL never pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog once again today"
+    // doc 3 keeps the bucket hot (re-arming its eviction deadline), so
+    // only the per-member age-prune can stop doc 1 from matching doc 2:
+    //   1 @ 1000 s, 3 @ 1900 s (within ttl of 1 → pair), 2 @ 2800 s
+    //   (1800 s after doc 1 > ttl 1000 s → (1,2) must NOT pair; 900 s
+    //   after doc 3 → (2,3) must pair)
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF.toDF("doc_id", "text", "t_s")
+      .select($"doc_id", $"text", timestamp_seconds($"t_s").as("ts"))
+    val q = StreamingOps
+      .neardupCandidatesStreamTtl(docs, ttlMs = 1000000L)
+      .toDF("d1", "d2")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ttl_hot")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    stream.addData((1L, dupText, 1000L)); q.processAllAvailable()
+    stream.addData((3L, dupText, 1900L)); q.processAllAvailable()
+    stream.addData((2L, dupText, 2800L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_ttl_hot")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 3L)), s"in-horizon pair (1,3) missing: $got")
+    assert(got.contains((2L, 3L)), s"in-horizon pair (2,3) missing: $got")
+    assert(!got.contains((1L, 2L)),
+      s"docs 1800 s apart paired despite the 1000 s TTL: $got")
+  }
 }

@@ -68,6 +68,13 @@ class NearDupSpec extends SparkSpec {
       assert(stored === recomputed,
         s"missing=${recomputed -- stored} extra=${stored -- recomputed}")
       assert(stored.nonEmpty)
+      // a store written under different banding parameters joins on a
+      // different hash family — must fail fast, not silently drop dups
+      val ex = intercept[IllegalArgumentException] {
+        NearDup.minhashNeardupIncrementalStored(spark, path, batch,
+          nHashes = 32, rowsPerBand = 4)
+      }
+      assert(ex.getMessage.contains("band_sigs"))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
