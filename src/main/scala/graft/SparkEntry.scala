@@ -27,7 +27,7 @@ object SparkEntry {
       sim.LshKnn.queries ++ text.LangId.queries ++
       rel.ApproxQueries.queries ++ rel.Skew.queries ++
       ml.VoicePipeline.queries ++
-      sim.IvfKnn.queries ++ sim.PqKnn.queries ++
+      sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
       sources.MultimodalStubs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1068,8 +1068,69 @@ object RelQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  // Keep-latest-per-key — the CDC/upsert-compaction shape every ingest
+  // pipeline runs (dedup a changelog to each key's newest record):
+  // row_number over (key, recency desc) with a deterministic id
+  // tie-break, keep rank 1. One shuffle on the key; at scale this is
+  // the standard log-compaction pass and the window state per key is a
+  // single row (rank 1 short-circuits).
+  def q60LatestOrder(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("order_epoch"),
+        col("o_totalprice"))
+      .orderBy("o_custkey")
+  }
+
+  val q60Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch, o_totalprice
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |        ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn = 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q61
+  // Distribution windows — ntile quartiles, percent_rank, cume_dist
+  // per order-status partition. The deterministic o_orderkey tie-break
+  // makes every rank unique. Honest scale caveat: these are EXACT
+  // global-per-group ranks — each status partition funnels through one
+  // task's sort, like any total ranking; at 100 TB the answerable form
+  // is the mergeable sketch (nq_approx_percentiles) unless the group
+  // count is large enough to parallelize the windows.
+  def q61DistWindows(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("o_orderkey")
+  }
+
+  val q61Sql: String =
+    """SELECT o_orderkey, o_orderstatus,
+      |  ntile(4) OVER w AS quartile,
+      |  round(percent_rank() OVER w, 6) AS pct_rank,
+      |  round(cume_dist() OVER w, 6) AS cume
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_latest_order" -> q60LatestOrder _,
+    "q61_dist_windows" -> q61DistWindows _,
     "q54_cond_date_aggs" -> q54CondDateAggs _,
     "q01_pricing_summary" -> q1PricingSummary _,
     "q02_filter_project" -> q2FilterProject _,
@@ -1150,5 +1211,7 @@ object RelQueries {
     "q50_pivot" -> q50Sql,
     "q51_unpivot" -> q51Sql,
     "q52_stats_aggs" -> q52Sql,
-    "q54_cond_date_aggs" -> q54Sql)
+    "q54_cond_date_aggs" -> q54Sql,
+    "q60_latest_order" -> q60Sql,
+    "q61_dist_windows" -> q61Sql)
 }

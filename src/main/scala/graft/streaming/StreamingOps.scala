@@ -242,6 +242,52 @@ object StreamingOps {
       }
   }
 
+  /** The full ingest-time dedup pipeline as a streaming composite —
+    * the operational form of the signature store's "computed once per
+    * doc at ingest" contract. Per micro-batch, in one foreachBatch
+    * transaction scope:
+    *
+    *   1. compute the batch's MinHash signatures ONCE (localCheckpoint
+    *      — reused by steps 2 and 3 without recomputation);
+    *   2. emit exact-verified near-dup pairs touching the batch —
+    *      (batch × store) ∪ (batch × batch), never store × store, via
+    *      the same banded join + jaccard verify as the batch path, so
+    *      the union of per-batch outputs over a replay equals the
+    *      full-corpus run exactly (asserted in IngestDedupSpec);
+    *   3. append the batch's signatures to the store — each doc is
+    *      shingled exactly once in its lifetime; later batches join
+    *      against stored signatures, never re-reading corpus text.
+    *
+    * Scale notes: every join keys on (band, sig) or doc_id — no
+    * broadcast of anything corpus-sized; the store grows by |batch|
+    * rows per trigger. Parquet append is not idempotent under retries —
+    * a production deployment puts a transactional table format under
+    * `storePath`/`pairsPath`; the pipeline shape is unchanged.
+    *
+    * Returns the un-started writer so callers own trigger/checkpoint.
+    */
+  def ingestDedupStream(docs: DataFrame, storePath: String,
+      pairsPath: String, nHashes: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val sigs = graft.text.NearDup
+          .signatures(batch, nHashes, rowsPerBand).localCheckpoint()
+        val store = new org.apache.hadoop.fs.Path(storePath)
+        val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val sigC =
+          if (fs.exists(store)) s.read.parquet(storePath)
+          else sigs.limit(0) // bootstrap: first batch has no corpus side
+        graft.text.NearDup
+          .incrementalFromSignatures(sigC, sigs, threshold)
+          .write.mode("append").parquet(pairsPath)
+        sigs.write.mode("append").parquet(storePath)
+        ()
+    }
+
   /** Shared bucket-state transition: emit (min, max) pairs of each new
     * arrival against the held ids, append arrivals up to maxBucket.
     */

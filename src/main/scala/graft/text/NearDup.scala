@@ -334,8 +334,8 @@ object NearDup {
     signatures(corpus, nHashes, rowsPerBand)
       .write.mode("overwrite").parquet(path)
 
-  private def incrementalFromSignatures(sigC: DataFrame, sigN: DataFrame,
-      threshold: Double): DataFrame = {
+  private[graft] def incrementalFromSignatures(sigC: DataFrame,
+      sigN: DataFrame, threshold: Double): DataFrame = {
     def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
       posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val bandsC = bandsOf(sigC); val bandsN = bandsOf(sigN)

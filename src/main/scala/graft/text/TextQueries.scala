@@ -488,7 +488,40 @@ object TextQueries {
       |FROM c
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---------------------------------------------------------------- q59
+  // Vocabulary building — the tokenizer-training precursor (BPE seed
+  // vocab, stopword mining, df-threshold pruning): per-term collection
+  // frequency (tf) and document frequency (df), df-thresholded, top-k
+  // by tf. Scale shape: ONE shuffle keyed on term (countDistinct
+  // expands to the standard two-phase distinct aggregate; tf partials
+  // are map-side); the vocabulary is corpus-derived and grows with the
+  // corpus, so nothing here is broadcast — same discipline as q40's
+  // df join. The final top-k is a TakeOrdered over the k threshold
+  // survivors, not a global sort of the vocabulary.
+  def q59VocabTopk(s: SparkSession, d: String, minDf: Int = 2,
+      k: Int = 50): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("tf"))
+      .filter(col("df") >= minDf)
+      .orderBy(col("tf").desc, col("term"))
+      .limit(k)
+
+  val q59Sql: String =
+    """SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf
+      |FROM (SELECT doc_id,
+      |        unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      |      FROM documents)
+      |WHERE length(term) > 0
+      |GROUP BY term
+      |HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY tf DESC, term LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_vocab_topk" -> ((s: SparkSession, d: String) => q59VocabTopk(s, d)),
     "q58_pack_sharded" -> ((s: SparkSession, d: String) => q58PackSharded(s, d)),
     "q57_chunk_docs" -> q57ChunkDocs _,
     "q56_pack_sequences" -> ((s: SparkSession, d: String) => q56PackSequences(s, d)),
@@ -505,6 +538,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q59_vocab_topk" -> q59Sql,
     "q58_pack_sharded" -> q58Sql,
     "q57_chunk_docs" -> q57Sql,
     "q56_pack_sequences" -> q56Sql,
