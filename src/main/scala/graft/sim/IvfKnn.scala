@@ -31,7 +31,13 @@ object IvfKnn {
       .select(col("vec_id"), col("embedding"),
         array_to_vector(col("embedding")).as("v"),
         sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    // seeded RANDOM init, not the default k-means|| — the parallel init
+    // costs initSteps extra distributed passes to pick better seeds,
+    // which matters for cluster QUALITY but not for a coarse quantizer:
+    // probe routing only needs cells of roughly even mass, and recall
+    // is pinned by IvfKnnSpec either way. Saves ~2 full scans per build.
     val model = new KMeans().setK(k).setSeed(42).setFeaturesCol("v")
+      .setInitMode("random")
       .setPredictionCol("cluster").fit(e)
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))

@@ -41,6 +41,14 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q59 vocab top-k plans TakeOrdered, never a global sort of the vocabulary") {
+    val plan = finalPhysical(
+      graft.SparkEntry.queries("q59_vocab_topk")(spark, sf0001))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k over the vocabulary must be a TakeOrdered (per-partition " +
+        s"heaps + driver merge of k rows), not sort-then-limit:\n$plan")
+  }
+
   test("q05 star join broadcasts the dimension sides") {
     val plan = finalPhysical(
       graft.SparkEntry.queries("q05_nation_revenue")(spark, sf0001))
