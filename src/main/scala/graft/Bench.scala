@@ -28,7 +28,10 @@ object Bench {
     // LLM-pipeline composites: regressions in connected components,
     // end-to-end curation, and IVF ANN must show up in the bench, not
     // only in specs
-    "nq_dedup_clusters", "nq_curation", "nq_ivf_knn")
+    "nq_dedup_clusters", "nq_curation", "nq_ivf_knn",
+    // round-4 text additions: vocabulary aggregate + repetition scoring
+    // (the two heaviest new text shapes)
+    "q59_vocab_topk", "q62_repetition")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

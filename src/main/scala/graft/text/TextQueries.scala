@@ -520,7 +520,59 @@ object TextQueries {
       |HAVING count(DISTINCT doc_id) >= 2
       |ORDER BY tf DESC, term LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  // Repetition scoring — the C4/Gopher-family quality signal: per doc,
+  // total 3-gram occurrences, the most-repeated 3-gram's count, and
+  // their ratio (a high ratio marks boilerplate/spam with looping
+  // text). NON-distinct grams, unlike the dedup shingles — repetition
+  // is exactly what dedup's .distinct throws away. Shape: one typed
+  // tokenize pass, then two hash aggregates keyed (doc_id, gram) then
+  // doc_id — the (doc_id, gram) key is unique-per-doc-gram so the first
+  // aggregate map-side-combines the repeats; nothing is broadcast and
+  // docs too short to score carry null (unknown, not clean).
+  def q62Repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = documents(s, d).select("doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val t = text.split("\\s+")
+        if (t.length < 3) Iterator.empty
+        else (0 to t.length - 3).iterator
+          .map(i => (id, t(i) + " " + t(i + 1) + " " + t(i + 2)))
+      }.toDF("doc_id", "gram")
+    val scored = grams.groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), max("c").as("top_gram"))
+    documents(s, d).select(col("doc_id")).distinct()
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("top_gram"),
+        round(col("top_gram").cast("double") /
+          col("n_grams").cast("double"), 4).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val q62Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(l) - 2)) AS i) s
+      |  WHERE len(l) >= 3),
+      |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      |p AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+      |        max(c) AS top_gram
+      |      FROM c GROUP BY 1)
+      |SELECT d.doc_id, p.n_grams, p.top_gram,
+      |  round(CAST(top_gram AS DOUBLE) / n_grams, 4) AS rep_ratio
+      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |LEFT JOIN p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q62_repetition" -> q62Repetition _,
     "q59_vocab_topk" -> ((s: SparkSession, d: String) => q59VocabTopk(s, d)),
     "q58_pack_sharded" -> ((s: SparkSession, d: String) => q58PackSharded(s, d)),
     "q57_chunk_docs" -> q57ChunkDocs _,
@@ -538,6 +590,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q62_repetition" -> q62Sql,
     "q59_vocab_topk" -> q59Sql,
     "q58_pack_sharded" -> q58Sql,
     "q57_chunk_docs" -> q57Sql,

@@ -65,6 +65,34 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("cc")) {
+      // adversarial connected-components probe: a 20k-node CHAIN is the
+      // worst case for min-label propagation (diameter = n, so it would
+      // need 20k rounds); large-star/small-star must collapse it in
+      // O(log n) alternations. Also a 200k-edge random graph (the
+      // realistic near-clique dup-graph shape) through the automatic
+      // two-phase entry point.
+      val n = 20000L
+      val nodes = spark.range(n).toDF("doc_id")
+      val chain = spark.range(n - 1)
+        .select(col("id").as("d1"), (col("id") + 1).as("d2"))
+      time(s"star CC on a $n-node chain") {
+        val cc = graft.text.DedupClusters.connectedComponentsStar(nodes, chain)
+        println("  components=" +
+          cc.select("cluster_id").distinct().count() + " (expect 1)")
+      }
+      val m = 200000L
+      val rand = spark.range(m).select(
+        pmod(hash(col("id")), lit(n)).cast("long").as("d1"),
+        pmod(hash(col("id") * 7 + 3), lit(n)).cast("long").as("d2"))
+      time(s"two-phase CC on a $m-edge random graph") {
+        val cc = graft.text.DedupClusters.connectedComponents(nodes, rand)
+        println("  components=" +
+          cc.select("cluster_id").distinct().count())
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("voice")) {
       // end-to-end voice pipeline timing vs BASELINE.md (reference:
       // ~35 s train for 30 epochs on ~17.6k frames, accuracy 0.8731)
