@@ -93,6 +93,39 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("ingest")) {
+      // streaming ingest probe: the 10x corpus (50k docs) arrives in 10
+      // micro-batches through ingestDedupStream. Per-batch wall time
+      // should stay near-flat: each batch re-shingles ONLY itself; the
+      // store side of the band join grows linearly but is signatures,
+      // not text (the claim the signature store exists to make).
+      import spark.implicits._
+      val docs0 = graft.Tables.documents(spark, d)
+      val base = docs0.select("doc_id", "text").as[(Long, String)].collect()
+      val tmp = java.nio.file.Files.createTempDirectory("ingest10").toString
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](spark)
+      val q = graft.streaming.StreamingOps
+        .ingestDedupStream(stream.toDF.toDF("doc_id", "text"),
+          s"$tmp/signatures", s"$tmp/pairs")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .start()
+      for (r <- 0 until 10) {
+        val batch = base.map { case (id, text) =>
+          (id + r * 1000000L, text + s" copymark$r")
+        }
+        time(s"ingest batch $r (${batch.length} docs)") {
+          stream.addData(batch.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      }
+      q.stop()
+      println("  store rows=" +
+        spark.read.parquet(s"$tmp/signatures").count())
+      println("  pairs=" + spark.read.parquet(s"$tmp/pairs").count())
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("voice")) {
       // end-to-end voice pipeline timing vs BASELINE.md (reference:
       // ~35 s train for 30 epochs on ~17.6k frames, accuracy 0.8731)
