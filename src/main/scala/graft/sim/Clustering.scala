@@ -1,10 +1,8 @@
 package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables._
 
 /** Embedding clustering as a first-class operator (SURVEY §2.K
   * similarity-search family) — the standalone form of the coarse
@@ -27,21 +25,12 @@ import graft.Tables._
 object Clustering {
 
   def kmeansClusters(s: SparkSession, d: String, k: Int = 16): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    val spark = s
-    import spark.implicits._
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("v"),
-        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    val e = VecPrep.embeddingFeatures(s, d)
+    // default k-means|| init here, unlike IvfKnn's random init: for the
+    // standalone clustering operator the cluster quality IS the product
     val model = new KMeans().setK(k).setSeed(42).setFeaturesCol("v")
       .setPredictionCol("cluster").fit(e)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat),
-          math.sqrt(c.toArray.map(x => x * x).sum))
-      }
-      .toSeq.toDF("cluster", "centroid", "cnorm")
+    val centroids = VecPrep.centroidTable(s, model)
     // one narrow pass: per-vector cosine + squared distance to its own
     // centroid (broadcast k rows), then a k-key hash aggregate
     model.transform(e)

@@ -1,10 +1,8 @@
 package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables._
 
 /** IVF (inverted-file) approximate nearest-neighbor search — the
   * second scale path for q30's exact kNN (alongside BRP-LSH):
@@ -26,11 +24,7 @@ object IvfKnn {
   def ivfKnn(s: SparkSession, d: String, k: Int = 16, nProbe: Int = 4,
       topK: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    graft.functions.VecFunctions.register(s)
-    val e = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        array_to_vector(col("embedding")).as("v"),
-        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    val e = VecPrep.embeddingFeatures(s, d)
     // seeded RANDOM init, not the default k-means|| — the parallel init
     // costs initSteps extra distributed passes to pick better seeds,
     // which matters for cluster QUALITY but not for a coarse quantizer:
@@ -42,13 +36,7 @@ object IvfKnn {
     val assigned = model.transform(e)
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
     // centroid table: k rows of float arrays (broadcast everywhere)
-    val spark = s
-    import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat), math.sqrt(c.toArray.map(v => v * v).sum))
-      }
-      .toSeq.toDF("cluster", "centroid", "cnorm")
+    val centroids = VecPrep.centroidTable(s, model)
     // probe routing: each query → nProbe nearest centroids by cosine
     // (dot / centroid norm — query norm is constant within a query's
     // ranking, but centroid norms vary and must be divided out)

@@ -258,11 +258,22 @@ object StreamingOps {
     *      shingled exactly once in its lifetime; later batches join
     *      against stored signatures, never re-reading corpus text.
     *
+    * Redelivery: a doc_id already in the store is SKIPPED (anti-join
+    * before both the pair emission and the append) — at-least-once
+    * sources re-deliver, and without the guard a re-sent doc would pair
+    * with its stored self (degenerate d1 = d2 rows) and duplicate its
+    * store row, double-emitting every future pair that touches it.
+    * First write wins; a genuinely updated document needs a new
+    * version-carrying doc_id upstream, same as any immutable store.
+    *
     * Scale notes: every join keys on (band, sig) or doc_id — no
     * broadcast of anything corpus-sized; the store grows by |batch|
-    * rows per trigger. Parquet append is not idempotent under retries —
-    * a production deployment puts a transactional table format under
-    * `storePath`/`pairsPath`; the pipeline shape is unchanged.
+    * rows per trigger; the pair output is appended UNSORTED (the global
+    * orderBy the batch entry points do for deterministic display would
+    * be a per-trigger range-partition exchange no reader relies on).
+    * Parquet append is not idempotent under retries — a production
+    * deployment puts a transactional table format under `storePath`/
+    * `pairsPath`; the pipeline shape is unchanged.
     *
     * Returns the un-started writer so callers own trigger/checkpoint.
     */
@@ -274,15 +285,27 @@ object StreamingOps {
     docs.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val sigs = graft.text.NearDup
-          .signatures(batch, nHashes, rowsPerBand).localCheckpoint()
         val store = new org.apache.hadoop.fs.Path(storePath)
         val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
         val sigC =
-          if (fs.exists(store)) s.read.parquet(storePath)
-          else sigs.limit(0) // bootstrap: first batch has no corpus side
+          if (fs.exists(store))
+            // fails fast on a store written under different banding
+            // parameters — same hazard as the batch stored path
+            graft.text.NearDup
+              .readSignatureStore(s, storePath, nHashes, rowsPerBand)
+          else null
+        val sigsAll = graft.text.NearDup
+          .signatures(batch, nHashes, rowsPerBand)
+          .dropDuplicates("doc_id") // intra-batch redelivery
+        val sigs =
+          (if (sigC == null) sigsAll
+           else sigsAll.join(sigC.select("doc_id"), Seq("doc_id"),
+             "left_anti"))
+            .localCheckpoint() // computed once, reused by pairs + append
         graft.text.NearDup
-          .incrementalFromSignatures(sigC, sigs, threshold)
+          .incrementalFromSignatures(
+            if (sigC == null) sigs.limit(0) else sigC,
+            sigs, threshold, sorted = false)
           .write.mode("append").parquet(pairsPath)
         sigs.write.mode("append").parquet(storePath)
         ()

@@ -266,8 +266,8 @@ object NearDup {
     * and AQE demotes them to broadcast whenever actually small.
     */
   private def verifyJaccard(cands: DataFrame, docSets: DataFrame,
-      threshold: Double): DataFrame =
-    cands
+      threshold: Double, sorted: Boolean = true): DataFrame = {
+    val verified = cands
       .join(docSets.as("za"), col("d1") === col("za.doc_id"))
       .join(docSets.as("zb"), col("d2") === col("zb.doc_id"))
       .select(col("d1"), col("d2"),
@@ -278,7 +278,10 @@ object NearDup {
           (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .orderBy("d1", "d2")
+    // the sort exists for deterministic driver-facing output; sinks that
+    // append unordered (the streaming ingest path) skip the exchange
+    if (sorted) verified.orderBy("d1", "d2") else verified
+  }
 
   // ------------------------------------------------- incremental MinHash
   /** Near-dup pairs TOUCHING a new batch: (new × corpus) ∪ (new × new),
@@ -308,12 +311,20 @@ object NearDup {
     */
   def minhashNeardupIncrementalStored(s: SparkSession, storePath: String,
       newDocs: DataFrame, nHashes: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    incrementalFromSignatures(
+      readSignatureStore(s, storePath, nHashes, rowsPerBand),
+      signatures(newDocs, nHashes, rowsPerBand).cache(), threshold)
+
+  /** Open the signature store, failing fast if it was written under
+    * different banding parameters: a mismatched store joins on a
+    * DIFFERENT hash family — the band equi-join almost never collides
+    * and cross (new × corpus) dups silently vanish. The band count is
+    * checkable from the schema-carried array, so check it.
+    */
+  private[graft] def readSignatureStore(s: SparkSession, storePath: String,
+      nHashes: Int, rowsPerBand: Int): DataFrame = {
     val store = s.read.parquet(storePath)
-    // A store written under different banding parameters joins on a
-    // DIFFERENT hash family: the band equi-join almost never collides
-    // and cross (new × corpus) dups silently vanish. The band count is
-    // checkable from the schema-carried array — fail fast instead.
     val nBands = nHashes / rowsPerBand
     val badBands = store
       .filter(size(col("band_sigs")) =!= nBands).limit(1).count()
@@ -321,8 +332,7 @@ object NearDup {
       s"signature store at $storePath has band_sigs arrays of length != " +
         s"$nBands — it was written under different (nHashes, rowsPerBand) " +
         "parameters than this query's; rewrite the store or match them")
-    incrementalFromSignatures(store,
-      signatures(newDocs, nHashes, rowsPerBand).cache(), threshold)
+    store
   }
 
   /** Persist the signature store (doc_id, hs, sz, band_sigs) via the
@@ -335,7 +345,8 @@ object NearDup {
       .write.mode("overwrite").parquet(path)
 
   private[graft] def incrementalFromSignatures(sigC: DataFrame,
-      sigN: DataFrame, threshold: Double): DataFrame = {
+      sigN: DataFrame, threshold: Double,
+      sorted: Boolean = true): DataFrame = {
     def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
       posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val bandsC = bandsOf(sigC); val bandsN = bandsOf(sigN)
@@ -353,7 +364,7 @@ object NearDup {
     val cands = cross.union(intra).distinct()
     val docSets = sigC.select(col("doc_id"), col("hs"), col("sz"))
       .union(sigN.select(col("doc_id"), col("hs"), col("sz")))
-    verifyJaccard(cands, docSets, threshold)
+    verifyJaccard(cands, docSets, threshold, sorted)
   }
 
   /** Driver entry: docs with doc_id ≡ 0 (mod 10) play the "new batch". */

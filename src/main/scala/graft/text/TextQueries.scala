@@ -535,7 +535,11 @@ object TextQueries {
     val grams = documents(s, d).select("doc_id", "text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
-        val t = text.split("\\s+")
+        // drop empty tokens EXPLICITLY: Java split keeps a leading empty
+        // on leading whitespace, DuckDB's regexp_split_to_array keeps
+        // trailing empties too — filtering both sides is the only
+        // tokenization the two engines agree on (q59 does the same)
+        val t = text.split("\\s+").filter(_.nonEmpty)
         if (t.length < 3) Iterator.empty
         else (0 to t.length - 3).iterator
           .map(i => (id, t(i) + " " + t(i + 1) + " " + t(i + 2)))
@@ -544,7 +548,9 @@ object TextQueries {
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"), max("c").as("top_gram"))
-    documents(s, d).select(col("doc_id")).distinct()
+    // doc_id is the table's unique key — no distinct() (a full extra
+    // shuffle on both engines) to rebuild the doc list
+    documents(s, d).select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"), col("top_gram"),
         round(col("top_gram").cast("double") /
@@ -554,7 +560,9 @@ object TextQueries {
 
   val q62Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'),
+      |                x -> length(x) > 0) AS l
       |  FROM documents),
       |g AS (
       |  SELECT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS gram
@@ -567,7 +575,7 @@ object TextQueries {
       |      FROM c GROUP BY 1)
       |SELECT d.doc_id, p.n_grams, p.top_gram,
       |  round(CAST(top_gram AS DOUBLE) / n_grams, 4) AS rep_ratio
-      |FROM (SELECT DISTINCT doc_id FROM documents) d
+      |FROM (SELECT doc_id FROM documents) d
       |LEFT JOIN p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 

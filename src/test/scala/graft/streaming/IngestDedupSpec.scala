@@ -34,9 +34,14 @@ class IngestDedupSpec extends SparkSpec {
       }
       q.stop()
 
-      // store: exactly the batch-path signatures of the whole corpus
-      val store = spark.read.parquet(storePath)
-        .select("doc_id", "sz").as[(Long, Int)].collect().toMap
+      // store: exactly the batch-path signatures of the whole corpus —
+      // ONE row per doc (collect to rows first; a toMap would silently
+      // collapse duplicate doc_id rows before the comparison)
+      val storeRows = spark.read.parquet(storePath)
+        .select("doc_id", "sz").as[(Long, Int)].collect()
+      assert(storeRows.length === storeRows.map(_._1).distinct.length,
+        "store holds duplicate doc_id rows")
+      val store = storeRows.toMap
       val full = NearDup
         .minhashNeardupFast(spark, sf0001) // ensures same defaults below
       val wantSigs = graft.Tables.documents(spark, sf0001)
