@@ -1,0 +1,72 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Columnar/row format round-trips beyond parquet and CSV (SURVEY §2.A
+  * breadth): ORC (the other splittable columnar format Spark ships) and
+  * JSON-lines (the interchange format ingest pipelines actually
+  * receive), both through the engine's own writers/readers with
+  * explicit schemas — schema-on-read for JSON is how type drift sneaks
+  * into a corpus, so the spec pins typed reads.
+  */
+class FormatRoundTripSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample = graft.Tables.documents(spark, sf0001)
+    .select("doc_id", "lang", "text", "n_chars")
+    .filter($"doc_id" < 100)
+
+  test("ORC round-trip preserves rows, schema, and values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc")
+    try {
+      val p = dir.resolve("docs.orc").toString
+      sample.write.mode("overwrite").orc(p)
+      val back = spark.read.orc(p)
+      assert(back.schema === sample.schema)
+      assert(back.orderBy("doc_id").collect()
+        .sameElements(sample.orderBy("doc_id").collect()))
+    } finally delete(dir)
+  }
+
+  test("JSON-lines round-trip with explicit schema preserves values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-json")
+    try {
+      val p = dir.resolve("docs.json").toString
+      sample.write.mode("overwrite").json(p)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType),
+        StructField("n_chars", LongType)))
+      val back = spark.read.schema(schema).json(p)
+        .select("doc_id", "lang", "text", "n_chars") // field order
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        sample.schema.map(f => (f.name, f.dataType)))
+      assert(back.orderBy("doc_id").collect()
+        .sameElements(sample.orderBy("doc_id").collect()))
+    } finally delete(dir)
+  }
+
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part")
+    try {
+      val p = dir.resolve("docs_by_lang").toString
+      sample.write.mode("overwrite").partitionBy("lang").parquet(p)
+      val one = spark.read.parquet(p).filter($"lang" === "en")
+      one.collect()
+      // the lang=... directory filter must reach the scan as a partition
+      // filter, not a post-scan predicate over all partitions
+      val scan = one.queryExecution.executedPlan.toString
+      assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+        s"expected partition pruning on lang:\n$scan")
+    } finally delete(dir)
+  }
+
+  private def delete(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+}
