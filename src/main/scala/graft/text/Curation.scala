@@ -27,22 +27,31 @@ object Curation {
   // AND nq_curation_stats in one Verify pass — without the memo the md5
   // window, quality pass, and both assembly joins execute twice
   private val memo = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String, Int, Double), DataFrame]
+    .empty[(SparkSession, String, Int, Double, Option[Double]), DataFrame]
 
   /** Bench hook — see DedupClusters.clearMemo. */
   private[graft] def clearMemo(): Unit = memo.clear()
 
+  /** `maxRepRatio`: optional C4/Gopher-style repetition gate (q62's
+    * signal) — drop docs whose most-repeated 3-gram accounts for more
+    * than this fraction of all 3-gram occurrences. None (default) skips
+    * the gate AND its two gram aggregates entirely; docs too short to
+    * score pass (unknown ≠ repetitive — same null discipline as
+    * contamination verdicts).
+    */
   def curate(s: SparkSession, d: String, minTokens: Int = 5,
-      minDistinctRatio: Double = 0.2): DataFrame =
+      minDistinctRatio: Double = 0.2,
+      maxRepRatio: Option[Double] = None): DataFrame =
     // memoize only immutable driver data (fixture dirs re-read fresh —
     // same policy as Tables.t and DedupClusters)
     if (graft.Tables.isImmutable(d))
-      memo.getOrElseUpdate((s, d, minTokens, minDistinctRatio),
-        curateUncached(s, d, minTokens, minDistinctRatio).localCheckpoint())
-    else curateUncached(s, d, minTokens, minDistinctRatio)
+      memo.getOrElseUpdate((s, d, minTokens, minDistinctRatio, maxRepRatio),
+        curateUncached(s, d, minTokens, minDistinctRatio, maxRepRatio)
+          .localCheckpoint())
+    else curateUncached(s, d, minTokens, minDistinctRatio, maxRepRatio)
 
   private def curateUncached(s: SparkSession, d: String, minTokens: Int,
-      minDistinctRatio: Double): DataFrame = {
+      minDistinctRatio: Double, maxRepRatio: Option[Double]): DataFrame = {
     val docs = documents(s, d)
     // gate 1: exact duplicates — keeper = min doc_id per fingerprint
     val exact = docs
@@ -62,14 +71,24 @@ object Curation {
       size(toks).cast("long").as("n_tokens"),
       (size(array_distinct(toks)).cast("double") /
         size(toks).cast("double")).as("distinct_ratio"))
-    quality
+    // gate 4 (optional): repetition — joined only when requested, so
+    // the default pipeline pays nothing for it
+    val withRep = maxRepRatio match {
+      case None => quality.withColumn("rep_ratio", lit(null).cast("double"))
+      case Some(_) => quality.join(
+        TextQueries.repetitionOf(docs).select("doc_id", "rep_ratio"),
+        Seq("doc_id"), "left")
+    }
+    withRep
       .join(exact, "doc_id")
       .join(clusters, "doc_id")
       .withColumn("drop_reason",
         when(!col("is_exact_keeper"), "exact_dup")
           .when(!col("is_cluster_keeper"), "near_dup")
           .when(col("n_tokens") < minTokens ||
-            col("distinct_ratio") < minDistinctRatio, "low_quality"))
+            col("distinct_ratio") < minDistinctRatio, "low_quality")
+          .when(maxRepRatio.map(r => col("rep_ratio") > r)
+            .getOrElse(lit(false)), "repetitive"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("distinct_ratio"), 4).as("distinct_ratio"),
         col("cluster_id"), col("drop_reason").isNull.as("keep"),

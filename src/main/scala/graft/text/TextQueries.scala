@@ -530,9 +530,15 @@ object TextQueries {
   // doc_id — the (doc_id, gram) key is unique-per-doc-gram so the first
   // aggregate map-side-combines the repeats; nothing is broadcast and
   // docs too short to score carry null (unknown, not clean).
-  def q62Repetition(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc repetition scores over any (doc_id, text) relation —
+    * (doc_id, n_grams, top_gram, rep_ratio); docs too short to score
+    * are ABSENT (q62 left-joins them back as null; Curation treats
+    * absent as un-gateable). Shared with the curation repetition gate.
+    */
+  private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val grams = documents(s, d).select("doc_id", "text")
+    val grams = docs.select("doc_id", "text")
       .as[(Long, String)]
       .flatMap { case (id, text) =>
         // drop empty tokens EXPLICITLY: Java split keeps a leading empty
@@ -544,19 +550,23 @@ object TextQueries {
         else (0 to t.length - 3).iterator
           .map(i => (id, t(i) + " " + t(i + 1) + " " + t(i + 2)))
       }.toDF("doc_id", "gram")
-    val scored = grams.groupBy("doc_id", "gram")
+    grams.groupBy("doc_id", "gram")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"), max("c").as("top_gram"))
-    // doc_id is the table's unique key — no distinct() (a full extra
-    // shuffle on both engines) to rebuild the doc list
-    documents(s, d).select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"), col("top_gram"),
         round(col("top_gram").cast("double") /
           col("n_grams").cast("double"), 4).as("rep_ratio"))
-      .orderBy("doc_id")
   }
+
+  def q62Repetition(s: SparkSession, d: String): DataFrame =
+    // doc_id is the table's unique key — no distinct() (a full extra
+    // shuffle on both engines) to rebuild the doc list
+    documents(s, d).select(col("doc_id"))
+      .join(repetitionOf(documents(s, d)), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("top_gram"),
+        col("rep_ratio"))
+      .orderBy("doc_id")
 
   val q62Sql: String =
     """WITH toks AS (

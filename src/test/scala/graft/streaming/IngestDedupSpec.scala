@@ -70,6 +70,24 @@ class IngestDedupSpec extends SparkSpec {
       assert(gotSet === want,
         s"missing=${want -- gotSet} extra=${gotSet -- want}")
       assert(want.nonEmpty)
+
+      // redelivery/restart idempotence: replaying the ENTIRE corpus into
+      // the same store (what an at-least-once source or a foreachBatch
+      // re-run after restart does) must change nothing — the store
+      // anti-join recognizes every doc as already ingested
+      val replay = MemoryStream[(Long, String)]
+      val q2 = StreamingOps
+        .ingestDedupStream(replay.toDF.toDF("doc_id", "text"),
+          storePath, pairsPath)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      replay.addData(docs.toIndexedSeq)
+      q2.processAllAvailable()
+      q2.stop()
+      assert(spark.read.parquet(storePath).count() === storeRows.length.toLong,
+        "replay duplicated store rows")
+      assert(spark.read.parquet(pairsPath).count() === got.length.toLong,
+        "replay re-emitted pairs")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

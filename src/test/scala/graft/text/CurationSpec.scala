@@ -56,6 +56,31 @@ class CurationSpec extends SparkSpec {
     assert(byCluster.filter(col("n_keeper_side") === 0).count() === 0)
   }
 
+  test("repetition gate drops looping text, leaves the default pipeline untouched") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    // doc 2000: one 3-gram repeated 50x -> rep_ratio ~ 1.0 but high
+    // token count and ok-ish distinct ratio sneak past the other gates?
+    // (distinct_ratio = 3/152 would trip low_quality, so pad with
+    // unique filler to keep distinct_ratio above the 0.2 default)
+    val filler = (0 until 60).map(i => s"unique$i").mkString(" ")
+    val looping = s"$filler " + Seq.fill(50)("spam spam spam").mkString(" ")
+    val extra = Seq((2000L, looping, "en", "web", looping.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("repdocs").toString
+    docs.unionByName(extra).coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val gated = Curation.curate(spark, dir, maxRepRatio = Some(0.2)).cache()
+    val verdict = gated.filter(col("doc_id") === 2000L)
+      .select("drop_reason").as[String].head()
+    assert(verdict === "repetitive", s"looping doc got: $verdict")
+    // the gate must not change any OTHER doc's outcome at this threshold
+    // vs the ungated run (corpus docs are word salad, far from 0.2)
+    val ungated = Curation.curate(spark, dir)
+    assert(gated.filter(col("doc_id") < 2000L).select("doc_id", "keep")
+      .exceptAll(ungated.filter(col("doc_id") < 2000L)
+        .select("doc_id", "keep")).isEmpty)
+  }
+
   test("stats partition the corpus and reconcile with the decisions") {
     val stats = Curation.curationStats(curated)
       .as[(String, Long)].collect().toMap
