@@ -21,5 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.FloatVecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) =>
         functions.FloatVecDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[functions.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) =>
+        functions.SortedIntersectCount(exprs(0), exprs(1))))
   }
 }

@@ -84,9 +84,14 @@ object VecFunctions {
     */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
-    if (!reg.functionExists(id))
+    val dot = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
+    if (!reg.functionExists(dot))
       reg.createOrReplaceTempFunction(
         "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+    val sic = org.apache.spark.sql.catalyst
+      .FunctionIdentifier("sorted_intersect_count")
+    if (!reg.functionExists(sic))
+      reg.createOrReplaceTempFunction("sorted_intersect_count",
+        exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -267,11 +267,16 @@ object NearDup {
     */
   private def verifyJaccard(cands: DataFrame, docSets: DataFrame,
       threshold: Double, sorted: Boolean = true): DataFrame = {
+    graft.functions.VecFunctions.register(cands.sparkSession)
     val verified = cands
       .join(docSets.as("za"), col("d1") === col("za.doc_id"))
       .join(docSets.as("zb"), col("d2") === col("zb.doc_id"))
       .select(col("d1"), col("d2"),
-        size(array_intersect(col("za.hs"), col("zb.hs"))).as("n_inter"),
+        // codegen'd two-pointer merge over the (sorted by construction)
+        // hash sets — array_intersect would hash-build a set and
+        // materialize the intersection array per pair just to take its
+        // length
+        expr("sorted_intersect_count(za.hs, zb.hs)").as("n_inter"),
         col("za.sz").as("sz1"), col("zb.sz").as("sz2"))
       .select(col("d1"), col("d2"),
         (col("n_inter").cast("double") /
