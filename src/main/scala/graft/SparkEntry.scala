@@ -28,6 +28,7 @@ object SparkEntry {
       rel.ApproxQueries.queries ++ rel.Skew.queries ++
       ml.VoicePipeline.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
+      sim.IvfPq.queries ++
       sources.MultimodalStubs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,196 @@
+package graft.sim
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ — the composite the two standalone indexes exist for, and the
+  * workhorse layout of billion-vector ANN systems: an IVF coarse
+  * quantizer prunes the search to nProbe cells, and within cells
+  * vectors are PQ codes over RESIDUALS (v − centroid), so the quantizer
+  * only has to express the small within-cell displacement instead of
+  * the whole vector — tighter codes from the same bit budget.
+  *
+  *  1. COARSE: seeded k-means (shared `VecPrep` prep with IvfKnn) →
+  *     cell assignment per vector; centroid table is driver-side KBs.
+  *  2. RESIDUAL PQ: codebooks trained (shared `PqKnn.lloyd`) on a
+  *     content-deterministic bounded sample of residuals; one narrow
+  *     typed pass encodes every vector to (cell, m-byte code).
+  *  3. SEARCH: each query routes to its nProbe nearest cells; ADC
+  *     scoring touches ONLY vectors in probed cells, via lookup tables
+  *     built once per query from the residual decomposition
+  *       dot(q, v̂)   = dot(q, c) + Σᵢ dot(qᵢ, r̂ᵢ)
+  *       ‖v̂‖²        = Σᵢ (‖cᵢ‖² + 2·cᵢ·r̂ᵢ + ‖r̂ᵢ‖²)
+  *     (q-dependent tables are m×k per query; cell-dependent tables are
+  *     kCells×m×k doubles total — all closure-shipped KBs). Scoring is
+  *     mapPartitions with per-(partition, query) bounded heaps, so only
+  *     ~shortlist candidates per partition ever shuffle.
+  *  4. RE-RANK: exact cosine (codegen'd vec_dot) on the shortlist only.
+  *
+  * At 100 TB the cells are the unit of data skipping (cluster-by column
+  * at rest → a probe reads nProbe/kCells of the index) and the PQ codes
+  * are the unit of memory (32× under raw floats). Seeded throughout →
+  * deterministic; recall vs exact q30 pinned in IvfPqSpec.
+  */
+object IvfPq {
+
+  def ivfPqKnn(s: SparkSession, d: String, kCells: Int = 16,
+      nProbe: Int = 4, m: Int = 8, k: Int = 32, topK: Int = 5,
+      shortlist: Int = 100, nQueries: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val e = VecPrep.embeddingFeatures(s, d)
+    val coarse = new KMeans().setK(kCells).setSeed(42).setFeaturesCol("v")
+      .setInitMode("random").setPredictionCol("cell").fit(e)
+    val assigned = e.select(col("vec_id"), col("embedding"), col("v"))
+      .transform(coarse.transform(_))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+      .as[(Long, Array[Float], Int)]
+    val cents: Array[Array[Float]] =
+      coarse.clusterCenters.map(_.toArray.map(_.toFloat))
+    val dim = cents.head.length
+    require(dim % m == 0, "dim must divide into m subspaces")
+    val sub = dim / m
+
+    // residual codebooks on a content-deterministic bounded sample
+    val sampleRes = assigned
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2000)
+      .as[(Long, Array[Float], Int)]
+      .collect()
+      .map { case (_, v, cell) =>
+        Array.tabulate(dim)(j => v(j) - cents(cell)(j))
+      }
+    require(sampleRes.nonEmpty, "ivfPqKnn: embeddings table is empty")
+    val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { mi =>
+      PqKnn.lloyd(sampleRes.map(r => java.util.Arrays.copyOfRange(
+        r, mi * sub, (mi + 1) * sub)), k, iters = 10, seed = 142L + mi)
+    }
+
+    // ENCODE: (vec_id, cell, code) — residual vs own centroid
+    val codes = assigned.map { case (id, v, cell) =>
+      val code = new Array[Int](m)
+      var mi = 0
+      while (mi < m) {
+        val cb = codebooks(mi); val off = mi * sub
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dd = 0.0; var j = 0
+          while (j < sub) {
+            val diff = (v(off + j) - cents(cell)(off + j)) - cb(c)(j)
+            dd += diff * diff; j += 1
+          }
+          if (dd < bestD) { bestD = dd; best = c }
+          c += 1
+        }
+        code(mi) = best; mi += 1
+      }
+      (id, cell, code)
+    }.toDF("vec_id", "cell", "code").as[(Long, Int, Array[Int])]
+
+    // query-independent tables: centroid sub-norms, centroid·codeword,
+    // codeword norms (kCells×m×k + m×k doubles — KBs)
+    val cn2: Array[Double] = cents.map(c => c.map(x => x.toDouble * x).sum)
+    val cr: Array[Array[Array[Double]]] = Array.tabulate(cents.length) { cell =>
+      Array.tabulate(m, k) { (mi, c) =>
+        var acc = 0.0; var j = 0
+        while (j < sub) {
+          acc += cents(cell)(mi * sub + j).toDouble * codebooks(mi)(c)(j)
+          j += 1
+        }
+        acc
+      }
+    }
+    val rr: Array[Array[Double]] = Array.tabulate(m, k) { (mi, c) =>
+      var acc = 0.0; var j = 0
+      while (j < sub) {
+        acc += codebooks(mi)(c)(j).toDouble * codebooks(mi)(c)(j); j += 1
+      }
+      acc
+    }
+
+    // per-query: probe routing + q-dependent tables
+    val queryVecs = assigned.filter(_._1 < nQueries).collect().sortBy(_._1)
+    val luts = queryVecs.map { case (qid, q, _) =>
+      val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
+      // nProbe nearest cells by cosine (deterministic cell tie-break)
+      val probed = cents.indices
+        .map { cell =>
+          var dot = 0.0; var j = 0
+          while (j < dim) { dot += q(j) * cents(cell)(j); j += 1 }
+          (-dot / math.max(math.sqrt(cn2(cell)), 1e-12), cell)
+        }
+        .sorted.take(nProbe).map(_._2).toSet
+      val qc: Array[Double] = cents.map { c =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += q(j) * c(j); j += 1 }
+        acc
+      }
+      val qr: Array[Array[Double]] = Array.tabulate(m, k) { (mi, c) =>
+        var acc = 0.0; var j = 0
+        while (j < sub) { acc += q(mi * sub + j) * codebooks(mi)(c)(j); j += 1 }
+        acc
+      }
+      (qid, probed, qc, qr, qn)
+    }
+
+    // ADC over probed cells only, bounded per-partition heaps
+    val cands = codes.mapPartitions { it =>
+      val heaps = luts.map(q =>
+        (q._1, new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
+          Ordering.by(x => (-x._1, x._2)))))
+      it.foreach { case (id, cell, code) =>
+        var qi = 0
+        while (qi < luts.length) {
+          val (qid, probed, qc, qr, qn) = luts(qi)
+          if (id != qid && probed.contains(cell)) {
+            var dotQR = 0.0; var n2 = cn2(cell)
+            var mi = 0
+            while (mi < m) {
+              val c = code(mi)
+              dotQR += qr(mi)(c)
+              n2 += 2.0 * cr(cell)(mi)(c) + rr(mi)(c)
+              mi += 1
+            }
+            val cos = (qc(cell) + dotQR) /
+              (qn * math.max(math.sqrt(math.max(n2, 0.0)), 1e-12))
+            val h = heaps(qi)._2
+            h.enqueue((cos, id))
+            if (h.size > shortlist) h.dequeue()
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (cos, id) => (qid, id, cos) }
+      }
+    }.toDF("query_id", "cand_id", "est_cos")
+    val wShort = Window.partitionBy("query_id")
+      .orderBy(col("est_cos").desc, col("cand_id"))
+    val short = cands.withColumn("rs", row_number().over(wShort))
+      .filter(col("rs") <= shortlist)
+      .select("query_id", "cand_id")
+
+    // exact re-rank of the shortlist only
+    val raw = VecPrep.embeddingFeatures(s, d)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+    val qdf = raw.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    short
+      .join(raw.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+      .join(broadcast(qdf), "query_id")
+      .select(col("query_id"), col("cand_id").as("neighbor_id"),
+        (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn"))).as("cos"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_ivfpq_knn" -> ((s: SparkSession, d: String) => ivfPqKnn(s, d)))
+}

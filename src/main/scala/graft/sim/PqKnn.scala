@@ -28,8 +28,10 @@ import graft.Tables._
   */
 object PqKnn {
 
-  /** Lloyd's k-means on driver-side sample (rows × dim), fixed iters. */
-  private def lloyd(rows: Array[Array[Float]], k: Int, iters: Int,
+  /** Lloyd's k-means on driver-side sample (rows × dim), fixed iters.
+    * Shared with IvfPq's residual-codebook training.
+    */
+  private[sim] def lloyd(rows: Array[Array[Float]], k: Int, iters: Int,
       seed: Long): Array[Array[Float]] = {
     val dim = rows.head.length
     val rnd = new scala.util.Random(seed)
