@@ -19,7 +19,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   *
   * Inputs MUST be sorted ascending with no duplicates (the shingle-hash
   * sets are deduped by construction) — garbage in, garbage out, same
-  * contract as any merge join.
+  * contract as any merge join. NULL ELEMENTS are rejected with an error
+  * rather than silently read as 0 (the function is registered
+  * session-wide, so arbitrary SQL can reach it; "where does null sort"
+  * has no answer a merge walk can honor, and a phantom 0-match would be
+  * a silent wrong count).
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -43,6 +47,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val n = x.numElements(); val m = y.numElements()
     var i = 0; var j = 0; var c = 0
     while (i < n && j < m) {
+      if (x.isNullAt(i) || y.isNullAt(j)) {
+        throw new IllegalArgumentException(
+          "sorted_intersect_count: null array element")
+      }
       val xv = x.getLong(i); val yv = y.getLong(j)
       if (xv < yv) i += 1
       else if (xv > yv) j += 1
@@ -65,6 +73,10 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $n && $j < $m) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count: null array element");
+         |  }
          |  long $xv = $a.getLong($i);
          |  long $yv = $b.getLong($j);
          |  if ($xv < $yv) { $i++; }

@@ -42,10 +42,14 @@ object IvfPq {
     val e = VecPrep.embeddingFeatures(s, d)
     val coarse = new KMeans().setK(kCells).setSeed(42).setFeaturesCol("v")
       .setInitMode("random").setPredictionCol("cell").fit(e)
+    // cached: FOUR actions read this lineage (residual sample, query
+    // collect, the ADC scan, the re-rank's raw-vector join) — uncached,
+    // each would re-run the vectorization + KMeans assignment scan
     val assigned = e.select(col("vec_id"), col("embedding"), col("v"))
       .transform(coarse.transform(_))
       .select(col("vec_id"), col("embedding"), col("cell"))
       .as[(Long, Array[Float], Int)]
+      .cache()
     val cents: Array[Array[Float]] =
       coarse.clusterCenters.map(_.toArray.map(_.toFloat))
     val dim = cents.head.length
@@ -109,8 +113,10 @@ object IvfPq {
       acc
     }
 
-    // per-query: probe routing + q-dependent tables
-    val queryVecs = assigned.filter(_._1 < nQueries).collect().sortBy(_._1)
+    // per-query: probe routing + q-dependent tables (column filter, not
+    // a typed lambda — prunable/pushable against the cached relation)
+    val queryVecs = assigned.filter(col("vec_id") < nQueries)
+      .collect().sortBy(_._1)
     val luts = queryVecs.map { case (qid, q, _) =>
       val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
       // nProbe nearest cells by cosine (deterministic cell tie-break)
@@ -171,9 +177,11 @@ object IvfPq {
       .filter(col("rs") <= shortlist)
       .select("query_id", "cand_id")
 
-    // exact re-rank of the shortlist only
-    val raw = VecPrep.embeddingFeatures(s, d)
-      .select(col("vec_id"), col("embedding"), col("nrm"))
+    // exact re-rank of the shortlist only — norms recomputed from the
+    // CACHED assignment relation, not a fresh table scan
+    val raw = assigned.toDF()
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
     val qdf = raw.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))

@@ -71,10 +71,11 @@ object Curation {
       size(toks).cast("long").as("n_tokens"),
       (size(array_distinct(toks)).cast("double") /
         size(toks).cast("double")).as("distinct_ratio"))
-    // gate 4 (optional): repetition — joined only when requested, so
-    // the default pipeline pays nothing for it
+    // gate 4 (optional): repetition — scores joined only when requested
+    // (the None arm references no rep column anywhere downstream, so the
+    // default pipeline truly pays nothing)
     val withRep = maxRepRatio match {
-      case None => quality.withColumn("rep_ratio", lit(null).cast("double"))
+      case None => quality
       case Some(_) => quality.join(
         TextQueries.repetitionOf(docs).select("doc_id", "rep_ratio"),
         Seq("doc_id"), "left")

@@ -43,6 +43,17 @@ class SortedIntersectSpec extends SparkSpec {
     assert(plan.linesIterator.next().trim.startsWith("*("), plan)
   }
 
+  test("null array elements are rejected, not silently read as zero") {
+    val ex = intercept[Throwable] {
+      spark.sql("SELECT sorted_intersect_count(" +
+        "array(CAST(NULL AS BIGINT)), array(CAST(0 AS BIGINT)))").head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null array element")), ex.toString)
+  }
+
   test("empty and disjoint inputs count zero") {
     val df = Seq(
       (Seq.empty[Long], Seq(1L, 2L)),

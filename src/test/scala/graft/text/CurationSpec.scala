@@ -66,19 +66,29 @@ class CurationSpec extends SparkSpec {
     val looping = s"$filler " + Seq.fill(50)("spam spam spam").mkString(" ")
     val extra = Seq((2000L, looping, "en", "web", looping.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val dir = java.nio.file.Files.createTempDirectory("repdocs").toString
-    docs.unionByName(extra).coalesce(1).write.mode("overwrite")
-      .parquet(s"$dir/documents.parquet")
-    val gated = Curation.curate(spark, dir, maxRepRatio = Some(0.2)).cache()
-    val verdict = gated.filter(col("doc_id") === 2000L)
-      .select("drop_reason").as[String].head()
-    assert(verdict === "repetitive", s"looping doc got: $verdict")
-    // the gate must not change any OTHER doc's outcome at this threshold
-    // vs the ungated run (corpus docs are word salad, far from 0.2)
-    val ungated = Curation.curate(spark, dir)
-    assert(gated.filter(col("doc_id") < 2000L).select("doc_id", "keep")
-      .exceptAll(ungated.filter(col("doc_id") < 2000L)
-        .select("doc_id", "keep")).isEmpty)
+    val dirPath = java.nio.file.Files.createTempDirectory("repdocs")
+    val dir = dirPath.toString
+    val gated = try {
+      docs.unionByName(extra).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val g = Curation.curate(spark, dir, maxRepRatio = Some(0.2)).cache()
+      val verdict = g.filter(col("doc_id") === 2000L)
+        .select("drop_reason").as[String].head()
+      assert(verdict === "repetitive", s"looping doc got: $verdict")
+      // the gate must not change any OTHER doc's outcome at this
+      // threshold vs the ungated run (corpus docs are word salad, far
+      // from 0.2)
+      val ungated = Curation.curate(spark, dir)
+      assert(g.filter(col("doc_id") < 2000L).select("doc_id", "keep")
+        .exceptAll(ungated.filter(col("doc_id") < 2000L)
+          .select("doc_id", "keep")).isEmpty)
+      g
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    gated.unpersist()
   }
 
   test("stats partition the corpus and reconcile with the decisions") {
