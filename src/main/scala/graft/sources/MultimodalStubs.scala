@@ -5,10 +5,13 @@ import org.apache.spark.sql.functions._
 import graft.Tables.documents
 
 /** Image/video multimodal operators: REAL Spark plumbing (schemas,
-  * partitioning, per-partition batch shape) with STUBBED codecs — this
-  * container ships no image/video libraries, so the decode step is a
-  * clearly-marked deterministic fake keyed on the content bytes. On a
-  * real cluster only `decodeRgbStub` / `sampleFramesStub` change
+  * partitioning, per-partition batch shape) with STUBBED codecs.
+  * NOTE: the image path now ALSO exists for real — `ImageSource` decodes
+  * PNG/JPEG/BMP through the JDK's own javax.imageio codecs
+  * (nq_image_decode). This stub variant is kept for the formats the JDK
+  * cannot read; VIDEO remains stub-only (no JDK video codec exists) —
+  * the decode step is a clearly-marked deterministic fake keyed on the
+  * content bytes. On a real cluster only `sampleFramesStub` changes
   * (swap in the actual codec inside the same mapPartitions boundary);
   * every schema and shuffle stays identical.
   *
