@@ -59,6 +59,70 @@ object MediaSource {
         (length(col("content")) / 2).cast("int").as("n_samples"),
         lit(sampleRate).as("sample_rate"))
 
+  /** PCM16 mono → RIFF/WAVE container bytes via the JDK's own audio
+    * codec (javax.sound.sampled — no external deps). WAV carries the
+    * sample rate IN the header, so readers need no side-channel.
+    */
+  private[graft] def wavBytes(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length / 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** WAV sink: one <id>.wav per row — the real-container upgrade of
+    * writePcmFiles (same executor-side Hadoop-FS discipline).
+    */
+  def writeWavFiles(df: DataFrame, idCol: String, pcmCol: String,
+      dir: String, sampleRate: Int = graft.gen.VoiceDataGen.SampleRate): Unit = {
+    df.select(col(idCol).cast("long"), col(pcmCol))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        fs.mkdirs(base)
+        it.foreach { r =>
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.wav"), true)
+          try out.write(wavBytes(r.getAs[Array[Byte]](1), sampleRate))
+          finally out.close()
+        }
+      }
+  }
+
+  /** WAV scan (A3, real container): binaryFile + JDK codec decode per
+    * partition; sample rate comes from each file's OWN header, not a
+    * caller parameter — the property a real container buys.
+    */
+  def readWavFiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(dir)
+      .select(
+        regexp_extract(col("path"), "(\\d+)\\.wav$", 1).cast("long")
+          .as("clip_id"),
+        col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+              s"expected 16-bit mono, got $fmt")
+            val pcm = ais.readAllBytes()
+            (id, pcm, pcm.length / 2, fmt.getSampleRate.toInt)
+          } finally ais.close()
+        }
+      }
+      .toDF("clip_id", "pcm", "n_samples", "sample_rate")
+  }
+
   /** Decode + summary feature extraction over the binary column in one
     * mapPartitions pass: waveform stats the cheap way (no shuffle).
     */

@@ -32,6 +32,30 @@ class MediaSourceSpec extends SparkSpec {
     assert(java.util.Arrays.equals(origBytes, backBytes))
   }
 
+  test("wav container sink + scan round-trip (JDK codec, header-carried rate)") {
+    val dir = tmpDir("wav")
+    val gen = VoiceDataGen.generate(spark, 3).cache()
+    MediaSource.writeWavFiles(gen, "phrase_id", "pcm", dir)
+    val back = MediaSource.readWavFiles(spark, dir)
+    assert(back.count() == 3)
+    // the sample rate must come from each file's OWN header
+    val rates = back.select("sample_rate").distinct().as[Int].collect()
+    assert(rates.toSeq === Seq(VoiceDataGen.SampleRate))
+    // byte-exact PCM payload through the container
+    val origBytes = gen.filter($"phrase_id" === 1).select("pcm")
+      .as[Array[Byte]].head()
+    val backBytes = back.filter($"clip_id" === 1).select("pcm")
+      .as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(origBytes, backBytes))
+    // and the decoded clips feed the same feature path as raw PCM
+    val viaWav = MediaSource.audioFeatures(back).orderBy("clip_id")
+      .collect()
+    val viaPcm = MediaSource.audioFeatures(
+      gen.select(col("phrase_id").as("clip_id"), col("pcm"),
+        col("sample_rate"))).orderBy("clip_id").collect()
+    assert(viaWav.sameElements(viaPcm), "container must not alter audio")
+  }
+
   test("audio feature extraction over binary column") {
     val gen = VoiceDataGen.generate(spark, 2)
     val feats = MediaSource.audioFeatures(
