@@ -59,6 +59,10 @@ object ImageSource {
     documents(s, d).select(col("doc_id"), col("n_chars"))
       .as[(Long, Long)]
       .mapPartitions { it =>
+        // the bytes are already in memory: without this, ImageIO wraps
+        // every stream in a FileCacheImageInputStream — a temp-file
+        // create/write/delete per row under java.io.tmpdir
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, nChars) =>
           val w = (16 + (nChars % 48)).toInt
           val h = (16 + (id % 32)).toInt
@@ -77,6 +81,8 @@ object ImageSource {
     images.select(col("image_id").cast("long"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
+        // in-memory stream cache — see generateImages
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, bytes) =>
           val img =
             try javax.imageio.ImageIO.read(

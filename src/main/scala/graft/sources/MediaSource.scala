@@ -19,29 +19,35 @@ import org.apache.spark.sql.functions._
   */
 object MediaSource {
 
+  /** Shared executor-side per-row binary sink. Hadoop FileSystem API,
+    * resolved per-executor from the path's scheme: plain java.nio would
+    * write to each executor's LOCAL disk on a multi-node cluster,
+    * silently scattering the sink. With an hdfs://, s3a://,
+    * file://-on-shared-mount dir this lands all files in one place;
+    * local mode behaves identically. `encode` maps (payload bytes,
+    * extra column) → file bytes.
+    */
+  private def writeBinaryFiles(rows: DataFrame, ext: String, dir: String)(
+      encode: org.apache.spark.sql.Row => Array[Byte]): Unit =
+    rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+      val base = new org.apache.hadoop.fs.Path(dir)
+      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.mkdirs(base)
+      it.foreach { r =>
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.$ext"), true)
+        try out.write(encode(r)) finally out.close()
+      }
+    }
+
   /** Binary sink: one file per row, named <id>.pcm (the distributed
     * analogue of the reference's per-phrase MP3 export,
     * `data_generator.py:26-27`). Executor-side writes, no driver loop.
     */
   def writePcmFiles(df: DataFrame, idCol: String, pcmCol: String,
-      dir: String): Unit = {
-    df.select(col(idCol).cast("long"), col(pcmCol))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        // Hadoop FileSystem API, resolved per-executor from the path's
-        // scheme: plain java.nio would write to each executor's LOCAL
-        // disk on a multi-node cluster, silently scattering the sink.
-        // With an hdfs://, s3a://, file://-on-shared-mount dir this
-        // lands all files in one place; local mode behaves identically.
-        val base = new org.apache.hadoop.fs.Path(dir)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        fs.mkdirs(base)
-        it.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.pcm"), true)
-          try out.write(r.getAs[Array[Byte]](1)) finally out.close()
-        }
-      }
-  }
+      dir: String): Unit =
+    writeBinaryFiles(df.select(col(idCol).cast("long"), col(pcmCol)),
+      "pcm", dir)(_.getAs[Array[Byte]](1))
 
   /** binaryFile scan (A3): files → (clip_id from filename, pcm bytes,
     * metadata). Filters and the 4-column projection are handled by the
@@ -62,8 +68,12 @@ object MediaSource {
   /** PCM16 mono → RIFF/WAVE container bytes via the JDK's own audio
     * codec (javax.sound.sampled — no external deps). WAV carries the
     * sample rate IN the header, so readers need no side-channel.
+    * Odd-length payloads are rejected (a floor-divided frame count
+    * would silently drop the trailing byte).
     */
   private[graft] def wavBytes(pcm: Array[Byte], sampleRate: Int): Array[Byte] = {
+    require(pcm.length % 2 == 0,
+      s"wavBytes: odd PCM16 payload (${pcm.length} bytes) — truncated input?")
     val fmt = new javax.sound.sampled.AudioFormat(
       sampleRate.toFloat, 16, 1, true, false) // 16-bit signed mono LE
     val ais = new javax.sound.sampled.AudioInputStream(
@@ -75,27 +85,29 @@ object MediaSource {
   }
 
   /** WAV sink: one <id>.wav per row — the real-container upgrade of
-    * writePcmFiles (same executor-side Hadoop-FS discipline).
+    * writePcmFiles (shared executor-side Hadoop-FS discipline). The
+    * sample rate is read from the PER-ROW `rateCol`: a scalar parameter
+    * would silently stamp one rate into every header on mixed-rate
+    * input, corrupting exactly the metadata the container exists to
+    * carry.
     */
   def writeWavFiles(df: DataFrame, idCol: String, pcmCol: String,
-      dir: String, sampleRate: Int = graft.gen.VoiceDataGen.SampleRate): Unit = {
-    df.select(col(idCol).cast("long"), col(pcmCol))
-      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
-        val base = new org.apache.hadoop.fs.Path(dir)
-        val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        fs.mkdirs(base)
-        it.foreach { r =>
-          val out = fs.create(
-            new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.wav"), true)
-          try out.write(wavBytes(r.getAs[Array[Byte]](1), sampleRate))
-          finally out.close()
-        }
-      }
-  }
+      rateCol: String, dir: String): Unit =
+    writeBinaryFiles(
+      df.select(col(idCol).cast("long"), col(pcmCol),
+        col(rateCol).cast("int")),
+      "wav", dir)(r => wavBytes(r.getAs[Array[Byte]](1), r.getInt(2)))
 
   /** WAV scan (A3, real container): binaryFile + JDK codec decode per
     * partition; sample rate comes from each file's OWN header, not a
     * caller parameter — the property a real container buys.
+    *
+    * Files whose basename is not purely numeric are skipped (they can't
+    * carry a clip_id; the glob alone can't exclude them, and an ANSI
+    * cast of "" would otherwise kill the scan). Undecodable or
+    * nonconforming content (corrupt bytes, stereo, non-PCM encodings)
+    * yields decoded=false with null payload — one bad file must not
+    * fail a 10k-file scan (same verdict discipline as ImageSource).
     */
   def readWavFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -103,24 +115,34 @@ object MediaSource {
       .option("pathGlobFilter", "*.wav")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.wav$", 1).cast("long")
-          .as("clip_id"),
+        regexp_extract(col("path"), "(\\d+)\\.wav$", 1).as("id_str"),
         col("content"))
+      .filter(col("id_str") =!= "")
+      .select(col("id_str").cast("long").as("clip_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(bytes))
           try {
-            val fmt = ais.getFormat
-            require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
-              s"expected 16-bit mono, got $fmt")
-            val pcm = ais.readAllBytes()
-            (id, pcm, pcm.length / 2, fmt.getSampleRate.toInt)
-          } finally ais.close()
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              require(fmt.getEncoding ==
+                  javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+                  fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+                s"expected 16-bit signed PCM mono, got $fmt")
+              val pcm = ais.readAllBytes()
+              (id, true, Some(pcm), Some(pcm.length / 2),
+                Some(fmt.getSampleRate.toInt))
+            } finally ais.close()
+          } catch {
+            case _: Exception =>
+              (id, false, None: Option[Array[Byte]], None: Option[Int],
+                None: Option[Int])
+          }
         }
       }
-      .toDF("clip_id", "pcm", "n_samples", "sample_rate")
+      .toDF("clip_id", "decoded", "pcm", "n_samples", "sample_rate")
   }
 
   /** Decode + summary feature extraction over the binary column in one

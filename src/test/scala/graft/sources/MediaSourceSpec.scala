@@ -34,26 +34,49 @@ class MediaSourceSpec extends SparkSpec {
 
   test("wav container sink + scan round-trip (JDK codec, header-carried rate)") {
     val dir = tmpDir("wav")
-    val gen = VoiceDataGen.generate(spark, 3).cache()
-    MediaSource.writeWavFiles(gen, "phrase_id", "pcm", dir)
-    val back = MediaSource.readWavFiles(spark, dir)
-    assert(back.count() == 3)
+    // MIXED sample rates: clip 100 claims 8 kHz — each header must carry
+    // its own row's rate, not one stamped scalar
+    val gen = VoiceDataGen.generate(spark, 3)
+      .select(col("phrase_id"), col("pcm"), col("sample_rate"))
+      .unionByName(VoiceDataGen.generate(spark, 1)
+        .select((col("phrase_id") + 100L).as("phrase_id"), col("pcm"),
+          lit(8000).as("sample_rate")))
+      .cache()
+    MediaSource.writeWavFiles(gen, "phrase_id", "pcm", "sample_rate", dir)
+    // hostile directory entries: a non-numeric basename (skipped — no
+    // clip id to carry) and a corrupt numeric one (decoded=false row)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "backup.wav"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "999.wav"), Array[Byte](9, 9, 9, 9))
+    val back = MediaSource.readWavFiles(spark, dir).cache()
+    assert(back.count() == 5, "4 real clips + 1 corrupt verdict row")
+    val bad = back.filter($"clip_id" === 999L).head()
+    assert(!bad.getBoolean(1) && bad.isNullAt(2),
+      "corrupt file must carry decoded=false + null payload")
+    val good = back.filter($"decoded")
     // the sample rate must come from each file's OWN header
-    val rates = back.select("sample_rate").distinct().as[Int].collect()
-    assert(rates.toSeq === Seq(VoiceDataGen.SampleRate))
+    assert(good.filter($"clip_id" === 100L).select("sample_rate")
+      .as[Int].head() === 8000)
+    assert(good.filter($"clip_id" < 100L).select("sample_rate")
+      .distinct().as[Int].collect().toSeq === Seq(VoiceDataGen.SampleRate))
     // byte-exact PCM payload through the container
     val origBytes = gen.filter($"phrase_id" === 1).select("pcm")
       .as[Array[Byte]].head()
-    val backBytes = back.filter($"clip_id" === 1).select("pcm")
+    val backBytes = good.filter($"clip_id" === 1).select("pcm")
       .as[Array[Byte]].head()
     assert(java.util.Arrays.equals(origBytes, backBytes))
     // and the decoded clips feed the same feature path as raw PCM
-    val viaWav = MediaSource.audioFeatures(back).orderBy("clip_id")
-      .collect()
+    val viaWav = MediaSource.audioFeatures(
+      good.filter($"clip_id" < 100L)
+        .select("clip_id", "pcm", "sample_rate"))
+      .orderBy("clip_id").collect()
     val viaPcm = MediaSource.audioFeatures(
-      gen.select(col("phrase_id").as("clip_id"), col("pcm"),
-        col("sample_rate"))).orderBy("clip_id").collect()
+      gen.filter($"phrase_id" < 100L)
+        .select(col("phrase_id").as("clip_id"), col("pcm"),
+          col("sample_rate"))).orderBy("clip_id").collect()
     assert(viaWav.sameElements(viaPcm), "container must not alter audio")
+    back.unpersist(); gen.unpersist()
   }
 
   test("audio feature extraction over binary column") {
