@@ -132,10 +132,17 @@ object ImageSource {
   }
 
   /** Driver-contract entry (rows-only): real PNG generation → real
-    * decode/resize/features, end to end inside Verify/Bench.
+    * decode/resize/features, end to end inside Verify/Bench. The
+    * histogram array is emitted as a comma-joined string: the driver's
+    * rows-only check sorts the dumped parquet in pandas, which cannot
+    * sort (hash) ndarray cells — library callers use
+    * `decodeImageFeatures` and get the typed array column.
     */
   def imageDecodeQuery(s: SparkSession, d: String): DataFrame =
-    decodeImageFeatures(generateImages(s, d)).orderBy("image_id")
+    decodeImageFeatures(generateImages(s, d))
+      .withColumn("luma_hist",
+        array_join(transform(col("luma_hist"), _.cast("string")), ","))
+      .orderBy("image_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_image_decode" -> (imageDecodeQuery _))

@@ -59,10 +59,15 @@ object MediaSource {
       .option("pathGlobFilter", "*.pcm")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.pcm$", 1).cast("long")
-          .as("clip_id"),
-        col("content").as("pcm"),
-        (length(col("content")) / 2).cast("int").as("n_samples"),
+        // anchored (see readWavFiles): only fully-numeric basenames
+        // carry a clip_id; "backup2.pcm" is skipped, not aliased to 2
+        regexp_extract(col("path"), "(?:^|/)(\\d+)\\.pcm$", 1).as("id_str"),
+        col("content").as("pcm"))
+      .filter(col("id_str") =!= "") // ANSI cast of "" would throw
+      .select(
+        col("id_str").cast("long").as("clip_id"),
+        col("pcm"),
+        (length(col("pcm")) / 2).cast("int").as("n_samples"),
         lit(sampleRate).as("sample_rate"))
 
   /** PCM16 mono → RIFF/WAVE container bytes via the JDK's own audio
@@ -115,7 +120,10 @@ object MediaSource {
       .option("pathGlobFilter", "*.wav")
       .load(dir)
       .select(
-        regexp_extract(col("path"), "(\\d+)\\.wav$", 1).as("id_str"),
+        // anchored at a path separator: a trailing-digit basename like
+        // "backup2.wav" must NOT yield clip_id 2 and collide with a
+        // genuine "2.wav" — only fully-numeric basenames carry an id
+        regexp_extract(col("path"), "(?:^|/)(\\d+)\\.wav$", 1).as("id_str"),
         col("content"))
       .filter(col("id_str") =!= "")
       .select(col("id_str").cast("long").as("clip_id"), col("content"))

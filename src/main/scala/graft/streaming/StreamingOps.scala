@@ -154,10 +154,12 @@ object StreamingOps {
   /** The unbounded-stream form: each (band, sig) bucket carries an
     * EVENT-TIME TTL with true horizon semantics, enforced at two
     * levels: (a) an idle bucket is evicted once the watermark passes
-    * its deadline (newest arrival + ttl), and (b) within a LIVE bucket,
-    * held members older than ttl relative to the newest arrival are
-    * pruned before matching — so two docs farther apart than the TTL
-    * never pair, even in a hot bucket that is touched continuously.
+    * its deadline (newest arrival + ttl), and (b) every candidate pair
+    * is age-checked (|t₁ − t₂| ≤ ttl) at emission, with held members
+    * older than ttl relative to the newest arrival dropped after the
+    * batch — so two docs farther apart than the TTL never pair, even in
+    * a hot bucket that is touched continuously, and even when a replay
+    * coalesces spaced history into one large micro-batch.
     * State size is thus bounded by arrival rate × TTL horizon instead
     * of growing with the whole history; the horizon is the explicit
     * dedup-recency tradeoff every ingest-time gate makes.
@@ -209,29 +211,46 @@ object StreamingOps {
                 m.updated(id, math.max(t, m.getOrElse(id, Long.MinValue)))
             }
             val newest = arrivalTs.valuesIterator.max
-            val horizon = newest - ttlMs
+            // re-arrivals refresh recency; stale members are NOT pruned
+            // before matching — the per-pair age check below makes
+            // pruning a pure state-size concern, so it happens once,
+            // after the batch (pre-pruning here would lose legal pairs:
+            // a mid-batch arrival can sit within ttl of a member that
+            // is already past the NEWEST arrival's horizon)
             val prev = state.getOption
               .map(st => st.ids.zip(st.ts)).getOrElse(Seq.empty)
-              // re-arrivals refresh recency, then age-prune: a held doc
-              // older than ttl relative to the newest arrival can never
-              // legally pair again — drop it NOW, not at bucket eviction
               .map { case (id, t) =>
                 (id, math.max(t, arrivalTs.getOrElse(id, Long.MinValue)))
               }
-              .filter(_._2 >= horizon)
-            val arrivals = arrivalTs.toSeq.sortBy(_._1)
+            // event-time order (id tiebreak) so same-batch pairs see
+            // each other's true timestamps — a replay that coalesces
+            // history into fewer, larger micro-batches must emit the
+            // same pairs as the original spaced batches
+            val arrivals = arrivalTs.toSeq
               .filterNot { case (id, _) => prev.exists(_._1 == id) }
+              .sortBy { case (id, t) => (t, id) }
             val pairs = Seq.newBuilder[(Long, Long)]
             var held = prev
             arrivals.foreach { case (id, t) =>
               if (held.size < maxBucket) {
-                held.foreach { case (p, _) =>
-                  pairs += ((math.min(p, id), math.max(p, id)))
+                held.foreach { case (p, pt) =>
+                  // the TTL is a PAIR property, not only a bucket
+                  // property: two docs farther apart than ttl never
+                  // pair — whether they arrive batches apart or land
+                  // coalesced in the same micro-batch
+                  if (math.abs(pt - t) <= ttlMs)
+                    pairs += ((math.min(p, id), math.max(p, id)))
                 }
                 held = held :+ ((id, t))
               }
             }
-            state.update(TtlBucketState(held.map(_._1), held.map(_._2)))
+            // age-prune ONCE, after matching: a member older than ttl
+            // relative to the newest arrival can never legally pair
+            // with anything later (on-time future arrivals are newer
+            // than the watermark ≤ newest), so don't carry it
+            val horizon = newest - ttlMs
+            val kept = held.filter(_._2 >= horizon)
+            state.update(TtlBucketState(kept.map(_._1), kept.map(_._2)))
             // sliding TTL re-armed on every touch: deadline = newest
             // arrival + ttl (clamped above the watermark, which
             // setTimeoutTimestamp requires for late stragglers)
@@ -281,19 +300,30 @@ object StreamingOps {
       pairsPath: String, nHashes: Int = 64, rowsPerBand: Int = 4,
       threshold: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[
-        org.apache.spark.sql.Row] =
+        org.apache.spark.sql.Row] = {
+    // banding-param fail-fast ONCE per stream, not per trigger: the
+    // validation scans the whole band_sigs column when the store is
+    // healthy, a per-batch cost that would grow with the store and
+    // erode the flat-per-batch property. The stream itself only ever
+    // appends same-param rows after the first check, so later triggers
+    // read unvalidated. (foreachBatch runs on the driver; this captured
+    // flag persists for the life of the query.)
+    var storeValidated = false
     docs.writeStream.foreachBatch {
       (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
         val store = new org.apache.hadoop.fs.Path(storePath)
         val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
         val sigC =
-          if (fs.exists(store))
+          if (fs.exists(store)) {
             // fails fast on a store written under different banding
             // parameters — same hazard as the batch stored path
-            graft.text.NearDup
-              .readSignatureStore(s, storePath, nHashes, rowsPerBand)
-          else null
+            val df = graft.text.NearDup.readSignatureStore(
+              s, storePath, nHashes, rowsPerBand,
+              validate = !storeValidated)
+            storeValidated = true
+            df
+          } else null
         val sigsAll = graft.text.NearDup
           .signatures(batch, nHashes, rowsPerBand)
           .dropDuplicates("doc_id") // intra-batch redelivery
@@ -310,6 +340,7 @@ object StreamingOps {
         sigs.write.mode("append").parquet(storePath)
         ()
     }
+  }
 
   /** Shared bucket-state transition: emit (min, max) pairs of each new
     * arrival against the held ids, append arrivals up to maxBucket.

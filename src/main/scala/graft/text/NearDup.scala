@@ -326,17 +326,25 @@ object NearDup {
     * DIFFERENT hash family — the band equi-join almost never collides
     * and cross (new × corpus) dups silently vanish. The band count is
     * checkable from the schema-carried array, so check it.
+    *
+    * The check scans the whole band_sigs column when no bad rows exist
+    * (the filter only short-circuits on a HIT), so its cost grows with
+    * the store — callers that open the store repeatedly (the streaming
+    * ingest path, once per trigger) validate once at stream start and
+    * pass validate = false thereafter.
     */
   private[graft] def readSignatureStore(s: SparkSession, storePath: String,
-      nHashes: Int, rowsPerBand: Int): DataFrame = {
+      nHashes: Int, rowsPerBand: Int, validate: Boolean = true): DataFrame = {
     val store = s.read.parquet(storePath)
-    val nBands = nHashes / rowsPerBand
-    val badBands = store
-      .filter(size(col("band_sigs")) =!= nBands).limit(1).count()
-    require(badBands == 0,
-      s"signature store at $storePath has band_sigs arrays of length != " +
-        s"$nBands — it was written under different (nHashes, rowsPerBand) " +
-        "parameters than this query's; rewrite the store or match them")
+    if (validate) {
+      val nBands = nHashes / rowsPerBand
+      val badBands = store
+        .filter(size(col("band_sigs")) =!= nBands).limit(1).count()
+      require(badBands == 0,
+        s"signature store at $storePath has band_sigs arrays of length != " +
+          s"$nBands — it was written under different (nHashes, rowsPerBand) " +
+          "parameters than this query's; rewrite the store or match them")
+    }
     store
   }
 

@@ -18,8 +18,14 @@ class MediaSourceSpec extends SparkSpec {
     val dir = tmpDir("pcm")
     val gen = VoiceDataGen.generate(spark, 3).cache()
     MediaSource.writePcmFiles(gen, "phrase_id", "pcm", dir)
+    // non-numeric and trailing-digit basenames are skipped, never
+    // aliased onto a real clip_id (same anchoring as the wav scan)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "backup2.pcm"), Array[Byte](1, 2))
     val back = MediaSource.readPcmFiles(spark, dir)
     assert(back.count() == 3)
+    assert(back.filter($"clip_id" === 2L).count() == 1,
+      "backup2.pcm must not alias the genuine 2.pcm")
     val orig = gen.select("phrase_id", "n_samples")
       .as[(Long, Int)].collect().toMap
     back.select("clip_id", "n_samples").as[(Long, Int)].collect()
@@ -44,13 +50,20 @@ class MediaSourceSpec extends SparkSpec {
       .cache()
     MediaSource.writeWavFiles(gen, "phrase_id", "pcm", "sample_rate", dir)
     // hostile directory entries: a non-numeric basename (skipped — no
-    // clip id to carry) and a corrupt numeric one (decoded=false row)
+    // clip id to carry), a TRAILING-DIGIT basename (skipped too: an
+    // unanchored extract would read clip_id 2 out of "backup2.wav" and
+    // silently collide with the genuine 2.wav), and a corrupt numeric
+    // one (decoded=false row)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "backup.wav"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "backup2.wav"), Array[Byte](4, 5, 6))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "999.wav"), Array[Byte](9, 9, 9, 9))
     val back = MediaSource.readWavFiles(spark, dir).cache()
     assert(back.count() == 5, "4 real clips + 1 corrupt verdict row")
+    assert(back.filter($"clip_id" === 2L).count() == 1,
+      "backup2.wav must not alias the genuine 2.wav")
     val bad = back.filter($"clip_id" === 999L).head()
     assert(!bad.getBoolean(1) && bad.isNullAt(2),
       "corrupt file must carry decoded=false + null payload")

@@ -114,4 +114,35 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(!got.contains((1L, 2L)),
       s"docs 1800 s apart paired despite the 1000 s TTL: $got")
   }
+
+  test("coalesced replay: one micro-batch emits the same pairs as spaced batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog once again today"
+    // the hot-bucket scenario above, but all three docs land in a
+    // SINGLE micro-batch — exactly what a replay that catches up on
+    // history does. The TTL invariant must be batch-layout-independent:
+    // (1,3) and (2,3) pair (≤ ttl apart), (1,2) never does (1800 s
+    // apart > 1000 s ttl), even though doc 1 is older than the batch's
+    // newest-arrival horizon while doc 3 arrives mid-batch.
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF.toDF("doc_id", "text", "t_s")
+      .select($"doc_id", $"text", timestamp_seconds($"t_s").as("ts"))
+    val q = StreamingOps
+      .neardupCandidatesStreamTtl(docs, ttlMs = 1000000L)
+      .toDF("d1", "d2")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ttl_coalesced")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    stream.addData((1L, dupText, 1000L), (3L, dupText, 1900L),
+      (2L, dupText, 2800L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_ttl_coalesced")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 3L)), s"in-horizon pair (1,3) missing: $got")
+    assert(got.contains((2L, 3L)), s"in-horizon pair (2,3) missing: $got")
+    assert(!got.contains((1L, 2L)),
+      s"same-batch docs 1800 s apart paired despite the 1000 s TTL: $got")
+  }
 }
