@@ -11,8 +11,14 @@ import graft.Tables._
   * Design rules (scale + oracle parity):
   *  - Declarative DataFrame ops only — Catalyst pushes filters/prunes
   *    columns into the Parquet scan; no collect-driven logic.
-  *  - Small dimension tables (region/nation/supplier/bands) are broadcast
-  *    explicitly: at 100 TB the fact side never shuffles for those joins.
+  *  - Only CONSTANT-size relations (region 5 rows, nation 25 rows,
+  *    literal band tables, single-row global aggregates) carry explicit
+  *    broadcast hints: at 100 TB the fact side never shuffles for those
+  *    joins. Relations that scale with SF (customer, supplier, orders,
+  *    lineitem, part) are never hinted — a forced broadcast must fit in
+  *    every executor, and "small relative to the fact" is not "small".
+  *    Hint-free, AQE broadcasts them while under the threshold and
+  *    switches to shuffle joins beyond it. PlanShapeSpec pins this.
   *  - Aggregated DOUBLE outputs are rounded (2 or 4 dp) in BOTH engines:
   *    double addition is order-sensitive, so unrounded sums of 600 k
   *    values can differ in the last ulp between Spark and DuckDB.
@@ -87,9 +93,13 @@ object RelQueries {
 
   // ---------------------------------------------------------------- q3
   // Shuffled-revenue top-10: customer ⋈ orders ⋈ lineitem with a selective
-  // dimension filter, group, order, limit. customer side is broadcast
-  // (1.5 M rows at SF100 still ≪ fact); lineitem↔orders co-shuffle on
-  // orderkey. [SURVEY §2.K equi-joins, §2.G top-k]
+  // dimension filter, group, order, limit. No broadcast hint on customer:
+  // it SCALES with SF (~15 B rows at the 100 TB target), so a forced
+  // build-side broadcast OOMs executors there. Hint-free, AQE broadcasts
+  // it when its runtime size is under the threshold (it is, at test SFs)
+  // and falls back to SMJ when it isn't — the plan adapts instead of
+  // failing. lineitem↔orders co-shuffle on orderkey.
+  // [SURVEY §2.K equi-joins, §2.G top-k]
   def q3TopRevenue(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -98,7 +108,7 @@ object RelQueries {
       .select(col("l_orderkey"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey")
       .agg(r2(sum("rev")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -142,9 +152,14 @@ object RelQueries {
       |ORDER BY o_orderpriority""".stripMargin
 
   // ---------------------------------------------------------------- q5
-  // Five-way star join (TPC-H Q5 shape): fact ⋈ orders, then broadcast
-  // dims customer/supplier/nation/region; revenue per nation. The
+  // Five-way star join (TPC-H Q5 shape): fact ⋈ orders ⋈ customer ⋈
+  // supplier, then broadcast nation/region; revenue per nation. The
   // c_nationkey = s_nationkey condition correlates the two dim paths.
+  // Only nation (25 rows) and region (5 rows) carry broadcast hints —
+  // they are constant-size regardless of SF. customer and supplier SCALE
+  // with SF, so they get no hint: AQE broadcasts them while small and
+  // switches to shuffle joins at cluster scale, where a forced broadcast
+  // would OOM the build side.
   def q5NationRevenue(s: SparkSession, d: String): DataFrame = {
     val l = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
       (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
@@ -157,8 +172,8 @@ object RelQueries {
     val n = nation(s, d)
     val r = region(s, d).filter(col("r_name") === "ASIA")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(su), col("l_suppkey") === col("s_suppkey") &&
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))

@@ -102,6 +102,45 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("no rel-family query force-broadcasts an SF-scaling relation") {
+    // customer/supplier/orders/lineitem/part grow with the scale factor —
+    // at the 100 TB target customer alone is ~15 B rows, so an explicit
+    // broadcast hint on any relation derived from them OOMs the build
+    // side where a hint-free plan lets AQE pick SMJ. Constant-size tables
+    // (nation 25, region 5), literal band tables (LocalRelation) and
+    // single-row aggregates (maxRows == 1) remain legitimately hinted.
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val scaling = Seq("customer", "supplier", "orders", "lineitem", "part",
+      "events", "documents", "embeddings")
+    def offendingLeaves(side: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      side.collectLeaves().collect {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            fs.location.rootPaths.map(_.toString).filter(p =>
+              scaling.exists(t => p.endsWith(s"/$t.parquet") ||
+                p.contains(s"/$t.parquet/")))
+          case _ => Nil
+        }
+      }.flatten
+    // non-vacuity control: the detector must flag a deliberate offender
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val bad = graft.Tables.lineitem(spark, sf0001)
+        .join(broadcast(graft.Tables.customer(spark, sf0001)),
+          col("l_orderkey") === col("c_custkey"))
+      assert(hintedNonSingletonSides(bad).flatMap(offendingLeaves).nonEmpty,
+        "detector failed to flag an explicit broadcast of customer — " +
+          "the per-query assertions below would be vacuous")
+    }
+    for ((name, fn) <- graft.rel.RelQueries.queries) {
+      val offending =
+        hintedNonSingletonSides(fn(spark, sf0001)).flatMap(offendingLeaves)
+      assert(offending.isEmpty,
+        s"$name broadcast-hints a relation scanning an SF-scaling table: " +
+          offending.mkString(", "))
+    }
+  }
+
   test("minhash verify joins are equi-joins on doc ids (no explicit corpus broadcast)") {
     val df = graft.text.NearDup.minhashNeardupFast(spark, sf0001)
     val joins = optimizedJoins(df)
