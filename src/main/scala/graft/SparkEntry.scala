@@ -35,5 +35,10 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     rel.RelQueries.oracle ++ text.TextQueries.oracle ++
-      sim.SimQueries.oracle
+      sim.SimQueries.oracle ++
+      // round-7 promotions: deterministic nq_* ops + exact-pair CC gain
+      // hard DuckDB checks (salt-invariance, generated LangId scoring,
+      // XXH64-replica sampling, recursive-CTE components)
+      rel.Skew.oracle ++ text.LangId.oracle ++ text.Mixing.oracle ++
+      text.DedupClusters.oracle
 }

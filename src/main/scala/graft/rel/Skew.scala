@@ -52,6 +52,18 @@ object Skew {
   val queries: Map[String, (org.apache.spark.sql.SparkSession, String) => DataFrame] =
     Map("nq_salted_agg" -> (saltedAggQuery _))
 
+  /** The salted two-phase aggregation must be answer-identical to the
+    * plain one-phase groupBy — that IS the operator's contract, so the
+    * oracle is the unsalted SQL. (Addition order differs between the
+    * two plans, but inputs are 2-decimal positives, so round(·,2) sits
+    * ~5e-3 away from any boundary vs ~1e-12 of float noise.)
+    */
+  val oracle: Map[String, String] = Map(
+    "nq_salted_agg" ->
+      """SELECT user_id, round(sum(value), 2) AS sum_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+
   /** Salted equi-join: big side gets a deterministic salt in [0, nSalts);
     * the small side is replicated nSalts times (explode) so every
     * (key, salt) pair still matches. Hot keys on the big side fan out

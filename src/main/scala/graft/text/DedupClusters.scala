@@ -186,6 +186,64 @@ object DedupClusters {
     else build()
   }
 
+  /** Oracle-checked variant of the cluster assignment: connected
+    * components over the EXACT jaccard ≥ 0.5 pair relation (q25's
+    * inverted-index join) rather than the MinHash-banded one. The two
+    * pair relations agree on this corpus, but MinHash recall is
+    * probabilistic (1−(1−s^r)^b < 1), so only the exact path admits a
+    * deterministic DuckDB oracle — a recursive CTE propagating min
+    * labels over the same edges. nq_dedup_clusters (the banded path)
+    * stays rows-only by design.
+    */
+  def q63DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = TextQueries.q25NeardupJaccard(s, d)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    connectedComponents(documents(s, d).select("doc_id"), pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  // The pair CTEs mirror q25's oracle (same shingling/df-cap/threshold);
+  // `reach` computes, per node, every component label reachable through
+  // the symmetrized edges — UNION dedup guarantees termination, min =
+  // the component's min doc_id, Spark's cluster_id policy.
+  val q63Sql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l FROM documents
+      |), tri0 AS (
+      |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g
+      |), hot AS (
+      |  SELECT tri FROM tri0 GROUP BY tri HAVING count(*) > 100
+      |), tri AS (
+      |  SELECT * FROM tri0 WHERE tri NOT IN (SELECT tri FROM hot)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM tri GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_inter
+      |  FROM tri a JOIN tri b ON a.tri = b.tri AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes sa ON d1 = sa.doc_id
+      |  JOIN sizes sb ON d2 = sb.doc_id
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+      |), edges AS (
+      |  SELECT d1 AS u, d2 AS v FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs
+      |), reach(doc_id, label) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id
+      |)
+      |SELECT doc_id, min(label) AS cluster_id,
+      |  (doc_id = min(label)) AS is_keeper
+      |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)))
+    "nq_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
+    "q63_dedup_clusters" -> (q63DedupClusters _))
+
+  val oracle: Map[String, String] = Map("q63_dedup_clusters" -> q63Sql)
 }

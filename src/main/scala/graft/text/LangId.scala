@@ -108,4 +108,60 @@ object LangId {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_lang_id" -> (langId _))
+
+  // ------------------------------------------------------------ oracle
+  // The DuckDB oracle is GENERATED from the same tokenProfiles /
+  // charProfiles maps the Spark expressions use, so the two sides cannot
+  // silently drift. Every building block is deterministic integer/string
+  // arithmetic with identical semantics in both engines:
+  //  - substring occurrences: length-delta / |m| (exact multiples, so
+  //    DuckDB `//` ≡ Spark double-divide + cast-to-long truncation);
+  //  - token hits: list_filter(lower(x) IN profile) over a whitespace
+  //    split (leading/trailing empty tokens differ between the engines'
+  //    split semantics but never match a stopword, so counts agree);
+  //  - argmax tie-break: Spark's greatest(struct(score, lang)) prefers
+  //    the lexicographically LARGEST lang on score ties → the CASE tests
+  //    langs in descending name order.
+  private def occSql(src: String, m: String): String =
+    s"(length($src) - length(replace($src, '$m', ''))) // ${m.length}"
+
+  private def scoreSql(lang: String): String = {
+    val tok =
+      if (lang == "zh")
+        tokenProfiles(lang).map(m => occSql("text", m)).mkString("(", " + ", ")")
+      else {
+        val set = tokenProfiles(lang).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(toks, x -> lower(x) IN ($set)))"
+      }
+    val chars = charProfiles(lang)
+    val ch =
+      if (chars.isEmpty) "0"
+      else "least(" +
+        chars.map(m => occSql("lower(text)", m)).mkString(" + ") + ", 999)"
+    s"CAST($tok AS BIGINT) * 1000 + ($ch)"
+  }
+
+  val oracle: Map[String, String] = {
+    val langs = tokenProfiles.keys.toSeq.sorted
+    val scoreCols = langs
+      .map(l => s"    ${scoreSql(l)} AS score_$l").mkString(",\n")
+    val best = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.sorted(Ordering[String].reverse).init
+      .map(l => s"WHEN score_$l = $best THEN '$l'").mkString("\n    ")
+    Map("nq_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    regexp_split_to_array(text, '\\s+') AS toks
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, lang,
+         |$scoreCols
+         |  FROM t)
+         |SELECT doc_id, lang,
+         |  CASE WHEN $best = 0 THEN 'und'
+         |    $pick
+         |    ELSE '${langs.min}' END AS lang_pred,
+         |  ${langs.map(l => s"score_$l").mkString(", ")}
+         |FROM sc ORDER BY doc_id""".stripMargin)
+  }
 }

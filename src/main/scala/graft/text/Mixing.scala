@@ -70,13 +70,15 @@ object Mixing {
       .orderBy("doc_id")
   }
 
-  /** Driver entries (rows-only): mix to a fixed lang recipe; treat docs
-    * with doc_id ≡ 0 (mod 10) as the held-out benchmark and the rest as
-    * the training corpus.
+  /** Driver entries: mix to a fixed lang recipe; treat docs with
+    * doc_id ≡ 0 (mod 10) as the held-out benchmark and the rest as the
+    * training corpus. The recipe is shared with the oracle SQL below.
     */
+  private[text] val mixRecipe: Map[String, Double] =
+    Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25)
+
   def domainMixQuery(s: SparkSession, d: String): DataFrame =
-    domainMix(documents(s, d), "lang",
-      Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.25))
+    domainMix(documents(s, d), "lang", mixRecipe)
       .select("doc_id", "lang")
       .orderBy("doc_id")
 
@@ -89,4 +91,69 @@ object Mixing {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_domain_mix" -> (domainMixQuery _),
     "nq_contamination" -> (contaminationQuery _))
+
+  // ------------------------------------------------------------ oracle
+  // DuckDB replica of Spark's xxhash64(doc_id, 42): XXH64 of one 8-byte
+  // long under Spark's default seed 42, re-chained once for the literal
+  // (Spark folds each argument with the running hash as the next seed).
+  // All 64-bit wrap-around arithmetic runs in UHUGEINT (128-bit
+  // unsigned) mod 2^64; rotl(v,r) = (v·2^r mod 2^64) + v div 2^(64-r);
+  // logical shifts are divisions by powers of two. Validated
+  // step-for-step against Spark's XxHash64Function.hashLong chain.
+  // doc_id ≥ 0 is assumed by the UHUGEINT cast (true of the corpus; a
+  // negative id would need two's-complement widening).
+  // The final CASE converts the unsigned value back to Spark's signed
+  // pmod: 2^64 mod 10^6 = 551616, so the signed residue of a value
+  // ≥ 2^63 is (u mod 10^6 + (10^6 − 551616)) mod 10^6.
+  val oracle: Map[String, String] = {
+    val thresholds = mixRecipe.toSeq.sortBy(_._1)
+      .map { case (l, f) => s"WHEN '$l' THEN ${(f * 1000000L).toLong}" }
+      .mkString(" ")
+    Map("nq_domain_mix" ->
+      s"""WITH c AS (SELECT CAST(18446744073709551616 AS UHUGEINT) AS m64,
+         |             CAST(11400714785074694791 AS UHUGEINT) AS p1,
+         |             CAST(14029467366897019727 AS UHUGEINT) AS p2,
+         |             CAST(1609587929392839161 AS UHUGEINT) AS p3,
+         |             CAST(9650029242287828579 AS UHUGEINT) AS p4,
+         |             CAST(2870177450012600261 AS UHUGEINT) AS p5),
+         |ids AS (SELECT doc_id, lang, CAST(doc_id AS UHUGEINT) AS x,
+         |               m64, p1, p2, p3, p4, p5 FROM documents, c),
+         |r1a AS (SELECT *, (x * p2) % m64 AS k FROM ids),
+         |r1b AS (SELECT * EXCLUDE k,
+         |  (((k * 2147483648) % m64 + k // 8589934592) * p1) % m64 AS k2
+         |  FROM r1a),
+         |r1c AS (SELECT * EXCLUDE k2,
+         |  xor(CAST(42 AS UHUGEINT) + p5 + 8, k2) AS h1 FROM r1b),
+         |r1d AS (SELECT * EXCLUDE h1,
+         |  ((((h1 * 134217728) % m64 + h1 // 137438953472) * p1) % m64
+         |    + p4) % m64 AS h3 FROM r1c),
+         |r1f AS (SELECT * EXCLUDE h3,
+         |  (xor(h3, h3 // 8589934592) * p2) % m64 AS h4 FROM r1d),
+         |r1g AS (SELECT * EXCLUDE h4,
+         |  (xor(h4, h4 // 536870912) * p3) % m64 AS h5 FROM r1f),
+         |r1h AS (SELECT * EXCLUDE h5,
+         |  xor(h5, h5 // 4294967296) AS s1 FROM r1g),
+         |r2a AS (SELECT *, (CAST(42 AS UHUGEINT) * p2) % m64 AS k FROM r1h),
+         |r2b AS (SELECT * EXCLUDE k,
+         |  (((k * 2147483648) % m64 + k // 8589934592) * p1) % m64 AS k2
+         |  FROM r2a),
+         |r2c AS (SELECT * EXCLUDE (k2, s1),
+         |  xor((s1 + p5 + 8) % m64, k2) AS h1 FROM r2b),
+         |r2d AS (SELECT * EXCLUDE h1,
+         |  ((((h1 * 134217728) % m64 + h1 // 137438953472) * p1) % m64
+         |    + p4) % m64 AS h3 FROM r2c),
+         |r2f AS (SELECT * EXCLUDE h3,
+         |  (xor(h3, h3 // 8589934592) * p2) % m64 AS h4 FROM r2d),
+         |r2g AS (SELECT * EXCLUDE h4,
+         |  (xor(h4, h4 // 536870912) * p3) % m64 AS h5 FROM r2f),
+         |r2h AS (SELECT doc_id, lang, xor(h5, h5 // 4294967296) AS hh
+         |  FROM r2g),
+         |pm AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN hh >= 9223372036854775808
+         |    THEN (hh % 1000000 + 448384) % 1000000
+         |    ELSE hh % 1000000 END AS BIGINT) AS pmod FROM r2h)
+         |SELECT doc_id, lang FROM pm
+         |WHERE pmod < CASE lang $thresholds ELSE 0 END
+         |ORDER BY doc_id""".stripMargin)
+  }
 }
