@@ -29,7 +29,8 @@ object SparkEntry {
       ml.VoicePipeline.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
       sim.IvfPq.queries ++
-      sources.MultimodalStubs.queries ++ sources.ImageSource.queries
+      sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
+      sources.VideoSource.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -27,7 +27,7 @@ object MediaSource {
     * local mode behaves identically. `encode` maps (payload bytes,
     * extra column) → file bytes.
     */
-  private def writeBinaryFiles(rows: DataFrame, ext: String, dir: String)(
+  private[sources] def writeBinaryFiles(rows: DataFrame, ext: String, dir: String)(
       encode: org.apache.spark.sql.Row => Array[Byte]): Unit =
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val base = new org.apache.hadoop.fs.Path(dir)

@@ -6,14 +6,13 @@ import graft.Tables.documents
 
 /** Image/video multimodal operators: REAL Spark plumbing (schemas,
   * partitioning, per-partition batch shape) with STUBBED codecs.
-  * NOTE: the image path now ALSO exists for real — `ImageSource` decodes
-  * PNG/JPEG/BMP through the JDK's own javax.imageio codecs
-  * (nq_image_decode). This stub variant is kept for the formats the JDK
-  * cannot read; VIDEO remains stub-only (no JDK video codec exists) —
-  * the decode step is a clearly-marked deterministic fake keyed on the
-  * content bytes. On a real cluster only `sampleFramesStub` changes
-  * (swap in the actual codec inside the same mapPartitions boundary);
-  * every schema and shuffle stays identical.
+  * NOTE: both real paths now exist — `ImageSource` decodes PNG/JPEG/BMP
+  * through javax.imageio (nq_image_decode) and `VideoSource` decodes
+  * MJPEG-in-AVI through a RIFF walk + javax.imageio per frame
+  * (nq_video_frames). These stub variants are kept ONLY as documented
+  * fallbacks for formats no JDK codec reads (e.g. H.264/VP9 video,
+  * WebP images): swap the actual codec inside the same mapPartitions
+  * boundary; every schema and shuffle stays identical.
   *
   * Contract (mirrors the audio path in MediaSource, which IS real):
   *   media row  = (id, content: binary, metadata...)
@@ -49,8 +48,11 @@ object MultimodalStubs {
       .toDF("image_id", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
-  /** STUB video frame sampling: emits one row per sampled frame with its
-    * timestamp — the explode-shaped output a real frame sampler has.
+  /** STUB video frame sampling (FALLBACK — the real path is
+    * `VideoSource.sampleFrameFeatures`, which backs nq_video_frames):
+    * emits one row per sampled frame with its timestamp — the
+    * explode-shaped output a real frame sampler has. Kept for codecs
+    * the JDK cannot decode.
     */
   def sampleFrames(videos: DataFrame, fps: Double = 1.0): DataFrame = {
     val spark = videos.sparkSession
@@ -85,14 +87,6 @@ object MultimodalStubs {
         encode(col("text"), "UTF-8").as("content")))
       .orderBy("image_id")
 
-  def videoFramesQuery(s: SparkSession, d: String): DataFrame =
-    sampleFrames(documents(s, d).select(col("doc_id").as("video_id"),
-        encode(col("text"), "UTF-8").as("content"),
-        (col("n_chars") % 8 + 1).cast("double").as("duration_sec")),
-      fps = 1.0)
-      .orderBy("video_id", "frame_idx")
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_image_features" -> (imageFeaturesQuery _),
-    "nq_video_frames" -> (videoFramesQuery _))
+    "nq_image_features" -> (imageFeaturesQuery _))
 }

@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end pins for the real MJPEG-in-AVI path: container round-trip
+  * through the sink/scan, frame counts and container-carried timestamps,
+  * decoded-feature determinism, corrupt-input verdicts, and frame
+  * sampling.
+  */
+class VideoSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("avi container round-trip: parse recovers fps and exact frame bytes") {
+    val frames = (0 until 5).map(f => VideoSource.jpegFrame(7L, 33, 24, f))
+    // odd-length JPEG payloads exercise the even-padding rule
+    val avi = VideoSource.aviBytes(frames, fps = 4, w = 33, h = 24)
+    val Some((scale, rate, back)) = VideoSource.parseAvi(avi)
+    assert(scale == 1 && rate == 4)
+    assert(back.length == 5)
+    frames.zip(back).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b), "frame bytes must round-trip")
+    }
+    // every frame payload is a real JPEG the JDK can decode
+    back.foreach { p =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+      assert(img != null && img.getWidth == 33 && img.getHeight == 24)
+    }
+  }
+
+  test("avi sink + scan round-trip with hostile directory entries") {
+    val dir = java.nio.file.Files.createTempDirectory("avi").toString
+    val vids = VideoSource.generateVideos(spark, sfDir).limit(4).cache()
+    VideoSource.writeAviFiles(vids, "video_id", "content", dir)
+    java.nio.file.Files.write( // non-numeric basename: skipped
+      java.nio.file.Paths.get(dir, "backup.avi"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write( // trailing digit: must not alias id 2
+      java.nio.file.Paths.get(dir, "backup2.avi"), Array[Byte](4, 5, 6))
+    java.nio.file.Files.write( // numeric but corrupt: verdict row
+      java.nio.file.Paths.get(dir, "999.avi"), Array[Byte](82, 73, 70))
+    val back = VideoSource.readAviFiles(spark, dir).cache()
+    assert(back.count() == 5) // 4 real + corrupt 999
+    assert(back.filter(!col("decoded")).select("video_id")
+      .as[Long].collect().toSeq == Seq(999L))
+    val expected = vids.select("video_id", "content")
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> VideoSource.parseAvi(b).get._3.length }
+      .toMap
+    back.filter(col("decoded")).select("video_id", "n_frames", "fps")
+      .as[(Long, Int, Double)].collect().foreach { case (id, n, fps) =>
+        assert(n == expected(id), s"video $id frame count")
+        assert(fps == 4.0, s"video $id header fps")
+      }
+  }
+
+  test("frame features: count, container timestamps, determinism, sampling") {
+    val vids = VideoSource.generateVideos(spark, sfDir).limit(6).cache()
+    val feats = VideoSource.sampleFrameFeatures(vids).cache()
+    // frame count per video matches the container's chunk count
+    val expected = vids.as[(Long, Array[Byte])].collect()
+      .map { case (id, b) => id -> VideoSource.parseAvi(b).get._3.length }
+      .toMap
+    val counts = feats.groupBy("video_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(counts == expected.map { case (k, v) => k -> v.toLong })
+    // timestamps come from the stream header: idx * scale/rate at fps 4
+    feats.select("frame_idx", "frame_ts_sec").as[(Long, Double)].collect()
+      .foreach { case (f, ts) => assert(ts == f / 4.0, s"frame $f ts") }
+    // all decoded, real dimensions, luma in (0,1) — a content-hash fake
+    // can't produce these from actual pixel sums
+    assert(feats.filter(!col("decoded")).isEmpty)
+    feats.select("width", "height", "mean_luma").as[(Int, Int, Double)]
+      .collect().foreach { case (w, h, l) =>
+        assert(w >= 32 && h >= 24 && l > 0.0 && l < 1.0)
+      }
+    // byte-identical across runs (seeded render, deterministic codecs)
+    val again = VideoSource.sampleFrameFeatures(vids)
+    assert(feats.exceptAll(again).union(again.exceptAll(feats)).isEmpty)
+    // every=2 keeps exactly the even frame indices
+    val sampled = VideoSource.sampleFrameFeatures(vids, every = 2)
+    val sampledIdx = sampled.select("video_id", "frame_idx")
+      .as[(Long, Long)].collect().toSet
+    val fullIdx = feats.select("video_id", "frame_idx")
+      .as[(Long, Long)].collect().toSet
+    assert(sampledIdx == fullIdx.filter(_._2 % 2 == 0))
+    // corrupt container → single verdict row with null frame columns
+    val mixed = vids.limit(1).select(col("video_id"), col("content"))
+      .unionByName(Seq((888L, Array[Byte](0, 1, 2)))
+        .toDF("video_id", "content"))
+    val verdict = VideoSource.sampleFrameFeatures(mixed)
+      .filter(col("video_id") === 888L)
+    assert(verdict.count() == 1)
+    assert(verdict.filter(!col("decoded") && col("frame_idx").isNull)
+      .count() == 1)
+  }
+}
