@@ -156,9 +156,11 @@ object StreamingOps {
     * levels: (a) an idle bucket is evicted once the watermark passes
     * its deadline (newest arrival + ttl), and (b) every candidate pair
     * is age-checked (|t₁ − t₂| ≤ ttl) at emission, with held members
-    * older than ttl relative to the newest arrival dropped after the
-    * batch — so two docs farther apart than the TTL never pair, even in
-    * a hot bucket that is touched continuously, and even when a replay
+    * older than ttl relative to the WATERMARK dropped after the batch
+    * (the watermark, not the newest arrival, is the true lower bound on
+    * future admissible event times — see the prune-horizon comment) —
+    * so two docs farther apart than the TTL never pair, even in a hot
+    * bucket that is touched continuously, and even when a replay
     * coalesces spaced history into one large micro-batch.
     * State size is thus bounded by arrival rate × TTL horizon instead
     * of growing with the whole history; the horizon is the explicit
@@ -212,11 +214,14 @@ object StreamingOps {
             }
             val newest = arrivalTs.valuesIterator.max
             // re-arrivals refresh recency; stale members are NOT pruned
-            // before matching — the per-pair age check below makes
-            // pruning a pure state-size concern, so it happens once,
-            // after the batch (pre-pruning here would lose legal pairs:
-            // a mid-batch arrival can sit within ttl of a member that
-            // is already past the NEWEST arrival's horizon)
+            // up front — the per-pair age check below makes pruning a
+            // pure state-size concern, so it happens after the batch
+            // (a blanket pre-prune would lose legal pairs: a mid-batch
+            // arrival can sit within ttl of a member that is already
+            // past the NEWEST arrival's horizon). The one exception is
+            // the targeted prune at the maxBucket gate below, which
+            // only drops members provably unpairable with the arrival
+            // being considered.
             val prev = state.getOption
               .map(st => st.ids.zip(st.ts)).getOrElse(Seq.empty)
               .map { case (id, t) =>
@@ -232,6 +237,20 @@ object StreamingOps {
             val pairs = Seq.newBuilder[(Long, Long)]
             var held = prev
             arrivals.foreach { case (id, t) =>
+              // at saturation, first drop members already older than
+              // ttl relative to THIS arrival — they cannot pair with
+              // it or with any later in-batch arrival (arrivals are
+              // time-ordered, so t only grows). Without this, a
+              // coalesced replay whose stale history fills the bucket
+              // drops fresh arrivals that the original spaced batches
+              // (whose post-batch prunes freed the slots) accepted —
+              // breaking batch-layout independence exactly at the cap.
+              // (With watermarkDelay > 0 a future LATE arrival below t
+              // could still have paired with a dropped member — an
+              // accepted loss of the cap regime, which exists to bound
+              // a viral bucket, not to be lossless.)
+              if (held.size >= maxBucket)
+                held = held.filter(_._2 >= t - ttlMs)
               if (held.size < maxBucket) {
                 held.foreach { case (p, pt) =>
                   // the TTL is a PAIR property, not only a bucket
@@ -244,11 +263,20 @@ object StreamingOps {
                 held = held :+ ((id, t))
               }
             }
-            // age-prune ONCE, after matching: a member older than ttl
-            // relative to the newest arrival can never legally pair
-            // with anything later (on-time future arrivals are newer
-            // than the watermark ≤ newest), so don't carry it
-            val horizon = newest - ttlMs
+            // age-prune ONCE, after matching. The horizon is the
+            // WATERMARK minus ttl, not newest-arrival minus ttl: a
+            // future arrival is admitted whenever its event time is
+            // ≥ the watermark, so with watermarkDelay > 0 it can be up
+            // to `delay` OLDER than `newest` — a member in
+            // (watermark − ttl, newest − ttl] can still legally pair
+            // with such a late arrival and must be carried until the
+            // watermark itself passes it. (Every arrival this batch
+            // passed the late filter, so newest ≥ watermark and the
+            // min() is belt-and-braces; at the default 0-second delay
+            // the watermark trails newest by one batch, so state size
+            // is the same up to that lag.)
+            val horizon =
+              math.min(newest, state.getCurrentWatermarkMs()) - ttlMs
             val kept = held.filter(_._2 >= horizon)
             state.update(TtlBucketState(kept.map(_._1), kept.map(_._2)))
             // sliding TTL re-armed on every touch: deadline = newest
@@ -294,11 +322,21 @@ object StreamingOps {
     * deployment puts a transactional table format under `storePath`/
     * `pairsPath`; the pipeline shape is unchanged.
     *
+    * FILE GROWTH: each trigger appends one file-set to the store, so an
+    * unbounded stream would accumulate millions of small files and the
+    * per-batch cost would stop being flat (listing + parquet footer
+    * reads grow with the file count, not the row count). When the store
+    * exceeds `maxStoreFiles` data files it is compacted — rewritten at
+    * `compactTargetBytes` per file via a tmp-dir swap (see
+    * `compactSignatureStore`) — so the file count stays O(rows/target),
+    * bounded, while the row content is untouched.
+    *
     * Returns the un-started writer so callers own trigger/checkpoint.
     */
   def ingestDedupStream(docs: DataFrame, storePath: String,
       pairsPath: String, nHashes: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.5)
+      threshold: Double = 0.5, maxStoreFiles: Int = 64,
+      compactTargetBytes: Long = 128L << 20)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     // banding-param fail-fast ONCE per stream, not per trigger: the
@@ -338,8 +376,48 @@ object StreamingOps {
             sigs, threshold, sorted = false)
           .write.mode("append").parquet(pairsPath)
         sigs.write.mode("append").parquet(storePath)
+        // one listStatus per trigger — metadata-only, cheap next to the
+        // joins above; the rewrite itself runs only when the bound trips
+        if (storeDataFiles(fs, store).size > maxStoreFiles)
+          compactSignatureStore(s, storePath, compactTargetBytes)
         ()
     }
+  }
+
+  private def storeDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] =
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+
+  /** Rewrite the signature store as ~`targetBytes`-sized files — row
+    * content identical (asserted pair-for-pair in IngestDedupSpec), file
+    * count bounded. The rewrite goes to a sibling tmp dir FIRST (fully
+    * materializing the read before anything is deleted), then swaps via
+    * delete + rename — two metadata ops, so the window in which a crash
+    * leaves no store is minimal but NOT zero: the same transactional
+    * table format a production deployment already needs for idempotent
+    * appends (scaladoc above) closes it. A stale tmp dir from a crashed
+    * earlier attempt is removed up front, making the compaction itself
+    * retry-safe.
+    */
+  def compactSignatureStore(s: SparkSession, storePath: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = storeDataFiles(fs, store)
+    if (files.isEmpty) return
+    val nOut = math.max(1, math.min(files.size,
+      math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt))
+    val tmp = new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + ".compacting")
+    fs.delete(tmp, true)
+    s.read.parquet(storePath).repartition(nOut)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(store, true)
+    if (!fs.rename(tmp, store))
+      throw new java.io.IOException(
+        s"compaction swap failed: could not rename $tmp to $store")
   }
 
   /** Shared bucket-state transition: emit (min, max) pairs of each new

@@ -94,27 +94,41 @@ object Scratch {
     }
 
     if (args.headOption.contains("ingest")) {
-      // streaming ingest probe: the 10x corpus (50k docs) arrives in 10
+      // streaming ingest probe: the 20x corpus (100k docs) arrives in 20
       // micro-batches through ingestDedupStream. Per-batch wall time
       // should stay near-flat: each batch re-shingles ONLY itself; the
       // store side of the band join grows linearly but is signatures,
-      // not text (the claim the signature store exists to make).
+      // not text (the claim the signature store exists to make). The
+      // store's FILE count must also stay bounded — compaction
+      // (maxStoreFiles) rewrites it when the per-trigger appends pile
+      // up, otherwise listing + footer costs grow per batch and the
+      // flat-cost claim erodes at real ingest rates.
       import spark.implicits._
       val docs0 = graft.Tables.documents(spark, d)
       val base = docs0.select("doc_id", "text").as[(Long, String)].collect()
-      val tmp = java.nio.file.Files.createTempDirectory("ingest10").toString
+      val tmp = java.nio.file.Files.createTempDirectory("ingest20").toString
       val stream = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(Long, String)](spark)
       val q = graft.streaming.StreamingOps
         .ingestDedupStream(stream.toDF.toDF("doc_id", "text"),
-          s"$tmp/signatures", s"$tmp/pairs")
+          s"$tmp/signatures", s"$tmp/pairs", maxStoreFiles = 64)
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
-      for (r <- 0 until 10) {
+      def storeFiles(): Int = {
+        val p = java.nio.file.Paths.get(s"$tmp/signatures")
+        if (!java.nio.file.Files.isDirectory(p)) 0
+        else {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(p).iterator().asScala
+            .count(_.getFileName.toString.startsWith("part-"))
+        }
+      }
+      for (r <- 0 until 20) {
         val batch = base.map { case (id, text) =>
           (id + r * 1000000L, text + s" copymark$r")
         }
-        time(s"ingest batch $r (${batch.length} docs)") {
+        time(s"ingest batch $r (${batch.length} docs, " +
+          s"store files=${storeFiles()})") {
           stream.addData(batch.toIndexedSeq)
           q.processAllAvailable()
         }
@@ -122,6 +136,7 @@ object Scratch {
       q.stop()
       println("  store rows=" +
         spark.read.parquet(s"$tmp/signatures").count())
+      println("  store files=" + storeFiles())
       println("  pairs=" + spark.read.parquet(s"$tmp/pairs").count())
       spark.stop(); return
     }

@@ -94,4 +94,73 @@ class IngestDedupSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("store compaction bounds the file count without changing store or pairs") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val chunks = docs.grouped(math.max(1, docs.length / 20 + 1)).toSeq
+    assert(chunks.length >= 15, s"want ~20 triggers, got ${chunks.length}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+
+    def partFiles(p: String): Seq[String] = {
+      val d = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.isDirectory(d)) Seq.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(d).iterator().asScala
+          .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq
+      }
+    }
+    // run the same 20-trigger ingest twice: compacting at a tiny file
+    // bound vs never compacting; the stores must be row-identical and
+    // the pair outputs set-identical — compaction is a layout rewrite,
+    // never a semantic one
+    def run(name: String, maxFiles: Int): (Set[String], Set[String], Seq[Int]) = {
+      implicit val sqlCtx = spark.sqlContext
+      val storePath = dir.resolve(s"$name-signatures").toString
+      val pairsPath = dir.resolve(s"$name-pairs").toString
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps
+        .ingestDedupStream(stream.toDF.toDF("doc_id", "text"),
+          storePath, pairsPath, maxStoreFiles = maxFiles)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      val counts = chunks.map { chunk =>
+        stream.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+        partFiles(storePath).size
+      }
+      q.stop()
+      val store = spark.read.parquet(storePath)
+        .select("doc_id", "sz", "hs", "band_sigs")
+        .as[(Long, Int, Array[Long], Array[Long])].collect()
+        .map { case (id, sz, hs, bs) =>
+          s"$id|$sz|${hs.mkString(",")}|${bs.mkString(",")}" }
+      assert(store.length === store.distinct.length, "duplicate store rows")
+      (store.toSet,
+        spark.read.parquet(pairsPath).select("d1", "d2", "jaccard")
+          .as[(Long, Long, Double)].collect()
+          .map(p => s"${p._1}|${p._2}|${p._3}").toSet,
+        counts)
+    }
+    try {
+      val (storeC, pairsC, countsC) = run("compacted", maxFiles = 2)
+      val (storeU, pairsU, countsU) = run("uncompacted", maxFiles = Int.MaxValue)
+      assert(storeC === storeU, "compaction changed store content")
+      assert(pairsC === pairsU, "compaction changed emitted pairs")
+      assert(pairsC.nonEmpty)
+      // bounded: every post-trigger count stays under bound + one
+      // batch's worth of appended files (≤ shuffle.partitions = 8),
+      // while the uncompacted run grows past it and keeps growing
+      assert(countsC.forall(_ <= 2 + 8),
+        s"compacted store file count not bounded: $countsC")
+      assert(countsU.last > countsC.last,
+        s"control failed: uncompacted=${countsU.last} files vs " +
+          s"compacted=${countsC.last} — compaction never engaged")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

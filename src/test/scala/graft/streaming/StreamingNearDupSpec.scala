@@ -115,6 +115,80 @@ class StreamingNearDupSpec extends SparkSpec {
       s"docs 1800 s apart paired despite the 1000 s TTL: $got")
   }
 
+  test("watermarkDelay > 0: a late-but-admitted arrival still pairs with an old member") {
+    implicit val sqlCtx = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog once again today"
+    // ttl 100 s, watermark delay 500 s:
+    //   doc 1 @ 1000 s; doc 3 @ 1200 s (same text — keeps the bucket
+    //   hot and advances the watermark to 700 s; 200 s gap > ttl, so
+    //   (1,3) must NOT pair); doc 2 @ 1050 s — 150 s OLDER than the
+    //   newest arrival but ≥ the 700 s watermark, so it is admitted,
+    //   and |1050 − 1000| = 50 s ≤ ttl → (1,2) MUST pair.
+    // A newest-arrival prune horizon (1200 − 100 = 1100 s) would have
+    // dropped doc 1 during doc 3's batch and silently lost the pair;
+    // the watermark horizon (500 − 100 = 400 s) carries it.
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF.toDF("doc_id", "text", "t_s")
+      .select($"doc_id", $"text", timestamp_seconds($"t_s").as("ts"))
+    val q = StreamingOps
+      .neardupCandidatesStreamTtl(docs, ttlMs = 100000L,
+        watermarkDelay = "500 seconds")
+      .toDF("d1", "d2")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_ttl_late")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    stream.addData((1L, dupText, 1000L)); q.processAllAvailable()
+    stream.addData((3L, dupText, 1200L)); q.processAllAvailable()
+    stream.addData((2L, dupText, 1050L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_ttl_late")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)),
+      s"late-but-admitted arrival lost its in-ttl pair (1,2): $got")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      s"pairs farther apart than the 100 s TTL emitted: $got")
+  }
+
+  test("maxBucket saturation: stale members yield their slots so fresh arrivals pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog once again today"
+    // ttl 500 s, maxBucket 2 — docs 1 @ 1000 s, 2 @ 1600 s, 3 @ 1900 s
+    // share every bucket. Only (2,3) is within the TTL (300 s); (1,2)
+    // 600 s and (1,3) 900 s are not. When doc 3 arrives the bucket is
+    // AT the cap holding {1, 2}; doc 1 is stale relative to doc 3
+    // (900 s > ttl) and must be pruned to free a slot, or doc 3 is
+    // dropped and the legal pair (2,3) lost. Run the same history
+    // spaced AND coalesced: the cap behavior must be layout-independent.
+    def run(name: String, spaced: Boolean): Set[(Long, Long)] = {
+      val stream = MemoryStream[(Long, String, Long)]
+      val docs = stream.toDF.toDF("doc_id", "text", "t_s")
+        .select($"doc_id", $"text", timestamp_seconds($"t_s").as("ts"))
+      val q = StreamingOps
+        .neardupCandidatesStreamTtl(docs, ttlMs = 500000L, maxBucket = 2)
+        .toDF("d1", "d2")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      val rows = Seq((1L, dupText, 1000L), (2L, dupText, 1600L),
+        (3L, dupText, 1900L))
+      if (spaced) rows.foreach { r =>
+        stream.addData(r); q.processAllAvailable()
+      }
+      else { stream.addData(rows); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).select("d1", "d2").as[(Long, Long)].collect().toSet
+    }
+    val spaced = run("neardup_cap_spaced", spaced = true)
+    val coalesced = run("neardup_cap_coalesced", spaced = false)
+    assert(spaced === Set((2L, 3L)),
+      s"spaced batches at the cap: expected exactly (2,3), got $spaced")
+    assert(coalesced === spaced,
+      s"coalesced replay diverged from spaced batches at the cap: " +
+        s"coalesced=$coalesced spaced=$spaced")
+  }
+
   test("coalesced replay: one micro-batch emits the same pairs as spaced batches") {
     implicit val sqlCtx = spark.sqlContext
     val dupText = "the quick brown fox jumps over the lazy dog once again today"
