@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Lineage-truncation point shared by the iterative / multi-action
+  * operators (connected-components label propagation, IVF-PQ's
+  * four-action assignment relation).
+  *
+  * The mode is decided by the session's checkpoint dir — one deployment
+  * flag, no per-operator API change:
+  *
+  *  - dir UNSET (the default; local[...] runs and the test suite):
+  *    `localCheckpoint` — blocks live in executor storage and are
+  *    released by the ContextCleaner as soon as the caller drops the
+  *    result. An executor loss makes them UNRECOMPUTABLE (the lineage
+  *    was truncated), which kills the job — acceptable in a single-JVM
+  *    deployment where executor loss means the whole process died
+  *    anyway.
+  *
+  *  - dir SET (`sc.setCheckpointDir(...)` — the cluster deployment):
+  *    reliable `checkpoint` — blocks are written to the dir (HDFS /
+  *    object store) and survive executor loss, at the cost of one
+  *    write+read round-trip per truncation. On a 1000-executor run of
+  *    an iterative job this is the difference between "a lost executor
+  *    costs one re-read" and "a lost executor kills hour N of N".
+  */
+object Checkpointing {
+  def truncate[T](ds: Dataset[T]): Dataset[T] =
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      ds.checkpoint()
+    else ds.localCheckpoint()
+}

@@ -44,18 +44,22 @@ object IvfPq {
       .setInitMode("random").setPredictionCol("cell").fit(e)
     // materialized once: FOUR actions read this lineage (residual
     // sample, query collect, the ADC scan, the re-rank's raw-vector
-    // join). localCheckpoint, not cache(): cache() pins blocks in the
+    // join). Checkpointed, not cache()'d: cache() pins blocks in the
     // session's CacheManager until an explicit unpersist this function
     // has no good place for (the returned plan still reads the data) —
     // checkpoint blocks are instead released by the ContextCleaner as
     // soon as the caller drops the result, so repeated invocations
     // (Bench best-of-n, the determinism spec) don't accumulate
-    // session-lifetime cached relations.
-    val assigned = e.select(col("vec_id"), col("embedding"), col("v"))
-      .transform(coarse.transform(_))
-      .select(col("vec_id"), col("embedding"), col("cell"))
-      .as[(Long, Array[Float], Int)]
-      .localCheckpoint()
+    // session-lifetime cached relations. Fault tolerance: in the
+    // default localCheckpoint mode the truncated lineage is
+    // UNRECOMPUTABLE on executor loss — fine single-JVM; a cluster
+    // deployment sets a session checkpoint dir and the same
+    // Checkpointing.truncate call writes reliable checkpoints instead.
+    val assigned = graft.Checkpointing.truncate(
+      e.select(col("vec_id"), col("embedding"), col("v"))
+        .transform(coarse.transform(_))
+        .select(col("vec_id"), col("embedding"), col("cell"))
+        .as[(Long, Array[Float], Int)])
     val cents: Array[Array[Float]] =
       coarse.clusterCenters.map(_.toArray.map(_.toFloat))
     val dim = cents.head.length
@@ -120,7 +124,8 @@ object IvfPq {
     }
 
     // per-query: probe routing + q-dependent tables (column filter, not
-    // a typed lambda — prunable/pushable against the cached relation)
+    // a typed lambda — prunable/pushable against the checkpointed
+    // relation)
     val queryVecs = assigned.filter(col("vec_id") < nQueries)
       .collect().sortBy(_._1)
     val luts = queryVecs.map { case (qid, q, _) =>
@@ -184,7 +189,7 @@ object IvfPq {
       .select("query_id", "cand_id")
 
     // exact re-rank of the shortlist only — norms recomputed from the
-    // CACHED assignment relation, not a fresh table scan
+    // CHECKPOINTED assignment relation, not a fresh table scan
     val raw = assigned.toDF()
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))

@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Checkpointing
 import graft.Tables._
 
 /** Duplicate-cluster grouping: connected components over near-dup pairs,
@@ -22,10 +23,13 @@ import graft.Tables._
   *
   * Scale shape: per round, one equi-join edges⋈labels (shuffle keyed on
   * doc_id — 8-byte keys, volume linear in the pair count) + one groupBy
-  * min. `localCheckpoint` truncates the lineage each round so the plan
-  * doesn't grow unboundedly (on a real cluster use a reliable
-  * `checkpoint` dir instead). Convergence is detected by counting changed
-  * labels — a driver-side scalar, not a collect of data.
+  * min. `Checkpointing.truncate` cuts the lineage each round so the plan
+  * doesn't grow unboundedly — localCheckpoint by default; set a session
+  * checkpoint dir (`sc.setCheckpointDir`) and the same call writes
+  * reliable, executor-loss-surviving checkpoints instead (the cluster
+  * deployment mode; see Checkpointing's scaladoc). Convergence is
+  * detected by counting changed labels — a driver-side scalar, not a
+  * collect of data.
   */
 object DedupClusters {
 
@@ -44,25 +48,25 @@ object DedupClusters {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       maxIter: Int = 50): DataFrame = {
     // symmetrize: neighbor lists in both directions
-    val edges = pairs.select(col("d1").as("src"), col("d2").as("dst"))
-      .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint()
+    val edges = Checkpointing.truncate(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+        .distinct())
+    var labels = Checkpointing.truncate(
+      nodes.select(col("doc_id"), col("doc_id").as("label")))
     def step(ls: DataFrame): (DataFrame, Long) = {
       val nbrMin = edges
         .join(ls.withColumnRenamed("doc_id", "dst_id"),
           col("dst") === col("dst_id"))
         .groupBy(col("src"))
         .agg(min("label").as("nbr_label"))
-      val next = ls
+      val next = Checkpointing.truncate(ls
         .join(nbrMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nbr_label"), col("label")))
             .as("label"),
           // null nbr_label (isolated node) compares to null → filtered out
-          (col("nbr_label") < col("label")).as("changed"))
-        .localCheckpoint()
+          (col("nbr_label") < col("label")).as("changed")))
       val ch = next.filter(col("changed")).count() // scans cached blocks only
       (next.select("doc_id", "label"), ch)
     }
@@ -124,15 +128,16 @@ object DedupClusters {
     // keeper-less clusters downstream). Semi-joins keep the two paths
     // answer-equivalent, which the automatic fallback depends on.
     val ids = nodes.select(col("doc_id"))
-    var e = pairs.select(col("d1").as("u"), col("d2").as("v"))
-      .filter(col("u") =!= col("v"))
-      .join(ids.withColumnRenamed("doc_id", "u"), Seq("u"), "left_semi")
-      .join(ids.withColumnRenamed("doc_id", "v"), Seq("v"), "left_semi")
-      .select(col("u"), col("v")).distinct().localCheckpoint()
+    var e = Checkpointing.truncate(
+      pairs.select(col("d1").as("u"), col("d2").as("v"))
+        .filter(col("u") =!= col("v"))
+        .join(ids.withColumnRenamed("doc_id", "u"), Seq("u"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "v"), Seq("v"), "left_semi")
+        .select(col("u"), col("v")).distinct())
     var stable = e.isEmpty
     var round = 0
     while (!stable && round < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = Checkpointing.truncate(smallStar(largeStar(e)))
       // set equality via symmetric difference — one job over two
       // checkpointed frames
       stable = next.exceptAll(e).union(e.exceptAll(next)).isEmpty
@@ -182,7 +187,8 @@ object DedupClusters {
     // memoize only the immutable driver data — a mutable fixture dir
     // rewritten in place must never serve a stale checkpoint
     if (graft.Tables.isImmutable(d))
-      ccCache.getOrElseUpdate((s, d, threshold), build().localCheckpoint())
+      ccCache.getOrElseUpdate((s, d, threshold),
+        Checkpointing.truncate(build()))
     else build()
   }
 
