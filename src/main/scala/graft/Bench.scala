@@ -31,7 +31,12 @@ object Bench {
     "nq_dedup_clusters", "nq_curation", "nq_ivf_knn",
     // round-4 text additions: vocabulary aggregate + repetition scoring
     // (the two heaviest new text shapes)
-    "q59_vocab_topk", "q62_repetition")
+    "q59_vocab_topk", "q62_repetition",
+    // round-7: the two heaviest previously un-benched shapes — the
+    // union + RANGE-window as-of join and the full IVF-PQ ANN composite
+    // (train + encode + ADC + re-rank); regressions here must show up
+    // in the bench, not only in specs
+    "q44_asof_join", "nq_ivfpq_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

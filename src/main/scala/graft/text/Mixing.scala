@@ -154,6 +154,40 @@ object Mixing {
          |    ELSE hh % 1000000 END AS BIGINT) AS pmod FROM r2h)
          |SELECT doc_id, lang FROM pm
          |WHERE pmod < CASE lang $thresholds ELSE 0 END
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+      // Contamination oracle compares raw shingle STRINGS where Spark
+      // compares 64-bit shingle hashes (same counts unless two distinct
+      // shingles of one corpus collide in 64 bits — ~1e-9 at this
+      // corpus size, and a collision would fail the check loudly, not
+      // silently). Same split/shingle/grouping semantics as q25's
+      // oracle; bench/corpus split mirrors contaminationQuery's
+      // doc_id % 10 partition. Docs too short to shingle surface as
+      // n_shingles=0 with NULL n_matched/overlap/contaminated —
+      // "unknown", identical to the Spark path.
+      "nq_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+        |  FROM documents
+        |), tri AS (
+        |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g
+        |), corpus AS (
+        |  SELECT DISTINCT tri FROM tri WHERE doc_id % 10 <> 0
+        |), bench AS (
+        |  SELECT doc_id, tri FROM tri WHERE doc_id % 10 = 0
+        |), agg AS (
+        |  SELECT b.doc_id, count(*) AS n_shingles, count(c.tri) AS n_matched
+        |  FROM bench b LEFT JOIN corpus c ON b.tri = c.tri
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_shingles, 0) AS n_shingles,
+        |  a.n_matched AS n_matched,
+        |  round(CAST(a.n_matched AS DOUBLE) / a.n_shingles, 4) AS overlap,
+        |  (round(CAST(a.n_matched AS DOUBLE) / a.n_shingles, 4) >= 0.8)
+        |    AS contaminated
+        |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN agg a ON d.doc_id = a.doc_id
+        |ORDER BY d.doc_id""".stripMargin)
   }
 }

@@ -58,20 +58,28 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
-  /** Joins whose hint forces a side that can exceed one row.
+  /** Joins whose hint forces a BUILD-SIDE-IN-MEMORY strategy (BROADCAST,
+    * or the replicating SHUFFLE_REPLICATE_NL) on a side that can exceed
+    * one row. Scale-SAFE strategy hints (SHUFFLE_MERGE, SHUFFLE_HASH)
+    * are deliberately NOT flagged — they pick among shuffled plans and
+    * carry no OOM risk, so hinting them on a scaling table is legal.
     *
     * Collected from the OPTIMIZED plan: in the analyzed plan hints are
     * still ResolvedHint wrapper nodes and Join.hint is JoinHint.NONE —
     * EliminateResolvedHint only folds them into Join.hint during
     * optimization, so an analyzed-plan check passes vacuously.
     */
-  private def hintedNonSingletonSides(df: DataFrame) =
+  private def hintedNonSingletonSides(df: DataFrame) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, HintInfo, SHUFFLE_REPLICATE_NL}
+    def risky(h: HintInfo): Boolean =
+      h.strategy.contains(BROADCAST) || h.strategy.contains(SHUFFLE_REPLICATE_NL)
     df.queryExecution.optimizedPlan.collect {
       case j: Join =>
         Seq(j.hint.leftHint -> j.left, j.hint.rightHint -> j.right)
-          .collect { case (Some(_), child)
-            if !child.maxRows.contains(1L) => child }
+          .collect { case (Some(h), child)
+            if risky(h) && !child.maxRows.contains(1L) => child }
     }.flatten
+  }
 
   test("hint collector catches a real broadcast hint (non-vacuity control)") {
     import org.apache.spark.sql.functions.{broadcast, col}
@@ -86,6 +94,13 @@ class PlanShapeSpec extends SparkSpec {
     val ok = a.crossJoin(broadcast(nDocs))
     assert(hintedNonSingletonSides(ok).isEmpty,
       "maxRows==1 escape must exempt broadcast global aggregates")
+    // scale-safe strategy hints are not broadcasts and must pass: a
+    // SHUFFLE_MERGE hint on a scaling table picks among shuffled plans
+    // (no in-memory build side), so flagging it would make the guard
+    // cry wolf with a misleading 'broadcast' message
+    val merged = a.join(b.hint("shuffle_merge"), col("id") === col("id2"))
+    assert(hintedNonSingletonSides(merged).isEmpty,
+      "SHUFFLE_MERGE hint wrongly flagged as an OOM-risk hint")
   }
 
   test("no text-family query force-broadcasts a corpus-derived relation") {
@@ -109,20 +124,41 @@ class PlanShapeSpec extends SparkSpec {
     // side where a hint-free plan lets AQE pick SMJ. Constant-size tables
     // (nation 25, region 5), literal band tables (LocalRelation) and
     // single-row aggregates (maxRows == 1) remain legitimately hinted.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val scaling = Seq("customer", "supplier", "orders", "lineitem", "part",
       "events", "documents", "embeddings")
+    def scalingPaths(paths: Seq[String]): Seq[String] =
+      paths.filter(p => scaling.exists(t =>
+        p.endsWith(s"/$t.parquet") || p.contains(s"/$t.parquet/")))
     def offendingLeaves(side: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
-      side.collectLeaves().collect {
+      side.collectLeaves().flatMap {
         case lr: LogicalRelation => lr.relation match {
           case fs: HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toString).filter(p =>
-              scaling.exists(t => p.endsWith(s"/$t.parquet") ||
-                p.contains(s"/$t.parquet/")))
+            scalingPaths(fs.location.rootPaths.map(_.toString))
           case _ => Nil
         }
-      }.flatten
-    // non-vacuity control: the detector must flag a deliberate offender
+        // a cached scan hides the file source one level down, inside the
+        // physical plan the cache was built from — walk it, or a
+        // `.cache()`d SF-scaling table escapes the guard entirely
+        case imr: InMemoryRelation =>
+          scalingPaths(imr.cachedPlan.collect {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.map(_.toString)
+          }.flatten)
+        // literal driver-side data (the band tables): bounded by
+        // construction, legitimately broadcastable
+        case _: LocalRelation => Nil
+        case l if l.maxRows.contains(1L) => Nil
+        // anything else (a LogicalRDD from a checkpoint, a range, ...)
+        // cannot be traced back to a table — flag it conservatively
+        // rather than let an SF-scaling scan slip through behind a
+        // checkpoint boundary
+        case other => Seq(s"untraceable ${other.nodeName} leaf")
+      }
+    // non-vacuity controls: the detector must flag deliberate offenders
     locally {
       import org.apache.spark.sql.functions.{broadcast, col}
       val bad = graft.Tables.lineitem(spark, sf0001)
@@ -131,6 +167,18 @@ class PlanShapeSpec extends SparkSpec {
       assert(hintedNonSingletonSides(bad).flatMap(offendingLeaves).nonEmpty,
         "detector failed to flag an explicit broadcast of customer — " +
           "the per-query assertions below would be vacuous")
+      // and the same offender behind a cache: the broadcast side is now
+      // an InMemoryRelation leaf, which a LogicalRelation-only walk
+      // would silently exempt
+      val cached = graft.Tables.customer(spark, sf0001).cache()
+      try {
+        cached.count() // materialize so the cache substitutes into plans
+        val badCached = graft.Tables.lineitem(spark, sf0001)
+          .join(broadcast(cached), col("l_orderkey") === col("c_custkey"))
+        assert(
+          hintedNonSingletonSides(badCached).flatMap(offendingLeaves).nonEmpty,
+          "detector failed to flag a broadcast of a CACHED customer scan")
+      } finally cached.unpersist(blocking = true)
     }
     for ((name, fn) <- graft.rel.RelQueries.queries) {
       val offending =

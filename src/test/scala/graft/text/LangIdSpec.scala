@@ -40,6 +40,52 @@ class LangIdSpec extends SparkSpec {
     assert(predict(rows) === Map(1L -> "und")) // stable across runs
   }
 
+  test("precision on out-of-profile input: hard 'und' floor + bounded char-only misfires") {
+    // None of these are in the profile set {en, de, fr, es, zh}. The
+    // classifier must not hallucinate confidence:
+    //  - non-Latin scripts and numeric/symbol soup carry ZERO profile
+    //    evidence → always 'und' (hard assert);
+    //  - Latin-script languages can misfire ONLY through the char-n-gram
+    //    fallback when they share orthography with a profile (Italian
+    //    "della"/"bella" → es "ll"; Polish "krótki" → es "ó") — bounded
+    //    below at ≥ 7 of 9 'und', and every misfire must be char-only.
+    val negatives = Seq(
+      (1L, "ru", "этот текст написан на русском языке"),
+      (2L, "ja", "これは日本語の文章です"),
+      (3L, "ko", "이 문장은 한국어로 작성되었습니다"),
+      (4L, "num", "12345 67890 3.14159 2718"),
+      (5L, "sym", "+++ --- === *** !!! ???"),
+      (6L, "it", "questo testo parla della bella citta vecchia"),
+      (7L, "pt", "um texto curto sobre o mundo moderno"),
+      (8L, "nl", "deze korte zin gaat over taal"),
+      (9L, "pl", "krótki tekst o języku polskim"))
+    val rows = LangId.langIdOf(negatives.toDF("doc_id", "lang", "text"))
+      .collect().map { r =>
+        val scores = Seq("score_de", "score_en", "score_es", "score_fr",
+          "score_zh").map(c => r.getLong(r.fieldIndex(c)))
+        (r.getLong(0), r.getString(2), scores.max)
+      }
+    // zero-evidence inputs: always und, never "mostly"
+    val hard = Set(1L, 2L, 3L, 4L, 5L)
+    rows.filter(r => hard(r._1)).foreach { case (id, pred, _) =>
+      assert(pred === "und", s"doc $id (zero profile evidence) → $pred")
+    }
+    // documented false-positive bound over the whole negative set
+    val undCount = rows.count(_._2 == "und")
+    assert(undCount >= 7,
+      s"und-rate ${undCount}/9 below the documented 7/9 bound: " +
+        rows.filter(_._2 != "und").mkString(", "))
+    // every misfire is CHAR-ONLY: a max score < 1000 proves no stopword
+    // fired — the ×1000 scaling with the 999 char cap (LangId.score) is
+    // exactly what guarantees char evidence can never reach the weight
+    // of a single stopword hit, no matter how long the document
+    rows.foreach { case (id, _, maxScore) =>
+      assert(maxScore < 1000L,
+        s"doc $id scored $maxScore — a stopword fired on out-of-profile " +
+          "input, or the char cap regressed")
+    }
+  }
+
   test("case-insensitive stopword matching (sentence-initial capitals)") {
     val got = predict(Seq(
       (1L, "en", "The cat sat On the mat"),
