@@ -329,7 +329,12 @@ object StreamingOps {
     * exceeds `maxStoreFiles` data files it is compacted — rewritten at
     * `compactTargetBytes` per file via a tmp-dir swap (see
     * `compactSignatureStore`) — so the file count stays O(rows/target),
-    * bounded, while the row content is untouched.
+    * bounded, while the row content is untouched. The PAIRS dir is
+    * deliberately NOT compacted: it is an externally-consumed
+    * append-only log, and rewriting it under a consumer that tails the
+    * directory by file listing would double-deliver pairs — its
+    * lifecycle (tailing, archival, compaction) belongs to the consumer,
+    * where the store is this pipeline's own internal state.
     *
     * Returns the un-started writer so callers own trigger/checkpoint.
     */

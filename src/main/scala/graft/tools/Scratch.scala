@@ -111,7 +111,9 @@ object Scratch {
         .MemoryStream[(Long, String)](spark)
       val q = graft.streaming.StreamingOps
         .ingestDedupStream(stream.toDF.toDF("doc_id", "text"),
-          s"$tmp/signatures", s"$tmp/pairs", maxStoreFiles = 64)
+          // low bound so the compaction path visibly engages within the
+          // 20-trigger probe (each trigger appends ~2 files)
+          s"$tmp/signatures", s"$tmp/pairs", maxStoreFiles = 16)
         .option("checkpointLocation", s"$tmp/ckpt")
         .start()
       def storeFiles(): Int = {

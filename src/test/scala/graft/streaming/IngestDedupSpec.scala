@@ -95,6 +95,40 @@ class IngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("compaction is retry-safe: a stale tmp dir from a crashed attempt never leaks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-retry")
+    try {
+      val store = dir.resolve("signatures").toString
+      val rows = Seq(
+        (1L, 3, Array(1L, 2L, 3L), Array(10L, 20L)),
+        (2L, 2, Array(4L, 5L), Array(30L, 40L)))
+      rows.toDF("doc_id", "sz", "hs", "band_sigs")
+        .repartition(4).write.parquet(store)
+      // a crashed earlier compaction left its tmp dir behind, holding
+      // rows that were NEVER committed — a retry must discard them, not
+      // merge or swap them in
+      Seq((99L, 1, Array(9L), Array(9L)))
+        .toDF("doc_id", "sz", "hs", "band_sigs")
+        .write.parquet(dir.resolve("signatures.compacting").toString)
+      StreamingOps.compactSignatureStore(spark, store,
+        targetBytes = Long.MaxValue)
+      val after = spark.read.parquet(store)
+        .select("doc_id", "sz").as[(Long, Int)].collect().toSet
+      assert(after === Set((1L, 3), (2L, 2)),
+        s"stale tmp content leaked into the compacted store: $after")
+      import scala.jdk.CollectionConverters._
+      val parts = java.nio.file.Files.list(java.nio.file.Paths.get(store))
+        .iterator().asScala.count(_.getFileName.toString.startsWith("part-"))
+      assert(parts === 1, s"expected one compacted file, got $parts")
+      assert(!java.nio.file.Files.exists(dir.resolve("signatures.compacting")),
+        "tmp dir survived the swap")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("store compaction bounds the file count without changing store or pairs") {
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "text").as[(Long, String)].collect()
