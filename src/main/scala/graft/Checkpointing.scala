@@ -23,6 +23,12 @@ import org.apache.spark.sql.Dataset
   *    write+read round-trip per truncation. On a 1000-executor run of
   *    an iterative job this is the difference between "a lost executor
   *    costs one re-read" and "a lost executor kills hour N of N".
+  *    NOTE: unlike localCheckpoint blocks, reliable checkpoint FILES
+  *    are not reclaimed by the ContextCleaner unless
+  *    `spark.cleaner.referenceTracking.cleanCheckpoints=true` — an
+  *    iterative job leaves one file-set per truncation in the dir, so
+  *    the deployment either sets that conf or manages the dir's
+  *    lifecycle (both standard cluster practice).
   */
 object Checkpointing {
   def truncate[T](ds: Dataset[T]): Dataset[T] =

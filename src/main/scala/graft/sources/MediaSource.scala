@@ -63,12 +63,16 @@ object MediaSource {
         // carry a clip_id; "backup2.pcm" is skipped, not aliased to 2
         regexp_extract(col("path"), "(?:^|/)(\\d+)\\.pcm$", 1).as("id_str"),
         col("content").as("pcm"))
-      .filter(col("id_str") =!= "") // ANSI cast of "" would throw
+      .filter(col("id_str") =!= "")
       .select(
-        col("id_str").cast("long").as("clip_id"),
+        // try_cast + null filter: under ANSI mode a plain cast throws on
+        // "" AND on a 20+ digit basename that overflows Long — both are
+        // hostile directory entries to skip, not scan-killers
+        expr("try_cast(id_str AS BIGINT)").as("clip_id"),
         col("pcm"),
         (length(col("pcm")) / 2).cast("int").as("n_samples"),
         lit(sampleRate).as("sample_rate"))
+      .filter(col("clip_id").isNotNull)
 
   /** PCM16 mono → RIFF/WAVE container bytes via the JDK's own audio
     * codec (javax.sound.sampled — no external deps). WAV carries the
@@ -126,7 +130,11 @@ object MediaSource {
         regexp_extract(col("path"), "(?:^|/)(\\d+)\\.wav$", 1).as("id_str"),
         col("content"))
       .filter(col("id_str") =!= "")
-      .select(col("id_str").cast("long").as("clip_id"), col("content"))
+      // try_cast: a 20+ digit numeric basename overflows Long and a
+      // plain ANSI cast would fail the scan instead of skipping it
+      .select(expr("try_cast(id_str AS BIGINT)").as("clip_id"),
+        col("content"))
+      .filter(col("clip_id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>

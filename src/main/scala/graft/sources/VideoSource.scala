@@ -122,16 +122,27 @@ object VideoSource {
       if (four() != "AVI ") return None
       var scale = 0; var rate = 0
       val frames = Vector.newBuilder[Array[Byte]]
-      def walkList(end: Int, listType: String): Unit = {
+      // depth cap: a crafted file of nothing but nested LIST headers
+      // would otherwise recurse ~bytes/12 deep and StackOverflowError —
+      // an Error, which escapes the Exception catch below and kills the
+      // task instead of yielding a verdict row. Real AVI nests 2-3 deep.
+      def walkList(end: Int, listType: String, depth: Int): Unit = {
+        if (depth > 64)
+          throw new IllegalArgumentException("LIST nesting too deep")
         while (bb.position() + 8 <= end) {
           val id = four()
           val sz = bb.getInt
-          val next = bb.position() + sz + (sz & 1)
-          if (sz < 0 || bb.position() + sz > end)
+          // LONG arithmetic: position + sz overflows Int for sz near
+          // Int.MaxValue, which would bypass this check and send a ~2 GB
+          // allocation (OutOfMemoryError, uncatchable below) at the
+          // frame read for a 40-byte crafted file
+          if (sz < 0 || bb.position().toLong + sz > end)
             throw new IllegalArgumentException(s"chunk $id overruns list")
+          val next = math.min(bb.position().toLong + sz + (sz & 1),
+            end.toLong).toInt
           if (id == "LIST") {
             val lt = four()
-            walkList(next, lt)
+            walkList(next, lt, depth + 1)
           } else if (id == "strh" && sz >= 28) {
             val fccType = four()
             if (fccType == "vids" && scale == 0) {
@@ -147,7 +158,7 @@ object VideoSource {
           bb.position(next)
         }
       }
-      walkList(bytes.length, "AVI ")
+      walkList(bytes.length, "AVI ", 0)
       if (scale <= 0 || rate <= 0) None else Some((scale, rate, frames.result()))
     } catch { case _: Exception => None }
   }
@@ -224,7 +235,13 @@ object VideoSource {
         regexp_extract(col("path"), "(?:^|/)(\\d+)\\.avi$", 1).as("id_str"),
         col("content"))
       .filter(col("id_str") =!= "")
-      .select(col("id_str").cast("long").as("video_id"), col("content"))
+      // try_cast, not cast: under ANSI mode (Spark 4 default) a 20+
+      // digit numeric basename would make cast THROW and fail the whole
+      // scan — the same hostile-directory-entry the regexp filter
+      // exists to skip
+      .select(expr("try_cast(id_str AS BIGINT)").as("video_id"),
+        col("content"))
+      .filter(col("video_id").isNotNull)
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -269,6 +286,14 @@ object VideoSource {
                   (f, img)
                 }
               if (decoded.exists(_._2 == null)) bad
+              // a VALID zero-frame AVI must not vanish from the output:
+              // one decoded=true row with null frame columns keeps the
+              // every-video-gets-a-row property (readAviFiles reports
+              // the same file as n_frames=0)
+              else if (decoded.isEmpty)
+                Iterator((id, true, None: Option[Long],
+                  None: Option[Double], None: Option[Int],
+                  None: Option[Int], None: Option[Double]))
               else decoded.iterator.map { case (f, img) =>
                 val (w, h) = (img.getWidth, img.getHeight)
                 var luma = 0.0

@@ -325,11 +325,18 @@ object StreamingOps {
     * FILE GROWTH: each trigger appends one file-set to the store, so an
     * unbounded stream would accumulate millions of small files and the
     * per-batch cost would stop being flat (listing + parquet footer
-    * reads grow with the file count, not the row count). When the store
-    * exceeds `maxStoreFiles` data files it is compacted — rewritten at
-    * `compactTargetBytes` per file via a tmp-dir swap (see
-    * `compactSignatureStore`) — so the file count stays O(rows/target),
-    * bounded, while the row content is untouched. The PAIRS dir is
+    * reads grow with the file count, not the row count). When more than
+    * `maxStoreFiles` SMALL files (< compactTargetBytes/2 — the
+    * per-trigger appends, never the ~target-sized outputs of a previous
+    * compaction) have accumulated, the store is compacted — rewritten at
+    * `compactTargetBytes` per file via a crash-recoverable tmp-dir swap
+    * (see `compactSignatureStore`). Counting only small files keeps the
+    * rewrite AMORTIZED: a store too big to fit in maxStoreFiles
+    * target-sized files would otherwise trip a full O(store) rewrite on
+    * EVERY trigger — exactly the unbounded per-batch cost this feature
+    * exists to prevent; instead the rewrite runs once per ~maxStoreFiles
+    * triggers and the file count stays O(rows/target) + maxStoreFiles,
+    * row content untouched. The PAIRS dir is
     * deliberately NOT compacted: it is an externally-consumed
     * append-only log, and rewriting it under a consumer that tails the
     * directory by file listing would double-deliver pairs — its
@@ -357,6 +364,10 @@ object StreamingOps {
         val s = batch.sparkSession
         val store = new org.apache.hadoop.fs.Path(storePath)
         val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+        // a crash inside a previous compaction's swap window must not
+        // silently present an empty store (which would re-ingest every
+        // doc and double-emit history) — finish or discard the swap first
+        recoverCompactionSwap(fs, store)
         val sigC =
           if (fs.exists(store)) {
             // fails fast on a store written under different banding
@@ -382,8 +393,12 @@ object StreamingOps {
           .write.mode("append").parquet(pairsPath)
         sigs.write.mode("append").parquet(storePath)
         // one listStatus per trigger — metadata-only, cheap next to the
-        // joins above; the rewrite itself runs only when the bound trips
-        if (storeDataFiles(fs, store).size > maxStoreFiles)
+        // joins above; the rewrite itself runs only when the bound trips.
+        // SMALL files only (see scaladoc): compacted ~target-sized
+        // outputs must not re-trip the bound, or a large store would be
+        // fully rewritten every trigger
+        if (storeDataFiles(fs, store)
+            .count(_.getLen < compactTargetBytes / 2) > maxStoreFiles)
           compactSignatureStore(s, storePath, compactTargetBytes)
         ()
     }
@@ -395,28 +410,57 @@ object StreamingOps {
     fs.listStatus(dir).toSeq
       .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
 
+  private def compactTmp(store: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + ".compacting")
+
+  /** Crash recovery for the compaction swap. The swap is
+    * write(tmp) → delete(store) → rename(tmp, store), so on restart
+    * exactly two abnormal states are possible, both decidable from
+    * which paths exist:
+    *   - tmp present, store MISSING: the crash hit between delete and
+    *    rename — tmp holds the complete compacted store; FINISH the
+    *    swap. (Discarding tmp here would silently destroy all dedup
+    *    history and let every historical doc re-pair.)
+    *   - tmp present, store present: the crash hit before the delete —
+    *    tmp is an uncommitted (possibly partial) rewrite and the store
+    *    is intact; DISCARD tmp.
+    */
+  private[streaming] def recoverCompactionSwap(
+      fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path): Unit = {
+    val tmp = compactTmp(store)
+    if (fs.exists(tmp)) {
+      if (!fs.exists(store)) {
+        if (!fs.rename(tmp, store))
+          throw new java.io.IOException(
+            s"could not finish crashed compaction swap: $tmp -> $store")
+      } else fs.delete(tmp, true)
+    }
+  }
+
   /** Rewrite the signature store as ~`targetBytes`-sized files — row
     * content identical (asserted pair-for-pair in IngestDedupSpec), file
     * count bounded. The rewrite goes to a sibling tmp dir FIRST (fully
     * materializing the read before anything is deleted), then swaps via
-    * delete + rename — two metadata ops, so the window in which a crash
-    * leaves no store is minimal but NOT zero: the same transactional
-    * table format a production deployment already needs for idempotent
-    * appends (scaladoc above) closes it. A stale tmp dir from a crashed
-    * earlier attempt is removed up front, making the compaction itself
-    * retry-safe.
+    * delete + rename. A crash anywhere in the swap is recovered by
+    * `recoverCompactionSwap` (run before every trigger and up front
+    * here): a completed-but-unrenamed tmp finishes its swap, an
+    * uncommitted tmp is discarded with the store intact — no state loses
+    * data, making compaction retry-safe end to end. (A production
+    * deployment gets the same guarantee transactionally from the table
+    * format it already needs for idempotent appends — scaladoc above.)
     */
   def compactSignatureStore(s: SparkSession, storePath: String,
       targetBytes: Long = 128L << 20): Unit = {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverCompactionSwap(fs, store)
     val files = storeDataFiles(fs, store)
     if (files.isEmpty) return
     val nOut = math.max(1, math.min(files.size,
       math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt))
-    val tmp = new org.apache.hadoop.fs.Path(
-      store.getParent, store.getName + ".compacting")
-    fs.delete(tmp, true)
+    val tmp = compactTmp(store)
     s.read.parquet(storePath).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     fs.delete(store, true)

@@ -55,6 +55,51 @@ class VideoSourceSpec extends SparkSpec {
       }
   }
 
+  test("crafted hostile containers yield verdicts, not Errors") {
+    def riffHeader(): java.io.ByteArrayOutputStream = {
+      val b = new java.io.ByteArrayOutputStream()
+      b.write("RIFF".getBytes("US-ASCII"))
+      b.write(Array[Byte](0, 0, 0, 0)) // size (ignored)
+      b.write("AVI ".getBytes("US-ASCII"))
+      b
+    }
+    def le32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+      b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+    }
+    // (a) declared chunk size near Int.MaxValue: position + sz overflows
+    // Int — must be caught by the long-arithmetic bounds check, not
+    // bypass it and attempt a ~2 GB allocation (OutOfMemoryError is an
+    // Error and would escape the Exception catch, killing the task)
+    val overflow = riffHeader()
+    overflow.write("00dc".getBytes("US-ASCII"))
+    le32(overflow, 0x7fffffd0L)
+    assert(VideoSource.parseAvi(overflow.toByteArray).isEmpty)
+    // (b) pathological LIST nesting with mutually-consistent sizes (so
+    // every level passes the bounds check and actually recurses): would
+    // StackOverflowError (an Error) without the depth cap
+    val n = 100000
+    val nested = riffHeader()
+    (0 until n).foreach { i =>
+      nested.write("LIST".getBytes("US-ASCII"))
+      le32(nested, 4 + 12L * (n - 1 - i)) // fourcc + remaining nest
+      nested.write("movi".getBytes("US-ASCII"))
+    }
+    assert(VideoSource.parseAvi(nested.toByteArray).isEmpty)
+  }
+
+  test("valid zero-frame avi keeps its row in both scan and feature passes") {
+    val avi = VideoSource.aviBytes(Seq.empty, fps = 4, w = 32, h = 24)
+    assert(VideoSource.parseAvi(avi).map(_._3.length).contains(0))
+    val df = Seq((7L, avi)).toDF("video_id", "content")
+    val feats = VideoSource.sampleFrameFeatures(df)
+    // exactly one decoded=true row with null frame columns — the video
+    // must not silently vanish from per-video joins downstream
+    assert(feats.count() == 1)
+    assert(feats.filter(col("decoded") && col("frame_idx").isNull)
+      .count() == 1)
+  }
+
   test("frame features: count, container timestamps, determinism, sampling") {
     val vids = VideoSource.generateVideos(spark, sfDir).limit(6).cache()
     val feats = VideoSource.sampleFrameFeatures(vids).cache()

@@ -129,6 +129,31 @@ class IngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("crashed swap recovery: a complete tmp with no store finishes the swap") {
+    // the OTHER crash window: the previous compaction wrote tmp, deleted
+    // the store, and died before the rename. tmp holds the only copy of
+    // the dedup history — recovery must complete the swap, never discard
+    // it (discarding would silently re-ingest every doc from scratch)
+    val dir = java.nio.file.Files.createTempDirectory("graft-swap-recover")
+    try {
+      val store = dir.resolve("signatures").toString
+      Seq((1L, 3, Array(1L, 2L, 3L), Array(10L, 20L)))
+        .toDF("doc_id", "sz", "hs", "band_sigs")
+        .write.parquet(dir.resolve("signatures.compacting").toString)
+      // no store dir exists — exactly the post-delete pre-rename state
+      StreamingOps.compactSignatureStore(spark, store)
+      val after = spark.read.parquet(store)
+        .select("doc_id", "sz").as[(Long, Int)].collect().toSet
+      assert(after === Set((1L, 3)),
+        s"recovery lost the orphaned compacted store: $after")
+      assert(!java.nio.file.Files.exists(dir.resolve("signatures.compacting")))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("store compaction bounds the file count without changing store or pairs") {
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "text").as[(Long, String)].collect()
