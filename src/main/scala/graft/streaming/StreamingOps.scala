@@ -378,8 +378,10 @@ object StreamingOps {
             storeValidated = true
             df
           } else null
-        val sigsAll = graft.text.NearDup
-          .signatures(batch, nHashes, rowsPerBand)
+        val sigsAll = graft.text.NearDup.withStoreParams(
+          graft.text.NearDup.signatures(batch, nHashes, rowsPerBand),
+          nHashes, rowsPerBand) // appended rows self-describe like the
+          // bootstrap's (readSignatureStore validates exact params)
           .dropDuplicates("doc_id") // intra-batch redelivery
         val sigs =
           (if (sigC == null) sigsAll

@@ -44,11 +44,15 @@ object Curation {
       maxRepRatio: Option[Double] = None): DataFrame =
     // memoize only immutable driver data (fixture dirs re-read fresh —
     // same policy as Tables.t and DedupClusters)
-    if (graft.Tables.isImmutable(d))
+    if (graft.Tables.isImmutable(d)) {
+      // evict entries of stopped sessions: a stale key would otherwise
+      // pin the dead session and its checkpoint blocks for the JVM's
+      // lifetime, and can never be served again anyway
+      memo.keys.filter(_._1.sparkContext.isStopped).foreach(memo.remove)
       memo.getOrElseUpdate((s, d, minTokens, minDistinctRatio, maxRepRatio),
         curateUncached(s, d, minTokens, minDistinctRatio, maxRepRatio)
           .localCheckpoint())
-    else curateUncached(s, d, minTokens, minDistinctRatio, maxRepRatio)
+    } else curateUncached(s, d, minTokens, minDistinctRatio, maxRepRatio)
 
   private def curateUncached(s: SparkSession, d: String, minTokens: Int,
       minDistinctRatio: Double, maxRepRatio: Option[Double]): DataFrame = {
@@ -65,8 +69,12 @@ object Curation {
     val clusters = DedupClusters.dedupClusters(s, d)
       .select(col("doc_id"), col("cluster_id"),
         col("is_keeper").as("is_cluster_keeper"))
-    // gate 3: per-row quality
-    val toks = split(col("text"), "\\s+")
+    // gate 3: per-row quality. Empty tokens filtered: SQL split keeps
+    // leading/trailing empties on whitespace-padded text, which would
+    // inflate n_tokens past the minTokens gate and disagree with the
+    // repetition gate's tokenizer (repetitionOf filters them) — one
+    // curation run must have ONE definition of "a token"
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val quality = docs.select(col("doc_id"), col("lang"),
       size(toks).cast("long").as("n_tokens"),
       (size(array_distinct(toks)).cast("double") /

@@ -186,10 +186,13 @@ object DedupClusters {
     }
     // memoize only the immutable driver data — a mutable fixture dir
     // rewritten in place must never serve a stale checkpoint
-    if (graft.Tables.isImmutable(d))
+    if (graft.Tables.isImmutable(d)) {
+      // evict stopped sessions' entries (see Curation.curate)
+      ccCache.keys.filter(_._1.sparkContext.isStopped)
+        .foreach(ccCache.remove)
       ccCache.getOrElseUpdate((s, d, threshold),
         Checkpointing.truncate(build()))
-    else build()
+    } else build()
   }
 
   /** Oracle-checked variant of the cluster assignment: connected
@@ -214,9 +217,12 @@ object DedupClusters {
   // `reach` computes, per node, every component label reachable through
   // the symmetrized edges — UNION dedup guarantees termination, min =
   // the component's min doc_id, Spark's cluster_id policy.
+  // list_filter strips empty tokens — same reasoning as q25's oracle
   val q63Sql: String =
     """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l FROM documents
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |  FROM documents
       |), tri0 AS (
       |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g

@@ -41,18 +41,11 @@ object Mixing {
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
       flagAt: Double = 0.8): DataFrame = {
-    val s = corpus.sparkSession
-    import s.implicits._
-    def hashed(docs: DataFrame) =
-      NearDup.shinglesOf(docs).as[(Long, Array[String])]
-        .flatMap { case (id, sh) =>
-          sh.iterator.map(x => (id, NearDup.hashShingle(x)))
-        }.toDF("doc_id", "h")
-    val corpusSh = hashed(corpus).select("h").distinct()
+    val corpusSh = NearDup.hashedShinglesOf(corpus).select("h").distinct()
     // ONE pass over the benchmark shingles computes both counts: left
     // join against the distinct corpus hashes (multiplicity-safe) with a
     // match marker, then a single aggregate — no second tokenize scan
-    val both = hashed(benchmark)
+    val both = NearDup.hashedShinglesOf(benchmark)
       .join(corpusSh.withColumn("__m", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("__m")).as("n_matched"))
@@ -166,7 +159,8 @@ object Mixing {
       // "unknown", identical to the Spark path.
       "nq_contamination" ->
       """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
         |  FROM documents
         |), tri AS (
         |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri

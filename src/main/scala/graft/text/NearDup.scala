@@ -30,7 +30,13 @@ object NearDup {
     * (`bandedSignaturesTs`), so the two can't silently drift apart.
     */
   private def shingleArray(text: String): Array[String] = {
-    val t = text.split("\\s+")
+    // empty tokens filtered EXPLICITLY: Java split drops trailing empty
+    // strings but keeps a leading one (text starting with whitespace),
+    // while DuckDB's regexp_split_to_array keeps both — the oracles
+    // (q25/q63/nq_contamination) apply the same x <> '' filter, making
+    // "no empty tokens" the single tokenization both engines agree on
+    // (same discipline as q62's comment)
+    val t = text.split("\\s+").filter(_.nonEmpty)
     if (t.length < 3) Array.empty[String]
     else Array.tabulate(t.length - 2)(i =>
       t(i) + " " + t(i + 1) + " " + t(i + 2)).distinct
@@ -43,6 +49,20 @@ object NearDup {
     docs.select("doc_id", "text").as[(Long, String)]
       .map { case (id, text) => (id, shingleArray(text)) }
       .toDF("doc_id", "shingles")
+  }
+
+  /** (doc_id, h): every distinct shingle of every doc, hashed to a long
+    * — THE shared shingle-hash relation (q25's inverted index, the
+    * contamination semi-join). One definition so the engine's notion of
+    * "a shingle's hash" cannot drift across call sites.
+    */
+  private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    shinglesOf(docs).as[(Long, Array[String])]
+      .flatMap { case (id, sh) =>
+        sh.iterator.map(x => (id, hashShingle(x)))
+      }.toDF("doc_id", "h")
   }
 
   // ------------------------------------------------- MinHash + LSH
@@ -333,28 +353,50 @@ object NearDup {
     * ingest path, once per trigger) validate once at stream start and
     * pass validate = false thereafter.
     */
+  /** Stamp the banding parameters onto every signature row. Two literal
+    * int columns cost nothing in parquet (RLE to a constant) and make
+    * the store self-describing: the read-side fail-fast can check the
+    * EXACT parameters instead of inferring them from the band count,
+    * which collides across quotient-equal settings — (64,4) and (32,2)
+    * both yield 16 bands but DIFFERENT minhash families, so a
+    * count-only check would pass while cross dups silently vanish.
+    */
+  private[graft] def withStoreParams(sig: DataFrame, nHashes: Int,
+      rowsPerBand: Int): DataFrame =
+    sig.withColumn("n_hashes", lit(nHashes))
+      .withColumn("rows_per_band", lit(rowsPerBand))
+
   private[graft] def readSignatureStore(s: SparkSession, storePath: String,
       nHashes: Int, rowsPerBand: Int, validate: Boolean = true): DataFrame = {
     val store = s.read.parquet(storePath)
+    require(store.columns.contains("n_hashes") &&
+      store.columns.contains("rows_per_band"),
+      s"signature store at $storePath carries no banding parameters — " +
+        "written by a pre-params version; rewrite it with " +
+        "writeSignatureStore")
     if (validate) {
-      val nBands = nHashes / rowsPerBand
-      val badBands = store
-        .filter(size(col("band_sigs")) =!= nBands).limit(1).count()
-      require(badBands == 0,
-        s"signature store at $storePath has band_sigs arrays of length != " +
-          s"$nBands — it was written under different (nHashes, rowsPerBand) " +
-          "parameters than this query's; rewrite the store or match them")
+      // exact-params check (see withStoreParams for why band COUNT is
+      // not enough). Scans until a hit, so the healthy-store cost grows
+      // with the store — repeat openers validate once (streaming ingest)
+      val bad = store.filter(col("n_hashes") =!= nHashes ||
+        col("rows_per_band") =!= rowsPerBand).limit(1).count()
+      require(bad == 0,
+        s"signature store at $storePath was written under different " +
+          s"(nHashes, rowsPerBand) than this query's ($nHashes, " +
+          s"$rowsPerBand); rewrite the store or match the parameters")
     }
-    store
+    store.drop("n_hashes", "rows_per_band")
   }
 
-  /** Persist the signature store (doc_id, hs, sz, band_sigs) via the
-    * engine's own parquet writer. Overwrite mode: the initial bootstrap;
-    * ingest appends with mode("append") on the same schema.
+  /** Persist the signature store (doc_id, hs, sz, band_sigs + embedded
+    * banding params) via the engine's own parquet writer. Overwrite
+    * mode: the initial bootstrap; ingest appends with mode("append") on
+    * the same schema.
     */
   def writeSignatureStore(corpus: DataFrame, path: String,
       nHashes: Int = 64, rowsPerBand: Int = 4): Unit =
-    signatures(corpus, nHashes, rowsPerBand)
+    withStoreParams(signatures(corpus, nHashes, rowsPerBand),
+      nHashes, rowsPerBand)
       .write.mode("overwrite").parquet(path)
 
   private[graft] def incrementalFromSignatures(sigC: DataFrame,
@@ -363,11 +405,15 @@ object NearDup {
     def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
       posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val bandsC = bandsOf(sigC); val bandsN = bandsOf(sigN)
-    // cross candidates need no id ordering predicate (the sides are
-    // disjoint); orientation normalized to (min, max) to match the full
-    // run's d1 < d2 convention
+    // the sides are NOMINALLY disjoint, but an at-least-once caller can
+    // redeliver a doc that is already in the corpus side — its bands
+    // match themselves in every band, and without the id-inequality
+    // guard the verify would emit degenerate (X, X, 1.0) rows that mark
+    // the doc a duplicate of itself; orientation normalized to
+    // (min, max) to match the full run's d1 < d2 convention
     val cross = bandsN.as("n").join(bandsC.as("c"),
-        col("n.band") === col("c.band") && col("n.sig") === col("c.sig"))
+        col("n.band") === col("c.band") && col("n.sig") === col("c.sig") &&
+          col("n.doc_id") =!= col("c.doc_id"))
       .select(least(col("n.doc_id"), col("c.doc_id")).as("d1"),
         greatest(col("n.doc_id"), col("c.doc_id")).as("d2"))
     val intra = bandsN.as("x").join(bandsN.as("y"),
@@ -375,8 +421,12 @@ object NearDup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
     val cands = cross.union(intra).distinct()
+    // dropDuplicates: a doc present on BOTH sides (same redelivery)
+    // would otherwise join twice per pair side and multiply verify rows;
+    // signatures are a pure function of the text, so either copy works
     val docSets = sigC.select(col("doc_id"), col("hs"), col("sz"))
       .union(sigN.select(col("doc_id"), col("hs"), col("sz")))
+      .dropDuplicates("doc_id")
     verifyJaccard(cands, docSets, threshold, sorted)
   }
 

@@ -151,13 +151,8 @@ object TextQueries {
     // groupBy (not a count window) for the df: partial aggregation
     // map-side combines the hot key, so the skewed shingle never lands
     // on one reducer.
-    val raw = {
-      import s.implicits._
-      NearDup.shingles(s, d).as[(Long, Array[String])]
-        .flatMap { case (id, sh) =>
-          sh.iterator.map(x => (id, NearDup.hashShingle(x)))
-        }.toDF("doc_id", "tri")
-    }.cache()
+    val raw = NearDup.hashedShinglesOf(graft.Tables.documents(s, d))
+      .withColumnRenamed("h", "tri").cache()
     val hot = raw.groupBy("tri").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("tri")
     val tri = raw.join(hot, Seq("tri"), "left_anti").cache()
@@ -181,9 +176,15 @@ object TextQueries {
       .orderBy("d1", "d2")
   }
 
+  // list_filter strips empty tokens — the Spark side's shingleArray does
+  // the same, and "no empty tokens" is the only tokenization the two
+  // engines' split semantics agree on (DuckDB keeps leading AND trailing
+  // empties, Java split only the leading one)
   val q25Sql: String =
     """WITH toks AS (
-      |  SELECT doc_id, regexp_split_to_array(text, '\s+') AS l FROM documents
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
+      |  FROM documents
       |), tri0 AS (
       |  SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS tri
       |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 2)) AS i) g

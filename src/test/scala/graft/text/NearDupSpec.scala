@@ -74,7 +74,16 @@ class NearDupSpec extends SparkSpec {
         NearDup.minhashNeardupIncrementalStored(spark, path, batch,
           nHashes = 32, rowsPerBand = 4)
       }
-      assert(ex.getMessage.contains("band_sigs"))
+      assert(ex.getMessage.contains("nHashes"))
+      // QUOTIENT-COLLIDING params: (32,2) yields the same 16 bands as
+      // the store's (64,4) but a different minhash family — a
+      // band-count check passes vacuously; the embedded exact-params
+      // check must still fail fast
+      val exQ = intercept[IllegalArgumentException] {
+        NearDup.minhashNeardupIncrementalStored(spark, path, batch,
+          nHashes = 32, rowsPerBand = 2)
+      }
+      assert(exQ.getMessage.contains("nHashes"))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -102,6 +111,41 @@ class NearDupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9")
     // no false positives: LSH verifies the true distance, so approx ⊆ exact
     assert((approx -- exact).isEmpty)
+  }
+
+  test("whitespace padding never changes a doc's shingle set") {
+    // Java split keeps a LEADING empty token (" a b c" → ["","a","b","c"])
+    // and drops trailing ones — without the explicit empty filter the
+    // padded variants would shingle differently from the clean text AND
+    // diverge from the DuckDB oracles' list_filter'd tokenization
+    val variants = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, " alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta "),
+      (4L, "  alpha  beta\tgamma \n delta  "))
+    val sh = NearDup.shinglesOf(variants.toDF("doc_id", "text"))
+      .as[(Long, Array[String])].collect()
+      .map { case (id, a) => id -> a.toSet }.toMap
+    assert(sh(1L) === Set("alpha beta gamma", "beta gamma delta"))
+    variants.map(_._1).foreach { id =>
+      assert(sh(id) === sh(1L), s"doc $id padded variant diverged")
+    }
+  }
+
+  test("redelivered doc on both incremental sides: no self-pairs, no duplicate rows") {
+    val dup = "the quick brown fox jumps over the lazy dog once again today"
+    val other = "completely different words with entirely unrelated content flowing here"
+    val corpus = Seq((1L, dup), (2L, other)).toDF("doc_id", "text")
+    // doc 1 is redelivered in the new batch (at-least-once source), and
+    // doc 3 is a genuine near-dup of it
+    val batch = Seq((1L, dup), (3L, dup + " x")).toDF("doc_id", "text")
+    val got = NearDup.minhashNeardupIncremental(corpus, batch)
+      .select("d1", "d2").as[(Long, Long)].collect()
+    assert(!got.exists(p => p._1 == p._2),
+      s"degenerate self-pair emitted: ${got.toSeq}")
+    assert(got.length === got.distinct.length,
+      s"duplicate pair rows emitted: ${got.toSeq}")
+    assert(got.contains((1L, 3L)), s"real pair (1,3) missing: ${got.toSeq}")
   }
 
   test("approx_count_distinct within 5% of exact") {
