@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * 100 TB the only growing cost is the linear scans.
   *
   * Output: one row per cluster — size, mean within-cluster cosine to
-  * the centroid (cohesion), and the cell's share of total inertia.
+  * the centroid (cohesion), and the cell's total inertia (raw sum of
+  * squared distances; divide by the column's own sum for shares).
   * Seeded → deterministic; cross-run stability and k=16 < k=1 inertia
   * are pinned in ClusteringSpec. Not SQL-expressible (iterative
   * training) → rows-only driver check.

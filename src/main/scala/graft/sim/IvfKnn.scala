@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
 object IvfKnn {
 
   def ivfKnn(s: SparkSession, d: String, k: Int = 16, nProbe: Int = 4,
-      topK: Int = 5): DataFrame = {
+      topK: Int = 5, nQueries: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = VecPrep.embeddingFeatures(s, d)
     // seeded RANDOM init, not the default k-means|| — the parallel init
@@ -33,14 +33,20 @@ object IvfKnn {
     val model = new KMeans().setK(k).setSeed(42).setFeaturesCol("v")
       .setInitMode("random")
       .setPredictionCol("cluster").fit(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster"))
+    // materialized once: the final join reads this relation TWICE in one
+    // action (the probe side embeds `queries` which derives from it, and
+    // the candidate side scans it again) — without the truncation each
+    // collect re-runs the scan + k-means assignment twice. Same
+    // checkpoint-not-cache rationale as IvfPq (see Checkpointing).
+    val assigned = graft.Checkpointing.truncate(
+      model.transform(e)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cluster")))
     // centroid table: k rows of float arrays (broadcast everywhere)
     val centroids = VecPrep.centroidTable(s, model)
     // probe routing: each query → nProbe nearest centroids by cosine
     // (dot / centroid norm — query norm is constant within a query's
     // ranking, but centroid norms vary and must be divided out)
-    val queries = assigned.filter(col("vec_id") < 10)
+    val queries = assigned.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
     val wProbe = Window.partitionBy("query_id")
@@ -51,18 +57,13 @@ object IvfKnn {
       .filter(col("rp") <= nProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cluster"))
     // exact cosine inside probed cells only
-    val wTop = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    assigned.join(broadcast(probes), Seq("cluster"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
-          .as("cos"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= topK)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rn"))
-      .orderBy("query_id", "rn")
+    VecPrep.topKCosine(
+      assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
+            .as("cos")),
+      topK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -196,18 +196,7 @@ object IvfPq {
     val qdf = raw.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
-    val wTop = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    short
-      .join(raw.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn"))).as("cos"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= topK)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rn"))
-      .orderBy("query_id", "rn")
+    VecPrep.exactRerank(short, raw, qdf, topK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -2,7 +2,6 @@ package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables._
 
 /** Approximate nearest-neighbor search: the scale path for q30/q31.
   *
@@ -37,13 +36,8 @@ object LshKnn {
     * 1−(1−p⁴)²⁰ ≈ 0.97 with p = 1 − acos(0.4)/π ≈ 0.63.
     */
   def lshNeardup(s: SparkSession, d: String, minCos: Double = 0.4,
-      rowsPerBand: Int = 4, nTables: Int = 20, seed: Long = 42L): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    val emb = embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
-    lshNeardupOn(emb, minCos, rowsPerBand, nTables, seed)
-  }
+      rowsPerBand: Int = 4, nTables: Int = 20, seed: Long = 42L): DataFrame =
+    lshNeardupOn(VecPrep.normed(s, d), minCos, rowsPerBand, nTables, seed)
 
   /** Banded sign signatures for a (vec_id, embedding, nrm) relation:
     * one row per (vector, table) carrying the packed r-bit band value

@@ -9,7 +9,7 @@ import graft.Tables._
   * (32× smaller), so the whole index stays in memory at corpus sizes
   * where raw vectors cannot.
   *
-  *  1. TRAIN: split dims into m subspaces; per subspace, k=16-centroid
+  *  1. TRAIN: split dims into m subspaces; per subspace, k=32-centroid
   *     Lloyd's k-means on a seeded bounded SAMPLE collected to the
   *     driver (codebook training on a sample is the standard practice —
   *     the codebook is a few KB regardless of corpus size).
@@ -76,8 +76,15 @@ object PqKnn {
     import org.apache.spark.sql.expressions.Window
     graft.functions.VecFunctions.register(s)
     import s.implicits._
-    val emb = embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .as[(Long, Array[Float])]
+    // materialized once: FOUR actions read this lineage (codebook
+    // sample, query collect, the ADC encode/scan, the re-rank's
+    // raw-vector join) — same shape and same fix as IvfPq's `assigned`
+    // (checkpoint, not cache: blocks are released by the ContextCleaner
+    // when the caller drops the result; see Checkpointing for the
+    // local-vs-reliable durability modes)
+    val emb = graft.Checkpointing.truncate(
+      embeddings(s, d).select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])])
     // 1. TRAIN on a content-deterministic bounded sample (≤ ~2k rows
     // regardless of SF): order by a hash of the id and take the first
     // 2000 — independent of partition layout (unlike Bernoulli sample()
@@ -117,24 +124,28 @@ object PqKnn {
       }
       (id, code)
     }.toDF("vec_id", "code").as[(Long, Array[Int])]
-    // 3. ADC lookup tables for the query set (driver-side, tiny)
-    val queryVecs = emb.filter(_._1 < nQueries).collect().sortBy(_._1)
-    val luts: Array[(Long, Array[Array[Double]], Array[Array[Double]], Double)] =
+    // codeword sub-norms — query-INDEPENDENT, built once (m×k doubles)
+    val cn2: Array[Array[Double]] = Array.tabulate(m, k) { (mi, c) =>
+      var acc = 0.0; var j = 0
+      while (j < sub) {
+        acc += codebooks(mi)(c)(j).toDouble * codebooks(mi)(c)(j); j += 1
+      }
+      acc
+    }
+    // 3. ADC lookup tables for the query set (driver-side, tiny);
+    // column filter, not a typed lambda — prunable/pushable against
+    // the checkpointed relation
+    val queryVecs = emb.filter(col("vec_id") < nQueries)
+      .collect().sortBy(_._1)
+    val luts: Array[(Long, Array[Array[Double]], Double)] =
       queryVecs.map { case (qid, q) =>
         val dots = Array.tabulate(m, k) { (mi, c) =>
           var acc = 0.0; var j = 0
           while (j < sub) { acc += q(mi * sub + j) * codebooks(mi)(c)(j); j += 1 }
           acc
         }
-        val cn2 = Array.tabulate(m, k) { (mi, c) =>
-          var acc = 0.0; var j = 0
-          while (j < sub) {
-            acc += codebooks(mi)(c)(j).toDouble * codebooks(mi)(c)(j); j += 1
-          }
-          acc
-        }
         val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
-        (qid, dots, cn2, qn)
+        (qid, dots, qn)
       }
     // per-partition top-`shortlist` heaps per query: only ~shortlist
     // candidates per (partition, query) ever leave the scoring pass
@@ -149,7 +160,7 @@ object PqKnn {
       it.foreach { case (id, code) =>
         var qi = 0
         while (qi < luts.length) {
-          val (qid, dots, cn2, qn) = luts(qi)
+          val (qid, dots, qn) = luts(qi)
           if (id != qid) {
             var est = 0.0; var n2 = 0.0
             var mi = 0
@@ -173,24 +184,15 @@ object PqKnn {
     val short = cands.withColumn("rs", row_number().over(wShort))
       .filter(col("rs") <= shortlist)
       .select("query_id", "cand_id")
-    // 4. exact re-rank of the shortlist only
-    val raw = embeddings(s, d).select(col("vec_id"), col("embedding"),
-      sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+    // 4. exact re-rank of the shortlist only — norms recomputed from
+    // the CHECKPOINTED relation, not a fresh table scan
+    val raw = emb.toDF()
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
     val qdf = raw.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
-    val wTop = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    short
-      .join(raw.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-      .join(broadcast(qdf), "query_id")
-      .select(col("query_id"), col("cand_id").as("neighbor_id"),
-        (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn"))).as("cos"))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= topK)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rn"))
-      .orderBy("query_id", "rn")
+    VecPrep.exactRerank(short, raw, qdf, topK)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -23,34 +23,22 @@ import graft.Tables._
   */
 object SimQueries {
 
-  /** vectors + precomputed L2 norm, ready for pair joins. */
-  private def normed(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
-    embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
-  }
-
   // ---------------------------------------------------------------- q30
   // Exact k-NN: top-5 cosine neighbors for each of the first 10 vectors.
+  // (vec_id, embedding, nrm) prep and the top-k tail are the shared
+  // VecPrep definitions every ANN variant compares against.
   def q30KnnExact(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = normed(s, d)
+    val e = VecPrep.normed(s, d)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
-    val pairs = e.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
-          .as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id"))
-    pairs.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 5)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rn"))
-      .orderBy("query_id", "rn")
+    VecPrep.topKCosine(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
+            .as("cos")),
+      topK = 5)
   }
 
   val q30Sql: String =
@@ -74,7 +62,7 @@ object SimQueries {
   // Exact quadratic form — correct at test scale; at 100 TB the same
   // result comes from nq_knn_lsh's bucketed join.
   def q31EmbeddingNeardup(s: SparkSession, d: String): DataFrame = {
-    val e = normed(s, d)
+    val e = VecPrep.normed(s, d)
     val a = e.select(col("vec_id").as("id1"), col("embedding").as("e1"),
       col("nrm").as("n1"))
     val b = e.select(col("vec_id").as("id2"), col("embedding").as("e2"),

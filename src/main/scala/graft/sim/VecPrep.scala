@@ -6,13 +6,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Shared embedding preparation for the k-means-based operators
-  * (IvfKnn's coarse quantizer and the standalone Clustering operator) —
-  * one definition so the two can't drift: the feature prep and the
-  * centroid-table construction ARE the claim that the clustering
-  * operator is "the standalone form of what IVF trains internally".
+/** Shared embedding preparation for the similarity-search family —
+  * one definition of each projection so the operators can't drift: the
+  * feature prep and the centroid-table construction ARE the claim that
+  * the clustering operator is "the standalone form of what IVF trains
+  * internally", and the norm/top-k conventions below ARE the contract
+  * that every ANN variant's output is comparable to the exact q30.
   */
 private[sim] object VecPrep {
+
+  /** (vec_id, embedding, nrm: L2 norm) — the pair-join input every
+    * cosine-scoring operator starts from. Norms are computed ONCE per
+    * row here, never per pair.
+    */
+  def normed(s: SparkSession, d: String): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+  }
 
   /** (vec_id, embedding, v: MLlib vector, nrm: L2 norm) — the input
     * both k-means trainers fit on and both assignment passes scan.
@@ -26,15 +38,55 @@ private[sim] object VecPrep {
   }
 
   /** k rows of (cluster, centroid: float array, cnorm) — tiny by
-    * construction (k × dim), safe to broadcast everywhere.
+    * construction (k × dim), safe to broadcast everywhere. cnorm is
+    * the norm of the STORED float-cast centroid (not the double-
+    * precision trainer output), so downstream cosine/sqdist arithmetic
+    * mixes no precisions: the norm belongs to exactly the vector
+    * `vec_dot` sees.
     */
   def centroidTable(s: SparkSession, model: KMeansModel): DataFrame = {
     import s.implicits._
     model.clusterCenters.zipWithIndex
       .map { case (c, i) =>
-        (i, c.toArray.map(_.toFloat),
-          math.sqrt(c.toArray.map(x => x * x).sum))
+        val cf = c.toArray.map(_.toFloat)
+        (i, cf, math.sqrt(cf.map(x => x.toDouble * x).sum))
       }
       .toSeq.toDF("cluster", "centroid", "cnorm")
   }
+
+  /** The shared output tail of every kNN variant: per-query top-k over
+    * (query_id, neighbor_id, cos) pairs with the (cos desc, neighbor_id)
+    * tie-break, 6-decimal rounding, (query_id, rn) ordering. One
+    * definition so a tie-break or rounding change can't silently
+    * diverge the operators' comparable outputs.
+    */
+  def topKCosine(pairs: DataFrame, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Exact-cosine re-rank of an ANN shortlist (PQ / IVF-PQ step 4):
+    * join (query_id, cand_id) candidates back to the raw vectors, score
+    * with the codegen'd vec_dot against the broadcast query set, and
+    * take the exact top-k per query.
+    *
+    * `raw` must carry (vec_id, embedding, nrm); `qdf` is the tiny
+    * (query_id, qe, qn) projection of the query vectors.
+    */
+  def exactRerank(short: DataFrame, raw: DataFrame, qdf: DataFrame,
+      topK: Int): DataFrame =
+    topKCosine(
+      short
+        .join(raw.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .join(broadcast(qdf), "query_id")
+        .select(col("query_id"), col("cand_id").as("neighbor_id"),
+          (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
+            .as("cos")),
+      topK)
 }
