@@ -24,14 +24,20 @@ object MediaSource {
     * write to each executor's LOCAL disk on a multi-node cluster,
     * silently scattering the sink. With an hdfs://, s3a://,
     * file://-on-shared-mount dir this lands all files in one place;
-    * local mode behaves identically. `encode` maps (payload bytes,
+    * local mode behaves identically. The SESSION's Hadoop configuration
+    * ships to the executors (SerializableConfiguration) — a bare
+    * `new Configuration()` would drop every spark.hadoop.* setting, so
+    * an s3a:// sink whose credentials/endpoint arrive via spark-submit
+    * would fail auth on every partition. `encode` maps (payload bytes,
     * extra column) → file bytes.
     */
   private[sources] def writeBinaryFiles(rows: DataFrame, ext: String, dir: String)(
-      encode: org.apache.spark.sql.Row => Array[Byte]): Unit =
+      encode: org.apache.spark.sql.Row => Array[Byte]): Unit = {
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      rows.sparkSession.sparkContext.hadoopConfiguration)
     rows.foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
       val base = new org.apache.hadoop.fs.Path(dir)
-      val fs = base.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = base.getFileSystem(hconf.value)
       fs.mkdirs(base)
       it.foreach { r =>
         val out = fs.create(
@@ -39,6 +45,7 @@ object MediaSource {
         try out.write(encode(r)) finally out.close()
       }
     }
+  }
 
   /** Binary sink: one file per row, named <id>.pcm (the distributed
     * analogue of the reference's per-phrase MP3 export,
@@ -163,11 +170,18 @@ object MediaSource {
 
   /** Decode + summary feature extraction over the binary column in one
     * mapPartitions pass: waveform stats the cheap way (no shuffle).
+    *
+    * Rows with a null payload are skipped, not crashed on: readWavFiles
+    * deliberately emits decoded=false rows with null pcm/sample_rate for
+    * corrupt files, and composing the two APIs must not let one bad file
+    * NPE the scan the verdict rows exist to protect (the verdict stays
+    * visible in the source relation).
     */
   def audioFeatures(clips: DataFrame): DataFrame = {
     val spark = clips.sparkSession
     import spark.implicits._
     clips.select(col("clip_id"), col("pcm"), col("sample_rate"))
+      .filter(col("pcm").isNotNull && col("sample_rate").isNotNull)
       .as[(Long, Array[Byte], Int)]
       .mapPartitions { it =>
         it.map { case (id, pcm, sr) =>

@@ -44,7 +44,6 @@ object VideoSource {
       w: Int, h: Int): Array[Byte] = {
     require(fps > 0, s"aviBytes: fps must be positive, got $fps")
     val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
-    def chunkLen(p: Array[Byte]) = 8 + p.length + (p.length & 1)
 
     val strl = new java.io.ByteArrayOutputStream()
     cc(strl, "strh"); le32(strl, 56)
@@ -64,7 +63,7 @@ object VideoSource {
 
     val hdrl = new java.io.ByteArrayOutputStream()
     cc(hdrl, "avih"); le32(hdrl, 56)
-    le32(hdrl, if (fps == 0) 0 else 1000000L / fps) // usec per frame
+    le32(hdrl, 1000000L / fps)                  // usec per frame
     le32(hdrl, maxFrame.toLong * fps)           // max bytes/sec
     le32(hdrl, 0)                               // padding granularity
     le32(hdrl, 0x10)                            // AVIF_HASINDEX
@@ -108,7 +107,11 @@ object VideoSource {
   /** RIFF walk (same discipline as the WAV container read): returns
     * (scale, rate, JPEG payloads) from the first 'vids' stream, or None
     * for anything malformed. Tolerates unknown chunks/lists — skips by
-    * declared size — so files from other muxers still parse.
+    * declared size — so files from other muxers still parse: frames are
+    * matched by the VIDS STREAM'S OWN chunk prefix (##dc/##db where ##
+    * is its strl position), so a second stream's chunks don't
+    * double-count, and LIST('rec ') groupings inside movi (interleaved
+    * muxer output) are descended into like the spec allows.
     */
   private[graft] def parseAvi(bytes: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
     try {
@@ -121,12 +124,16 @@ object VideoSource {
       bb.getInt // riff size — trust actual buffer bounds instead
       if (four() != "AVI ") return None
       var scale = 0; var rate = 0
+      // AVI stream numbers are strl positions within hdrl (stream 0 is
+      // the first strh, etc.) — hdrl precedes movi, so the prefix is
+      // known before any frame chunk appears
+      var strhSeen = 0; var vidsPrefix: String = null
       val frames = Vector.newBuilder[Array[Byte]]
       // depth cap: a crafted file of nothing but nested LIST headers
       // would otherwise recurse ~bytes/12 deep and StackOverflowError —
       // an Error, which escapes the Exception catch below and kills the
       // task instead of yielding a verdict row. Real AVI nests 2-3 deep.
-      def walkList(end: Int, listType: String, depth: Int): Unit = {
+      def walkList(end: Int, inMovi: Boolean, depth: Int): Unit = {
         if (depth > 64)
           throw new IllegalArgumentException("LIST nesting too deep")
         while (bb.position() + 8 <= end) {
@@ -142,23 +149,28 @@ object VideoSource {
             end.toLong).toInt
           if (id == "LIST") {
             val lt = four()
-            walkList(next, lt, depth + 1)
+            // 'rec ' groups interleaved chunks INSIDE movi — its members
+            // are movi members; anything else resets the movi context
+            walkList(next, lt == "movi" || (inMovi && lt == "rec "),
+              depth + 1)
           } else if (id == "strh" && sz >= 28) {
             val fccType = four()
-            if (fccType == "vids" && scale == 0) {
+            if (fccType == "vids" && vidsPrefix == null) {
+              vidsPrefix = f"$strhSeen%02d"
               // skip fccHandler, dwFlags, wPriority+wLanguage,
               // dwInitialFrames to reach dwScale/dwRate
               bb.position(bb.position() + 16)
               scale = bb.getInt; rate = bb.getInt
             }
-          } else if (listType == "movi" &&
-              (id.endsWith("dc") || id.endsWith("db"))) {
+            strhSeen += 1
+          } else if (inMovi && vidsPrefix != null &&
+              (id == vidsPrefix + "dc" || id == vidsPrefix + "db")) {
             val p = new Array[Byte](sz); bb.get(p); frames += p
           }
           bb.position(next)
         }
       }
-      walkList(bytes.length, "AVI ", 0)
+      walkList(bytes.length, inMovi = false, 0)
       if (scale <= 0 || rate <= 0) None else Some((scale, rate, frames.result()))
     } catch { case _: Exception => None }
   }
@@ -276,38 +288,50 @@ object VideoSource {
             None: Option[Double]))
           parseAvi(bytes) match {
             case Some((scale, rate, frames)) =>
-              val decoded = frames.zipWithIndex
-                .filter(_._2 % every == 0)
-                .map { case (jpeg, f) =>
+              // features are computed INSIDE the decode loop so only one
+              // uncompressed BufferedImage is live at a time — an eager
+              // decode-all-then-score pass would hold every bitmap of a
+              // long/high-res video simultaneously (~10-50× the JPEG
+              // bytes each) and OOM on inputs whose compressed size is
+              // harmless
+              val feats = Vector.newBuilder[(Int, Int, Int, Double)]
+              var corrupt = false
+              frames.zipWithIndex.foreach { case (jpeg, f) =>
+                if (!corrupt && f % every == 0) {
                   val img =
                     try javax.imageio.ImageIO.read(
                       new java.io.ByteArrayInputStream(jpeg))
                     catch { case _: Exception => null }
-                  (f, img)
+                  if (img == null) corrupt = true
+                  else {
+                    val (w, h) = (img.getWidth, img.getHeight)
+                    var luma = 0.0
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val p = img.getRGB(x, y)
+                        luma += 0.299 * ((p >> 16) & 0xff) +
+                          0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    feats += ((f, w, h, luma))
+                  }
                 }
-              if (decoded.exists(_._2 == null)) bad
+              }
+              val sampled = feats.result()
+              if (corrupt) bad
               // a VALID zero-frame AVI must not vanish from the output:
               // one decoded=true row with null frame columns keeps the
               // every-video-gets-a-row property (readAviFiles reports
               // the same file as n_frames=0)
-              else if (decoded.isEmpty)
+              else if (sampled.isEmpty)
                 Iterator((id, true, None: Option[Long],
                   None: Option[Double], None: Option[Int],
                   None: Option[Int], None: Option[Double]))
-              else decoded.iterator.map { case (f, img) =>
-                val (w, h) = (img.getWidth, img.getHeight)
-                var luma = 0.0
-                var y = 0
-                while (y < h) {
-                  var x = 0
-                  while (x < w) {
-                    val p = img.getRGB(x, y)
-                    luma += 0.299 * ((p >> 16) & 0xff) +
-                      0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
-                    x += 1
-                  }
-                  y += 1
-                }
+              else sampled.iterator.map { case (f, w, h, luma) =>
                 val ts = f.toDouble * scale / rate
                 (id, true, Some(f.toLong),
                   Some(math.rint(ts * 1e6) / 1e6), Some(w), Some(h),

@@ -107,6 +107,23 @@ class MediaSourceSpec extends SparkSpec {
     }
   }
 
+  test("audioFeatures composes with readWavFiles verdicts: null rows skipped") {
+    // readWavFiles emits decoded=false rows with null pcm/sample_rate for
+    // corrupt files — feeding its output straight into audioFeatures must
+    // not NPE the scan, and the good clips must still score
+    val gen = VoiceDataGen.generate(spark, 2)
+    val dir = tmpDir("wavbad")
+    MediaSource.writeWavFiles(gen, "phrase_id", "pcm", "sample_rate", dir)
+    java.nio.file.Files.write( // numeric basename, corrupt content
+      java.nio.file.Paths.get(dir, "999.wav"), Array[Byte](82, 73, 70))
+    val clips = MediaSource.readWavFiles(spark, dir)
+    assert(clips.count() == 3)
+    val feats = MediaSource.audioFeatures(clips).collect()
+    assert(feats.length == 2, "only decodable clips carry features")
+    assert(!feats.map(_.getAs[Long]("clip_id")).contains(999L))
+    feats.foreach(r => assert(r.getAs[Double]("rms") > 0.01))
+  }
+
   test("transcript CSV sink + schema'd scan round-trip (A1/A2)") {
     val dir = tmpDir("csv")
     val t = VoiceDataGen.transcript(spark, 5)

@@ -88,6 +88,64 @@ class VideoSourceSpec extends SparkSpec {
     assert(VideoSource.parseAvi(nested.toByteArray).isEmpty)
   }
 
+  test("foreign muxer tolerance: rec-grouped frames, multi-stream chunk pairing") {
+    // hand-muxed AVI shaped like interleaved foreign output: stream 0 is
+    // audio ('auds', emits 00wb chunks), stream 1 is the video ('vids',
+    // scale=1 rate=5, emits 01dc chunks), and one frame rides inside a
+    // LIST('rec ') grouping as the spec allows
+    def le32(b: java.io.ByteArrayOutputStream, v: Long): Unit = {
+      b.write((v & 0xff).toInt); b.write(((v >> 8) & 0xff).toInt)
+      b.write(((v >> 16) & 0xff).toInt); b.write(((v >> 24) & 0xff).toInt)
+    }
+    def cc(b: java.io.ByteArrayOutputStream, s: String): Unit =
+      b.write(s.getBytes("US-ASCII"))
+    def chunk(b: java.io.ByteArrayOutputStream, id: String,
+        p: Array[Byte]): Unit = {
+      cc(b, id); le32(b, p.length); b.write(p)
+      if ((p.length & 1) == 1) b.write(0)
+    }
+    def strh(fccType: String, scale: Int, rate: Int): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      cc(b, fccType); b.write(new Array[Byte](16)) // handler..initialFrames
+      le32(b, scale); le32(b, rate)
+      b.toByteArray
+    }
+    def list(lt: String, body: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      cc(b, "LIST"); le32(b, 4L + body.length); cc(b, lt); b.write(body)
+      b.toByteArray
+    }
+    val jpeg1 = VideoSource.jpegFrame(3L, 32, 24, 0)
+    val jpeg2 = VideoSource.jpegFrame(3L, 32, 24, 1)
+    val audio = Array.fill[Byte](10)(0x55)
+    val strl0 = new java.io.ByteArrayOutputStream()
+    chunk(strl0, "strh", strh("auds", 1, 16000))
+    val strl1 = new java.io.ByteArrayOutputStream()
+    chunk(strl1, "strh", strh("vids", 1, 5))
+    val hdrl = new java.io.ByteArrayOutputStream()
+    hdrl.write(list("strl", strl0.toByteArray))
+    hdrl.write(list("strl", strl1.toByteArray))
+    val rec = new java.io.ByteArrayOutputStream()
+    chunk(rec, "01dc", jpeg1); chunk(rec, "00wb", audio)
+    val movi = new java.io.ByteArrayOutputStream()
+    chunk(movi, "00wb", audio)
+    movi.write(list("rec ", rec.toByteArray))
+    chunk(movi, "01dc", jpeg2)
+    val file = new java.io.ByteArrayOutputStream()
+    cc(file, "RIFF"); le32(file, 0); cc(file, "AVI ")
+    file.write(list("hdrl", hdrl.toByteArray))
+    file.write(list("movi", movi.toByteArray))
+    val Some((scale, rate, frames)) = VideoSource.parseAvi(file.toByteArray)
+    // rate/scale come from the vids stream, not the audio stream
+    assert(scale == 1 && rate == 5)
+    // exactly the two video frames: the audio chunks (both at top level
+    // and inside 'rec ') are excluded, the rec-grouped frame is found,
+    // and frame order is preserved
+    assert(frames.length == 2)
+    assert(java.util.Arrays.equals(frames(0), jpeg1))
+    assert(java.util.Arrays.equals(frames(1), jpeg2))
+  }
+
   test("valid zero-frame avi keeps its row in both scan and feature passes") {
     val avi = VideoSource.aviBytes(Seq.empty, fps = 4, w = 32, h = 24)
     assert(VideoSource.parseAvi(avi).map(_._3.length).contains(0))
