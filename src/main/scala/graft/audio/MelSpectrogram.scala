@@ -55,9 +55,11 @@ class MelSpectrogram(override val uid: String) extends Transformer
   def setFMax(v: Double): this.type = set(fMax, v)
 
   override def transform(ds: Dataset[_]): DataFrame = {
+    validateInputSchema(ds.schema)
     val spark = ds.sparkSession
     import spark.implicits._
     val (nm, nf, hp, fm) = ($(nMels), $(nFft), $(hop), $(fMax))
+    val pcmName = $(pcmCol)
     val rows = ds.toDF()
       .select(col($(idCol)).cast("long"), col($(startSecCol)).cast("double"),
         col($(pcmCol)), col($(sampleRateCol)).cast("int"))
@@ -67,6 +69,12 @@ class MelSpectrogram(override val uid: String) extends Transformer
       var fb: Array[Array[Double]] = null
       var fbSr = -1 // filterbank depends on the row's sample rate
       it.flatMap { case (id, startSec, pcm, sr) =>
+        // legible failure with row context, not a bare NPE deep in Dsp:
+        // a null payload here usually means an upstream decode verdict
+        // row (e.g. readWavFiles decoded=false) leaked into the pipeline
+        require(pcm != null,
+          s"MelSpectrogram: null $pcmName for id=$id — filter " +
+            "undecoded rows before feature extraction")
         if (window == null) window = Dsp.hannWindow(nf)
         if (fbSr != sr) {
           fb = Dsp.melFilterbank(nm, nf, sr, 0.0, fm)
@@ -93,12 +101,28 @@ class MelSpectrogram(override val uid: String) extends Transformer
     }.toDF($(idCol), "frame_id", "frame_time", "mel")
   }
 
-  override def transformSchema(schema: StructType): StructType =
+  // validated at transformSchema time so Pipeline.fit's schema
+  // propagation rejects a miswired pipeline at construction, not with an
+  // opaque executor error hours into the run
+  private def validateInputSchema(schema: StructType): Unit = {
+    Seq($(idCol), $(startSecCol), $(pcmCol), $(sampleRateCol)).foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"MelSpectrogram: input column '$c' not found in " +
+          s"(${schema.fieldNames.mkString(", ")})")
+    }
+    require(schema($(pcmCol)).dataType == BinaryType,
+      s"MelSpectrogram: '${$(pcmCol)}' must be BINARY (16-bit PCM " +
+        s"bytes), got ${schema($(pcmCol)).dataType.simpleString}")
+  }
+
+  override def transformSchema(schema: StructType): StructType = {
+    validateInputSchema(schema)
     StructType(Seq(
       StructField($(idCol), LongType),
       StructField("frame_id", LongType),
       StructField("frame_time", DoubleType),
       StructField("mel", ArrayType(DoubleType, containsNull = false))))
+  }
 
   override def copy(extra: ParamMap): MelSpectrogram = defaultCopy(extra)
 }

@@ -123,8 +123,7 @@ object VoiceDataGen {
       .withColumn("seconds", sum("dur_sec").over(w))
       .withColumn("start_sec", coalesce(
         lag("seconds", 1).over(Window.orderBy("phrase_id")), lit(0.0)))
-      .withColumnRenamed("seconds", "end_sec")
-      .withColumn("seconds", col("end_sec"))
+      .withColumn("end_sec", col("seconds"))
   }
 
   /** The transcript view matching the reference CSV schema

@@ -44,15 +44,34 @@ class MiSelector(override val uid: String)
     val cands = $(featureCols)
     require(cands.nonEmpty, "MiSelector.fit: featureCols must be non-empty")
     val bins = $(nBins)
-    // pass 1: per-candidate min/max (one aggregate row)
+    // pass 1: per-candidate min/max/null-count + label cardinality, one
+    // aggregate row. Null candidate values must be REJECTED, not binned:
+    // greatest() skips null operands, so a null would silently land in
+    // bin 0 and a class-correlated missingness pattern would fabricate
+    // MI for exactly the wrong candidate. The label-cardinality guard
+    // keeps the "contingency table is tiny" collect() claim honest — a
+    // continuous or id-like label (plausible misuse; sklearn's
+    // mutual_info_classif silently accepts one) would otherwise pull
+    // nCands × nBins × nDistinct rows onto the driver.
     val aggExprs = cands.flatMap(c =>
-      Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      Seq(min(col(c)).cast("double"), max(col(c)).cast("double"),
+        count(when(col(c).isNull, 1)))) :+
+      approx_count_distinct(col($(labelCol)))
     val stats = df.agg(aggExprs.head, aggExprs.tail: _*).first()
+    val labelCard = stats.getLong(3 * cands.length)
+    require(labelCard <= 1000,
+      s"MiSelector.fit: label '${$(labelCol)}' has ~$labelCard distinct " +
+        "values — MI selection expects a categorical label (the " +
+        "contingency table is collected to the driver)")
     val ranges = cands.indices.map { i =>
-      require(!stats.isNullAt(2 * i),
+      require(!stats.isNullAt(3 * i),
         s"MiSelector.fit: candidate '${cands(i)}' is all-null or the " +
           "dataset is empty")
-      val lo = stats.getDouble(2 * i); val hi = stats.getDouble(2 * i + 1)
+      require(stats.getLong(3 * i + 2) == 0,
+        s"MiSelector.fit: candidate '${cands(i)}' has " +
+          s"${stats.getLong(3 * i + 2)} null values — nulls would bias " +
+          "the bin-0 count; drop or impute them first")
+      val lo = stats.getDouble(3 * i); val hi = stats.getDouble(3 * i + 1)
       (lo, if (hi > lo) hi - lo else 1.0)
     }
     // pass 2: all candidates binned in one shuffle

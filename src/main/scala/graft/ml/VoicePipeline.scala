@@ -39,8 +39,18 @@ object VoicePipeline {
   def labeledFrames(spark: SparkSession, nPhrases: Int = NPhrases,
       seed: Long = Seed): DataFrame = {
     val clips = VoiceDataGen.generate(spark, nPhrases, seed)
-    val segments = clips.select(col("speaker").as("seg_speaker"),
-      col("start_sec"), col("end_sec"))
+    // boundary table COLLECTED once (nPhrases rows of 3 scalars): its
+    // lineage includes the waveform-synth UDF (durations derive from the
+    // generated PCM length), so leaving it lazy would re-synthesize the
+    // whole corpus on every action that touches the join — MiSelector's
+    // two passes and the final cache materialization, each rebuilding
+    // megabytes of PCM to read 11 tiny rows
+    val segments = {
+      import spark.implicits._
+      clips.select(col("speaker"), col("start_sec"), col("end_sec"))
+        .as[(String, Double, Double)].collect().toSeq
+        .toDF("seg_speaker", "start_sec", "end_sec")
+    }
     // cache the synth+FFT+mel output: toDb's ref-max aggregate, PCA.fit,
     // MiSelector's two passes and the final materialization would each
     // re-run the waveform synthesis and FFT otherwise
@@ -69,7 +79,13 @@ object VoicePipeline {
 
   /** Stage 4-5: MI-select the winning component → (Time, X, speaker). */
   def timeSeries(spark: SparkSession, nPhrases: Int = NPhrases,
-      seed: Long = Seed): DataFrame =
+      seed: Long = Seed): DataFrame = {
+    // evict entries of stopped sessions: a long-lived driver that cycles
+    // SparkSessions (the test suite shape) must not pin dead sessions
+    // and their cached plans forever through this memo
+    tsCache.filterInPlace { case ((s, _, _), _) =>
+      !s.sparkContext.isStopped
+    }
     tsCache.getOrElseUpdate((spark, nPhrases, seed), {
       val lf = labeledFrames(spark, nPhrases, seed)
       val selector = new MiSelector()
@@ -77,6 +93,7 @@ object VoicePipeline {
         .setLabelCol("speaker").setOutputCol("X")
       selector.fit(lf).transform(lf).select("Time", "X", "speaker").cache()
     })
+  }
 
   case class Result(predictions: DataFrame, confusion: DataFrame,
     accuracy: Double, logLoss: Double)
@@ -138,7 +155,11 @@ object VoicePipeline {
     actual.join(predicted, Seq("cls"), "left").join(tp, Seq("cls"), "left")
       .na.fill(0L, Seq("tp", "n_pred"))
       .select(col("cls").as("speaker"),
-        round(col("tp") / col("n_pred"), 4).as("precision"),
+        // a class the model never predicts has 0/0 precision — IEEE NaN
+        // through Spark's double divide; sklearn's classification_report
+        // (the E5 reference) defines that case as 0.0
+        round(when(col("n_pred") === 0, lit(0.0))
+          .otherwise(col("tp") / col("n_pred")), 4).as("precision"),
         round(col("tp") / col("support"), 4).as("recall"),
         round(lit(2.0) * col("tp") / (col("n_pred") + col("support")), 4)
           .as("f1"),

@@ -28,6 +28,32 @@ class MelSpectrogramSpec extends SparkSpec {
     new MelSpectrogram().transform(clips)
   }
 
+  test("miswired pipeline fails at schema time; null pcm fails with row context") {
+    // missing pcm column → legible error from transformSchema, so
+    // Pipeline.fit rejects the wiring instead of dying mid-run
+    val noPcm = Seq((0L, 0.0, sr)).toDF("phrase_id", "start_sec", "sample_rate")
+    val e1 = intercept[IllegalArgumentException] {
+      new MelSpectrogram().transformSchema(noPcm.schema)
+    }
+    assert(e1.getMessage.contains("pcm"))
+    // wrong type for pcm → named column and type in the message
+    val strPcm = Seq((0L, 0.0, "x", sr))
+      .toDF("phrase_id", "start_sec", "pcm", "sample_rate")
+    val e2 = intercept[IllegalArgumentException] {
+      new MelSpectrogram().transform(strPcm)
+    }
+    assert(e2.getMessage.contains("BINARY"))
+    // null payload (an undecoded verdict row leaking in) → row-contextual
+    // require, not a bare NPE from inside the DSP kernel
+    val nullPcm = Seq((7L, 0.0, null: Array[Byte], sr))
+      .toDF("phrase_id", "start_sec", "pcm", "sample_rate")
+    val e3 = intercept[org.apache.spark.SparkException] {
+      new MelSpectrogram().transform(nullPcm).count()
+    }
+    assert(e3.getMessage.contains("id=7") ||
+      Option(e3.getCause).exists(_.getMessage.contains("id=7")))
+  }
+
   test("frame count and time axis match hop/n_fft") {
     val f = frames(440.0).cache()
     val n = (2.0 * sr).toInt

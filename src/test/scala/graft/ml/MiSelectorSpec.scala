@@ -26,6 +26,32 @@ class MiSelectorSpec extends SparkSpec {
     assert(out.filter($"X" =!= $"good").count() == 0)
   }
 
+  test("partial-null candidate is rejected, not silently binned to 0") {
+    // greatest() skips nulls, so without the guard a class-correlated
+    // missingness pattern would land in bin 0 and fabricate MI
+    val rows = (0 until 100).map { i =>
+      val label = if (i % 2 == 0) "A" else "B"
+      (label, if (label == "A" && i % 4 == 0) None else Some(i.toDouble),
+        i.toDouble)
+    }
+    val df = rows.toDF("speaker", "holey", "clean")
+    val e = intercept[IllegalArgumentException] {
+      new MiSelector().setFeatureCols(Array("holey", "clean"))
+        .setLabelCol("speaker").fit(df)
+    }
+    assert(e.getMessage.contains("holey") && e.getMessage.contains("null"))
+  }
+
+  test("continuous/id-like label is rejected before the driver collect") {
+    val df = (0 until 5000).map(i => (i.toDouble, i))
+      .toDF("x", "id_label")
+    val e = intercept[IllegalArgumentException] {
+      new MiSelector().setFeatureCols(Array("x"))
+        .setLabelCol("id_label").fit(df)
+    }
+    assert(e.getMessage.contains("categorical"))
+  }
+
   test("MI score ordering: separating > noise, constant ≈ 0") {
     val rnd = new scala.util.Random(4)
     val rows = (0 until 2000).map { i =>

@@ -25,4 +25,23 @@ class VoicePipelineSpec extends SparkSpec {
     // confusion matrix covers both classes
     assert(r.confusion.count() == 2)
   }
+
+  test("classificationReport: never-predicted class gets 0.0 precision, not NaN") {
+    // degenerate predictions: the model only ever says Male — sklearn's
+    // classification_report (the E5 reference) reports precision 0.0 for
+    // Female, and the nq_voice_eval contract must match, not emit NaN
+    val preds = Seq(
+      ("Male", "Male"), ("Male", "Male"),
+      ("Female", "Male"), ("Female", "Male"))
+      .toDF("speaker", "speaker_pred")
+    val rep = VoicePipeline.classificationReport(preds)
+      .orderBy("speaker").collect()
+    val female = rep(0)
+    assert(female.getString(0) == "Female")
+    assert(female.getDouble(1) == 0.0, "precision must be 0.0, not NaN")
+    assert(female.getDouble(2) == 0.0) // recall: 0 tp / 2 support
+    assert(!female.getDouble(3).isNaN) // f1 well-defined (denominator > 0)
+    val male = rep(1)
+    assert(male.getDouble(1) == 0.5 && male.getDouble(2) == 1.0)
+  }
 }
