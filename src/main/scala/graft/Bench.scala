@@ -59,6 +59,13 @@ object Bench {
       // cost of re-reading a checkpoint instead of the operator
       text.DedupClusters.clearMemo()
       text.Curation.clearMemo()
+      // and drop the SQL cache: queries that .cache() intermediates
+      // (q25's shingle relations, nq_minhash_neardup) would otherwise
+      // have run b's identical analyzed plan substituted with run a's
+      // InMemoryRelations by the CacheManager — best-of-2 would report
+      // the cost of scanning cached blocks, not the operator (and the
+      // pinned blocks would squat executor memory for every later query)
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()

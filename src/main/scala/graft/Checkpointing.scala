@@ -32,7 +32,14 @@ import org.apache.spark.sql.Dataset
   */
 object Checkpointing {
   def truncate[T](ds: Dataset[T]): Dataset[T] =
-    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      ds.checkpoint()
-    else ds.localCheckpoint()
+    if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      // persist around the reliable checkpoint: Dataset.checkpoint()'s
+      // eager materialization runs the plan once for the count job and
+      // then AGAIN inside the checkpoint-file write job — without a
+      // persist every truncation pays ~2× the upstream compute (per CC
+      // iteration, per index build). The blocks are dropped as soon as
+      // the files are written; afterwards reads come from the dir.
+      ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try ds.checkpoint() finally ds.unpersist()
+    } else ds.localCheckpoint()
 }

@@ -19,13 +19,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[functions.FloatVecDot].getName, "vec_dot"),
-      (exprs: Seq[Expression]) =>
-        functions.FloatVecDot(exprs(0), exprs(1))))
+      functions.VecFunctions.binary("vec_dot", functions.FloatVecDot)))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[functions.SortedIntersectCount].getName,
         "sorted_intersect_count"),
-      (exprs: Seq[Expression]) =>
-        functions.SortedIntersectCount(exprs(0), exprs(1))))
+      functions.VecFunctions.binary("sorted_intersect_count",
+        functions.SortedIntersectCount)))
   }
 }

@@ -32,9 +32,13 @@ object Tables {
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    if (isImmutable(dir))
+    if (isImmutable(dir)) {
+      // evict entries of stopped sessions: a JVM that cycles sessions
+      // (per-suite test runners) must not strongly retain dead sessions
+      // and their QueryExecutions through this memo forever
+      memo.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
       memo.getOrElseUpdate((spark, path), spark.read.parquet(path))
-    else spark.read.parquet(path)
+    } else spark.read.parquet(path)
   }
 
   def region(s: SparkSession, d: String): DataFrame   = t(s, d, "region")

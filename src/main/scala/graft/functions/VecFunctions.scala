@@ -32,6 +32,18 @@ case class FloatVecDot(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
+  // null ELEMENTS are rejected, not read as 0.0: ArrayData.getFloat on a
+  // null slot returns 0.0f, which would add a phantom zero term and emit
+  // a silently wrong similarity score — the same arbitrary-session-SQL
+  // exposure SortedIntersectCount guards against. The check is only
+  // emitted when the schema admits nulls (containsNull), so the engine's
+  // own columns (containsNull=false) keep the branch-free hot loop.
+  private def mayHaveNullElements: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -40,9 +52,13 @@ case class FloatVecDot(left: Expression, right: Expression)
       throw new IllegalArgumentException(
         s"vec_dot: dimension mismatch (${n} vs ${y.numElements()})")
     }
+    val checkNulls = mayHaveNullElements
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) {
+        throw new IllegalArgumentException("vec_dot: null array element")
+      }
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -54,6 +70,12 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val nullCheck = if (mayHaveNullElements)
+        s"""
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) {
+           |    throw new IllegalArgumentException("vec_dot: null array element");
+           |  }""".stripMargin
+      else ""
       s"""
          |int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -61,7 +83,7 @@ case class FloatVecDot(left: Expression, right: Expression)
          |    "vec_dot: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
          |}
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; $i < $n; $i++) {$nullCheck
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
          |${ev.value} = $acc;
@@ -74,6 +96,22 @@ case class FloatVecDot(left: Expression, right: Expression)
 }
 
 object VecFunctions {
+
+  /** Arity-checked builder for the two-argument functions: the bare
+    * `exprs(0)/exprs(1)` indexing would surface a caller's
+    * `vec_dot(embedding)` as a raw IndexOutOfBoundsException during
+    * resolution; checkInputDataTypes (the friendly message) is only
+    * reached once two args exist.
+    */
+  private[graft] def binary(name: String,
+      f: (Expression, Expression) => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 2)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 2 arguments, got ${exprs.length}")
+      f(exprs(0), exprs(1))
+    }
+
   /** Idempotent per-session registration; afterwards `expr("vec_dot(a,b)")`
     * resolves to the codegen'd expression. Checks before replacing so
     * repeated calls stay silent (no "replaced a previously registered
@@ -87,11 +125,11 @@ object VecFunctions {
     val dot = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
     if (!reg.functionExists(dot))
       reg.createOrReplaceTempFunction(
-        "vec_dot", exprs => FloatVecDot(exprs(0), exprs(1)), "built-in")
+        "vec_dot", binary("vec_dot", FloatVecDot), "built-in")
     val sic = org.apache.spark.sql.catalyst
       .FunctionIdentifier("sorted_intersect_count")
     if (!reg.functionExists(sic))
       reg.createOrReplaceTempFunction("sorted_intersect_count",
-        exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+        binary("sorted_intersect_count", SortedIntersectCount), "built-in")
   }
 }

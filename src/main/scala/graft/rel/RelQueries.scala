@@ -705,7 +705,7 @@ object RelQueries {
       .select("o_custkey")
     val both = early.intersect(late).agg(count(lit(1)).as("n"))
       .withColumn("set_op", lit("both_eras"))
-    val onlyEarly = early.distinct().except(late).agg(count(lit(1)).as("n"))
+    val onlyEarly = early.except(late).agg(count(lit(1)).as("n"))
       .withColumn("set_op", lit("early_only"))
     both.unionAll(onlyEarly).select("set_op", "n").orderBy("set_op")
   }
