@@ -873,7 +873,6 @@ object RelQueries {
   // (ts, min event_id) non-error event as a struct. One shuffle on
   // user_id, per-row state O(1), no fan-out — survives any user skew.
   def q44AsofJoin(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = events(s, d).select(col("user_id"), col("event_id"),
       col("event_type"), unix_micros(col("ts")).as("ts_us"))
     val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
@@ -1091,7 +1090,6 @@ object RelQueries {
   // the standard log-compaction pass and the window state per key is a
   // single row (rank 1 short-circuits).
   def q60LatestOrder(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
     orders(s, d)
@@ -1121,7 +1119,6 @@ object RelQueries {
   // is the mergeable sketch (nq_approx_percentiles) unless the group
   // count is large enough to parallelize the windows.
   def q61DistWindows(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("o_orderstatus")
       .orderBy(col("o_totalprice"), col("o_orderkey"))
     orders(s, d)

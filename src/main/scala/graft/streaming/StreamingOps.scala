@@ -207,12 +207,18 @@ object StreamingOps {
             state.remove()
             Iterator.empty
           } else {
-            val arrivalTs = it.foldLeft(Map.empty[Long, Long]) {
-              case (m, (id, ts, _, _)) =>
-                val t = ts.getTime
-                m.updated(id, math.max(t, m.getOrElse(id, Long.MinValue)))
-            }
-            val newest = arrivalTs.valuesIterator.max
+            // individual EVENTS in event-time order (id tiebreak), NOT
+            // collapsed per doc: a coalesced replay must emit the same
+            // pairs as the original spaced micro-batches, and the spaced
+            // run paired each doc at its FIRST arrival's timestamp, with
+            // later re-arrivals only refreshing recency. Folding a doc's
+            // in-batch events to their max up front would pair it at its
+            // LATEST time — dropping a pair the spaced run emitted
+            // whenever the first event was within ttl of a member but a
+            // later event was not.
+            val events = it.map { case (id, ts, _, _) => (id, ts.getTime) }
+              .toSeq.sortBy { case (id, t) => (t, id) }
+            val newest = events.iterator.map(_._2).max
             // re-arrivals refresh recency; stale members are NOT pruned
             // up front — the per-pair age check below makes pruning a
             // pure state-size concern, so it happens after the batch
@@ -224,43 +230,41 @@ object StreamingOps {
             // being considered.
             val prev = state.getOption
               .map(st => st.ids.zip(st.ts)).getOrElse(Seq.empty)
-              .map { case (id, t) =>
-                (id, math.max(t, arrivalTs.getOrElse(id, Long.MinValue)))
-              }
-            // event-time order (id tiebreak) so same-batch pairs see
-            // each other's true timestamps — a replay that coalesces
-            // history into fewer, larger micro-batches must emit the
-            // same pairs as the original spaced batches
-            val arrivals = arrivalTs.toSeq
-              .filterNot { case (id, _) => prev.exists(_._1 == id) }
-              .sortBy { case (id, t) => (t, id) }
             val pairs = Seq.newBuilder[(Long, Long)]
             var held = prev
-            arrivals.foreach { case (id, t) =>
-              // at saturation, first drop members already older than
-              // ttl relative to THIS arrival — they cannot pair with
-              // it or with any later in-batch arrival (arrivals are
-              // time-ordered, so t only grows). Without this, a
-              // coalesced replay whose stale history fills the bucket
-              // drops fresh arrivals that the original spaced batches
-              // (whose post-batch prunes freed the slots) accepted —
-              // breaking batch-layout independence exactly at the cap.
-              // (With watermarkDelay > 0 a future LATE arrival below t
-              // could still have paired with a dropped member — an
-              // accepted loss of the cap regime, which exists to bound
-              // a viral bucket, not to be lossless.)
-              if (held.size >= maxBucket)
-                held = held.filter(_._2 >= t - ttlMs)
-              if (held.size < maxBucket) {
-                held.foreach { case (p, pt) =>
-                  // the TTL is a PAIR property, not only a bucket
-                  // property: two docs farther apart than ttl never
-                  // pair — whether they arrive batches apart or land
-                  // coalesced in the same micro-batch
-                  if (math.abs(pt - t) <= ttlMs)
-                    pairs += ((math.min(p, id), math.max(p, id)))
+            events.foreach { case (id, t) =>
+              val idx = held.indexWhere(_._1 == id)
+              if (idx >= 0) {
+                // re-arrival (from state or from an earlier event this
+                // batch): refresh recency only, exactly like the spaced
+                // run's re-arrival branch
+                if (t > held(idx)._2) held = held.updated(idx, (id, t))
+              } else {
+                // at saturation, first drop members already older than
+                // ttl relative to THIS arrival — they cannot pair with
+                // it or with any later in-batch arrival (events are
+                // time-ordered, so t only grows). Without this, a
+                // coalesced replay whose stale history fills the bucket
+                // drops fresh arrivals that the original spaced batches
+                // (whose post-batch prunes freed the slots) accepted —
+                // breaking batch-layout independence exactly at the cap.
+                // (With watermarkDelay > 0 a future LATE arrival below t
+                // could still have paired with a dropped member — an
+                // accepted loss of the cap regime, which exists to bound
+                // a viral bucket, not to be lossless.)
+                if (held.size >= maxBucket)
+                  held = held.filter(_._2 >= t - ttlMs)
+                if (held.size < maxBucket) {
+                  held.foreach { case (p, pt) =>
+                    // the TTL is a PAIR property, not only a bucket
+                    // property: two docs farther apart than ttl never
+                    // pair — whether they arrive batches apart or land
+                    // coalesced in the same micro-batch
+                    if (math.abs(pt - t) <= ttlMs)
+                      pairs += ((math.min(p, id), math.max(p, id)))
+                  }
+                  held = held :+ ((id, t))
                 }
-                held = held :+ ((id, t))
               }
             }
             // age-prune ONCE, after matching. The horizon is the
@@ -393,7 +397,15 @@ object StreamingOps {
             if (sigC == null) sigs.limit(0) else sigC,
             sigs, threshold, sorted = false)
           .write.mode("append").parquet(pairsPath)
-        sigs.write.mode("append").parquet(storePath)
+        // coalesce(1): the append writes one file per PARTITION, and sigs
+        // is post-shuffle (dropDuplicates) — without the coalesce a
+        // single trigger could append more small files than
+        // maxStoreFiles and trip a full O(store) rewrite on EVERY
+        // trigger, the exact unbounded per-batch cost the small-file
+        // bound exists to prevent. One file per trigger is the unit the
+        // amortization math assumes; the data is already localCheckpoint
+        // blocks, so this is a merge-on-write, not a recompute.
+        sigs.coalesce(1).write.mode("append").parquet(storePath)
         // one listStatus per trigger — metadata-only, cheap next to the
         // joins above; the rewrite itself runs only when the bound trips.
         // SMALL files only (see scaladoc): compacted ~target-sized
@@ -415,25 +427,49 @@ object StreamingOps {
   private def compactTmp(store: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(
       store.getParent, store.getName + ".compacting")
+  private def compactOld(store: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(
+      store.getParent, store.getName + ".precompact")
 
   /** Crash recovery for the compaction swap. The swap is
-    * write(tmp) → delete(store) → rename(tmp, store), so on restart
-    * exactly two abnormal states are possible, both decidable from
-    * which paths exist:
-    *   - tmp present, store MISSING: the crash hit between delete and
-    *    rename — tmp holds the complete compacted store; FINISH the
-    *    swap. (Discarding tmp here would silently destroy all dedup
-    *    history and let every historical doc re-pair.)
-    *   - tmp present, store present: the crash hit before the delete —
-    *    tmp is an uncommitted (possibly partial) rewrite and the store
-    *    is intact; DISCARD tmp.
+    * write(tmp) → rename(store, old) → rename(tmp, store) → delete(old)
+    * — RENAMES only in the critical section, never a recursive delete of
+    * live data: a recursive delete is not atomic outside HDFS, and a
+    * crash midway through deleting the store would leave a
+    * partially-deleted store that is indistinguishable from an intact
+    * one (silent loss of dedup history). With the rename protocol every
+    * restart state is decidable from which paths exist:
+    *   - old present, store present: the commit finished (or a previous
+    *     recovery was interrupted deleting old) — old is superseded
+    *     garbage; DELETE old. Deleting old is the only recursive delete
+    *     in the protocol and is idempotent garbage collection.
+    *   - old present, store missing, tmp present: crash between the two
+    *     renames — tmp holds the complete compacted store; FINISH the
+    *     swap, then delete old.
+    *   - old present, store missing, tmp missing: defensive (not
+    *     reachable under the protocol) — restore old as the store.
+    *   - tmp present, store present, old absent: crash before the first
+    *     rename — tmp is an uncommitted (possibly partial) rewrite and
+    *     the store is intact; DISCARD tmp.
     */
   private[streaming] def recoverCompactionSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path): Unit = {
     val tmp = compactTmp(store)
-    if (fs.exists(tmp)) {
+    val old = compactOld(store)
+    if (fs.exists(old)) {
+      if (fs.exists(store)) fs.delete(old, true)
+      else if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, store))
+          throw new java.io.IOException(
+            s"could not finish crashed compaction swap: $tmp -> $store")
+        fs.delete(old, true)
+      } else if (!fs.rename(old, store))
+        throw new java.io.IOException(
+          s"could not restore store after crashed compaction: $old -> $store")
+    } else if (fs.exists(tmp)) {
       if (!fs.exists(store)) {
+        // legacy delete-based swap state: tmp is the complete rewrite
         if (!fs.rename(tmp, store))
           throw new java.io.IOException(
             s"could not finish crashed compaction swap: $tmp -> $store")
@@ -444,14 +480,15 @@ object StreamingOps {
   /** Rewrite the signature store as ~`targetBytes`-sized files — row
     * content identical (asserted pair-for-pair in IngestDedupSpec), file
     * count bounded. The rewrite goes to a sibling tmp dir FIRST (fully
-    * materializing the read before anything is deleted), then swaps via
-    * delete + rename. A crash anywhere in the swap is recovered by
-    * `recoverCompactionSwap` (run before every trigger and up front
-    * here): a completed-but-unrenamed tmp finishes its swap, an
-    * uncommitted tmp is discarded with the store intact — no state loses
-    * data, making compaction retry-safe end to end. (A production
-    * deployment gets the same guarantee transactionally from the table
-    * format it already needs for idempotent appends — scaladoc above.)
+    * materializing the read before anything is touched), then commits
+    * with two renames: store → old, tmp → store, then old is deleted.
+    * A crash at any point is recovered by `recoverCompactionSwap` (run
+    * before every trigger and up front here) — every intermediate state
+    * keeps a complete copy of the data under exactly one of the three
+    * paths, making compaction retry-safe end to end. (Rename atomicity
+    * holds on HDFS/posix; an object store without atomic rename gets
+    * the same guarantee transactionally from the table format a
+    * production deployment already needs for idempotent appends.)
     */
   def compactSignatureStore(s: SparkSession, storePath: String,
       targetBytes: Long = 128L << 20): Unit = {
@@ -463,12 +500,16 @@ object StreamingOps {
     val nOut = math.max(1, math.min(files.size,
       math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt))
     val tmp = compactTmp(store)
+    val old = compactOld(store)
     s.read.parquet(storePath).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(store, true)
+    if (!fs.rename(store, old))
+      throw new java.io.IOException(
+        s"compaction swap failed: could not rename $store to $old")
     if (!fs.rename(tmp, store))
       throw new java.io.IOException(
         s"compaction swap failed: could not rename $tmp to $store")
+    fs.delete(old, true)
   }
 
   /** Shared bucket-state transition: emit (min, max) pairs of each new

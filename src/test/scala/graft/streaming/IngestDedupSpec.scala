@@ -154,6 +154,61 @@ class IngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("rename-based swap recovery: every crash state keeps one complete store") {
+    // the swap is write(tmp) → rename(store, old) → rename(tmp, store)
+    // → delete(old); crash between the renames and crash during the
+    // final delete must both recover without data loss (the protocol
+    // exists because a recursive DELETE of the live store is not atomic
+    // outside HDFS — a crash mid-delete under the old protocol left a
+    // partially-deleted store that recovery then committed)
+    import scala.jdk.CollectionConverters._
+    def mkStore(dir: java.nio.file.Path, name: String, ids: Seq[Long]): String = {
+      val p = dir.resolve(name).toString
+      ids.map(i => (i, 1, Array(i), Array(i)))
+        .toDF("doc_id", "sz", "hs", "band_sigs").write.parquet(p)
+      p
+    }
+    def storeIds(p: String): Set[Long] =
+      spark.read.parquet(p).select("doc_id").as[Long].collect().toSet
+    val fs = new org.apache.hadoop.fs.Path("/").getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+
+    // state A: crash between the two renames — old + complete tmp, no
+    // store. Recovery must commit tmp and drop old.
+    val a = java.nio.file.Files.createTempDirectory("graft-swap-a")
+    mkStore(a, "signatures.precompact", Seq(1L, 2L))
+    mkStore(a, "signatures.compacting", Seq(1L, 2L)) // the rewrite
+    StreamingOps.recoverCompactionSwap(fs,
+      new org.apache.hadoop.fs.Path(a.resolve("signatures").toString))
+    assert(storeIds(a.resolve("signatures").toString) === Set(1L, 2L))
+    assert(!java.nio.file.Files.exists(a.resolve("signatures.precompact")))
+    assert(!java.nio.file.Files.exists(a.resolve("signatures.compacting")))
+
+    // state B: crash during the post-commit delete(old) — old + store
+    // both present. old is superseded garbage; the store must survive
+    // UNTOUCHED (under the delete-based protocol this state looked like
+    // "uncommitted rewrite" and recovery kept a possibly-partial store).
+    val b = java.nio.file.Files.createTempDirectory("graft-swap-b")
+    mkStore(b, "signatures", Seq(1L, 2L, 3L))
+    mkStore(b, "signatures.precompact", Seq(1L, 2L))
+    StreamingOps.recoverCompactionSwap(fs,
+      new org.apache.hadoop.fs.Path(b.resolve("signatures").toString))
+    assert(storeIds(b.resolve("signatures").toString) === Set(1L, 2L, 3L))
+    assert(!java.nio.file.Files.exists(b.resolve("signatures.precompact")))
+
+    // state C (defensive): only old exists — restore it as the store
+    val c = java.nio.file.Files.createTempDirectory("graft-swap-c")
+    mkStore(c, "signatures.precompact", Seq(7L))
+    StreamingOps.recoverCompactionSwap(fs,
+      new org.apache.hadoop.fs.Path(c.resolve("signatures").toString))
+    assert(storeIds(c.resolve("signatures").toString) === Set(7L))
+
+    Seq(a, b, c).foreach { d =>
+      java.nio.file.Files.walk(d).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("store compaction bounds the file count without changing store or pairs") {
     val docs = graft.Tables.documents(spark, sf0001)
       .select("doc_id", "text").as[(Long, String)].collect()

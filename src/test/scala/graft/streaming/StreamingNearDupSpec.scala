@@ -115,6 +115,41 @@ class StreamingNearDupSpec extends SparkSpec {
       s"docs 1800 s apart paired despite the 1000 s TTL: $got")
   }
 
+  test("coalesced re-arrival pairs at its FIRST timestamp, refreshes to its last") {
+    implicit val sqlCtx = spark.sqlContext
+    val dupText = "the quick brown fox jumps over the lazy dog once again today"
+    // doc 2 arrives TWICE inside one micro-batch: at 1900 s (within the
+    // 1000 s TTL of doc 1 @ 1000 s) and at 2200 s (beyond it). The
+    // spaced run pairs (1,2) at the first arrival and treats the second
+    // as a recency refresh — a coalesced replay must do the same, not
+    // collapse doc 2 to its max time and miss the pair. The refresh must
+    // still happen: doc 4 @ 3100 s is within ttl of 2200 s but not of
+    // 1900 s, so (2,4) only pairs if doc 2's recency advanced.
+    val stream = MemoryStream[(Long, String, Long)]
+    val docs = stream.toDF.toDF("doc_id", "text", "t_s")
+      .select($"doc_id", $"text", timestamp_seconds($"t_s").as("ts"))
+    val q = StreamingOps
+      .neardupCandidatesStreamTtl(docs, ttlMs = 1000000L)
+      .toDF("d1", "d2")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("neardup_first_ts")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    stream.addData((1L, dupText, 1000L)); q.processAllAvailable()
+    stream.addData(Seq((2L, dupText, 1900L), (2L, dupText, 2200L)))
+    q.processAllAvailable()
+    stream.addData((4L, dupText, 3100L)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("neardup_first_ts")
+      .select("d1", "d2").as[(Long, Long)].collect().toSet
+    assert(got.contains((1L, 2L)),
+      s"pair at doc 2's first in-batch arrival missing: $got")
+    assert(got.contains((2L, 4L)),
+      s"re-arrival did not refresh doc 2's recency: $got")
+    assert(!got.contains((1L, 4L)),
+      s"docs 2100 s apart paired despite the 1000 s TTL: $got")
+  }
+
   test("watermarkDelay > 0: a late-but-admitted arrival still pairs with an old member") {
     implicit val sqlCtx = spark.sqlContext
     val dupText = "the quick brown fox jumps over the lazy dog once again today"
