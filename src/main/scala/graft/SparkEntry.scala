@@ -24,6 +24,7 @@ object SparkEntry {
       // rows-only checked (not SQL-expressible): LSH/sketch/heuristic ops
       text.NearDup.queries ++ text.DedupClusters.queries ++
       text.Curation.queries ++ text.Mixing.queries ++
+      text.TrainPrep.queries ++
       sim.LshKnn.queries ++ text.LangId.queries ++
       rel.ApproxQueries.queries ++ rel.Skew.queries ++
       ml.VoicePipeline.queries ++
@@ -41,5 +42,8 @@ object SparkEntry {
       // hard DuckDB checks (salt-invariance, generated LangId scoring,
       // XXH64-replica sampling, recursive-CTE components)
       rel.Skew.oracle ++ text.LangId.oracle ++ text.Mixing.oracle ++
-      text.DedupClusters.oracle
+      text.DedupClusters.oracle ++
+      // round-7 continued: exact-path curation (q64), deterministic
+      // shuffle-shard (q65), bigram LM table (q66)
+      text.Curation.oracle ++ text.TrainPrep.oracle
 }

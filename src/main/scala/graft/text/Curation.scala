@@ -55,6 +55,12 @@ object Curation {
     } else curateUncached(s, d, minTokens, minDistinctRatio, maxRepRatio)
 
   private def curateUncached(s: SparkSession, d: String, minTokens: Int,
+      minDistinctRatio: Double, maxRepRatio: Option[Double]): DataFrame =
+    curateWithClusters(s, d, DedupClusters.dedupClusters(s, d),
+      minTokens, minDistinctRatio, maxRepRatio)
+
+  private def curateWithClusters(s: SparkSession, d: String,
+      clusterAssign: DataFrame, minTokens: Int,
       minDistinctRatio: Double, maxRepRatio: Option[Double]): DataFrame = {
     val docs = documents(s, d)
     // gate 1: exact duplicates — keeper = min doc_id per fingerprint
@@ -66,7 +72,7 @@ object Curation {
       .select(col("doc_id"), (col("doc_id") === col("exact_keeper"))
         .as("is_exact_keeper"))
     // gate 2: near-duplicate clusters — keeper = cluster min
-    val clusters = DedupClusters.dedupClusters(s, d)
+    val clusters = clusterAssign
       .select(col("doc_id"), col("cluster_id"),
         col("is_keeper").as("is_cluster_keeper"))
     // gate 3: per-row quality. Empty tokens filtered: SQL split keeps
@@ -105,6 +111,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Oracle-checked variant of the full curation pipeline: identical
+    * gates, but the near-dup stage runs on the EXACT jaccard ≥ 0.5 pair
+    * relation (q63's clusters) instead of the MinHash-banded one — the
+    * same promotion move as q63 itself: MinHash recall is probabilistic,
+    * so only the exact path admits a deterministic DuckDB oracle.
+    * `nq_curation` (the banded scale path) stays rows-only by design;
+    * this pins the gate composition — exact-dup keeper policy, near-dup
+    * precedence, quality thresholds, the keep/drop_reason contract —
+    * against an independent engine.
+    */
+  def q64Curation(s: SparkSession, d: String): DataFrame =
+    curateWithClusters(s, d, DedupClusters.q63DedupClusters(s, d),
+      minTokens = 5, minDistinctRatio = 0.2, maxRepRatio = None)
+
+  // Composes q63's recursive-CTE cluster relation, then mirrors the
+  // Spark gates: exact keeper = min doc_id per md5 group (the hash is an
+  // equality proxy — grouping by md5(text) ≡ grouping by text, so the
+  // two engines' md5 implementations never need to agree), near-dup
+  // keeper = cluster min, quality gates on the UNROUNDED ratio (the
+  // rounded value is presentation only, same as the Spark side).
+  val q64Sql: String = DedupClusters.reachCtes +
+    """,
+      |clusters AS (
+      |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+      |), ek AS (
+      |  SELECT doc_id,
+      |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+      |      AS is_exact_keeper
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(l) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS distinct_ratio
+      |  FROM (SELECT doc_id, lang,
+      |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+      |            AS l
+      |        FROM documents) t
+      |), asm AS (
+      |  SELECT q.doc_id, q.lang, q.n_tokens, q.distinct_ratio, c.cluster_id,
+      |    CASE WHEN NOT ek.is_exact_keeper THEN 'exact_dup'
+      |         WHEN q.doc_id <> c.cluster_id THEN 'near_dup'
+      |         WHEN q.n_tokens < 5 OR q.distinct_ratio < 0.2
+      |           THEN 'low_quality'
+      |    END AS drop_reason
+      |  FROM q JOIN ek USING (doc_id) JOIN clusters c USING (doc_id)
+      |)
+      |SELECT doc_id, lang, n_tokens,
+      |  round(distinct_ratio, 4) AS distinct_ratio,
+      |  cluster_id, drop_reason IS NULL AS keep, drop_reason
+      |FROM asm ORDER BY doc_id""".stripMargin
+
   /** Per-stage corpus-loss accounting over the curation output. */
   def curationStats(curated: DataFrame): DataFrame =
     curated
@@ -115,5 +172,8 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_curation" -> ((s: SparkSession, d: String) => curate(s, d)),
     "nq_curation_stats" -> ((s: SparkSession, d: String) =>
-      curationStats(curate(s, d))))
+      curationStats(curate(s, d))),
+    "q64_curation" -> (q64Curation _))
+
+  val oracle: Map[String, String] = Map("q64_curation" -> q64Sql)
 }

@@ -217,8 +217,10 @@ object DedupClusters {
   // `reach` computes, per node, every component label reachable through
   // the symmetrized edges — UNION dedup guarantees termination, min =
   // the component's min doc_id, Spark's cluster_id policy.
-  // list_filter strips empty tokens — same reasoning as q25's oracle
-  val q63Sql: String =
+  // list_filter strips empty tokens — same reasoning as q25's oracle.
+  // The CTE chain is shared verbatim with Curation's q64 oracle, which
+  // appends its own gate CTEs after `reach`.
+  private[text] val reachCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
@@ -248,7 +250,10 @@ object DedupClusters {
       |  SELECT doc_id, doc_id FROM documents
       |  UNION
       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id
-      |)
+      |)""".stripMargin
+
+  val q63Sql: String = reachCtes +
+    """
       |SELECT doc_id, min(label) AS cluster_id,
       |  (doc_id = min(label)) AS is_keeper
       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin

@@ -98,19 +98,21 @@ object Mixing {
   // The final CASE converts the unsigned value back to Spark's signed
   // pmod: 2^64 mod 10^6 = 551616, so the signed residue of a value
   // ≥ 2^63 is (u mod 10^6 + (10^6 − 551616)) mod 10^6.
-  val oracle: Map[String, String] = {
-    val thresholds = mixRecipe.toSeq.sortBy(_._1)
-      .map { case (l, f) => s"WHEN '$l' THEN ${(f * 1000000L).toLong}" }
-      .mkString(" ")
-    Map("nq_domain_mix" ->
-      s"""WITH c AS (SELECT CAST(18446744073709551616 AS UHUGEINT) AS m64,
-         |             CAST(11400714785074694791 AS UHUGEINT) AS p1,
-         |             CAST(14029467366897019727 AS UHUGEINT) AS p2,
-         |             CAST(1609587929392839161 AS UHUGEINT) AS p3,
-         |             CAST(9650029242287828579 AS UHUGEINT) AS p4,
-         |             CAST(2870177450012600261 AS UHUGEINT) AS p5),
-         |ids AS (SELECT doc_id, lang, CAST(doc_id AS UHUGEINT) AS x,
-         |               m64, p1, p2, p3, p4, p5 FROM documents, c),
+  /** CTE chain computing `hh` = unsigned XXH64 of one long `doc_id`
+    * under Spark's seed-42 literal fold (see the arithmetic notes above
+    * `oracle`), ending in CTE `r2h(doc_id[, extraCols], hh)`. Extra
+    * passthrough columns ride the `SELECT *` chain for free — callers
+    * splice e.g. ", lang" (domain mix) or "" (shuffle shard, q65).
+    */
+  private[text] def xxh64Ctes(extraCols: String): String =
+    s"""WITH c AS (SELECT CAST(18446744073709551616 AS UHUGEINT) AS m64,
+       |             CAST(11400714785074694791 AS UHUGEINT) AS p1,
+       |             CAST(14029467366897019727 AS UHUGEINT) AS p2,
+       |             CAST(1609587929392839161 AS UHUGEINT) AS p3,
+       |             CAST(9650029242287828579 AS UHUGEINT) AS p4,
+       |             CAST(2870177450012600261 AS UHUGEINT) AS p5),
+       |ids AS (SELECT doc_id$extraCols, CAST(doc_id AS UHUGEINT) AS x,
+       |               m64, p1, p2, p3, p4, p5 FROM documents, c),
          |r1a AS (SELECT *, (x * p2) % m64 AS k FROM ids),
          |r1b AS (SELECT * EXCLUDE k,
          |  (((k * 2147483648) % m64 + k // 8589934592) * p1) % m64 AS k2
@@ -139,15 +141,22 @@ object Mixing {
          |  (xor(h3, h3 // 8589934592) * p2) % m64 AS h4 FROM r2d),
          |r2g AS (SELECT * EXCLUDE h4,
          |  (xor(h4, h4 // 536870912) * p3) % m64 AS h5 FROM r2f),
-         |r2h AS (SELECT doc_id, lang, xor(h5, h5 // 4294967296) AS hh
-         |  FROM r2g),
+         |r2h AS (SELECT doc_id$extraCols, xor(h5, h5 // 4294967296) AS hh
+         |  FROM r2g)""".stripMargin
+
+  val oracle: Map[String, String] = {
+    val thresholds = mixRecipe.toSeq.sortBy(_._1)
+      .map { case (l, f) => s"WHEN '$l' THEN ${(f * 1000000L).toLong}" }
+      .mkString(" ")
+    Map("nq_domain_mix" -> (xxh64Ctes(", lang") +
+      s""",
          |pm AS (SELECT doc_id, lang,
          |  CAST(CASE WHEN hh >= 9223372036854775808
          |    THEN (hh % 1000000 + 448384) % 1000000
          |    ELSE hh % 1000000 END AS BIGINT) AS pmod FROM r2h)
          |SELECT doc_id, lang FROM pm
          |WHERE pmod < CASE lang $thresholds ELSE 0 END
-         |ORDER BY doc_id""".stripMargin,
+         |ORDER BY doc_id""".stripMargin),
       // Contamination oracle compares raw shingle STRINGS where Spark
       // compares 64-bit shingle hashes (same counts unless two distinct
       // shingles of one corpus collide in 64 bits — ~1e-9 at this

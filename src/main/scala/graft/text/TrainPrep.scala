@@ -1,0 +1,126 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Training-run data preparation: the deterministic global shuffle that
+  * turns a curated corpus into shard files, and the bigram LM table —
+  * the two steps between "curated corpus" and "tokens on a trainer".
+  *
+  * The reference's pipeline covers the generation side (SURVEY §2.B);
+  * these are the §2.K extensions a 100 TB text pipeline needs on top.
+  */
+object TrainPrep {
+
+  /** Deterministic distributed shuffle + shard assignment — the survey's
+    * G3 "seeded shuffle" expressed the way a cluster actually does it.
+    * `sample`/`rand(seed)`-based shuffles are partition-layout-dependent
+    * (per-partition RNG streams), so two runs over differently-split
+    * input produce different epochs; a hash of the stable row id is a
+    * pure function of the data:
+    *
+    *   shard = pmod(xxhash64(id, seed), nShards)
+    *   pos   = rank of the hash within the shard (ties on id)
+    *
+    * Scale shape: ONE shuffle keyed on shard, then a per-shard sort
+    * (Spark's window sorts within the hash partition; external sort
+    * spills, never OOMs). Parallelism = nShards — at 100 TB you pick
+    * nShards ≈ the trainer's file count (thousands), so every core sorts
+    * one shard-sized run. No global total sort, no driver involvement.
+    * Re-running with a new seed re-deals every row: hash bits, not
+    * physical order, carry the randomness.
+    */
+  def shuffleShard(docs: DataFrame, idCol: String, nShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    docs
+      .select(col(idCol), xxhash64(col(idCol), lit(seed)).as("hkey"))
+      .withColumn("shard", pmod(col("hkey"), lit(nShards.toLong)))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard").orderBy(col("hkey"), col(idCol)))
+        .cast("long"))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
+  /** Bigram language-model table over the corpus: per (w1, w2) the raw
+    * count and the conditional probability P(w2|w1) — the classic
+    * count-based LM / corpus-statistics aggregate (and the shape of any
+    * n-gram count job: Brants et al., "Large Language Models in Machine
+    * Translation", EMNLP 2007 runs exactly this at web scale).
+    *
+    * Scale shape: bigrams are built per row with a narrow array
+    * expression (transform over the token list — NO posexplode window,
+    * no per-doc shuffle), then ONE groupBy keyed on the bigram. The
+    * conditional denominator is a window sum over w1 on the already
+    * aggregated table, whose size is bounded by vocab² — independent of
+    * corpus size, so the second shuffle is O(vocab²) however big the
+    * input is.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    docs
+      .select(toks.as("t"))
+      // element_at is 1-based; lambda index i is 0-based over the slice
+      // of length n-1, so (x, i) pairs t[i+1] with t[i+2]
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("w1")), 4))
+      .orderBy("w1", "w2")
+  }
+
+  // ----------------------------------------------------------- contract
+
+  def q65ShuffleShard(s: SparkSession, d: String): DataFrame =
+    shuffleShard(documents(s, d), "doc_id", nShards = 8)
+      .orderBy("doc_id")
+
+  def q66BigramLm(s: SparkSession, d: String): DataFrame =
+    bigramLm(documents(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_shuffle_shard" -> (q65ShuffleShard _),
+    "q66_bigram_lm" -> (q66BigramLm _))
+
+  // q65 oracle: Mixing's XXH64 replica supplies the unsigned hash `hh`;
+  // the signed key is hh − 2^64 for values ≥ 2^63 (two's complement),
+  // and because 8 divides 2^64 the unsigned residue hh % 8 IS Spark's
+  // signed pmod(hkey, 8) — the contract entry fixes nShards to a power
+  // of two precisely so the oracle needs no signed-mod correction.
+  // q66 oracle: same tokenizer as q25/q63 (list_filter strips empties),
+  // adjacent pairs via generate_series, identical integer counts, and
+  // P(w2|w1) divides the same BIGINTs into a DOUBLE in both engines.
+  val oracle: Map[String, String] = Map(
+    "q65_shuffle_shard" -> (Mixing.xxh64Ctes("") +
+      """,
+        |sgn AS (SELECT doc_id,
+        |  CAST(CAST(hh AS HUGEINT) -
+        |    CASE WHEN hh >= 9223372036854775808
+        |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+        |    AS BIGINT) AS hkey,
+        |  CAST(hh % 8 AS BIGINT) AS shard FROM r2h)
+        |SELECT doc_id, shard,
+        |  row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
+        |    AS pos
+        |FROM sgn ORDER BY doc_id""".stripMargin),
+    "q66_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |    AS l
+        |  FROM documents
+        |), bg AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+        |), cnt AS (
+        |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2
+        |)
+        |SELECT w1, w2, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 4) AS p
+        |FROM cnt ORDER BY w1, w2""".stripMargin)
+}

@@ -91,6 +91,17 @@ class CurationSpec extends SparkSpec {
     gated.unpersist()
   }
 
+  test("q64 exact-path variant agrees with the banded pipeline on this corpus") {
+    // q64 swaps the near-dup stage to the exact-jaccard pair relation
+    // (its DuckDB oracle needs determinism); on a corpus where MinHash
+    // banding has full recall — pinned by NearDupSpec — every gate
+    // decision must come out identical
+    val exact = Curation.q64Curation(spark, sf0001)
+    assert(exact.exceptAll(curated).isEmpty &&
+      curated.exceptAll(exact).isEmpty,
+      "exact-path and banded curation must agree row-for-row here")
+  }
+
   test("stats partition the corpus and reconcile with the decisions") {
     val stats = Curation.curationStats(curated)
       .as[(String, Long)].collect().toMap

@@ -1,0 +1,77 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shuffle-shard: layout-independent, positions are a per-shard permutation") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = TrainPrep.shuffleShard(docs, "doc_id", nShards = 8).cache()
+    assert(out.count() === docs.count()) // every row dealt exactly once
+
+    // positions within each shard are exactly 1..count (a permutation —
+    // the property a trainer's sequential shard reader depends on)
+    val badPos = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("nd"))
+      .filter($"mx" =!= $"n" || $"mn" =!= 1 || $"nd" =!= $"n")
+    assert(badPos.isEmpty, "pos must be a 1..n permutation per shard")
+
+    // all shards populated, none pathologically hot: a seeded hash deal
+    // over 500 ids should stay within a loose 3x band of uniform
+    val sizes = out.groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(sizes.keySet === (0L until 8L).toSet)
+    val uniform = docs.count().toDouble / 8
+    sizes.values.foreach(n =>
+      assert(n > uniform / 3 && n < uniform * 3, s"shard size $n vs $uniform"))
+
+    // the deal is a pure function of (id, seed): physical layout must not
+    // change a single assignment...
+    val repart = TrainPrep.shuffleShard(docs.repartition(13), "doc_id", 8)
+    assert(repart.exceptAll(out).isEmpty && out.exceptAll(repart).isEmpty,
+      "repartitioned input must produce the identical deal")
+
+    // ...and a different seed must re-deal (the point of seeding): some
+    // doc lands in a different shard
+    val reseeded = TrainPrep.shuffleShard(docs, "doc_id", 8, seed = 43L)
+    assert(reseeded.exceptAll(out).count() > 0, "new seed must reshuffle")
+    out.unpersist()
+  }
+
+  test("bigram LM: counts and conditionals match a hand-checked fixture") {
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: (a,b) (b,a) (a,b) (b,c)
+      (2L, "a b"),       // (a,b)
+      (3L, "c"),         // too short: no bigram
+      (4L, "  a   c ")   // padded whitespace: tokenizer must see (a,c)
+    ).toDF("doc_id", "text")
+    val lm = bigramsOf(docs)
+    assert(lm === Map(
+      ("a", "b") -> (3L, 0.75), ("a", "c") -> (1L, 0.25),
+      ("b", "a") -> (1L, 0.5), ("b", "c") -> (1L, 0.5)))
+  }
+
+  test("bigram LM: conditionals sum to 1 per context on the corpus") {
+    val lm = TrainPrep.q66BigramLm(spark, sf0001).cache()
+    // raw (unrounded-sum) check: per w1 the probabilities must total ~1
+    // (rounding each term to 4 decimals bounds the drift by 5e-5 * fanout)
+    val offenders = lm.groupBy("w1")
+      .agg(sum("p").as("tot"), count(lit(1)).as("k"))
+      .filter(abs($"tot" - 1.0) > $"k" * 5e-5)
+    assert(offenders.isEmpty, "P(.|w1) must sum to 1")
+    // counts conserve the corpus: sum of bigram counts = sum of (len-1)
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val expected = graft.Tables.documents(spark, sf0001)
+      .select((size(toks) - 1).cast("long").as("nb"))
+      .filter($"nb" > 0).agg(sum("nb")).as[Long].head()
+    assert(lm.agg(sum("n")).as[Long].head() === expected)
+    lm.unpersist()
+  }
+
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame) =
+    TrainPrep.bigramLm(docs)
+      .as[(String, String, Long, Double)].collect()
+      .map { case (w1, w2, n, p) => (w1, w2) -> (n, p) }.toMap
+}
