@@ -29,7 +29,8 @@ object SparkEntry {
       rel.ApproxQueries.queries ++ rel.Skew.queries ++
       ml.VoicePipeline.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
-      sim.IvfPq.queries ++
+      sim.IvfPq.queries ++ sim.SemDedup.queries ++
+      text.Scrub.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
       sources.VideoSource.queries
 
@@ -45,5 +46,9 @@ object SparkEntry {
       text.DedupClusters.oracle ++
       // round-7 continued: exact-path curation (q64), deterministic
       // shuffle-shard (q65), bigram LM table (q66)
-      text.Curation.oracle ++ text.TrainPrep.oracle
+      text.Curation.oracle ++ text.TrainPrep.oracle ++
+      // round-7 continued: PII redaction (q67), chunk-level exact dedup
+      // (q68), and the Bloom-prefiltered decontamination (same oracle as
+      // the exact form — the prefilter must be semantics-preserving)
+      text.Scrub.oracle
 }

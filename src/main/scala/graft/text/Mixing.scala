@@ -40,12 +40,56 @@ object Mixing {
     * method simply cannot judge them; screen them by exact match).
     */
   def contamination(corpus: DataFrame, benchmark: DataFrame,
-      flagAt: Double = 0.8): DataFrame = {
-    val corpusSh = NearDup.hashedShinglesOf(corpus).select("h").distinct()
+      flagAt: Double = 0.8): DataFrame =
+    verdicts(benchmark, NearDup.hashedShinglesOf(benchmark),
+      NearDup.hashedShinglesOf(corpus).select("h").distinct(), flagAt)
+
+  /** `contamination` with a broadcast Bloom prefilter on the corpus side
+    * — the 100 TB execution shape. The exact form shuffles EVERY distinct
+    * corpus shingle hash (linear in the corpus) into the semi-join even
+    * though only hashes that also occur in the tiny benchmark can ever
+    * match. Here the benchmark's distinct hashes (small by definition)
+    * build a Bloom filter (distributed treeAggregate, constant driver
+    * state), which is broadcast and applied as a narrow filter AT SCAN
+    * SPEED on the corpus shingles — the corpus-sized shuffle shrinks to
+    * (true overlap + fpp·corpus) rows. Bloom filters have no false
+    * negatives and the exact join downstream removes the false
+    * positives, so the output is IDENTICAL to `contamination` (same
+    * oracle SQL; pinned in MixingSpec).
+    *
+    * An exact broadcast hash-set would also work but costs ~8 bytes per
+    * benchmark shingle; the Bloom at fpp=0.01 costs ~1.2 bytes — the
+    * difference between an 80 MB and a 12 MB broadcast at a 10M-shingle
+    * benchmark suite. The membership probe is a Scala UDF (not a codegen
+    * expression) deliberately: the filter object lives in a broadcast
+    * variable, which a Catalyst literal can't carry without embedding
+    * megabytes into the plan string.
+    */
+  def contaminationBloom(corpus: DataFrame, benchmark: DataFrame,
+      flagAt: Double = 0.8, fpp: Double = 0.01): DataFrame = {
+    val s = corpus.sparkSession
+    val benchSh = NearDup.hashedShinglesOf(benchmark)
+    val benchH = benchSh.select("h").distinct()
+    // two tiny jobs on the benchmark side: cardinality, then the filter
+    // build (treeAggregate of fixed-size bit arrays)
+    val n = math.max(benchH.count(), 1L)
+    val bloom = benchH.stat.bloomFilter("h", n, fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    val mightMatch = udf((h: Long) => bc.value.mightContainLong(h))
+    val corpusSh = NearDup.hashedShinglesOf(corpus)
+      .filter(mightMatch(col("h"))).select("h").distinct()
+    verdicts(benchmark, benchSh, corpusSh, flagAt)
+  }
+
+  /** Shared verdict tail: per-benchmark-doc overlap of its shingles
+    * (`benchSh`, computed once by each caller) against `corpusSh`
+    * (distinct corpus shingle hashes, Bloom-prefiltered or not). */
+  private def verdicts(benchmark: DataFrame, benchSh: DataFrame,
+      corpusSh: DataFrame, flagAt: Double): DataFrame = {
     // ONE pass over the benchmark shingles computes both counts: left
     // join against the distinct corpus hashes (multiplicity-safe) with a
     // match marker, then a single aggregate — no second tokenize scan
-    val both = NearDup.hashedShinglesOf(benchmark)
+    val both = benchSh
       .join(corpusSh.withColumn("__m", lit(1)), Seq("h"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"), count(col("__m")).as("n_matched"))
@@ -62,6 +106,39 @@ object Mixing {
       .withColumn("contaminated", col("overlap") >= flagAt)
       .orderBy("doc_id")
   }
+
+  /** Deterministic per-group sampling — "reservoir-k per key" without
+    * the reservoir: rank each row inside its group by a seeded hash of
+    * its stable id and keep the first `n`. Equivalent in distribution
+    * to uniform k-per-group sampling, but a pure function of
+    * (id, seed) — layout-independent and re-materializable, unlike
+    * `sampleBy` (per-partition RNG) or any true reservoir (order-
+    * dependent). The per-LANGUAGE cap companion to `domainMix`'s
+    * per-language rate.
+    *
+    * Scale shape: ONE shuffle keyed on the group for the window rank
+    * (external sort within each hash partition); groups are language-
+    * cardinality so skew is bounded by the biggest group — for
+    * pathological group skew, pre-aggregate with the salted pattern
+    * (`rel.Skew`) or raise spark.sql.shuffle.partitions; nothing is
+    * broadcast or collected.
+    */
+  def groupSample(docs: DataFrame, groupCol: String, idCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col(idCol), col(groupCol),
+        xxhash64(col(idCol), lit(seed)).as("hkey"))
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(groupCol).orderBy(col("hkey"), col(idCol)))
+        .cast("long"))
+      .filter(col("rn") <= n)
+      .select(col(idCol), col(groupCol), col("rn"))
+  }
+
+  def q69GroupSample(s: SparkSession, d: String, n: Int = 20): DataFrame =
+    groupSample(documents(s, d), "lang", "doc_id", n)
+      .orderBy("lang", "rn")
 
   /** Driver entries: mix to a fixed lang recipe; treat docs with
     * doc_id ≡ 0 (mod 10) as the held-out benchmark and the rest as the
@@ -81,9 +158,18 @@ object Mixing {
       docs.filter(col("doc_id") % 10 === 0))
   }
 
+  def contaminationBloomQuery(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    contaminationBloom(docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_domain_mix" -> (domainMixQuery _),
-    "nq_contamination" -> (contaminationQuery _))
+    "nq_contamination" -> (contaminationQuery _),
+    "nq_contamination_bloom" -> (contaminationBloomQuery _),
+    "q69_group_sample" -> ((s: SparkSession, d: String) =>
+      q69GroupSample(s, d)))
 
   // ------------------------------------------------------------ oracle
   // DuckDB replica of Spark's xxhash64(doc_id, 42): XXH64 of one 8-byte
@@ -157,16 +243,40 @@ object Mixing {
          |SELECT doc_id, lang FROM pm
          |WHERE pmod < CASE lang $thresholds ELSE 0 END
          |ORDER BY doc_id""".stripMargin),
-      // Contamination oracle compares raw shingle STRINGS where Spark
-      // compares 64-bit shingle hashes (same counts unless two distinct
-      // shingles of one corpus collide in 64 bits — ~1e-9 at this
-      // corpus size, and a collision would fail the check loudly, not
-      // silently). Same split/shingle/grouping semantics as q25's
-      // oracle; bench/corpus split mirrors contaminationQuery's
-      // doc_id % 10 partition. Docs too short to shingle surface as
-      // n_shingles=0 with NULL n_matched/overlap/contaminated —
-      // "unknown", identical to the Spark path.
-      "nq_contamination" ->
+      "nq_contamination" -> contaminationSql,
+      // the Bloom prefilter is output-identical to the exact form (no
+      // false negatives; the exact join removes false positives), so it
+      // carries the SAME oracle — the driver independently verifies the
+      // equivalence claim every round
+      "nq_contamination_bloom" -> contaminationSql,
+      // q69: same XXH64 replica as q65; the signed hkey reconstruction
+      // (hh − 2^64 for hh ≥ 2^63) matches Spark's signed-long ordering
+      "q69_group_sample" -> (xxh64Ctes(", lang") +
+        """,
+          |sgn AS (SELECT doc_id, lang,
+          |  CAST(CAST(hh AS HUGEINT) -
+          |    CASE WHEN hh >= 9223372036854775808
+          |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+          |    AS BIGINT) AS hkey FROM r2h),
+          |rk AS (SELECT doc_id, lang,
+          |  row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
+          |    AS rn
+          |  FROM sgn)
+          |SELECT doc_id, lang, rn FROM rk WHERE rn <= 20
+          |ORDER BY lang, rn""".stripMargin))
+  }
+
+  // Contamination oracle compares raw shingle STRINGS where Spark
+  // compares 64-bit shingle hashes (same counts unless two distinct
+  // shingles of one corpus collide in 64 bits — ~1e-9 at this
+  // corpus size, and a collision would fail the check loudly, not
+  // silently). Same split/shingle/grouping semantics as q25's
+  // oracle; bench/corpus split mirrors contaminationQuery's
+  // doc_id % 10 partition. Docs too short to shingle surface as
+  // n_shingles=0 with NULL n_matched/overlap/contaminated —
+  // "unknown", identical to the Spark path.
+  // (lazy: referenced by `oracle` above its textual position)
+  private lazy val contaminationSql: String =
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
@@ -191,6 +301,5 @@ object Mixing {
         |    AS contaminated
         |FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 10 = 0) d
         |LEFT JOIN agg a ON d.doc_id = a.doc_id
-        |ORDER BY d.doc_id""".stripMargin)
-  }
+        |ORDER BY d.doc_id""".stripMargin
 }

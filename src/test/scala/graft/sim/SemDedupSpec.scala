@@ -1,0 +1,72 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 40 well-separated base vectors + planted near-twins of the first
+    * 5 (tiny perturbation → cosine ≈ 1). Base vectors are random on the
+    * 16-sphere — with high probability no two exceed the 0.97 threshold.
+    */
+  private def fixture(): org.apache.spark.sql.DataFrame = {
+    val rnd = new Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = (0L until 40L).map(i => (i, unit()))
+    val twins = base.take(5).map { case (i, v) =>
+      // nudge one coordinate slightly: cosine stays ≈ 0.999
+      (100L + i, v.updated(0, v(0) + 0.01f))
+    }
+    (base ++ twins).toDF("id", "emb")
+  }
+
+  test("planted near-twins drop, their lower-id originals survive") {
+    val out = SemDedup.semanticDedup(fixture(), "id", "emb", k = 4)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length === 45)
+    val dup = out.filter(_._3).map(_._1).toSet
+    // every planted twin (ids 100..104) is flagged; every original kept
+    assert((100L to 104L).forall(dup.contains), s"twins not all flagged: $dup")
+    assert((0L until 40L).forall(id => !dup.contains(id)),
+      s"false positives among originals: ${dup.filter(_ < 40)}")
+    // twin and original landed in the same cluster (else the pair could
+    // never have been scored)
+    val cl = out.map(r => r._1 -> r._2).toMap
+    (0L until 5L).foreach(i => assert(cl(i) === cl(100L + i)))
+  }
+
+  test("verdicts are deterministic across repeated runs on the same input") {
+    // NOT asserted across repartition: MLlib's seeded k-means init
+    // samples per partition, so the trained centers — and with them
+    // boundary assignments — legitimately depend on the input layout
+    // (documented in SemDedup's scaladoc). Same layout => same verdicts.
+    val a = SemDedup.semanticDedup(fixture(), "id", "emb", k = 4)
+      .as[(Long, Int, Boolean)].collect().toSet
+    val b = SemDedup.semanticDedup(fixture(), "id", "emb", k = 4)
+      .as[(Long, Int, Boolean)].collect().toSet
+    assert(a === b)
+  }
+
+  test("contract entry runs on the embeddings table with sane shape") {
+    val out = SemDedup.semanticDedupQuery(spark, sf0001).cache()
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    assert(out.count() === n)
+    assert(out.columns.toSeq === Seq("vec_id", "cluster", "is_dup"))
+    // keepers must cover every cluster that has any vectors
+    val clustersAll = out.select("cluster").distinct().count()
+    val clustersKept = out.filter(!$"is_dup").select("cluster")
+      .distinct().count()
+    assert(clustersKept === clustersAll)
+    // dedup is conservative on this near-uniform corpus: dropping more
+    // than half the vectors at 0.97 would mean the threshold is broken
+    assert(out.filter($"is_dup").count() < n / 2)
+    out.unpersist()
+  }
+}

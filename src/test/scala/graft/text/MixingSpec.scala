@@ -27,6 +27,43 @@ class MixingSpec extends SparkSpec {
     mixed.unpersist()
   }
 
+  test("group sample: exactly min(n, group size) per group, layout-independent") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = Mixing.groupSample(docs, "lang", "doc_id", 20).cache()
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val taken = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(taken.keySet === sizes.keySet)
+    taken.foreach { case (l, c) => assert(c === math.min(20L, sizes(l))) }
+    // pure function of (doc_id, seed): repartitioned input selects the
+    // identical rows with the identical ranks
+    val repart = Mixing.groupSample(docs.repartition(13), "lang", "doc_id", 20)
+      .as[(Long, String, Long)].collect().toSet
+    assert(repart === out.as[(Long, String, Long)].collect().toSet)
+    // a different seed re-deals the sample (overwhelmingly likely to
+    // differ somewhere on 500 docs)
+    val reseed = Mixing.groupSample(docs, "lang", "doc_id", 20, seed = 7L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(reseed !== out.as[(Long, String, Long)].collect().toSet)
+    out.unpersist()
+  }
+
+  test("bloom-prefiltered contamination is row-identical to the exact form") {
+    // no false negatives (Bloom) + exact downstream join (kills false
+    // positives) => identical verdicts; this is the claim that lets the
+    // bloom variant share the exact form's oracle SQL
+    val exact = Mixing.contaminationQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    val bloom = Mixing.contaminationBloomQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSet
+    assert(bloom === exact)
+    // and at a deliberately awful fpp the exact join still saves it
+    val docs = graft.Tables.documents(spark, sf0001)
+    val loose = Mixing.contaminationBloom(
+      docs.filter($"doc_id" % 10 =!= 0), docs.filter($"doc_id" % 10 === 0),
+      fpp = 0.5).collect().map(_.toSeq).toSet
+    assert(loose === exact)
+  }
+
   test("contamination: planted cross-split near-dups are flagged, clean docs are not") {
     // benchmark = doc_id % 10 == 0; the corpus contains mutated
     // near-dup copies of some benchmark docs (planted by the driver
