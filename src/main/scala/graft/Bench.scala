@@ -36,7 +36,12 @@ object Bench {
     // union + RANGE-window as-of join and the full IVF-PQ ANN composite
     // (train + encode + ADC + re-rank); regressions here must show up
     // in the bench, not only in specs
-    "q44_asof_join", "nq_ivfpq_knn")
+    "q44_asof_join", "nq_ivfpq_knn",
+    // round-7 continued: corpus-wide chunk dedup (the heaviest new text
+    // shape) and BOTH decontamination forms — benching exact and Bloom-
+    // prefiltered side by side keeps the prefilter's win (or any
+    // regression of it) visible every round
+    "q68_chunk_dedup", "nq_contamination", "nq_contamination_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -57,6 +57,14 @@ object Mixing {
     * positives, so the output is IDENTICAL to `contamination` (same
     * oracle SQL; pinned in MixingSpec).
     *
+    * Measured (`Scratch contam 50`, 225k docs): shuffle input drops
+    * 11.7M → 262k rows (2.2%). Wall time at local[32] TIES the exact
+    * form — with page-cached input both are scan-dominated, and a
+    * 90 MB hash shuffle is free on one box. The prefilter is for the
+    * cluster regime, where the corpus-side shuffle is network-bound
+    * TBs and a 45× row reduction is the difference between a
+    * network-saturating stage and a footnote.
+    *
     * An exact broadcast hash-set would also work but costs ~8 bytes per
     * benchmark shingle; the Bloom at fpp=0.01 costs ~1.2 bytes — the
     * difference between an 80 MB and a 12 MB broadcast at a 10M-shingle

@@ -197,6 +197,57 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("contam")) {
+      // Decontamination scale probe: the Bloom prefilter's win is a
+      // SCALE property (it shrinks the corpus-sized distinct+join
+      // shuffle, paying two fixed jobs on the tiny benchmark side), so
+      // at sf0.1 the exact form is faster. Here the corpus's DISTINCT
+      // shingle volume grows 10× (every token of copies 1..9 is
+      // rewritten, so their shingles are all new), the benchmark stays
+      // fixed — the regime where the prefilter is designed to win.
+      val fac = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val docs0 = graft.Tables.documents(spark, d)
+      val corpus0 = docs0.filter(col("doc_id") % 10 =!= 0)
+      val bench = docs0.filter(col("doc_id") % 10 === 0)
+      val corpusN = (0 until fac).map { r =>
+        if (r == 0) corpus0
+        else corpus0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"c$r$$1").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      val tmp = java.nio.file.Files.createTempDirectory("contamN").toString
+      corpusN.write.mode("overwrite").parquet(s"$tmp/corpus.parquet")
+      val corpus = spark.read.parquet(s"$tmp/corpus.parquet")
+      println(s"[contam] corpus: ${corpus.count()} docs, bench: ${bench.count()}")
+      // the load-independent scale metric: rows entering the corpus-side
+      // distinct+join shuffle with and without the prefilter (time at
+      // local[32] is scan-dominated for both once page-cached — the
+      // shuffle this kills only becomes the bottleneck when it's
+      // network/disk-bound at cluster scale)
+      val total = graft.text.NearDup.hashedShinglesOf(corpus).count()
+      val benchH = graft.text.NearDup.hashedShinglesOf(bench)
+        .select("h").distinct()
+      val bloom = benchH.stat.bloomFilter("h",
+        math.max(benchH.count(), 1L), 0.01)
+      val bcb = spark.sparkContext.broadcast(bloom)
+      val mm = udf((h: Long) => bcb.value.mightContainLong(h))
+      val kept = graft.text.NearDup.hashedShinglesOf(corpus)
+        .filter(mm(col("h"))).count()
+      println(f"[contam] corpus shingle rows into shuffle: exact=$total%,d " +
+        f"bloom=$kept%,d (${100.0 * kept / total}%.1f%%)")
+      for (round <- 1 to 2) { // best-of-2, mirrors Bench methodology
+        time(s"exact contamination ${fac}x (run $round)") {
+          graft.text.Mixing.contamination(corpus, bench)
+            .write.format("noop").mode("overwrite").save()
+        }
+        time(s"bloom contamination ${fac}x (run $round)") {
+          graft.text.Mixing.contaminationBloom(corpus, bench)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("explain")) {
       for (q <- args.drop(1)) {
         println(s"\n=================== $q ===================")
