@@ -90,14 +90,18 @@ object Scrub {
     * Scale shape: the dedup key is md5(chunk) — 16-byte shuffle keys
     * instead of kilobyte strings (two identical hashes from different
     * chunks would need an md5 collision; the oracle groups on the raw
-    * string, so a collision would fail the driver check loudly). Three
-    * shuffles, all keyed and map-side-combined: groupBy(k) for the
-    * first-occurrence winner, the join back on k (co-partitioned with
-    * the groupBy, no broadcast — the chunk relation scales with the
-    * corpus), and the per-doc reassembly groupBy(doc_id) whose
-    * collect_list is bounded by a single document's length.
+    * string, so a collision would fail the driver check loudly). ONE
+    * corpus scan and two keyed shuffles: a row_number window over the
+    * chunk key marks first occurrences in the same pass that would
+    * otherwise need a groupBy-winner + join-back (which costs a third
+    * shuffle and two extra corpus scans — measured on the first cut's
+    * .explain), then one per-doc hash aggregate rebuilds counts and the
+    * surviving text, its collect_list bounded by a single document's
+    * length. The final left join restores token-less docs; both sides
+    * are corpus-sized and co-keyed on doc_id — no broadcast.
     */
   def q68ChunkDedup(s: SparkSession, d: String, w: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
     val chunks = docs
       .select(col("doc_id"),
@@ -109,23 +113,25 @@ object Scrub {
         col("t"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         array_join(expr(s"slice(t, start, $w)"), " ").as("chunk"))
-    val keyed = chunks.withColumn("k", md5(col("chunk")))
-    val first = keyed.groupBy("k")
-      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("fst"))
-    val kept = keyed.join(first, "k")
-      .filter(col("doc_id") === col("fst.doc_id") &&
-        col("chunk_id") === col("fst.chunk_id"))
-    val perDoc = keyed.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
-    val keptPerDoc = kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_kept"),
-        array_join(
-          transform(
-            array_sort(collect_list(struct(col("chunk_id"), col("chunk")))),
-            x => x.getField("chunk")),
-          " ").as("kept_text"))
+    val ranked = chunks
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(md5(col("chunk")))
+          .orderBy(col("doc_id"), col("chunk_id"))))
+    val perDoc = ranked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("rn") === 1, 1)).as("n_kept"),
+        // collect_list drops the nulls `when` leaves on non-kept rows
+        collect_list(when(col("rn") === 1,
+          struct(col("chunk_id"), col("chunk")))).as("lst"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        // all-dropped docs yield NULL (matching the oracle's string_agg
+        // over an empty group), never ""
+        when(col("n_kept") > 0,
+          array_join(
+            transform(array_sort(col("lst")), x => x.getField("chunk")),
+            " ")).as("kept_text"))
     docs.select("doc_id")
       .join(perDoc, Seq("doc_id"), "left")
-      .join(keptPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
