@@ -49,6 +49,25 @@ class FormatRoundTripSpec extends SparkSpec {
     } finally delete(dir)
   }
 
+  test("XML round-trip with explicit schema preserves values (Spark 4 native source)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml")
+    try {
+      val p = dir.resolve("docs.xml").toString
+      sample.write.mode("overwrite").option("rowTag", "doc").xml(p)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("lang", StringType),
+        StructField("text", StringType),
+        StructField("n_chars", LongType)))
+      val back = spark.read.schema(schema).option("rowTag", "doc").xml(p)
+        .select("doc_id", "lang", "text", "n_chars")
+      assert(back.schema.map(f => (f.name, f.dataType)) ===
+        sample.schema.map(f => (f.name, f.dataType)))
+      assert(back.orderBy("doc_id").collect()
+        .sameElements(sample.orderBy("doc_id").collect()))
+    } finally delete(dir)
+  }
+
   test("partitioned parquet write prunes partitions on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-part")
     try {
