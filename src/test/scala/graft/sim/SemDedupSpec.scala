@@ -54,6 +54,43 @@ class SemDedupSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("incremental: batch verdicts against a standing corpus, corpus never self-scored") {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val corpus = fixture() // ids 0..39 + planted twins 100..104
+    val model = new KMeans().setK(4).setSeed(42).setFeaturesCol("v")
+      .setPredictionCol("cluster")
+      .fit(corpus.select(array_to_vector($"emb").as("v")))
+    val corA = SemDedup.assign(model, corpus, "id", "emb")
+    // batch: a twin of corpus id 10 (drops), a twin of ITSELF (the
+    // lower batch id survives unless it twins the corpus; 201 drops
+    // against 200), and a fresh vector (survives)
+    val rnd = new Random(99)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val corpusVec10 = corpus.filter($"id" === 10L)
+      .select("emb").as[Array[Float]].head()
+    val freshA = unit()
+    val batch = Seq(
+      (200L, corpusVec10.updated(0, corpusVec10(0) + 0.01f)),
+      (201L, corpusVec10.updated(1, corpusVec10(1) + 0.01f)),
+      (300L, freshA),
+      (301L, freshA.updated(0, freshA(0) + 0.01f))
+    ).toDF("id", "emb")
+    val batA = SemDedup.assign(model, batch, "id", "emb")
+    val out = SemDedup.semanticDedupIncremental(corA, batA)
+      .as[(Long, Int, Boolean)].collect()
+      .map { case (k, _, d) => k -> d }.toMap
+    assert(out(200L), "twin of corpus id 10 must drop")
+    assert(out(201L), "also a twin of corpus id 10 (and of 200) -> drops")
+    assert(!out(300L), "fresh vector must survive")
+    assert(out(301L), "intra-batch twin of lower id 300 must drop")
+    assert(out.size === 4, "verdicts are for the batch only, never the corpus")
+  }
+
   test("contract entry runs on the embeddings table with sane shape") {
     val out = SemDedup.semanticDedupQuery(spark, sf0001).cache()
     val n = graft.Tables.embeddings(spark, sf0001).count()
