@@ -41,7 +41,11 @@ object Bench {
     // shape) and BOTH decontamination forms — benching exact and Bloom-
     // prefiltered side by side keeps the prefilter's win (or any
     // regression of it) visible every round
-    "q68_chunk_dedup", "nq_contamination", "nq_contamination_bloom")
+    "q68_chunk_dedup", "nq_contamination", "nq_contamination_bloom",
+    // round-7 continued: heavy hitters — the sketch-prefilter + exact
+    // verify shape (two corpus scans, tiny shuffle) must stay visibly
+    // cheaper than the full-vocabulary shuffle it replaces (q59)
+    "q70_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

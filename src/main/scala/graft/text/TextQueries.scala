@@ -590,7 +590,65 @@ object TextQueries {
       |LEFT JOIN p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  // Heavy hitters over the corpus token stream: every term whose
+  // frequency strictly exceeds `support` of the total token count, with
+  // exact counts. q59 answers "top-k by document frequency" with a
+  // full-vocabulary shuffle; this is the other classic vocabulary
+  // question — "everything above a frequency floor" — with the sketch
+  // shape that question deserves at 100 TB:
+  //   pass 1: Spark's single-pass Karp–Shenker–Papadimitriou candidate
+  //     sketch (`stat.freqItems`) — per-partition counter maps bounded
+  //     at 1/support entries, merged driver-side, NO shuffle; a
+  //     guaranteed SUPERSET of every term above support (false
+  //     positives possible, false negatives impossible — Karp et al.
+  //     2003, "A simple algorithm for finding frequent elements").
+  //   pass 2: ONE exact aggregate whose key is the term for candidates
+  //     and NULL for everything else — ≤ 1/support + 1 groups, map-side
+  //     combined, so the shuffle carries a few hundred rows where q59's
+  //     carries the whole vocabulary. The corpus token total rides out
+  //     of the same aggregate (NULL group + candidate counts sum to
+  //     it) — no third scan.
+  // The exact verify makes the output layout-independent even though
+  // the sketch's false-positive set isn't, and SQL-expressible → the
+  // oracle re-proves the prefilter is semantics-preserving every round
+  // (same pattern as the Bloom decontamination form).
+  def q70HeavyHitters(s: SparkSession, d: String,
+      support: Double = 0.002): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+    val candidates: Seq[String] =
+      toks.stat.freqItems(Seq("term"), support).head.getSeq[String](0)
+    val keyed = // candidate terms keep their identity; the rest pool under NULL
+      if (candidates.isEmpty) lit(null).cast("string")
+      else when(col("term").isin(candidates: _*), col("term"))
+    val grouped = toks.groupBy(keyed.as("term")).agg(count(lit(1)).as("tf"))
+    grouped
+      // single-partition window over ≤ 1/support + 1 rows, not the corpus
+      .withColumn("n_tokens", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+      .filter(col("term").isNotNull &&
+        col("tf").cast("double") > col("n_tokens").cast("double") * lit(support))
+      .select(col("term"), col("tf"), col("n_tokens"))
+      .orderBy("term")
+  }
+
+  val q70Sql: String =
+    """WITH toks AS (
+      |  SELECT t.term
+      |  FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+      |        FROM documents) t
+      |  WHERE length(t.term) > 0),
+      |tot AS (SELECT count(*) AS n FROM toks)
+      |SELECT term, count(*) AS tf, (SELECT n FROM tot) AS n_tokens
+      |FROM toks
+      |GROUP BY term
+      |HAVING CAST(count(*) AS DOUBLE) > CAST((SELECT n FROM tot) AS DOUBLE) * 0.002
+      |ORDER BY term""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_heavy_hitters" -> ((s: SparkSession, d: String) => q70HeavyHitters(s, d)),
     "q62_repetition" -> q62Repetition _,
     "q59_vocab_topk" -> ((s: SparkSession, d: String) => q59VocabTopk(s, d)),
     "q58_pack_sharded" -> ((s: SparkSession, d: String) => q58PackSharded(s, d)),
@@ -609,6 +667,7 @@ object TextQueries {
     "q25_neardup_jaccard" -> ((s: SparkSession, d: String) => q25NeardupJaccard(s, d)))
 
   val oracle: Map[String, String] = Map(
+    "q70_heavy_hitters" -> q70Sql,
     "q62_repetition" -> q62Sql,
     "q59_vocab_topk" -> q59Sql,
     "q58_pack_sharded" -> q58Sql,
