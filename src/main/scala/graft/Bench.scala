@@ -44,8 +44,10 @@ object Bench {
     "q68_chunk_dedup", "nq_contamination", "nq_contamination_bloom",
     // round-7 continued: heavy hitters — the sketch-prefilter + exact
     // verify shape (two corpus scans, tiny shuffle) must stay visibly
-    // cheaper than the full-vocabulary shuffle it replaces (q59)
-    "q70_heavy_hitters")
+    // cheaper than the full-vocabulary shuffle it replaces (q59) — and
+    // LM scoring, the heaviest applied-text shape (bigram build on both
+    // the reference split and the scored corpus + the LM equi-join)
+    "q70_heavy_hitters", "q71_lm_score")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

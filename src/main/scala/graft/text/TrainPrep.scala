@@ -75,6 +75,47 @@ object TrainPrep {
       .orderBy("w1", "w2")
   }
 
+  /** LM quality scoring — APPLY a bigram LM table to a corpus: per doc,
+    * the bigram count and the average negative log-likelihood under the
+    * LM (the log of perplexity). This is the CCNet-style quality filter
+    * (Wenzek et al. 2020 score docs against a reference-corpus KenLM
+    * and keep the low-perplexity tail; q66's bigram table stands in for
+    * KenLM here), completing the pair: q66 TRAINS the table, this
+    * consumes it.
+    *
+    * Bigrams absent from the LM — and LM probabilities that ROUNDED to
+    * zero (q66 rounds p to 4 digits, so a < 0.00005 conditional would
+    * otherwise yield ln(0)) — are clamped to `floorP` before the log:
+    * greatest(coalesce(p, floor), floor) in both engines.
+    *
+    * Scale shape: doc bigrams are the same narrow per-row transform as
+    * q66 (no posexplode window); the score is one equi-join on the
+    * bigram key against a vocab²-bounded LM table (unhinted — AQE
+    * broadcasts it while it fits, SMJ beyond) and one groupBy doc_id
+    * with map-side combine. Nothing is corpus × corpus.
+    */
+  def lmScore(docs: DataFrame, lm: DataFrame,
+      floorP: Double = 1e-4): DataFrame = {
+    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
+    val bgs = docs
+      .select(col("doc_id"), toks.as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(slice(t, 1, size(t) - 1), " +
+          "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"))
+        .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val scored = bgs
+      .join(lm.select(col("w1"), col("w2"), col("p")), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(-log(greatest(coalesce(col("p"), lit(floorP)),
+          lit(floorP)))), 4).as("avg_nll"))
+    // docs too short to score (< 2 tokens) come back as null, not absent
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
+  }
+
   // ----------------------------------------------------------- contract
 
   def q65ShuffleShard(s: SparkSession, d: String): DataFrame =
@@ -84,9 +125,19 @@ object TrainPrep {
   def q66BigramLm(s: SparkSession, d: String): DataFrame =
     bigramLm(documents(s, d))
 
+  /** CCNet split: the LM trains on the reference four-fifths
+    * (doc_id % 5 ≠ 0) and scores the WHOLE corpus, so the held-out
+    * fifth genuinely exercises the unseen-bigram floor. */
+  def q71LmScore(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    lmScore(docs, bigramLm(docs.filter(col("doc_id") % 5 =!= 0)))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_shuffle_shard" -> (q65ShuffleShard _),
-    "q66_bigram_lm" -> (q66BigramLm _))
+    "q66_bigram_lm" -> (q66BigramLm _),
+    "q71_lm_score" -> (q71LmScore _))
 
   // q65 oracle: Mixing's XXH64 replica supplies the unsigned hash `hh`;
   // the signed key is hh − 2^64 for values ≥ 2^63 (two's complement),
@@ -109,6 +160,37 @@ object TrainPrep {
         |  row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id)
         |    AS pos
         |FROM sgn ORDER BY doc_id""".stripMargin),
+    // q71 oracle: q66's LM pipeline restricted to the reference split,
+    // the same adjacent-pair construction for the scored corpus, and
+    // the identical greatest(coalesce(p, floor), floor) clamp before
+    // ln — both engines average the same doubles and round to 4 digits.
+    "q71_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+        |      AS l
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+        |), cnt AS (
+        |  SELECT w1, w2, count(*) AS n FROM bg
+        |  WHERE doc_id % 5 <> 0 GROUP BY 1, 2
+        |), lm AS (
+        |  SELECT w1, w2,
+        |    round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 4) AS p
+        |  FROM cnt
+        |), sc AS (
+        |  SELECT bg.doc_id, count(*) AS n_bigrams,
+        |    round(avg(-ln(greatest(coalesce(lm.p, 0.0001), 0.0001))), 4)
+        |      AS avg_nll
+        |  FROM bg LEFT JOIN lm USING (w1, w2)
+        |  GROUP BY bg.doc_id
+        |)
+        |SELECT d.doc_id, sc.n_bigrams, sc.avg_nll
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q66_bigram_lm" ->
       """WITH toks AS (
         |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')

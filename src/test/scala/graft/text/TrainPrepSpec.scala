@@ -70,6 +70,39 @@ class TrainPrepSpec extends SparkSpec {
     lm.unpersist()
   }
 
+  test("LM score: hand fixture — seen bigrams use LM probs, unseen hit the floor, short docs are null") {
+    val ref = Seq((1L, "a b a c")) // p(b|a)=0.5 p(c|a)=0.5 p(a|b)=1.0
+      .toDF("doc_id", "text")
+    val target = Seq(
+      (10L, "a b"),   // -ln(0.5)                     = 0.6931
+      (11L, "a z"),   // unseen → -ln(1e-4)           = 9.2103
+      (12L, "b a c"), // (-ln(1.0) + -ln(0.5)) / 2    = 0.3466
+      (13L, "x")      // too short: null verdict, row kept
+    ).toDF("doc_id", "text")
+    val out = TrainPrep.lmScore(target, TrainPrep.bigramLm(ref))
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map { case (id, n, s) => id -> ((n, s)) }.toMap
+    assert(out(10L) === ((Some(1L), Some(0.6931))))
+    assert(out(11L) === ((Some(1L), Some(9.2103))))
+    assert(out(12L) === ((Some(2L), Some(0.3466))))
+    assert(out(13L) === ((None, None)))
+    assert(out.size === 4)
+  }
+
+  test("LM score: contract entry scores every doc finitely, held-out split exercised") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = TrainPrep.q71LmScore(spark, sf0001).cache()
+    assert(out.count() === docs.count())
+    // the corpus has no sub-2-token docs, so every verdict is a finite
+    // positive nll (the floor clamp forbids ln(0) → infinity)
+    assert(out.filter($"avg_nll".isNull || isnan($"avg_nll") ||
+      $"avg_nll" <= 0.0 || $"avg_nll" > -math.log(1e-4) + 1e-9).count() === 0)
+    // held-out fifth really present on both sides of the split
+    assert(out.filter($"doc_id" % 5 === 0).count() > 0)
+    assert(out.filter($"doc_id" % 5 =!= 0).count() > 0)
+    out.unpersist()
+  }
+
   private def bigramsOf(docs: org.apache.spark.sql.DataFrame) =
     TrainPrep.bigramLm(docs)
       .as[(String, String, Long, Double)].collect()
