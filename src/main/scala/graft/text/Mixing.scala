@@ -57,12 +57,16 @@ object Mixing {
     * positives, so the output is IDENTICAL to `contamination` (same
     * oracle SQL; pinned in MixingSpec).
     *
-    * Measured (`Scratch contam 50`, 225k docs): shuffle input drops
-    * 11.7M → 262k rows (2.2%). Wall time at local[32] TIES the exact
-    * form — with page-cached input both are scan-dominated, and a
-    * 90 MB hash shuffle is free on one box. The prefilter is for the
-    * cluster regime, where the corpus-side shuffle is network-bound
-    * TBs and a 45× row reduction is the difference between a
+    * Measured (`Scratch contam 50`, 225k docs): candidate shingle rows
+    * admitted to the aggregation drop 11.7M → 262k (2.2%); actual
+    * shuffle records written drop 1.39M → 65k (21× — the exact form's
+    * partial aggregate already combines repeated shingles within
+    * partitions, so the exchange shrinks by less than the raw
+    * candidate ratio). Wall time at local[32] TIES the exact form —
+    * with page-cached input both are scan-dominated, and a small hash
+    * shuffle is free on one box. The prefilter is for the cluster
+    * regime, where the corpus-side shuffle is network-bound TBs and a
+    * 21× record reduction is the difference between a
     * network-saturating stage and a footnote.
     *
     * An exact broadcast hash-set would also work but costs ~8 bytes per

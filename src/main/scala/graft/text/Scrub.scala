@@ -91,17 +91,21 @@ object Scrub {
     * instead of kilobyte strings (two identical hashes from different
     * chunks would need an md5 collision; the oracle groups on the raw
     * string, so a collision would fail the driver check loudly). ONE
-    * corpus scan and two keyed shuffles: a row_number window over the
-    * chunk key marks first occurrences in the same pass that would
-    * otherwise need a groupBy-winner + join-back (which costs a third
-    * shuffle and two extra corpus scans — measured on the first cut's
-    * .explain), then one per-doc hash aggregate rebuilds counts and the
-    * surviving text, its collect_list bounded by a single document's
-    * length. The final left join restores token-less docs; both sides
-    * are corpus-sized and co-keyed on doc_id — no broadcast.
+    * corpus scan and two keyed shuffles, both skew-proof:
+    * min(struct(doc_id, chunk_id, chunk)) per chunk hash picks the
+    * first occurrence WITH map-side partial aggregation — a
+    * boilerplate chunk repeated millions of times collapses to one row
+    * per map partition before the exchange, where the earlier
+    * row_number-window form funneled every copy into a single
+    * un-splittable window task (no partial agg, no AQE skew-split) —
+    * then one per-doc aggregate over the WINNERS ONLY (distinct
+    * chunks, not all chunks) rebuilds counts and surviving text, its
+    * collect_list bounded by a single document's length. n_chunks
+    * never touches the hash shuffle at all: it's ceil(tokens/w),
+    * computed narrowly on the doc side of the final co-keyed doc_id
+    * join — no broadcast, nothing corpus-sized in one task.
     */
   def q68ChunkDedup(s: SparkSession, d: String, w: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = documents(s, d)
     val chunks = docs
       .select(col("doc_id"),
@@ -113,27 +117,31 @@ object Scrub {
         col("t"))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         array_join(expr(s"slice(t, start, $w)"), " ").as("chunk"))
-    val ranked = chunks
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("chunk")))
-          .orderBy(col("doc_id"), col("chunk_id"))))
-    val perDoc = ranked.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_chunks"),
-        count(when(col("rn") === 1, 1)).as("n_kept"),
-        // collect_list drops the nulls `when` leaves on non-kept rows
-        collect_list(when(col("rn") === 1,
-          struct(col("chunk_id"), col("chunk")))).as("lst"))
-      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
-        // all-dropped docs yield NULL (matching the oracle's string_agg
-        // over an empty group), never ""
-        when(col("n_kept") > 0,
-          array_join(
-            transform(array_sort(col("lst")), x => x.getField("chunk")),
-            " ")).as("kept_text"))
-    docs.select("doc_id")
-      .join(perDoc, Seq("doc_id"), "left")
+    // (doc_id, chunk_id) is unique per row, so the struct min is decided
+    // before the chunk text ever compares
+    val winners = chunks
+      .groupBy(md5(col("chunk")).as("h"))
+      .agg(min(struct(col("doc_id"), col("chunk_id"), col("chunk"))).as("win"))
+      .select(col("win.doc_id").as("doc_id"),
+        col("win.chunk_id").as("chunk_id"), col("win.chunk").as("chunk"))
+    val perDoc = winners.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("chunk_id"), col("chunk"))).as("lst"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(
+          transform(array_sort(col("lst")), x => x.getField("chunk")),
+          " ").as("kept_text"))
+    docs
       .select(col("doc_id"),
-        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("t"))
+      .select(col("doc_id"),
+        // sequence(1, 0) is an illegal range — the `when` guards it
+        when(size(col("t")) > 0, expr(s"size(sequence(1, size(t), $w))"))
+          .otherwise(lit(0)).cast("long").as("n_chunks"))
+      // all-dropped docs never appear in `winners` → null kept_text
+      // (matching the oracle's string_agg over an empty group), never ""
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         col("kept_text"))
       .orderBy("doc_id")

@@ -613,9 +613,9 @@ object TextQueries {
   // the sketch's false-positive set isn't, and SQL-expressible → the
   // oracle re-proves the prefilter is semantics-preserving every round
   // (same pattern as the Bloom decontamination form).
-  def q70HeavyHitters(s: SparkSession, d: String,
-      support: Double = 0.002): DataFrame = {
-    val toks = documents(s, d)
+  /** Core operator over any relation with a `text` column. */
+  def heavyHitters(docs: DataFrame, support: Double = 0.002): DataFrame = {
+    val toks = docs
       .select(explode(split(lower(col("text")), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
     val candidates: Seq[String] =
@@ -633,6 +633,10 @@ object TextQueries {
       .select(col("term"), col("tf"), col("n_tokens"))
       .orderBy("term")
   }
+
+  def q70HeavyHitters(s: SparkSession, d: String,
+      support: Double = 0.002): DataFrame =
+    heavyHitters(documents(s, d), support)
 
   val q70Sql: String =
     """WITH toks AS (

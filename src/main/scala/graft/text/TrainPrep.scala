@@ -65,7 +65,7 @@ object TrainPrep {
       // element_at is 1-based; lambda index i is 0-based over the slice
       // of length n-1, so (x, i) pairs t[i+1] with t[i+2]
       .select(explode(expr(
-        "transform(slice(t, 1, size(t) - 1), " +
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
           "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"))
         .as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
@@ -100,7 +100,7 @@ object TrainPrep {
     val bgs = docs
       .select(col("doc_id"), toks.as("t"))
       .select(col("doc_id"), explode(expr(
-        "transform(slice(t, 1, size(t) - 1), " +
+        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
           "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"))
         .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))

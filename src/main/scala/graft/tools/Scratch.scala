@@ -215,35 +215,63 @@ object Scratch {
           regexp_replace(col("text"), "(\\S+)", s"c$r$$1").as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
-      val tmp = java.nio.file.Files.createTempDirectory("contamN").toString
-      corpusN.write.mode("overwrite").parquet(s"$tmp/corpus.parquet")
-      val corpus = spark.read.parquet(s"$tmp/corpus.parquet")
-      println(s"[contam] corpus: ${corpus.count()} docs, bench: ${bench.count()}")
-      // the load-independent scale metric: rows entering the corpus-side
-      // distinct+join shuffle with and without the prefilter (time at
-      // local[32] is scan-dominated for both once page-cached — the
-      // shuffle this kills only becomes the bottleneck when it's
-      // network/disk-bound at cluster scale)
-      val total = graft.text.NearDup.hashedShinglesOf(corpus).count()
-      val benchH = graft.text.NearDup.hashedShinglesOf(bench)
-        .select("h").distinct()
-      val bloom = benchH.stat.bloomFilter("h",
-        math.max(benchH.count(), 1L), 0.01)
-      val bcb = spark.sparkContext.broadcast(bloom)
-      val mm = udf((h: Long) => bcb.value.mightContainLong(h))
-      val kept = graft.text.NearDup.hashedShinglesOf(corpus)
-        .filter(mm(col("h"))).count()
-      println(f"[contam] corpus shingle rows into shuffle: exact=$total%,d " +
-        f"bloom=$kept%,d (${100.0 * kept / total}%.1f%%)")
-      for (round <- 1 to 2) { // best-of-2, mirrors Bench methodology
-        time(s"exact contamination ${fac}x (run $round)") {
-          graft.text.Mixing.contamination(corpus, bench)
-            .write.format("noop").mode("overwrite").save()
+      val tmpPath = java.nio.file.Files.createTempDirectory("contamN")
+      val tmp = tmpPath.toString
+      try {
+        corpusN.write.mode("overwrite").parquet(s"$tmp/corpus.parquet")
+        val corpus = spark.read.parquet(s"$tmp/corpus.parquet")
+        println(s"[contam] corpus: ${corpus.count()} docs, bench: ${bench.count()}")
+        // candidate-volume metric: raw corpus shingle rows the prefilter
+        // admits into the aggregation pipeline (the partial aggregate
+        // then combines within partitions, so this bounds — not equals —
+        // the exchange row reduction; the honest exchange numbers come
+        // from the listener below)
+        val total = graft.text.NearDup.hashedShinglesOf(corpus).count()
+        val benchH = graft.text.NearDup.hashedShinglesOf(bench)
+          .select("h").distinct()
+        val bloom = benchH.stat.bloomFilter("h",
+          math.max(benchH.count(), 1L), 0.01)
+        val bcb = spark.sparkContext.broadcast(bloom)
+        val mm = udf((h: Long) => bcb.value.mightContainLong(h))
+        val kept = graft.text.NearDup.hashedShinglesOf(corpus)
+          .filter(mm(col("h"))).count()
+        println(f"[contam] candidate shingle rows (pre-combine): " +
+          f"exact=$total%,d bloom=$kept%,d (${100.0 * kept / total}%.1f%%)")
+        // the load-independent scale metric: records actually written to
+        // shuffle per query (network/disk volume at cluster scale) —
+        // measured, not inferred from row counts
+        val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val m = e.stageInfo.taskMetrics
+              if (m != null)
+                shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+            }
+          })
+        def measured(label: String)(body: => Unit): Unit = {
+          Thread.sleep(1000); shuffleRecords.set(0L)
+          time(label)(body)
+          Thread.sleep(1000) // listener bus drains async
+          println(f"[contam] $label shuffle records written: " +
+            f"${shuffleRecords.get}%,d")
         }
-        time(s"bloom contamination ${fac}x (run $round)") {
-          graft.text.Mixing.contaminationBloom(corpus, bench)
-            .write.format("noop").mode("overwrite").save()
+        for (round <- 1 to 2) { // best-of-2, mirrors Bench methodology
+          measured(s"exact contamination ${fac}x (run $round)") {
+            graft.text.Mixing.contamination(corpus, bench)
+              .write.format("noop").mode("overwrite").save()
+          }
+          measured(s"bloom contamination ${fac}x (run $round)") {
+            graft.text.Mixing.contaminationBloom(corpus, bench)
+              .write.format("noop").mode("overwrite").save()
+          }
         }
+      } finally { // a fac-times corpus copy must not outlive the probe
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
       spark.stop(); return
     }

@@ -53,18 +53,44 @@ class FormatRoundTripSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-xml")
     try {
       val p = dir.resolve("docs.xml").toString
+      // ignoreSurroundingSpaces=false on read: the source's default
+      // TRIMS element text, so without it this test would only pass
+      // while no corpus text happens to carry padding — pin the real
+      // behavior instead of depending on the generator's luck
       sample.write.mode("overwrite").option("rowTag", "doc").xml(p)
       val schema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("lang", StringType),
         StructField("text", StringType),
         StructField("n_chars", LongType)))
-      val back = spark.read.schema(schema).option("rowTag", "doc").xml(p)
+      val back = spark.read.schema(schema).option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false").xml(p)
         .select("doc_id", "lang", "text", "n_chars")
       assert(back.schema.map(f => (f.name, f.dataType)) ===
         sample.schema.map(f => (f.name, f.dataType)))
       assert(back.orderBy("doc_id").collect()
         .sameElements(sample.orderBy("doc_id").collect()))
+    } finally delete(dir)
+  }
+
+  test("XML edge values: padded and empty text survive with ignoreSurroundingSpaces=false") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-xml-edge")
+    try {
+      val p = dir.resolve("edge.xml").toString
+      val edge = Seq((1L, "  padded  "), (2L, ""), (3L, "plain"))
+        .toDF("doc_id", "text")
+      edge.write.mode("overwrite").option("rowTag", "doc").xml(p)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val back = spark.read.schema(schema).option("rowTag", "doc")
+        .option("ignoreSurroundingSpaces", "false").xml(p)
+        .as[(Long, Option[String])].collect().toMap
+      assert(back(1L) === Some("  padded  "))
+      // with the option set, an empty element round-trips as "" — under
+      // the source's TRIMMING default it would collapse to null, which
+      // is why the main round-trip test sets the option too
+      assert(back(2L) === Some(""))
+      assert(back(3L) === Some("plain"))
     } finally delete(dir)
   }
 

@@ -39,22 +39,7 @@ class HeavyHittersSpec extends SparkSpec {
     val text2 = (Seq.fill(15)("hot") ++ Seq.fill(6)("warm") ++
       (9 until 18).map(i => s"tail$i")).mkString(" ")
     val docs = Seq((0L, text1), (1L, text2)).toDF("doc_id", "text")
-    val toks = docs
-      .select(explode(split(lower($"text"), "\\s+")).as("term"))
-      .filter(length($"term") > 0)
-    val candidates =
-      toks.stat.freqItems(Seq("term"), 0.1).head.getSeq[String](0)
-    assert(candidates.contains("hot") && candidates.contains("warm"),
-      "sketch must never drop a true heavy hitter")
-    val grouped = toks
-      .groupBy(when($"term".isin(candidates: _*), $"term").as("term"))
-      .agg(count(lit(1)).as("tf"))
-    val out = grouped
-      .withColumn("n_tokens", sum("tf").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
-      .filter($"term".isNotNull &&
-        $"tf".cast("double") > $"n_tokens".cast("double") * lit(0.1))
-      .select("term", "tf", "n_tokens")
+    val out = TextQueries.heavyHitters(docs, support = 0.1)
       .as[(String, Long, Long)].collect().toSet
     assert(out === Set(("hot", 30L, 60L), ("warm", 12L, 60L)))
   }
@@ -62,22 +47,8 @@ class HeavyHittersSpec extends SparkSpec {
   test("output is invariant to input partitioning") {
     val a = TextQueries.q70HeavyHitters(spark, sf0001)
       .as[(String, Long, Long)].collect().toSeq
-    val repartitioned = graft.Tables.documents(spark, sf0001).repartition(7)
-    val toks = repartitioned
-      .select(explode(split(lower($"text"), "\\s+")).as("term"))
-      .filter(length($"term") > 0)
-    val candidates =
-      toks.stat.freqItems(Seq("term"), 0.002).head.getSeq[String](0)
-    val grouped = toks
-      .groupBy(when($"term".isin(candidates: _*), $"term").as("term"))
-      .agg(count(lit(1)).as("tf"))
-    val b = grouped
-      .withColumn("n_tokens", sum("tf").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
-      .filter($"term".isNotNull &&
-        $"tf".cast("double") > $"n_tokens".cast("double") * lit(0.002))
-      .select("term", "tf", "n_tokens")
-      .orderBy("term")
+    val b = TextQueries.heavyHitters(
+      graft.Tables.documents(spark, sf0001).repartition(7))
       .as[(String, Long, Long)].collect().toSeq
     assert(a === b)
   }

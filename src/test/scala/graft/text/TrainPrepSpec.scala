@@ -45,7 +45,8 @@ class TrainPrepSpec extends SparkSpec {
       (1L, "a b a b c"), // bigrams: (a,b) (b,a) (a,b) (b,c)
       (2L, "a b"),       // (a,b)
       (3L, "c"),         // too short: no bigram
-      (4L, "  a   c ")   // padded whitespace: tokenizer must see (a,c)
+      (4L, "  a   c "),  // padded whitespace: tokenizer must see (a,c)
+      (5L, "")           // 0 tokens: slice length clamps to 0, no crash
     ).toDF("doc_id", "text")
     val lm = bigramsOf(docs)
     assert(lm === Map(
@@ -77,7 +78,9 @@ class TrainPrepSpec extends SparkSpec {
       (10L, "a b"),   // -ln(0.5)                     = 0.6931
       (11L, "a z"),   // unseen → -ln(1e-4)           = 9.2103
       (12L, "b a c"), // (-ln(1.0) + -ln(0.5)) / 2    = 0.3466
-      (13L, "x")      // too short: null verdict, row kept
+      (13L, "x"),     // too short: null verdict, row kept
+      (14L, ""),      // 0 tokens: slice length must clamp to 0, not -1
+      (15L, "   ")    // whitespace-only: same 0-token edge
     ).toDF("doc_id", "text")
     val out = TrainPrep.lmScore(target, TrainPrep.bigramLm(ref))
       .as[(Long, Option[Long], Option[Double])].collect()
@@ -86,7 +89,9 @@ class TrainPrepSpec extends SparkSpec {
     assert(out(11L) === ((Some(1L), Some(9.2103))))
     assert(out(12L) === ((Some(2L), Some(0.3466))))
     assert(out(13L) === ((None, None)))
-    assert(out.size === 4)
+    assert(out(14L) === ((None, None)))
+    assert(out(15L) === ((None, None)))
+    assert(out.size === 6)
   }
 
   test("LM score: contract entry scores every doc finitely, held-out split exercised") {
