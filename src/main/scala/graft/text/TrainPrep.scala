@@ -75,6 +75,27 @@ object TrainPrep {
       .orderBy("w1", "w2")
   }
 
+  /** Merge bigram LM tables trained on disjoint corpus slices. Counts
+    * are additive — the property that makes count-based LMs scale
+    * (Brants et al. count per shard and merge) and makes the table
+    * incrementally maintainable: a new corpus batch is counted alone
+    * and merged in, never re-scanning old corpora. Conditionals are
+    * recomputed from the merged counts, so the result is EXACTLY the
+    * whole-corpus table (same integers → same doubles → same rounding;
+    * the q72 contract entry rides q66's oracle to re-prove that every
+    * round). Cost is re-aggregation of vocab²-bounded tables —
+    * independent of corpus size.
+    */
+  def bigramLmMerge(lms: Seq[DataFrame]): DataFrame = {
+    require(lms.nonEmpty, "bigramLmMerge needs at least one LM table")
+    lms.map(_.select(col("w1"), col("w2"), col("n")))
+      .reduce(_ unionAll _)
+      .groupBy("w1", "w2").agg(sum("n").as("n"))
+      .withColumn("p",
+        round(col("n") / sum("n").over(Window.partitionBy("w1")), 4))
+      .orderBy("w1", "w2")
+  }
+
   /** LM quality scoring — APPLY a bigram LM table to a corpus: per doc,
     * the bigram count and the average negative log-likelihood under the
     * LM (the log of perplexity). This is the CCNet-style quality filter
@@ -134,10 +155,21 @@ object TrainPrep {
       .orderBy("doc_id")
   }
 
+  /** Shard-and-merge form: two LMs counted on the doc_id-parity halves
+    * of the corpus, merged — must equal q66's whole-corpus table (and
+    * carries q66's oracle so the driver re-proves it). */
+  def q72BigramLmMerge(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    bigramLmMerge(Seq(
+      bigramLm(docs.filter(col("doc_id") % 2 === 0)),
+      bigramLm(docs.filter(col("doc_id") % 2 =!= 0))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_shuffle_shard" -> (q65ShuffleShard _),
     "q66_bigram_lm" -> (q66BigramLm _),
-    "q71_lm_score" -> (q71LmScore _))
+    "q71_lm_score" -> (q71LmScore _),
+    "q72_bigram_lm_merge" -> (q72BigramLmMerge _))
 
   // q65 oracle: Mixing's XXH64 replica supplies the unsigned hash `hh`;
   // the signed key is hh − 2^64 for values ≥ 2^63 (two's complement),
@@ -191,18 +223,24 @@ object TrainPrep {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
-    "q66_bigram_lm" ->
-      """WITH toks AS (
-        |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-        |    AS l
-        |  FROM documents
-        |), bg AS (
-        |  SELECT l[i] AS w1, l[i + 1] AS w2
-        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
-        |), cnt AS (
-        |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2
-        |)
-        |SELECT w1, w2, n,
-        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 4) AS p
-        |FROM cnt ORDER BY w1, w2""".stripMargin)
+    "q66_bigram_lm" -> q66Sql,
+    // the shard-and-merge form must reproduce the whole-corpus table
+    // bit-for-bit, so it carries the SAME oracle — the driver re-proves
+    // merge ≡ monolithic every round
+    "q72_bigram_lm_merge" -> q66Sql)
+
+  lazy val q66Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+      |    AS l
+      |  FROM documents
+      |), bg AS (
+      |  SELECT l[i] AS w1, l[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+      |), cnt AS (
+      |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2
+      |)
+      |SELECT w1, w2, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 4) AS p
+      |FROM cnt ORDER BY w1, w2""".stripMargin
 }

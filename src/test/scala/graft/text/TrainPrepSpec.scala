@@ -71,6 +71,20 @@ class TrainPrepSpec extends SparkSpec {
     lm.unpersist()
   }
 
+  test("bigram LM merge: shard counts re-aggregate to exactly the whole-corpus table") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val whole = TrainPrep.bigramLm(docs)
+      .as[(String, String, Long, Double)].collect().toSet
+    val merged = TrainPrep.q72BigramLmMerge(spark, sf0001)
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(merged === whole, "merge of disjoint shards must be exact")
+    // three-way split exercises the reduce over more than two tables
+    val three = TrainPrep.bigramLmMerge((0 until 3).map(r =>
+      TrainPrep.bigramLm(docs.filter($"doc_id" % 3 === r))))
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(three === whole)
+  }
+
   test("LM score: hand fixture — seen bigrams use LM probs, unseen hit the floor, short docs are null") {
     val ref = Seq((1L, "a b a c")) // p(b|a)=0.5 p(c|a)=0.5 p(a|b)=1.0
       .toDF("doc_id", "text")
