@@ -90,8 +90,9 @@ object Scrub {
     * Scale shape: the dedup key is md5(chunk) — 16-byte shuffle keys
     * instead of kilobyte strings (two identical hashes from different
     * chunks would need an md5 collision; the oracle groups on the raw
-    * string, so a collision would fail the driver check loudly). ONE
-    * corpus scan and two keyed shuffles, both skew-proof:
+    * string, so a collision would fail the driver check loudly). Two
+    * column-pruned corpus scans and two keyed shuffles, both
+    * skew-proof:
     * min(struct(doc_id, chunk_id, chunk)) per chunk hash picks the
     * first occurrence WITH map-side partial aggregation — a
     * boilerplate chunk repeated millions of times collapses to one row
@@ -103,13 +104,15 @@ object Scrub {
     * collect_list bounded by a single document's length. n_chunks
     * never touches the hash shuffle at all: it's ceil(tokens/w),
     * computed narrowly on the doc side of the final co-keyed doc_id
-    * join — no broadcast, nothing corpus-sized in one task.
+    * join — the second (text-only) scan is the price of keeping every
+    * non-winning chunk row out of the doc_id shuffle; no broadcast,
+    * nothing corpus-sized in one task.
     */
   def q68ChunkDedup(s: SparkSession, d: String, w: Int = 16): DataFrame = {
     val docs = documents(s, d)
+    val toksCol = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val chunks = docs
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("t"))
+      .select(col("doc_id"), toksCol.as("t"))
       .filter(size(col("t")) > 0)
       .select(col("doc_id"),
         posexplode(expr(s"sequence(1, size(t), $w)"))
@@ -132,8 +135,7 @@ object Scrub {
           transform(array_sort(col("lst")), x => x.getField("chunk")),
           " ").as("kept_text"))
     docs
-      .select(col("doc_id"),
-        filter(split(col("text"), "\\s+"), t => length(t) > 0).as("t"))
+      .select(col("doc_id"), toksCol.as("t"))
       .select(col("doc_id"),
         // sequence(1, 0) is an illegal range — the `when` guards it
         when(size(col("t")) > 0, expr(s"size(sequence(1, size(t), $w))"))

@@ -171,6 +171,21 @@ object TrainPrep {
     "q71_lm_score" -> (q71LmScore _),
     "q72_bigram_lm_merge" -> (q72BigramLmMerge _))
 
+  val q66Sql: String =
+    """WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
+      |    AS l
+      |  FROM documents
+      |), bg AS (
+      |  SELECT l[i] AS w1, l[i + 1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+      |), cnt AS (
+      |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2
+      |)
+      |SELECT w1, w2, n,
+      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 4) AS p
+      |FROM cnt ORDER BY w1, w2""".stripMargin
+
   // q65 oracle: Mixing's XXH64 replica supplies the unsigned hash `hh`;
   // the signed key is hh − 2^64 for values ≥ 2^63 (two's complement),
   // and because 8 divides 2^64 the unsigned residue hh % 8 IS Spark's
@@ -229,18 +244,4 @@ object TrainPrep {
     // merge ≡ monolithic every round
     "q72_bigram_lm_merge" -> q66Sql)
 
-  lazy val q66Sql: String =
-    """WITH toks AS (
-      |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
-      |    AS l
-      |  FROM documents
-      |), bg AS (
-      |  SELECT l[i] AS w1, l[i + 1] AS w2
-      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
-      |), cnt AS (
-      |  SELECT w1, w2, count(*) AS n FROM bg GROUP BY 1, 2
-      |)
-      |SELECT w1, w2, n,
-      |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY w1), 4) AS p
-      |FROM cnt ORDER BY w1, w2""".stripMargin
 }

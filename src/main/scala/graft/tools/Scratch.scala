@@ -250,12 +250,22 @@ object Scratch {
                 shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
             }
           })
+        // the listener bus is async with no public flush — poll until
+        // the counter stabilizes so late stage events from the previous
+        // query can't be attributed to the next one
+        def drained(): Long = {
+          var prev = -1L; var cur = shuffleRecords.get; var waited = 0
+          while (cur != prev && waited < 15000) {
+            Thread.sleep(500); waited += 500
+            prev = cur; cur = shuffleRecords.get
+          }
+          cur
+        }
         def measured(label: String)(body: => Unit): Unit = {
-          Thread.sleep(1000); shuffleRecords.set(0L)
+          drained(); shuffleRecords.set(0L)
           time(label)(body)
-          Thread.sleep(1000) // listener bus drains async
           println(f"[contam] $label shuffle records written: " +
-            f"${shuffleRecords.get}%,d")
+            f"${drained()}%,d")
         }
         for (round <- 1 to 2) { // best-of-2, mirrors Bench methodology
           measured(s"exact contamination ${fac}x (run $round)") {
@@ -269,9 +279,16 @@ object Scratch {
         }
       } finally { // a fac-times corpus copy must not outlive the probe
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(tmpPath).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val walk = java.nio.file.Files.walk(tmpPath)
+        val paths = try walk.iterator().asScala.toSeq finally walk.close()
+        paths.sortBy(-_.getNameCount).foreach { p =>
+          try {
+            if (!java.nio.file.Files.deleteIfExists(p))
+              println(s"[contam] WARN: could not delete $p")
+          } catch { case e: java.io.IOException =>
+            println(s"[contam] WARN: could not delete $p: ${e.getMessage}")
+          }
+        }
       }
       spark.stop(); return
     }
