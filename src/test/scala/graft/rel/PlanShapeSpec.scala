@@ -41,6 +41,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q68 chunk dedup plans a PARTIAL min per chunk hash, never a window over it") {
+    val df = graft.SparkEntry.queries("q68_chunk_dedup")(spark, sf0001)
+    val plan = finalPhysical(df)
+    // the skew-proof property: first-occurrence-per-hash must come from
+    // an aggregate WITH map-side combine (a boilerplate chunk repeated
+    // millions of times collapses to one row per map partition before
+    // the exchange); a row_number window over the hash key has no
+    // partial phase and funnels every copy into one un-splittable task
+    assert(plan.contains("partial_min"),
+      s"expected a partial min aggregate on the chunk hash:\n$plan")
+    assert(!plan.contains("Window"),
+      s"chunk dedup must not plan a window over the chunk hash:\n$plan")
+  }
+
   test("q59 vocab top-k plans TakeOrdered, never a global sort of the vocabulary") {
     val plan = finalPhysical(
       graft.SparkEntry.queries("q59_vocab_topk")(spark, sf0001))
