@@ -512,6 +512,82 @@ object StreamingOps {
     fs.delete(old, true)
   }
 
+  /** Streaming heavy hitters: a Misra–Gries summary of the corpus
+    * token stream maintained across triggers in a k-bounded store —
+    * the streaming complement of q70's sketch-then-verify. MG
+    * summaries are MERGEABLE (Agarwal et al., "Mergeable Summaries",
+    * PODS 2012): sum counters, subtract the (k+1)-th largest merged
+    * count from every survivor, drop non-positives — and the error
+    * bound (each stored count undercounts its true stream frequency by
+    * at most N/(k+1), N = total tokens so far) survives any merge
+    * tree, so per-trigger merging is as good as a one-shot pass. A
+    * per-batch exact count is itself a valid MG summary with zero
+    * error, so each trigger is: ONE distributed groupBy over the
+    * batch's tokens (map-side combine — the only corpus-sized work),
+    * then the merge against the ≤ k-row store. Any term with true
+    * frequency > N/(k+1) is guaranteed present; q70's exact verify
+    * pass over the surviving candidates turns the summary into exact
+    * heavy hitters whenever needed.
+    *
+    * Exactly-once: foreachBatch redelivers batches on recovery and
+    * counts are not idempotent under re-addition, so the store carries
+    * the last applied batch_id and a replayed trigger is skipped
+    * whole — the standard foreachBatch idempotent-sink pattern
+    * (spec-pinned). The ≤ k-row rewrite commits through the same
+    * rename-swap protocol as the signature-store compaction
+    * (crash-safe via recoverCompactionSwap).
+    */
+  def heavyHittersStream(docs: DataFrame, storePath: String,
+      k: Int = 256)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    require(k > 0, s"k must be positive, got $k")
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val store = new org.apache.hadoop.fs.Path(storePath)
+        val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+        recoverCompactionSwap(fs, store)
+        val prev = if (fs.exists(store)) s.read.parquet(storePath) else null
+        val applied = // idempotent replay: skip an already-applied batch
+          if (prev == null) -1L
+          else prev.agg(coalesce(max("batch_id"), lit(-1L)))
+            .head.getLong(0) // coalesce: a store may hold ZERO rows
+            // (an all-empty first batch) and max over it is null
+        if (batchId > applied) {
+          val batchCounts = batch
+            .select(explode(split(lower(col("text")), "\\s+")).as("term"))
+            .filter(length(col("term")) > 0)
+            .groupBy("term").agg(count(lit(1)).as("cnt"))
+          val merged =
+            (if (prev == null) batchCounts
+             else batchCounts
+               .unionAll(prev.select(col("term"), col("cnt")))
+               .groupBy("term").agg(sum("cnt").as("cnt")))
+              .localCheckpoint() // one computation: threshold + survivors
+          val top = merged.orderBy(col("cnt").desc, col("term")).limit(k + 1)
+            .select("cnt").collect().map(_.getLong(0))
+          val d = if (top.length <= k) 0L else top.last
+          // ≤ k survivors by construction: at most k counts exceed the
+          // (k+1)-th largest
+          val next = merged.filter(col("cnt") > d)
+            .select(col("term"), (col("cnt") - d).as("cnt"),
+              lit(batchId).as("batch_id"))
+          val tmp = compactTmp(store)
+          val old = compactOld(store)
+          next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          if (fs.exists(store) && !fs.rename(store, old))
+            throw new java.io.IOException(
+              s"heavy-hitter swap failed: could not rename $store to $old")
+          if (!fs.rename(tmp, store))
+            throw new java.io.IOException(
+              s"heavy-hitter swap failed: could not rename $tmp to $store")
+          fs.delete(old, true)
+        }
+        ()
+    }
+  }
+
   /** Shared bucket-state transition: emit (min, max) pairs of each new
     * arrival against the held ids, append arrivals up to maxBucket.
     */
