@@ -451,10 +451,20 @@ object StreamingOps {
     *   - tmp present, store present, old absent: crash before the first
     *     rename — tmp is an uncommitted (possibly partial) rewrite and
     *     the store is intact; DISCARD tmp.
+    *
+    * `legacyPromote` governs the one ambiguous state {tmp present,
+    * store absent, old absent}: for the SIGNATURE store it means a
+    * complete rewrite stranded by the pre-rename (delete-based) swap
+    * code — promote it. For a store whose every write goes through
+    * this protocol from birth (the heavy-hitter store), that state is
+    * only reachable by crashing inside the FIRST-ever tmp write, so
+    * the tmp is an uncommitted partial and promoting it would poison
+    * the stream — pass legacyPromote = false to discard it instead.
     */
   private[streaming] def recoverCompactionSwap(
       fs: org.apache.hadoop.fs.FileSystem,
-      store: org.apache.hadoop.fs.Path): Unit = {
+      store: org.apache.hadoop.fs.Path,
+      legacyPromote: Boolean = true): Unit = {
     val tmp = compactTmp(store)
     val old = compactOld(store)
     if (fs.exists(old)) {
@@ -469,10 +479,12 @@ object StreamingOps {
           s"could not restore store after crashed compaction: $old -> $store")
     } else if (fs.exists(tmp)) {
       if (!fs.exists(store)) {
-        // legacy delete-based swap state: tmp is the complete rewrite
-        if (!fs.rename(tmp, store))
-          throw new java.io.IOException(
-            s"could not finish crashed compaction swap: $tmp -> $store")
+        if (legacyPromote) {
+          // legacy delete-based swap state: tmp is the complete rewrite
+          if (!fs.rename(tmp, store))
+            throw new java.io.IOException(
+              s"could not finish crashed compaction swap: $tmp -> $store")
+        } else fs.delete(tmp, true) // uncommitted first write
       } else fs.delete(tmp, true)
     }
   }
@@ -531,11 +543,17 @@ object StreamingOps {
     *
     * Exactly-once: foreachBatch redelivers batches on recovery and
     * counts are not idempotent under re-addition, so the store carries
-    * the last applied batch_id and a replayed trigger is skipped
-    * whole — the standard foreachBatch idempotent-sink pattern
-    * (spec-pinned). The ≤ k-row rewrite commits through the same
-    * rename-swap protocol as the signature-store compaction
-    * (crash-safe via recoverCompactionSwap).
+    * the applied-batch high-water mark (on a NULL-term sentinel row,
+    * so it survives even a rewrite the MG truncation left empty) and a
+    * replayed trigger is skipped whole — the standard foreachBatch
+    * idempotent-sink pattern (spec-pinned). The mark binds the store
+    * to ONE streaming-checkpoint lineage: batch ids restart at 0 for a
+    * new query, so pointing a fresh checkpoint at an existing store
+    * would silently skip its first batches — use a fresh storePath per
+    * query lineage. The ≤ k+1-row rewrite commits through the
+    * signature-store compaction's rename-swap protocol
+    * (recoverCompactionSwap, legacyPromote=false: this store's only
+    * {tmp, no store, no old} state is a crashed first write).
     */
   def heavyHittersStream(docs: DataFrame, storePath: String,
       k: Int = 256)
@@ -547,32 +565,38 @@ object StreamingOps {
         val s = batch.sparkSession
         val store = new org.apache.hadoop.fs.Path(storePath)
         val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
-        recoverCompactionSwap(fs, store)
+        recoverCompactionSwap(fs, store, legacyPromote = false)
         val prev = if (fs.exists(store)) s.read.parquet(storePath) else null
         val applied = // idempotent replay: skip an already-applied batch
           if (prev == null) -1L
           else prev.agg(coalesce(max("batch_id"), lit(-1L)))
-            .head.getLong(0) // coalesce: a store may hold ZERO rows
-            // (an all-empty first batch) and max over it is null
+            .head.getLong(0)
         if (batchId > applied) {
-          val batchCounts = batch
-            .select(explode(split(lower(col("text")), "\\s+")).as("term"))
-            .filter(length(col("term")) > 0)
-            .groupBy("term").agg(count(lit(1)).as("cnt"))
+          // ONE vocab-keyed shuffle per trigger: raw (term, 1) rows and
+          // the ≤ k stored counters union straight into a single
+          // groupBy-sum (map-side combine collapses the batch side; a
+          // separate per-batch count would plan a second full exchange)
+          val raw = graft.text.TextQueries.tokenTerms(batch)
+            .select(col("term"), lit(1L).as("cnt"))
           val merged =
-            (if (prev == null) batchCounts
-             else batchCounts
-               .unionAll(prev.select(col("term"), col("cnt")))
-               .groupBy("term").agg(sum("cnt").as("cnt")))
+            (if (prev == null) raw
+             else raw.unionAll(
+               prev.filter(col("term").isNotNull)
+                 .select(col("term"), col("cnt"))))
+              .groupBy("term").agg(sum("cnt").as("cnt"))
               .localCheckpoint() // one computation: threshold + survivors
           val top = merged.orderBy(col("cnt").desc, col("term")).limit(k + 1)
             .select("cnt").collect().map(_.getLong(0))
           val d = if (top.length <= k) 0L else top.last
           // ≤ k survivors by construction: at most k counts exceed the
-          // (k+1)-th largest
+          // (k+1)-th largest; the sentinel row carries the high-water
+          // mark whether or not any counter survived
+          val sentinel = s.range(1).select(
+            lit(null).cast("string").as("term"), lit(0L).as("cnt"))
           val next = merged.filter(col("cnt") > d)
-            .select(col("term"), (col("cnt") - d).as("cnt"),
-              lit(batchId).as("batch_id"))
+            .select(col("term"), (col("cnt") - d).as("cnt"))
+            .unionAll(sentinel)
+            .withColumn("batch_id", lit(batchId))
           val tmp = compactTmp(store)
           val old = compactOld(store)
           next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)

@@ -613,11 +613,17 @@ object TextQueries {
   // the sketch's false-positive set isn't, and SQL-expressible → the
   // oracle re-proves the prefilter is semantics-preserving every round
   // (same pattern as the Bloom decontamination form).
+  /** Shared tokenizer of the heavy-hitter family — the batch operator
+    * and `StreamingOps.heavyHittersStream`'s MG summary must tokenize
+    * identically or the streaming summary and the batch exact-verify
+    * silently diverge. */
+  private[graft] def tokenTerms(docs: DataFrame): DataFrame =
+    docs.select(explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+
   /** Core operator over any relation with a `text` column. */
   def heavyHitters(docs: DataFrame, support: Double = 0.002): DataFrame = {
-    val toks = docs
-      .select(explode(split(lower(col("text")), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
+    val toks = tokenTerms(docs)
     val candidates: Seq[String] =
       toks.stat.freqItems(Seq("term"), support).head.getSeq[String](0)
     val keyed = // candidate terms keep their identity; the rest pool under NULL
