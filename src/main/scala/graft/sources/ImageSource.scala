@@ -144,6 +144,22 @@ object ImageSource {
         array_join(transform(col("luma_hist"), _.cast("string")), ","))
       .orderBy("image_id")
 
+  /** Driver-contract entry (rows-only): the production feature-extract
+    * job — real PNGs decoded, resized to 64×64, channel means emitted in
+    * the compact (id, dims, means) feature schema a training pipeline
+    * joins on. Distinct from `nq_image_decode`, the full decode dump
+    * (verdict flag + histogram at 32): this is the narrow projection a
+    * 100 TB feature pass actually ships downstream. Backed by the REAL
+    * JDK decoder; `MultimodalStubs.imageFeatures` is now only the
+    * documented fallback for non-JDK codecs.
+    */
+  def imageFeaturesQuery(s: SparkSession, d: String): DataFrame =
+    decodeImageFeatures(generateImages(s, d), resizeTo = 64)
+      .select(col("image_id"), col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy("image_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_image_decode" -> (imageDecodeQuery _))
+    "nq_image_decode" -> (imageDecodeQuery _),
+    "nq_image_features" -> (imageFeaturesQuery _))
 }

@@ -2,7 +2,6 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Tables.documents
 
 /** Image/video multimodal operators: REAL Spark plumbing (schemas,
   * partitioning, per-partition batch shape) with STUBBED codecs.
@@ -21,9 +20,13 @@ import graft.Tables.documents
   */
 object MultimodalStubs {
 
-  /** STUB image decode + resize + channel statistics.
-    * Deterministic fake: "pixels" are a seeded stream derived from
-    * xxhash64 of the content — byte-identical across runs/executors.
+  /** STUB image decode + resize + channel statistics (FALLBACK — the
+    * real path is `ImageSource.decodeImageFeatures`, which backs both
+    * nq_image_decode and nq_image_features): deterministic fake whose
+    * "pixels" are a seeded stream derived from a hash of the content —
+    * byte-identical across runs/executors. Kept ONLY for codecs
+    * javax.imageio cannot read (e.g. WebP/AVIF); swap the codec inside
+    * the same mapPartitions boundary and the plumbing is unchanged.
     */
   def imageFeatures(images: DataFrame, resizeTo: Int = 64): DataFrame = {
     val spark = images.sparkSession
@@ -75,18 +78,10 @@ object MultimodalStubs {
       .toDF("video_id", "frame_idx", "frame_ts_sec", "frame_sig")
   }
 
-  /** Driver-contract entries (rows-only): run the image/video plumbing
-    * over binary fixtures derived deterministically from the documents
-    * table (doc text bytes as opaque content, char count as duration) —
-    * the stubs execute inside Verify/Bench, not only in specs. Swap in a
-    * real codec and these queries are the production feature-extract
-    * jobs unchanged.
+  /** No driver-contract entries remain here: nq_image_features moved to
+    * the real decoder (`ImageSource.imageFeaturesQuery`) and
+    * nq_video_frames has always been `VideoSource`'s. Both stubs above
+    * stay as spec-covered documented fallbacks for non-JDK codecs.
     */
-  def imageFeaturesQuery(s: SparkSession, d: String): DataFrame =
-    imageFeatures(documents(s, d).select(col("doc_id").as("image_id"),
-        encode(col("text"), "UTF-8").as("content")))
-      .orderBy("image_id")
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_image_features" -> (imageFeaturesQuery _))
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

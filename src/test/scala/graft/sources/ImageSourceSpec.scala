@@ -71,4 +71,28 @@ class ImageSourceSpec extends SparkSpec {
     assert(a.length === graft.Tables.documents(spark, sf0001).count())
     assert(a.forall(_.getBoolean(1)), "every generated PNG must decode")
   }
+
+  test("nq_image_features rides the REAL decoder: projection parity + true pixel means") {
+    // parity: the contract entry must be exactly the narrow projection of
+    // decodeImageFeatures at resize 64 — no stub in the loop
+    val contract = ImageSource.imageFeaturesQuery(spark, sf0001).collect()
+    val direct = ImageSource
+      .decodeImageFeatures(ImageSource.generateImages(spark, sf0001), resizeTo = 64)
+      .select("image_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .orderBy("image_id").collect()
+    assert(contract.sameElements(direct))
+    // ground truth: a known solid PNG through the same projection yields
+    // its actual channel means — a content-hash fake cannot
+    val solid = Seq((1L, solidPng(0x204080, 24, 24))).toDF("image_id", "content")
+    val m = ImageSource.decodeImageFeatures(solid, resizeTo = 64)
+      .select("mean_r", "mean_g", "mean_b")
+      .as[(Double, Double, Double)].head()
+    assert(math.abs(m._1 - 0x20 / 255.0) < 1e-4)
+    assert(math.abs(m._2 - 0x40 / 255.0) < 1e-4)
+    assert(math.abs(m._3 - 0x80 / 255.0) < 1e-4)
+    // and the contract rows carry real decoded dims (generateImages'
+    // doc-derived sizes), not the stub's resizeTo-constant dims
+    assert(contract.exists(r => r.getInt(1) != r.getInt(2)),
+      "real dims vary per doc; the stub reported resizeTo for both")
+  }
 }
