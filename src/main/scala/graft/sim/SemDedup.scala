@@ -14,11 +14,20 @@ import org.apache.spark.sql.functions._
   * Scale shape (the whole point of the cluster step): the candidate
   * self-join's key is (cluster), so pair volume is Σ_c n_c² instead of
   * corpus² — k is picked so n_c ≈ corpus/k stays bounded (SemDeDup used
-  * k = 11k clusters for 233M embeddings; k should grow ~√corpus). The
-  * join is a co-shuffled equi-join on a k-cardinality key; no relation
-  * is broadcast (the corpus side scales), no pair leaves its cluster,
-  * and the per-pair score is the codegen'd `vec_dot` on pre-computed
-  * norms. Skewed cluster sizes are AQE's skew-split case (equi-join).
+  * k = 11k clusters for 233M embeddings; k should grow ~√corpus). Both
+  * scale levers are built in, not left to the caller:
+  *   - k derives from a corpus count by default (`autoK` ≈ √n, capped
+  *     at 65 536 so the driver-side size tally stays bounded);
+  *   - clusters that still exceed a size cap are recursively re-fit
+  *     with their own k-means (the SemDeDup paper's own recipe for
+  *     oversized clusters), so one skewed mega-cluster cannot drag the
+  *     candidate join back toward n² — per-leaf pair volume is bounded
+  *     by cap² regardless of how the corpus bunches.
+  * The join is a co-shuffled equi-join on the leaf-cluster key; no
+  * relation is broadcast (the corpus side scales), no pair leaves its
+  * leaf, and the per-pair score is the codegen'd `vec_dot` on
+  * pre-computed norms. Residual size skew inside the cap is AQE's
+  * skew-split case (equi-join).
   *
   * Keeper policy: a vector is a duplicate iff ANY smaller-id vector in
   * its cluster is within `threshold` cosine — i.e. min-id-wins along
@@ -36,22 +45,114 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Core operator over any (id, embedding ARRAY<FLOAT>) frame.
-    * Returns one row per input vector: (id, cluster, is_dup) — callers
-    * keep `!is_dup`.
+  /** k-means tree: a root model plus sub-models for the root clusters
+    * whose population exceeded the size cap — the persistable artifact
+    * of `fitBounded` (the analogue of a flat `KMeansModel`, which a
+    * single skewed corpus can defeat).
     */
-  def semanticDedup(vecs: DataFrame, idCol: String, embCol: String,
-      k: Int = 16, threshold: Double = 0.97, seed: Long = 42L): DataFrame = {
-    val s = vecs.sparkSession
-    graft.functions.VecFunctions.register(s)
-    val e = vecs.select(col(idCol).as("id"), col(embCol).as("emb"),
-      array_to_vector(col(embCol)).as("v"),
-      sqrt(expr(s"vec_dot($embCol, $embCol)")).as("nrm"))
+  final case class ClusterTree(model: org.apache.spark.ml.clustering.KMeansModel,
+      children: Map[Int, ClusterTree])
+
+  /** √n heuristic from the SemDeDup paper's own sizing (k = 11k for
+    * 233M ⇒ ≈ √n/1.4), capped so the per-fit driver tally (k cluster
+    * sizes) stays bounded at any corpus size — beyond the cap the
+    * recursive split carries the rest of the size control.
+    */
+  def autoK(n: Long): Int =
+    math.min(65536L, math.max(2L, math.ceil(math.sqrt(n.toDouble)).toLong)).toInt
+
+  /** Default leaf-size cap: 4× the average cluster under k — generous
+    * enough that a healthy corpus never splits, tight enough that a
+    * mega-cluster's candidate join stays ~cap² per leaf.
+    */
+  def autoCap(n: Long, k: Int): Long = math.max(64L, 4L * (n / math.max(1, k) + 1))
+
+  /** Fit a size-bounded cluster tree: root k-means, then recursively
+    * re-fit every cluster whose population exceeds `sizeCap` with its
+    * own k-means (kSub = ⌈n_c/cap⌉), down to `maxDepth` levels. The
+    * only driver materialization per fit is the k-row size tally; every
+    * re-fit is a distributed job over just that cluster's rows.
+    */
+  private[sim] def fitBounded(e: DataFrame, k: Int, sizeCap: Long,
+      seed: Long, maxDepth: Int): ClusterTree = {
     val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("v")
       .setPredictionCol("cluster").fit(e)
-    val assigned = model.transform(e)
+    if (maxDepth <= 0) return ClusterTree(model, Map.empty)
+    val assigned = model.transform(e).persist()
+    try {
+      val sizes = assigned.groupBy("cluster").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ k rows
+      val children = sizes.collect {
+        case (c, nC) if nC > sizeCap =>
+          val kSub = math.min(nC,
+            math.max(2L, math.ceil(nC.toDouble / sizeCap).toLong)).toInt
+          c -> fitBounded(assigned.filter(col("cluster") === c).drop("cluster"),
+            kSub, sizeCap, seed * 31 + c + 1, maxDepth - 1)
+      }.toMap
+      ClusterTree(model, children)
+    } finally assigned.unpersist()
+  }
+
+  /** Assign leaf-cluster paths under a trained tree: rows in un-split
+    * root clusters get "c"; rows in split ones recurse to "c.s[.t…]".
+    * The path string IS the equi-join key downstream — two rows are
+    * candidates iff their full paths match. Union width = number of
+    * split clusters (small by construction).
+    */
+  private[sim] def assignTree(tree: ClusterTree, e: DataFrame): DataFrame = {
+    val assigned = tree.model.transform(e)
+    if (tree.children.isEmpty)
+      assigned.withColumn("cluster", col("cluster").cast("string"))
+    else {
+      val splitKeys = tree.children.keys.toSeq
+      val flat = assigned.filter(!col("cluster").isInCollection(splitKeys))
+        .withColumn("cluster", col("cluster").cast("string"))
+      tree.children.foldLeft(flat) { case (acc, (c, child)) =>
+        val sub = assignTree(child, assigned.filter(col("cluster") === c)
+          .drop("cluster"))
+        acc.unionAll(sub.withColumn("cluster",
+          concat(lit(s"$c."), col("cluster"))))
+      }
+    }
+  }
+
+  /** id/emb/norm/feature-vector projection shared by every entry. */
+  private def prep(vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    graft.functions.VecFunctions.register(vecs.sparkSession)
+    vecs.select(col(idCol).as("id"), col(embCol).as("emb"),
+      array_to_vector(col(embCol)).as("v"),
+      sqrt(expr(s"vec_dot($embCol, $embCol)")).as("nrm"))
+  }
+
+  /** Train the size-bounded tree over a corpus. k ≤ 0 → `autoK(n)`;
+    * sizeCap ≤ 0 → `autoCap(n, k)`. The one extra corpus pass (the
+    * count) is what makes the defaults scale-correct instead of
+    * hardcoded.
+    */
+  def fitCorpus(vecs: DataFrame, idCol: String, embCol: String,
+      k: Int = 0, sizeCap: Long = 0L, seed: Long = 42L,
+      maxDepth: Int = 3): ClusterTree = {
+    val e = prep(vecs, idCol, embCol)
+    val kEff = if (k > 0) k else autoK(e.count())
+    val capEff = if (sizeCap > 0) sizeCap else autoCap(e.count(), kEff)
+    fitBounded(e, kEff, capEff, seed, maxDepth)
+  }
+
+  /** Core operator over any (id, embedding ARRAY<FLOAT>) frame.
+    * Returns one row per input vector: (id, cluster, is_dup) — callers
+    * keep `!is_dup`. `cluster` is the leaf path (e.g. "7" or "7.2").
+    */
+  def semanticDedup(vecs: DataFrame, idCol: String, embCol: String,
+      k: Int = 0, threshold: Double = 0.97, seed: Long = 42L,
+      sizeCap: Long = 0L, maxDepth: Int = 3): DataFrame = {
+    val e = prep(vecs, idCol, embCol)
+    val n = e.count()
+    val kEff = if (k > 0) k else autoK(n)
+    val capEff = if (sizeCap > 0) sizeCap else autoCap(n, kEff)
+    val tree = fitBounded(e, kEff, capEff, seed, maxDepth)
+    val assigned = assignTree(tree, e)
       .select(col("id"), col("emb"), col("nrm"), col("cluster"))
-    // within-cluster candidate pairs, scored one direction only
+    // within-leaf candidate pairs, scored one direction only
     // (lo < hi): the higher id is the one at risk of dropping
     val lo = assigned.select(col("cluster"), col("id").as("lo_id"),
       col("emb").as("lo_emb"), col("nrm").as("lo_nrm"))
@@ -69,21 +170,23 @@ object SemDedup {
       .orderBy("id")
   }
 
-  /** Projection + cluster assignment under an ALREADY-TRAINED model —
-    * the reusable artifact of the incremental path (the analogue of the
-    * text side's persisted signature store: train once over the corpus,
-    * assign forever). One narrow pass; the model's k×dim centers ride
-    * the closure. */
+  /** Projection + cluster assignment under an ALREADY-TRAINED flat
+    * model — the reusable artifact of the incremental path (the
+    * analogue of the text side's persisted signature store: train once
+    * over the corpus, assign forever). One narrow pass; the model's
+    * k×dim centers ride the closure. */
   def assign(model: org.apache.spark.ml.clustering.KMeansModel,
-      vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val s = vecs.sparkSession
-    graft.functions.VecFunctions.register(s)
-    model.transform(
-      vecs.select(col(idCol).as("id"), col(embCol).as("emb"),
-        array_to_vector(col(embCol)).as("v"),
-        sqrt(expr(s"vec_dot($embCol, $embCol)")).as("nrm")))
+      vecs: DataFrame, idCol: String, embCol: String): DataFrame =
+    model.transform(prep(vecs, idCol, embCol))
       .select(col("id"), col("emb"), col("nrm"), col("cluster"))
-  }
+
+  /** Same under a size-bounded `ClusterTree` (from `fitCorpus`): the
+    * cluster column is the leaf path, so a batch lands in exactly the
+    * leaves the corpus was deduped in — split clusters included. */
+  def assign(tree: ClusterTree, vecs: DataFrame, idCol: String,
+      embCol: String): DataFrame =
+    assignTree(tree, prep(vecs, idCol, embCol))
+      .select(col("id"), col("emb"), col("nrm"), col("cluster"))
 
   /** Incremental semantic dedup: verdicts for a NEW batch against an
     * existing corpus without ever re-scoring corpus × corpus — the
@@ -135,20 +238,18 @@ object SemDedup {
       .withColumnRenamed("id", "vec_id")
 
   /** Incremental entry: vec_id ≡ 0 (mod 10) plays the new batch, the
-    * rest the standing corpus; the model trains on the corpus only
-    * (the batch must not influence the buckets it is judged in). */
+    * rest the standing corpus; the size-bounded tree trains on the
+    * corpus only (the batch must not influence the buckets it is
+    * judged in) with the same auto-k/auto-cap defaults as the batch
+    * path. */
   def semanticDedupIncrementalQuery(s: SparkSession, d: String): DataFrame = {
-    graft.functions.VecFunctions.register(s)
     val all = graft.Tables.embeddings(s, d)
     val corpus = all.filter(col("vec_id") % 10 =!= 0)
     val batch = all.filter(col("vec_id") % 10 === 0)
-    val e = corpus.select(col("vec_id"),
-      array_to_vector(col("embedding")).as("v"))
-    val model = new KMeans().setK(16).setSeed(42).setFeaturesCol("v")
-      .setPredictionCol("cluster").fit(e)
+    val tree = fitCorpus(corpus, "vec_id", "embedding")
     semanticDedupIncremental(
-      assign(model, corpus, "vec_id", "embedding"),
-      assign(model, batch, "vec_id", "embedding"))
+      assign(tree, corpus, "vec_id", "embedding"),
+      assign(tree, batch, "vec_id", "embedding"))
       .withColumnRenamed("id", "vec_id")
   }
 

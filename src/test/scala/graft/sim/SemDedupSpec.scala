@@ -29,7 +29,7 @@ class SemDedupSpec extends SparkSpec {
 
   test("planted near-twins drop, their lower-id originals survive") {
     val out = SemDedup.semanticDedup(fixture(), "id", "emb", k = 4)
-      .as[(Long, Int, Boolean)].collect()
+      .as[(Long, String, Boolean)].collect()
     assert(out.length === 45)
     val dup = out.filter(_._3).map(_._1).toSet
     // every planted twin (ids 100..104) is flagged; every original kept
@@ -48,10 +48,67 @@ class SemDedupSpec extends SparkSpec {
     // boundary assignments — legitimately depend on the input layout
     // (documented in SemDedup's scaladoc). Same layout => same verdicts.
     val a = SemDedup.semanticDedup(fixture(), "id", "emb", k = 4)
-      .as[(Long, Int, Boolean)].collect().toSet
+      .as[(Long, String, Boolean)].collect().toSet
     val b = SemDedup.semanticDedup(fixture(), "id", "emb", k = 4)
-      .as[(Long, Int, Boolean)].collect().toSet
+      .as[(Long, String, Boolean)].collect().toSet
     assert(a === b)
+  }
+
+  test("a planted mega-cluster splits: leaf sizes bounded, twins still drop") {
+    // 240 vectors bunched around one direction (|u| ≈ 4, σ=0.9 noise →
+    // pairwise cosine ≈ 0.55, far below the 0.97 threshold, so NONE are
+    // semantic dups) + 40 scattered vectors + one true near-twin
+    // planted in the bunch.
+    val rnd = new Random(11)
+    def noisy(u: Array[Double], sigma: Double): Array[Float] = {
+      val v = u.map(x => x + sigma * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val u = Array.fill(16)(rnd.nextGaussian())
+    val blob = (0L until 240L).map(i => (i, noisy(u, 0.9)))
+    val scattered = (1000L until 1040L).map { i =>
+      (i, noisy(Array.fill(16)(rnd.nextGaussian()), 0.0))
+    }
+    val twinOf0 = (5000L, blob.head._2.updated(0, blob.head._2(0) + 0.01f))
+    val df = (blob ++ scattered :+ twinOf0).toDF("id", "emb")
+
+    val cap = 40L
+    val out = SemDedup.semanticDedup(df, "id", "emb",
+      k = 4, sizeCap = cap).cache()
+    val leafSizes = out.groupBy("cluster").count()
+      .as[(String, Long)].collect().map(_._2)
+    // with k=4 over 281 rows some root cluster must exceed cap=40; the
+    // recursive re-fit has to bring every leaf under ~2×cap — the bound
+    // that keeps Σ n_c² ≈ n·cap instead of the unsplit quadratic
+    assert(out.select("cluster").distinct().count() > 4,
+      "no cluster was ever split despite cap < n/k")
+    assert(leafSizes.max <= 2 * cap,
+      s"oversized leaf survived the recursive split: ${leafSizes.max}")
+    val pairVolume = leafSizes.map(s => s * s).sum
+    assert(pairVolume < 281L * 281L / 4,
+      s"pair volume $pairVolume not meaningfully below unsplit quadratic")
+    // semantics survive the splitting: the one true twin drops, and the
+    // bunched-but-not-duplicate vectors all survive
+    val dup = out.filter($"is_dup").as[(Long, String, Boolean)]
+      .collect().map(_._1).toSet
+    assert(dup === Set(5000L),
+      s"expected exactly the planted twin to drop, got $dup")
+    out.unpersist()
+
+    // incremental under the same bounded tree: a batch twin of a blob
+    // member drops, a fresh vector survives
+    val tree = SemDedup.fitCorpus(df, "id", "emb", k = 4, sizeCap = cap)
+    val fresh = noisy(Array.fill(16)(rnd.nextGaussian()), 0.0)
+    val batch = Seq(
+      (9000L, blob(7)._2.updated(1, blob(7)._2(1) + 0.01f)),
+      (9001L, fresh)).toDF("id", "emb")
+    val inc = SemDedup.semanticDedupIncremental(
+      SemDedup.assign(tree, df, "id", "emb"),
+      SemDedup.assign(tree, batch, "id", "emb"))
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r._3).toMap
+    assert(inc(9000L), "batch twin of a corpus blob member must drop")
+    assert(!inc(9001L), "fresh batch vector must survive")
   }
 
   test("incremental: batch verdicts against a standing corpus, corpus never self-scored") {
