@@ -546,10 +546,13 @@ object StreamingOps {
     * the applied-batch high-water mark (on a NULL-term sentinel row,
     * so it survives even a rewrite the MG truncation left empty) and a
     * replayed trigger is skipped whole — the standard foreachBatch
-    * idempotent-sink pattern (spec-pinned). The mark binds the store
-    * to ONE streaming-checkpoint lineage: batch ids restart at 0 for a
-    * new query, so pointing a fresh checkpoint at an existing store
-    * would silently skip its first batches — use a fresh storePath per
+    * idempotent-sink pattern (spec-pinned). The mark only means
+    * anything within ONE streaming-checkpoint lineage (batch ids
+    * restart at 0 for a new query), so every store row also carries
+    * the STABLE streaming query id (`sql.streaming.queryId`, persisted
+    * in the checkpoint metadata, unchanged across restarts): a fresh
+    * checkpoint pointed at an existing store FAILS LOUDLY instead of
+    * silently skipping its first batches — use a fresh storePath per
     * query lineage. The ≤ k+1-row rewrite commits through the
     * signature-store compaction's rename-swap protocol
     * (recoverCompactionSwap, legacyPromote=false: this store's only
@@ -562,54 +565,109 @@ object StreamingOps {
     require(k > 0, s"k must be positive, got $k")
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        val store = new org.apache.hadoop.fs.Path(storePath)
-        val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
-        recoverCompactionSwap(fs, store, legacyPromote = false)
-        val prev = if (fs.exists(store)) s.read.parquet(storePath) else null
-        val applied = // idempotent replay: skip an already-applied batch
-          if (prev == null) -1L
-          else prev.agg(coalesce(max("batch_id"), lit(-1L)))
-            .head.getLong(0)
-        if (batchId > applied) {
-          // ONE vocab-keyed shuffle per trigger: raw (term, 1) rows and
-          // the ≤ k stored counters union straight into a single
-          // groupBy-sum (map-side combine collapses the batch side; a
-          // separate per-batch count would plan a second full exchange)
-          val raw = graft.text.TextQueries.tokenTerms(batch)
-            .select(col("term"), lit(1L).as("cnt"))
-          val merged =
-            (if (prev == null) raw
-             else raw.unionAll(
-               prev.filter(col("term").isNotNull)
-                 .select(col("term"), col("cnt"))))
-              .groupBy("term").agg(sum("cnt").as("cnt"))
-              .localCheckpoint() // one computation: threshold + survivors
-          val top = merged.orderBy(col("cnt").desc, col("term")).limit(k + 1)
-            .select("cnt").collect().map(_.getLong(0))
-          val d = if (top.length <= k) 0L else top.last
-          // ≤ k survivors by construction: at most k counts exceed the
-          // (k+1)-th largest; the sentinel row carries the high-water
-          // mark whether or not any counter survived
-          val sentinel = s.range(1).select(
-            lit(null).cast("string").as("term"), lit(0L).as("cnt"))
-          val next = merged.filter(col("cnt") > d)
-            .select(col("term"), (col("cnt") - d).as("cnt"))
-            .unionAll(sentinel)
-            .withColumn("batch_id", lit(batchId))
-          val tmp = compactTmp(store)
-          val old = compactOld(store)
-          next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          if (fs.exists(store) && !fs.rename(store, old))
-            throw new java.io.IOException(
-              s"heavy-hitter swap failed: could not rename $store to $old")
-          if (!fs.rename(tmp, store))
-            throw new java.io.IOException(
-              s"heavy-hitter swap failed: could not rename $tmp to $store")
-          fs.delete(old, true)
-        }
-        ()
+        // the stable query id: set by the stream-execution thread,
+        // recovered from checkpoint metadata on restart (runId changes
+        // per restart, this does not) — the lineage the store binds to
+        val lineage = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("unknown")
+        applyHeavyHitterBatch(batch, batchId, lineage, storePath, k)
     }
+  }
+
+  /** One trigger of the MG merge — exposed (package-private) so the
+    * exactly-once semantics are testable as they actually occur: a
+    * redelivery is the SAME lineage re-sending an applied batch id
+    * (skipped), a lineage mismatch is a DIFFERENT query id over an
+    * existing store (throws).
+    */
+  private[streaming] def applyHeavyHitterBatch(batch: DataFrame,
+      batchId: Long, lineage: String, storePath: String, k: Int): Unit = {
+    val s = batch.sparkSession
+    val store = new org.apache.hadoop.fs.Path(storePath)
+    val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverCompactionSwap(fs, store, legacyPromote = false)
+    val prev = if (fs.exists(store)) s.read.parquet(storePath) else null
+    val applied = // idempotent replay: skip an already-applied batch
+      if (prev == null) -1L
+      else {
+        val head = prev.agg(coalesce(max("batch_id"), lit(-1L)),
+          coalesce(max("query_id"), lit("unknown"))).head
+        val storedLineage = head.getString(1)
+        if (storedLineage != lineage)
+          throw new IllegalStateException(
+            s"heavy-hitter store $storePath belongs to streaming query " +
+              s"lineage $storedLineage but this query is $lineage: batch " +
+              "ids restart at 0 for a new checkpoint, so continuing would " +
+              "silently skip this lineage's first batches. Use a fresh " +
+              "storePath per query lineage (or resume from the original " +
+              "checkpoint).")
+        head.getLong(0)
+      }
+    if (batchId > applied) {
+      // ONE vocab-keyed shuffle per trigger: raw (term, 1) rows and
+      // the ≤ k stored counters union straight into a single
+      // groupBy-sum (map-side combine collapses the batch side; a
+      // separate per-batch count would plan a second full exchange)
+      val raw = graft.text.TextQueries.tokenTerms(batch)
+        .select(col("term"), lit(1L).as("cnt"))
+      val merged =
+        (if (prev == null) raw
+         else raw.unionAll(
+           prev.filter(col("term").isNotNull)
+             .select(col("term"), col("cnt"))))
+          .groupBy("term").agg(sum("cnt").as("cnt"))
+          .localCheckpoint() // one computation: threshold + survivors
+      val top = merged.orderBy(col("cnt").desc, col("term")).limit(k + 1)
+        .select("cnt").collect().map(_.getLong(0))
+      val d = if (top.length <= k) 0L else top.last
+      // ≤ k survivors by construction: at most k counts exceed the
+      // (k+1)-th largest; the sentinel row carries the high-water
+      // mark whether or not any counter survived
+      val sentinel = s.range(1).select(
+        lit(null).cast("string").as("term"), lit(0L).as("cnt"))
+      val next = merged.filter(col("cnt") > d)
+        .select(col("term"), (col("cnt") - d).as("cnt"))
+        .unionAll(sentinel)
+        .withColumn("batch_id", lit(batchId))
+        .withColumn("query_id", lit(lineage))
+      val tmp = compactTmp(store)
+      val old = compactOld(store)
+      next.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      if (fs.exists(store) && !fs.rename(store, old))
+        throw new java.io.IOException(
+          s"heavy-hitter swap failed: could not rename $store to $old")
+      if (!fs.rename(tmp, store))
+        throw new java.io.IOException(
+          s"heavy-hitter swap failed: could not rename $tmp to $store")
+      fs.delete(old, true)
+    }
+  }
+
+  /** The MG store's READ path — the "summary → exact heavy hitters
+    * whenever needed" half of the streaming heavy-hitter design: the
+    * ≤ k stored counters are the candidate set (the MG bound makes
+    * them a guaranteed superset of every term with true frequency
+    * > N/(k+1)), and q70's exact-verify aggregate turns them into
+    * exact counts in ONE corpus pass whose shuffle carries ≤ k+1
+    * groups — no freqItems sketch pass, no vocabulary-sized exchange.
+    *
+    * Sound iff support ≥ 1/(k+1): below that floor the summary can
+    * have already dropped a qualifying term, so the require is part of
+    * the contract, not a convenience check. Equivalence with batch
+    * `TextQueries.heavyHitters` on the same corpus is spec-pinned.
+    */
+  def heavyHittersFromStore(docs: DataFrame, storePath: String, k: Int,
+      support: Double): DataFrame = {
+    require(support >= 1.0 / (k + 1),
+      s"support $support below the MG guarantee floor 1/(k+1)=${1.0 / (k + 1)}:" +
+        " the summary may have dropped a qualifying term; rebuild the" +
+        " store with a larger k or raise support")
+    val s = docs.sparkSession
+    val candidates = s.read.parquet(storePath)
+      .filter(col("term").isNotNull)
+      .select("term").collect().map(_.getString(0)).toSeq // ≤ k rows
+    graft.text.TextQueries.exactVerify(
+      graft.text.TextQueries.tokenTerms(docs), candidates, support)
   }
 
   /** Shared bucket-state transition: emit (min, max) pairs of each new

@@ -621,23 +621,34 @@ object TextQueries {
     docs.select(explode(split(lower(col("text")), "\\s+")).as("term"))
       .filter(length(col("term")) > 0)
 
-  /** Core operator over any relation with a `text` column. */
-  def heavyHitters(docs: DataFrame, support: Double = 0.002): DataFrame = {
-    val toks = tokenTerms(docs)
-    val candidates: Seq[String] =
-      toks.stat.freqItems(Seq("term"), support).head.getSeq[String](0)
+  /** q70's pass 2, shared with the streaming MG store's read path
+    * (`StreamingOps.heavyHittersFromStore`): ONE exact aggregate keyed
+    * candidate-or-NULL over an already-tokenized corpus. Correct for
+    * ANY candidate superset of the true heavy hitters — the caller
+    * owns that guarantee (freqItems sketch here, the MG bound there).
+    */
+  private[graft] def exactVerify(toks: DataFrame, candidates: Seq[String],
+      support: Double): DataFrame = {
     val keyed = // candidate terms keep their identity; the rest pool under NULL
       if (candidates.isEmpty) lit(null).cast("string")
       else when(col("term").isin(candidates: _*), col("term"))
     val grouped = toks.groupBy(keyed.as("term")).agg(count(lit(1)).as("tf"))
     grouped
-      // single-partition window over ≤ 1/support + 1 rows, not the corpus
+      // single-partition window over the candidate-count rows, not the corpus
       .withColumn("n_tokens", sum("tf").over(
         org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
       .filter(col("term").isNotNull &&
         col("tf").cast("double") > col("n_tokens").cast("double") * lit(support))
       .select(col("term"), col("tf"), col("n_tokens"))
       .orderBy("term")
+  }
+
+  /** Core operator over any relation with a `text` column. */
+  def heavyHitters(docs: DataFrame, support: Double = 0.002): DataFrame = {
+    val toks = tokenTerms(docs)
+    val candidates: Seq[String] =
+      toks.stat.freqItems(Seq("term"), support).head.getSeq[String](0)
+    exactVerify(toks, candidates, support)
   }
 
   def q70HeavyHitters(s: SparkSession, d: String,

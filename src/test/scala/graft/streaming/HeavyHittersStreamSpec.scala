@@ -80,16 +80,16 @@ class HeavyHittersStreamSpec extends SparkSpec {
   }
 
   test("redelivered batch ids are skipped — the store never double-counts") {
-    // batch ids restart at 0 for each new query, which is exactly what
-    // a foreachBatch redelivery after an uncommitted trigger looks
-    // like; the documented contract is one store per checkpoint
-    // lineage, so the second query BELOW plays the redelivery
+    // a real foreachBatch redelivery is the SAME query lineage
+    // re-sending an already-applied batch id after an uncommitted
+    // trigger — simulated exactly through the per-trigger entry point
     val dir = java.nio.file.Files.createTempDirectory("graft-hh2")
     val storePath = dir.resolve("hh").toString
     try {
-      runBatches(storePath, 4, Seq(Seq((0L, "x x x y z"))))
+      val batch = Seq((0L, "x x x y z")).toDF("doc_id", "text")
+      StreamingOps.applyHeavyHitterBatch(batch, 0L, "L", storePath, 4)
       val before = counters(storePath)
-      runBatches(storePath, 4, Seq(Seq((0L, "x x x y z"))))
+      StreamingOps.applyHeavyHitterBatch(batch, 0L, "L", storePath, 4)
       assert(counters(storePath) === before, "replay must not double-count")
       assert(before("x") === 3L)
     } finally delete(dir)
@@ -103,20 +103,107 @@ class HeavyHittersStreamSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-hh3")
     val storePath = dir.resolve("hh").toString
     try {
-      runBatches(storePath, 1,
-        Seq(Seq((0L, "h h h t")), Seq((1L, "x x"))))
+      val b0 = Seq((0L, "h h h t")).toDF("doc_id", "text")
+      val b1 = Seq((1L, "x x")).toDF("doc_id", "text")
+      StreamingOps.applyHeavyHitterBatch(b0, 0L, "L", storePath, 1)
+      StreamingOps.applyHeavyHitterBatch(b1, 1L, "L", storePath, 1)
       assert(counters(storePath) === Map.empty[String, Long])
       val applied = spark.read.parquet(storePath)
         .agg(org.apache.spark.sql.functions.max("batch_id"))
         .head.getLong(0)
       assert(applied === 1L, "sentinel must carry the high-water mark")
       // redelivery of both already-applied batch ids: no-ops
-      runBatches(storePath, 1,
-        Seq(Seq((10L, "h h h t")), Seq((11L, "x x"))))
+      StreamingOps.applyHeavyHitterBatch(b0, 0L, "L", storePath, 1)
+      StreamingOps.applyHeavyHitterBatch(b1, 1L, "L", storePath, 1)
       assert(counters(storePath) === Map.empty[String, Long])
       assert(spark.read.parquet(storePath)
         .agg(org.apache.spark.sql.functions.max("batch_id"))
         .head.getLong(0) === 1L)
+    } finally delete(dir)
+  }
+
+  test("store + exact verify ≡ batch heavy hitters on the same corpus") {
+    // 3 streamed batches build the MG summary; reading it back through
+    // the exact-verify pass must give exactly what the batch operator
+    // computes from scratch on the same corpus — the summary is a
+    // candidate generator, never a source of approximate answers
+    val k = 8
+    val support = 0.15 // ≥ 1/(k+1) ≈ 0.111, the soundness floor
+    val batchDocs = (0 until 3).map { t =>
+      (t.toLong, (Seq.fill(10)("hot") ++ Seq.fill(5)("warm") ++
+        (0 until 10).map(i => s"tail${t}_$i")).mkString(" "))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh6")
+    val storePath = dir.resolve("hh").toString
+    try {
+      batchDocs.zipWithIndex.foreach { case (doc, i) =>
+        StreamingOps.applyHeavyHitterBatch(
+          Seq(doc).toDF("doc_id", "text"), i.toLong, "L", storePath, k)
+      }
+      val corpus = batchDocs.toDF("doc_id", "text")
+      val fromStore = StreamingOps
+        .heavyHittersFromStore(corpus, storePath, k, support).collect().toSeq
+      val batch = graft.text.TextQueries
+        .heavyHitters(corpus, support).collect().toSeq
+      assert(fromStore === batch)
+      assert(fromStore.map(_.getString(0)).toSet === Set("hot", "warm"),
+        s"hot=40%, warm=20% are the only terms above 15%: $fromStore")
+      // below the MG soundness floor the read path must refuse
+      val ex = intercept[IllegalArgumentException] {
+        StreamingOps.heavyHittersFromStore(corpus, storePath, k, 0.01)
+      }
+      assert(ex.getMessage.contains("floor"))
+    } finally delete(dir)
+  }
+
+  test("a fresh checkpoint over an existing store fails loudly, not silently") {
+    // batch ids restart at 0 for a new query; before the lineage guard
+    // this silently skipped the new query's first batches
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh4")
+    val storePath = dir.resolve("hh").toString
+    try {
+      runBatches(storePath, 4, Seq(Seq((0L, "x x x y z"))))
+      val before = counters(storePath)
+      val ex = intercept[Exception] {
+        runBatches(storePath, 4, Seq(Seq((1L, "fresh data"))))
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Seq.empty else t +: chain(t.getCause)
+      assert(chain(ex).exists(c => c.getMessage != null &&
+        c.getMessage.contains("lineage")),
+        s"expected the lineage-mismatch failure, got: $ex")
+      assert(counters(storePath) === before,
+        "a rejected lineage must leave the store untouched")
+    } finally delete(dir)
+  }
+
+  test("restart from the SAME checkpoint resumes the store idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh5")
+    val storePath = dir.resolve("hh").toString
+    val ckpt = dir.resolve("ckpt").toString
+    try {
+      val s1 = MemoryStream[(Long, String)]
+      val q1 = StreamingOps
+        .heavyHittersStream(s1.toDF.toDF("doc_id", "text"), storePath, 8)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      s1.addData(Seq((0L, "x x x y")))
+      q1.processAllAvailable(); q1.stop()
+      // new run, same checkpoint: the STABLE query id is recovered from
+      // checkpoint metadata, so the lineage guard admits the store
+      val s2 = MemoryStream[(Long, String)]
+      s2.addData(Seq((0L, "x x x y"))) // realign source offsets
+      val q2 = StreamingOps
+        .heavyHittersStream(s2.toDF.toDF("doc_id", "text"), storePath, 8)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      assert(q2.id === q1.id, "restart must keep the stable query id")
+      s2.addData(Seq((1L, "x y y")))
+      q2.processAllAvailable(); q2.stop()
+      val store = counters(storePath)
+      assert(store("x") === 4L, s"x must accumulate across the restart: $store")
+      assert(store("y") === 3L, s"y must accumulate across the restart: $store")
     } finally delete(dir)
   }
 }
