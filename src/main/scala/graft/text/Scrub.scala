@@ -28,7 +28,13 @@ object Scrub {
   // doubled into Scala strings below where needed)
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val phoneRe = "\\+1-\\d{3}-555-\\d{4}"
-  private val ipRe = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  // real 0-255 octets only, fenced by \b so version strings ("v1.2.3.4")
+  // and longer digit runs never partially match. \b, not lookarounds:
+  // DuckDB's RE2 has no lookbehind/lookahead, while ASCII \b means the
+  // same thing to both engines (and is strictly safer — an IP glued to
+  // a word char is left alone rather than half-redacted).
+  private val ipOctet = "(25[0-5]|2[0-4]\\d|1\\d\\d|[1-9]?\\d)"
+  private val ipRe = s"\\b$ipOctet(\\.$ipOctet){3}\\b"
 
   // ---------------------------------------------------------------- q67
   /** PII redaction with audit counts. Counts are taken on the raw text

@@ -26,6 +26,25 @@ class ScrubSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q67: IPv4 redaction respects digit boundaries and octet ranges") {
+    // version strings, >3-digit runs, and out-of-range octets must all
+    // survive; a genuine dotted-quad must not. The planted trailer adds
+    // one real IP (10.0.0.1 for doc 0), so n_ip counts 2.
+    val docs = Seq((0L,
+      "release v1.2.3.4 build 9999.1.2.3 bad 256.1.2.3 real 8.8.8.8 end",
+      "en", "src", 1L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("scrub-ip").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = Scrub.q67PiiRedact(spark, dir).head()
+    assert(row.getAs[Long]("n_ip") === 2L,
+      s"exactly 8.8.8.8 + the planted 10.0.0.1 are IPs: $row")
+    val clean = row.getAs[String]("clean")
+    assert(clean.contains("v1.2.3.4"), "version string must survive redaction")
+    assert(clean.contains("9999.1.2.3"), "digit runs must not partially match")
+    assert(clean.contains("256.1.2.3"), "out-of-range octets are not IPs")
+    assert(!clean.contains("8.8.8.8"), "a genuine IP must be redacted")
+  }
+
   test("q68: repeated chunks keep only their first occurrence, docs reassemble in order") {
     // 16-token chunks A, B, C; doc 0 = A B, doc 1 = B C (B repeats),
     // doc 2 = A (repeat), doc 3 = unique D + trailing partial chunk
