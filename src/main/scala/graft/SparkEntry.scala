@@ -50,5 +50,12 @@ object SparkEntry {
       // round-7 continued: PII redaction (q67), chunk-level exact dedup
       // (q68), and the Bloom-prefiltered decontamination (same oracle as
       // the exact form — the prefilter must be semantics-preserving)
-      text.Scrub.oracle
+      text.Scrub.oracle ++
+      // round-8 promotions: the full columnar-minhash pipeline (FNV +
+      // splitmix64 + KM banding + jaccard verify) replicated in DuckDB
+      // promotes the whole banded family — nq_minhash_neardup and
+      // nq_dedup_incremental here, plus nq_dedup_clusters /
+      // nq_curation / nq_curation_stats through the DedupClusters and
+      // Curation maps above (banded-reach oracles added round 8)
+      text.NearDup.oracle
 }

@@ -114,24 +114,26 @@ object Curation {
   /** Oracle-checked variant of the full curation pipeline: identical
     * gates, but the near-dup stage runs on the EXACT jaccard ≥ 0.5 pair
     * relation (q63's clusters) instead of the MinHash-banded one — the
-    * same promotion move as q63 itself: MinHash recall is probabilistic,
-    * so only the exact path admits a deterministic DuckDB oracle.
-    * `nq_curation` (the banded scale path) stays rows-only by design;
-    * this pins the gate composition — exact-dup keeper policy, near-dup
-    * precedence, quality thresholds, the keep/drop_reason contract —
-    * against an independent engine.
+    * same promotion move as q63 itself. This pins the gate composition —
+    * exact-dup keeper policy, near-dup precedence, quality thresholds,
+    * the keep/drop_reason contract — against an independent engine;
+    * since round 8 the banded `nq_curation` path carries its own oracle
+    * too (NearDup's full hash-family replica), so the two variants pin
+    * both the gates AND the band arithmetic independently.
     */
   def q64Curation(s: SparkSession, d: String): DataFrame =
     curateWithClusters(s, d, DedupClusters.q63DedupClusters(s, d),
       minTokens = 5, minDistinctRatio = 0.2, maxRepRatio = None)
 
-  // Composes q63's recursive-CTE cluster relation, then mirrors the
-  // Spark gates: exact keeper = min doc_id per md5 group (the hash is an
+  // Mirrors the Spark gates over any `reach(doc_id, label)` cluster
+  // relation: exact keeper = min doc_id per md5 group (the hash is an
   // equality proxy — grouping by md5(text) ≡ grouping by text, so the
   // two engines' md5 implementations never need to agree), near-dup
   // keeper = cluster min, quality gates on the UNROUNDED ratio (the
-  // rounded value is presentation only, same as the Spark side).
-  val q64Sql: String = DedupClusters.reachCtes +
+  // rounded value is presentation only, same as the Spark side). Shared
+  // by q64 (exact reach) and the round-8 banded promotions (NearDup's
+  // replicated band reach).
+  private val gatesCtes: String =
     """,
       |clusters AS (
       |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
@@ -156,11 +158,21 @@ object Curation {
       |           THEN 'low_quality'
       |    END AS drop_reason
       |  FROM q JOIN ek USING (doc_id) JOIN clusters c USING (doc_id)
-      |)
+      |)""".stripMargin
+
+  private val curationSelect: String =
+    """
       |SELECT doc_id, lang, n_tokens,
       |  round(distinct_ratio, 4) AS distinct_ratio,
       |  cluster_id, drop_reason IS NULL AS keep, drop_reason
       |FROM asm ORDER BY doc_id""".stripMargin
+
+  private val statsSelect: String =
+    """
+      |SELECT coalesce(drop_reason, 'kept') AS outcome, count(*) AS n_docs
+      |FROM asm GROUP BY 1 ORDER BY outcome""".stripMargin
+
+  val q64Sql: String = DedupClusters.reachCtes + gatesCtes + curationSelect
 
   /** Per-stage corpus-loss accounting over the curation output. */
   def curationStats(curated: DataFrame): DataFrame =
@@ -175,5 +187,11 @@ object Curation {
       curationStats(curate(s, d))),
     "q64_curation" -> (q64Curation _))
 
-  val oracle: Map[String, String] = Map("q64_curation" -> q64Sql)
+  val oracle: Map[String, String] = Map(
+    "q64_curation" -> q64Sql,
+    // round-8 promotions: the BANDED pipeline and its stats now carry
+    // hard oracles via NearDup's full minhash-band replica — the same
+    // gates composed over the replicated banded cluster relation
+    "nq_curation" -> (NearDup.bandedReachCtes + gatesCtes + curationSelect),
+    "nq_curation_stats" -> (NearDup.bandedReachCtes + gatesCtes + statsSelect))
 }

@@ -198,11 +198,12 @@ object DedupClusters {
   /** Oracle-checked variant of the cluster assignment: connected
     * components over the EXACT jaccard ≥ 0.5 pair relation (q25's
     * inverted-index join) rather than the MinHash-banded one. The two
-    * pair relations agree on this corpus, but MinHash recall is
-    * probabilistic (1−(1−s^r)^b < 1), so only the exact path admits a
-    * deterministic DuckDB oracle — a recursive CTE propagating min
-    * labels over the same edges. nq_dedup_clusters (the banded path)
-    * stays rows-only by design.
+    * pair relations agree on this corpus, but they are DIFFERENT
+    * relations in general (MinHash recall is probabilistic) — so q63
+    * pins the CC/keeper semantics against exact pairs, while
+    * nq_dedup_clusters (the banded path) carries its own oracle built
+    * on NearDup's full hash-family replica (round 8): same recursive
+    * reach, edges = the replicated banded pairs.
     */
   def q63DedupClusters(s: SparkSession, d: String): DataFrame = {
     val pairs = TextQueries.q25NeardupJaccard(s, d)
@@ -252,15 +253,22 @@ object DedupClusters {
       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id
       |)""".stripMargin
 
-  val q63Sql: String = reachCtes +
+  /** Shared final select over any `reach(doc_id, label)` relation. */
+  private[text] val clusterSelect: String =
     """
       |SELECT doc_id, min(label) AS cluster_id,
       |  (doc_id = min(label)) AS is_keeper
       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val q63Sql: String = reachCtes + clusterSelect
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
     "q63_dedup_clusters" -> (q63DedupClusters _))
 
-  val oracle: Map[String, String] = Map("q63_dedup_clusters" -> q63Sql)
+  val oracle: Map[String, String] = Map(
+    "q63_dedup_clusters" -> q63Sql,
+    // round-8 promotion: the BANDED path's own oracle — reach over
+    // NearDup's replicated minhash-band pair relation
+    "nq_dedup_clusters" -> (NearDup.bandedReachCtes + clusterSelect))
 }

@@ -8,9 +8,13 @@ import graft.Tables._
 /** Sub-quadratic near-duplicate detection: MinHash+LSH and SimHash.
   * These are the 100 TB-scale paths for what q25_neardup_jaccard computes
   * exactly — candidate generation is a bucket equi-join (shuffle keyed on
-  * band/bucket), never an all-pairs product. Not SQL-expressible →
-  * rows-only driver check; SimHash/MinHash agreement with the exact
-  * jaccard query is asserted in the test suite instead.
+  * band/bucket), never an all-pairs product. The columnar-minhash family
+  * (nq_minhash_neardup, nq_dedup_incremental) is hard-oracle-checked
+  * since round 8 via a full DuckDB replica of the hash pipeline (see the
+  * oracle section at the bottom); the MLlib-estimator and SimHash
+  * variants stay rows-only (MLlib's internal hash family is not worth
+  * replicating), with agreement against the exact jaccard query asserted
+  * in the test suite instead.
   */
 object NearDup {
 
@@ -443,4 +447,158 @@ object NearDup {
     "nq_minhash_mllib" -> (minhashNeardup _),
     "nq_dedup_incremental" -> (incrementalQuery _),
     "nq_simhash_neardup" -> ((s: SparkSession, d: String) => simhashNeardup(s, d)))
+
+  // ------------------------------------------------------------ oracle
+  // DuckDB replica of the ENTIRE columnar-minhash pipeline — the same
+  // discipline as Mixing's XXH64 replica, applied to this file's own
+  // hash family: FNV-1a-64 over UTF-8 bytes (ASCII corpus ⇒ unicode() of
+  // each char IS the byte), the splitmix64 finalizer (mix64), the
+  // Kirsch–Mitzenmacher g_k = h1 + k·mix64(h1) minhash family under
+  // SIGNED long comparison, 4-row banded signatures via the chained
+  // mix64 fold, the band equi-joins, and exact-jaccard verification —
+  // re-derived from raw shingle STRINGS (set-equivalent to the engine's
+  // hash-set intersection unless FNV collides, which this check would
+  // then expose loudly). All 64-bit wrap-around arithmetic runs in
+  // UHUGEINT mod 2^64; >>> n is division by 2^n; signed views are
+  // reconstructed ±2^64 around 2^63. The banding is replicated EXACTLY
+  // (not approximated by a plain jaccard threshold) so the oracle would
+  // catch a silent change to the hash family or band fold, the failure
+  // mode that makes stored signatures unjoinable (see
+  // readSignatureStore). The CTE chain is shared by four promoted
+  // queries: nq_minhash_neardup (full run), nq_dedup_incremental
+  // (new-batch restriction), and — through `bandedReachCtes`, the
+  // banded analogue of DedupClusters.reachCtes — nq_dedup_clusters and
+  // the nq_curation family.
+  /** splitmix64 as a 4-CTE chain: adds `outCol` to `cteIn`'s columns
+    * (m64 must ride along), consuming `inExpr`. */
+  private def mix64Sql(cteIn: String, inExpr: String, outCol: String,
+      tag: String): String =
+    s""",
+       |${tag}a AS (SELECT *, ($inExpr + 11400714819323198485) % m64
+       |  AS ${tag}z FROM $cteIn),
+       |${tag}b AS (SELECT *, (xor(${tag}z, ${tag}z // 1073741824) *
+       |  13787848793156543929) % m64 AS ${tag}y FROM ${tag}a),
+       |${tag}c AS (SELECT *, (xor(${tag}y, ${tag}y // 134217728) *
+       |  10723151780598845931) % m64 AS ${tag}x FROM ${tag}b),
+       |${tag}d AS (SELECT * EXCLUDE (${tag}z, ${tag}y),
+       |  xor(${tag}x, ${tag}x // 2147483648) AS $outCol FROM ${tag}c)""".stripMargin
+
+  /** Shingles → FNV/mix64 hashes → 64 minhashes → 16 banded signatures,
+    * ending in CTE `bands(doc_id, band, bsig)` (with `sh`/`shl` still
+    * in scope for the verify tail). `recursive` switches the WITH
+    * keyword for consumers that append a recursive reach CTE.
+    */
+  private def minhashCtes(recursive: Boolean): String = {
+    val m64 = "CAST(18446744073709551616 AS UHUGEINT)"
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}cst AS (SELECT $m64 AS m64),
+       |docs0 AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |shl AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
+       |  FROM docs0 WHERE len(t) >= 3),
+       |sh AS (SELECT doc_id, unnest(shs) AS sg FROM shl),
+       |f0 AS (SELECT doc_id, m64, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS UHUGEINT),
+       |      list_transform(range(1, length(sg) + 1),
+       |        i -> CAST(unicode(substr(sg, CAST(i AS INT), 1)) AS UHUGEINT))),
+       |    (h, b) -> (xor(h, b) * 1099511628211) % $m64) AS fv
+       |  FROM sh, cst)""".stripMargin +
+      mix64Sql("f0", "fv", "h1", "mA") +
+      mix64Sql("mAd", "h1", "h2", "mB") +
+      s""",
+         |ks AS (SELECT doc_id, h1, h2, m64, unnest(range(0, 64)) AS k FROM mBd),
+         |gu AS (SELECT doc_id, k,
+         |  (h1 + (CAST(k AS UHUGEINT) * h2) % m64) % m64 AS g FROM ks),
+         |gs AS (SELECT doc_id, k,
+         |  CAST(g AS HUGEINT) - CASE WHEN g >= 9223372036854775808
+         |    THEN CAST(18446744073709551616 AS HUGEINT)
+         |    ELSE CAST(0 AS HUGEINT) END AS gsg FROM gu),
+         |mn AS (SELECT doc_id, k, min(gsg) AS s FROM gs GROUP BY doc_id, k),
+         |mu AS (SELECT doc_id, k,
+         |  CAST(s + CASE WHEN s < 0 THEN CAST(18446744073709551616 AS HUGEINT)
+         |    ELSE CAST(0 AS HUGEINT) END AS UHUGEINT) AS su FROM mn),
+         |bp AS (SELECT doc_id, k // 4 AS band,
+         |  max(CASE WHEN k % 4 = 0 THEN su END) AS s0,
+         |  max(CASE WHEN k % 4 = 1 THEN su END) AS s1,
+         |  max(CASE WHEN k % 4 = 2 THEN su END) AS s2,
+         |  max(CASE WHEN k % 4 = 3 THEN su END) AS s3
+         |  FROM mu GROUP BY doc_id, k // 4),
+         |bp0 AS (SELECT *, m64 FROM bp, cst)""".stripMargin +
+      mix64Sql("bp0", "s0", "a1", "mC") + // fold starts at 0: mix64(0 ^ s0)
+      mix64Sql("mCd", "xor(a1, s1)", "a2", "mD") +
+      mix64Sql("mDd", "xor(a2, s2)", "a3", "mE") +
+      mix64Sql("mEd", "xor(a3, s3)", "a4", "mF") +
+      s""",
+         |bands AS (SELECT doc_id, band, a4 AS bsig FROM mFd)""".stripMargin
+  }
+
+  /** Full-corpus candidate pairs: docs sharing any banded signature. */
+  private val fullCandCte: String =
+    s""",
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+       |    AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** Incremental candidates: (new × corpus) ∪ (new × new) under the
+    * mod-10 batch split the driver entry uses. */
+  private val incCandCte: String =
+    s""",
+       |crossp AS (SELECT least(n.doc_id, c2.doc_id) AS d1,
+       |    greatest(n.doc_id, c2.doc_id) AS d2
+       |  FROM bands n JOIN bands c2 ON n.band = c2.band AND n.bsig = c2.bsig
+       |  WHERE n.doc_id % 10 = 0 AND c2.doc_id % 10 <> 0),
+       |intra AS (SELECT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+       |    AND x.doc_id < y.doc_id
+       |  WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 = 0),
+       |cand AS (SELECT DISTINCT d1, d2 FROM
+       |  (SELECT * FROM crossp UNION ALL SELECT * FROM intra))""".stripMargin
+
+  /** Exact-jaccard verify over candidate pairs, ending in `jac` (scored)
+    * and `vp` (the verified ≥ 0.5 pair relation). */
+  private val verifyCtes: String =
+    s""",
+       |szs AS (SELECT doc_id, len(shs) AS sz FROM shl),
+       |inter AS (SELECT cand.d1, cand.d2, count(*) AS ni
+       |  FROM cand
+       |  JOIN sh a ON a.doc_id = cand.d1
+       |  JOIN sh b ON b.doc_id = cand.d2 AND b.sg = a.sg
+       |  GROUP BY cand.d1, cand.d2),
+       |jac AS (SELECT d1, d2,
+       |  CAST(ni AS DOUBLE) / CAST(z1.sz + z2.sz - ni AS DOUBLE) AS jaccard
+       |  FROM inter
+       |  JOIN szs z1 ON z1.doc_id = d1
+       |  JOIN szs z2 ON z2.doc_id = d2),
+       |vp AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5)""".stripMargin
+
+  private val pairSelect: String =
+    "\nSELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5 ORDER BY d1, d2"
+
+  /** The banded analogue of `DedupClusters.reachCtes`: same terminal
+    * `reach(doc_id, label)` relation, but the edge set is the engine's
+    * actual MinHash-banded verified pairs instead of the exact q25 pair
+    * relation — which is what lets nq_dedup_clusters / nq_curation /
+    * nq_curation_stats (the banded scale paths) carry hard oracles
+    * rather than rows-only checks. */
+  private[text] val bandedReachCtes: String =
+    minhashCtes(recursive = true) + fullCandCte + verifyCtes +
+      s""",
+         |edges AS (SELECT d1 AS u, d2 AS v FROM vp UNION SELECT d2, d1 FROM vp),
+         |reach(doc_id, label) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id
+         |)""".stripMargin
+
+  private[text] val minhashFullSql: String =
+    minhashCtes(recursive = false) + fullCandCte + verifyCtes + pairSelect
+
+  private[text] val incrementalSql: String =
+    minhashCtes(recursive = false) + incCandCte + verifyCtes + pairSelect
+
+  val oracle: Map[String, String] = Map(
+    "nq_minhash_neardup" -> minhashFullSql,
+    "nq_dedup_incremental" -> incrementalSql)
 }
