@@ -347,14 +347,28 @@ object StreamingOps {
     * lifecycle (tailing, archival, compaction) belongs to the consumer,
     * where the store is this pipeline's own internal state.
     *
+    * DEDUP HORIZON (optional): by default the stream dedups against ALL
+    * history. Deployments whose contract is "last N days" pass `tsCol`
+    * (an event-time column of `docs`) and `horizonMs`: store rows carry
+    * their doc's FIRST-arrival event time, pair emission gains the TTL
+    * variant's pair property (docs farther apart than the horizon never
+    * pair — `neardupCandidatesStreamTtl`'s |ts_a − ts_b| ≤ ttl check),
+    * and compaction drops rows older than the horizon behind the
+    * store's newest event time — so the store's size tracks the horizon
+    * window, not corpus history. Spec-pinned against the TTL streaming
+    * variant on the same timed corpus.
+    *
     * Returns the un-started writer so callers own trigger/checkpoint.
     */
   def ingestDedupStream(docs: DataFrame, storePath: String,
       pairsPath: String, nHashes: Int = 64, rowsPerBand: Int = 4,
       threshold: Double = 0.5, maxStoreFiles: Int = 64,
-      compactTargetBytes: Long = 128L << 20)
+      compactTargetBytes: Long = 128L << 20,
+      tsCol: String = "", horizonMs: Long = 0L)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
+    require(horizonMs <= 0 || tsCol.nonEmpty,
+      "a dedup horizon needs event times: pass tsCol with horizonMs")
     // banding-param fail-fast ONCE per stream, not per trigger: the
     // validation scans the whole band_sigs column when the store is
     // healthy, a per-batch cost that would grow with the store and
@@ -379,13 +393,25 @@ object StreamingOps {
             val df = graft.text.NearDup.readSignatureStore(
               s, storePath, nHashes, rowsPerBand,
               validate = !storeValidated)
+            if (horizonMs > 0)
+              require(df.columns.contains("ts_ms"),
+                s"horizon retention needs event times, but the store at " +
+                  s"$storePath carries no ts_ms column — it was written " +
+                  "without a tsCol; rebuild it")
             storeValidated = true
             df
           } else null
+        val sigsBase = graft.text.NearDup
+          .signatures(batch, nHashes, rowsPerBand)
+        val sigsTimed =
+          if (tsCol.isEmpty) sigsBase
+          else sigsBase.join( // first arrival wins, like the store itself
+            batch.groupBy("doc_id")
+              .agg(min(unix_millis(col(tsCol))).as("ts_ms")),
+            Seq("doc_id"))
         val sigsAll = graft.text.NearDup.withStoreParams(
-          graft.text.NearDup.signatures(batch, nHashes, rowsPerBand),
-          nHashes, rowsPerBand) // appended rows self-describe like the
-          // bootstrap's (readSignatureStore validates exact params)
+          sigsTimed, nHashes, rowsPerBand) // appended rows self-describe
+          // like the bootstrap's (readSignatureStore validates params)
           .dropDuplicates("doc_id") // intra-batch redelivery
         val sigs =
           (if (sigC == null) sigsAll
@@ -395,7 +421,7 @@ object StreamingOps {
         graft.text.NearDup
           .incrementalFromSignatures(
             if (sigC == null) sigs.limit(0) else sigC,
-            sigs, threshold, sorted = false)
+            sigs, threshold, sorted = false, horizonMs = horizonMs)
           .write.mode("append").parquet(pairsPath)
         // coalesce(1): the append writes one file per PARTITION, and sigs
         // is post-shuffle (dropDuplicates) — without the coalesce a
@@ -413,7 +439,7 @@ object StreamingOps {
         // fully rewritten every trigger
         if (storeDataFiles(fs, store)
             .count(_.getLen < compactTargetBytes / 2) > maxStoreFiles)
-          compactSignatureStore(s, storePath, compactTargetBytes)
+          compactSignatureStore(s, storePath, compactTargetBytes, horizonMs)
         ()
     }
   }
@@ -502,8 +528,19 @@ object StreamingOps {
     * the same guarantee transactionally from the table format a
     * production deployment already needs for idempotent appends.)
     */
+  /** `horizonMs > 0` additionally applies the dedup-horizon retention:
+    * rows whose `ts_ms` is more than the horizon behind the store's
+    * NEWEST event time are dropped in the same rewrite — the "last N
+    * days" dedup contract (the lazy, store-side mirror of the TTL
+    * streaming variant's `min(newest, watermark) − ttl` prune; here the
+    * watermark is the store's own newest row, the tightest bound a
+    * store compaction can know). Event-time, not wall-clock: a store
+    * that stops ingesting stops forgetting. A dropped row can no longer
+    * pair — the same accepted approximation as watermark pruning for
+    * out-of-order stragglers beyond the horizon.
+    */
   def compactSignatureStore(s: SparkSession, storePath: String,
-      targetBytes: Long = 128L << 20): Unit = {
+      targetBytes: Long = 128L << 20, horizonMs: Long = 0L): Unit = {
     val store = new org.apache.hadoop.fs.Path(storePath)
     val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
     recoverCompactionSwap(fs, store)
@@ -513,7 +550,18 @@ object StreamingOps {
       math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt))
     val tmp = compactTmp(store)
     val old = compactOld(store)
-    s.read.parquet(storePath).repartition(nOut)
+    val all = s.read.parquet(storePath)
+    val kept =
+      if (horizonMs <= 0) all
+      else {
+        require(all.columns.contains("ts_ms"),
+          s"horizon retention needs event times, but the store at " +
+            s"$storePath carries no ts_ms column — ingest with a tsCol " +
+            "or rebuild the store")
+        val newest = all.agg(max("ts_ms")).head.getLong(0)
+        all.filter(col("ts_ms") >= newest - horizonMs)
+      }
+    kept.repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(store, old))
       throw new java.io.IOException(

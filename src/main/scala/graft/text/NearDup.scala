@@ -403,11 +403,25 @@ object NearDup {
       nHashes, rowsPerBand)
       .write.mode("overwrite").parquet(path)
 
+  /** `horizonMs > 0` adds the TTL pair property (see
+    * `StreamingOps.neardupCandidatesStreamTtl`): two docs farther apart
+    * than the horizon in event time never pair. Both signature frames
+    * must then carry a `ts_ms` column (the ingest path stores
+    * first-arrival times, matching the TTL variant's first-arrival
+    * pairing). */
   private[graft] def incrementalFromSignatures(sigC: DataFrame,
       sigN: DataFrame, threshold: Double,
-      sorted: Boolean = true): DataFrame = {
-    def bandsOf(sig: DataFrame) = sig.select(col("doc_id"),
-      posexplode(col("band_sigs")).as(Seq("band", "sig")))
+      sorted: Boolean = true, horizonMs: Long = 0L): DataFrame = {
+    def bandsOf(sig: DataFrame) =
+      if (horizonMs > 0)
+        sig.select(col("doc_id"), col("ts_ms"),
+          posexplode(col("band_sigs")).as(Seq("band", "sig")))
+      else sig.select(col("doc_id"),
+        posexplode(col("band_sigs")).as(Seq("band", "sig")))
+    def withinHorizon(a: String, b: String) =
+      if (horizonMs > 0)
+        abs(col(s"$a.ts_ms") - col(s"$b.ts_ms")) <= horizonMs
+      else lit(true)
     val bandsC = bandsOf(sigC); val bandsN = bandsOf(sigN)
     // the sides are NOMINALLY disjoint, but an at-least-once caller can
     // redeliver a doc that is already in the corpus side — its bands
@@ -417,12 +431,12 @@ object NearDup {
     // (min, max) to match the full run's d1 < d2 convention
     val cross = bandsN.as("n").join(bandsC.as("c"),
         col("n.band") === col("c.band") && col("n.sig") === col("c.sig") &&
-          col("n.doc_id") =!= col("c.doc_id"))
+          col("n.doc_id") =!= col("c.doc_id") && withinHorizon("n", "c"))
       .select(least(col("n.doc_id"), col("c.doc_id")).as("d1"),
         greatest(col("n.doc_id"), col("c.doc_id")).as("d2"))
     val intra = bandsN.as("x").join(bandsN.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
+          col("x.doc_id") < col("y.doc_id") && withinHorizon("x", "y"))
       .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
     val cands = cross.union(intra).distinct()
     // dropDuplicates: a doc present on BOTH sides (same redelivery)

@@ -95,6 +95,81 @@ class IngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup horizon: pairs match the TTL variant; compaction drops exactly the stale rows") {
+    // identical 20-token docs at controlled event times; horizon 20s.
+    // A(t=1000s) ~ B(t=1010s) pair; C(t=1100s) ~ D(t=1104s) pair; every
+    // cross-combination is farther apart than the horizon; E is unique.
+    val ta = (1 to 20).map(i => s"alpha$i").mkString(" ")
+    val te = (1 to 20).map(i => s"omega$i").mkString(" ")
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // away from epoch 0 (the initial watermark, where rows count as
+    // late — same note as StreamingNearDupSpec): base t0 = 1000s
+    val batches = Seq(
+      Seq((1L, ta, ts(1000000L)), (2L, ta, ts(1010000L))),
+      Seq((5L, te, ts(1050000L))),
+      Seq((3L, ta, ts(1100000L)), (4L, ta, ts(1104000L))))
+    val h = 20000L
+    val dir = java.nio.file.Files.createTempDirectory("graft-horizon")
+    val storePath = dir.resolve("signatures").toString
+    val pairsPath = dir.resolve("pairs").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val q = StreamingOps
+        .ingestDedupStream(stream.toDF.toDF("doc_id", "text", "ts"),
+          storePath, pairsPath, tsCol = "ts", horizonMs = h)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+      batches.foreach { b => stream.addData(b); q.processAllAvailable() }
+      q.stop()
+      val got = spark.read.parquet(pairsPath)
+        .select("d1", "d2").as[(Long, Long)].collect().toSet
+      assert(got === Set((1L, 2L), (3L, 4L)),
+        s"horizon must allow only within-window pairs: $got")
+
+      // the TTL streaming variant on the SAME timed corpus agrees: its
+      // candidates are the banded collisions within ttl, and every one
+      // here is an exact dup, so candidate set == verified set
+      val src = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val qt = StreamingOps
+        .neardupCandidatesStreamTtl(src.toDF.toDF("doc_id", "text", "ts"),
+          ttlMs = h)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ttl_horizon_pairs")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      batches.foreach { b => src.addData(b); qt.processAllAvailable() }
+      qt.stop()
+      val ttlPairs = spark.table("ttl_horizon_pairs")
+        .as[(Long, Long)].collect().toSet
+      assert(ttlPairs === got,
+        s"ingest-with-horizon must match the TTL variant: ttl=$ttlPairs")
+
+      // retention: compaction drops exactly the rows more than h behind
+      // the store's newest event time (1104s → cutoff 1084s: keeps C, D)
+      assert(spark.read.parquet(storePath).count() === 5L)
+      StreamingOps.compactSignatureStore(spark, storePath,
+        targetBytes = Long.MaxValue, horizonMs = h)
+      val kept = spark.read.parquet(storePath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === Set(3L, 4L),
+        s"retention must keep exactly the within-horizon rows: $kept")
+
+      // a store written without event times refuses horizon retention
+      val bare = dir.resolve("bare").toString
+      Seq((9L, 1, Array(9L), Array(9L)))
+        .toDF("doc_id", "sz", "hs", "band_sigs").write.parquet(bare)
+      val ex = intercept[IllegalArgumentException] {
+        StreamingOps.compactSignatureStore(spark, bare,
+          targetBytes = Long.MaxValue, horizonMs = h)
+      }
+      assert(ex.getMessage.contains("ts_ms"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("compaction is retry-safe: a stale tmp dir from a crashed attempt never leaks") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-retry")
     try {
