@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * Queries are fully materialized through the `noop` sink — every column
   * is computed (a bare .count() would let Catalyst prune the world).
   * One small warmup query runs first so JIT/codegen/session setup isn't
-  * billed to the first measured query.
+  * billed to the first measured query. Per-query value = median of 3
+  * un-memoized runs (see the comment at the measurement loop).
   */
 object Bench {
 
@@ -90,10 +91,16 @@ object Bench {
 
     runOne("q06_forecast_revenue") // warmup: session + codegen + parquet footer
 
-    // best-of-2: absorbs JIT/GC/page-cache noise (standard bench practice)
+    // median-of-3 (round 8, replacing best-of-2): the machine's ambient
+    // band is ±8%, and the round-7 honest-timing change (per-run
+    // clearMemo + clearCache) removed the memoized floor that used to
+    // damp it — a best-of-2 can still land 8% hot on both runs, masking
+    // real ~20% regressions in the heavy queries. The median of 3 is
+    // robust to one outlier in either direction. Failed runs are
+    // excluded; all-failed reports -1.
     val results = headline.map { n =>
-      val a = runOne(n); val b = runOne(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val runs = Seq(runOne(n), runOne(n), runOne(n)).filter(_ >= 0).sorted
+      n -> (if (runs.isEmpty) -1.0 else runs(runs.size / 2))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
