@@ -612,7 +612,111 @@ object NearDup {
   private[text] val incrementalSql: String =
     minhashCtes(recursive = false) + incCandCte + verifyCtes + pairSelect
 
+  // --------------------------------------------------- SimHash oracle
+  // DuckDB replica of Spark's xxhash64 over STRINGS (seed 42): the
+  // xxHash64 short-input path — init = seed + P5 + len, little-endian
+  // 8-byte lanes through the merge round, the 4-byte chunk, per-byte
+  // tail, then the final avalanche — followed by the SimHash vote /
+  // sign / band / hamming pipeline, all integer-exact. The corpus'
+  // word-3-gram shingles peak at 26 UTF-8 bytes, so the ≥32-byte
+  // 4-accumulator stripe loop is never entered; a guard CTE calls
+  // error() if the corpus ever grows a ≥32-byte shingle, turning the
+  // assumption into a loud oracle failure instead of a silent
+  // divergence. (Validated lane-for-lane against Spark's
+  // XxHash64Function byte chain, the same way Mixing's replica was
+  // validated against hashLong.)
+  private val xxP1 = "11400714785074694791" // 0x9E3779B185EBCA87
+  private val xxP2 = "14029467366897019727" // 0xC2B2AE3D27D4EB4F
+  private val xxP3 = "1609587929392839161" // 0x165667B19E3779F9
+  private val xxP4 = "9650029242287828579" // 0x85EBCA77C2B2AE63
+  private val xxP5 = "2870177450012600261" // 0x27D4EB2F165667C5
+  private val m64Sql = "CAST(18446744073709551616 AS UHUGEINT)"
+
+  /** rotate-left mod 2^64 of expression `e` (textually duplicated). */
+  private def rotlSql(e: String, r: Int): String =
+    s"((( $e ) * ${1L << r}) % $m64Sql + (( $e ) // ${1L << (64 - r)})) % $m64Sql"
+
+  private[text] val simhashSql: String = {
+    // 8-byte-lane fold step: h' = rotl27(h ^ rotl31(wv·P2)·P1) · P1 + P4
+    val k1 = s"((${rotlSql(s"((wv * $xxP2) % $m64Sql)", 31)}) * $xxP1) % $m64Sql"
+    val wordStep = s"((${rotlSql(s"xor(h, $k1)", 27)}) * $xxP1 + $xxP4) % $m64Sql"
+    // tail-byte step: h' = rotl11(h ^ b·P5) · P1
+    val byteStep =
+      s"((${rotlSql(s"xor(h, (b * $xxP5) % $m64Sql)", 11)}) * $xxP1) % $m64Sql"
+    // 4-byte-chunk step over the lane at the first post-word offset
+    val lane4 = "(bl[CAST((n // 8) * 8 + 1 AS INT)] + " +
+      "bl[CAST((n // 8) * 8 + 2 AS INT)] * 256 + " +
+      "bl[CAST((n // 8) * 8 + 3 AS INT)] * 65536 + " +
+      "bl[CAST((n // 8) * 8 + 4 AS INT)] * 16777216)"
+    val chunk4Step =
+      s"((${rotlSql(s"xor(hw, ($lane4 * $xxP1) % $m64Sql)", 23)}) * $xxP2 + $xxP3) % $m64Sql"
+    s"""WITH docs0 AS (SELECT doc_id,
+       |  list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |shl AS (SELECT doc_id,
+       |  list_distinct(list_transform(range(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
+       |  FROM docs0 WHERE len(t) >= 3),
+       |guard AS (SELECT CASE WHEN max(octet_length(encode(sg))) >= 32 THEN
+       |    error('simhash oracle replicates only the <32-byte xxhash64 path')
+       |    ELSE 1 END AS ok
+       |  FROM (SELECT unnest(shs) AS sg FROM shl)),
+       |sh AS (SELECT doc_id, unnest(shs) AS sg FROM shl, guard),
+       |bl0 AS (SELECT doc_id, sg, octet_length(encode(sg)) AS n,
+       |  list_transform(range(1, octet_length(encode(sg)) + 1),
+       |    i -> CAST(unicode(substr(sg, CAST(i AS INT), 1)) AS UHUGEINT)) AS bl
+       |  FROM sh),
+       |w0 AS (SELECT doc_id, sg, n, bl,
+       |  list_transform(range(0, n // 8), j ->
+       |    bl[CAST(j*8+1 AS INT)] + bl[CAST(j*8+2 AS INT)] * 256 +
+       |    bl[CAST(j*8+3 AS INT)] * 65536 + bl[CAST(j*8+4 AS INT)] * 16777216 +
+       |    bl[CAST(j*8+5 AS INT)] * 4294967296 +
+       |    bl[CAST(j*8+6 AS INT)] * 1099511627776 +
+       |    bl[CAST(j*8+7 AS INT)] * 281474976710656 +
+       |    bl[CAST(j*8+8 AS INT)] * 72057594037927936) AS words
+       |  FROM bl0),
+       |h0 AS (SELECT *, (CAST(42 AS UHUGEINT) + $xxP5 + CAST(n AS UHUGEINT))
+       |  % $m64Sql AS hini FROM w0),
+       |h1 AS (SELECT *, list_reduce(list_prepend(hini, words),
+       |    (h, wv) -> $wordStep) AS hw FROM h0),
+       |h2 AS (SELECT *, CASE WHEN n % 8 >= 4 THEN $chunk4Step
+       |    ELSE hw END AS h4 FROM h1),
+       |h3 AS (SELECT *, list_reduce(list_prepend(h4,
+       |    list_slice(bl, CAST((n // 8) * 8 +
+       |      CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1 AS INT),
+       |      CAST(n AS INT))),
+       |    (h, b) -> $byteStep) AS ht FROM h2),
+       |a1 AS (SELECT doc_id, (xor(ht, ht // 8589934592) * $xxP2) % $m64Sql
+       |  AS z FROM h3),
+       |a2 AS (SELECT doc_id, (xor(z, z // 536870912) * $xxP3) % $m64Sql
+       |  AS z2 FROM a1),
+       |tokh AS (SELECT doc_id, xor(z2, z2 // 4294967296) AS hu FROM a2),
+       |vb AS (SELECT doc_id, unnest(range(0, 64)) AS b, hu FROM tokh),
+       |vs AS (SELECT doc_id, b,
+       |  CASE WHEN sum(CASE WHEN (hu // CAST(power(2, b) AS UHUGEINT)) % 2 = 1
+       |    THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS bit
+       |  FROM vb GROUP BY doc_id, b),
+       |bitsl AS (SELECT doc_id, list(bit ORDER BY b) AS bits
+       |  FROM vs GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b // 16 AS band,
+       |  CAST(sum(bit * CAST(power(2, b % 16) AS BIGINT)) AS BIGINT) AS bv
+       |  FROM vs GROUP BY doc_id, b // 16),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv
+       |    AND x.doc_id < y.doc_id),
+       |ham AS (SELECT d1, d2,
+       |  CAST(list_sum(list_transform(range(1, 65),
+       |    i -> abs(bx.bits[CAST(i AS INT)] - by.bits[CAST(i AS INT)])))
+       |    AS INT) AS hamming
+       |  FROM cand
+       |  JOIN bitsl bx ON bx.doc_id = d1
+       |  JOIN bitsl by ON by.doc_id = d2)
+       |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
+       |ORDER BY d1, d2""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "nq_minhash_neardup" -> minhashFullSql,
-    "nq_dedup_incremental" -> incrementalSql)
+    "nq_dedup_incremental" -> incrementalSql,
+    "nq_simhash_neardup" -> simhashSql)
 }
