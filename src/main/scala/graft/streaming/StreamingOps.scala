@@ -628,7 +628,7 @@ object StreamingOps {
     * (skipped), a lineage mismatch is a DIFFERENT query id over an
     * existing store (throws).
     */
-  private[streaming] def applyHeavyHitterBatch(batch: DataFrame,
+  private[graft] def applyHeavyHitterBatch(batch: DataFrame,
       batchId: Long, lineage: String, storePath: String, k: Int): Unit = {
     val s = batch.sparkSession
     val store = new org.apache.hadoop.fs.Path(storePath)

@@ -213,4 +213,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(hintedNonSingletonSides(df).isEmpty,
       "near-dup verify must not force broadcast hints")
   }
+
+  test("semantic dedup candidate join stays an equi-join, corpus side unhinted") {
+    // the leaf-path key is what keeps pair volume at Σ n_c² — if the
+    // cluster condition ever degenerates to a non-equi predicate the
+    // planner falls back to BNLJ/cartesian and the operator is corpus²
+    for (q <- Seq("nq_semantic_dedup", "nq_semantic_dedup_inc")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf0001)
+      val plan = finalPhysical(df)
+      assert(!plan.contains("CartesianProduct"), s"$q plans a cartesian:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plans a nested-loop join:\n$plan")
+      assert(hintedNonSingletonSides(df).isEmpty,
+        s"$q force-broadcasts a corpus-derived relation")
+    }
+  }
+
+  test("heavy-hitter store read plans a map-side-combined verify, no corpus window") {
+    // the read path's whole point: ONE exact aggregate whose shuffle
+    // carries ≤ k+1 groups. That requires a partial (map-side) phase on
+    // the corpus scan — and the only Window allowed is the one over the
+    // already-aggregated candidate rows, never the corpus tokens
+    val dir = java.nio.file.Files.createTempDirectory("graft-hh-plan")
+    try {
+      import spark.implicits._
+      val store = dir.resolve("hh").toString
+      val corpus = Seq((0L, "hot hot hot warm tail1 tail2"))
+        .toDF("doc_id", "text")
+      graft.streaming.StreamingOps
+        .applyHeavyHitterBatch(corpus, 0L, "L", store, 8)
+      val df = graft.streaming.StreamingOps
+        .heavyHittersFromStore(corpus, store, 8, 0.2)
+      val plan = finalPhysical(df)
+      assert(plan.contains("partial_count"),
+        s"exact verify must map-side combine the corpus tokens:\n$plan")
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
