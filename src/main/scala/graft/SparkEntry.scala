@@ -30,7 +30,7 @@ object SparkEntry {
       ml.VoicePipeline.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
       sim.IvfPq.queries ++ sim.SemDedup.queries ++
-      text.Scrub.queries ++
+      text.Scrub.queries ++ text.SubstrDedup.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
       sources.VideoSource.queries
 
@@ -57,5 +57,8 @@ object SparkEntry {
       // nq_dedup_incremental here, plus nq_dedup_clusters /
       // nq_curation / nq_curation_stats through the DedupClusters and
       // Curation maps above (banded-reach oracles added round 8)
-      text.NearDup.oracle
+      text.NearDup.oracle ++
+      // round-8 continued: substring-level cross-document dedup
+      // (Lee et al. 2022 ExactSubstr shape) — q73
+      text.SubstrDedup.oracle
 }

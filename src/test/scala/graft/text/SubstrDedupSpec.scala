@@ -1,0 +1,90 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SubstrDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (0 until n).map(i => s"$prefix$i").mkString(" ")
+
+  test("q73: repeated passage marks every non-first occurrence, merged to one span") {
+    // doc 0: 30 unique tokens containing a 25-token passage P (tokens
+    // 3..27); doc 1: different lead-in, then P verbatim. With w=20,
+    // doc 1's redundant windows are exactly those fully inside its copy
+    // of P → one merged span covering P's 25 tokens. doc 0 owns the
+    // first occurrence and reports zero duplication.
+    val p = words("p", 25)
+    val doc0 = s"${words("a", 3)} $p ${words("z", 2)}"   // 30 tokens
+    val doc1 = s"${words("b", 5)} $p"                    // 30 tokens
+    val doc2 = words("u", 30)                            // unique
+    val doc3 = "tiny doc below window width"             // < w tokens
+    val docs = Seq(
+      (0L, doc0, "en", "src", 1L), (1L, doc1, "en", "src", 1L),
+      (2L, doc2, "en", "src", 1L), (3L, doc3, "en", "src", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("substr").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SubstrDedup.q73SubstrDedup(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, 30L, 0L, 0L, 0L)), "first occurrence owns P")
+    // doc 1: P occupies positions 6..30; its 6 fully-inside windows
+    // (starts 6..11) merge into one span [6, 30] = 25 tokens
+    assert(out(1) === ((1L, 30L, 1L, 25L, 10000L * 25 / 30)))
+    assert(out(2) === ((2L, 30L, 0L, 0L, 0L)), "unique doc is untouched")
+    assert(out(3) === ((3L, 5L, 0L, 0L, 0L)), "sub-window doc is untouched")
+  }
+
+  test("q73: within-document repetition dedups against the doc's own first copy") {
+    // one doc = Q Q (Q is 20 tokens): the second copy's windows are
+    // redundant against the first; boundary-straddling windows are
+    // unique, so the merged span is exactly the second Q — catching
+    // self-repetition is part of the Lee et al. semantics
+    val q = words("q", 20)
+    val docs = Seq((0L, s"$q $q", "en", "src", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("substr-self").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = SubstrDedup.q73SubstrDedup(spark, dir).head()
+    assert(row.getAs[Long]("n_tokens") === 40L)
+    assert(row.getAs[Long]("n_dup_spans") === 1L)
+    assert(row.getAs[Long]("n_dup_tokens") === 20L)
+    assert(row.getAs[Long]("dup_bp") === 5000L)
+  }
+
+  test("q73: adjacent duplicated passages merge into one maximal span") {
+    // docs 0/1 own passages A and B (20 tokens each); doc 2 = A B
+    // back-to-back. doc 2's redundant windows are exactly A (start 1,
+    // covering [1,20]) and B (start 21, covering [21,40]) — the 19
+    // seam-straddling windows are first-seen in doc 2, hence unique.
+    // Islands: start 21 ≤ end(20) + 1 glues the two runs → ONE maximal
+    // span of 40 tokens, exactly the Lee et al. maximal-match shape.
+    val a = words("aa", 20); val b = words("bb", 20)
+    val docs = Seq(
+      (0L, a, "en", "s", 1L), (1L, b, "en", "s", 1L),
+      (2L, s"$a $b", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("substr-adj").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SubstrDedup.q73SubstrDedup(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(2) === ((2L, 40L, 1L, 40L, 10000L)),
+      s"adjacent spans must merge: ${out.mkString(", ")}")
+  }
+
+  test("q73: corpus run has real signal and conserves bounds") {
+    val out = SubstrDedup.q73SubstrDedup(spark, sf0001).cache()
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(out.count() === n, "one row per document")
+    // coverage can never exceed the doc
+    assert(out.filter($"n_dup_tokens" > $"n_tokens").count() === 0)
+    assert(out.filter($"dup_bp" > 10000).count() === 0)
+    // spans are ≥ w tokens by construction (each island holds ≥1 window)
+    assert(out.filter($"n_dup_spans" > 0 && $"n_dup_tokens" < 20).count() === 0)
+    // the synthetic corpus carries planted near-dups → nonzero signal
+    assert(out.filter($"n_dup_spans" > 0).count() > 0,
+      "expected duplicated substrings in the test corpus")
+    out.unpersist()
+  }
+}
