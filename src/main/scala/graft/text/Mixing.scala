@@ -102,6 +102,58 @@ object Mixing {
     } finally bc.unpersist() // not destroy(): refetchable if ever replayed
   }
 
+  /** Temperature-flattened domain mixing — the multilingual-LM sampling
+    * recipe (Conneau et al. 2020 "Unsupervised Cross-lingual
+    * Representation Learning at Scale" §3.1; mT5 ships α=0.3): with
+    * corpus domain shares p_i ∝ n_i, resample so the mix follows
+    * q_i ∝ p_i^α. That means per-domain keep rate r_i ∝ n_i^(α−1),
+    * normalized here so the RAREST domain is kept whole:
+    * r_i = (n_min / n_i)^(1−α). α=1 reproduces the corpus unchanged;
+    * α→0 flattens toward uniform across domains. Unlike `domainMix`,
+    * the rates are derived FROM the data — no hand recipe.
+    *
+    * Selection is the same pure-function-of-(id, seed) hash threshold
+    * as `domainMix`: keep iff pmod(xxhash64(id, 42), 10^6) <
+    * floor(10^6 · r_i) — layout-independent, re-materializable, and
+    * monotone in α (one hash draw per doc serves every temperature, so
+    * the α=0.3 sample is a subset of the α=0.7 sample; spec-pinned).
+    *
+    * Scale shape: the count pass is one tiny aggregate reading ONLY the
+    * domain column (domain-cardinality output); the min and the rate
+    * table stay domain-sized and broadcast; the selection itself is a
+    * narrow filter at scan speed. No corpus-sized shuffle anywhere.
+    *
+    * Cross-engine determinism (why the oracle is safe): n_min/n_i and
+    * 10^6·pow(·) are the same IEEE operation sequence in both engines;
+    * the exponent literal is interpolated from the SAME Scala double
+    * (`(1.0 - alpha).toString` round-trips exactly), so both engines
+    * evaluate pow at identical arguments. A last-ulp pow disagreement
+    * could only flip the floor when 10^6·r_i sits within ~1e-10 of an
+    * integer — and the exact-ratio cases where that happens (r_i = 1,
+    * ratio a power of two) are exactly the ones pow computes exactly.
+    */
+  def temperatureMix(docs: DataFrame, domainCol: String, idCol: String,
+      alpha: Double = 0.3): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
+    val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_dom"))
+    val rates = counts
+      .crossJoin(counts.agg(min(col("n_dom")).as("n_min")))
+      .select(col(domainCol),
+        floor(lit(1000000.0) *
+          pow(col("n_min").cast("double") / col("n_dom").cast("double"),
+            lit(1.0 - alpha))).as("keep_thr"))
+    docs.join(broadcast(rates), domainCol)
+      .filter(pmod(xxhash64(col(idCol), lit(42L)), lit(1000000L)) <
+        col("keep_thr"))
+  }
+
+  private[text] val q74Alpha = 0.3
+
+  def q74TemperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMix(documents(s, d), "lang", "doc_id", q74Alpha)
+      .select("doc_id", "lang", "keep_thr")
+      .orderBy("doc_id")
+
   /** Shared verdict tail: per-benchmark-doc overlap of its shingles
     * (`benchSh`, computed once by each caller) against `corpusSh`
     * (distinct corpus shingle hashes, Bloom-prefiltered or not). */
@@ -190,7 +242,8 @@ object Mixing {
     "nq_contamination" -> (contaminationQuery _),
     "nq_contamination_bloom" -> (contaminationBloomQuery _),
     "q69_group_sample" -> ((s: SparkSession, d: String) =>
-      q69GroupSample(s, d)))
+      q69GroupSample(s, d)),
+    "q74_temperature_mix" -> (q74TemperatureMix _))
 
   // ------------------------------------------------------------ oracle
   // DuckDB replica of Spark's xxhash64(doc_id, 42): XXH64 of one 8-byte
@@ -284,7 +337,28 @@ object Mixing {
           |    AS rn
           |  FROM sgn)
           |SELECT doc_id, lang, rn FROM rk WHERE rn <= 20
-          |ORDER BY lang, rn""".stripMargin))
+          |ORDER BY lang, rn""".stripMargin),
+      // q74: same XXH64 replica; the rate derivation repeats the Spark
+      // side's exact IEEE operation sequence, with the pow exponent
+      // interpolated from the SAME Scala double so both engines parse
+      // the identical value (Double.toString round-trips exactly)
+      "q74_temperature_mix" -> (xxh64Ctes(", lang") +
+        s""",
+           |cnt AS (SELECT lang, count(*) AS n_dom FROM documents
+           |        GROUP BY lang),
+           |mn AS (SELECT min(n_dom) AS n_min FROM cnt),
+           |rt AS (SELECT lang, CAST(floor(1000000.0 *
+           |    pow(CAST(n_min AS DOUBLE) / CAST(n_dom AS DOUBLE),
+           |        ${1.0 - q74Alpha})) AS BIGINT) AS keep_thr
+           |  FROM cnt, mn),
+           |pm AS (SELECT doc_id, lang,
+           |  CAST(CASE WHEN hh >= 9223372036854775808
+           |    THEN (hh % 1000000 + 448384) % 1000000
+           |    ELSE hh % 1000000 END AS BIGINT) AS pmod FROM r2h)
+           |SELECT p.doc_id, p.lang, r.keep_thr
+           |FROM pm p JOIN rt r USING (lang)
+           |WHERE p.pmod < r.keep_thr
+           |ORDER BY p.doc_id""".stripMargin))
   }
 
   // Contamination oracle compares raw shingle STRINGS where Spark

@@ -47,6 +47,49 @@ class MixingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("temperature mix: exact thresholds, flattening, layout independence") {
+    // power-of-two domain ratios so α=0.5 rates are IEEE-exact:
+    // fr is rarest (kept whole); de = sqrt(25/100) = 0.5; en =
+    // sqrt(25/400) = 0.25 — thresholds must come out exactly
+    val rows = (1 to 400).map(i => (i.toLong, "en")) ++
+      (401 to 500).map(i => (i.toLong, "de")) ++
+      (501 to 525).map(i => (i.toLong, "fr"))
+    val docs = rows.toDF("doc_id", "lang")
+    val out = Mixing.temperatureMix(docs, "lang", "doc_id", alpha = 0.5).cache()
+    val thr = out.select("lang", "keep_thr").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(thr === Map("fr" -> 1000000L, "de" -> 500000L, "en" -> 250000L))
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(kept("fr") === 25L, "rarest domain is kept whole")
+    // binomial(400, .25) and binomial(100, .5): ±4.5σ windows
+    assert(kept("en") >= 60 && kept("en") <= 140, s"en kept ${kept("en")}")
+    assert(kept("de") >= 28 && kept("de") <= 72, s"de kept ${kept("de")}")
+    // flattening: the mix is strictly more balanced than the corpus
+    assert(kept("en").toDouble / kept("fr") < 400.0 / 25.0)
+    // pure function of (doc_id): repartitioned input keeps the same set
+    val repart = Mixing.temperatureMix(docs.repartition(13), "lang",
+      "doc_id", alpha = 0.5).select("doc_id").as[Long].collect().toSet
+    assert(repart === out.select("doc_id").as[Long].collect().toSet)
+    out.unpersist()
+  }
+
+  test("temperature mix: alpha=1 is the identity; samples nest as alpha rises") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val all = Mixing.temperatureMix(docs, "lang", "doc_id", alpha = 1.0).cache()
+    assert(all.count() === docs.count(), "alpha=1 reproduces the corpus")
+    assert(all.select("keep_thr").distinct().as[Long].collect().toSeq ===
+      Seq(1000000L))
+    all.unpersist()
+    // one hash draw per doc serves every temperature → the hotter
+    // (smaller-α, flatter) sample is a subset of the cooler one
+    val cold = Mixing.temperatureMix(docs, "lang", "doc_id", alpha = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    val warm = Mixing.temperatureMix(docs, "lang", "doc_id", alpha = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(cold.subsetOf(warm), "α=0.3 sample must nest inside α=0.7")
+    assert(cold.size < warm.size, "flattening must actually drop rows")
+  }
+
   test("bloom-prefiltered contamination is row-identical to the exact form") {
     // no false negatives (Bloom) + exact downstream join (kills false
     // positives) => identical verdicts; this is the claim that lets the
