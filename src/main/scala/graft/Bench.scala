@@ -48,7 +48,14 @@ object Bench {
     // cheaper than the full-vocabulary shuffle it replaces (q59) — and
     // LM scoring, the heaviest applied-text shape (bigram build on both
     // the reference split and the scored corpus + the LM equi-join)
-    "q70_heavy_hitters", "q71_lm_score")
+    "q70_heavy_hitters", "q71_lm_score",
+    // round-8: substring-granular dedup — the stride-1 gram explosion is
+    // BY FAR the heaviest text shape (~1 gram row per corpus token), so
+    // its cost and any plan regression must be visible every round; and
+    // temperature mixing, whose count-pass + broadcast-rate + narrow
+    // filter should stay near scan speed (a cheap query benched as a
+    // canary: if it ever grows a corpus-sized shuffle, the number jumps)
+    "q73_substr_dedup", "q74_temperature_mix")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -21,6 +21,14 @@ object Scratch {
       r
     }
 
+    if (args.headOption.contains("explain")) {
+      // print the formatted physical plan of any contract query:
+      //   runMain graft.tools.Scratch explain q73_substr_dedup
+      val name = args(1)
+      graft.SparkEntry.queries(name)(spark, d).explain("formatted")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("curation")) {
       // end-to-end curation probe on the 10x replicated corpus (50k docs
       // with 9 strong near-dups per original): exact dedup -> near-dup

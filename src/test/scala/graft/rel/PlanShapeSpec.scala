@@ -55,6 +55,44 @@ class PlanShapeSpec extends SparkSpec {
       s"chunk dedup must not plan a window over the chunk hash:\n$plan")
   }
 
+  test("q73 substr dedup: partial-min winners; windows per-document, never per-hash") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.SparkEntry.queries("q73_substr_dedup")(spark, sf0001)
+    // span merging windows must be partitioned by doc_id (bounded by one
+    // document's grams) — a window keyed on the gram hash would funnel a
+    // boilerplate gram's millions of copies into one un-splittable task
+    val wins = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "span merging should plan windows") // non-vacuity
+    wins.foreach { w =>
+      val parts = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      assert(parts === Set("doc_id"),
+        s"windows must partition by doc_id only, got $parts")
+    }
+    val plan = finalPhysical(df)
+    // same skew-proof property as q68: first-occurrence-per-hash comes
+    // from an aggregate WITH a map-side partial phase (hot grams collapse
+    // per partition before the exchange)
+    assert(plan.contains("partial_min"),
+      s"winners must be a partial-combining min aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q74 temperature mix: rates broadcast; the corpus side never shuffles") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val df = graft.SparkEntry.queries("q74_temperature_mix")(spark, sf0001)
+    val plan = finalPhysical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the domain-cardinality rate table must broadcast:\n$plan")
+    // the only aggregates are the domain count pass and its min — both
+    // domain-cardinality-sized; the corpus itself must reach the filter
+    // through scan + broadcast join only (no corpus-keyed exchange)
+    val aggs = df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty && aggs.forall(_.groupingExpressions.forall(
+      _.references.forall(_.name == "lang"))),
+      "aggregates must group by the domain column (or globally) only")
+  }
+
   test("q59 vocab top-k plans TakeOrdered, never a global sort of the vocabulary") {
     val plan = finalPhysical(
       graft.SparkEntry.queries("q59_vocab_topk")(spark, sf0001))
