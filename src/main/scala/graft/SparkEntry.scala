@@ -31,6 +31,7 @@ object SparkEntry {
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
       sim.IvfPq.queries ++ sim.SemDedup.queries ++
       text.Scrub.queries ++ text.SubstrDedup.queries ++
+      text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
       sources.VideoSource.queries
 
@@ -60,5 +61,7 @@ object SparkEntry {
       text.NearDup.oracle ++
       // round-8 continued: substring-level cross-document dedup
       // (Lee et al. 2022 ExactSubstr shape) — q73
-      text.SubstrDedup.oracle
+      text.SubstrDedup.oracle ++
+      // round-8 continued: Gopher-rule quality gates (Rae et al. 2021)
+      text.QualityRules.oracle
 }

@@ -53,11 +53,16 @@ import graft.Tables._
   */
 object SubstrDedup {
 
-  /** Duplicated-substring coverage per document (see object doc). */
-  def q73SubstrDedup(s: SparkSession, d: String, w: Int = 20): DataFrame = {
-    val docs  = documents(s, d)
+  /** Whitespace tokens with empties dropped: (doc_id, t). */
+  private def toksOf(docs: DataFrame): DataFrame = {
     val toksCol = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val toks  = docs.select(col("doc_id"), toksCol.as("t"))
+    docs.select(col("doc_id"), toksCol.as("t"))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, s, e), 1-based
+    * inclusive token positions. The grams→winners→redundant→islands
+    * chain described in the object doc. */
+  private def spansOf(toks: DataFrame, w: Int): DataFrame = {
     val grams = toks
       .filter(size(col("t")) >= w)
       .select(col("doc_id"),
@@ -77,7 +82,7 @@ object SubstrDedup {
     // gaps-and-islands: a window is glued to the running span while its
     // start is ≤ prev-max-end + 1 (adjacent token runs merge too)
     val byDoc   = Window.partitionBy("doc_id").orderBy("start")
-    val spans = redundant
+    redundant
       .withColumn("pm",
         max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("fresh",
@@ -87,6 +92,12 @@ object SubstrDedup {
         sum(col("fresh")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("doc_id"), col("span"))
       .agg(min("start").as("s"), max("end").as("e"))
+  }
+
+  /** Duplicated-substring coverage per document (see object doc). */
+  def q73SubstrDedup(s: SparkSession, d: String, w: Int = 20): DataFrame = {
+    val toks  = toksOf(documents(s, d))
+    val spans = spansOf(toks, w)
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + 1).as("n_dup_tokens"))
@@ -101,10 +112,41 @@ object SubstrDedup {
       .orderBy("doc_id")
   }
 
+  /** The actionable half of Lee et al.: CUT the duplicated spans q73
+    * measures, emitting the deduplicated text (kept tokens re-joined
+    * with single spaces — original whitespace is normalized, the
+    * standard loss of token-level dedup). First occurrences stay; a
+    * fully-duplicated document collapses to the empty string.
+    *
+    * Scale shape: the spans are collected per document (`collect_list`
+    * keyed on doc_id — bounded by one doc's span count, ≤ n_tokens/w),
+    * joined back doc-keyed, and the cut itself is a per-row array
+    * lambda: O(tokens × spans) per document, both bounded by the
+    * document — never corpus-scale. Everything upstream is q73's
+    * skew-proof chain, shared code.
+    */
+  def q76SubstrCut(s: SparkSession, d: String, w: Int = 20): DataFrame = {
+    val toks  = toksOf(documents(s, d))
+    val spanArr = spansOf(toks, w).groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    toks.join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        when(col("spans").isNull, col("t")).otherwise(
+          expr("filter(t, (x, i) -> NOT exists(spans, " +
+            "sp -> i + 1 >= sp.s AND i + 1 <= sp.e))")).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_tokens_kept"),
+        array_join(col("kept"), " ").as("text_dedup"))
+      .orderBy("doc_id")
+  }
+
   // The oracle takes the direct row_number formulation (rn > 1 ⇔ not
   // the first occurrence) — semantically identical to the min-struct
   // winners because (doc_id, start) is unique per gram row.
-  val q73Sql: String =
+  /** Shared CTE chain ending in `sp(doc_id, span, s, e)` — the maximal
+    * duplicated spans — with `toks(doc_id, l)` still in scope. */
+  private val spanCtes: String =
     """WITH toks AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
@@ -137,7 +179,9 @@ object SubstrDedup {
       |), sp AS (
       |  SELECT doc_id, span, min(start) AS s, max(e) AS e
       |  FROM isl GROUP BY doc_id, span
-      |), agg AS (
+      |)""".stripMargin
+
+  val q73Sql: String = spanCtes + """, agg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
       |    CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
       |  FROM sp GROUP BY doc_id
@@ -152,10 +196,34 @@ object SubstrDedup {
       |FROM toks t LEFT JOIN agg a USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  // q76: cut everything inside the spans; kept tokens re-join with ' '
+  // (same normalization as the Spark side's array_join)
+  val q76Sql: String = spanCtes + """, pos AS (
+      |  SELECT doc_id, CAST(i AS BIGINT) AS i, l[i] AS tok
+      |  FROM toks, LATERAL (
+      |    SELECT unnest(generate_series(1, len(l))) AS i) s2
+      |), kept AS (
+      |  SELECT p.doc_id, count(*) AS n_kept,
+      |    string_agg(p.tok, ' ' ORDER BY p.i) AS text_dedup
+      |  FROM pos p
+      |  WHERE NOT EXISTS (SELECT 1 FROM sp x
+      |                    WHERE x.doc_id = p.doc_id
+      |                      AND p.i BETWEEN x.s AND x.e)
+      |  GROUP BY p.doc_id
+      |)
+      |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+      |  coalesce(k.text_dedup, '') AS text_dedup
+      |FROM toks t LEFT JOIN kept k USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_substr_dedup" ->
-      ((s: SparkSession, d: String) => q73SubstrDedup(s, d)))
+      ((s: SparkSession, d: String) => q73SubstrDedup(s, d)),
+    "q76_substr_cut" ->
+      ((s: SparkSession, d: String) => q76SubstrCut(s, d)))
 
   val oracle: Map[String, String] = Map(
-    "q73_substr_dedup" -> q73Sql)
+    "q73_substr_dedup" -> q73Sql,
+    "q76_substr_cut" -> q76Sql)
 }

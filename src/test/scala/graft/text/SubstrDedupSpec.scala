@@ -73,6 +73,37 @@ class SubstrDedupSpec extends SparkSpec {
       s"adjacent spans must merge: ${out.mkString(", ")}")
   }
 
+  test("q76: cuts exactly the duplicated spans; full duplicates collapse to empty") {
+    val p = words("p", 25)
+    val doc0 = s"${words("a", 3)} $p ${words("z", 2)}"   // owns P
+    val doc1 = s"${words("b", 5)} $p"                    // P is cut
+    val doc2 = doc0                                      // verbatim dup of doc0
+    val docs = Seq(
+      (0L, doc0, "en", "s", 1L), (1L, doc1, "en", "s", 1L),
+      (2L, doc2, "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("substr-cut").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SubstrDedup.q76SubstrCut(spark, dir)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, 30L, 30L, doc0)), "first occurrence is untouched")
+    assert(out(1) === ((1L, 30L, 5L, words("b", 5))),
+      "doc 1 keeps only its lead-in")
+    assert(out(2) === ((2L, 30L, 0L, "")),
+      "a verbatim duplicate collapses to the empty string")
+  }
+
+  test("q76 conserves q73's accounting: kept = total − duplicated, corpus-wide") {
+    val audit = SubstrDedup.q73SubstrDedup(spark, sf0001)
+      .select("doc_id", "n_tokens", "n_dup_tokens")
+    val cut = SubstrDedup.q76SubstrCut(spark, sf0001)
+      .select("doc_id", "n_tokens_kept")
+    val bad = audit.join(cut, "doc_id")
+      .filter($"n_tokens_kept" =!= $"n_tokens" - $"n_dup_tokens")
+    assert(bad.count() === 0,
+      s"cut/audit mismatch: ${bad.limit(5).collect().mkString(", ")}")
+  }
+
   test("q73: corpus run has real signal and conserves bounds") {
     val out = SubstrDedup.q73SubstrDedup(spark, sf0001).cache()
     val n = graft.Tables.documents(spark, sf0001).count()
