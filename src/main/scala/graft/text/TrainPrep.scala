@@ -137,6 +137,81 @@ object TrainPrep {
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
   }
 
+  /** CCNet-style per-language quality bucketing (Wenzek et al. 2020,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data"): documents split into head/middle/tail by the terciles of
+    * their LM score WITHIN their language, so quality thresholds are
+    * language-fair (an absolute threshold would drop whole low-resource
+    * languages whose scores skew high). Input is (doc_id, lang, avg_nll);
+    * lower avg_nll = more fluent = head.
+    *
+    * Bucket assignment is the explicit integer rank form
+    * `(3·(r−1)) div n` (r = rank by (avg_nll, doc_id), n = language
+    * size) rather than `ntile(3)` — the formula is unambiguous and
+    * engine-independent, where ntile's remainder convention is a trap to
+    * cross-check. Unscored docs (null avg_nll — too short to bigram)
+    * keep their row with a null bucket: "unknown", not "tail".
+    *
+    * Scale: the exact rank needs a per-language total order — ONE
+    * reducer per language, fine for bounded language counts but wrong
+    * when one language IS most of the corpus. This exact form is the
+    * correctness backstop (and the oracle, q77); the 100 TB path is
+    * [[ccnetBucketsApprox]]: mergeable GK threshold sketches per
+    * language (map-side partials, no total order), thresholds broadcast,
+    * assignment a narrow compare at scan speed — the same
+    * exact-backstop/approx-scale pairing as q39 vs nq_approx_percentiles.
+    */
+  def ccnetBuckets(scoredLang: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("avg_nll").asc, col("doc_id").asc)
+    val ranked = scoredLang.filter(col("avg_nll").isNotNull)
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
+      .withColumn("bucket", expr(
+        "CASE (3 * (r - 1)) DIV n WHEN 0 THEN 'head' " +
+          "WHEN 1 THEN 'middle' ELSE 'tail' END"))
+      .select(col("doc_id"), col("bucket"))
+    scoredLang.join(ranked, Seq("doc_id"), "left")
+      .select("doc_id", "lang", "avg_nll", "bucket")
+  }
+
+  /** The 100 TB form of [[ccnetBuckets]]: per-language tercile
+    * THRESHOLDS from `percentile_approx` (a mergeable GK sketch —
+    * map-side partials, output one row per language), broadcast, then
+    * bucket assignment as a narrow scan-speed compare. No per-language
+    * total order anywhere, so a corpus-dominating language costs
+    * nothing extra. Boundary docs can land one bucket off the exact
+    * terciles (sketch error ε = 1/accuracy); spec pins ≥ 90 % agreement
+    * with the exact form on the test corpus.
+    */
+  def ccnetBucketsApprox(scoredLang: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val scored = scoredLang.filter(col("avg_nll").isNotNull)
+    val thr = scored.groupBy("lang")
+      .agg(percentile_approx(col("avg_nll"),
+        array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("t"))
+    scoredLang.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("avg_nll"),
+        when(col("avg_nll").isNull, lit(null).cast("string"))
+          .when(col("avg_nll") <= col("t")(0), "head")
+          .when(col("avg_nll") <= col("t")(1), "middle")
+          .otherwise("tail").as("bucket"))
+  }
+
+  private def scoredWithLang(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    docs.select(col("doc_id"), col("lang"))
+      .join(lmScore(docs, bigramLm(docs.filter(col("doc_id") % 5 =!= 0)))
+        .select("doc_id", "avg_nll"), Seq("doc_id"))
+  }
+
+  def q77CcnetBuckets(s: SparkSession, d: String): DataFrame =
+    ccnetBuckets(scoredWithLang(s, d)).orderBy("doc_id")
+
+  def nqCcnetBucketsApprox(s: SparkSession, d: String): DataFrame =
+    ccnetBucketsApprox(scoredWithLang(s, d)).orderBy("doc_id")
+
   // ----------------------------------------------------------- contract
 
   def q65ShuffleShard(s: SparkSession, d: String): DataFrame =
@@ -169,7 +244,9 @@ object TrainPrep {
     "q65_shuffle_shard" -> (q65ShuffleShard _),
     "q66_bigram_lm" -> (q66BigramLm _),
     "q71_lm_score" -> (q71LmScore _),
-    "q72_bigram_lm_merge" -> (q72BigramLmMerge _))
+    "q72_bigram_lm_merge" -> (q72BigramLmMerge _),
+    "q77_ccnet_buckets" -> (q77CcnetBuckets _),
+    "nq_ccnet_buckets" -> (nqCcnetBucketsApprox _))
 
   val q66Sql: String =
     """WITH toks AS (
@@ -211,7 +288,45 @@ object TrainPrep {
     // the same adjacent-pair construction for the scored corpus, and
     // the identical greatest(coalesce(p, floor), floor) clamp before
     // ln — both engines average the same doubles and round to 4 digits.
-    "q71_lm_score" ->
+    "q71_lm_score" -> (q71Core + "\nORDER BY doc_id"),
+    // q77: q71's scored corpus (nested WITH in the first CTE), ranked
+    // within language by (avg_nll, doc_id); the tercile is the explicit
+    // integer formula (3·(r−1)) // n — identical div semantics both
+    // engines, no ntile remainder convention to trust. Unscored docs
+    // surface with null bucket.
+    "q77_ccnet_buckets" ->
+      s"""WITH scored AS (
+         |$q71Core
+         |), langd AS (
+         |  SELECT doc_id, lang FROM documents
+         |), j AS (
+         |  SELECT s.doc_id, l.lang, s.avg_nll
+         |  FROM scored s JOIN langd l USING (doc_id)
+         |), rk AS (
+         |  SELECT doc_id, lang, avg_nll,
+         |    row_number() OVER (PARTITION BY lang
+         |                       ORDER BY avg_nll, doc_id) AS r,
+         |    count(*) OVER (PARTITION BY lang) AS n
+         |  FROM j WHERE avg_nll IS NOT NULL
+         |), b AS (
+         |  SELECT doc_id,
+         |    CASE (3 * (r - 1)) // n WHEN 0 THEN 'head'
+         |      WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+         |  FROM rk
+         |)
+         |SELECT j.doc_id, j.lang, j.avg_nll, b.bucket
+         |FROM j LEFT JOIN b USING (doc_id)
+         |ORDER BY j.doc_id""".stripMargin,
+    "q66_bigram_lm" -> q66Sql,
+    // the shard-and-merge form must reproduce the whole-corpus table
+    // bit-for-bit, so it carries the SAME oracle — the driver re-proves
+    // merge ≡ monolithic every round
+    "q72_bigram_lm_merge" -> q66Sql)
+
+  /** q71's scored-corpus query WITHOUT the presentation sort — shared
+    * by the q71 oracle (which appends it) and q77's first CTE (which
+    * must not carry an inner ORDER BY). */
+  private lazy val q71Core: String =
       """WITH toks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
@@ -236,12 +351,5 @@ object TrainPrep {
         |)
         |SELECT d.doc_id, sc.n_bigrams, sc.avg_nll
         |FROM (SELECT doc_id FROM documents) d
-        |LEFT JOIN sc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
-    "q66_bigram_lm" -> q66Sql,
-    // the shard-and-merge form must reproduce the whole-corpus table
-    // bit-for-bit, so it carries the SAME oracle — the driver re-proves
-    // merge ≡ monolithic every round
-    "q72_bigram_lm_merge" -> q66Sql)
-
+        |LEFT JOIN sc USING (doc_id)""".stripMargin
 }

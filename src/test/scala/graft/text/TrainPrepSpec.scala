@@ -122,6 +122,63 @@ class TrainPrepSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ccnet buckets: exact terciles with remainder to head, nulls unbucketed") {
+    // one language, scores 1..9 in shuffled doc order → head {1,2,3},
+    // middle {4,5,6}, tail {7,8,9} regardless of layout; doc 99 unscored
+    val scored = Seq(
+      (5L, "en", Some(5.0)), (1L, "en", Some(1.0)), (9L, "en", Some(9.0)),
+      (3L, "en", Some(3.0)), (7L, "en", Some(7.0)), (2L, "en", Some(2.0)),
+      (8L, "en", Some(8.0)), (4L, "en", Some(4.0)), (6L, "en", Some(6.0)),
+      (99L, "en", None)
+    ).toDF("doc_id", "lang", "avg_nll")
+    val out = TrainPrep.ccnetBuckets(scored.repartition(7))
+      .as[(Long, String, Option[Double], Option[String])]
+      .collect().map(r => r._1 -> r._4).toMap
+    for (id <- 1L to 3L) assert(out(id) === Some("head"), s"doc $id")
+    for (id <- 4L to 6L) assert(out(id) === Some("middle"), s"doc $id")
+    for (id <- 7L to 9L) assert(out(id) === Some("tail"), s"doc $id")
+    assert(out(99L) === None, "unscored doc keeps a null bucket")
+    // n=4 remainder: (3·(r−1)) div 4 → head,head,middle,tail
+    val four = TrainPrep.ccnetBuckets(Seq(
+      (1L, "de", Some(1.0)), (2L, "de", Some(2.0)),
+      (3L, "de", Some(3.0)), (4L, "de", Some(4.0))
+    ).toDF("doc_id", "lang", "avg_nll"))
+      .as[(Long, String, Option[Double], Option[String])]
+      .collect().map(r => r._1 -> r._4.get).toMap
+    assert(four === Map(1L -> "head", 2L -> "head",
+      3L -> "middle", 4L -> "tail"))
+  }
+
+  test("ccnet buckets: approx scale path agrees >=90% with the exact form") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val scored = docs.select($"doc_id", $"lang")
+      .join(TrainPrep.q71LmScore(spark, sf0001).select("doc_id", "avg_nll"),
+        Seq("doc_id"))
+    val exact = TrainPrep.ccnetBuckets(scored)
+      .select($"doc_id", $"bucket".as("b_exact"))
+    val approx = TrainPrep.ccnetBucketsApprox(scored)
+      .select($"doc_id", $"bucket".as("b_approx"))
+    val joined = exact.join(approx, "doc_id").cache()
+    val n = joined.count()
+    assert(n === docs.count())
+    val agree = joined.filter($"b_exact" <=> $"b_approx").count()
+    assert(agree.toDouble / n >= 0.9,
+      s"approx/exact bucket agreement ${agree.toDouble / n} below 0.9")
+    // per-language bucket sizes from the approx path stay near n/3
+    val docsPerLang = scored.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val sizes = TrainPrep.ccnetBucketsApprox(scored)
+      .filter($"bucket".isNotNull)
+      .groupBy("lang", "bucket").count()
+      .as[(String, String, Long)].collect()
+    sizes.foreach { case (l, b, c) =>
+      val third = docsPerLang(l) / 3.0
+      assert(c >= third * 0.5 && c <= third * 1.5,
+        s"$l/$b size $c far from even third $third")
+    }
+    joined.unpersist()
+  }
+
   private def bigramsOf(docs: org.apache.spark.sql.DataFrame) =
     TrainPrep.bigramLm(docs)
       .as[(String, String, Long, Double)].collect()
