@@ -73,6 +73,43 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("substr")) {
+      // substring-dedup scale probe: replicate the corpus 10x WITHOUT a
+      // per-copy marker (replica docs are verbatim, so every replica's
+      // full text is one duplicated span against the original). The
+      // gram volume grows 10x linearly; the winners aggregate and the
+      // redundancy join must scale with it, not quadratically.
+      val docs0 = graft.Tables.documents(spark, d)
+      val n = docs0.count()
+      val docs10 = (0 until 10).map { r =>
+        docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          col("text"), col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      val tmp = java.nio.file.Files.createTempDirectory("docs10s").toString
+      docs10.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      // only docs wide enough to gram (≥ 20 tokens) can be marked
+      val grammable = docs0.filter(
+        size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= 20)
+        .count()
+      println(s"[substr] corpus: ${n * 10} docs ($grammable/$n grammable)")
+      // warm the session AND this plan's whole-stage codegen: the first
+      // execution pays multi-second JIT that would otherwise be billed
+      // to the 1x run and make 10x look absurdly cheaper than 1x
+      graft.text.SubstrDedup.q73SubstrDedup(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      time("substr dedup audit on 1x corpus (warm)") {
+        graft.text.SubstrDedup.q73SubstrDedup(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("substr dedup audit on 10x corpus") {
+        val out = graft.text.SubstrDedup.q73SubstrDedup(spark, tmp)
+        val full = out.filter(col("dup_bp") === 10000L).count()
+        println(s"  fully-duplicated docs=$full (expect ≥ ${grammable * 9} " +
+          "verbatim replicas of grammable docs)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("cc")) {
       // adversarial connected-components probe: a 20k-node CHAIN is the
       // worst case for min-label propagation (diameter = n, so it would
