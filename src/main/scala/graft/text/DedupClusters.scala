@@ -214,6 +214,49 @@ object DedupClusters {
       .orderBy("doc_id")
   }
 
+  /** Source-priority keeper selection — the policy real curation runs:
+    * among near-duplicates, keep the copy from the most TRUSTED source
+    * (curated/licensed beats crawl), falling back to min doc_id only
+    * within a priority tier. `priority` maps source → rank (lower wins);
+    * unlisted sources get `defaultPrio`. With an empty map this
+    * degenerates to the min-doc_id policy (spec-pinned against q63).
+    *
+    * Scale shape: priorities attach via a narrow CASE projection (the
+    * recipe is a literal, no join); the winner per cluster is the same
+    * skew-proof `min(struct)` partial aggregate as q68/q73 — a
+    * million-member cluster collapses map-side — and the keeper joins
+    * back cluster-keyed. Nothing is collected, nothing broadcast beyond
+    * AQE's own choices.
+    */
+  def priorityKeepers(clusters: DataFrame, docsSrc: DataFrame,
+      priority: Map[String, Int], defaultPrio: Int = 1): DataFrame = {
+    val prioCol = priority.foldLeft(lit(defaultPrio)) { case (acc, (sv, p)) =>
+      when(col("source") === sv, lit(p)).otherwise(acc)
+    }.cast("long")
+    val pr = clusters.select("doc_id", "cluster_id")
+      .join(docsSrc.select(col("doc_id"), prioCol.as("prio")), Seq("doc_id"))
+    val win = pr.groupBy("cluster_id")
+      .agg(min(struct(col("prio"), col("doc_id"))).as("w"))
+      .select(col("cluster_id"), col("w.doc_id").as("keeper_id"))
+    pr.join(win, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("keeper_id"),
+        (col("doc_id") === col("keeper_id")).as("is_keeper"))
+  }
+
+  /** Driver recipe: two "curated" sources outrank the rest. Shared with
+    * the q78 oracle CASE below. */
+  private[text] val keeperRecipe: Map[String, Int] =
+    Map("src3" -> 0, "src7" -> 0)
+
+  def q78PriorityKeepers(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val pairs = TextQueries.q25NeardupJaccard(s, d)
+      .filter(col("jaccard") >= 0.5).select("d1", "d2")
+    val cl = connectedComponents(docs.select("doc_id"), pairs)
+    priorityKeepers(cl, docs.select("doc_id", "source"), keeperRecipe)
+      .orderBy("doc_id")
+  }
+
   // The pair CTEs mirror q25's oracle (same shingling/df-cap/threshold);
   // `reach` computes, per node, every component label reachable through
   // the symmetrized edges — UNION dedup guarantees termination, min =
@@ -264,11 +307,39 @@ object DedupClusters {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_dedup_clusters" -> ((s: SparkSession, d: String) => dedupClusters(s, d)),
-    "q63_dedup_clusters" -> (q63DedupClusters _))
+    "q63_dedup_clusters" -> (q63DedupClusters _),
+    "q78_priority_keepers" -> (q78PriorityKeepers _))
+
+  // q78 oracle: q63's exact reach, then the keeper chosen by
+  // (priority, doc_id) — the CASE is generated from keeperRecipe so the
+  // two engines share one source of truth for the priority table.
+  private lazy val q78Sql: String = {
+    val cases = keeperRecipe.toSeq.sortBy(_._1)
+      .map { case (sv, p) => s"WHEN '$sv' THEN $p" }.mkString(" ")
+    reachCtes + s""",
+      |cl AS (
+      |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+      |), pr AS (
+      |  SELECT c.doc_id, c.cluster_id,
+      |    CAST(CASE d.source $cases ELSE 1 END AS BIGINT) AS prio
+      |  FROM cl c JOIN documents d ON c.doc_id = d.doc_id
+      |), win AS (
+      |  SELECT cluster_id, doc_id AS keeper_id FROM (
+      |    SELECT cluster_id, doc_id,
+      |      row_number() OVER (PARTITION BY cluster_id
+      |                         ORDER BY prio, doc_id) AS rn
+      |    FROM pr) WHERE rn = 1
+      |)
+      |SELECT p.doc_id, p.cluster_id, w.keeper_id,
+      |  (p.doc_id = w.keeper_id) AS is_keeper
+      |FROM pr p JOIN win w ON p.cluster_id = w.cluster_id
+      |ORDER BY p.doc_id""".stripMargin
+  }
 
   val oracle: Map[String, String] = Map(
     "q63_dedup_clusters" -> q63Sql,
     // round-8 promotion: the BANDED path's own oracle — reach over
     // NearDup's replicated minhash-band pair relation
-    "nq_dedup_clusters" -> (NearDup.bandedReachCtes + clusterSelect))
+    "nq_dedup_clusters" -> (NearDup.bandedReachCtes + clusterSelect),
+    "q78_priority_keepers" -> q78Sql)
 }

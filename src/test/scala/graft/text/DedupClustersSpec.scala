@@ -82,4 +82,43 @@ class DedupClustersSpec extends SparkSpec {
     assert(split === 0)
     out.unpersist()
   }
+
+  test("priority keepers: trusted source beats lower id; ties fall back to id") {
+    import spark.implicits._
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // one cluster of three
+      (4L, 4L), (5L, 4L),           // tie on priority
+      (9L, 9L)                      // singleton
+    ).toDF("doc_id", "cluster_id")
+    val srcs = Seq(
+      (1L, "src0"), (2L, "src3"), (3L, "src0"),
+      (4L, "src3"), (5L, "src3"), (9L, "src0")
+    ).toDF("doc_id", "source")
+    val out = DedupClusters.priorityKeepers(clusters, srcs,
+        Map("src3" -> 0, "src7" -> 0))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(out(1L) === ((2L, false)), "curated src3 doc 2 outranks doc 1")
+    assert(out(2L) === ((2L, true)))
+    assert(out(3L) === ((2L, false)))
+    assert(out(4L) === ((4L, true)), "priority tie falls back to min id")
+    assert(out(5L) === ((4L, false)))
+    assert(out(9L) === ((9L, true)), "singleton keeps itself")
+  }
+
+  test("priority keepers: empty recipe degenerates to q63's min-id policy") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val cl = DedupClusters.dedupClusters(spark, sf0001)
+      .select("doc_id", "cluster_id")
+    val out = DedupClusters.priorityKeepers(cl,
+      docs.select("doc_id", "source"), Map.empty).cache()
+    // cluster_id IS the min doc_id by CC construction → keeper_id == it
+    assert(out.filter(col("keeper_id") =!= col("cluster_id")).count() === 0)
+    // exactly one keeper per cluster, and it is a member
+    val bad = out.groupBy("cluster_id")
+      .agg(sum(when(col("is_keeper"), 1).otherwise(0)).as("nk"))
+      .filter(col("nk") =!= 1).count()
+    assert(bad === 0)
+    out.unpersist()
+  }
 }
