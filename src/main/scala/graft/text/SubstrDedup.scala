@@ -33,11 +33,15 @@ import graft.Tables._
   *    hash — map-side partial aggregation, so a boilerplate gram
   *    repeated millions of times collapses per map partition before the
   *    exchange (same skew-proof shape as q68, plan-guarded there).
-  *  - redundancy test = shuffle join grams⋈winners on the hash. Both
-  *    sides are corpus-sized so neither broadcasts, but a hot key pairs
+  *  - redundancy test = join grams⋈winners on the hash, with winners
+  *    pre-filtered to hashes seen MORE than once (singletons can't
+  *    yield redundant rows). That build side is overlap-sized, not
+  *    corpus-sized — AQE broadcasts it in typical corpora (measured
+  *    −27% at the 10× probe), falling back to a sort-merge join when
+  *    the dup set is genuinely huge; either way a hot key pairs
   *    millions of gram rows with exactly ONE winner row — AQE's skew
-  *    split handles that join shape; a window-rank formulation would
-  *    funnel the hot hash into one un-splittable window task instead.
+  *    split handles that, where a window-rank formulation would funnel
+  *    the hot hash into one un-splittable window task instead.
   *  - span merging windows are partitioned by doc_id — bounded by one
   *    document's grams, never corpus-scale.
   *  - md5 keeps the oracle shared (DuckDB has md5; its 128 bits make
@@ -70,10 +74,23 @@ object SubstrDedup {
         col("t"))
       .select(col("doc_id"), col("start").cast("long").as("start"),
         md5(array_join(expr(s"slice(t, start, $w)"), " ")).as("h"))
-    // (doc_id, start) is unique per gram row → the struct min is total
+    // (doc_id, start) is unique per gram row → the struct min is total.
+    // Winners are restricted to hashes occurring MORE THAN ONCE: a
+    // unique gram is trivially its own first occurrence and can never
+    // yield a redundant row, so dropping singletons before the join
+    // shrinks its build side from "every distinct gram" (corpus-scale)
+    // to "distinct DUPLICATED grams" (overlap-scale) — small enough for
+    // AQE to broadcast in typical corpora, which deletes the second
+    // corpus-wide gram shuffle; when the dup set is genuinely huge AQE
+    // falls back to the same sort-merge join as before. Output is
+    // unchanged: singleton-hash gram rows used to pass the join and die
+    // at the not-the-winner filter anyway.
     val winners = grams
       .groupBy("h")
-      .agg(min(struct(col("doc_id"), col("start"))).as("win"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("win"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .drop("cnt")
     val redundant = grams.join(winners, "h")
       .filter(col("doc_id") =!= col("win.doc_id") ||
         col("start") =!= col("win.start"))
