@@ -93,6 +93,38 @@ class PlanShapeSpec extends SparkSpec {
       "aggregates must group by the domain column (or globally) only")
   }
 
+  test("ccnet approx buckets: thresholds broadcast, no per-language total order") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = graft.SparkEntry.queries("nq_ccnet_buckets")(spark, sf0001)
+    // the whole point of the approx path: bucket assignment must NOT
+    // rank within language (a corpus-dominating language would funnel
+    // into one reducer) — thresholds come from a mergeable sketch agg
+    // and broadcast back. The upstream LM's conditional-probability
+    // window (partitioned by w1, vocab-bounded) is legitimate, so only
+    // LANGUAGE-partitioned windows are forbidden.
+    def langWindows(d: org.apache.spark.sql.DataFrame) =
+      d.queryExecution.optimizedPlan.collect { case w: LWindow
+        if w.partitionSpec.exists(_.references.exists(_.name == "lang")) => w }
+    assert(langWindows(df).isEmpty,
+      s"approx path must not rank within language:\n${langWindows(df)}")
+    val plan = finalPhysical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"threshold table should broadcast:\n$plan")
+    // and the exact form DOES rank per language (non-vacuity: the two
+    // paths genuinely differ in shape, not just in numbers)
+    val exact = graft.SparkEntry.queries("q77_ccnet_buckets")(spark, sf0001)
+    assert(langWindows(exact).nonEmpty)
+  }
+
+  test("q76 substr cut: per-doc span arrays, no cartesian or nested-loop joins") {
+    val plan = finalPhysical(
+      graft.SparkEntry.queries("q76_substr_cut")(spark, sf0001))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("partial_min"),
+      s"shares q73's partial-combining winners aggregate:\n$plan")
+  }
+
   test("q59 vocab top-k plans TakeOrdered, never a global sort of the vocabulary") {
     val plan = finalPhysical(
       graft.SparkEntry.queries("q59_vocab_topk")(spark, sf0001))
