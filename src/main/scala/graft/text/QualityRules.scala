@@ -37,7 +37,10 @@ import graft.Tables._
   */
 object QualityRules {
 
-  def q75GopherRules(s: SparkSession, d: String): DataFrame = {
+  /** The gates over ANY documents relation (batch or streaming — pure
+    * stateless row expressions, so the ingest gate runs this verbatim):
+    * returns the input's columns plus the metric columns and `keep`. */
+  def gopherGates(docs: DataFrame): DataFrame = {
     val nt = size(col("t"))
     val nl = size(col("ln"))
     def tokFrac(pred: String): org.apache.spark.sql.Column =
@@ -48,25 +51,27 @@ object QualityRules {
       when(nl > 0,
         expr(s"size(filter(ln, x -> $pred))").cast("double") / nl)
         .otherwise(lit(0.0))
-    documents(s, d)
-      .select(col("doc_id"),
-        expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)").as("t"),
-        split(col("text"), "\n").as("ln"))
-      .select(col("doc_id"),
-        nt.cast("long").as("n_tokens"),
-        when(nt > 0,
+    docs
+      .withColumn("t",
+        expr("filter(split(text, '\\\\s+'), x -> length(x) > 0)"))
+      .withColumn("ln", split(col("text"), "\n"))
+      .withColumns(Map(
+        "n_tokens" -> nt.cast("long"),
+        "mean_word_len" -> when(nt > 0,
           expr("aggregate(t, 0L, (a, x) -> a + length(x))").cast("double") / nt)
-          .otherwise(lit(0.0)).as("mean_word_len"),
-        tokFrac("contains(x, '#') OR contains(x, '...') OR contains(x, '…')")
-          .as("frac_symbol_words"),
-        tokFrac("x rlike '[A-Za-z]'").as("frac_alpha_words"),
-        lineFrac("startswith(ltrim(x), '-') OR startswith(ltrim(x), '*') " +
-          "OR startswith(ltrim(x), '•')").as("frac_bullet_lines"),
-        lineFrac("endswith(rtrim(x), '...') OR endswith(rtrim(x), '…')")
-          .as("frac_ellipsis_lines"),
-        expr("size(array_distinct(filter(t, x -> lower(x) IN " +
-          "('the','be','to','of','and','that','have','with'))))")
-          .cast("long").as("n_stopwords"))
+          .otherwise(lit(0.0)),
+        "frac_symbol_words" -> tokFrac(
+          "contains(x, '#') OR contains(x, '...') OR contains(x, '…')"),
+        "frac_alpha_words" -> tokFrac("x rlike '[A-Za-z]'"),
+        "frac_bullet_lines" -> lineFrac(
+          "startswith(ltrim(x), '-') OR startswith(ltrim(x), '*') " +
+            "OR startswith(ltrim(x), '•')"),
+        "frac_ellipsis_lines" -> lineFrac(
+          "endswith(rtrim(x), '...') OR endswith(rtrim(x), '…')"),
+        "n_stopwords" -> expr(
+          "size(array_distinct(filter(t, x -> lower(x) IN " +
+            "('the','be','to','of','and','that','have','with'))))")
+          .cast("long")))
       .withColumn("keep",
         col("n_tokens").between(50L, 100000L) &&
           col("mean_word_len").between(3.0, 10.0) &&
@@ -75,8 +80,15 @@ object QualityRules {
           col("frac_bullet_lines") <= 0.9 &&
           col("frac_ellipsis_lines") <= 0.3 &&
           col("n_stopwords") >= 2L)
-      .orderBy("doc_id")
+      .drop("t", "ln")
   }
+
+  def q75GopherRules(s: SparkSession, d: String): DataFrame =
+    gopherGates(documents(s, d))
+      .select("doc_id", "n_tokens", "mean_word_len", "frac_symbol_words",
+        "frac_alpha_words", "frac_bullet_lines", "frac_ellipsis_lines",
+        "n_stopwords", "keep")
+      .orderBy("doc_id")
 
   val q75Sql: String =
     """WITH d AS (

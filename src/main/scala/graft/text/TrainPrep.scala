@@ -115,22 +115,31 @@ object TrainPrep {
     * broadcasts it while it fits, SMJ beyond) and one groupBy doc_id
     * with map-side combine. Nothing is corpus × corpus.
     */
+  /** Shared tokenize + adjacent-bigram exprs — one definition so the
+    * batch scorer and the streaming ingest gate provably build the
+    * same bigrams. */
+  private[graft] val toksColumn =
+    filter(split(col("text"), "\\s+"), t => t =!= "")
+  private[graft] val bigramsColumn = expr(
+    "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
+      "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))")
+  /** The per-bigram negative log likelihood with the unseen-bigram
+    * floor; null for a null bigram row (explode_outer padding). */
+  private[graft] def nllColumn(floorP: Double) =
+    when(col("w1").isNotNull,
+      -log(greatest(coalesce(col("p"), lit(floorP)), lit(floorP))))
+
   def lmScore(docs: DataFrame, lm: DataFrame,
       floorP: Double = 1e-4): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     val bgs = docs
-      .select(col("doc_id"), toks.as("t"))
-      .select(col("doc_id"), explode(expr(
-        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
-          "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"))
-        .as("bg"))
+      .select(col("doc_id"), toksColumn.as("t"))
+      .select(col("doc_id"), explode(bigramsColumn).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val scored = bgs
       .join(lm.select(col("w1"), col("w2"), col("p")), Seq("w1", "w2"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
-        round(avg(-log(greatest(coalesce(col("p"), lit(floorP)),
-          lit(floorP)))), 4).as("avg_nll"))
+        round(avg(nllColumn(floorP)), 4).as("avg_nll"))
     // docs too short to score (< 2 tokens) come back as null, not absent
     docs.select(col("doc_id"))
       .join(scored, Seq("doc_id"), "left")
@@ -185,19 +194,34 @@ object TrainPrep {
     * terciles (sketch error ε = 1/accuracy); spec pins ≥ 90 % agreement
     * with the exact form on the test corpus.
     */
-  def ccnetBucketsApprox(scoredLang: DataFrame,
-      accuracy: Int = 10000): DataFrame = {
-    val scored = scoredLang.filter(col("avg_nll").isNotNull)
-    val thr = scored.groupBy("lang")
+  /** Frozen per-language tercile thresholds (lang, t1, t2) — the
+    * artifact a batch calibration run hands to the streaming ingest
+    * gate. Mergeable GK sketch agg: map-side partials, one row per
+    * language out. */
+  def ccnetThresholds(scoredLang: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    scoredLang.filter(col("avg_nll").isNotNull).groupBy("lang")
       .agg(percentile_approx(col("avg_nll"),
         array(lit(1.0 / 3), lit(2.0 / 3)), lit(accuracy)).as("t"))
-    scoredLang.join(broadcast(thr), Seq("lang"), "left")
+      .select(col("lang"), col("t")(0).as("t1"), col("t")(1).as("t2"))
+
+  /** Bucket from (avg_nll, t1, t2) in scope — shared by the batch
+    * approx path and the streaming gate so the assignment rule cannot
+    * drift between them. Null score OR unknown language → null bucket
+    * ("unknown", never "tail"). */
+  private[graft] def bucketFromThresholds =
+    when(col("avg_nll").isNull || col("t1").isNull,
+      lit(null).cast("string"))
+      .when(col("avg_nll") <= col("t1"), "head")
+      .when(col("avg_nll") <= col("t2"), "middle")
+      .otherwise("tail")
+
+  def ccnetBucketsApprox(scoredLang: DataFrame,
+      accuracy: Int = 10000): DataFrame =
+    scoredLang.join(broadcast(ccnetThresholds(scoredLang, accuracy)),
+        Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("avg_nll"),
-        when(col("avg_nll").isNull, lit(null).cast("string"))
-          .when(col("avg_nll") <= col("t")(0), "head")
-          .when(col("avg_nll") <= col("t")(1), "middle")
-          .otherwise("tail").as("bucket"))
-  }
+        bucketFromThresholds.as("bucket"))
 
   private def scoredWithLang(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
