@@ -63,17 +63,38 @@ object SubstrDedup {
     docs.select(col("doc_id"), toksCol.as("t"))
   }
 
-  /** Maximal duplicated spans per document: (doc_id, s, e), 1-based
-    * inclusive token positions. The grams→winners→redundant→islands
-    * chain described in the object doc. */
-  private def spansOf(toks: DataFrame, w: Int): DataFrame = {
-    val grams = toks
+  /** Stride-1 w-gram fingerprints: (doc_id, start, h). */
+  private def gramsOf(toks: DataFrame, w: Int): DataFrame =
+    toks
       .filter(size(col("t")) >= w)
       .select(col("doc_id"),
         explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("start"),
         col("t"))
       .select(col("doc_id"), col("start").cast("long").as("start"),
         md5(array_join(expr(s"slice(t, start, $w)"), " ")).as("h"))
+
+  /** Merge redundant windows (doc_id, start, end) into maximal spans
+    * (doc_id, span, s, e) — the gaps-and-islands pass, windows bounded
+    * by one document. */
+  private def mergeSpans(redundant: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    redundant
+      .withColumn("pm",
+        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when(col("pm").isNull || col("start") > col("pm") + 1, 1L)
+          .otherwise(0L))
+      .withColumn("span",
+        sum(col("fresh")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("span"))
+      .agg(min("start").as("s"), max("end").as("e"))
+  }
+
+  /** Maximal duplicated spans per document: (doc_id, s, e), 1-based
+    * inclusive token positions. The grams→winners→redundant→islands
+    * chain described in the object doc. */
+  private def spansOf(toks: DataFrame, w: Int): DataFrame = {
+    val grams = gramsOf(toks, w)
     // (doc_id, start) is unique per gram row → the struct min is total.
     // Winners are restricted to hashes occurring MORE THAN ONCE: a
     // unique gram is trivially its own first occurrence and can never
@@ -98,23 +119,11 @@ object SubstrDedup {
         (col("start") + lit((w - 1).toLong)).as("end"))
     // gaps-and-islands: a window is glued to the running span while its
     // start is ≤ prev-max-end + 1 (adjacent token runs merge too)
-    val byDoc   = Window.partitionBy("doc_id").orderBy("start")
-    redundant
-      .withColumn("pm",
-        max(col("end")).over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("fresh",
-        when(col("pm").isNull || col("start") > col("pm") + 1, 1L)
-          .otherwise(0L))
-      .withColumn("span",
-        sum(col("fresh")).over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy(col("doc_id"), col("span"))
-      .agg(min("start").as("s"), max("end").as("e"))
+    mergeSpans(redundant)
   }
 
-  /** Duplicated-substring coverage per document (see object doc). */
-  def q73SubstrDedup(s: SparkSession, d: String, w: Int = 20): DataFrame = {
-    val toks  = toksOf(documents(s, d))
-    val spans = spansOf(toks, w)
+  /** q73's per-document coverage report over any (toks, spans) pair. */
+  private def coverage(toks: DataFrame, spans: DataFrame): DataFrame = {
     val perDoc = spans.groupBy("doc_id")
       .agg(count(lit(1)).as("n_dup_spans"),
         sum(col("e") - col("s") + 1).as("n_dup_tokens"))
@@ -127,6 +136,61 @@ object SubstrDedup {
           expr("10000 * coalesce(n_dup_tokens, 0L) DIV n_tokens"))
           .otherwise(lit(0L)).as("dup_bp"))
       .orderBy("doc_id")
+  }
+
+  /** Duplicated-substring coverage per document (see object doc). */
+  def q73SubstrDedup(s: SparkSession, d: String, w: Int = 20): DataFrame = {
+    val toks = toksOf(documents(s, d))
+    coverage(toks, spansOf(toks, w))
+  }
+
+  /** Ingest-time (incremental) substring dedup: judge a NEW batch of
+    * documents against an already-ingested corpus WITHOUT re-scanning
+    * the corpus text — the corpus side is its distinct gram-hash set
+    * (the "gram store", persisted once at ingest exactly like
+    * `NearDup`'s signature store). A batch gram is redundant iff its
+    * hash is already in the store, or it is not the batch-internal
+    * first occurrence. When batch doc_ids follow corpus doc_ids (the
+    * ingest invariant: new docs get new ids), this equals the full
+    * corpus-wide q73 restricted to the batch — spec-pinned, and the
+    * q79 oracle re-proves it against the full-run SQL every round.
+    *
+    * Scale shape: per-trigger work is batch-sized (grams of the NEW
+    * docs only) plus ONE hash semi-join against the store — the store
+    * is corpus-token-scale but only its 16-byte keys ever move, and
+    * the join is the only corpus-sized touch (no text re-scan, no
+    * re-fingerprinting). Same incremental contract as
+    * `NearDup.neardupIncremental`.
+    */
+  def substrDedupIncremental(batch: DataFrame, corpus: DataFrame,
+      w: Int = 20): DataFrame = {
+    val bToks  = toksOf(batch)
+    val bGrams = gramsOf(bToks, w)
+    val store  = gramsOf(toksOf(corpus), w).select("h").distinct()
+    val bWin = bGrams.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("start"))).as("win"))
+    val redundant = bGrams
+      .join(store.withColumn("__in", lit(1)), Seq("h"), "left")
+      .join(bWin, "h")
+      .filter(col("__in").isNotNull ||
+        col("doc_id") =!= col("win.doc_id") ||
+        col("start") =!= col("win.start"))
+      .select(col("doc_id"), col("start"),
+        (col("start") + lit((w - 1).toLong)).as("end"))
+    coverage(bToks, mergeSpans(redundant))
+  }
+
+  /** Driver entry: corpus = doc_id below the cut (already ingested),
+    * batch = doc_id at or above it (arriving now) — an id THRESHOLD
+    * split, not a modulo, because the incremental ≡ full-run
+    * equivalence needs every corpus id below every batch id (the
+    * ingest invariant: new documents get new ids). The cut
+    * `count(*) * 4 / 5` is derived identically in the oracle SQL. */
+  def q79SubstrIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cut = docs.count() * 4 / 5
+    substrDedupIncremental(
+      docs.filter(col("doc_id") >= cut), docs.filter(col("doc_id") < cut))
   }
 
   /** The actionable half of Lee et al.: CUT the duplicated spans q73
@@ -234,13 +298,40 @@ object SubstrDedup {
       |FROM toks t LEFT JOIN kept k USING (doc_id)
       |ORDER BY t.doc_id""".stripMargin
 
+  // q79 oracle: the full-run chain with the per-doc report restricted
+  // to batch ids — EXACTLY the incremental semantics when corpus ids
+  // all precede batch ids (proof in substrDedupIncremental's scaladoc:
+  // a batch gram whose hash exists in the corpus loses to the earlier
+  // corpus occurrence either way; one that doesn't reduces to the
+  // batch-internal first-occurrence rule either way). The driver
+  // re-proves the store path ≡ the full run every round.
+  val q79Sql: String = spanCtes + """, agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |    CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
+      |  FROM sp GROUP BY doc_id
+      |), cut AS (
+      |  SELECT count(*) * 4 // 5 AS c FROM documents
+      |)
+      |SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+      |  coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+      |  coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+      |  CASE WHEN len(t.l) > 0
+      |    THEN (10000 * coalesce(a.n_dup_tokens, 0))
+      |           // CAST(len(t.l) AS BIGINT)
+      |    ELSE 0 END AS dup_bp
+      |FROM toks t LEFT JOIN agg a USING (doc_id), cut
+      |WHERE t.doc_id >= cut.c
+      |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_substr_dedup" ->
       ((s: SparkSession, d: String) => q73SubstrDedup(s, d)),
     "q76_substr_cut" ->
-      ((s: SparkSession, d: String) => q76SubstrCut(s, d)))
+      ((s: SparkSession, d: String) => q76SubstrCut(s, d)),
+    "q79_substr_incremental" -> (q79SubstrIncremental _))
 
   val oracle: Map[String, String] = Map(
     "q73_substr_dedup" -> q73Sql,
-    "q76_substr_cut" -> q76Sql)
+    "q76_substr_cut" -> q76Sql,
+    "q79_substr_incremental" -> q79Sql)
 }

@@ -104,6 +104,38 @@ class SubstrDedupSpec extends SparkSpec {
       s"cut/audit mismatch: ${bad.limit(5).collect().mkString(", ")}")
   }
 
+  test("q79: store hits and batch-internal firsts both judged at ingest") {
+    val p = words("p", 25); val q = words("q", 25)
+    val corpus = Seq((0L, s"${words("a", 5)} $p", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batch = Seq(
+      (10L, s"${words("b", 5)} $p", "en", "s", 1L), // P hits the store
+      (11L, s"${words("c", 5)} $q", "en", "s", 1L), // Q first seen here
+      (12L, s"${words("d", 5)} $q", "en", "s", 1L)  // Q redundant in-batch
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = SubstrDedup.substrDedupIncremental(batch, corpus)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((10L, 30L, 1L, 25L, 10000L * 25 / 30)),
+      "store hit marks the copied passage")
+    assert(out(1) === ((11L, 30L, 0L, 0L, 0L)),
+      "batch-internal first occurrence is clean")
+    assert(out(2) === ((12L, 30L, 1L, 25L, 10000L * 25 / 30)),
+      "batch-internal repeat is redundant")
+    assert(out.length === 3, "corpus docs are judged elsewhere, not here")
+  }
+
+  test("q79: incremental equals the full run restricted to the batch") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val cut = docs.count() * 4 / 5
+    val inc = SubstrDedup.substrDedupIncremental(
+      docs.filter($"doc_id" >= cut), docs.filter($"doc_id" < cut))
+      .collect().map(_.toSeq)
+    val full = SubstrDedup.q73SubstrDedup(spark, sf0001)
+      .filter($"doc_id" >= cut).collect().map(_.toSeq)
+    assert(inc.nonEmpty && inc.toSeq === full.toSeq,
+      "ingest path must reproduce the full corpus-wide verdicts")
+  }
+
   test("q73: corpus run has real signal and conserves bounds") {
     val out = SubstrDedup.q73SubstrDedup(spark, sf0001).cache()
     val n = graft.Tables.documents(spark, sf0001).count()
