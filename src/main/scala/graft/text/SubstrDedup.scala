@@ -163,14 +163,35 @@ object SubstrDedup {
     * `NearDup.neardupIncremental`.
     */
   def substrDedupIncremental(batch: DataFrame, corpus: DataFrame,
+      w: Int = 20): DataFrame =
+    incrementalAgainst(batch, gramsOf(toksOf(corpus), w).select("h"), w)
+
+  /** Persist the corpus's distinct gram hashes — fingerprint the corpus
+    * text ONCE at ingest; every later batch judges against these 16-byte
+    * keys without re-scanning corpus text (NearDup's signature-store
+    * pattern at gram granularity). Append new batches' grams after
+    * judging them to keep the store current. */
+  def writeGramStore(corpus: DataFrame, path: String, w: Int = 20): Unit =
+    gramsOf(toksOf(corpus), w).select("h").distinct()
+      .write.mode("append").parquet(path)
+
+  /** [[substrDedupIncremental]] against a persisted store — the real
+    * ingest path: per-trigger cost is batch-sized gram work plus one
+    * semi-join against the store's hash column. */
+  def substrDedupIncrementalStored(batch: DataFrame, storePath: String,
       w: Int = 20): DataFrame = {
+    val s = batch.sparkSession
+    incrementalAgainst(batch, s.read.parquet(storePath).select("h"), w)
+  }
+
+  private def incrementalAgainst(batch: DataFrame, store: DataFrame,
+      w: Int): DataFrame = {
     val bToks  = toksOf(batch)
     val bGrams = gramsOf(bToks, w)
-    val store  = gramsOf(toksOf(corpus), w).select("h").distinct()
     val bWin = bGrams.groupBy("h")
       .agg(min(struct(col("doc_id"), col("start"))).as("win"))
     val redundant = bGrams
-      .join(store.withColumn("__in", lit(1)), Seq("h"), "left")
+      .join(store.distinct().withColumn("__in", lit(1)), Seq("h"), "left")
       .join(bWin, "h")
       .filter(col("__in").isNotNull ||
         col("doc_id") =!= col("win.doc_id") ||

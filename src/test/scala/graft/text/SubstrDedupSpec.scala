@@ -136,6 +136,28 @@ class SubstrDedupSpec extends SparkSpec {
       "ingest path must reproduce the full corpus-wide verdicts")
   }
 
+  test("q79: persisted gram store reproduces the direct path, appends accumulate") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val cut = docs.count() * 4 / 5
+    val corpus = docs.filter($"doc_id" < cut)
+    val batch = docs.filter($"doc_id" >= cut)
+    val store = java.nio.file.Files.createTempDirectory("gramstore")
+      .resolve("store.parquet").toString
+    SubstrDedup.writeGramStore(corpus, store)
+    val stored = SubstrDedup.substrDedupIncrementalStored(batch, store)
+      .collect().map(_.toSeq)
+    val direct = SubstrDedup.substrDedupIncremental(batch, corpus)
+      .collect().map(_.toSeq)
+    assert(stored.toSeq === direct.toSeq)
+    // append the batch itself: a re-delivered copy of the batch is now
+    // fully redundant against the store — the accumulate contract
+    SubstrDedup.writeGramStore(batch, store)
+    val redelivered = SubstrDedup.substrDedupIncrementalStored(
+      batch.filter(length($"text") > 0), store)
+    assert(redelivered.filter($"n_tokens" >= 20 && $"dup_bp" =!= 10000).count() === 0,
+      "every grammable re-delivered doc must be fully duplicated now")
+  }
+
   test("q73: corpus run has real signal and conserves bounds") {
     val out = SubstrDedup.q73SubstrDedup(spark, sf0001).cache()
     val n = graft.Tables.documents(spark, sf0001).count()
