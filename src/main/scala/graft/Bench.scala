@@ -55,7 +55,13 @@ object Bench {
     // temperature mixing, whose count-pass + broadcast-rate + narrow
     // filter should stay near scan speed (a cheap query benched as a
     // canary: if it ever grows a corpus-sized shuffle, the number jumps)
-    "q73_substr_dedup", "q74_temperature_mix")
+    "q73_substr_dedup", "q74_temperature_mix",
+    // round-8 continued: the two new composite shapes whose cost
+    // profiles differ from anything already benched — the per-language
+    // tercile ranking stacked on the LM-score pipeline (q77) and the
+    // ingest-time substring dedup (q79: batch grams + store semi-join,
+    // NOT the full corpus-wide winners aggregate)
+    "q77_ccnet_buckets", "q79_substr_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
