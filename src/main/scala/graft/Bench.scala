@@ -113,7 +113,14 @@ object Bench {
     // excluded; all-failed reports -1.
     val results = headline.map { n =>
       val runs = Seq(runOne(n), runOne(n), runOne(n)).filter(_ >= 0).sorted
-      n -> (if (runs.isEmpty) -1.0 else runs(runs.size / 2))
+      // true median: with an even survivor count (one failed run) the
+      // middle pair is averaged — runs(size/2) alone would report the
+      // LARGER of 2 survivors, biasing a flaky query pessimistically
+      n -> (runs.length match {
+        case 0 => -1.0
+        case n2 if n2 % 2 == 1 => runs(n2 / 2)
+        case n2 => (runs(n2 / 2 - 1) + runs(n2 / 2)) / 2.0
+      })
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,6 +28,11 @@ import graft.text.{QualityRules, TrainPrep}
   *    rate × (window + watermark), never corpus-sized.
   *  - verdict: `bucketFromThresholds` (shared with batch) + the final
   *    keep = gates AND bucket ∈ {head, middle} — CCNet's tail cut.
+  *    A null bucket (doc too short to bigram, or unknown language with
+  *    null thresholds) makes `keep` FALSE, never null, so
+  *    `filter(keep)` and `filter(!keep)` partition the input; the
+  *    three-way `verdict` column (admit / reject / unknown) preserves
+  *    the "unknown, not tail" distinction for reject audits.
   *
   * Determinism note: avg is order-sensitive in IEEE arithmetic and the
   * streaming plan adds in a different order than batch — `avg_nll` is
@@ -71,6 +76,11 @@ object IngestGate {
         col("n_bigrams"), col("avg_nll"),
         TrainPrep.bucketFromThresholds.as("bucket"))
       .withColumn("keep",
-        col("keep_gopher") && col("bucket").isin("head", "middle"))
+        coalesce(col("keep_gopher") && col("bucket").isin("head", "middle"),
+          lit(false)))
+      .withColumn("verdict",
+        when(col("keep"), "admit")
+          .when(col("keep_gopher") && col("bucket").isNull, "unknown")
+          .otherwise("reject"))
   }
 }

@@ -558,8 +558,12 @@ object StreamingOps {
           s"horizon retention needs event times, but the store at " +
             s"$storePath carries no ts_ms column — ingest with a tsCol " +
             "or rebuild the store")
-        val newest = all.agg(max("ts_ms")).head.getLong(0)
-        all.filter(col("ts_ms") >= newest - horizonMs)
+        // an empty store (or one whose ts_ms is all-null from a
+        // schema-merged bootstrap) has no newest event time — nothing
+        // to retain-prune, so the horizon pass is a no-op, not an NPE
+        val newestRow = all.agg(max("ts_ms")).head
+        if (newestRow.isNullAt(0)) all
+        else all.filter(col("ts_ms") >= newestRow.getLong(0) - horizonMs)
       }
     kept.repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -638,6 +642,17 @@ object StreamingOps {
     val applied = // idempotent replay: skip an already-applied batch
       if (prev == null) -1L
       else {
+        // a store written before lineage tracking has no query_id
+        // column at all — resolving max("query_id") against it would
+        // surface as an unresolved-column AnalysisException instead of
+        // the lineage contract; name the real problem and the way out
+        if (!prev.columns.contains("query_id"))
+          throw new IllegalStateException(
+            s"heavy-hitter store $storePath predates lineage tracking " +
+              "(no query_id column), so batch-id replay protection " +
+              "cannot be tied to a streaming checkpoint. Rebuild the " +
+              "store (fresh storePath) or backfill a query_id column " +
+              "with this query's stable queryId before resuming.")
         val head = prev.agg(coalesce(max("batch_id"), lit(-1L)),
           coalesce(max("query_id"), lit("unknown"))).head
         val storedLineage = head.getString(1)

@@ -82,4 +82,32 @@ class IngestGateSpec extends SparkSpec {
       .toSet.intersect(Set("head", "middle", "tail")) === Set("head", "middle", "tail"))
     out.unpersist()
   }
+
+  test("ingest gate: unscorable docs get keep=false (never null) + verdict") {
+    // 64 words, mean length 3.0, all-alpha, 8 distinct stopwords: passes
+    // every Gopher gate — but lang zz has no threshold row, so the
+    // bucket is null ("unknown"). Pre-fix, keep was true && null = NULL
+    // and the doc vanished from BOTH filter(keep) and filter(!keep).
+    val passingText = Seq.fill(8)("the be to of and that have with")
+      .mkString(" ")
+    val docs = Seq(
+      (9001L, "hi", "en"), // 1 token: no bigrams AND gates fail
+      (9002L, passingText, "zz")) // gates pass, unknown language
+      .toDF("doc_id", "text", "lang").withColumn("ts", tsExpr)
+    val out = IngestGate.gateStream(docs, lm, thresholds)
+      .select("doc_id", "keep_gopher", "bucket", "keep", "verdict")
+      .cache()
+    assert(out.filter($"keep".isNull).count() === 0, "keep is never null")
+    val byId = out.collect().map(r => r.getLong(0) -> r).toMap
+    val short = byId(9001L)
+    assert(!short.getBoolean(3) && short.getString(4) === "reject")
+    val unk = byId(9002L)
+    assert(unk.getBoolean(1), "fixture must pass the Gopher gates")
+    assert(unk.isNullAt(2), "unknown lang must yield a null bucket")
+    assert(!unk.getBoolean(3) && unk.getString(4) === "unknown")
+    // admitted/rejected now PARTITION the input
+    assert(out.filter($"keep").count() + out.filter(!$"keep").count()
+      === out.count())
+    out.unpersist()
+  }
 }
