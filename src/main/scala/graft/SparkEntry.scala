@@ -28,6 +28,7 @@ object SparkEntry {
       sim.LshKnn.queries ++ text.LangId.queries ++
       rel.ApproxQueries.queries ++ rel.Skew.queries ++
       ml.VoicePipeline.queries ++
+      rel.CardinalityStore.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
       sim.IvfPq.queries ++ sim.SemDedup.queries ++
       text.Scrub.queries ++ text.SubstrDedup.queries ++

@@ -49,16 +49,26 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame   = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = t(s, d, "lineitem")
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized reader
-    * rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set by every
-    * session in this engine) it surfaces as LONG nanoseconds. Convert to a
-    * microsecond TIMESTAMP here with integer division — `ts div 1000` stays
-    * in LONG (a double roundtrip would lose precision above 2^53). DuckDB
-    * reads the same file truncated to micros, so both engines agree.
+  /** events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across testdata generations, so normalize from
+    * whatever the footer says to a session-TZ microsecond TIMESTAMP:
+    *  - NANOS + spark.sql.legacy.parquet.nanosAsLong=true (set by every
+    *    session in this engine) surfaces as LONG nanoseconds → integer
+    *    `div 1000` (stays in LONG; a double roundtrip would lose
+    *    precision above 2^53) then timestamp_micros.
+    *  - MICROS surfaces as TIMESTAMP_NTZ → cast to TIMESTAMP (sessions
+    *    pin UTC, so the wall-clock values are unchanged).
+    * DuckDB reads the same file at micros either way, so both engines
+    * agree on values.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    t(s, d, "events").withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -1,0 +1,87 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Incremental distinct-count maintenance — the cardinality member of
+  * the engine's store family (NearDup's signature store, SubstrDedup's
+  * gram store, StreamingOps' heavy-hitter store): per-ingest-batch HLL
+  * sketches persisted per group, merged at read time into corpus-wide
+  * distinct estimates WITHOUT rescanning history.
+  *
+  * This is the scale form of `approx_count_distinct` (q11 /
+  * nq_approx_distinct answer the one-shot question): a daily "distinct
+  * users per event type over all time" job at 100 TB cannot re-read
+  * every historical batch, but each batch's per-group sketch is a few
+  * KB (2^lgK 6-bit registers), the union is a register-wise max —
+  * commutative, associative, IDEMPOTENT — and the merged estimate
+  * equals the monolithic sketch of the full corpus EXACTLY (same
+  * registers → same estimate; spec-pinned). Datasketches HLL via
+  * Spark's native `hll_sketch_agg` / `hll_union_agg` /
+  * `hll_sketch_estimate` (SPARK-16484 family) — map-side partial
+  * aggregation, one tiny group-keyed shuffle per batch.
+  *
+  * Idempotence is the operational win over any count-based store: a
+  * redelivered batch unions to the SAME registers, so ingest needs no
+  * batch-id high-water mark (contrast `StreamingOps.heavyHittersStream`,
+  * whose additive counts must fence redelivery). Mixed-lgK stores fail
+  * loudly in `hll_union_agg` (allowDifferentLgConfigK=false default)
+  * rather than silently degrading precision.
+  *
+  * Generalizes the reference's label-cardinality gesture (distinct
+  * speaker count feeding the classifier head,
+  * `/root/reference/src/voice_classifier.py:147`) to the
+  * batch-incremental regime SURVEY §2.K's approx-distinct row mandates.
+  */
+object CardinalityStore {
+
+  /** One batch's per-group sketches: (groupCols..., sketch BINARY). */
+  def sketchBatch(batch: DataFrame, groupCols: Seq[String],
+      valueCol: String, lgK: Int = 12): DataFrame =
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Sketch a batch and append it to the store. `coalesce(1)`: the
+    * output is group-count rows of KB-sized sketches — one file per
+    * batch keeps the store's file count = batch count, not batch ×
+    * shuffle partitions. */
+  def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
+      storePath: String, batchId: Long, lgK: Int = 12): Unit =
+    sketchBatch(batch, groupCols, valueCol, lgK)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write.mode("append").parquet(storePath)
+
+  /** Merged distinct estimate per group across every batch in the
+    * store — the read path: store-sized input (groups × batches rows),
+    * never the raw history. */
+  def estimateFromStore(s: SparkSession, storePath: String,
+      groupCols: Seq[String]): DataFrame =
+    mergeSketches(s.read.parquet(storePath), groupCols)
+
+  /** Merge any relation of (groupCols..., sketch) into per-group
+    * estimates — register-wise max then estimate. */
+  def mergeSketches(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
+        .as("n_distinct_est"))
+
+  /** Driver entry: events arrive as 5 ingest batches (event_id mod 5);
+    * each is sketched independently and the merged store answers
+    * distinct users per event type. Estimates are deterministic and
+    * layout-independent (register max is order-free), so the rows-only
+    * check is stable; the merge ≡ monolithic and ≤5%-error properties
+    * are spec-pinned in CardinalityStoreSpec. */
+  def nqCardStore(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val perBatch = (0 until 5).map(b =>
+      sketchBatch(ev.filter(pmod(col("event_id"), lit(5)) === b),
+        Seq("event_type"), "user_id"))
+    mergeSketches(perBatch.reduce(_ unionAll _), Seq("event_type"))
+      .withColumnRenamed("n_distinct_est", "n_users_est")
+      .orderBy("event_type")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_card_store" -> (nqCardStore _))
+}

@@ -512,7 +512,11 @@ object NearDup {
        |  list_distinct(list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
        |  FROM docs0 WHERE len(t) >= 3),
-       |sh AS (SELECT doc_id, unnest(shs) AS sg FROM shl),
+       |ascg AS (SELECT CASE WHEN max(CASE WHEN
+       |    octet_length(encode(sg)) <> length(sg) THEN 1 ELSE 0 END) = 1
+       |  THEN error('minhash oracle decodes UTF-8 bytes via unicode(): ASCII-only corpus assumed')
+       |  ELSE 1 END AS ok FROM (SELECT unnest(shs) AS sg FROM shl)),
+       |sh AS (SELECT doc_id, unnest(shs) AS sg FROM shl, ascg),
        |f0 AS (SELECT doc_id, m64, list_reduce(
        |    list_prepend(CAST(14695981039346656037 AS UHUGEINT),
        |      list_transform(range(1, length(sg) + 1),
@@ -657,8 +661,12 @@ object NearDup {
        |  list_distinct(list_transform(range(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
        |  FROM docs0 WHERE len(t) >= 3),
-       |guard AS (SELECT CASE WHEN max(octet_length(encode(sg))) >= 32 THEN
+       |guard AS (SELECT CASE
+       |    WHEN max(octet_length(encode(sg))) >= 32 THEN
        |    error('simhash oracle replicates only the <32-byte xxhash64 path')
+       |    WHEN max(CASE WHEN octet_length(encode(sg)) <> length(sg)
+       |      THEN 1 ELSE 0 END) = 1 THEN
+       |    error('simhash oracle decodes UTF-8 bytes via unicode(): ASCII-only corpus assumed')
        |    ELSE 1 END AS ok
        |  FROM (SELECT unnest(shs) AS sg FROM shl)),
        |sh AS (SELECT doc_id, unnest(shs) AS sg FROM shl, guard),

@@ -26,7 +26,7 @@ import graft.Tables._
   * Scale shape (the 100 TB story):
   *  - the gram explosion is ~1 row per corpus token — the honest cost
   *    of substring-granular dedup (Lee et al. pay the same O(n) in
-  *    suffix-array space). The exploded rows carry (doc_id, start, 16B
+  *    suffix-array space). The exploded rows carry (doc_id, start, 8B
   *    md5) — the kilobyte gram strings are hashed NARROWLY, before any
   *    exchange, and never shuffle.
   *  - first-occurrence winners via `min(struct(doc_id, start))` per
@@ -44,12 +44,11 @@ import graft.Tables._
   *    the hot hash into one un-splittable window task instead.
   *  - span merging windows are partitioned by doc_id — bounded by one
   *    document's grams, never corpus-scale.
-  *  - md5 keeps the oracle shared (DuckDB has md5; its 128 bits make
-  *    cross-gram collisions ~impossible, and the DuckDB oracle computes
-  *    the same md5 over the same strings, so any engine disagreement
-  *    fails the driver hash loudly). At 100 TB swap to xxhash64 for
-  *    8-byte shuffle keys — the repo's DuckDB XXH64 replica
-  *    (Mixing.xxh64Ctes) shows the oracle survives that swap too.
+  *  - md5 keeps the oracle shared (DuckDB computes the same digest over
+  *    the same strings, so any engine disagreement fails the driver
+  *    hash loudly), and the key that actually SHUFFLES is its first 60
+  *    bits as a LONG (see [[gramsOf]]) — the 8-byte-key regime md5's
+  *    full hex form would otherwise cost 5× more bytes to reach.
   *
   * Output: per doc — token count, merged duplicated-span count,
   * duplicated-token count, and coverage in basis points (integer
@@ -63,7 +62,20 @@ object SubstrDedup {
     docs.select(col("doc_id"), toksCol.as("t"))
   }
 
-  /** Stride-1 w-gram fingerprints: (doc_id, start, h). */
+  /** Stride-1 w-gram fingerprints: (doc_id, start, h).
+    *
+    * `h` is the first 60 bits of the gram's md5 as a LONG — an 8-byte
+    * shuffle key where the full hex digest is a 32-char string (~48 B
+    * as UTF8String): the winners aggregate and the redundancy join both
+    * key on `h`, so the truncation narrows every exchange in the family
+    * by ~5× for free (md5 is computed identically in both engines;
+    * `conv(hex,16,10)` here ≡ `('0x'||hex)::BIGINT` in the oracle, and
+    * 15 hex chars = 60 bits keeps the unsigned value inside BIGINT).
+    * Collision cost: 60-bit birthday at 1e12 distinct grams (~100 TB)
+    * is ~4e5 false-redundant GRAM rows — relative error ~1e-6 on span
+    * coverage, noise for the audit; widen back to the full digest if an
+    * application needs exact spans.
+    */
   private def gramsOf(toks: DataFrame, w: Int): DataFrame =
     toks
       .filter(size(col("t")) >= w)
@@ -71,7 +83,8 @@ object SubstrDedup {
         explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("start"),
         col("t"))
       .select(col("doc_id"), col("start").cast("long").as("start"),
-        md5(array_join(expr(s"slice(t, start, $w)"), " ")).as("h"))
+        conv(substring(md5(array_join(expr(s"slice(t, start, $w)"), " ")),
+          1, 15), 16, 10).cast("long").as("h"))
 
   /** Merge redundant windows (doc_id, start, end) into maximal spans
     * (doc_id, span, s, e) — the gaps-and-islands pass, windows bounded
@@ -157,7 +170,7 @@ object SubstrDedup {
     *
     * Scale shape: per-trigger work is batch-sized (grams of the NEW
     * docs only) plus ONE hash semi-join against the store — the store
-    * is corpus-token-scale but only its 16-byte keys ever move, and
+    * is corpus-token-scale but only its 8-byte keys ever move, and
     * the join is the only corpus-sized touch (no text re-scan, no
     * re-fingerprinting). Same incremental contract as
     * `NearDup.neardupIncremental`.
@@ -167,7 +180,7 @@ object SubstrDedup {
     incrementalAgainst(batch, gramsOf(toksOf(corpus), w).select("h"), w)
 
   /** Persist the corpus's distinct gram hashes — fingerprint the corpus
-    * text ONCE at ingest; every later batch judges against these 16-byte
+    * text ONCE at ingest; every later batch judges against these 8-byte
     * keys without re-scanning corpus text (NearDup's signature-store
     * pattern at gram granularity). Append new batches' grams after
     * judging them to keep the store current. */
@@ -181,7 +194,16 @@ object SubstrDedup {
   def substrDedupIncrementalStored(batch: DataFrame, storePath: String,
       w: Int = 20): DataFrame = {
     val s = batch.sparkSession
-    incrementalAgainst(batch, s.read.parquet(storePath).select("h"), w)
+    val store = s.read.parquet(storePath)
+    // loud lineage failure, not silent wrong answers: a store written by
+    // an older (hex-string-key) build would implicit-cast to NULL in the
+    // semi-join and mark every batch gram "fresh"
+    require(store.schema.fields.exists(f => f.name == "h" &&
+      f.dataType == org.apache.spark.sql.types.LongType),
+      s"gram store at $storePath has schema ${store.schema.simpleString}; " +
+        "expected h BIGINT — rebuild it with writeGramStore (stores from " +
+        "the hex-key build are not readable by this version)")
+    incrementalAgainst(batch, store.select("h"), w)
   }
 
   private def incrementalAgainst(batch: DataFrame, store: DataFrame,
@@ -255,7 +277,8 @@ object SubstrDedup {
       |  FROM documents
       |), g AS (
       |  SELECT doc_id, CAST(i AS BIGINT) AS start,
-      |    md5(array_to_string(list_slice(l, i, i + 19), ' ')) AS h
+      |    ('0x' || substr(md5(array_to_string(list_slice(l, i, i + 19), ' ')),
+      |             1, 15))::BIGINT AS h
       |  FROM toks, LATERAL (
       |    SELECT unnest(generate_series(1, len(l) - 19)) AS i) s
       |  WHERE len(l) >= 20

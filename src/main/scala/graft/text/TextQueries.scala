@@ -633,10 +633,13 @@ object TextQueries {
       if (candidates.isEmpty) lit(null).cast("string")
       else when(col("term").isin(candidates: _*), col("term"))
     val grouped = toks.groupBy(keyed.as("term")).agg(count(lit(1)).as("tf"))
-    grouped
-      // single-partition window over the candidate-count rows, not the corpus
-      .withColumn("n_tokens", sum("tf").over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))))
+    // corpus total as a broadcast 1-row frame, NOT a window: a
+    // no-partition window plans as a single-partition WindowExec (WARN +
+    // one reducer); the two aggregate branches instead share the term
+    // Exchange (ReuseExchange — one corpus scan), and the join adds no
+    // shuffle because the total is broadcast
+    val total = grouped.agg(sum("tf").as("n_tokens"))
+    grouped.crossJoin(broadcast(total))
       .filter(col("term").isNotNull &&
         col("tf").cast("double") > col("n_tokens").cast("double") * lit(support))
       .select(col("term"), col("tf"), col("n_tokens"))

@@ -171,17 +171,23 @@ object TrainPrep {
     * exact-backstop/approx-scale pairing as q39 vs nq_approx_percentiles.
     */
   def ccnetBuckets(scoredLang: DataFrame): DataFrame = {
+    // ONE window pass, no self-join: nulls sort LAST so scored rows get
+    // ranks 1..n (n = count of NON-null scores via count(col)), and the
+    // null-score rows keep their bucket-null verdict directly. The
+    // previous filter + join-back formulation evaluated the whole
+    // upstream LM-scoring pipeline TWICE (once per join branch) — at
+    // 100 TB that is two corpus scans and an extra doc_id shuffle for a
+    // row-local decision.
     val w = Window.partitionBy("lang")
-      .orderBy(col("avg_nll").asc, col("doc_id").asc)
-    val ranked = scoredLang.filter(col("avg_nll").isNotNull)
+      .orderBy(col("avg_nll").asc_nulls_last, col("doc_id").asc)
+    scoredLang
       .withColumn("r", row_number().over(w).cast("long"))
       .withColumn("n",
-        count(lit(1)).over(Window.partitionBy("lang")).cast("long"))
-      .withColumn("bucket", expr(
-        "CASE (3 * (r - 1)) DIV n WHEN 0 THEN 'head' " +
-          "WHEN 1 THEN 'middle' ELSE 'tail' END"))
-      .select(col("doc_id"), col("bucket"))
-    scoredLang.join(ranked, Seq("doc_id"), "left")
+        count(col("avg_nll")).over(Window.partitionBy("lang")).cast("long"))
+      .withColumn("bucket",
+        when(col("avg_nll").isNull, lit(null).cast("string")).otherwise(expr(
+          "CASE (3 * (r - 1)) DIV n WHEN 0 THEN 'head' " +
+            "WHEN 1 THEN 'middle' ELSE 'tail' END")))
       .select("doc_id", "lang", "avg_nll", "bucket")
   }
 

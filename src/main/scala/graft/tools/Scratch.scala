@@ -348,6 +348,21 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("warnhunt")) {
+      // run every bench-headline query with a stderr marker so runtime
+      // warnings (WindowExec single-partition, broadcast size, …) can be
+      // attributed to the query that raised them
+      for (q <- graft.Bench.headline) {
+        System.err.println(s"===MARK=== $q")
+        Console.err.flush()
+        try graft.SparkEntry.queries(q)(spark, d)
+          .write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"===MARK=== $q FAILED: ${e.getMessage}") }
+      }
+      spark.stop(); return
+    }
+
     val docs = graft.Tables.documents(spark, d)
     time("read docs")(println("  docs=" + docs.count()))
     time("split only")(println("  toks=" + docs

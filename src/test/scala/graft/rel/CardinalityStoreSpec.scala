@@ -1,0 +1,83 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The cardinality store's contract: batch sketches merge to EXACTLY the
+  * monolithic sketch's estimate, the estimate is inside HLL's error band
+  * against the exact distinct, redelivery is a no-op (register max is
+  * idempotent), and a mixed-precision store fails loudly.
+  */
+class CardinalityStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev = graft.Tables.events(spark, sf0001)
+
+  test("merged per-batch sketches equal the monolithic sketch exactly") {
+    val merged = CardinalityStore.nqCardStore(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val mono = CardinalityStore.mergeSketches(
+        CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id"),
+        Seq("event_type"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(merged.nonEmpty && merged.sameElements(mono),
+      "union of batch sketches must reproduce the full-corpus registers")
+  }
+
+  test("estimates stay within 5% of the exact distinct per group") {
+    val est = CardinalityStore.nqCardStore(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    exact.foreach { case (g, n) =>
+      val e = est(g)
+      assert(math.abs(e - n).toDouble / n <= 0.05,
+        s"group $g: est $e vs exact $n exceeds 5%")
+    }
+  }
+
+  test("store path: append, merge, and idempotent redelivery") {
+    val dir = java.nio.file.Files.createTempDirectory("cardstore")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      val b0 = ev.filter(pmod($"event_id", lit(2)) === 0)
+      val b1 = ev.filter(pmod($"event_id", lit(2)) === 1)
+      CardinalityStore.applyBatch(b0, Seq("event_type"), "user_id", store, 0L)
+      CardinalityStore.applyBatch(b1, Seq("event_type"), "user_id", store, 1L)
+      val two = CardinalityStore
+        .estimateFromStore(spark, store, Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      // redeliver batch 1 verbatim: registers already dominate it
+      CardinalityStore.applyBatch(b1, Seq("event_type"), "user_id", store, 1L)
+      val redelivered = CardinalityStore
+        .estimateFromStore(spark, store, Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      assert(two.nonEmpty && two.toSeq === redelivered.toSeq,
+        "a redelivered batch must not move any estimate")
+      // and the store agrees with the no-store contract query shape
+      val mono = CardinalityStore.mergeSketches(
+          CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id"),
+          Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      assert(two.toSeq === mono.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("mixed-lgK sketches fail loudly at merge, not silently degrade") {
+    val a = CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id", 12)
+    val b = CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id", 10)
+    val e = intercept[Exception] {
+      CardinalityStore.mergeSketches(a.unionAll(b), Seq("event_type")).collect()
+    }
+    assert(Option(e.getMessage).exists(m =>
+      m.toLowerCase.contains("lgconfigk") || m.toLowerCase.contains("sketch")),
+      s"expected an lgK-mismatch error, got: $e")
+  }
+}

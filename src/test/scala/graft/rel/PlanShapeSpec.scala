@@ -317,8 +317,21 @@ class PlanShapeSpec extends SparkSpec {
       val plan = finalPhysical(df)
       assert(plan.contains("partial_count"),
         s"exact verify must map-side combine the corpus tokens:\n$plan")
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"), plan)
+      // the corpus-total side must be a broadcast 1-row global aggregate,
+      // never a window (a no-partition WindowExec is one reducer) — so
+      // the only join allowed is a cross join whose build side is a
+      // global (group-less) aggregate
+      assert(!plan.contains("Window"),
+        s"verify must not plan any window:\n$plan")
+      assert(!plan.contains("CartesianProduct"), plan)
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      optimizedJoins(df).foreach { j =>
+        def isGlobalAgg(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+          p.collectFirst { case a: Aggregate => a.groupingExpressions.isEmpty }
+            .getOrElse(false)
+        assert(isGlobalAgg(j.left) || isGlobalAgg(j.right),
+          s"only a single-row global-aggregate side may cross join:\n$j")
+      }
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

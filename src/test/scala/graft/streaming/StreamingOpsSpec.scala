@@ -24,9 +24,15 @@ class StreamingOpsSpec extends SparkSpec {
 
   private def streamEvents = {
     val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    spark.readStream.schema(schema)
-      .parquet(streamDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.readStream.schema(schema).parquet(streamDir)
+    // mirror Tables.events' layout tolerance: the testdata's ts column
+    // has shipped as both TIMESTAMP(NANOS) (long under nanosAsLong) and
+    // TIMESTAMP(MICROS) (ntz) across generations
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   private def drain(name: String, df: org.apache.spark.sql.DataFrame) = {

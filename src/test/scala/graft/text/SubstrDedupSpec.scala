@@ -158,6 +158,20 @@ class SubstrDedupSpec extends SparkSpec {
       "every grammable re-delivered doc must be fully duplicated now")
   }
 
+  test("q79: a hex-key (old-build) gram store fails loudly, not silently fresh") {
+    val store = java.nio.file.Files.createTempDirectory("gramstore-hex")
+      .resolve("store.parquet").toString
+    Seq("d4f1f56ef9361ff00112233445566778").toDF("h")
+      .write.parquet(store)
+    val batch = Seq((0L, words("a", 25), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = intercept[IllegalArgumentException] {
+      SubstrDedup.substrDedupIncrementalStored(batch, store)
+    }
+    assert(e.getMessage.contains("rebuild"),
+      s"expected the rebuild-the-store lineage message, got: ${e.getMessage}")
+  }
+
   test("q73: corpus run has real signal and conserves bounds") {
     val out = SubstrDedup.q73SubstrDedup(spark, sf0001).cache()
     val n = graft.Tables.documents(spark, sf0001).count()
