@@ -82,6 +82,24 @@ object CardinalityStore {
       .orderBy("event_type")
   }
 
+  /** Streaming ingest of the store: each micro-batch sketched and
+    * appended via foreachBatch. Register max makes a redelivered
+    * micro-batch a no-op on every estimate, so — unlike the additive
+    * heavy-hitter store (`StreamingOps.heavyHittersStream`), which must
+    * fence replays with a lineage-bound batch-id high-water mark — this
+    * sink needs NO replay protection: at-least-once delivery composes
+    * with an idempotent merge into exactly-once estimates (the classic
+    * sketch-store argument; spec-pinned by the redelivery test).
+    */
+  def cardinalityStream(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, storePath: String, lgK: Int = 12)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, groupCols, valueCol, storePath, batchId, lgK)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_card_store" -> (nqCardStore _))
 }

@@ -348,6 +348,25 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("timeq")) {
+      // 5 timed noop-sink runs per named query (same un-memoized regime
+      // as Bench): runMain graft.tools.Scratch timeq nq_approx_distinct
+      for (q <- args.drop(1)) {
+        graft.SparkEntry.queries(q)(spark, d)
+          .write.format("noop").mode("overwrite").save() // warm codegen
+        for (i <- 1 to 5) {
+          graft.text.DedupClusters.clearMemo()
+          graft.text.Curation.clearMemo()
+          spark.catalog.clearCache()
+          time(s"$q run$i") {
+            graft.SparkEntry.queries(q)(spark, d)
+              .write.format("noop").mode("overwrite").save()
+          }
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("warnhunt")) {
       // run every bench-headline query with a stderr marker so runtime
       // warnings (WindowExec single-partition, broadcast size, …) can be

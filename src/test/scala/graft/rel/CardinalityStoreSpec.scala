@@ -70,6 +70,38 @@ class CardinalityStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming ingest maintains the store; estimates equal monolithic") {
+    val dir = java.nio.file.Files.createTempDirectory("cardstream")
+    try {
+      // stage the events parquet as a file-stream backlog
+      val src = dir.resolve("src"); java.nio.file.Files.createDirectory(src)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+        src.resolve("events.parquet"))
+      val store = dir.resolve("store.parquet").toString
+      val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+      val q = CardinalityStore
+        .cardinalityStream(stream, Seq("event_type"), "user_id", store)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = CardinalityStore
+        .estimateFromStore(spark, store, Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      val mono = CardinalityStore.mergeSketches(
+          CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id"),
+          Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq)
+      assert(streamed.nonEmpty && streamed.toSeq === mono.toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("mixed-lgK sketches fail loudly at merge, not silently degrade") {
     val a = CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id", 12)
     val b = CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id", 10)
