@@ -61,7 +61,13 @@ object Bench {
     // tercile ranking stacked on the LM-score pipeline (q77) and the
     // ingest-time substring dedup (q79: batch grams + store semi-join,
     // NOT the full corpus-wide winners aggregate)
-    "q77_ccnet_buckets", "q79_substr_incremental")
+    "q77_ccnet_buckets", "q79_substr_incremental",
+    // round-9: the heaviest still-un-benched shapes join, per the r7
+    // precedent — the span-CUT output (q73's chain + per-doc array
+    // surgery), the auto-k semantic dedup composite (k-means tree +
+    // within-leaf pair scoring), the HLL cardinality store merge, and
+    // the custom bounded-top-k aggregate vs q08's window form
+    "q76_substr_cut", "nq_semantic_dedup", "nq_card_store", "q80_topk_agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -26,5 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       functions.VecFunctions.binary("sorted_intersect_count",
         functions.SortedIntersectCount)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k"),
+      new ExpressionInfo(classOf[functions.BoundedTopK].getName, "top_k"),
+      functions.VecFunctions.binary("top_k",
+        (c, k) => functions.BoundedTopK(c, k))))
   }
 }

@@ -131,5 +131,10 @@ object VecFunctions {
     if (!reg.functionExists(sic))
       reg.createOrReplaceTempFunction("sorted_intersect_count",
         binary("sorted_intersect_count", SortedIntersectCount), "built-in")
+    val tk = org.apache.spark.sql.catalyst.FunctionIdentifier("top_k")
+    if (!reg.functionExists(tk)) // raw AggregateFunction: the analyzer
+      // wraps it in AggregateExpression, same as Spark's built-in aggs
+      reg.createOrReplaceTempFunction("top_k",
+        binary("top_k", (c, k) => BoundedTopK(c, k)), "built-in")
   }
 }

@@ -1139,8 +1139,43 @@ object RelQueries {
       |             ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q80
+  // Top-k per group as a BOUNDED AGGREGATE — the custom
+  // TypedImperativeAggregate `top_k` (functions.BoundedTopK) against
+  // q08's window-rank form. The window form must shuffle EVERY order to
+  // its customer's reducer before discarding any; the aggregate keeps a
+  // k-bounded heap per (group, map partition), so the exchange carries
+  // ≤ k rows per group per partition however large the input — the
+  // top-k shape that survives a billion-row group. Ordering is the
+  // struct's lexicographic order: (o_totalprice, o_orderkey) descending
+  // = highest price first, ties to the later orderkey — replicated
+  // verbatim in the oracle's ORDER BY.  [SURVEY §2.K]
+  def q80TopKAgg(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    orders(s, d)
+      .select(col("o_custkey"),
+        struct(col("o_totalprice"), col("o_orderkey")).as("sv"))
+      .groupBy("o_custkey")
+      .agg(expr(s"top_k(sv, $k)").as("top"))
+      .select(col("o_custkey"), explode(col("top")).as("t"))
+      .select(col("o_custkey"), col("t.o_orderkey").as("o_orderkey"),
+        col("t.o_totalprice").as("o_totalprice"))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc,
+        col("o_orderkey").desc)
+  }
+
+  val q80Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_custkey
+      |          ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey DESC""".stripMargin
+
   /** name → query */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_topk_agg" -> ((s: SparkSession, d: String) => q80TopKAgg(s, d)),
     "q60_latest_order" -> q60LatestOrder _,
     "q61_dist_windows" -> q61DistWindows _,
     "q54_cond_date_aggs" -> q54CondDateAggs _,
@@ -1185,6 +1220,7 @@ object RelQueries {
 
   /** name → DuckDB oracle SQL */
   val oracle: Map[String, String] = Map(
+    "q80_topk_agg" -> q80Sql,
     "q01_pricing_summary" -> q1Sql,
     "q02_filter_project" -> q2Sql,
     "q03_top_revenue" -> q3Sql,

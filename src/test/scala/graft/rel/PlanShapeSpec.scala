@@ -116,6 +116,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(langWindows(exact).nonEmpty)
   }
 
+  test("ccnet exact buckets: one window pass, never a self-join of the scored input") {
+    // the round-9 rewrite's property: bucket assignment is row-local
+    // given (rank, group count) from ONE lang-partitioned window pass —
+    // the previous filter + join-back formulation re-evaluated the whole
+    // upstream LM-scoring pipeline once per join branch
+    import spark.implicits._
+    val scored = Seq((1L, "en", Some(0.5)), (2L, "en", Some(0.7)),
+        (3L, "en", Some(0.9)), (4L, "de", Some(0.4)),
+        (5L, "en", Option.empty[Double]))
+      .toDF("doc_id", "lang", "avg_nll")
+    val df = graft.text.TrainPrep.ccnetBuckets(scored)
+    assert(optimizedJoins(df).isEmpty,
+      s"bucket assignment must not join the scored input to itself:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+    // null-score rows keep their row with a null bucket ("unknown")
+    val out = df.collect().map(r => r.getLong(0) ->
+      Option(r.getString(3))).toMap
+    assert(out(5L).isEmpty, "unscored doc must stay with a null bucket")
+    assert(out(1L).contains("head") && out(2L).contains("middle") &&
+      out(3L).contains("tail") && out(4L).contains("head"))
+  }
+
   test("q76 substr cut: per-doc span arrays, no cartesian or nested-loop joins") {
     val plan = finalPhysical(
       graft.SparkEntry.queries("q76_substr_cut")(spark, sf0001))
