@@ -158,8 +158,12 @@ object SemDedup {
       col("emb").as("lo_emb"), col("nrm").as("lo_nrm"))
     val hi = assigned.select(col("cluster"), col("id").as("hi_id"),
       col("emb").as("hi_emb"), col("nrm").as("hi_nrm"))
-    val dups = hi.join(lo,
-        hi("cluster") === lo("cluster") && col("lo_id") < col("hi_id"))
+    // explicit aliases: hi("cluster") === lo("cluster") on same-lineage
+    // frames logs a "trivially true predicate" WARN before the analyzer's
+    // dataset-id disambiguation fixes it up — same resolved plan, but the
+    // alias form says what it means and keeps executor logs clean
+    val dups = hi.as("h").join(lo.as("l"),
+        col("h.cluster") === col("l.cluster") && col("lo_id") < col("hi_id"))
       .filter(expr("vec_dot(hi_emb, lo_emb)") / (col("hi_nrm") * col("lo_nrm"))
         >= threshold)
       .select(col("hi_id").as("id")).distinct()

@@ -755,6 +755,118 @@ object StreamingOps {
     pairs.result().iterator
   }
 
+  // ------------------------------------------------- substring-dedup ingest
+
+  /** Streaming substring-granular dedup at ingest (the stream form of
+    * `SubstrDedup.substrDedupIncrementalStored`): every micro-batch is
+    * judged against the accumulated gram store, its per-doc verdict
+    * report is emitted, and its distinct gram hashes join the store.
+    *
+    * Exactly-once WITHOUT a high-water mark or lineage fence: every
+    * artifact of batch N is ONE deterministically-named file
+    * (`batch-N.parquet` under both the store and the verdicts dir),
+    * written to a tmp dir and RENAMED into place — a redelivered batch
+    * re-creates byte-identical content under the same name, so replay
+    * converges instead of duplicating. The subtle hazard this design
+    * closes: a crash after the GRAM append but before the checkpoint
+    * commit re-judges batch N against a store that already contains
+    * batch N's own grams, flipping every verdict to fully-duplicated.
+    * The judge therefore reads the store as "every file EXCEPT
+    * `batch-N.parquet`" — own-batch exclusion by NAME, which is exact
+    * because Structured Streaming assigns each input file to exactly
+    * one batch id (checkpoint file log), so no OTHER batch's file can
+    * carry this batch's grams.
+    *
+    * Store growth: one file per trigger; when the batch-file count
+    * passes `compactEvery`, files with id < the current batch merge
+    * into one `compact-…` file (distinct h). Only STRICTLY older
+    * batches compact — the current id is the only one replay can
+    * re-deliver. Crash mid-compaction leaves merged batch files beside
+    * the compact file: harmless, membership in a semi-join is
+    * duplicate-insensitive, and the next compaction sweeps them.
+    */
+  def substrIngestStream(docs: DataFrame, storePath: String,
+      verdictsPath: String, w: Int = 20, compactEvery: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applySubstrIngestBatch(batch, batchId, storePath, verdictsPath,
+          w, compactEvery)
+    }
+
+  /** One trigger, exposed so replay/crash-window semantics are testable
+    * exactly as they occur. */
+  private[graft] def applySubstrIngestBatch(batch: DataFrame,
+      batchId: Long, storePath: String, verdictsPath: String,
+      w: Int, compactEvery: Int): Unit = {
+    val s = batch.sparkSession
+    val fsp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(fsp)
+    val own = s"batch-$batchId.parquet"
+    val storeFiles = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
+      (st.getPath.getName.startsWith("batch-") ||
+        st.getPath.getName.startsWith("compact-")) &&
+      st.getPath.getName != own)
+    val storeH =
+      if (storeFiles.isEmpty)
+        s.range(0).select(col("id").as("h")) // empty bootstrap store
+      else s.read.parquet(storeFiles.map(_.getPath.toString): _*)
+    val b = batch.dropDuplicates("doc_id") // intra-batch redelivery
+      .localCheckpoint() // judged AND grammed below — compute once
+    writeSingleFile(graft.text.SubstrDedup.judgeAgainst(b, storeH, w),
+      verdictsPath, own)
+    writeSingleFile(graft.text.SubstrDedup.batchGrams(b, w),
+      storePath, own)
+    // compact STRICTLY older batch files (replay can only re-deliver
+    // the current id) together with prior compacts
+    val mergeable = fs.listStatus(fsp).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && ((n.startsWith("batch-") && n != own &&
+        n.stripPrefix("batch-").stripSuffix(".parquet")
+          .forall(_.isDigit) &&
+        n.stripPrefix("batch-").stripSuffix(".parquet").toLong < batchId)
+        || n.startsWith("compact-"))
+    }
+    if (mergeable.count(_.getPath.getName.startsWith("batch-")) >
+        compactEvery) {
+      val merged = s.read
+        .parquet(mergeable.map(_.getPath.toString): _*).distinct()
+      writeSingleFile(merged, storePath, s"compact-at-$batchId.parquet")
+      mergeable.filterNot(_.getPath.getName == s"compact-at-$batchId.parquet")
+        .foreach(st => fs.delete(st.getPath, false))
+    }
+  }
+
+  /** Write `df` as exactly ONE deterministically-named parquet file via
+    * tmp-dir + rename — the idempotence primitive of the substring
+    * ingest (replay overwrites the same name with identical content).
+    */
+  private def writeSingleFile(df: DataFrame, dir: String,
+      name: String): Unit = {
+    val s = df.sparkSession
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirP)
+    // sweep tmp dirs abandoned by crashed attempts (any name: a tmp dir
+    // only lives inside one invocation)
+    fs.listStatus(dirP).filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(".tmp-"))
+      .foreach(st => fs.delete(st.getPath, true))
+    val tmp = new org.apache.hadoop.fs.Path(dirP, s".tmp-$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"no part file under $tmp"))
+    val target = new org.apache.hadoop.fs.Path(dirP, name)
+    if (fs.exists(target)) fs.delete(target, false) // replay: replace
+    require(fs.rename(part, target), s"rename $part -> $target failed")
+    fs.delete(tmp, true)
+  }
+
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom stateful op: running per-user totals via mapGroupsWithState

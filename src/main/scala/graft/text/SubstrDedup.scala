@@ -206,6 +206,17 @@ object SubstrDedup {
     incrementalAgainst(batch, store.select("h"), w)
   }
 
+  /** One batch's distinct gram hashes — the unit the streaming ingest
+    * appends per trigger (`StreamingOps.substrIngestStream`). */
+  private[graft] def batchGrams(docs: DataFrame, w: Int = 20): DataFrame =
+    gramsOf(toksOf(docs), w).select("h").distinct()
+
+  /** [[substrDedupIncremental]] against an explicit store relation of
+    * gram hashes — the streaming ingest's judge step. */
+  private[graft] def judgeAgainst(batch: DataFrame, storeH: DataFrame,
+      w: Int = 20): DataFrame =
+    incrementalAgainst(batch, storeH, w)
+
   private def incrementalAgainst(batch: DataFrame, store: DataFrame,
       w: Int): DataFrame = {
     val bToks  = toksOf(batch)
