@@ -107,7 +107,12 @@ object SubstrDedup {
     * inclusive token positions. The grams→winners→redundant→islands
     * chain described in the object doc. */
   private def spansOf(toks: DataFrame, w: Int): DataFrame = {
-    val grams = gramsOf(toks, w)
+    // cached: referenced by the winners aggregate AND the redundancy
+    // join's probe side — without it the tokenize + explode + md5 pass
+    // (the chain's dominant compute) runs twice (q25's shingle relation
+    // sets the same precedent). The cached rows are the NARROW
+    // (doc_id, start, h) triple, ~24 B/row — not the gram strings
+    val grams = gramsOf(toks, w).cache()
     // (doc_id, start) is unique per gram row → the struct min is total.
     // Winners are restricted to hashes occurring MORE THAN ONCE: a
     // unique gram is trivially its own first occurrence and can never
@@ -220,7 +225,9 @@ object SubstrDedup {
   private def incrementalAgainst(batch: DataFrame, store: DataFrame,
       w: Int): DataFrame = {
     val bToks  = toksOf(batch)
-    val bGrams = gramsOf(bToks, w)
+    // cached for the same two-consumer reason as spansOf (store join +
+    // batch-internal winners aggregate)
+    val bGrams = gramsOf(bToks, w).cache()
     val bWin = bGrams.groupBy("h")
       .agg(min(struct(col("doc_id"), col("start"))).as("win"))
     val redundant = bGrams
