@@ -78,6 +78,30 @@ class BoundedTopKSpec extends SparkSpec {
     }
   }
 
+  test("heap property: any inputs, any k, any split — sort-take-k, merge-total") {
+    import org.scalacheck.Prop.forAll
+    import org.scalacheck.{Gen, Test => SCTest}
+    val ord = implicitly[Ordering[Long]].asInstanceOf[Ordering[Any]]
+    val prop = forAll(Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue)),
+        Gen.chooseNum(1, 8), Gen.chooseNum(0, 100)) { (xs, k, cutPct) =>
+      val expected = xs.sorted(Ordering[Long].reverse).take(k)
+      val whole = new BoundedTopK.Heap(k, ord)
+      xs.foreach(whole.offer(_))
+      // and split at an arbitrary point, fill two heaps, merge
+      val cut = xs.length * cutPct / 100
+      val (l, r) = xs.splitAt(cut)
+      val a = new BoundedTopK.Heap(k, ord)
+      val b = new BoundedTopK.Heap(k, ord)
+      l.foreach(a.offer(_)); r.foreach(b.offer(_))
+      b.foreach(a.offer)
+      whole.sortedDesc.toSeq == expected &&
+        a.sortedDesc.toSeq == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default
+      .withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q80 plans a partial ObjectHashAggregate, never a Window") {
     val df = q80
     df.collect()
