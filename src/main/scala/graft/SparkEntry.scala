@@ -30,7 +30,7 @@ object SparkEntry {
       ml.VoicePipeline.queries ++
       rel.CardinalityStore.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
-      sim.IvfPq.queries ++ sim.SemDedup.queries ++
+      sim.IvfPq.queries ++ sim.IvfPqStore.queries ++ sim.SemDedup.queries ++
       text.Scrub.queries ++ text.SubstrDedup.queries ++
       text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++

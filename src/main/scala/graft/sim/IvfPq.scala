@@ -1,7 +1,7 @@
 package graft.sim
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ — the composite the two standalone indexes exist for, and the
@@ -37,7 +37,28 @@ object IvfPq {
   def ivfPqKnn(s: SparkSession, d: String, kCells: Int = 16,
       nProbe: Int = 4, m: Int = 8, k: Int = 32, topK: Int = 5,
       shortlist: Int = 100, nQueries: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val (assigned, cents, codebooks, codes) = trainEncode(s, d, kCells, m, k)
+    // per-query probe routing + q-dependent tables (column filter, not
+    // a typed lambda — prunable/pushable against the checkpointed
+    // relation)
+    val queryVecs = assigned.filter(col("vec_id") < nQueries)
+      .collect().sortBy(_._1).map { case (id, v, _) => (id, v) }
+
+    // exact re-rank source — norms recomputed from the CHECKPOINTED
+    // assignment relation, not a fresh table scan
+    val raw = assigned.toDF().select(col("vec_id"), col("embedding"))
+    searchCodes(codes, raw, queryVecs, cents, codebooks,
+      nProbe, topK, shortlist)
+  }
+
+  /** Train the coarse quantizer + residual codebooks and encode the
+    * whole corpus — shared by the in-query composite and
+    * [[IvfPqStore.buildIndex]] (which persists the result). All seeds
+    * fixed, so the two paths produce IDENTICAL indexes. */
+  private[sim] def trainEncode(s: SparkSession, d: String, kCells: Int,
+      m: Int, k: Int)
+      : (Dataset[(Long, Array[Float], Int)], Array[Array[Float]],
+        Array[Array[Array[Float]]], Dataset[(Long, Int, Array[Int])]) = {
     import s.implicits._
     val e = VecPrep.embeddingFeatures(s, d)
     val coarse = new KMeans().setK(kCells).setSeed(42).setFeaturesCol("v")
@@ -79,9 +100,24 @@ object IvfPq {
       PqKnn.lloyd(sampleRes.map(r => java.util.Arrays.copyOfRange(
         r, mi * sub, (mi + 1) * sub)), k, iters = 10, seed = 142L + mi)
     }
+    (assigned, cents, codebooks, encodeAssigned(assigned, cents, codebooks))
+  }
 
-    // ENCODE: (vec_id, cell, code) — residual vs own centroid
-    val codes = assigned.map { case (id, v, cell) =>
+  /** PQ-encode already-cell-assigned vectors: (vec_id, cell, code) —
+    * residual vs own centroid, nearest codeword per subspace. Shared by
+    * the corpus build and the store's incremental [[IvfPqStore
+    * .encodeBatch]] (new vectors encoded under a FROZEN index). */
+  private[sim] def encodeAssigned(
+      vecs: Dataset[(Long, Array[Float], Int)],
+      cents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]])
+      : Dataset[(Long, Int, Array[Int])] = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val sub = codebooks.head.head.length
+    vecs.map { case (id, v, cell) =>
       val code = new Array[Int](m)
       var mi = 0
       while (mi < m) {
@@ -101,6 +137,29 @@ object IvfPq {
       }
       (id, cell, code)
     }.toDF("vec_id", "cell", "code").as[(Long, Int, Array[Int])]
+  }
+
+  /** ADC search + exact re-rank over an encoded relation — shared by
+    * the in-query composite above and the persisted-index path
+    * ([[IvfPqStore.searchIndex]]). `rawForRerank` supplies the original
+    * float vectors for the shortlist re-rank (the index itself never
+    * stores them — real deployments re-rank from the source table).
+    */
+  private[sim] def searchCodes(codes: Dataset[(Long, Int, Array[Int])],
+      rawForRerank: DataFrame, queryVecs: Array[(Long, Array[Float])],
+      cents: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]],
+      nProbe: Int, topK: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = codes.sparkSession
+    import s.implicits._
+    graft.functions.VecFunctions.register(s)
+    val m = codebooks.length
+    val k = codebooks.head.length
+    val sub = codebooks.head.head.length
+    val dim = cents.head.length
+    require(dim == m * sub,
+      s"centroid dim $dim inconsistent with $m×$sub codebooks")
 
     // query-independent tables: centroid sub-norms, centroid·codeword,
     // codeword norms (kCells×m×k + m×k doubles — KBs)
@@ -123,12 +182,7 @@ object IvfPq {
       acc
     }
 
-    // per-query: probe routing + q-dependent tables (column filter, not
-    // a typed lambda — prunable/pushable against the checkpointed
-    // relation)
-    val queryVecs = assigned.filter(col("vec_id") < nQueries)
-      .collect().sortBy(_._1)
-    val luts = queryVecs.map { case (qid, q, _) =>
+    val luts = queryVecs.map { case (qid, q) =>
       val qn = math.sqrt(q.map(x => x.toDouble * x).sum)
       // nProbe nearest cells by cosine (deterministic cell tie-break)
       val probed = cents.indices
@@ -188,12 +242,11 @@ object IvfPq {
       .filter(col("rs") <= shortlist)
       .select("query_id", "cand_id")
 
-    // exact re-rank of the shortlist only — norms recomputed from the
-    // CHECKPOINTED assignment relation, not a fresh table scan
-    val raw = assigned.toDF()
+    val raw = rawForRerank
       .select(col("vec_id"), col("embedding"),
         sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
-    val qdf = raw.filter(col("vec_id") < nQueries)
+    val qids = queryVecs.map(_._1)
+    val qdf = raw.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
         col("nrm").as("qn"))
     VecPrep.exactRerank(short, raw, qdf, topK)

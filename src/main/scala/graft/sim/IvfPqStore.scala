@@ -1,0 +1,159 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index — build/search separation, the ANN member of
+  * the engine's store family (signature store, gram store, heavy-hitter
+  * store, cardinality store): train the coarse quantizer and residual
+  * codebooks ONCE over the corpus, persist (centroids, codebooks,
+  * codes, meta), then serve every later search — and encode every later
+  * ingest batch — against the frozen artifact without retraining. This
+  * is how production ANN serves 100 TB: index build is an offline job,
+  * search loads KBs of model (centroids + codebooks) and scans only the
+  * m-byte codes of probed cells; the raw float vectors never live in
+  * the index (re-rank reads them from the source table).
+  *
+  * Layout under `path/`:
+  *   meta.parquet       one row (k_cells, m, k, dim) — search/encode
+  *                      fail LOUDLY on any mismatch with the caller's
+  *                      expectations (a wrong-parameter read would
+  *                      decode garbage codes, not error, otherwise)
+  *   centroids.parquet  (cell, c ARRAY<FLOAT>)
+  *   codebooks.parquet  (mi, cw, v ARRAY<FLOAT>)
+  *   codes.parquet      (vec_id, cell, code ARRAY<INT>) — the only
+  *                      corpus-sized relation; append target for
+  *                      incremental ingest
+  *
+  * Incremental contract ([[encodeBatch]]): new vectors are assigned to
+  * their nearest frozen centroid and PQ-encoded under the frozen
+  * codebooks — batch-sized work, one append, no retraining (the
+  * SemDedup `assign` analogue for ANN). Redelivery is made idempotent
+  * by an anti-join against the stored vec_ids. Recall on drifted data
+  * is the operator's documented limitation (rebuild when the corpus
+  * distribution moves — the standard IVF-PQ practice).
+  */
+object IvfPqStore {
+
+  /** Train + encode the corpus (same seeds as `IvfPq.ivfPqKnn`, so the
+    * persisted index is IDENTICAL to the in-query composite's) and
+    * write the four relations. Overwrites any existing index. */
+  def buildIndex(s: SparkSession, d: String, path: String,
+      kCells: Int = 16, m: Int = 8, k: Int = 32): Unit = {
+    import s.implicits._
+    val (_, cents, codebooks, codes) = IvfPq.trainEncode(s, d, kCells, m, k)
+    Seq((kCells, m, k, cents.head.length))
+      .toDF("k_cells", "m", "k", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta.parquet")
+    cents.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("cell", "c")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids.parquet")
+    (for (mi <- codebooks.indices; cw <- codebooks(mi).indices)
+      yield (mi, cw, codebooks(mi)(cw))).toDF("mi", "cw", "v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks.parquet")
+    codes.toDF().write.mode("overwrite").parquet(s"$path/codes.parquet")
+  }
+
+  /** Load the driver-side model halves (KBs) with the loud meta check. */
+  private def loadModel(s: SparkSession, path: String,
+      kCells: Int, m: Int, k: Int)
+      : (Array[Array[Float]], Array[Array[Array[Float]]]) = {
+    val meta = s.read.parquet(s"$path/meta.parquet").collect()
+    require(meta.length == 1, s"index at $path has ${meta.length} meta rows")
+    val (mk, mm, mkk, mdim) = (meta(0).getInt(0), meta(0).getInt(1),
+      meta(0).getInt(2), meta(0).getInt(3))
+    require(mk == kCells && mm == m && mkk == k,
+      s"index at $path was built with (kCells=$mk, m=$mm, k=$mkk); " +
+        s"caller expects ($kCells, $m, $k) — wrong-parameter reads decode " +
+        "garbage, rebuild the index or match the parameters")
+    val cents = s.read.parquet(s"$path/centroids.parquet")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1).map(_._2)
+    require(cents.length == mk && cents.forall(_.length == mdim),
+      s"centroid relation at $path inconsistent with meta")
+    val cbs = Array.ofDim[Array[Float]](mm, mkk)
+    s.read.parquet(s"$path/codebooks.parquet").collect().foreach { r =>
+      cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    require(cbs.forall(_.forall(_ != null)),
+      s"codebook relation at $path is missing entries")
+    (cents, cbs.map(_.toArray))
+  }
+
+  /** Search the persisted index: loads the KB-scale model, scans only
+    * the codes relation; `rerankSource` supplies (vec_id, embedding)
+    * for the exact shortlist re-rank. Query vectors are taken from the
+    * source by id (the usual "search with corpus members" probe shape —
+    * external query vectors just mean a different `queryVecs` array).
+    */
+  def searchIndex(s: SparkSession, path: String, rerankSource: DataFrame,
+      queryIds: Seq[Long], kCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      k: Int = 32, topK: Int = 5, shortlist: Int = 100): DataFrame = {
+    import s.implicits._
+    val (cents, codebooks) = loadModel(s, path, kCells, m, k)
+    val codes = s.read.parquet(s"$path/codes.parquet")
+      .as[(Long, Int, Array[Int])]
+    val queryVecs = rerankSource
+      .filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    IvfPq.searchCodes(codes, rerankSource, queryVecs, cents, codebooks,
+      nProbe, topK, shortlist)
+  }
+
+  /** Encode a NEW batch under the frozen index and append — the
+    * incremental ingest path: batch-sized work (nearest frozen centroid
+    * + PQ encode per vector), one append, no retraining. Already-stored
+    * vec_ids are skipped (anti-join), so a redelivered batch is a
+    * no-op. */
+  def encodeBatch(s: SparkSession, path: String, batch: DataFrame,
+      kCells: Int = 16, m: Int = 8, k: Int = 32): Unit = {
+    import s.implicits._
+    val (cents, codebooks) = loadModel(s, path, kCells, m, k)
+    val seen = s.read.parquet(s"$path/codes.parquet").select("vec_id")
+    val fresh = batch.select(col("vec_id"), col("embedding"))
+      .join(seen, Seq("vec_id"), "left_anti")
+      .as[(Long, Array[Float])]
+    val dim = cents.head.length
+    val assigned = fresh.map { case (id, v) =>
+      var best = 0; var bestD = Double.MaxValue
+      var cell = 0
+      while (cell < cents.length) {
+        var dd = 0.0; var j = 0
+        while (j < dim) {
+          val diff = v(j) - cents(cell)(j); dd += diff * diff; j += 1
+        }
+        if (dd < bestD) { bestD = dd; best = cell }
+        cell += 1
+      }
+      (id, v, best)
+    }.toDF("vec_id", "embedding", "cell")
+      .as[(Long, Array[Float], Int)]
+    IvfPq.encodeAssigned(assigned, cents, codebooks)
+      .toDF().write.mode("append").parquet(s"$path/codes.parquet")
+  }
+
+  /** Driver entry: build the index in a scratch dir, search it for the
+    * same queries as `nq_ivfpq_knn` — the contract row that proves the
+    * persisted path end-to-end inside Verify/Bench (identical output to
+    * the in-query composite by construction; rows-only check since PQ
+    * codes are not SQL-expressible). */
+  def nqIvfPqStore(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index")
+    try {
+      buildIndex(s, d, dir.toString)
+      val src = VecPrep.embeddingFeatures(s, d)
+        .select(col("vec_id"), col("embedding"))
+      // materialize before the temp dir dies (rn ordering from the
+      // re-rank is already stable)
+      searchIndex(s, dir.toString, src, 0L until 10L).localCheckpoint()
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_ivfpq_store" -> (nqIvfPqStore _))
+}

@@ -1,0 +1,85 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted IVF-PQ index: search-from-store ≡ the in-query
+  * composite (same seeds → identical index), loud parameter-mismatch
+  * failure, and the incremental encode path (new vectors retrievable,
+  * redelivery a no-op).
+  */
+class IvfPqStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tempDir() =
+    java.nio.file.Files.createTempDirectory("ivfpq-store")
+
+  private def cleanup(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  private def src = VecPrep.embeddingFeatures(spark, sf0001)
+    .select(col("vec_id"), col("embedding"))
+
+  test("search from the persisted index equals the in-query composite") {
+    val dir = tempDir()
+    try {
+      IvfPqStore.buildIndex(spark, sf0001, dir.toString)
+      val stored = IvfPqStore
+        .searchIndex(spark, dir.toString, src, 0L until 10L)
+        .collect().map(_.toSeq)
+      val inQuery = IvfPq.ivfPqKnn(spark, sf0001)
+        .collect().map(_.toSeq)
+      assert(stored.nonEmpty && stored.toSeq === inQuery.toSeq,
+        "frozen index must reproduce the composite's results exactly")
+    } finally cleanup(dir)
+  }
+
+  test("parameter mismatch fails loudly, never decodes garbage") {
+    val dir = tempDir()
+    try {
+      IvfPqStore.buildIndex(spark, sf0001, dir.toString)
+      val e = intercept[IllegalArgumentException] {
+        IvfPqStore.searchIndex(spark, dir.toString, src, Seq(0L), m = 4)
+      }
+      assert(e.getMessage.contains("rebuild"),
+        s"expected the rebuild message, got: ${e.getMessage}")
+    } finally cleanup(dir)
+  }
+
+  test("incremental encode: new vectors retrievable, redelivery a no-op") {
+    val dir = tempDir()
+    try {
+      // build the index WITHOUT the last 50 vectors, then ingest them
+      val all = src
+      val maxId = all.agg(max("vec_id")).head().getLong(0)
+      val cutId = maxId - 49
+      val sub = java.nio.file.Files.createTempDirectory("ivfpq-subset")
+      try {
+        // trainEncode reads a table dir — stage the subset as a corpus
+        graft.Tables.embeddings(spark, sf0001)
+          .filter($"vec_id" < cutId)
+          .write.parquet(s"$sub/embeddings.parquet")
+        IvfPqStore.buildIndex(spark, sub.toString, dir.toString)
+        val batch = all.filter($"vec_id" >= cutId)
+        IvfPqStore.encodeBatch(spark, dir.toString, batch)
+        val codes = spark.read.parquet(s"$dir/codes.parquet")
+        assert(codes.filter($"vec_id" >= cutId).count() === 50,
+          "every batch vector must be encoded")
+        val before = codes.count()
+        IvfPqStore.encodeBatch(spark, dir.toString, batch) // redelivery
+        assert(spark.read.parquet(s"$dir/codes.parquet").count() === before,
+          "a redelivered batch must not duplicate codes")
+        // a batch vector's nearest neighbors include its planted twin
+        // region: search for one ingested id and expect results
+        val out = IvfPqStore.searchIndex(spark, dir.toString, all,
+          Seq(maxId))
+        assert(out.count() > 0, "ingested vectors must be searchable")
+        assert(out.filter($"neighbor_id" === maxId).count() === 0,
+          "a query never returns itself")
+      } finally cleanup(sub)
+    } finally cleanup(dir)
+  }
+}
