@@ -367,6 +367,28 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("ivfstore")) {
+      // persisted-index cost split: one-time build vs per-search cost
+      val dir = java.nio.file.Files.createTempDirectory("ivfpq-probe")
+      try {
+        time("buildIndex (train + encode + persist)") {
+          graft.sim.IvfPqStore.buildIndex(spark, d, dir.toString)
+        }
+        val src = graft.Tables.embeddings(spark, d)
+          .select(col("vec_id"), col("embedding"))
+        for (i <- 1 to 5) time(s"searchIndex run$i") {
+          graft.sim.IvfPqStore
+            .searchIndex(spark, dir.toString, src, 0L until 10L)
+            .write.format("noop").mode("overwrite").save()
+        }
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("warnhunt")) {
       // run every bench-headline query with a stderr marker so runtime
       // warnings (WindowExec single-partition, broadcast size, …) can be
