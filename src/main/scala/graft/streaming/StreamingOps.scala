@@ -791,19 +791,59 @@ object StreamingOps {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        val lineage = Option(batch.sparkSession.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("unknown")
         applySubstrIngestBatch(batch, batchId, storePath, verdictsPath,
-          w, compactEvery)
+          w, compactEvery, lineage)
     }
 
   /** One trigger, exposed so replay/crash-window semantics are testable
     * exactly as they occur. */
   private[graft] def applySubstrIngestBatch(batch: DataFrame,
       batchId: Long, storePath: String, verdictsPath: String,
-      w: Int, compactEvery: Int): Unit = {
+      w: Int, compactEvery: Int, lineage: String = "unknown"): Unit = {
     val s = batch.sparkSession
     val fsp = new org.apache.hadoop.fs.Path(storePath)
     val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(fsp)
+    // the batch-id file naming is only exactly-once WITHIN one streaming
+    // checkpoint lineage: a FRESH checkpoint restarts ids at 0 and would
+    // silently overwrite batch-0.parquet with different content (and
+    // re-judge docs against their own stored grams). Bind the store to
+    // its first lineage and fail loudly on any other — same contract as
+    // the heavy-hitter store's high-water fence.
+    val marker = new org.apache.hadoop.fs.Path(fsp, "_lineage")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim
+      finally in.close()
+      if (prev != lineage)
+        throw new IllegalStateException(
+          s"substring-dedup store at $storePath is bound to streaming " +
+            s"lineage $prev but this query is $lineage — a fresh " +
+            "checkpoint restarts batch ids and would overwrite history. " +
+            "Continue the original checkpoint, or rebuild the store")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(fsp, "_lineage.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(lineage.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        // lost a concurrent race: re-read and enforce like the branch above
+        fs.delete(tmp, false)
+        require(fs.exists(marker), s"cannot establish lineage marker at $marker")
+        val in2 = fs.open(marker)
+        val prev2 = try scala.io.Source.fromInputStream(in2, "UTF-8")
+          .mkString.trim
+        finally in2.close()
+        if (prev2 != lineage)
+          throw new IllegalStateException(
+            s"substring-dedup store at $storePath was just bound to " +
+              s"lineage $prev2; this query is $lineage")
+      }
+    }
     val own = s"batch-$batchId.parquet"
     val storeFiles = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
       (st.getPath.getName.startsWith("batch-") ||

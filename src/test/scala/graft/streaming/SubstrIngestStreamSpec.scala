@@ -111,6 +111,26 @@ class SubstrIngestStreamSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("a fresh checkpoint lineage over an existing store fails loudly") {
+    val dir = tempDir()
+    try {
+      val store = dir.resolve("store").toString
+      val verd = dir.resolve("verdicts").toString
+      StreamingOps.applySubstrIngestBatch(corpus, 0L, store, verd, 20, 64,
+        lineage = "query-A")
+      // same lineage continues fine
+      StreamingOps.applySubstrIngestBatch(batch, 1L, store, verd, 20, 64,
+        lineage = "query-A")
+      // a NEW checkpoint restarts batch ids — binding must refuse it
+      val e = intercept[IllegalStateException] {
+        StreamingOps.applySubstrIngestBatch(batch, 0L, store, verd, 20, 64,
+          lineage = "query-B")
+      }
+      assert(e.getMessage.contains("rebuild"),
+        s"expected the lineage-bound message, got: ${e.getMessage}")
+    } finally cleanup(dir)
+  }
+
   test("compaction bounds store files and preserves verdict semantics") {
     val dir = tempDir()
     try {
