@@ -215,10 +215,14 @@ object SemDedup {
     val bHi = batchAssigned.select(col("cluster"), col("id").as("hi_id"),
       col("emb").as("hi_emb"), col("nrm").as("hi_nrm"))
     def twins(lo: DataFrame, requireLower: Boolean): DataFrame = {
-      val cond0 = bHi("cluster") === lo("cluster")
+      // aliases (not bHi("cluster") === lo("cluster")): the intra-batch
+      // call joins same-lineage frames, where the raw form logs a
+      // "trivially true predicate" WARN before the analyzer's dataset-id
+      // disambiguation fixes it — same resolved plan, cleaner logs
+      val cond0 = col("h.cluster") === col("l.cluster")
       val cond = if (requireLower) cond0 && col("lo_id") < col("hi_id")
         else cond0
-      bHi.join(lo, cond)
+      bHi.as("h").join(lo.as("l"), cond)
         .filter(expr("vec_dot(hi_emb, lo_emb)") /
           (col("hi_nrm") * col("lo_nrm")) >= threshold)
         .select(col("hi_id").as("id"))

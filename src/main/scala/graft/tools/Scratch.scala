@@ -390,10 +390,14 @@ object Scratch {
     }
 
     if (args.headOption.contains("warnhunt")) {
-      // run every bench-headline query with a stderr marker so runtime
-      // warnings (WindowExec single-partition, broadcast size, …) can be
-      // attributed to the query that raised them
-      for (q <- graft.Bench.headline) {
+      // run every bench-headline query (or, with "all", every contract
+      // query) with a stderr marker so runtime warnings (WindowExec
+      // single-partition, broadcast size, …) can be attributed to the
+      // query that raised them
+      val names =
+        if (args.lift(1).contains("all")) graft.SparkEntry.queries.keys.toSeq.sorted
+        else graft.Bench.headline
+      for (q <- names) {
         System.err.println(s"===MARK=== $q")
         Console.err.flush()
         try graft.SparkEntry.queries(q)(spark, d)
