@@ -26,6 +26,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
           "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d").head()
       assert(row.getDouble(0) === 11.0)
+      // and the injected AGGREGATE resolves + wraps in AggregateExpression
+      val tk = s.sql(
+        "SELECT g, top_k(v, 2) AS top FROM VALUES (1, 5L), (1, 9L), " +
+          "(1, 7L), (2, 3L) AS t(g, v) GROUP BY g ORDER BY g").collect()
+      assert(tk(0).getSeq[Long](1) === Seq(9L, 7L))
+      assert(tk(1).getSeq[Long](1) === Seq(3L))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
