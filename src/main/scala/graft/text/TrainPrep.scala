@@ -44,6 +44,26 @@ object TrainPrep {
       .select(col(idCol), col("shard"), col("pos"))
   }
 
+  /** Materialize [[shuffleShard]]'s deal as the trainer-facing shard
+    * FILES: one `shard=N/` directory per shard, rows in `pos` order
+    * inside — the layout a data loader streams sequentially while the
+    * hash bits (not file order) carry the epoch's randomness. A new
+    * seed re-deals and rewrites; the write is one shard-keyed exchange
+    * plus a per-task sort (each task sorts only its own shards, spills
+    * to disk — never a global total sort). `maxRecordsPerFile` > 0
+    * caps file sizes for loaders that want bounded units; the
+    * sequentially-numbered part files within a shard directory keep
+    * `pos` order under lexicographic name sort.
+    */
+  def exportShards(docs: DataFrame, idCol: String, path: String,
+      nShards: Int, seed: Long = 42L, maxRecordsPerFile: Long = 0L): Unit =
+    docs.join(shuffleShard(docs, idCol, nShards, seed), Seq(idCol))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.partitionBy("shard")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .mode("overwrite").parquet(path)
+
   /** Bigram language-model table over the corpus: per (w1, w2) the raw
     * count and the conditional probability P(w2|w1) — the classic
     * count-based LM / corpus-statistics aggregate (and the shape of any

@@ -102,6 +102,24 @@ class CardinalityStoreSpec extends SparkSpec {
     }
   }
 
+  test("sketch build and merge both plan map-side partial aggregation") {
+    // the mergeability story: per-batch sketching combines registers on
+    // the map side (one tiny group-keyed shuffle), and the read-path
+    // union re-merges store rows the same way — no formulation that
+    // ships raw values to a reducer
+    val sk = CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id")
+    sk.collect()
+    val skPlan = sk.queryExecution.executedPlan.toString
+    assert(skPlan.contains("ObjectHashAggregate") &&
+      skPlan.contains("partial_hll_sketch_agg"),
+      s"sketch build must map-side combine:\n$skPlan")
+    val mg = CardinalityStore.mergeSketches(sk, Seq("event_type"))
+    mg.collect()
+    val mgPlan = mg.queryExecution.executedPlan.toString
+    assert(mgPlan.contains("partial_hll_union_agg"),
+      s"merge must union registers map-side:\n$mgPlan")
+  }
+
   test("mixed-lgK sketches fail loudly at merge, not silently degrade") {
     val a = CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id", 12)
     val b = CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id", 10)

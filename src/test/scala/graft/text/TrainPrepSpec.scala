@@ -179,6 +179,43 @@ class TrainPrepSpec extends SparkSpec {
     joined.unpersist()
   }
 
+  test("exportShards: one pos-ordered run per shard dir, lossless, re-dealable") {
+    val dir = java.nio.file.Files.createTempDirectory("shards")
+    try {
+      val docs = graft.Tables.documents(spark, sf0001)
+      val n = docs.count()
+      TrainPrep.exportShards(docs, "doc_id", dir.toString, nShards = 7)
+      val back = spark.read.parquet(dir.toString)
+      assert(back.count() === n, "export must be lossless")
+      assert(back.select("doc_id").distinct().count() === n)
+      // shard dirs present and rows inside each file run in pos order
+      val shardDirs = new java.io.File(dir.toString).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      assert(shardDirs.length === 7)
+      shardDirs.foreach { sd =>
+        val rows = spark.read.parquet(sd.toString)
+          .select("pos").collect().map(_.getLong(0))
+        // ONE file per shard (no maxRecordsPerFile): parquet preserves
+        // the written row order, which must be the contiguous 1..k run
+        assert(rows.toSeq === (1L to rows.length).toSeq,
+          s"${sd.getName}: pos not a contiguous ordered run")
+      }
+      // re-dealing with another seed moves documents between shards
+      TrainPrep.exportShards(docs, "doc_id", dir.toString, nShards = 7,
+        seed = 43L)
+      val deal42 = TrainPrep.shuffleShard(docs, "doc_id", 7)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      val deal43 = TrainPrep.shuffleShard(docs, "doc_id", 7, seed = 43L)
+        .select("doc_id", "shard").as[(Long, Long)].collect().toMap
+      assert(deal42.count { case (id, s43) => deal43(id) != s43 } > n / 4,
+        "a new seed must re-deal a substantial fraction of rows")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   private def bigramsOf(docs: org.apache.spark.sql.DataFrame) =
     TrainPrep.bigramLm(docs)
       .as[(String, String, Long, Double)].collect()
