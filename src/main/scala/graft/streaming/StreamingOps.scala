@@ -882,6 +882,9 @@ object StreamingOps {
   /** Write `df` as exactly ONE deterministically-named parquet file via
     * tmp-dir + rename — the idempotence primitive of the substring
     * ingest (replay overwrites the same name with identical content).
+    * Assumes atomic rename (HDFS / POSIX — same contract as the
+    * signature store's compaction swap); on a rename-as-copy object
+    * store, point the store at an HDFS/cluster-fs path instead.
     */
   private def writeSingleFile(df: DataFrame, dir: String,
       name: String): Unit = {
