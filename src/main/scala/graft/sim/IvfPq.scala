@@ -205,8 +205,17 @@ object IvfPq {
       (qid, probed, qc, qr, qn)
     }
 
+    // restrict the scan to the UNION of every query's probed cells
+    // BEFORE the ADC pass: semantically a no-op (each query still
+    // checks its own probed set), but against a cell-partitioned store
+    // (IvfPqStore writes codes partitionBy("cell")) this predicate
+    // prunes whole directories — the "cells are the unit of data
+    // skipping" property made real rather than aspirational
+    val allProbed = luts.flatMap(_._2).distinct.toSeq
+    val scanned = codes.filter(col("cell").isin(allProbed: _*))
+
     // ADC over probed cells only, bounded per-partition heaps
-    val cands = codes.mapPartitions { it =>
+    val cands = scanned.mapPartitions { it =>
       val heaps = luts.map(q =>
         (q._1, new scala.collection.mutable.PriorityQueue[(Double, Long)]()(
           Ordering.by(x => (-x._1, x._2)))))

@@ -51,7 +51,13 @@ object IvfPqStore {
     (for (mi <- codebooks.indices; cw <- codebooks(mi).indices)
       yield (mi, cw, codebooks(mi)(cw))).toDF("mi", "cw", "v")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks.parquet")
-    codes.toDF().write.mode("overwrite").parquet(s"$path/codes.parquet")
+    // clustered at rest by cell: searchCodes pre-filters to the union
+    // of probed cells, so this layout turns every probe into directory
+    // pruning — a search reads ~nProbe/kCells of the codes instead of
+    // scanning them all (partition-pruning is asserted in the spec)
+    codes.toDF().repartition(col("cell"))
+      .write.partitionBy("cell")
+      .mode("overwrite").parquet(s"$path/codes.parquet")
   }
 
   /** Load the driver-side model halves (KBs) with the loud meta check. */
@@ -91,7 +97,12 @@ object IvfPqStore {
       k: Int = 32, topK: Int = 5, shortlist: Int = 100): DataFrame = {
     import s.implicits._
     val (cents, codebooks) = loadModel(s, path, kCells, m, k)
+    // explicit select: partitionBy surfaces `cell` as the LAST column
+    // (and as the inferred partition type), while the tuple encoder
+    // binds by position
     val codes = s.read.parquet(s"$path/codes.parquet")
+      .select(col("vec_id"), col("cell").cast("int").as("cell"),
+        col("code"))
       .as[(Long, Int, Array[Int])]
     val queryVecs = rerankSource
       .filter(col("vec_id").isin(queryIds: _*))
@@ -130,7 +141,9 @@ object IvfPqStore {
     }.toDF("vec_id", "embedding", "cell")
       .as[(Long, Array[Float], Int)]
     IvfPq.encodeAssigned(assigned, cents, codebooks)
-      .toDF().write.mode("append").parquet(s"$path/codes.parquet")
+      .toDF().repartition(col("cell"))
+      .write.partitionBy("cell") // keep the cell-clustered layout
+      .mode("append").parquet(s"$path/codes.parquet")
   }
 
   /** Driver entry: build the index in a scratch dir, search it for the

@@ -37,6 +37,24 @@ class IvfPqStoreSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("cell-clustered codes: the search scan partition-prunes to probed cells") {
+    val dir = tempDir()
+    try {
+      IvfPqStore.buildIndex(spark, sf0001, dir.toString)
+      // layout: one cell=N directory per coarse cell
+      val cellDirs = new java.io.File(s"$dir/codes.parquet").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length == 16,
+        s"expected 16 cell partitions, got ${cellDirs.length}")
+      val out = IvfPqStore.searchIndex(spark, dir.toString, src, Seq(0L, 1L))
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+        s"probed-cell restriction must reach the scan as a partition " +
+          s"filter:\n$plan")
+    } finally cleanup(dir)
+  }
+
   test("parameter mismatch fails loudly, never decodes garbage") {
     val dir = tempDir()
     try {
