@@ -105,6 +105,35 @@ object Dsp {
     }
   }
 
+  /** Orthonormal DCT-II (the librosa/scipy `norm='ortho'` convention):
+    *   y[k] = s_k · Σ_n x[n] · cos(π·(n + ½)·k / N),
+    *   s_0 = √(1/N), s_k = √(2/N) for k ≥ 1
+    * — an orthonormal transform (Parseval holds), so truncating to the
+    * first `nOut` coefficients is the standard MFCC compaction. O(N²)
+    * by design: N here is the mel-band count (≤ dozens), far below any
+    * FFT-crossover.
+    */
+  def dct2(x: Array[Double], nOut: Int): Array[Double] = {
+    val n = x.length
+    require(n > 0, "dct2: empty input")
+    require(nOut > 0 && nOut <= n, s"dct2: nOut $nOut out of range 1..$n")
+    val out = new Array[Double](nOut)
+    val s0 = math.sqrt(1.0 / n)
+    val sk = math.sqrt(2.0 / n)
+    var k = 0
+    while (k < nOut) {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += x(i) * math.cos(math.Pi * (i + 0.5) * k / n)
+        i += 1
+      }
+      out(k) = acc * (if (k == 0) s0 else sk)
+      k += 1
+    }
+    out
+  }
+
   /** 16-bit little-endian PCM bytes → [-1, 1] doubles. */
   def pcm16ToDoubles(pcm: Array[Byte]): Array[Double] = {
     // fail fast on malformed input instead of silently dropping the

@@ -1,0 +1,38 @@
+package graft.audio
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MFCC over [[MelSpectrogram]]'s frame output — the classic compact
+  * audio feature (log-mel energies decorrelated by an orthonormal
+  * DCT-II, librosa's `mfcc` convention): per frame,
+  * `mfcc = dct2(ln(max(mel, eps)))[0 until nMfcc]`. Extends the
+  * engine's I1 feature path (the reference consumes mel directly,
+  * `/root/reference/src/voice_classifier.py:82`; MFCC is the standard
+  * next step its ecosystem — librosa — ships alongside).
+  *
+  * Scale shape: a narrow per-row typed map over the already-framed mel
+  * relation — no shuffle, no state; nMels ≤ dozens keeps the O(nMels²)
+  * DCT negligible next to the FFT that produced the frame.
+  */
+object Mfcc {
+
+  /** Add an `mfcc` column to a (… , mel ARRAY<DOUBLE>) frame relation.
+    * `floorP` clamps empty mel bands before the log (same guard role as
+    * lmScore's unseen-bigram floor). */
+  def withMfcc(melFrames: DataFrame, nMfcc: Int = 13,
+      melCol: String = "mel", floorP: Double = 1e-10): DataFrame = {
+    require(nMfcc > 0, s"nMfcc must be positive, got $nMfcc")
+    val s = melFrames.sparkSession
+    val fn = udf { mel: Seq[Double] =>
+      Dsp.dct2(mel.map(v => math.log(math.max(v, floorP))).toArray,
+        math.min(nMfcc, mel.length))
+    }
+    // a UDF (not a per-element higher-order expression): the DCT reads
+    // EVERY input element per output coefficient — as a transform()
+    // lambda it would re-evaluate the log-mel array per k. The per-row
+    // array in/array out call is the same boundary the typed
+    // MelSpectrogram map already sets for this family.
+    melFrames.withColumn("mfcc", fn(col(melCol)))
+  }
+}
