@@ -67,7 +67,15 @@ object Bench {
     // surgery), the auto-k semantic dedup composite (k-means tree +
     // within-leaf pair scoring), the HLL cardinality store merge, and
     // the custom bounded-top-k aggregate vs q08's window form
-    "q76_substr_cut", "nq_semantic_dedup", "nq_card_store", "q80_topk_agg")
+    "q76_substr_cut", "nq_semantic_dedup", "nq_card_store", "q80_topk_agg",
+    // round-10: the store/incremental paths, previously invisible to
+    // the bench. These three measure the per-search / per-batch cost
+    // against a STANDING artifact (IVF-PQ index, fitted cluster tree,
+    // persisted gram store): the one-time build is charged to each
+    // store's first invocation and excluded by the median-of-3 — that
+    // amortization IS the operators' contract (build once / serve
+    // many), unlike the result-memoization clearMemo() guards against
+    "nq_ivfpq_store", "nq_semantic_dedup_inc", "q81_substr_stored")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

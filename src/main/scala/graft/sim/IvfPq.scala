@@ -1,6 +1,5 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,11 +10,17 @@ import org.apache.spark.sql.functions._
   * only has to express the small within-cell displacement instead of
   * the whole vector — tighter codes from the same bit budget.
   *
-  *  1. COARSE: seeded k-means (shared `VecPrep` prep with IvfKnn) →
-  *     cell assignment per vector; centroid table is driver-side KBs.
-  *  2. RESIDUAL PQ: codebooks trained (shared `PqKnn.lloyd`) on a
-  *     content-deterministic bounded sample of residuals; one narrow
-  *     typed pass encodes every vector to (cell, m-byte code).
+  *  1. COARSE: seeded Lloyd's k-means (shared `PqKnn.lloyd`) on a
+  *     content-deterministic bounded SAMPLE collected to the driver —
+  *     the standard IVF practice (FAISS trains its coarse quantizer on
+  *     a bounded sample regardless of corpus size; Johnson et al. 2017,
+  *     "Billion-scale similarity search with GPUs"): the quantizer is
+  *     kCells×dim KBs, so training it distributed buys nothing and
+  *     costs a multi-job iterative fit over the whole corpus per build.
+  *  2. RESIDUAL PQ: codebooks trained (same `PqKnn.lloyd`) on the SAME
+  *     collected sample's residuals; one narrow typed pass then
+  *     assigns + encodes every vector to (cell, m-byte code) — the
+  *     ONLY corpus-wide work in the build, shuffle-free.
   *  3. SEARCH: each query routes to its nProbe nearest cells; ADC
   *     scoring touches ONLY vectors in probed cells, via lookup tables
   *     built once per query from the residual decomposition
@@ -37,69 +42,89 @@ object IvfPq {
   def ivfPqKnn(s: SparkSession, d: String, kCells: Int = 16,
       nProbe: Int = 4, m: Int = 8, k: Int = 32, topK: Int = 5,
       shortlist: Int = 100, nQueries: Int = 10): DataFrame = {
-    val (assigned, cents, codebooks, codes) = trainEncode(s, d, kCells, m, k)
-    // per-query probe routing + q-dependent tables (column filter, not
-    // a typed lambda — prunable/pushable against the checkpointed
-    // relation)
-    val queryVecs = assigned.filter(col("vec_id") < nQueries)
-      .collect().sortBy(_._1).map { case (id, v, _) => (id, v) }
+    import s.implicits._
+    val (_, cents, codebooks, codes) = trainEncode(s, d, kCells, m, k)
+    // query vectors straight off the source scan (pushed-down id
+    // filter) — the search never needs the cell-assigned relation
+    val queryVecs = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < nQueries)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
 
-    // exact re-rank source — norms recomputed from the CHECKPOINTED
-    // assignment relation, not a fresh table scan
-    val raw = assigned.toDF().select(col("vec_id"), col("embedding"))
+    // exact re-rank reads the source table, same as the store path —
+    // the index never carries the raw floats
+    val raw = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
     searchCodes(codes, raw, queryVecs, cents, codebooks,
       nProbe, topK, shortlist)
+  }
+
+  /** Nearest coarse centroid by squared L2 — the assignment primitive
+    * shared by the corpus build and [[IvfPqStore.encodeBatch]]. */
+  private[sim] def nearestCell(v: Array[Float],
+      cents: Array[Array[Float]]): Int = {
+    val dim = cents.head.length
+    var best = 0; var bestD = Double.MaxValue
+    var cell = 0
+    while (cell < cents.length) {
+      var dd = 0.0; var j = 0
+      while (j < dim) {
+        val diff = v(j) - cents(cell)(j); dd += diff * diff; j += 1
+      }
+      if (dd < bestD) { bestD = dd; best = cell }
+      cell += 1
+    }
+    best
   }
 
   /** Train the coarse quantizer + residual codebooks and encode the
     * whole corpus — shared by the in-query composite and
     * [[IvfPqStore.buildIndex]] (which persists the result). All seeds
-    * fixed, so the two paths produce IDENTICAL indexes. */
+    * fixed, so the two paths produce IDENTICAL indexes.
+    *
+    * Both model halves train driver-side on ONE content-deterministic
+    * bounded sample (≤ 2000 rows regardless of SF — hash-of-id order,
+    * so the sample is layout-independent and spread over the id space):
+    * the models are KBs, so the only corpus-wide work is the single
+    * shuffle-free assign+encode pass, and the whole build costs one
+    * small collect + one scan instead of an iterative distributed fit.
+    * (An earlier revision trained the coarse quantizer with an MLlib
+    * KMeans fit over the full corpus and checkpointed the assigned
+    * relation for its multiple consumers — ~25 Spark jobs and a
+    * corpus-sized materialization per build, which made the in-query
+    * composite the slowest headline query at sf0.1 and would be a
+    * full-corpus iterative rewrite per build at 100 TB.) */
   private[sim] def trainEncode(s: SparkSession, d: String, kCells: Int,
       m: Int, k: Int)
       : (Dataset[(Long, Array[Float], Int)], Array[Array[Float]],
         Array[Array[Array[Float]]], Dataset[(Long, Int, Array[Int])]) = {
     import s.implicits._
-    val e = VecPrep.embeddingFeatures(s, d)
-    val coarse = new KMeans().setK(kCells).setSeed(42).setFeaturesCol("v")
-      .setInitMode("random").setPredictionCol("cell").fit(e)
-    // materialized once: FOUR actions read this lineage (residual
-    // sample, query collect, the ADC scan, the re-rank's raw-vector
-    // join). Checkpointed, not cache()'d: cache() pins blocks in the
-    // session's CacheManager until an explicit unpersist this function
-    // has no good place for (the returned plan still reads the data) —
-    // checkpoint blocks are instead released by the ContextCleaner as
-    // soon as the caller drops the result, so repeated invocations
-    // (Bench best-of-n, the determinism spec) don't accumulate
-    // session-lifetime cached relations. Fault tolerance: in the
-    // default localCheckpoint mode the truncated lineage is
-    // UNRECOMPUTABLE on executor loss — fine single-JVM; a cluster
-    // deployment sets a session checkpoint dir and the same
-    // Checkpointing.truncate call writes reliable checkpoints instead.
-    val assigned = graft.Checkpointing.truncate(
-      e.select(col("vec_id"), col("embedding"), col("v"))
-        .transform(coarse.transform(_))
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .as[(Long, Array[Float], Int)])
-    val cents: Array[Array[Float]] =
-      coarse.clusterCenters.map(_.toArray.map(_.toFloat))
-    val dim = cents.head.length
+    val emb = graft.Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val sample = emb
+      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2000)
+      .collect().map(_._2)
+    require(sample.nonEmpty, "ivfPqKnn: embeddings table is empty")
+    val dim = sample.head.length
     require(dim % m == 0, "dim must divide into m subspaces")
     val sub = dim / m
+    val cents = PqKnn.lloyd(sample, kCells, iters = 10, seed = 42L)
 
-    // residual codebooks on a content-deterministic bounded sample
-    val sampleRes = assigned
-      .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(2000)
-      .as[(Long, Array[Float], Int)]
-      .collect()
-      .map { case (_, v, cell) =>
-        Array.tabulate(dim)(j => v(j) - cents(cell)(j))
-      }
-    require(sampleRes.nonEmpty, "ivfPqKnn: embeddings table is empty")
+    // residual codebooks from the SAME sample (no second collect)
+    val sampleRes = sample.map { v =>
+      val c = cents(nearestCell(v, cents))
+      Array.tabulate(dim)(j => v(j) - c(j))
+    }
     val codebooks: Array[Array[Array[Float]]] = Array.tabulate(m) { mi =>
       PqKnn.lloyd(sampleRes.map(r => java.util.Arrays.copyOfRange(
         r, mi * sub, (mi + 1) * sub)), k, iters = 10, seed = 142L + mi)
     }
+    // assign + encode in ONE narrow pass — the plan is its own single
+    // consumer, so no checkpoint/materialization is needed
+    val assigned = emb.map { case (id, v) => (id, v, nearestCell(v, cents)) }
+      .toDF("vec_id", "embedding", "cell")
+      .as[(Long, Array[Float], Int)]
     (assigned, cents, codebooks, encodeAssigned(assigned, cents, codebooks))
   }
 

@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = SparkSession.builder().master("local[32]")
+    // "benchq" replicates Bench's EXACT session (extensions, timezone)
+    // so a per-query number here is comparable to BENCH_r{N}.json
+    val benchMode = args.headOption.contains("benchq")
+    val builder = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = (if (benchMode)
+      builder.config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.sql.session.timeZone", "UTC")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def time[T](label: String)(f: => T): T = {
@@ -348,6 +354,30 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (benchMode) {
+      // Bench's exact measurement regime (q06 warmup, then per query:
+      // clearMemo + clearCache, noop sink, 3 runs, median) for the
+      // named queries only — reproduces a BENCH_r{N} number in isolation:
+      //   runMain graft.tools.Scratch benchq nq_ivfpq_knn
+      graft.SparkEntry.queries("q06_forecast_revenue")(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      def runOne(name: String): Double = {
+        graft.text.DedupClusters.clearMemo()
+        graft.text.Curation.clearMemo()
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(name)(spark, d)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      for (q <- args.drop(1)) {
+        val runs = Seq(runOne(q), runOne(q), runOne(q)).sorted
+        println(f"[scratch] $q: runs=${runs.map(r => f"$r%.2f").mkString(",")} " +
+          f"median=${runs(1)}%.2f s")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("timeq")) {
       // 5 timed noop-sink runs per named query (same un-memoized regime
       // as Bench): runMain graft.tools.Scratch timeq nq_approx_distinct
@@ -363,6 +393,42 @@ object Scratch {
               .write.format("noop").mode("overwrite").save()
           }
         }
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("ivfprofile")) {
+      // stage breakdown of the in-query IVF-PQ composite (2 passes:
+      // cold then warm) — where do the seconds go?
+      import org.apache.spark.ml.clustering.KMeans
+      for (pass <- Seq("cold", "warm")) {
+        graft.functions.VecFunctions.register(spark)
+        val e = time(s"[$pass] embeddingFeatures plan")(
+          graft.Tables.embeddings(spark, d)
+            .select(col("vec_id"), col("embedding"),
+              org.apache.spark.ml.functions.array_to_vector(col("embedding")).as("v"),
+              sqrt(expr("vec_dot(embedding, embedding)")).as("nrm")))
+        val coarse = time(s"[$pass] kmeans fit")(
+          new KMeans().setK(16).setSeed(42).setFeaturesCol("v")
+            .setInitMode("random").setPredictionCol("cell").fit(e))
+        val assigned = time(s"[$pass] checkpoint assigned") {
+          import spark.implicits._
+          graft.Checkpointing.truncate(
+            e.select(col("vec_id"), col("embedding"), col("v"))
+              .transform(coarse.transform(_))
+              .select(col("vec_id"), col("embedding"), col("cell"))
+              .as[(Long, Array[Float], Int)])
+        }
+        time(s"[$pass] sample collect") {
+          import spark.implicits._
+          assigned.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+            .limit(2000).collect()
+        }
+        time(s"[$pass] query collect")(
+          assigned.filter(col("vec_id") < 10).collect())
+        time(s"[$pass] full composite (end-to-end)")(
+          graft.sim.IvfPq.ivfPqKnn(spark, d)
+            .write.format("noop").mode("overwrite").save())
       }
       spark.stop(); return
     }
