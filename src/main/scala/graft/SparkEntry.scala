@@ -64,5 +64,8 @@ object SparkEntry {
       // (Lee et al. 2022 ExactSubstr shape) — q73
       text.SubstrDedup.oracle ++
       // round-8 continued: Gopher-rule quality gates (Rae et al. 2021)
-      text.QualityRules.oracle
+      text.QualityRules.oracle ++
+      // round-10 promotions: the generated-voice B7 cumsum transcript
+      // and D1 interval labeling, oracle-checked against dumped inputs
+      ml.VoicePipeline.oracle
 }

@@ -25,7 +25,11 @@ object Mfcc {
     require(nMfcc > 0, s"nMfcc must be positive, got $nMfcc")
     val s = melFrames.sparkSession
     val fn = udf { mel: Seq[Double] =>
-      Dsp.dct2(mel.map(v => math.log(math.max(v, floorP))).toArray,
+      // null/empty in → null out (SQL convention): one malformed frame
+      // row must degrade to a null feature, not fail the whole job
+      // (dct2 requires a non-empty input)
+      if (mel == null || mel.isEmpty) null
+      else Dsp.dct2(mel.map(v => math.log(math.max(v, floorP))).toArray,
         math.min(nMfcc, mel.length))
     }
     // a UDF (not a per-element higher-order expression): the DCT reads

@@ -33,11 +33,13 @@ object VoicePipeline {
   val NPhrases = 11
   val Seed = 42L
 
-  /** Stage 1-3: generated clips → labeled PCA frames
-    * (Time, c0..c3, speaker).
+  /** Stage 1-3a: generated clips → unlabeled PCA frames (Time, c0..c3)
+    * plus the segment-boundary table — the two relations the D1
+    * interval join consumes (exposed separately so the voice oracle can
+    * dump them and have DuckDB re-run the SAME join; see [[queries]]).
     */
-  def labeledFrames(spark: SparkSession, nPhrases: Int = NPhrases,
-      seed: Long = Seed): DataFrame = {
+  private[graft] def pcaFramesAndSegments(spark: SparkSession,
+      nPhrases: Int = NPhrases, seed: Long = Seed): (DataFrame, DataFrame) = {
     val clips = VoiceDataGen.generate(spark, nPhrases, seed)
     // boundary table COLLECTED once (nPhrases rows of 3 scalars): its
     // lineage includes the waveform-synth UDF (durations derive from the
@@ -64,6 +66,15 @@ object VoicePipeline {
       .select(col("frame_time").as("Time"),
         col("c").getItem(0).as("c0"), col("c").getItem(1).as("c1"),
         col("c").getItem(2).as("c2"), col("c").getItem(3).as("c3"))
+    (pcaFrames, segments)
+  }
+
+  /** Stage 1-3: generated clips → labeled PCA frames
+    * (Time, c0..c3, speaker).
+    */
+  def labeledFrames(spark: SparkSession, nPhrases: Int = NPhrases,
+      seed: Long = Seed): DataFrame = {
+    val (pcaFrames, segments) = pcaFramesAndSegments(spark, nPhrases, seed)
     // D1 interval join, half-open, broadcast segment boundaries
     pcaFrames.join(broadcast(segments),
         col("Time") >= col("start_sec") && col("Time") < col("end_sec"))
@@ -75,11 +86,18 @@ object VoicePipeline {
   // queries in one session — the expensive generation→mel→PCA prefix is
   // shared instead of recomputed per query
   private val tsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Long), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int, Long),
+      (DataFrame, String)]
 
   /** Stage 4-5: MI-select the winning component → (Time, X, speaker). */
   def timeSeries(spark: SparkSession, nPhrases: Int = NPhrases,
-      seed: Long = Seed): DataFrame = {
+      seed: Long = Seed): DataFrame =
+    timeSeriesWithSelection(spark, nPhrases, seed)._1
+
+  /** [[timeSeries]] plus WHICH c-column MI selection picked — the voice
+    * oracle needs the name to re-select it in SQL. */
+  private[graft] def timeSeriesWithSelection(spark: SparkSession,
+      nPhrases: Int = NPhrases, seed: Long = Seed): (DataFrame, String) = {
     // evict entries of stopped sessions: a long-lived driver that cycles
     // SparkSessions (the test suite shape) must not pin dead sessions
     // and their cached plans forever through this memo
@@ -91,7 +109,9 @@ object VoicePipeline {
       val selector = new MiSelector()
         .setFeatureCols(Array("c0", "c1", "c2", "c3"))
         .setLabelCol("speaker").setOutputCol("X")
-      selector.fit(lf).transform(lf).select("Time", "X", "speaker").cache()
+      val model = selector.fit(lf)
+      (model.transform(lf).select("Time", "X", "speaker").cache(),
+        model.getSelectedCol)
     })
   }
 
@@ -167,17 +187,86 @@ object VoicePipeline {
       .orderBy("speaker")
   }
 
-  // --- driver-contract queries (rows-only: generated data, not DuckDB-visible)
+  /** Fixed absolute dir where the voice queries dump their seeded
+    * generated inputs for the DuckDB oracle. The voice corpus is
+    * GENERATED (B1/B2), not part of the driver's sfDir tables, so the
+    * SQL-expressible stages (B7 cumsum transcript; D1 half-open
+    * interval labeling) are oracle-checked by writing the exact input
+    * relations to parquet and having the oracle SQL `read_parquet` them
+    * by absolute path — the same join/window then runs in both engines
+    * (SURVEY §7.2 step 1 notes D1/B7 are oracle-expressible). */
+  private[graft] val OracleDumpDir = "/tmp/graft_voice_oracle"
+
+  // --- driver-contract queries. nq_voice_transcript/timeseries are
+  // hard-oracled via OracleDumpDir (see above); nq_voice_eval stays
+  // rows-only (MLP training is not SQL-expressible).
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_voice_transcript" -> ((s: SparkSession, _: String) =>
+    "nq_voice_transcript" -> ((s: SparkSession, _: String) => {
+      // dump the PRE-cumsum rows; the oracle recomputes the running
+      // total with the same ROWS-ordered window over the same doubles
+      VoiceDataGen.generate(s, NPhrases, Seed)
+        .select("phrase_id", "speaker", "dur_sec", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleDumpDir/transcript_src.parquet")
       VoiceDataGen.transcript(s, NPhrases, Seed)
-        .withColumn("seconds", round(col("seconds"), 2))),
-    "nq_voice_timeseries" -> ((s: SparkSession, _: String) =>
-      timeSeries(s).withColumn("Time", round(col("Time"), 6))
-        .withColumn("X", round(col("X"), 6)).orderBy("Time")),
+        .withColumn("seconds", round(col("seconds"), 2))
+    }),
+    "nq_voice_timeseries" -> ((s: SparkSession, _: String) => {
+      // dump the UNLABELED frames, the segment table, and which c-column
+      // MI picked — DuckDB re-runs the half-open interval labeling from
+      // the pre-join inputs (a dropped or double-matched boundary frame
+      // would hash-mismatch)
+      val (ts, selected) = timeSeriesWithSelection(s)
+      val (pcaFrames, segments) = pcaFramesAndSegments(s)
+      pcaFrames.coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleDumpDir/ts_frames.parquet")
+      segments.coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleDumpDir/ts_segments.parquet")
+      import s.implicits._
+      Seq(selected).toDF("sel_col").coalesce(1).write.mode("overwrite")
+        .parquet(s"$OracleDumpDir/ts_selected.parquet")
+      ts.withColumn("Time", round(col("Time"), 6))
+        .withColumn("X", round(col("X"), 6)).orderBy("Time")
+    }),
     "nq_voice_eval" -> ((s: SparkSession, _: String) => {
       val r = trainAndEvaluate(s)
       val report = classificationReport(r.predictions)
       report.withColumn("accuracy", round(lit(r.accuracy), 4))
+    }),
+    // MFCC over the seeded voice corpus — the I1 feature path's standard
+    // extension tier (frames × 13 coefficients); rounded for a stable
+    // rows check across platforms' libm variance
+    "nq_mfcc" -> ((s: SparkSession, _: String) => {
+      val clips = VoiceDataGen.generate(s, NPhrases, Seed)
+      val frames = new MelSpectrogram().transform(clips.drop("speaker"))
+      graft.audio.Mfcc.withMfcc(frames)
+        .select(col("phrase_id"), col("frame_id"),
+          round(col("frame_time"), 6).as("frame_time"),
+          transform(col("mfcc"), c => round(c, 6)).as("mfcc"))
+        .orderBy("phrase_id", "frame_id")
     }))
+
+  /** DuckDB oracles over the dumped generated inputs (see
+    * [[OracleDumpDir]]): the transcript's B7 running cumsum and the
+    * timeseries' D1 half-open interval labeling re-run in SQL against
+    * the exact parquet inputs the Spark side consumed. */
+  val oracle: Map[String, String] = Map(
+    "nq_voice_transcript" ->
+      s"""SELECT speaker, round(seconds, 2) AS seconds, text FROM (
+         |  SELECT speaker,
+         |    sum(dur_sec) OVER (ORDER BY phrase_id
+         |                       ROWS UNBOUNDED PRECEDING) AS seconds,
+         |    text
+         |  FROM read_parquet('$OracleDumpDir/transcript_src.parquet/*.parquet'))
+         |ORDER BY seconds""".stripMargin,
+    "nq_voice_timeseries" ->
+      s"""SELECT round(f.Time, 6) AS Time,
+         |  round(CASE s.sel_col WHEN 'c0' THEN f.c0 WHEN 'c1' THEN f.c1
+         |        WHEN 'c2' THEN f.c2 ELSE f.c3 END, 6) AS X,
+         |  g.seg_speaker AS speaker
+         |FROM read_parquet('$OracleDumpDir/ts_frames.parquet/*.parquet') f
+         |CROSS JOIN read_parquet('$OracleDumpDir/ts_selected.parquet/*.parquet') s
+         |JOIN read_parquet('$OracleDumpDir/ts_segments.parquet/*.parquet') g
+         |  ON f.Time >= g.start_sec AND f.Time < g.end_sec
+         |ORDER BY Time""".stripMargin)
 }

@@ -48,4 +48,16 @@ class MfccSpec extends SparkSpec {
     // larger first coefficient than a near-silent one, if both exist
     out.unpersist()
   }
+
+  test("mfcc: null and empty mel arrays degrade to null, not a job failure") {
+    val rows = Seq(
+      (1L, Some(Seq(1.0, 2.0, 3.0, 4.0))),
+      (2L, Some(Seq.empty[Double])),
+      (3L, Option.empty[Seq[Double]])
+    ).toDF("frame_id", "mel")
+    val out = Mfcc.withMfcc(rows, nMfcc = 4).orderBy("frame_id").collect()
+    assert(out(0).getSeq[Double](2).length === 4)
+    assert(out(1).isNullAt(2), "empty mel -> null mfcc")
+    assert(out(2).isNullAt(2), "null mel -> null mfcc")
+  }
 }
