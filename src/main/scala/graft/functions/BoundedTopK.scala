@@ -51,6 +51,12 @@ case class BoundedTopK(
         .contains(kExpr.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"top_k: k must be integral, got ${kExpr.dataType.simpleString}")
+    // a NULL literal passes the foldable + integral-type gates above but
+    // would surface from the lazy `k` as a raw IllegalArgumentException —
+    // report it as the analysis-time type error it is
+    else if (kExpr.eval(InternalRow.empty) == null)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        "top_k: k must not be NULL")
     else if (k <= 0)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"top_k: k must be positive, got $k")
@@ -142,7 +148,12 @@ object BoundedTopK {
     * where most rows never enter the heap.
     */
   final class Heap(k: Int, ord: Ordering[Any]) {
-    private val q = new java.util.PriorityQueue[Any](math.max(k, 1), ord)
+    // initial capacity capped: one buffer is allocated per group per
+    // partition BEFORE any data arrives, so a pathological literal like
+    // top_k(x, 2e9) must not pre-allocate a 2-billion-element array —
+    // the queue grows on demand toward k as elements are admitted
+    private val q = new java.util.PriorityQueue[Any](
+      math.min(math.max(k, 1), 1024), ord)
 
     def offer(v: Any): Unit = {
       if (q.size < k) q.offer(v)

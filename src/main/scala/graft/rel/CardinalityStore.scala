@@ -42,15 +42,24 @@ object CardinalityStore {
     batch.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
 
-  /** Sketch a batch and append it to the store. `coalesce(1)`: the
-    * output is group-count rows of KB-sized sketches — one file per
-    * batch keeps the store's file count = batch count, not batch ×
-    * shuffle partitions. */
+  /** Sketch a batch and write it to the store under its own
+    * `batch_id=N` partition. `coalesce(1)`: the output is group-count
+    * rows of KB-sized sketches — one file per batch keeps the store's
+    * file count = batch count, not batch × shuffle partitions.
+    * Dynamic partition overwrite (not append): register-max already
+    * makes a redelivered batch a no-op on every ESTIMATE, but an append
+    * would still add a duplicate file per replay — growing the store's
+    * row/file count unboundedly under repeated recovery; overwriting
+    * the batch's own partition makes redelivery a no-op on the store's
+    * SIZE too, while leaving every other batch's partition untouched. */
   def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
       storePath: String, batchId: Long, lgK: Int = 12): Unit =
     sketchBatch(batch, groupCols, valueCol, lgK)
       .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write.mode("append").parquet(storePath)
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(storePath)
 
   /** Merged distinct estimate per group across every batch in the
     * store — the read path: store-sized input (groups × batches rows),

@@ -620,11 +620,24 @@ object StreamingOps {
         // the stable query id: set by the stream-execution thread,
         // recovered from checkpoint metadata on restart (runId changes
         // per restart, this does not) — the lineage the store binds to
-        val lineage = Option(batch.sparkSession.sparkContext
-          .getLocalProperty("sql.streaming.queryId")).getOrElse("unknown")
-        applyHeavyHitterBatch(batch, batchId, lineage, storePath, k)
+        applyHeavyHitterBatch(batch, batchId,
+          streamingLineage(batch.sparkSession), storePath, k)
     }
   }
+
+  /** The stable streaming query id from the execution thread — the
+    * lineage the exactly-once stores bind to. FAILS LOUDLY when the
+    * property is absent rather than falling back to a shared sentinel:
+    * two different fresh-checkpoint queries defaulting to the same
+    * "unknown" would both pass the lineage fence and re-enable the
+    * batch-0 overwrite hazard the fence exists to prevent. */
+  private def streamingLineage(s: SparkSession): String =
+    Option(s.sparkContext.getLocalProperty("sql.streaming.queryId"))
+      .getOrElse(throw new IllegalStateException(
+        "sql.streaming.queryId is not set on this thread — foreachBatch " +
+          "is not running under a streaming execution, so the store's " +
+          "lineage fence cannot bind to a checkpoint. Run through " +
+          "writeStream.start(), or use the batch entry points directly."))
 
   /** One trigger of the MG merge — exposed (package-private) so the
     * exactly-once semantics are testable as they actually occur: a
@@ -791,10 +804,8 @@ object StreamingOps {
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val lineage = Option(batch.sparkSession.sparkContext
-          .getLocalProperty("sql.streaming.queryId")).getOrElse("unknown")
         applySubstrIngestBatch(batch, batchId, storePath, verdictsPath,
-          w, compactEvery, lineage)
+          w, compactEvery, streamingLineage(batch.sparkSession))
     }
 
   /** One trigger, exposed so replay/crash-window semantics are testable

@@ -76,6 +76,23 @@ class BoundedTopKSpec extends SparkSpec {
     intercept[Exception] {
       df.groupBy("g").agg(expr("top_k(v, v)")).collect()
     }
+    // NULL k is an analysis-time type error, not a runtime crash from
+    // the lazy k evaluation
+    val eNull = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(expr("top_k(v, CAST(NULL AS INT))")).collect()
+    }
+    assert(eNull.getMessage.contains("NULL"))
+  }
+
+  test("a huge k does not pre-allocate a k-sized buffer per group") {
+    graft.functions.VecFunctions.register(spark)
+    // with the old `new PriorityQueue(k)` this allocates a 2B-element
+    // array per group buffer and OOMs before any data arrives
+    val out = Seq((1L, 10L), (1L, 7L), (2L, 5L)).toDF("g", "v")
+      .groupBy("g").agg(expr("top_k(v, 2000000000)").as("top"))
+      .orderBy("g").collect()
+    assert(out(0).getSeq[Long](1) === Seq(10L, 7L))
+    assert(out(1).getSeq[Long](1) === Seq(5L))
   }
 
   test("heap property: any inputs, any k, any split — sort-take-k, merge-total") {

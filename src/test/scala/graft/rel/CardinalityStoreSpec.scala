@@ -57,6 +57,15 @@ class CardinalityStoreSpec extends SparkSpec {
         .orderBy("event_type").collect().map(_.toSeq)
       assert(two.nonEmpty && two.toSeq === redelivered.toSeq,
         "a redelivered batch must not move any estimate")
+      // dynamic partition overwrite: the replay replaced its own
+      // batch_id partition, so the store's SIZE is also unchanged — an
+      // append here would grow rows/files per recovery forever
+      assert(spark.read.parquet(store)
+        .filter($"batch_id" === 1L).count() ===
+        spark.read.parquet(store).filter($"batch_id" === 0L).count(),
+        "a redelivered batch must not grow its partition")
+      assert(spark.read.parquet(store).select("batch_id")
+        .distinct().count() === 2)
       // and the store agrees with the no-store contract query shape
       val mono = CardinalityStore.mergeSketches(
           CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id"),
