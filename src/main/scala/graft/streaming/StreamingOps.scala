@@ -487,10 +487,41 @@ object StreamingOps {
     * the tmp is an uncommitted partial and promoting it would poison
     * the stream — pass legacyPromote = false to discard it instead.
     */
+  /** Filesystem schemes whose `rename` is a non-atomic copy+delete (or
+    * can expose a partially-renamed directory): the store commit
+    * protocols below would CORRUPT on them instead of failing — so any
+    * store entry point fails loudly up front. HDFS, POSIX-local, and
+    * viewfs renames are atomic; abfs (ADLS Gen2 with hierarchical
+    * namespace) is too. Object-store deployments get the same
+    * guarantees transactionally from a table format (Iceberg/Delta/
+    * Hudi) or point the store at HDFS — the standard practice this
+    * message names.
+    */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb", "wasbs")
+
+  /** Fail loudly when `fs` cannot give the rename-swap protocols their
+    * atomicity assumption — a silent copy+delete "rename" would corrupt
+    * the store on a crash mid-commit rather than leave a recoverable
+    * state. */
+  private[streaming] def requireAtomicRename(
+      fs: org.apache.hadoop.fs.FileSystem, what: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).map(_.toLowerCase).getOrElse("")
+    if (NonAtomicRenameSchemes.contains(scheme))
+      throw new IllegalStateException(
+        s"$what relies on atomic FileSystem.rename for its crash-safe " +
+          s"commit protocol, but scheme '$scheme' renames by copy+delete " +
+          "— a crash mid-commit would corrupt the store instead of " +
+          "leaving a recoverable state. Point the store at HDFS (or " +
+          "another atomic-rename filesystem), or manage it through a " +
+          "transactional table format.")
+  }
+
   private[streaming] def recoverCompactionSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path,
       legacyPromote: Boolean = true): Unit = {
+    requireAtomicRename(fs, s"store at $store")
     val tmp = compactTmp(store)
     val old = compactOld(store)
     if (fs.exists(old)) {
@@ -524,9 +555,9 @@ object StreamingOps {
     * before every trigger and up front here) — every intermediate state
     * keeps a complete copy of the data under exactly one of the three
     * paths, making compaction retry-safe end to end. (Rename atomicity
-    * holds on HDFS/posix; an object store without atomic rename gets
-    * the same guarantee transactionally from the table format a
-    * production deployment already needs for idempotent appends.)
+    * holds on HDFS/posix and is ENFORCED — `requireAtomicRename` fails
+    * loudly on rename-as-copy schemes; an object-store deployment gets
+    * the same guarantee transactionally from a table format instead.)
     */
   /** `horizonMs > 0` additionally applies the dedup-horizon retention:
     * rows whose `ts_ms` is more than the horizon behind the store's
@@ -816,6 +847,9 @@ object StreamingOps {
     val s = batch.sparkSession
     val fsp = new org.apache.hadoop.fs.Path(storePath)
     val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the lineage-marker commit and writeSingleFile's tmp-dir promote
+    // both assume atomic rename — same contract as the compaction swap
+    requireAtomicRename(fs, s"substring-dedup gram store at $storePath")
     fs.mkdirs(fsp)
     // the batch-id file naming is only exactly-once WITHIN one streaming
     // checkpoint lineage: a FRESH checkpoint restarts ids at 0 and would
@@ -894,8 +928,8 @@ object StreamingOps {
     * tmp-dir + rename — the idempotence primitive of the substring
     * ingest (replay overwrites the same name with identical content).
     * Assumes atomic rename (HDFS / POSIX — same contract as the
-    * signature store's compaction swap); on a rename-as-copy object
-    * store, point the store at an HDFS/cluster-fs path instead.
+    * signature store's compaction swap), enforced up front by
+    * `requireAtomicRename` in `applySubstrIngestBatch`.
     */
   private def writeSingleFile(df: DataFrame, dir: String,
       name: String): Unit = {

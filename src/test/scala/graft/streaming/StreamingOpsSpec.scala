@@ -126,4 +126,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(out(1L) == (2L, 5.0))
     assert(out(2L) == (1L, 5.0))
   }
+
+  test("store protocols fail loudly on a rename-as-copy filesystem scheme") {
+    // a local filesystem masquerading as s3a — the rename behavior is
+    // irrelevant, only the scheme gate is under test: the swap protocol
+    // must refuse up front, not corrupt on a crash mid-commit later
+    val fakeS3a = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    fakeS3a.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalStateException] {
+      StreamingOps.recoverCompactionSwap(fakeS3a,
+        new org.apache.hadoop.fs.Path("/tmp/any-store"))
+    }
+    assert(e.getMessage.contains("atomic"), e.getMessage)
+    // and the atomic local scheme passes the same gate
+    val local = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    StreamingOps.requireAtomicRename(local, "spec probe") // no throw
+  }
 }
