@@ -80,38 +80,57 @@ object Scratch {
     }
 
     if (args.headOption.contains("substr")) {
-      // substring-dedup scale probe: replicate the corpus 10x WITHOUT a
+      // substring-dedup scale probe: replicate the corpus Nx (default
+      // 10; `substr 50` = 50x ≈ sf1-scale gram volume) WITHOUT a
       // per-copy marker (replica docs are verbatim, so every replica's
       // full text is one duplicated span against the original). The
-      // gram volume grows 10x linearly; the winners aggregate and the
+      // gram volume grows Nx linearly; the winners aggregate and the
       // redundancy join must scale with it, not quadratically.
+      val fac = args.drop(1).headOption.map(_.toInt).getOrElse(10)
       val docs0 = graft.Tables.documents(spark, d)
       val n = docs0.count()
-      val docs10 = (0 until 10).map { r =>
+      val docsN = (0 until fac).map { r =>
         docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
           col("text"), col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
-      val tmp = java.nio.file.Files.createTempDirectory("docs10s").toString
-      docs10.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val tmp = java.nio.file.Files.createTempDirectory("docsNs").toString
+      docsN.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
       // only docs wide enough to gram (≥ 20 tokens) can be marked
       val grammable = docs0.filter(
         size(filter(split(col("text"), "\\s+"), t => length(t) > 0)) >= 20)
         .count()
-      println(s"[substr] corpus: ${n * 10} docs ($grammable/$n grammable)")
+      println(s"[substr] corpus: ${n * fac} docs ($grammable/$n grammable)")
       // warm the session AND this plan's whole-stage codegen: the first
       // execution pays multi-second JIT that would otherwise be billed
-      // to the 1x run and make 10x look absurdly cheaper than 1x
+      // to the 1x run and make Nx look absurdly cheaper than 1x
       graft.text.SubstrDedup.q73SubstrDedup(spark, d)
         .write.format("noop").mode("overwrite").save()
-      time("substr dedup audit on 1x corpus (warm)") {
+      time("q73 substr dedup on 1x corpus (warm)") {
         graft.text.SubstrDedup.q73SubstrDedup(spark, d)
           .write.format("noop").mode("overwrite").save()
       }
-      time("substr dedup audit on 10x corpus") {
-        val out = graft.text.SubstrDedup.q73SubstrDedup(spark, tmp)
-        val full = out.filter(col("dup_bp") === 10000L).count()
-        println(s"  fully-duplicated docs=$full (expect ≥ ${grammable * 9} " +
-          "verbatim replicas of grammable docs)")
+      val outN = graft.text.SubstrDedup.q73SubstrDedup(spark, tmp)
+      time(s"q73 substr dedup on ${fac}x corpus") {
+        val full = outN.filter(col("dup_bp") === 10000L).count()
+        println(s"  fully-duplicated docs=$full (expect ≥ " +
+          s"${grammable * (fac - 1)} verbatim replicas of grammable docs)")
+      }
+      // whether AQE kept the winners join broadcast or fell back to
+      // sort-merge at this scale — the branch the plan assertion in
+      // SubstrDedupSpec pins semantically; here we observe which one a
+      // real Nx corpus takes (executedPlan AFTER the action = the
+      // AQE-final plan, not the static estimate)
+      val plan = outN.queryExecution.executedPlan.toString
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      val smj = "SortMergeJoin".r.findAllIn(plan).size
+      println(s"[substr] ${fac}x AQE-final joins: broadcast=$bhj sortmerge=$smj")
+      time(s"q76 substr cut on ${fac}x corpus") {
+        graft.text.SubstrDedup.q76SubstrCut(spark, tmp)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"q79 substr incremental on ${fac}x corpus") {
+        graft.text.SubstrDedup.q79SubstrIncremental(spark, tmp)
+          .write.format("noop").mode("overwrite").save()
       }
       spark.stop(); return
     }

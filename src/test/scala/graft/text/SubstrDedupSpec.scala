@@ -186,4 +186,38 @@ class SubstrDedupSpec extends SparkSpec {
       "expected duplicated substrings in the test corpus")
     out.unpersist()
   }
+
+  test("q73: the winners-join sort-merge fallback is semantics-preserving") {
+    // the redundancy join's build side (duplicated-gram winners) is
+    // broadcast in typical corpora but falls back to sort-merge when
+    // the dup set is genuinely huge (observed at the 50x scale probe:
+    // AQE-final plan takes SMJ at ~31M gram rows). Pin the fallback
+    // branch: with broadcast disabled the join must plan as SMJ and
+    // produce BIT-IDENTICAL output to the default plan.
+    val default = SubstrDedup.q73SubstrDedup(spark, sf0001)
+      .collect().map(_.toSeq)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      spark.catalog.clearCache() // drop plans cached under the old conf
+      val df = SubstrDedup.q73SubstrDedup(spark, sf0001)
+      val forced = df.collect().map(_.toSeq)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"),
+        s"broadcast disabled must surface the SMJ fallback:\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "no broadcast join may survive threshold -1")
+      assert(forced.toSeq === default.toSeq,
+        "the SMJ fallback must reproduce the broadcast plan's rows")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
+      spark.catalog.clearCache()
+    }
+  }
 }
