@@ -46,11 +46,61 @@ object DedupClusters {
     * over the round's already-checkpointed blocks — not a second join.
     */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, smallGraphEdges: Long = 1000000L): DataFrame = {
+    // node-induced edge set, materialized ONCE: the edge count gates the
+    // strategy (below), the small path collects it, and the iterative
+    // path re-reads it every round — same truncate-for-multi-consumer
+    // policy as the rest of the family. (Min-label was already
+    // node-induced implicitly: a phantom endpoint has no label row, so
+    // it dropped out of both sides of the round join.)
+    val ids = nodes.select(col("doc_id"))
+    val base = Checkpointing.truncate(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .join(ids.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst")).distinct())
+    // SIZE-ADAPTIVE strategy, the AQE-broadcast move applied to graph
+    // connectivity: a dup graph far smaller than the corpus (the common
+    // real-world case — pairs are the OUTPUT of sub-quadratic pruning)
+    // is solved driver-side with union-find over the collected edges
+    // (bounded: ≤ smallGraphEdges × 16 B) and one broadcast join back,
+    // ONE job instead of O(diameter) join+agg+checkpoint rounds. Graphs
+    // past the threshold take the distributed paths below unchanged —
+    // the count is a cheap scan of the checkpointed blocks, and the two
+    // strategies are spec-pinned answer-equivalent.
+    if (base.count() <= smallGraphEdges) {
+      val s = nodes.sparkSession
+      import s.implicits._
+      val es = base.as[(Long, Long)].collect()
+      // union-find, root = component min: attaching the larger root
+      // under the smaller keeps every root the min id of its component
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      val touched = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      val lbl = touched.map(x => (x, find(x))).toSeq.toDF("doc_id", "root")
+      return nodes.join(broadcast(lbl), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("doc_id")).as("cluster_id"))
+    }
     // symmetrize: neighbor lists in both directions
     val edges = Checkpointing.truncate(
-      pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      base.union(base.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     var labels = Checkpointing.truncate(
       nodes.select(col("doc_id"), col("doc_id").as("label")))

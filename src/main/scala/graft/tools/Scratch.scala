@@ -155,7 +155,16 @@ object Scratch {
       val rand = spark.range(m).select(
         pmod(hash(col("id")), lit(n)).cast("long").as("d1"),
         pmod(hash(col("id") * 7 + 3), lit(n)).cast("long").as("d2"))
-      time(s"two-phase CC on a $m-edge random graph") {
+      time(s"two-phase CC on a $m-edge random graph (distributed path forced)") {
+        // smallGraphEdges = 0: this probe exists to exercise the
+        // DISTRIBUTED rounds; the adaptive fast path would solve 200k
+        // edges driver-side otherwise
+        val cc = graft.text.DedupClusters
+          .connectedComponents(nodes, rand, smallGraphEdges = 0L)
+        println("  components=" +
+          cc.select("cluster_id").distinct().count())
+      }
+      time(s"union-find fast path on the same $m-edge graph") {
         val cc = graft.text.DedupClusters.connectedComponents(nodes, rand)
         println("  components=" +
           cc.select("cluster_id").distinct().count())

@@ -53,11 +53,19 @@ class DedupClustersSpec extends SparkSpec {
         .filter(p => p._1 != p._2)
       val pairs = edges.toDF("d1", "d2")
       val nodes = (0L until nNodes.toLong).toDF("doc_id")
-      val viaLabels = DedupClusters.connectedComponents(nodes, pairs, maxIter = 100)
+      // smallGraphEdges = 0 forces the distributed min-label rounds —
+      // the default would solve 50 edges on the driver
+      val viaLabels = DedupClusters.connectedComponents(nodes, pairs,
+          maxIter = 100, smallGraphEdges = 0L)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       val viaStars = DedupClusters.connectedComponentsStar(nodes, pairs)
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // and the adaptive union-find fast path must agree with both
+      val viaUnionFind = DedupClusters.connectedComponents(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(viaStars === viaLabels)
+      assert(viaUnionFind === viaLabels,
+        "the driver-side fast path must be answer-equivalent")
     }
   }
 
