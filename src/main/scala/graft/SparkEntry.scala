@@ -67,5 +67,10 @@ object SparkEntry {
       text.QualityRules.oracle ++
       // round-10 promotions: the generated-voice B7 cumsum transcript
       // and D1 interval labeling, oracle-checked against dumped inputs
-      ml.VoicePipeline.oracle
+      ml.VoicePipeline.oracle ++
+      // round-10 continued: the approximate-kNN family — each variant's
+      // exact-re-rank tail re-run by DuckDB over its dumped candidate/
+      // shortlist pairs (q30's proven cosine-precision contract)
+      sim.IvfKnn.oracle ++ sim.PqKnn.oracle ++ sim.IvfPq.oracle ++
+      sim.IvfPqStore.oracle
 }

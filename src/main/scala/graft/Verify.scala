@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // contract queries with non-table-dir inputs (generated voice, ANN
+    // candidate sets) dump their oracle-input relations only under this
+    // flag — Bench runs the same functions and must not pay the extra
+    // materialization per timed run (see graft.OracleDump)
+    System.setProperty(OracleDump.Enabled, "true")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -204,10 +204,10 @@ object VoicePipeline {
     "nq_voice_transcript" -> ((s: SparkSession, _: String) => {
       // dump the PRE-cumsum rows; the oracle recomputes the running
       // total with the same ROWS-ordered window over the same doubles
-      VoiceDataGen.generate(s, NPhrases, Seed)
-        .select("phrase_id", "speaker", "dur_sec", "text")
-        .coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleDumpDir/transcript_src.parquet")
+      graft.OracleDump.dump(
+        VoiceDataGen.generate(s, NPhrases, Seed)
+          .select("phrase_id", "speaker", "dur_sec", "text"),
+        s"$OracleDumpDir/transcript_src.parquet")
       VoiceDataGen.transcript(s, NPhrases, Seed)
         .withColumn("seconds", round(col("seconds"), 2))
     }),
@@ -218,13 +218,13 @@ object VoicePipeline {
       // would hash-mismatch)
       val (ts, selected) = timeSeriesWithSelection(s)
       val (pcaFrames, segments) = pcaFramesAndSegments(s)
-      pcaFrames.coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleDumpDir/ts_frames.parquet")
-      segments.coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleDumpDir/ts_segments.parquet")
+      graft.OracleDump.dump(pcaFrames,
+        s"$OracleDumpDir/ts_frames.parquet")
+      graft.OracleDump.dump(segments,
+        s"$OracleDumpDir/ts_segments.parquet")
       import s.implicits._
-      Seq(selected).toDF("sel_col").coalesce(1).write.mode("overwrite")
-        .parquet(s"$OracleDumpDir/ts_selected.parquet")
+      graft.OracleDump.dump(Seq(selected).toDF("sel_col"),
+        s"$OracleDumpDir/ts_selected.parquet")
       ts.withColumn("Time", round(col("Time"), 6))
         .withColumn("X", round(col("X"), 6)).orderBy("Time")
     }),

@@ -57,10 +57,15 @@ object IvfKnn {
       .filter(col("rp") <= nProbe)
       .select(col("query_id"), col("qe"), col("qn"), col("cluster"))
     // exact cosine inside probed cells only
+    val cands = assigned.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+    // Verify-only: the probed candidate pairs, so the oracle re-runs
+    // the exact top-k tail on them (see VecPrep.AnnOracleDir)
+    graft.OracleDump.dump(
+      cands.select(col("query_id"), col("vec_id").as("cand_id")),
+      s"${VecPrep.AnnOracleDir}/nq_ivf_knn.parquet")
     VecPrep.topKCosine(
-      assigned.join(broadcast(probes), Seq("cluster"))
-        .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+      cands.select(col("query_id"), col("vec_id").as("neighbor_id"),
           (expr("vec_dot(embedding, qe)") / (col("nrm") * col("qn")))
             .as("cos")),
       topK)
@@ -68,4 +73,8 @@ object IvfKnn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_ivf_knn" -> ((s: SparkSession, d: String) => ivfKnn(s, d)))
+
+  /** Exact-re-rank oracle over the dumped probed-cell candidates. */
+  val oracle: Map[String, String] = Map(
+    "nq_ivf_knn" -> VecPrep.rerankOracleSql("nq_ivf_knn"))
 }

@@ -56,7 +56,7 @@ object IvfPq {
     val raw = graft.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
     searchCodes(codes, raw, queryVecs, cents, codebooks,
-      nProbe, topK, shortlist)
+      nProbe, topK, shortlist, oracleDumpName = Some("nq_ivfpq_knn"))
   }
 
   /** Nearest coarse centroid by squared L2 — the assignment primitive
@@ -174,7 +174,8 @@ object IvfPq {
       rawForRerank: DataFrame, queryVecs: Array[(Long, Array[Float])],
       cents: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]],
-      nProbe: Int, topK: Int, shortlist: Int): DataFrame = {
+      nProbe: Int, topK: Int, shortlist: Int,
+      oracleDumpName: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val s = codes.sparkSession
     import s.implicits._
@@ -275,6 +276,10 @@ object IvfPq {
     val short = cands.withColumn("rs", row_number().over(wShort))
       .filter(col("rs") <= shortlist)
       .select("query_id", "cand_id")
+    // Verify-only: the ADC shortlist, so the oracle re-runs the exact
+    // re-rank tail on it (see VecPrep.AnnOracleDir)
+    oracleDumpName.foreach(n => graft.OracleDump.dump(short,
+      s"${VecPrep.AnnOracleDir}/$n.parquet"))
 
     val raw = rawForRerank
       .select(col("vec_id"), col("embedding"),
@@ -288,4 +293,8 @@ object IvfPq {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_ivfpq_knn" -> ((s: SparkSession, d: String) => ivfPqKnn(s, d)))
+
+  /** Exact-re-rank oracle over the dumped ADC shortlist. */
+  val oracle: Map[String, String] = Map(
+    "nq_ivfpq_knn" -> VecPrep.rerankOracleSql("nq_ivfpq_knn"))
 }

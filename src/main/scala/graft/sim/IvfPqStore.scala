@@ -94,7 +94,8 @@ object IvfPqStore {
     */
   def searchIndex(s: SparkSession, path: String, rerankSource: DataFrame,
       queryIds: Seq[Long], kCells: Int = 16, nProbe: Int = 4, m: Int = 8,
-      k: Int = 32, topK: Int = 5, shortlist: Int = 100): DataFrame = {
+      k: Int = 32, topK: Int = 5, shortlist: Int = 100,
+      oracleDumpName: Option[String] = None): DataFrame = {
     import s.implicits._
     val (cents, codebooks) = loadModel(s, path, kCells, m, k)
     // explicit select: partitionBy surfaces `cell` as the LAST column
@@ -109,7 +110,7 @@ object IvfPqStore {
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Array[Float])].collect().sortBy(_._1)
     IvfPq.searchCodes(codes, rerankSource, queryVecs, cents, codebooks,
-      nProbe, topK, shortlist)
+      nProbe, topK, shortlist, oracleDumpName)
   }
 
   /** Encode a NEW batch under the frozen index and append — the
@@ -161,9 +162,15 @@ object IvfPqStore {
     })
     val src = VecPrep.embeddingFeatures(s, d)
       .select(col("vec_id"), col("embedding"))
-    searchIndex(s, dir, src, 0L until 10L)
+    searchIndex(s, dir, src, 0L until 10L,
+      oracleDumpName = Some("nq_ivfpq_store"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_ivfpq_store" -> (nqIvfPqStore _))
+
+  /** Exact-re-rank oracle over the dumped ADC shortlist of the
+    * persisted-index search. */
+  val oracle: Map[String, String] = Map(
+    "nq_ivfpq_store" -> VecPrep.rerankOracleSql("nq_ivfpq_store"))
 }

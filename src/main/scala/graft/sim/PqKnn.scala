@@ -184,6 +184,10 @@ object PqKnn {
     val short = cands.withColumn("rs", row_number().over(wShort))
       .filter(col("rs") <= shortlist)
       .select("query_id", "cand_id")
+    // Verify-only: the ADC shortlist, so the oracle re-runs the exact
+    // re-rank tail on it (see VecPrep.AnnOracleDir)
+    graft.OracleDump.dump(short,
+      s"${VecPrep.AnnOracleDir}/nq_pq_knn.parquet")
     // 4. exact re-rank of the shortlist only — norms recomputed from
     // the CHECKPOINTED relation, not a fresh table scan
     val raw = emb.toDF()
@@ -197,4 +201,8 @@ object PqKnn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_pq_knn" -> ((s: SparkSession, d: String) => pqKnn(s, d)))
+
+  /** Exact-re-rank oracle over the dumped ADC shortlist. */
+  val oracle: Map[String, String] = Map(
+    "nq_pq_knn" -> VecPrep.rerankOracleSql("nq_pq_knn"))
 }

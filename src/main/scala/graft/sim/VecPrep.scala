@@ -71,6 +71,40 @@ private[sim] object VecPrep {
       .orderBy("query_id", "rn")
   }
 
+  /** Fixed absolute dir for the ANN family's oracle-input dumps (see
+    * [[graft.OracleDump]]): each approximate-kNN query writes its
+    * candidate/shortlist pair set (query_id, cand_id) here during
+    * Verify, and its oracle SQL re-runs the EXACT re-rank tail — cosine
+    * in DOUBLE, (cos desc, neighbor_id) tie-break, round-6, rn ≤ k — on
+    * those pairs with DuckDB. This pins the half of the operator that
+    * IS SQL-expressible (the output contract every variant shares with
+    * q30) against an independent engine; the approximate candidate
+    * GENERATION (probe routing, ADC, codebooks) stays pinned by the
+    * recall/determinism/plan specs.
+    */
+  private[sim] val AnnOracleDir = "/tmp/graft_ann_oracle"
+
+  /** DuckDB oracle for any dumped (query_id, cand_id) relation: exact
+    * top-k cosine re-rank — q30's SQL shape restricted to the dumped
+    * pairs (the precision parity of `vec_dot` vs
+    * `list_cosine_similarity` at round-6 is q30's long-standing
+    * contract). */
+  private[sim] def rerankOracleSql(name: String, topK: Int = 5): String =
+    s"""WITH sl AS (SELECT DISTINCT query_id, cand_id
+       |            FROM read_parquet('$AnnOracleDir/$name.parquet/*.parquet')),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |p AS (SELECT sl.query_id, sl.cand_id AS neighbor_id,
+       |        list_cosine_similarity(qv.e, cv.e) AS cos
+       |      FROM sl JOIN v qv ON qv.vec_id = sl.query_id
+       |              JOIN v cv ON cv.vec_id = sl.cand_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id
+       |                           ORDER BY cos DESC, neighbor_id) AS rn
+       |      FROM p)
+       |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rn
+       |FROM r WHERE rn <= $topK
+       |ORDER BY query_id, rn""".stripMargin
+
   /** Exact-cosine re-rank of an ANN shortlist (PQ / IVF-PQ step 4):
     * join (query_id, cand_id) candidates back to the raw vectors, score
     * with the codegen'd vec_dot against the broadcast query set, and
