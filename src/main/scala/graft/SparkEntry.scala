@@ -72,5 +72,10 @@ object SparkEntry {
       // exact-re-rank tail re-run by DuckDB over its dumped candidate/
       // shortlist pairs (q30's proven cosine-precision contract)
       sim.IvfKnn.oracle ++ sim.PqKnn.oracle ++ sim.IvfPq.oracle ++
-      sim.IvfPqStore.oracle
+      sim.IvfPqStore.oracle ++
+      // round-10 continued: SemDedup's within-leaf verdicts over dumped
+      // assignments, and the CCNet approx-bucket assignment over the
+      // dumped GK thresholds (both engine-specific halves stay
+      // spec-pinned)
+      sim.SemDedup.oracle
 }

@@ -144,7 +144,8 @@ object SemDedup {
     */
   def semanticDedup(vecs: DataFrame, idCol: String, embCol: String,
       k: Int = 0, threshold: Double = 0.97, seed: Long = 42L,
-      sizeCap: Long = 0L, maxDepth: Int = 3): DataFrame = {
+      sizeCap: Long = 0L, maxDepth: Int = 3,
+      oracleDumpName: Option[String] = None): DataFrame = {
     val e = prep(vecs, idCol, embCol)
     val n = e.count()
     val kEff = if (k > 0) k else autoK(n)
@@ -152,6 +153,13 @@ object SemDedup {
     val tree = fitBounded(e, kEff, capEff, seed, maxDepth)
     val assigned = assignTree(tree, e)
       .select(col("id"), col("emb"), col("nrm"), col("cluster"))
+    // Verify-only: the leaf assignment, so the oracle re-runs the
+    // SQL-expressible half — within-leaf cosine scoring and the
+    // min-id-wins verdict — on identical buckets; the k-means tree fit
+    // stays engine-specific, pinned by the planted-fixture specs
+    oracleDumpName.foreach(nm => graft.OracleDump.dump(
+      assigned.select(col("id"), col("cluster")),
+      s"${VecPrep.AnnOracleDir}/$nm.parquet"))
     // within-leaf candidate pairs, scored one direction only
     // (lo < hi): the higher id is the one at risk of dropping
     val lo = assigned.select(col("cluster"), col("id").as("lo_id"),
@@ -242,7 +250,8 @@ object SemDedup {
     * near-uniform on the sphere; see SemDedupSpec's planted fixture for
     * the semantics check). */
   def semanticDedupQuery(s: SparkSession, d: String): DataFrame =
-    semanticDedup(graft.Tables.embeddings(s, d), "vec_id", "embedding")
+    semanticDedup(graft.Tables.embeddings(s, d), "vec_id", "embedding",
+        oracleDumpName = Some("nq_semantic_dedup_assign"))
       .withColumnRenamed("id", "vec_id")
 
   /** Incremental entry: vec_id ≡ 0 (mod 10) plays the new batch, the
@@ -255,13 +264,61 @@ object SemDedup {
     val corpus = all.filter(col("vec_id") % 10 =!= 0)
     val batch = all.filter(col("vec_id") % 10 === 0)
     val tree = fitCorpus(corpus, "vec_id", "embedding")
-    semanticDedupIncremental(
-      assign(tree, corpus, "vec_id", "embedding"),
-      assign(tree, batch, "vec_id", "embedding"))
+    val corpusAssigned = assign(tree, corpus, "vec_id", "embedding")
+    val batchAssigned = assign(tree, batch, "vec_id", "embedding")
+    // Verify-only: both assignments, so the oracle re-runs the batch ×
+    // corpus and intra-batch twin scoring on identical buckets (see
+    // semanticDedup's dump)
+    graft.OracleDump.dump(corpusAssigned.select(col("id"), col("cluster")),
+      s"${VecPrep.AnnOracleDir}/nq_semdedup_inc_corpus.parquet")
+    graft.OracleDump.dump(batchAssigned.select(col("id"), col("cluster")),
+      s"${VecPrep.AnnOracleDir}/nq_semdedup_inc_batch.parquet")
+    semanticDedupIncremental(corpusAssigned, batchAssigned)
       .withColumnRenamed("id", "vec_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_semantic_dedup" -> (semanticDedupQuery _),
     "nq_semantic_dedup_inc" -> (semanticDedupIncrementalQuery _))
+
+  // Cosine parity with DuckDB at a threshold compare is q31's
+  // long-standing contract; the verdict semantics (min-id-wins within a
+  // leaf; corpus twin at any id for the incremental path) re-run in SQL
+  // over the dumped leaf assignments.
+  private def vCte: String =
+    "v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)"
+
+  val oracle: Map[String, String] = Map(
+    "nq_semantic_dedup" ->
+      s"""WITH a AS (SELECT id, cluster FROM read_parquet(
+         |       '${VecPrep.AnnOracleDir}/nq_semantic_dedup_assign.parquet/*.parquet')),
+         |$vCte,
+         |d AS (SELECT DISTINCT h.id
+         |      FROM a h JOIN a l ON h.cluster = l.cluster AND l.id < h.id
+         |      JOIN v hv ON hv.vec_id = h.id
+         |      JOIN v lv ON lv.vec_id = l.id
+         |      WHERE list_cosine_similarity(hv.e, lv.e) >= 0.97)
+         |SELECT a.id AS vec_id, a.cluster, (d.id IS NOT NULL) AS is_dup
+         |FROM a LEFT JOIN d ON a.id = d.id
+         |ORDER BY vec_id""".stripMargin,
+    "nq_semantic_dedup_inc" ->
+      s"""WITH c AS (SELECT id, cluster FROM read_parquet(
+         |       '${VecPrep.AnnOracleDir}/nq_semdedup_inc_corpus.parquet/*.parquet')),
+         |b AS (SELECT id, cluster FROM read_parquet(
+         |       '${VecPrep.AnnOracleDir}/nq_semdedup_inc_batch.parquet/*.parquet')),
+         |$vCte,
+         |d AS (SELECT DISTINCT h.id
+         |      FROM b h JOIN c l ON h.cluster = l.cluster
+         |      JOIN v hv ON hv.vec_id = h.id
+         |      JOIN v lv ON lv.vec_id = l.id
+         |      WHERE list_cosine_similarity(hv.e, lv.e) >= 0.97
+         |      UNION
+         |      SELECT DISTINCT h.id
+         |      FROM b h JOIN b l ON h.cluster = l.cluster AND l.id < h.id
+         |      JOIN v hv ON hv.vec_id = h.id
+         |      JOIN v lv ON lv.vec_id = l.id
+         |      WHERE list_cosine_similarity(hv.e, lv.e) >= 0.97)
+         |SELECT b.id AS vec_id, b.cluster, (d.id IS NOT NULL) AS is_dup
+         |FROM b LEFT JOIN d ON b.id = d.id
+         |ORDER BY vec_id""".stripMargin)
 }

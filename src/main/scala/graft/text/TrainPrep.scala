@@ -243,11 +243,22 @@ object TrainPrep {
       .otherwise("tail")
 
   def ccnetBucketsApprox(scoredLang: DataFrame,
-      accuracy: Int = 10000): DataFrame =
-    scoredLang.join(broadcast(ccnetThresholds(scoredLang, accuracy)),
-        Seq("lang"), "left")
+      accuracy: Int = 10000): DataFrame = {
+    val th = ccnetThresholds(scoredLang, accuracy)
+    // Verify-only: the sketch's thresholds, so the oracle re-runs the
+    // bucket ASSIGNMENT (the SQL-expressible half) on the exact scored
+    // corpus — the GK sketch itself stays engine-specific, pinned by
+    // the ≥90%-agreement spec against the exact terciles
+    graft.OracleDump.dump(th,
+      s"$OracleDumpDir/ccnet_thresholds.parquet")
+    scoredLang.join(broadcast(th), Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), col("avg_nll"),
         bucketFromThresholds.as("bucket"))
+  }
+
+  /** Fixed absolute dir for this family's oracle-input dumps (see
+    * [[graft.OracleDump]]). */
+  private[graft] val OracleDumpDir = "/tmp/graft_text_oracle"
 
   private def scoredWithLang(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
@@ -371,7 +382,32 @@ object TrainPrep {
     // the shard-and-merge form must reproduce the whole-corpus table
     // bit-for-bit, so it carries the SAME oracle — the driver re-proves
     // merge ≡ monolithic every round
-    "q72_bigram_lm_merge" -> q66Sql)
+    "q72_bigram_lm_merge" -> q66Sql,
+    // nq_ccnet_buckets (round-10 promotion): the scored corpus comes
+    // from q71's SQL, the tercile THRESHOLDS from the dumped GK-sketch
+    // output (engine-specific, spec-pinned for accuracy), and the
+    // assignment rule — null score or unknown language → null bucket,
+    // else <= t1 / <= t2 / tail — re-runs in DuckDB; both engines
+    // compare the same round-4 doubles against the same dumped values
+    "nq_ccnet_buckets" ->
+      s"""WITH scored AS (
+         |$q71Core
+         |), langd AS (
+         |  SELECT doc_id, lang FROM documents
+         |), j AS (
+         |  SELECT s.doc_id, l.lang, s.avg_nll
+         |  FROM scored s JOIN langd l USING (doc_id)
+         |), th AS (
+         |  SELECT lang, t1, t2
+         |  FROM read_parquet('$OracleDumpDir/ccnet_thresholds.parquet/*.parquet')
+         |)
+         |SELECT j.doc_id, j.lang, j.avg_nll,
+         |  CASE WHEN j.avg_nll IS NULL OR th.t1 IS NULL THEN NULL
+         |       WHEN j.avg_nll <= th.t1 THEN 'head'
+         |       WHEN j.avg_nll <= th.t2 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM j LEFT JOIN th USING (lang)
+         |ORDER BY j.doc_id""".stripMargin)
 
   /** q71's scored-corpus query WITHOUT the presentation sort — shared
     * by the q71 oracle (which appends it) and q77's first CTE (which
