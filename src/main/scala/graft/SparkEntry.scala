@@ -77,5 +77,5 @@ object SparkEntry {
       // assignments, and the CCNet approx-bucket assignment over the
       // dumped GK thresholds (both engine-specific halves stay
       // spec-pinned)
-      sim.SemDedup.oracle
+      sim.SemDedup.oracle ++ sim.Clustering.oracle ++ sim.LshKnn.oracle
 }

@@ -87,6 +87,13 @@ object LshKnn {
       rowsPerBand: Int, nTables: Int, seed: Long): DataFrame = {
     graft.functions.VecFunctions.register(emb.sparkSession)
     val bands = banded(emb, rowsPerBand, nTables, seed)
+    // Verify-only: the banded sign signatures, so the oracle re-runs
+    // the SQL-expressible half — band-collision candidacy, the exact
+    // cosine verify at minCos, multiplicity dedup — on identical
+    // signatures; the gaussian hyperplane projection stays
+    // engine-specific, pinned by the recall spec vs exact q31
+    graft.OracleDump.dump(bands.select(col("vec_id"), col("band"), col("sig")),
+      s"${VecPrep.AnnOracleDir}/nq_lsh_bands.parquet")
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -100,4 +107,22 @@ object LshKnn {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_lsh_neardup" -> ((s: SparkSession, d: String) => lshNeardup(s, d)))
+
+  /** Band-collision + exact-verify oracle over the dumped signatures
+    * (cosine-threshold parity with DuckDB is q31's contract). */
+  val oracle: Map[String, String] = Map(
+    "nq_lsh_neardup" ->
+      s"""WITH bs AS (SELECT vec_id, band, sig FROM read_parquet(
+         |       '${VecPrep.AnnOracleDir}/nq_lsh_bands.parquet/*.parquet')),
+         |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+         |cand AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+         |         FROM bs x JOIN bs y
+         |           ON x.band = y.band AND x.sig = y.sig
+         |          AND x.vec_id < y.vec_id),
+         |p AS (SELECT id1, id2, list_cosine_similarity(v1.e, v2.e) AS cos
+         |      FROM cand JOIN v v1 ON v1.vec_id = id1
+         |                JOIN v v2 ON v2.vec_id = id2)
+         |SELECT id1, id2, round(cos, 6) AS cosine
+         |FROM p WHERE cos >= 0.4
+         |ORDER BY id1, id2""".stripMargin)
 }
