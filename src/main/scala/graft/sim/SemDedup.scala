@@ -32,12 +32,11 @@ import org.apache.spark.sql.functions._
   * Keeper policy: a vector is a duplicate iff ANY smaller-id vector in
   * its cluster is within `threshold` cosine — i.e. min-id-wins along
   * chains, matching the exact-dedup keeper convention (q23) and
-  * SemDeDup's "keep one example per group". Seeded k-means → repeated
-  * runs on the same input are deterministic (pinned in SemDedupSpec);
-  * across a DIFFERENT input partitioning the trained centers can shift
-  * (MLlib's seeded init samples per partition), moving boundary
-  * assignments — inherent to every clustering-bucketed dedup; fix the
-  * upstream layout for bit-reproducible re-materialization.
+  * SemDeDup's "keep one example per group". Seeded sample-trained
+  * Lloyd (see `fitBounded`) → deterministic AND layout-independent:
+  * the hash-of-id sample is the same rows under any partitioning, so
+  * re-materializing the corpus with a different layout reproduces the
+  * same tree and the same verdicts.
   *
   * Not SQL-expressible (iterative k-means training) → rows-only driver
   * check; the within-cluster dedup semantics are spec-pinned on planted
@@ -45,13 +44,24 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** k-means tree: a root model plus sub-models for the root clusters
+  /** k-means tree: root centroids plus sub-trees for the root clusters
     * whose population exceeded the size cap — the persistable artifact
     * of `fitBounded` (the analogue of a flat `KMeansModel`, which a
-    * single skewed corpus can defeat).
+    * single skewed corpus can defeat). Centroids are plain float
+    * arrays (k×dim KBs) trained driver-side on a bounded sample — see
+    * [[fitBounded]].
     */
-  final case class ClusterTree(model: org.apache.spark.ml.clustering.KMeansModel,
+  final case class ClusterTree(cents: Array[Array[Float]],
       children: Map[Int, ClusterTree])
+
+  /** Cluster-assignment column: nearest tree-node centroid by squared
+    * L2 (shared `IvfPq.nearestCell` primitive, centroids ride the
+    * closure). */
+  private def assignCol(cents: Array[Array[Float]]) = {
+    val fn = org.apache.spark.sql.functions.udf(
+      (e: Seq[Float]) => IvfPq.nearestCell(e.toArray, cents))
+    fn(col("emb"))
+  }
 
   /** √n heuristic from the SemDeDup paper's own sizing (k = 11k for
     * 233M ⇒ ≈ √n/1.4), capped so the per-fit driver tally (k cluster
@@ -69,16 +79,32 @@ object SemDedup {
 
   /** Fit a size-bounded cluster tree: root k-means, then recursively
     * re-fit every cluster whose population exceeds `sizeCap` with its
-    * own k-means (kSub = ⌈n_c/cap⌉), down to `maxDepth` levels. The
-    * only driver materialization per fit is the k-row size tally; every
-    * re-fit is a distributed job over just that cluster's rows.
+    * own k-means (kSub = ⌈n_c/cap⌉), down to `maxDepth` levels.
+    *
+    * Each node's centroids train driver-side (`PqKnn.lloyd`, 10 iters)
+    * on a content-deterministic bounded SAMPLE of that node's rows —
+    * the faiss/SemDeDup practice, and the same round-10 move as
+    * IvfPq's coarse quantizer: the model is k×dim KBs, so a
+    * full-corpus iterative MLlib fit per node bought nothing but
+    * ~25 jobs of overhead (an earlier revision did exactly that, and
+    * the tree fit was ~85% of nq_semantic_dedup's wall time). Bonus
+    * over the MLlib fit: the hash-of-id sample makes the trained tree
+    * LAYOUT-INDEPENDENT, where MLlib's seeded per-partition init could
+    * shift boundary assignments across different input partitionings.
+    * The only distributed work per node is one assignment pass + the
+    * k-row size tally; every re-fit recursion filters to just that
+    * cluster's rows.
     */
   private[sim] def fitBounded(e: DataFrame, k: Int, sizeCap: Long,
       seed: Long, maxDepth: Int): ClusterTree = {
-    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("v")
-      .setPredictionCol("cluster").fit(e)
-    if (maxDepth <= 0) return ClusterTree(model, Map.empty)
-    val assigned = model.transform(e).persist()
+    val s = e.sparkSession
+    import s.implicits._
+    val sample = e.orderBy(xxhash64(col("id")), col("id")).limit(2000)
+      .select("emb").as[Seq[Float]].collect().map(_.toArray)
+    require(sample.nonEmpty, "fitBounded: empty input")
+    val cents = PqKnn.lloyd(sample, k, iters = 10, seed = seed)
+    if (maxDepth <= 0) return ClusterTree(cents, Map.empty)
+    val assigned = e.withColumn("cluster", assignCol(cents)).persist()
     try {
       val sizes = assigned.groupBy("cluster").count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ k rows
@@ -89,7 +115,7 @@ object SemDedup {
           c -> fitBounded(assigned.filter(col("cluster") === c).drop("cluster"),
             kSub, sizeCap, seed * 31 + c + 1, maxDepth - 1)
       }.toMap
-      ClusterTree(model, children)
+      ClusterTree(cents, children)
     } finally assigned.unpersist()
   }
 
@@ -100,7 +126,7 @@ object SemDedup {
     * split clusters (small by construction).
     */
   private[sim] def assignTree(tree: ClusterTree, e: DataFrame): DataFrame = {
-    val assigned = tree.model.transform(e)
+    val assigned = e.withColumn("cluster", assignCol(tree.cents))
     if (tree.children.isEmpty)
       assigned.withColumn("cluster", col("cluster").cast("string"))
     else {

@@ -461,6 +461,23 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("semprofile")) {
+      // where does nq_semantic_dedup's time go: tree fit vs scoring?
+      for (pass <- Seq("cold", "warm")) {
+        val emb = graft.Tables.embeddings(spark, d)
+        val t0 = System.nanoTime()
+        val tree = graft.sim.SemDedup.fitCorpus(emb, "vec_id", "embedding")
+        println(f"[sem] $pass fitCorpus: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        time(s"[$pass] full nq_semantic_dedup")(
+          graft.sim.SemDedup.semanticDedupQuery(spark, d)
+            .write.format("noop").mode("overwrite").save())
+        time(s"[$pass] full nq_semantic_dedup_inc")(
+          graft.sim.SemDedup.semanticDedupIncrementalQuery(spark, d)
+            .write.format("noop").mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("ivfstore")) {
       // persisted-index cost split: one-time build vs per-search cost
       val dir = java.nio.file.Files.createTempDirectory("ivfpq-probe")
