@@ -44,11 +44,15 @@ private[sim] object VecPrep {
     * mixes no precisions: the norm belongs to exactly the vector
     * `vec_dot` sees.
     */
-  def centroidTable(s: SparkSession, model: KMeansModel): DataFrame = {
+  def centroidTable(s: SparkSession, model: KMeansModel): DataFrame =
+    centroidTable(s, model.clusterCenters.map(_.toArray.map(_.toFloat)))
+
+  /** Same from plain float-array centroids (the sample-trained-Lloyd
+    * builds). */
+  def centroidTable(s: SparkSession, cents: Array[Array[Float]]): DataFrame = {
     import s.implicits._
-    model.clusterCenters.zipWithIndex
-      .map { case (c, i) =>
-        val cf = c.toArray.map(_.toFloat)
+    cents.zipWithIndex
+      .map { case (cf, i) =>
         (i, cf, math.sqrt(cf.map(x => x.toDouble * x).sum))
       }
       .toSeq.toDF("cluster", "centroid", "cnorm")
