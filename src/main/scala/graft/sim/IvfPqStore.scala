@@ -150,7 +150,7 @@ object IvfPqStore {
     * the in-query composite by construction; rows-only check since PQ
     * codes are not SQL-expressible). */
   def nqIvfPqStore(s: SparkSession, d: String): DataFrame = {
-    val dir = indexFor.getOrElseUpdate(d, {
+    def build(): String = {
       val p = java.nio.file.Files.createTempDirectory("ivfpq-index")
       sys.addShutdownHook {
         import scala.jdk.CollectionConverters._
@@ -159,7 +159,13 @@ object IvfPqStore {
       }
       buildIndex(s, d, p.toString)
       p.toString
-    })
+    }
+    // amortize only over immutable driver data — a mutable fixture dir
+    // rewritten in place must never serve a stale index (same policy
+    // as Tables.t / Curation's memo)
+    val dir = if (graft.Tables.isImmutable(d))
+      indexFor.getOrElseUpdate(d, build())
+    else build()
     val src = VecPrep.embeddingFeatures(s, d)
       .select(col("vec_id"), col("embedding"))
     searchIndex(s, dir, src, 0L until 10L,

@@ -278,7 +278,7 @@ object SubstrDedup {
   def q81SubstrStored(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
     val cut = docs.count() * 4 / 5
-    val store = gramStoreFor.getOrElseUpdate(d, {
+    def build(): String = {
       val p = java.nio.file.Files.createTempDirectory("gramstore")
       sys.addShutdownHook {
         import scala.jdk.CollectionConverters._
@@ -288,7 +288,13 @@ object SubstrDedup {
       val path = s"$p/grams.parquet"
       writeGramStore(docs.filter(col("doc_id") < cut), path)
       path
-    })
+    }
+    // amortize only over immutable driver data — a mutable fixture dir
+    // rewritten in place must never serve a stale store (same policy
+    // as Tables.t / Curation's memo)
+    val store = if (graft.Tables.isImmutable(d))
+      gramStoreFor.getOrElseUpdate(d, build())
+    else build()
     substrDedupIncrementalStored(docs.filter(col("doc_id") >= cut), store)
   }
 
