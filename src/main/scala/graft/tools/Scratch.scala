@@ -461,6 +461,57 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("annscale")) {
+      // ANN-family scale probe: replicate the embeddings table Nx with
+      // shifted ids and DETERMINISTIC per-replica perturbation (replica
+      // r of vector v flips sign on dimension r mod dim — unit-norm
+      // preserved, no replica is an exact twin of another, so the dup
+      // structure stays realistic instead of degenerate identical
+      // groups). Evidence that index build (one scan), probed search
+      // (pruned scan), and the semantic-dedup tree stay ~linear.
+      val fac = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val emb0 = graft.Tables.embeddings(spark, d)
+      val n = emb0.count()
+      val embN = (0 until fac).map { r =>
+        if (r == 0) emb0
+        else emb0.select((col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === lit(r % 64), -x).otherwise(x))
+            .as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      val tmp = java.nio.file.Files.createTempDirectory("embN").toString
+      embN.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      println(s"[annscale] corpus: ${n * fac} vectors")
+      // warm codegen on the 1x corpus first
+      graft.sim.IvfPq.ivfPqKnn(spark, d)
+        .write.format("noop").mode("overwrite").save()
+      time("ivfpq build+search on 1x (warm)") {
+        graft.sim.IvfPq.ivfPqKnn(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"ivfpq build+search on ${fac}x") {
+        graft.sim.IvfPq.ivfPqKnn(spark, tmp)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val idx = java.nio.file.Files.createTempDirectory("ivfpq-scale").toString
+      time(s"ivfpq store BUILD on ${fac}x") {
+        graft.sim.IvfPqStore.buildIndex(spark, tmp, idx)
+      }
+      val src = graft.Tables.embeddings(spark, tmp)
+        .select(col("vec_id"), col("embedding"))
+      for (i <- 1 to 3) time(s"ivfpq store SEARCH on ${fac}x run$i") {
+        graft.sim.IvfPqStore.searchIndex(spark, idx, src, 0L until 10L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"semantic dedup on ${fac}x") {
+        graft.sim.SemDedup.semanticDedup(
+          graft.Tables.embeddings(spark, tmp), "vec_id", "embedding")
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("semprofile")) {
       // where does nq_semantic_dedup's time go: tree fit vs scoring?
       for (pass <- Seq("cold", "warm")) {
