@@ -143,6 +143,29 @@ object IvfPqStore {
   // the first invocation only. Deleted on JVM exit.
   private val indexFor = scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Streaming ingest of the index: each micro-batch of
+    * (vec_id, embedding) rows is assigned + PQ-encoded under the
+    * FROZEN model and appended to the cell-partitioned codes relation
+    * via foreachBatch — the ANN member of the engine's streaming store
+    * family (signature/gram/heavy-hitter/cardinality streams). Like
+    * the cardinality store — and unlike the additive heavy-hitter
+    * counts — this sink needs NO batch-id fence: [[encodeBatch]]'s
+    * anti-join against stored vec_ids makes a redelivered batch a
+    * no-op, so at-least-once delivery composes into exactly-once codes
+    * (spec-pinned). The index must already exist ([[buildIndex]] is
+    * the offline calibration run, same contract as the ingest gate's
+    * frozen thresholds); recall on drifted data remains the documented
+    * rebuild trigger.
+    */
+  def ivfPqIngestStream(vecs: DataFrame, indexPath: String,
+      kCells: Int = 16, m: Int = 8, k: Int = 32)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        encodeBatch(batch.sparkSession, indexPath, batch, kCells, m, k)
+    }
+
   /** Driver entry: build the index once per source dir (amortized
     * across invocations — see [[indexFor]]), search it for the same
     * queries as `nq_ivfpq_knn` — the contract row that proves the

@@ -67,6 +67,47 @@ class IvfPqStoreSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("streaming ingest encodes micro-batches under the frozen index; replay a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir()
+    try {
+      // build WITHOUT the last 50 vectors, then stream them in 2 batches
+      val all = src
+      val maxId = all.agg(max("vec_id")).head().getLong(0)
+      val cutId = maxId - 49
+      val sub = java.nio.file.Files.createTempDirectory("ivfpq-ssubset")
+      try {
+        graft.Tables.embeddings(spark, sf0001)
+          .filter($"vec_id" < cutId)
+          .write.parquet(s"$sub/embeddings.parquet")
+        IvfPqStore.buildIndex(spark, sub.toString, dir.toString)
+        val before = spark.read.parquet(s"$dir/codes.parquet").count()
+        val late = all.filter($"vec_id" >= cutId)
+          .as[(Long, Array[Float])].collect()
+        val stream = MemoryStream[(Long, Array[Float])]
+        val q = IvfPqStore
+          .ivfPqIngestStream(
+            stream.toDF.toDF("vec_id", "embedding"), dir.toString)
+          .option("checkpointLocation", s"$dir/ckpt")
+          .start()
+        val (b1, b2) = late.splitAt(25)
+        stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+        stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+        // redelivery: same rows again — anti-join must no-op
+        stream.addData(late.toIndexedSeq); q.processAllAvailable()
+        q.stop()
+        val codes = spark.read.parquet(s"$dir/codes.parquet")
+        assert(codes.count() === before + 50,
+          "each streamed vector encoded exactly once despite replay")
+        assert(codes.filter($"vec_id" >= cutId).count() === 50)
+        // streamed vectors are searchable under the frozen index
+        val out = IvfPqStore.searchIndex(spark, dir.toString, all, Seq(maxId))
+        assert(out.count() > 0, "ingested vectors must be searchable")
+      } finally cleanup(sub)
+    } finally cleanup(dir)
+  }
+
   test("incremental encode: new vectors retrievable, redelivery a no-op") {
     val dir = tempDir()
     try {
