@@ -12,6 +12,13 @@ import org.apache.spark.sql.DataFrame
   * The dump is GATED on a system property set by `Verify.main`: Bench
   * runs the same query functions and must not pay an extra
   * materialization of the dumped relation per timed run.
+  *
+  * Paths are fixed per query (not per source dir), which assumes the
+  * driver's documented flow — ONE Verify run per DuckDB compare, the
+  * compare reading the dumps that run wrote. Two Verify runs over
+  * different source dirs followed by two compares would cross-read the
+  * second run's dumps; if the contract ever adds a second SF, key the
+  * dump roots by sfDir and thread the dir into the oracle-SQL builders.
   */
 object OracleDump {
 

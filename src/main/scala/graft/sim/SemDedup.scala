@@ -208,6 +208,49 @@ object SemDedup {
       .orderBy("id")
   }
 
+  /** Persist a trained [[ClusterTree]] as one parquet relation of
+    * (path, cluster, centroid) rows — `path` is the dot-joined prefix
+    * of split-cluster indices ("" for the root, "7" for the sub-tree
+    * under root cluster 7, …). KBs at any corpus size, so the tree the
+    * corpus was deduped under can be version-controlled next to the
+    * signature/gram/ANN stores and every later batch judged under the
+    * identical buckets (train once, assign forever). */
+  def writeTree(s: SparkSession, tree: ClusterTree, path: String): Unit = {
+    import s.implicits._
+    def rows(t: ClusterTree, prefix: String): Seq[(String, Int, Array[Float])] =
+      t.cents.zipWithIndex.map { case (c, i) => (prefix, i, c) } ++
+        t.children.toSeq.flatMap { case (c, child) =>
+          rows(child, if (prefix.isEmpty) c.toString else s"$prefix.$c")
+        }
+    rows(tree, "").toDF("path", "cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a tree written by [[writeTree]] — fails loudly on an empty or
+    * root-less relation. */
+  def readTree(s: SparkSession, path: String): ClusterTree = {
+    val rows = s.read.parquet(path).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    require(rows.nonEmpty, s"no cluster tree at $path")
+    def build(prefix: String): ClusterTree = {
+      val own = rows.filter(_._1 == prefix).sortBy(_._2)
+      require(own.nonEmpty && own.map(_._2).toSeq == own.indices.toSeq,
+        s"cluster tree at $path: node '$prefix' is missing or has " +
+          "non-contiguous cluster ids — not a writeTree artifact")
+      val childPrefixes = rows.map(_._1).distinct.filter { p =>
+        val rest = if (prefix.isEmpty) p else p.stripPrefix(s"$prefix.")
+        p != prefix && (prefix.isEmpty || p.startsWith(s"$prefix.")) &&
+          !rest.contains('.')
+      }
+      ClusterTree(own.map(_._3),
+        childPrefixes.map { p =>
+          val c = (if (prefix.isEmpty) p else p.stripPrefix(s"$prefix.")).toInt
+          c -> build(p)
+        }.toMap)
+    }
+    build("")
+  }
+
   /** Projection + cluster assignment under an ALREADY-TRAINED flat
     * model — the reusable artifact of the incremental path (the
     * analogue of the text side's persisted signature store: train once

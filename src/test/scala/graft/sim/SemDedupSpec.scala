@@ -111,6 +111,45 @@ class SemDedupSpec extends SparkSpec {
     assert(!inc(9001L), "fresh batch vector must survive")
   }
 
+  test("cluster tree round-trips through its parquet store, verdicts identical") {
+    val rnd = new Random(21)
+    def noisy(u: Array[Double], sigma: Double): Array[Float] = {
+      val v = u.map(x => x + sigma * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val u = Array.fill(16)(rnd.nextGaussian())
+    // bunch large enough to force a split under cap=20 → depth-2 tree
+    val blob = (0L until 120L).map(i => (i, noisy(u, 0.9)))
+    val scattered = (1000L until 1020L).map { i =>
+      (i, noisy(Array.fill(16)(rnd.nextGaussian()), 0.0))
+    }
+    val df = (blob ++ scattered).toDF("id", "emb")
+    val tree = SemDedup.fitCorpus(df, "id", "emb", k = 3, sizeCap = 20L)
+    assert(tree.children.nonEmpty, "fixture must produce a split tree")
+    val dir = java.nio.file.Files.createTempDirectory("semtree")
+    try {
+      val path = dir.resolve("tree.parquet").toString
+      SemDedup.writeTree(spark, tree, path)
+      val loaded = SemDedup.readTree(spark, path)
+      val a = SemDedup.assign(tree, df, "id", "emb")
+        .select("id", "cluster").as[(Long, String)].collect().sortBy(_._1)
+      val b = SemDedup.assign(loaded, df, "id", "emb")
+        .select("id", "cluster").as[(Long, String)].collect().sortBy(_._1)
+      assert(a.toSeq === b.toSeq,
+        "assignments under the loaded tree must be identical")
+      // a missing store fails loudly (Spark's PATH_NOT_FOUND)
+      intercept[Exception] {
+        SemDedup.readTree(spark,
+          dir.resolve("missing.parquet").toString)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("incremental: batch verdicts against a standing corpus, corpus never self-scored") {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
