@@ -20,8 +20,11 @@ import org.apache.spark.sql.functions._
   * the centroid (cohesion), and the cell's total inertia (raw sum of
   * squared distances; divide by the column's own sum for shares).
   * Seeded → deterministic; cross-run stability and k=16 < k=1 inertia
-  * are pinned in ClusteringSpec. Not SQL-expressible (iterative
-  * training) → rows-only driver check.
+  * are pinned in ClusteringSpec. The iterative training is not
+  * SQL-expressible, but the summary is: the query dumps its assignment
+  * + centroid table during Verify and DuckDB recomputes the
+  * per-cluster cos/sqdist summary on them (hard hash oracle since
+  * round 10).
   */
 object Clustering {
 

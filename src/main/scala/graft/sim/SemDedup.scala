@@ -1,6 +1,5 @@
 package graft.sim
 
-import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -38,9 +37,11 @@ import org.apache.spark.sql.functions._
   * re-materializing the corpus with a different layout reproduces the
   * same tree and the same verdicts.
   *
-  * Not SQL-expressible (iterative k-means training) → rows-only driver
-  * check; the within-cluster dedup semantics are spec-pinned on planted
-  * fixtures instead.
+  * The tree FIT is not SQL-expressible, but the verdicts are: both
+  * contract queries dump their leaf assignments during Verify and
+  * DuckDB re-runs the within-leaf scoring + min-id-wins rule on them
+  * (hard hash oracle since round 10); the fit itself is spec-pinned on
+  * planted fixtures.
   */
 object SemDedup {
 
