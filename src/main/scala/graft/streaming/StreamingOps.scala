@@ -517,6 +517,52 @@ object StreamingOps {
           "transactional table format.")
   }
 
+  /** Bind a batch-id-file-named store to its FIRST streaming lineage
+    * via a `_lineage` marker, failing loudly on any other: the
+    * batch-N.parquet naming is only exactly-once WITHIN one streaming
+    * checkpoint lineage — a fresh checkpoint restarts ids at 0 and
+    * would silently overwrite batch-0 with different content (and
+    * re-judge docs against their own stored state). Marker commit is
+    * create-tmp + atomic rename; losing a concurrent race re-reads and
+    * enforces. Shared by the substring-dedup and semantic-dedup ingest
+    * stores. */
+  private[streaming] def bindStoreLineage(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, what: String,
+      lineage: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(dir, "_lineage")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim
+      finally in.close()
+      if (prev != lineage)
+        throw new IllegalStateException(
+          s"$what is bound to streaming lineage $prev but this query " +
+            s"is $lineage — a fresh checkpoint restarts batch ids and " +
+            "would overwrite history. Continue the original checkpoint, " +
+            "or rebuild the store")
+    } else {
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_lineage.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(lineage.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        // lost a concurrent race: re-read and enforce like the branch above
+        fs.delete(tmp, false)
+        require(fs.exists(marker), s"cannot establish lineage marker at $marker")
+        val in2 = fs.open(marker)
+        val prev2 = try scala.io.Source.fromInputStream(in2, "UTF-8")
+          .mkString.trim
+        finally in2.close()
+        if (prev2 != lineage)
+          throw new IllegalStateException(
+            s"$what was just bound to lineage $prev2; this query is $lineage")
+      }
+    }
+  }
+
   private[streaming] def recoverCompactionSwap(
       fs: org.apache.hadoop.fs.FileSystem,
       store: org.apache.hadoop.fs.Path,
@@ -857,38 +903,8 @@ object StreamingOps {
     // re-judge docs against their own stored grams). Bind the store to
     // its first lineage and fail loudly on any other — same contract as
     // the heavy-hitter store's high-water fence.
-    val marker = new org.apache.hadoop.fs.Path(fsp, "_lineage")
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val prev = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString.trim
-      finally in.close()
-      if (prev != lineage)
-        throw new IllegalStateException(
-          s"substring-dedup store at $storePath is bound to streaming " +
-            s"lineage $prev but this query is $lineage — a fresh " +
-            "checkpoint restarts batch ids and would overwrite history. " +
-            "Continue the original checkpoint, or rebuild the store")
-    } else {
-      val tmp = new org.apache.hadoop.fs.Path(fsp, "_lineage.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(lineage.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      if (!fs.rename(tmp, marker)) {
-        // lost a concurrent race: re-read and enforce like the branch above
-        fs.delete(tmp, false)
-        require(fs.exists(marker), s"cannot establish lineage marker at $marker")
-        val in2 = fs.open(marker)
-        val prev2 = try scala.io.Source.fromInputStream(in2, "UTF-8")
-          .mkString.trim
-        finally in2.close()
-        if (prev2 != lineage)
-          throw new IllegalStateException(
-            s"substring-dedup store at $storePath was just bound to " +
-              s"lineage $prev2; this query is $lineage")
-      }
-    }
+    bindStoreLineage(fs, fsp, s"substring-dedup store at $storePath",
+      lineage)
     val own = s"batch-$batchId.parquet"
     val storeFiles = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
       (st.getPath.getName.startsWith("batch-") ||
@@ -953,6 +969,66 @@ object StreamingOps {
     if (fs.exists(target)) fs.delete(target, false) // replay: replace
     require(fs.rename(part, target), s"rename $part -> $target failed")
     fs.delete(tmp, true)
+  }
+
+  /** Semantic dedup at ingest — SemDeDup as a streaming sink, the
+    * vector sibling of [[substrIngestStream]]: each micro-batch of
+    * (vec_id, embedding) rows is leaf-assigned under a FROZEN cluster
+    * tree (persisted by `SemDedup.writeTree` — the offline calibration
+    * artifact, same contract as the ingest gate's frozen thresholds),
+    * judged against the standing corpus's persisted ASSIGNMENTS, and
+    * appended to them. Per-trigger cost: batch-sized assignment + the
+    * batch × corpus cluster-keyed twin join — corpus never self-joined,
+    * corpus text/vectors never re-clustered.
+    *
+    * Exactly-once: deterministic per-batch file names + own-batch
+    * exclusion at judge time (the substring ingest's pattern verbatim —
+    * a crash between the store append and the checkpoint commit would
+    * otherwise re-judge batch N against its own stored vectors and
+    * flip every verdict to duplicate), plus the `_lineage` fence
+    * against fresh-checkpoint id restarts.
+    */
+  def semanticIngestStream(vecs: DataFrame, treePath: String,
+      storePath: String, verdictsPath: String, threshold: Double = 0.97)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applySemanticIngestBatch(batch, batchId, treePath, storePath,
+          verdictsPath, threshold, streamingLineage(batch.sparkSession))
+    }
+
+  /** One trigger of the semantic ingest — exposed so replay semantics
+    * are testable exactly as they occur. */
+  private[graft] def applySemanticIngestBatch(batch: DataFrame,
+      batchId: Long, treePath: String, storePath: String,
+      verdictsPath: String, threshold: Double,
+      lineage: String = "unknown"): Unit = {
+    val s = batch.sparkSession
+    val fsp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireAtomicRename(fs, s"semantic-dedup assignment store at $storePath")
+    fs.mkdirs(fsp)
+    bindStoreLineage(fs, fsp,
+      s"semantic-dedup assignment store at $storePath", lineage)
+    val own = s"batch-$batchId.parquet"
+    val storeFiles = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
+      st.getPath.getName.startsWith("batch-") &&
+      st.getPath.getName != own)
+    val tree = graft.sim.SemDedup.readTree(s, treePath)
+    val b = batch.dropDuplicates("vec_id") // intra-batch redelivery
+      .localCheckpoint() // assigned AND judged below — compute once
+    val batchAssigned = graft.sim.SemDedup
+      .assign(tree, b, "vec_id", "embedding")
+    val corpusAssigned =
+      if (storeFiles.isEmpty) batchAssigned.limit(0) // empty bootstrap
+      else s.read.parquet(storeFiles.map(_.getPath.toString): _*)
+    writeSingleFile(
+      graft.sim.SemDedup
+        .semanticDedupIncremental(corpusAssigned, batchAssigned, threshold)
+        .withColumnRenamed("id", "vec_id"),
+      verdictsPath, own)
+    writeSingleFile(batchAssigned, storePath, own)
   }
 
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)

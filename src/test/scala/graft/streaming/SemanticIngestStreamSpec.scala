@@ -1,0 +1,97 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.sim.SemDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Semantic dedup at ingest: batches judged under a frozen tree
+  * against the standing assignment store — twins flagged across
+  * batches, replay a no-op, verdicts ≡ the batch incremental path.
+  */
+class SemanticIngestStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new Random(31)
+  private def unit(): Array[Float] = {
+    val v = Array.fill(16)(rnd.nextGaussian())
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(x => (x / n).toFloat)
+  }
+  private def twin(v: Array[Float]): Array[Float] =
+    v.updated(0, v(0) + 0.01f)
+
+  test("streamed batches: intra-batch and cross-batch twins flagged, replay no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("semingest")
+    try {
+      // frozen tree calibrated on a seed corpus (offline artifact)
+      val corpus = (0L until 40L).map(i => (i, unit())).toDF("id", "emb")
+      val treePath = dir.resolve("tree.parquet").toString
+      SemDedup.writeTree(spark,
+        SemDedup.fitCorpus(corpus, "id", "emb", k = 4), treePath)
+      val store = dir.resolve("store").toString
+      val verdicts = dir.resolve("verdicts").toString
+
+      val a = unit(); val b = unit()
+      val batch1 = Seq((100L, a), (101L, twin(a)), (102L, b))
+      val batch2 = Seq((200L, twin(b)), (201L, unit()))
+      val stream = MemoryStream[(Long, Array[Float])]
+      val q = StreamingOps.semanticIngestStream(
+          stream.toDF.toDF("vec_id", "embedding"),
+          treePath, store, verdicts)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData(batch1); q.processAllAvailable()
+      stream.addData(batch2); q.processAllAvailable()
+      q.stop()
+
+      val out = spark.read.parquet(verdicts)
+        .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+      assert(out.size === 5, "one verdict per streamed vector")
+      assert(!out(100L) && out(101L),
+        "intra-batch twin flags the higher id only")
+      assert(!out(102L))
+      assert(out(200L), "cross-batch twin of a stored vector must drop")
+      assert(!out(201L), "fresh vector survives")
+
+      // replay the LAST batch exactly as recovery would re-deliver it:
+      // same lineage (recovery resumes the original checkpoint — a
+      // different lineage is the fence's loud-failure case), and only
+      // the latest batch can ever be re-delivered (Structured Streaming
+      // commits batch N before starting N+1, so a crash re-runs N
+      // against a store that holds only batches < N plus N's own
+      // excluded file)
+      val boundLineage = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, "_lineage")),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      val storeRows = spark.read.parquet(store).count()
+      StreamingOps.applySemanticIngestBatch(
+        batch2.toDF("vec_id", "embedding"), batchId = 1L,
+        treePath, store, verdicts, threshold = 0.97,
+        lineage = boundLineage)
+      assert(spark.read.parquet(store).count() === storeRows,
+        "replayed batch must not grow the store")
+      val replayed = spark.read.parquet(verdicts)
+        .select("vec_id", "is_dup").as[(Long, Boolean)].collect().toMap
+      assert(replayed === out, "replay must not change any verdict")
+
+      // ingest ≡ the batch incremental path for batch 2
+      val tree = SemDedup.readTree(spark, treePath)
+      val direct = SemDedup.semanticDedupIncremental(
+          SemDedup.assign(tree, batch1.toDF("vec_id", "embedding"),
+            "vec_id", "embedding"),
+          SemDedup.assign(tree, batch2.toDF("vec_id", "embedding"),
+            "vec_id", "embedding"))
+        .select(col("id"), col("is_dup")).as[(Long, Boolean)]
+        .collect().toMap
+      assert(batch2.map(_._1).forall(id => direct(id) === out(id)),
+        "streamed verdicts must equal the batch incremental path")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
