@@ -39,4 +39,29 @@ object Mfcc {
     // MelSpectrogram map already sets for this family.
     melFrames.withColumn("mfcc", fn(col(melCol)))
   }
+
+  /** The DCT-II basis [[Dsp.dct2]] evaluates, as data: row k carries the
+    * UNSCALED cosine vector and its orthonormal scale factor, computed
+    * with the exact `math.cos`/`math.sqrt` calls (and operand order)
+    * dct2 uses. Dumped for the DuckDB oracle: the transcendentals are
+    * the engine-specific half (JVM libm), so they ship as inputs — the
+    * oracle then re-runs the O(n·k) multiply-accumulate tail
+    * (`list_dot_product`, the same sequential sum as dct2's loop) over
+    * identical doubles, the dumped-model pattern the ANN/GK promotions
+    * set. */
+  def dctBasis(n: Int, nMfcc: Int): Seq[(Int, Seq[Double], Double)] =
+    (0 until nMfcc).map { k =>
+      val c = (0 until n).map(i => math.cos(math.Pi * (i + 0.5) * k / n))
+      (k, c, if (k == 0) math.sqrt(1.0 / n) else math.sqrt(2.0 / n))
+    }
+
+  /** The log-mel vector the DCT consumes, with the UDF's exact
+    * per-element arithmetic (`math.log(math.max(v, floorP))`) — dumped
+    * alongside [[dctBasis]] so the oracle's inputs are bitwise the
+    * UDF's intermediates. */
+  def logMelUdf(floorP: Double = 1e-10) =
+    org.apache.spark.sql.functions.udf { mel: Seq[Double] =>
+      if (mel == null) null
+      else mel.map(v => math.log(math.max(v, floorP)))
+    }
 }

@@ -197,9 +197,10 @@ object VoicePipeline {
     * (SURVEY §7.2 step 1 notes D1/B7 are oracle-expressible). */
   private[graft] val OracleDumpDir = "/tmp/graft_voice_oracle"
 
-  // --- driver-contract queries. nq_voice_transcript/timeseries are
-  // hard-oracled via OracleDumpDir (see above); nq_voice_eval stays
-  // rows-only (MLP training is not SQL-expressible).
+  // --- driver-contract queries, all hard-oracled via OracleDumpDir:
+  // the engine-specific halves (MLP training, PCA, mel/DCT framing)
+  // stay spec-pinned, and the SQL-expressible tails re-run in DuckDB
+  // over the dumped inputs.
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_voice_transcript" -> ((s: SparkSession, _: String) => {
       // dump the PRE-cumsum rows; the oracle recomputes the running
@@ -230,20 +231,44 @@ object VoicePipeline {
     }),
     "nq_voice_eval" -> ((s: SparkSession, _: String) => {
       val r = trainAndEvaluate(s)
+      // dump the holdout's (actual, predicted) pairs: the MLP that
+      // produced them is engine-specific (spec-pinned at acc ≥ 0.80),
+      // but the E5/E7 tail — per-class precision/recall/F1/support and
+      // overall accuracy — is plain SQL over the pairs, so DuckDB
+      // re-derives the whole report from identical inputs
+      graft.OracleDump.dump(
+        r.predictions.select("speaker", "speaker_pred"),
+        s"$OracleDumpDir/eval_preds.parquet")
       val report = classificationReport(r.predictions)
       report.withColumn("accuracy", round(lit(r.accuracy), 4))
     }),
     // MFCC over the seeded voice corpus — the I1 feature path's standard
-    // extension tier (frames × 13 coefficients); rounded for a stable
-    // rows check across platforms' libm variance
+    // extension tier, one row per (frame, coefficient). Hard-oracled:
+    // the engine half (mel framing + JVM transcendentals) dumps as
+    // inputs — the log-mel vectors with the UDF's exact arithmetic and
+    // the DCT basis as data — and DuckDB re-runs the multiply-accumulate
+    // tail via list_dot_product over identical doubles.
     "nq_mfcc" -> ((s: SparkSession, _: String) => {
       val clips = VoiceDataGen.generate(s, NPhrases, Seed)
       val frames = new MelSpectrogram().transform(clips.drop("speaker"))
+      if (graft.OracleDump.enabled) {
+        import s.implicits._
+        graft.OracleDump.dump(
+          frames.select(col("phrase_id"), col("frame_id"),
+            col("frame_time"),
+            graft.audio.Mfcc.logMelUdf()(col("mel")).as("v")),
+          s"$OracleDumpDir/mfcc_logmel.parquet")
+        graft.OracleDump.dump(
+          graft.audio.Mfcc.dctBasis(n = 20, nMfcc = 13)
+            .toDF("k", "basis", "scale"),
+          s"$OracleDumpDir/mfcc_basis.parquet")
+      }
       graft.audio.Mfcc.withMfcc(frames)
         .select(col("phrase_id"), col("frame_id"),
           round(col("frame_time"), 6).as("frame_time"),
-          transform(col("mfcc"), c => round(c, 6)).as("mfcc"))
-        .orderBy("phrase_id", "frame_id")
+          posexplode(col("mfcc")).as(Seq("k", "mfcc")))
+        .withColumn("mfcc", round(col("mfcc"), 6))
+        .orderBy("phrase_id", "frame_id", "k")
     }))
 
   /** DuckDB oracles over the dumped generated inputs (see
@@ -268,5 +293,41 @@ object VoicePipeline {
          |CROSS JOIN read_parquet('$OracleDumpDir/ts_selected.parquet/*.parquet') s
          |JOIN read_parquet('$OracleDumpDir/ts_segments.parquet/*.parquet') g
          |  ON f.Time >= g.start_sec AND f.Time < g.end_sec
-         |ORDER BY Time""".stripMargin)
+         |ORDER BY Time""".stripMargin,
+    // E5/E7 report tail re-derived from the dumped holdout pairs: the
+    // MLP is engine-specific (spec-pinned acc ≥ 0.80), the report is
+    // plain SQL — per-class precision (0 when never predicted, the
+    // sklearn convention), recall, F1, support, overall accuracy.
+    "nq_voice_eval" ->
+      s"""WITH p AS (SELECT speaker, speaker_pred
+         |  FROM read_parquet('$OracleDumpDir/eval_preds.parquet/*.parquet')),
+         |a AS (SELECT speaker AS cls, count(*) AS support FROM p GROUP BY 1),
+         |pr AS (SELECT speaker_pred AS cls, count(*) AS n_pred
+         |       FROM p GROUP BY 1),
+         |t AS (SELECT speaker AS cls, count(*) AS tp FROM p
+         |      WHERE speaker = speaker_pred GROUP BY 1),
+         |acc AS (SELECT round(
+         |    sum(CASE WHEN speaker = speaker_pred THEN 1.0 ELSE 0.0 END)
+         |      / count(*), 4) AS accuracy FROM p)
+         |SELECT a.cls AS speaker,
+         |  round(CASE WHEN coalesce(pr.n_pred, 0) = 0 THEN 0.0
+         |        ELSE coalesce(t.tp, 0) / pr.n_pred END, 4) AS precision,
+         |  round(coalesce(t.tp, 0) / a.support, 4) AS recall,
+         |  round(2.0 * coalesce(t.tp, 0)
+         |        / (coalesce(pr.n_pred, 0) + a.support), 4) AS f1,
+         |  a.support, acc.accuracy
+         |FROM a LEFT JOIN pr USING (cls) LEFT JOIN t USING (cls)
+         |CROSS JOIN acc
+         |ORDER BY speaker""".stripMargin,
+    // DCT multiply-accumulate tail over the dumped log-mel vectors and
+    // basis rows — list_dot_product is the same sequential sum as
+    // dct2's loop, over bitwise-identical doubles (the transcendental
+    // halves ship as inputs), so round-6 compares exactly.
+    "nq_mfcc" ->
+      s"""SELECT f.phrase_id, f.frame_id,
+         |  round(f.frame_time, 6) AS frame_time, b.k,
+         |  round(list_dot_product(f.v, b.basis) * b.scale, 6) AS mfcc
+         |FROM read_parquet('$OracleDumpDir/mfcc_logmel.parquet/*.parquet') f
+         |CROSS JOIN read_parquet('$OracleDumpDir/mfcc_basis.parquet/*.parquet') b
+         |ORDER BY phrase_id, frame_id, k""".stripMargin)
 }

@@ -35,6 +35,37 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("verifyq")) {
+      // subset Verify: run named contract queries with oracle dumps on,
+      // write results + oracle_sql.json for tools/check_oracle.py —
+      //   tools/runmain.sh graft.tools.Scratch verifyq /tmp/vq nq_mfcc …
+      System.setProperty(graft.OracleDump.Enabled, "true")
+      val outDir = args(1)
+      val names = args.drop(2)
+      new java.io.File(outDir).mkdirs()
+      names.foreach { name =>
+        try graft.SparkEntry.queries(name)(spark, d).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          println(s"[verifyq] $name FAILED: ${e.getMessage}")
+          e.printStackTrace()
+        }
+      }
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"'  => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+      val json = graft.SparkEntry.oracleSql
+        .filter { case (k, _) => names.contains(k) }
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("curation")) {
       // end-to-end curation probe on the 10x replicated corpus (50k docs
       // with 9 strong near-dups per original): exact dedup -> near-dup
