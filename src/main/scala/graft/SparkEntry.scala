@@ -77,5 +77,10 @@ object SparkEntry {
       // assignments, and the CCNet approx-bucket assignment over the
       // dumped GK thresholds (both engine-specific halves stay
       // spec-pinned)
-      sim.SemDedup.oracle ++ sim.Clustering.oracle ++ sim.LshKnn.oracle
+      sim.SemDedup.oracle ++ sim.Clustering.oracle ++ sim.LshKnn.oracle ++
+      // round-10 continued: the multimodal feature tails — channel
+      // means / integer-luma histograms / per-frame means re-aggregated
+      // by DuckDB over dumped decoded pixels (the codec half ships as
+      // inputs)
+      sources.ImageSource.oracle ++ sources.VideoSource.oracle
 }

@@ -294,7 +294,12 @@ object VideoSource {
               // long/high-res video simultaneously (~10-50× the JPEG
               // bytes each) and OOM on inputs whose compressed size is
               // harmless
-              val feats = Vector.newBuilder[(Int, Int, Int, Double)]
+              // integer milli-luma accumulation (299·r + 587·g + 114·b):
+              // the sum is exact under any pixel order, and the only
+              // float step is the final mean division — HALF_UP-rounded
+              // like SQL round, so the DuckDB oracle re-aggregates the
+              // dumped pixels to the same bits
+              val feats = Vector.newBuilder[(Int, Int, Int, Long)]
               var corrupt = false
               frames.zipWithIndex.foreach { case (jpeg, f) =>
                 if (!corrupt && f % every == 0) {
@@ -305,14 +310,14 @@ object VideoSource {
                   if (img == null) corrupt = true
                   else {
                     val (w, h) = (img.getWidth, img.getHeight)
-                    var luma = 0.0
+                    var luma = 0L
                     var y = 0
                     while (y < h) {
                       var x = 0
                       while (x < w) {
                         val p = img.getRGB(x, y)
-                        luma += 0.299 * ((p >> 16) & 0xff) +
-                          0.587 * ((p >> 8) & 0xff) + 0.114 * (p & 0xff)
+                        luma += 299 * ((p >> 16) & 0xff) +
+                          587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)
                         x += 1
                       }
                       y += 1
@@ -332,10 +337,11 @@ object VideoSource {
                   None: Option[Double], None: Option[Int],
                   None: Option[Int], None: Option[Double]))
               else sampled.iterator.map { case (f, w, h, luma) =>
-                val ts = f.toDouble * scale / rate
+                def r6(v: Double) = BigDecimal(v)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
                 (id, true, Some(f.toLong),
-                  Some(math.rint(ts * 1e6) / 1e6), Some(w), Some(h),
-                  Some(math.rint(luma / (w.toLong * h) / 255.0 * 1e6) / 1e6))
+                  Some(r6(f.toDouble * scale / rate)), Some(w), Some(h),
+                  Some(r6(luma.toDouble / 1000.0 / (w.toLong * h) / 255.0)))
               }
             case None => bad
           }
@@ -345,15 +351,105 @@ object VideoSource {
         "width", "height", "mean_luma")
   }
 
-  /** Driver-contract entry (rows-only): real AVI generation → real
+  private[graft] val OracleDumpDir = "/tmp/graft_video_oracle"
+
+  /** Oracle-input dumps: per-video container meta (decode verdict +
+    * the stream-header scale/rate the timestamps derive from) and every
+    * decoded frame's pixels as rows — DuckDB re-runs the per-frame mean
+    * aggregation and the timestamp arithmetic from these. */
+  private def dumpFramePixels(s: SparkSession, videos: DataFrame): Unit =
+    if (graft.OracleDump.enabled) {
+      import s.implicits._
+      val src = videos.select(col("video_id").cast("long"), col("content"))
+        .as[(Long, Array[Byte])]
+      graft.OracleDump.dump(
+        src.mapPartitions { it =>
+          it.map { case (id, bytes) =>
+            parseAvi(bytes) match {
+              case Some((scale, rate, frames)) =>
+                // decoded flips to corrupt if ANY frame JPEG fails —
+                // mirror sampleFrameFeatures' verdict
+                val corrupt = frames.exists { jpeg =>
+                  (try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(jpeg))
+                  catch { case _: Exception => null }) == null
+                }
+                (id, !corrupt, Some(scale), Some(rate))
+              case None => (id, false, None: Option[Int], None: Option[Int])
+            }
+          }
+        }.toDF("video_id", "decoded", "scale", "rate"),
+        s"$OracleDumpDir/video_meta.parquet")
+      graft.OracleDump.dump(
+        src.mapPartitions { it =>
+          javax.imageio.ImageIO.setUseCache(false)
+          it.flatMap { case (id, bytes) =>
+            parseAvi(bytes).iterator.flatMap { case (_, _, frames) =>
+              frames.zipWithIndex.iterator.flatMap { case (jpeg, f) =>
+                val img =
+                  try javax.imageio.ImageIO.read(
+                    new java.io.ByteArrayInputStream(jpeg))
+                  catch { case _: Exception => null }
+                if (img == null) Iterator.empty
+                else {
+                  val (w, h) = (img.getWidth, img.getHeight)
+                  for {
+                    y <- (0 until h).iterator
+                    x <- (0 until w).iterator
+                  } yield {
+                    val p = img.getRGB(x, y)
+                    (id, f, w, h,
+                      (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+                  }
+                }
+              }
+            }
+          }
+        }.toDF("video_id", "frame_idx", "w", "h", "r", "g", "b"),
+        s"$OracleDumpDir/video_px.parquet")
+    }
+
+  /** Driver-contract entry (hard-oracled): real AVI generation → real
     * container walk → real JPEG decode → per-frame luma/size features,
-    * end to end inside Verify/Bench. Replaces the content-hash stub that
-    * previously backed nq_video_frames.
+    * end to end inside Verify/Bench. The codec half dumps as per-pixel
+    * rows + container meta; DuckDB re-derives every output row
+    * (see [[dumpFramePixels]]).
     */
-  def videoFramesQuery(s: SparkSession, d: String): DataFrame =
+  def videoFramesQuery(s: SparkSession, d: String): DataFrame = {
+    dumpFramePixels(s, generateVideos(s, d))
     sampleFrameFeatures(generateVideos(s, d))
       .orderBy("video_id", "frame_idx")
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_video_frames" -> (videoFramesQuery _))
+
+  // Per-frame mean: exact integer milli-luma sum (any order) → the same
+  // double division chain as the Scala side → round 6. Timestamps:
+  // frame_idx·scale/rate in doubles, identical operand order. The LEFT
+  // JOIN keeps corrupt (decoded=false) and valid-but-empty videos as
+  // single null-frame rows, mirroring sampleFrameFeatures.
+  val oracle: Map[String, String] = Map(
+    "nq_video_frames" ->
+      s"""WITH m AS (SELECT * FROM
+         |  read_parquet('$OracleDumpDir/video_meta.parquet/*.parquet')),
+         |px AS (
+         |  SELECT video_id, frame_idx, max(w) AS width, max(h) AS height,
+         |    count(*) AS n, sum(299 * r + 587 * g + 114 * b) AS li
+         |  FROM read_parquet('$OracleDumpDir/video_px.parquet/*.parquet')
+         |  GROUP BY 1, 2)
+         |SELECT m.video_id, m.decoded,
+         |  CASE WHEN m.decoded THEN px.frame_idx::BIGINT END AS frame_idx,
+         |  CASE WHEN m.decoded THEN
+         |    round(px.frame_idx::DOUBLE * m.scale / m.rate, 6)
+         |  END AS frame_ts_sec,
+         |  CASE WHEN m.decoded THEN px.width END AS width,
+         |  CASE WHEN m.decoded THEN px.height END AS height,
+         |  CASE WHEN m.decoded THEN
+         |    round(li::DOUBLE / 1000.0 / (px.width::BIGINT * px.height)
+         |          / 255.0, 6)
+         |  END AS mean_luma
+         |FROM m LEFT JOIN px
+         |  ON m.video_id = px.video_id AND m.decoded
+         |ORDER BY m.video_id, frame_idx""".stripMargin)
 }
