@@ -159,12 +159,48 @@ object SimQueries {
       .select(array_to_vector(col("embedding")).as("v"))
     val model = new PCA().setK(k).setInputCol("v").setOutputCol("p")
       .fit(vecs)
+    if (graft.OracleDump.enabled) {
+      // the eigendecomposition is the engine half; its BASIS dumps as
+      // data and the oracle re-derives each ratio from first principles
+      // over the embeddings table itself: var_samp of the projection
+      // onto component j IS the eigenvalue (w'Cw for a unit
+      // eigenvector), and Σ per-dimension var_samp IS the trace = the
+      // eigenvalue total MLlib normalizes by — so a wrong basis, a
+      // non-unit vector, or a mis-normalized ratio all hash-mismatch
+      val pc = model.pc
+      graft.OracleDump.dump(
+        (0 until pc.numCols).map { j =>
+          (j.toLong, (0 until pc.numRows).map(i => pc(i, j)))
+        }.toDF("component", "basis"),
+        s"$PcaOracleDumpDir/pca_basis.parquet")
+    }
     model.explainedVariance.toArray.zipWithIndex
       .map { case (ev, i) => (i.toLong, BigDecimal(ev).setScale(6,
         BigDecimal.RoundingMode.HALF_UP).toDouble) }
       .toSeq.toDF("component", "explained_variance")
       .orderBy("component")
   }
+
+  private[graft] val PcaOracleDumpDir = "/tmp/graft_pca_oracle"
+
+  // nq_embedding_pca: explained-variance ratios re-derived by DuckDB
+  // from the dumped basis + the embeddings table (see embeddingPca).
+  private def pcaSql: String =
+    s"""WITH b AS (SELECT * FROM
+       |  read_parquet('$PcaOracleDumpDir/pca_basis.parquet/*.parquet')),
+       |e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |proj AS (
+       |  SELECT b.component,
+       |    var_samp(list_dot_product(e.v, b.basis)) AS pv
+       |  FROM e CROSS JOIN b GROUP BY 1),
+       |d AS (SELECT unnest(range(1, (SELECT max(len(v)) FROM e) + 1)) AS i),
+       |dims AS (
+       |  SELECT d.i, var_samp(e.v[d.i]) AS dv FROM e CROSS JOIN d
+       |  GROUP BY 1),
+       |tot AS (SELECT sum(dv) AS t FROM dims)
+       |SELECT p.component, round(p.pv / tot.t, 6) AS explained_variance
+       |FROM proj p CROSS JOIN tot
+       |ORDER BY component""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_embedding_pca" -> ((s: SparkSession, d: String) => embeddingPca(s, d)),
@@ -177,5 +213,6 @@ object SimQueries {
     "q49_cross_modal" -> q49Sql,
     "q30_knn_exact" -> q30Sql,
     "q31_embedding_neardup" -> q31Sql,
-    "q32_label_centroids" -> q32Sql)
+    "q32_label_centroids" -> q32Sql,
+    "nq_embedding_pca" -> pcaSql)
 }

@@ -82,6 +82,29 @@ object NearDup {
     val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
       .setNumHashTables(8).setSeed(42)
     val model = lsh.fit(vecs)
+    if (graft.OracleDump.enabled) {
+      // the estimator's engine half dumps as data — each doc's nonzero
+      // HashingTF indices (murmur3 term hashing) and the fitted hash
+      // family's (a, b) pairs — and the oracle re-runs Spark's own
+      // published tail in exact BIGINT arithmetic: per-table signature
+      // min((1+idx)·a + b mod HASH_PRIME), OR-amplified table-value
+      // collision join, true-jaccard key distance, threshold filter
+      val spark = s
+      import spark.implicits._
+      val idxUdf = udf { v: org.apache.spark.ml.linalg.Vector =>
+        v.toSparse.indices
+      }
+      graft.OracleDump.dump(
+        vecs.select(col("doc_id"),
+          explode(idxUdf(col("features"))).as("idx")),
+        s"$MllibOracleDumpDir/mllib_idx.parquet")
+      graft.OracleDump.dump(
+        org.apache.spark.ml.feature.GraftLshAccess.coefficients(model)
+          .zipWithIndex
+          .map { case ((a, b), t) => (t, a.toLong, b.toLong) }.toSeq
+          .toDF("t", "a", "b"),
+        s"$MllibOracleDumpDir/mllib_coef.parquet")
+    }
     model.approxSimilarityJoin(vecs, vecs, 0.9, "jaccard_dist")
       .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
       .select(col("datasetA.doc_id").as("d1"),
@@ -723,8 +746,50 @@ object NearDup {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  private[graft] val MllibOracleDumpDir = "/tmp/graft_mllib_oracle"
+
+  // nq_minhash_mllib: Spark's MinHashLSH tail re-run by DuckDB over the
+  // dumped per-doc feature indices and fitted coefficients — signatures
+  // in exact BIGINT arithmetic, candidate generation as the same
+  // (table, value) collision equi-join, distance as the same
+  // 1 − |∩|/|∪| double expression (operand order mirrored, down to the
+  // double negation approxSimilarityJoin's distCol round-trip applies).
+  private def minhashMllibSql: String =
+    s"""WITH el AS (SELECT * FROM
+       |  read_parquet('$MllibOracleDumpDir/mllib_idx.parquet/*.parquet')),
+       |coef AS (SELECT * FROM
+       |  read_parquet('$MllibOracleDumpDir/mllib_coef.parquet/*.parquet')),
+       |sig AS (
+       |  SELECT el.doc_id, coef.t,
+       |    min(((1 + el.idx) * coef.a + coef.b) % ${
+         org.apache.spark.ml.feature.GraftLshAccess.HashPrime}) AS hv
+       |  FROM el CROSS JOIN coef GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT s1.doc_id AS d1, s2.doc_id AS d2
+       |  FROM sig s1 JOIN sig s2
+       |    ON s1.t = s2.t AND s1.hv = s2.hv AND s1.doc_id < s2.doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM el GROUP BY 1),
+       |inter AS (
+       |  SELECT c.d1, c.d2, count(*) AS ni
+       |  FROM cand c
+       |  JOIN el e1 ON e1.doc_id = c.d1
+       |  JOIN el e2 ON e2.doc_id = c.d2 AND e2.idx = e1.idx
+       |  GROUP BY 1, 2),
+       |dist AS (
+       |  SELECT c.d1, c.d2,
+       |    1 - coalesce(i.ni, 0)::DOUBLE
+       |        / (z1.n + z2.n - coalesce(i.ni, 0)) AS jd
+       |  FROM cand c
+       |  LEFT JOIN inter i ON i.d1 = c.d1 AND i.d2 = c.d2
+       |  JOIN sizes z1 ON z1.doc_id = c.d1
+       |  JOIN sizes z2 ON z2.doc_id = c.d2)
+       |SELECT d1, d2, round(1 - jd, 4) AS jaccard_est
+       |FROM dist WHERE jd < 0.9
+       |ORDER BY d1, d2""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "nq_minhash_neardup" -> minhashFullSql,
     "nq_dedup_incremental" -> incrementalSql,
-    "nq_simhash_neardup" -> simhashSql)
+    "nq_simhash_neardup" -> simhashSql,
+    "nq_minhash_mllib" -> minhashMllibSql)
 }
