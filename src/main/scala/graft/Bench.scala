@@ -75,7 +75,17 @@ object Bench {
     // store's first invocation and excluded by the median-of-3 — that
     // amortization IS the operators' contract (build once / serve
     // many), unlike the result-memoization clearMemo() guards against
-    "nq_ivfpq_store", "nq_semantic_dedup_inc", "q81_substr_stored")
+    "nq_ivfpq_store", "nq_semantic_dedup_inc", "q81_substr_stored",
+    // round-10 continued: the KMV theta-sketch pair — per-group
+    // k-bounded distinct sketches and the sketch-only set-intersection
+    // estimate (the capability HLL lacks); both ride one shingle-hash
+    // pass + an ObjectHashAggregate whose exchange carries ≤ k longs
+    // per (group, partition)
+    "nq_kmv_distinct", "nq_kmv_intersect",
+    // round-10 continued: learned-BPE end to end — type-table extract,
+    // driver-side merge learning over the bounded type table, distinct-
+    // word encode + corpus join-back
+    "q82_bpe_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -31,5 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.BoundedTopK].getName, "top_k"),
       functions.VecFunctions.binary("top_k",
         (c, k) => functions.BoundedTopK(c, k))))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[functions.KmvSketch].getName, "kmv_sketch"),
+      functions.VecFunctions.binary("kmv_sketch",
+        (c, k) => functions.KmvSketch(c, k))))
   }
 }

@@ -34,7 +34,7 @@ object SparkEntry {
       text.Scrub.queries ++ text.SubstrDedup.queries ++
       text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
-      sources.VideoSource.queries
+      sources.VideoSource.queries ++ text.Bpe.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -82,5 +82,13 @@ object SparkEntry {
       // means / integer-luma histograms / per-frame means re-aggregated
       // by DuckDB over dumped decoded pixels (the codec half ships as
       // inputs)
-      sources.ImageSource.oracle ++ sources.VideoSource.oracle
+      sources.ImageSource.oracle ++ sources.VideoSource.oracle ++
+      // round-10 continued: the KMV theta-sketch family — deterministic
+      // given the (DuckDB-replicated) xxhash64, so distinct AND
+      // set-intersection estimates hash-check end to end
+      rel.ApproxQueries.oracle ++
+      // round-10 continued: the learned-BPE corpus-application tail
+      // (tokenize → type join → per-doc aggregate) over the dumped
+      // per-type subword counts
+      text.Bpe.oracle
 }

@@ -136,5 +136,9 @@ object VecFunctions {
       // wraps it in AggregateExpression, same as Spark's built-in aggs
       reg.createOrReplaceTempFunction("top_k",
         binary("top_k", (c, k) => BoundedTopK(c, k)), "built-in")
+    val kmv = org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_sketch")
+    if (!reg.functionExists(kmv))
+      reg.createOrReplaceTempFunction("kmv_sketch",
+        binary("kmv_sketch", (c, k) => KmvSketch(c, k)), "built-in")
   }
 }

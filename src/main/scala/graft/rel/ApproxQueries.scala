@@ -4,15 +4,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables._
 
-/** Sketch-based aggregates (SURVEY §2.K): HLL++ approximate distinct
-  * and KLL-style approximate percentiles.
+/** Sketch-based aggregates (SURVEY §2.K): HLL++ approximate distinct,
+  * KLL-style approximate percentiles, and the KMV theta-sketch family.
   * The 100 TB story: exact countDistinct (q11) needs a two-phase
   * shuffle of every distinct key, and exact percentile_cont (q39)
-  * buffers every group value for the interpolation sort — both sketches
-  * reduce that to fixed-size mergeable summaries (map-side partials,
-  * constant network). The sketch implementations differ between engines,
-  * so values aren't oracle-comparable → rows-only checks here, and the
-  * test suite asserts bounded error vs the exact queries instead.
+  * buffers every group value for the interpolation sort — all sketches
+  * here reduce that to fixed-size mergeable summaries (map-side
+  * partials, constant network). The HLL/GK sketch internals differ
+  * between engines, so those two stay rows-only with error-bound specs;
+  * the KMV sketch (`functions.KmvSketch`) is fully DETERMINISTIC given
+  * the hash column, so its whole pipeline — Spark's xxhash64 replicated
+  * integer-exactly in DuckDB, k-smallest-distinct selection, estimator
+  * arithmetic — is hard-oracle-checked.
   */
 object ApproxQueries {
 
@@ -42,7 +45,121 @@ object ApproxQueries {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
 
+  // ------------------------------------------------- KMV theta sketch
+  // u(h) maps the SIGNED 64-bit hash order onto [0,1): both engines run
+  // the identical double chain (h → double, + 2⁶³, ÷ 2⁶⁴ — each
+  // constant exactly representable), so estimates compare bitwise.
+  private val U1 = 9.223372036854775808e18 // 2^63
+  private val U2 = 1.8446744073709551616e19 // 2^64
+  private def u(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (c.cast("double") + lit(U1)) / lit(U2)
+
+  /** Per-lang KMV sketch of the distinct-shingle universe:
+    * (lang, sketch ARRAY<BIGINT>). One narrow hash pass + one k-bounded
+    * aggregate — the shuffle carries ≤ k longs per (lang, partition).
+    */
+  private def langSketches(s: SparkSession, d: String, k: Int): DataFrame = {
+    graft.functions.VecFunctions.register(s)
+    graft.text.NearDup.shingles(s, d)
+      .select(col("doc_id"), explode(col("shingles")).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("h"))
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
+  }
+
+  /** Distinct shingles per lang via the KMV estimator: an under-full
+    * sketch IS the exact distinct set; a full one estimates
+    * (k−1)/u(h_(k)) (Beyer et al. 2007). */
+  def kmvDistinct(s: SparkSession, d: String, k: Int = 256): DataFrame =
+    langSketches(s, d, k)
+      .select(col("lang"),
+        round(when(size(col("sk")) < k, size(col("sk")).cast("double"))
+          .otherwise(lit((k - 1).toDouble) / u(element_at(col("sk"), k))), 4)
+          .as("est_distinct_shingles"))
+      .orderBy("lang")
+
+  /** Cross-lang shingle-set OVERLAP from the sketches alone — the
+    * capability HLL cannot give: θ = min of the two sketch thresholds
+    * (1.0 for an under-full = complete sketch), the intersection
+    * estimate is |{x ∈ sk_A ∩ sk_B : u(x) < θ}| / θ. Raw data is never
+    * rescanned: pre-aggregated per-group sketches join pairwise (a
+    * group-count-sized relation — the broadcast NLJ is over #langs
+    * rows, not data). */
+  def kmvIntersect(s: SparkSession, d: String, k: Int = 256): DataFrame = {
+    val sk = langSketches(s, d, k)
+    def theta(skCol: org.apache.spark.sql.Column) =
+      when(size(skCol) < k, lit(1.0)).otherwise(u(element_at(skCol, k)))
+    val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
+    val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
+    a.join(broadcast(b), col("lang_a") < col("lang_b"))
+      .withColumn("theta", least(theta(col("ska")), theta(col("skb"))))
+      .select(col("lang_a"), col("lang_b"),
+        round(size(filter(array_intersect(col("ska"), col("skb")),
+            x => u(x) < col("theta"))).cast("double") / col("theta"), 4)
+          .as("est_common_shingles"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  // DuckDB replica: the xxhash64 chain (shared with the SimHash oracle)
+  // ends in tokh(doc_id, hu UHUGEINT); convert to the signed order the
+  // sketch uses, take the k smallest DISTINCT per lang, and run the
+  // same estimator arithmetic.
+  private def kmvCtes(k: Int): String =
+    graft.text.NearDup.xxhashTokhCtes + s""",
+       |lsk AS (
+       |  SELECT lang, hs, row_number() OVER (
+       |    PARTITION BY lang ORDER BY hs) AS rn
+       |  FROM (SELECT DISTINCT d.lang,
+       |          CASE WHEN t.hu >= 9223372036854775808
+       |            THEN (t.hu::HUGEINT - 18446744073709551616)::BIGINT
+       |            ELSE t.hu::BIGINT END AS hs
+       |        FROM tokh t JOIN documents d USING (doc_id))),
+       |sk AS (SELECT lang, hs, rn FROM lsk WHERE rn <= $k),
+       |agg AS (SELECT lang, count(*) AS m, max(hs) AS kth
+       |        FROM sk GROUP BY 1)""".stripMargin
+
+  private def kmvDistinctSql(k: Int): String = kmvCtes(k) + s"""
+       |SELECT lang,
+       |  round(CASE WHEN m < $k THEN m::DOUBLE
+       |    ELSE ${(k - 1).toDouble} /
+       |      ((kth::DOUBLE + 9223372036854775808.0)
+       |        / 18446744073709551616.0) END, 4) AS est_distinct_shingles
+       |FROM agg ORDER BY lang""".stripMargin
+
+  private def kmvIntersectSql(k: Int): String = kmvCtes(k) + s""",
+       |th AS (
+       |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+       |    least(
+       |      CASE WHEN a.m < $k THEN 1.0
+       |        ELSE (a.kth::DOUBLE + 9223372036854775808.0)
+       |          / 18446744073709551616.0 END,
+       |      CASE WHEN b.m < $k THEN 1.0
+       |        ELSE (b.kth::DOUBLE + 9223372036854775808.0)
+       |          / 18446744073709551616.0 END) AS theta
+       |  FROM agg a JOIN agg b ON a.lang < b.lang),
+       |com AS (
+       |  SELECT t.lang_a, t.lang_b, count(*) AS c
+       |  FROM th t
+       |  JOIN sk s1 ON s1.lang = t.lang_a
+       |  JOIN sk s2 ON s2.lang = t.lang_b AND s2.hs = s1.hs
+       |  WHERE (s1.hs::DOUBLE + 9223372036854775808.0)
+       |          / 18446744073709551616.0 < t.theta
+       |  GROUP BY 1, 2)
+       |SELECT t.lang_a, t.lang_b,
+       |  round(coalesce(c.c, 0)::DOUBLE / t.theta, 4)
+       |    AS est_common_shingles
+       |FROM th t LEFT JOIN com c
+       |  ON c.lang_a = t.lang_a AND c.lang_b = t.lang_b
+       |ORDER BY t.lang_a, t.lang_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_approx_distinct" -> (approxDistinct _),
-    "nq_approx_percentiles" -> (approxPercentiles _))
+    "nq_approx_percentiles" -> (approxPercentiles _),
+    "nq_kmv_distinct" -> ((s: SparkSession, d: String) => kmvDistinct(s, d)),
+    "nq_kmv_intersect" -> ((s: SparkSession, d: String) => kmvIntersect(s, d)))
+
+  val oracle: Map[String, String] = Map(
+    "nq_kmv_distinct" -> kmvDistinctSql(256),
+    "nq_kmv_intersect" -> kmvIntersectSql(256))
 }

@@ -663,7 +663,13 @@ object NearDup {
   private def rotlSql(e: String, r: Int): String =
     s"((( $e ) * ${1L << r}) % $m64Sql + (( $e ) // ${1L << (64 - r)})) % $m64Sql"
 
-  private[text] val simhashSql: String = {
+  /** DuckDB CTE chain replicating Spark's `xxhash64` (seed 42) over each
+    * doc's distinct word-3-gram shingles, ending in
+    * `tokh(doc_id, hu UHUGEINT)` — one row per (doc, shingle). Shared
+    * prefix of the SimHash oracle and the KMV-sketch oracle; see
+    * [[simhashSql]]'s scaladoc for the lane-for-lane validation story.
+    */
+  private[graft] val xxhashTokhCtes: String = {
     // 8-byte-lane fold step: h' = rotl27(h ^ rotl31(wv·P2)·P1) · P1 + P4
     val k1 = s"((${rotlSql(s"((wv * $xxP2) % $m64Sql)", 31)}) * $xxP1) % $m64Sql"
     val wordStep = s"((${rotlSql(s"xor(h, $k1)", 27)}) * $xxP1 + $xxP4) % $m64Sql"
@@ -721,7 +727,10 @@ object NearDup {
        |  AS z FROM h3),
        |a2 AS (SELECT doc_id, (xor(z, z // 536870912) * $xxP3) % $m64Sql
        |  AS z2 FROM a1),
-       |tokh AS (SELECT doc_id, xor(z2, z2 // 4294967296) AS hu FROM a2),
+       |tokh AS (SELECT doc_id, xor(z2, z2 // 4294967296) AS hu FROM a2)""".stripMargin
+  }
+
+  private[text] val simhashSql: String = xxhashTokhCtes + s""",
        |vb AS (SELECT doc_id, unnest(range(0, 64)) AS b, hu FROM tokh),
        |vs AS (SELECT doc_id, b,
        |  CASE WHEN sum(CASE WHEN (hu // CAST(power(2, b) AS UHUGEINT)) % 2 = 1
@@ -744,7 +753,6 @@ object NearDup {
        |  JOIN bitsl by ON by.doc_id = d2)
        |SELECT d1, d2, hamming FROM ham WHERE hamming <= 3
        |ORDER BY d1, d2""".stripMargin
-  }
 
   private[graft] val MllibOracleDumpDir = "/tmp/graft_mllib_oracle"
 
