@@ -85,7 +85,11 @@ object Bench {
     // round-10 continued: learned-BPE end to end — type-table extract,
     // driver-side merge learning over the bounded type table, distinct-
     // word encode + corpus join-back
-    "q82_bpe_stats")
+    "q82_bpe_stats",
+    // round-10 continued: the z-order Morton mapping + total order —
+    // the write-side layout pass (quantize + interleave fold + range
+    // sort)
+    "nq_zorder")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

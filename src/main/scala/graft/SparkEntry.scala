@@ -34,7 +34,8 @@ object SparkEntry {
       text.Scrub.queries ++ text.SubstrDedup.queries ++
       text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
-      sources.VideoSource.queries ++ text.Bpe.queries
+      sources.VideoSource.queries ++ text.Bpe.queries ++
+      rel.Layout.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -90,5 +91,8 @@ object SparkEntry {
       // round-10 continued: the learned-BPE corpus-application tail
       // (tokenize → type join → per-doc aggregate) over the dumped
       // per-type subword counts
-      text.Bpe.oracle
+      text.Bpe.oracle ++
+      // round-10 continued: the z-order layout's Morton mapping —
+      // exact integral quantization + bit interleave in both engines
+      rel.Layout.oracle
 }
