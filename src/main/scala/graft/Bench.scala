@@ -89,7 +89,12 @@ object Bench {
     // round-10 continued: the z-order Morton mapping + total order —
     // the write-side layout pass (quantize + interleave fold + range
     // sort)
-    "nq_zorder")
+    "nq_zorder",
+    // round-10 continued: the KMV store's cross-batch intersection read
+    // path (persisted per-batch sketches, union-truncate merge,
+    // sketch-only pairwise overlap; store build amortized like the
+    // other store entries)
+    "nq_kmv_store")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

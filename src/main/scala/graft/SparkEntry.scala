@@ -35,7 +35,7 @@ object SparkEntry {
       text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
       sources.VideoSource.queries ++ text.Bpe.queries ++
-      rel.Layout.queries
+      rel.Layout.queries ++ rel.KmvStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -94,5 +94,10 @@ object SparkEntry {
       text.Bpe.oracle ++
       // round-10 continued: the z-order layout's Morton mapping —
       // exact integral quantization + bit interleave in both engines
-      rel.Layout.oracle
+      rel.Layout.oracle ++
+      // round-10 continued: the KMV store's cross-batch intersection
+      // estimates — merged-store ≡ monolithic is exact for KMV, so the
+      // oracle recomputes straight from raw events via the XXH64
+      // replica
+      rel.KmvStore.oracle
 }

@@ -51,8 +51,33 @@ object ApproxQueries {
   // constant exactly representable), so estimates compare bitwise.
   private val U1 = 9.223372036854775808e18 // 2^63
   private val U2 = 1.8446744073709551616e19 // 2^64
-  private def u(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[rel] def u(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
     (c.cast("double") + lit(U1)) / lit(U2)
+
+  /** A full sketch's threshold u(h_(k)); 1.0 for an under-full
+    * (= complete) sketch. */
+  private[rel] def theta(skCol: org.apache.spark.sql.Column, k: Int)
+      : org.apache.spark.sql.Column =
+    when(size(skCol) < k, lit(1.0)).otherwise(u(element_at(skCol, k)))
+
+  /** Pairwise set-intersection estimates from a (group, sketch)
+    * relation alone: for each group pair (a < b), θ = min(θ_a, θ_b) and
+    * the estimate is |{x ∈ sk_a ∩ sk_b : u(x) < θ}| / θ. The join is
+    * over the group-count-sized sketch relation — raw data is never
+    * rescanned. */
+  private[rel] def intersectSketches(sk: DataFrame, groupCol: String,
+      k: Int, aName: String, bName: String, estName: String): DataFrame = {
+    val a = sk.select(col(groupCol).as(aName), col("sk").as("ska"))
+    val b = sk.select(col(groupCol).as(bName), col("sk").as("skb"))
+    a.join(broadcast(b), col(aName) < col(bName))
+      .withColumn("theta", least(theta(col("ska"), k), theta(col("skb"), k)))
+      .select(col(aName), col(bName),
+        round(size(filter(array_intersect(col("ska"), col("skb")),
+            x => u(x) < col("theta"))).cast("double") / col("theta"), 4)
+          .as(estName))
+      .orderBy(aName, bName)
+  }
 
   /** Per-lang KMV sketch of the distinct-shingle universe:
     * (lang, sketch ARRAY<BIGINT>). One narrow hash pass + one k-bounded
@@ -86,20 +111,9 @@ object ApproxQueries {
     * rescanned: pre-aggregated per-group sketches join pairwise (a
     * group-count-sized relation — the broadcast NLJ is over #langs
     * rows, not data). */
-  def kmvIntersect(s: SparkSession, d: String, k: Int = 256): DataFrame = {
-    val sk = langSketches(s, d, k)
-    def theta(skCol: org.apache.spark.sql.Column) =
-      when(size(skCol) < k, lit(1.0)).otherwise(u(element_at(skCol, k)))
-    val a = sk.select(col("lang").as("lang_a"), col("sk").as("ska"))
-    val b = sk.select(col("lang").as("lang_b"), col("sk").as("skb"))
-    a.join(broadcast(b), col("lang_a") < col("lang_b"))
-      .withColumn("theta", least(theta(col("ska")), theta(col("skb"))))
-      .select(col("lang_a"), col("lang_b"),
-        round(size(filter(array_intersect(col("ska"), col("skb")),
-            x => u(x) < col("theta"))).cast("double") / col("theta"), 4)
-          .as("est_common_shingles"))
-      .orderBy("lang_a", "lang_b")
-  }
+  def kmvIntersect(s: SparkSession, d: String, k: Int = 256): DataFrame =
+    intersectSketches(langSketches(s, d, k), "lang", k,
+      "lang_a", "lang_b", "est_common_shingles")
 
   // DuckDB replica: the xxhash64 chain (shared with the SimHash oracle)
   // ends in tokh(doc_id, hu UHUGEINT); convert to the signed order the

@@ -265,14 +265,20 @@ object Mixing {
     * splice e.g. ", lang" (domain mix) or "" (shuffle shard, q65).
     */
   private[text] def xxh64Ctes(extraCols: String): String =
+    xxh64CtesOver("documents", "doc_id", extraCols)
+
+  /** The same chain over any (table, idCol) — e.g. the KMV store's
+    * xxhash64(user_id, 42) over events. */
+  private[graft] def xxh64CtesOver(table: String, idCol: String,
+      extraCols: String): String =
     s"""WITH c AS (SELECT CAST(18446744073709551616 AS UHUGEINT) AS m64,
        |             CAST(11400714785074694791 AS UHUGEINT) AS p1,
        |             CAST(14029467366897019727 AS UHUGEINT) AS p2,
        |             CAST(1609587929392839161 AS UHUGEINT) AS p3,
        |             CAST(9650029242287828579 AS UHUGEINT) AS p4,
        |             CAST(2870177450012600261 AS UHUGEINT) AS p5),
-       |ids AS (SELECT doc_id$extraCols, CAST(doc_id AS UHUGEINT) AS x,
-       |               m64, p1, p2, p3, p4, p5 FROM documents, c),
+       |ids AS (SELECT $idCol$extraCols, CAST($idCol AS UHUGEINT) AS x,
+       |               m64, p1, p2, p3, p4, p5 FROM $table, c),
          |r1a AS (SELECT *, (x * p2) % m64 AS k FROM ids),
          |r1b AS (SELECT * EXCLUDE k,
          |  (((k * 2147483648) % m64 + k // 8589934592) * p1) % m64 AS k2
@@ -301,7 +307,7 @@ object Mixing {
          |  (xor(h3, h3 // 8589934592) * p2) % m64 AS h4 FROM r2d),
          |r2g AS (SELECT * EXCLUDE h4,
          |  (xor(h4, h4 // 536870912) * p3) % m64 AS h5 FROM r2f),
-         |r2h AS (SELECT doc_id$extraCols, xor(h5, h5 // 4294967296) AS hh
+         |r2h AS (SELECT $idCol$extraCols, xor(h5, h5 // 4294967296) AS hh
          |  FROM r2g)""".stripMargin
 
   val oracle: Map[String, String] = {

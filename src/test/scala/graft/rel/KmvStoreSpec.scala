@@ -1,0 +1,105 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KmvStore: the exactness claim that distinguishes the KMV store from
+  * the HLL one — merged per-batch sketches EQUAL the monolithic sketch
+  * (not just its estimate) under any batch split; replay idempotence on
+  * both estimates and store size; and store-derived intersections equal
+  * the direct computation.
+  */
+class KmvStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 64
+
+  private def hashed = graft.Tables.events(spark, sf0001)
+    .select(col("event_id"), col("event_type"),
+      xxhash64(col("user_id"), lit(42L)).as("h"))
+
+  private def collectSketches(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toSeq
+
+  test("merged per-batch sketches EQUAL the monolithic sketch, any split") {
+    val mono = collectSketches(
+      KmvStore.sketchBatch(hashed, Seq("event_type"), "h", K))
+    for (nBatches <- Seq(2, 5)) {
+      val perBatch = (0 until nBatches).map(b =>
+        KmvStore.sketchBatch(
+          hashed.filter(pmod(col("event_id"), lit(nBatches)) === b),
+          Seq("event_type"), "h", K))
+      val merged = collectSketches(
+        KmvStore.mergeSketches(perBatch.reduce(_ unionAll _),
+          Seq("event_type"), K))
+      assert(merged === mono, s"split into $nBatches batches")
+    }
+  }
+
+  test("redelivered batch: no-op on sketches AND on store size") {
+    val dir = java.nio.file.Files.createTempDirectory("kmvsp").toString
+    val path = s"$dir/kmv.parquet"
+    (0 until 3).foreach { b =>
+      KmvStore.applyBatch(hashed.filter(pmod(col("event_id"), lit(3)) === b),
+        Seq("event_type"), "h", path, b.toLong, K)
+    }
+    val before = collectSketches(
+      KmvStore.sketchesFromStore(spark, path, Seq("event_type"), K))
+    def nFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(path))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val filesBefore = nFiles
+    // redeliver batch 1 (at-least-once recovery)
+    KmvStore.applyBatch(hashed.filter(pmod(col("event_id"), lit(3)) === 1),
+      Seq("event_type"), "h", path, 1L, K)
+    val after = collectSketches(
+      KmvStore.sketchesFromStore(spark, path, Seq("event_type"), K))
+    assert(after === before)
+    assert(nFiles === filesBefore, "dynamic overwrite keeps size stable")
+  }
+
+  test("store-derived intersections equal the direct computation") {
+    val dir = java.nio.file.Files.createTempDirectory("kmvsp2").toString
+    val path = s"$dir/kmv.parquet"
+    (0 until 4).foreach { b =>
+      KmvStore.applyBatch(hashed.filter(pmod(col("event_id"), lit(4)) === b),
+        Seq("event_type"), "h", path, b.toLong, K)
+    }
+    val fromStore = ApproxQueries.intersectSketches(
+        KmvStore.sketchesFromStore(spark, path, Seq("event_type"), K),
+        "event_type", K, "type_a", "type_b", "est")
+      .collect().map(_.toSeq)
+    val direct = ApproxQueries.intersectSketches(
+        KmvStore.sketchBatch(hashed, Seq("event_type"), "h", K),
+        "event_type", K, "type_a", "type_b", "est")
+      .collect().map(_.toSeq)
+    assert(fromStore.nonEmpty && fromStore.toSeq === direct.toSeq)
+  }
+
+  test("intersection estimates land near truth on the events corpus") {
+    val est = KmvStore.nqKmvStore(spark, sf0001, k = K)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+      .select("event_type", "user_id").distinct()
+    val truth = ev.as("a")
+      .join(ev.as("b"), col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(est.nonEmpty)
+    est.foreach { case (pair, e) =>
+      val t = truth.getOrElse(pair, 0L).toDouble
+      // k=64 → RSE ≈ 1/√62 ≈ 13% on the union scale; the intersection
+      // inherits extra variance — assert a generous 4σ-ish envelope
+      // plus an absolute floor for tiny overlaps
+      assert(math.abs(e - t) <= math.max(0.6 * math.max(t, 1.0), 15.0),
+        s"$pair est=$e truth=$t")
+    }
+  }
+}
