@@ -149,6 +149,21 @@ object KmvStore {
        |  ON c.type_a = t.type_a AND c.type_b = t.type_b
        |ORDER BY t.type_a, t.type_b""".stripMargin
 
+  /** Streaming ingest of the store: each micro-batch sketched into its
+    * own batch_id partition via foreachBatch. Like the HLL store —
+    * and unlike the additive heavy-hitter counts — the union-truncate
+    * merge is idempotent, so at-least-once delivery composes into
+    * exactly-once sketches with NO batch-id fence; dynamic overwrite
+    * additionally keeps a replayed trigger a no-op on store size. */
+  def kmvStream(stream: DataFrame, groupCols: Seq[String], hashCol: String,
+      storePath: String, k: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, groupCols, hashCol, storePath, batchId, k)
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_kmv_store" -> ((s: SparkSession, d: String) => nqKmvStore(s, d)))
 

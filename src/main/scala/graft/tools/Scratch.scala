@@ -66,6 +66,60 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("newscale")) {
+      // scale probe for the round-10 additions (KMV / BPE / z-order /
+      // KMV store): replicate documents and lineitem Nx (default 10)
+      // and compare against the 1x runs — all four must scale ~linearly
+      // (sketch state is k-bounded, BPE's driver work is type-table-
+      // bounded, z-order is one range shuffle).
+      val fac = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val docs0 = graft.Tables.documents(spark, d)
+      val docsN = (0 until fac).map { r =>
+        docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copymark$r")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      val li0 = graft.Tables.lineitem(spark, d)
+      val liN = (0 until fac).map { r =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L))
+      }.reduce(_ unionAll _)
+      val ev0 = graft.Tables.events(spark, d)
+      val evN = (0 until fac).map { r =>
+        ev0.withColumn("event_id", col("event_id") + lit(r * 100000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 1000000L))
+      }.reduce(_ unionAll _)
+      val tmp = java.nio.file.Files.createTempDirectory("newscale").toString
+      docsN.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      liN.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      evN.write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      println(s"[newscale] ${fac}x corpus staged at $tmp")
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      // warm codegen on the 1x paths first, then time 1x vs Nx
+      noop(graft.rel.ApproxQueries.kmvDistinct(spark, d))
+      time("kmv distinct+intersect 1x") {
+        noop(graft.rel.ApproxQueries.kmvDistinct(spark, d))
+        noop(graft.rel.ApproxQueries.kmvIntersect(spark, d))
+      }
+      time(s"kmv distinct+intersect ${fac}x") {
+        noop(graft.rel.ApproxQueries.kmvDistinct(spark, tmp))
+        noop(graft.rel.ApproxQueries.kmvIntersect(spark, tmp))
+      }
+      time("bpe stats 1x") { noop(graft.text.Bpe.q82BpeStats(spark, d)) }
+      time(s"bpe stats ${fac}x") {
+        noop(graft.text.Bpe.q82BpeStats(spark, tmp))
+      }
+      time("zorder 1x") { noop(graft.rel.Layout.nqZorder(spark, d)) }
+      time(s"zorder ${fac}x") { noop(graft.rel.Layout.nqZorder(spark, tmp)) }
+      time("kmv store build+intersect 1x") {
+        noop(graft.rel.KmvStore.nqKmvStore(spark, d))
+      }
+      time(s"kmv store build+intersect ${fac}x") {
+        noop(graft.rel.KmvStore.nqKmvStore(spark, tmp))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("curation")) {
       // end-to-end curation probe on the 10x replicated corpus (50k docs
       // with 9 strong near-dups per original): exact dedup -> near-dup

@@ -79,6 +79,35 @@ class KmvStoreSpec extends SparkSpec {
     assert(fromStore.nonEmpty && fromStore.toSeq === direct.toSeq)
   }
 
+  test("streaming ingest maintains the store; sketches equal monolithic") {
+    val dir = java.nio.file.Files.createTempDirectory("kmvstream")
+    try {
+      val src = dir.resolve("src"); java.nio.file.Files.createDirectory(src)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+        src.resolve("events.parquet"))
+      val store = dir.resolve("store.parquet").toString
+      val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+      val stream = spark.readStream.schema(schema).parquet(src.toString)
+        .select(col("event_type"),
+          xxhash64(col("user_id"), lit(42L)).as("h"))
+      val q = KmvStore.kmvStream(stream, Seq("event_type"), "h", store, K)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val streamed = collectSketches(
+        KmvStore.sketchesFromStore(spark, store, Seq("event_type"), K))
+      val mono = collectSketches(
+        KmvStore.sketchBatch(hashed, Seq("event_type"), "h", K))
+      assert(streamed.nonEmpty && streamed === mono)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("intersection estimates land near truth on the events corpus") {
     val est = KmvStore.nqKmvStore(spark, sf0001, k = K)
       .collect()
