@@ -94,7 +94,11 @@ object Bench {
     // path (persisted per-batch sketches, union-truncate merge,
     // sketch-only pairwise overlap; store build amortized like the
     // other store entries)
-    "nq_kmv_store")
+    "nq_kmv_store",
+    // round-10 continued: resample + linear gap interpolation — dense
+    // per-key spine + two ignoreNulls windows, exact micro-unit
+    // arithmetic
+    "q84_gapfill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

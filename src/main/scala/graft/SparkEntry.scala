@@ -35,7 +35,7 @@ object SparkEntry {
       text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
       sources.VideoSource.queries ++ text.Bpe.queries ++
-      rel.Layout.queries ++ rel.KmvStore.queries
+      rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -99,5 +99,8 @@ object SparkEntry {
       // estimates — merged-store ≡ monolithic is exact for KMV, so the
       // oracle recomputes straight from raw events via the XXH64
       // replica
-      rel.KmvStore.oracle
+      rel.KmvStore.oracle ++
+      // round-10 continued: resample + linear gap interpolation — the
+      // whole chain is exact arithmetic over round-6 bucket means
+      rel.Resample.oracle
 }
