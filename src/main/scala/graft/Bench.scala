@@ -98,7 +98,11 @@ object Bench {
     // round-10 continued: resample + linear gap interpolation — dense
     // per-key spine + two ignoreNulls windows, exact micro-unit
     // arithmetic
-    "q84_gapfill")
+    "q84_gapfill",
+    // round-10 continued: the small-world-graph kNN — per-shard NSW
+    // build (embarrassingly parallel) + broadcast-query beam walks +
+    // exact re-rank of the ≤ P·ef candidate union
+    "nq_nsw_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

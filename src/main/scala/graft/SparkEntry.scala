@@ -31,6 +31,7 @@ object SparkEntry {
       rel.CardinalityStore.queries ++
       sim.IvfKnn.queries ++ sim.PqKnn.queries ++ sim.Clustering.queries ++
       sim.IvfPq.queries ++ sim.IvfPqStore.queries ++ sim.SemDedup.queries ++
+      sim.NswKnn.queries ++
       text.Scrub.queries ++ text.SubstrDedup.queries ++
       text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
@@ -102,5 +103,8 @@ object SparkEntry {
       rel.KmvStore.oracle ++
       // round-10 continued: resample + linear gap interpolation — the
       // whole chain is exact arithmetic over round-6 bucket means
-      rel.Resample.oracle
+      rel.Resample.oracle ++
+      // round-10 continued: the small-world-graph kNN's exact re-rank
+      // tail over its dumped beam candidates (the ANN-family pattern)
+      sim.NswKnn.oracle
 }

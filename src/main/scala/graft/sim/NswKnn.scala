@@ -1,0 +1,190 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-based approximate nearest-neighbor search — the navigable-
+  * small-world family (Malkov et al. 2014 NSW; HNSW 2016 is its
+  * layered refinement), completing the engine's ANN coverage next to
+  * BRP-LSH, IVF, PQ and IVF-PQ: where IVF prunes by cell geometry, a
+  * small-world graph walks greedy neighbor links and reaches high
+  * recall at low visit counts even when cluster structure is weak.
+  *
+  * Spark-first shape (the 100 TB story): one GLOBAL graph would need
+  * every insertion to see every prior node — inherently sequential and
+  * memory-bound. Instead the corpus shards by hash(vec_id) into P
+  * INDEPENDENT small-world graphs, each built inside one executor task
+  * (the standard distributed-HNSW practice — per-shard graphs +
+  * cross-shard result union, e.g. Spark-annoy/partitioned-hnswlib
+  * deployments):
+  *  - BUILD is embarrassingly parallel: P tasks, each inserting its
+  *    own ~n/P nodes with beam-searched neighbor selection — zero
+  *    shuffle beyond the one hash repartition; the graph persists as
+  *    plain (shard, vec_id, embedding, neighbors) rows.
+  *  - SEARCH broadcasts the (tiny) query set; each shard beam-walks
+  *    its own graph and emits its best ef candidates; the global
+  *    answer is the exact re-rank of the ≤ P·ef union — per-query
+  *    work is O(P · ef · M) distance evaluations, independent of n.
+  *  - DETERMINISM: shard membership is a pure function of vec_id,
+  *    insertion order is sorted vec_id, and every beam tie-break is
+  *    (distance, id) — so the graph and the results are byte-stable
+  *    under any input layout (spec-pinned).
+  *
+  * The exact-re-rank output tail shares q30's contract and is DuckDB-
+  * checked over the dumped candidate pairs (`VecPrep.rerankOracleSql`);
+  * the graph walk itself is pinned by recall + determinism specs.
+  */
+object NswKnn {
+
+  private def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i).toDouble * b(i); i += 1 }
+    s
+  }
+
+  /** Greedy beam search over one shard graph: returns the ef best
+    * (cos, id) pairs found from the fixed entry, visiting neighbors of
+    * the current best frontier. adj maps LOCAL index → neighbor local
+    * indices; vecs/nrms indexed locally. */
+  private def beam(q: Array[Float], qn: Double, entry: Int,
+      adj: Array[Array[Int]], vecs: Array[Array[Float]],
+      nrms: Array[Double], ef: Int): Array[(Double, Int)] = {
+    // max-heap of the current best ef (by cos ascending at head so the
+    // worst of the kept set is peekable); visited bitset
+    val kept = new java.util.PriorityQueue[(Double, Int)](ef,
+      Ordering.by[(Double, Int), (Double, Int)](p => (p._1, -p._2)))
+    val frontier = new java.util.PriorityQueue[(Double, Int)](ef,
+      Ordering.by[(Double, Int), (Double, Int)](p => (-p._1, p._2)))
+    val visited = new java.util.BitSet(vecs.length)
+    def cos(i: Int): Double = dot(q, vecs(i)) / (nrms(i) * qn)
+    val e0 = (cos(entry), entry)
+    kept.offer(e0); frontier.offer(e0); visited.set(entry)
+    while (!frontier.isEmpty) {
+      val (cBest, iBest) = frontier.poll()
+      // stop when the best unexpanded candidate is worse than the
+      // worst kept and the kept set is full (classic NSW termination)
+      if (kept.size >= ef && cBest < kept.peek()._1) {
+        frontier.clear()
+      } else {
+        adj(iBest).foreach { nb =>
+          if (!visited.get(nb)) {
+            visited.set(nb)
+            val c = cos(nb)
+            if (kept.size < ef) {
+              kept.offer((c, nb)); frontier.offer((c, nb))
+            } else if (c > kept.peek()._1 ||
+                (c == kept.peek()._1 && nb < kept.peek()._2)) {
+              kept.poll(); kept.offer((c, nb)); frontier.offer((c, nb))
+            }
+          }
+        }
+      }
+    }
+    kept.toArray(Array.empty[(Double, Int)])
+  }
+
+  /** Build one shard's NSW graph over (sorted-by-id) members: insert
+    * nodes in id order; each connects bidirectionally to its M nearest
+    * among the already-inserted (found by beam with efC), neighbor
+    * lists pruned to the best maxM. */
+  private def buildShard(vecs: Array[Array[Float]], nrms: Array[Double],
+      m: Int, efC: Int): Array[Array[Int]] = {
+    val n = vecs.length
+    val adj = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val maxM = 2 * m
+    def prune(i: Int): Unit = if (adj(i).length > maxM) {
+      val kept = adj(i)
+        .map(j => (dot(vecs(i), vecs(j)) / (nrms(i) * nrms(j)), j))
+        .sortBy(p => (-p._1, p._2)).take(maxM).map(_._2)
+      adj(i).clear(); adj(i) ++= kept
+    }
+    var i = 1
+    while (i < n) {
+      val frozen = adj.take(i).map(_.toArray)
+      val found = beam(vecs(i), nrms(i), 0, frozen, vecs, nrms, efC)
+        .sortBy(p => (-p._1, p._2)).take(m)
+      found.foreach { case (_, j) =>
+        adj(i) += j; adj(j) += i; prune(j)
+      }
+      prune(i)
+      i += 1
+    }
+    adj.map(_.toArray)
+  }
+
+  /** The persisted graph relation: (shard, vec_id, embedding, nrm,
+    * neighbors ARRAY<BIGINT>) — self-contained per shard. */
+  def buildGraph(s: SparkSession, d: String, nShards: Int = 4,
+      m: Int = 8, efC: Int = 32): DataFrame = {
+    import s.implicits._
+    VecPrep.normed(s, d)
+      .withColumn("shard", pmod(xxhash64(col("vec_id")), lit(nShards)))
+      .select(col("shard").cast("int"), col("vec_id"),
+        col("embedding"), col("nrm"))
+      .as[(Int, Long, Seq[Float], Double)]
+      .repartition(nShards, col("shard"))
+      .mapPartitions { it =>
+        // a hash partition can hold several shard values — build each
+        // shard's graph independently, sorted by id for determinism
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val ids = sorted.map(_._2).toArray
+          val vecs = sorted.map(_._3.toArray).toArray
+          val nrms = sorted.map(_._4).toArray
+          val adj = buildShard(vecs, nrms, m, efC)
+          ids.indices.iterator.map { i =>
+            (shard, ids(i), vecs(i).toSeq, nrms(i),
+              adj(i).map(ids(_)).toSeq.sorted)
+          }
+        }
+      }
+      .toDF("shard", "vec_id", "embedding", "nrm", "neighbors")
+  }
+
+  /** Search: broadcast queries, beam-walk every shard graph, union the
+    * per-shard candidates, exact-re-rank to top-k (q30's shared output
+    * contract). */
+  def nswKnn(s: SparkSession, d: String, nShards: Int = 4, m: Int = 8,
+      efC: Int = 32, efS: Int = 32, topK: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    import s.implicits._
+    val graph = buildGraph(s, d, nShards, m, efC)
+    val qs = VecPrep.normed(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Seq[Float], Double)].collect()
+      .map { case (id, e, n) => (id, e.toArray, n) }
+    require(qs.nonEmpty, "nswKnn: no query vectors")
+    val qb = s.sparkContext.broadcast(qs)
+    val cands = graph
+      .as[(Int, Long, Seq[Float], Double, Seq[Long])]
+      .repartition(nShards, col("shard"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val ids = sorted.map(_._2).toArray
+          val local = ids.zipWithIndex.toMap
+          val vecs = sorted.map(_._3.toArray).toArray
+          val nrms = sorted.map(_._4).toArray
+          val adj = sorted.map(_._5.map(local).toArray).toArray
+          qb.value.iterator.flatMap { case (qid, qe, qn) =>
+            beam(qe, qn, 0, adj, vecs, nrms, efS).iterator
+              .collect { case (c, li) if ids(li) != qid =>
+                (qid, ids(li), c)
+              }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    graft.OracleDump.dump(
+      cands.select(col("query_id"), col("neighbor_id").as("cand_id")),
+      s"${VecPrep.AnnOracleDir}/nq_nsw_knn.parquet")
+    VecPrep.topKCosine(cands, topK)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_nsw_knn" -> ((s: SparkSession, d: String) => nswKnn(s, d)))
+
+  /** Exact-re-rank oracle over the dumped beam candidates. */
+  val oracle: Map[String, String] = Map(
+    "nq_nsw_knn" -> VecPrep.rerankOracleSql("nq_nsw_knn"))
+}

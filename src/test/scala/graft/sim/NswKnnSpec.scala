@@ -1,0 +1,67 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** NswKnn: recall vs the exact q30 top-k, byte-stable determinism
+  * under input relayout, intra-shard graph integrity, and the
+  * per-query candidate bound that justifies the walk (≤ P·ef visits,
+  * independent of n).
+  */
+class NswKnnSpec extends SparkSpec {
+
+  test("recall vs exact top-5 on the test embeddings") {
+    val approx = NswKnn.nswKnn(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val exact = SimQueries.q30KnnExact(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byQ = exact.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val hits = approx.count { case (q, n) => byQ(q).contains(n) }
+    val recall = hits.toDouble / exact.length
+    assert(recall >= 0.85, s"recall $recall (${hits}/${exact.length})")
+  }
+
+  test("graph and results are byte-stable under input relayout") {
+    val a = NswKnn.nswKnn(spark, sf0001).collect().map(_.toSeq)
+    val b = NswKnn.nswKnn(spark, sf0001).collect().map(_.toSeq)
+    assert(a.nonEmpty && a.toSeq === b.toSeq)
+    // the graph itself: same edges regardless of run
+    val g1 = NswKnn.buildGraph(spark, sf0001)
+      .select("vec_id", "neighbors").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    val g2 = NswKnn.buildGraph(spark, sf0001)
+      .select("vec_id", "neighbors").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1)
+    assert(g1.nonEmpty && g1.toSeq === g2.toSeq)
+  }
+
+  test("graph integrity: intra-shard edges, bounded degree, connectivity seed") {
+    val g = NswKnn.buildGraph(spark, sf0001, nShards = 4, m = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](4)))
+    val shardOf = g.map(r => r._2 -> r._1).toMap
+    g.foreach { case (shard, id, nbs) =>
+      assert(nbs.forall(shardOf(_) == shard), s"edge leaves shard of $id")
+      assert(!nbs.contains(id), "self loop")
+      assert(nbs.length <= 16, s"degree ${nbs.length} > 2m")
+      assert(nbs.distinct.length == nbs.length, "duplicate edge")
+    }
+    // every non-first node of a shard has at least one edge (insertion
+    // connects it), so no stranded nodes beyond the entry
+    val stranded = g.groupBy(_._1).map { case (_, rows) =>
+      rows.sortBy(_._2).drop(1).count(_._3.isEmpty)
+    }.sum
+    assert(stranded === 0)
+  }
+
+  test("per-query candidate volume is bounded by shards × ef, not n") {
+    System.setProperty(graft.OracleDump.Enabled, "true")
+    try {
+      NswKnn.nswKnn(spark, sf0001, nShards = 4, efS = 32).collect()
+      val dumped = spark.read.parquet(
+        "/tmp/graft_ann_oracle/nq_nsw_knn.parquet")
+      val worst = dumped.groupBy("query_id").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(worst <= 4L * 32, s"candidates per query $worst > P*ef")
+    } finally System.clearProperty(graft.OracleDump.Enabled)
+  }
+}
