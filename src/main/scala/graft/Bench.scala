@@ -101,8 +101,10 @@ object Bench {
     "q84_gapfill",
     // round-10 continued: the small-world-graph kNN — per-shard NSW
     // build (embarrassingly parallel) + broadcast-query beam walks +
-    // exact re-rank of the ≤ P·ef candidate union
-    "nq_nsw_knn")
+    // exact re-rank of the ≤ P·ef candidate union — plus its
+    // persisted-store search path (build amortized, the store-family
+    // contract)
+    "nq_nsw_knn", "nq_nsw_store")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -181,10 +181,87 @@ object NswKnn {
     VecPrep.topKCosine(cands, topK)
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_nsw_knn" -> ((s: SparkSession, d: String) => nswKnn(s, d)))
+  /** Persist the graph relation — build once / search many (the store
+    * family's contract: the IVF-PQ store, gram store, signature store
+    * precedent). Plain parquet partitioned by shard, so a search reads
+    * each shard's rows as one pruned scan. */
+  def writeGraph(s: SparkSession, d: String, path: String,
+      nShards: Int = 4, m: Int = 8, efC: Int = 32): Unit =
+    buildGraph(s, d, nShards, m, efC)
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
 
-  /** Exact-re-rank oracle over the dumped beam candidates. */
+  /** Search a PERSISTED graph: same beam walk, graph loaded from the
+    * store instead of rebuilt. Output ≡ [[nswKnn]] (same build
+    * parameters ⇒ same deterministic graph; spec-pinned). */
+  def nswKnnStored(s: SparkSession, d: String, storePath: String,
+      nShards: Int = 4, efS: Int = 32, topK: Int = 5,
+      nQueries: Int = 10): DataFrame = {
+    import s.implicits._
+    val graph = s.read.parquet(storePath)
+      .select(col("shard").cast("int"), col("vec_id"), col("embedding"),
+        col("nrm"), col("neighbors"))
+    val qs = VecPrep.normed(s, d).filter(col("vec_id") < nQueries)
+      .select(col("vec_id"), col("embedding"), col("nrm"))
+      .as[(Long, Seq[Float], Double)].collect()
+      .map { case (id, e, n) => (id, e.toArray, n) }
+    require(qs.nonEmpty, "nswKnnStored: no query vectors")
+    val qb = s.sparkContext.broadcast(qs)
+    val cands = graph
+      .as[(Int, Long, Seq[Float], Double, Seq[Long])]
+      .repartition(nShards, col("shard"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val ids = sorted.map(_._2).toArray
+          val local = ids.zipWithIndex.toMap
+          val vecs = sorted.map(_._3.toArray).toArray
+          val nrms = sorted.map(_._4).toArray
+          val adj = sorted.map(_._5.map(local).toArray).toArray
+          qb.value.iterator.flatMap { case (qid, qe, qn) =>
+            beam(qe, qn, 0, adj, vecs, nrms, efS).iterator
+              .collect { case (c, li) if ids(li) != qid =>
+                (qid, ids(li), c)
+              }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+    graft.OracleDump.dump(
+      cands.select(col("query_id"), col("neighbor_id").as("cand_id")),
+      s"${VecPrep.AnnOracleDir}/nq_nsw_store.parquet")
+    VecPrep.topKCosine(cands, topK)
+  }
+
+  // one persisted graph per source dir, process lifetime (q81's memo
+  // policy: only immutable driver dirs amortize)
+  private val graphFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Driver entry for the stored path: graph built and persisted once,
+    * every invocation pays only the beam search. */
+  def nqNswStore(s: SparkSession, d: String): DataFrame = {
+    def build(): String = {
+      val p = java.nio.file.Files.createTempDirectory("nswstore")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = s"$p/graph.parquet"
+      writeGraph(s, d, path)
+      path
+    }
+    val store = if (graft.Tables.isImmutable(d))
+      graphFor.getOrElseUpdate(d, build())
+    else build()
+    nswKnnStored(s, d, store)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_nsw_knn" -> ((s: SparkSession, d: String) => nswKnn(s, d)),
+    "nq_nsw_store" -> (nqNswStore _))
+
+  /** Exact-re-rank oracles over the dumped beam candidates. */
   val oracle: Map[String, String] = Map(
-    "nq_nsw_knn" -> VecPrep.rerankOracleSql("nq_nsw_knn"))
+    "nq_nsw_knn" -> VecPrep.rerankOracleSql("nq_nsw_knn"),
+    "nq_nsw_store" -> VecPrep.rerankOracleSql("nq_nsw_store"))
 }

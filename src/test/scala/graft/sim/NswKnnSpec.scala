@@ -53,6 +53,15 @@ class NswKnnSpec extends SparkSpec {
     assert(stranded === 0)
   }
 
+  test("stored-graph search equals the in-query build exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("nswsp").toString
+    NswKnn.writeGraph(spark, sf0001, s"$dir/g.parquet")
+    val stored = NswKnn.nswKnnStored(spark, sf0001, s"$dir/g.parquet")
+      .collect().map(_.toSeq)
+    val direct = NswKnn.nswKnn(spark, sf0001).collect().map(_.toSeq)
+    assert(stored.nonEmpty && stored.toSeq === direct.toSeq)
+  }
+
   test("per-query candidate volume is bounded by shards × ef, not n") {
     System.setProperty(graft.OracleDump.Enabled, "true")
     try {
