@@ -104,7 +104,13 @@ object Bench {
     // exact re-rank of the ≤ P·ef candidate union — plus its
     // persisted-store search path (build amortized, the store-family
     // contract)
-    "nq_nsw_knn", "nq_nsw_store")
+    "nq_nsw_knn", "nq_nsw_store",
+    // round-10 continued: the exact aggregate store (5-batch partials +
+    // merge — a cheap canary: if the store path ever grows a raw-table
+    // rescan, the number jumps) and the prefix-filtered exact
+    // similarity join (high-threshold candidate volume must stay
+    // prefix-sized, not inverted-index-sized)
+    "nq_agg_store", "q85_prefix_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

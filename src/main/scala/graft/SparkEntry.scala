@@ -36,7 +36,8 @@ object SparkEntry {
       text.QualityRules.queries ++
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
       sources.VideoSource.queries ++ text.Bpe.queries ++
-      rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries
+      rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries ++
+      rel.AggStore.queries ++ text.PrefixJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -106,5 +107,12 @@ object SparkEntry {
       rel.Resample.oracle ++
       // round-10 continued: the small-world-graph kNN's exact re-rank
       // tail over its dumped beam candidates (the ANN-family pattern)
-      sim.NswKnn.oracle
+      sim.NswKnn.oracle ++
+      // round-10 continued: the exact aggregate store — merged batch
+      // partials vs one raw-table GROUP BY (cents-decimal sums are
+      // associative, so the store path must match bit-for-bit)
+      rel.AggStore.oracle ++
+      // round-10 continued: the prefix-filtered exact similarity join —
+      // same naive-SQL oracle shape as q25, at the high threshold
+      text.PrefixJoin.oracle
 }

@@ -1,0 +1,151 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables._
+
+/** Incremental EXACT aggregate maintenance — the materialized-view
+  * member of the engine's store family (`CardinalityStore` = approximate
+  * distinct, `KmvStore` = set operations, this = the exact additive
+  * aggregates a 100 TB pipeline puts on a dashboard: row counts, sums,
+  * averages, extrema per group, maintained per ingest batch without
+  * ever rescanning history).
+  *
+  * Each batch is reduced to per-group PARTIAL aggregates
+  * (count / sum / min / max — the classic commutative-semigroup
+  * decomposition every distributed aggregate already relies on
+  * map-side) and persisted under its own `batch_id=N` partition; the
+  * read path merges store rows (groups × batches of them, KBs) into
+  * answers identical to a monolithic aggregate over the raw history.
+  * This is incremental view maintenance in its simplest, fully-exact
+  * form: no sketch error, no re-read, O(groups) state per batch.
+  *
+  * Exactness across engines and batch splits is engineered, not hoped
+  * for: DOUBLE sums are order-dependent (the one non-associative step
+  * in the decomposition), so measures are quantized to integer cents
+  * with `floor(v*100 + 0.5)` — pure IEEE double ops every engine
+  * executes bit-identically — and summed as DECIMAL(38,0), which is
+  * exact and associative. The merged sum therefore equals the raw
+  * GROUP BY's sum EXACTLY however the history was batched, which is
+  * what lets the DuckDB oracle check the STORE path against the raw
+  * table (no dump needed — the strongest oracle form in the repo).
+  *
+  * Replay: sums and counts are additive, NOT idempotent — a
+  * redelivered batch would double-count under blind append. The
+  * `batch_id` dynamic-partition overwrite makes redelivery a no-op on
+  * both the answers and the store's size (the `CardinalityStore`
+  * argument; spec-pinned).
+  *
+  * Generalizes the reference's eager whole-corpus `describe()`-style
+  * reporting (/root/reference/src/voice_classifier.py:147 recomputes
+  * summary stats over the full frame table every run) to the
+  * batch-incremental regime.
+  */
+object AggStore {
+
+  /** Integer-cents quantization: deterministic (pure IEEE double
+    * multiply/add/floor — no decimal rounding-mode divergence between
+    * engines) and exact-summable once cast to decimal. */
+  private def cents(v: Column): Column =
+    floor(v * lit(100.0) + lit(0.5)).cast("long")
+
+  /** One batch's per-group partials:
+    * (groupCols..., cnt, sum_cents DECIMAL, min_val, max_val). */
+  def partialBatch(batch: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    batch.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(valueCol)).as("cnt"),
+        sum(cents(col(valueCol)).cast(DecimalType(38, 0))).as("sum_cents"),
+        min(col(valueCol)).as("min_val"),
+        max(col(valueCol)).as("max_val"))
+
+  /** Reduce a batch and write it under its own `batch_id=N` store
+    * partition. coalesce(1): the output is group-count rows of four
+    * scalars — one file per batch keeps store files = batches, not
+    * batches × shuffle partitions. Dynamic partition overwrite: see
+    * the replay paragraph in the object doc. */
+  def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
+      storePath: String, batchId: Long): Unit =
+    partialBatch(batch, groupCols, valueCol)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(storePath)
+
+  /** Merge any relation of partials into final per-group answers —
+    * count/sum re-add (exact: decimal cents), min/max re-extremize.
+    * sum_val/avg_val are derived from the exact cents total with a
+    * fixed double expression tree (cast → /100.0 → /cnt) replicated
+    * verbatim in the oracle SQL. */
+  def mergePartials(partials: DataFrame, groupCols: Seq[String]): DataFrame = {
+    val sumVal = sum("sum_cents").cast("double") / lit(100.0)
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum("cnt").as("n_rows"),
+        sumVal.as("sum_val"),
+        (sumVal / sum("cnt")).as("avg_val"),
+        min("min_val").as("min_val"),
+        max("max_val").as("max_val"))
+  }
+
+  /** Read path: merged answers from the store alone — store-sized
+    * input (groups × batches rows), never the raw history. */
+  def aggFromStore(s: SparkSession, storePath: String,
+      groupCols: Seq[String]): DataFrame =
+    mergePartials(s.read.parquet(storePath), groupCols)
+
+  /** Streaming ingest: each micro-batch reduced to partials and written
+    * to its own batch_id partition via foreachBatch. At-least-once
+    * redelivery replays composable batchIds, and the partition
+    * overwrite makes each replay byte-idempotent — no lineage fence
+    * needed (contrast the additive heavy-hitter store, whose APPEND
+    * sink must fence; here the batch's own partition IS the fence). */
+  def aggIngestStream(stream: DataFrame, groupCols: Seq[String],
+      valueCol: String, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, groupCols, valueCol, storePath, batchId)
+    }
+
+  /** Driver entry: lineitem arrives as 5 ingest batches (l_orderkey
+    * mod 5); the merged store answers the per-(returnflag, linestatus)
+    * revenue summary. The oracle recomputes the SAME answer from the
+    * raw table in one GROUP BY — the store path must match it exactly
+    * (count/min/max trivially; sums because cents-decimal addition is
+    * associative), proving merged ≡ monolithic against raw data. */
+  def nqAggStore(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val groupCols = Seq("l_returnflag", "l_linestatus")
+    val perBatch = (0 until 5).map(b =>
+      partialBatch(li.filter(pmod(col("l_orderkey"), lit(5)) === b),
+        groupCols, "l_extendedprice"))
+    mergePartials(perBatch.reduce(_ unionAll _), groupCols)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val nqAggStoreSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT l_returnflag, l_linestatus,
+      |  count(v) AS n_rows,
+      |  CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sum_val,
+      |  CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / count(v)
+      |    AS avg_val,
+      |  min(v) AS min_val, max(v) AS max_val
+      |FROM c
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_agg_store" -> (nqAggStore _))
+
+  val oracle: Map[String, String] = Map(
+    "nq_agg_store" -> nqAggStoreSql)
+}

@@ -1,0 +1,103 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The exact aggregate store's contract: merged batch partials equal a
+  * monolithic aggregate over the raw history EXACTLY (the cents-decimal
+  * sums are associative, so batching cannot move any digit), the split
+  * into batches is irrelevant, redelivery is byte-idempotent via the
+  * batch_id partition overwrite, and streaming ingest lands the same
+  * store a batch loop does.
+  */
+class AggStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li = graft.Tables.lineitem(spark, sf0001)
+  private val groupCols = Seq("l_returnflag", "l_linestatus")
+
+  private def monolithic =
+    AggStore.mergePartials(
+        AggStore.partialBatch(li, groupCols, "l_extendedprice"), groupCols)
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+
+  test("merged 5-batch store equals the monolithic aggregate exactly") {
+    val merged = AggStore.nqAggStore(spark, sf0001).collect().map(_.toSeq)
+    assert(merged.nonEmpty && merged.toSeq === monolithic)
+  }
+
+  test("batch split is irrelevant: 2-way and 7-way agree bit-for-bit") {
+    def viaBatches(n: Int) = AggStore.mergePartials(
+        (0 until n).map(b => AggStore.partialBatch(
+          li.filter(pmod($"l_orderkey", lit(n)) === b),
+          groupCols, "l_extendedprice")).reduce(_ unionAll _), groupCols)
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+    assert(viaBatches(2) === viaBatches(7))
+  }
+
+  test("store path: persist, merge, idempotent redelivery") {
+    val dir = java.nio.file.Files.createTempDirectory("aggstore")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      val b0 = li.filter(pmod($"l_orderkey", lit(2)) === 0)
+      val b1 = li.filter(pmod($"l_orderkey", lit(2)) === 1)
+      AggStore.applyBatch(b0, groupCols, "l_extendedprice", store, 0L)
+      AggStore.applyBatch(b1, groupCols, "l_extendedprice", store, 1L)
+      val two = AggStore.aggFromStore(spark, store, groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(two === monolithic,
+        "store-merged answers must equal the raw-history aggregate")
+      def nFiles = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .count(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+      }
+      val filesBefore = nFiles
+      // redeliver batch 1 verbatim: additive sums would double-count
+      // under append; the partition overwrite must make this a no-op
+      // on answers AND on store size
+      AggStore.applyBatch(b1, groupCols, "l_extendedprice", store, 1L)
+      val redelivered = AggStore.aggFromStore(spark, store, groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(redelivered === two, "redelivery must not move any answer")
+      assert(nFiles === filesBefore, "redelivery must not grow the store")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("streaming ingest lands the same store as the batch loop") {
+    val dir = java.nio.file.Files.createTempDirectory("aggstream")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      val rows = li.select("l_orderkey", "l_returnflag", "l_linestatus",
+          "l_extendedprice")
+        .as[(Long, String, String, Double)].collect()
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, String, Double)]
+      val q = AggStore.aggIngestStream(
+          stream.toDF.toDF("l_orderkey", "l_returnflag", "l_linestatus",
+            "l_extendedprice"),
+          groupCols, "l_extendedprice", store)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData(rows.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(rows.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = AggStore.aggFromStore(spark, store, groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(streamed === monolithic,
+        "streamed store must answer identically to the raw aggregate")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
