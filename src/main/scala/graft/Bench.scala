@@ -110,7 +110,12 @@ object Bench {
     // rescan, the number jumps) and the prefix-filtered exact
     // similarity join (high-threshold candidate volume must stay
     // prefix-sized, not inverted-index-sized)
-    "nq_agg_store", "q85_prefix_join")
+    "nq_agg_store", "q85_prefix_join",
+    // round-10 continued: the KLL quantile-sketch pair — the one-shot
+    // sketch pass (per-group O(k log n) state, ObjectHashAggregate
+    // exchange) and the store's merged-read path (re-feed of persisted
+    // weighted items; build amortized, the store-family contract)
+    "nq_kll_quantiles", "nq_kll_store")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -36,5 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.KmvSketch].getName, "kmv_sketch"),
       functions.VecFunctions.binary("kmv_sketch",
         (c, k) => functions.KmvSketch(c, k))))
+    ext.injectFunction((
+      new FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[functions.KllSketch].getName, "kll_sketch"),
+      functions.VecFunctions.ternary("kll_sketch",
+        (v, w, k) => functions.KllSketch(v, w, k))))
   }
 }

@@ -37,7 +37,8 @@ object SparkEntry {
       sources.MultimodalStubs.queries ++ sources.ImageSource.queries ++
       sources.VideoSource.queries ++ text.Bpe.queries ++
       rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries ++
-      rel.AggStore.queries ++ text.PrefixJoin.queries
+      rel.AggStore.queries ++ text.PrefixJoin.queries ++
+      rel.QuantileStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -114,5 +115,9 @@ object SparkEntry {
       rel.AggStore.oracle ++
       // round-10 continued: the prefix-filtered exact similarity join —
       // same naive-SQL oracle shape as q25, at the high threshold
-      text.PrefixJoin.oracle
+      text.PrefixJoin.oracle ++
+      // round-10 continued: the KLL quantile family — n_rows is EXACT
+      // (weight conservation) and checked against the raw tables; the
+      // quantile tail re-runs in DuckDB over the dumped sketch items
+      rel.QuantileStore.oracle
 }

@@ -112,6 +112,17 @@ object VecFunctions {
       f(exprs(0), exprs(1))
     }
 
+  /** Same arity guard for the three-argument functions. */
+  private[graft] def ternary(name: String,
+      f: (Expression, Expression, Expression) => Expression)
+      : Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 3)
+        throw new IllegalArgumentException(
+          s"$name expects exactly 3 arguments, got ${exprs.length}")
+      f(exprs(0), exprs(1), exprs(2))
+    }
+
   /** Idempotent per-session registration; afterwards `expr("vec_dot(a,b)")`
     * resolves to the codegen'd expression. Checks before replacing so
     * repeated calls stay silent (no "replaced a previously registered
@@ -140,5 +151,9 @@ object VecFunctions {
     if (!reg.functionExists(kmv))
       reg.createOrReplaceTempFunction("kmv_sketch",
         binary("kmv_sketch", (c, k) => KmvSketch(c, k)), "built-in")
+    val kll = org.apache.spark.sql.catalyst.FunctionIdentifier("kll_sketch")
+    if (!reg.functionExists(kll))
+      reg.createOrReplaceTempFunction("kll_sketch",
+        ternary("kll_sketch", (v, w, k) => KllSketch(v, w, k)), "built-in")
   }
 }
