@@ -56,14 +56,16 @@ object PrefixJoin {
     val tri = NearDup.hashedShinglesOf(docs).cache()
 
     val dfreq = tri.groupBy("h").agg(count(lit(1)).as("df"))
-    val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
 
     // global canonical order: (df asc, h asc) — rarest tokens first.
+    // sz rides the SAME doc-keyed window pass as the rank (count over
+    // the full partition) instead of a separate aggregate + join —
+    // one doc-keyed shuffle, not two.
     // ⌈t·sz⌉ via integer ceil-division: (num·sz + den − 1) div den.
+    val wDoc = Window.partitionBy("doc_id")
     val ranked = tri.join(dfreq, "h")
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")))
-      .join(sizes, "doc_id")
+      .withColumn("rank", row_number().over(wDoc.orderBy("df", "h")))
+      .withColumn("sz", count(lit(1)).over(wDoc))
     val prefix = ranked.filter(col("rank") <=
         col("sz") - expr(s"(($tNum * sz) + ${tDen - 1}) div $tDen") + 1)
       .select("doc_id", "h", "sz")
