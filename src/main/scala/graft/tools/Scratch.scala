@@ -66,6 +66,65 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("r10cscale")) {
+      // scale probe for the third-session round-10 additions (exact
+      // aggregate store / KLL quantiles / prefix join): replicate the
+      // fact tables Nx (default 10). AggStore and the KLL pass must
+      // scale ~linearly (partials and sketches are group/k-bounded);
+      // the prefix join's candidate volume tracks TRUE near-dup pairs
+      // (each replica set is mutually ~identical), so its output grows
+      // ~fac²·originals while the INDEX stays prefix-sized.
+      val fac = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val li0 = graft.Tables.lineitem(spark, d)
+      val liN = (0 until fac).map { r =>
+        li0.withColumn("l_orderkey", col("l_orderkey") + lit(r * 100000000L))
+      }.reduce(_ unionAll _)
+      val or0 = graft.Tables.orders(spark, d)
+      val orN = (0 until fac).map { r =>
+        or0.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+      }.reduce(_ unionAll _)
+      val docs0 = graft.Tables.documents(spark, d)
+      val docsN = (0 until fac).map { r =>
+        docs0.select((col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+          concat(col("text"), lit(s" copymark$r")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      val tmp = java.nio.file.Files.createTempDirectory("r10cscale").toString
+      liN.write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      orN.write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+      docsN.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      println(s"[r10cscale] ${fac}x tables staged at $tmp")
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      noop(graft.rel.AggStore.nqAggStore(spark, d)) // warm codegen
+      time("agg store 1x") { noop(graft.rel.AggStore.nqAggStore(spark, d)) }
+      time(s"agg store ${fac}x") {
+        noop(graft.rel.AggStore.nqAggStore(spark, tmp))
+      }
+      time("kll quantiles 1x") {
+        noop(graft.rel.QuantileStore.nqKllQuantiles(spark, d))
+      }
+      time(s"kll quantiles ${fac}x") {
+        noop(graft.rel.QuantileStore.nqKllQuantiles(spark, tmp))
+      }
+      time("kll store (build+read) 1x") {
+        noop(graft.rel.QuantileStore.nqKllStore(spark, d))
+      }
+      time(s"kll store (build+read) ${fac}x") {
+        noop(graft.rel.QuantileStore.nqKllStore(spark, tmp))
+      }
+      time("prefix join 1x") {
+        val n = graft.text.PrefixJoin.q85PrefixJoin(spark, d).count()
+        println(s"  pairs=$n")
+      }
+      time(s"prefix join ${fac}x") {
+        val n = graft.text.PrefixJoin.q85PrefixJoin(spark, tmp).count()
+        println(s"  pairs=$n (replica sets pair mutually: expect ≈ " +
+          s"originals × C($fac,2) + 1x-pairs × $fac²-ish)")
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("newscale")) {
       // scale probe for the round-10 additions (KMV / BPE / z-order /
       // KMV store): replicate documents and lineitem Nx (default 10)
