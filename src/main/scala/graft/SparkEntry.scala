@@ -38,7 +38,7 @@ object SparkEntry {
       sources.VideoSource.queries ++ text.Bpe.queries ++
       rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries ++
       rel.AggStore.queries ++ text.PrefixJoin.queries ++
-      rel.QuantileStore.queries
+      rel.QuantileStore.queries ++ audio.Src.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -119,5 +119,9 @@ object SparkEntry {
       // round-10 continued: the KLL quantile family — n_rows is EXACT
       // (weight conservation) and checked against the raw tables; the
       // quantile tail re-runs in DuckDB over the dumped sketch items
-      rel.QuantileStore.oracle
+      rel.QuantileStore.oracle ++
+      // round-10 continued: the sample-rate converter — windowed-sinc
+      // output dumped as micro-unit integers, DuckDB re-runs the
+      // integer aggregation tail (the image-decode pattern)
+      audio.Src.oracle
 }
