@@ -99,6 +99,41 @@ class SrcSpec extends AnyFunSuite {
       "round trip drifted")
   }
 
+  test("ingest chain composes: 44.1k corpus -> resample -> mel pipeline") {
+    // the librosa.load story end-to-end: a "field recording" arrives at
+    // 44.1 kHz, the ingest resamples it to the pipeline's 22.05 kHz,
+    // and the mel features must match the natively-22.05k original
+    val spark = graft.TestSession.spark
+    import org.apache.spark.sql.functions._
+    val clips = graft.gen.VoiceDataGen.generate(spark, 3, 42L)
+      .select("phrase_id", "pcm", "sample_rate")
+    val up = udf((pcm: Array[Byte]) => Src.resamplePcm16(pcm, 22050, 44100))
+    val down = udf((pcm: Array[Byte]) => Src.resamplePcm16(pcm, 44100, 22050))
+    val fieldRecordings = clips
+      .select(col("phrase_id"), down(up(col("pcm"))).as("pcm"),
+        col("sample_rate"))
+    val f0 = new MelSpectrogram().transform(
+        clips.withColumn("start_sec", lit(0.0)))
+      .select(col("phrase_id"), col("frame_id"), col("mel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getSeq[Double](2)).toMap
+    val f1 = new MelSpectrogram().transform(
+        fieldRecordings.withColumn("start_sec", lit(0.0)))
+      .select(col("phrase_id"), col("frame_id"), col("mel"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getSeq[Double](2)).toMap
+    assert(f0.nonEmpty && f0.keySet === f1.keySet,
+      "round-tripped corpus must frame identically")
+    // compare on the dB-like log scale (mel power spans decades)
+    val errs = f0.keys.toSeq.flatMap { k =>
+      f0(k).zip(f1(k)).map { case (u, v) =>
+        math.abs(math.log10(u + 1e-10) - math.log10(v + 1e-10)) }
+    }
+    val meanErr = errs.sum / errs.length
+    assert(meanErr < 0.05,
+      s"mel features drifted through the 44.1k ingest chain: $meanErr")
+  }
+
   test("PCM16 byte path round-trips through the resampler") {
     val x = tone(440, 22050, 0.2)
     val pcm = x.map(v => math.rint(v * 32767.0).toInt).flatMap(s =>
