@@ -115,7 +115,11 @@ object Bench {
     // sketch pass (per-group O(k log n) state, ObjectHashAggregate
     // exchange) and the store's merged-read path (re-feed of persisted
     // weighted items; build amortized, the store-family contract)
-    "nq_kll_quantiles", "nq_kll_store")
+    "nq_kll_quantiles", "nq_kll_store",
+    // round-10 continued: BM25 ranked retrieval — the posting-list
+    // shape (query-term filter BEFORE the tf aggregate) must keep this
+    // at scan speed; a vocabulary-sized shuffle would show up here
+    "q86_bm25")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -38,7 +38,8 @@ object SparkEntry {
       sources.VideoSource.queries ++ text.Bpe.queries ++
       rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries ++
       rel.AggStore.queries ++ text.PrefixJoin.queries ++
-      rel.QuantileStore.queries ++ audio.Src.queries
+      rel.QuantileStore.queries ++ audio.Src.queries ++
+      text.Bm25.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -123,5 +124,8 @@ object SparkEntry {
       // round-10 continued: the sample-rate converter — windowed-sinc
       // output dumped as micro-unit integers, DuckDB re-runs the
       // integer aggregation tail (the image-decode pattern)
-      audio.Src.oracle
+      audio.Src.oracle ++
+      // round-10 continued: BM25 ranked retrieval — integer counts
+      // through one fixed double expression tree, replicated verbatim
+      text.Bm25.oracle
 }
