@@ -118,8 +118,10 @@ object Bench {
     "nq_kll_quantiles", "nq_kll_store",
     // round-10 continued: BM25 ranked retrieval — the posting-list
     // shape (query-term filter BEFORE the tf aggregate) must keep this
-    // at scan speed; a vocabulary-sized shuffle would show up here
-    "q86_bm25")
+    // at scan speed; a vocabulary-sized shuffle would show up here —
+    // and the BFD bin packer, whose per-(lang, shard) sequential group
+    // work must stay shard-bounded
+    "q86_bm25", "nq_pack_bins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

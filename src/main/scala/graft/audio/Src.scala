@@ -80,7 +80,11 @@ object Src {
       table(ti) = scale * sinc(u) * kaiser(u / zeros, beta)
       ti += 1
     }
-    val nOut = ((x.length.toLong * srOut + srIn - 1) / srIn).toInt
+    val nOutL = (x.length.toLong * srOut + srIn - 1) / srIn
+    require(nOutL <= Int.MaxValue - 8,
+      s"resample: output length $nOutL exceeds array bounds " +
+        s"(${x.length} samples $srIn -> $srOut) — chunk the signal")
+    val nOut = nOutL.toInt
     val y = new Array[Double](nOut)
     var n = 0
     while (n < nOut) {

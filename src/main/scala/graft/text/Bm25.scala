@@ -32,8 +32,13 @@ object Bm25 {
   val B = 0.75
 
   /** Top-k docs for `queryTerms` over a (doc_id, text) relation. */
-  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+  def bm25TopK(docs: DataFrame, queryTermsRaw: Seq[String], k: Int,
       scoreDecimals: Int = 6): DataFrame = {
+    // dedup defensively: a repeated query term would double its
+    // contribution (tf/df are per-term, the outer sum is per-row)
+    val queryTerms = queryTermsRaw.distinct
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    require(k > 0, s"bm25TopK: k must be positive, got $k")
     val terms = docs.select(col("doc_id"),
       explode(split(col("text"), "\\s+")).as("term"))
       .filter(col("term") =!= "")
