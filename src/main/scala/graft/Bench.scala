@@ -121,7 +121,10 @@ object Bench {
     // at scan speed; a vocabulary-sized shuffle would show up here —
     // and the BFD bin packer, whose per-(lang, shard) sequential group
     // work must stay shard-bounded
-    "q86_bm25", "nq_pack_bins")
+    "q86_bm25", "nq_pack_bins",
+    // round-10 continued: the SQ8 flat-scan ANN tier — the byte-kernel
+    // code scan must stay cheaper than the float scan it compresses
+    "nq_sq8_knn")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

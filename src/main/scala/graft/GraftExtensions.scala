@@ -41,5 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[functions.KllSketch].getName, "kll_sketch"),
       functions.VecFunctions.ternary("kll_sketch",
         (v, w, k) => functions.KllSketch(v, w, k))))
+    ext.injectFunction((
+      new FunctionIdentifier("sq8_dot"),
+      new ExpressionInfo(classOf[functions.Sq8Dot].getName, "sq8_dot"),
+      functions.VecFunctions.binary("sq8_dot", functions.Sq8Dot)))
   }
 }

@@ -39,7 +39,7 @@ object SparkEntry {
       rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries ++
       rel.AggStore.queries ++ text.PrefixJoin.queries ++
       rel.QuantileStore.queries ++ audio.Src.queries ++
-      text.Bm25.queries ++ text.BinPack.queries
+      text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -127,5 +127,8 @@ object SparkEntry {
       audio.Src.oracle ++
       // round-10 continued: BM25 ranked retrieval — integer counts
       // through one fixed double expression tree, replicated verbatim
-      text.Bm25.oracle
+      text.Bm25.oracle ++
+      // round-10 continued: SQ8 kNN — the ANN-family re-rank oracle
+      // over its dumped shortlist
+      sim.Sq8Knn.oracle
 }

@@ -155,5 +155,9 @@ object VecFunctions {
     if (!reg.functionExists(kll))
       reg.createOrReplaceTempFunction("kll_sketch",
         ternary("kll_sketch", (v, w, k) => KllSketch(v, w, k)), "built-in")
+    val sq8 = org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_dot")
+    if (!reg.functionExists(sq8))
+      reg.createOrReplaceTempFunction("sq8_dot",
+        binary("sq8_dot", Sq8Dot), "built-in")
   }
 }
