@@ -39,7 +39,8 @@ object SparkEntry {
       rel.Layout.queries ++ rel.KmvStore.queries ++ rel.Resample.queries ++
       rel.AggStore.queries ++ text.PrefixJoin.queries ++
       rel.QuantileStore.queries ++ audio.Src.queries ++
-      text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries
+      text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries ++
+      rel.Profiler.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -130,5 +131,8 @@ object SparkEntry {
       text.Bm25.oracle ++
       // round-10 continued: SQ8 kNN — the ANN-family re-rank oracle
       // over its dumped shortlist
-      sim.Sq8Knn.oracle
+      sim.Sq8Knn.oracle ++
+      // round-10 continued: the table profiler — per-column stats in
+      // one pass, oracle = schema-generated UNION ALL branches
+      rel.Profiler.oracle
 }

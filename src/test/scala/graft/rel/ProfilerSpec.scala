@@ -1,0 +1,51 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The profiler's contract on a hand-auditable fixture: null/distinct
+  * accounting, numeric channels for numeric columns only, approx mode
+  * within the HLL band, and one-aggregate-job planning.
+  */
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (Some(1L), Some(2.0), Some("a")),
+    (Some(2L), None, Some("b")),
+    (None, Some(4.0), Some("a")),
+    (Some(2L), Some(6.0), None))
+    .toDF("k", "x", "s")
+
+  test("hand fixture: counts, nulls, distincts, numeric stats") {
+    val p = Profiler.profile(fixture, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("k", "x", "s"))
+    val k = p("k")
+    assert(k.getLong(2) === 4L && k.getLong(3) === 1L && k.getLong(4) === 2L)
+    assert(k.getDouble(5) === 1.0 && k.getDouble(6) === 2.0)
+    val x = p("x")
+    assert(x.getLong(3) === 1L && x.getDouble(7) === 4.0) // avg(2,4,6)
+    val sRow = p("s")
+    assert(sRow.getLong(4) === 2L && sRow.isNullAt(5) && sRow.isNullAt(7))
+  }
+
+  test("approx mode tracks exact within the 2% HLL band on real data") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val exact = Profiler.profile(li, exactDistinct = true)
+      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    val approx = Profiler.profile(li)
+      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+    exact.foreach { case (c, n) =>
+      assert(math.abs(approx(c) - n).toDouble / math.max(1, n) <= 0.05,
+        s"$c: approx ${approx(c)} vs exact $n")
+    }
+  }
+
+  test("the approx profile is one aggregate job (no EXPAND)") {
+    val plan = Profiler.profile(graft.Tables.lineitem(spark, sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"),
+      "approx mode must not multiply the scan per distinct column")
+  }
+}
