@@ -123,8 +123,10 @@ object Bench {
     // work must stay shard-bounded
     "q86_bm25", "nq_pack_bins",
     // round-10 continued: the SQ8 flat-scan ANN tier — the byte-kernel
-    // code scan must stay cheaper than the float scan it compresses
-    "nq_sq8_knn")
+    // code scan must stay cheaper than the float scan it compresses —
+    // and the table profiler (every per-column statistic in one
+    // aggregate job; a second scan appearing would double the number)
+    "nq_sq8_knn", "q87_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
