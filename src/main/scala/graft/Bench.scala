@@ -124,9 +124,12 @@ object Bench {
     "q86_bm25", "nq_pack_bins",
     // round-10 continued: the SQ8 flat-scan ANN tier — the byte-kernel
     // code scan must stay cheaper than the float scan it compresses —
-    // and the table profiler (every per-column statistic in one
-    // aggregate job; a second scan appearing would double the number)
-    "nq_sq8_knn", "q87_profile")
+    // and the table profiler's SCALE form (HLL distincts, one
+    // aggregate job, no EXPAND; the exact q87 form stays contract-only:
+    // its EXPAND×columns cost is the documented price of exactness,
+    // ~5.7 s at sf0.1 vs ~3.7 s approx — both one scan, the gap is
+    // the 11× input multiplication)
+    "nq_sq8_knn", "nq_profile")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -116,8 +116,14 @@ object Profiler {
     ("l_linestatus", "string", false),
     ("l_shipdate", "timestamp_ntz", false)))
 
+  /** The scale form: HLL distincts, no EXPAND — deterministic
+    * (register-max is order-free), rows-only checked. */
+  def nqProfile(s: SparkSession, d: String): DataFrame =
+    profile(lineitem(s, d))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q87_profile" -> (q87Profile _))
+    "q87_profile" -> (q87Profile _),
+    "nq_profile" -> (nqProfile _))
 
   val oracle: Map[String, String] = Map(
     "q87_profile" -> q87Sql)

@@ -653,6 +653,17 @@ object Scratch {
           graft.Tables.embeddings(spark, tmp), "vec_id", "embedding")
           .write.format("noop").mode("overwrite").save()
       }
+      // SQ8 flat scan: model-free, so the whole cost is the code scan —
+      // should track the corpus size ~linearly with a 4x-smaller
+      // byte-kernel inner loop
+      time("sq8 knn on 1x") {
+        graft.sim.Sq8Knn.sq8Knn(spark, d)
+          .write.format("noop").mode("overwrite").save()
+      }
+      time(s"sq8 knn on ${fac}x") {
+        graft.sim.Sq8Knn.sq8Knn(spark, tmp)
+          .write.format("noop").mode("overwrite").save()
+      }
       spark.stop(); return
     }
 
