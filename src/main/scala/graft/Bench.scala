@@ -129,7 +129,11 @@ object Bench {
     // its EXPAND×columns cost is the documented price of exactness,
     // ~5.7 s at sf0.1 vs ~3.7 s approx — both one scan, the gap is
     // the 11× input multiplication)
-    "nq_sq8_knn", "nq_profile")
+    "nq_sq8_knn", "nq_profile",
+    // round-10 continued: priority sampling — the k+1-bounded heap
+    // aggregate must keep this at scan speed (a window fallback or a
+    // second scan for τ would double it)
+    "q88_priority_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

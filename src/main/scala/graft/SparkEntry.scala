@@ -40,7 +40,7 @@ object SparkEntry {
       rel.AggStore.queries ++ text.PrefixJoin.queries ++
       rel.QuantileStore.queries ++ audio.Src.queries ++
       text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries ++
-      rel.Profiler.queries
+      rel.Profiler.queries ++ text.PrioritySample.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -134,5 +134,9 @@ object SparkEntry {
       sim.Sq8Knn.oracle ++
       // round-10 continued: the table profiler — per-column stats in
       // one pass, oracle = schema-generated UNION ALL branches
-      rel.Profiler.oracle
+      rel.Profiler.oracle ++
+      // round-10 continued: priority sampling — the XXH64 replica feeds
+      // an all-exact u/priority/τ/ŵ double chain, and the naive window
+      // form re-proves the bounded-heap selection every round
+      text.PrioritySample.oracle
 }
