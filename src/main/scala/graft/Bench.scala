@@ -133,7 +133,12 @@ object Bench {
     // round-10 continued: priority sampling — the k+1-bounded heap
     // aggregate must keep this at scan speed (a window fallback or a
     // second scan for τ would double it)
-    "q88_priority_sample")
+    "q88_priority_sample",
+    // round-10 continued: count-min frequency estimates — the
+    // explode-by-depth must partial-aggregate down to depth·width
+    // counters map-side (a KB exchange) and the probe join must stay
+    // broadcast; a row-sized shuffle here would jump the number
+    "q89_cms_freq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -40,7 +40,8 @@ object SparkEntry {
       rel.AggStore.queries ++ text.PrefixJoin.queries ++
       rel.QuantileStore.queries ++ audio.Src.queries ++
       text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries ++
-      rel.Profiler.queries ++ text.PrioritySample.queries
+      rel.Profiler.queries ++ text.PrioritySample.queries ++
+      rel.Cms.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -138,5 +139,8 @@ object SparkEntry {
       // round-10 continued: priority sampling — the XXH64 replica feeds
       // an all-exact u/priority/τ/ŵ double chain, and the naive window
       // form re-proves the bounded-heap selection every round
-      text.PrioritySample.oracle
+      text.PrioritySample.oracle ++
+      // round-10 continued: count-min frequency estimates — all
+      // small-integer arithmetic off the XXH64 replica, bit-exact
+      rel.Cms.oracle
 }

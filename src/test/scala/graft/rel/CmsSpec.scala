@@ -1,0 +1,134 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Count-min's contract: estimates never undercount (one-sided error),
+  * the error stays inside the (e/width)·N band, merging per-batch
+  * sketches is EXACT (cell-wise sums — any batch split yields the
+  * monolithic sketch bit-for-bit), the persisted store answers like the
+  * direct sketch with byte-idempotent redelivery, streaming ingest
+  * lands the same store, and absent cells read as zero.
+  */
+class CmsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev = graft.Tables.events(spark, sf0001)
+
+  private def truth: Map[Long, Long] =
+    ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+
+  test("estimates never undercount and stay in the (e/width)*N band") {
+    val n = ev.count()
+    val est = Cms.estimate(Cms.cmsOf(ev, "user_id"), ev, "user_id")
+      .as[(Long, Long)].collect().toMap
+    val t = truth
+    assert(est.keySet == t.keySet)
+    val eps = math.exp(1.0) / Cms.Width
+    var over = 0
+    t.foreach { case (u, cnt) =>
+      assert(est(u) >= cnt, s"user $u: est ${est(u)} undercounts $cnt")
+      if (est(u) - cnt > eps * n) over += 1
+    }
+    // per-probe failure probability is e^-depth ≈ 0.018; with 150
+    // probes and a fixed seed, a handful of band misses is the
+    // expected ceiling, a systematic breach is a bug
+    assert(over <= math.max(3, (0.05 * t.size).toInt),
+      s"$over of ${t.size} probes exceed the CMS error band")
+  }
+
+  test("any batch split merges to the monolithic sketch bit-for-bit") {
+    def viaBatches(n: Int) = Cms.merge(
+        (0 until n).map(b => Cms.cmsOf(
+          ev.filter(pmod($"event_id", lit(n)) === b), "user_id"))
+          .reduce(_ unionAll _))
+      .orderBy("d", "bucket").collect().map(_.toSeq).toSeq
+    val mono = Cms.cmsOf(ev, "user_id")
+      .orderBy("d", "bucket").collect().map(_.toSeq).toSeq
+    assert(viaBatches(2) === mono && viaBatches(7) === mono)
+  }
+
+  test("store path: persist, merge, idempotent redelivery") {
+    val dir = java.nio.file.Files.createTempDirectory("cmsstore")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      val b0 = ev.filter(pmod($"event_id", lit(2)) === 0)
+      val b1 = ev.filter(pmod($"event_id", lit(2)) === 1)
+      Cms.applyBatch(b0, "user_id", store, 0L)
+      Cms.applyBatch(b1, "user_id", store, 1L)
+      val direct = Cms.estimate(Cms.cmsOf(ev, "user_id"), ev, "user_id")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val stored = Cms.estimateFromStore(spark, store, ev, "user_id")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(stored === direct,
+        "store-merged estimates must equal the direct sketch's")
+      def nFiles = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .count(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+      }
+      val filesBefore = nFiles
+      Cms.applyBatch(b1, "user_id", store, 1L)
+      val redelivered = Cms.estimateFromStore(spark, store, ev, "user_id")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(redelivered === stored, "redelivery must not move any estimate")
+      assert(nFiles === filesBefore, "redelivery must not grow the store")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("streaming ingest lands the same store as the batch loop") {
+    val dir = java.nio.file.Files.createTempDirectory("cmsstream")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      val rows = ev.select("event_id", "user_id")
+        .as[(Long, Long)].collect()
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = Cms.cmsIngestStream(
+          stream.toDF.toDF("event_id", "user_id"), "user_id", store)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData(rows.filter(_._1 % 2 == 0).toIndexedSeq)
+      q.processAllAvailable()
+      stream.addData(rows.filter(_._1 % 2 == 1).toIndexedSeq)
+      q.processAllAvailable()
+      q.stop()
+      val streamed = Cms.estimateFromStore(spark, store, ev, "user_id")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val direct = Cms.estimate(Cms.cmsOf(ev, "user_id"), ev, "user_id")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(streamed === direct,
+        "streamed store must estimate identically to the direct sketch")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("a key whose cells are all absent estimates zero") {
+    val one = Seq(Tuple1(7L)).toDF("k")
+    val probe = Seq(Tuple1(123456789L)).toDF("k")
+    val est = Cms.estimate(Cms.cmsOf(one, "k"), probe, "k")
+      .as[(Long, Long)].collect().toMap
+    // 4 occupied cells out of 4096: the foreign probe's cells are
+    // empty (deterministic for these fixed keys) → implicit zero
+    assert(est(123456789L) == 0L)
+  }
+
+  test("parameter guards fail loudly") {
+    intercept[IllegalArgumentException] {
+      Cms.cmsOf(ev, "user_id", width = 1000) // not a power of two
+    }
+    intercept[IllegalArgumentException] {
+      Cms.cmsOf(ev, "user_id", depth = 0)
+    }
+  }
+}
