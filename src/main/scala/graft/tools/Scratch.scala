@@ -66,6 +66,31 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("profexp")) {
+      // profiler cost split: is nq_profile's time the HLL updates, or
+      // ALL 47 aggregates running interpreted because one imperative
+      // aggregate (HLL) disables whole-stage codegen for the job?
+      val li = graft.Tables.lineitem(spark, d)
+      val numCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax")
+      val allCols = li.columns.toSeq
+      def declOnly() = li.agg(count(lit(1)).as("n"),
+        (numCols.flatMap(c => Seq(min(col(c)).cast("double"),
+          max(col(c)).cast("double"), avg(col(c).cast("double")))) ++
+          allCols.map(c => count(col(c)))): _*)
+      def hllOnly() = li.agg(
+        approx_count_distinct(col(allCols.head), 0.02),
+        allCols.tail.map(c => approx_count_distinct(col(c), 0.02)): _*)
+      def current() = graft.rel.Profiler.nqProfile(spark, d)
+      for (_ <- 1 to 3) {
+        time("decl-only (codegen)") { declOnly().collect() }
+        time("hll-only (interpreted)") { hllOnly().collect() }
+        time("current nq_profile") { current().collect() }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("r10cscale")) {
       // scale probe for the third-session round-10 additions (exact
       // aggregate store / KLL quantiles / prefix join): replicate the
