@@ -51,15 +51,23 @@ object AggStore {
     floor(v * lit(100.0) + lit(0.5)).cast("long")
 
   /** One batch's per-group partials:
-    * (groupCols..., cnt, sum_cents DECIMAL, min_val, max_val). */
+    * (groupCols..., cnt, sum_cents DECIMAL, sum_sq_cents2 DECIMAL,
+    * min_val, max_val). The squared-cents sum extends the additive
+    * decomposition to second moments — variance from the store with
+    * the same bit-exactness argument as the sums (integer squares,
+    * decimal addition; cents ≤ ~10^7 → squares ≤ 10^14, and
+    * DECIMAL(38,0) holds 10^24 batches of those). */
   def partialBatch(batch: DataFrame, groupCols: Seq[String],
-      valueCol: String): DataFrame =
+      valueCol: String): DataFrame = {
+    val c = cents(col(valueCol))
     batch.groupBy(groupCols.map(col): _*)
       .agg(
         count(col(valueCol)).as("cnt"),
-        sum(cents(col(valueCol)).cast(DecimalType(38, 0))).as("sum_cents"),
+        sum(c.cast(DecimalType(38, 0))).as("sum_cents"),
+        sum((c * c).cast(DecimalType(38, 0))).as("sum_sq_cents2"),
         min(col(valueCol)).as("min_val"),
         max(col(valueCol)).as("max_val"))
+  }
 
   /** Reduce a batch and write it under its own `batch_id=N` store
     * partition. coalesce(1): the output is group-count rows of four
@@ -82,11 +90,22 @@ object AggStore {
     * verbatim in the oracle SQL. */
   def mergePartials(partials: DataFrame, groupCols: Seq[String]): DataFrame = {
     val sumVal = sum("sum_cents").cast("double") / lit(100.0)
+    // population variance from the exact moments:
+    // ((Σc² − (Σc)²/n) / n) / 100² — every operand is one IEEE round
+    // away from an exact integer, then a FIXED double expression tree,
+    // so the oracle replicates it bit-for-bit; sqrt is IEEE
+    // correctly-rounded, so stddev inherits the exactness
+    val n = sum("cnt").cast("double")
+    val cs = sum("sum_cents").cast("double")
+    val css = sum("sum_sq_cents2").cast("double")
+    val varVal = (css - cs * cs / n) / n / lit(10000.0)
     partials.groupBy(groupCols.map(col): _*)
       .agg(
         sum("cnt").as("n_rows"),
         sumVal.as("sum_val"),
         (sumVal / sum("cnt")).as("avg_val"),
+        varVal.as("var_val"),
+        sqrt(varVal).as("std_val"),
         min("min_val").as("min_val"),
         max("max_val").as("max_val"))
   }
@@ -132,15 +151,23 @@ object AggStore {
     """WITH c AS (
       |  SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
-      |  FROM lineitem)
-      |SELECT l_returnflag, l_linestatus,
-      |  count(v) AS n_rows,
-      |  CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100.0 AS sum_val,
-      |  CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) / 100.0 / count(v)
-      |    AS avg_val,
-      |  min(v) AS min_val, max(v) AS max_val
-      |FROM c
-      |GROUP BY l_returnflag, l_linestatus
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    count(v) AS n_rows,
+      |    CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS cs,
+      |    CAST(CAST(sum(cents * cents) AS DECIMAL(38,0)) AS DOUBLE) AS css,
+      |    CAST(count(v) AS DOUBLE) AS nd,
+      |    min(v) AS min_val, max(v) AS max_val
+      |  FROM c
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n_rows,
+      |  cs / 100.0 AS sum_val,
+      |  cs / 100.0 / n_rows AS avg_val,
+      |  (css - cs * cs / nd) / nd / 10000.0 AS var_val,
+      |  sqrt((css - cs * cs / nd) / nd / 10000.0) AS std_val,
+      |  min_val, max_val
+      |FROM m
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

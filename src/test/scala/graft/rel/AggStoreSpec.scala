@@ -26,6 +26,25 @@ class AggStoreSpec extends SparkSpec {
     assert(merged.nonEmpty && merged.toSeq === monolithic)
   }
 
+  test("store variance tracks var_pop of the raw values") {
+    val fromStore = AggStore.nqAggStore(spark, sf0001)
+      .select("l_returnflag", "l_linestatus", "var_val")
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    val direct = li.groupBy("l_returnflag", "l_linestatus")
+      .agg(var_pop($"l_extendedprice").as("v"))
+      .as[(String, String, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(fromStore.keySet == direct.keySet)
+    fromStore.foreach { case (k, v) =>
+      // cents quantization perturbs each value by < 0.005, a vanishing
+      // fraction of the price variance — the moments themselves are
+      // exact, so store and direct agree to float-noise levels
+      assert(math.abs(v - direct(k)) / direct(k) < 1e-4,
+        s"$k: store var $v vs var_pop ${direct(k)}")
+    }
+  }
+
   test("batch split is irrelevant: 2-way and 7-way agree bit-for-bit") {
     def viaBatches(n: Int) = AggStore.mergePartials(
         (0 until n).map(b => AggStore.partialBatch(
