@@ -138,7 +138,11 @@ object Bench {
     // explode-by-depth must partial-aggregate down to depth·width
     // counters map-side (a KB exchange) and the probe join must stay
     // broadcast; a row-sized shuffle here would jump the number
-    "q89_cms_freq")
+    "q89_cms_freq",
+    // round-10 continued: the OLS trend aggregate — two broadcast
+    // dimension joins + two map-side-combined aggregates; a shuffled
+    // dimension join or a row-sized moment exchange would jump it
+    "q90_trend_ols")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -41,7 +41,7 @@ object SparkEntry {
       rel.QuantileStore.queries ++ audio.Src.queries ++
       text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries ++
       rel.Profiler.queries ++ text.PrioritySample.queries ++
-      rel.Cms.queries
+      rel.Cms.queries ++ rel.Trend.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -142,5 +142,8 @@ object SparkEntry {
       text.PrioritySample.oracle ++
       // round-10 continued: count-min frequency estimates — all
       // small-integer arithmetic off the XXH64 replica, bit-exact
-      rel.Cms.oracle
+      rel.Cms.oracle ++
+      // round-10 continued: per-group OLS — exact decimal moments, one
+      // fixed double tail, bit-green incl. slope/intercept/r²
+      rel.Trend.oracle
 }
