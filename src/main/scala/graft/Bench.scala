@@ -142,7 +142,16 @@ object Bench {
     // round-10 continued: the OLS trend aggregate — two broadcast
     // dimension joins + two map-side-combined aggregates; a shuffled
     // dimension join or a row-sized moment exchange would jump it
-    "q90_trend_ols")
+    "q90_trend_ols",
+    // round-10 continued: time-weighted average — one series-key
+    // exchange and an O(1)-state window; a global-sort window (no
+    // partition key) or a second exchange would jump it
+    "q91_twa",
+    // round-10 continued: χ² cells (corpus-count aggregate + tiny
+    // grid joins — a canary near scan speed) and domain KL (the
+    // tokenize + two-level count shape; a vocabulary-sized broadcast
+    // regression or a second corpus scan would jump it)
+    "q92_chi2_cells", "q93_domain_kl")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

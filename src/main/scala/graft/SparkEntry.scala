@@ -41,7 +41,8 @@ object SparkEntry {
       rel.QuantileStore.queries ++ audio.Src.queries ++
       text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries ++
       rel.Profiler.queries ++ text.PrioritySample.queries ++
-      rel.Cms.queries ++ rel.Trend.queries
+      rel.Cms.queries ++ rel.Trend.queries ++ rel.Stats.queries ++
+      text.Divergence.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -145,5 +146,9 @@ object SparkEntry {
       rel.Cms.oracle ++
       // round-10 continued: per-group OLS — exact decimal moments, one
       // fixed double tail, bit-green incl. slope/intercept/r²
-      rel.Trend.oracle
+      rel.Trend.oracle ++
+      // round-10 continued: χ² cells (pure fixed trees over exact
+      // counts) and per-source KL divergence (q86's round-6 sum
+      // convention over fixed-tree contributions)
+      rel.Stats.oracle ++ text.Divergence.oracle
 }

@@ -132,9 +132,68 @@ object Resample {
        |FROM m
        |ORDER BY event_type, bucket_start""".stripMargin
 
+  /** Time-weighted average — the irregular-series mean that billing,
+    * monitoring, and TWAP pipelines need: each observation holds until
+    * the next one, so its weight is the micros it was "live"
+    * (piecewise-constant / last-observation-carried-forward
+    * integration; the final observation has no holding interval and
+    * contributes no weight). Entirely exact arithmetic: micros and
+    * cents are integers, the weighted sum is a DECIMAL(38,0), and the
+    * average is one fixed double tree — hash-green in DuckDB.
+    *
+    * Scale shape: ONE hash exchange on the series key, one O(1)-state
+    * lead() pass, one map-side-combined aggregate. Ties in ts order
+    * deterministically by event_id (a layout-dependent lead() would
+    * not replicate). Single-event series have zero span → null twa.
+    */
+  def twa(ev: DataFrame): DataFrame = {
+    val dt38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val e = ev.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val stepped = e
+      .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+    val agg = stepped.groupBy("user_id").agg(
+      count(lit(1)).as("n_events"),
+      coalesce(sum("dt"), lit(0L)).as("span_us"),
+      sum(col("vc").cast(dt38) * col("dt").cast(dt38)).as("wsum"))
+    agg.select(col("user_id"), col("n_events"), col("span_us"),
+      when(col("span_us") > 0,
+        col("wsum").cast("double") / col("span_us").cast("double")
+          / lit(100.0)).as("twa"))
+  }
+
+  def q91Twa(s: SparkSession, d: String): DataFrame =
+    twa(events(s, d)).orderBy("user_id")
+
+  val q91Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+      |  FROM events),
+      |st AS (
+      |  SELECT user_id, us, vc,
+      |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |      - us AS dt
+      |  FROM e),
+      |a AS (
+      |  SELECT user_id, count(*) AS n_events,
+      |    CAST(coalesce(sum(dt), 0) AS BIGINT) AS span_us,
+      |    sum(CAST(vc AS HUGEINT) * CAST(dt AS HUGEINT)) AS wsum
+      |  FROM st GROUP BY user_id)
+      |SELECT user_id, n_events, span_us,
+      |  CASE WHEN span_us > 0 THEN
+      |    CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0
+      |  END AS twa
+      |FROM a ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q84_gapfill" -> ((s: SparkSession, d: String) => q84GapFill(s, d)))
+    "q84_gapfill" -> ((s: SparkSession, d: String) => q84GapFill(s, d)),
+    "q91_twa" -> (q91Twa _))
 
   val oracle: Map[String, String] = Map(
-    "q84_gapfill" -> q84Sql(900L))
+    "q84_gapfill" -> q84Sql(900L),
+    "q91_twa" -> q91Sql)
 }

@@ -86,7 +86,16 @@ private[sim] object VecPrep {
     * GENERATION (probe routing, ADC, codebooks) stays pinned by the
     * recall/determinism/plan specs.
     */
-  private[sim] val AnnOracleDir = "/tmp/graft_ann_oracle"
+  // def, not val: a TEST JVM that enables OracleDump (NswKnnSpec's
+  // candidate-volume bound) must redirect its dumps to a private dir
+  // via this property, or a concurrently-running Verify's dump of the
+  // SAME fixed path gets clobbered with spec-sized data and the DuckDB
+  // compare reads the wrong relation (observed once: parallel
+  // `sbt test` + Verify turned nq_nsw_knn red). Verify itself never
+  // sets the property, so the driver's sequential flow — and the
+  // oracle SQL, built in the same process — keep the fixed path.
+  private[sim] def AnnOracleDir: String =
+    sys.props.getOrElse("graft.oracle.dump.dir", "/tmp/graft_ann_oracle")
 
   /** DuckDB oracle for any dumped (query_id, cand_id) relation: exact
     * top-k cosine re-rank — q30's SQL shape restricted to the dumped

@@ -63,14 +63,21 @@ class NswKnnSpec extends SparkSpec {
   }
 
   test("per-query candidate volume is bounded by shards × ef, not n") {
+    // dumps redirected to a private dir: this JVM must never write the
+    // fixed /tmp dump root a concurrently-running Verify may own
+    val dumpDir = java.nio.file.Files
+      .createTempDirectory("nswdump").toString
     System.setProperty(graft.OracleDump.Enabled, "true")
+    System.setProperty("graft.oracle.dump.dir", dumpDir)
     try {
       NswKnn.nswKnn(spark, sf0001, nShards = 4, efS = 32).collect()
-      val dumped = spark.read.parquet(
-        "/tmp/graft_ann_oracle/nq_nsw_knn.parquet")
+      val dumped = spark.read.parquet(s"$dumpDir/nq_nsw_knn.parquet")
       val worst = dumped.groupBy("query_id").count()
         .agg(max("count")).collect()(0).getLong(0)
       assert(worst <= 4L * 32, s"candidates per query $worst > P*ef")
-    } finally System.clearProperty(graft.OracleDump.Enabled)
+    } finally {
+      System.clearProperty(graft.OracleDump.Enabled)
+      System.clearProperty("graft.oracle.dump.dir")
+    }
   }
 }
