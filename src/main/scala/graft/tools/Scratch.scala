@@ -91,6 +91,69 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("r10dscale")) {
+      // scale probe for the fourth-session round-10 additions: events
+      // and documents replicated Nx with shifted ids (fresh series /
+      // docs, constant group+category counts — the scale-out shape).
+      // Expected: ~linear in input for all six (each is one or two
+      // map-side-combined aggregates with bounded exchanges; TWA adds
+      // one series-key window whose per-series state is O(1)).
+      val fac = args.drop(1).headOption.map(_.toInt).getOrElse(10)
+      val ev0 = graft.Tables.events(spark, d)
+      val evN = (0 until fac).map { r =>
+        ev0.withColumn("event_id", col("event_id") + lit(r * 10000000L))
+          .withColumn("user_id", col("user_id") + lit(r * 10000L))
+      }.reduce(_ unionAll _)
+      val doc0 = graft.Tables.documents(spark, d)
+      val docN = (0 until fac).map { r =>
+        doc0.withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+      }.reduce(_ unionAll _)
+      val ord0 = graft.Tables.orders(spark, d)
+      val ordN = (0 until fac).map { r =>
+        ord0.withColumn("o_orderkey", col("o_orderkey") + lit(r * 100000000L))
+      }.reduce(_ unionAll _)
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      for (round <- 1 to 2) {
+        time(s"x$fac priority_sample (r$round)") {
+          noop(graft.text.PrioritySample.prioritySample(
+            docN, "lang", "doc_id", "n_chars", 20))
+        }
+        time(s"x$fac cms_freq (r$round)") {
+          noop(graft.rel.Cms.estimate(
+            graft.rel.Cms.cmsOf(evN, "user_id"), evN, "user_id"))
+        }
+        time(s"x$fac trend_ols (r$round)") {
+          val pts = ordN
+            .join(broadcast(graft.Tables.customer(spark, d)),
+              col("o_custkey") === col("c_custkey"))
+            .join(broadcast(graft.Tables.nation(spark, d)),
+              col("c_nationkey") === col("n_nationkey"))
+            .groupBy(col("n_name").as("nation"),
+              (year(col("o_orderdate")) * lit(12) +
+                month(col("o_orderdate")) - lit(1)).cast("long").as("x"))
+            .agg(sum(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+              .cast("long")
+              .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+              .as("y_cents"))
+          noop(graft.rel.Trend.olsFit(pts, "nation"))
+        }
+        time(s"x$fac twa (r$round)") {
+          noop(graft.rel.Resample.twa(evN))
+        }
+        time(s"x$fac chi2_cells (r$round)") {
+          noop(graft.rel.Stats.chi2Cells(
+            evN.select(col("event_type"),
+              hour(col("ts")).cast("long").as("hr")),
+            "event_type", "hr"))
+        }
+        time(s"x$fac domain_kl (r$round)") {
+          noop(graft.text.Divergence.domainKl(docN, "source"))
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("r10cscale")) {
       // scale probe for the third-session round-10 additions (exact
       // aggregate store / KLL quantiles / prefix join): replicate the
