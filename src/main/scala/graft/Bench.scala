@@ -151,7 +151,12 @@ object Bench {
     // grid joins — a canary near scan speed) and domain KL (the
     // tokenize + two-level count shape; a vocabulary-sized broadcast
     // regression or a second corpus scan would jump it)
-    "q92_chi2_cells", "q93_domain_kl")
+    "q92_chi2_cells", "q93_domain_kl",
+    // round-10 continued: the hopping-window aggregate — the ×4
+    // window expansion must partial-aggregate map-side (an exchange
+    // carrying events×4 rows would jump it) — and retention cohorts,
+    // one user-keyed aggregate + a cells-sized re-aggregate
+    "q94_hopping_windows", "q95_retention_cohorts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -57,10 +57,84 @@ object Stats {
         hour(col("ts")).cast("long").as("hr")),
       "event_type", "hr")
 
+  /** Hopping (sliding) window aggregate — Spark's
+    * `window(ts, size, slide)` generator: each event lands in
+    * size/slide overlapping windows (here 1 h windows every 15 min →
+    * 4), the streaming-analytics smoothing of q15's tumbling hourly
+    * counts. Window starts are epoch-aligned to the slide, emitted as
+    * epoch SECONDS (timestamp formatting is not canonical across
+    * engines; the integer is). Value sums ride as exact cents.
+    *
+    * Scale shape: the ×(size/slide) row multiplication happens
+    * map-side and immediately partial-aggregates to the window-count
+    * — the exchange carries windows × types, not events × 4. */
+  def q94HoppingWindows(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        window(col("ts"), "1 hour", "15 minutes").as("w"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+      .groupBy(col("event_type"),
+        unix_timestamp(col("w.start")).as("win_start_sec"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("vc")).as("sum_cents"))
+      .orderBy("event_type", "win_start_sec")
+
+  val q94Sql: String =
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
+      |  FROM events),
+      |hops AS (
+      |  SELECT event_type, vc,
+      |    (es // 900) * 900 - 900 * i AS win_start_sec
+      |  FROM e, (SELECT unnest(range(0, 4)) AS i))
+      |SELECT event_type, win_start_sec,
+      |  count(*) AS n_events, sum(vc) AS sum_cents
+      |FROM hops
+      |GROUP BY event_type, win_start_sec
+      |ORDER BY event_type, win_start_sec""".stripMargin
+
+  /** Weekly retention cohorts — the product-analytics triangle: users
+    * grouped by first-active week, activity counted per later week as
+    * an offset from the cohort week. All-integer epoch-week
+    * arithmetic.
+    *
+    * Scale shape: first-event week is ONE min-aggregate on user_id
+    * (the only user-keyed exchange); the cohort matrix re-aggregates
+    * the per-(user, week) distinct relation — cells are
+    * cohorts × offsets, tiny. */
+  def q95RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"),
+      expr("unix_timestamp(ts) div 604800").as("wk"))
+    val userWeeks = ev.distinct()
+    val cohort = userWeeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    userWeeks.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_wk", "wk_offset")
+  }
+
+  val q95Sql: String =
+    """WITH uw AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM uw GROUP BY 1)
+      |SELECT c.cohort_wk, uw.wk - c.cohort_wk AS wk_offset,
+      |  count(DISTINCT uw.user_id) AS n_users
+      |FROM uw JOIN c ON uw.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY cohort_wk, wk_offset""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q92_chi2_cells" -> (q92Chi2Cells _))
+    "q92_chi2_cells" -> (q92Chi2Cells _),
+    "q94_hopping_windows" -> (q94HoppingWindows _),
+    "q95_retention_cohorts" -> (q95RetentionCohorts _))
 
   val oracle: Map[String, String] = Map(
+    "q94_hopping_windows" -> q94Sql,
+    "q95_retention_cohorts" -> q95Sql,
     "q92_chi2_cells" ->
       """WITH seen AS (
         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,

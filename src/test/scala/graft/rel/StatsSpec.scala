@@ -50,6 +50,46 @@ class StatsSpec extends SparkSpec {
     assert(zero._5 == zero._4)
   }
 
+  test("hopping windows: every event lands in exactly size/slide windows") {
+    val out = Stats.q94HoppingWindows(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect()
+    val nEvents = graft.Tables.events(spark, sf0001).count()
+    assert(out.map(_._3).sum == 4 * nEvents,
+      "1h windows every 15min → 4 memberships per event")
+    assert(out.forall(_._2 % 900 == 0), "starts slide-aligned")
+  }
+
+  test("retention cohorts: hand fixture and triangle invariants") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // u1 first-active week 0, returns week 2; u2 first-active week 1
+    val rows = Seq((1L, 100L), (1L, 604800L * 2 + 5), (2L, 604800L + 9))
+      .map { case (u, sec) => Row(u, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(sec))) }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("ts", TimestampType))))
+    df.createOrReplaceTempView("stats_cohort_fixture")
+    val uw = df.select(col("user_id"),
+      expr("unix_timestamp(ts) div 604800").as("wk")).distinct()
+    val cohort = uw.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val cells = uw.join(cohort, "user_id")
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("off"))
+      .agg(countDistinct("user_id").as("n"))
+      .as[(Long, Long, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(cells == Map((0L, 0L) -> 1L, (0L, 2L) -> 1L, (1L, 0L) -> 1L))
+    // real data: offsets non-negative, offset-0 row is each cohort's
+    // maximum (nobody can return before joining)
+    val real = Stats.q95RetentionCohorts(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    assert(real.nonEmpty && real.forall(_._2 >= 0))
+    real.groupBy(_._1).foreach { case (_, rs) =>
+      val byOff = rs.map(r => r._2 -> r._3).toMap
+      assert(byOff(0L) == rs.map(_._3).max)
+    }
+  }
+
   test("contract query covers the full type x hour grid") {
     val out = Stats.q92Chi2Cells(spark, sf0001)
       .as[(String, Long, Long, Double, Double)].collect()
