@@ -29,6 +29,23 @@ object StreamingOps {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Hopping (sliding) event-time windows — q94's streaming twin: 1 h
+    * windows every 15 min, each event counted in 4 overlapping
+    * windows, state bounded by the watermark horizon. Sums ride as
+    * exact integer cents (order-free addition), so streaming ≡ batch
+    * ≡ q94 holds EXACTLY, not round-absorbed.
+    */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("sum_cents"))
+      .select(unix_timestamp(col("window.start")).as("win_start_sec"),
+        col("event_type"), col("n_events"), col("sum_cents"))
+
   /** Gap-based sessionization via the built-in session_window:
     * 30-minute inactivity gap per user.
     */

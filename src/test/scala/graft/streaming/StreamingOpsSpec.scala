@@ -54,6 +54,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("hopping windows: streaming equals batch equals q94, exactly") {
+    val streamed = drain("hop_s", StreamingOps.hoppingCounts(streamEvents))
+      .orderBy("event_type", "win_start_sec").collect()
+    val batch = StreamingOps.hoppingCounts(batchEvents)
+      .orderBy("event_type", "win_start_sec").collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+    // and the batch contract query agrees cell for cell (cents sums
+    // are integer — exact under any accumulation order)
+    val q94 = graft.rel.Stats.q94HoppingWindows(spark, sf0001)
+      .select("win_start_sec", "event_type", "n_events", "sum_cents")
+      .orderBy("event_type", "win_start_sec").collect()
+    val batchAligned = StreamingOps.hoppingCounts(batchEvents)
+      .select("win_start_sec", "event_type", "n_events", "sum_cents")
+      .orderBy("event_type", "win_start_sec").collect()
+    assert(batchAligned.sameElements(q94))
+  }
+
   test("session windows: streaming equals batch") {
     val streamed = drain("sess_s", StreamingOps.sessionWindows(streamEvents))
       .select("user_id", "session_start_us", "n_events")
