@@ -31,7 +31,12 @@ object Stats {
     * discipline as in Resample: the cross join is of the DISTINCT
     * category lists, output-proportional, never data-sized. */
   def chi2Cells(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val seen = df.groupBy(aCol, bCol).agg(count(lit(1)).as("obs"))
+    // incomplete observations are dropped up front (standard
+    // contingency practice) — a null category would otherwise be
+    // counted into N by the aggregate but silently lost by the
+    // null-unsafe grid and marginal joins, skewing every expected count
+    val clean = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+    val seen = clean.groupBy(aCol, bCol).agg(count(lit(1)).as("obs"))
     val rowTot = seen.groupBy(aCol).agg(sum("obs").as("row_tot"))
     val colTot = seen.groupBy(bCol).agg(sum("obs").as("col_tot"))
     val n = seen.agg(sum("obs").as("n_total"))

@@ -33,8 +33,11 @@ object Trend {
     * `x` and exact integral `y_cents` (cents ≤ ~10^16: squares are
     * decimal, sums stay within DECIMAL(38,0) by a wide margin). */
   def olsFit(pts: DataFrame, groupCol: String): DataFrame = {
+    // a null x or y would be counted by n_points but skipped by the
+    // sums — inconsistent moments; incomplete points are dropped
+    val clean = pts.filter(col("x").isNotNull && col("y_cents").isNotNull)
     val y = col("y_cents").cast(dt)
-    val m = pts.groupBy(groupCol).agg(
+    val m = clean.groupBy(groupCol).agg(
       count(lit(1)).as("n_points"),
       sum(col("x")).as("sx"),
       sum(y).as("sy"),

@@ -57,12 +57,16 @@ object PrioritySample {
     val spark = docs.sparkSession
     graft.functions.VecFunctions.register(spark)
     val kk = k + 1
+    // null ids/weights cannot be sampled (no hash, no priority) and
+    // would otherwise reach the heap as structs with null fields —
+    // dropped up front, like the SQL aggregates drop null inputs
+    val clean = docs.filter(col(idCol).isNotNull && col(weightCol).isNotNull)
     // u ∈ (0, 1]: top 53 bits of the hash, +1 so u is never 0 (and a
     // 53-bit integer + 1 is still exact as a double); division by 2^53
     // is a power-of-two scale — every step identical in any IEEE engine
     val u = (shiftrightunsigned(xxhash64(col(idCol), lit(seed)), 11)
       .cast("double") + lit(1.0)) / lit(9007199254740992.0)
-    val withPriority = docs.select(col(groupCol), col(idCol),
+    val withPriority = clean.select(col(groupCol), col(idCol),
         col(weightCol), (col(weightCol).cast("double") / u).as("priority"))
       .select(col(groupCol),
         struct(col("priority"), col(idCol), col(weightCol)).as("sv"))

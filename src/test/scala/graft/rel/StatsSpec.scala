@@ -50,6 +50,16 @@ class StatsSpec extends SparkSpec {
     assert(zero._5 == zero._4)
   }
 
+  test("null categories are dropped from the table, not half-counted") {
+    val rows: Seq[(String, String)] =
+      Seq(("a", "x"), ("a", "y"), (null, "x"), ("b", null), ("b", "y"))
+    val cells = Stats.chi2Cells(rows.toDF("k", "v"), "k", "v")
+      .as[(String, String, Long, Double, Double)].collect()
+    // only the 3 complete observations remain; N = 3 via the expecteds
+    assert(cells.map(_._3).sum == 3)
+    assert(cells.forall(c => c._1 != null && c._2 != null))
+  }
+
   test("hopping windows: every event lands in exactly size/slide windows") {
     val out = Stats.q94HoppingWindows(spark, sf0001)
       .as[(String, Long, Long, Long)].collect()

@@ -71,6 +71,19 @@ class TrendSpec extends SparkSpec {
     }
   }
 
+  test("incomplete points are dropped, not half-counted") {
+    val pts = Seq(
+      (Some(1L), Some(200L + 1500L)), (Some(9L), Some(1800L + 1500L)),
+      (None, Some(7L)), (Some(5L), None))
+      .map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y_cents")
+    val r = Trend.olsFit(pts, "g")
+      .as[(String, Long, Option[Double], Option[Double], Option[Double])]
+      .head()
+    // only the two complete collinear points (y = 200x + 1500... the
+    // first point is x=1, y=1700; second x=9, y=3300 → slope 2.00)
+    assert(r._2 == 2L && r._3 == Some(2.0))
+  }
+
   test("layout-invariant: same fit at any parallelism") {
     val pts = (1L to 500L).map(x => ("g" + (x % 3), x, x * x * 7L % 100000L))
       .toDF("g", "x", "y_cents")

@@ -91,6 +91,16 @@ class PrioritySampleSpec extends SparkSpec {
     }
   }
 
+  test("null ids and weights are dropped, never sampled") {
+    val rows = Seq(("a", Some(1L), Some(10L)), ("a", Some(2L), Some(30L)),
+      ("a", None, Some(99L)), ("a", Some(4L), None))
+      .toDF("lang", "doc_id", "n_chars")
+    val out = PrioritySample.prioritySample(
+        rows, "lang", "doc_id", "n_chars", 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
   test("selection is layout-invariant") {
     val a = PrioritySample.prioritySample(
       docs, "lang", "doc_id", "n_chars", 15).collect().toSeq
