@@ -156,7 +156,11 @@ object Bench {
     // window expansion must partial-aggregate map-side (an exchange
     // carrying events×4 rows would jump it) — and retention cohorts,
     // one user-keyed aggregate + a cells-sized re-aggregate
-    "q94_hopping_windows", "q95_retention_cohorts")
+    "q94_hopping_windows", "q95_retention_cohorts",
+    // round-10 continued: session path analysis — one user-keyed
+    // window + session-bounded list aggregation; a corpus-sized
+    // collect or unkeyed window would jump it
+    "q96_session_paths")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -132,14 +132,91 @@ object Stats {
       |GROUP BY 1, 2
       |ORDER BY cohort_wk, wk_offset""".stripMargin
 
+  /** Session path analysis — the "what do users DO" query: sessions
+    * by 30-minute inactivity gap (lag + running break-sum, q16's
+    * semantics in replicable integer-epoch form), each session's
+    * event-type sequence sliced into consecutive trigram paths
+    * ("a>b>c"), globally counted, top 15. Funnels (q43) test ONE
+    * hypothesized path; this surfaces the paths worth hypothesizing.
+    *
+    * Scale shape: one user-keyed window pass (O(1) state) → one
+    * (user, session) aggregate whose per-group work is the session's
+    * own events (sort_array over a session-bounded list) → a narrow
+    * per-row trigram transform → one path-keyed count with map-side
+    * combine → a bounded top-k sort. No corpus-sized window, no
+    * driver-side session loop. Ties order by path, deterministically.
+    */
+  def q96SessionPaths(s: SparkSession, d: String, topK: Int = 15): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val e = events(s, d).select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("us"), col("event_type"))
+    val sessed = e
+      .withColumn("brk",
+        when(col("us") - lag("us", 1).over(w) > lit(1800000000L), lit(1))
+          .otherwise(lit(0)))
+      .withColumn("sess", sum("brk").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)))
+    val paths = sessed.groupBy("user_id", "sess")
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(expr("transform(evs, x -> x.event_type)").as("types"))
+      .filter(size(col("types")) >= 3)
+      .select(explode(expr(
+        """transform(sequence(1, size(types) - 2),
+          |  i -> concat_ws('>', element_at(types, i),
+          |    element_at(types, i + 1), element_at(types, i + 2)))"""
+          .stripMargin)).as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("n_occurrences").desc, col("path"))))
+      .filter(col("rank") <= topK)
+      .orderBy("rank")
+  }
+
+  val q96Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    event_type
+      |  FROM events),
+      |s AS (
+      |  SELECT *, CASE WHEN us - lag(us) OVER
+      |      (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM e),
+      |s2 AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM s),
+      |g AS (
+      |  SELECT user_id, sess,
+      |    list(event_type ORDER BY us, event_id) AS types
+      |  FROM s2 GROUP BY 1, 2),
+      |tri AS (
+      |  SELECT unnest(list_transform(range(1, len(types) - 1),
+      |    i -> types[i] || '>' || types[i+1] || '>' || types[i+2]))
+      |    AS path
+      |  FROM g WHERE len(types) >= 3),
+      |c AS (SELECT path, count(*) AS n_occurrences FROM tri GROUP BY 1),
+      |r AS (SELECT path, n_occurrences, row_number() OVER
+      |        (ORDER BY n_occurrences DESC, path) AS rank
+      |      FROM c)
+      |SELECT path, n_occurrences, rank FROM r
+      |WHERE rank <= 15 ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q92_chi2_cells" -> (q92Chi2Cells _),
     "q94_hopping_windows" -> (q94HoppingWindows _),
-    "q95_retention_cohorts" -> (q95RetentionCohorts _))
+    "q95_retention_cohorts" -> (q95RetentionCohorts _),
+    "q96_session_paths" -> ((s: SparkSession, d: String) =>
+      q96SessionPaths(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q94_hopping_windows" -> q94Sql,
     "q95_retention_cohorts" -> q95Sql,
+    "q96_session_paths" -> q96Sql,
     "q92_chi2_cells" ->
       """WITH seen AS (
         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,

@@ -100,6 +100,52 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("session paths: hand fixture with a session break") {
+    // fixture rides the real events table's columns through a temp
+    // parquet dir so the contract chain (Tables.events normalization)
+    // is bypassed and q96's internals are exercised directly
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val sec = (s: Long) => java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(s))
+    // user 1: a b a b (10s apart) | 31-min gap | c c c
+    val evs = Seq(
+      (1L, "a", 0L), (2L, "b", 10L), (3L, "a", 20L), (4L, "b", 30L),
+      (5L, "c", 30L + 1860L), (6L, "c", 30L + 1870L),
+      (7L, "c", 30L + 1880L),
+      // user 2: only two events — too short to path
+      (8L, "a", 0L), (9L, "b", 5L))
+    val rows = evs.map { case (id, t, s0) =>
+      Row(id, sec(s0), if (id <= 7L) 1L else 2L, t, 0.0, "{}") }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val dir = java.nio.file.Files.createTempDirectory("q96fix")
+    try {
+      spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val got = Stats.q96SessionPaths(spark, dir.toString)
+        .select("path", "n_occurrences").as[(String, Long)].collect().toSet
+      assert(got == Set(("a>b>a", 1L), ("b>a>b", 1L), ("c>c>c", 1L)),
+        s"got $got")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("session paths on real events: deterministic, bounded, ranked") {
+    val a = Stats.q96SessionPaths(spark, sf0001)
+      .as[(String, Long, Int)].collect().toSeq
+    val b = Stats.q96SessionPaths(spark, sf0001)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(a == b && a.nonEmpty && a.size <= 15)
+    assert(a.map(_._2).sliding(2).forall {
+      case Seq(x, y) => x >= y; case _ => true })
+  }
+
   test("contract query covers the full type x hour grid") {
     val out = Stats.q92Chi2Cells(spark, sf0001)
       .as[(String, Long, Long, Double, Double)].collect()
