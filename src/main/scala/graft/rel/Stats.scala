@@ -95,7 +95,7 @@ object Stats {
       |    (es // 900) * 900 - 900 * i AS win_start_sec
       |  FROM e, (SELECT unnest(range(0, 4)) AS i))
       |SELECT event_type, win_start_sec,
-      |  count(*) AS n_events, sum(vc) AS sum_cents
+      |  count(*) AS n_events, CAST(sum(vc) AS BIGINT) AS sum_cents
       |FROM hops
       |GROUP BY event_type, win_start_sec
       |ORDER BY event_type, win_start_sec""".stripMargin

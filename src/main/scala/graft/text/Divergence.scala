@@ -77,7 +77,8 @@ object Divergence {
         |ct AS (SELECT term, sum(cnt_s) AS cnt_c FROM st GROUP BY 1),
         |tot_s AS (SELECT source, sum(cnt_s) AS tot_s FROM st GROUP BY 1),
         |tot_c AS (SELECT sum(cnt_s) AS tot_c FROM st)
-        |SELECT st.source, count(*) AS n_terms, sum(cnt_s) AS n_tokens,
+        |SELECT st.source, count(*) AS n_terms,
+        |  CAST(sum(cnt_s) AS BIGINT) AS n_tokens,
         |  round(sum(
         |    (CAST(cnt_s AS DOUBLE) / CAST(tot_s AS DOUBLE)) *
         |    ln((CAST(cnt_s AS DOUBLE) * CAST(tot_c AS DOUBLE)) /

@@ -48,7 +48,19 @@ for name, sql in sorted(oracle.items()):
     ok = True
     for c in sdf.columns:
         a, b = sdf[c], odf[c]
-        if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
+        af = np.issubdtype(a.dtype, np.floating)
+        bf = np.issubdtype(b.dtype, np.floating)
+        # The driver stringifies then hashes, so an int64-vs-float64
+        # mismatch ("1435" vs "1435.0") is a driver FAIL even when the
+        # values are numerically identical. Replicate that: only
+        # tolerance-compare when BOTH sides are float.
+        if af != bf:
+            print(f"FAIL {name}: col {c} dtype mismatch spark={a.dtype} "
+                  f"oracle={b.dtype} (driver stringified hash would differ; "
+                  f"cast the oracle SQL, e.g. CAST(sum(x) AS BIGINT))")
+            ok = False
+            continue
+        if af and bf:
             aa = a.astype(float).to_numpy(); bb = b.astype(float).to_numpy()
             both_nan = np.isnan(aa) & np.isnan(bb)
             exact = (aa == bb) | both_nan
