@@ -107,6 +107,15 @@ object SparkEntry {
       // oracle recomputes straight from raw events via the XXH64
       // replica
       rel.KmvStore.oracle ++
+      // round-11 promotion: the HLL cardinality store's MERGE — DuckDB
+      // re-runs the register-wise max over dumped per-batch register
+      // pairs; the estimator tail stays spec-pinned
+      rel.CardinalityStore.oracle ++
+      // round-11 promotion: bin packing — per-bin aggregate rebuilt by
+      // DuckDB from the dumped assignment, guarded by the packing
+      // invariants (membership, capacity, oversize-singleton, dense
+      // ids); only the sequential BFD choice stays spec-pinned
+      text.BinPack.oracle ++
       // round-10 continued: resample + linear gap interpolation — the
       // whole chain is exact arithmetic over round-6 bucket means
       rel.Resample.oracle ++

@@ -125,13 +125,19 @@ object KmvSketch {
     */
   final class MinSet(k: Int) {
     private val s = new java.util.TreeSet[java.lang.Long]()
+    // cached s.last() while the set is full: the common row is a
+    // reject, which must be ONE primitive compare, not an O(log k)
+    // rightmost-node walk (the profiler runs one MinSet per column
+    // per input row — measured r11, this is the update hot path)
+    private var ceil = Long.MaxValue
 
     def offer(v: Long): Unit = {
-      if (s.size < k) { s.add(v); () }
-      else if (v < s.last()) {
+      if (s.size < k) {
+        if (s.add(v) && s.size == k) ceil = s.last()
+      } else if (v < ceil) {
         // TreeSet.add returns false for duplicates — only shrink the
         // ceiling when a genuinely new value was admitted
-        if (s.add(v)) { s.pollLast(); () }
+        if (s.add(v)) { s.pollLast(); ceil = s.last() }
       }
     }
 

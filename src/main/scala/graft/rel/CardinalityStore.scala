@@ -75,13 +75,12 @@ object CardinalityStore {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("n_distinct_est"))
 
-  /** Driver entry: events arrive as 5 ingest batches (event_id mod 5);
-    * each is sketched independently and the merged store answers
-    * distinct users per event type. Estimates are deterministic and
-    * layout-independent (register max is order-free), so the rows-only
-    * check is stable; the merge ≡ monolithic and ≤5%-error properties
-    * are spec-pinned in CardinalityStoreSpec. */
-  def nqCardStore(s: SparkSession, d: String): DataFrame = {
+  /** The merged per-group distinct estimates over the 5-way batch
+    * split — the read-path answer a user of the store sees. Estimator
+    * internals are not SQL-expressible, so this form is spec-pinned
+    * (merge ≡ monolithic, ≤5% error) rather than driver-oracled; the
+    * driver contract entry below hash-checks the MERGE itself. */
+  def mergedEstimates(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val perBatch = (0 until 5).map(b =>
       sketchBatch(ev.filter(pmod(col("event_id"), lit(5)) === b),
@@ -89,6 +88,46 @@ object CardinalityStore {
     mergeSketches(perBatch.reduce(_ unionAll _), Seq("event_type"))
       .withColumnRenamed("n_distinct_est", "n_users_est")
       .orderBy("event_type")
+  }
+
+  private[rel] val CardDumpDir = "/tmp/graft_card_oracle"
+
+  /** Register pairs of a serialized sketch, folded to lgConfigK and
+    * max-deduped — see GraftHllAccess for the mode-safety argument. */
+  private val regPairs = udf((bytes: Array[Byte]) =>
+    org.apache.datasketches.hll.GraftHllAccess.registerPairs(bytes))
+
+  /** Driver entry: events arrive as 5 ingest batches (event_id mod 5),
+    * each sketched independently; the output is the MERGED register
+    * array per event type — the store's actual contract (the union is
+    * a per-slot integer max, commutative/associative/idempotent).
+    * The per-batch register pairs are dumped as oracle input, so
+    * DuckDB re-runs the merge as `max(reg) GROUP BY (group, slot)`
+    * and the driver hash-checks `hll_union_agg` against it exactly.
+    * The estimator tail (harmonic mean + corrections) stays
+    * spec-pinned via `mergedEstimates` in CardinalityStoreSpec —
+    * registers are deterministic functions of the input SET (hashes +
+    * max), so the dump and the merge may evaluate the plan twice and
+    * still agree. */
+  def nqCardStore(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val perBatch = (0 until 5).map(b =>
+      sketchBatch(ev.filter(pmod(col("event_id"), lit(5)) === b),
+        Seq("event_type"), "user_id")
+        .withColumn("batch_id", lit(b)))
+    val all = perBatch.reduce(_ unionAll _)
+    graft.OracleDump.dump(
+      all.select(col("event_type"), col("batch_id"),
+          explode(regPairs(col("sketch"))).as("p"))
+        .select(col("event_type"), col("batch_id"),
+          col("p._1").as("slot"), col("p._2").as("reg")),
+      CardDumpDir)
+    all.groupBy("event_type")
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("msk"))
+      .select(col("event_type"), explode(regPairs(col("msk"))).as("p"))
+      .select(col("event_type"),
+        col("p._1").as("slot"), col("p._2").as("reg"))
+      .orderBy("event_type", "slot")
   }
 
   /** Streaming ingest of the store: each micro-batch sketched and
@@ -111,4 +150,13 @@ object CardinalityStore {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_card_store" -> (nqCardStore _))
+
+  /** The merge re-run by DuckDB over the dumped per-batch register
+    * pairs: pure per-(group, slot) integer max. */
+  val oracle: Map[String, String] = Map(
+    "nq_card_store" ->
+      s"""SELECT event_type, slot, max(reg) AS reg
+         |FROM read_parquet('$CardDumpDir/*.parquet')
+         |GROUP BY event_type, slot
+         |ORDER BY event_type, slot""".stripMargin)
 }

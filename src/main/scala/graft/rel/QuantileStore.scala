@@ -134,7 +134,10 @@ object QuantileStore {
        |  max(n) AS n_rows
        |  FROM cum GROUP BY $groupCol
        |), raw AS ($rawSql)
-       |SELECT est.$groupCol, est.p50, est.p90, est.p99, raw.n_raw AS n_rows
+       |SELECT est.$groupCol,
+       |  ${quantiles.map { case (name, _, _) => s"est.$name" }
+                    .mkString(", ")},
+       |  raw.n_raw AS n_rows
        |FROM est JOIN raw ON est.$groupCol = raw.$groupCol
        |ORDER BY est.$groupCol""".stripMargin
   }

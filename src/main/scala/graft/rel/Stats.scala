@@ -110,8 +110,13 @@ object Stats {
     * the per-(user, week) distinct relation — cells are
     * cohorts × offsets, tiny. */
   def q95RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    // floor division, not `div` (which truncates toward zero): for
+    // pre-1970 timestamps (negative epoch seconds) truncation and
+    // floor disagree, and the DuckDB oracle's `//` floors. Exact in
+    // double for |epoch| < 2^52.
     val ev = events(s, d).select(col("user_id"),
-      expr("unix_timestamp(ts) div 604800").as("wk"))
+      expr("CAST(floor(unix_timestamp(ts) / 604800.0) AS BIGINT)")
+        .as("wk"))
     val userWeeks = ev.distinct()
     val cohort = userWeeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
     userWeeks.join(cohort, "user_id")
@@ -221,7 +226,9 @@ object Stats {
       """WITH seen AS (
         |  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
         |    count(*) AS obs
-        |  FROM events GROUP BY 1, 2),
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
         |rt AS (SELECT event_type, sum(obs) AS row_tot FROM seen
         |       GROUP BY 1),
         |ct AS (SELECT hr, sum(obs) AS col_tot FROM seen GROUP BY 1),

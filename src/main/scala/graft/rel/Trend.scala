@@ -96,6 +96,7 @@ object Trend {
         |  FROM orders o
         |  JOIN customer c ON o.o_custkey = c.c_custkey
         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE o.o_orderdate IS NOT NULL AND o.o_totalprice IS NOT NULL
         |  GROUP BY 1, 2),
         |m AS (
         |  SELECT nation, count(*) AS n_points,

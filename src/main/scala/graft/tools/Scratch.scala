@@ -91,6 +91,30 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("kmvprof")) {
+      // VERDICT r10 #6: can the repo's own kmv_sketch beat the
+      // interpreted HLL updates inside nq_profile? Compare the current
+      // approx_count_distinct(0.02) pass against a KMV pass at
+      // comparable error (k=2048 → ~2.2% vs HLL's 2%), both one scan.
+      graft.functions.VecFunctions.register(spark)
+      val li = graft.Tables.lineitem(spark, d)
+      val allCols = li.columns.toSeq
+      val k = 2048
+      def kmvOnly() = li.agg(
+        expr(s"kmv_sketch(xxhash64(${allCols.head}), $k)"),
+        allCols.tail.map(c => expr(s"kmv_sketch(xxhash64($c), $k)")): _*)
+      def hllOnly() = li.agg(
+        approx_count_distinct(col(allCols.head), 0.02),
+        allCols.tail.map(c => approx_count_distinct(col(c), 0.02)): _*)
+      def current() = graft.rel.Profiler.nqProfile(spark, d)
+      for (_ <- 1 to 3) {
+        time("hll-only 0.02") { hllOnly().collect() }
+        time(s"kmv-only k=$k") { kmvOnly().collect() }
+        time("current nq_profile") { current().collect() }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("r10dscale")) {
       // scale probe for the fourth-session round-10 additions: events
       // and documents replicated Nx with shifted ids (fresh series /

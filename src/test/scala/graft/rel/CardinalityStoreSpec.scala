@@ -14,7 +14,7 @@ class CardinalityStoreSpec extends SparkSpec {
   private def ev = graft.Tables.events(spark, sf0001)
 
   test("merged per-batch sketches equal the monolithic sketch exactly") {
-    val merged = CardinalityStore.nqCardStore(spark, sf0001)
+    val merged = CardinalityStore.mergedEstimates(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val mono = CardinalityStore.mergeSketches(
         CardinalityStore.sketchBatch(ev, Seq("event_type"), "user_id"),
@@ -25,8 +25,24 @@ class CardinalityStoreSpec extends SparkSpec {
       "union of batch sketches must reproduce the full-corpus registers")
   }
 
+  test("merged register array equals the monolithic sketch's registers") {
+    val regs = udf((bytes: Array[Byte]) =>
+      org.apache.datasketches.hll.GraftHllAccess.registerPairs(bytes))
+    val merged = CardinalityStore.nqCardStore(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    val mono = CardinalityStore
+      .sketchBatch(ev, Seq("event_type"), "user_id")
+      .select($"event_type", explode(regs($"sketch")).as("p"))
+      .select($"event_type", $"p._1", $"p._2")
+      .orderBy("event_type", "p._1").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(merged.nonEmpty && merged === mono,
+      "hll_union_agg must reproduce the full-corpus register array " +
+        "slot for slot")
+  }
+
   test("estimates stay within 5% of the exact distinct per group") {
-    val est = CardinalityStore.nqCardStore(spark, sf0001)
+    val est = CardinalityStore.mergedEstimates(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val exact = ev.groupBy("event_type")
       .agg(countDistinct("user_id").as("n")).collect()

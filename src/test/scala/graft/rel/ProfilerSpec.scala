@@ -30,14 +30,15 @@ class ProfilerSpec extends SparkSpec {
     assert(sRow.getLong(4) === 2L && sRow.isNullAt(5) && sRow.isNullAt(7))
   }
 
-  test("approx mode tracks exact within the 2% HLL band on real data") {
+  test("approx mode tracks exact within the KMV error band on real data") {
     val li = graft.Tables.lineitem(spark, sf0001)
     val exact = Profiler.profile(li, exactDistinct = true)
       .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
     val approx = Profiler.profile(li)
-      .select("col_name", "n_distinct").as[(String, Long)].collect().toMap
+      .select("col_name", "n_distinct_est").as[(String, Double)]
+      .collect().toMap
     exact.foreach { case (c, n) =>
-      assert(math.abs(approx(c) - n).toDouble / math.max(1, n) <= 0.05,
+      assert(math.abs(approx(c) - n) / math.max(1, n) <= 0.05,
         s"$c: approx ${approx(c)} vs exact $n")
     }
   }
