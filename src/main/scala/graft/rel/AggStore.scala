@@ -116,6 +116,54 @@ object AggStore {
       groupCols: Seq[String]): DataFrame =
     mergePartials(s.read.parquet(storePath), groupCols)
 
+  // ------------------------------------------------------- retraction
+  // Keyed delete/re-score for the ADDITIVE (invertible) store — the
+  // DESIGN_upsert.md case that needs no tombstone log: a retraction
+  // batch is the algebraic inverse of an insert batch (negated count
+  // and moment partials), ingested through the SAME partitioned write
+  // path with the same replay fence. Re-scoring a key = retract the
+  // old rows + insert the new ones, two fenced batches.
+  //
+  // MIN/MAX are NOT self-maintainable under deletion (removing the
+  // extremum would require rescanning survivors — the classic IVM
+  // limitation), so retraction rows carry NULL extrema and the upsert
+  // read path reports the invertible moments only; the store's
+  // min_val/max_val columns remain documented insert-only high-water
+  // marks.
+
+  /** The additive inverse of `partialBatch`: ingesting this after the
+    * rows were inserted nets them out of every count/sum/moment
+    * exactly (integer cents in DECIMAL(38,0) — subtraction is as
+    * associative as addition). */
+  def retractBatch(batch: DataFrame, groupCols: Seq[String],
+      valueCol: String): DataFrame =
+    partialBatch(batch, groupCols, valueCol)
+      .select(groupCols.map(col) ++ Seq(
+        (-col("cnt")).as("cnt"),
+        (-col("sum_cents")).as("sum_cents"),
+        (-col("sum_sq_cents2")).as("sum_sq_cents2"),
+        lit(null).cast(batch.schema(valueCol).dataType).as("min_val"),
+        lit(null).cast(batch.schema(valueCol).dataType).as("max_val")): _*)
+
+  /** Write a retraction under its own batch partition — redelivered
+    * retractions are no-ops exactly like redelivered inserts. */
+  def applyRetraction(batch: DataFrame, groupCols: Seq[String],
+      valueCol: String, storePath: String, batchId: Long): Unit =
+    retractBatch(batch, groupCols, valueCol)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(storePath)
+
+  /** Merge under retraction: the invertible moments only (no
+    * min/max — see the retraction note), groups netted to zero rows
+    * disappear (matching a GROUP BY over the surviving raw rows). */
+  def mergeUpsert(partials: DataFrame, groupCols: Seq[String]): DataFrame =
+    mergePartials(partials, groupCols)
+      .drop("min_val", "max_val")
+      .filter(col("n_rows") > 0)
+
   /** Streaming ingest: each micro-batch reduced to partials and written
     * to its own batch_id partition via foreachBatch. At-least-once
     * redelivery replays composable batchIds, and the partition
@@ -170,9 +218,52 @@ object AggStore {
       |FROM m
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Driver entry (upsert): the 5 insert batches of nq_agg_store, then
+    * a keyed delete of the l_orderkey ≡ 3 (mod 17) slice (~6% of rows)
+    * as ONE retraction batch. The merged store must equal one GROUP BY
+    * over the SURVIVING raw rows exactly — the oracle recomputes from
+    * `lineitem WHERE l_orderkey % 17 <> 3`, so any double-count,
+    * missed retraction, or broken inverse hash-fails. Extrema are
+    * excluded by design (not self-maintainable under deletion). */
+  def nqStoreUpsert(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val groupCols = Seq("l_returnflag", "l_linestatus")
+    val perBatch = (0 until 5).map(b =>
+      partialBatch(li.filter(pmod(col("l_orderkey"), lit(5)) === b),
+        groupCols, "l_extendedprice"))
+    val retract = retractBatch(
+      li.filter(pmod(col("l_orderkey"), lit(17)) === 3),
+      groupCols, "l_extendedprice")
+    mergeUpsert((perBatch :+ retract).reduce(_ unionAll _), groupCols)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val nqStoreUpsertSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_orderkey % 17 <> 3),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    count(v) AS n_rows,
+      |    CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS cs,
+      |    CAST(CAST(sum(cents * cents) AS DECIMAL(38,0)) AS DOUBLE) AS css,
+      |    CAST(count(v) AS DOUBLE) AS nd
+      |  FROM c
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n_rows,
+      |  cs / 100.0 AS sum_val,
+      |  cs / 100.0 / n_rows AS avg_val,
+      |  (css - cs * cs / nd) / nd / 10000.0 AS var_val,
+      |  sqrt((css - cs * cs / nd) / nd / 10000.0) AS std_val
+      |FROM m
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_agg_store" -> (nqAggStore _))
+    "nq_agg_store" -> (nqAggStore _),
+    "nq_store_upsert" -> (nqStoreUpsert _))
 
   val oracle: Map[String, String] = Map(
-    "nq_agg_store" -> nqAggStoreSql)
+    "nq_agg_store" -> nqAggStoreSql,
+    "nq_store_upsert" -> nqStoreUpsertSql)
 }

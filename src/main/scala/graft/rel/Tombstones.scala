@@ -1,0 +1,84 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Key-level deletes for the DOC-KEYED stores (signature store, gram
+  * store, ANN-code store, SemDedup assignments) — the GDPR-removal
+  * half of DESIGN_upsert.md. The additive stores invert algebraically
+  * (`AggStore.retractBatch`); the doc-keyed stores are plain relations
+  * keyed by document, so a delete is an anti-join at read against a
+  * tombstone log that lives NEXT TO the store (`<store>_tombstones/`).
+  *
+  * The log is itself a store: per-mutation-batch `batch_id` partitions
+  * with dynamic-partition overwrite, so redelivered delete batches are
+  * byte-idempotent exactly like redelivered data batches — and a
+  * delete is also IDEMPOTENT semantically (anti-join twice = once), so
+  * the fence is belt and braces. Writes never rewrite store data;
+  * `compact` nets the log into the data when the read-side anti-join
+  * grows past taste, without changing any answer.
+  *
+  * Scale shape: tombstone sets are deletion-sized (requests, not
+  * corpus) — the read path broadcasts them when small, which AQE
+  * already decides from the log's actual size; the anti-join keys are
+  * the store's own doc ids, no new shuffle of the store when it is
+  * already partitioned by key.
+  */
+object Tombstones {
+
+  /** The log's location for a store root — beside it, never inside it
+    * (the store's own reader must not glob tombstone files). */
+  def logPath(storePath: String): String =
+    storePath.stripSuffix("/") + "_tombstones"
+
+  /** Record one delete batch: the distinct keys, under the mutation
+    * batch's own fenced partition. */
+  def applyDelete(keys: DataFrame, keyCol: String, storePath: String,
+      batchId: Long): Unit =
+    keys.select(col(keyCol).as("key")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(logPath(storePath))
+
+  /** All tombstoned keys for a store (empty relation when no delete
+    * was ever issued — the common case costs one existence check). */
+  def deletedKeys(s: SparkSession, storePath: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(logPath(storePath))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(logPath(storePath))
+      .select(col("key")).distinct())
+    else None
+  }
+
+  /** The read-side filter: store rows minus tombstoned keys. */
+  def filterDeleted(rows: DataFrame, keyCol: String,
+      storePath: String): DataFrame =
+    deletedKeys(rows.sparkSession, storePath) match {
+      case Some(t) =>
+        rows.join(t.withColumnRenamed("key", keyCol), Seq(keyCol),
+          "left_anti")
+      case None => rows
+    }
+
+  /** Fold the log into the store: rewrite the data minus tombstones
+    * and truncate the log. Read-before ≡ read-after (spec-pinned);
+    * bounds the standing anti-join. NOT atomic across the two deletes
+    * — run it from the single maintenance owner, like every store
+    * rewrite in the engine. */
+  def compact(s: SparkSession, storePath: String, keyCol: String): Unit = {
+    deletedKeys(s, storePath).foreach { _ =>
+      val survivors = filterDeleted(s.read.parquet(storePath), keyCol,
+        storePath)
+      val tmp = storePath.stripSuffix("/") + "_compact_tmp"
+      survivors.write.mode("overwrite").parquet(tmp)
+      val conf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(storePath).getFileSystem(conf)
+      fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
+      fs.rename(new org.apache.hadoop.fs.Path(tmp),
+        new org.apache.hadoop.fs.Path(storePath))
+      fs.delete(new org.apache.hadoop.fs.Path(logPath(storePath)), true)
+    }
+  }
+}

@@ -412,8 +412,21 @@ object NearDup {
           s"(nHashes, rowsPerBand) than this query's ($nHashes, " +
           s"$rowsPerBand); rewrite the store or match the parameters")
     }
-    store.drop("n_hashes", "rows_per_band")
+    // key-level deletes (GDPR removal): store rows minus the adjacent
+    // tombstone log — one existence check when no delete was issued
+    graft.rel.Tombstones.filterDeleted(
+      store.drop("n_hashes", "rows_per_band"), "doc_id", storePath)
   }
+
+  /** Key-level delete from the signature store: record the doc ids in
+    * the adjacent tombstone log (`Tombstones`) — every subsequent
+    * store read, batch or streaming, excludes them, so a removed doc
+    * can never again appear in a candidate pair. Idempotent and
+    * replay-fenced; `Tombstones.compact` folds the log into the store
+    * when the standing anti-join grows past taste. */
+  def deleteFromSignatureStore(keys: org.apache.spark.sql.DataFrame,
+      storePath: String, batchId: Long): Unit =
+    graft.rel.Tombstones.applyDelete(keys, "doc_id", storePath, batchId)
 
   /** Persist the signature store (doc_id, hs, sz, band_sigs + embedded
     * banding params) via the engine's own parquet writer. Overwrite

@@ -91,6 +91,18 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("rowcount")) {
+      // output-size probe: is a scale-up blowup output-bound?
+      //   runmain graft.tools.Scratch rowcount q25_neardup_jaccard
+      args.drop(1).foreach { name =>
+        time(s"$name rows") {
+          println(s"[scratch] $name rowcount: " +
+            graft.SparkEntry.queries(name)(spark, d).count())
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("kmvprof")) {
       // VERDICT r10 #6: can the repo's own kmv_sketch beat the
       // interpreted HLL updates inside nq_profile? Compare the current

@@ -88,6 +88,44 @@ class AggStoreSpec extends SparkSpec {
     }
   }
 
+  test("retraction: write; delete(k) equals write-without-k bit-for-bit") {
+    val deleted = pmod($"l_orderkey", lit(17)) === 3
+    val upserted = AggStore.nqStoreUpsert(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val survivorsOnly = AggStore.mergeUpsert(
+        AggStore.partialBatch(li.filter(!deleted), groupCols,
+          "l_extendedprice"), groupCols)
+      .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+    assert(upserted.nonEmpty && upserted === survivorsOnly,
+      "retraction must net the deleted slice out of every moment exactly")
+  }
+
+  test("retraction store path: fenced write, netted read, replay no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("aggretract")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      val del = li.filter(pmod($"l_orderkey", lit(17)) === 3)
+      AggStore.applyBatch(li, groupCols, "l_extendedprice", store, 0L)
+      AggStore.applyRetraction(del, groupCols, "l_extendedprice", store, 1L)
+      def readBack = AggStore.mergeUpsert(
+          spark.read.parquet(store), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      val netted = readBack
+      val survivorsOnly = AggStore.mergeUpsert(
+          AggStore.partialBatch(li.filter(pmod($"l_orderkey", lit(17)) =!= 3),
+            groupCols, "l_extendedprice"), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(netted === survivorsOnly)
+      // redeliver the retraction verbatim: its own partition is the fence
+      AggStore.applyRetraction(del, groupCols, "l_extendedprice", store, 1L)
+      assert(readBack === netted, "replayed retraction must not move answers")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("streaming ingest lands the same store as the batch loop") {
     val dir = java.nio.file.Files.createTempDirectory("aggstream")
     try {

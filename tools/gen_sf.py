@@ -12,12 +12,21 @@ times — a documented caveat for reading their probe numbers (they do
 N-clique work real distinct data wouldn't), while the relational/
 aggregate/window families scale cleanly.
 
-Usage: python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/sf1 10
+With --fresh, replica payloads are made DISTINCT instead of copied:
+document tokens get a per-replica prefix (replica vocabularies are
+disjoint, so near-dup/gram structure is N independent copies of the
+source's — the "fresh corpus" scale shape) and embeddings get a small
+deterministic per-replica direction perturbation (no duplicate
+vectors). Use plain mode as the duplicate-clique torture test and
+--fresh to measure engine scaling.
+
+Usage: python3 tools/gen_sf.py /root/testdata/sf0.1 /tmp/sf1 10 [--fresh]
 """
 import sys, os
 import duckdb
 
 src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+fresh = "--fresh" in sys.argv[4:]
 os.makedirs(dst, exist_ok=True)
 con = duckdb.connect()
 con.execute(f"CREATE VIEW reps AS SELECT unnest(range({n})) AS r")
@@ -42,7 +51,21 @@ for table, shifts in SHIFT.items():
     if not shifts:
         con.execute(f"COPY (SELECT * FROM '{p}') TO '{out}' (FORMAT PARQUET)")
     else:
-        repl = ", ".join(f"{c} + r * {s} AS {c}" for c, s in shifts.items())
+        repls = [f"{c} + r * {s} AS {c}" for c, s in shifts.items()]
+        if fresh and table == "documents":
+            # per-replica token prefix: replica vocabularies (hence
+            # shingles, grams, minhash buckets) are pairwise disjoint
+            repls.append(
+                "regexp_replace(text, '(\\S+)', 'q' || r || '\\1', 'g')"
+                " AS text")
+        if fresh and table == "embeddings":
+            # deterministic per-replica direction nudge: x -> x·(1 +
+            # 0.01·(r−(N−1)/2)·x) is component-dependent, so replicas
+            # of a vector are distinct directions, not duplicates
+            repls.append(
+                f"list_transform(embedding, x -> CAST(x * (1.0 + 0.01 * "
+                f"(r - {(n - 1) / 2}) * x) AS FLOAT)) AS embedding")
+        repl = ", ".join(repls)
         con.execute(
             f"COPY (SELECT * REPLACE ({repl}) FROM '{p}' CROSS JOIN reps "
             f"ORDER BY r) TO '{out}' (FORMAT PARQUET)")
