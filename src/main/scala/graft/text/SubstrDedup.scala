@@ -217,6 +217,78 @@ object SubstrDedup {
     incrementalAgainst(batch, store.select("h"), w)
   }
 
+  // ---------------------------------------------- counted gram store
+  // GDPR-capable variant (DESIGN_upsert.md's invertible class). The
+  // plain store keeps only DISTINCT hashes, so it cannot forget a
+  // document: a gram shared by a deleted and a surviving doc must stay,
+  // and the store has no way to know. The counted store keeps (h, c) —
+  // c = how many docs of the batch contain gram h — under the same
+  // fenced batch_id partitions as every other store. A key-level
+  // delete then appends the NEGATED counts of the deleted docs' grams
+  // (computed from the deletion request's own text; the corpus is
+  // never rescanned), and the judge reads the hashes with positive net
+  // count: insert + delete of a doc nets to zero exactly, a gram also
+  // held by survivors stays positive, and redelivered batches
+  // overwrite their own partition (replay fence). Same additive
+  // algebra as AggStore.retractBatch. The plain writeGramStore stays
+  // the default for append-only pipelines — smaller rows, and its read
+  // is a distinct rather than a group-sum.
+
+  /** Per-batch gram refcounts: (h, c) with c = number of docs in
+    * `docs` containing gram h — map-side-combinable counts over the
+    * 8-byte keys, never the gram strings. */
+  def gramRefcounts(docs: DataFrame, w: Int = 20): DataFrame =
+    gramsOf(toksOf(docs), w).select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("c"))
+
+  private def writeCountedBatch(rows: DataFrame, path: String,
+      batchId: Long): Unit =
+    rows.withColumn("batch_id", lit(batchId))
+      .write.option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(path)
+
+  /** Ingest one batch of documents into the counted store. */
+  def writeGramStoreCounted(corpus: DataFrame, path: String,
+      batchId: Long, w: Int = 20): Unit =
+    writeCountedBatch(gramRefcounts(corpus, w), path, batchId)
+
+  /** Key-level delete: append the negated refcounts of the deleted
+    * docs' grams (the deletion request carries the docs' text). After
+    * this batch lands, a gram held ONLY by deleted docs nets to ≤ 0
+    * and disappears from every subsequent judge. */
+  def deleteFromGramStoreCounted(deleted: DataFrame, path: String,
+      batchId: Long, w: Int = 20): Unit =
+    writeCountedBatch(
+      gramRefcounts(deleted, w).select(col("h"), (-col("c")).as("c")),
+      path, batchId)
+
+  /** The live gram set: hashes whose refcounts net positive. */
+  def liveGrams(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path).groupBy("h").agg(sum(col("c")).as("c"))
+      .filter(col("c") > 0).select("h")
+
+  /** [[substrDedupIncrementalStored]] against the counted store. */
+  def substrDedupIncrementalStoredCounted(batch: DataFrame,
+      storePath: String, w: Int = 20): DataFrame =
+    incrementalAgainst(batch,
+      liveGrams(batch.sparkSession, storePath), w)
+
+  /** Fold the net counts into one positive relation under batch_id 0.
+    * Read-before ≡ read-after (spec-pinned). REPLAY HORIZON: the
+    * compacted batch ids must not be redelivered afterwards — their
+    * fence partitions are gone — the standard compaction contract,
+    * same as [[graft.rel.Tombstones.compact]]; run from the single
+    * maintenance owner. */
+  def compactGramStoreCounted(s: SparkSession, path: String): Unit = {
+    val net = s.read.parquet(path).groupBy("h")
+      .agg(sum(col("c")).as("c")).filter(col("c") > 0)
+      .localCheckpoint() // materialize before overwriting the source files
+    net.withColumn("batch_id", lit(0L))
+      .write.partitionBy("batch_id")
+      .mode("overwrite").parquet(path) // static overwrite: whole root
+  }
+
   /** One batch's distinct gram hashes — the unit the streaming ingest
     * appends per trigger (`StreamingOps.substrIngestStream`). */
   private[graft] def batchGrams(docs: DataFrame, w: Int = 20): DataFrame =
@@ -411,7 +483,7 @@ object SubstrDedup {
   // corpus occurrence either way; one that doesn't reduces to the
   // batch-internal first-occurrence rule either way). The driver
   // re-proves the store path ≡ the full run every round.
-  val q79Sql: String = spanCtes + """, agg AS (
+  private val q79Tail: String = """, agg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
       |    CAST(sum(e - s + 1) AS BIGINT) AS n_dup_tokens
       |  FROM sp GROUP BY doc_id
@@ -429,13 +501,54 @@ object SubstrDedup {
       |WHERE t.doc_id >= cut.c
       |ORDER BY t.doc_id""".stripMargin
 
+  val q79Sql: String = spanCtes + q79Tail
+
+  /** Driver entry for the counted store's DELETE contract, end to end:
+    * fingerprint the corpus (doc_id below the q79 cut) into a counted
+    * store, DELETE the corpus slice doc_id ≡ 3 (mod 7) (~14%) as one
+    * negated-count batch, then judge the q79 batch. The result must
+    * equal judging against a store that never held the deleted docs —
+    * the oracle runs the full q79 chain over `documents` minus the
+    * deleted corpus slice (raw-survivors form, the strongest oracle
+    * shape: any gram the delete failed to forget, or forgot though a
+    * survivor still holds it, shifts a first-occurrence and
+    * hash-fails). */
+  def nqGramDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val cut = docs.count() * 4 / 5
+    val corpus = docs.filter(col("doc_id") < cut)
+    val p = java.nio.file.Files.createTempDirectory("gramcounted")
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    val path = s"$p/grams.parquet"
+    writeGramStoreCounted(corpus, path, batchId = 0L)
+    deleteFromGramStoreCounted(
+      corpus.filter(pmod(col("doc_id"), lit(7)) === 3), path, batchId = 1L)
+    substrDedupIncrementalStoredCounted(docs.filter(col("doc_id") >= cut),
+      path)
+  }
+
+  // the q79 chain over surviving documents only: corpus minus the
+  // deleted slice, batch unchanged (batch ids pass the first disjunct).
+  // `cut` in the tail still counts ALL documents — the id threshold is
+  // a property of the original corpus, not of the survivor set.
+  val nqGramDeleteSql: String =
+    spanCtes.replace("FROM documents",
+      """FROM documents
+        |  WHERE doc_id >= (SELECT count(*) * 4 // 5 FROM documents)
+        |     OR doc_id % 7 <> 3""".stripMargin) + q79Tail
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q73_substr_dedup" ->
       ((s: SparkSession, d: String) => q73SubstrDedup(s, d)),
     "q76_substr_cut" ->
       ((s: SparkSession, d: String) => q76SubstrCut(s, d)),
     "q79_substr_incremental" -> (q79SubstrIncremental _),
-    "q81_substr_stored" -> (q81SubstrStored _))
+    "q81_substr_stored" -> (q81SubstrStored _),
+    "nq_gram_delete" -> (nqGramDelete _))
 
   val oracle: Map[String, String] = Map(
     "q73_substr_dedup" -> q73Sql,
@@ -443,5 +556,6 @@ object SubstrDedup {
     "q79_substr_incremental" -> q79Sql,
     // identical semantics to q79 by the ingest-invariant proof — the
     // stored path must reproduce the full-run SQL exactly
-    "q81_substr_stored" -> q79Sql)
+    "q81_substr_stored" -> q79Sql,
+    "nq_gram_delete" -> nqGramDeleteSql)
 }

@@ -220,4 +220,81 @@ class SubstrDedupSpec extends SparkSpec {
       spark.catalog.clearCache()
     }
   }
+
+  test("counted store: delete(docs) judges identically to a store " +
+      "that never held them") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val cut = docs.count() * 4 / 5
+    val corpus = docs.filter($"doc_id" < cut)
+    val deleted = corpus.filter(pmod($"doc_id", lit(7)) === 3)
+    val batch = docs.filter($"doc_id" >= cut)
+    val dir = java.nio.file.Files.createTempDirectory("gramcnt")
+    try {
+      val full = s"$dir/full.parquet"
+      val survivors = s"$dir/survivors.parquet"
+      SubstrDedup.writeGramStoreCounted(corpus, full, batchId = 0L)
+      SubstrDedup.deleteFromGramStoreCounted(deleted, full, batchId = 1L)
+      SubstrDedup.writeGramStoreCounted(
+        corpus.filter(pmod($"doc_id", lit(7)) =!= 3), survivors, 0L)
+      def judge(p: String) = SubstrDedup
+        .substrDedupIncrementalStoredCounted(batch, p)
+        .collect().map(_.toSeq).toSeq
+      val afterDelete = judge(full)
+      assert(afterDelete.nonEmpty && afterDelete === judge(survivors),
+        "write+delete must equal write-without-deleted bit-for-bit")
+      // replayed delete batch: its own partition is the fence
+      SubstrDedup.deleteFromGramStoreCounted(deleted, full, batchId = 1L)
+      assert(judge(full) === afterDelete,
+        "replayed delete must not move answers")
+      // compact folds the net counts in without changing any answer
+      SubstrDedup.compactGramStoreCounted(spark, full)
+      assert(judge(full) === afterDelete,
+        "compact must not change any answer")
+      val batches = spark.read.parquet(full)
+        .select($"batch_id".cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      assert(batches === Seq(0L), "compact must leave one folded batch")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("counted store: a gram shared with a survivor stays; a " +
+      "sole-owner gram is forgotten") {
+    // corpus: doc 0 and doc 1 both contain passage P (so P's grams have
+    // refcount 2); doc 1 alone contains Q. Delete doc 1: P must still
+    // suppress a future copy (doc 0 survives), Q must not.
+    val p = words("p", 20)
+    val q = words("q", 20)
+    val corpus = Seq(
+      (0L, s"${words("a", 2)} $p", "en", "s", 1L),
+      (1L, s"$p ${words("b", 3)} $q", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // batch: doc 10 = fresh lead-in + P, doc 11 = fresh lead-in + Q
+    val batch = Seq(
+      (10L, s"${words("c", 5)} $p", "en", "s", 1L),
+      (11L, s"${words("d", 5)} $q", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("gramcnt2")
+    try {
+      val path = s"$dir/grams.parquet"
+      SubstrDedup.writeGramStoreCounted(corpus, path, 0L)
+      SubstrDedup.deleteFromGramStoreCounted(
+        corpus.filter($"doc_id" === 1L), path, 1L)
+      val out = SubstrDedup
+        .substrDedupIncrementalStoredCounted(batch, path)
+        .select("doc_id", "n_dup_tokens")
+        .as[(Long, Long)].collect().toMap
+      assert(out(10L) === 20L,
+        "P is still held by surviving doc 0 — the batch copy stays dup")
+      assert(out(11L) === 0L,
+        "Q's only holder was deleted — the batch copy must be fresh")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
