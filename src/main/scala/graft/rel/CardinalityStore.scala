@@ -63,10 +63,27 @@ object CardinalityStore {
 
   /** Merged distinct estimate per group across every batch in the
     * store — the read path: store-sized input (groups × batches rows),
-    * never the raw history. */
+    * never the raw history. Batches gated by a key-level delete
+    * ([[Tombstones.gateBatches]] — HLL registers cannot subtract a
+    * key) are excluded until [[rebuildBatch]] re-sketches them clean. */
   def estimateFromStore(s: SparkSession, storePath: String,
       groupCols: Seq[String]): DataFrame =
-    mergeSketches(s.read.parquet(storePath), groupCols)
+    mergeSketches(
+      Tombstones.filterGated(s.read.parquet(storePath), storePath),
+      groupCols)
+
+  /** Re-sketch a gated batch from its RETAINED raw input minus the
+    * deleted keys, overwrite its partition, and lift its gate — the
+    * batch rejoins every answer clean (the rebuild half of the
+    * rebuild-or-gate contract; see [[Tombstones.gateBatches]]). The
+    * same two calls against KmvStore/QuantileStore `applyBatch` rebuild
+    * those stores — the gate machinery is store-agnostic. */
+  def rebuildBatch(cleanBatch: DataFrame, groupCols: Seq[String],
+      valueCol: String, storePath: String, batchId: Long,
+      lgK: Int = 12): Unit = {
+    applyBatch(cleanBatch, groupCols, valueCol, storePath, batchId, lgK)
+    Tombstones.ungateBatch(cleanBatch.sparkSession, storePath, batchId)
+  }
 
   /** Merge any relation of (groupCols..., sketch) into per-group
     * estimates — register-wise max then estimate. */

@@ -104,6 +104,28 @@ object Cms {
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
 
+  /** Retraction (DESIGN_upsert.md's by-negation class): the sketch of
+    * the deleted rows with every counter NEGATED, under its own fence
+    * partition — counters are additive, so after this batch lands the
+    * merged store equals the sketch of the surviving rows bit-for-bit
+    * (spec-pinned). The one-sided contract (est ≥ true frequency of
+    * the surviving multiset) holds exactly when deletes are genuine —
+    * every retracted row was previously ingested. A phantom delete
+    * would push counters negative and break the bound; plain CMS has
+    * no way to police that without rescanning history (the
+    * count-sketch variant tolerates negatives, CMS does not), so the
+    * precondition is documented loudly rather than silently assumed. */
+  def retractBatch(deleted: DataFrame, keyCol: String, storePath: String,
+      batchId: Long, depth: Int = Depth, width: Int = Width,
+      seed: Long = 42L): Unit =
+    cmsOf(deleted, keyCol, depth, width, seed)
+      .select(col("d"), col("bucket"), (-col("cnt")).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(storePath)
+
   /** Read path: estimates from the store alone — cell-wise merge of
     * the per-batch sketches (store-sized input), never the raw
     * history. */

@@ -61,10 +61,15 @@ object KmvStore {
   }
 
   /** Read path: per-group merged sketches from the store — store-sized
-    * input (groups × batches rows of ≤ k longs), never raw history. */
+    * input (groups × batches rows of ≤ k longs), never raw history.
+    * Batches gated by a key-level delete ([[Tombstones.gateBatches]] —
+    * a min-k set cannot subtract a key) are excluded until rebuilt
+    * clean via [[applyBatch]] + [[Tombstones.ungateBatch]]. */
   def sketchesFromStore(s: SparkSession, storePath: String,
       groupCols: Seq[String], k: Int): DataFrame =
-    mergeSketches(s.read.parquet(storePath), groupCols, k)
+    mergeSketches(
+      Tombstones.filterGated(s.read.parquet(storePath), storePath),
+      groupCols, k)
 
   // one persisted store per source dir, process lifetime — the store
   // contract is sketch-once / query-many (q81's memo policy: only

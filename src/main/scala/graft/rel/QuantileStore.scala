@@ -72,10 +72,15 @@ object QuantileStore {
       .agg(expr(s"kll_sketch(v, w, $k)").as("sk"))
   }
 
-  /** Read path: merged per-group sketches from the store alone. */
+  /** Read path: merged per-group sketches from the store alone.
+    * Batches gated by a key-level delete ([[Tombstones.gateBatches]] —
+    * compaction buffers cannot subtract a key) are excluded until
+    * rebuilt clean via [[applyBatch]] + [[Tombstones.ungateBatch]]. */
   def sketchesFromStore(s: SparkSession, storePath: String,
       groupCols: Seq[String], k: Int): DataFrame =
-    mergeSketches(s.read.parquet(storePath), groupCols, k)
+    mergeSketches(
+      Tombstones.filterGated(s.read.parquet(storePath), storePath),
+      groupCols, k)
 
   /** Streaming ingest: per-micro-batch sketches under the batch's own
     * partition — replay-idempotent by overwrite (see object doc). */

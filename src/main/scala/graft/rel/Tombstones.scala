@@ -62,6 +62,64 @@ object Tombstones {
       case None => rows
     }
 
+  // ------------------------------------------------------ batch gate
+  // Deletion for the NON-invertible sketch stores (HLL / KMV / KLL —
+  // DESIGN_upsert.md's rebuild-or-gate class): registers, min-k sets,
+  // and compaction buffers cannot subtract a key, so a key-level
+  // delete GATES the ingest batches that contained the key instead.
+  // The gate reuses the tombstone log machinery with batch ids as the
+  // keys; the read path answers from the clean remainder (conservative
+  // under-merge — gated history is excluded, a deleted key never
+  // leaks); rebuilding = re-sketch the dirty batch from its RETAINED
+  // raw input minus the deleted keys via the store's own applyBatch,
+  // then lift the gate. If raw inputs were not retained the gate
+  // simply stays — the honest "cannot forget without recompute"
+  // answer, excluded loudly rather than leaked silently.
+
+  /** Gate ingest batches (their sketches contain deleted keys).
+    * Idempotent and replay-fenced like every delete batch. */
+  def gateBatches(s: SparkSession, storePath: String,
+      batchIds: Seq[Long], mutationId: Long): Unit = {
+    import s.implicits._
+    applyDelete(batchIds.toDF("gated"), "gated", storePath, mutationId)
+  }
+
+  /** Currently gated batch ids (empty when no delete was issued). */
+  def gatedBatches(s: SparkSession, storePath: String): Set[Long] =
+    deletedKeys(s, storePath)
+      .map(_.select(col("key").cast("long"))
+        .collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty)
+
+  /** Store rows minus gated batches — for the per-batch partitioned
+    * sketch stores (partition column `batch_id`). */
+  def filterGated(rows: DataFrame, storePath: String): DataFrame =
+    deletedKeys(rows.sparkSession, storePath) match {
+      case Some(t) =>
+        rows.join(t.select(col("key").cast("long").as("__gated")),
+          col("batch_id").cast("long") === col("__gated"), "left_anti")
+      case None => rows
+    }
+
+  /** Lift the gate on one batch — called after its sketch was rebuilt
+    * clean. Log rewrite; single maintenance owner. */
+  def ungateBatch(s: SparkSession, storePath: String,
+      batchId: Long): Unit = {
+    val lp = logPath(storePath)
+    val p = new org.apache.hadoop.fs.Path(lp)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val rest = s.read.parquet(lp)
+        .select(col("key").cast("long").as("key")).distinct()
+        .filter(col("key") =!= batchId)
+        .localCheckpoint() // materialize before overwriting the source
+      if (rest.isEmpty) fs.delete(p, true)
+      else rest.withColumn("batch_id", lit(0L))
+        .coalesce(1).write.partitionBy("batch_id")
+        .mode("overwrite").parquet(lp)
+    }
+  }
+
   /** Fold the log into the store: rewrite the data minus tombstones
     * and truncate the log. Read-before ≡ read-after (spec-pinned);
     * bounds the standing anti-join. NOT atomic across the two deletes

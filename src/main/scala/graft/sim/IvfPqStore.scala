@@ -101,7 +101,12 @@ object IvfPqStore {
     // explicit select: partitionBy surfaces `cell` as the LAST column
     // (and as the inferred partition type), while the tuple encoder
     // binds by position
-    val codes = s.read.parquet(s"$path/codes.parquet")
+    // tombstone filter BEFORE the ADC shortlist: a delete never
+    // shrinks the returned top-k while survivors remain (key-level
+    // delete contract below)
+    val codes = graft.rel.Tombstones.filterDeleted(
+        s.read.parquet(s"$path/codes.parquet"), "vec_id",
+        s"$path/codes.parquet")
       .select(col("vec_id"), col("cell").cast("int").as("cell"),
         col("code"))
       .as[(Long, Int, Array[Int])]
@@ -134,6 +139,50 @@ object IvfPqStore {
       .toDF().repartition(col("cell"))
       .write.partitionBy("cell") // keep the cell-clustered layout
       .mode("append").parquet(s"$path/codes.parquet")
+  }
+
+  // ------------------------------------------------ key-level delete
+  // GDPR removal from the index (DESIGN_upsert.md's doc-keyed class):
+  // the codes relation is keyed by vec_id, so a delete is a fenced
+  // tombstone log beside it plus an anti-join at search — applied
+  // BEFORE the ADC shortlist in [[searchIndex]], so deletions never
+  // shrink the returned top-k while survivors remain. Two caveats,
+  // documented rather than papered over:
+  //  - [[encodeBatch]]'s idempotency anti-join sees the PHYSICAL codes,
+  //    so re-inserting a deleted vec_id is a no-op until [[compactIndex]]
+  //    removes the old row: a delete is terminal within a compaction
+  //    epoch; re-ingest after compact behaves normally.
+  //  - the frozen centroids/codebooks were trained on a corpus sample
+  //    that may have included deleted vectors. A k-means centroid is
+  //    not a recoverable record, but a strict full-forget pipeline
+  //    folds deletion into the index's normal drift-rebuild schedule.
+
+  /** Tombstone vec_ids out of the index (idempotent, replay-fenced). */
+  def deleteFromIndex(keys: DataFrame, path: String, batchId: Long): Unit =
+    graft.rel.Tombstones.applyDelete(keys, "vec_id",
+      s"$path/codes.parquet", batchId)
+
+  /** Fold the tombstone log into the codes relation, PRESERVING the
+    * cell-partitioned layout (the generic [[graft.rel.Tombstones.compact]]
+    * would flatten it and break searchCodes' partition pruning).
+    * Read-before ≡ read-after; single maintenance owner, like every
+    * store rewrite. */
+  def compactIndex(s: SparkSession, path: String): Unit = {
+    val codesPath = s"$path/codes.parquet"
+    graft.rel.Tombstones.deletedKeys(s, codesPath).foreach { _ =>
+      val survivors = graft.rel.Tombstones.filterDeleted(
+          s.read.parquet(codesPath), "vec_id", codesPath)
+        .localCheckpoint() // materialize before overwriting the source
+      survivors.repartition(col("cell"))
+        // STATIC overwrite on purpose: truncate the whole codes root so
+        // a cell emptied by the deletion leaves no stale files behind
+        .write.option("partitionOverwriteMode", "static")
+        .partitionBy("cell").mode("overwrite").parquet(codesPath)
+      val fs = new org.apache.hadoop.fs.Path(codesPath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.rel.Tombstones.logPath(codesPath)), true)
+    }
   }
 
   // one built index per source dir, living for the process lifetime —

@@ -118,17 +118,16 @@ object NswKnn {
     adj
   }
 
-  /** The persisted graph relation: (shard, vec_id, embedding, nrm,
-    * neighbors ARRAY<BIGINT>) — self-contained per shard. */
-  def buildGraph(s: SparkSession, d: String, nShards: Int = 4,
-      m: Int = 8, efC: Int = 32): DataFrame = {
-    import s.implicits._
-    VecPrep.normed(s, d)
-      .withColumn("shard", pmod(xxhash64(col("vec_id")), lit(nShards)))
+  /** Shard-build over an explicit (shard, vec_id, embedding, nrm)
+    * relation — shared by the full build and the compaction rebuild. */
+  private def graphOf(rows: DataFrame, nParts: Int, m: Int,
+      efC: Int): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows
       .select(col("shard").cast("int"), col("vec_id"),
         col("embedding"), col("nrm"))
       .as[(Int, Long, Seq[Float], Double)]
-      .repartition(nShards, col("shard"))
+      .repartition(nParts, col("shard"))
       .mapPartitions { it =>
         // a hash partition can hold several shard values — build each
         // shard's graph independently, sorted by id for determinism
@@ -146,6 +145,15 @@ object NswKnn {
       }
       .toDF("shard", "vec_id", "embedding", "nrm", "neighbors")
   }
+
+  /** The persisted graph relation: (shard, vec_id, embedding, nrm,
+    * neighbors ARRAY<BIGINT>) — self-contained per shard. */
+  def buildGraph(s: SparkSession, d: String, nShards: Int = 4,
+      m: Int = 8, efC: Int = 32): DataFrame =
+    graphOf(
+      VecPrep.normed(s, d)
+        .withColumn("shard", pmod(xxhash64(col("vec_id")), lit(nShards))),
+      nShards, m, efC)
 
   /** Search: broadcast queries, beam-walk every shard graph, union the
     * per-shard candidates, exact-re-rank to top-k (q30's shared output
@@ -198,7 +206,15 @@ object NswKnn {
 
   /** Search a PERSISTED graph: same beam walk, graph loaded from the
     * store instead of rebuilt. Output ≡ [[nswKnn]] (same build
-    * parameters ⇒ same deterministic graph; spec-pinned). */
+    * parameters ⇒ same deterministic graph; spec-pinned).
+    *
+    * Key-level deletes ([[deleteFromGraphStore]]) are honored at the
+    * CANDIDATE stage, before top-k truncation: a tombstoned node can
+    * never be returned, but its row stays in the graph as a routing
+    * waypoint until [[compactGraphStore]] — removing the row at read
+    * would leave dangling neighbor ids and sever the paths built
+    * through it (the HNSW-deletion trade-off; FAISS's IDSelector
+    * filtering makes the same choice). */
   def nswKnnStored(s: SparkSession, d: String, storePath: String,
       nShards: Int = 4, efS: Int = 32, topK: Int = 5,
       nQueries: Int = 10): DataFrame = {
@@ -212,6 +228,11 @@ object NswKnn {
       .map { case (id, e, n) => (id, e.toArray, n) }
     require(qs.nonEmpty, "nswKnnStored: no query vectors")
     val qb = s.sparkContext.broadcast(qs)
+    // deletion-sized set (requests, not corpus) — broadcast it
+    val tb = s.sparkContext.broadcast(
+      graft.rel.Tombstones.deletedKeys(s, storePath)
+        .map(_.select(col("key").cast("long")).as[Long].collect().toSet)
+        .getOrElse(Set.empty[Long]))
     val cands = graph
       .as[(Int, Long, Seq[Float], Double, Seq[Long])]
       .repartition(nShards, col("shard"))
@@ -225,8 +246,9 @@ object NswKnn {
           val adj = sorted.map(_._5.map(local).toArray).toArray
           qb.value.iterator.flatMap { case (qid, qe, qn) =>
             beam(qe, qn, 0, adj, vecs, nrms, efS).iterator
-              .collect { case (c, li) if ids(li) != qid =>
-                (qid, ids(li), c)
+              .collect {
+                case (c, li) if ids(li) != qid && !tb.value(ids(li)) =>
+                  (qid, ids(li), c)
               }
           }
         }
@@ -236,6 +258,57 @@ object NswKnn {
       cands.select(col("query_id"), col("neighbor_id").as("cand_id")),
       s"${VecPrep.AnnOracleDir}/nq_nsw_store.parquet")
     VecPrep.topKCosine(cands, topK)
+  }
+
+  /** Tombstone vec_ids out of the stored graph (idempotent,
+    * replay-fenced; see [[nswKnnStored]] for the read semantics). */
+  def deleteFromGraphStore(keys: DataFrame, storePath: String,
+      batchId: Long): Unit =
+    graft.rel.Tombstones.applyDelete(keys, "vec_id", storePath, batchId)
+
+  /** Fold tombstones into the store by REBUILDING only the affected
+    * shards — shard membership is `hash(vec_id) mod nShards`, so a
+    * deletion batch touches at most |batch| shards and every other
+    * shard's files are untouched (dynamic partition overwrite). The
+    * rebuilt shard graphs are exactly what a from-scratch build over
+    * the survivors would produce (same deterministic insert order).
+    * Read-before vs read-after may differ only in recall near the
+    * deleted nodes (routing waypoints disappear) — never in membership.
+    * Single maintenance owner, like every store rewrite. */
+  def compactGraphStore(s: SparkSession, storePath: String,
+      m: Int = 8, efC: Int = 32): Unit = {
+    import s.implicits._
+    graft.rel.Tombstones.deletedKeys(s, storePath).foreach { keys =>
+      val store = s.read.parquet(storePath)
+        .select(col("shard").cast("int"), col("vec_id"),
+          col("embedding"), col("nrm"))
+      val victims = keys.withColumnRenamed("key", "vec_id")
+      val affected = store.join(victims, Seq("vec_id"), "left_semi")
+        .select("shard").distinct().as[Int].collect().toSet
+      val fs = new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (affected.nonEmpty) {
+        val survivors = store
+          .filter(col("shard").isin(affected.toSeq: _*))
+          .join(victims, Seq("vec_id"), "left_anti")
+          .localCheckpoint() // materialize before overwriting the source
+        graphOf(survivors, affected.size, m, efC)
+          .write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").mode("overwrite").parquet(storePath)
+        // a shard whose every member was deleted produces no rows, so
+        // dynamic overwrite leaves its old files standing — remove the
+        // emptied partitions explicitly or the deletion silently undoes
+        // itself once the log is truncated below
+        val kept = survivors.select("shard").distinct()
+          .as[Int].collect().toSet
+        (affected -- kept).foreach { sh =>
+          fs.delete(
+            new org.apache.hadoop.fs.Path(s"$storePath/shard=$sh"), true)
+        }
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.rel.Tombstones.logPath(storePath)), true)
+    }
   }
 
   // one persisted graph per source dir, process lifetime (q81's memo

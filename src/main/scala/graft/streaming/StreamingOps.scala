@@ -1039,7 +1039,11 @@ object StreamingOps {
       .assign(tree, b, "vec_id", "embedding")
     val corpusAssigned =
       if (storeFiles.isEmpty) batchAssigned.limit(0) // empty bootstrap
-      else s.read.parquet(storeFiles.map(_.getPath.toString): _*)
+      // minus the tombstone log: a deleted id stops suppressing new
+      // batches at the next trigger (deleteFromAssignmentStore below)
+      else graft.rel.Tombstones.filterDeleted(
+        s.read.parquet(storeFiles.map(_.getPath.toString): _*), "id",
+        storePath)
     writeSingleFile(
       graft.sim.SemDedup
         .semanticDedupIncremental(corpusAssigned, batchAssigned, threshold)
@@ -1047,6 +1051,42 @@ object StreamingOps {
       verdictsPath, own)
     writeSingleFile(batchAssigned, storePath, own)
   }
+
+  /** Key-level GDPR delete from the semantic-dedup assignment store
+    * (DESIGN_upsert.md's doc-keyed class): tombstoned ids stop
+    * suppressing future batches at the next trigger — the corpus read
+    * in [[applySemanticIngestBatch]] anti-joins the adjacent log.
+    * Verdicts already written are audit logs, not state; they are not
+    * rewritten. Idempotent and replay-fenced like every delete batch. */
+  def deleteFromAssignmentStore(keys: DataFrame, storePath: String,
+      batchId: Long): Unit =
+    graft.rel.Tombstones.applyDelete(keys, "id", storePath, batchId)
+
+  /** Fold the tombstone log into the assignment store, PRESERVING the
+    * batch-file layout the ingest reader expects (the generic
+    * [[graft.rel.Tombstones.compact]] would rewrite the dir as a plain
+    * parquet table, and the reader's batch-file listing would then
+    * bootstrap empty): survivors collapse into one `batch-compacted`
+    * file, the original batch files and the log are removed.
+    * Read-before ≡ read-after (spec-pinned); the usual compaction
+    * replay horizon; single maintenance owner. */
+  def compactAssignmentStore(s: SparkSession, storePath: String): Unit =
+    graft.rel.Tombstones.deletedKeys(s, storePath).foreach { _ =>
+      val fsp = new org.apache.hadoop.fs.Path(storePath)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
+        st.getPath.getName.startsWith("batch-"))
+      if (files.nonEmpty) {
+        val survivors = graft.rel.Tombstones.filterDeleted(
+            s.read.parquet(files.map(_.getPath.toString): _*), "id",
+            storePath)
+          .localCheckpoint() // materialize before deleting the sources
+        files.foreach(st => fs.delete(st.getPath, false))
+        writeSingleFile(survivors, storePath, "batch-compacted.parquet")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.rel.Tombstones.logPath(storePath)), true)
+    }
 
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 

@@ -155,4 +155,60 @@ class CardinalityStoreSpec extends SparkSpec {
       m.toLowerCase.contains("lgconfigk") || m.toLowerCase.contains("sketch")),
       s"expected an lgK-mismatch error, got: $e")
   }
+
+  test("batch gate: delete(k) gates dirty batches out of every answer; " +
+      "rebuild from raw-minus-k equals a store that never saw k") {
+    // batches sliced by user id, so the victim's events live in exactly
+    // one batch and the other four are clean and must stay un-gated
+    // (the gate is surgical)
+    val victim = ev.select("user_id").as[Long].head()
+    def slice(b: Int) = ev.filter(pmod($"user_id", lit(5)) === b)
+    val dirty = (0 until 5).filter(b =>
+      slice(b).filter($"user_id" === victim).limit(1).count() > 0)
+    assert(dirty.nonEmpty && dirty.size < 5,
+      "fixture needs both dirty and clean batches")
+    val dir = java.nio.file.Files.createTempDirectory("cardgate")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      val cleanStore = dir.resolve("never.parquet").toString
+      (0 until 5).foreach { b =>
+        CardinalityStore.applyBatch(slice(b), Seq("event_type"),
+          "user_id", store, b.toLong)
+        CardinalityStore.applyBatch(
+          slice(b).filter($"user_id" =!= victim), Seq("event_type"),
+          "user_id", cleanStore, b.toLong)
+      }
+      def est(p: String) = CardinalityStore
+        .estimateFromStore(spark, p, Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      val full = est(store)
+      Tombstones.gateBatches(spark, store, dirty.map(_.toLong), 0L)
+      // gated read = merge over the clean batches only
+      val cleanOnly = CardinalityStore.mergeSketches(
+          spark.read.parquet(store)
+            .filter(!$"batch_id".cast("long")
+              .isin(dirty.map(_.toLong): _*)),
+          Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      assert(est(store) === cleanOnly,
+        "the gate must exclude exactly the dirty batches")
+      assert(est(store) !== full,
+        "gating dirty batches must change the answer on this fixture")
+      // rebuild each dirty batch from retained raw minus the victim
+      dirty.foreach { b =>
+        CardinalityStore.rebuildBatch(
+          slice(b).filter($"user_id" =!= victim), Seq("event_type"),
+          "user_id", store, b.toLong)
+      }
+      assert(Tombstones.gatedBatches(spark, store).isEmpty,
+        "every rebuilt batch must leave the gate")
+      assert(est(store) === est(cleanStore),
+        "rebuilt store must equal a store that never saw the victim " +
+          "(registers are deterministic functions of the input set)")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -131,4 +131,39 @@ class CmsSpec extends SparkSpec {
       Cms.cmsOf(ev, "user_id", depth = 0)
     }
   }
+
+  test("retraction: merged store equals the survivors' sketch " +
+      "bit-for-bit; replay a no-op; one-sided bound holds on survivors") {
+    val deleted = pmod($"event_id", lit(17)) === 3
+    val dir = java.nio.file.Files.createTempDirectory("cms-retract")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      Cms.applyBatch(ev, "user_id", store, 0L)
+      Cms.retractBatch(ev.filter(deleted), "user_id", store, 1L)
+      def stored = Cms.merge(
+          spark.read.parquet(store).drop("batch_id"))
+        .orderBy("d", "bucket").collect().map(_.toSeq).toSeq
+      val netted = stored
+      val survivorsSketch = Cms.cmsOf(ev.filter(!deleted), "user_id")
+        .orderBy("d", "bucket").collect().map(_.toSeq).toSeq
+      // cells netted to zero stay as explicit zero rows in the merge;
+      // the survivors' sketch omits them — compare on nonzero cells
+      assert(netted.filter(_.last != 0L) === survivorsSketch,
+        "negated counters must net the deleted slice out exactly")
+      Cms.retractBatch(ev.filter(deleted), "user_id", store, 1L)
+      assert(stored === netted, "replayed retraction must not move answers")
+      // est >= true frequency of the surviving multiset, for every key
+      val truth = ev.filter(!deleted).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val est = Cms.estimateFromStore(spark, store, ev, "user_id")
+      val under = est.join(truth, Seq("user_id"))
+        .filter($"est" < $"n").count()
+      assert(under === 0L,
+        "genuine deletes must preserve the one-sided estimate contract")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

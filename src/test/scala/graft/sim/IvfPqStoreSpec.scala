@@ -141,4 +141,45 @@ class IvfPqStoreSpec extends SparkSpec {
       } finally cleanup(sub)
     } finally cleanup(dir)
   }
+
+  test("key-level delete: tombstoned vectors vanish, top-k stays full, " +
+      "compact removes them physically without changing answers") {
+    val dir = tempDir()
+    try {
+      IvfPqStore.buildIndex(spark, sf0001, dir.toString)
+      def results() = IvfPqStore
+        .searchIndex(spark, dir.toString, src, 0L until 10L).collect()
+      val before = results()
+      def perQuery(rows: Array[org.apache.spark.sql.Row]) = rows
+        .groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+      // victims: every non-query id query 0 currently retrieves
+      val victims = before.filter(_.getAs[Long]("query_id") == 0L)
+        .map(_.getAs[Long]("neighbor_id")).filter(_ >= 10L).toSeq
+      assert(victims.nonEmpty, "fixture must retrieve non-query neighbors")
+      IvfPqStore.deleteFromIndex(victims.toDF("vec_id"), dir.toString, 0L)
+      val after = results()
+      assert(!after.exists(r => victims.contains(
+          r.getAs[Long]("neighbor_id"))),
+        "a tombstoned vector must never be returned")
+      assert(perQuery(after) === perQuery(before),
+        "the filter precedes the shortlist — top-k must stay full")
+      // replayed delete batch: the fence partition absorbs it
+      IvfPqStore.deleteFromIndex(victims.toDF("vec_id"), dir.toString, 0L)
+      assert(results().map(_.toSeq).toSeq === after.map(_.toSeq).toSeq,
+        "replayed delete must not move answers")
+      // compact scans only surviving codes under the same frozen model:
+      // identical answers prove the tombstone filter ran pre-shortlist
+      IvfPqStore.compactIndex(spark, dir.toString)
+      assert(results().map(_.toSeq).toSeq === after.map(_.toSeq).toSeq,
+        "compact must not change any answer")
+      assert(spark.read.parquet(s"$dir/codes.parquet")
+        .filter($"vec_id".isin(victims: _*)).count() === 0L,
+        "compact must remove tombstoned codes physically")
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          graft.rel.Tombstones.logPath(s"$dir/codes.parquet"))),
+        "compact must truncate the tombstone log")
+    } finally cleanup(dir)
+  }
 }

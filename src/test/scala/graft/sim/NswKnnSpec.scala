@@ -80,4 +80,59 @@ class NswKnnSpec extends SparkSpec {
       System.clearProperty("graft.oracle.dump.dir")
     }
   }
+
+  test("graph store delete: tombstoned nodes never returned; compact " +
+      "rebuilds only the affected shards and removes them physically") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nsw-del")
+    try {
+      val path = s"$dir/graph.parquet"
+      NswKnn.writeGraph(spark, sf0001, path)
+      def results() = NswKnn.nswKnnStored(spark, sf0001, path).collect()
+      val before = results()
+      val victims = before.filter(_.getAs[Long]("query_id") == 0L)
+        .map(_.getAs[Long]("neighbor_id")).filter(_ >= 10L).toSeq
+      assert(victims.nonEmpty)
+      val victimShards = spark.read.parquet(path)
+        .filter($"vec_id".isin(victims: _*))
+        .select($"shard".cast("int")).distinct().as[Int].collect().toSet
+      def shardFiles(sh: Int): Set[String] = {
+        val d = java.nio.file.Paths.get(path, s"shard=$sh")
+        import scala.jdk.CollectionConverters._
+        if (!java.nio.file.Files.exists(d)) Set.empty
+        else java.nio.file.Files.list(d).iterator().asScala
+          .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+      }
+      val untouched = (0 until 4).toSet -- victimShards
+      val filesBefore = untouched.map(sh => sh -> shardFiles(sh)).toMap
+      NswKnn.deleteFromGraphStore(victims.toDF("vec_id"), path, 0L)
+      val after = results()
+      assert(!after.exists(r => victims.contains(
+          r.getAs[Long]("neighbor_id"))),
+        "a tombstoned node must never be returned")
+      assert(after.groupBy(_.getAs[Long]("query_id")).forall(_._2.length == 5),
+        "candidate-stage exclusion must keep the returned top-k full")
+      NswKnn.compactGraphStore(spark, path)
+      val afterC = results()
+      assert(!afterC.exists(r => victims.contains(
+          r.getAs[Long]("neighbor_id"))),
+        "deletion must survive compaction")
+      assert(spark.read.parquet(path)
+        .filter($"vec_id".isin(victims: _*)).count() === 0L,
+        "compact must remove tombstoned rows physically")
+      untouched.foreach { sh =>
+        assert(shardFiles(sh) === filesBefore(sh),
+          s"shard $sh holds no victim — compact must not rewrite it")
+      }
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          graft.rel.Tombstones.logPath(path))),
+        "compact must truncate the tombstone log")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -94,4 +94,56 @@ class SemanticIngestStreamSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("assignment-store delete: a tombstoned id stops suppressing " +
+      "new twins; a surviving holder keeps suppressing; compact " +
+      "preserves the reader's batch-file layout") {
+    val dir = java.nio.file.Files.createTempDirectory("semdel")
+    try {
+      val corpus = (0L until 40L).map(i => (i, unit())).toDF("id", "emb")
+      val treePath = dir.resolve("tree.parquet").toString
+      SemDedup.writeTree(spark,
+        SemDedup.fitCorpus(corpus, "id", "emb", k = 4), treePath)
+      val store = dir.resolve("store").toString
+      val verdicts = dir.resolve("verdicts").toString
+      def ingest(batchId: Long, rows: Seq[(Long, Array[Float])]): Unit =
+        StreamingOps.applySemanticIngestBatch(
+          rows.toDF("vec_id", "embedding"), batchId,
+          treePath, store, verdicts, threshold = 0.97)
+      def verdict(id: Long): Boolean = spark.read.parquet(verdicts)
+        .filter($"vec_id" === id).select("is_dup")
+        .as[Boolean].head()
+
+      val a = unit(); val b = unit()
+      ingest(0L, Seq((100L, a), (101L, b)))
+      ingest(1L, Seq((200L, twin(a))))
+      assert(verdict(200L), "twin of a stored vector drops pre-delete")
+      // delete every holder of the a-direction (100 and the stored 200)
+      StreamingOps.deleteFromAssignmentStore(
+        Seq(100L, 200L).toDF("id"), store, batchId = 0L)
+      ingest(2L, Seq((300L, twin(a)), (301L, twin(b))))
+      assert(!verdict(300L),
+        "all holders of a were deleted — a new twin of a must survive")
+      assert(verdict(301L),
+        "b's holder 101 survives — a new twin of b still drops")
+      // compact: tombstoned rows physically gone, log truncated, and
+      // the compacted file still serves as corpus for later batches
+      StreamingOps.compactAssignmentStore(spark, store)
+      assert(spark.read.parquet(store)
+        .filter($"id".isin(100L, 200L)).count() === 0L,
+        "compact must remove tombstoned assignments physically")
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+          graft.rel.Tombstones.logPath(store))),
+        "compact must truncate the tombstone log")
+      ingest(3L, Seq((400L, twin(b))))
+      assert(verdict(400L),
+        "the compacted store must still suppress through its reader")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
