@@ -957,6 +957,60 @@ object StreamingOps {
     }
   }
 
+  /** Streaming ingest of the COUNTED gram store — the GDPR-capable
+    * sibling of [[substrIngestStream]] (DESIGN_upsert.md): per-trigger
+    * refcount batches under fenced `batch_id` partitions instead of
+    * distinct-hash files, so `SubstrDedup.deleteFromGramStoreCounted`
+    * can forget a document between triggers and the NEXT trigger's
+    * judge already excludes its sole-owner grams.
+    *
+    * Exactly-once: the partition overwrite makes a REPLAYED trigger
+    * byte-idempotent, and judging excludes the trigger's own partition
+    * (the crash window between store write and checkpoint commit would
+    * otherwise re-judge batch N against its own grams). The `_lineage`
+    * fence guards fresh-checkpoint id restarts, same as every
+    * streaming store. Deletion batches must use ids OUTSIDE the
+    * checkpoint's nonnegative sequence (negative ids by convention) —
+    * the id space is shared with the stream's triggers. */
+  def substrIngestStreamCounted(docs: DataFrame, storePath: String,
+      verdictsPath: String, w: Int = 20)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applySubstrIngestBatchCounted(batch, batchId, storePath,
+          verdictsPath, w, streamingLineage(batch.sparkSession))
+    }
+
+  /** One counted-ingest trigger, exposed for replay-semantics tests. */
+  private[graft] def applySubstrIngestBatchCounted(batch: DataFrame,
+      batchId: Long, storePath: String, verdictsPath: String,
+      w: Int, lineage: String = "unknown"): Unit = {
+    val s = batch.sparkSession
+    val fsp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireAtomicRename(fs,
+      s"counted substring-dedup gram store at $storePath")
+    fs.mkdirs(fsp)
+    bindStoreLineage(fs, fsp,
+      s"counted substring-dedup gram store at $storePath", lineage)
+    val b = batch.dropDuplicates("doc_id") // intra-batch redelivery
+      .localCheckpoint() // judged AND grammed below — compute once
+    // prior live grams: net-positive refcounts over every partition
+    // EXCEPT this trigger's own (own-batch exclusion, see scaladoc)
+    val hasData = fs.listStatus(fsp).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    val prior =
+      if (!hasData) s.range(0).select(col("id").as("h"))
+      else s.read.parquet(storePath)
+        .filter(col("batch_id").cast("long") =!= batchId)
+        .groupBy("h").agg(sum(col("c")).as("c"))
+        .filter(col("c") > 0).select("h")
+    writeSingleFile(graft.text.SubstrDedup.judgeAgainst(b, prior, w),
+      verdictsPath, s"batch-$batchId.parquet")
+    graft.text.SubstrDedup.writeGramStoreCounted(b, storePath, batchId, w)
+  }
+
   /** Write `df` as exactly ONE deterministically-named parquet file via
     * tmp-dir + rename — the idempotence primitive of the substring
     * ingest (replay overwrites the same name with identical content).

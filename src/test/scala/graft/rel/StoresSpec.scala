@@ -1,0 +1,84 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Snapshot (as-of) and batch-range reads over the batch-partitioned
+  * store family: a pinned snapshot id always merges the same partials
+  * no matter how far the store has moved on, the filter prunes at the
+  * partition level, and range reads window the ingest history.
+  */
+class StoresSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def li = graft.Tables.lineitem(spark, sf0001)
+  private val groupCols = Seq("l_returnflag", "l_linestatus")
+
+  test("as-of read: a pinned snapshot is immutable under later ingest " +
+      "and equals a GROUP BY over the covered raw slices") {
+    val dir = java.nio.file.Files.createTempDirectory("asof")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      def slice(b: Int) = li.filter(pmod($"l_orderkey", lit(5)) === b)
+      (0 until 3).foreach(b => AggStore.applyBatch(slice(b), groupCols,
+        "l_extendedprice", store, b.toLong))
+      def asOf(n: Long) = AggStore.mergePartials(
+          Stores.readAsOf(spark, store, n).drop("batch_id"), groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val snap2 = asOf(2L)
+      // the raw-survivors form: snapshot 2 = one GROUP BY over slices 0..2
+      val direct = AggStore.mergePartials(
+          AggStore.partialBatch(li.filter(pmod($"l_orderkey", lit(5)) <= 2),
+            groupCols, "l_extendedprice"), groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(snap2.nonEmpty && snap2 === direct)
+      // later ingest must be invisible to the pinned snapshot
+      (3 until 5).foreach(b => AggStore.applyBatch(slice(b), groupCols,
+        "l_extendedprice", store, b.toLong))
+      assert(asOf(2L) === snap2,
+        "a pinned snapshot must not move when the store does")
+      assert(asOf(4L) !== snap2, "the current read must see new batches")
+      // range read: [3,4] partials merge to exactly the late slices
+      val window = AggStore.mergePartials(
+          Stores.readBatchRange(spark, store, 3L, 4L).drop("batch_id"),
+          groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val lateDirect = AggStore.mergePartials(
+          AggStore.partialBatch(li.filter(pmod($"l_orderkey", lit(5)) >= 3),
+            groupCols, "l_extendedprice"), groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(window === lateDirect)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("as-of filter is a partition filter — snapshot reads prune " +
+      "directories, they do not scan and discard") {
+    val dir = java.nio.file.Files.createTempDirectory("asof-prune")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      (0 until 4).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(4)) === b), groupCols,
+        "l_extendedprice", store, b.toLong))
+      val df = Stores.readAsOf(spark, store, 1L)
+      val scans = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "expected a file scan in the plan")
+      assert(scans.head.partitionFilters.nonEmpty,
+        s"batch_id <= n must reach the scan as a partition filter:\n" +
+          df.queryExecution.executedPlan)
+      val rowsRead = df.count()
+      val allRows = spark.read.parquet(store).count()
+      assert(rowsRead < allRows,
+        "the pruned snapshot must cover strictly fewer rows")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}

@@ -158,4 +158,48 @@ class SubstrIngestStreamSpec extends SparkSpec {
         s"older batch files should have been merged: ${files.mkString(", ")}")
     } finally cleanup(dir)
   }
+
+  test("counted ingest: verdicts equal the plain ingest; a mid-stream " +
+      "delete is honored at the next trigger; replay converges") {
+    val dir = tempDir()
+    try {
+      val store = dir.resolve("store").toString
+      val verd = dir.resolve("verdicts").toString
+      StreamingOps.applySubstrIngestBatchCounted(corpus, 0L, store, verd, 20)
+      StreamingOps.applySubstrIngestBatchCounted(batch, 1L, store, verd, 20)
+      val streamed = readVerdicts(verd, "batch-1.parquet")
+      val direct = graft.text.SubstrDedup
+        .substrDedupIncremental(batch, corpus)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(streamed.nonEmpty && streamed.toSeq === direct.toSeq,
+        "counted ingest must judge exactly like the plain path")
+      // crash-window replay: own-partition exclusion keeps the re-judge
+      // blind to its own grams; the partition overwrite is the fence
+      StreamingOps.applySubstrIngestBatchCounted(batch, 1L, store, verd, 20)
+      assert(readVerdicts(verd, "batch-1.parquet").toSeq === streamed.toSeq,
+        "replayed counted trigger must not flip verdicts")
+      // GDPR delete BETWEEN triggers (negative id: outside the
+      // checkpoint's nonnegative sequence): forget the corpus slice,
+      // then a third trigger re-sending the same batch content under
+      // new ids must judge as if the slice never existed
+      val deleted = corpus.filter(pmod($"doc_id", lit(7)) === 3)
+      graft.text.SubstrDedup.deleteFromGramStoreCounted(
+        deleted, store, batchId = -1L)
+      val resent = batch.withColumn("doc_id", $"doc_id" + 100000L)
+      StreamingOps.applySubstrIngestBatchCounted(resent, 2L, store, verd, 20)
+      val afterDelete = spark.read.parquet(s"$verd/batch-2.parquet")
+        .withColumn("doc_id", $"doc_id" - 100000L)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      // expected: judge the same content against survivors + batch-1's
+      // own grams (batch 1 is in the store now), computed directly
+      val survivors = corpus.filter(pmod($"doc_id", lit(7)) =!= 3)
+        .unionAll(batch)
+      val expected = graft.text.SubstrDedup
+        .substrDedupIncremental(resent, survivors)
+        .withColumn("doc_id", $"doc_id" - 100000L)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(afterDelete.toSeq === expected.toSeq,
+        "the trigger after a delete must judge against survivors only")
+    } finally cleanup(dir)
+  }
 }
