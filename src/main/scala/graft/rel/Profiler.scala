@@ -134,24 +134,34 @@ object Profiler {
   def q87Profile(s: SparkSession, d: String): DataFrame =
     profile(lineitem(s, d), exactDistinct = true)
 
+  /** One per-column oracle branch — the scaffolding SHARED by the
+    * exact and approx forms (only the distinct column differs, via
+    * `distinctSql`): the exact stats must stay bit-identical between
+    * the two oracles, so they are generated from one place. */
+  private def profileBranch(table: String, name: String, dtype: String,
+      numeric: Boolean, distinctSql: String): String = {
+    val minS = if (numeric) s"CAST(min($name) AS DOUBLE)"
+               else "CAST(NULL AS DOUBLE)"
+    val maxS = if (numeric) s"CAST(max($name) AS DOUBLE)"
+               else "CAST(NULL AS DOUBLE)"
+    val avgS = if (numeric) s"round(avg(CAST($name AS DOUBLE)), 4)"
+               else "CAST(NULL AS DOUBLE)"
+    s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
+       |  count(*) AS n_rows,
+       |  count(*) - count($name) AS n_null,
+       |  $distinctSql,
+       |  $minS AS min_num, $maxS AS max_num, $avgS AS avg_num
+       |FROM $table""".stripMargin
+  }
+
   /** Oracle: one UNION ALL branch per column, generated from the same
     * schema the Spark side reflects over — the two engines cannot
     * drift on column lists. */
   private def profileSql(table: String,
       cols: Seq[(String, String, Boolean)]): String =
     cols.map { case (name, dtype, numeric) =>
-      val minS = if (numeric) s"CAST(min($name) AS DOUBLE)"
-                 else "CAST(NULL AS DOUBLE)"
-      val maxS = if (numeric) s"CAST(max($name) AS DOUBLE)"
-                 else "CAST(NULL AS DOUBLE)"
-      val avgS = if (numeric) s"round(avg(CAST($name AS DOUBLE)), 4)"
-                 else "CAST(NULL AS DOUBLE)"
-      s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
-         |  count(*) AS n_rows,
-         |  count(*) - count($name) AS n_null,
-         |  count(DISTINCT $name) AS n_distinct,
-         |  $minS AS min_num, $maxS AS max_num, $avgS AS avg_num
-         |FROM $table""".stripMargin
+      profileBranch(table, name, dtype, numeric,
+        s"count(DISTINCT $name) AS n_distinct")
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
 
   // lineitem's columns, mirrored from TESTDATA.md's fixed schema; the
@@ -185,23 +195,13 @@ object Profiler {
   private def profileApproxSql(table: String,
       cols: Seq[(String, String, Boolean)], k: Int): String = {
     val branches = cols.map { case (name, dtype, numeric) =>
-      val minS = if (numeric) s"CAST(min($name) AS DOUBLE)"
-                 else "CAST(NULL AS DOUBLE)"
-      val maxS = if (numeric) s"CAST(max($name) AS DOUBLE)"
-                 else "CAST(NULL AS DOUBLE)"
-      val avgS = if (numeric) s"round(avg(CAST($name AS DOUBLE)), 4)"
-                 else "CAST(NULL AS DOUBLE)"
-      s"""SELECT '$name' AS col_name, '$dtype' AS dtype,
-         |  count(*) AS n_rows,
-         |  count(*) - count($name) AS n_null,
-         |  coalesce((SELECT round(CASE WHEN m < $k THEN m::DOUBLE
-         |      ELSE ${(k - 1).toDouble} /
-         |        ((kth::DOUBLE + 9223372036854775808.0)
-         |          / 18446744073709551616.0) END, 4)
-         |    FROM agg WHERE agg.col_name = '$name'), 0.0)
-         |    AS n_distinct_est,
-         |  $minS AS min_num, $maxS AS max_num, $avgS AS avg_num
-         |FROM $table""".stripMargin
+      profileBranch(table, name, dtype, numeric,
+        s"""coalesce((SELECT round(CASE WHEN m < $k THEN m::DOUBLE
+           |      ELSE ${(k - 1).toDouble} /
+           |        ((kth::DOUBLE + 9223372036854775808.0)
+           |          / 18446744073709551616.0) END, 4)
+           |    FROM agg WHERE agg.col_name = '$name'), 0.0)
+           |    AS n_distinct_est""".stripMargin)
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     s"""WITH agg AS (
        |  SELECT col_name, count(*) AS m, max(v) AS kth

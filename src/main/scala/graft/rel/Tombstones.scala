@@ -77,9 +77,16 @@ object Tombstones {
   // answer, excluded loudly rather than leaked silently.
 
   /** Gate ingest batches (their sketches contain deleted keys).
-    * Idempotent and replay-fenced like every delete batch. */
+    * Idempotent and replay-fenced like every delete batch. Mutation
+    * ids must be ≥ 0 — the negative space is reserved for
+    * [[ungateBatch]]'s folded log (a caller id colliding with the fold
+    * partition would let a redelivered mutation overwrite unrelated
+    * standing gates and leak deleted keys back into answers). */
   def gateBatches(s: SparkSession, storePath: String,
       batchIds: Seq[Long], mutationId: Long): Unit = {
+    require(mutationId >= 0,
+      s"gate mutation ids must be >= 0 (got $mutationId): negative " +
+        "partitions are reserved for the folded log")
     import s.implicits._
     applyDelete(batchIds.toDF("gated"), "gated", storePath, mutationId)
   }
@@ -92,17 +99,27 @@ object Tombstones {
       .getOrElse(Set.empty)
 
   /** Store rows minus gated batches — for the per-batch partitioned
-    * sketch stores (partition column `batch_id`). */
-  def filterGated(rows: DataFrame, storePath: String): DataFrame =
-    deletedKeys(rows.sparkSession, storePath) match {
-      case Some(t) =>
-        rows.join(t.select(col("key").cast("long").as("__gated")),
-          col("batch_id").cast("long") === col("__gated"), "left_anti")
-      case None => rows
-    }
+    * sketch stores (partition column `batch_id`). The gate set is
+    * deletion-sized and already driver-side, so the exclusion is a
+    * NOT-isin literal filter that reaches the scan as a PARTITION
+    * filter — gated directories are never read, rather than read and
+    * discarded through an anti-join. */
+  def filterGated(rows: DataFrame, storePath: String): DataFrame = {
+    val gated = gatedBatches(rows.sparkSession, storePath)
+    if (gated.isEmpty) rows
+    else rows.filter(
+      !col("batch_id").cast("long").isin(gated.toSeq.sorted: _*))
+  }
 
   /** Lift the gate on one batch — called after its sketch was rebuilt
-    * clean. Log rewrite; single maintenance owner. */
+    * clean. Rewrites the log into the RESERVED partition batch_id=-1
+    * (outside the ≥ 0 mutation-id space [[gateBatches]] enforces, so
+    * no redelivered mutation can overwrite the fold). Like every
+    * compaction, the rewrite is a REPLAY HORIZON: gate mutations
+    * issued before an ungate must not be redelivered after it — a
+    * replayed pre-ungate mutation would re-gate the rebuilt batch
+    * (conservative: estimates shrink, deleted keys never leak, and the
+    * next rebuild+ungate clears it). Single maintenance owner. */
   def ungateBatch(s: SparkSession, storePath: String,
       batchId: Long): Unit = {
     val lp = logPath(storePath)
@@ -114,8 +131,10 @@ object Tombstones {
         .filter(col("key") =!= batchId)
         .localCheckpoint() // materialize before overwriting the source
       if (rest.isEmpty) fs.delete(p, true)
-      else rest.withColumn("batch_id", lit(0L))
-        .coalesce(1).write.partitionBy("batch_id")
+      else rest.withColumn("batch_id", lit(-1L))
+        .coalesce(1).write
+        .option("partitionOverwriteMode", "static") // whole-log rewrite
+        .partitionBy("batch_id")
         .mode("overwrite").parquet(lp)
     }
   }

@@ -305,6 +305,32 @@ object NswKnn {
           fs.delete(
             new org.apache.hadoop.fs.Path(s"$storePath/shard=$sh"), true)
         }
+        // a deletion covering EVERY member of EVERY shard leaves the
+        // root with no parquet files, and the next read would die in
+        // schema inference instead of answering empty — materialize an
+        // empty relation with the store's schema (shard as a plain
+        // column; nswKnnStored's select works on either layout)
+        val anyData = fs.listStatus(
+            new org.apache.hadoop.fs.Path(storePath))
+          .exists(st => st.isDirectory &&
+            st.getPath.getName.startsWith("shard="))
+        if (!anyData)
+          s.createDataFrame(s.sparkContext.emptyRDD[
+              org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("shard",
+                org.apache.spark.sql.types.IntegerType),
+              org.apache.spark.sql.types.StructField("vec_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("embedding",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.FloatType)),
+              org.apache.spark.sql.types.StructField("nrm",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("neighbors",
+                org.apache.spark.sql.types.ArrayType(
+                  org.apache.spark.sql.types.LongType)))))
+            .coalesce(1).write.mode("overwrite").parquet(storePath)
       }
       fs.delete(new org.apache.hadoop.fs.Path(
         graft.rel.Tombstones.logPath(storePath)), true)

@@ -407,9 +407,14 @@ object StreamingOps {
           if (fs.exists(store)) {
             // fails fast on a store written under different banding
             // parameters — same hazard as the batch stored path
+            // PHYSICAL rows: this read feeds the redelivery fence
+            // below, which must see a doc whose signatures already
+            // landed even if it was tombstoned since — a filtered
+            // fence would re-append a replayed batch and double-emit
+            // its pairs. The judge re-applies the tombstone filter.
             val df = graft.text.NearDup.readSignatureStore(
               s, storePath, nHashes, rowsPerBand,
-              validate = !storeValidated)
+              validate = !storeValidated, filterTombstones = false)
             if (horizonMs > 0)
               require(df.columns.contains("ts_ms"),
                 s"horizon retention needs event times, but the store at " +
@@ -437,7 +442,10 @@ object StreamingOps {
             .localCheckpoint() // computed once, reused by pairs + append
         graft.text.NearDup
           .incrementalFromSignatures(
-            if (sigC == null) sigs.limit(0) else sigC,
+            if (sigC == null) sigs.limit(0)
+            // judge side: tombstoned docs never pair (GDPR read path)
+            else graft.rel.Tombstones.filterDeleted(sigC, "doc_id",
+              storePath),
             sigs, threshold, sorted = false, horizonMs = horizonMs)
           .write.mode("append").parquet(pairsPath)
         // coalesce(1): the append writes one file per PARTITION, and sigs

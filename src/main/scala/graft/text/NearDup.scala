@@ -393,8 +393,15 @@ object NearDup {
     sig.withColumn("n_hashes", lit(nHashes))
       .withColumn("rows_per_band", lit(rowsPerBand))
 
+  /** `filterTombstones = false` serves the PHYSICAL rows — required by
+    * the streaming ingest's idempotency anti-join, whose fence must see
+    * a doc whose signatures already landed even if it was tombstoned
+    * since (a filtered fence would re-append a replayed batch's rows
+    * and double-emit its candidate pairs). Judge-side reads keep the
+    * default: tombstoned docs never pair. */
   private[graft] def readSignatureStore(s: SparkSession, storePath: String,
-      nHashes: Int, rowsPerBand: Int, validate: Boolean = true): DataFrame = {
+      nHashes: Int, rowsPerBand: Int, validate: Boolean = true,
+      filterTombstones: Boolean = true): DataFrame = {
     val store = s.read.parquet(storePath)
     require(store.columns.contains("n_hashes") &&
       store.columns.contains("rows_per_band"),
@@ -414,8 +421,10 @@ object NearDup {
     }
     // key-level deletes (GDPR removal): store rows minus the adjacent
     // tombstone log — one existence check when no delete was issued
-    graft.rel.Tombstones.filterDeleted(
-      store.drop("n_hashes", "rows_per_band"), "doc_id", storePath)
+    val bare = store.drop("n_hashes", "rows_per_band")
+    if (filterTombstones)
+      graft.rel.Tombstones.filterDeleted(bare, "doc_id", storePath)
+    else bare
   }
 
   /** Key-level delete from the signature store: record the doc ids in

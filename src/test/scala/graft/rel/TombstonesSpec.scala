@@ -56,6 +56,35 @@ class TombstonesSpec extends SparkSpec {
     }
   }
 
+  test("gate log: the ungate fold survives a redelivered mutation; " +
+      "negative mutation ids are rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gate")
+    try {
+      val store = dir.resolve("s.parquet").toString
+      Tombstones.gateBatches(spark, store, Seq(2L, 3L), mutationId = 0L)
+      Tombstones.gateBatches(spark, store, Seq(4L), mutationId = 1L)
+      Tombstones.ungateBatch(spark, store, 2L)
+      assert(Tombstones.gatedBatches(spark, store) === Set(3L, 4L))
+      // redeliver mutation 0 AFTER the ungate folded the log: the fold
+      // lives in the reserved negative partition, so the replayed
+      // mutation must not erase mutation 1's standing gate on batch 4
+      // (it conservatively re-gates 2/3 — the documented replay
+      // horizon — but a deleted key must never leak back)
+      Tombstones.gateBatches(spark, store, Seq(2L, 3L), mutationId = 0L)
+      val g = Tombstones.gatedBatches(spark, store)
+      assert(g.contains(4L),
+        "a standing gate must survive a replayed earlier mutation")
+      assert(g === Set(2L, 3L, 4L))
+      intercept[IllegalArgumentException] {
+        Tombstones.gateBatches(spark, store, Seq(9L), mutationId = -5L)
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("deletes on a store with no tombstone log are free reads") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tomb2")
     val path = dir.resolve("t.parquet").toString

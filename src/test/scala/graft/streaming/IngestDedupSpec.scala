@@ -352,4 +352,46 @@ class IngestDedupSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("a tombstoned doc stays visible to the redelivery fence: " +
+      "re-sent content is not re-appended and emits no pairs") {
+    // two near-identical docs so the ingest emits a real pair
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d1 = (1L, base)
+    val d2 = (2L, base + " tail")
+    val dir = java.nio.file.Files.createTempDirectory("graft-tombfence")
+    val storePath = dir.resolve("signatures").toString
+    val pairsPath = dir.resolve("pairs").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps
+        .ingestDedupStream(stream.toDF.toDF("doc_id", "text"),
+          storePath, pairsPath)
+        .trigger(Trigger.ProcessingTime(0))
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData(Seq(d1, d2)); q.processAllAvailable()
+      val pairsBefore = spark.read.parquet(pairsPath).count()
+      assert(pairsBefore > 0, "fixture must emit a pair")
+      // GDPR delete doc 1 between triggers, then the SAME content
+      // arrives again (redelivery, or a post-delete re-submission).
+      // The idempotency fence must consult PHYSICAL store rows — a
+      // tombstone-filtered fence would re-append doc 1's signatures
+      // and double-emit its pair history.
+      NearDup.deleteFromSignatureStore(
+        Seq(1L).toDF("doc_id"), storePath, batchId = 0L)
+      stream.addData(Seq(d1)); q.processAllAvailable()
+      q.stop()
+      assert(spark.read.parquet(storePath)
+        .filter($"doc_id" === 1L).count() === 1L,
+        "the fence must block the re-append of a tombstoned doc's rows")
+      assert(spark.read.parquet(pairsPath).count() === pairsBefore,
+        "a blocked re-arrival must not emit pairs")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

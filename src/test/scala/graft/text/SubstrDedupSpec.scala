@@ -253,7 +253,8 @@ class SubstrDedupSpec extends SparkSpec {
       val batches = spark.read.parquet(full)
         .select($"batch_id".cast("long")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      assert(batches === Seq(0L), "compact must leave one folded batch")
+      assert(batches === Seq(Long.MinValue),
+        "compact must leave one folded batch in the reserved partition")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -283,14 +284,22 @@ class SubstrDedupSpec extends SparkSpec {
       SubstrDedup.writeGramStoreCounted(corpus, path, 0L)
       SubstrDedup.deleteFromGramStoreCounted(
         corpus.filter($"doc_id" === 1L), path, 1L)
-      val out = SubstrDedup
+      def judge() = SubstrDedup
         .substrDedupIncrementalStoredCounted(batch, path)
         .select("doc_id", "n_dup_tokens")
         .as[(Long, Long)].collect().toMap
+      val out = judge()
       assert(out(10L) === 20L,
         "P is still held by surviving doc 0 — the batch copy stays dup")
       assert(out(11L) === 0L,
         "Q's only holder was deleted — the batch copy must be fresh")
+      // duplicate GDPR request under a FRESH batch id: the ledger must
+      // absorb it — a second subtraction would net the survivor-shared
+      // P to zero and silently stop suppressing doc 0's passage
+      SubstrDedup.deleteFromGramStoreCounted(
+        corpus.filter($"doc_id" === 1L), path, 2L)
+      assert(judge() === out,
+        "a duplicate delete request must not subtract twice")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
