@@ -164,6 +164,25 @@ object AggStore {
       .drop("min_val", "max_val")
       .filter(col("n_rows") > 0)
 
+  /** Re-score: replace keyed rows' old values with new ones as ONE
+    * netted batch — the DESIGN_upsert.md re-scoring case (a document's
+    * quality/LM score changed and its contribution must move, not
+    * double-count). The retraction of the old rows and the insertion
+    * of the new ones land in the SAME fenced partition, so the upsert
+    * is atomic at the partition level: a redelivered upsert overwrites
+    * itself, and no reader can ever see the retraction without the
+    * insertion (two separate batches would expose that window). */
+  def applyRescore(oldRows: DataFrame, newRows: DataFrame,
+      groupCols: Seq[String], valueCol: String, storePath: String,
+      batchId: Long): Unit =
+    retractBatch(oldRows, groupCols, valueCol)
+      .unionAll(partialBatch(newRows, groupCols, valueCol))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(storePath)
+
   /** Streaming ingest: each micro-batch reduced to partials and written
     * to its own batch_id partition via foreachBatch. At-least-once
     * redelivery replays composable batchIds, and the partition

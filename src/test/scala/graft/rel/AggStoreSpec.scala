@@ -126,6 +126,41 @@ class AggStoreSpec extends SparkSpec {
     }
   }
 
+  test("re-score: one netted upsert batch moves a slice's contribution; " +
+      "replay is a no-op") {
+    val sliced = pmod($"l_orderkey", lit(17)) === 3
+    val dir = java.nio.file.Files.createTempDirectory("aggrescore")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      AggStore.applyBatch(li, groupCols, "l_extendedprice", store, 0L)
+      // the slice's prices double (a re-scoring of those rows)
+      val oldRows = li.filter(sliced)
+      val newRows = oldRows.withColumn("l_extendedprice",
+        $"l_extendedprice" * 2.0)
+      AggStore.applyRescore(oldRows, newRows, groupCols,
+        "l_extendedprice", store, 1L)
+      def readBack = AggStore.mergeUpsert(
+          spark.read.parquet(store), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      val rescored = readBack
+      // ground truth: one GROUP BY over the modified raw rows
+      val modified = li.filter(!sliced).unionAll(newRows)
+      val direct = AggStore.mergeUpsert(
+          AggStore.partialBatch(modified, groupCols, "l_extendedprice"),
+          groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(rescored.nonEmpty && rescored === direct,
+        "the netted upsert must equal a GROUP BY over modified raw rows")
+      AggStore.applyRescore(oldRows, newRows, groupCols,
+        "l_extendedprice", store, 1L) // redelivery
+      assert(readBack === rescored, "replayed upsert must not move answers")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("streaming ingest lands the same store as the batch loop") {
     val dir = java.nio.file.Files.createTempDirectory("aggstream")
     try {

@@ -182,4 +182,38 @@ class IvfPqStoreSpec extends SparkSpec {
         "compact must truncate the tombstone log")
     } finally cleanup(dir)
   }
+
+  test("delete is terminal within a compaction epoch; re-ingest after " +
+      "compact restores the key as a retrievable neighbor") {
+    val dir = tempDir()
+    try {
+      IvfPqStore.buildIndex(spark, sf0001, dir.toString)
+      def q0Neighbors() = IvfPqStore
+        .searchIndex(spark, dir.toString, src, Seq(0L))
+        .select("neighbor_id").as[Long].collect().toSet
+      val victim = q0Neighbors().find(_ >= 10L).get
+      val victimRows = src.filter($"vec_id" === victim)
+      IvfPqStore.deleteFromIndex(Seq(victim).toDF("vec_id"),
+        dir.toString, 0L)
+      // PRE-compact re-ingest: the physical-codes anti-join skips the
+      // still-present row, and the tombstone keeps hiding it — the
+      // documented "terminal within the epoch" semantics
+      IvfPqStore.encodeBatch(spark, dir.toString, victimRows)
+      assert(spark.read.parquet(s"$dir/codes.parquet")
+        .filter($"vec_id" === victim).count() === 1L,
+        "pre-compact re-ingest must not duplicate codes")
+      assert(!q0Neighbors().contains(victim),
+        "the key stays deleted until compact")
+      // POST-compact: the old row is physically gone and the log is
+      // truncated, so a fresh ingest of the same key works normally —
+      // and the frozen model re-encodes it to the same codes, so it
+      // returns to exactly its old place in the results
+      IvfPqStore.compactIndex(spark, dir.toString)
+      assert(spark.read.parquet(s"$dir/codes.parquet")
+        .filter($"vec_id" === victim).count() === 0L)
+      IvfPqStore.encodeBatch(spark, dir.toString, victimRows)
+      assert(q0Neighbors().contains(victim),
+        "a re-ingested key must be retrievable again after compact")
+    } finally cleanup(dir)
+  }
 }
