@@ -69,19 +69,26 @@ object AggStore {
         max(col(valueCol)).as("max_val"))
   }
 
-  /** Reduce a batch and write it under its own `batch_id=N` store
-    * partition. coalesce(1): the output is group-count rows of four
-    * scalars — one file per batch keeps store files = batches, not
-    * batches × shuffle partitions. Dynamic partition overwrite: see
-    * the replay paragraph in the object doc. */
-  def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
-      storePath: String, batchId: Long): Unit =
-    partialBatch(batch, groupCols, valueCol)
+  /** The ONE fenced store write every mutation goes through (insert,
+    * retraction, re-score): the batch's own `batch_id=N` partition
+    * under dynamic overwrite. coalesce(1): the output is group-count
+    * rows of a few scalars — one file per batch keeps store files =
+    * batches, not batches × shuffle partitions. */
+  private def writeFencedPartials(partials: DataFrame, storePath: String,
+      batchId: Long): Unit =
+    partials
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+
+  /** Reduce a batch and write it under its own `batch_id=N` store
+    * partition — see the replay paragraph in the object doc. */
+  def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
+      storePath: String, batchId: Long): Unit =
+    writeFencedPartials(partialBatch(batch, groupCols, valueCol),
+      storePath, batchId)
 
   /** Merge any relation of partials into final per-group answers —
     * count/sum re-add (exact: decimal cents), min/max re-extremize.
@@ -149,12 +156,8 @@ object AggStore {
     * retractions are no-ops exactly like redelivered inserts. */
   def applyRetraction(batch: DataFrame, groupCols: Seq[String],
       valueCol: String, storePath: String, batchId: Long): Unit =
-    retractBatch(batch, groupCols, valueCol)
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .mode("overwrite").parquet(storePath)
+    writeFencedPartials(retractBatch(batch, groupCols, valueCol),
+      storePath, batchId)
 
   /** Merge under retraction: the invertible moments only (no
     * min/max — see the retraction note), groups netted to zero rows
@@ -175,13 +178,10 @@ object AggStore {
   def applyRescore(oldRows: DataFrame, newRows: DataFrame,
       groupCols: Seq[String], valueCol: String, storePath: String,
       batchId: Long): Unit =
-    retractBatch(oldRows, groupCols, valueCol)
-      .unionAll(partialBatch(newRows, groupCols, valueCol))
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .mode("overwrite").parquet(storePath)
+    writeFencedPartials(
+      retractBatch(oldRows, groupCols, valueCol)
+        .unionAll(partialBatch(newRows, groupCols, valueCol)),
+      storePath, batchId)
 
   /** Streaming ingest: each micro-batch reduced to partials and written
     * to its own batch_id partition via foreachBatch. At-least-once

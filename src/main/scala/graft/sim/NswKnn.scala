@@ -279,7 +279,15 @@ object NswKnn {
       m: Int = 8, efC: Int = 32): Unit = {
     import s.implicits._
     graft.rel.Tombstones.deletedKeys(s, storePath).foreach { keys =>
-      val store = s.read.parquet(storePath)
+      val full = s.read.parquet(storePath)
+      // captured before any shard directory is deleted — the schema
+      // source for the full-deletion empty rewrite below
+      val fullSchema = org.apache.spark.sql.types.StructType(
+        full.schema.fields.map(f =>
+          if (f.name == "shard")
+            f.copy(dataType = org.apache.spark.sql.types.IntegerType)
+          else f))
+      val store = full
         .select(col("shard").cast("int"), col("vec_id"),
           col("embedding"), col("nrm"))
       val victims = keys.withColumnRenamed("key", "vec_id")
@@ -308,28 +316,16 @@ object NswKnn {
         // a deletion covering EVERY member of EVERY shard leaves the
         // root with no parquet files, and the next read would die in
         // schema inference instead of answering empty — materialize an
-        // empty relation with the store's schema (shard as a plain
-        // column; nswKnnStored's select works on either layout)
+        // empty relation with the store's OWN schema, captured above
+        // (shard becomes a plain int column; nswKnnStored's select
+        // works on either layout)
         val anyData = fs.listStatus(
             new org.apache.hadoop.fs.Path(storePath))
           .exists(st => st.isDirectory &&
             st.getPath.getName.startsWith("shard="))
         if (!anyData)
           s.createDataFrame(s.sparkContext.emptyRDD[
-              org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("shard",
-                org.apache.spark.sql.types.IntegerType),
-              org.apache.spark.sql.types.StructField("vec_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("embedding",
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.FloatType)),
-              org.apache.spark.sql.types.StructField("nrm",
-                org.apache.spark.sql.types.DoubleType),
-              org.apache.spark.sql.types.StructField("neighbors",
-                org.apache.spark.sql.types.ArrayType(
-                  org.apache.spark.sql.types.LongType)))))
+              org.apache.spark.sql.Row], fullSchema)
             .coalesce(1).write.mode("overwrite").parquet(storePath)
       }
       fs.delete(new org.apache.hadoop.fs.Path(

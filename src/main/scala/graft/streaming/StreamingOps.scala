@@ -435,6 +435,12 @@ object StreamingOps {
           sigsTimed, nHashes, rowsPerBand) // appended rows self-describe
           // like the bootstrap's (readSignatureStore validates params)
           .dropDuplicates("doc_id") // intra-batch redelivery
+          // tombstone filter on the ARRIVING side too: a doc deleted
+          // BEFORE its content ever landed (delete-before-arrival) has
+          // no physical row for the fence to block, and without this
+          // filter it would be stored and paired post-deletion
+          .transform(df => graft.rel.Tombstones.filterDeleted(
+            df, "doc_id", storePath))
         val sigs =
           (if (sigC == null) sigsAll
            else sigsAll.join(sigC.select("doc_id"), Seq("doc_id"),

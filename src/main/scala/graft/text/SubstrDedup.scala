@@ -252,10 +252,22 @@ object SubstrDedup {
       .mode("overwrite").parquet(path)
   }
 
-  /** Ingest one batch of documents into the counted store. */
+  /** Ingest one batch of documents into the counted store. Docs on the
+    * deletion ledger are EXCLUDED: a deleted doc id can never re-enter
+    * the store (see [[deleteFromGramStoreCounted]] — deletes here are
+    * permanent by contract, so a re-ingest must not resurrect counts
+    * the ledger will refuse to subtract again). */
   def writeGramStoreCounted(corpus: DataFrame, path: String,
-      batchId: Long, w: Int = 20): Unit =
-    writeCountedBatch(gramRefcounts(corpus, w), path, batchId)
+      batchId: Long, w: Int = 20): Unit = {
+    val admitted = graft.rel.Tombstones
+      .deletedKeys(corpus.sparkSession, path) match {
+      case Some(prior) => corpus.join(
+        prior.withColumnRenamed("key", "doc_id"), Seq("doc_id"),
+        "left_anti")
+      case None => corpus
+    }
+    writeCountedBatch(gramRefcounts(admitted, w), path, batchId)
+  }
 
   /** Key-level delete: append the negated refcounts of the deleted
     * docs' grams (the deletion request carries the docs' text). After
@@ -271,7 +283,16 @@ object SubstrDedup {
     * engine-wide fence contract): the negation partition then
     * overwrites itself and the ledger write is idempotent. The ledger
     * deliberately survives [[compactGramStoreCounted]] — folded counts
-    * are just as vulnerable to re-subtraction as raw ones. */
+    * are just as vulnerable to re-subtraction as raw ones.
+    *
+    * PERMANENCE: deletion here is forever — the ledger also bars the
+    * doc id from re-entering via [[writeGramStoreCounted]], because a
+    * ledger that must absorb duplicate requests cannot distinguish
+    * them from a delete-after-re-ingest (one would be a no-op leak,
+    * the other a double-subtract). The strict-GDPR reading is also the
+    * only consistent one for this algebra; the IVF-PQ store's
+    * "terminal within a compaction epoch" is the per-epoch analogue
+    * for stores whose compact can truncate the log. */
   def deleteFromGramStoreCounted(deleted: DataFrame, path: String,
       batchId: Long, w: Int = 20): Unit = {
     val s = deleted.sparkSession

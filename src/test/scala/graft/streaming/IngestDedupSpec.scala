@@ -394,4 +394,41 @@ class IngestDedupSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("delete-before-arrival: a doc tombstoned before its content " +
+      "ever lands is neither stored nor paired") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-preardel")
+    val storePath = dir.resolve("signatures").toString
+    val pairsPath = dir.resolve("pairs").toString
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = MemoryStream[(Long, String)]
+      val q = StreamingOps
+        .ingestDedupStream(stream.toDF.toDF("doc_id", "text"),
+          storePath, pairsPath)
+        .trigger(Trigger.ProcessingTime(0))
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData(Seq((2L, base + " tail"))); q.processAllAvailable()
+      // the GDPR request for doc 1 lands BEFORE its content does — no
+      // physical row exists for the fence to block, so the arriving-
+      // side tombstone filter is what must keep it out
+      NearDup.deleteFromSignatureStore(
+        Seq(1L).toDF("doc_id"), storePath, batchId = 0L)
+      stream.addData(Seq((1L, base))); q.processAllAvailable()
+      q.stop()
+      assert(spark.read.parquet(storePath)
+        .filter($"doc_id" === 1L).count() === 0L,
+        "a pre-deleted doc's signatures must never be stored")
+      val pairs = spark.read.parquet(pairsPath)
+        .select("d1", "d2").as[(Long, Long)].collect()
+      assert(!pairs.exists(p => p._1 == 1L || p._2 == 1L),
+        "a pre-deleted doc must never pair")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

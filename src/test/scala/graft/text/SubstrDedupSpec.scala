@@ -300,6 +300,12 @@ class SubstrDedupSpec extends SparkSpec {
         corpus.filter($"doc_id" === 1L), path, 2L)
       assert(judge() === out,
         "a duplicate delete request must not subtract twice")
+      // deletes are PERMANENT: re-ingesting the deleted doc id is
+      // excluded by the ledger, so Q stays forgotten
+      SubstrDedup.writeGramStoreCounted(
+        corpus.filter($"doc_id" === 1L), path, 3L)
+      assert(judge() === out,
+        "a deleted doc id must never re-enter the store")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
