@@ -128,7 +128,13 @@ object IvfPqStore {
     import s.implicits._
     val (cents, codebooks) = loadModel(s, path, kCells, m, k)
     val seen = s.read.parquet(s"$path/codes.parquet").select("vec_id")
-    val fresh = batch.select(col("vec_id"), col("embedding"))
+    val fresh = graft.rel.Tombstones.filterDeleted(
+        // delete-before-arrival: a vec_id tombstoned before its vector
+        // ever landed has no physical row for the seen-anti-join to
+        // block — without this filter it would be encoded and stored
+        // while deleted (hidden at read, but physically present)
+        batch.select(col("vec_id"), col("embedding")),
+        "vec_id", s"$path/codes.parquet")
       .join(seen, Seq("vec_id"), "left_anti")
       .as[(Long, Array[Float])]
     val assigned = fresh

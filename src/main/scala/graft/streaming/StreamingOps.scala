@@ -1103,8 +1103,12 @@ object StreamingOps {
     val tree = graft.sim.SemDedup.readTree(s, treePath)
     val b = batch.dropDuplicates("vec_id") // intra-batch redelivery
       .localCheckpoint() // assigned AND judged below — compute once
-    val batchAssigned = graft.sim.SemDedup
-      .assign(tree, b, "vec_id", "embedding")
+    // delete-before-arrival: an id tombstoned before its vector ever
+    // landed must be neither judged nor stored (assign's output is
+    // keyed `id`, the store's key)
+    val batchAssigned = graft.rel.Tombstones.filterDeleted(
+      graft.sim.SemDedup.assign(tree, b, "vec_id", "embedding"),
+      "id", storePath)
     val corpusAssigned =
       if (storeFiles.isEmpty) batchAssigned.limit(0) // empty bootstrap
       // minus the tombstone log: a deleted id stops suppressing new

@@ -216,4 +216,28 @@ class IvfPqStoreSpec extends SparkSpec {
         "a re-ingested key must be retrievable again after compact")
     } finally cleanup(dir)
   }
+
+  test("delete-before-arrival: a vec_id tombstoned before its vector " +
+      "lands is never encoded into the store") {
+    val dir = tempDir()
+    try {
+      val all = graft.Tables.embeddings(spark, sf0001)
+        .select($"vec_id", $"embedding")
+      val maxId = all.agg(max("vec_id")).as[Long].head()
+      val late = all.filter($"vec_id" === maxId)
+      val sub = tempDir()
+      try {
+        all.filter($"vec_id" =!= maxId).write.mode("overwrite")
+          .parquet(s"$sub/embeddings.parquet")
+        IvfPqStore.buildIndex(spark, sub.toString, dir.toString)
+        // the GDPR request precedes the vector's arrival
+        IvfPqStore.deleteFromIndex(Seq(maxId).toDF("vec_id"),
+          dir.toString, 0L)
+        IvfPqStore.encodeBatch(spark, dir.toString, late)
+        assert(spark.read.parquet(s"$dir/codes.parquet")
+          .filter($"vec_id" === maxId).count() === 0L,
+          "a pre-deleted vec must never be stored")
+      } finally cleanup(sub)
+    } finally cleanup(dir)
+  }
 }

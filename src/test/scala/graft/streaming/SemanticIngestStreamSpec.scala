@@ -140,6 +140,20 @@ class SemanticIngestStreamSpec extends SparkSpec {
       ingest(3L, Seq((400L, twin(b))))
       assert(verdict(400L),
         "the compacted store must still suppress through its reader")
+      // delete-before-arrival: tombstone id 500 before it ever lands —
+      // when it arrives it must be neither judged nor stored
+      StreamingOps.deleteFromAssignmentStore(
+        Seq(500L).toDF("id"), store, batchId = 1L)
+      ingest(4L, Seq((500L, unit()), (501L, unit())))
+      assert(spark.read.parquet(verdicts)
+        .filter($"vec_id" === 500L).count() === 0L,
+        "a pre-deleted id must not be judged")
+      assert(spark.read.parquet(store)
+        .filter($"id" === 500L).count() === 0L,
+        "a pre-deleted id must not be stored")
+      assert(spark.read.parquet(verdicts)
+        .filter($"vec_id" === 501L).count() === 1L,
+        "its batch-mates are unaffected")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
