@@ -40,4 +40,43 @@ object Stores {
       fromId: Long, toId: Long): DataFrame =
     s.read.parquet(storePath)
       .filter(col("batch_id").cast("long").between(fromId, toId))
+
+  /** Store manifest — what the single maintenance owner looks at
+    * before compacting, snapshotting, or rebuilding: one row per
+    * batch partition (id, row count, file count, bytes) plus the
+    * adjacent mutation state (tombstoned key count / gated batch ids
+    * from the `_tombstones` log, when one exists). Negative batch ids
+    * are maintenance artifacts: compaction folds (reserved partitions)
+    * or out-of-band deletion batches, per the owning store's
+    * convention. Row counts come from parquet FOOTERS — metadata
+    * reads, no Spark job per partition (a store can hold thousands of
+    * batches; launching a count() job per batch would be a
+    * driver-side job loop — the manifest must stay a metadata
+    * operation no matter how many batches exist).
+    */
+  def describe(s: SparkSession, storePath: String): DataFrame = {
+    import s.implicits._
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(conf)
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith("batch_id="))
+    val rows = parts.map { st =>
+      val id = st.getPath.getName.stripPrefix("batch_id=").toLong
+      val files = fs.listStatus(st.getPath).filter(f => f.isFile &&
+        f.getPath.getName.endsWith(".parquet"))
+      val nRows = files.map { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+      (id, nRows, files.length.toLong, files.map(_.getLen).sum)
+    }.sortBy(_._1)
+    val tombstoned = Tombstones.deletedKeys(s, storePath)
+      .map(_.count()).getOrElse(0L)
+    rows.toDF("batch_id", "n_rows", "n_files", "bytes")
+      .withColumn("n_tombstoned_keys", lit(tombstoned))
+  }
 }

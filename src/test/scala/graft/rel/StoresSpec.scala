@@ -81,4 +81,36 @@ class StoresSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("describe: one manifest row per batch with true counts, plus " +
+      "the adjacent mutation state") {
+    val dir = java.nio.file.Files.createTempDirectory("storedesc")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      (0 until 3).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(3)) === b), groupCols,
+        "l_extendedprice", store, b.toLong))
+      val m0 = Stores.describe(spark, store).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(m0.keySet === Set(0L, 1L, 2L))
+      m0.values.foreach { r =>
+        assert(r.getLong(1) > 0L && r.getLong(2) === 1L &&
+          r.getLong(3) > 0L,
+          s"per-batch rows/files/bytes must be real: $r")
+        assert(r.getLong(4) === 0L, "no mutation state yet")
+      }
+      // per-batch row counts must be the truth, not an estimate
+      val n1 = spark.read.parquet(store)
+        .filter($"batch_id".cast("long") === 1L).count()
+      assert(m0(1L).getLong(1) === n1)
+      Tombstones.gateBatches(spark, store, Seq(2L), mutationId = 0L)
+      val m1 = Stores.describe(spark, store).collect()
+      assert(m1.forall(_.getLong(4) === 1L),
+        "the manifest must surface the standing mutation state")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
