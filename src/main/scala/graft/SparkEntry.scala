@@ -42,7 +42,8 @@ object SparkEntry {
       text.Bm25.queries ++ text.BinPack.queries ++ sim.Sq8Knn.queries ++
       rel.Profiler.queries ++ text.PrioritySample.queries ++
       rel.Cms.queries ++ rel.Trend.queries ++ rel.Stats.queries ++
-      text.Divergence.queries
+      text.Divergence.queries ++ audio.FeatureQueries.queries ++
+      text.TextAugment.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -159,5 +160,16 @@ object SparkEntry {
       // round-10 continued: χ² cells (pure fixed trees over exact
       // counts) and per-source KL divergence (q86's round-6 sum
       // convention over fixed-tree contributions)
-      rel.Stats.oracle ++ text.Divergence.oracle
+      rel.Stats.oracle ++ text.Divergence.oracle ++
+      // round-11: the audio feature pack — spectral descriptors /
+      // MFCC deltas / SpecAugment masks, each re-derived by DuckDB
+      // from dumped spectra, DCT inputs, and drawn masks (the nq_mfcc
+      // sequential-list-op discipline; the mask oracle is exact with
+      // no rounding at all)
+      audio.FeatureQueries.oracle ++
+      // round-11: seeded word dropout — the whole op (tokenize, key,
+      // xxhash64, keep/drop, ordered re-join) re-runs in DuckDB from
+      // the raw documents table via the step-exact XXH64 replica; no
+      // dumped inputs at all (the q65/q69/q74 oracle tier)
+      text.TextAugment.oracle
 }

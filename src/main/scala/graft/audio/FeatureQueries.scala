@@ -1,0 +1,318 @@
+package graft.audio
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the round-11 audio feature pack —
+  * spectral descriptors ([[SpectralFeatures]]), delta features
+  * ([[Delta]]) and SpecAugment masking ([[SpecAugment]]) over the
+  * seeded voice corpus — each hard-oracled with the nq_mfcc dump
+  * pattern: the engine half (framing, FFT, transcendental per-element
+  * maps, mask drawing) ships as dumped inputs, and DuckDB re-runs the
+  * SQL-expressible tail with sequential-order list ops / identical
+  * window arithmetic over bitwise-identical doubles.
+  */
+object FeatureQueries {
+
+  private val Dir = "/tmp/graft_audio_oracle"
+  private val NFft = 512
+  private val Hop = 256
+  private val NBins = NFft / 2 + 1 // 257
+  private val NMels = 20
+  private val NMfcc = 13
+  private val MaskSeed = 11L
+  private val DeletedClip = 3L
+
+  private def clips(s: SparkSession) =
+    graft.gen.VoiceDataGen
+      .generate(s, graft.ml.VoicePipeline.NPhrases,
+        graft.ml.VoicePipeline.Seed)
+      .drop("speaker")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Six spectral descriptors per STFT frame. Dumps: the power
+    // spectra (+ time-domain partials) and the bin-frequency vector;
+    // the oracle re-derives every feature from those.
+    "nq_spectral" -> ((s: SparkSession, _: String) => {
+      val frames = SpectralFeatures.frameSpectra(clips(s), NFft, Hop)
+      if (graft.OracleDump.enabled) {
+        import s.implicits._
+        graft.OracleDump.dump(frames, s"$Dir/spectral_ps.parquet")
+        graft.OracleDump.dump(
+          SpectralFeatures.binFreqs(NFft, graft.gen.VoiceDataGen.SampleRate)
+            .map { case (k, f) => (k, f, 1.0) }.toDF("k", "freq", "one"),
+          s"$Dir/spectral_bins.parquet")
+      }
+      SpectralFeatures.withFeatures(frames, NFft)
+        .select(col("phrase_id"), col("frame_id"),
+          round(col("frame_time"), 6).as("frame_time"),
+          round(col("centroid"), 6).as("centroid"),
+          round(col("bandwidth"), 6).as("bandwidth"),
+          round(col("rolloff"), 6).as("rolloff"),
+          round(col("flatness"), 6).as("flatness"),
+          round(col("rms"), 6).as("rms"),
+          round(col("zcr"), 6).as("zcr"))
+        .orderBy("phrase_id", "frame_id")
+    }),
+    // MFCC Δ and Δ² tracks — pure window arithmetic on both engines
+    // (no UDF past the dumped DCT inputs), librosa's delta convention
+    // with edge replication.
+    "nq_mfcc_delta" -> ((s: SparkSession, _: String) => {
+      val mel = new MelSpectrogram().transform(clips(s))
+      if (graft.OracleDump.enabled) {
+        import s.implicits._
+        graft.OracleDump.dump(
+          mel.select(col("phrase_id"), col("frame_id"),
+            Mfcc.logMelUdf()(col("mel")).as("v")),
+          s"$Dir/delta_logmel.parquet")
+        graft.OracleDump.dump(
+          Mfcc.dctBasis(NMels, NMfcc).toDF("k", "basis", "scale"),
+          s"$Dir/delta_basis.parquet")
+      }
+      val c = Mfcc.withMfcc(mel)
+        .select(col("phrase_id"), col("frame_id"),
+          posexplode(col("mfcc")).as(Seq("k", "c")))
+      val d2 = Delta.withDelta(
+        Delta.withDelta(c, "c", "dv", Seq("phrase_id", "k"), "frame_id"),
+        "dv", "dv2", Seq("phrase_id", "k"), "frame_id")
+      d2.select(col("phrase_id"), col("frame_id"), col("k"),
+          round(col("c"), 6).as("mfcc"),
+          round(col("dv"), 6).as("delta"),
+          round(col("dv2"), 6).as("delta2"))
+        .orderBy("phrase_id", "frame_id", "k")
+    }),
+    // The audio feature store (streaming ingest surface): two fenced
+    // batch writes + one key-level delete, then a per-clip aggregate
+    // over the STORE READ. The oracle re-aggregates the union of the
+    // dumped raw batch files with the deleted clip excluded by
+    // literal filter — store-read ≡ (union of batch writes) minus
+    // tombstones, hash-checked. Feature VALUES are already
+    // hard-checked by nq_spectral; this entry judges the store
+    // plumbing (merge + tombstone semantics).
+    "nq_audio_store" -> ((s: SparkSession, _: String) => {
+      import graft.streaming.StreamingOps
+      val store = "/tmp/graft_audio_store"
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // deterministic rebuild per invocation
+      val cl = clips(s).withColumnRenamed("phrase_id", "clip_id")
+      StreamingOps.applyAudioFeatureBatch(
+        cl.filter(pmod(col("clip_id"), lit(2)) === 0), 0L, store,
+        NFft, Hop)
+      StreamingOps.applyAudioFeatureBatch(
+        cl.filter(pmod(col("clip_id"), lit(2)) === 1), 1L, store,
+        NFft, Hop)
+      StreamingOps.deleteFromFeatureStore(
+        { import s.implicits._; Seq(DeletedClip).toDF("clip_id") },
+        store, batchId = 0L)
+      if (graft.OracleDump.enabled) {
+        graft.OracleDump.dump(s.read.parquet(s"$store/batch-0.parquet"),
+          s"$Dir/store_b0.parquet")
+        graft.OracleDump.dump(s.read.parquet(s"$store/batch-1.parquet"),
+          s"$Dir/store_b1.parquet")
+      }
+      StreamingOps.audioFeaturesFromStore(s, store)
+        .groupBy("clip_id")
+        .agg(count(lit(1)).as("n_frames"), sum("zc").as("sum_zc"),
+          round(min("centroid"), 6).as("min_centroid"),
+          round(max("bandwidth"), 6).as("max_bandwidth"))
+        .orderBy("clip_id")
+    }),
+    // Speed perturbation (Ko 2015) over the voice corpus at α ∈
+    // {0.9, 1.1} (α = 1 is the spec-pinned bit-exact identity):
+    // per-(clip, α) integer aggregates over micro-quantized perturbed
+    // samples — the nq_audio_resample oracle pattern verbatim (the
+    // windowed-sinc half ships as dumped BIGINTs; DuckDB re-runs the
+    // count/DC/energy tail in exact integer arithmetic).
+    "nq_speed_perturb" -> ((s: SparkSession, _: String) => {
+      val perturbed = Augment.speedPerturb(clips(s), Seq(0.9, 1.1))
+      val y6 = udf { pcm: Array[Byte] =>
+        Dsp.pcm16ToDoubles(pcm).map(v => math.rint(v * 1e6).toLong)
+      }
+      val ys = perturbed.select(col("phrase_id"), col("speed"),
+        col("n_samples"), y6(col("pcm")).as("y6"))
+      if (graft.OracleDump.enabled)
+        graft.OracleDump.dump(
+          ys.select(col("phrase_id"), col("speed"),
+            explode(col("y6")).as("y6")),
+          s"$Dir/perturbed.parquet")
+      ys.select(col("phrase_id"), col("speed"),
+          explode(col("y6")).as("y6"))
+        .groupBy("phrase_id", "speed")
+        .agg(count(lit(1)).as("n_out"), sum("y6").as("dc6"),
+          sum(col("y6") * col("y6")).as("energy6"))
+        .orderBy("phrase_id", "speed")
+    }),
+    // RMS loudness normalization: the measured Σx²/n ships as the
+    // dumped input; DuckDB re-runs the rms/gain tail (one fixed
+    // double expression tree — sqrt + division, bit-identical).
+    "nq_rms_normalize" -> ((s: SparkSession, _: String) => {
+      val out = Augment.rmsNormalize(clips(s), targetRms = 0.1)
+      if (graft.OracleDump.enabled)
+        graft.OracleDump.dump(
+          out.select("phrase_id", "sumsq", "n_samples"),
+          s"$Dir/rms_moments.parquet")
+      out.select(col("phrase_id"), col("n_samples"),
+          round(col("rms"), 6).as("rms"),
+          round(col("gain"), 6).as("gain"))
+        .orderBy("phrase_id")
+    }),
+    // SpecAugment masking: the drawn masks are data; the oracle
+    // re-applies the zeroing CASE — an exact hash with no rounding.
+    "nq_specaugment" -> ((s: SparkSession, _: String) => {
+      val mel = new MelSpectrogram().transform(clips(s))
+      val exploded = mel.select(col("phrase_id"), col("frame_id"),
+        posexplode(col("mel")).as(Seq("k", "v")))
+      val masks = SpecAugment.drawMasks(mel, NMels, MaskSeed)
+      if (graft.OracleDump.enabled) {
+        graft.OracleDump.dump(exploded, s"$Dir/premask.parquet")
+        graft.OracleDump.dump(masks, s"$Dir/masks.parquet")
+      }
+      SpecAugment.applyMasks(exploded, masks)
+        .select("phrase_id", "frame_id", "k", "v")
+        .orderBy("phrase_id", "frame_id", "k")
+    }))
+
+  // the Δ-kernel numerator, generated once so the SQL text and the
+  // Spark expression can't drift: left-associated (+) over d = 1..4,
+  // each term d·(clamped lead − clamped lag)
+  private def deltaNum(v: String): String =
+    (1 to 4).map(d =>
+      s"$d.0 * (coalesce(p$d, ${v}_last) - coalesce(m$d, ${v}_first))")
+      .mkString(" + ")
+
+  private def deltaWindows(v: String): String =
+    s"""first_value($v) OVER pk AS ${v}_first,
+       |last_value($v) OVER pk AS ${v}_last,
+       |${(1 to 4).map(d =>
+            s"lag($v, $d) OVER po AS m$d, lead($v, $d) OVER po AS p$d")
+          .mkString(",\n")}""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "nq_spectral" ->
+      s"""WITH f AS (
+         |  SELECT * FROM read_parquet('$Dir/spectral_ps.parquet/*.parquet')),
+         |bl AS (
+         |  SELECT list(freq ORDER BY k) AS freqs, list(one ORDER BY k) AS ones
+         |  FROM read_parquet('$Dir/spectral_bins.parquet/*.parquet')),
+         |base AS (
+         |  SELECT f.phrase_id, f.frame_id, f.frame_time, f.ps, f.sumsq,
+         |    f.zc, bl.freqs AS freqs, bl.ones AS ones,
+         |    list_dot_product(f.ps, bl.ones) AS sum_s,
+         |    list_dot_product(f.ps, bl.freqs)
+         |      / list_dot_product(f.ps, bl.ones) AS centroid
+         |  FROM f CROSS JOIN bl),
+         |feat AS (
+         |  SELECT phrase_id, frame_id, frame_time, sumsq, zc, sum_s,
+         |    centroid,
+         |    sqrt(list_dot_product(ps, list_transform(freqs,
+         |      x -> (x - centroid) * (x - centroid))) / sum_s) AS bandwidth,
+         |    exp(list_dot_product(list_transform(ps,
+         |      v -> ln(greatest(v, 1e-10))), ones) / $NBins.0)
+         |      / (sum_s / $NBins.0) AS flatness
+         |  FROM base),
+         |ex AS (
+         |  -- lockstep unnest, NOT a cross join against the bin table:
+         |  -- carrying the 257-double ps list across 8M joined rows
+         |  -- made the first form ~200s; this one is ~1s
+         |  SELECT phrase_id, frame_id, unnest(ps) AS v,
+         |    unnest(range($NBins)) AS k, 0.85 * sum_s AS thr
+         |  FROM base),
+         |cumx AS (
+         |  SELECT phrase_id, frame_id, k, thr,
+         |    sum(v) OVER (PARTITION BY phrase_id, frame_id
+         |      ORDER BY k ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM ex),
+         |roll AS (
+         |  SELECT c.phrase_id, c.frame_id,
+         |    min(CASE WHEN c.cum >= c.thr THEN bb.freq END) AS rolloff
+         |  FROM cumx c JOIN
+         |    read_parquet('$Dir/spectral_bins.parquet/*.parquet') bb
+         |    ON bb.k = c.k
+         |  GROUP BY 1, 2)
+         |SELECT t.phrase_id, t.frame_id,
+         |  round(t.frame_time, 6) AS frame_time,
+         |  round(t.centroid, 6) AS centroid,
+         |  round(t.bandwidth, 6) AS bandwidth,
+         |  round(r.rolloff, 6) AS rolloff,
+         |  round(t.flatness, 6) AS flatness,
+         |  round(sqrt(t.sumsq / $NFft.0), 6) AS rms,
+         |  round(t.zc / ${NFft - 1}.0, 6) AS zcr
+         |FROM feat t JOIN roll r USING (phrase_id, frame_id)
+         |ORDER BY phrase_id, frame_id""".stripMargin,
+    "nq_mfcc_delta" ->
+      s"""WITH f AS (
+         |  SELECT * FROM read_parquet('$Dir/delta_logmel.parquet/*.parquet')),
+         |b AS (
+         |  SELECT * FROM read_parquet('$Dir/delta_basis.parquet/*.parquet')),
+         |m AS (
+         |  SELECT f.phrase_id, f.frame_id, b.k,
+         |    list_dot_product(f.v, b.basis) * b.scale AS c
+         |  FROM f CROSS JOIN b),
+         |w1 AS (
+         |  SELECT phrase_id, frame_id, k, c, ${deltaWindows("c")}
+         |  FROM m
+         |  WINDOW po AS (PARTITION BY phrase_id, k ORDER BY frame_id),
+         |    pk AS (PARTITION BY phrase_id, k ORDER BY frame_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |d1 AS (
+         |  SELECT phrase_id, frame_id, k, c,
+         |    (${deltaNum("c")}) / 60.0 AS dv
+         |  FROM w1),
+         |w2 AS (
+         |  SELECT phrase_id, frame_id, k, c, dv, ${deltaWindows("dv")}
+         |  FROM d1
+         |  WINDOW po AS (PARTITION BY phrase_id, k ORDER BY frame_id),
+         |    pk AS (PARTITION BY phrase_id, k ORDER BY frame_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+         |d2 AS (
+         |  SELECT phrase_id, frame_id, k, c, dv,
+         |    (${deltaNum("dv")}) / 60.0 AS dv2
+         |  FROM w2)
+         |SELECT phrase_id, frame_id, k,
+         |  round(c, 6) AS mfcc, round(dv, 6) AS delta,
+         |  round(dv2, 6) AS delta2
+         |FROM d2
+         |ORDER BY phrase_id, frame_id, k""".stripMargin,
+    "nq_speed_perturb" ->
+      s"""SELECT phrase_id, speed, count(*) AS n_out,
+         |  CAST(sum(y6) AS BIGINT) AS dc6,
+         |  CAST(sum(y6 * y6) AS BIGINT) AS energy6
+         |FROM read_parquet('$Dir/perturbed.parquet/*.parquet')
+         |GROUP BY phrase_id, speed
+         |ORDER BY phrase_id, speed""".stripMargin,
+    "nq_rms_normalize" ->
+      s"""SELECT phrase_id, n_samples,
+         |  round(sqrt(sumsq / n_samples), 6) AS rms,
+         |  round(CASE WHEN sqrt(sumsq / n_samples) > 0.0
+         |    THEN 0.1 / sqrt(sumsq / n_samples) ELSE 1.0 END, 6) AS gain
+         |FROM read_parquet('$Dir/rms_moments.parquet/*.parquet')
+         |ORDER BY phrase_id""".stripMargin,
+    "nq_audio_store" ->
+      s"""WITH u AS (
+         |  SELECT * FROM read_parquet('$Dir/store_b0.parquet/*.parquet')
+         |  UNION ALL
+         |  SELECT * FROM read_parquet('$Dir/store_b1.parquet/*.parquet'))
+         |SELECT clip_id, count(*) AS n_frames,
+         |  CAST(sum(zc) AS BIGINT) AS sum_zc,
+         |  round(min(centroid), 6) AS min_centroid,
+         |  round(max(bandwidth), 6) AS max_bandwidth
+         |FROM u WHERE clip_id <> $DeletedClip
+         |GROUP BY clip_id
+         |ORDER BY clip_id""".stripMargin,
+    "nq_specaugment" ->
+      s"""WITH p AS (
+         |  SELECT * FROM read_parquet('$Dir/premask.parquet/*.parquet')),
+         |msk AS (
+         |  SELECT * FROM read_parquet('$Dir/masks.parquet/*.parquet'))
+         |SELECT p.phrase_id, p.frame_id, p.k,
+         |  CASE WHEN EXISTS (
+         |    SELECT 1 FROM msk m WHERE m.phrase_id = p.phrase_id
+         |      AND ((m.kind = 't' AND p.frame_id >= m."start"
+         |            AND p.frame_id < m."start" + m.width)
+         |        OR (m.kind = 'f' AND p.k >= m."start"
+         |            AND p.k < m."start" + m.width)))
+         |  THEN 0.0 ELSE p.v END AS v
+         |FROM p
+         |ORDER BY phrase_id, frame_id, k""".stripMargin)
+}

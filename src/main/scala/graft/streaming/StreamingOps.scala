@@ -1160,6 +1160,118 @@ object StreamingOps {
         graft.rel.Tombstones.logPath(storePath)), true)
     }
 
+  /** Audio feature extraction at ingest — the multimodal × streaming
+    * cell: each micro-batch of (clip_id, start_sec, pcm, sample_rate)
+    * clips is framed and featurized
+    * ([[graft.audio.SpectralFeatures]]: centroid/bandwidth/rolloff/
+    * flatness/rms/zcr per STFT frame) and appended to a standing
+    * per-frame feature store as ONE deterministic per-batch file —
+    * decode-once semantics for audio that arrives continuously, the
+    * same store contract as the gram/signature/assignment ingests:
+    * exactly-once via deterministic file names (replay overwrites its
+    * own file bit-for-bit), `_lineage`-fenced against fresh-checkpoint
+    * restarts, tombstone-aware on both paths (delete-before-arrival:
+    * a clip tombstoned before its audio ever lands is never
+    * featurized into the store; reads anti-join the log).
+    *
+    * Scale shape: per-trigger cost is batch-sized decode + FFT — a
+    * narrow per-clip flatMap, no shuffle, no state store; the standing
+    * corpus is never re-read at ingest.
+    */
+  def audioFeatureIngestStream(clips: DataFrame, storePath: String,
+      nFft: Int = 512, hop: Int = 256, idCol: String = "clip_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    clips.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyAudioFeatureBatch(batch, batchId, storePath, nFft, hop,
+          idCol, streamingLineage(batch.sparkSession))
+    }
+
+  /** One trigger of the audio feature ingest — exposed so replay
+    * semantics are testable exactly as they occur. */
+  private[graft] def applyAudioFeatureBatch(batch: DataFrame,
+      batchId: Long, storePath: String, nFft: Int, hop: Int,
+      idCol: String = "clip_id", lineage: String = "unknown"): Unit = {
+    val s = batch.sparkSession
+    val fsp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    requireAtomicRename(fs, s"audio feature store at $storePath")
+    fs.mkdirs(fsp)
+    bindStoreLineage(fs, fsp, s"audio feature store at $storePath",
+      lineage)
+    val own = s"batch-$batchId.parquet"
+    // intra-batch redelivery + delete-before-arrival, both keyed on
+    // the clip id BEFORE the (expensive) decode+FFT runs
+    val b = graft.rel.Tombstones.filterDeleted(
+      batch.dropDuplicates(idCol), idCol, storePath)
+    val feats = graft.audio.SpectralFeatures.withFeatures(
+        graft.audio.SpectralFeatures.frameSpectra(
+          b, nFft, hop, idCol = idCol),
+        nFft)
+      .drop("ps") // the store keeps features, not raw spectra
+    writeSingleFile(feats, storePath, own)
+  }
+
+  /** Read the standing feature store (all batches, minus tombstoned
+    * clips). Empty-store bootstrap returns an empty relation with the
+    * feature schema. */
+  def audioFeaturesFromStore(s: SparkSession, storePath: String,
+      idCol: String = "clip_id"): DataFrame = {
+    val fsp = new org.apache.hadoop.fs.Path(storePath)
+    val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val files = if (fs.exists(fsp))
+      fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
+        st.getPath.getName.startsWith("batch-")) else Seq.empty
+    if (files.isEmpty)
+      graft.audio.SpectralFeatures.withFeatures(
+        graft.audio.SpectralFeatures.frameSpectra(
+          s.createDataFrame(s.sparkContext
+              .emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(idCol,
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("start_sec",
+                org.apache.spark.sql.types.DoubleType),
+              org.apache.spark.sql.types.StructField("pcm",
+                org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.types.StructField("sample_rate",
+                org.apache.spark.sql.types.IntegerType)))),
+          idCol = idCol)).drop("ps")
+    else graft.rel.Tombstones.filterDeleted(
+      s.read.parquet(files.map(_.getPath.toString): _*), idCol,
+      storePath)
+  }
+
+  /** Key-level GDPR delete from the audio feature store (doc-keyed
+    * tombstone class): every frame of the clip disappears from reads
+    * immediately; [[compactFeatureStore]] removes them physically. */
+  def deleteFromFeatureStore(keys: DataFrame, storePath: String,
+      batchId: Long, idCol: String = "clip_id"): Unit =
+    graft.rel.Tombstones.applyDelete(keys, idCol, storePath, batchId)
+
+  /** Fold the tombstone log into the feature store, preserving the
+    * batch-file layout the ingest reader expects (the
+    * [[compactAssignmentStore]] contract verbatim). */
+  def compactFeatureStore(s: SparkSession, storePath: String,
+      idCol: String = "clip_id"): Unit =
+    graft.rel.Tombstones.deletedKeys(s, storePath).foreach { _ =>
+      val fsp = new org.apache.hadoop.fs.Path(storePath)
+      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val files = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
+        st.getPath.getName.startsWith("batch-"))
+      if (files.nonEmpty) {
+        val survivors = graft.rel.Tombstones.filterDeleted(
+            s.read.parquet(files.map(_.getPath.toString): _*), idCol,
+            storePath)
+          .localCheckpoint() // materialize before deleting the sources
+        files.foreach(st => fs.delete(st.getPath, false))
+        writeSingleFile(survivors, storePath, "batch-compacted.parquet")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(
+        graft.rel.Tombstones.logPath(storePath)), true)
+    }
+
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 
   /** Custom stateful op: running per-user totals via mapGroupsWithState
