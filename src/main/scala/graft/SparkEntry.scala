@@ -43,7 +43,7 @@ object SparkEntry {
       rel.Profiler.queries ++ text.PrioritySample.queries ++
       rel.Cms.queries ++ rel.Trend.queries ++ rel.Stats.queries ++
       text.Divergence.queries ++ audio.FeatureQueries.queries ++
-      text.TextAugment.queries
+      text.TextAugment.queries ++ text.Collocations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -171,5 +171,9 @@ object SparkEntry {
       // xxhash64, keep/drop, ordered re-join) re-runs in DuckDB from
       // the raw documents table via the step-exact XXH64 replica; no
       // dumped inputs at all (the q65/q69/q74 oracle tier)
-      text.TextAugment.oracle
+      text.TextAugment.oracle ++
+      // round-11: PMI collocations (word2phrase) — another zero-dump
+      // oracle: DuckDB re-tokenizes and re-runs the shared-order
+      // ln(c_xy·NU²/(c_x·c_y·NB)) tree from the raw documents table
+      text.Collocations.oracle
 }

@@ -157,6 +157,26 @@ object FeatureQueries {
           round(col("gain"), 6).as("gain"))
         .orderBy("phrase_id")
     }),
+    // Voice activity detection (librosa.effects.split semantics,
+    // topDb=30): segments of voiced frames per clip. Everything past
+    // the dumped (clip, frame, Σx²) energies — rms, clip-peak
+    // reference, the 10^(−topDb/20) threshold, gaps-and-islands — is
+    // shared-order arithmetic the oracle re-runs identically.
+    "nq_vad" -> ((s: SparkSession, _: String) => {
+      val frames = SpectralFeatures.frameSpectra(clips(s), NFft, Hop)
+      if (graft.OracleDump.enabled)
+        graft.OracleDump.dump(
+          frames.select("phrase_id", "frame_id", "sumsq", "sample_rate"),
+          s"$Dir/vad_frames.parquet")
+      Vad.segments(frames, NFft, Hop, topDb = 30.0)
+        .select(col("phrase_id"), col("seg_id"), col("start_frame"),
+          col("end_frame"), col("n_frames"), col("start_sample"),
+          col("end_sample"),
+          round(col("start_sec"), 6).as("start_sec"),
+          round(col("dur_sec"), 6).as("dur_sec"),
+          round(col("peak_rms"), 6).as("peak_rms"))
+        .orderBy("phrase_id", "seg_id")
+    }),
     // SpecAugment masking: the drawn masks are data; the oracle
     // re-applies the zeroing CASE — an exact hash with no rounding.
     "nq_specaugment" -> ((s: SparkSession, _: String) => {
@@ -300,6 +320,40 @@ object FeatureQueries {
          |FROM u WHERE clip_id <> $DeletedClip
          |GROUP BY clip_id
          |ORDER BY clip_id""".stripMargin,
+    "nq_vad" ->
+      s"""WITH f AS (
+         |  SELECT * FROM read_parquet('$Dir/vad_frames.parquet/*.parquet')),
+         |r AS (
+         |  SELECT phrase_id, frame_id, sample_rate,
+         |    sqrt(sumsq / $NFft.0) AS rms
+         |  FROM f),
+         |m AS (
+         |  SELECT *, max(rms) OVER (PARTITION BY phrase_id) AS max_rms
+         |  FROM r),
+         |v AS (
+         |  SELECT * FROM m WHERE rms > max_rms * pow(10.0, -1.5)),
+         |i AS (
+         |  SELECT *, frame_id - row_number()
+         |    OVER (PARTITION BY phrase_id ORDER BY frame_id) AS isl
+         |  FROM v),
+         |g AS (
+         |  SELECT phrase_id, isl,
+         |    min(frame_id) AS start_frame, max(frame_id) AS end_frame,
+         |    count(*) AS n_frames, max(rms) AS peak_rms,
+         |    min(sample_rate) AS sr
+         |  FROM i GROUP BY 1, 2)
+         |SELECT phrase_id,
+         |  row_number() OVER (PARTITION BY phrase_id ORDER BY start_frame)
+         |    - 1 AS seg_id,
+         |  start_frame, end_frame, n_frames,
+         |  start_frame * $Hop AS start_sample,
+         |  end_frame * $Hop + $NFft AS end_sample,
+         |  round(CAST(start_frame AS DOUBLE) * $Hop / sr, 6) AS start_sec,
+         |  round(CAST(end_frame * $Hop + $NFft - start_frame * $Hop
+         |    AS DOUBLE) / sr, 6) AS dur_sec,
+         |  round(peak_rms, 6) AS peak_rms
+         |FROM g
+         |ORDER BY phrase_id, seg_id""".stripMargin,
     "nq_specaugment" ->
       s"""WITH p AS (
          |  SELECT * FROM read_parquet('$Dir/premask.parquet/*.parquet')),
