@@ -87,6 +87,112 @@ object Augment {
       .drop("_m")
   }
 
+  /** Deterministic synthetic noise corpus (splitmix64 stream per
+    * noise_id) — the stand-in for a MUSAN-style noise table in specs
+    * and contract queries. Generation is a narrow map over a range:
+    * deterministic under any partitioning. */
+  def syntheticNoise(s: SparkSession, k: Int, sec: Double, sr: Int,
+      seed: Long = 0x9e3779b97f4a7c15L): DataFrame = {
+    val gen = udf { id: Long =>
+      val n = (sec * sr).toInt
+      val out = new Array[Byte](n * 2)
+      var st = seed * (id + 1)
+      var i = 0
+      while (i < n) {
+        st += 0x9e3779b97f4a7c15L
+        var z = st
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        // ~[-0.25, 0.25] noise in int16
+        val sv = (z >> 48).toInt / 4
+        out(2 * i) = (sv & 0xff).toByte
+        out(2 * i + 1) = ((sv >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    s.range(k).select(col("id").as("noise_id"),
+      gen(col("id")).as("pcm"), lit(sr).as("sample_rate"))
+  }
+
+  /** Mix each clip with a seeded pick from a bounded noise table at a
+    * target signal-to-noise ratio (the MUSAN-recipe augmentation,
+    * Snyder 2015): gain g scales the noise so rms(x)²/rms(g·n)² =
+    * 10^(snrDb/10); the noise loops to the clip's length; output
+    * samples are floor(v·32768 + 0.5) with int16 saturation.
+    *
+    * Scale shape: the noise table is bounded (thousands of clips) so
+    * the pair join BROADCASTS it; the pick is `xxhash64(seed, id) mod
+    * k` column arithmetic; everything else is a narrow per-clip
+    * kernel. One corpus scan, zero shuffles.
+    *
+    * Oracle discipline: sample decode (s/32768) and re-encode
+    * (·32768) are power-of-two EXACT, and g's derivation + the
+    * per-sample `x + g·n` tree are shared-order IEEE — so DuckDB
+    * recomputes the entire mix bit-for-bit from dumped int16 samples
+    * and moments; there is no float tolerance anywhere.
+    *
+    * `noise` must carry a contiguous `noise_id` in [0, k) (as
+    * [[syntheticNoise]] produces). Appends noise_id, gain, n_samples
+    * and replaces `pcmCol` with the mixture. */
+  def mixAtSnr(clips: DataFrame, noise: DataFrame, snrDb: Double = 10.0,
+      seed: Long = 7L, idCol: String = "phrase_id",
+      pcmCol: String = "pcm"): DataFrame = {
+    val measure = udf { pcm: Array[Byte] =>
+      val x = Dsp.pcm16ToDoubles(pcm)
+      var ss = 0.0
+      var i = 0
+      while (i < x.length) { ss += x(i) * x(i); i += 1 }
+      (ss, x.length.toLong)
+    }
+    val mixK = udf { (xp: Array[Byte], np: Array[Byte], g: Double) =>
+      val nx = xp.length / 2
+      val nn = np.length / 2
+      val out = new Array[Byte](xp.length)
+      var i = 0
+      while (i < nx) {
+        val sx = ((xp(2 * i + 1).toInt << 8) | (xp(2 * i) & 0xff)).toShort
+        val j = i % nn
+        val sn = ((np(2 * j + 1).toInt << 8) | (np(2 * j) & 0xff)).toShort
+        // every op here is shared-order with the oracle SQL; /32768
+        // and ·32768 are exact, so the only roundings are g·n, the
+        // add, and the +0.5
+        val v = sx / 32768.0 + g * (sn / 32768.0)
+        val s = math.max(-32768.0,
+          math.min(32767.0, math.floor(v * 32768.0 + 0.5))).toInt
+        out(2 * i) = (s & 0xff).toByte
+        out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    val k = noise.groupBy().agg(count(lit(1)).as("n_noise"))
+    val nz = noise.select(col("noise_id"), col(pcmCol).as("_npcm"))
+      .withColumn("_nm", measure(col("_npcm")))
+      .withColumn("sumsq_n", col("_nm._1"))
+      .withColumn("nn", col("_nm._2"))
+      .drop("_nm")
+    clips
+      .crossJoin(broadcast(k))
+      .withColumn("noise_id",
+        pmod(xxhash64(lit(seed), col(idCol)), col("n_noise")))
+      .join(broadcast(nz), "noise_id")
+      .withColumn("_m", measure(col(pcmCol)))
+      .withColumn("sumsq_x", col("_m._1"))
+      .withColumn("n_samples", col("_m._2"))
+      // g = sqrt( (Σx²/nx) / ((Σn²/nn) · 10^(snr/10)) ) — ONE shared
+      // tree; silent noise degrades to g = 0 (pure passthrough)
+      .withColumn("gain",
+        when(col("sumsq_n") > 0.0,
+          sqrt((col("sumsq_x") / col("n_samples")) /
+            ((col("sumsq_n") / col("nn")) *
+              pow(lit(10.0), lit(snrDb / 10.0)))))
+          .otherwise(lit(0.0)))
+      .withColumn(pcmCol, mixK(col(pcmCol), col("_npcm"), col("gain")))
+      .drop("_m", "_npcm", "n_noise")
+  }
+
   /** Deterministic time shift: each clip is delayed by a seeded number
     * of samples in [0, maxShift·sr), zero-padded at the front and
     * truncated at the tail (length-preserving — the batch-shape

@@ -143,6 +143,58 @@ object FeatureQueries {
           sum(col("y6") * col("y6")).as("energy6"))
         .orderBy("phrase_id", "speed")
     }),
+    // SNR-targeted noise mixing (MUSAN recipe): seeded pick from a
+    // bounded noise table, broadcast pair join, loop + scale + add.
+    // The oracle recomputes the ENTIRE mix bit-for-bit from dumped
+    // int16 samples + moments (decode/encode are power-of-two exact;
+    // the gain and per-sample trees are shared-order IEEE), then
+    // compares exact integer aggregates of the mixture.
+    "nq_mix_snr" -> ((s: SparkSession, _: String) => {
+      val cl = clips(s)
+      val noise = Augment.syntheticNoise(s, 3, 1.0,
+        graft.gen.VoiceDataGen.SampleRate)
+      val s16 = udf { pcm: Array[Byte] =>
+        Array.tabulate(pcm.length / 2)(i =>
+          (((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)).toShort)
+            .toInt)
+      }
+      val mixed = Augment.mixAtSnr(cl, noise, snrDb = 10.0, seed = 7L)
+      if (graft.OracleDump.enabled) {
+        graft.OracleDump.dump(
+          cl.select(col("phrase_id"),
+            posexplode(s16(col("pcm"))).as(Seq("i", "sv"))),
+          s"$Dir/mix_clip_samples.parquet")
+        graft.OracleDump.dump(
+          noise.select(col("noise_id"),
+            posexplode(s16(col("pcm"))).as(Seq("i", "sv"))),
+          s"$Dir/mix_noise_samples.parquet")
+        graft.OracleDump.dump(
+          mixed.select(col("phrase_id"), col("noise_id"),
+            col("sumsq_x"), col("n_samples").as("nx"),
+            col("sumsq_n"), col("nn")),
+          s"$Dir/mix_pairs.parquet")
+      }
+      val stats = udf { pcm: Array[Byte] =>
+        val n = pcm.length / 2
+        var dc = 0L
+        var en = 0L
+        var i = 0
+        while (i < n) {
+          val sv: Long =
+            (((pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)).toShort)
+              .toLong
+          dc += sv; en += sv * sv
+          i += 1
+        }
+        (dc, en)
+      }
+      mixed
+        .withColumn("_st", stats(col("pcm")))
+        .select(col("phrase_id"), col("noise_id"),
+          round(col("gain"), 6).as("gain"), col("n_samples"),
+          col("_st._1").as("dc"), col("_st._2").as("energy"))
+        .orderBy("phrase_id")
+    }),
     // RMS loudness normalization: the measured Σx²/n ships as the
     // dumped input; DuckDB re-runs the rms/gain tail (one fixed
     // double expression tree — sqrt + division, bit-identical).
@@ -301,6 +353,39 @@ object FeatureQueries {
          |FROM read_parquet('$Dir/perturbed.parquet/*.parquet')
          |GROUP BY phrase_id, speed
          |ORDER BY phrase_id, speed""".stripMargin,
+    "nq_mix_snr" ->
+      s"""WITH cp AS (
+         |  SELECT * FROM read_parquet('$Dir/mix_clip_samples.parquet/*.parquet')),
+         |np AS (
+         |  SELECT * FROM read_parquet('$Dir/mix_noise_samples.parquet/*.parquet')),
+         |pr AS (
+         |  SELECT phrase_id, noise_id, nx, nn,
+         |    CASE WHEN sumsq_n > 0.0
+         |      THEN sqrt((sumsq_x / nx) / ((sumsq_n / nn) * pow(10.0, 1.0)))
+         |      ELSE 0.0 END AS g
+         |  FROM read_parquet('$Dir/mix_pairs.parquet/*.parquet')),
+         |cpx AS (
+         |  -- materialize the looped noise index BEFORE the noise join:
+         |  -- an expression key spanning two relations (cp.i % pr.nn)
+         |  -- forces DuckDB into a nested-loop join (minutes); a plain
+         |  -- column key hash-joins (instant)
+         |  SELECT cp.phrase_id, cp.sv, pr.noise_id, pr.g,
+         |    cp.i % pr.nn AS j
+         |  FROM cp JOIN pr USING (phrase_id)),
+         |mx AS (
+         |  SELECT cpx.phrase_id, cpx.noise_id, cpx.g,
+         |    CAST(greatest(-32768.0, least(32767.0,
+         |      floor((cpx.sv / 32768.0 + cpx.g * (np.sv / 32768.0))
+         |        * 32768.0 + 0.5))) AS BIGINT) AS ms
+         |  FROM cpx
+         |  JOIN np ON np.noise_id = cpx.noise_id AND np.i = cpx.j)
+         |SELECT phrase_id, noise_id, round(g, 6) AS gain,
+         |  CAST(count(*) AS BIGINT) AS n_samples,
+         |  CAST(sum(ms) AS BIGINT) AS dc,
+         |  CAST(sum(ms * ms) AS BIGINT) AS energy
+         |FROM mx
+         |GROUP BY phrase_id, noise_id, g
+         |ORDER BY phrase_id""".stripMargin,
     "nq_rms_normalize" ->
       s"""SELECT phrase_id, n_samples,
          |  round(sqrt(sumsq / n_samples), 6) AS rms,

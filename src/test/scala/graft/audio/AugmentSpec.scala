@@ -85,6 +85,46 @@ class AugmentSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("mix at snr: achieved SNR hits the target; noise loops; " +
+      "silence passes through bit-exactly; seed-deterministic") {
+    val toMix = Seq(
+      (1L, tonePcm(500.0, 0.5, amp = 0.5), Sr), // longer than the noise
+      (2L, tonePcm(900.0, 0.2, amp = 0.1), Sr),
+      (3L, new Array[Byte]((0.2 * Sr).toInt * 2), Sr) // silence
+    ).toDF("phrase_id", "pcm", "sample_rate")
+    val noise = Augment.syntheticNoise(spark, 3, 0.3, Sr)
+    val out = Augment.mixAtSnr(toMix, noise, snrDb = 10.0, seed = 7L)
+      .cache()
+    val orig = toMix.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val rows = out.collect().map(r => r.getAs[Long]("phrase_id") -> r)
+      .toMap
+    // achieved SNR: rms(x)² / rms(mix − x)² ≈ 10^(10/10) = 10
+    // (quantization adds ±1 LSB noise — loose 0.5 dB tolerance)
+    Seq(1L, 2L).foreach { id =>
+      val x = Dsp.pcm16ToDoubles(orig(id))
+      val m = Dsp.pcm16ToDoubles(rows(id).getAs[Array[Byte]]("pcm"))
+      assert(m.length === x.length, "length preserved (noise looped)")
+      val px = x.map(v => v * v).sum / x.length
+      val pn = x.indices.map(i => (m(i) - x(i)) * (m(i) - x(i))).sum /
+        x.length
+      val snr = 10.0 * math.log10(px / pn)
+      assert(math.abs(snr - 10.0) < 0.5, s"clip $id achieved $snr dB")
+    }
+    // silent clip: gain 0·noise? no — silent SIGNAL means zero target
+    // power, so g = 0 and the mixture is the clip itself, bit-exact
+    assert(rows(3L).getAs[Double]("gain") === 0.0)
+    assert(java.util.Arrays.equals(
+      rows(3L).getAs[Array[Byte]]("pcm"), orig(3L)))
+    // determinism + pick range
+    val again = Augment.mixAtSnr(toMix, noise, snrDb = 10.0, seed = 7L)
+    assert(out.select("phrase_id", "noise_id", "gain")
+      .exceptAll(again.select("phrase_id", "noise_id", "gain"))
+      .count() === 0)
+    assert(out.filter($"noise_id" < 0 || $"noise_id" >= 3).count() === 0)
+    out.unpersist()
+  }
+
   test("time shift: seeded, length-preserving, content moved intact") {
     val many = (1L to 8L).map(i => (i, tonePcm(300.0 + 100 * i, 0.2), Sr))
       .toDF("phrase_id", "pcm", "sample_rate")
