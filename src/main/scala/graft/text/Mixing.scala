@@ -213,6 +213,31 @@ object Mixing {
     groupSample(documents(s, d), "lang", "doc_id", n)
       .orderBy("lang", "rn")
 
+  /** [[groupSample]]'s scale twin: identical output (exact n per
+    * group, seeded-hash order), but the per-group selection runs
+    * through the k-bounded `top_k` heap aggregate instead of a
+    * row_number window — the exchange carries ≤ n entries per
+    * (group, partition) after the map-side partial, and nothing sorts
+    * the full group. The descending heap selects the n SMALLEST
+    * (hkey, id) via the bitwise-complement trick (~x is a monotone
+    * order reversal with no Long.MinValue overflow, unlike negation).
+    * At 100 TB this is the form to run: the window twin sorts every
+    * group end-to-end; this one never materializes a group at all. */
+  def groupSampleTopK(docs: DataFrame, groupCol: String, idCol: String,
+      n: Int, seed: Long = 42L): DataFrame = {
+    graft.functions.VecFunctions.register(docs.sparkSession)
+    docs
+      .select(col(groupCol),
+        struct(
+          expr(s"~xxhash64($idCol, ${seed}L)").as("nh"),
+          expr(s"~$idCol").as("nd")).as("sv"))
+      .groupBy(groupCol)
+      .agg(expr(s"top_k(sv, $n)").as("top"))
+      .select(col(groupCol), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(expr("~t.nd").as(idCol), col(groupCol),
+        (col("pos") + 1L).as("rn"))
+  }
+
   /** Driver entries: mix to a fixed lang recipe; treat docs with
     * doc_id ≡ 0 (mod 10) as the held-out benchmark and the rest as the
     * training corpus. The recipe is shared with the oracle SQL below.
@@ -243,6 +268,13 @@ object Mixing {
     "nq_contamination_bloom" -> (contaminationBloomQuery _),
     "q69_group_sample" -> ((s: SparkSession, d: String) =>
       q69GroupSample(s, d)),
+    // the heap-aggregate twin: output-identical to q69 by design, so
+    // it carries the SAME oracle SQL and the driver independently
+    // verifies the equivalence claim every round (the
+    // contamination_bloom precedent)
+    "nq_group_sample_topk" -> ((s: SparkSession, d: String) =>
+      groupSampleTopK(documents(s, d), "lang", "doc_id", 20)
+        .orderBy("lang", "rn")),
     "q74_temperature_mix" -> (q74TemperatureMix _))
 
   // ------------------------------------------------------------ oracle
@@ -331,19 +363,11 @@ object Mixing {
       "nq_contamination_bloom" -> contaminationSql,
       // q69: same XXH64 replica as q65; the signed hkey reconstruction
       // (hh − 2^64 for hh ≥ 2^63) matches Spark's signed-long ordering
-      "q69_group_sample" -> (xxh64Ctes(", lang") +
-        """,
-          |sgn AS (SELECT doc_id, lang,
-          |  CAST(CAST(hh AS HUGEINT) -
-          |    CASE WHEN hh >= 9223372036854775808
-          |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
-          |    AS BIGINT) AS hkey FROM r2h),
-          |rk AS (SELECT doc_id, lang,
-          |  row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
-          |    AS rn
-          |  FROM sgn)
-          |SELECT doc_id, lang, rn FROM rk WHERE rn <= 20
-          |ORDER BY lang, rn""".stripMargin),
+      "q69_group_sample" -> groupSampleSql,
+      // output-identical heap-aggregate twin — same oracle by design
+      // (see the queries map): the driver hash-checks both paths
+      // against one SQL, independently confirming window ≡ top_k
+      "nq_group_sample_topk" -> groupSampleSql,
       // q74: same XXH64 replica; the rate derivation repeats the Spark
       // side's exact IEEE operation sequence, with the pow exponent
       // interpolated from the SAME Scala double so both engines parse
@@ -377,6 +401,22 @@ object Mixing {
   // n_shingles=0 with NULL n_matched/overlap/contaminated —
   // "unknown", identical to the Spark path.
   // (lazy: referenced by `oracle` above its textual position)
+  // q69: same XXH64 replica as q65; the signed hkey reconstruction
+  // (hh − 2^64 for hh ≥ 2^63) matches Spark's signed-long ordering
+  private lazy val groupSampleSql: String = xxh64Ctes(", lang") +
+    """,
+      |sgn AS (SELECT doc_id, lang,
+      |  CAST(CAST(hh AS HUGEINT) -
+      |    CASE WHEN hh >= 9223372036854775808
+      |      THEN CAST(18446744073709551616 AS HUGEINT) ELSE 0 END
+      |    AS BIGINT) AS hkey FROM r2h),
+      |rk AS (SELECT doc_id, lang,
+      |  row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id)
+      |    AS rn
+      |  FROM sgn)
+      |SELECT doc_id, lang, rn FROM rk WHERE rn <= 20
+      |ORDER BY lang, rn""".stripMargin
+
   private lazy val contaminationSql: String =
       """WITH toks AS (
         |  SELECT doc_id,

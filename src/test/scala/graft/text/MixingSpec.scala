@@ -47,6 +47,27 @@ class MixingSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("group sample topk twin: row-identical to the window form; " +
+      "plan has no window and no full sort") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val win = Mixing.groupSample(docs, "lang", "doc_id", 20)
+      .as[(Long, String, Long)].collect().toSet
+    val heap = Mixing.groupSampleTopK(docs, "lang", "doc_id", 20)
+    assert(heap.as[(Long, String, Long)].collect().toSet === win,
+      "heap twin selects the identical (doc, rank) set")
+    // the twin's point: no WindowExec, no per-group sort — selection
+    // runs inside the k-bounded aggregate
+    val plan = heap.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the top_k heap aggregate in:\n$plan")
+    // layout independence rides the same purity argument as the
+    // window form — verified directly
+    val repart = Mixing.groupSampleTopK(docs.repartition(13), "lang",
+      "doc_id", 20).as[(Long, String, Long)].collect().toSet
+    assert(repart === win)
+  }
+
   test("temperature mix: exact thresholds, flattening, layout independence") {
     // power-of-two domain ratios so α=0.5 rates are IEEE-exact:
     // fr is rarest (kept whole); de = sqrt(25/100) = 0.5; en =
