@@ -143,6 +143,27 @@ object FeatureQueries {
           sum(col("y6") * col("y6")).as("energy6"))
         .orderBy("phrase_id", "speed")
     }),
+    // Phase-vocoder pitch shift at ±3 semitones (0 is the spec-pinned
+    // bit-exact identity): per-(clip, steps) integer aggregates over
+    // micro-quantized shifted samples — the nq_speed_perturb oracle
+    // pattern (the vocoder+resample half ships as dumped BIGINTs;
+    // DuckDB re-runs the count/DC/energy tail exactly).
+    "nq_pitch_shift" -> ((s: SparkSession, _: String) => {
+      val shifted = PhaseVocoder.pitchShift(clips(s), Seq(-3, 3))
+      val y6 = udf { pcm: Array[Byte] =>
+        Dsp.pcm16ToDoubles(pcm).map(v => math.rint(v * 1e6).toLong)
+      }
+      val ys = shifted.select(col("phrase_id"), col("steps"),
+          y6(col("pcm")).as("y6"))
+        .select(col("phrase_id"), col("steps"),
+          explode(col("y6")).as("y6"))
+      if (graft.OracleDump.enabled)
+        graft.OracleDump.dump(ys, s"$Dir/pitched.parquet")
+      ys.groupBy("phrase_id", "steps")
+        .agg(count(lit(1)).as("n_out"), sum("y6").as("dc6"),
+          sum(col("y6") * col("y6")).as("energy6"))
+        .orderBy("phrase_id", "steps")
+    }),
     // SNR-targeted noise mixing (MUSAN recipe): seeded pick from a
     // bounded noise table, broadcast pair join, loop + scale + add.
     // The oracle recomputes the ENTIRE mix bit-for-bit from dumped
@@ -353,6 +374,13 @@ object FeatureQueries {
          |FROM read_parquet('$Dir/perturbed.parquet/*.parquet')
          |GROUP BY phrase_id, speed
          |ORDER BY phrase_id, speed""".stripMargin,
+    "nq_pitch_shift" ->
+      s"""SELECT phrase_id, steps, count(*) AS n_out,
+         |  CAST(sum(y6) AS BIGINT) AS dc6,
+         |  CAST(sum(y6 * y6) AS BIGINT) AS energy6
+         |FROM read_parquet('$Dir/pitched.parquet/*.parquet')
+         |GROUP BY phrase_id, steps
+         |ORDER BY phrase_id, steps""".stripMargin,
     "nq_mix_snr" ->
       s"""WITH cp AS (
          |  SELECT * FROM read_parquet('$Dir/mix_clip_samples.parquet/*.parquet')),

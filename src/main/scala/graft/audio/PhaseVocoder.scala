@@ -1,0 +1,152 @@
+package graft.audio
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Phase-vocoder time stretch and pitch shift — the last member of the
+  * standard augmentation suite (`librosa.effects.time_stretch` /
+  * `pitch_shift`; Flanagan & Golden 1966, the classic STFT phase
+  * vocoder): stretch changes duration without pitch by stepping
+  * through STFT frames at `rate` while accumulating per-bin phase from
+  * the measured inter-frame phase advance; pitch shift composes a
+  * stretch by 2^(n/12) with the existing windowed-sinc resampler
+  * ([[Src]]) back to the original duration.
+  *
+  * Scale shape: exactly the [[Src]] contract — a narrow per-clip
+  * kernel (STFT → vocoder → overlap-add → resample), embarrassingly
+  * parallel, no shuffle, no state. Oracle discipline: the DSP half
+  * ships as dumped micro-quantized BIGINTs and DuckDB re-runs the
+  * exact integer aggregation tail (the nq_speed_perturb /
+  * nq_audio_resample pattern).
+  */
+object PhaseVocoder {
+
+  /** Time-stretch a mono signal by `rate` (rate > 1 = faster/shorter,
+    * pitch preserved). Hann STFT with 4× overlap; magnitudes linearly
+    * interpolated between bracketing frames; phases accumulated from
+    * wrapped inter-frame deviations against the expected per-hop
+    * advance 2π·hop·k/nFft. Output length ≈ n/rate. */
+  def stretch(x: Array[Double], rate: Double, nFft: Int = 1024,
+      hop: Int = 256): Array[Double] = {
+    require(rate > 0.0, s"rate must be positive, got $rate")
+    if (x.length < nFft) return x.clone() // too short to frame: passthrough
+    val w = Dsp.hannWindow(nFft)
+    // zero-pad the tail so framing covers every input sample — the
+    // output is trimmed to exactly round(n/rate) at the end
+    val xp = java.util.Arrays.copyOf(x, x.length + nFft)
+    val nFrames = x.length / hop + 1
+    // analysis STFT
+    val magF = new Array[Array[Double]](nFrames)
+    val phF = new Array[Array[Double]](nFrames)
+    var t = 0
+    while (t < nFrames) {
+      val re = new Array[Double](nFft)
+      val im = new Array[Double](nFft)
+      var i = 0
+      while (i < nFft) { re(i) = xp(t * hop + i) * w(i); i += 1 }
+      Dsp.fft(re, im)
+      val nb = nFft / 2 + 1
+      val m = new Array[Double](nb)
+      val p = new Array[Double](nb)
+      var k = 0
+      while (k < nb) {
+        m(k) = math.hypot(re(k), im(k))
+        p(k) = math.atan2(im(k), re(k))
+        k += 1
+      }
+      magF(t) = m; phF(t) = p
+      t += 1
+    }
+    val nb = nFft / 2 + 1
+    val twoPi = 2.0 * math.Pi
+    val phiAdv = Array.tabulate(nb)(k => twoPi * hop * k / nFft)
+    // synthesis: step the analysis frames at `rate`
+    val nOut = math.max(1, math.ceil(nFrames / rate).toInt)
+    val phAcc = phF(0).clone()
+    val outLen = (nOut - 1) * hop + nFft
+    val y = new Array[Double](outLen)
+    val wsum = new Array[Double](outLen)
+    var s = 0
+    while (s < nOut) {
+      val pos = s * rate
+      val t0 = math.min(pos.toInt, nFrames - 1)
+      val t1 = math.min(t0 + 1, nFrames - 1)
+      val frac = pos - t0
+      val re = new Array[Double](nFft)
+      val im = new Array[Double](nFft)
+      var k = 0
+      while (k < nb) {
+        val mag = (1.0 - frac) * magF(t0)(k) + frac * magF(t1)(k)
+        re(k) = mag * math.cos(phAcc(k))
+        im(k) = mag * math.sin(phAcc(k))
+        // conjugate symmetry for the real inverse
+        if (k > 0 && k < nFft / 2) {
+          re(nFft - k) = re(k)
+          im(nFft - k) = -im(k)
+        }
+        // advance the accumulator by expected + wrapped deviation
+        val dp = phF(t1)(k) - phF(t0)(k) - phiAdv(k)
+        val wrapped = dp - twoPi * math.rint(dp / twoPi)
+        phAcc(k) += phiAdv(k) + wrapped
+        k += 1
+      }
+      // inverse FFT via conjugation: ifft(X) = conj(fft(conj(X)))/n
+      var i = 0
+      while (i < nFft) { im(i) = -im(i); i += 1 }
+      Dsp.fft(re, im)
+      i = 0
+      while (i < nFft) {
+        val v = re(i) / nFft // real part of the inverse
+        y(s * hop + i) += v * w(i)
+        wsum(s * hop + i) += w(i) * w(i)
+        i += 1
+      }
+      s += 1
+    }
+    var i = 0
+    while (i < outLen) {
+      if (wsum(i) > 1e-9) y(i) /= wsum(i)
+      i += 1
+    }
+    java.util.Arrays.copyOf(y, math.max(1, math.round(x.length / rate).toInt))
+  }
+
+  private def toPcm16(x: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte](x.length * 2)
+    var i = 0
+    while (i < x.length) {
+      val s = math.max(-32768.0,
+        math.min(32767.0, math.floor(x(i) * 32768.0 + 0.5))).toInt
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Pitch-shift each clip by `steps` semitones (duration preserved):
+    * vocoder-stretch by 1/f (duration ×f, pitch unchanged), then
+    * windowed-sinc "speed up" by f (duration ÷f, pitch ×f), f =
+    * 2^(steps/12). steps = 0 short-circuits to a bit-exact
+    * passthrough. One output row per (clip, steps). */
+  def pitchShift(clips: DataFrame, steps: Seq[Int],
+      idCol: String = "phrase_id", pcmCol: String = "pcm",
+      sampleRateCol: String = "sample_rate"): DataFrame = {
+    require(steps.nonEmpty && steps.forall(s => math.abs(s) <= 12),
+      s"semitone steps out of the sane [-12, 12] band: $steps")
+    val shift = udf { (pcm: Array[Byte], sr: Int, n: Int) =>
+      if (n == 0) pcm
+      else {
+        val f = math.pow(2.0, n / 12.0)
+        val stretched = stretch(Dsp.pcm16ToDoubles(pcm), 1.0 / f)
+        // stay in doubles through the resample; quantize ONCE at the end
+        toPcm16(Src.resample(stretched, sr, math.round(sr / f).toInt))
+      }
+    }
+    clips
+      .withColumn("steps", explode(typedLit(steps)))
+      .withColumn(pcmCol,
+        shift(col(pcmCol), col(sampleRateCol).cast("int"), col("steps")))
+      .withColumn("n_samples", (length(col(pcmCol)) / 2).cast("long"))
+  }
+}
