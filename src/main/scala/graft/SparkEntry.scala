@@ -43,7 +43,8 @@ object SparkEntry {
       rel.Profiler.queries ++ text.PrioritySample.queries ++
       rel.Cms.queries ++ rel.Trend.queries ++ rel.Stats.queries ++
       text.Divergence.queries ++ audio.FeatureQueries.queries ++
-      text.TextAugment.queries ++ text.Collocations.queries
+      text.TextAugment.queries ++ text.Collocations.queries ++
+      text.KneserNey.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -175,5 +176,10 @@ object SparkEntry {
       // round-11: PMI collocations (word2phrase) — another zero-dump
       // oracle: DuckDB re-tokenizes and re-runs the shared-order
       // ln(c_xy·NU²/(c_x·c_y·NB)) tree from the raw documents table
-      text.Collocations.oracle
+      text.Collocations.oracle ++
+      // round-11: interpolated Kneser-Ney trigram LM (train + held-out
+      // backoff scoring) — zero-dump: DuckDB re-derives the trigram
+      // type table, continuation counts, and discounts from the raw
+      // documents table and re-runs the identical probability tree
+      text.KneserNey.oracle
 }
