@@ -44,7 +44,7 @@ object SparkEntry {
       rel.Cms.queries ++ rel.Trend.queries ++ rel.Stats.queries ++
       text.Divergence.queries ++ audio.FeatureQueries.queries ++
       text.TextAugment.queries ++ text.Collocations.queries ++
-      text.KneserNey.queries
+      text.KneserNey.queries ++ rel.Expectations.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -181,5 +181,9 @@ object SparkEntry {
       // backoff scoring) — zero-dump: DuckDB re-derives the trigram
       // type table, continuation counts, and discounts from the raw
       // documents table and re-runs the identical probability tree
-      text.KneserNey.oracle
+      text.KneserNey.oracle ++
+      // round-11: Deequ-style expectation suite — fused one-scan
+      // constraint aggregates + anti-join referential checks, rebuilt
+      // verbatim by DuckDB as a UNION ALL over the same expressions
+      rel.Expectations.oracle
 }
