@@ -164,6 +164,24 @@ object FeatureQueries {
           sum(col("y6") * col("y6")).as("energy6"))
         .orderBy("phrase_id", "steps")
     }),
+    // Griffin-Lim phase reconstruction from magnitude-only STFTs
+    // (8 iterations, zero phase init — fully deterministic): the
+    // dumped-BIGINT pattern again — micro-quantized reconstructed
+    // samples ship as data, DuckDB re-runs the integer aggregate tail.
+    "nq_griffinlim" -> ((s: SparkSession, _: String) => {
+      val rec = GriffinLim.invertClips(clips(s), NFft, Hop, nIter = 8)
+      val y6 = udf { pcm: Array[Byte] =>
+        Dsp.pcm16ToDoubles(pcm).map(v => math.rint(v * 1e6).toLong)
+      }
+      val ys = rec.select(col("phrase_id"), y6(col("pcm")).as("y6"))
+        .select(col("phrase_id"), explode(col("y6")).as("y6"))
+      if (graft.OracleDump.enabled)
+        graft.OracleDump.dump(ys, s"$Dir/griffinlim.parquet")
+      ys.groupBy("phrase_id")
+        .agg(count(lit(1)).as("n_out"), sum("y6").as("dc6"),
+          sum(col("y6") * col("y6")).as("energy6"))
+        .orderBy("phrase_id")
+    }),
     // SNR-targeted noise mixing (MUSAN recipe): seeded pick from a
     // bounded noise table, broadcast pair join, loop + scale + add.
     // The oracle recomputes the ENTIRE mix bit-for-bit from dumped
@@ -381,6 +399,13 @@ object FeatureQueries {
          |FROM read_parquet('$Dir/pitched.parquet/*.parquet')
          |GROUP BY phrase_id, steps
          |ORDER BY phrase_id, steps""".stripMargin,
+    "nq_griffinlim" ->
+      s"""SELECT phrase_id, count(*) AS n_out,
+         |  CAST(sum(y6) AS BIGINT) AS dc6,
+         |  CAST(sum(y6 * y6) AS BIGINT) AS energy6
+         |FROM read_parquet('$Dir/griffinlim.parquet/*.parquet')
+         |GROUP BY phrase_id
+         |ORDER BY phrase_id""".stripMargin,
     "nq_mix_snr" ->
       s"""WITH cp AS (
          |  SELECT * FROM read_parquet('$Dir/mix_clip_samples.parquet/*.parquet')),
