@@ -44,7 +44,8 @@ object SparkEntry {
       rel.Cms.queries ++ rel.Trend.queries ++ rel.Stats.queries ++
       text.Divergence.queries ++ audio.FeatureQueries.queries ++
       text.TextAugment.queries ++ text.Collocations.queries ++
-      text.KneserNey.queries ++ rel.Expectations.queries
+      text.KneserNey.queries ++ rel.Expectations.queries ++
+      rel.Drift.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -185,5 +186,8 @@ object SparkEntry {
       // round-11: Deequ-style expectation suite — fused one-scan
       // constraint aggregates + anti-join referential checks, rebuilt
       // verbatim by DuckDB as a UNION ALL over the same expressions
-      rel.Expectations.oracle
+      rel.Expectations.oracle ++
+      // round-11: PSI drift monitor — per-bin shared-order trees over
+      // exact counts, the generated bin frame keeps empty bins
+      rel.Drift.oracle
 }
