@@ -88,10 +88,12 @@ object Expectations {
     case _: SubsetOf => "subset_of"
   }
 
-  /** Evaluate the suite. `tables` maps the table names the checks
-    * reference to their DataFrames. One aggregate job per distinct
-    * table carrying fused checks + one anti-join job per SubsetOf. */
-  def validate(tables: Map[String, DataFrame],
+  /** The raw additive metrics (check_name, check_type, compliant, n)
+    * — the partial the streaming store persists per batch: compliant
+    * and n are ADDITIVE across disjoint batches for every check type
+    * except Unique (count-distinct does not sum), which is why
+    * [[graft.streaming.ExpectationsStream]] rejects Unique checks. */
+  private[graft] def metrics(tables: Map[String, DataFrame],
       checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty expectation suite")
     checks.foreach { c =>
@@ -134,12 +136,22 @@ object Expectations {
         throw new IllegalStateException(s"not a subset check: $other")
     }
     (perTable ++ subsetRows).reduce(_ unionAll _)
-      .select(col("check_name"), col("check_type"),
-        round(col("compliant").cast("double") / col("n"), 6).as("metric"),
-        (col("n") - col("compliant")).as("n_violations"),
-        (col("n") - col("compliant") === 0).as("passed"))
-      .orderBy("check_name")
   }
+
+  /** Finalize raw metrics into the report contract. */
+  private[graft] def finalize(raw: DataFrame): DataFrame =
+    raw.select(col("check_name"), col("check_type"),
+      round(col("compliant").cast("double") / col("n"), 6).as("metric"),
+      (col("n") - col("compliant")).as("n_violations"),
+      (col("n") - col("compliant") === 0).as("passed"))
+      .orderBy("check_name")
+
+  /** Evaluate the suite. `tables` maps the table names the checks
+    * reference to their DataFrames. One aggregate job per distinct
+    * table carrying fused checks + one anti-join job per SubsetOf. */
+  def validate(tables: Map[String, DataFrame],
+      checks: Seq[Check]): DataFrame =
+    finalize(metrics(tables, checks))
 
   /** The contract suite: a realistic ingest gate over the TPC-H-ish
     * tables — key uniqueness, FK closure both directions, domain and
@@ -162,9 +174,35 @@ object Expectations {
       SubsetOf("lineitem", "l_orderkey", "orders", "o_orderkey")))
   }
 
+  /** The streaming-store judge (the nq_agg_store pattern): the same
+    * lineitem suite evaluated as 5 disjoint per-batch partials whose
+    * additive roll-up must hash-match one pass over the RAW table —
+    * any broken additivity (double count, missed batch, non-additive
+    * expression) fails against the strongest oracle form. The disk
+    * store's fences/replay semantics are spec-pinned in
+    * `ExpectationsStreamSpec`; this entry pins the merge ALGEBRA. */
+  def storeRollup(s: SparkSession, d: String): DataFrame = {
+    val li = graft.Tables.lineitem(s, d)
+    val orders = graft.Tables.orders(s, d)
+    val cs = Seq(
+      Complete("lineitem", "l_shipdate"),
+      InRange("lineitem", "l_quantity", 1.0, 50.0),
+      InRange("lineitem", "l_discount", 0.0, 0.1),
+      SubsetOf("lineitem", "l_orderkey", "orders", "o_orderkey"))
+    val perBatch = (0 until 5).map { b =>
+      metrics(Map(
+        "lineitem" -> li.filter(pmod(col("l_orderkey"), lit(5)) === b),
+        "orders" -> orders), cs)
+    }
+    finalize(perBatch.reduce(_ unionAll _)
+      .groupBy("check_name", "check_type")
+      .agg(sum("compliant").as("compliant"), sum("n").as("n")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_expectations" -> ((s: SparkSession, d: String) =>
-      contractSuite(s, d)))
+      contractSuite(s, d)),
+    "nq_expect_store" -> (storeRollup _))
 
   val oracle: Map[String, String] = Map(
     "nq_expectations" ->
@@ -206,6 +244,29 @@ object Expectations {
         |  UNION ALL SELECT 'matches(customer.c_name)', 'matches', c_name_fmt, n FROM c
         |  UNION ALL SELECT 'subset_of(orders.o_custkey,customer.c_custkey)', 'subset_of', n - n_bad, n FROM fk1
         |  UNION ALL SELECT 'subset_of(lineitem.l_orderkey,orders.o_orderkey)', 'subset_of', n - n_bad, n FROM fk2)
+        |SELECT check_name, check_type,
+        |  round(CAST(compliant AS DOUBLE) / n, 6) AS metric,
+        |  CAST(n - compliant AS BIGINT) AS n_violations,
+        |  (n - compliant) = 0 AS passed
+        |FROM rows_out
+        |ORDER BY check_name""".stripMargin,
+    "nq_expect_store" ->
+      """WITH l AS (
+        |  SELECT count(*) AS n,
+        |    CAST(sum(CASE WHEN l_shipdate IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_complete,
+        |    CAST(sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c_qty,
+        |    CAST(sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS c_disc
+        |  FROM lineitem),
+        |fk AS (
+        |  SELECT (SELECT count(*) FROM lineitem) AS n,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IS NOT NULL
+        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_bad),
+        |rows_out AS (
+        |  SELECT 'complete(lineitem.l_shipdate)' AS check_name, 'complete' AS check_type, c_complete AS compliant, n FROM l
+        |  UNION ALL SELECT 'in_range(lineitem.l_quantity,1.0,50.0)', 'in_range', c_qty, n FROM l
+        |  UNION ALL SELECT 'in_range(lineitem.l_discount,0.0,0.1)', 'in_range', c_disc, n FROM l
+        |  UNION ALL SELECT 'subset_of(lineitem.l_orderkey,orders.o_orderkey)', 'subset_of', n - n_bad, n FROM fk)
         |SELECT check_name, check_type,
         |  round(CAST(compliant AS DOUBLE) / n, 6) AS metric,
         |  CAST(n - compliant AS BIGINT) AS n_violations,

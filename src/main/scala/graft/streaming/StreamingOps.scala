@@ -739,7 +739,7 @@ object StreamingOps {
     * two different fresh-checkpoint queries defaulting to the same
     * "unknown" would both pass the lineage fence and re-enable the
     * batch-0 overwrite hazard the fence exists to prevent. */
-  private def streamingLineage(s: SparkSession): String =
+  private[streaming] def streamingLineage(s: SparkSession): String =
     Option(s.sparkContext.getLocalProperty("sql.streaming.queryId"))
       .getOrElse(throw new IllegalStateException(
         "sql.streaming.queryId is not set on this thread — foreachBatch " +
@@ -1032,7 +1032,7 @@ object StreamingOps {
     * signature store's compaction swap), enforced up front by
     * `requireAtomicRename` in `applySubstrIngestBatch`.
     */
-  private def writeSingleFile(df: DataFrame, dir: String,
+  private[streaming] def writeSingleFile(df: DataFrame, dir: String,
       name: String): Unit = {
     val s = df.sparkSession
     val dirP = new org.apache.hadoop.fs.Path(dir)
