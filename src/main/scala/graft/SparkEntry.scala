@@ -45,7 +45,7 @@ object SparkEntry {
       text.Divergence.queries ++ audio.FeatureQueries.queries ++
       text.TextAugment.queries ++ text.Collocations.queries ++
       text.KneserNey.queries ++ rel.Expectations.queries ++
-      rel.Drift.queries
+      rel.Drift.queries ++ text.Zipf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -189,5 +189,8 @@ object SparkEntry {
       rel.Expectations.oracle ++
       // round-11: PSI drift monitor — per-bin shared-order trees over
       // exact counts, the generated bin frame keeps empty bins
-      rel.Drift.oracle
+      rel.Drift.oracle ++
+      // round-11: Zipf-law vocabulary fit (ln-ln OLS, round-4 per the
+      // q93 unordered-double-sum convention)
+      text.Zipf.oracle
 }

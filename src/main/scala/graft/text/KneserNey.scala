@@ -104,10 +104,28 @@ object KneserNey {
     Tables(tri, cont2, ctx2, ctx1, cont1, scalars)
   }
 
-  /** The trained table: every observed trigram with its raw count and
-    * interpolated-KN probability (round 6), ordered by the trigram. */
-  def trigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = derive(triTable(docs, textCol))
+  /** Per-shard raw trigram counts — the additive partial of the KN
+    * build (Brants 2007: count per shard, merge count tables; the
+    * whole smoothed model is a pure function of the merged counts, so
+    * sharded training is EXACTLY the monolithic model — q100 proves
+    * it against q98's oracle every round). */
+  def trigramCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    triTable(docs, textCol)
+
+  /** Merge per-shard count tables (vocab-bounded work, independent of
+    * corpus size — the q72 bigram-merge contract one order up). */
+  def mergeTrigramCounts(parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "mergeTrigramCounts needs at least one part")
+    parts.map(_.select("w1", "w2", "w3", "c3"))
+      .reduce(_ unionAll _)
+      .groupBy("w1", "w2", "w3").agg(sum("c3").as("c3"))
+  }
+
+  /** The trained table from a (possibly merged) trigram count table:
+    * every observed trigram with its raw count and interpolated-KN
+    * probability (round 6), ordered by the trigram. */
+  def trigramLmFromCounts(tri: DataFrame): DataFrame = {
+    val t = derive(tri)
     // ONE shared-order double tree — written with the same parentheses
     // in the oracle SQL so every intermediate is bitwise shared
     val p = (col("c3") - col("d3")) / col("c2") +
@@ -125,6 +143,10 @@ object KneserNey {
         round(p, 6).as("p_kn"))
       .orderBy("w1", "w2", "w3")
   }
+
+  /** One-shot convenience: count + smooth. */
+  def trigramLm(docs: DataFrame, textCol: String = "text"): DataFrame =
+    trigramLmFromCounts(trigramCounts(docs, textCol))
 
   /** Score `scoreDocs` against a KN model trained on `trainDocs`, with
     * the full query-time backoff cascade (KenLM semantics):
@@ -206,6 +228,15 @@ object KneserNey {
     "q99_kn_score" -> ((s: SparkSession, d: String) => {
       val (train, held) = split(graft.Tables.documents(s, d))
       score(train, held)
+    }),
+    // Sharded training: 3 disjoint count shards merged, then smoothed
+    // — must be BIT-IDENTICAL to q98's monolithic build (it shares
+    // q98's oracle SQL verbatim, so the driver re-proves the Brants
+    // additivity every round)
+    "q100_kn_merge" -> ((s: SparkSession, d: String) => {
+      val train = split(graft.Tables.documents(s, d))._1
+      trigramLmFromCounts(mergeTrigramCounts((0 until 3).map(k =>
+        trigramCounts(train.filter(col("doc_id") % 3 === k)))))
     }))
 
   /** Shared CTE chain: tokenize the training slice, build the trigram
@@ -248,6 +279,21 @@ object KneserNey {
       |  (SELECT count(*) FROM cont2) AS nb)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // q100 shares q98's oracle verbatim: merged-shard training must
+    // reproduce the monolithic table bit-for-bit
+    "q100_kn_merge" -> (TrainCtes +
+      """
+        |SELECT tri.w1, tri.w2, tri.w3, c3,
+        |  round((c3 - d3) / c2 + ((d3 * t3) / c2) *
+        |    ((m - d2) / mm + ((d2 * t2) / mm) *
+        |      (CAST(u AS DOUBLE) / nb)), 6) AS p_kn
+        |FROM tri
+        |JOIN ctx2 USING (w1, w2)
+        |JOIN cont2 USING (w2, w3)
+        |JOIN ctx1 USING (w2)
+        |JOIN cont1 USING (w3)
+        |CROSS JOIN sc
+        |ORDER BY w1, w2, w3""".stripMargin),
     "q98_kneser_ney" -> (TrainCtes +
       """
         |SELECT tri.w1, tri.w2, tri.w3, c3,

@@ -93,6 +93,16 @@ class KneserNeySpec extends SparkSpec {
     }
   }
 
+  test("sharded count-merge training is bit-identical to monolithic " +
+      "(Brants additivity through the whole smoothing chain)") {
+    import org.apache.spark.sql.functions.col
+    val sharded = KneserNey.trigramLmFromCounts(
+      KneserNey.mergeTrigramCounts((0 until 3).map(k =>
+        KneserNey.trigramCounts(docs.filter(col("doc_id") % 3 === k)))))
+    assert(sharded.collect().toSeq ==
+      KneserNey.trigramLm(docs).collect().toSeq)
+  }
+
   test("short docs keep their row with null score; determinism") {
     val probes = Seq((0L, "a b"), (1L, "a b c")).toDF("doc_id", "text")
     val out = KneserNey.score(docs, probes).collect()
