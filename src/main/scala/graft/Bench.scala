@@ -160,7 +160,14 @@ object Bench {
     // round-10 continued: session path analysis — one user-keyed
     // window + session-bounded list aggregation; a corpus-sized
     // collect or unkeyed window would jump it
-    "q96_session_paths")
+    "q96_session_paths",
+    // round-11: Zipf vocabulary fit — one corpus scan to type counts
+    // + a topK-capped single-reducer rank over the vocabulary; a
+    // corpus-sized window or second scan would jump it (~0.35 s
+    // median, inside the ≤0.5 s headroom budget; the round's other
+    // additions run 0.6-2.5 s and stay Verify-contract-only per the
+    // BASELINE.md policy)
+    "nq_zipf")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -182,6 +182,28 @@ object FeatureQueries {
           sum(col("y6") * col("y6")).as("energy6"))
         .orderBy("phrase_id")
     }),
+    // Full mel round trip: PCM → 20-band mel → NNLS → Griffin-Lim →
+    // PCM (librosa mel_to_audio). Same dumped-BIGINT oracle tail.
+    // The generated phrases run ~3.5 min each; the contract entry
+    // inverts the first 5 s of every clip — the kernel is per-sample
+    // linear, so the slice pins it as hard as the full clip at 1/40th
+    // the Verify cost (full-length behavior is spec territory).
+    "nq_mel_invert" -> ((s: SparkSession, _: String) => {
+      val sliced = clips(s).withColumn("pcm",
+        expr(s"substring(pcm, 1, ${5 * 22050 * 2})"))
+      val rec = MelInvert.roundTripClips(sliced, NMels, NFft, Hop)
+      val y6 = udf { pcm: Array[Byte] =>
+        Dsp.pcm16ToDoubles(pcm).map(v => math.rint(v * 1e6).toLong)
+      }
+      val ys = rec.select(col("phrase_id"), y6(col("pcm")).as("y6"))
+        .select(col("phrase_id"), explode(col("y6")).as("y6"))
+      if (graft.OracleDump.enabled)
+        graft.OracleDump.dump(ys, s"$Dir/melinvert.parquet")
+      ys.groupBy("phrase_id")
+        .agg(count(lit(1)).as("n_out"), sum("y6").as("dc6"),
+          sum(col("y6") * col("y6")).as("energy6"))
+        .orderBy("phrase_id")
+    }),
     // SNR-targeted noise mixing (MUSAN recipe): seeded pick from a
     // bounded noise table, broadcast pair join, loop + scale + add.
     // The oracle recomputes the ENTIRE mix bit-for-bit from dumped
@@ -404,6 +426,13 @@ object FeatureQueries {
          |  CAST(sum(y6) AS BIGINT) AS dc6,
          |  CAST(sum(y6 * y6) AS BIGINT) AS energy6
          |FROM read_parquet('$Dir/griffinlim.parquet/*.parquet')
+         |GROUP BY phrase_id
+         |ORDER BY phrase_id""".stripMargin,
+    "nq_mel_invert" ->
+      s"""SELECT phrase_id, count(*) AS n_out,
+         |  CAST(sum(y6) AS BIGINT) AS dc6,
+         |  CAST(sum(y6 * y6) AS BIGINT) AS energy6
+         |FROM read_parquet('$Dir/melinvert.parquet/*.parquet')
          |GROUP BY phrase_id
          |ORDER BY phrase_id""".stripMargin,
     "nq_mix_snr" ->
