@@ -45,7 +45,8 @@ object SparkEntry {
       text.Divergence.queries ++ audio.FeatureQueries.queries ++
       text.TextAugment.queries ++ text.Collocations.queries ++
       text.KneserNey.queries ++ rel.Expectations.queries ++
-      rel.Drift.queries ++ text.Zipf.queries
+      rel.Drift.queries ++ text.Zipf.queries ++ rel.Outliers.queries ++
+      rel.Forecast.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -192,5 +193,12 @@ object SparkEntry {
       rel.Drift.oracle ++
       // round-11: Zipf-law vocabulary fit (ln-ln OLS, round-4 per the
       // q93 unordered-double-sum convention)
-      text.Zipf.oracle
+      text.Zipf.oracle ++
+      // round-11: median/MAD modified z-score outliers (both engines
+      // flag on the identical ROUNDED score)
+      rel.Outliers.oracle ++
+      // round-11: Holt exponential smoothing — the recursive-CTE
+      // oracle replays the identical recurrence tree (complements
+      // spelled as 1.0 − α on both sides, never collapsed literals)
+      rel.Forecast.oracle
 }
