@@ -134,6 +134,24 @@ object Dsp {
     out
   }
 
+  /** [-1, 1] doubles → 16-bit little-endian PCM, floor(v·32768 + ½)
+    * rounding with saturation — the ONE quantizer every synthesis
+    * path shares (PhaseVocoder, GriffinLim, MelInvert); its exact
+    * rounding tree is oracle-pinned by the dumped-BIGINT entries, so
+    * a change here is a contract change, never a per-file tweak. */
+  def doublesToPcm16(x: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte](x.length * 2)
+    var i = 0
+    while (i < x.length) {
+      val s = math.max(-32768.0,
+        math.min(32767.0, math.floor(x(i) * 32768.0 + 0.5))).toInt
+      out(2 * i) = (s & 0xff).toByte
+      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
   /** 16-bit little-endian PCM bytes → [-1, 1] doubles. */
   def pcm16ToDoubles(pcm: Array[Byte]): Array[Double] = {
     // fail fast on malformed input instead of silently dropping the

@@ -144,19 +144,6 @@ object GriffinLim {
     math.sqrt(s)
   }
 
-  private def toPcm16(x: Array[Double]): Array[Byte] = {
-    val out = new Array[Byte](x.length * 2)
-    var i = 0
-    while (i < x.length) {
-      val s = math.max(-32768.0,
-        math.min(32767.0, math.floor(x(i) * 32768.0 + 0.5))).toInt
-      out(2 * i) = (s & 0xff).toByte
-      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    out
-  }
-
   /** Magnitude-spectrogram → PCM round trip per clip: STFT magnitudes
     * (phases DISCARDED), Griffin–Lim back to a PCM column. One output
     * row per clip, no shuffle. */
@@ -167,7 +154,7 @@ object GriffinLim {
       if (x.length < nFft) pcm // too short to frame: passthrough
       else {
         val mags = stft(x, nFft, hop)._1
-        toPcm16(reconstruct(mags, nFft, hop, x.length, nIter))
+        Dsp.doublesToPcm16(reconstruct(mags, nFft, hop, x.length, nIter))
       }
     }
     clips.withColumn(pcmCol, gl(col(pcmCol)))

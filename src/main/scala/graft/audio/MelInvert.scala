@@ -36,16 +36,19 @@ object MelInvert {
     val nBins = fb(0).length
     val eps = 1e-12
     mel.map { m =>
-      // init p = Fᵀm (non-negative because F and m are)
-      val p = new Array[Double](nBins)
+      // Fᵀm: loop-invariant numerator AND the initial p in one array
+      // (computing it inside the iteration would double the per-update
+      // filterbank work for a constant)
+      val ftm = new Array[Double](nBins)
       var k = 0
       while (k < nBins) {
         var acc = 0.0
         var i = 0
         while (i < nMels) { acc += fb(i)(k) * m(i); i += 1 }
-        p(k) = acc
+        ftm(k) = acc
         k += 1
       }
+      val p = ftm.clone()
       val fp = new Array[Double](nMels)
       var it = 0
       while (it < nIter) {
@@ -61,15 +64,10 @@ object MelInvert {
         // p ∘= (Fᵀm) / (Fᵀfp)
         k = 0
         while (k < nBins) {
-          var num = 0.0
           var den = 0.0
           i = 0
-          while (i < nMels) {
-            num += fb(i)(k) * m(i)
-            den += fb(i)(k) * fp(i)
-            i += 1
-          }
-          p(k) = p(k) * (num / (den + eps))
+          while (i < nMels) { den += fb(i)(k) * fp(i); i += 1 }
+          p(k) = p(k) * (ftm(k) / (den + eps))
           k += 1
         }
         it += 1
@@ -110,19 +108,6 @@ object MelInvert {
     GriffinLim.reconstruct(mags, nFft, hop, outLen, glIter)
   }
 
-  private def toPcm16(x: Array[Double]): Array[Byte] = {
-    val out = new Array[Byte](x.length * 2)
-    var i = 0
-    while (i < x.length) {
-      val s = math.max(-32768.0,
-        math.min(32767.0, math.floor(x(i) * 32768.0 + 0.5))).toInt
-      out(2 * i) = (s & 0xff).toByte
-      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    out
-  }
-
   /** Full round trip per clip: PCM → mel (nMels bands, the forward
     * conventions) → NNLS + Griffin–Lim → PCM. One row per clip, no
     * shuffle. */
@@ -135,7 +120,7 @@ object MelInvert {
       else {
         val fb = Dsp.melFilterbank(nMels, nFft, sr, 0.0, fMax)
         val mel = melFrames(x, fb, nFft, hop)
-        toPcm16(melToAudio(mel, fb, nFft, hop, x.length))
+        Dsp.doublesToPcm16(melToAudio(mel, fb, nFft, hop, x.length))
       }
     }
     clips.withColumn(pcmCol,

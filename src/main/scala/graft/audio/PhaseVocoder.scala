@@ -31,32 +31,11 @@ object PhaseVocoder {
     require(rate > 0.0, s"rate must be positive, got $rate")
     if (x.length < nFft) return x.clone() // too short to frame: passthrough
     val w = Dsp.hannWindow(nFft)
-    // zero-pad the tail so framing covers every input sample — the
-    // output is trimmed to exactly round(n/rate) at the end
-    val xp = java.util.Arrays.copyOf(x, x.length + nFft)
-    val nFrames = x.length / hop + 1
-    // analysis STFT
-    val magF = new Array[Array[Double]](nFrames)
-    val phF = new Array[Array[Double]](nFrames)
-    var t = 0
-    while (t < nFrames) {
-      val re = new Array[Double](nFft)
-      val im = new Array[Double](nFft)
-      var i = 0
-      while (i < nFft) { re(i) = xp(t * hop + i) * w(i); i += 1 }
-      Dsp.fft(re, im)
-      val nb = nFft / 2 + 1
-      val m = new Array[Double](nb)
-      val p = new Array[Double](nb)
-      var k = 0
-      while (k < nb) {
-        m(k) = math.hypot(re(k), im(k))
-        p(k) = math.atan2(im(k), re(k))
-        k += 1
-      }
-      magF(t) = m; phF(t) = p
-      t += 1
-    }
+    // analysis STFT: the shared framing convention (tail-padded,
+    // len/hop+1 frames) lives in ONE place — [[GriffinLim.stft]] —
+    // so the vocoder and the reconstruction family cannot drift
+    val (magF, phF) = GriffinLim.stft(x, nFft, hop)
+    val nFrames = magF.length
     val nb = nFft / 2 + 1
     val twoPi = 2.0 * math.Pi
     val phiAdv = Array.tabulate(nb)(k => twoPi * hop * k / nFft)
@@ -111,36 +90,29 @@ object PhaseVocoder {
     java.util.Arrays.copyOf(y, math.max(1, math.round(x.length / rate).toInt))
   }
 
-  private def toPcm16(x: Array[Double]): Array[Byte] = {
-    val out = new Array[Byte](x.length * 2)
-    var i = 0
-    while (i < x.length) {
-      val s = math.max(-32768.0,
-        math.min(32767.0, math.floor(x(i) * 32768.0 + 0.5))).toInt
-      out(2 * i) = (s & 0xff).toByte
-      out(2 * i + 1) = ((s >> 8) & 0xff).toByte
-      i += 1
-    }
-    out
-  }
-
   /** Pitch-shift each clip by `steps` semitones (duration preserved):
     * vocoder-stretch by 1/f (duration ×f, pitch unchanged), then
     * windowed-sinc "speed up" by f (duration ÷f, pitch ×f), f =
     * 2^(steps/12). steps = 0 short-circuits to a bit-exact
-    * passthrough. One output row per (clip, steps). */
+    * passthrough, and so does a clip too short to frame (< nFft
+    * samples): `stretch` passes such a clip through unchanged, so
+    * running the resample alone would CHANGE its duration — a speed
+    * perturb, not a pitch shift — violating the constant-duration
+    * contract. One output row per (clip, steps). */
   def pitchShift(clips: DataFrame, steps: Seq[Int],
       idCol: String = "phrase_id", pcmCol: String = "pcm",
       sampleRateCol: String = "sample_rate"): DataFrame = {
     require(steps.nonEmpty && steps.forall(s => math.abs(s) <= 12),
       s"semitone steps out of the sane [-12, 12] band: $steps")
     val shift = udf { (pcm: Array[Byte], sr: Int, n: Int) =>
-      if (n == 0) pcm
+      val x = Dsp.pcm16ToDoubles(pcm)
+      if (n == 0 || x.length < 1024) pcm // 1024 = stretch's default nFft
       else {
         val f = math.pow(2.0, n / 12.0)
-        val stretched = stretch(Dsp.pcm16ToDoubles(pcm), 1.0 / f)
+        val stretched = stretch(x, 1.0 / f)
         // stay in doubles through the resample; quantize ONCE at the end
-        toPcm16(Src.resample(stretched, sr, math.round(sr / f).toInt))
+        Dsp.doublesToPcm16(
+          Src.resample(stretched, sr, math.round(sr / f).toInt))
       }
     }
     clips

@@ -1,6 +1,7 @@
 package graft.rel
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Population Stability Index — the standard production drift monitor
@@ -20,13 +21,16 @@ import org.apache.spark.sql.functions._
   * and a fixed bin order sidesteps unordered-double-sum divergence
   * between engines (each term is ONE shared-order tree, round 6).
   *
-  * Scale shape: two scans (reference stats+counts, current counts) —
-  * each a codegen'd map-side-combined aggregate over `nBins` keys;
-  * the bin frame and the four scalars ride broadcasts. Nothing
-  * shuffles more than nBins rows. Empty bins are kept (the bin frame
-  * is generated, not observed) and proportions clamp at `eps` — the
-  * standard PSI convention so a vanished bin contributes a large
-  * finite term, not ∞.
+  * Scale shape: three scans (reference stats; reference counts;
+  * current counts — the current TOTAL is summed from the binned
+  * frame, never a fourth scan) — each a codegen'd map-side-combined
+  * aggregate over `nBins` keys; the stats broadcast is built once and
+  * reused by every consumer. Nothing shuffles more than nBins rows.
+  * Empty bins are kept (the bin frame is generated, not observed) and
+  * proportions clamp at `eps` — the standard PSI convention so a
+  * vanished bin contributes a large finite term, not ∞; an entirely
+  * EMPTY window clamps every proportion to eps rather than tripping
+  * ANSI division-by-zero.
   */
 object Drift {
 
@@ -34,11 +38,12 @@ object Drift {
       nBins: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
     val v = col(valueCol)
-    val stats = ref.filter(v.isNotNull)
+    // ONE broadcast of the reference stats, shared by both binning
+    // passes AND the final proportion columns (identical subtree →
+    // one BroadcastExchange, reused — not three reference scans)
+    val stats = broadcast(ref.filter(v.isNotNull)
       .agg(min(v).as("vmin"), max(v).as("vmax"),
-        count(lit(1)).as("ref_tot"))
-    val curTot = cur.filter(v.isNotNull)
-      .agg(count(lit(1)).as("cur_tot"))
+        count(lit(1)).as("ref_tot")))
     // shared-order bin tree: floor((v - vmin) / ((vmax - vmin) / B)),
     // clamped to [0, B-1]; a degenerate reference (vmin = vmax) puts
     // everything in bin 0 rather than dividing by zero
@@ -48,18 +53,29 @@ object Drift {
           ((col("vmax") - col("vmin")) / lit(nBins.toDouble))),
         lit(0.0)), lit(nBins - 1.0)).cast("int"))
     def counted(df: DataFrame, as: String): DataFrame =
-      df.filter(v.isNotNull).crossJoin(broadcast(stats))
+      df.filter(v.isNotNull).crossJoin(stats)
         .groupBy(binOf.as("bin")).agg(count(lit(1)).as(as))
     val bins = ref.sparkSession.range(nBins)
       .select(col("id").cast("int").as("bin"))
-    val p = greatest(col("ref_n").cast("double") / col("ref_tot"), lit(eps))
-    val q = greatest(col("cur_n").cast("double") / col("cur_tot"), lit(eps))
+    // the edge-bin clamp guarantees every non-null current value lands
+    // in exactly one bin, so cur_tot is the SUM of the binned counts —
+    // a 10-row window, not a second scan of the current snapshot
+    val curTotW = sum("cur_n").over(Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    // an EMPTY window (tot = 0) must clamp to eps, not divide: Spark 4
+    // runs ANSI mode by default, where a non-null 0/0 double division
+    // throws — and a drift monitor erroring out on the anomalous
+    // condition it exists to report would be the worst failure mode
+    val p = when(col("ref_tot") === 0, lit(eps)).otherwise(
+      greatest(col("ref_n").cast("double") / col("ref_tot"), lit(eps)))
+    val q = when(col("cur_tot") === 0, lit(eps)).otherwise(
+      greatest(col("cur_n").cast("double") / col("cur_tot"), lit(eps)))
     bins
       .join(counted(ref, "ref_n"), Seq("bin"), "left")
       .join(counted(cur, "cur_n"), Seq("bin"), "left")
       .na.fill(0L, Seq("ref_n", "cur_n"))
-      .crossJoin(broadcast(stats.select("ref_tot")))
-      .crossJoin(broadcast(curTot))
+      .withColumn("cur_tot", curTotW)
+      .crossJoin(stats)
       .withColumn("psi_term", round((p - q) * log(p / q), 6))
       .select(col("bin"), col("ref_n"), col("cur_n"), col("psi_term"))
       .orderBy("bin")

@@ -121,14 +121,18 @@ object Expectations {
           col("r.compliant"), col("n"))
     }
     val subsetRows = subsets.map { case s: SubsetOf =>
+      // one pass over the fact side: LEFT join against the distinct
+      // reference keys, then count total and unmatched in the same
+      // aggregate (a separate count(*) job would re-scan the fact
+      // table — at 100 TB one whole extra pass per referential check)
       val fk = tables(s.table).select(col(s.column).as("fk"))
-        .filter(col("fk").isNotNull)
       val ref = tables(s.refTable)
         .select(col(s.refColumn).as("fk")).distinct()
-      val viol = fk.join(ref, Seq("fk"), "left_anti")
-        .agg(count(lit(1)).as("n_bad"))
-      val total = tables(s.table).agg(count(lit(1)).as("n"))
-      viol.crossJoin(total)
+        .withColumn("hit", lit(1))
+      fk.join(ref, Seq("fk"), "left")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("fk").isNotNull && col("hit").isNull, 1L)
+            .otherwise(0L)).as("n_bad"))
         .select(lit(s.name).as("check_name"),
           lit("subset_of").as("check_type"),
           (col("n") - col("n_bad")).as("compliant"), col("n"))
@@ -138,13 +142,24 @@ object Expectations {
     (perTable ++ subsetRows).reduce(_ unionAll _)
   }
 
-  /** Finalize raw metrics into the report contract. */
-  private[graft] def finalize(raw: DataFrame): DataFrame =
+  /** Finalize raw metrics into the report contract. An EMPTY table
+    * (n = 0) reports a null metric with zero violations and passes —
+    * guarded with `when`, not left to the division: Spark 4's default
+    * ANSI mode throws on a non-null 0/0 (SubsetOf and Unique produce
+    * non-null compliant = 0 over empty input), and a validation gate
+    * must report an empty ingest slice, not crash on it. */
+  private[graft] def finalize(raw: DataFrame): DataFrame = {
+    // sum(when(...)) over ZERO rows is NULL (only possible when n = 0):
+    // coalesce so the empty-table row reads (null metric, 0, passed)
+    // rather than nulls in the violation/passed columns
+    val comp = coalesce(col("compliant"), lit(0L))
     raw.select(col("check_name"), col("check_type"),
-      round(col("compliant").cast("double") / col("n"), 6).as("metric"),
-      (col("n") - col("compliant")).as("n_violations"),
-      (col("n") - col("compliant") === 0).as("passed"))
+      when(col("n") === 0, lit(null).cast("double")).otherwise(
+        round(comp.cast("double") / col("n"), 6)).as("metric"),
+      (col("n") - comp).as("n_violations"),
+      (col("n") - comp === 0).as("passed"))
       .orderBy("check_name")
+  }
 
   /** Evaluate the suite. `tables` maps the table names the checks
     * reference to their DataFrames. One aggregate job per distinct

@@ -69,12 +69,17 @@ object KneserNey {
 
   /** D = n1/(n1 + 2·n2) over a count column; 0.5 fallback when the
     * corpus has no count-1/count-2 types at this order (degenerate —
-    * every type ≥ 3× — where the estimate is 0/0). Same `coalesce`
-    * lives in the oracle SQL. */
-  private def discount(counts: DataFrame, c: String): Column = {
+    * every type ≥ 3× — where the estimate is 0/0). The fallback is a
+    * `when` GUARD, not a coalesce: Spark 4 runs ANSI mode by default,
+    * where a non-null 0/0 double division THROWS rather than nulling,
+    * so the division must not be evaluated at all on the degenerate
+    * branch. (DuckDB's double/HUGEINT-zero yields NULL, so the oracle
+    * keeps its coalesce form — verified equivalent.) */
+  private def discount(c: String): Column = {
     val n1 = sum(when(col(c) === 1, 1).otherwise(0))
     val n2 = sum(when(col(c) === 2, 1).otherwise(0))
-    coalesce(n1.cast("double") / (n1 + lit(2) * n2), lit(0.5))
+    val den = n1 + lit(2) * n2
+    when(den === 0, lit(0.5)).otherwise(n1.cast("double") / den)
   }
 
   /** All derived tables, built once and shared by the table/score
@@ -98,8 +103,8 @@ object KneserNey {
     val ctx1 = cont2.groupBy("w2")
       .agg(sum("m").as("mm"), count(lit(1)).as("t2"))
     val cont1 = cont2.groupBy("w3").agg(count(lit(1)).as("u"))
-    val scalars = tri.agg(discount(tri, "c3").as("d3"))
-      .crossJoin(cont2.agg(discount(cont2, "m").as("d2"),
+    val scalars = tri.agg(discount("c3").as("d3"))
+      .crossJoin(cont2.agg(discount("m").as("d2"),
         count(lit(1)).as("nb")))
     Tables(tri, cont2, ctx2, ctx1, cont1, scalars)
   }

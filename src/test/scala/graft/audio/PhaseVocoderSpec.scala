@@ -83,4 +83,19 @@ class PhaseVocoderSpec extends SparkSpec {
     val snr = 10.0 * math.log10(ps / pn)
     assert(snr > 20.0, s"rate-1 reconstruction SNR $snr dB")
   }
+
+  test("a clip too short to frame passes through pitchShift " +
+      "bit-exactly — never resampled alone (which would change its " +
+      "duration: a speed perturb, not a pitch shift)") {
+    val shortPcm = toPcm(tone(440.0, 500.0 / Sr)) // 500 samples < nFft
+    val df = Seq((1L, shortPcm, Sr)).toDF("phrase_id", "pcm",
+      "sample_rate")
+    val out = PhaseVocoder.pitchShift(df, Seq(-3, 3)).collect()
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.getAs[Array[Byte]]("pcm").sameElements(shortPcm),
+        "short clip must pass through unchanged at every step count")
+      assert(r.getAs[Long]("n_samples") == 500L)
+    }
+  }
 }

@@ -48,6 +48,17 @@ class DriftSpec extends SparkSpec {
     assert(deg.forall(r => !r.getDouble(3).isNaN))
   }
 
+  test("an EMPTY current window reports maximal finite drift instead " +
+      "of tripping ANSI division-by-zero") {
+    val out = Drift.psiBins(df(u(1, 500)), df(Seq.empty[Double]), "value")
+      .collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getLong(2) == 0L))
+    assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+    // every populated reference bin lost all its mass → large positive
+    assert(out.map(_.getDouble(3)).sum > 1.0)
+  }
+
   test("nulls are excluded on both sides") {
     val ref = Seq(Some(0.1), Some(0.9), None).toDF("value")
     val cur = Seq(Some(0.2), None, None).toDF("value")

@@ -84,6 +84,20 @@ class ExpectationsSpec extends SparkSpec {
     assert(scans.size <= 1, s"expected ≤1 scan, got ${scans.size}")
   }
 
+  test("an EMPTY table reports null metric / zero violations / passed " +
+      "for every check type instead of tripping ANSI division-by-zero") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "name", "v")
+    val ref = Seq(1L).toDF("id")
+    val out = validate(Map("t" -> empty, "ref" -> ref), Seq(
+      Complete("t", "name"), Unique("t", "id"),
+      InRange("t", "v", 0.0, 1.0),
+      SubsetOf("t", "id", "ref", "id"))).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.isNullAt(2)))
+    assert(out.forall(_.getLong(3) == 0L))
+    assert(out.forall(_.getBoolean(4)))
+  }
+
   test("unknown table or empty suite is rejected loudly") {
     intercept[IllegalArgumentException] {
       validate(Map.empty, Seq(Complete("nope", "x")))

@@ -103,6 +103,20 @@ class KneserNeySpec extends SparkSpec {
       KneserNey.trigramLm(docs).collect().toSeq)
   }
 
+  test("degenerate corpus (no count-1/count-2 types) takes the 0.5 " +
+      "discount fallback instead of tripping ANSI division-by-zero") {
+    // every trigram appears exactly 4 times → n1 = n2 = 0 at BOTH
+    // orders (continuation counts are all 1... make them ≥3 too by
+    // repeating the same doc so every (w2,w3) has the same single w1
+    // — then m=1 everywhere, so only the TOP order is degenerate,
+    // which is exactly the branch that divided by zero before the fix)
+    val deg = Seq.fill(4)("p q r s").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val lm = KneserNey.trigramLm(deg).collect()
+    assert(lm.nonEmpty)
+    assert(lm.forall { r => val p = r.getDouble(4); p > 0.0 && p <= 1.0 })
+  }
+
   test("short docs keep their row with null score; determinism") {
     val probes = Seq((0L, "a b"), (1L, "a b c")).toDF("doc_id", "text")
     val out = KneserNey.score(docs, probes).collect()
