@@ -78,8 +78,11 @@ object Augment {
       // rms/gain from — and useful lineage for any downstream audit
       .withColumn("sumsq", col("_m._1"))
       .withColumn("n_samples", col("_m._2"))
-      // rms = sqrt(Σx²/n); silent clips (rms 0) pass through unscaled
-      .withColumn("rms", sqrt(col("sumsq") / col("n_samples")))
+      // rms = sqrt(Σx²/n); silent clips (rms 0) pass through unscaled,
+      // and an EMPTY clip (n = 0) takes the same passthrough branch
+      // via the guard — under ANSI mode the unguarded 0/0 would throw
+      .withColumn("rms", when(col("n_samples") > 0,
+        sqrt(col("sumsq") / col("n_samples"))).otherwise(lit(0.0)))
       .withColumn("gain",
         when(col("rms") > 0.0, lit(targetRms) / col("rms"))
           .otherwise(lit(1.0)))
@@ -182,9 +185,11 @@ object Augment {
       .withColumn("sumsq_x", col("_m._1"))
       .withColumn("n_samples", col("_m._2"))
       // g = sqrt( (Σx²/nx) / ((Σn²/nn) · 10^(snr/10)) ) — ONE shared
-      // tree; silent noise degrades to g = 0 (pure passthrough)
+      // tree; silent noise degrades to g = 0 (pure passthrough), and
+      // an empty clip (nx = 0) must take the same branch: ANSI mode
+      // throws on the 0/0 the unguarded tree would evaluate
       .withColumn("gain",
-        when(col("sumsq_n") > 0.0,
+        when(col("sumsq_n") > 0.0 && col("n_samples") > 0,
           sqrt((col("sumsq_x") / col("n_samples")) /
             ((col("sumsq_n") / col("nn")) *
               pow(lit(10.0), lit(snrDb / 10.0)))))

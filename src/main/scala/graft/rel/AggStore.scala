@@ -106,13 +106,19 @@ object AggStore {
     val cs = sum("sum_cents").cast("double")
     val css = sum("sum_sq_cents2").cast("double")
     val varVal = (css - cs * cs / n) / n / lit(10000.0)
+    // the n = 0 guard protects the UPSERT path: a fully-retracted
+    // group has non-null sum(cnt) = 0, and the per-group division
+    // evaluates BEFORE mergeUpsert's n_rows > 0 filter can drop the
+    // row — under Spark 4's default ANSI mode that 0/0 THROWS. Groups
+    // from plain partials always have n ≥ 1, so the guard is inert on
+    // every oracle path (verified: same hashes).
     partials.groupBy(groupCols.map(col): _*)
       .agg(
         sum("cnt").as("n_rows"),
         sumVal.as("sum_val"),
-        (sumVal / sum("cnt")).as("avg_val"),
-        varVal.as("var_val"),
-        sqrt(varVal).as("std_val"),
+        when(n =!= 0.0, sumVal / sum("cnt")).as("avg_val"),
+        when(n =!= 0.0, varVal).as("var_val"),
+        when(n =!= 0.0, sqrt(varVal)).as("std_val"),
         min("min_val").as("min_val"),
         max("max_val").as("max_val"))
   }

@@ -100,6 +100,20 @@ class AggStoreSpec extends SparkSpec {
       "retraction must net the deleted slice out of every moment exactly")
   }
 
+  test("a FULLY-retracted group is dropped, not an ANSI " +
+      "division-by-zero: the zero-count row's derived stats evaluate " +
+      "before mergeUpsert's filter can remove it") {
+    val oneStatus = $"l_returnflag" === "R"
+    val ins = AggStore.partialBatch(li, groupCols, "l_extendedprice")
+    val ret = AggStore.retractBatch(li.filter(oneStatus), groupCols,
+      "l_extendedprice")
+    val out = AggStore.mergeUpsert(ins.unionAll(ret), groupCols)
+      .orderBy("l_returnflag", "l_linestatus").collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getString(0) == "R"),
+      "the fully-retracted R groups must vanish from the merged store")
+  }
+
   test("retraction store path: fenced write, netted read, replay no-op") {
     val dir = java.nio.file.Files.createTempDirectory("aggretract")
     try {
