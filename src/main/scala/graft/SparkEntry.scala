@@ -46,7 +46,7 @@ object SparkEntry {
       text.TextAugment.queries ++ text.Collocations.queries ++
       text.KneserNey.queries ++ rel.Expectations.queries ++
       rel.Drift.queries ++ text.Zipf.queries ++ rel.Outliers.queries ++
-      rel.Forecast.queries
+      rel.Forecast.queries ++ text.LmStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -200,5 +200,8 @@ object SparkEntry {
       // round-11: Holt exponential smoothing — the recursive-CTE
       // oracle replays the identical recurrence tree (complements
       // spelled as 1.0 − α on both sides, never collapsed literals)
-      rel.Forecast.oracle
+      rel.Forecast.oracle ++
+      // round-11: the LM count store — served model must reproduce
+      // q98's monolithic oracle verbatim (the q81 shared-SQL pattern)
+      Map("nq_lm_store" -> text.KneserNey.oracle("q98_kneser_ney"))
 }
