@@ -28,20 +28,102 @@ import org.apache.spark.sql.functions._
   */
 object LmStore {
 
-  /** Count one batch and write it under its own partition. */
-  def applyBatch(docs: DataFrame, storePath: String, batchId: Long,
-      textCol: String = "text"): Unit =
-    KneserNey.trigramCounts(docs, textCol)
+  private def writeCounts(counts: DataFrame, storePath: String,
+      batchId: Long): Unit =
+    counts
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
 
-  /** Merged raw counts across every ingested batch. */
+  /** Count one batch and write it under its own partition. Ingest
+    * batch ids are NON-NEGATIVE (the streaming checkpoint's space);
+    * deletions take the negative ids — shared-space collisions would
+    * let a redelivered trigger overwrite a deletion. Arrivals filter
+    * through the deletion ledger (delete-before-arrival + permanence:
+    * a deleted doc_id never re-enters — the counted-gram-store
+    * semantics). */
+  /** The membership ledger beside the store: which doc ids actually
+    * contributed counts (one id per ingested doc, per-batch fenced
+    * partitions like everything else). A COUNT store cannot answer
+    * "was this doc ever added?" from its aggregates, and a delete
+    * that subtracts a never-ingested doc's counts silently corrupts
+    * every trigram that doc shares with survivors — the
+    * delete-before-arrival composition bug, caught by this spec. */
+  private def ingestedPath(storePath: String): String =
+    storePath.stripSuffix("/") + "_ingested"
+
+  def applyBatch(docs: DataFrame, storePath: String, batchId: Long,
+      textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    require(batchId >= 0,
+      s"ingest batch ids are non-negative (got $batchId); negative " +
+        "ids are reserved for deletions")
+    val s = docs.sparkSession
+    val clean = (graft.rel.Tombstones.deletedKeys(s, storePath) match {
+      case Some(prior) => docs.join(
+        prior.withColumnRenamed("key", idCol), Seq(idCol), "left_anti")
+      case None => docs
+    }).localCheckpoint() // counted AND recorded below — compute once
+    writeCounts(KneserNey.trigramCounts(clean, textCol), storePath,
+      batchId)
+    clean.select(col(idCol).as("key")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(ingestedPath(storePath))
+  }
+
+  /** GDPR-style keyed delete — the invertible-class pattern (counts
+    * form an additive group): append the NEGATED trigram counts of
+    * the deleted docs under the deletion's own fenced partition, and
+    * record the doc ids in the adjacent tombstone ledger. The ledger
+    * makes deletion PERMANENT and duplicate requests no-ops (a
+    * doc-level ledger cannot tell a duplicate request from a
+    * delete-after-re-ingest, so re-entry is barred — the documented
+    * counted-gram-store choice). Callers supply the deleted docs WITH
+    * text (the store holds only aggregated counts — nothing to
+    * subtract from otherwise). `mutationId` must be NEGATIVE. */
+  def deleteFromLmStore(deletedDocs: DataFrame, storePath: String,
+      mutationId: Long, textCol: String = "text",
+      idCol: String = "doc_id"): Unit = {
+    require(mutationId < 0,
+      s"deletion mutation ids are negative (got $mutationId); the " +
+        "non-negative space belongs to the ingest checkpoint")
+    val s = deletedDocs.sparkSession
+    val fresh = (graft.rel.Tombstones.deletedKeys(s, storePath) match {
+      case Some(prior) => deletedDocs.join(
+        prior.withColumnRenamed("key", idCol), Seq(idCol), "left_anti")
+      case None => deletedDocs
+    }).localCheckpoint() // negated AND recorded below — compute once
+    // subtract ONLY docs that actually contributed counts (the
+    // membership ledger): a delete-before-arrival request must
+    // tombstone the id — barring the future arrival — WITHOUT
+    // subtracting counts that were never added (which would corrupt
+    // every trigram shared with surviving docs)
+    val ip = new org.apache.hadoop.fs.Path(ingestedPath(storePath))
+    val fs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val contributed =
+      if (!fs.exists(ip)) fresh.limit(0)
+      else fresh.join(s.read.parquet(ingestedPath(storePath))
+        .select(col("key").as(idCol)).distinct(), Seq(idCol))
+    writeCounts(
+      KneserNey.trigramCounts(contributed, textCol)
+        .select(col("w1"), col("w2"), col("w3"),
+          (-col("c3")).as("c3")),
+      storePath, mutationId)
+    graft.rel.Tombstones.applyDelete(fresh.select(idCol), idCol,
+      storePath, mutationId)
+  }
+
+  /** Merged NET counts across every ingested batch and deletion —
+    * only net-positive types survive (a fully-deleted trigram nets to
+    * zero and vanishes from the model). */
   def countsFromStore(s: SparkSession, storePath: String): DataFrame =
     s.read.parquet(storePath)
       .groupBy("w1", "w2", "w3").agg(sum("c3").as("c3"))
+      .filter(col("c3") > 0)
 
   /** The interpolated-KN model from the store alone (never the raw
     * corpora). */

@@ -259,15 +259,29 @@ object SubstrDedup {
     * the ledger will refuse to subtract again). */
   def writeGramStoreCounted(corpus: DataFrame, path: String,
       batchId: Long, w: Int = 20): Unit = {
-    val admitted = graft.rel.Tombstones
+    val admitted = (graft.rel.Tombstones
       .deletedKeys(corpus.sparkSession, path) match {
       case Some(prior) => corpus.join(
         prior.withColumnRenamed("key", "doc_id"), Seq("doc_id"),
         "left_anti")
       case None => corpus
-    }
+    }).localCheckpoint() // grammed AND recorded below — compute once
     writeCountedBatch(gramRefcounts(admitted, w), path, batchId)
+    // membership ledger: the (h, c) aggregates cannot answer "did this
+    // doc ever contribute?", and the delete path must not subtract
+    // grams of a doc that never did (see deleteFromGramStoreCounted)
+    admitted.select(col("doc_id").as("key")).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(ingestedLogPath(path))
   }
+
+  /** The membership ledger beside the counted store (which doc ids
+    * actually contributed refcounts). */
+  private def ingestedLogPath(path: String): String =
+    path.stripSuffix("/") + "_ingested"
 
   /** Key-level delete: append the negated refcounts of the deleted
     * docs' grams (the deletion request carries the docs' text). After
@@ -302,8 +316,21 @@ object SubstrDedup {
         "left_anti")
       case None => deleted
     }).localCheckpoint() // negated AND recorded below — compute once
+    // DELETE-BEFORE-ARRIVAL GUARD: subtract only docs on the
+    // membership ledger — a doc tombstoned before it ever landed
+    // contributed NO counts, and negating its grams anyway would net
+    // survivor-shared grams toward ≤ 0, silently breaking their
+    // duplicate suppression. The id still goes on the deletion
+    // ledger below, barring the future arrival.
+    val ip = new org.apache.hadoop.fs.Path(ingestedLogPath(path))
+    val ifs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val contributed =
+      if (!ifs.exists(ip)) fresh.limit(0)
+      else fresh.join(s.read.parquet(ingestedLogPath(path))
+        .select(col("key").as("doc_id")).distinct(), Seq("doc_id"))
     writeCountedBatch(
-      gramRefcounts(fresh, w).select(col("h"), (-col("c")).as("c")),
+      gramRefcounts(contributed, w)
+        .select(col("h"), (-col("c")).as("c")),
       path, batchId)
     graft.rel.Tombstones.applyDelete(fresh.select("doc_id"), "doc_id",
       path, batchId)

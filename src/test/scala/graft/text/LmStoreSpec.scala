@@ -34,6 +34,41 @@ class LmStoreSpec extends SparkSpec {
       KneserNey.trigramLm(docs((b1 ++ b2 ++ b3): _*)).collect().toSeq)
   }
 
+  test("keyed delete: write;delete(k) ≡ retrain-without-k bit-for-bit; " +
+      "duplicate request no-ops; deletion is permanent (re-ingest " +
+      "barred); delete-before-arrival never counts the doc") {
+    val dir = java.nio.file.Files.createTempDirectory("lmdelete")
+    val store = dir.resolve("counts").toString
+    LmStore.applyBatch(docs(b1: _*), store, 0L)
+    LmStore.applyBatch(docs(b2: _*), store, 1L)
+    // delete doc 3 (must carry its text — the store holds only counts)
+    val doc3 = docs(b2.head)
+    LmStore.deleteFromLmStore(doc3, store, -1L)
+    val without3 = KneserNey.trigramLm(docs((b1 :+ b2(1)): _*))
+      .collect().toSeq
+    assert(LmStore.lmFromStore(spark, store).collect().toSeq == without3,
+      "delete must net doc 3 out of every count exactly")
+    // duplicate GDPR request under a fresh mutation id: no-op (the
+    // ledger bars double subtraction, which would silently corrupt
+    // counts shared with surviving docs)
+    LmStore.deleteFromLmStore(doc3, store, -2L)
+    assert(LmStore.lmFromStore(spark, store).collect().toSeq == without3)
+    // permanence: re-ingesting the deleted doc is filtered on arrival
+    LmStore.applyBatch(doc3, store, 2L)
+    assert(LmStore.lmFromStore(spark, store).collect().toSeq == without3)
+    // delete-before-arrival: doc 5 tombstoned before it ever lands
+    LmStore.deleteFromLmStore(docs(b3.head), store, -3L)
+    LmStore.applyBatch(docs(b3.head), store, 3L)
+    assert(LmStore.lmFromStore(spark, store).collect().toSeq == without3)
+    // id-space discipline is enforced loudly
+    intercept[IllegalArgumentException] {
+      LmStore.deleteFromLmStore(doc3, store, 5L)
+    }
+    intercept[IllegalArgumentException] {
+      LmStore.applyBatch(docs(b1: _*), store, -5L)
+    }
+  }
+
   test("streaming ingest lands the same store as the batch loop") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("lmstream")

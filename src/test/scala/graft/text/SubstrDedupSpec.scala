@@ -306,6 +306,19 @@ class SubstrDedupSpec extends SparkSpec {
         corpus.filter($"doc_id" === 1L), path, 3L)
       assert(judge() === out,
         "a deleted doc id must never re-enter the store")
+      // DELETE-BEFORE-ARRIVAL must not subtract: doc 99 shares passage
+      // P but never contributed counts — tombstoning it (with its
+      // text, as GDPR requests arrive) must bar its future arrival
+      // WITHOUT netting P's survivor-held refcount toward zero
+      val preDeleted = Seq(
+        (99L, s"${words("e", 4)} $p", "en", "s", 1L)
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      SubstrDedup.deleteFromGramStoreCounted(preDeleted, path, 4L)
+      assert(judge() === out,
+        "deleting a never-ingested doc must not subtract its grams")
+      SubstrDedup.writeGramStoreCounted(preDeleted, path, 5L)
+      assert(judge() === out,
+        "the pre-deleted doc must still be barred from arriving")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
