@@ -1,0 +1,165 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed PageRank by damped power iteration (Page et al. 1999;
+  * the Pregel/GraphX formulation re-expressed as declarative joins).
+  *
+  * Web-scale curation pipelines use link-graph centrality as a
+  * document-quality prior — e.g. host-graph centrality in
+  * Common-Crawl-derived corpora (RefinedWeb, Penedo 2023 §3.1 keeps
+  * the host graph exactly for this purpose) — so the engine ships it
+  * as a first-class operator next to the quality gates it feeds
+  * ([[graft.text.QualityRules]]).
+  *
+  * Semantics (the standard random-surfer chain):
+  *   r⁰(v)   = 1/N
+  *   rᵏ⁺¹(v) = (1−d)/N + d·( Σ_{(u,v)∈E} rᵏ(u)/outdeg(u) + D_k/N )
+  * where D_k = Σ over dangling nodes (outdeg 0) of rᵏ — the dangling
+  * mass is redistributed uniformly, so Σ_v rᵏ(v) = 1 at every k.
+  * Parallel edges count multiply (a u→v edge listed twice carries
+  * 2·r/outdeg — the weighted-surfer convention); callers wanting
+  * simple-graph semantics `.distinct()` their edge table first.
+  *
+  * Scale shape: per iteration, ONE equi-join of the rank vector onto
+  * the (pre-joined, cached) edge+outdegree table on `src`, then ONE
+  * map-side-combinable `groupBy(dst).sum` — the same two exchanges a
+  * Pregel superstep costs. The dangling term and 1/N are broadcast
+  * scalar subqueries (single-row aggregates), never driver collects.
+  * The rank vector is |V| rows — at 100 TB of edges the host-level
+  * vector is millions of rows, comfortably a normal shuffle; nothing
+  * here materializes |E|-sized state beyond the cached edge table.
+  * The whole run is one lazy plan; for iteration counts beyond ~10,
+  * `checkpointEvery` truncates lineage with localCheckpoint so the
+  * optimizer never sees an unboundedly deep join tree.
+  */
+object PageRank {
+
+  /** Ranks after `iters` damped power iterations over `edges`
+    * (columns `srcCol`, `dstCol`; any integral or string node type).
+    * Returns (id, r) for every node in `nodes` when given, else for
+    * every node appearing as a source or destination — pass the full
+    * universe explicitly when isolated nodes (no edges either way)
+    * must still carry rank. Exact doubles — callers round for
+    * cross-engine comparison (partial-sum order varies by
+    * partitioning, the q93 convention).
+    */
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst",
+      nodes: Option[DataFrame] = None,
+      checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0.0 && damping < 1.0,
+      s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val univ = nodes.getOrElse(
+        e.select(col("src")).union(e.select(col("dst"))))
+      .toDF("id").distinct()
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    // |E|-sized, reused every iteration: join outdeg in once and cache
+    val ed = e.join(outdeg, "src").cache()
+    // 1/N as a broadcast scalar (single-row agg), not a driver collect
+    val nRow = broadcast(univ.agg(
+      (lit(1.0) / count(lit(1))).as("inv_n")))
+
+    var ranks = univ.crossJoin(nRow)
+      .select(col("id"), col("inv_n").as("r"))
+    for (k <- 1 to iters) {
+      // unique names per side — no df("col") refs, so the iterated
+      // self-referencing lineage can never trip ambiguous-attribute
+      // resolution
+      val rr = ranks.select(col("id").as("rid"), col("r"))
+      // dangling mass: rank sitting on nodes with no out-edges
+      val dang = broadcast(
+        rr.join(outdeg, col("rid") === col("src"), "left_anti")
+          .agg(coalesce(sum("r"), lit(0.0)).as("dmass")))
+      val contrib = ed.join(rr, col("src") === col("rid"))
+        .groupBy(col("dst").as("cid"))
+        .agg(sum(col("r") / col("deg")).as("c"))
+      ranks = univ
+        .join(contrib, col("id") === col("cid"), "left")
+        .crossJoin(nRow).crossJoin(dang)
+        .select(col("id"),
+          (lit(1.0 - damping) * col("inv_n") +
+            lit(damping) * (coalesce(col("c"), lit(0.0)) +
+              col("dmass") * col("inv_n"))).as("r"))
+      if (checkpointEvery > 0 && k % checkpointEvery == 0 && k < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  // ---------------------------------------------------------------- q101
+  /** Contract entry: PageRank over a deterministic synthetic citation
+    * graph on `documents` — each non-dangling doc cites 4 pseudo-random
+    * peers via a multiplicative-hash formula replicated verbatim in the
+    * DuckDB oracle (self-citations dropped); every 17th doc is made
+    * dangling to exercise the redistribution term. 5 iterations,
+    * d = 0.85; round(,6) absorbs partial-sum order (q93 convention).
+    * doc_ids are contiguous 0..N−1 in every driver SF (TESTDATA.md),
+    * so `hash % N` always lands on a real doc; the node universe is
+    * the full doc table, so never-cited dangling docs still rank.
+    */
+  def q101PageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val nRow = broadcast(docs.agg(count(lit(1)).as("nn")))
+    val edges = docs.select(col("doc_id").as("src"))
+      .filter(col("src") % 17 =!= 0)
+      .crossJoin(nRow)
+      .select(col("src"), explode(sequence(lit(1L), lit(4L))).as("j"),
+        col("nn"))
+      .select(col("src"),
+        ((col("src") * lit(2654435761L) + col("j") * lit(40503L))
+          % col("nn")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    pageRank(edges, iters = 5,
+        nodes = Some(docs.select(col("doc_id"))))
+      .select(col("id").as("doc_id"), round(col("r"), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
+  /** Unrolled 5-iteration oracle: each rᵏ CTE is the recurrence
+    * verbatim — contributions via join+group-by, dangling mass via a
+    * scalar subquery — so DuckDB recomputes the whole chain
+    * independently.
+    */
+  private[rel] def q101Sql: String = {
+    val iters = (1 to 5).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS (
+         |  SELECT nodes.id,
+         |    0.15 / n.nn + 0.85 * (COALESCE(c.s, 0)
+         |      + (SELECT COALESCE(sum(p.r), 0) FROM $p p
+         |         LEFT JOIN outdeg o ON p.id = o.src
+         |         WHERE o.src IS NULL) / n.nn) AS r
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN (SELECT e.dst AS id, sum(p.r / o.deg) AS s
+         |             FROM edges e JOIN $p p ON e.src = p.id
+         |             JOIN outdeg o ON o.src = e.src
+         |             GROUP BY e.dst) c ON c.id = nodes.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+       |                  count(*) AS ni FROM documents),
+       |nodes AS (SELECT doc_id AS id FROM documents),
+       |edges AS (
+       |  SELECT d.doc_id AS src,
+       |         (d.doc_id * 2654435761 + j.j * 40503) % n.ni AS dst
+       |  FROM documents d CROSS JOIN n
+       |  CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j
+       |  WHERE d.doc_id % 17 <> 0
+       |    AND (d.doc_id * 2654435761 + j.j * 40503) % n.ni <> d.doc_id),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, 1.0 / nn AS r FROM nodes CROSS JOIN n),
+       |$iters
+       |SELECT id AS doc_id, round(r, 6) AS pr FROM r5
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_pagerank" -> (q101PageRank _))
+
+  val oracle: Map[String, String] = Map(
+    "q101_pagerank" -> q101Sql)
+}
