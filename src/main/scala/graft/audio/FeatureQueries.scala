@@ -402,9 +402,14 @@ object FeatureQueries {
          |  SELECT phrase_id, frame_id, k, c, dv,
          |    (${deltaNum("dv")}) / 60.0 AS dv2
          |  FROM w2)
+         |-- "+ 0.0" normalizes IEEE -0.0 to +0.0 (exact identity for every
+         |-- other double): DuckDB's round() keeps the sign of a tiny
+         |-- negative (round(-1e-9,6) = -0.0) while Spark's BigDecimal
+         |-- round returns +0.0 — same value, different STRING, and the
+         |-- driver hashes strings (5 delta2 rows tripped this in r11)
          |SELECT phrase_id, frame_id, k,
-         |  round(c, 6) AS mfcc, round(dv, 6) AS delta,
-         |  round(dv2, 6) AS delta2
+         |  round(c, 6) + 0.0 AS mfcc, round(dv, 6) + 0.0 AS delta,
+         |  round(dv2, 6) + 0.0 AS delta2
          |FROM d2
          |ORDER BY phrase_id, frame_id, k""".stripMargin,
     "nq_speed_perturb" ->

@@ -69,6 +69,17 @@ for name, sql in sorted(oracle.items()):
                 print(f"FAIL {name}: col {c} float mismatch max|d|={mx:.3e} "
                       f"n={int((~exact).sum())}")
                 ok = False
+            # -0.0 == 0.0 numerically, but the driver hashes STRINGS
+            # ("-0.0" vs "0.0" differ). DuckDB round() keeps the sign
+            # of a tiny negative; Spark's BigDecimal round does not —
+            # this slipped nq_mfcc_delta past the r11 local gate.
+            zs = np.signbit(aa) & (aa == 0.0)
+            zo = np.signbit(bb) & (bb == 0.0)
+            if (zs != zo).any():
+                print(f"FAIL {name}: col {c} -0.0/+0.0 sign mismatch "
+                      f"n={int((zs != zo).sum())} (driver stringified hash "
+                      f"differs; normalize with '+ 0.0' in the oracle SQL)")
+                ok = False
         else:
             if not (a.astype(str).to_numpy() == b.astype(str).to_numpy()).all():
                 n = int((a.astype(str).to_numpy() != b.astype(str).to_numpy()).sum())
