@@ -30,20 +30,46 @@ import org.apache.spark.sql.functions._
   * The rank vector is |V| rows — at 100 TB of edges the host-level
   * vector is millions of rows, comfortably a normal shuffle; nothing
   * here materializes |E|-sized state beyond the cached edge table.
-  * The whole run is one lazy plan; for iteration counts beyond ~10,
-  * `checkpointEvery` truncates lineage with localCheckpoint so the
-  * optimizer never sees an unboundedly deep join tree.
+  * Each iteration ends at an RDD boundary (`planLeaf`): the rank
+  * vector is referenced more than once per iteration (dangling mass +
+  * contributions), and Catalyst expands plan references BY VALUE — an
+  * un-truncated k-iteration chain is a 2^k-node logical plan that the
+  * analyzer cannot survive past ~7 iterations. RDD lineage, by
+  * contrast, is a dag BY REFERENCE (linear in k, shuffle outputs
+  * reused across the two consumers within one action), and the
+  * boundary pins no storage — unlike a per-iteration localCheckpoint,
+  * which would leave k × |V| rows in executor block storage per call.
+  * For iteration counts deep enough that even the RDD dag's scheduler
+  * walk matters (~50+), `checkpointEvery` additionally truncates RDD
+  * lineage with localCheckpoint.
   */
 object PageRank {
+
+  /** Truncate the LOGICAL plan at `df`: the result reads `df`'s RDD
+    * through a leaf scan, so downstream plan size stops compounding.
+    * Lazy — no job, no pinned blocks. Shared by the iterative graph
+    * operators ([[PageRank]], [[Hits]]). */
+  private[rel] def planLeaf(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
 
   /** Ranks after `iters` damped power iterations over `edges`
     * (columns `srcCol`, `dstCol`; any integral or string node type).
     * Returns (id, r) for every node in `nodes` when given, else for
     * every node appearing as a source or destination — pass the full
     * universe explicitly when isolated nodes (no edges either way)
-    * must still carry rank. Exact doubles — callers round for
-    * cross-engine comparison (partial-sum order varies by
-    * partitioning, the q93 convention).
+    * must still carry rank. A caller-supplied `nodes` MUST be a
+    * superset of the edge endpoints: contributions into an
+    * out-of-universe dst are dropped by the left join and an
+    * out-of-universe src never ranks, so a partial universe silently
+    * loses total rank mass (Σr < 1). To rank a subgraph, filter the
+    * EDGE table to the subgraph first, then pass its node set.
+    * Exact doubles — callers round for cross-engine comparison
+    * (partial-sum order varies by partitioning, the q93 convention).
+    *
+    * The returned frame is materialized (localCheckpoint) so the
+    * |E|-sized cached edge+outdegree table can be unpersisted before
+    * returning — callers get a computed rank vector, not a lazy
+    * 5-join-deep plan holding executor storage.
     */
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
@@ -84,10 +110,16 @@ object PageRank {
           (lit(1.0 - damping) * col("inv_n") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
               col("dmass") * col("inv_n"))).as("r"))
+      ranks = planLeaf(ranks)
       if (checkpointEvery > 0 && k % checkpointEvery == 0 && k < iters)
         ranks = ranks.localCheckpoint()
     }
-    ranks
+    // eager materialization: runs the whole chain (populating and
+    // reusing the ed cache across all iterations in one job), then
+    // releases the |E|-sized cache — no session-lifetime storage leak
+    val out = ranks.localCheckpoint()
+    ed.unpersist(false)
+    out
   }
 
   // ---------------------------------------------------------------- q101
@@ -97,14 +129,21 @@ object PageRank {
     * DuckDB oracle (self-citations dropped); every 17th doc is made
     * dangling to exercise the redistribution term. 5 iterations,
     * d = 0.85; round(,6) absorbs partial-sum order (q93 convention).
-    * doc_ids are contiguous 0..N−1 in every driver SF (TESTDATA.md),
+    * doc_ids are contiguous 0..N−1 in every driver SF (FIXTURES.md;
+    * verified empirically at all three SFs),
     * so `hash % N` always lands on a real doc; the node universe is
     * the full doc table, so never-cited dangling docs still rank.
     */
-  def q101PageRank(s: SparkSession, d: String): DataFrame = {
+  /** The q101/q102 synthetic citation graph over `documents`: each
+    * non-dangling doc (doc_id % 17 ≠ 0) cites 4 pseudo-random peers via
+    * a multiplicative-hash formula replicated verbatim in
+    * [[citationEdgesSql]]; self-citations dropped. Shared by PageRank
+    * (q101) and HITS (q102) so the two graph contract entries judge
+    * the operators, not two copies of a fixture. */
+  private[rel] def citationEdges(s: SparkSession, d: String): DataFrame = {
     val docs = graft.Tables.documents(s, d)
     val nRow = broadcast(docs.agg(count(lit(1)).as("nn")))
-    val edges = docs.select(col("doc_id").as("src"))
+    docs.select(col("doc_id").as("src"))
       .filter(col("src") % 17 =!= 0)
       .crossJoin(nRow)
       .select(col("src"), explode(sequence(lit(1L), lit(4L))).as("j"),
@@ -113,7 +152,26 @@ object PageRank {
         ((col("src") * lit(2654435761L) + col("j") * lit(40503L))
           % col("nn")).as("dst"))
       .filter(col("src") =!= col("dst"))
-    pageRank(edges, iters = 5,
+  }
+
+  /** DuckDB CTE text for the same graph: `n(nn, ni)`, `nodes(id)`,
+    * `edges(src, dst)` — spliced by both q101's and q102's oracles. */
+  private[rel] val citationEdgesSql: String =
+    """n AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
+      |                  count(*) AS ni FROM documents),
+      |nodes AS (SELECT doc_id AS id FROM documents),
+      |edges AS MATERIALIZED (
+      |  SELECT d.doc_id AS src,
+      |         (d.doc_id * 2654435761 + j.j * 40503) % n.ni AS dst
+      |  FROM documents d CROSS JOIN n
+      |  CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j
+      |  WHERE d.doc_id % 17 <> 0
+      |    AND (d.doc_id * 2654435761 + j.j * 40503) % n.ni <> d.doc_id)"""
+      .stripMargin
+
+  def q101PageRank(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    pageRank(citationEdges(s, d), iters = 5,
         nodes = Some(docs.select(col("doc_id"))))
       .select(col("id").as("doc_id"), round(col("r"), 6).as("pr"))
       .orderBy("doc_id")
@@ -140,16 +198,7 @@ object PageRank {
          |             GROUP BY e.dst) c ON c.id = nodes.id)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS nn,
-       |                  count(*) AS ni FROM documents),
-       |nodes AS (SELECT doc_id AS id FROM documents),
-       |edges AS (
-       |  SELECT d.doc_id AS src,
-       |         (d.doc_id * 2654435761 + j.j * 40503) % n.ni AS dst
-       |  FROM documents d CROSS JOIN n
-       |  CROSS JOIN (SELECT unnest(range(1, 5)) AS j) j
-       |  WHERE d.doc_id % 17 <> 0
-       |    AND (d.doc_id * 2654435761 + j.j * 40503) % n.ni <> d.doc_id),
+    s"""WITH $citationEdgesSql,
        |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
        |r0 AS (SELECT id, 1.0 / nn AS r FROM nodes CROSS JOIN n),
        |$iters

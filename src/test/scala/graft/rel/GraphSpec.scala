@@ -1,0 +1,93 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Link-graph operators: PageRank mass conservation / closed forms,
+  * HITS hub-authority separation on structurally obvious graphs, and
+  * the conventions both share (parallel-edge multiplicity, isolated
+  * nodes, caller-supplied universes).
+  */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(es: (Long, Long)*) = es.toSeq.toDF("src", "dst")
+  private def nodes(ids: Long*) = ids.toSeq.toDF("id")
+
+  // --------------------------------------------------------- PageRank
+
+  test("pagerank: total rank mass is 1 at any depth, dangling included") {
+    // 1→2, 2 dangling, 3 isolated (in universe only)
+    val r = PageRank.pageRank(edges((1L, 2L)), iters = 7,
+        nodes = Some(nodes(1L, 2L, 3L)))
+      .agg(sum("r")).as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("pagerank: k-cycle is the uniform fixpoint, exactly preserved") {
+    // on a cycle every node has outdeg 1 and indeg 1 → r stays 1/N
+    val r = PageRank.pageRank(edges((0L, 1L), (1L, 2L), (2L, 0L)),
+        iters = 5)
+      .select("r").as[Double].collect()
+    assert(r.length == 3 && r.forall(v => math.abs(v - 1.0 / 3) < 1e-12))
+  }
+
+  test("pagerank: in-link mass ranks the sink above its sources") {
+    val r = PageRank.pageRank(edges((1L, 3L), (2L, 3L)), iters = 5)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r(3L) > r(1L) && math.abs(r(1L) - r(2L)) < 1e-15)
+  }
+
+  test("pagerank: parallel edges carry multiplied weight") {
+    // 1 splits across {2,3}; a doubled 1→2 edge shifts 2/3 of 1's
+    // contribution to node 2 (weighted-surfer convention)
+    val single = PageRank.pageRank(edges((1L, 2L), (1L, 3L)), iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val doubled = PageRank.pageRank(edges((1L, 2L), (1L, 2L), (1L, 3L)),
+        iters = 1)
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(single(2L) - single(3L)) < 1e-15)
+    assert(doubled(2L) > doubled(3L))
+  }
+
+  // ------------------------------------------------------------- HITS
+
+  test("hits: star graph separates the hub from the authorities") {
+    // 0 → {1,2,3}: node 0 is the only hub, 1-3 split authority evenly
+    val m = Hits.hits(edges((0L, 1L), (0L, 2L), (0L, 3L)), iters = 3)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(math.abs(m(0L)._2 - 1.0) < 1e-12)      // all hub mass
+    assert(m(0L)._1 == 0.0)                        // no authority
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(math.abs(m(v)._1 - 1.0 / 3) < 1e-12)  // even authority
+      assert(m(v)._2 == 0.0)                       // no hub
+    }
+  }
+
+  test("hits: both score vectors sum to 1 (L1 normalization)") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val out = Hits.hits(PageRank.citationEdges(spark, sf0001), iters = 5,
+      nodes = Some(docs.select(col("doc_id"))))
+    val sums = out.agg(sum("auth"), sum("hub")).as[(Double, Double)].head()
+    assert(math.abs(sums._1 - 1.0) < 1e-9 && math.abs(sums._2 - 1.0) < 1e-9)
+  }
+
+  test("hits: parallel edges weight the hub that repeats its link") {
+    // 1→3 twice, 2→3 once: one authority, hubs split 2:1
+    val m = Hits.hits(edges((1L, 3L), (1L, 3L), (2L, 3L)), iters = 2)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(math.abs(m(1L) - 2.0 / 3) < 1e-12)
+    assert(math.abs(m(2L) - 1.0 / 3) < 1e-12)
+  }
+
+  test("hits: isolated universe nodes carry exactly 0 in both scores") {
+    val m = Hits.hits(edges((1L, 2L)), iters = 3,
+        nodes = Some(nodes(1L, 2L, 9L)))
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getDouble(2)))
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m(9L) == ((0.0, 0.0)))
+    assert(math.abs(m(2L)._1 - 1.0) < 1e-12)
+    assert(math.abs(m(1L)._2 - 1.0) < 1e-12)
+  }
+}
