@@ -1,0 +1,151 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classical additive seasonal decomposition (the moving-average
+  * method of Macaulay 1931, as standardized in Cleveland & Tiao 1976
+  * and shipped as `statsmodels seasonal_decompose`): splits an hourly
+  * series into trend + seasonal + residual. The monitoring companion
+  * to [[Forecast]] (Holt) and [[Drift]] (PSI): ingestion dashboards
+  * de-season hourly volumes before alerting, or the daily cycle pages
+  * the on-call every midnight.
+  *
+  *   trend_t    = centered 2×24 MA
+  *              = (½·x_{t−12} + Σ_{i=−11..11} x_{t+i} + ½·x_{t+12})/24
+  *                (the even-period centering convention; null within
+  *                12 slots of either series edge)
+  *   seasonal_s = mean over the series of (x_t − trend_t) for slots t
+  *                with hour-of-day s (uncentered per-slot means — the
+  *                raw seasonal indexes; callers wanting Σs = 0 shift
+  *                by the index mean)
+  *   resid_t    = x_t − trend_t − seasonal_{hod(t)}
+  *
+  * Cross-engine exactness is engineered, not rounded into: the series
+  * is a COUNT (integer), and every unordered aggregate runs in ×24
+  * fixed-point — trend24 = 24·24-MA and detrended24 = 24·x − trend24
+  * are sums of halves of integers, hence exact dyadic rationals that
+  * every IEEE engine adds associatively. The only non-dyadic steps
+  * are single divisions at the very end (÷24, ÷(24·cnt)) — fixed
+  * expression trees the oracle replicates verbatim, so the compare is
+  * bit-exact BEFORE the round(,6) (the round only normalizes display,
+  * unlike the q93 convention where it absorbs real sum-order skew).
+  *
+  * Scale shape: one scan → per-(type, hour) counts (map-side
+  * combined), a broadcast global-bounds row, a generated dense spine
+  * (|types|·|hours| rows — the series grid, tiny relative to raw
+  * events), ONE series-key exchange covering both the ±12 window and
+  * the lag/leads, then a 24-slot-per-type aggregate and a broadcast
+  * join back. No corpus-sized shuffle, no second scan of the raw
+  * table.
+  */
+object Seasonal {
+
+  /** Hourly-count decomposition of `events`-shaped input: one row per
+    * (event_type, hour_epoch) on the dense global-bounds spine with
+    * (n, trend, seasonal, resid); trend/resid null within 12 slots of
+    * the series edges. */
+  def decomposeHourlyCounts(events: DataFrame): DataFrame = {
+    val ev = events.select(col("event_type"),
+      unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
+    val counts = ev.groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n"))
+    // global bounds: all types share one spine (a type silent for the
+    // first week still gets zero-filled slots — its absence IS signal)
+    val bounds = broadcast(ev.agg(min("h").as("h0"), max("h").as("h1")))
+    val spine = counts.select("event_type").distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), lit(3600L))).as("h"))
+    val x = spine.join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n"), lit(0L)).as("n"))
+
+    val po = Window.partitionBy("event_type").orderBy("h")
+    val w23 = po.rowsBetween(-11, 11)
+    // ×24 fixed point: halves of integers — exact dyadic sums
+    val xd = col("n").cast("double")
+    val trend24 = lit(0.5) * lag(xd, 12).over(po) +
+      sum(xd).over(w23) + lit(0.5) * lead(xd, 12).over(po)
+    val withTrend = x.withColumn("trend24", trend24)
+      .withColumn("dt24", xd * lit(24.0) - col("trend24"))
+      // integer hour-of-day (Spark's `/` on longs is DOUBLE division —
+      // `div` keeps it integral, matching the SQL's `// 3600 % 24`)
+      .withColumn("hod", expr("pmod(h div 3600, 24)"))
+    // per-(type, hour-of-day) seasonal index: exact dyadic numerator,
+    // one division — count(dt24) ≥ 1 whenever the series spans 25+
+    // slots; the when() guards degenerate inputs against 0/0
+    val wS = Window.partitionBy("event_type", "hod")
+    val cnt = count(col("dt24")).over(wS).cast("double")
+    withTrend
+      .withColumn("seasonal",
+        when(cnt =!= 0.0, sum("dt24").over(wS) / (lit(24.0) * cnt)))
+      .select(col("event_type"), col("h").as("hour_epoch"), col("n"),
+        (col("trend24") / lit(24.0)).as("trend"),
+        col("seasonal"),
+        (col("dt24") / lit(24.0) - col("seasonal")).as("resid"))
+  }
+
+  // ---------------------------------------------------------------- q103
+  /** Contract entry: decomposition of the hourly event-count series
+    * (5 types × ~720 hours at every SF), round(,6) on the doubles.
+    * seasonal/resid are signed → the oracle normalizes -0.0 with
+    * `+ 0.0` (the nq_mfcc_delta lesson). */
+  def q103Seasonal(s: SparkSession, d: String): DataFrame =
+    decomposeHourlyCounts(graft.Tables.events(s, d))
+      .select(col("event_type"), col("hour_epoch"), col("n"),
+        round(col("trend"), 6).as("trend"),
+        round(col("seasonal"), 6).as("seasonal"),
+        round(col("resid"), 6).as("resid"))
+      .orderBy("event_type", "hour_epoch")
+
+  private[rel] val q103Sql: String =
+    """WITH ev AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
+      |  FROM events),
+      |cnt AS (SELECT event_type, h, count(*) AS n FROM ev GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM ev),
+      |spine AS (
+      |  SELECT ty.event_type,
+      |    unnest(generate_series(b.h0, b.h1, 3600)) AS h
+      |  FROM (SELECT DISTINCT event_type FROM ev) ty CROSS JOIN b),
+      |x AS (
+      |  SELECT s.event_type, s.h, COALESCE(c.n, 0) AS n
+      |  FROM spine s LEFT JOIN cnt c
+      |    ON c.event_type = s.event_type AND c.h = s.h),
+      |w AS (
+      |  SELECT event_type, h, n,
+      |    0.5 * lag(CAST(n AS DOUBLE), 12) OVER po
+      |      + sum(CAST(n AS DOUBLE)) OVER
+      |        (PARTITION BY event_type ORDER BY h
+      |         ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+      |      + 0.5 * lead(CAST(n AS DOUBLE), 12) OVER po AS trend24
+      |  FROM x
+      |  WINDOW po AS (PARTITION BY event_type ORDER BY h)),
+      |dt AS (
+      |  SELECT event_type, h, n, trend24,
+      |    CAST(n AS DOUBLE) * 24.0 - trend24 AS dt24,
+      |    (h // 3600) % 24 AS hod
+      |  FROM w),
+      |sea AS (
+      |  SELECT *,
+      |    CASE WHEN CAST(count(dt24) OVER ws AS DOUBLE) <> 0.0
+      |      THEN sum(dt24) OVER ws
+      |        / (24.0 * CAST(count(dt24) OVER ws AS DOUBLE)) END AS seasonal
+      |  FROM dt
+      |  WINDOW ws AS (PARTITION BY event_type, hod))
+      |SELECT event_type, h AS hour_epoch, n,
+      |  round(trend24 / 24.0, 6) + 0.0 AS trend,
+      |  round(seasonal, 6) + 0.0 AS seasonal,
+      |  round(dt24 / 24.0 - seasonal, 6) + 0.0 AS resid
+      |FROM sea
+      |ORDER BY event_type, hour_epoch""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_seasonal" -> (q103Seasonal _))
+
+  val oracle: Map[String, String] = Map(
+    "q103_seasonal" -> q103Sql)
+}
