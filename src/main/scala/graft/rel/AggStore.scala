@@ -284,11 +284,93 @@ object AggStore {
       |FROM m
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  // ------------------------------------------------------- time travel
+  /** AS-OF read: merged answers as they stood after batch `asOfBatch`
+    * was ingested — later batches are excluded by partition-pruned
+    * filter on the store's `batch_id` partition column (the scan lists
+    * only the qualifying `batch_id=N` directories; no data file of a
+    * later batch is opened). The store's append-only fenced layout
+    * gives snapshot reads for free: every historical answer remains
+    * derivable because ingest never rewrites prior partitions — the
+    * reproducibility contract a training pipeline needs ("which
+    * counts did the curation run on LAST week?") without a separate
+    * snapshot mechanism. O(groups × asOfBatch+1) input rows.
+    *
+    * Same semantics over retraction batches: as-of BEFORE a deletion
+    * batch reproduces the pre-deletion answers (specs pin this), which
+    * is intended for audit; pipelines with erasure obligations must
+    * age out pre-deletion batches (compact the store) rather than rely
+    * on as-of reads forgetting them. */
+  def aggFromStoreAsOf(s: SparkSession, storePath: String,
+      groupCols: Seq[String], asOfBatch: Long): DataFrame =
+    mergePartials(
+      s.read.parquet(storePath).filter(col("batch_id") <= asOfBatch),
+      groupCols)
+
+  // one store build per immutable driver dir (the q81 memo policy):
+  // nq_agg_asof then measures the snapshot READ, not 5 batch writes
+  private val asofStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Driver entry (as-of): 5 fenced insert batches (l_orderkey mod 5),
+    * then a snapshot read AS OF batch 2. The oracle re-aggregates the
+    * raw rows of batches 0-2 (`l_orderkey % 5 <= 2`) — any leakage
+    * from batches 3/4 into the snapshot, or partition-pruning bug
+    * dropping a qualifying batch, hash-fails. Extrema included: as-of
+    * reads see insert-only history, where min/max are exact. */
+  def nqAggAsof(s: SparkSession, d: String): DataFrame = {
+    val groupCols = Seq("l_returnflag", "l_linestatus")
+    def build(): String = {
+      val p = java.nio.file.Files.createTempDirectory("aggasof")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = s"$p/agg_store"
+      val li = lineitem(s, d)
+      (0 until 5).foreach(b => applyBatch(
+        li.filter(pmod(col("l_orderkey"), lit(5)) === b),
+        groupCols, "l_extendedprice", path, b.toLong))
+      path
+    }
+    val store = if (graft.Tables.isImmutable(d))
+      asofStoreFor.getOrElseUpdate(d, build())
+    else build()
+    aggFromStoreAsOf(s, store, groupCols, asOfBatch = 2L)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val nqAggAsofSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_orderkey % 5 <= 2),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    count(v) AS n_rows,
+      |    CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS cs,
+      |    CAST(CAST(sum(cents * cents) AS DECIMAL(38,0)) AS DOUBLE) AS css,
+      |    CAST(count(v) AS DOUBLE) AS nd,
+      |    min(v) AS min_val, max(v) AS max_val
+      |  FROM c
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n_rows,
+      |  cs / 100.0 AS sum_val,
+      |  cs / 100.0 / n_rows AS avg_val,
+      |  (css - cs * cs / nd) / nd / 10000.0 AS var_val,
+      |  sqrt((css - cs * cs / nd) / nd / 10000.0) AS std_val,
+      |  min_val, max_val
+      |FROM m
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_agg_store" -> (nqAggStore _),
-    "nq_store_upsert" -> (nqStoreUpsert _))
+    "nq_store_upsert" -> (nqStoreUpsert _),
+    "nq_agg_asof" -> (nqAggAsof _))
 
   val oracle: Map[String, String] = Map(
     "nq_agg_store" -> nqAggStoreSql,
-    "nq_store_upsert" -> nqStoreUpsertSql)
+    "nq_store_upsert" -> nqStoreUpsertSql,
+    "nq_agg_asof" -> nqAggAsofSql)
 }

@@ -175,6 +175,76 @@ class AggStoreSpec extends SparkSpec {
     }
   }
 
+  test("as-of read: snapshot after batch k equals an aggregate over " +
+      "batches 0..k's raw rows; as-of the last batch equals the full " +
+      "merge; partition filter prunes the later batch directories") {
+    val dir = java.nio.file.Files.createTempDirectory("aggasofspec")
+    try {
+      val store = dir.resolve("store").toString
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b),
+        groupCols, "l_extendedprice", store, b.toLong))
+      def direct(pred: org.apache.spark.sql.Column) =
+        AggStore.mergePartials(
+            AggStore.partialBatch(li.filter(pred), groupCols,
+              "l_extendedprice"), groupCols)
+          .orderBy("l_returnflag", "l_linestatus")
+          .collect().map(_.toSeq).toSeq
+      val asOf2 = AggStore.aggFromStoreAsOf(spark, store, groupCols, 2L)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(asOf2.nonEmpty &&
+        asOf2 === direct(pmod($"l_orderkey", lit(5)) <= 2),
+        "as-of 2 must see exactly batches 0-2's rows")
+      val asOfLast = AggStore.aggFromStoreAsOf(spark, store, groupCols, 4L)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(asOfLast === AggStore.aggFromStore(spark, store, groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq)
+      // the snapshot must be partition pruning, not a filter over a
+      // full-store scan: the batch_id predicate belongs in the scan's
+      // PartitionFilters (later batch-3/4 directories never open)
+      val plan = AggStore.aggFromStoreAsOf(spark, store, groupCols, 2L)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") &&
+        plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+          .contains("batch_id"),
+        s"batch_id must appear in PartitionFilters, plan:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("as-of straddling a retraction: the pre-deletion snapshot still " +
+      "shows the deleted slice; the post-deletion snapshot nets it out") {
+    val dir = java.nio.file.Files.createTempDirectory("aggasofret")
+    try {
+      val store = dir.resolve("store").toString
+      val del = pmod($"l_orderkey", lit(17)) === 3
+      AggStore.applyBatch(li, groupCols, "l_extendedprice", store, 0L)
+      AggStore.applyRetraction(li.filter(del), groupCols,
+        "l_extendedprice", store, 1L)
+      def up(asOf: Long) = AggStore.mergeUpsert(
+          spark.read.parquet(store).filter($"batch_id" <= asOf), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      val pre = up(0L)
+      val post = up(1L)
+      val all = AggStore.mergeUpsert(
+          AggStore.partialBatch(li, groupCols, "l_extendedprice"), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      val survivors = AggStore.mergeUpsert(
+          AggStore.partialBatch(li.filter(!del), groupCols,
+            "l_extendedprice"), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(pre === all, "as-of 0 must reproduce the pre-deletion answers")
+      assert(post === survivors, "as-of 1 must net the retraction out")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("streaming ingest lands the same store as the batch loop") {
     val dir = java.nio.file.Files.createTempDirectory("aggstream")
     try {
