@@ -167,7 +167,15 @@ object Bench {
     // median, inside the ≤0.5 s headroom budget; the round's other
     // additions run 0.6-2.5 s and stay Verify-contract-only per the
     // BASELINE.md policy)
-    "nq_zipf")
+    "nq_zipf",
+    // round-12: seasonal decomposition (one series-key exchange + a
+    // 24-slot aggregate — a window-shape canary at ~0.4 s) and the
+    // aggregate store's AS-OF snapshot read (~0.23 s: if batch_id
+    // partition pruning ever breaks into a full-store scan + filter,
+    // this number jumps). q101_pagerank/q102_hits stay Verify-only:
+    // 2.6/4.7 s medians — iteration-count-bound scheduling overhead at
+    // local scale, outside the ≤0.5 s budget (BASELINE.md policy)
+    "q103_seasonal", "nq_agg_asof")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -228,11 +236,20 @@ object Bench {
         case n2 => (runs(n2 / 2 - 1) + runs(n2 / 2)) / 2.0
       })
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal (1 ms) per-query values: the driver keeps only the LAST
+    // 2000 chars of output and parses the JSON line out of that tail —
+    // at 69 entries the full-precision line ran ~2160 chars, so its
+    // start (including "metric"/"value") was cut off and BENCH_r10/r11
+    // recorded "parsed": null. 3 dp keeps the line ~1790 chars at 71
+    // entries (+ sbt's ~75-char trailing "[success]" line), leaving ~5
+    // entries of headroom at ~25 chars each — re-check this budget when
+    // growing the headline set.
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // also write the bare line to a file in case stdout gets decorated
     // by a wrapper (documented in README: SPARK_GRAFT_BENCH_OUT)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")

@@ -46,7 +46,8 @@ object SparkEntry {
       text.TextAugment.queries ++ text.Collocations.queries ++
       text.KneserNey.queries ++ rel.Expectations.queries ++
       rel.Drift.queries ++ text.Zipf.queries ++ rel.Outliers.queries ++
-      rel.Forecast.queries ++ text.LmStore.queries
+      rel.Forecast.queries ++ text.LmStore.queries ++
+      rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -203,5 +204,16 @@ object SparkEntry {
       rel.Forecast.oracle ++
       // round-11: the LM count store — served model must reproduce
       // q98's monolithic oracle verbatim (the q81 shared-SQL pattern)
-      Map("nq_lm_store" -> text.KneserNey.oracle("q98_kneser_ney"))
+      Map("nq_lm_store" -> text.KneserNey.oracle("q98_kneser_ney")) ++
+      // round-12: link-graph PageRank — unrolled 5-iteration recurrence
+      // rebuilt verbatim by DuckDB over the same synthetic citation
+      // edges (round-6 absorbs partial-sum order, the q93 convention)
+      rel.PageRank.oracle ++
+      // round-12: HITS hub/authority over the same citation graph
+      // (unrolled L1-normalized half-steps, same oracle discipline)
+      rel.Hits.oracle ++
+      // round-12: classical seasonal decomposition — ×24 fixed-point
+      // keeps every unordered sum exact dyadic, so the compare is
+      // bit-exact before the display round
+      rel.Seasonal.oracle
 }
