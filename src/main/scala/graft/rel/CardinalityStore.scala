@@ -65,12 +65,26 @@ object CardinalityStore {
     * store — the read path: store-sized input (groups × batches rows),
     * never the raw history. Batches gated by a key-level delete
     * ([[Tombstones.gateBatches]] — HLL registers cannot subtract a
-    * key) are excluded until [[rebuildBatch]] re-sketches them clean. */
+    * key) are excluded until [[rebuildBatch]] re-sketches them clean.
+    *
+    * `asOfBatch`: AS-OF snapshot — merge only batches ≤ k
+    * (partition-pruned on the store's `batch_id` partition column,
+    * the [[AggStore.aggFromStoreAsOf]] contract). The CURRENT gate
+    * set still applies: a gate marks data containing deleted keys,
+    * and historical reads must not resurrect them — as-of rewinds
+    * the DATA timeline, never an erasure. */
   def estimateFromStore(s: SparkSession, storePath: String,
-      groupCols: Seq[String]): DataFrame =
+      groupCols: Seq[String], asOfBatch: Option[Long] = None): DataFrame =
     mergeSketches(
-      Tombstones.filterGated(s.read.parquet(storePath), storePath),
+      Tombstones.filterGated(asOf(s.read.parquet(storePath), asOfBatch),
+        storePath),
       groupCols)
+
+  /** `batch_id <= k` when an as-of bound is given — shared by every
+    * sketch store's read path (partition-pruned; see above). */
+  private[rel] def asOf(store: DataFrame, asOfBatch: Option[Long])
+      : DataFrame =
+    asOfBatch.fold(store)(k => store.filter(col("batch_id") <= k))
 
   /** Re-sketch a gated batch from its RETAINED raw input minus the
     * deleted keys, overwrite its partition, and lift its gate — the

@@ -131,8 +131,11 @@ object Cms {
     * history. */
   def estimateFromStore(s: SparkSession, storePath: String,
       probes: DataFrame, keyCol: String, depth: Int = Depth,
-      width: Int = Width, seed: Long = 42L): DataFrame =
-    estimate(merge(s.read.parquet(storePath).drop("batch_id")),
+      width: Int = Width, seed: Long = 42L,
+      asOfBatch: Option[Long] = None): DataFrame =
+    estimate(merge(
+        CardinalityStore.asOf(s.read.parquet(storePath), asOfBatch)
+          .drop("batch_id")),
       probes, keyCol, depth, width, seed)
 
   /** Streaming ingest: one sketch per micro-batch via foreachBatch —

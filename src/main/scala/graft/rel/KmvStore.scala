@@ -66,9 +66,12 @@ object KmvStore {
     * a min-k set cannot subtract a key) are excluded until rebuilt
     * clean via [[applyBatch]] + [[Tombstones.ungateBatch]]. */
   def sketchesFromStore(s: SparkSession, storePath: String,
-      groupCols: Seq[String], k: Int): DataFrame =
+      groupCols: Seq[String], k: Int,
+      asOfBatch: Option[Long] = None): DataFrame =
     mergeSketches(
-      Tombstones.filterGated(s.read.parquet(storePath), storePath),
+      Tombstones.filterGated(
+        CardinalityStore.asOf(s.read.parquet(storePath), asOfBatch),
+        storePath),
       groupCols, k)
 
   // one persisted store per source dir, process lifetime — the store

@@ -77,9 +77,12 @@ object QuantileStore {
     * compaction buffers cannot subtract a key) are excluded until
     * rebuilt clean via [[applyBatch]] + [[Tombstones.ungateBatch]]. */
   def sketchesFromStore(s: SparkSession, storePath: String,
-      groupCols: Seq[String], k: Int): DataFrame =
+      groupCols: Seq[String], k: Int,
+      asOfBatch: Option[Long] = None): DataFrame =
     mergeSketches(
-      Tombstones.filterGated(s.read.parquet(storePath), storePath),
+      Tombstones.filterGated(
+        CardinalityStore.asOf(s.read.parquet(storePath), asOfBatch),
+        storePath),
       groupCols, k)
 
   /** Streaming ingest: per-micro-batch sketches under the batch's own

@@ -211,4 +211,32 @@ class CardinalityStoreSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("as-of read: snapshot at batch k equals a store that never saw " +
+      "the later batches") {
+    val dir = java.nio.file.Files.createTempDirectory("cardasof")
+    try {
+      val full = dir.resolve("full").toString
+      val early = dir.resolve("early").toString
+      (0 until 3).foreach { b =>
+        val slice = ev.filter(pmod($"event_id", lit(3)) === b)
+        CardinalityStore.applyBatch(slice, Seq("event_type"), "user_id",
+          full, b.toLong)
+        if (b <= 1) CardinalityStore.applyBatch(slice, Seq("event_type"),
+          "user_id", early, b.toLong)
+      }
+      val asOf = CardinalityStore.estimateFromStore(spark, full,
+          Seq("event_type"), asOfBatch = Some(1L))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      val truth = CardinalityStore.estimateFromStore(spark, early,
+          Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      assert(asOf.nonEmpty && asOf === truth)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
 }

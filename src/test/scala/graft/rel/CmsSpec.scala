@@ -166,4 +166,28 @@ class CmsSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("as-of read: snapshot estimates equal a sketch over batches 0..k " +
+      "(additive counters, so the snapshot is the exact partial sum)") {
+    val dir = java.nio.file.Files.createTempDirectory("cmsasof")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      (0 until 3).foreach(b => Cms.applyBatch(
+        ev.filter(pmod($"event_id", lit(3)) === b), "user_id", store,
+        b.toLong))
+      val asOf = Cms.estimateFromStore(spark, store, ev, "user_id",
+          asOfBatch = Some(1L))
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val truth = Cms.estimate(
+          Cms.cmsOf(ev.filter(pmod($"event_id", lit(3)) <= 1), "user_id"),
+          ev, "user_id")
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      assert(asOf.nonEmpty && asOf === truth)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
 }

@@ -131,4 +131,26 @@ class KmvStoreSpec extends SparkSpec {
         s"$pair est=$e truth=$t")
     }
   }
+
+  test("as-of read: the snapshot sketch EQUALS the batches-0..k sketch " +
+      "(KMV merge is exact, so as-of is exact too)") {
+    val dir = java.nio.file.Files.createTempDirectory("kmvasof")
+    try {
+      val path = dir.resolve("store").toString
+      (0 until 3).foreach(b => KmvStore.applyBatch(
+        hashed.filter(pmod(col("event_id"), lit(3)) === b),
+        Seq("event_type"), "h", path, b.toLong, K))
+      val asOf = collectSketches(KmvStore.sketchesFromStore(
+        spark, path, Seq("event_type"), K, asOfBatch = Some(1L)))
+      val truth = collectSketches(KmvStore.sketchBatch(
+        hashed.filter(pmod(col("event_id"), lit(3)) <= 1),
+        Seq("event_type"), "h", K))
+      assert(asOf.nonEmpty && asOf === truth)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
 }

@@ -113,4 +113,35 @@ class QuantileStoreSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("as-of read: the snapshot sketch set equals a batches-0..k merge") {
+    val dir = java.nio.file.Files.createTempDirectory("kllasof")
+    try {
+      val store = dir.resolve("s.parquet").toString
+      (0 until 3).foreach(b => QuantileStore.applyBatch(
+        ord.filter(pmod($"o_orderkey", lit(3)) === b),
+        gc, "o_totalprice", store, b.toLong, 256))
+      val asOf = QuantileStore.quantilesOf(
+          QuantileStore.sketchesFromStore(spark, store, gc, 256,
+            asOfBatch = Some(1L)),
+          gc, Seq(("p50", 1, 2)))
+        .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+      val truth = QuantileStore.quantilesOf(
+          QuantileStore.mergeSketches(
+            (0 to 1).map(b => QuantileStore.sketchBatch(
+              ord.filter(pmod($"o_orderkey", lit(3)) === b),
+              gc, "o_totalprice", 256)).reduce(_ unionAll _), gc, 256),
+          gc, Seq(("p50", 1, 2)))
+        .orderBy("o_orderstatus").collect().map(_.toSeq).toSeq
+      assert(asOf.nonEmpty && asOf === truth)
+      // weight conservation: the snapshot's n is EXACTLY the 0..1 rows
+      assert(asOf.map(_.apply(2).asInstanceOf[Long]).sum ===
+        ord.filter(pmod($"o_orderkey", lit(3)) <= 1).count())
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
 }
