@@ -47,7 +47,8 @@ object SparkEntry {
       text.KneserNey.queries ++ rel.Expectations.queries ++
       rel.Drift.queries ++ text.Zipf.queries ++ rel.Outliers.queries ++
       rel.Forecast.queries ++ text.LmStore.queries ++
-      rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries
+      rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
+      sim.Mmr.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -215,5 +216,9 @@ object SparkEntry {
       // round-12: classical seasonal decomposition — ×24 fixed-point
       // keeps every unordered sum exact dyadic, so the compare is
       // bit-exact before the display round
-      rel.Seasonal.oracle
+      rel.Seasonal.oracle ++
+      // round-12: MMR diverse selection — the oracle replays the
+      // unrolled 10-step greedy over the dumped relevance/sim doubles
+      // (bit-identical argmax chain, ties to the smaller id)
+      sim.Mmr.oracle
 }
