@@ -307,6 +307,22 @@ object AggStore {
       s.read.parquet(storePath).filter(col("batch_id") <= asOfBatch),
       groupCols)
 
+  /** DIFF read: merged answers over batches in (fromBatch, toBatch]
+    * alone — "what did the last ingest window add", the delta
+    * companion to [[aggFromStoreAsOf]]. For the additive moments the
+    * diff IS the contribution of those batches' raw rows (exact);
+    * min_val/max_val are the extrema WITHIN the window, not a delta
+    * (extrema don't subtract). Same partition-pruned scan shape. */
+  def aggFromStoreBetween(s: SparkSession, storePath: String,
+      groupCols: Seq[String], fromBatch: Long, toBatch: Long): DataFrame = {
+    require(fromBatch <= toBatch,
+      s"aggFromStoreBetween: fromBatch $fromBatch > toBatch $toBatch")
+    mergePartials(
+      s.read.parquet(storePath)
+        .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch),
+      groupCols)
+  }
+
   // one store build per immutable driver dir (the q81 memo policy):
   // nq_agg_asof then measures the snapshot READ, not 5 batch writes
   private val asofStoreFor =
@@ -341,6 +357,51 @@ object AggStore {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Driver entry (diff): the same memoized 5-batch store, read as the
+    * delta of batches (2, 4] — the oracle re-aggregates the raw rows
+    * of batches 3-4 only, so a window leak in either direction
+    * hash-fails. */
+  def nqAggDiff(s: SparkSession, d: String): DataFrame = {
+    val groupCols = Seq("l_returnflag", "l_linestatus")
+    nqAggAsof(s, d) // ensures the memoized store exists for this dir
+    val store = asofStoreFor.getOrElse(d, {
+      // non-memoized (mutable dir) path: nqAggAsof built a throwaway
+      // store; rebuild our own via the as-of entry's builder semantics
+      val li = lineitem(s, d)
+      val p = java.nio.file.Files.createTempDirectory("aggdiff")
+      val path = s"$p/agg_store"
+      (0 until 5).foreach(b => applyBatch(
+        li.filter(pmod(col("l_orderkey"), lit(5)) === b),
+        groupCols, "l_extendedprice", path, b.toLong))
+      path
+    })
+    aggFromStoreBetween(s, store, groupCols, fromBatch = 2L, toBatch = 4L)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val nqAggDiffSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
+      |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_orderkey % 5 IN (3, 4)),
+      |m AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |    count(v) AS n_rows,
+      |    CAST(CAST(sum(cents) AS DECIMAL(38,0)) AS DOUBLE) AS cs,
+      |    CAST(CAST(sum(cents * cents) AS DECIMAL(38,0)) AS DOUBLE) AS css,
+      |    CAST(count(v) AS DOUBLE) AS nd,
+      |    min(v) AS min_val, max(v) AS max_val
+      |  FROM c
+      |  GROUP BY l_returnflag, l_linestatus)
+      |SELECT l_returnflag, l_linestatus, n_rows,
+      |  cs / 100.0 AS sum_val,
+      |  cs / 100.0 / n_rows AS avg_val,
+      |  (css - cs * cs / nd) / nd / 10000.0 AS var_val,
+      |  sqrt((css - cs * cs / nd) / nd / 10000.0) AS std_val,
+      |  min_val, max_val
+      |FROM m
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   val nqAggAsofSql: String =
     """WITH c AS (
       |  SELECT l_returnflag, l_linestatus, l_extendedprice AS v,
@@ -367,10 +428,12 @@ object AggStore {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_agg_store" -> (nqAggStore _),
     "nq_store_upsert" -> (nqStoreUpsert _),
-    "nq_agg_asof" -> (nqAggAsof _))
+    "nq_agg_asof" -> (nqAggAsof _),
+    "nq_agg_diff" -> (nqAggDiff _))
 
   val oracle: Map[String, String] = Map(
     "nq_agg_store" -> nqAggStoreSql,
     "nq_store_upsert" -> nqStoreUpsertSql,
-    "nq_agg_asof" -> nqAggAsofSql)
+    "nq_agg_asof" -> nqAggAsofSql,
+    "nq_agg_diff" -> nqAggDiffSql)
 }

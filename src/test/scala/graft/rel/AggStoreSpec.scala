@@ -215,6 +215,43 @@ class AggStoreSpec extends SparkSpec {
     }
   }
 
+  test("diff read: batches (k1, k2] equal a direct aggregate over that " +
+      "window's raw rows; asof n_rows/sums + diff n_rows/sums = full") {
+    val dir = java.nio.file.Files.createTempDirectory("aggdiffspec")
+    try {
+      val store = dir.resolve("store").toString
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b),
+        groupCols, "l_extendedprice", store, b.toLong))
+      val diff = AggStore.aggFromStoreBetween(spark, store, groupCols, 2L, 4L)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      val direct = AggStore.mergePartials(
+          AggStore.partialBatch(
+            li.filter(pmod($"l_orderkey", lit(5)).isin(3, 4)),
+            groupCols, "l_extendedprice"), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(diff.nonEmpty && diff === direct)
+      // additivity: snapshot + window = full history on count and sum
+      // (extrema are within-window, not additive — excluded)
+      def nsSums(rows: Seq[Seq[Any]]) = rows.map(r =>
+        (r(0), r(1)) -> (r(2).asInstanceOf[Long],
+          BigDecimal(r(3).asInstanceOf[Double]))).toMap
+      val asOf2 = nsSums(AggStore.aggFromStoreAsOf(spark, store, groupCols, 2L)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq)
+      val w = nsSums(diff)
+      val full = nsSums(AggStore.aggFromStore(spark, store, groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq)
+      full.foreach { case (k, (n, s)) =>
+        assert(asOf2(k)._1 + w(k)._1 === n)
+        assert((asOf2(k)._2 + w(k)._2 - s).abs < BigDecimal("0.005"))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("as-of straddling a retraction: the pre-deletion snapshot still " +
       "shows the deleted slice; the post-deletion snapshot nets it out") {
     val dir = java.nio.file.Files.createTempDirectory("aggasofret")
