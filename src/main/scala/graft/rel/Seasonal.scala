@@ -100,8 +100,10 @@ object Seasonal {
         round(col("resid"), 6).as("resid"))
       .orderBy("event_type", "hour_epoch")
 
-  private[rel] val q103Sql: String =
-    """WITH ev AS (
+  /** CTE chain through `sea` (the unrounded decomposition) — shared by
+    * q103's display select and q104's anomaly tail. */
+  private[rel] val seasonalCtes: String =
+    """ev AS (
       |  SELECT event_type,
       |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h
       |  FROM events),
@@ -135,17 +137,66 @@ object Seasonal {
       |      THEN sum(dt24) OVER ws
       |        / (24.0 * CAST(count(dt24) OVER ws AS DOUBLE)) END AS seasonal
       |  FROM dt
-      |  WINDOW ws AS (PARTITION BY event_type, hod))
-      |SELECT event_type, h AS hour_epoch, n,
-      |  round(trend24 / 24.0, 6) + 0.0 AS trend,
-      |  round(seasonal, 6) + 0.0 AS seasonal,
-      |  round(dt24 / 24.0 - seasonal, 6) + 0.0 AS resid
-      |FROM sea
-      |ORDER BY event_type, hour_epoch""".stripMargin
+      |  WINDOW ws AS (PARTITION BY event_type, hod))""".stripMargin
+
+  private[rel] val q103Sql: String =
+    s"""WITH $seasonalCtes
+       |SELECT event_type, h AS hour_epoch, n,
+       |  round(trend24 / 24.0, 6) + 0.0 AS trend,
+       |  round(seasonal, 6) + 0.0 AS seasonal,
+       |  round(dt24 / 24.0 - seasonal, 6) + 0.0 AS resid
+       |FROM sea
+       |ORDER BY event_type, hour_epoch""".stripMargin
+
+  // ---------------------------------------------------------------- q104
+  /** Deseasonalized anomaly screen: hours whose seasonal RESIDUAL is a
+    * robust outlier within its event type ([[Outliers.madOutliers]]
+    * over [[decomposeHourlyCounts]]'s residuals — "unusual for 3am on
+    * this stream", not "unusual absolutely": the composition an
+    * ingestion monitor actually wants, since the daily cycle would
+    * otherwise page every midnight). Threshold 3.0. The residuals are
+    * bit-exact cross-engine (the ×24 fixed-point argument), so the
+    * oracle re-derives them and re-runs the identical percentile/MAD/
+    * mz tail (the nq_outliers convention: both engines flag on the
+    * round-4 score). */
+  def q104SeasonalAnomaly(s: SparkSession, d: String): DataFrame =
+    Outliers.madOutliers(
+        decomposeHourlyCounts(graft.Tables.events(s, d))
+          .filter(col("resid").isNotNull),
+        "event_type", "hour_epoch", "resid", threshold = 3.0)
+      .select(col("event_type"), col("hour_epoch"),
+        round(col("resid"), 6).as("resid"), col("mz"))
+      .orderBy("event_type", "hour_epoch")
+
+  private[rel] val q104Sql: String =
+    s"""WITH $seasonalCtes,
+       |r AS (
+       |  SELECT event_type, h AS hour_epoch,
+       |    dt24 / 24.0 - seasonal AS resid
+       |  FROM sea WHERE dt24 IS NOT NULL AND seasonal IS NOT NULL),
+       |med AS (
+       |  SELECT event_type, quantile_cont(resid, 0.5) AS med
+       |  FROM r GROUP BY event_type),
+       |mad AS (
+       |  SELECT r.event_type,
+       |    quantile_cont(abs(r.resid - med.med), 0.5) AS mad
+       |  FROM r JOIN med USING (event_type)
+       |  GROUP BY r.event_type)
+       |SELECT r.event_type, r.hour_epoch,
+       |  round(r.resid, 6) AS resid,
+       |  round(0.6745 * (r.resid - med.med) / mad.mad, 4) AS mz
+       |FROM r
+       |JOIN med USING (event_type)
+       |JOIN mad USING (event_type)
+       |WHERE mad.mad > 0.0
+       |  AND abs(round(0.6745 * (r.resid - med.med) / mad.mad, 4)) > 3.0
+       |ORDER BY event_type, hour_epoch""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q103_seasonal" -> (q103Seasonal _))
+    "q103_seasonal" -> (q103Seasonal _),
+    "q104_seasonal_anomaly" -> (q104SeasonalAnomaly _))
 
   val oracle: Map[String, String] = Map(
-    "q103_seasonal" -> q103Sql)
+    "q103_seasonal" -> q103Sql,
+    "q104_seasonal_anomaly" -> q104Sql)
 }

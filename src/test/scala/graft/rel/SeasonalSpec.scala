@@ -68,6 +68,33 @@ class SeasonalSpec extends SparkSpec {
     assert(out.slice(12, 18).forall(r => !r.isNullAt(3)))
   }
 
+  test("deseasonalized anomaly: a planted spike on a noisy cycle is " +
+      "flagged; the clean periodic series yields no flags (MAD = 0 " +
+      "exclusion)") {
+    // noisy-ish cycle: base daily pattern + deterministic jitter so the
+    // residual MAD is non-zero, with one 60-count spike at hour 50
+    val base = (0 until 24 * 6).map { t =>
+      val pat = 4 + (t % 24) % 5
+      val jitter = (t * 7) % 3 // 0,1,2 repeating co-prime to 24
+      if (t == 50) 60 else pat + jitter
+    }
+    val flagged = Outliers.madOutliers(
+        Seasonal.decomposeHourlyCounts(series(base))
+          .filter(col("resid").isNotNull),
+        "event_type", "hour_epoch", "resid", threshold = 3.0)
+      .collect().map(r => (r.getLong(1) - 1704067200L) / 3600L)
+    assert(flagged.contains(50L), s"spike hour missing from $flagged")
+    // clean cycle: residuals identically 0 -> MAD = 0 -> no flags, by
+    // the documented Iglewicz-Hoaglin exclusion
+    val clean = Outliers.madOutliers(
+        Seasonal.decomposeHourlyCounts(series(
+            Seq.fill(4)((1 to 24).toSeq).flatten))
+          .filter(col("resid").isNotNull),
+        "event_type", "hour_epoch", "resid", threshold = 3.0)
+      .count()
+    assert(clean == 0L)
+  }
+
   test("contract entry shape at sf0.001: dense grid, round-trip columns") {
     val out = Seasonal.q103Seasonal(spark, sf0001)
     val grid = out.groupBy("event_type").count()
