@@ -307,6 +307,67 @@ object AggStore {
       s.read.parquet(storePath).filter(col("batch_id") <= asOfBatch),
       groupCols)
 
+  // -------------------------------------------------------- compaction
+  /** Horizontal store compaction: re-partialize batches 0..through
+    * into ONE `batch_id=through` partition and drop the originals —
+    * the small-files answer for a store that ingests thousands of
+    * batches (a year of hourly ingest = 8.7k partitions of a few KB;
+    * scan listing starts to dominate the read). Answers are preserved
+    * EXACTLY: partials merge associatively (the store's founding
+    * invariant), and re-partializing is itself a mergePartials whose
+    * output re-enters the store in partial form.
+    *
+    * AS-OF semantics across compaction: snapshots at k ≥ `through`
+    * are unchanged; snapshots BELOW the compaction watermark are no
+    * longer derivable (their distinguishing partials were folded) —
+    * the retention trade every log-structured store makes, and the
+    * erasure-compaction step the as-of docs require. Callers pick
+    * `through` = the oldest as-of they still need.
+    *
+    * Crash safety: the fold MATERIALIZES (collect of groups-sized
+    * partials) before touching the store, writes the
+    * `batch_id=through` partition under dynamic overwrite, then
+    * prunes the folded partitions. A crash between write and prune
+    * leaves the store double-counting batches 0..through-1; the
+    * recovery is [[pruneThrough]] (idempotent — deleting a deleted
+    * partition is a no-op), NOT a re-run of compactThrough: re-running
+    * the fold over a half-compacted store would fold the already-
+    * folded partition together with the surviving originals. Re-running
+    * after a SUCCESSFUL compaction is a no-op (the fold of the folded
+    * partition is itself). */
+  def compactThrough(s: SparkSession, storePath: String,
+      groupCols: Seq[String], through: Long): Unit = {
+    val store = s.read.parquet(storePath)
+    val old = store.filter(col("batch_id") <= through)
+    // fold: counts/sums re-add, extrema re-extremize — output has the
+    // exact partialBatch schema, so reads can't tell it from an ingest.
+    // localCheckpoint pins the fold RESULT before the overwrite below
+    // rewrites one of its input partitions (self-referential write)
+    val folded = old.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum("cnt").as("cnt"),
+        sum("sum_cents").cast(DecimalType(38, 0)).as("sum_cents"),
+        sum("sum_sq_cents2").cast(DecimalType(38, 0)).as("sum_sq_cents2"),
+        min("min_val").as("min_val"),
+        max("max_val").as("max_val"))
+      .localCheckpoint()
+    writeFencedPartials(folded, storePath, through)
+    pruneThrough(s, storePath, through)
+  }
+
+  /** Delete the `batch_id < through` partitions — compactThrough's
+    * second phase and its crash recovery (idempotent: a missing
+    * partition is a no-op). */
+  def pruneThrough(s: SparkSession, storePath: String,
+      through: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(storePath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    (0L until through).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/batch_id=$b"),
+        true)
+    }
+  }
+
   /** DIFF read: merged answers over batches in (fromBatch, toBatch]
     * alone — "what did the last ingest window add", the delta
     * companion to [[aggFromStoreAsOf]]. For the additive moments the

@@ -215,6 +215,45 @@ class AggStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction: folding batches 0..2 into one partition preserves " +
+      "every answer bit-for-bit, shrinks the store, keeps as-of >= " +
+      "watermark intact, and re-running it is idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("aggcompact")
+    try {
+      val store = dir.resolve("store").toString
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b),
+        groupCols, "l_extendedprice", store, b.toLong))
+      def full = AggStore.aggFromStore(spark, store, groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      def asOf(k: Long) = AggStore.aggFromStoreAsOf(spark, store, groupCols, k)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      def partitions = spark.read.parquet(store)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      val fullBefore = full
+      val asOf2Before = asOf(2L)
+      val asOf3Before = asOf(3L)
+      AggStore.compactThrough(spark, store, groupCols, 2L)
+      assert(partitions === Set(2L, 3L, 4L), s"got $partitions")
+      assert(full === fullBefore, "compaction must not move any answer")
+      assert(asOf(2L) === asOf2Before,
+        "as-of AT the compaction watermark must survive")
+      assert(asOf(3L) === asOf3Before)
+      // re-running after SUCCESS is a no-op (the fold of the folded
+      // partition is itself); crash recovery between write and prune
+      // is pruneThrough, exercised below
+      AggStore.compactThrough(spark, store, groupCols, 2L)
+      assert(partitions === Set(2L, 3L, 4L) && full === fullBefore)
+      // prune is idempotent: deleting already-deleted partitions no-ops
+      AggStore.pruneThrough(spark, store, 2L)
+      assert(partitions === Set(2L, 3L, 4L) && full === fullBefore)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("diff read: batches (k1, k2] equal a direct aggregate over that " +
       "window's raw rows; asof n_rows/sums + diff n_rows/sums = full") {
     val dir = java.nio.file.Files.createTempDirectory("aggdiffspec")
