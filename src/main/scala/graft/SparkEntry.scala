@@ -48,7 +48,7 @@ object SparkEntry {
       rel.Drift.queries ++ text.Zipf.queries ++ rel.Outliers.queries ++
       rel.Forecast.queries ++ text.LmStore.queries ++
       rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
-      sim.Mmr.queries
+      sim.Mmr.queries ++ rel.LabelProp.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -220,5 +220,8 @@ object SparkEntry {
       // round-12: MMR diverse selection — the oracle replays the
       // unrolled 10-step greedy over the dumped relevance/sim doubles
       // (bit-identical argmax chain, ties to the smaller id)
-      sim.Mmr.oracle
+      sim.Mmr.oracle ++
+      // round-12: label-propagation communities — all-integer
+      // recurrence, EXACT oracle (no rounding tier)
+      rel.LabelProp.oracle
 }

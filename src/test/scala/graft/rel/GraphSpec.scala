@@ -81,6 +81,48 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(m(2L) - 1.0 / 3) < 1e-12)
   }
 
+  // ------------------------------------------------------ LabelProp
+
+  private def triangle(a: Long, b: Long, c: Long) =
+    Seq((a, b), (b, c), (c, a))
+
+  test("lpa: two disjoint triangles collapse to their min-id labels") {
+    val m = LabelProp.labelProp(
+        edges(triangle(1L, 2L, 3L) ++ triangle(7L, 8L, 9L): _*), iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(m(_) == 1L))
+    assert(Seq(7L, 8L, 9L).forall(m(_) == 7L))
+  }
+
+  test("lpa: a single bridge edge does not merge two triangles " +
+      "(majority beats the bridge vote)") {
+    val m = LabelProp.labelProp(
+        edges(triangle(1L, 2L, 3L) ++ triangle(7L, 8L, 9L) :+ (3L, 7L): _*),
+        iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.filterKeys(_ <= 3).values.toSet.size == 1)
+    assert(m.filterKeys(_ >= 7).values.toSet.size == 1)
+    assert(m(1L) != m(7L), "bridged triangles must stay distinct")
+  }
+
+  test("lpa: isolated universe nodes keep their own id as community") {
+    val m = LabelProp.labelProp(edges(triangle(1L, 2L, 3L): _*), iters = 3,
+        nodes = Some(nodes(1L, 2L, 3L, 42L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(42L) == 42L)
+  }
+
+  test("lpa contract entry: a full partition of the doc universe, " +
+      "sizes consistent") {
+    val out = LabelProp.q105LabelProp(spark, sf0001).collect()
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(out.length == n)
+    assert(out.map(_.getLong(0)).distinct.length == n)
+    // csize is the true community size
+    val byComm = out.groupBy(_.getLong(1))
+    out.foreach(r => assert(r.getLong(2) == byComm(r.getLong(1)).length))
+  }
+
   test("hits: isolated universe nodes carry exactly 0 in both scores") {
     val m = Hits.hits(edges((1L, 2L)), iters = 3,
         nodes = Some(nodes(1L, 2L, 9L)))
