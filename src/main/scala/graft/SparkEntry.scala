@@ -48,7 +48,7 @@ object SparkEntry {
       rel.Drift.queries ++ text.Zipf.queries ++ rel.Outliers.queries ++
       rel.Forecast.queries ++ text.LmStore.queries ++
       rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
-      sim.Mmr.queries ++ rel.LabelProp.queries
+      sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -223,5 +223,8 @@ object SparkEntry {
       sim.Mmr.oracle ++
       // round-12: label-propagation communities — all-integer
       // recurrence, EXACT oracle (no rounding tier)
-      rel.LabelProp.oracle
+      rel.LabelProp.oracle ++
+      // round-12: triangle counts + clustering coefficient — ordered
+      // wedge-closing join, integer-exact with one fixed-tree double
+      rel.Triangles.oracle
 }

@@ -123,6 +123,39 @@ class GraphSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) == byComm(r.getLong(1)).length))
   }
 
+  // ------------------------------------------------------ Triangles
+
+  test("triangles: K4 has 3 per node and lcc exactly 1") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val out = Triangles.triangleStats(edges(k4: _*)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    (0L to 3L).foreach { v =>
+      assert(out(v) == ((3L, 3L, 1.0)))
+    }
+  }
+
+  test("triangles: a path has none; direction and parallel edges are " +
+      "canonicalized away") {
+    // path 1-2-3 plus the same edges reversed AND duplicated
+    val out = Triangles.triangleStats(
+        edges((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (2L, 3L)))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.isNullAt(3))).toMap
+    assert(out(2L)._1 == 2L && out(2L)._2 == 0L)
+    assert(out(1L) == ((1L, 0L, true))) // degree 1 -> lcc null
+  }
+
+  test("triangles: one triangle with a pendant vertex") {
+    // triangle {1,2,3} + pendant 4 on 3: lcc(3) = 2*1/(3*2) = 1/3
+    val out = Triangles.triangleStats(
+        edges((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(3L) == ((3L, 1L)))
+    assert(out(4L) == ((1L, 0L)))
+    assert(out(1L) == ((2L, 1L)))
+  }
+
   test("hits: isolated universe nodes carry exactly 0 in both scores") {
     val m = Hits.hits(edges((1L, 2L)), iters = 3,
         nodes = Some(nodes(1L, 2L, 9L)))
