@@ -74,7 +74,8 @@ object PageRank {
   def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
       srcCol: String = "src", dstCol: String = "dst",
       nodes: Option[DataFrame] = None,
-      checkpointEvery: Int = 0): DataFrame = {
+      checkpointEvery: Int = 0,
+      seeds: Option[DataFrame] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0.0 && damping < 1.0,
       s"damping must be in (0,1), got $damping")
@@ -85,12 +86,28 @@ object PageRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // |E|-sized, reused every iteration: join outdeg in once and cache
     val ed = e.join(outdeg, "src").cache()
-    // 1/N as a broadcast scalar (single-row agg), not a driver collect
-    val nRow = broadcast(univ.agg(
-      (lit(1.0) / count(lit(1))).as("inv_n")))
+    // the teleport distribution p(v): uniform 1/N, or — personalized
+    // PageRank (Page et al. 1999 §6; the seed-expansion operator of
+    // host-graph curation) — 1/|S| on `seeds`, 0 elsewhere. Dangling
+    // mass redistributes to p as well, so Σr = 1 in both modes. Both
+    // forms derive from broadcast single-row aggregates, never a
+    // driver collect; the |V|-row (id, p) vector is cached for reuse
+    // across iterations and released with ed.
+    val tele = (seeds match {
+      case None =>
+        univ.crossJoin(broadcast(
+            univ.agg((lit(1.0) / count(lit(1))).as("pp"))))
+          .select(col("id"), col("pp").as("p"))
+      case Some(sd) =>
+        val ss = sd.toDF("sid").distinct()
+        univ.join(ss, col("id") === col("sid"), "left")
+          .crossJoin(broadcast(ss.agg((lit(1.0) / count(lit(1))).as("ps"))))
+          .select(col("id"),
+            when(col("sid").isNotNull, col("ps")).otherwise(lit(0.0))
+              .as("p"))
+    }).cache()
 
-    var ranks = univ.crossJoin(nRow)
-      .select(col("id"), col("inv_n").as("r"))
+    var ranks = tele.select(col("id"), col("p").as("r"))
     for (k <- 1 to iters) {
       // unique names per side — no df("col") refs, so the iterated
       // self-referencing lineage can never trip ambiguous-attribute
@@ -103,22 +120,23 @@ object PageRank {
       val contrib = ed.join(rr, col("src") === col("rid"))
         .groupBy(col("dst").as("cid"))
         .agg(sum(col("r") / col("deg")).as("c"))
-      ranks = univ
+      ranks = tele
         .join(contrib, col("id") === col("cid"), "left")
-        .crossJoin(nRow).crossJoin(dang)
+        .crossJoin(dang)
         .select(col("id"),
-          (lit(1.0 - damping) * col("inv_n") +
+          (lit(1.0 - damping) * col("p") +
             lit(damping) * (coalesce(col("c"), lit(0.0)) +
-              col("dmass") * col("inv_n"))).as("r"))
+              col("dmass") * col("p"))).as("r"))
       ranks = planLeaf(ranks)
       if (checkpointEvery > 0 && k % checkpointEvery == 0 && k < iters)
         ranks = ranks.localCheckpoint()
     }
     // eager materialization: runs the whole chain (populating and
-    // reusing the ed cache across all iterations in one job), then
-    // releases the |E|-sized cache — no session-lifetime storage leak
+    // reusing the ed/tele caches across all iterations in one job),
+    // then releases both — no session-lifetime storage leak
     val out = ranks.localCheckpoint()
     ed.unpersist(false)
+    tele.unpersist(false)
     out
   }
 
@@ -185,7 +203,10 @@ object PageRank {
   private[rel] def q101Sql: String = {
     val iters = (1 to 5).map { k =>
       val p = s"r${k - 1}"
-      s"""r$k AS (
+      // MATERIALIZED (the q102 lesson): each r{k} is referenced twice
+      // (dangling scalar subquery + contribution join) — inlined, the
+      // 5-deep chain re-evaluates the base scan 2^5 times
+      s"""r$k AS MATERIALIZED (
          |  SELECT nodes.id,
          |    0.15 / n.nn + 0.85 * (COALESCE(c.s, 0)
          |      + (SELECT COALESCE(sum(p.r), 0) FROM $p p
@@ -206,9 +227,63 @@ object PageRank {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q107
+  /** Contract entry: PERSONALIZED PageRank — teleport concentrated on
+    * the seed set doc_id ≡ 7 (mod 50) (2% of the corpus at every SF),
+    * the "expand a trusted seed corpus by link structure" operator
+    * (the random-surfer-with-bookmarks of Page et al. §6; the same
+    * machinery behind seed-based topic corpus construction). Same
+    * graph, 5 iterations; unreachable-from-seeds docs rank ~0 and the
+    * dangling mass returns to the SEEDS, not the whole universe —
+    * both visible in the output. round(,6), the q101 convention. */
+  def q107Ppr(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    pageRank(citationEdges(s, d), iters = 5,
+        nodes = Some(docs.select(col("doc_id"))),
+        seeds = Some(docs.select(col("doc_id"))
+          .filter(col("doc_id") % 50 === 7)))
+      .select(col("id").as("doc_id"), round(col("r"), 6).as("ppr"))
+      .orderBy("doc_id")
+  }
+
+  /** Unrolled PPR oracle: the q101 recurrence with the teleport
+    * VECTOR t.p replacing 1/N — dangling mass multiplies into t.p
+    * (matching Spark's `dmass * p` tree), so seeds reabsorb it. */
+  private[rel] def q107Sql: String = {
+    val iters = (1 to 5).map { k =>
+      val p = s"r${k - 1}"
+      s"""r$k AS MATERIALIZED (
+         |  SELECT t.id,
+         |    0.15 * t.p + 0.85 * (COALESCE(c.s, 0)
+         |      + (SELECT COALESCE(sum(p.r), 0) FROM $p p
+         |         LEFT JOIN outdeg o ON p.id = o.src
+         |         WHERE o.src IS NULL) * t.p) AS r
+         |  FROM tele t
+         |  LEFT JOIN (SELECT e.dst AS id, sum(p.r / o.deg) AS s
+         |             FROM edges e JOIN $p p ON e.src = p.id
+         |             JOIN outdeg o ON o.src = e.src
+         |             GROUP BY e.dst) c ON c.id = t.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $citationEdgesSql,
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |tele AS MATERIALIZED (
+       |  SELECT n2.id,
+       |    CASE WHEN n2.id % 50 = 7 THEN 1.0 / sn.ns ELSE 0.0 END AS p
+       |  FROM nodes n2 CROSS JOIN (
+       |    SELECT CAST(count(*) AS DOUBLE) AS ns
+       |    FROM nodes WHERE id % 50 = 7) sn),
+       |r0 AS (SELECT id, p AS r FROM tele),
+       |$iters
+       |SELECT id AS doc_id, round(r, 6) AS ppr FROM r5
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q101_pagerank" -> (q101PageRank _))
+    "q101_pagerank" -> (q101PageRank _),
+    "q107_ppr" -> (q107Ppr _))
 
   val oracle: Map[String, String] = Map(
-    "q101_pagerank" -> q101Sql)
+    "q101_pagerank" -> q101Sql,
+    "q107_ppr" -> q107Sql)
 }

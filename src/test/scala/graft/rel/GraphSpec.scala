@@ -81,6 +81,36 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(m(2L) - 1.0 / 3) < 1e-12)
   }
 
+  test("personalized pagerank: mass stays 1, seeds dominate, a node " +
+      "unreachable from the seeds ranks (1-d) lower tier than seeds") {
+    // chain 1 -> 2 -> 3, seed {1}; node 9 isolated in the universe
+    val r = PageRank.pageRank(edges((1L, 2L), (2L, 3L)), iters = 8,
+        nodes = Some(nodes(1L, 2L, 3L, 9L)),
+        seeds = Some(nodes(1L)))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    // theorems for THIS fixture (global "seed dominates" is not one:
+    // the dangling tail 3 legitimately accumulates the most mass at
+    // d = 0.85): the seed out-ranks its direct successor — 2's only
+    // inflow is 0.85 × r(1) while 1 keeps the full teleport — and a
+    // zero-teleport node with no in-links ranks exactly 0
+    assert(r(1L) > r(2L), s"seed must out-rank its successor: $r")
+    assert(r(3L) > 0.0 && r(9L) == 0.0,
+      "reachable accumulates, unreachable is exactly 0")
+  }
+
+  test("personalized pagerank with the full universe as seeds equals " +
+      "uniform pagerank") {
+    val u = nodes(1L, 2L, 3L)
+    val uni = PageRank.pageRank(edges((1L, 2L), (2L, 3L)), iters = 4,
+        nodes = Some(u)).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val ppr = PageRank.pageRank(edges((1L, 2L), (2L, 3L)), iters = 4,
+        nodes = Some(u), seeds = Some(u)).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    uni.foreach { case (k, v) => assert(math.abs(ppr(k) - v) < 1e-15) }
+  }
+
   // ------------------------------------------------------ LabelProp
 
   private def triangle(a: Long, b: Long, c: Long) =
