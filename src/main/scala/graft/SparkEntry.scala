@@ -48,7 +48,8 @@ object SparkEntry {
       rel.Drift.queries ++ text.Zipf.queries ++ rel.Outliers.queries ++
       rel.Forecast.queries ++ text.LmStore.queries ++
       rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
-      sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries
+      sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries ++
+      rel.GraphStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -226,5 +227,9 @@ object SparkEntry {
       rel.LabelProp.oracle ++
       // round-12: triangle counts + clustering coefficient — ordered
       // wedge-closing join, integer-exact with one fixed-tree double
-      rel.Triangles.oracle
+      rel.Triangles.oracle ++
+      // round-12: the persisted edge store — PageRank off the store
+      // read after a keyed edge deletion, judged through the rank
+      // vector against the same-predicate WHERE in DuckDB
+      rel.GraphStore.oracle
 }

@@ -1,0 +1,98 @@
+package graft.rel
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The edge store's contract: store-read equals the surviving edge
+  * set (batches minus tombstones), as-of rewinds data but never an
+  * erasure, redelivery of both batch kinds is a no-op, and PageRank
+  * off the store equals PageRank on the direct edge set.
+  */
+class GraphStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+
+  test("store read = batches minus tombstones; as-of rewinds data " +
+      "but deletions still apply; redelivery no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstorespec")
+    try {
+      val store = dir.resolve("g").toString
+      val b0 = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      val b1 = Seq((3L, 4L), (4L, 1L)).toDF("src", "dst")
+      GraphStore.applyEdgeBatch(b0, store, 0L)
+      GraphStore.applyEdgeBatch(b1, store, 1L)
+      GraphStore.deleteEdges(Seq((2L, 3L)).toDF("src", "dst"), store, 0L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((1L, 2L), (3L, 4L), (4L, 1L)))
+      // as-of batch 0: only b0's data, and the deletion STILL applies
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(0L))) ===
+        Seq((1L, 2L)))
+      // redelivery of both batch kinds: same answers, same store size
+      def nFiles = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .count(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+      }
+      val before = nFiles
+      GraphStore.applyEdgeBatch(b1, store, 1L)
+      GraphStore.deleteEdges(Seq((2L, 3L)).toDF("src", "dst"), store, 0L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((1L, 2L), (3L, 4L), (4L, 1L)))
+      assert(nFiles === before, "redelivery must not grow the store")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("deleting a pair removes ALL its parallel copies across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstorepar")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L)).toDF("src", "dst"), store, 1L)
+      GraphStore.deleteEdges(Seq((1L, 2L)).toDF("src", "dst"), store, 0L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((1L, 3L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("pagerank off the store equals pagerank on the surviving " +
+      "direct edge set") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstorepr")
+    try {
+      val store = dir.resolve("g").toString
+      val e = PageRank.citationEdges(spark, sf0001)
+      (0 until 3).foreach(b => GraphStore.applyEdgeBatch(
+        e.filter(pmod(col("src"), lit(3)) === b), store, b.toLong))
+      GraphStore.deleteEdges(
+        e.filter(pmod(col("src") + col("dst"), lit(31)) === 5), store, 0L)
+      val docs = graft.Tables.documents(spark, sf0001)
+        .select(col("doc_id"))
+      def ranks(edges: org.apache.spark.sql.DataFrame) =
+        PageRank.pageRank(edges, iters = 3, nodes = Some(docs))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val fromStore = ranks(GraphStore.edgesFromStore(spark, store))
+      val direct = ranks(
+        e.filter(pmod(col("src") + col("dst"), lit(31)) =!= 5))
+      assert(fromStore.keySet == direct.keySet)
+      fromStore.foreach { case (k, v) =>
+        assert(math.abs(v - direct(k)) < 1e-12, s"doc $k: $v vs ${direct(k)}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
