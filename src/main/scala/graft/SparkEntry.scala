@@ -49,7 +49,7 @@ object SparkEntry {
       rel.Forecast.queries ++ text.LmStore.queries ++
       rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
       sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries ++
-      rel.GraphStore.queries
+      rel.GraphStore.queries ++ rel.KCore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -231,5 +231,8 @@ object SparkEntry {
       // round-12: the persisted edge store — PageRank off the store
       // read after a keyed edge deletion, judged through the rank
       // vector against the same-predicate WHERE in DuckDB
-      rel.GraphStore.oracle
+      rel.GraphStore.oracle ++
+      // round-12: k-core membership by bounded peeling — all-integer,
+      // exact oracle (the LabelProp tier)
+      rel.KCore.oracle
 }

@@ -153,6 +153,58 @@ class GraphSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(2) == byComm(r.getLong(1)).length))
   }
 
+  // ---------------------------------------------------------- KCore
+
+  test("kcore: K4 plus a pendant chain — the clique is the 3-core, " +
+      "chain peels away round by round") {
+    // K4 on {1,2,3,4}; chain 4-5-6 hangs off it
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val m = KCore.kCore(edges(k4 ++ Seq((4L, 5L), (5L, 6L)): _*),
+        k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2)))
+      .toMap
+    (1L to 4L).foreach(v => assert(m(v) == ((true, 3L)), s"node $v: $m"))
+    Seq(5L, 6L).foreach(v => assert(m(v) == ((false, 0L))))
+  }
+
+  test("kcore: a triangle is a 2-core but not a 3-core") {
+    val tri = edges((1L, 2L), (2L, 3L), (1L, 3L))
+    val core2 = KCore.kCore(tri, k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val core3 = KCore.kCore(tri, k = 3, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(core2.values.forall(identity))
+    assert(core3.values.forall(!_))
+  }
+
+  test("kcore: cascade — removing one node's support unravels a chain " +
+      "(needs the multi-round peel, not one degree filter)") {
+    // square 1-2-3-4-1 with one diagonal 1-3: all degrees >= 2, but
+    // 2-core is everything; at k=3 only... 1 and 3 have degree 3,
+    // 2 and 4 degree 2 -> first peel drops {2,4}, second drops {1,3}
+    // (their induced degree falls to 1): the 3-core is EMPTY, which a
+    // single degree filter would get wrong (it would keep {1,3})
+    val m = KCore.kCore(
+        edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L)),
+        k = 3, rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(m.values.forall(!_), s"3-core must be empty: $m")
+  }
+
+  test("kcore contract entry: the peel reached its fixpoint within " +
+      "the round budget at sf0.001") {
+    val e = PageRank.citationEdges(spark, sf0001)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"))
+    val at6 = KCore.kCore(e, 6, 6, nodes = Some(docs)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sorted.toSeq
+    val at7 = KCore.kCore(e, 6, 7, nodes = Some(docs)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2))).sorted.toSeq
+    assert(at6 === at7, "one more round must not change the survivor set")
+    assert(at6.exists(_._2) && at6.exists(!_._2),
+      "the 6-core should be a proper nonempty subset on this graph")
+  }
+
   // ------------------------------------------------------ Triangles
 
   test("triangles: K4 has 3 per node and lcc exactly 1") {
