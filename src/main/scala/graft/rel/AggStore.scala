@@ -430,6 +430,11 @@ object AggStore {
       // store; rebuild our own via the as-of entry's builder semantics
       val li = lineitem(s, d)
       val p = java.nio.file.Files.createTempDirectory("aggdiff")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       val path = s"$p/agg_store"
       (0 until 5).foreach(b => applyBatch(
         li.filter(pmod(col("l_orderkey"), lit(5)) === b),
