@@ -175,7 +175,11 @@ object Bench {
     // this number jumps). q101_pagerank/q102_hits stay Verify-only:
     // 2.6/4.7 s medians — iteration-count-bound scheduling overhead at
     // local scale, outside the ≤0.5 s budget (BASELINE.md policy)
-    "q103_seasonal", "nq_agg_asof")
+    "q103_seasonal", "nq_agg_asof",
+    // round-12 continued: the incremental join-view read (~0.41 s —
+    // a fine-grain-to-report re-aggregate over the store alone; a
+    // fact-table rescan sneaking into the read path would jump it)
+    "nq_join_view")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -49,7 +49,8 @@ object SparkEntry {
       rel.Forecast.queries ++ text.LmStore.queries ++
       rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
       sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries ++
-      rel.GraphStore.queries ++ rel.KCore.queries
+      rel.GraphStore.queries ++ rel.KCore.queries ++
+      rel.JoinView.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -234,5 +235,9 @@ object SparkEntry {
       rel.GraphStore.oracle ++
       // round-12: k-core membership by bounded peeling — all-integer,
       // exact oracle (the LabelProp tier)
-      rel.KCore.oracle
+      rel.KCore.oracle ++
+      // round-12: incremental join-view maintenance — fact batches +
+      // a store-local dimension move vs a from-scratch join over the
+      // MODIFIED dimension (exact cents algebra)
+      rel.JoinView.oracle
 }
