@@ -50,7 +50,7 @@ object SparkEntry {
       rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
       sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries ++
       rel.GraphStore.queries ++ rel.KCore.queries ++
-      rel.JoinView.queries
+      rel.JoinView.queries ++ text.QuantileNorm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -239,5 +239,8 @@ object SparkEntry {
       // round-12: incremental join-view maintenance — fact batches +
       // a store-local dimension move vs a from-scratch join over the
       // MODIFIED dimension (exact cents algebra)
-      rel.JoinView.oracle
+      rel.JoinView.oracle ++
+      // round-12: cross-group quantile normalization — integer ranks
+      // through one fixed interpolation tree, replicated verbatim
+      text.QuantileNorm.oracle
 }

@@ -1,0 +1,63 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Quantile normalization: calibrating a group against itself is the
+  * exact identity, equal-size groups land on the SAME calibrated set
+  * (the transform's defining property), extremes map to the global
+  * extremes, and a singleton group pins pct = 0.5.
+  */
+class QuantileNormSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("doc_id", "lang", "n_chars")
+
+  test("one group spanning the corpus: calibrated == score EXACTLY") {
+    val out = QuantileNorm.quantileNormalize(
+        df((1L, "a", 10L), (2L, "a", 30L), (3L, "a", 20L), (4L, "a", 70L)),
+        "lang", "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(4)))
+      .toMap
+    out.foreach { case (_, (score, calib)) =>
+      assert(calib == score.toDouble) // frac is exactly 0 at own rank
+    }
+  }
+
+  test("equal-size groups map onto the SAME calibrated set (the " +
+      "defining property), extremes hit the global extremes") {
+    // A's scores 1,2,3 vs B's 101,102,103: wildly different raw
+    // scales, identical within-group shapes
+    val out = QuantileNorm.quantileNormalize(
+        df((1L, "A", 1L), (2L, "A", 2L), (3L, "A", 3L),
+           (4L, "B", 101L), (5L, "B", 102L), (6L, "B", 103L)),
+        "lang", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(1), r.getDouble(3), r.getDouble(4)))
+    val aSet = out.filter(_._1 == "A").map(_._3).sorted.toSeq
+    val bSet = out.filter(_._1 == "B").map(_._3).sorted.toSeq
+    assert(aSet === bSet, s"calibrated sets must match: $aSet vs $bSet")
+    assert(aSet.head == 1.0 && aSet.last == 103.0,
+      "pct 0/1 must map to the global min/max")
+  }
+
+  test("singleton group pins pct = 0.5") {
+    val out = QuantileNorm.quantileNormalize(
+        df((1L, "A", 5L), (2L, "A", 9L), (3L, "solo", 7L)),
+        "lang", "doc_id", "n_chars")
+      .filter($"lang" === "solo").collect()
+    assert(out.length == 1 && out.head.getDouble(3) == 0.5)
+  }
+
+  test("monotone within group: higher raw score never calibrates lower") {
+    val out = QuantileNorm.q109QuantileNorm(spark, sf0001)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val byScore = rows.sortBy(r => (r._2, r._3))
+      byScore.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3)
+        case _ =>
+      }
+    }
+  }
+}
