@@ -240,36 +240,58 @@ object Bench {
         case n2 => (runs(n2 / 2 - 1) + runs(n2 / 2)) / 2.0
       })
     }
-    // 3-decimal (1 ms) per-query values: the driver keeps only the LAST
-    // 2000 chars of output and parses the JSON line out of that tail —
-    // at 69 entries the full-precision line ran ~2160 chars, so its
-    // start (including "metric"/"value") was cut off and BENCH_r10/r11
-    // recorded "parsed": null. 3 dp keeps the line ~1790 chars at 71
-    // entries (+ sbt's ~75-char trailing "[success]" line), leaving ~5
-    // entries of headroom at ~25 chars each — re-check this budget when
-    // growing the headline set.
-    def f3(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // also write the bare line to a file in case stdout gets decorated
-    // by a wrapper (documented in README: SPARK_GRAFT_BENCH_OUT)
+    val full = fullLine(results, sfDir)
+    // the full per-query line goes to a FILE (unbounded growth is fine
+    // there); documented in README: SPARK_GRAFT_BENCH_OUT
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     spark.stop()
     // print LAST, after spark.stop()'s log flood: with build.sbt's
     // `run / outputStrategy := StdoutOutput` the forked JVM inherits the
-    // real stdout, so this is a bare un-prefixed line (sbt's default
-    // LoggedOutput would stamp it "[info] ", defeating line-oriented
+    // real stdout, so these are bare un-prefixed lines (sbt's default
+    // LoggedOutput would stamp them "[info] ", defeating line-oriented
     // JSON parsing driver-side — BENCH_r02 "parsed": null).
-    println(line)
+    //
+    // The full per-query line prints FIRST (informational — intact in
+    // bench_out.json regardless); the driver's parse target is the
+    // SUMMARY line below, printed last: the driver keeps only the last
+    // 2000 chars of stdout, and at 72 entries the full line (~1810
+    // chars even at 3 dp) was ~5 entries from outgrowing that window
+    // again (the BENCH_r10/r11 "parsed": null failure mode). The
+    // summary's length is INVARIANT in the headline-set size (~140
+    // chars + the sf path), so growth can never truncate it.
+    println(full)
+    println(summaryLine(results, sfDir))
     System.out.flush()
   }
+
+  /** ROOT-locale fixed 3-decimal format: a comma-decimal default locale
+    * would make the JSON line unparseable ("0,400"). 1 ms granularity
+    * keeps the full line compact (see [[fullLine]]). */
+  private[graft] def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** The full per-query JSON line — bench_out.json's single line. */
+  private[graft] def fullLine(results: Seq[(String, Double)],
+      sfDir: String): String = {
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** The driver-facing summary: total + counts only, NO per-query map —
+    * its length does not grow with the headline set, so the driver's
+    * 2000-char stdout tail can never truncate it (BenchLineSpec pins
+    * the bound). Per-query values live in bench_out.json. */
+  private[graft] def summaryLine(results: Seq[(String, Double)],
+      sfDir: String): String =
+    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","n_queries":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+
+  private[graft] def totalOf(results: Seq[(String, Double)]): Double =
+    results.map(_._2).filter(_ >= 0).sum
 }

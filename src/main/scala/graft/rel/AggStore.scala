@@ -360,11 +360,19 @@ object AggStore {
     * partition is a no-op). */
   def pruneThrough(s: SparkSession, storePath: String,
       through: Long): Unit = {
+    // list-then-delete, never iterate candidate ids: applyBatch accepts
+    // ARBITRARY Long batch ids (epoch millis are a natural scheme), and
+    // a `(0L until through)` loop over a sparse id space would issue
+    // billions of no-op deletes — an effective hang. Listing touches
+    // only partitions that exist (and is cheaper for dense ids too).
     val p = new org.apache.hadoop.fs.Path(storePath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    (0L until through).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$storePath/batch_id=$b"),
-        true)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+            .exists(_ < through))
+        fs.delete(st.getPath, true)
     }
   }
 
@@ -389,14 +397,15 @@ object AggStore {
   private val asofStoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  /** Driver entry (as-of): 5 fenced insert batches (l_orderkey mod 5),
-    * then a snapshot read AS OF batch 2. The oracle re-aggregates the
-    * raw rows of batches 0-2 (`l_orderkey % 5 <= 2`) — any leakage
-    * from batches 3/4 into the snapshot, or partition-pruning bug
-    * dropping a qualifying batch, hash-fails. Extrema included: as-of
-    * reads see insert-only history, where min/max are exact. */
-  def nqAggAsof(s: SparkSession, d: String): DataFrame = {
-    val groupCols = Seq("l_returnflag", "l_linestatus")
+  private val AsofGroupCols = Seq("l_returnflag", "l_linestatus")
+
+  /** The shared 5-batch lineitem store behind nq_agg_asof and
+    * nq_agg_diff: ONE builder, memoized per immutable driver dir. On a
+    * mutable (non-memoized) dir each entry builds exactly one throwaway
+    * store — never two (the r12 shape had nqAggDiff call nqAggAsof's
+    * builder AND a fallback of its own, doubling the ingest work and
+    * leaking a second temp dir + shutdown hook per call). */
+  private def asofStore(s: SparkSession, d: String): String = {
     def build(): String = {
       val p = java.nio.file.Files.createTempDirectory("aggasof")
       sys.addShutdownHook {
@@ -408,42 +417,31 @@ object AggStore {
       val li = lineitem(s, d)
       (0 until 5).foreach(b => applyBatch(
         li.filter(pmod(col("l_orderkey"), lit(5)) === b),
-        groupCols, "l_extendedprice", path, b.toLong))
+        AsofGroupCols, "l_extendedprice", path, b.toLong))
       path
     }
-    val store = if (graft.Tables.isImmutable(d))
-      asofStoreFor.getOrElseUpdate(d, build())
+    if (graft.Tables.isImmutable(d)) asofStoreFor.getOrElseUpdate(d, build())
     else build()
-    aggFromStoreAsOf(s, store, groupCols, asOfBatch = 2L)
-      .orderBy("l_returnflag", "l_linestatus")
   }
+
+  /** Driver entry (as-of): 5 fenced insert batches (l_orderkey mod 5),
+    * then a snapshot read AS OF batch 2. The oracle re-aggregates the
+    * raw rows of batches 0-2 (`l_orderkey % 5 <= 2`) — any leakage
+    * from batches 3/4 into the snapshot, or partition-pruning bug
+    * dropping a qualifying batch, hash-fails. Extrema included: as-of
+    * reads see insert-only history, where min/max are exact. */
+  def nqAggAsof(s: SparkSession, d: String): DataFrame =
+    aggFromStoreAsOf(s, asofStore(s, d), AsofGroupCols, asOfBatch = 2L)
+      .orderBy("l_returnflag", "l_linestatus")
 
   /** Driver entry (diff): the same memoized 5-batch store, read as the
     * delta of batches (2, 4] — the oracle re-aggregates the raw rows
     * of batches 3-4 only, so a window leak in either direction
     * hash-fails. */
-  def nqAggDiff(s: SparkSession, d: String): DataFrame = {
-    val groupCols = Seq("l_returnflag", "l_linestatus")
-    nqAggAsof(s, d) // ensures the memoized store exists for this dir
-    val store = asofStoreFor.getOrElse(d, {
-      // non-memoized (mutable dir) path: nqAggAsof built a throwaway
-      // store; rebuild our own via the as-of entry's builder semantics
-      val li = lineitem(s, d)
-      val p = java.nio.file.Files.createTempDirectory("aggdiff")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      val path = s"$p/agg_store"
-      (0 until 5).foreach(b => applyBatch(
-        li.filter(pmod(col("l_orderkey"), lit(5)) === b),
-        groupCols, "l_extendedprice", path, b.toLong))
-      path
-    })
-    aggFromStoreBetween(s, store, groupCols, fromBatch = 2L, toBatch = 4L)
+  def nqAggDiff(s: SparkSession, d: String): DataFrame =
+    aggFromStoreBetween(s, asofStore(s, d), AsofGroupCols,
+        fromBatch = 2L, toBatch = 4L)
       .orderBy("l_returnflag", "l_linestatus")
-  }
 
   val nqAggDiffSql: String =
     """WITH c AS (

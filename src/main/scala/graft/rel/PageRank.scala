@@ -99,7 +99,16 @@ object PageRank {
             univ.agg((lit(1.0) / count(lit(1))).as("pp"))))
           .select(col("id"), col("pp").as("p"))
       case Some(sd) =>
+        // seeds are restricted to the node universe BEFORE |S| is
+        // counted: an out-of-universe seed would inflate |S| (ps =
+        // 1/count) while its teleport mass is unassignable — silently
+        // deflating Σr below 1. A seed set that is empty (or entirely
+        // outside the universe) would yield an all-zero rank vector, so
+        // it fails loudly instead. The semi-join is seed-set-sized.
         val ss = sd.toDF("sid").distinct()
+          .join(univ, col("sid") === col("id"), "left_semi")
+        require(ss.limit(1).count() > 0,
+          "pageRank: seeds must be non-empty and intersect the node universe")
         univ.join(ss, col("id") === col("sid"), "left")
           .crossJoin(broadcast(ss.agg((lit(1.0) / count(lit(1))).as("ps"))))
           .select(col("id"),

@@ -183,7 +183,7 @@ object Seasonal {
        |  FROM r JOIN med USING (event_type)
        |  GROUP BY r.event_type)
        |SELECT r.event_type, r.hour_epoch,
-       |  round(r.resid, 6) AS resid,
+       |  round(r.resid, 6) + 0.0 AS resid,
        |  round(0.6745 * (r.resid - med.med) / mad.mad, 4) AS mz
        |FROM r
        |JOIN med USING (event_type)

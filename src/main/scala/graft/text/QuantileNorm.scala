@@ -74,6 +74,101 @@ object QuantileNorm {
           .as("calibrated"))
   }
 
+  // ------------------------------------------------------------- approx
+  /** The 100 TB twin of [[quantileNormalize]] (the q77/nq_ccnet_buckets
+    * exact-vs-approx precedent): the GLOBAL side — the only
+    * un-partitionable piece of the exact form — comes from the engine's
+    * own KLL sketch (`functions.KllSketch`: mergeable partials, one
+    * ObjectHashAggregate whose exchange carries sketches, never rows)
+    * instead of a corpus-wide `Window.orderBy` row_number, which at
+    * scale is a single-task total sort of the whole table. The
+    * within-group percentile stays EXACT (its window is partitioned by
+    * `groupCol` — the shuffle every grouped operator already pays).
+    *
+    * Semantics: identical interpolation tree, with the global order
+    * statistics replaced by the sketch's weighted items — item i with
+    * cumulative weight cw occupies global positions [cw−w, cw−1], so
+    * position lookup is "first item with cw > lo" (v is non-decreasing
+    * along the cw order, making that the min-v-over-suffix both engines
+    * spell the same way). Total weight is EXACTLY N (KLL weight
+    * conservation), so the fractional position p = pct·(N−1) uses the
+    * true row count, and rank error is the sketch's ~1/k band
+    * (spec-pinned against the exact form).
+    *
+    * Scale shape: one partitioned window + one global sketch aggregate
+    * over the corpus; the retained items are O(k log n) — a bounded,
+    * fail-loud driver collect (the Mmr.scala:58 convention; 256·log₂ of
+    * even 10¹² rows is ~10k items) — and ship to executors ONCE as a
+    * broadcast, looked up by binary search per row (O(log items), no
+    * join, no second corpus pass).
+    *
+    * Returns (result, items): `items` = the retained (v, w) pairs the
+    * result was computed from, for the oracle dump (the
+    * nq_kll_quantiles pattern — the estimator tail re-runs in DuckDB
+    * over the identical items).
+    */
+  def quantileNormalizeApprox(rows: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String, k: Int = 256,
+      maxRetained: Int = 4000000): (DataFrame, DataFrame) = {
+    val s = rows.sparkSession
+    import s.implicits._
+    graft.functions.VecFunctions.register(s)
+    val base = rows.select(col(idCol), col(groupCol), col(scoreCol))
+    // ONE materialization of the sketch (partial-merge order varies run
+    // to run, so two lazy evaluations may retain different — equally
+    // valid — items): collect the bounded item list and derive BOTH the
+    // lookup arrays and the dump relation from it.
+    val items: Array[(Double, Long)] = base
+      .agg(expr(s"kll_sketch(CAST(`$scoreCol` AS DOUBLE), 1L, $k)").as("sk"))
+      .select(explode(col("sk")).as("it"))
+      .select(col("it.v"), col("it.w")).as[(Double, Long)].collect()
+    require(items.nonEmpty, "quantileNormalizeApprox: empty input")
+    require(items.length <= maxRetained,
+      s"quantileNormalizeApprox: ${items.length} retained items exceed " +
+        s"the $maxRetained driver bound — raise maxRetained deliberately")
+    val vArr = items.map(_._1)
+    val cwArr = new Array[Long](items.length)
+    var acc = 0L
+    var i = 0
+    while (i < items.length) { acc += items(i)._2; cwArr(i) = acc; i += 1 }
+    val n = acc // exact row count: KLL weight conservation
+    val bc = s.sparkContext.broadcast((cwArr, vArr))
+    // first index with cw > t (cw strictly increasing); == length iff
+    // t >= N, which lo <= N-1 precludes for vlo and COALESCEs for vhi
+    def firstAbove(cw: Array[Long], t: Long): Int = {
+      var lo = 0; var hi = cw.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cw(mid) > t) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val lookup = udf { (lo: Long, frac: Double) =>
+      val (cw, vs) = bc.value
+      val vlo = vs(firstAbove(cw, lo))
+      val i2 = firstAbove(cw, lo + 1)
+      val vhi = if (i2 < vs.length) vs(i2) else vlo
+      // the EXACT form's interpolation tree, verbatim
+      vlo + frac * (vhi - vlo)
+    }
+    val wg = Window.partitionBy(groupCol)
+      .orderBy(col(scoreCol), col(idCol))
+    val wgAll = Window.partitionBy(groupCol)
+    val result = base
+      .withColumn("rk", row_number().over(wg).cast("long"))
+      .withColumn("ng", count(lit(1)).over(wgAll).cast("long"))
+      .withColumn("pct",
+        when(col("ng") === 1L, lit(0.5))
+          .otherwise((col("rk") - lit(1L)).cast("double") /
+            (col("ng") - lit(1L)).cast("double")))
+      .withColumn("p", col("pct") * lit((n - 1).toDouble))
+      .withColumn("lo", floor(col("p")).cast("long"))
+      .withColumn("frac", col("p") - col("lo").cast("double"))
+      .select(col(idCol), col(groupCol), col(scoreCol), col("pct"),
+        lookup(col("lo"), col("frac")).as("calibrated"))
+    (result, items.toSeq.toDF("v", "w"))
+  }
+
   // ---------------------------------------------------------------- q109
   /** Contract entry: per-language n_chars distributions calibrated to
     * the global one. round(,6); scores positive, no sign guard. */
@@ -121,9 +216,71 @@ object QuantileNorm {
       |LEFT JOIN gv vh ON vh.gidx = l.lo + 1
       |ORDER BY l.doc_id""".stripMargin
 
+  // ------------------------------------------------------ nq_qnorm_approx
+  private val DumpDir = "/tmp/graft_qnorm_oracle"
+
+  /** Contract entry: q109's calibration with the global side from the
+    * KLL sketch (k=256). The oracle re-runs the whole estimator tail —
+    * within-group percentile, fractional position, sketch-item lookup,
+    * interpolation — in DuckDB over the DUMPED retained items, so a
+    * wrong cumulative weight, a broken binary search, or an
+    * interpolation drift all hash-fail. */
+  def nqQnormApprox(s: SparkSession, d: String): DataFrame = {
+    val (res, items) = quantileNormalizeApprox(
+      graft.Tables.documents(s, d), "lang", "doc_id", "n_chars", k = 256)
+    graft.OracleDump.dump(items, s"$DumpDir/nq_qnorm_approx.parquet")
+    res.select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pct"), 6).as("pct"),
+        round(col("calibrated"), 6).as("calibrated"))
+      .orderBy("doc_id")
+  }
+
+  private[text] val nqQnormApproxSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, n_chars FROM documents),
+       |items AS (
+       |  SELECT v, w
+       |  FROM read_parquet('$DumpDir/nq_qnorm_approx.parquet/*.parquet')),
+       |cum AS (
+       |  SELECT v, w,
+       |    sum(w) OVER (ORDER BY v, w ROWS UNBOUNDED PRECEDING) AS cw
+       |  FROM items),
+       |nn AS (SELECT CAST(sum(w) AS BIGINT) AS nn FROM items),
+       |rk AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CAST(row_number() OVER (PARTITION BY lang
+       |      ORDER BY n_chars, doc_id) AS BIGINT) AS rk,
+       |    CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS ng
+       |  FROM base),
+       |px AS (
+       |  SELECT r.*, nn.nn,
+       |    CASE WHEN r.ng = 1 THEN 0.5
+       |      ELSE CAST(r.rk - 1 AS DOUBLE) / CAST(r.ng - 1 AS DOUBLE)
+       |    END AS pct
+       |  FROM rk r CROSS JOIN nn),
+       |pp AS (
+       |  SELECT *, pct * CAST(nn - 1 AS DOUBLE) AS p FROM px),
+       |ll AS (
+       |  SELECT *, CAST(floor(p) AS BIGINT) AS lo,
+       |    p - CAST(CAST(floor(p) AS BIGINT) AS DOUBLE) AS frac
+       |  FROM pp),
+       |lu AS (
+       |  SELECT l.doc_id, l.lang, l.n_chars, l.pct, l.frac,
+       |    min(CASE WHEN c.cw > l.lo THEN c.v END) AS vlo,
+       |    min(CASE WHEN c.cw > l.lo + 1 THEN c.v END) AS vhi
+       |  FROM ll l CROSS JOIN cum c
+       |  GROUP BY l.doc_id, l.lang, l.n_chars, l.pct, l.frac)
+       |SELECT doc_id, lang, n_chars,
+       |  round(pct, 6) AS pct,
+       |  round(vlo + frac * (COALESCE(vhi, vlo) - vlo), 6) AS calibrated
+       |FROM lu
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q109_quantile_norm" -> (q109QuantileNorm _))
+    "q109_quantile_norm" -> (q109QuantileNorm _),
+    "nq_qnorm_approx" -> (nqQnormApprox _))
 
   val oracle: Map[String, String] = Map(
-    "q109_quantile_norm" -> q109Sql)
+    "q109_quantile_norm" -> q109Sql,
+    "nq_qnorm_approx" -> nqQnormApproxSql)
 }

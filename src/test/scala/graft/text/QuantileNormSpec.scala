@@ -49,6 +49,62 @@ class QuantileNormSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getDouble(3) == 0.5)
   }
 
+  test("approx ≡ exact when the sketch retains everything (n < k)") {
+    // 500 docs at sf0.001 all fit level 0 of a k=1024 sketch — no
+    // compaction, weights all 1, cw = the exact global ranks — so the
+    // approx path must reproduce the exact form EXACTLY, double for
+    // double (same interpolation tree over the same order statistics)
+    val docs = graft.Tables.documents(spark, sf0001)
+    val exact = QuantileNorm.quantileNormalize(
+        docs, "lang", "doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(3), r.getDouble(4))).toMap
+    val (res, items) = QuantileNorm.quantileNormalizeApprox(
+      docs, "lang", "doc_id", "n_chars", k = 1024)
+    assert(items.count() === docs.count(),
+      "n < k must retain every value at weight 1")
+    val approx = res.collect().map(r => r.getLong(0) ->
+      (r.getDouble(3), r.getDouble(4))).toMap
+    assert(approx === exact)
+  }
+
+  test("approx stays within the sketch's rank band of exact under real compaction") {
+    val sf001 = "/root/testdata/sf0.01"
+    val docs = graft.Tables.documents(spark, sf001)
+    val k = 64 // 500 docs >> k: compaction genuinely fires
+    val (res, _) = QuantileNorm.quantileNormalizeApprox(
+      docs, "lang", "doc_id", "n_chars", k = k)
+    val exactGlobal = docs.select($"n_chars".cast("double"))
+      .orderBy("n_chars").as[Double].collect()
+    val n = exactGlobal.length
+    val band = math.ceil(4.0 * n / k).toInt // ~4/k rank error budget
+    res.select($"pct", $"calibrated").collect().foreach { r =>
+      val p = r.getDouble(0) * (n - 1)
+      val lo = math.max(0, math.floor(p).toInt - band)
+      val hi = math.min(n - 1, math.ceil(p).toInt + band)
+      val c = r.getDouble(1)
+      assert(c >= exactGlobal(lo) && c <= exactGlobal(hi),
+        s"calibrated $c outside rank band [$lo,$hi] = " +
+          s"[${exactGlobal(lo)}, ${exactGlobal(hi)}] at p=$p")
+    }
+  }
+
+  test("approx plan has NO un-partitioned window; the exact form does (non-vacuity)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    def globalWindows(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w }
+    // the scale claim: the approx plan's only windows are partitioned
+    // by lang — nothing ranks the whole corpus through one task
+    val approx = graft.SparkEntry.queries("nq_qnorm_approx")(spark, sf0001)
+    assert(globalWindows(approx).isEmpty,
+      s"approx path must not plan a global window:\n" +
+        s"${approx.queryExecution.optimizedPlan}")
+    val exact = graft.SparkEntry.queries("q109_quantile_norm")(spark, sf0001)
+    assert(globalWindows(exact).nonEmpty,
+      "exact form should still rank globally (non-vacuity)")
+  }
+
   test("monotone within group: higher raw score never calibrates lower") {
     val out = QuantileNorm.q109QuantileNorm(spark, sf0001)
       .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
