@@ -27,20 +27,32 @@ object GraphStore {
   private def tombDir(storePath: String) = s"$storePath/_edge_tombstones"
   private def dataDir(storePath: String) = s"$storePath/edges"
 
-  /** Ingest one edge batch under its own fenced partition. */
+  /** Ingest one edge batch under its own fenced partition.
+    *
+    * NO coalesce(1) here, deliberately: unlike the sketch stores (whose
+    * per-batch output is group-count rows of scalars — AggStore.scala's
+    * documented convention), an edge batch's payload IS the data — a
+    * crawl delta at 100 TB scale is billions of rows, and funneling it
+    * through one write task serializes the whole ingest. The write
+    * keeps the batch's natural partitioning (one file per task, capped
+    * by maxRecordsPerFile so a giant coalesced upstream can't produce
+    * multi-GB files); the `batch_id` fence semantics are unchanged. */
   def applyEdgeBatch(edges: DataFrame, storePath: String,
       batchId: Long): Unit =
     edges.select(col("src"), col("dst"))
       .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write
+      .write
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 10000000L)
       .partitionBy("batch_id")
       .mode("overwrite").parquet(dataDir(storePath))
 
   /** Keyed edge deletion: (src, dst) pairs land in the tombstone log
     * under their own fenced partition; every read anti-joins them.
     * Deleting a pair removes ALL its copies (parallel edges included),
-    * in every batch, at every as-of. */
+    * in every batch, at every as-of. coalesce(1): a deletion batch is
+    * erasure-request-sized (exceptional by the store contract — reads
+    * BROADCAST the whole log), never data-sized. */
   def deleteEdges(pairs: DataFrame, storePath: String,
       batchId: Long): Unit =
     pairs.select(col("src"), col("dst"))
@@ -66,6 +78,107 @@ object GraphStore {
         col("src") === col("ts") && col("dst") === col("td"),
         "left_anti")
       .select("src", "dst")
+  }
+
+  // -------------------------------------------------------- compaction
+  /** Horizontal compaction with tombstone fold-in: batches ≤ `through`
+    * minus the tombstones collapse into ONE `batch_id=through`
+    * partition, and tombstones whose every copy lived in that folded
+    * region are DROPPED from the log — the erasure-aging step the
+    * AggStore as-of docs prescribe ("age out pre-deletion batches
+    * rather than rely on as-of reads forgetting them"), and the answer
+    * to the log growing monotonically while every read anti-joins it
+    * forever.
+    *
+    * Which tombstones survive: exactly those with a matching (src, dst)
+    * in a batch > `through` (a semi-join against the surviving
+    * partitions — they must keep suppressing those copies). Reads are
+    * therefore IDENTICAL before and after compaction, on the current
+    * form and on every as-of ≥ `through`; as-of below the watermark is
+    * no longer derivable (the retention trade every log-structured
+    * store makes — callers pick `through` = the oldest as-of they
+    * still need). One documented divergence, intended: a pair whose
+    * tombstone was dropped is erased HISTORY — re-inserting it in a
+    * LATER batch is a new fact and survives, where the uncompacted log
+    * would have kept suppressing it (GDPR erasure applies to data held,
+    * not data yet to arrive).
+    *
+    * Crash safety (the AggStore.compactThrough discipline): the folded
+    * edge set and the surviving tombstone set BOTH materialize
+    * (localCheckpoint) before any store file moves; then (1) the folded
+    * partition writes under dynamic overwrite, (2) the folded originals
+    * prune, (3) the tombstone log rewrites. A crash between (1) and (2)
+    * double-counts batches < through — recovery is [[pruneEdgesThrough]]
+    * (idempotent), NOT a re-run. A crash before (3) leaves the log
+    * unshrunk, which every read tolerates (anti-joining an
+    * already-removed pair is a no-op) and a re-run completes. A re-run
+    * after success is a full no-op: the fold of the folded partition is
+    * itself, and the kept-tombstone set is a fixpoint. */
+  def compactThrough(s: SparkSession, storePath: String,
+      through: Long): Unit = {
+    val tp = new org.apache.hadoop.fs.Path(tombDir(storePath))
+    val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasTombs = fs.exists(tp)
+    val tombs =
+      if (hasTombs) s.read.parquet(tombDir(storePath))
+        .select(col("src").as("ts"), col("dst").as("td")).distinct()
+      else null
+    val data = s.read.parquet(dataDir(storePath))
+    val old = data.filter(col("batch_id") <= through).select("src", "dst")
+    // fold: the region's surviving edges (tombstones applied) — output
+    // re-enters the store in the exact ingest schema, so reads can't
+    // tell it from a plain batch. Materialized BEFORE the overwrite
+    // below rewrites one of its own input partitions.
+    val folded = (if (hasTombs)
+        old.join(broadcast(tombs),
+          col("src") === col("ts") && col("dst") === col("td"),
+          "left_anti")
+      else old).localCheckpoint()
+    // surviving tombstones: still needed iff a copy exists in a batch
+    // beyond the fold. Materialized before the log rewrite (it reads
+    // the dir it replaces).
+    val kept = if (hasTombs)
+        s.read.parquet(tombDir(storePath))
+          .join(data.filter(col("batch_id") > through)
+              .select(col("src").as("ks"), col("dst").as("kd")).distinct(),
+            col("src") === col("ks") && col("dst") === col("kd"),
+          "left_semi").localCheckpoint()
+      else null
+    folded
+      .withColumn("batch_id", lit(through))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 10000000L)
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(dataDir(storePath))
+    pruneEdgesThrough(s, storePath, through)
+    if (hasTombs) {
+      // full-dir overwrite (not dynamic): dropped tombstones must leave
+      // the log, whatever batch partition they arrived under. The log
+      // is erasure-request-sized, so the rewrite is tiny. A fully-
+      // drained log deletes the dir outright (readers probe existence;
+      // a schema-less empty parquet dir would fail their read).
+      if (kept.isEmpty) fs.delete(tp, true)
+      else kept.coalesce(1).write
+        .partitionBy("batch_id")
+        .mode("overwrite").parquet(tombDir(storePath))
+    }
+  }
+
+  /** Delete the `batch_id < through` EDGE partitions — compactThrough's
+    * prune phase and its crash recovery (idempotent: lists what exists,
+    * so sparse/time-based batch ids never loop). */
+  def pruneEdgesThrough(s: SparkSession, storePath: String,
+      through: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dataDir(storePath))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+            .exists(_ < through))
+        fs.delete(st.getPath, true)
+    }
   }
 
   // ----------------------------------------------------- nq_graph_store

@@ -61,14 +61,20 @@ object JoinView {
         lit(null).cast("double").as("max_val"))
   }
 
-  /** Ingest one fact batch under its fenced partition. */
+  /** Ingest one fact batch under its fenced partition. NO coalesce(1):
+    * the partials are (dim key, attr)-grain — |dim|-sized, not
+    * group-count-sized like the report-grain sketch stores — and a
+    * billion-row dimension would funnel through one write task. The
+    * aggregate's own (AQE-coalesced) partitioning carries to the write;
+    * maxRecordsPerFile caps the degenerate giant-file case. */
   def applyFactBatch(facts: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, dimAttr: String, valueCol: String,
       storePath: String, batchId: Long): Unit =
     factBatchPartials(facts, dim, factKey, dimKey, dimAttr, valueCol)
       .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write
+      .write
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 10000000L)
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
 
@@ -113,7 +119,9 @@ object JoinView {
       lit(null).cast("double").as("min_val"),
       lit(null).cast("double").as("max_val"))
     // one eager materialization BEFORE the write: the upsert reads the
-    // store it is about to append a partition to
+    // store it is about to append a partition to. coalesce(1): a move
+    // batch is moves-sized (two rows per moved key), a keyed exception
+    // like the graph store's tombstones — never dimension-sized.
     retract.unionAll(insert).localCheckpoint()
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write

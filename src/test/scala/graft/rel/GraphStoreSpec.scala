@@ -67,6 +67,96 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("compaction: every read form preserved, tombstone log shrinks, " +
+      "re-run and prune are no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstorecomp")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((3L, 4L), (5L, 6L)).toDF("src", "dst"), store, 1L)
+      GraphStore.applyEdgeBatch(
+        Seq((7L, 8L), (5L, 6L)).toDF("src", "dst"), store, 2L)
+      // (2,3)'s only copy is in the folded region → droppable;
+      // (5,6) has a copy in batch 2 > watermark → must survive
+      GraphStore.deleteEdges(Seq((2L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.deleteEdges(Seq((5L, 6L)).toDF("src", "dst"), store, 1L)
+      val curBefore = edgeSet(GraphStore.edgesFromStore(spark, store))
+      val asof1Before =
+        edgeSet(GraphStore.edgesFromStore(spark, store, Some(1L)))
+
+      GraphStore.compactThrough(spark, store, through = 1L)
+
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === curBefore,
+        "current read must not move")
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(1L))) ===
+        asof1Before, "as-of AT the watermark must survive")
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(2L))) ===
+        curBefore)
+      val tombs = spark.read.parquet(s"$store/_edge_tombstones")
+        .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(tombs.toSeq === Seq((5L, 6L)),
+        "the log must shrink to exactly the still-needed tombstones")
+      // the surviving tombstone still suppresses its batch-2 copy
+      assert(!edgeSet(GraphStore.edgesFromStore(spark, store))
+        .contains((5L, 6L)))
+      // folded-region partitions are gone; only batch 1 and 2 remain
+      val parts = new java.io.File(s"$store/edges").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts === Seq("batch_id=1", "batch_id=2"))
+
+      // re-run after success: a full no-op on every read
+      GraphStore.compactThrough(spark, store, through = 1L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === curBefore)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(1L))) ===
+        asof1Before)
+      // prune is idempotent — the crash-recovery path between the fold
+      // write and the prune (the AggStore discipline)
+      GraphStore.pruneEdgesThrough(spark, store, 1L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === curBefore)
+
+      // the documented erasure-aging divergence, pinned: the DROPPED
+      // tombstone no longer suppresses a post-compaction re-insert…
+      GraphStore.applyEdgeBatch(Seq((2L, 3L)).toDF("src", "dst"), store, 3L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store))
+        .contains((2L, 3L)), "a re-inserted erased pair is a new fact")
+      // …while the KEPT one still does
+      GraphStore.applyEdgeBatch(Seq((5L, 6L)).toDF("src", "dst"), store, 4L)
+      assert(!edgeSet(GraphStore.edgesFromStore(spark, store))
+        .contains((5L, 6L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("compaction with a fully-drained tombstone log deletes the log dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstoredrain")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((3L, 4L)).toDF("src", "dst"), store, 1L)
+      GraphStore.deleteEdges(Seq((2L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.compactThrough(spark, store, through = 1L)
+      assert(!new java.io.File(s"$store/_edge_tombstones").exists(),
+        "an empty log must be deleted, not left schema-less")
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((1L, 2L), (3L, 4L)))
+      // compacting a store with NO tombstone dir also works
+      GraphStore.compactThrough(spark, store, through = 1L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((1L, 2L), (3L, 4L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("pagerank off the store equals pagerank on the surviving " +
       "direct edge set") {
     val dir = java.nio.file.Files.createTempDirectory("graphstorepr")
