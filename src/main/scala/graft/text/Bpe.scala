@@ -160,10 +160,14 @@ object Bpe {
 
   /** The learned merge table itself — the tokenizer artifact a trainer
     * ships. Deterministic (count-then-lexicographic tie-break), pinned
-    * by BpeSpec's hand fixture; rows-checked by the driver (the greedy
-    * argmax loop is the engine half — not SQL-expressible). */
-  def q83BpeMerges(s: SparkSession, d: String, nMerges: Int = 200): DataFrame =
-    bpeTrain(documents(s, d), nMerges).orderBy("rank")
+    * by BpeSpec's hand fixture AND — since round 13 — fully
+    * hash-oracled: the dumped merges drive a DuckDB replay (see
+    * [[q83Sql]]) that re-derives every greedy argmax independently. */
+  def q83BpeMerges(s: SparkSession, d: String, nMerges: Int = 200): DataFrame = {
+    val m = bpeTrain(documents(s, d), nMerges).orderBy("rank")
+    graft.OracleDump.dump(m, s"$OracleDumpDir/bpe_merges.parquet")
+    m
+  }
 
   // The oracle re-runs the whole corpus-application tail over the
   // dumped per-type subword counts: the same whitespace tokenization
@@ -194,10 +198,82 @@ object Bpe {
        |FROM toks t LEFT JOIN agg a USING (doc_id)
        |ORDER BY t.doc_id""".stripMargin
 
+  // The q83 oracle REPLAYS the whole training loop in DuckDB and
+  // re-derives every merge independently — the strongest form the
+  // sequential greedy admits. Mechanics:
+  //  - the type table rebuilds from the RAW documents table (the q82
+  //    tokenization parity), count-then-word capped at maxTypes;
+  //  - each rank-k state applies the DUMPED merge k to state k−1 via
+  //    plain string replace() over a boundary-anchored encoding: a
+  //    symbol list renders as ␟␟sym₁␟␟sym₂␟␟ (U+001F absent from the
+  //    corpus — ASCII-checked; Scala's per-UTF-16-char split and
+  //    DuckDB's per-codepoint '(.)' agree on ASCII), and one merge is
+  //    replace('␟l␟␟r␟' → '␟lr␟'): the single-␟ anchors force
+  //    whole-symbol matches, left-to-right non-overlapping replacement
+  //    IS applyMerge (a fresh l+r can never re-match l, r nonempty),
+  //    and each match leaves one boundary ␟ on each side so adjacent
+  //    occurrences still match — verified against a reference replica;
+  //  - the emitted rows are NOT echoed: each rank's (left, right) is
+  //    re-derived as the argmax (count desc, then lexicographic) over
+  //    the rank-(k−1) state's adjacent-pair counts, with the minCount
+  //    gate, so a wrong merge, a bad tie-break, or a count drift
+  //    hash-fails at its rank;
+  //  - under-emission is caught by a sentinel: the argmax over the
+  //    LAST state also emits if it still clears minCount (and the loop
+  //    had nMerges headroom) — an extra row the Spark side won't have.
+  private def q83Sql: String =
+    s"""WITH RECURSIVE
+       |m AS (SELECT "rank" AS rank, "left" AS ml, "right" AS mr
+       |  FROM read_parquet('$OracleDumpDir/bpe_merges.parquet/*.parquet')),
+       |toks AS (
+       |  SELECT list_filter(regexp_split_to_array(text, '\\s+'),
+       |    x -> x <> '') AS l
+       |  FROM documents),
+       |types AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(l) AS w FROM toks)
+       |  GROUP BY w ORDER BY c DESC, w LIMIT 50000),
+       |st AS (
+       |  SELECT 0 AS rank, w, c,
+       |    chr(31) || chr(31) ||
+       |      regexp_replace(w, '(.)', '\\1' || chr(31) || chr(31), 'g') AS s
+       |  FROM types
+       |  UNION ALL
+       |  SELECT st.rank + 1, st.w, st.c,
+       |    replace(st.s,
+       |      chr(31) || m.ml || chr(31) || chr(31) || m.mr || chr(31),
+       |      chr(31) || m.ml || m.mr || chr(31))
+       |  FROM st JOIN m ON m.rank = st.rank + 1),
+       |syms AS (
+       |  SELECT rank, c,
+       |    list_filter(string_split(s, chr(31) || chr(31)), x -> x <> '') AS ls
+       |  FROM st),
+       |cand AS (
+       |  SELECT rank, ls[i] AS pl, ls[i + 1] AS pr, c
+       |  FROM (SELECT rank + 1 AS rank, c, ls,
+       |          unnest(range(1, len(ls))) AS i
+       |        FROM syms WHERE len(ls) > 1)),
+       |cnts AS (
+       |  SELECT rank, pl, pr, CAST(sum(c) AS BIGINT) AS cnt
+       |  FROM cand GROUP BY rank, pl, pr),
+       |best AS (
+       |  SELECT rank, pl, pr, cnt,
+       |    row_number() OVER (PARTITION BY rank
+       |      ORDER BY cnt DESC, pl, pr) AS rn
+       |  FROM cnts),
+       |nmax AS (SELECT coalesce(max(rank), 0) AS n FROM m)
+       |SELECT CAST(b.rank AS INTEGER) AS "rank",
+       |  b.pl AS "left", b.pr AS "right"
+       |FROM best b CROSS JOIN nmax
+       |WHERE b.rn = 1 AND b.cnt >= 2
+       |  AND b.rank <= n + (CASE WHEN n < 200 THEN 1 ELSE 0 END)
+       |ORDER BY b.rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_bpe_stats" -> ((s: SparkSession, d: String) => q82BpeStats(s, d)),
     "q83_bpe_merges" -> ((s: SparkSession, d: String) => q83BpeMerges(s, d)))
 
   val oracle: Map[String, String] = Map(
-    "q82_bpe_stats" -> q82Sql)
+    "q82_bpe_stats" -> q82Sql,
+    "q83_bpe_merges" -> q83Sql)
 }
