@@ -27,8 +27,20 @@ object Tables {
     * Trailing separator so sibling dirs (e.g. …/testdata_v2) don't match.
     */
   val ImmutableRoot = "/root/testdata/"
+
+  /** Extra immutable roots, comma-separated — builder-side tooling only
+    * (the sf1f scale probes live under /tmp and are never rewritten
+    * during a probe run; marking them immutable lets the store entries'
+    * build-once/read-many memoization apply, so probe timings measure
+    * the READ path instead of a per-run store rebuild). Never set by
+    * the driver contract. */
+  private val extraImmutable: Seq[String] =
+    sys.env.get("SPARK_GRAFT_IMMUTABLE_DIRS")
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
   def isImmutable(dir: String): Boolean =
-    dir.startsWith(ImmutableRoot) || dir == ImmutableRoot.stripSuffix("/")
+    dir.startsWith(ImmutableRoot) || dir == ImmutableRoot.stripSuffix("/") ||
+      extraImmutable.exists(r => dir == r || dir.startsWith(r + "/"))
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     val path = s"$dir/$name.parquet"

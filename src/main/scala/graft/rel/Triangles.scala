@@ -18,14 +18,22 @@ import org.apache.spark.sql.functions._
   * the clustering coefficient 2T/(d(d−1)) is one fixed double tree
   * over those integers, rounded for display only.
   *
-  * Scale shape: one edge-canonicalization pass, then two self
-  * equi-joins of the (deduped) edge table — the join keys are single
-  * vertex ids, so this is the standard distributed triangle plan
-  * (shuffle ∝ wedge count Σd²; the classic mitigation for power-law
-  * skew at 100 TB is degree-ordered orientation, which the a<b<c
-  * canonical order already approximates on hash-random ids), then a
-  * map-side-combined explode-count and a broadcast-sized join back
-  * onto degrees.
+  * Scale shape — DEGREE-ORDERED ORIENTATION (round 13, replacing the
+  * id-ordered wedge join): each undirected edge is directed from its
+  * lower-(degree, id) endpoint to the higher, and wedges are
+  * enumerated at the APEX — the triangle's ≺-minimal vertex — as
+  * out-neighbor pairs, closed against the oriented edge set. This is
+  * the standard answer to "the curse of the last reducer" (Suri &
+  * Vassilvitskii 2011, WWW; Schank & Wagner 2005's sequential
+  * forward-algorithm invariant): under this orientation every
+  * out-degree is O(√m), so per-key wedge work is bounded and total
+  * wedge volume is O(m^{3/2}) REGARDLESS of degree skew — where the
+  * naive id-ordered join does Σd² work and funnels a Zipfian hub's d²
+  * wedges through the hub's single join key (one hot, un-splittable
+  * task at crawl scale; measured in BASELINE.md's power-law probe).
+  * Each triangle still closes exactly once (at its unique apex, with
+  * its out-neighbors in ≺ order), then a map-side-combined
+  * explode-count and a broadcast-sized join back onto degrees.
   */
 object Triangles {
 
@@ -47,12 +55,31 @@ object Triangles {
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    // wedges a<b<c through middle vertex b, closed against (a, c)
-    val w = und.toDF("a", "b")
-      .join(und.toDF("b", "c"), "b")
-      .filter(col("a") < col("c")) // redundant given a<b<c, kept explicit
-    val tri = w.join(und.toDF("a", "c"), Seq("a", "c"))
-      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
+    // orient u→v iff (deg(u), u) ≺ (deg(v), v); a < b, so a degree tie
+    // keeps a→b. dv rides along so the apex can ≺-order its
+    // out-neighbors without another degree join.
+    val oriented = und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da"))
+          .as("dv"))
+      .cache() // reused: two wedge sides + the closure side
+    // wedges at the apex: out-neighbor pairs v ≺ w — the apex key u is
+    // the LOWEST-degree vertex of the wedge, so out-degrees (≤ O(√m))
+    // bound every join key's fan-out, hubs included
+    val w = oriented
+      .join(oriented.select(col("u"), col("v").as("w0"),
+        col("dv").as("dw")), "u")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w0")))
+    // the closing edge is oriented v→w0 precisely because v ≺ w0
+    val tri = w.join(
+        oriented.select(col("u").as("v"), col("v").as("w0")),
+        Seq("v", "w0"))
+      .select(explode(array(col("u"), col("v"), col("w0"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
     val out = univ
       .join(deg, Seq("id"), "left")
@@ -65,8 +92,13 @@ object Triangles {
           lit(2.0) * col("triangles") /
             (col("degree").cast("double") *
               (col("degree").cast("double") - lit(1.0)))))
+    // eager materialization, then release both cached relations — the
+    // PageRank convention: callers get a computed frame, not a lazy
+    // plan pinning executor storage
+    val computed = out.localCheckpoint()
+    oriented.unpersist(false)
     und.unpersist(false)
-    out
+    computed
   }
 
   // ---------------------------------------------------------------- q106

@@ -66,6 +66,61 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("graphskew")) {
+      // VERDICT r12 #6: the citation fixture is degree-regular (≈8);
+      // real host graphs are Zipfian. Generate a deterministic
+      // power-law graph — dst log-uniform over ids ("p(rank) ∝ 1/rank":
+      // node 0 alone receives ~1/ln(n) of ALL edges — a genuine hub),
+      // src uniform — and probe the graph family at two edge scales so
+      // superlinear blowups and hot-key funnels show up as a ratio.
+      //   runmain graft.tools.Scratch graphskew [n] [m] [mult]
+      val n = args.lift(1).map(_.toInt).getOrElse(50000)
+      val m0 = args.lift(2).map(_.toLong).getOrElse(400000L)
+      val mult = args.lift(3).map(_.toInt).getOrElse(4)
+      def zipfEdges(m: Long) = spark.range(m).select(
+          pmod(xxhash64(col("id"), lit(2)), lit(n.toLong)).as("src"),
+          (floor(exp(
+            (xxhash64(col("id"), lit(1)).bitwiseAND(lit((1L << 52) - 1))
+              .cast("double") / lit((1L << 52).toDouble)) *
+              lit(math.log(n.toDouble)))) - lit(1L)).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      def noop(df: org.apache.spark.sql.DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      for (m <- Seq(m0, m0 * mult)) {
+        val e = zipfEdges(m).localCheckpoint()
+        val hub = e.groupBy("dst").count()
+          .orderBy(col("count").desc).limit(1).collect()(0)
+        println(s"[scratch] m=$m edges, hottest in-degree node " +
+          s"${hub.getLong(0)}: ${hub.getLong(1)}")
+        time(s"pagerank(5) m=$m") {
+          noop(graft.rel.PageRank.pageRank(e, iters = 5)) }
+        time(s"labelprop(5) m=$m") {
+          noop(graft.rel.LabelProp.labelProp(e, iters = 5)) }
+        time(s"triangles m=$m") {
+          noop(graft.rel.Triangles.triangleStats(e)) }
+        time(s"kcore(k=8,rounds=10) m=$m") {
+          noop(graft.rel.KCore.kCore(e, k = 8, rounds = 10)) }
+      }
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("storeread")) {
+      // VERDICT r12 #7: per-query store-read timings with the store
+      // build amortized — run each named entry 3×; with the sf dir
+      // marked immutable (SPARK_GRAFT_IMMUTABLE_DIRS), run 1 pays the
+      // one-time store build and runs 2-3 measure the READ path only —
+      // the store-family contract (build once / serve many).
+      //   SPARK_GRAFT_IMMUTABLE_DIRS=/tmp/sf1f SPARK_GRAFT_SF_DIR=/tmp/sf1f \
+      //     runmain graft.tools.Scratch storeread nq_agg_asof nq_graph_store
+      args.drop(1).foreach { name =>
+        for (r <- 1 to 3) time(s"$name run$r") {
+          graft.SparkEntry.queries(name)(spark, d)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("profexp")) {
       // profiler cost split: is nq_profile's time the HLL updates, or
       // ALL 47 aggregates running interpreted because one imperative
