@@ -80,6 +80,22 @@ object GraphStore {
       .select("src", "dst")
   }
 
+  /** Streaming ingest — the store-family symmetry ([[AggStore
+    * .aggIngestStream]], `QuantileStore.kllIngestStream`): each
+    * micro-batch of (src, dst) rows lands under its own `batch_id`
+    * partition via foreachBatch. At-least-once redelivery replays
+    * composable batchIds and the partition overwrite makes each replay
+    * byte-idempotent — the batch's own partition IS the fence. The
+    * crawl shape: edges arrive continuously, centrality recomputes
+    * from the accumulated store on demand. */
+  def edgeIngestStream(stream: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyEdgeBatch(batch, storePath, batchId)
+    }
+
   // -------------------------------------------------------- compaction
   /** Horizontal compaction with tombstone fold-in: batches ≤ `through`
     * minus the tombstones collapse into ONE `batch_id=through`

@@ -130,6 +130,26 @@ object JoinView {
       .mode("overwrite").parquet(storePath)
   }
 
+  /** Horizontal compaction: the view store IS an AggStore at
+    * (dim key, dim attr) grain, so folding batches ≤ `through` into one
+    * partition delegates to [[AggStore.compactThrough]] with that
+    * grain — the same associativity argument, crash discipline
+    * (recovery = [[AggStore.pruneThrough]]), and as-of retention trade.
+    * Interaction with the store's two batch kinds after compaction:
+    *   - a REPLAYED dim move whose partition was folded recomputes its
+    *     delta from the compacted store, which already reflects the
+    *     move — no standing mass under the old attribute, an EMPTY
+    *     delta, and the dynamic overwrite writes nothing: still a
+    *     no-op (spec-pinned).
+    *   - a replayed FACT batch below the watermark would RE-ADD its
+    *     partials (its fence partition was folded away) — the usual
+    *     log-structured rule applies: compact only below the
+    *     redelivery horizon (the at-least-once source's committed
+    *     offset), exactly as for AggStore itself. */
+  def compactThrough(s: SparkSession, storePath: String,
+      dimKey: String, dimAttr: String, through: Long): Unit =
+    AggStore.compactThrough(s, storePath, Seq(dimKey, dimAttr), through)
+
   /** Report read: re-aggregate the fine-grained partials to the
     * report grain, dropping fully-retracted rows (the mergeUpsert
     * convention). Derived columns = AggStore's exact fixed trees. */

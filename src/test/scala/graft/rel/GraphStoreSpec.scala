@@ -157,6 +157,36 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming edge ingest: streamed store reads equal the batch " +
+      "path, deletions and as-of compose") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstorestream")
+    try {
+      val store = dir.resolve("g").toString
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long)]
+      val q = GraphStore.edgeIngestStream(
+          stream.toDF.toDF("src", "dst"), store)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData((1L, 2L), (2L, 3L))
+      q.processAllAvailable()
+      stream.addData((3L, 4L), (4L, 1L))
+      q.processAllAvailable()
+      q.stop()
+      GraphStore.deleteEdges(Seq((2L, 3L)).toDF("src", "dst"), store, 0L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((1L, 2L), (3L, 4L), (4L, 1L)))
+      // as-of the first micro-batch: its data only, deletion applies
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(0L))) ===
+        Seq((1L, 2L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("pagerank off the store equals pagerank on the surviving " +
       "direct edge set") {
     val dir = java.nio.file.Files.createTempDirectory("graphstorepr")

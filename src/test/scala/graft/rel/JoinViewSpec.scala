@@ -84,4 +84,44 @@ class JoinViewSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("compaction folds fact batches + the move into one partition; " +
+      "view unchanged; a replayed folded move is an empty no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("joinviewcompact")
+    try {
+      val store = dir.resolve("v").toString
+      (0 until 3).foreach(b => JoinView.applyFactBatch(
+        ord.filter(pmod($"o_orderkey", lit(3)) === b), cust,
+        "o_custkey", "c_custkey", "c_nationkey", "o_totalprice",
+        store, b.toLong))
+      val moves = cust.filter(pmod($"c_custkey", lit(20)) === 1)
+        .select($"c_custkey", $"c_nationkey".as("old_c_nationkey"),
+          (($"c_nationkey" + 1) % 25).as("new_c_nationkey"))
+      JoinView.applyDimMove(spark, moves, "c_custkey", "c_nationkey",
+        store, 3L)
+      val before = viewRows(store)
+
+      JoinView.compactThrough(spark, store, "c_custkey", "c_nationkey",
+        through = 3L)
+      assert(viewRows(store) === before, "compaction must not move answers")
+      val parts = new java.io.File(store).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts === Seq("batch_id=3"), s"originals must prune: $parts")
+
+      // the folded dim move replayed AFTER compaction: the recomputed
+      // delta over the already-moved store is EMPTY — dynamic overwrite
+      // writes nothing, answers and partitions stay put
+      JoinView.applyDimMove(spark, moves, "c_custkey", "c_nationkey",
+        store, 3L)
+      assert(viewRows(store) === before,
+        "a replayed folded move must be an empty no-op")
+      val parts2 = new java.io.File(store).listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts2 === Seq("batch_id=3"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
