@@ -71,15 +71,21 @@ object AggStore {
 
   /** The ONE fenced store write every mutation goes through (insert,
     * retraction, re-score): the batch's own `batch_id=N` partition
-    * under dynamic overwrite. coalesce(1): the output is group-count
-    * rows of a few scalars — one file per batch keeps store files =
-    * batches, not batches × shuffle partitions. */
-  private def writeFencedPartials(partials: DataFrame, storePath: String,
-      batchId: Long): Unit =
-    partials
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write
+    * under dynamic overwrite. singleFile (the default): the output is
+    * group-count rows of a few scalars — one file per batch keeps
+    * store files = batches, not batches × shuffle partitions. Callers
+    * whose grain is DATA-sized (JoinView's (dim key, attr) partials —
+    * a billion-row dimension) pass false and keep natural
+    * partitioning with a per-file cap. */
+  private[rel] def writeFencedPartials(partials: DataFrame,
+      storePath: String, batchId: Long,
+      singleFile: Boolean = true): Unit =
+    (if (singleFile) partials.withColumn("batch_id", lit(batchId))
+        .coalesce(1)
+     else partials.withColumn("batch_id", lit(batchId)))
+      .write
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 10000000L)
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
 
@@ -336,7 +342,8 @@ object AggStore {
     * after a SUCCESSFUL compaction is a no-op (the fold of the folded
     * partition is itself). */
   def compactThrough(s: SparkSession, storePath: String,
-      groupCols: Seq[String], through: Long): Unit = {
+      groupCols: Seq[String], through: Long,
+      singleFile: Boolean = true): Unit = {
     val store = s.read.parquet(storePath)
     val old = store.filter(col("batch_id") <= through)
     // fold: counts/sums re-add, extrema re-extremize — output has the
@@ -351,7 +358,7 @@ object AggStore {
         min("min_val").as("min_val"),
         max("max_val").as("max_val"))
       .localCheckpoint()
-    writeFencedPartials(folded, storePath, through)
+    writeFencedPartials(folded, storePath, through, singleFile)
     pruneThrough(s, storePath, through)
   }
 

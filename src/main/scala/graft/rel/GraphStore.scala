@@ -262,9 +262,52 @@ object GraphStore {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // one compacted store build per immutable driver dir
+  private val compactStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Driver entry (compacted twin — the q81 shared-SQL pattern): the
+    * SAME ingest history as nq_graph_store (3 edge batches + the keyed
+    * deletion), then [[compactThrough]](2) folds everything into one
+    * partition and drains the fully-applied tombstone log, and
+    * PageRank runs off the COMPACTED store. The oracle is
+    * nq_graph_store's verbatim — compaction must be invisible through
+    * the whole rank vector, so a lost edge, a resurrected deleted
+    * pair, or a kept-tombstone bug all hash-fail. */
+  def nqGraphCompact(s: SparkSession, d: String): DataFrame = {
+    def build(): String = {
+      val p = java.nio.file.Files.createTempDirectory("graphcompact")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = s"$p/graph"
+      val e = PageRank.citationEdges(s, d)
+      (0 until 3).foreach(b => applyEdgeBatch(
+        e.filter(pmod(col("src"), lit(3)) === b), path, b.toLong))
+      deleteEdges(
+        e.filter(pmod(col("src") + col("dst"), lit(31)) === 5), path, 0L)
+      compactThrough(s, path, through = 2L)
+      path
+    }
+    val store = if (graft.Tables.isImmutable(d))
+      compactStoreFor.getOrElseUpdate(d, build())
+    else build()
+    val docs = graft.Tables.documents(s, d)
+    PageRank.pageRank(edgesFromStore(s, store), iters = 5,
+        nodes = Some(docs.select(col("doc_id"))))
+      .select(col("id").as("doc_id"), round(col("r"), 6).as("pr"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_graph_store" -> (nqGraphStore _))
+    "nq_graph_store" -> (nqGraphStore _),
+    "nq_graph_compact" -> (nqGraphCompact _))
 
   val oracle: Map[String, String] = Map(
-    "nq_graph_store" -> nqGraphStoreSql)
+    "nq_graph_store" -> nqGraphStoreSql,
+    // compaction is read-invisible BY CONTRACT: the compacted store
+    // must answer the identical SQL the uncompacted one does
+    "nq_graph_compact" -> nqGraphStoreSql)
 }

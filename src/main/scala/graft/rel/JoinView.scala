@@ -148,7 +148,11 @@ object JoinView {
     *     offset), exactly as for AggStore itself. */
   def compactThrough(s: SparkSession, storePath: String,
       dimKey: String, dimAttr: String, through: Long): Unit =
-    AggStore.compactThrough(s, storePath, Seq(dimKey, dimAttr), through)
+    // singleFile = false: the fold is |dim|-grain — data-sized, not
+    // group-count-sized — so it keeps natural partitioning (the same
+    // reasoning as applyFactBatch's un-funneled write)
+    AggStore.compactThrough(s, storePath, Seq(dimKey, dimAttr), through,
+      singleFile = false)
 
   /** Report read: re-aggregate the fine-grained partials to the
     * report grain, dropping fully-retracted rows (the mergeUpsert
@@ -224,9 +228,53 @@ object JoinView {
       |GROUP BY c_nationkey
       |ORDER BY c_nationkey""".stripMargin
 
+  // one compacted view build per immutable driver dir
+  private val compactStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Driver entry (compacted twin): nq_join_view's ingest history —
+    * 3 fact batches + the dimension move — then [[compactThrough]](3)
+    * folds all four partitions into one, and the report reads the
+    * COMPACTED store. Oracle = nq_join_view's verbatim (the q81
+    * shared-SQL pattern): compaction must be invisible through the
+    * exact cents sums. */
+  def nqJoinViewCompact(s: SparkSession, d: String): DataFrame = {
+    def build(): String = {
+      val p = java.nio.file.Files.createTempDirectory("joinviewcompact")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = s"$p/view"
+      val ord = orders(s, d)
+      val cust = customer(s, d)
+      (0 until 3).foreach(b => applyFactBatch(
+        ord.filter(pmod(col("o_orderkey"), lit(3)) === b), cust,
+        "o_custkey", "c_custkey", "c_nationkey", "o_totalprice",
+        path, b.toLong))
+      val moves = cust.filter(pmod(col("c_custkey"), lit(20)) === 1)
+        .select(col("c_custkey"),
+          col("c_nationkey").as("old_c_nationkey"),
+          ((col("c_nationkey") + 1) % 25).as("new_c_nationkey"))
+      applyDimMove(s, moves, "c_custkey", "c_nationkey", path, 3L)
+      compactThrough(s, path, "c_custkey", "c_nationkey", through = 3L)
+      path
+    }
+    val store = if (graft.Tables.isImmutable(d))
+      compactStoreFor.getOrElseUpdate(d, build())
+    else build()
+    viewAtGrain(s, store, "c_nationkey")
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_join_view" -> (nqJoinView _))
+    "nq_join_view" -> (nqJoinView _),
+    "nq_join_view_compact" -> (nqJoinViewCompact _))
 
   val oracle: Map[String, String] = Map(
-    "nq_join_view" -> nqJoinViewSql)
+    "nq_join_view" -> nqJoinViewSql,
+    // compaction is read-invisible by contract — same SQL as the
+    // uncompacted view
+    "nq_join_view_compact" -> nqJoinViewSql)
 }

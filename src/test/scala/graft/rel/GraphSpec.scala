@@ -111,6 +111,27 @@ class GraphSpec extends SparkSpec {
     uni.foreach { case (k, v) => assert(math.abs(ppr(k) - v) < 1e-15) }
   }
 
+  test("personalized pagerank: out-of-universe seeds are excluded from " +
+      "|S| (mass stays 1); a fully-invalid or empty seed set fails loudly") {
+    // seed set {1, 99}: 99 is outside the universe — counting it would
+    // make ps = 1/2 while 99's teleport mass lands nowhere (Σr = 1/2)
+    val r = PageRank.pageRank(edges((1L, 2L)), iters = 4,
+        nodes = Some(nodes(1L, 2L)),
+        seeds = Some(nodes(1L, 99L)))
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12,
+      s"total rank must stay 1 with a partially-invalid seed set: $r")
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(edges((1L, 2L)), iters = 2,
+        nodes = Some(nodes(1L, 2L)), seeds = Some(nodes(99L)))
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.pageRank(edges((1L, 2L)), iters = 2,
+        nodes = Some(nodes(1L, 2L)),
+        seeds = Some(nodes(1L).filter(col("id") < 0)))
+    }
+  }
+
   // ------------------------------------------------------ LabelProp
 
   private def triangle(a: Long, b: Long, c: Long) =
