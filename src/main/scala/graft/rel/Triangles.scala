@@ -55,30 +55,8 @@ object Triangles {
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
-    // orient u→v iff (deg(u), u) ≺ (deg(v), v); a < b, so a degree tie
-    // keeps a→b. dv rides along so the apex can ≺-order its
-    // out-neighbors without another degree join.
-    val oriented = und
-      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
-      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
-      .select(
-        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
-        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"),
-        when(col("da") <= col("db"), col("db")).otherwise(col("da"))
-          .as("dv"))
-      .cache() // reused: two wedge sides + the closure side
-    // wedges at the apex: out-neighbor pairs v ≺ w — the apex key u is
-    // the LOWEST-degree vertex of the wedge, so out-degrees (≤ O(√m))
-    // bound every join key's fan-out, hubs included
-    val w = oriented
-      .join(oriented.select(col("u"), col("v").as("w0"),
-        col("dv").as("dw")), "u")
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w0")))
-    // the closing edge is oriented v→w0 precisely because v ≺ w0
-    val tri = w.join(
-        oriented.select(col("u").as("v"), col("v").as("w0")),
-        Seq("v", "w0"))
+    val oriented = orient(und, deg)
+    val tri = closedWedges(oriented)
       .select(explode(array(col("u"), col("v"), col("w0"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("triangles"))
     val out = univ
@@ -97,6 +75,91 @@ object Triangles {
     // plan pinning executor storage
     val computed = out.localCheckpoint()
     oriented.unpersist(false)
+    und.unpersist(false)
+    computed
+  }
+
+  /** Degree-ordered orientation of a canonical (a < b) simple edge set:
+    * (u, v, dv) with u → v iff (deg(u), u) ≺ (deg(v), v); dv = deg(v)
+    * rides along so the apex can ≺-order its out-neighbors without a
+    * second degree join. CACHED — callers unpersist. */
+  private def orient(und: DataFrame, deg: DataFrame): DataFrame =
+    und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), "b")
+      .select(
+        when(col("da") <= col("db"), col("a")).otherwise(col("b")).as("u"),
+        when(col("da") <= col("db"), col("b")).otherwise(col("a")).as("v"),
+        when(col("da") <= col("db"), col("db")).otherwise(col("da"))
+          .as("dv"))
+      .cache() // reused: two wedge sides + the closure side
+
+  /** One row (u, v, w0) per triangle, closed at its ≺-minimal APEX u:
+    * out-neighbor pairs v ≺ w0 of each apex (key fan-out ≤ out-degree
+    * ≤ O(√m) under the orientation — skew-proof, hubs included),
+    * closed against the oriented edge v → w0. */
+  private def closedWedges(oriented: DataFrame): DataFrame =
+    oriented
+      .join(oriented.select(col("u"), col("v").as("w0"),
+        col("dv").as("dw")), "u")
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w0")))
+      .join(oriented.select(col("u").as("v"), col("v").as("w0")),
+        Seq("v", "w0"))
+      .select(col("u"), col("v"), col("w0"))
+
+  // --------------------------------------------------------- DOULION
+  /** Approximate GLOBAL triangle count by edge sparsification —
+    * DOULION (Tsourakakis, Kang, Miller, Faloutsos 2009 KDD): keep
+    * each canonical edge with probability p = 1/den, count triangles
+    * on the sampled graph, scale by den³ (each triangle survives with
+    * probability p³, so the estimator is unbiased; variance shrinks
+    * as triangles share few edges — the paper's Thm 2). The scale
+    * tier above [[triangleStats]]: the wedge join runs on an
+    * m/den-edge graph, cutting its O(m^{3/2}) bound by den^{3/2}.
+    *
+    * Determinism (what makes this a HASH-oracled contract entry, not a
+    * Monte-Carlo estimate): the coin is `xxhash64(a·2³¹ + b, 42)`
+    * masked to `den − 1` (den a power of two, so the mask is the
+    * parity/low-bits test in BOTH engines — no signed-mod subtlety),
+    * a pure function of the edge — layout-invariant, replayable, and
+    * replicated step-for-step by the DuckDB XXH64 replica. den³ scaling
+    * is exact integer arithmetic. Node ids are assumed < 2³¹ (the
+    * composite key is collision-free then; a collision would only
+    * correlate two edges' coins, never break determinism).
+    *
+    * Returns ONE row: (n_edges, n_edges_sampled, triangles_sampled,
+    * triangles_est). */
+  def triangleCountApprox(edges: DataFrame, den: Int = 2,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(den >= 1 && (den & (den - 1)) == 0,
+      s"den must be a power of two, got $den")
+    val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+      .filter(col("s") =!= col("t"))
+    val und = e0.select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct().cache()
+    // lit(42L), not lit(42): the literal folds as a LONG chunk — the
+    // replica (and every other replica caller) models the long fold
+    val samp = und.filter(
+        (xxhash64(col("a") * lit(1L << 31) + col("b"), lit(42L))
+          .bitwiseAND(lit((den - 1).toLong))) === 0L)
+      .cache()
+    val deg = samp.select(col("a").as("id"))
+      .union(samp.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val oriented = orient(samp, deg)
+    val out = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(samp.agg(count(lit(1)).as("n_edges_sampled"))))
+      .crossJoin(broadcast(closedWedges(oriented)
+        .agg(count(lit(1)).as("triangles_sampled"))))
+      .select(col("n_edges"), col("n_edges_sampled"),
+        col("triangles_sampled"),
+        (col("triangles_sampled") * lit(den.toLong * den * den))
+          .as("triangles_est"))
+    val computed = out.localCheckpoint()
+    oriented.unpersist(false)
+    samp.unpersist(false)
     und.unpersist(false)
     computed
   }
@@ -142,9 +205,45 @@ object Triangles {
        |LEFT JOIN tri ON tri.id = n.id
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- nq_triangles_approx
+  /** Contract entry: DOULION at p = 1/2 over the citation graph. The
+    * oracle replays the WHOLE estimator: the deterministic coin via the
+    * XXH64 replica, the triangle count on the sampled graph (id-ordered
+    * wedge join — fine single-node), and the ×8 integer scaling. */
+  def nqTrianglesApprox(s: SparkSession, d: String): DataFrame =
+    triangleCountApprox(PageRank.citationEdges(s, d), den = 2)
+
+  private[rel] val nqTrianglesApproxSql: String = {
+    // idCol "ek", NOT "k": the replica chain's internal running-hash
+    // column is named k, and a caller column of the same name makes
+    // the chain's arithmetic bind ambiguously
+    val xxh = graft.text.Mixing.xxh64CtesBody("keyed", "ek", ", a, b")
+    s"""WITH ${PageRank.citationEdgesSql},
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       |  FROM edges),
+       |keyed AS (SELECT a, b, a * 2147483648 + b AS ek FROM und),
+       |$xxh,
+       |samp AS MATERIALIZED (
+       |  SELECT a, b FROM r2h WHERE hh % 2 = 0),
+       |tri AS (
+       |  SELECT count(*) AS triangles_sampled
+       |  FROM (SELECT e1.a, e1.b, e2.b AS c2
+       |        FROM samp e1 JOIN samp e2 ON e1.b = e2.a) w
+       |  JOIN samp e3 ON e3.a = w.a AND e3.b = w.c2)
+       |SELECT
+       |  (SELECT count(*) FROM und) AS n_edges,
+       |  (SELECT count(*) FROM samp) AS n_edges_sampled,
+       |  t.triangles_sampled,
+       |  CAST(t.triangles_sampled * 8 AS BIGINT) AS triangles_est
+       |FROM tri t""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q106_triangles" -> (q106Triangles _))
+    "q106_triangles" -> (q106Triangles _),
+    "nq_triangles_approx" -> (nqTrianglesApprox _))
 
   val oracle: Map[String, String] = Map(
-    "q106_triangles" -> q106Sql)
+    "q106_triangles" -> q106Sql,
+    "nq_triangles_approx" -> nqTrianglesApproxSql)
 }

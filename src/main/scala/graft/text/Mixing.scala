@@ -303,7 +303,14 @@ object Mixing {
     * xxhash64(user_id, 42) over events. */
   private[graft] def xxh64CtesOver(table: String, idCol: String,
       extraCols: String): String =
-    s"""WITH c AS (SELECT CAST(18446744073709551616 AS UHUGEINT) AS m64,
+    "WITH " + xxh64CtesBody(table, idCol, extraCols)
+
+  /** The chain WITHOUT the leading `WITH` — for callers that need
+    * their own CTEs defined first (`table` may then be one of them):
+    * `s"WITH myCtes, ${xxh64CtesBody("myCte", ...)}, tail AS ..."`. */
+  private[graft] def xxh64CtesBody(table: String, idCol: String,
+      extraCols: String): String =
+    s"""c AS (SELECT CAST(18446744073709551616 AS UHUGEINT) AS m64,
        |             CAST(11400714785074694791 AS UHUGEINT) AS p1,
        |             CAST(14029467366897019727 AS UHUGEINT) AS p2,
        |             CAST(1609587929392839161 AS UHUGEINT) AS p3,

@@ -238,6 +238,32 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("triangles approx: den=1 keeps every edge and reproduces the " +
+      "exact global count; sampling is a deterministic edge subset") {
+    val k4 = for (i <- 0L to 3L; j <- (i + 1) to 3L) yield (i, j)
+    val full = Triangles.triangleCountApprox(edges(k4: _*), den = 1)
+      .collect()(0)
+    assert(full.getLong(0) === 6L) // K4 edges
+    assert(full.getLong(1) === 6L) // all sampled at p=1
+    assert(full.getLong(2) === 4L) // K4's 4 triangles
+    assert(full.getLong(3) === 4L) // ×1³
+    // den=2 on the sf0.001 citation graph: the sampled set is a
+    // deterministic hash subset (two runs identical), est = 8×sampled
+    val e = PageRank.citationEdges(spark, sf0001)
+    val a = Triangles.triangleCountApprox(e, den = 2).collect()(0)
+    val b = Triangles.triangleCountApprox(e, den = 2).collect()(0)
+    assert(a === b, "the coin is a pure function of the edge")
+    assert(a.getLong(3) === a.getLong(2) * 8)
+    assert(a.getLong(1) < a.getLong(0), "p=1/2 must drop edges")
+    // unbiasedness is DOULION's theorem (E[est] = exact), not a
+    // toy-scale assertion; the hard bound that IS checkable: sampled
+    // triangles are a subset of the exact ones
+    val exact = Triangles.triangleStats(e)
+      .agg(sum("triangles")).collect()(0).getLong(0) / 3
+    assert(a.getLong(2) <= exact,
+      s"sampled ${a.getLong(2)} cannot exceed exact $exact")
+  }
+
   test("triangles: a path has none; direction and parallel edges are " +
       "canonicalized away") {
     // path 1-2-3 plus the same edges reversed AND duplicated
