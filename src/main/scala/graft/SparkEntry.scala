@@ -50,7 +50,8 @@ object SparkEntry {
       rel.PageRank.queries ++ rel.Hits.queries ++ rel.Seasonal.queries ++
       sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries ++
       rel.GraphStore.queries ++ rel.KCore.queries ++
-      rel.JoinView.queries ++ text.QuantileNorm.queries
+      rel.JoinView.queries ++ text.QuantileNorm.queries ++
+      rel.Cusum.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -242,5 +243,9 @@ object SparkEntry {
       rel.JoinView.oracle ++
       // round-12: cross-group quantile normalization — integer ranks
       // through one fixed interpolation tree, replicated verbatim
-      text.QuantileNorm.oracle
+      text.QuantileNorm.oracle ++
+      // round-13: CUSUM changepoint detection — exact hourly cents,
+      // fixed moment trees, and the sequential recurrence replayed by
+      // a recursive CTE (the nq_holt discipline)
+      rel.Cusum.oracle
 }

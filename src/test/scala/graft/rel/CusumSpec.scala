@@ -1,0 +1,52 @@
+package graft.rel
+
+import graft.SparkSpec
+
+/** CUSUM changepoint detection: hand-computable step-shift fixture
+  * (every statistic closed-form), the constant-series degenerate case,
+  * and the contract entry's shape at sf0.001.
+  */
+class CusumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(pts: (String, Long, Long)*) =
+    pts.toSeq.toDF("k", "x", "y_cents")
+
+  test("step shift: both sides alarm with the closed-form schedule") {
+    // 20 points at 100c then 20 at 200c: mu = 150c, sigma = 50c,
+    // slack = 25c, threshold = 200c. s− climbs 25c/step through the
+    // low half (alarms from step 9, decays 75c/step after the shift,
+    // last alarm at step 23); s+ climbs 25c/step through the high half
+    // (alarms from step 29 to the end). 27 alarmed points in all.
+    val pts = (1L to 20L).map(i => ("a", i, 100L)) ++
+      (21L to 40L).map(i => ("a", i, 200L))
+    val r = Cusum.cusum(series(pts: _*), "k", "x").collect()(0)
+    assert(r.getLong(1) === 40L)            // n_points
+    assert(r.getDouble(2) === 1.5)          // mean_val
+    assert(r.getDouble(3) === 0.5)          // std_val
+    assert(r.getDouble(4) === 5.0)          // max_spos = 20·25c
+    assert(r.getDouble(5) === 5.0)          // max_sneg = 20·25c
+    assert(r.getLong(6) === 27L)            // alarmed points
+    assert(r.getLong(7) === 9L)             // first alarm
+  }
+
+  test("constant series: sigma 0, cusums flat 0, never alarms") {
+    val pts = (1L to 10L).map(i => ("c", i, 500L))
+    val r = Cusum.cusum(series(pts: _*), "k", "x").collect()(0)
+    assert(r.getDouble(3) === 0.0)
+    assert(r.getDouble(4) === 0.0 && r.getDouble(5) === 0.0)
+    assert(r.getLong(6) === 0L)
+    assert(r.isNullAt(7), "no alarm => null first_alarm_x")
+  }
+
+  test("q110 contract entry: one row per event type, deterministic") {
+    val a = Cusum.q110Cusum(spark, sf0001).collect()
+    val b = Cusum.q110Cusum(spark, sf0001).collect()
+    assert(a.length === 5, "five event types")
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    a.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) >= 0.0)
+      assert(r.getLong(6) >= 0L)
+    }
+  }
+}
