@@ -37,10 +37,26 @@ object Zipf {
       .groupBy("w").agg(count(lit(1)).as("c"))
     val totals = counts.agg(count(lit(1)).as("n_types"),
       sum("c").as("n_tokens"))
+    // topK selection via the engine's bounded top_k aggregate, NOT a
+    // vocabulary-wide window: row_number() with no partition would
+    // funnel the ENTIRE vocabulary (easily 10⁹ types on web text)
+    // through one sort task just to keep 10⁴ rows, where the heap
+    // aggregate's exchange carries ≤ (k+1)·partitions rows (the q80
+    // shape, plan-guarded). The window that ASSIGNS ranks then runs
+    // over the ≤ topK survivors only — the q27 limit-before-ranking
+    // rule. Tie direction at the boundary differs from (c desc, w asc)
+    // — struct ordering keeps the LARGEST w among equal counts — but
+    // every fit statistic is tie-invariant: boundary candidates share
+    // c (identical y), and the rank SET 1..topK is fixed, so each
+    // regression sum is unchanged term-for-term (the oracle keeps the
+    // original order and round-4 absorbs FP summation order as ever).
+    graft.functions.VecFunctions.register(docs.sparkSession)
     val ranked = counts
+      .agg(expr(s"top_k(struct(c, w), $topK)").as("tk"))
+      .select(explode(col("tk")).as("s"))
+      .select(col("s.c").as("c"), col("s.w").as("w"))
       .withColumn("r",
         row_number().over(Window.orderBy(col("c").desc, col("w"))))
-      .filter(col("r") <= topK)
     val lx = log(col("r").cast("double"))
     val ly = log(col("c").cast("double"))
     val m = ranked.agg(count(lit(1)).as("n_ranks"),

@@ -45,6 +45,31 @@ class ZipfSpec extends SparkSpec {
       s"uniform exponent ${u.getDouble(3)}, expected ~0")
   }
 
+  test("topK selection is the bounded heap aggregate, never a " +
+      "vocabulary-wide window (plan guard)") {
+    val df = graft.SparkEntry.queries("nq_zipf")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the r13 rewrite's property: the cut comes from top_k's map-side
+    // partial (exchange ≤ (k+1)·partitions rows), not a single-task
+    // row_number over every vocabulary type; the only Window ranks the
+    // ≤ topK survivors of the heap
+    assert(plan.contains("partial_top_k"),
+      s"expected the heap aggregate's partial phase:\n$plan")
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val wins = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow => w }
+    wins.foreach { w =>
+      // every window input must descend from the top_k explode, i.e.
+      // contain the aggregate — not scan the raw counts relation
+      assert(w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("top_k"))
+            => a }.nonEmpty,
+        s"a window ranks something other than the top_k survivors:\n$w")
+    }
+  }
+
   test("totals are exact and topK caps the ranks") {
     val df = planted(1.0, 50, 100)
     val full = fitOf(df)
