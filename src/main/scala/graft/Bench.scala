@@ -179,7 +179,14 @@ object Bench {
     // round-12 continued: the incremental join-view read (~0.41 s —
     // a fine-grain-to-report re-aggregate over the store alone; a
     // fact-table rescan sneaking into the read path would jump it)
-    "nq_join_view")
+    "nq_join_view",
+    // round-13: the store-backed quantile calibration read (~0.35 s
+    // with the standing sketches memoized — the zero-shuffle ingest
+    // path: batch × broadcast binary searches; a window or a corpus
+    // rescan sneaking in would jump it). The summary-line change made
+    // the stdout tail size-invariant, so additions no longer risk the
+    // r10/r11 truncation; the ≤0.5 s budget still applies
+    "nq_qnorm_store")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -169,6 +169,85 @@ object QuantileNorm {
     (result, items.toSeq.toDF("v", "w"))
   }
 
+  // ----------------------------------------------------- store-backed
+  /** Calibrate an INCOMING batch against PERSISTED distributions — the
+    * ingest-path form (nq_qnorm_approx computes both sides from the
+    * corpus in one job; a production pipeline fits the calibration
+    * nightly and applies it to each arriving batch): the standing
+    * per-group KLL sketches give the batch doc's within-group
+    * percentile (cumulative weight strictly below its score over total
+    * group weight), the standing GLOBAL sketch gives the calibrated
+    * value at that percentile (the approx form's interpolation tree,
+    * verbatim). Zero windows, zero shuffle: the batch maps once over
+    * two broadcast item tables with O(log items) binary searches per
+    * row. Docs whose group has no standing sketch calibrate to NULL
+    * (a new language is a curation decision, not a silent 0.5).
+    *
+    * pct convention (own definition, spec-tied to the exact form's
+    * rank band): ng = 1 pins 0.5 (the q109 singleton rule), else
+    * min(1, cwBelow/(ng−1)) — a batch score above every standing item
+    * caps at the top quantile. */
+  def calibrateFromSketches(batch: DataFrame, groupCol: String,
+      idCol: String, scoreCol: String,
+      groupItems: Map[String, Array[(Double, Long)]],
+      globalItems: Array[(Double, Long)]): DataFrame = {
+    val s = batch.sparkSession
+    require(globalItems.nonEmpty, "calibrateFromSketches: empty global")
+    def prefix(items: Array[(Double, Long)])
+        : (Array[Double], Array[Long]) = {
+      val vs = items.map(_._1)
+      val cw = new Array[Long](items.length)
+      var acc = 0L; var i = 0
+      while (i < items.length) { acc += items(i)._2; cw(i) = acc; i += 1 }
+      (vs, cw)
+    }
+    val (gv, gcw) = prefix(globalItems)
+    val nGlob = gcw.last
+    val byGroup = groupItems.map { case (g, it) => g -> prefix(it) }
+    val bc = s.sparkContext.broadcast((byGroup, gv, gcw, nGlob))
+    def firstAbove(cw: Array[Long], t: Long): Int = {
+      var lo = 0; var hi = cw.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cw(mid) > t) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    def firstGe(vs: Array[Double], x: Double): Int = {
+      var lo = 0; var hi = vs.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (vs(mid) >= x) hi = mid else lo = mid + 1
+      }
+      lo
+    }
+    val cal = udf { (g: String, x: Double) =>
+      val (groups, gvs, gcws, n) = bc.value
+      groups.get(g).map { case (vs, cws) =>
+        val ng = cws.last
+        val i = firstGe(vs, x)
+        val cwBelow = if (i == 0) 0L else cws(i - 1)
+        // the fixed tree, mirrored in the oracle SQL
+        val pct =
+          if (ng == 1L) 0.5
+          else math.min(1.0, cwBelow.toDouble / (ng - 1L).toDouble)
+        val p = pct * (n - 1L).toDouble
+        val lo = math.floor(p).toLong
+        val frac = p - lo.toDouble
+        val vlo = gvs(firstAbove(gcws, lo))
+        val i2 = firstAbove(gcws, lo + 1)
+        val vhi = if (i2 < gvs.length) gvs(i2) else vlo
+        (pct, vlo + frac * (vhi - vlo))
+      }
+    }
+    batch
+      .select(col(idCol), col(groupCol), col(scoreCol))
+      .withColumn("r",
+        cal(col(groupCol), col(scoreCol).cast("double")))
+      .select(col(idCol), col(groupCol), col(scoreCol),
+        col("r._1").as("pct"), col("r._2").as("calibrated"))
+  }
+
   // ---------------------------------------------------------------- q109
   /** Contract entry: per-language n_chars distributions calibrated to
     * the global one. round(,6); scores positive, no sign guard. */
@@ -276,11 +355,133 @@ object QuantileNorm {
        |FROM lu
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------ nq_qnorm_store
+  // one store build (collected item tables) per immutable driver dir
+  private val storeFor = scala.collection.concurrent.TrieMap
+    .empty[String, (Map[String, Array[(Double, Long)]],
+      Array[(Double, Long)])]
+
+  /** Driver entry: the corpus splits into standing history (doc_id %
+    * 7 ≠ 3, ingested as 3 fenced KLL-store batches per lang + 3 for
+    * the global sketch) and an incoming batch (doc_id % 7 = 3)
+    * calibrated against the MERGED store reads alone. The oracle
+    * re-runs the whole estimator over the two dumped item tables —
+    * cwBelow, the capped percentile, and the global interpolation —
+    * so a wrong prefix sum, a broken group lookup, or a cap miss all
+    * hash-fail. */
+  def nqQnormStore(s: SparkSession, d: String, k: Int = 256): DataFrame = {
+    import s.implicits._
+    def build(): (Map[String, Array[(Double, Long)]],
+        Array[(Double, Long)]) = {
+      val p = java.nio.file.Files.createTempDirectory("qnormstore")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val history = graft.Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(7)) =!= 3)
+      val langPath = s"$p/lang.parquet"
+      val globPath = s"$p/glob.parquet"
+      (0 until 3).foreach { b =>
+        val slice = history.filter(pmod(col("doc_id"), lit(3)) === b)
+        graft.rel.QuantileStore.applyBatch(slice, Seq("lang"), "n_chars",
+          langPath, b.toLong, k)
+        graft.rel.QuantileStore.applyBatch(slice, Seq(), "n_chars",
+          globPath, b.toLong, k)
+      }
+      // ONE materialization each (the partial-merge-order discipline):
+      // the collected arrays feed BOTH the lookup and the oracle dump
+      val byLang = graft.rel.QuantileStore
+        .sketchesFromStore(s, langPath, Seq("lang"), k)
+        .select(col("lang"), explode(col("sk")).as("it"))
+        .select(col("lang"), col("it.v"), col("it.w"))
+        .as[(String, Double, Long)].collect()
+        .groupBy(_._1).map { case (g, rows) =>
+          g -> rows.map(r => (r._2, r._3)).sortBy(r => (r._1, r._2)) }
+      val glob = graft.rel.QuantileStore
+        .sketchesFromStore(s, globPath, Seq(), k)
+        .select(explode(col("sk")).as("it"))
+        .select(col("it.v"), col("it.w"))
+        .as[(Double, Long)].collect().sortBy(r => (r._1, r._2))
+      (byLang, glob)
+    }
+    val (byLang, glob) = if (graft.Tables.isImmutable(d))
+      storeFor.getOrElseUpdate(d, build())
+    else build()
+    graft.OracleDump.dump(
+      byLang.toSeq.flatMap { case (g, it) =>
+        it.map(x => (g, x._1, x._2)) }.toDF("lang", "v", "w"),
+      s"$DumpDir/nq_qnorm_store_group.parquet")
+    graft.OracleDump.dump(glob.toSeq.toDF("v", "w"),
+      s"$DumpDir/nq_qnorm_store_global.parquet")
+    val batch = graft.Tables.documents(s, d)
+      .filter(pmod(col("doc_id"), lit(7)) === 3)
+    calibrateFromSketches(batch, "lang", "doc_id", "n_chars",
+        byLang, glob)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("pct"), 6).as("pct"),
+        round(col("calibrated"), 6).as("calibrated"))
+      .orderBy("doc_id")
+  }
+
+  private[text] val nqQnormStoreSql: String =
+    s"""WITH batch AS (
+       |  SELECT doc_id, lang, n_chars FROM documents
+       |  WHERE doc_id % 7 = 3),
+       |gi AS (
+       |  SELECT lang, v, w
+       |  FROM read_parquet('$DumpDir/nq_qnorm_store_group.parquet/*.parquet')),
+       |gbl AS (
+       |  SELECT v, w
+       |  FROM read_parquet('$DumpDir/nq_qnorm_store_global.parquet/*.parquet')),
+       |gcum AS (
+       |  SELECT v, w,
+       |    sum(w) OVER (ORDER BY v, w ROWS UNBOUNDED PRECEDING) AS cw
+       |  FROM gbl),
+       |nn AS (SELECT CAST(sum(w) AS BIGINT) AS nn FROM gbl),
+       |ngs AS (SELECT lang, CAST(sum(w) AS BIGINT) AS ng
+       |        FROM gi GROUP BY lang),
+       |below AS (
+       |  SELECT b.doc_id, b.lang, b.n_chars, n.ng,
+       |    COALESCE((SELECT CAST(sum(g2.w) AS BIGINT) FROM gi g2
+       |              WHERE g2.lang = b.lang
+       |                AND g2.v < CAST(b.n_chars AS DOUBLE)), 0) AS cwb
+       |  FROM batch b LEFT JOIN ngs n USING (lang)),
+       |px AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    CASE WHEN ng IS NULL THEN NULL
+       |         WHEN ng = 1 THEN 0.5
+       |         ELSE least(1.0,
+       |           CAST(cwb AS DOUBLE) / CAST(ng - 1 AS DOUBLE)) END AS pct
+       |  FROM below),
+       |pp AS (
+       |  SELECT p.*, nn.nn, pct * CAST(nn - 1 AS DOUBLE) AS p
+       |  FROM px p CROSS JOIN nn),
+       |ll AS (
+       |  SELECT *, CAST(floor(p) AS BIGINT) AS lo,
+       |    p - CAST(CAST(floor(p) AS BIGINT) AS DOUBLE) AS frac
+       |  FROM pp),
+       |lu AS (
+       |  SELECT l.doc_id, l.lang, l.n_chars, l.pct, l.frac,
+       |    min(CASE WHEN c.cw > l.lo THEN c.v END) AS vlo,
+       |    min(CASE WHEN c.cw > l.lo + 1 THEN c.v END) AS vhi
+       |  FROM ll l CROSS JOIN gcum c
+       |  GROUP BY l.doc_id, l.lang, l.n_chars, l.pct, l.frac)
+       |SELECT doc_id, lang, n_chars,
+       |  round(pct, 6) AS pct,
+       |  round(vlo + frac * (COALESCE(vhi, vlo) - vlo), 6) AS calibrated
+       |FROM lu
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_quantile_norm" -> (q109QuantileNorm _),
-    "nq_qnorm_approx" -> (nqQnormApprox _))
+    "nq_qnorm_approx" -> (nqQnormApprox _),
+    "nq_qnorm_store" -> ((s: SparkSession, d: String) =>
+      nqQnormStore(s, d)))
 
   val oracle: Map[String, String] = Map(
     "q109_quantile_norm" -> q109Sql,
-    "nq_qnorm_approx" -> nqQnormApproxSql)
+    "nq_qnorm_approx" -> nqQnormApproxSql,
+    "nq_qnorm_store" -> nqQnormStoreSql)
 }

@@ -105,6 +105,48 @@ class QuantileNormSpec extends SparkSpec {
       "exact form should still rank globally (non-vacuity)")
   }
 
+  test("store-backed calibration: hand-computed lookups, cap at the " +
+      "top quantile, singleton group pins 0.5, unknown group is NULL") {
+    val groupItems = Map(
+      "A" -> Array((10.0, 1L), (20.0, 1L), (30.0, 1L), (40.0, 1L)),
+      "B" -> Array((100.0, 1L), (200.0, 1L)),
+      "C" -> Array((7.0, 1L)))
+    val globalItems = Array((10.0, 1L), (20.0, 1L), (30.0, 1L),
+      (40.0, 1L), (100.0, 1L), (200.0, 1L))
+    val batch = Seq(
+      (7L, "A", 25L),   // cwBelow 2/3 -> interpolate 40..100 at 1/3
+      (8L, "B", 50L),   // below everything -> pct 0 -> global min
+      (9L, "Z", 1L),    // unknown group -> NULL
+      (10L, "B", 300L), // above everything -> pct caps at 1 -> max
+      (11L, "C", 99L))  // singleton group -> pct 0.5 -> midpoint 30..40
+      .toDF("doc_id", "lang", "n_chars")
+    val out = QuantileNorm.calibrateFromSketches(batch, "lang", "doc_id",
+        "n_chars", groupItems, globalItems)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getDouble(3),
+          r.getDouble(4))))).toMap
+    def close(a: Double, b: Double) = math.abs(a - b) < 1e-9
+    assert(close(out(7L).get._1, 2.0 / 3.0) && close(out(7L).get._2, 60.0))
+    assert(out(8L).get === ((0.0, 10.0)))
+    assert(out(9L) === None)
+    assert(out(10L).get === ((1.0, 200.0)))
+    assert(close(out(11L).get._1, 0.5) && close(out(11L).get._2, 35.0))
+  }
+
+  test("nq_qnorm_store: calibrates exactly the incoming batch, pct in " +
+      "[0,1], deterministic across calls") {
+    val a = QuantileNorm.nqQnormStore(spark, sf0001).collect()
+    val expected = graft.Tables.documents(spark, sf0001)
+      .filter($"doc_id" % 7 === 3).count()
+    assert(a.length.toLong === expected)
+    a.foreach { r =>
+      assert(!r.isNullAt(3), "every sf0.001 lang has standing history")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val b = QuantileNorm.nqQnormStore(spark, sf0001).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("monotone within group: higher raw score never calibrates lower") {
     val out = QuantileNorm.q109QuantileNorm(spark, sf0001)
       .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(4)))
