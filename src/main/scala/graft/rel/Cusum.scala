@@ -100,6 +100,95 @@ object Cusum {
       .orderBy(keyCol)
   }
 
+  /** The shared recurrence fold: alarms emitted per point, carry-in/
+    * carry-out state — ONE implementation behind the batch and
+    * streaming monitors so their equivalence is structural. */
+  private def foldAlarms(key: String, pts: Array[(Long, Long)],
+      muc: Double, sigc: Double, k: Double, h: Double,
+      init: (Double, Double))
+      : (Array[(String, Long, Double, Double)], (Double, Double)) = {
+    val slack = k * sigc
+    val thresh = h * sigc
+    var sp = init._1; var sn = init._2
+    val out = pts.flatMap { p =>
+      val x = p._2.toDouble
+      sp = math.max(0.0, sp + (x - muc - slack))
+      sn = math.max(0.0, sn + (muc - x - slack))
+      if (sp > thresh || sn > thresh) Some((key, p._1, sp, sn)) else None
+    }
+    (out, (sp, sn))
+  }
+
+  /** Batch alarm rows against a FROZEN baseline (keyCol → (μc, σc) in
+    * cents — fitted offline, e.g. from [[cusum]]'s mean/std over a
+    * reference window): (key, x, spos, sneg) for every alarmed point.
+    * Keys without a baseline emit nothing (monitoring an unmodeled
+    * stream is a configuration decision, not a silent default). */
+  def cusumAlarms(series: DataFrame, keyCol: String, xCol: String,
+      baseline: Map[String, (Double, Double)],
+      k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val s = series.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(baseline)
+    series
+      .select(col(keyCol).cast("string"), col(xCol).cast("long"),
+        col("y_cents").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        bc.value.get(key) match {
+          case None => Iterator.empty
+          case Some((muc, sigc)) =>
+            foldAlarms(key, it.toArray.sortBy(_._2).map(p => (p._2, p._3)),
+              muc, sigc, k, h, (0.0, 0.0))._1.iterator
+        }
+      }
+      .toDF(keyCol, xCol, "spos", "sneg")
+      .orderBy(keyCol, xCol)
+  }
+
+  /** Streaming monitor — the control chart's deploy shape: per-key
+    * CUSUM state carried ACROSS micro-batches via
+    * flatMapGroupsWithState, alarms emitted as they occur. The
+    * baseline is FROZEN (the streaming family's frozen-LM /
+    * frozen-threshold convention: a monitor that refits itself on the
+    * data it is judging isn't a monitor). Within a micro-batch rows
+    * fold in xCol order; the recurrence is order-sensitive, so
+    * correctness across batches requires per-key in-order delivery
+    * (the ingest-gate family's documented delivery contract — a
+    * watermark-bounded reorder buffer is the relaxation, not built
+    * here). Spec pins: split delivery ≡ one batch ≡ [[cusumAlarms]]. */
+  def cusumAlarmsStream(stream: DataFrame, keyCol: String, xCol: String,
+      baseline: Map[String, (Double, Double)],
+      k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val s = stream.sparkSession
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(baseline)
+    val kk = k; val hh = h
+    stream
+      .select(col(keyCol).cast("string"), col(xCol).cast("long"),
+        col("y_cents").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Double, Double),
+        (String, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (key, it, state) =>
+          bc.value.get(key) match {
+            case None => Iterator.empty
+            case Some((muc, sigc)) =>
+              val (out, next) = foldAlarms(key,
+                it.toArray.sortBy(_._2).map(p => (p._2, p._3)),
+                muc, sigc, kk, hh,
+                state.getOption.getOrElse((0.0, 0.0)))
+              state.update(next)
+              out.iterator
+          }
+      }
+      .toDF(keyCol, xCol, "spos", "sneg")
+  }
+
   // ---------------------------------------------------------------- q110
   /** Driver entry: hourly revenue per event type, CUSUM at the
     * textbook k=0.5 / h=4. Hour bucketing and cents quantization share

@@ -39,6 +39,48 @@ class CusumSpec extends SparkSpec {
     assert(r.isNullAt(7), "no alarm => null first_alarm_x")
   }
 
+  test("streaming monitor: split micro-batch delivery equals one batch " +
+      "equals the batch monitor; unmodeled keys emit nothing") {
+    // the step fixture's self-fit baseline: mu = 150c, sigma = 50c
+    val baseline = Map("a" -> (150.0, 50.0))
+    val pts = (1L to 20L).map(i => ("a", i, 100L)) ++
+      (21L to 40L).map(i => ("a", i, 200L)) ++
+      (1L to 40L).map(i => ("zz", i, 999L)) // no baseline -> silent
+    val batchAlarms = Cusum.cusumAlarms(
+        series(pts: _*), "k", "x", baseline)
+      .collect().map(_.toSeq).toSeq
+    // closed-form schedule: s- alarms steps 9..23, s+ steps 29..40
+    assert(batchAlarms.map(_(1)) ===
+      ((9L to 23L) ++ (29L to 40L)).map(x => x: Any))
+    assert(!batchAlarms.exists(_(0) == "zz"))
+
+    val dir = java.nio.file.Files.createTempDirectory("cusumstream")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long, Long)]
+      val q = Cusum.cusumAlarmsStream(
+          stream.toDF.toDF("k", "x", "y_cents"), "k", "x", baseline)
+        .writeStream.format("memory").queryName("cusum_alarms")
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .outputMode("append").start()
+      // in-order split delivery: state must carry across the batches
+      stream.addData(pts.filter(p => p._1 != "a" || p._2 <= 20))
+      q.processAllAvailable()
+      stream.addData(pts.filter(p => p._1 == "a" && p._2 > 20))
+      q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("cusum_alarms")
+        .orderBy("k", "x").collect().map(_.toSeq).toSeq
+      assert(streamed === batchAlarms,
+        "streamed alarms must equal the batch monitor exactly")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("q110 contract entry: one row per event type, deterministic") {
     val a = Cusum.q110Cusum(spark, sf0001).collect()
     val b = Cusum.q110Cusum(spark, sf0001).collect()
