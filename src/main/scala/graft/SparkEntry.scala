@@ -51,7 +51,7 @@ object SparkEntry {
       sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries ++
       rel.GraphStore.queries ++ rel.KCore.queries ++
       rel.JoinView.queries ++ text.QuantileNorm.queries ++
-      rel.Cusum.queries
+      rel.Cusum.queries ++ sources.ImageDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -247,5 +247,9 @@ object SparkEntry {
       // round-13: CUSUM changepoint detection — exact hourly cents,
       // fixed moment trees, and the sequential recurrence replayed by
       // a recursive CTE (the nq_holt discipline)
-      rel.Cusum.oracle
+      rel.Cusum.oracle ++
+      // round-13: perceptual image near-dup — integer-luma dHash bits,
+      // banded hamming join; DuckDB re-derives bits, pairs, and
+      // distances from the dumped 9×9 grids (the image-decode pattern)
+      sources.ImageDedup.oracle
 }

@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image near-duplicate detection — the multimodal member
+  * of the dedup family (documents have exact/MinHash/SimHash/substring
+  * dedup; a multimodal corpus needs the same gate for re-encoded,
+  * brightness-shifted, or lightly-edited image copies that byte-level
+  * hashing can never catch):
+  *
+  *   - dHash (difference hash — the gradient variant of Krawetz's
+  *     average hash, the standard cheap perceptual fingerprint): decode
+  *     → bilinear resize to a 9×9 luma grid → 64 bits, bit (r, c) =
+  *     [luma(r, c) < luma(r, c+1)] over the first 8 rows/cols. Small
+  *     photometric edits preserve luma ORDER almost everywhere, so
+  *     copies land within a few bits.
+  *   - candidate pairs via the banded hamming join (the SimHash
+  *     machinery): 8 bands of 8 bits; two hashes within hamming ≤ 7
+  *     share at least one band by pigeonhole, so an equi-join on
+  *     (band, band value) has PERFECT recall at the threshold — never
+  *     corpus² work; candidates then verify exact `bit_count(xor)`.
+  *
+  * Everything after the JDK decode is integer (milli-luma 299r + 587g
+  * + 114b — the ImageSource convention), so the oracle re-derives the
+  * bits, the pairs, and the hamming distances from the dumped 9×9
+  * grids with no float anywhere.
+  *
+  * Scale shape: one decode+hash map pass (no shuffle), an 8-way
+  * explode of 8-byte band keys, and an equi-join whose output is
+  * collision-sized. The exact-verify is per-candidate O(1).
+  */
+object ImageDedup {
+
+  /** Deterministic blocky-noise PNG: 4×4-pixel blocks colored by a
+    * seeded mix (channels bounded ≤ 191 so the +brightness variant
+    * never clamps — a pure luma shift preserves every gradient sign),
+    * with one optional "edited" block. Block structure survives the
+    * 9×9 resize, which pixelwise noise would not — the perceptual-hash
+    * premise needs IMAGES with structure, unlike the gradient ramps of
+    * [[ImageSource.generateImages]] (whose dHashes would all collide:
+    * every ramp has the same luma order). */
+  private[sources] def renderBlockPng(seed: Long, dim: Int,
+      brightness: Int, editBlock: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      dim, dim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def mix(a: Long, b: Long, c: Long): Int = {
+      var x = a * 0x9e3779b97f4a7c15L + b * 0xc2b2ae3d27d4eb4fL + c
+      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 29)
+      (x & 0x7fffffff).toInt
+    }
+    var y = 0
+    while (y < dim) {
+      var x = 0
+      while (x < dim) {
+        val (bx, by) = (x / 4, y / 4)
+        val edited = editBlock && bx == 2 && by == 2
+        val s2 = if (edited) seed ^ 0x5555aaaa5555aaaaL else seed
+        // base range [0, 187]: +brightness (≤ 4) can never clamp, so a
+        // brightness variant shifts every luma by EXACTLY 4000 milli —
+        // gradient signs provably identical, hamming provably 0
+        val r = mix(s2, bx, by) % 188 + brightness
+        val g = mix(s2, bx, by + 1000) % 188 + brightness
+        val b = mix(s2, bx, by + 2000) % 188 + brightness
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private val Dim = 32
+  private val Grid = 9 // 9×9 luma grid → 8×8 = 64 gradient bits
+  private val Threshold = 7 // pigeonhole bound of 8 bands × 8 bits
+
+  /** (image_id, content): one 32×32 block-noise PNG per doc, plus
+    * planted perceptual duplicates — doc_id ≡ 0 (mod 10) gets a
+    * brightness-shifted copy (id + 10⁶; hamming 0 by the no-clamp
+    * construction, bytes entirely different) and doc_id ≡ 5 (mod 10)
+    * a one-block edit (id + 2·10⁶; a few flipped bits). */
+  def generateDedupImages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d).select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val seed = id * 0x9e3779b97f4a7c15L + 17
+          val base = Iterator((id, renderBlockPng(seed, Dim, 0, false)))
+          val variant =
+            if (id % 10 == 0)
+              Iterator((id + 1000000L,
+                renderBlockPng(seed, Dim, 4, false)))
+            else if (id % 10 == 5)
+              Iterator((id + 2000000L,
+                renderBlockPng(seed, Dim, 0, true)))
+            else Iterator.empty
+          base ++ variant
+        }
+      }
+      .toDF("image_id", "content")
+  }
+
+  /** 64-bit dHash of one encoded image; None when undecodable. */
+  private[sources] def dhash(bytes: Array[Byte]): Option[Long] =
+    ImageSource.resizedRgb(bytes, Grid).map { case (_, _, px) =>
+      def luma(i: Int): Long = {
+        val p = px(i)
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+      }
+      var h = 0L
+      var r = 0
+      while (r < Grid - 1) {
+        var c = 0
+        while (c < Grid - 1) {
+          if (luma(r * Grid + c) < luma(r * Grid + c + 1))
+            h |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
+  /** (image_id, dhash) for every decodable image — one map pass. */
+  def dhashes(images: DataFrame): DataFrame = {
+    val s = images.sparkSession
+    import s.implicits._
+    images.select(col("image_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) => dhash(bytes).map(h => (id, h)) }
+      }
+      .toDF("image_id", "h")
+  }
+
+  /** All pairs within hamming ≤ `threshold` (≤ 7: the 8-band recall
+    * guarantee) — (img_a, img_b, hamming), a < b. */
+  def nearDupPairs(hashes: DataFrame, threshold: Int = Threshold)
+      : DataFrame = {
+    require(threshold >= 0 && threshold <= 7,
+      s"8 bands of 8 bits guarantee recall only to hamming 7, " +
+        s"got $threshold")
+    val banded = hashes.select(col("image_id"), col("h"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bv", expr("shiftright(h, band * 8) & 255L"))
+    val cand = banded.select(col("band"), col("bv"),
+        col("image_id").as("img_a"), col("h").as("ha"))
+      .join(banded.select(col("band"), col("bv"),
+        col("image_id").as("img_b"), col("h").as("hb")),
+        Seq("band", "bv"))
+      .filter(col("img_a") < col("img_b"))
+      .select("img_a", "img_b", "ha", "hb").distinct()
+    cand
+      .withColumn("hamming",
+        expr("bit_count(ha ^ hb)").cast("long"))
+      .filter(col("hamming") <= threshold)
+      .select(col("img_a"), col("img_b"), col("hamming"))
+  }
+
+  // ---------------------------------------------------- nq_image_neardup
+  /** Driver entry: hash the planted corpus, find all pairs within
+    * hamming ≤ 7. The oracle re-derives the BITS (integer luma
+    * comparisons over the dumped 9×9 grids), every pair's hamming, and
+    * the threshold — so a hash-bit bug, a banding recall miss, or a
+    * verify drift all hash-fail. */
+  def nqImageNeardup(s: SparkSession, d: String): DataFrame = {
+    val images = generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = Grid, tag = "dedup9")
+    nearDupPairs(dhashes(images))
+      .orderBy("img_a", "img_b")
+  }
+
+  private val Dump = ImageSource.OracleDumpDir
+
+  private[sources] val nqImageNeardupSql: String =
+    s"""WITH lum AS (
+       |  SELECT image_id, px,
+       |    299 * r + 587 * g + 114 * b AS l
+       |  FROM read_parquet('$Dump/image_px_dedup9.parquet/*.parquet')),
+       |bits AS (
+       |  SELECT a.image_id,
+       |    (a.px // 9) * 8 + (a.px % 9) AS bit,
+       |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS v
+       |  FROM lum a JOIN lum b
+       |    ON b.image_id = a.image_id AND b.px = a.px + 1
+       |  WHERE a.px % 9 < 8 AND a.px // 9 < 8),
+       |pairs AS (
+       |  SELECT x.image_id AS img_a, y.image_id AS img_b,
+       |    CAST(count(CASE WHEN x.v <> y.v THEN 1 END) AS BIGINT)
+       |      AS hamming
+       |  FROM bits x JOIN bits y
+       |    ON x.bit = y.bit AND x.image_id < y.image_id
+       |  GROUP BY 1, 2)
+       |SELECT img_a, img_b, hamming FROM pairs
+       |WHERE hamming <= 7
+       |ORDER BY img_a, img_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_image_neardup" -> (nqImageNeardup _))
+
+  val oracle: Map[String, String] = Map(
+    "nq_image_neardup" -> nqImageNeardupSql)
+}

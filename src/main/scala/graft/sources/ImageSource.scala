@@ -75,7 +75,7 @@ object ImageSource {
   /** Decode + bilinear resize, shared by the feature pass and the
     * oracle pixel dump: (original w, original h, row-major RGB ints of
     * the resizeTo×resizeTo bitmap), None when undecodable. */
-  private def resizedRgb(bytes: Array[Byte],
+  private[sources] def resizedRgb(bytes: Array[Byte],
       resizeTo: Int): Option[(Int, Int, Array[Int])] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
@@ -157,7 +157,8 @@ object ImageSource {
     * and the resized bitmap as per-pixel rows (image_id, px, r, g, b).
     * DuckDB re-runs the whole feature aggregation — channel means,
     * integer-luma histogram binning — from these. */
-  private def dumpPixels(s: SparkSession, images: DataFrame, resizeTo: Int,
+  private[sources] def dumpPixels(s: SparkSession, images: DataFrame,
+      resizeTo: Int,
       tag: String): Unit = if (graft.OracleDump.enabled) {
     import s.implicits._
     val src = images.select(col("image_id").cast("long"), col("content"))

@@ -1,0 +1,57 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Perceptual image dedup: the planted corpus is fully recovered with
+  * zero incidental pairs, the brightness variant is a provable
+  * hamming-0 twin, the banded join keeps its pigeonhole recall
+  * guarantee on hand-built hashes, and the plan never goes quadratic.
+  */
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("planted corpus: every variant pairs with its original, " +
+      "brightness twins at hamming 0, nothing else surfaces") {
+    val pairs = ImageDedup.nqImageNeardup(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ids = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    val bright = ids.filter(_ % 10 == 0).map(i => (i, i + 1000000L)).toSet
+    val edits = ids.filter(_ % 10 == 5).map(i => (i, i + 2000000L)).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(bright.subsetOf(found), "every brightness twin must be found")
+    assert(edits.subsetOf(found), "every edited copy must be found")
+    assert(found === bright ++ edits,
+      s"no incidental pairs expected, got ${found -- bright -- edits}")
+    // the no-clamp construction makes brightness a pure luma shift:
+    // gradient signs identical, hamming EXACTLY 0 (different bytes!)
+    pairs.filter(p => bright.contains((p._1, p._2)))
+      .foreach(p => assert(p._3 === 0L, s"brightness pair $p"))
+    pairs.foreach(p => assert(p._3 <= 7L))
+  }
+
+  test("banded join recall: any hamming <= 7 pair shares a band (hand " +
+      "fixture at the exact boundary)") {
+    // 7 bits spread over 7 different bands: band 8 still matches
+    val h7 = (0 until 7).map(b => 1L << (b * 8 + 3)).sum
+    val hashes = Seq((1L, 0L), (2L, h7)).toDF("image_id", "h")
+    val out = ImageDedup.nearDupPairs(hashes).collect()
+    assert(out.length === 1 && out(0).getLong(2) === 7L)
+    // threshold above the guarantee is rejected loudly
+    intercept[IllegalArgumentException] {
+      ImageDedup.nearDupPairs(hashes, threshold = 8)
+    }
+  }
+
+  test("hashing is deterministic and the pair plan never goes quadratic") {
+    val img = ImageDedup.renderBlockPng(42L, 32, 0, false)
+    assert(ImageDedup.dhash(img) === ImageDedup.dhash(img))
+    val df = ImageDedup.nearDupPairs(
+      ImageDedup.dhashes(ImageDedup.generateDedupImages(spark, sf0001)))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded join must stay an equi-join:\n$plan")
+  }
+}
