@@ -51,7 +51,8 @@ object SparkEntry {
       sim.Mmr.queries ++ rel.LabelProp.queries ++ rel.Triangles.queries ++
       rel.GraphStore.queries ++ rel.KCore.queries ++
       rel.JoinView.queries ++ text.QuantileNorm.queries ++
-      rel.Cusum.queries ++ sources.ImageDedup.queries
+      rel.Cusum.queries ++ sources.ImageDedup.queries ++
+      audio.AudioDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -251,5 +252,8 @@ object SparkEntry {
       // round-13: perceptual image near-dup — integer-luma dHash bits,
       // banded hamming join; DuckDB re-derives bits, pairs, and
       // distances from the dumped 9×9 grids (the image-decode pattern)
-      sources.ImageDedup.oracle
+      sources.ImageDedup.oracle ++
+      // round-13: perceptual audio near-dup — spectral time-gradient
+      // fingerprint over dumped energy grids, same banded machinery
+      audio.AudioDedup.oracle
 }
