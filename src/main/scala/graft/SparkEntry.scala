@@ -52,7 +52,7 @@ object SparkEntry {
       rel.GraphStore.queries ++ rel.KCore.queries ++
       rel.JoinView.queries ++ text.QuantileNorm.queries ++
       rel.Cusum.queries ++ sources.ImageDedup.queries ++
-      audio.AudioDedup.queries
+      audio.AudioDedup.queries ++ sources.VideoDedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -255,5 +255,8 @@ object SparkEntry {
       sources.ImageDedup.oracle ++
       // round-13: perceptual audio near-dup — spectral time-gradient
       // fingerprint over dumped energy grids, same banded machinery
-      audio.AudioDedup.oracle
+      audio.AudioDedup.oracle ++
+      // round-13: cross-video frame reuse — per-frame dHash through
+      // the demuxer, image oracle verbatim over packed frame ids
+      sources.VideoDedup.oracle
 }

@@ -1,0 +1,165 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-video FRAME-REUSE detection — the video member of the
+  * multimodal dedup family (text / image / audio already have one):
+  * real MJPEG-AVI containers are parsed ([[VideoSource.parseAvi]] —
+  * the JDK-only demuxer), every frame dHashes through the image
+  * pipeline ([[ImageDedup.dhash]] works on any ImageIO-decodable
+  * bytes, JPEG included), and cross-video frame pairs surface through
+  * the SHARED banded-hamming join. The curation shape: a crawl full
+  * of re-containered / re-muxed copies duplicates FRAMES while no two
+  * video FILES share a byte — frame-level perceptual hashing is the
+  * standard gate (the image dHash lifted over the time axis).
+  *
+  * Identity packing: a frame is `video_id · 100 + frame_idx` (frame
+  * counts ≪ 100 here; a production table keys (video, frame)
+  * directly) so the banded join machinery applies unchanged; the
+  * output unpacks both sides and keeps CROSS-video pairs only —
+  * within-video self-similarity is static-scene detection, a
+  * different operator.
+  *
+  * Oracle: the image oracle verbatim over per-frame 9×9 luma grids
+  * (dumped through [[ImageSource.dumpPixels]] with the packed id),
+  * plus the cross-video filter and unpacking.
+  */
+object VideoDedup {
+
+  private val FramesPerVideo = 6
+  private val Dim = 32
+
+  /** Block-noise JPEG frame (the [[ImageDedup.renderBlockPng]]
+    * construction, JPEG-encoded): frames need STRUCTURE for a
+    * perceptual hash — [[VideoSource.jpegFrame]]'s gradient ramps all
+    * share one luma order and would collide corpus-wide. JPEG loss is
+    * irrelevant here: dHash reads the DECODED pixels, and the planted
+    * reuse copies frame BYTES, so its hashes match exactly. */
+  private[sources] def blockJpegFrame(seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      Dim, Dim, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def mix(a: Long, b: Long, c: Long): Int = {
+      var x = a * 0x9e3779b97f4a7c15L + b * 0xc2b2ae3d27d4eb4fL + c
+      x ^= (x >>> 33); x *= 0xff51afd7ed558ccdL; x ^= (x >>> 29)
+      (x & 0x7fffffff).toInt
+    }
+    var y = 0
+    while (y < Dim) {
+      var x = 0
+      while (x < Dim) {
+        val (bx, by) = (x / 4, y / 4)
+        val r = mix(seed, bx, by) % 256
+        val g = mix(seed, bx, by + 1000) % 256
+        val b = mix(seed, bx, by + 2000) % 256
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  /** (video_id, content): one 6-frame block-noise AVI per documents
+    * row with doc_id ≡ 0 (mod 5); doc_id ≡ 0 (mod 10) additionally
+    * plants a re-containered PARTIAL COPY (id + 10⁶): its first 3
+    * frames are byte-identical to the base video's LAST 3, followed by
+    * 3 fresh frames — no two FILES share bytes, the reused frames do. */
+  def generateDedupVideos(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          def frame(vid: Long, f: Int) = blockJpegFrame(
+            vid * 0x9e3779b97f4a7c15L + f.toLong * 0xc2b2ae3d27d4eb4fL)
+          val baseFrames = (0 until FramesPerVideo).map(frame(id, _))
+          val base = Iterator(
+            (id, VideoSource.aviBytes(baseFrames, 4, Dim, Dim)))
+          val variant = if (id % 10 == 0) {
+            val reused = baseFrames.takeRight(3) ++
+              (0 until 3).map(frame(id + 1000000L, _))
+            Iterator((id + 1000000L,
+              VideoSource.aviBytes(reused, 4, Dim, Dim)))
+          } else Iterator.empty
+          base ++ variant
+        }
+      }
+      .toDF("video_id", "content")
+  }
+
+  /** (packed frame id, jpeg bytes) for every demuxable frame. */
+  private def frames(videos: DataFrame): DataFrame = {
+    val s = videos.sparkSession
+    import s.implicits._
+    videos.select(col("video_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, avi) =>
+          VideoSource.parseAvi(avi).iterator.flatMap { case (_, _, fs) =>
+            fs.iterator.zipWithIndex.map { case (jpeg, f) =>
+              (id * 100L + f, jpeg)
+            }
+          }
+        }
+      }
+      .toDF("image_id", "content")
+  }
+
+  // ---------------------------------------------------- nq_video_neardup
+  private val Dump = ImageSource.OracleDumpDir
+
+  /** Driver entry: demux, dHash every frame, surface CROSS-video frame
+    * pairs within hamming ≤ 7 — (vid_a, frame_a, vid_b, frame_b,
+    * hamming). The oracle re-derives the bits from the dumped per-frame
+    * grids and applies the same unpack + cross-video filter. */
+  def nqVideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val fr = frames(generateDedupVideos(s, d))
+    ImageSource.dumpPixels(s, fr, resizeTo = 9, tag = "vdedup9")
+    ImageDedup.nearDupPairs(ImageDedup.dhashes(fr))
+      .filter(expr("img_a DIV 100") =!= expr("img_b DIV 100"))
+      .select(
+        expr("img_a DIV 100").as("vid_a"),
+        pmod(col("img_a"), lit(100L)).as("frame_a"),
+        expr("img_b DIV 100").as("vid_b"),
+        pmod(col("img_b"), lit(100L)).as("frame_b"),
+        col("hamming"))
+      .orderBy("vid_a", "frame_a", "vid_b", "frame_b")
+  }
+
+  private[sources] val nqVideoNeardupSql: String =
+    s"""WITH lum AS (
+       |  SELECT image_id, px,
+       |    299 * r + 587 * g + 114 * b AS l
+       |  FROM read_parquet('$Dump/image_px_vdedup9.parquet/*.parquet')),
+       |bits AS (
+       |  SELECT a.image_id,
+       |    (a.px // 9) * 8 + (a.px % 9) AS bit,
+       |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS v
+       |  FROM lum a JOIN lum b
+       |    ON b.image_id = a.image_id AND b.px = a.px + 1
+       |  WHERE a.px % 9 < 8 AND a.px // 9 < 8),
+       |pairs AS (
+       |  SELECT x.image_id AS img_a, y.image_id AS img_b,
+       |    CAST(count(CASE WHEN x.v <> y.v THEN 1 END) AS BIGINT)
+       |      AS hamming
+       |  FROM bits x JOIN bits y
+       |    ON x.bit = y.bit AND x.image_id < y.image_id
+       |  GROUP BY 1, 2)
+       |SELECT img_a // 100 AS vid_a, img_a % 100 AS frame_a,
+       |  img_b // 100 AS vid_b, img_b % 100 AS frame_b, hamming
+       |FROM pairs
+       |WHERE hamming <= 7 AND img_a // 100 <> img_b // 100
+       |ORDER BY vid_a, frame_a, vid_b, frame_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_video_neardup" -> (nqVideoNeardup _))
+
+  val oracle: Map[String, String] = Map(
+    "nq_video_neardup" -> nqVideoNeardupSql)
+}
