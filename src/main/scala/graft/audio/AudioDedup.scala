@@ -19,10 +19,10 @@ import org.apache.spark.sql.functions._
   *     cell by the same factor, so within-band time ORDER — and
   *     therefore every bit — is preserved: re-leveled copies land at
   *     hamming ~0, which no byte- or sample-hash can do;
-  *   - candidates via the shared 8-band pigeonhole join
+  *   - candidates via the shared block-pair pigeonhole join
   *     ([[graft.sources.ImageDedup.nearDupPairs]] — perfect recall to
-  *     hamming 7, collision-sized work, never corpus²), exact
-  *     `bit_count` verify.
+  *     hamming 6 through C(8,2) 16-bit keys, collision-sized work,
+  *     never corpus²), exact `bit_count` verify.
   *
   * The oracle re-derives bits, pairs, and distances from the DUMPED
   * energy grids (doubles round-trip parquet bit-exactly, so the
@@ -128,7 +128,7 @@ object AudioDedup {
   private val DumpDir = "/tmp/graft_audiodedup_oracle"
 
   /** Driver entry: fingerprint the planted clip corpus, find all pairs
-    * within hamming ≤ 7 via the shared banded join. The dumped energy
+    * within hamming ≤ 6 via the shared banded join. The dumped energy
     * grids let DuckDB re-derive every bit and every distance. */
   def nqAudioNeardup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -169,7 +169,7 @@ object AudioDedup {
        |    ON x.bit = y.bit AND x.clip_id < y.clip_id
        |  GROUP BY 1, 2)
        |SELECT clip_a, clip_b, hamming FROM pairs
-       |WHERE hamming <= 7
+       |WHERE hamming <= 6
        |ORDER BY clip_a, clip_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

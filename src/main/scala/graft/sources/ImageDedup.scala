@@ -15,20 +15,23 @@ import org.apache.spark.sql.functions._
   *     [luma(r, c) < luma(r, c+1)] over the first 8 rows/cols. Small
   *     photometric edits preserve luma ORDER almost everywhere, so
   *     copies land within a few bits.
-  *   - candidate pairs via the banded hamming join (the SimHash
-  *     machinery): 8 bands of 8 bits; two hashes within hamming ≤ 7
-  *     share at least one band by pigeonhole, so an equi-join on
-  *     (band, band value) has PERFECT recall at the threshold — never
-  *     corpus² work; candidates then verify exact `bit_count(xor)`.
+  *   - candidate pairs via the block-pair hamming join (Manku et al.
+  *     2007, see [[nearDupPairs]]): two hashes within hamming ≤ 6
+  *     leave at least two of the 8 8-bit blocks clean, so an
+  *     equi-join on the C(8,2) concatenated 16-bit block-pair keys
+  *     has PERFECT recall at the threshold — never corpus² work;
+  *     candidates then verify exact `bit_count(xor)`.
   *
   * Everything after the JDK decode is integer (milli-luma 299r + 587g
   * + 114b — the ImageSource convention), so the oracle re-derives the
   * bits, the pairs, and the hamming distances from the dumped 9×9
   * grids with no float anywhere.
   *
-  * Scale shape: one decode+hash map pass (no shuffle), an 8-way
-  * explode of 8-byte band keys, and an equi-join whose output is
-  * collision-sized. The exact-verify is per-candidate O(1).
+  * Scale shape: one decode+hash map pass (no shuffle), a 28-way
+  * explode of 16-bit block-pair keys, and an equi-join whose output
+  * is collision-sized (~28·n²/2¹⁶ random collisions — measured and
+  * fixed in BASELINE.md after the 8-bit single-block first cut went
+  * quadratic at 60k items). The exact-verify is per-candidate O(1).
   */
 object ImageDedup {
 
@@ -74,7 +77,7 @@ object ImageDedup {
 
   private val Dim = 32
   private val Grid = 9 // 9×9 luma grid → 8×8 = 64 gradient bits
-  private val Threshold = 7 // pigeonhole bound of 8 bands × 8 bits
+  private val Threshold = 6 // pigeonhole bound of the block-PAIR keys
 
   /** (image_id, content): one 32×32 block-noise PNG per doc, plus
     * planted perceptual duplicates — doc_id ≡ 0 (mod 10) gets a
@@ -139,21 +142,40 @@ object ImageDedup {
       .toDF("image_id", "h")
   }
 
-  /** All pairs within hamming ≤ `threshold` (≤ 7: the 8-band recall
-    * guarantee) — (img_a, img_b, hamming), a < b. */
+  /** All pairs within hamming ≤ `threshold` (≤ 6) —
+    * (img_a, img_b, hamming), a < b.
+    *
+    * Candidate keys are BLOCK PAIRS (Manku, Jain & Das Sarma 2007,
+    * "Detecting Near-Duplicates for Web Crawling" — the permuted-table
+    * construction specialized to 8 blocks): with ≤ 6 errors over 8
+    * 8-bit blocks, at least TWO blocks are clean (pigeonhole), so any
+    * qualifying pair shares one of the C(8,2) = 28 concatenated
+    * 16-bit block-pair keys — perfect recall at the threshold. The
+    * first round-13 cut used single 8-bit blocks, which collide
+    * quadratically once the corpus outgrows the 256-value key space
+    * (measured ×33 runtime for ×10 images at 60k items — n²/256 per
+    * band); 16-bit keys cut random collisions ×256 at the price of 28
+    * vs 8 exploded rows and one hamming level (7 → 6) of guaranteed
+    * reach. */
   def nearDupPairs(hashes: DataFrame, threshold: Int = Threshold)
       : DataFrame = {
-    require(threshold >= 0 && threshold <= 7,
-      s"8 bands of 8 bits guarantee recall only to hamming 7, " +
-        s"got $threshold")
+    require(threshold >= 0 && threshold <= 6,
+      s"28 block-pair keys over 8 blocks guarantee recall only to " +
+        s"hamming 6, got $threshold")
+    // the 28 (b1 < b2) block pairs, packed as b1·8 + b2 literals
+    val pairsLit = array((for {
+      b1 <- 0 until 8; b2 <- (b1 + 1) until 8
+    } yield lit(b1 * 8 + b2)): _*)
     val banded = hashes.select(col("image_id"), col("h"),
-        explode(sequence(lit(0), lit(7))).as("band"))
-      .withColumn("bv", expr("shiftright(h, band * 8) & 255L"))
-    val cand = banded.select(col("band"), col("bv"),
+        explode(pairsLit).as("bp"))
+      .withColumn("bv", expr(
+        "(shiftright(h, (bp DIV 8) * 8) & 255L) * 256L + " +
+          "(shiftright(h, (bp % 8) * 8) & 255L)"))
+    val cand = banded.select(col("bp"), col("bv"),
         col("image_id").as("img_a"), col("h").as("ha"))
-      .join(banded.select(col("band"), col("bv"),
+      .join(banded.select(col("bp"), col("bv"),
         col("image_id").as("img_b"), col("h").as("hb")),
-        Seq("band", "bv"))
+        Seq("bp", "bv"))
       .filter(col("img_a") < col("img_b"))
       .select("img_a", "img_b", "ha", "hb").distinct()
     cand
@@ -165,7 +187,7 @@ object ImageDedup {
 
   // ---------------------------------------------------- nq_image_neardup
   /** Driver entry: hash the planted corpus, find all pairs within
-    * hamming ≤ 7. The oracle re-derives the BITS (integer luma
+    * hamming ≤ 6. The oracle re-derives the BITS (integer luma
     * comparisons over the dumped 9×9 grids), every pair's hamming, and
     * the threshold — so a hash-bit bug, a banding recall miss, or a
     * verify drift all hash-fail. */
@@ -198,7 +220,7 @@ object ImageDedup {
        |    ON x.bit = y.bit AND x.image_id < y.image_id
        |  GROUP BY 1, 2)
        |SELECT img_a, img_b, hamming FROM pairs
-       |WHERE hamming <= 7
+       |WHERE hamming <= 6
        |ORDER BY img_a, img_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -115,7 +115,7 @@ object VideoDedup {
   private val Dump = ImageSource.OracleDumpDir
 
   /** Driver entry: demux, dHash every frame, surface CROSS-video frame
-    * pairs within hamming ≤ 7 — (vid_a, frame_a, vid_b, frame_b,
+    * pairs within hamming ≤ 6 — (vid_a, frame_a, vid_b, frame_b,
     * hamming). The oracle re-derives the bits from the dumped per-frame
     * grids and applies the same unpack + cross-video filter. */
   def nqVideoNeardup(s: SparkSession, d: String): DataFrame = {
@@ -154,7 +154,7 @@ object VideoDedup {
        |SELECT img_a // 100 AS vid_a, img_a % 100 AS frame_a,
        |  img_b // 100 AS vid_b, img_b % 100 AS frame_b, hamming
        |FROM pairs
-       |WHERE hamming <= 7 AND img_a // 100 <> img_b // 100
+       |WHERE hamming <= 6 AND img_a // 100 <> img_b // 100
        |ORDER BY vid_a, frame_a, vid_b, frame_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

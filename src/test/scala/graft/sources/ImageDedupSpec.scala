@@ -27,19 +27,20 @@ class ImageDedupSpec extends SparkSpec {
     // gradient signs identical, hamming EXACTLY 0 (different bytes!)
     pairs.filter(p => bright.contains((p._1, p._2)))
       .foreach(p => assert(p._3 === 0L, s"brightness pair $p"))
-    pairs.foreach(p => assert(p._3 <= 7L))
+    pairs.foreach(p => assert(p._3 <= 6L))
   }
 
-  test("banded join recall: any hamming <= 7 pair shares a band (hand " +
-      "fixture at the exact boundary)") {
-    // 7 bits spread over 7 different bands: band 8 still matches
-    val h7 = (0 until 7).map(b => 1L << (b * 8 + 3)).sum
-    val hashes = Seq((1L, 0L), (2L, h7)).toDF("image_id", "h")
+  test("block-pair join recall: any hamming <= 6 pair shares a clean " +
+      "block pair (hand fixture at the exact boundary)") {
+    // 6 bits spread over 6 different blocks: blocks 7 and 8 are both
+    // clean, so the (7,8) block-pair key still matches
+    val h6 = (0 until 6).map(b => 1L << (b * 8 + 3)).sum
+    val hashes = Seq((1L, 0L), (2L, h6)).toDF("image_id", "h")
     val out = ImageDedup.nearDupPairs(hashes).collect()
-    assert(out.length === 1 && out(0).getLong(2) === 7L)
+    assert(out.length === 1 && out(0).getLong(2) === 6L)
     // threshold above the guarantee is rejected loudly
     intercept[IllegalArgumentException] {
-      ImageDedup.nearDupPairs(hashes, threshold = 8)
+      ImageDedup.nearDupPairs(hashes, threshold = 7)
     }
   }
 
