@@ -273,7 +273,7 @@ object Bench {
     // summary's length is INVARIANT in the headline-set size (~140
     // chars + the sf path), so growth can never truncate it.
     println(full)
-    println(summaryLine(results, sfDir))
+    println(summaryLine(results, sfDir, out))
     System.out.flush()
   }
 
@@ -294,10 +294,13 @@ object Bench {
   /** The driver-facing summary: total + counts only, NO per-query map —
     * its length does not grow with the headline set, so the driver's
     * 2000-char stdout tail can never truncate it (BenchLineSpec pins
-    * the bound). Per-query values live in bench_out.json. */
+    * the bound). Per-query values live in `queriesFile` — the RESOLVED
+    * output path (SPARK_GRAFT_BENCH_OUT may override the default, and
+    * the pointer must follow it). */
   private[graft] def summaryLine(results: Seq[(String, Double)],
-      sfDir: String): String =
-    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","n_queries":${results.size},"queries_file":"bench_out.json","sf":"$sfDir"}"""
+      sfDir: String,
+      queriesFile: String = "/root/repo/bench_out.json"): String =
+    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","n_queries":${results.size},"queries_file":"$queriesFile","sf":"$sfDir"}"""
 
   private[graft] def totalOf(results: Seq[(String, Double)]): Double =
     results.map(_._2).filter(_ >= 0).sum

@@ -58,7 +58,16 @@ object Cusum {
         val pts = it.toArray.sortBy(_._2)
         val n = pts.length
         var cs = 0L; var css = 0L
-        pts.foreach { p => cs += p._3; css += p._3 * p._3 }
+        // checked accumulation: an hourly sum ≥ ~3.04e9 cents overflows
+        // Long on the square. The oracle's BIGINT multiply RAISES there;
+        // unchecked += would silently wrap Spark-side — addExact/
+        // multiplyExact make the engine fail as loudly as the oracle
+        // (the documented < 2^53 assumption covers the sums, not their
+        // squares, so the squares get a hard guard instead)
+        pts.foreach { p =>
+          cs = Math.addExact(cs, p._3)
+          css = Math.addExact(css, Math.multiplyExact(p._3, p._3))
+        }
         // the fixed tree, in CENTS (mirrored literally in the oracle)
         val nd = n.toDouble
         val csd = cs.toDouble

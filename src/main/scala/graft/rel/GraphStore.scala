@@ -26,6 +26,29 @@ object GraphStore {
 
   private def tombDir(storePath: String) = s"$storePath/_edge_tombstones"
   private def dataDir(storePath: String) = s"$storePath/edges"
+  // the tombstone-log swap staging dir — see compactThrough's crash notes
+  private def tombNextDir(storePath: String) = s"$storePath/_edge_tombstones_next"
+
+  private def fsOf(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Where the CURRENT tombstone log lives: the log dir itself, or —
+    * inside [[compactThrough]]'s swap window (old log deleted, rename
+    * of the fully-written replacement not yet done) — the staged
+    * `_edge_tombstones_next`. Readers never mutate; compactThrough
+    * completes the rename on its next entry. A stale `next` alongside
+    * a live log (crash before the delete) is ignored: the log is
+    * authoritative and the next run overwrites the staging dir. */
+  private def tombReadDir(s: SparkSession, storePath: String)
+      : Option[String] = {
+    val fs = fsOf(s, storePath)
+    if (fs.exists(new org.apache.hadoop.fs.Path(tombDir(storePath))))
+      Some(tombDir(storePath))
+    else if (fs.exists(new org.apache.hadoop.fs.Path(tombNextDir(storePath))))
+      Some(tombNextDir(storePath))
+    else None
+  }
 
   /** Ingest one edge batch under its own fenced partition.
     *
@@ -69,15 +92,15 @@ object GraphStore {
       asOfBatch: Option[Long] = None): DataFrame = {
     val data = CardinalityStore.asOf(
       s.read.parquet(dataDir(storePath)), asOfBatch)
-    val p = new org.apache.hadoop.fs.Path(tombDir(storePath))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) data.select("src", "dst")
-    else data.join(
-        broadcast(s.read.parquet(tombDir(storePath))
-          .select(col("src").as("ts"), col("dst").as("td")).distinct()),
-        col("src") === col("ts") && col("dst") === col("td"),
-        "left_anti")
-      .select("src", "dst")
+    tombReadDir(s, storePath) match {
+      case None => data.select("src", "dst")
+      case Some(dir) => data.join(
+          broadcast(s.read.parquet(dir)
+            .select(col("src").as("ts"), col("dst").as("td")).distinct()),
+          col("src") === col("ts") && col("dst") === col("td"),
+          "left_anti")
+        .select("src", "dst")
+    }
   }
 
   /** Streaming ingest — the store-family symmetry ([[AggStore
@@ -123,17 +146,38 @@ object GraphStore {
     * edge set and the surviving tombstone set BOTH materialize
     * (localCheckpoint) before any store file moves; then (1) the folded
     * partition writes under dynamic overwrite, (2) the folded originals
-    * prune, (3) the tombstone log rewrites. A crash between (1) and (2)
-    * double-counts batches < through — recovery is [[pruneEdgesThrough]]
-    * (idempotent), NOT a re-run. A crash before (3) leaves the log
-    * unshrunk, which every read tolerates (anti-joining an
-    * already-removed pair is a no-op) and a re-run completes. A re-run
-    * after success is a full no-op: the fold of the folded partition is
-    * itself, and the kept-tombstone set is a fixpoint. */
+    * prune, (3) the tombstone log swaps through a staged sibling. A
+    * crash between (1) and (2) double-counts batches < through —
+    * recovery is [[pruneEdgesThrough]] (idempotent), NOT a re-run. A
+    * crash before or during (3) leaves either the old log (unshrunk —
+    * every read tolerates it: anti-joining an already-removed pair is a
+    * no-op) or the fully-written staged replacement (readers fall back
+    * to it, [[tombReadDir]]); a re-run completes the swap on entry.
+    * Step (3) is never a bare full-dir overwrite: Spark's
+    * mode("overwrite") deletes the target before committing, so a crash
+    * mid-rewrite would lose tombstones still needed to suppress copies
+    * in batches > through. Instead the kept set writes COMPLETELY to
+    * `_edge_tombstones_next`, then delete-old + rename-staged — each
+    * window leaves one complete, readable log. A re-run after success
+    * is a full no-op: the fold of the folded partition is itself, and
+    * the kept-tombstone set is a fixpoint.
+    *
+    * EMPTY-FOLD case, handled explicitly: if every edge in batches ≤
+    * `through` is tombstoned, the dynamic partition overwrite writes NO
+    * partitions — an existing `batch_id=through` partition would keep
+    * its stale (all-deleted) edges while their tombstones age out of
+    * the log, silently resurrecting erased pairs on every later read.
+    * The fold target is deleted outright instead (the erasure contract
+    * outranks the fence's write-only discipline here). */
   def compactThrough(s: SparkSession, storePath: String,
       through: Long): Unit = {
+    val fs = fsOf(s, storePath)
     val tp = new org.apache.hadoop.fs.Path(tombDir(storePath))
-    val fs = tp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val np = new org.apache.hadoop.fs.Path(tombNextDir(storePath))
+    // recover an interrupted log swap: old log deleted, staged
+    // replacement not yet renamed — finish the rename before reading
+    if (!fs.exists(tp) && fs.exists(np)) require(fs.rename(np, tp),
+      s"cannot complete interrupted tombstone-log swap at $np")
     val hasTombs = fs.exists(tp)
     val tombs =
       if (hasTombs) s.read.parquet(tombDir(storePath))
@@ -150,35 +194,70 @@ object GraphStore {
           col("src") === col("ts") && col("dst") === col("td"),
           "left_anti")
       else old).localCheckpoint()
-    // surviving tombstones: still needed iff a copy exists in a batch
-    // beyond the fold. Materialized before the log rewrite (it reads
-    // the dir it replaces).
+    // surviving tombstones — materialized before the log swap (it
+    // reads the dir the swap replaces)
     val kept = if (hasTombs)
-        s.read.parquet(tombDir(storePath))
-          .join(data.filter(col("batch_id") > through)
-              .select(col("src").as("ks"), col("dst").as("kd")).distinct(),
-            col("src") === col("ks") && col("dst") === col("kd"),
-          "left_semi").localCheckpoint()
+        keptTombstones(s, storePath, through).localCheckpoint()
       else null
-    folded
-      .withColumn("batch_id", lit(through))
-      .write
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", 10000000L)
-      .partitionBy("batch_id")
-      .mode("overwrite").parquet(dataDir(storePath))
-    pruneEdgesThrough(s, storePath, through)
-    if (hasTombs) {
-      // full-dir overwrite (not dynamic): dropped tombstones must leave
-      // the log, whatever batch partition they arrived under. The log
-      // is erasure-request-sized, so the rewrite is tiny. A fully-
-      // drained log deletes the dir outright (readers probe existence;
-      // a schema-less empty parquet dir would fail their read).
-      if (kept.isEmpty) fs.delete(tp, true)
-      else kept.coalesce(1).write
+    if (folded.isEmpty) {
+      pruneEdgesThrough(s, storePath, through)
+      val tgt = new org.apache.hadoop.fs.Path(
+        s"${dataDir(storePath)}/batch_id=$through")
+      if (fs.exists(tgt)) fs.delete(tgt, true)
+    } else {
+      folded
+        .withColumn("batch_id", lit(through))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", 10000000L)
         .partitionBy("batch_id")
-        .mode("overwrite").parquet(tombDir(storePath))
+        .mode("overwrite").parquet(dataDir(storePath))
+      pruneEdgesThrough(s, storePath, through)
     }
+    if (hasTombs) {
+      if (kept.isEmpty) {
+        // fully-drained log: delete outright (readers probe existence;
+        // a schema-less empty parquet dir would fail their read). The
+        // stale staging dir goes FIRST — were the log deleted first, a
+        // crash between the two would leave readers falling back to an
+        // outdated `next` full of already-dropped tombstones.
+        if (fs.exists(np)) fs.delete(np, true)
+        fs.delete(tp, true)
+      } else {
+        // staged swap: write the kept set completely, then delete-old +
+        // rename — see the crash notes above
+        kept.coalesce(1).write
+          .partitionBy("batch_id")
+          .mode("overwrite").parquet(tombNextDir(storePath))
+        fs.delete(tp, true)
+        require(fs.rename(np, tp),
+          s"cannot swap staged tombstone log $np into place")
+      }
+    }
+  }
+
+  /** The tombstones [[compactThrough]] must keep: exactly those whose
+    * (src, dst) still has a copy in a batch > `through`. The plan never
+    * exchanges the edge relation: the erasure-sized tombstone set
+    * broadcasts INTO the newer edges (one narrow pass — matches are
+    * tombstone-copy-sized), the match keys distinct down to at most the
+    * log's own size, and the log semi-joins that broadcast result. The
+    * former shape (`log SEMI JOIN (newer edges).distinct()`) forced a
+    * full (src, dst) exchange of every batch beyond the fold just to
+    * dedup a side a semi-join never needed deduped. */
+  private[rel] def keptTombstones(s: SparkSession, storePath: String,
+      through: Long): DataFrame = {
+    val tombs = s.read.parquet(tombDir(storePath))
+      .select(col("src").as("ts"), col("dst").as("td")).distinct()
+    val survivingPairs = s.read.parquet(dataDir(storePath))
+      .filter(col("batch_id") > through)
+      .join(broadcast(tombs),
+        col("src") === col("ts") && col("dst") === col("td"))
+      .select(col("ts").as("ks"), col("td").as("kd")).distinct()
+    s.read.parquet(tombDir(storePath))
+      .join(broadcast(survivingPairs),
+        col("src") === col("ks") && col("dst") === col("kd"),
+        "left_semi")
   }
 
   /** Delete the `batch_id < through` EDGE partitions — compactThrough's

@@ -30,6 +30,20 @@ object VideoDedup {
   private val FramesPerVideo = 6
   private val Dim = 32
 
+  /** `video_id · 100 + frame_idx` — the packing both dedup entries and
+    * their oracles unpack with `DIV 100` / `% 100`. The bound is a HARD
+    * guard, not a comment: a 100+-frame video would silently alias into
+    * a neighboring video's id space and corrupt every downstream pair.
+    * Long-video corpora key (video, frame) as a struct instead — see
+    * the identity-packing scaladoc above. */
+  private[sources] def packFrameId(videoId: Long, frameIdx: Int): Long = {
+    require(frameIdx >= 0 && frameIdx < 100,
+      s"frame_idx $frameIdx of video $videoId overflows the ·100 " +
+        "packing — sample/keyframe the video first or key (video, " +
+        "frame) directly")
+    videoId * 100L + frameIdx
+  }
+
   /** Block-noise JPEG frame (the [[ImageDedup.renderBlockPng]]
     * construction, JPEG-encoded): frames need STRUCTURE for a
     * perceptual hash — [[VideoSource.jpegFrame]]'s gradient ramps all
@@ -103,7 +117,7 @@ object VideoDedup {
         it.flatMap { case (id, avi) =>
           VideoSource.parseAvi(avi).iterator.flatMap { case (_, _, fs) =>
             fs.iterator.zipWithIndex.map { case (jpeg, f) =>
-              (id * 100L + f, jpeg)
+              (packFrameId(id, f), jpeg)
             }
           }
         }

@@ -28,11 +28,20 @@ class BenchLineSpec extends AnyFunSuite {
     assert(math.abs(node.get("value").asDouble() -
       1.234 * Bench.headline.size) < 1e-6)
     assert(node.get("n_queries").asInt() === Bench.headline.size)
-    assert(node.get("queries_file").asText() === "bench_out.json")
+    assert(node.get("queries_file").asText() === "/root/repo/bench_out.json")
     assert(node.get("sf").asText() === sf)
     assert(node.get("queries") == null,
       "the summary must NOT carry the per-query map — that is what " +
         "makes its length set-size-invariant")
+  }
+
+  test("summary line's queries_file pointer follows the resolved " +
+      "output path, not a hardcoded default") {
+    // SPARK_GRAFT_BENCH_OUT overrides where the per-query line lands;
+    // the driver-facing pointer must name the ACTUAL file
+    val line = Bench.summaryLine(results, sf, "/tmp/elsewhere.json")
+    assert(mapper.readTree(line).get("queries_file").asText() ===
+      "/tmp/elsewhere.json")
   }
 
   test("summary line length is invariant in the headline-set size") {

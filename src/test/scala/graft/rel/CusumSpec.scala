@@ -30,6 +30,21 @@ class CusumSpec extends SparkSpec {
     assert(r.getLong(7) === 9L)             // first alarm
   }
 
+  test("an hourly sum whose square overflows Long fails LOUDLY, " +
+      "never wraps") {
+    // 3.1e9 cents: the value fits a Long but its square exceeds
+    // Long.MAX — the DuckDB oracle's BIGINT multiply raises there, so
+    // the engine must too (checked math), not silently wrap
+    val pts = Seq(("ov", 1L, 3100000000L), ("ov", 2L, 3100000000L))
+    val e = intercept[org.apache.spark.SparkException] {
+      Cusum.cusum(series(pts: _*), "k", "x").collect()
+    }
+    def causes(t: Throwable): Iterator[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+    assert(causes(e).exists(_.isInstanceOf[ArithmeticException]),
+      s"expected an ArithmeticException cause, got $e")
+  }
+
   test("constant series: sigma 0, cusums flat 0, never alarms") {
     val pts = (1L to 10L).map(i => ("c", i, 500L))
     val r = Cusum.cusum(series(pts: _*), "k", "x").collect()(0)

@@ -132,6 +132,103 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("fully-tombstoned fold region: the batch_id=through partition " +
+      "is removed, erased edges never resurrect") {
+    // EVERY edge in batches <= through is deleted: the dynamic
+    // overwrite writes no partitions, so without the explicit delete
+    // the stale batch_id=1 partition would keep its (all-erased) edges
+    // while their tombstones age out of the log — silent resurrection
+    val dir = java.nio.file.Files.createTempDirectory("graphstoreempty")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((3L, 4L)).toDF("src", "dst"), store, 1L)
+      GraphStore.applyEdgeBatch(
+        Seq((7L, 8L)).toDF("src", "dst"), store, 2L)
+      // tombstone EVERYTHING in batches 0 and 1
+      GraphStore.deleteEdges(
+        Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst"), store, 0L)
+      GraphStore.compactThrough(spark, store, through = 1L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((7L, 8L)),
+        "erased edges must stay erased after an empty-fold compaction")
+      val parts = new java.io.File(s"$store/edges").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts === Seq("batch_id=2"),
+        "the stale fold-target partition must be deleted outright")
+      assert(!new java.io.File(s"$store/_edge_tombstones").exists(),
+        "no copies beyond the fold -> the log fully drains")
+      // re-run: still a no-op
+      GraphStore.compactThrough(spark, store, through = 1L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((7L, 8L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("interrupted tombstone-log swap: reads fall back to the staged " +
+      "log and the next compaction completes the rename") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstoreswap")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((2L, 3L), (5L, 6L)).toDF("src", "dst"), store, 1L)
+      GraphStore.deleteEdges(Seq((2L, 3L)).toDF("src", "dst"), store, 0L)
+      val before = edgeSet(GraphStore.edgesFromStore(spark, store))
+      assert(before === Seq((1L, 2L), (5L, 6L)))
+      // simulate a crash between compactThrough's delete-old and
+      // rename-staged: the complete log sits in _edge_tombstones_next
+      val log = new java.io.File(s"$store/_edge_tombstones")
+      val next = new java.io.File(s"$store/_edge_tombstones_next")
+      assert(log.renameTo(next))
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === before,
+        "reads inside the swap window must use the staged log")
+      // the next maintenance entry repairs the swap, then compacts
+      GraphStore.compactThrough(spark, store, through = 0L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === before)
+      assert(log.exists() && !next.exists(),
+        "the staged dir must be renamed back into place")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("kept-tombstone plan never exchanges the edge relation") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstorekept")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((2L, 3L), (5L, 6L), (7L, 8L)).toDF("src", "dst"), store, 1L)
+      GraphStore.deleteEdges(
+        Seq((2L, 3L), (1L, 2L)).toDF("src", "dst"), store, 0L)
+      val kept = GraphStore.keptTombstones(spark, store, through = 0L)
+      assert(kept.select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((2L, 3L)),
+        "only the tombstone with a copy beyond the fold survives")
+      // the maintenance plan's contract: the data-sized newer-edge scan
+      // flows through broadcast joins only — a SortMergeJoin would mean
+      // a full (src, dst) exchange of every batch beyond the fold
+      val plan = kept.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"kept-tombstone plan grew a corpus-wide exchange:\n$plan")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("compaction with a fully-drained tombstone log deletes the log dir") {
     val dir = java.nio.file.Files.createTempDirectory("graphstoredrain")
     try {

@@ -28,6 +28,17 @@ class VideoDedupSpec extends SparkSpec {
         s"${pairs.toSet.diff(planted) ++ planted.diff(pairs.toSet)}")
   }
 
+  test("frame-id packing overflows LOUDLY at 100 frames") {
+    // the ·100 packing both entries and their oracles unpack would
+    // silently alias a 100th frame into the next video's id space —
+    // the guard must throw instead
+    assert(VideoDedup.packFrameId(7L, 99) === 799L)
+    val e = intercept[IllegalArgumentException] {
+      VideoDedup.packFrameId(7L, 100)
+    }
+    assert(e.getMessage.contains("packing"))
+  }
+
   test("frames survive the container round-trip: demux count and hash " +
       "determinism") {
     val vids = VideoDedup.generateDedupVideos(spark, sf0001)
