@@ -19,6 +19,9 @@ import graft.Tables._
   */
 object ApproxQueries {
 
+  /** HLL++ distinct estimates (rsd 0.02) per return flag — the raw
+    * operator: three fixed-size mergeable sketches replacing q11's
+    * exact two-phase distinct shuffles. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
       .groupBy("l_returnflag")
@@ -28,6 +31,54 @@ object ApproxQueries {
         approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** HLL++'s documented error band, as a hard relative bound for the
+    * contract row: rsd 0.02 is ONE standard error; 0.05 = 2.5σ. The
+    * sketch is deterministic given the data, and the observed error on
+    * the driver tables is ≤ ~2%, so the margin is ample — while a real
+    * estimator bug (register indexing, merge, bias correction) lands
+    * far outside it. */
+  private val HllEps = 0.05
+
+  /** The INVARIANT-ORACLE form of [[approxDistinct]] (the nq_pack_bins
+    * weaker-but-real precedent, promoted from a rows-only check): the
+    * HLL++ internals aren't replicable in DuckDB, so the contract row
+    * hash-checks the documented bound instead of the estimate — the
+    * Spark side emits the EXACT distincts plus booleans asserting
+    * |approx − exact| ≤ ε·exact from its own estimates, the oracle
+    * emits the same exact counts plus literal TRUE. A sketch drifting
+    * past ε (or an exact-count disagreement) fails the hash. */
+  def nqApproxDistinct(s: SparkSession, d: String): DataFrame = {
+    def inBound(a: String, e: String) =
+      (abs(col(a).cast("double") - col(e).cast("double")) <=
+        lit(HllEps) * col(e).cast("double"))
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct("l_partkey", 0.02).as("a_parts"),
+        approx_count_distinct("l_suppkey", 0.02).as("a_supps"),
+        approx_count_distinct("l_orderkey", 0.02).as("a_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_suppkey")).as("exact_supps"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("exact_parts"), col("exact_supps"), col("exact_orders"),
+        inBound("a_parts", "exact_parts").as("parts_in_bound"),
+        inBound("a_supps", "exact_supps").as("supps_in_bound"),
+        inBound("a_orders", "exact_orders").as("orders_in_bound"))
+      .orderBy("l_returnflag")
+  }
+
+  private val nqApproxDistinctSql: String =
+    """SELECT l_returnflag, count(*) AS n_rows,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  count(DISTINCT l_suppkey) AS exact_supps,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  TRUE AS parts_in_bound, TRUE AS supps_in_bound,
+      |  TRUE AS orders_in_bound
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** q39's percentiles as a mergeable sketch: `approx_percentile`
     * (Greenwald–Khanna in Spark) with accuracy 10000 → rank error
@@ -44,6 +95,69 @@ object ApproxQueries {
         round(expr("approx_percentile(o_totalprice, 0.99, 10000)"), 2).as("p99"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderstatus")
+
+  /** GK's rank guarantee as the checked bound: accuracy 10000 bounds
+    * the returned ELEMENT's rank within ±1e-4·n of the target rank.
+    * δ = 1e-3 leaves 10× slack, plus an absolute ±1 rank absorbing
+    * floor/ceil convention differences — still a real bound: a sketch
+    * off by half a percentile point of rank fails it. (A VALUE bracket
+    * via quantiles at p ± δ is the wrong check: on a small group the
+    * interpolated bracket collapses between two adjacent elements and
+    * rejects a rank-EXACT answer.) */
+  private val GkDelta = 0.001
+
+  /** The invariant-oracle form of [[approxPercentiles]]: exact
+    * interpolated percentiles (q39's proven percentile/quantile_cont
+    * replication) plus booleans asserting each GK estimate satisfies
+    * the sketch's own RANK guarantee — the ranks the returned value
+    * occupies ([#below + 1, #≤]) must intersect
+    * [(p − δ)·n − 1, (p + δ)·n + 1]. The rank counts cost one extra
+    * scan of the table against the broadcast per-group estimates (the
+    * verification price, paid by the contract row — the serving form
+    * is [[approxPercentiles]], one pass). Oracle = exact values +
+    * literal TRUE. */
+  def nqApproxPercentiles(s: SparkSession, d: String): DataFrame = {
+    val pcts = Seq("p50" -> 0.5, "p90" -> 0.9, "p99" -> 0.99)
+    val base = orders(s, d).select(col("o_orderstatus"), col("o_totalprice"))
+    val aggCols = Seq(count(lit(1)).as("n_orders")) ++
+      pcts.flatMap { case (nm, p) => Seq(
+        round(expr(s"percentile(o_totalprice, $p)"), 2).as(s"${nm}_exact"),
+        expr(s"approx_percentile(o_totalprice, $p, 10000)").as(s"a_$nm")) }
+    val agg = base.groupBy("o_orderstatus")
+      .agg(aggCols.head, aggCols.tail: _*)
+    // rank of each estimate within its own group: one scan, broadcast
+    // group-count-sized estimates, map-side-combined counts
+    val cntCols = pcts.map(_._1).flatMap { nm => Seq(
+      sum(when(col("o_totalprice") < col(s"a_$nm"), 1L).otherwise(0L))
+        .as(s"below_$nm"),
+      sum(when(col("o_totalprice") <= col(s"a_$nm"), 1L).otherwise(0L))
+        .as(s"le_$nm")) }
+    val counts = base.join(broadcast(agg), "o_orderstatus")
+      .groupBy("o_orderstatus")
+      .agg(cntCols.head, cntCols.tail: _*)
+    val sel = Seq(col("o_orderstatus"), col("n_orders")) ++
+      pcts.flatMap { case (nm, p) =>
+        val n = col("n_orders").cast("double")
+        Seq(col(s"${nm}_exact"),
+          (((col(s"below_$nm") + 1).cast("double") <=
+              lit(p + GkDelta) * n + 1.0) &&
+            (col(s"le_$nm").cast("double") >= lit(p - GkDelta) * n - 1.0))
+            .as(s"${nm}_in_bound"))
+      }
+    agg.join(counts, "o_orderstatus").select(sel: _*)
+      .orderBy("o_orderstatus")
+  }
+
+  private val nqApproxPercentilesSql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+      |  TRUE AS p50_in_bound,
+      |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_exact,
+      |  TRUE AS p90_in_bound,
+      |  round(quantile_cont(o_totalprice, 0.99), 2) AS p99_exact,
+      |  TRUE AS p99_in_bound
+      |FROM orders GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 
   // ------------------------------------------------- KMV theta sketch
   // u(h) maps the SIGNED 64-bit hash order onto [0,1): both engines run
@@ -168,12 +282,17 @@ object ApproxQueries {
        |ORDER BY t.lang_a, t.lang_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_approx_distinct" -> (approxDistinct _),
-    "nq_approx_percentiles" -> (approxPercentiles _),
+    "nq_approx_distinct" -> (nqApproxDistinct _),
+    "nq_approx_percentiles" -> (nqApproxPercentiles _),
     "nq_kmv_distinct" -> ((s: SparkSession, d: String) => kmvDistinct(s, d)),
     "nq_kmv_intersect" -> ((s: SparkSession, d: String) => kmvIntersect(s, d)))
 
   val oracle: Map[String, String] = Map(
+    // round-14 promotion of the last two no_oracle rows: invariant
+    // oracles — DuckDB computes the EXACT answers, the engine asserts
+    // its sketch estimates land within the documented error bound
+    "nq_approx_distinct" -> nqApproxDistinctSql,
+    "nq_approx_percentiles" -> nqApproxPercentilesSql,
     "nq_kmv_distinct" -> kmvDistinctSql(256),
     "nq_kmv_intersect" -> kmvIntersectSql(256))
 }
