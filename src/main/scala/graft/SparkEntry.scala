@@ -52,7 +52,8 @@ object SparkEntry {
       rel.GraphStore.queries ++ rel.KCore.queries ++
       rel.JoinView.queries ++ text.QuantileNorm.queries ++
       rel.Cusum.queries ++ sources.ImageDedup.queries ++
-      audio.AudioDedup.queries ++ sources.VideoDedup.queries
+      audio.AudioDedup.queries ++ sources.VideoDedup.queries ++
+      sources.MediaDedupStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -258,5 +259,10 @@ object SparkEntry {
       audio.AudioDedup.oracle ++
       // round-13: cross-video frame reuse — per-frame dHash through
       // the demuxer, image oracle verbatim over packed frame ids
-      sources.VideoDedup.oracle
+      sources.VideoDedup.oracle ++
+      // round-14: the persisted perceptual-fingerprint store — the
+      // incremental batch-judge union and the post-erasure store read
+      // are judged against the three one-shot oracles verbatim
+      // (prefixed CTEs, modality-tagged union)
+      sources.MediaDedupStore.oracle
 }

@@ -78,7 +78,13 @@ object AudioDedup {
     * (mod 5) gets a half-gain copy (id + 10⁶ — every sample halved:
     * perceptually identical, bytes entirely different) and ≡ 3 a
     * 0.05 s-muted copy (id + 2·10⁶ — a small edit). */
-  def generateDedupClips(s: SparkSession, nClips: Int = 40): DataFrame = {
+  def generateDedupClips(s: SparkSession, nClips: Int = 40): DataFrame =
+    // pure function of nClips (no source dir) → always memoizable:
+    // probes must measure the fingerprint join, not the synth
+    graft.FixtureMemo.parquet(s, s"audiodedup:$nClips")(
+      buildDedupClips(s, nClips))
+
+  private def buildDedupClips(s: SparkSession, nClips: Int): DataFrame = {
     import s.implicits._
     graft.gen.VoiceDataGen.generate(s, nClips)
       .select(col("phrase_id").cast("long"), col("pcm"))
@@ -127,12 +133,15 @@ object AudioDedup {
   // ---------------------------------------------------- nq_audio_neardup
   private val DumpDir = "/tmp/graft_audiodedup_oracle"
 
-  /** Driver entry: fingerprint the planted clip corpus, find all pairs
-    * within hamming ≤ 6 via the shared banded join. The dumped energy
-    * grids let DuckDB re-derive every bit and every distance. */
-  def nqAudioNeardup(s: SparkSession, d: String): DataFrame = {
+  /** The dumped energy-grid relation's path — shared with the media
+    * store's combined oracle ([[graft.sources.MediaDedupStore]]). */
+  private[graft] val GridDumpPath = s"$DumpDir/audio_grid.parquet"
+
+  /** Dump the per-clip 9×8 energy grids for the oracle (idempotent
+    * overwrite; no-op unless Verify enabled dumps). Shared by the
+    * one-shot entry and the media-store entries. */
+  private[graft] def dumpGrids(s: SparkSession, clips: DataFrame): Unit = {
     import s.implicits._
-    val clips = generateDedupClips(s)
     if (graft.OracleDump.enabled)
       graft.OracleDump.dump(
         clips.select(col("clip_id").cast("long"), col("pcm"))
@@ -143,7 +152,15 @@ object AudioDedup {
             }
           })
           .toDF("clip_id", "t", "b", "e"),
-        s"$DumpDir/audio_grid.parquet")
+        GridDumpPath)
+  }
+
+  /** Driver entry: fingerprint the planted clip corpus, find all pairs
+    * within hamming ≤ 6 via the shared banded join. The dumped energy
+    * grids let DuckDB re-derive every bit and every distance. */
+  def nqAudioNeardup(s: SparkSession, d: String): DataFrame = {
+    val clips = generateDedupClips(s)
+    dumpGrids(s, clips)
     graft.sources.ImageDedup.nearDupPairs(
         fingerprints(clips).withColumnRenamed("clip_id", "image_id"))
       .select(col("img_a").as("clip_a"), col("img_b").as("clip_b"),
@@ -154,7 +171,7 @@ object AudioDedup {
   private[audio] val nqAudioNeardupSql: String =
     s"""WITH grid AS (
        |  SELECT clip_id, t, b, e
-       |  FROM read_parquet('$DumpDir/audio_grid.parquet/*.parquet')),
+       |  FROM read_parquet('$GridDumpPath/*.parquet')),
        |bits AS (
        |  SELECT x.clip_id, x.t * 8 + x.b AS bit,
        |    CASE WHEN x.e < y.e THEN 1 ELSE 0 END AS v

@@ -82,7 +82,7 @@ object CardinalityStore {
 
   /** `batch_id <= k` when an as-of bound is given — shared by every
     * sketch store's read path (partition-pruned; see above). */
-  private[rel] def asOf(store: DataFrame, asOfBatch: Option[Long])
+  private[graft] def asOf(store: DataFrame, asOfBatch: Option[Long])
       : DataFrame =
     asOfBatch.fold(store)(k => store.filter(col("batch_id") <= k))
 

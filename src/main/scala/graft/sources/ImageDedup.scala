@@ -84,7 +84,15 @@ object ImageDedup {
     * brightness-shifted copy (id + 10⁶; hamming 0 by the no-clamp
     * construction, bytes entirely different) and doc_id ≡ 5 (mod 10)
     * a one-block edit (id + 2·10⁶; a few flipped bits). */
-  def generateDedupImages(s: SparkSession, d: String): DataFrame = {
+  def generateDedupImages(s: SparkSession, d: String): DataFrame =
+    // fixture memo (immutable dirs only): probes must measure the
+    // dedup operator, not the per-run PNG encode of its test corpus
+    if (graft.Tables.isImmutable(d))
+      graft.FixtureMemo.parquet(s, s"imagededup:$d")(
+        buildDedupImages(s, d))
+    else buildDedupImages(s, d)
+
+  private def buildDedupImages(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, d).select(col("doc_id"))
       .as[Long]
@@ -157,32 +165,49 @@ object ImageDedup {
     * band); 16-bit keys cut random collisions ×256 at the price of 28
     * vs 8 exploded rows and one hamming level (7 → 6) of guaranteed
     * reach. */
-  def nearDupPairs(hashes: DataFrame, threshold: Int = Threshold)
-      : DataFrame = {
-    require(threshold >= 0 && threshold <= 6,
-      s"28 block-pair keys over 8 blocks guarantee recall only to " +
-        s"hamming 6, got $threshold")
+  /** Append the C(8,2) = 28 concatenated 16-bit block-pair candidate
+    * keys to a fingerprint relation (columns preserved, plus `bp` — the
+    * packed b1·8 + b2 pair index — and `bv`, the 16-bit key value).
+    * Shared by the one-shot self-join below and the media store's
+    * batch-vs-store judge ([[MediaDedupStore]]). */
+  private[graft] def blockPairKeys(fps: DataFrame): DataFrame = {
     // the 28 (b1 < b2) block pairs, packed as b1·8 + b2 literals
     val pairsLit = array((for {
       b1 <- 0 until 8; b2 <- (b1 + 1) until 8
     } yield lit(b1 * 8 + b2)): _*)
-    val banded = hashes.select(col("image_id"), col("h"),
-        explode(pairsLit).as("bp"))
+    fps.withColumn("bp", explode(pairsLit))
       .withColumn("bv", expr(
         "(shiftright(h, (bp DIV 8) * 8) & 255L) * 256L + " +
           "(shiftright(h, (bp % 8) * 8) & 255L)"))
-    val cand = banded.select(col("bp"), col("bv"),
-        col("image_id").as("img_a"), col("h").as("ha"))
-      .join(banded.select(col("bp"), col("bv"),
-        col("image_id").as("img_b"), col("h").as("hb")),
-        Seq("bp", "bv"))
+  }
+
+  /** Guaranteed reach of the 28 block-pair keys: two hashes within this
+    * hamming distance leave ≥ 2 of the 8 blocks clean (pigeonhole). */
+  private[graft] val MaxThreshold = 6
+
+  def nearDupPairs(hashes: DataFrame, threshold: Int = Threshold,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    require(threshold >= 0 && threshold <= MaxThreshold,
+      s"28 block-pair keys over 8 blocks guarantee recall only to " +
+        s"hamming $MaxThreshold, got $threshold")
+    val banded = blockPairKeys(
+      hashes.select((keyCols :+ "image_id" :+ "h").map(col): _*))
+    // optional keyCols (e.g. a modality column) join along so hashes
+    // from different key groups never pair
+    val joinKeys = keyCols ++ Seq("bp", "bv")
+    val cand = banded.select((joinKeys.map(col) :+
+        col("image_id").as("img_a") :+ col("h").as("ha")): _*)
+      .join(banded.select((joinKeys.map(col) :+
+        col("image_id").as("img_b") :+ col("h").as("hb")): _*),
+        joinKeys)
       .filter(col("img_a") < col("img_b"))
-      .select("img_a", "img_b", "ha", "hb").distinct()
+      .select((keyCols ++ Seq("img_a", "img_b", "ha", "hb")).map(col): _*)
+      .distinct()
     cand
       .withColumn("hamming",
         expr("bit_count(ha ^ hb)").cast("long"))
       .filter(col("hamming") <= threshold)
-      .select(col("img_a"), col("img_b"), col("hamming"))
+      .select((keyCols ++ Seq("img_a", "img_b", "hamming")).map(col): _*)
   }
 
   // ---------------------------------------------------- nq_image_neardup

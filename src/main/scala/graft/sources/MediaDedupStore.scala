@@ -1,0 +1,365 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted perceptual-fingerprint store — the build-once/serve-many
+  * form of the multimodal dedup family (every TEXT dedup member has
+  * one: gram store `SubstrDedup`, semantic-assignment store `SemDedup`;
+  * until this round the image/audio/video members were one-shot corpus
+  * scans). The crawl shape: standing fingerprints accumulate under
+  * fenced `batch_id` partitions, each INCOMING batch is judged against
+  * the store with batch-sized work (never a store rescan), and keyed
+  * deletes (GDPR — the erasure span must include media) are honored by
+  * every read.
+  *
+  *   - rows are (media_id LONG, modality STRING, h LONG) — one 64-bit
+  *     perceptual fingerprint per item ([[ImageDedup.dhash]],
+  *     [[graft.audio.AudioDedup.fingerprint]], per-frame video dHash),
+  *     modality-keyed so fingerprints of different kinds never pair;
+  *   - ingest = dynamic-partition-overwrite under `batch_id` (the
+  *     store-family fence: redelivery is byte-idempotent), natural
+  *     partitioning — a fingerprint batch is corpus-sized (one row per
+  *     item), so no `coalesce(1)` funnel (the GraphStore ingest rule);
+  *   - judge = the Manku block-pair banded join ([[ImageDedup
+  *     .nearDupPairs]]'s keys) with the BATCH side broadcast: the store
+  *     side is one map pass (×28 key explosion) into a broadcast hash
+  *     join — the store is never shuffled, and the work is
+  *     collision-sized (~28·|batch|·|store|/2¹⁶ random key hits);
+  *   - deletes = (media_id, modality) tombstones under their own fenced
+  *     partitions, erasure-request-sized, broadcast-anti-joined by
+  *     every read at every as-of (erasure is not rewindable — the
+  *     store-family convention, [[graft.rel.GraphStore]]).
+  *
+  * 100 TB story: ingest appends without reading anything; the judge's
+  * cost is proportional to the batch (broadcast) times the store scan —
+  * a single narrow pass over column-pruned (modality, h) parquet; and
+  * the one-shot corpus self-join remains available off the store read
+  * for full re-clusters.
+  */
+object MediaDedupStore {
+
+  private def dataDir(p: String) = s"$p/fingerprints"
+  private def tombDir(p: String) = s"$p/_media_tombstones"
+
+  /** Ingest one fingerprint batch under its own fenced partition. */
+  def applyFingerprintBatch(fps: DataFrame, storePath: String,
+      batchId: Long): Unit =
+    fps.select(col("media_id"), col("modality"), col("h"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 10000000L)
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(dataDir(storePath))
+
+  /** Keyed deletion: (media_id, modality) tombstones — modality is part
+    * of the key, so erasing an image never touches an audio clip that
+    * happens to share the numeric id. coalesce(1): deletion batches are
+    * erasure-request-sized (reads broadcast the whole log). */
+  def deleteMedia(keys: DataFrame, storePath: String, batchId: Long): Unit =
+    keys.select(col("media_id"), col("modality"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(tombDir(storePath))
+
+  /** The standing fingerprint set: batches ≤ asOfBatch (all when None)
+    * minus tombstones — which apply at EVERY as-of (erasure is not
+    * rewindable). */
+  def fingerprintsFromStore(s: SparkSession, storePath: String,
+      asOfBatch: Option[Long] = None): DataFrame = {
+    val data = graft.rel.CardinalityStore.asOf(
+      s.read.parquet(dataDir(storePath)), asOfBatch)
+    val p = new org.apache.hadoop.fs.Path(tombDir(storePath))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val base = data.select("media_id", "modality", "h")
+    if (!fs.exists(p)) base
+    else base.join(
+        broadcast(s.read.parquet(tombDir(storePath))
+          .select(col("media_id").as("ti"), col("modality").as("tm"))
+          .distinct()),
+        col("media_id") === col("ti") && col("modality") === col("tm"),
+        "left_anti")
+      .select("media_id", "modality", "h")
+  }
+
+  /** Batch-vs-store candidate pairs, exact-verified: every
+    * (modality, id_a, id_b, hamming ≤ threshold) pair with one side in
+    * `batch` and the other in the store's batches < `beforeBatch`
+    * (minus tombstones). Reading strictly BELOW the judged batch's own
+    * id is the replay fence for self-referential reads (an at-least-
+    * once redelivery arriving after its own ingest must not judge the
+    * batch against its own stored copy). The batch side broadcasts —
+    * store-side work is one map pass + broadcast hash join, never a
+    * store shuffle (spec-pinned: no SortMergeJoin in the plan). */
+  private[sources] def crossPairs(s: SparkSession, batch: DataFrame,
+      storePath: String, beforeBatch: Long, threshold: Int): DataFrame = {
+    // partition-pruned read of batches < beforeBatch, minus tombstones
+    val storeBefore = s.read.parquet(dataDir(storePath))
+      .filter(col("batch_id") < beforeBatch)
+      .select("media_id", "modality", "h")
+    val tombP = new org.apache.hadoop.fs.Path(tombDir(storePath))
+    val fs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val cleaned = if (!fs.exists(tombP)) storeBefore
+      else storeBefore.join(
+        broadcast(s.read.parquet(tombDir(storePath))
+          .select(col("media_id").as("ti"), col("modality").as("tm"))
+          .distinct()),
+        col("media_id") === col("ti") && col("modality") === col("tm"),
+        "left_anti")
+      .select("media_id", "modality", "h")
+    val sb = ImageDedup.blockPairKeys(cleaned)
+      .select(col("modality"), col("bp"), col("bv"),
+        col("media_id").as("sid"), col("h").as("sh"))
+    val bb = ImageDedup.blockPairKeys(
+        batch.select(col("media_id"), col("modality"), col("h")))
+      .select(col("modality"), col("bp"), col("bv"),
+        col("media_id").as("bid"), col("h").as("bh"))
+    sb.join(broadcast(bb), Seq("modality", "bp", "bv"))
+      .filter(col("sid") =!= col("bid"))
+      .withColumn("hamming", expr("bit_count(sh ^ bh)").cast("long"))
+      .filter(col("hamming") <= threshold)
+      .select(col("modality"),
+        least(col("sid"), col("bid")).as("id_a"),
+        greatest(col("sid"), col("bid")).as("id_b"),
+        col("hamming"))
+      .distinct()
+  }
+
+  /** Judge one incoming batch: all near-dup pairs it forms — against
+    * the standing store (batches < `batchId`, cross pairs) and within
+    * itself (the one-shot join over the batch alone). The union over an
+    * ingest history reproduces the one-shot corpus join exactly (each
+    * cross-batch pair surfaces when its LATER side arrives; each
+    * within-batch pair once) — which is what lets the driver judge the
+    * store path against the one-shot oracles verbatim. */
+  def judgeBatch(s: SparkSession, batch: DataFrame, storePath: String,
+      batchId: Long, threshold: Int = 6): DataFrame = {
+    val within = ImageDedup.nearDupPairs(
+        batch.select(col("modality"), col("media_id").as("image_id"),
+          col("h")),
+        threshold, keyCols = Seq("modality"))
+      .select(col("modality"), col("img_a").as("id_a"),
+        col("img_b").as("id_b"), col("hamming"))
+    crossPairs(s, batch, storePath, batchId, threshold).union(within)
+  }
+
+  /** Streaming ingest — each micro-batch lands under its own fenced
+    * partition (at-least-once replay is byte-idempotent), and the store
+    * binds to its FIRST streaming lineage: a fresh checkpoint restarts
+    * batch ids at 0 and would silently overwrite batch-0 with different
+    * content AND break the judge's batches-<-id replay fence, so any
+    * other lineage fails loudly ([[graft.streaming.StreamingOps
+    * .bindStoreLineage]]). */
+  def fingerprintIngestStream(stream: DataFrame, storePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyStreamFingerprintBatch(batch, storePath, batchId,
+          graft.streaming.StreamingOps.streamingLineage(
+            batch.sparkSession))
+    }
+
+  /** One streaming trigger, exposed so the exactly-once semantics are
+    * testable as they occur: same lineage + applied id = byte-
+    * idempotent partition overwrite; different lineage = loud fence. */
+  private[graft] def applyStreamFingerprintBatch(batch: DataFrame,
+      storePath: String, batchId: Long, lineage: String): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    graft.streaming.StreamingOps.bindStoreLineage(fs, root,
+      s"media fingerprint store at $storePath", lineage)
+    applyFingerprintBatch(batch, storePath, batchId)
+  }
+
+  // ------------------------------------------------------ fingerprints
+  /** The full planted multimodal corpus as (media_id, modality, h) —
+    * image dHashes, audio spectral fingerprints, per-frame video
+    * dHashes (packed frame ids). Pure in (s, d); the underlying media
+    * corpora are fixture-memoized per immutable dir. */
+  private[graft] def allFingerprints(s: SparkSession, d: String)
+      : DataFrame = {
+    val img = ImageDedup.dhashes(ImageDedup.generateDedupImages(s, d))
+      .select(col("image_id").as("media_id"),
+        lit("image").as("modality"), col("h"))
+    val aud = graft.audio.AudioDedup.fingerprints(
+        graft.audio.AudioDedup.generateDedupClips(s))
+      .select(col("clip_id").as("media_id"),
+        lit("audio").as("modality"), col("h"))
+    val vid = ImageDedup.dhashes(
+        VideoDedup.frames(VideoDedup.generateDedupVideos(s, d)))
+      .select(col("image_id").as("media_id"),
+        lit("video").as("modality"), col("h"))
+    img.union(aud).union(vid)
+  }
+
+  private def dumpOracleInputs(s: SparkSession, d: String): Unit = {
+    // same dump calls (same tags, same paths) as the three one-shot
+    // entries — idempotent overwrites, so this entry never depends on a
+    // sibling entry having run first
+    ImageSource.dumpPixels(s, ImageDedup.generateDedupImages(s, d),
+      resizeTo = 9, tag = "dedup9")
+    ImageSource.dumpPixels(s,
+      VideoDedup.frames(VideoDedup.generateDedupVideos(s, d)),
+      resizeTo = 9, tag = "vdedup9")
+    graft.audio.AudioDedup.dumpGrids(s,
+      graft.audio.AudioDedup.generateDedupClips(s))
+  }
+
+  // one store build per immutable driver dir (the q81 memo policy)
+  private val storeFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val delStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def tempStore(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    s"$p/media"
+  }
+
+  private def buildStore(s: SparkSession, d: String): String = {
+    val path = tempStore("mediadedup")
+    val all = allFingerprints(s, d)
+    (0 until 3).foreach(b => applyFingerprintBatch(
+      all.filter(pmod(col("media_id"), lit(3)) === b), path, b.toLong))
+    path
+  }
+
+  private def memoStore(cache: scala.collection.concurrent
+        .TrieMap[String, String], d: String)(build: => String): String =
+    if (graft.Tables.isImmutable(d)) cache.getOrElseUpdate(d, build)
+    else build
+
+  // --------------------------------------------------- contract entries
+  /** nq_media_dedup_store: the full multimodal corpus arrives as 3
+    * fingerprint batches (media_id mod 3); each batch is judged against
+    * the store-so-far on arrival; the union of the per-batch verdicts
+    * must equal the ONE-SHOT corpus joins — so the oracle is the three
+    * one-shot SQLs verbatim (prefixed CTEs), unioned with modality
+    * tags. A batch leak, a fence miss, or a judge recall hole all
+    * hash-fail. Video keeps the cross-video convention. */
+  def nqMediaDedupStore(s: SparkSession, d: String): DataFrame = {
+    val store = memoStore(storeFor, d)(buildStore(s, d))
+    dumpOracleInputs(s, d)
+    val all = allFingerprints(s, d)
+    val verdicts = (0 until 3).map { b =>
+      judgeBatch(s,
+        all.filter(pmod(col("media_id"), lit(3)) === b), store, b.toLong)
+    }.reduce(_.union(_))
+    verdicts
+      .filter(col("modality") =!= "video" ||
+        expr("id_a DIV 100") =!= expr("id_b DIV 100"))
+      .orderBy("modality", "id_a", "id_b")
+  }
+
+  /** nq_media_dedup_delete: the same store plus one erasure batch — all
+    * IMAGE "edit" variants (media_id ≥ 2·10⁶, modality = 'image') are
+    * tombstoned — then the full pair set is recomputed off the store
+    * READ. The oracle excludes exactly those ids from the image branch
+    * and leaves audio (whose muted copies ALSO live at ids ≥ 2·10⁶!)
+    * and video untouched — a deletion that ignores the modality key, or
+    * one that leaks into reads, hash-fails. */
+  def nqMediaDedupDelete(s: SparkSession, d: String): DataFrame = {
+    val store = memoStore(delStoreFor, d) {
+      val path = buildStore(s, d)
+      deleteMedia(
+        allFingerprints(s, d)
+          .filter(col("modality") === "image" &&
+            col("media_id") >= 2000000L)
+          .select("media_id", "modality"),
+        path, 0L)
+      path
+    }
+    dumpOracleInputs(s, d)
+    val fps = fingerprintsFromStore(s, store)
+    ImageDedup.nearDupPairs(
+        fps.select(col("modality"), col("media_id").as("image_id"),
+          col("h")),
+        keyCols = Seq("modality"))
+      .select(col("modality"), col("img_a").as("id_a"),
+        col("img_b").as("id_b"), col("hamming"))
+      .filter(col("modality") =!= "video" ||
+        expr("id_a DIV 100") =!= expr("id_b DIV 100"))
+      .orderBy("modality", "id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------- oracle
+  private val ImgDump = ImageSource.OracleDumpDir
+
+  /** The image/video one-shot CTE chain (lum → bits → pairs), prefixed
+    * so two instances compose in one statement. */
+  private def lumPairCtes(prefix: String, tag: String): String =
+    s"""${prefix}lum AS (
+       |  SELECT image_id, px, 299 * r + 587 * g + 114 * b AS l
+       |  FROM read_parquet('$ImgDump/image_px_$tag.parquet/*.parquet')),
+       |${prefix}bits AS (
+       |  SELECT a.image_id, (a.px // 9) * 8 + (a.px % 9) AS bit,
+       |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS v
+       |  FROM ${prefix}lum a JOIN ${prefix}lum b
+       |    ON b.image_id = a.image_id AND b.px = a.px + 1
+       |  WHERE a.px % 9 < 8 AND a.px // 9 < 8),
+       |${prefix}pairs AS (
+       |  SELECT x.image_id AS img_a, y.image_id AS img_b,
+       |    CAST(count(CASE WHEN x.v <> y.v THEN 1 END) AS BIGINT)
+       |      AS hamming
+       |  FROM ${prefix}bits x JOIN ${prefix}bits y
+       |    ON x.bit = y.bit AND x.image_id < y.image_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The audio one-shot CTE chain over the dumped energy grids. */
+  private def audioPairCtes: String =
+    s"""agrid AS (
+       |  SELECT clip_id, t, b, e
+       |  FROM read_parquet('${graft.audio.AudioDedup.GridDumpPath}/*.parquet')),
+       |abits AS (
+       |  SELECT x.clip_id, x.t * 8 + x.b AS bit,
+       |    CASE WHEN x.e < y.e THEN 1 ELSE 0 END AS v
+       |  FROM agrid x JOIN agrid y
+       |    ON y.clip_id = x.clip_id AND y.b = x.b AND y.t = x.t + 1
+       |  WHERE x.t < 8),
+       |apairs AS (
+       |  SELECT x.clip_id AS clip_a, y.clip_id AS clip_b,
+       |    CAST(count(CASE WHEN x.v <> y.v THEN 1 END) AS BIGINT)
+       |      AS hamming
+       |  FROM abits x JOIN abits y
+       |    ON x.bit = y.bit AND x.clip_id < y.clip_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The combined one-shot union, with an optional extra predicate on
+    * the image branch (the delete entry's erasure). */
+  private def mediaUnionSql(imageExtra: String): String =
+    s"""WITH ${lumPairCtes("i", "dedup9")},
+       |${lumPairCtes("v", "vdedup9")},
+       |$audioPairCtes
+       |SELECT * FROM (
+       |  SELECT 'image' AS modality, img_a AS id_a, img_b AS id_b,
+       |    hamming
+       |  FROM ipairs WHERE hamming <= 6$imageExtra
+       |  UNION ALL
+       |  SELECT 'audio', clip_a, clip_b, hamming
+       |  FROM apairs WHERE hamming <= 6
+       |  UNION ALL
+       |  SELECT 'video', img_a, img_b, hamming
+       |  FROM vpairs WHERE hamming <= 6 AND img_a // 100 <> img_b // 100
+       |) ORDER BY modality, id_a, id_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_media_dedup_store" -> (nqMediaDedupStore _),
+    "nq_media_dedup_delete" -> (nqMediaDedupDelete _))
+
+  val oracle: Map[String, String] = Map(
+    // the incremental path must re-prove the one-shot SQLs verbatim
+    "nq_media_dedup_store" -> mediaUnionSql(""),
+    "nq_media_dedup_delete" -> mediaUnionSql(
+      " AND img_a < 2000000 AND img_b < 2000000"))
+}

@@ -81,7 +81,15 @@ object VideoDedup {
     * plants a re-containered PARTIAL COPY (id + 10⁶): its first 3
     * frames are byte-identical to the base video's LAST 3, followed by
     * 3 fresh frames — no two FILES share bytes, the reused frames do. */
-  def generateDedupVideos(s: SparkSession, d: String): DataFrame = {
+  def generateDedupVideos(s: SparkSession, d: String): DataFrame =
+    // fixture memo (immutable dirs only): the round-13 sf1f probe's
+    // 250 s was ~90% MJPEG ENCODE of this corpus, re-paid per run
+    if (graft.Tables.isImmutable(d))
+      graft.FixtureMemo.parquet(s, s"videodedup:$d")(
+        buildDedupVideos(s, d))
+    else buildDedupVideos(s, d)
+
+  private def buildDedupVideos(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.Tables.documents(s, d).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(5)) === 0)
@@ -107,7 +115,7 @@ object VideoDedup {
   }
 
   /** (packed frame id, jpeg bytes) for every demuxable frame. */
-  private def frames(videos: DataFrame): DataFrame = {
+  private[sources] def frames(videos: DataFrame): DataFrame = {
     val s = videos.sparkSession
     import s.implicits._
     videos.select(col("video_id").cast("long"), col("content"))

@@ -557,7 +557,7 @@ object StreamingOps {
     * create-tmp + atomic rename; losing a concurrent race re-reads and
     * enforces. Shared by the substring-dedup and semantic-dedup ingest
     * stores. */
-  private[streaming] def bindStoreLineage(
+  private[graft] def bindStoreLineage(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, what: String,
       lineage: String): Unit = {
@@ -739,7 +739,7 @@ object StreamingOps {
     * two different fresh-checkpoint queries defaulting to the same
     * "unknown" would both pass the lineage fence and re-enable the
     * batch-0 overwrite hazard the fence exists to prevent. */
-  private[streaming] def streamingLineage(s: SparkSession): String =
+  private[graft] def streamingLineage(s: SparkSession): String =
     Option(s.sparkContext.getLocalProperty("sql.streaming.queryId"))
       .getOrElse(throw new IllegalStateException(
         "sql.streaming.queryId is not set on this thread — foreachBatch " +

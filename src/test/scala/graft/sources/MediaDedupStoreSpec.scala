@@ -1,0 +1,184 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The perceptual-fingerprint store's contract: the incremental
+  * batch-judge union reproduces the one-shot corpus join exactly,
+  * ingest redelivery is byte-idempotent, the judge's store read is
+  * fenced below the judged batch id (replay-safe for self-referential
+  * reads), tombstones are modality-keyed and apply at every as-of,
+  * the batch-vs-store plan never shuffles the store, and streaming
+  * ingest binds to one lineage.
+  */
+class MediaDedupStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fpsDF(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("media_id", "modality", "h")
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("modality", "id_a", "id_b", "hamming").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def rmrf(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  test("incremental judge union over the ingest history equals the " +
+      "one-shot corpus join (all three modalities)") {
+    val incr = pairSet(MediaDedupStore.nqMediaDedupStore(spark, sf0001))
+    val all = MediaDedupStore.allFingerprints(spark, sf0001)
+    val oneShot = pairSet(
+      ImageDedup.nearDupPairs(
+          all.select(col("modality"), col("media_id").as("image_id"),
+            col("h")),
+          keyCols = Seq("modality"))
+        .select(col("modality"), col("img_a").as("id_a"),
+          col("img_b").as("id_b"), col("hamming"))
+        .filter(col("modality") =!= "video" ||
+          expr("id_a DIV 100") =!= expr("id_b DIV 100")))
+    assert(incr.nonEmpty, "the planted corpus must surface pairs")
+    assert(incr === oneShot,
+      s"diff = ${incr.diff(oneShot) ++ oneShot.diff(incr)}")
+    // and the planted image brightness copies are in there
+    assert(incr.exists { case (m, a, b, h) =>
+      m == "image" && b == a + 1000000L && h == 0L })
+    assert(incr.exists(_._1 == "audio"))
+    assert(incr.exists(_._1 == "video"))
+  }
+
+  test("ingest redelivery is byte-idempotent; judge reads only batches " +
+      "below the judged id (self-referential replay fence)") {
+    val dir = tmp("mediastore")
+    try {
+      val store = dir.resolve("m").toString
+      val b0 = fpsDF((1L, "image", 0L), (2L, "image", 1L))
+      val b1 = fpsDF((3L, "image", 3L))
+      MediaDedupStore.applyFingerprintBatch(b0, store, 0L)
+      MediaDedupStore.applyFingerprintBatch(b1, store, 1L)
+      def nFiles = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala
+          .count(p => p.toString.endsWith(".parquet") &&
+            java.nio.file.Files.isRegularFile(p))
+      }
+      val before = nFiles
+      MediaDedupStore.applyFingerprintBatch(b1, store, 1L) // redelivery
+      assert(nFiles === before, "redelivery must not grow the store")
+      assert(MediaDedupStore.fingerprintsFromStore(spark, store)
+        .count() === 3L)
+      // judge of batch 1 AFTER its own ingest (an at-least-once replay):
+      // the store read is fenced to batches < 1, so verdicts are only
+      // against batch 0 + within-batch — never the batch's stored copy
+      val verdicts = pairSet(
+        MediaDedupStore.judgeBatch(spark, b1, store, 1L))
+      // h=3 vs h=0 (hamming 2), h=3 vs h=1 (hamming 1) — and NOT
+      // (3,3) against its own stored copy
+      assert(verdicts === Set(("image", 1L, 3L, 2L), ("image", 2L, 3L, 1L)))
+    } finally rmrf(dir)
+  }
+
+  test("tombstones are modality-keyed and apply at every as-of") {
+    val dir = tmp("mediatomb")
+    try {
+      val store = dir.resolve("m").toString
+      // the SAME numeric id in two modalities — erasing the image must
+      // not touch the clip
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((7L, "image", 0L), (7L, "audio", 0L), (8L, "image", 1L)),
+        store, 0L)
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((9L, "image", 0L)), store, 1L)
+      MediaDedupStore.deleteMedia(
+        Seq((7L, "image")).toDF("media_id", "modality"), store, 0L)
+      def ids(asOf: Option[Long]) =
+        MediaDedupStore.fingerprintsFromStore(spark, store, asOf)
+          .select("media_id", "modality").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(ids(None) ===
+        Set((7L, "audio"), (8L, "image"), (9L, "image")))
+      // as-of batch 0 rewinds the DATA timeline, never the erasure
+      assert(ids(Some(0L)) === Set((7L, "audio"), (8L, "image")))
+      // deleted fingerprints never pair in the judge either
+      val verdicts = pairSet(MediaDedupStore.judgeBatch(spark,
+        fpsDF((10L, "image", 0L)), store, 2L))
+      assert(!verdicts.exists { case (_, a, b, _) => a == 7L || b == 7L },
+        s"erased image 7 paired: $verdicts")
+      assert(verdicts === Set(("image", 9L, 10L, 0L), ("image", 8L, 10L, 1L)))
+    } finally rmrf(dir)
+  }
+
+  test("batch-vs-store judge never shuffles the store (broadcast plan)") {
+    val dir = tmp("mediaplan")
+    try {
+      val store = dir.resolve("m").toString
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((1L, "image", 0L), (2L, "image", 255L)), store, 0L)
+      val cross = MediaDedupStore.crossPairs(spark,
+        fpsDF((5L, "image", 1L)), store, 1L, 6)
+      val plan = cross.queryExecution.executedPlan.toString
+      assert(!plan.contains("SortMergeJoin"),
+        s"store side must flow through a broadcast join only:\n$plan")
+      assert(pairSet(cross) === Set(("image", 1L, 5L, 1L)))
+    } finally rmrf(dir)
+  }
+
+  test("streaming ingest equals the batch path and binds to one lineage") {
+    val dir = tmp("mediastream")
+    try {
+      val store = dir.resolve("m").toString
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val q = MediaDedupStore.fingerprintIngestStream(
+          stream.toDF.toDF("media_id", "modality", "h"), store)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData((1L, "image", 0L), (2L, "audio", 5L))
+      q.processAllAvailable()
+      stream.addData((3L, "video", 9L))
+      q.processAllAvailable()
+      q.stop()
+      assert(MediaDedupStore.fingerprintsFromStore(spark, store)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toSet === Set((1L, "image", 0L), (2L, "audio", 5L),
+          (3L, "video", 9L)))
+      // replay under the SAME lineage: byte-idempotent no-op
+      val lineage = {
+        val src = scala.io.Source.fromFile(s"$store/_lineage")
+        try src.mkString.trim finally src.close()
+      }
+      MediaDedupStore.applyStreamFingerprintBatch(
+        fpsDF((1L, "image", 0L), (2L, "audio", 5L)), store, 0L, lineage)
+      assert(MediaDedupStore.fingerprintsFromStore(spark, store)
+        .count() === 3L)
+      // a fresh checkpoint (different query id) is fenced off loudly
+      val e = intercept[IllegalStateException] {
+        MediaDedupStore.applyStreamFingerprintBatch(
+          fpsDF((9L, "image", 0L)), store, 0L, "other-query")
+      }
+      assert(e.getMessage.contains("lineage"))
+    } finally rmrf(dir)
+  }
+
+  test("post-erasure store read drops the image edit variants and " +
+      "nothing else (the delete entry's contract)") {
+    val out = MediaDedupStore.nqMediaDedupDelete(spark, sf0001)
+    val pairs = pairSet(out)
+    assert(!pairs.exists { case (m, a, b, _) =>
+      m == "image" && (a >= 2000000L || b >= 2000000L) },
+      "erased image variants must not pair")
+    // audio's muted copies also live at ids >= 2e6 — they must SURVIVE
+    assert(pairs.exists { case (m, a, b, _) =>
+      m == "audio" && (a >= 2000000L || b >= 2000000L) },
+      "the modality-keyed delete must not leak into audio")
+    assert(pairs.exists(_._1 == "video"))
+  }
+}
