@@ -223,7 +223,67 @@ object ImageDedup {
       .orderBy("img_a", "img_b")
   }
 
+  // ---------------------------------------------- nq_image_dedup_clusters
+  /** Pairs are not dedup VERDICTS — the text family resolves pairs into
+    * clusters + keepers ([[graft.text.DedupClusters]], q63/q78); this
+    * gives the image member the same resolution: the banded pairs feed
+    * the size-adaptive connected components, cluster_id = min image_id
+    * of the component, keeper = the minimum (q23's deterministic
+    * policy — a priority recipe slots in via
+    * [[graft.text.DedupClusters.priorityKeepers]] unchanged). Output is
+    * every hashed image: (image_id, cluster_id, is_keeper); downstream
+    * dedup = `filter(is_keeper)`.
+    *
+    * Oracle: the q63 recursive-CTE shape — reach over the SAME pair
+    * relation the image oracle re-derives from the dumped grids, min
+    * label per node. A CC bug, a keeper-policy drift, or a pair-recall
+    * hole all hash-fail through the full assignment. */
+  def nqImageDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val images = generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = Grid, tag = "dedup9")
+    val hashes = dhashes(images)
+    val pairs = nearDupPairs(hashes)
+      .select(col("img_a").as("d1"), col("img_b").as("d2"))
+    graft.text.DedupClusters.connectedComponents(
+        hashes.select(col("image_id").as("doc_id")), pairs)
+      .select(col("doc_id").as("image_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("image_id")
+  }
+
   private val Dump = ImageSource.OracleDumpDir
+
+  private[sources] val nqImageDedupClustersSql: String =
+    s"""WITH RECURSIVE lum AS (
+       |  SELECT image_id, px,
+       |    299 * r + 587 * g + 114 * b AS l
+       |  FROM read_parquet('$Dump/image_px_dedup9.parquet/*.parquet')),
+       |bits AS (
+       |  SELECT a.image_id,
+       |    (a.px // 9) * 8 + (a.px % 9) AS bit,
+       |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS v
+       |  FROM lum a JOIN lum b
+       |    ON b.image_id = a.image_id AND b.px = a.px + 1
+       |  WHERE a.px % 9 < 8 AND a.px // 9 < 8),
+       |pairs0 AS (
+       |  SELECT x.image_id AS img_a, y.image_id AS img_b,
+       |    count(CASE WHEN x.v <> y.v THEN 1 END) AS hamming
+       |  FROM bits x JOIN bits y
+       |    ON x.bit = y.bit AND x.image_id < y.image_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT img_a AS d1, img_b AS d2 FROM pairs0 WHERE hamming <= 6),
+       |edges AS (
+       |  SELECT d1 AS u, d2 AS v FROM pairs
+       |  UNION SELECT d2, d1 FROM pairs),
+       |nodes AS (SELECT DISTINCT image_id FROM lum),
+       |reach(doc_id, label) AS (
+       |  SELECT image_id, image_id FROM nodes
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id)
+       |SELECT doc_id AS image_id, min(label) AS cluster_id,
+       |  (doc_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY doc_id ORDER BY image_id""".stripMargin
 
   private[sources] val nqImageNeardupSql: String =
     s"""WITH lum AS (
@@ -249,8 +309,10 @@ object ImageDedup {
        |ORDER BY img_a, img_b""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_image_neardup" -> (nqImageNeardup _))
+    "nq_image_neardup" -> (nqImageNeardup _),
+    "nq_image_dedup_clusters" -> (nqImageDedupClusters _))
 
   val oracle: Map[String, String] = Map(
-    "nq_image_neardup" -> nqImageNeardupSql)
+    "nq_image_neardup" -> nqImageNeardupSql,
+    "nq_image_dedup_clusters" -> nqImageDedupClustersSql)
 }

@@ -44,6 +44,21 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster resolution: each planted pair collapses into a cluster " +
+      "keyed and kept by its original; everything else is a singleton") {
+    val rows = ImageDedup.nqImageDedupClusters(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val ids = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    val expected = ids.flatMap { i =>
+      if (i % 10 == 0) Seq((i, i, true), (i + 1000000L, i, false))
+      else if (i % 10 == 5) Seq((i, i, true), (i + 2000000L, i, false))
+      else Seq((i, i, true))
+    }.toSet
+    assert(rows.toSet === expected,
+      s"diff = ${rows.toSet.diff(expected) ++ expected.diff(rows.toSet)}")
+  }
+
   test("hashing is deterministic and the pair plan never goes quadratic") {
     val img = ImageDedup.renderBlockPng(42L, 32, 0, false)
     assert(ImageDedup.dhash(img) === ImageDedup.dhash(img))
