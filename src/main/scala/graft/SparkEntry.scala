@@ -263,6 +263,7 @@ object SparkEntry {
       // round-14: the persisted perceptual-fingerprint store — the
       // incremental batch-judge union and the post-erasure store read
       // are judged against the three one-shot oracles verbatim
-      // (prefixed CTEs, modality-tagged union)
+      // (prefixed CTEs, modality-tagged union); keyframe video dedup's
+      // selection + pairs re-derived from the dumped all-frame grids
       sources.MediaDedupStore.oracle
 }

@@ -133,6 +133,107 @@ object VideoDedup {
       .toDF("image_id", "content")
   }
 
+  // --------------------------------------------------- keyframe sampling
+  /** 9×9 integer milli-luma grid of one encoded frame — the SAME grid
+    * the dHash reads, reused for keyframe selection so the oracle can
+    * re-derive the selection from the dumped grids. */
+  private[sources] def lumaGrid(bytes: Array[Byte]): Option[Array[Long]] =
+    ImageSource.resizedRgb(bytes, 9).map { case (_, _, px) =>
+      px.map { p =>
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+      }
+    }
+
+  /** Scene-change KEYFRAMES of each video: frame 0, plus every frame
+    * whose grid-luma L1 distance from its predecessor exceeds
+    * `deltaThreshold` (integer milli-luma over the 9×9 grid — exact on
+    * both engines). This is the production gate [[nqVideoNeardup]]
+    * deliberately skips: hashing EVERY frame of an hour of 30 fps video
+    * is 108k hashes of mostly-static scenes, while scene starts are the
+    * content-bearing sample — and unlike stride sampling (every k-th
+    * frame), selection is CONTENT-based, so a segment reused at any
+    * frame offset, even re-timed (scenes lengthened or shortened),
+    * selects the SAME keyframes in both videos.
+    *
+    * Recall contract (documented, spec-pinned): a reused segment is
+    * detected iff it contains a scene START in both copies — i.e.
+    * reuse is reported at scene granularity, independent of frame
+    * alignment; sub-scene partial reuse (a tail of a scene without its
+    * first frame) is below the sampling resolution, by design. An
+    * undecodable frame resets the chain (the next decodable frame is a
+    * keyframe — conservative: recall over dedup precision). */
+  def keyframes(videos: DataFrame, deltaThreshold: Long = 0L)
+      : DataFrame = {
+    val s = videos.sparkSession
+    import s.implicits._
+    videos.select(col("video_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, avi) =>
+          VideoSource.parseAvi(avi).iterator.flatMap { case (_, _, fs) =>
+            var prev: Array[Long] = null
+            fs.iterator.zipWithIndex.flatMap { case (jpeg, f) =>
+              lumaGrid(jpeg) match {
+                case None => prev = null; Iterator.empty
+                case Some(g) =>
+                  val keep = f == 0 || prev == null || {
+                    var d = 0L; var i = 0
+                    while (i < g.length) {
+                      d += math.abs(g(i) - prev(i)); i += 1
+                    }
+                    d > deltaThreshold
+                  }
+                  prev = g
+                  if (keep) Iterator((packFrameId(id, f), jpeg))
+                  else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF("image_id", "content")
+  }
+
+  /** Scene-structured corpus for the keyframe entry: each video with
+    * doc_id ≡ 0 (mod 5) is 4 scenes × 3 byte-identical frames; doc_id
+    * ≡ 0 (mod 10) plants a RE-TIMED partial copy (id + 10⁶) reusing the
+    * base's last two scenes at 4 frames each (different repeat counts →
+    * every frame offset misaligned — exactly what stride sampling
+    * cannot survive) followed by two fresh 3-frame scenes. */
+  def generateSceneVideos(s: SparkSession, d: String): DataFrame =
+    if (graft.Tables.isImmutable(d))
+      graft.FixtureMemo.parquet(s, s"videokf:$d")(buildSceneVideos(s, d))
+    else buildSceneVideos(s, d)
+
+  private def buildSceneVideos(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(5)) === 0)
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          def scene(vid: Long, sc: Int) = blockJpegFrame(
+            vid * 0x9e3779b97f4a7c15L + sc.toLong * 0x94d049bb133111ebL)
+          val baseScenes = (0 until 4).map(scene(id, _))
+          val base = Iterator((id, VideoSource.aviBytes(
+            baseScenes.flatMap(f => Seq.fill(3)(f)), 4, Dim, Dim)))
+          val variant = if (id % 10 == 0) {
+            val cid = id + 1000000L
+            val reused = baseScenes.takeRight(2).flatMap(f => Seq.fill(4)(f))
+            val fresh = (0 until 2).map(scene(cid, _))
+              .flatMap(f => Seq.fill(3)(f))
+            Iterator((cid, VideoSource.aviBytes(reused ++ fresh, 4,
+              Dim, Dim)))
+          } else Iterator.empty
+          base ++ variant
+        }
+      }
+      .toDF("video_id", "content")
+  }
+
   // ---------------------------------------------------- nq_video_neardup
   private val Dump = ImageSource.OracleDumpDir
 
@@ -179,9 +280,71 @@ object VideoDedup {
        |WHERE hamming <= 6 AND img_a // 100 <> img_b // 100
        |ORDER BY vid_a, frame_a, vid_b, frame_b""".stripMargin
 
+  // -------------------------------------------------- nq_video_keyframes
+  /** Driver entry: keyframe the scene corpus, dHash ONLY the keyframes,
+    * surface cross-video keyframe pairs — scene-granularity reuse
+    * detection at a fraction of [[nqVideoNeardup]]'s hash volume. The
+    * oracle re-derives the SELECTION (frame 0 or grid-L1 delta > 0 vs
+    * the previous frame — all integer milli-luma) from the dumped
+    * all-frame grids, then the bits and pairs over keyframes only, so a
+    * selection drift, a hash bug, or a recall hole all hash-fail. The
+    * planted copies are RE-TIMED (scene repeat counts differ), pinning
+    * the alignment-invariance stride sampling lacks. */
+  def nqVideoKeyframes(s: SparkSession, d: String): DataFrame = {
+    val vids = generateSceneVideos(s, d)
+    ImageSource.dumpPixels(s, frames(vids), resizeTo = 9, tag = "vkf9")
+    ImageDedup.nearDupPairs(ImageDedup.dhashes(keyframes(vids)))
+      .filter(expr("img_a DIV 100") =!= expr("img_b DIV 100"))
+      .select(
+        expr("img_a DIV 100").as("vid_a"),
+        pmod(col("img_a"), lit(100L)).as("frame_a"),
+        expr("img_b DIV 100").as("vid_b"),
+        pmod(col("img_b"), lit(100L)).as("frame_b"),
+        col("hamming"))
+      .orderBy("vid_a", "frame_a", "vid_b", "frame_b")
+  }
+
+  private[sources] val nqVideoKeyframesSql: String =
+    s"""WITH lum AS (
+       |  SELECT image_id, px,
+       |    299 * r + 587 * g + 114 * b AS l
+       |  FROM read_parquet('$Dump/image_px_vkf9.parquet/*.parquet')),
+       |dl AS (
+       |  SELECT a.image_id, sum(abs(a.l - b.l)) AS d
+       |  FROM lum a JOIN lum b
+       |    ON b.image_id = a.image_id - 1 AND b.px = a.px
+       |  WHERE a.image_id % 100 <> 0
+       |  GROUP BY a.image_id),
+       |kf AS (
+       |  SELECT DISTINCT image_id FROM lum WHERE image_id % 100 = 0
+       |  UNION ALL
+       |  SELECT image_id FROM dl WHERE d > 0),
+       |bits AS (
+       |  SELECT a.image_id,
+       |    (a.px // 9) * 8 + (a.px % 9) AS bit,
+       |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS v
+       |  FROM lum a JOIN lum b
+       |    ON b.image_id = a.image_id AND b.px = a.px + 1
+       |  JOIN kf k ON k.image_id = a.image_id
+       |  WHERE a.px % 9 < 8 AND a.px // 9 < 8),
+       |pairs AS (
+       |  SELECT x.image_id AS img_a, y.image_id AS img_b,
+       |    CAST(count(CASE WHEN x.v <> y.v THEN 1 END) AS BIGINT)
+       |      AS hamming
+       |  FROM bits x JOIN bits y
+       |    ON x.bit = y.bit AND x.image_id < y.image_id
+       |  GROUP BY 1, 2)
+       |SELECT img_a // 100 AS vid_a, img_a % 100 AS frame_a,
+       |  img_b // 100 AS vid_b, img_b % 100 AS frame_b, hamming
+       |FROM pairs
+       |WHERE hamming <= 6 AND img_a // 100 <> img_b // 100
+       |ORDER BY vid_a, frame_a, vid_b, frame_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_video_neardup" -> (nqVideoNeardup _))
+    "nq_video_neardup" -> (nqVideoNeardup _),
+    "nq_video_keyframes" -> (nqVideoKeyframes _))
 
   val oracle: Map[String, String] = Map(
-    "nq_video_neardup" -> nqVideoNeardupSql)
+    "nq_video_neardup" -> nqVideoNeardupSql,
+    "nq_video_keyframes" -> nqVideoKeyframesSql)
 }
