@@ -137,6 +137,25 @@ object ImageDedup {
       h
     }
 
+  /** dHash straight from an already-computed 9×9 milli-luma grid —
+    * bit-identical to [[dhash]] (same grid, same comparisons); lets a
+    * caller that already decoded the grid (keyframe selection) derive
+    * the hash without a second decode. */
+  private[sources] def dhashFromGrid(g: Array[Long]): Long = {
+    var h = 0L
+    var r = 0
+    while (r < Grid - 1) {
+      var c = 0
+      while (c < Grid - 1) {
+        if (g(r * Grid + c) < g(r * Grid + c + 1))
+          h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   /** (image_id, dhash) for every decodable image — one map pass. */
   def dhashes(images: DataFrame): DataFrame = {
     val s = images.sparkSession
@@ -241,7 +260,10 @@ object ImageDedup {
   def nqImageDedupClusters(s: SparkSession, d: String): DataFrame = {
     val images = generateDedupImages(s, d)
     ImageSource.dumpPixels(s, images, resizeTo = Grid, tag = "dedup9")
-    val hashes = dhashes(images)
+    // materialized once: the hash relation feeds the pair join, the CC
+    // edge-count gate, and the node seed — without this each consumer
+    // re-decodes the whole corpus (measured 3× at the sf1f probe)
+    val hashes = dhashes(images).localCheckpoint()
     val pairs = nearDupPairs(hashes)
       .select(col("img_a").as("d1"), col("img_b").as("d2"))
     graft.text.DedupClusters.connectedComponents(

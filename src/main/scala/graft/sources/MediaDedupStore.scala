@@ -229,7 +229,9 @@ object MediaDedupStore {
 
   private def buildStore(s: SparkSession, d: String): String = {
     val path = tempStore("mediadedup")
-    val all = allFingerprints(s, d)
+    // materialize the fingerprints ONCE before the batch fan-out —
+    // three partition writes off one decode pass, not three decodes
+    val all = allFingerprints(s, d).localCheckpoint()
     (0 until 3).foreach(b => applyFingerprintBatch(
       all.filter(pmod(col("media_id"), lit(3)) === b), path, b.toLong))
     path
@@ -251,7 +253,9 @@ object MediaDedupStore {
   def nqMediaDedupStore(s: SparkSession, d: String): DataFrame = {
     val store = memoStore(storeFor, d)(buildStore(s, d))
     dumpOracleInputs(s, d)
-    val all = allFingerprints(s, d)
+    // one decode pass feeds all three judges (each judge references its
+    // batch twice: the broadcast probe side and the within-batch join)
+    val all = allFingerprints(s, d).localCheckpoint()
     val verdicts = (0 until 3).map { b =>
       judgeBatch(s,
         all.filter(pmod(col("media_id"), lit(3)) === b), store, b.toLong)

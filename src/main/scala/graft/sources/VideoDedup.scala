@@ -196,6 +196,46 @@ object VideoDedup {
       .toDF("image_id", "content")
   }
 
+  /** Fused selection + hash: (packed keyframe id, dHash) in ONE decode
+    * pass — the dHash's gradient bits read the SAME 9×9 milli-luma grid
+    * the selection delta does ([[ImageDedup.dhashFromGrid]]), so
+    * hashing the keyframes costs nothing beyond the selection scan.
+    * Spec-pinned ≡ `dhashes(keyframes(videos))`. */
+  def keyframeHashes(videos: DataFrame, deltaThreshold: Long = 0L)
+      : DataFrame = {
+    val s = videos.sparkSession
+    import s.implicits._
+    videos.select(col("video_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, avi) =>
+          VideoSource.parseAvi(avi).iterator.flatMap { case (_, _, fs) =>
+            var prev: Array[Long] = null
+            fs.iterator.zipWithIndex.flatMap { case (jpeg, f) =>
+              lumaGrid(jpeg) match {
+                case None => prev = null; Iterator.empty
+                case Some(g) =>
+                  val keep = f == 0 || prev == null || {
+                    var d = 0L; var i = 0
+                    while (i < g.length) {
+                      d += math.abs(g(i) - prev(i)); i += 1
+                    }
+                    d > deltaThreshold
+                  }
+                  prev = g
+                  if (keep)
+                    Iterator((packFrameId(id, f),
+                      ImageDedup.dhashFromGrid(g)))
+                  else Iterator.empty
+              }
+            }
+          }
+        }
+      }
+      .toDF("image_id", "h")
+  }
+
   /** Scene-structured corpus for the keyframe entry: each video with
     * doc_id ≡ 0 (mod 5) is 4 scenes × 3 byte-identical frames; doc_id
     * ≡ 0 (mod 10) plants a RE-TIMED partial copy (id + 10⁶) reusing the
@@ -293,7 +333,7 @@ object VideoDedup {
   def nqVideoKeyframes(s: SparkSession, d: String): DataFrame = {
     val vids = generateSceneVideos(s, d)
     ImageSource.dumpPixels(s, frames(vids), resizeTo = 9, tag = "vkf9")
-    ImageDedup.nearDupPairs(ImageDedup.dhashes(keyframes(vids)))
+    ImageDedup.nearDupPairs(keyframeHashes(vids))
       .filter(expr("img_a DIV 100") =!= expr("img_b DIV 100"))
       .select(
         expr("img_a DIV 100").as("vid_a"),

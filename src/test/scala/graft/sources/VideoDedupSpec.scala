@@ -42,6 +42,12 @@ class VideoDedupSpec extends SparkSpec {
     assert(kf(someBase).toSeq === Seq(0L, 3L, 6L, 9L))
     val someCopy = ids.find(_ % 10 == 0).get + 1000000L
     assert(kf(someCopy).toSeq === Seq(0L, 4L, 8L, 11L))
+    // the fused one-decode path is bit-identical to select-then-hash
+    val fused = VideoDedup.keyframeHashes(vids).as[(Long, Long)]
+      .collect().toMap
+    val twoPass = ImageDedup.dhashes(VideoDedup.keyframes(vids))
+      .as[(Long, Long)].collect().toMap
+    assert(fused === twoPass)
     // recall: reused scenes 2 and 3 of each base start at base frames
     // 6 and 9 and at copy frames 0 and 4 — NO frame offset coincides
     // (the re-timing), yet content-based selection pairs them exactly
