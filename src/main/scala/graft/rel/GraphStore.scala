@@ -33,22 +33,13 @@ object GraphStore {
     new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Where the CURRENT tombstone log lives: the log dir itself, or —
-    * inside [[compactThrough]]'s swap window (old log deleted, rename
-    * of the fully-written replacement not yet done) — the staged
-    * `_edge_tombstones_next`. Readers never mutate; compactThrough
-    * completes the rename on its next entry. A stale `next` alongside
-    * a live log (crash before the delete) is ignored: the log is
-    * authoritative and the next run overwrites the staging dir. */
+  /** Where the CURRENT tombstone log lives — the log dir, or the
+    * staged replacement inside [[compactThrough]]'s swap window
+    * ([[TombstoneLog.readDir]]). */
   private def tombReadDir(s: SparkSession, storePath: String)
-      : Option[String] = {
-    val fs = fsOf(s, storePath)
-    if (fs.exists(new org.apache.hadoop.fs.Path(tombDir(storePath))))
-      Some(tombDir(storePath))
-    else if (fs.exists(new org.apache.hadoop.fs.Path(tombNextDir(storePath))))
-      Some(tombNextDir(storePath))
-    else None
-  }
+      : Option[String] =
+    TombstoneLog.readDir(fsOf(s, storePath), tombDir(storePath),
+      tombNextDir(storePath))
 
   /** Ingest one edge batch under its own fenced partition.
     *
@@ -173,11 +164,10 @@ object GraphStore {
       through: Long): Unit = {
     val fs = fsOf(s, storePath)
     val tp = new org.apache.hadoop.fs.Path(tombDir(storePath))
-    val np = new org.apache.hadoop.fs.Path(tombNextDir(storePath))
     // recover an interrupted log swap: old log deleted, staged
     // replacement not yet renamed — finish the rename before reading
-    if (!fs.exists(tp) && fs.exists(np)) require(fs.rename(np, tp),
-      s"cannot complete interrupted tombstone-log swap at $np")
+    TombstoneLog.recoverSwap(fs, tombDir(storePath),
+      tombNextDir(storePath))
     val hasTombs = fs.exists(tp)
     val tombs =
       if (hasTombs) s.read.parquet(tombDir(storePath))
@@ -214,26 +204,11 @@ object GraphStore {
         .mode("overwrite").parquet(dataDir(storePath))
       pruneEdgesThrough(s, storePath, through)
     }
-    if (hasTombs) {
-      if (kept.isEmpty) {
-        // fully-drained log: delete outright (readers probe existence;
-        // a schema-less empty parquet dir would fail their read). The
-        // stale staging dir goes FIRST — were the log deleted first, a
-        // crash between the two would leave readers falling back to an
-        // outdated `next` full of already-dropped tombstones.
-        if (fs.exists(np)) fs.delete(np, true)
-        fs.delete(tp, true)
-      } else {
-        // staged swap: write the kept set completely, then delete-old +
-        // rename — see the crash notes above
-        kept.coalesce(1).write
-          .partitionBy("batch_id")
-          .mode("overwrite").parquet(tombNextDir(storePath))
-        fs.delete(tp, true)
-        require(fs.rename(np, tp),
-          s"cannot swap staged tombstone log $np into place")
-      }
-    }
+    if (hasTombs)
+      // staged write + delete + rename (or outright delete when fully
+      // drained) — the shared crash discipline, see TombstoneLog
+      TombstoneLog.swapIn(kept, fs, tombDir(storePath),
+        tombNextDir(storePath))
   }
 
   /** The tombstones [[compactThrough]] must keep: exactly those whose

@@ -72,17 +72,27 @@ object MediaDedupStore {
       asOfBatch: Option[Long] = None): DataFrame = {
     val data = graft.rel.CardinalityStore.asOf(
       s.read.parquet(dataDir(storePath)), asOfBatch)
-    val p = new org.apache.hadoop.fs.Path(tombDir(storePath))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val base = data.select("media_id", "modality", "h")
-    if (!fs.exists(p)) base
-    else base.join(
-        broadcast(s.read.parquet(tombDir(storePath))
-          .select(col("media_id").as("ti"), col("modality").as("tm"))
-          .distinct()),
-        col("media_id") === col("ti") && col("modality") === col("tm"),
-        "left_anti")
-      .select("media_id", "modality", "h")
+    minusTombstones(s, storePath,
+      data.select("media_id", "modality", "h"))
+  }
+
+  /** Anti-join the broadcast tombstone log (or its staged replacement
+    * inside a compaction swap window — [[graft.rel.TombstoneLog]]). */
+  private def minusTombstones(s: SparkSession, storePath: String,
+      base: DataFrame): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.rel.TombstoneLog.readDir(fs, tombDir(storePath),
+        tombNextDir(storePath)) match {
+      case None => base
+      case Some(dir) => base.join(
+          broadcast(s.read.parquet(dir)
+            .select(col("media_id").as("ti"), col("modality").as("tm"))
+            .distinct()),
+          col("media_id") === col("ti") && col("modality") === col("tm"),
+          "left_anti")
+        .select("media_id", "modality", "h")
+    }
   }
 
   /** Batch-vs-store candidate pairs, exact-verified: every
@@ -97,19 +107,10 @@ object MediaDedupStore {
   private[sources] def crossPairs(s: SparkSession, batch: DataFrame,
       storePath: String, beforeBatch: Long, threshold: Int): DataFrame = {
     // partition-pruned read of batches < beforeBatch, minus tombstones
-    val storeBefore = s.read.parquet(dataDir(storePath))
-      .filter(col("batch_id") < beforeBatch)
-      .select("media_id", "modality", "h")
-    val tombP = new org.apache.hadoop.fs.Path(tombDir(storePath))
-    val fs = tombP.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val cleaned = if (!fs.exists(tombP)) storeBefore
-      else storeBefore.join(
-        broadcast(s.read.parquet(tombDir(storePath))
-          .select(col("media_id").as("ti"), col("modality").as("tm"))
-          .distinct()),
-        col("media_id") === col("ti") && col("modality") === col("tm"),
-        "left_anti")
-      .select("media_id", "modality", "h")
+    val cleaned = minusTombstones(s, storePath,
+      s.read.parquet(dataDir(storePath))
+        .filter(col("batch_id") < beforeBatch)
+        .select("media_id", "modality", "h"))
     val sb = ImageDedup.blockPairKeys(cleaned)
       .select(col("modality"), col("bp"), col("bv"),
         col("media_id").as("sid"), col("h").as("sh"))
@@ -177,6 +178,102 @@ object MediaDedupStore {
     applyFingerprintBatch(batch, storePath, batchId)
   }
 
+  // -------------------------------------------------------- compaction
+  private def tombNextDir(p: String) = s"${tombDir(p)}_next"
+
+  /** Horizontal compaction with tombstone fold-in — the store-family
+    * maintenance step ([[graft.rel.GraphStore.compactThrough]]'s
+    * contract applied to fingerprints): batches ≤ `through` minus the
+    * tombstones collapse into ONE `batch_id=through` partition, and
+    * tombstones whose every copy lived in the folded region drop from
+    * the log (erasure aging). Reads are identical before and after on
+    * the current form and every as-of ≥ `through`; as-of below the
+    * watermark is no longer derivable (the retention trade). The
+    * judge's `batch_id < judged` fence keeps working: a fold never
+    * moves data ABOVE its own watermark, so any batch id issued after
+    * `through` still reads exactly the pre-fold history. Compaction is
+    * a REPLAY HORIZON for ids ≤ `through` (a judge replay below it
+    * would read a folded history) — callers pick `through` below their
+    * oldest replayable batch, the store-family convention
+    * ([[graft.rel.Tombstones.ungateBatch]]).
+    *
+    * Crash discipline — the GraphStore one, via the shared
+    * [[graft.rel.TombstoneLog]] swap: fold + kept both materialize
+    * before any file moves; an EMPTY fold deletes the stale
+    * `batch_id=through` partition outright (all-tombstoned region —
+    * the dynamic overwrite would write nothing and let erased
+    * fingerprints resurrect as their tombstones age out); the log
+    * shrink is staged-write + delete + rename with reader fallback.
+    * The kept-tombstone plan broadcasts the erasure-sized log into the
+    * newer batches — the fingerprint relation is never exchanged. */
+  def compactThrough(s: SparkSession, storePath: String,
+      through: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.rel.TombstoneLog.recoverSwap(fs, tombDir(storePath),
+      tombNextDir(storePath))
+    val tp = new org.apache.hadoop.fs.Path(tombDir(storePath))
+    val hasTombs = fs.exists(tp)
+    val data = s.read.parquet(dataDir(storePath))
+    val old = data.filter(col("batch_id") <= through)
+      .select("media_id", "modality", "h")
+    val folded = (if (!hasTombs) old
+      else old.join(
+        broadcast(s.read.parquet(tombDir(storePath))
+          .select(col("media_id").as("ti"), col("modality").as("tm"))
+          .distinct()),
+        col("media_id") === col("ti") && col("modality") === col("tm"),
+        "left_anti")
+        .select("media_id", "modality", "h")).localCheckpoint()
+    val kept = if (hasTombs) {
+        val tombs = s.read.parquet(tombDir(storePath))
+          .select(col("media_id").as("ti"), col("modality").as("tm"))
+          .distinct()
+        val surviving = data.filter(col("batch_id") > through)
+          .join(broadcast(tombs),
+            col("media_id") === col("ti") && col("modality") === col("tm"))
+          .select(col("ti").as("ki"), col("tm").as("km")).distinct()
+        s.read.parquet(tombDir(storePath))
+          .join(broadcast(surviving),
+            col("media_id") === col("ki") && col("modality") === col("km"),
+            "left_semi")
+          .localCheckpoint()
+      } else null
+    if (folded.isEmpty) {
+      pruneFingerprintsThrough(s, storePath, through)
+      val tgt = new org.apache.hadoop.fs.Path(
+        s"${dataDir(storePath)}/batch_id=$through")
+      if (fs.exists(tgt)) fs.delete(tgt, true)
+    } else {
+      folded.withColumn("batch_id", lit(through))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", 10000000L)
+        .partitionBy("batch_id")
+        .mode("overwrite").parquet(dataDir(storePath))
+      pruneFingerprintsThrough(s, storePath, through)
+    }
+    if (hasTombs)
+      graft.rel.TombstoneLog.swapIn(kept, fs, tombDir(storePath),
+        tombNextDir(storePath))
+  }
+
+  /** Delete the `batch_id < through` fingerprint partitions —
+    * compactThrough's prune phase and its idempotent crash recovery
+    * (lists what exists; sparse/time-based batch ids never loop). */
+  def pruneFingerprintsThrough(s: SparkSession, storePath: String,
+      through: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dataDir(storePath))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+            .exists(_ < through))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   // ------------------------------------------------------ fingerprints
   /** The full planted multimodal corpus as (media_id, modality, h) —
     * image dHashes, audio spectral fingerprints, per-frame video
@@ -215,6 +312,8 @@ object MediaDedupStore {
   private val storeFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
   private val delStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val compactStoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def tempStore(prefix: String): String = {
@@ -297,6 +396,43 @@ object MediaDedupStore {
       .orderBy("modality", "id_a", "id_b")
   }
 
+  /** nq_media_dedup_compact: the delete store's exact history —
+    * 3 ingest batches + the image-variant erasure — then
+    * [[compactThrough]](1) folds batches 0-1 (minus tombstones) into
+    * one partition, and the full pair set is recomputed off the
+    * COMPACTED store. The oracle is nq_media_dedup_delete's VERBATIM
+    * (the q81/nq_graph_compact shared-SQL pattern): compaction must be
+    * invisible through the whole pair relation, so a lost fingerprint,
+    * a resurrected erased id, or a kept-tombstone bug all hash-fail.
+    * (Batching is media_id mod 3, so ~⅓ of the erased ids live in
+    * batch 2 > the watermark — their tombstones must SURVIVE the fold
+    * and keep suppressing — while the rest fold out and their
+    * tombstones age away: both kept-set paths are exercised.) */
+  def nqMediaDedupCompact(s: SparkSession, d: String): DataFrame = {
+    val store = memoStore(compactStoreFor, d) {
+      val path = buildStore(s, d)
+      deleteMedia(
+        allFingerprints(s, d)
+          .filter(col("modality") === "image" &&
+            col("media_id") >= 2000000L)
+          .select("media_id", "modality"),
+        path, 0L)
+      compactThrough(s, path, through = 1L)
+      path
+    }
+    dumpOracleInputs(s, d)
+    val fps = fingerprintsFromStore(s, store)
+    ImageDedup.nearDupPairs(
+        fps.select(col("modality"), col("media_id").as("image_id"),
+          col("h")),
+        keyCols = Seq("modality"))
+      .select(col("modality"), col("img_a").as("id_a"),
+        col("img_b").as("id_b"), col("hamming"))
+      .filter(col("modality") =!= "video" ||
+        expr("id_a DIV 100") =!= expr("id_b DIV 100"))
+      .orderBy("modality", "id_a", "id_b")
+  }
+
   // ------------------------------------------------------------- oracle
   private val ImgDump = ImageSource.OracleDumpDir
 
@@ -359,11 +495,17 @@ object MediaDedupStore {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_media_dedup_store" -> (nqMediaDedupStore _),
-    "nq_media_dedup_delete" -> (nqMediaDedupDelete _))
+    "nq_media_dedup_delete" -> (nqMediaDedupDelete _),
+    "nq_media_dedup_compact" -> (nqMediaDedupCompact _))
+
+  private val deleteSql =
+    mediaUnionSql(" AND img_a < 2000000 AND img_b < 2000000")
 
   val oracle: Map[String, String] = Map(
     // the incremental path must re-prove the one-shot SQLs verbatim
     "nq_media_dedup_store" -> mediaUnionSql(""),
-    "nq_media_dedup_delete" -> mediaUnionSql(
-      " AND img_a < 2000000 AND img_b < 2000000"))
+    "nq_media_dedup_delete" -> deleteSql,
+    // compaction is read-invisible BY CONTRACT: the compacted store
+    // must answer the identical SQL the uncompacted one does
+    "nq_media_dedup_compact" -> deleteSql)
 }

@@ -168,6 +168,71 @@ class MediaDedupStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("compaction: reads preserved on current + as-of >= watermark, " +
+      "log shrinks to still-needed tombstones, empty fold never " +
+      "resurrects, re-run is a no-op") {
+    val dir = tmp("mediacompact")
+    try {
+      val store = dir.resolve("m").toString
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((1L, "image", 0L), (2L, "image", 1L)), store, 0L)
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((3L, "audio", 5L)), store, 1L)
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((4L, "image", 9L)), store, 2L)
+      // (2, image): only copy inside the fold -> tombstone droppable;
+      // (4, image): copy in batch 2 > watermark -> must survive
+      MediaDedupStore.deleteMedia(
+        Seq((2L, "image"), (4L, "image")).toDF("media_id", "modality"),
+        store, 0L)
+      def ids(asOf: Option[Long] = None) =
+        MediaDedupStore.fingerprintsFromStore(spark, store, asOf)
+          .select("media_id", "modality").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSet
+      val before = ids()
+      assert(before === Set((1L, "image"), (3L, "audio")))
+
+      MediaDedupStore.compactThrough(spark, store, through = 1L)
+
+      assert(ids() === before, "current read must not move")
+      assert(ids(Some(1L)) === Set((1L, "image"), (3L, "audio")),
+        "as-of AT the watermark must survive")
+      val tombs = spark.read.parquet(s"$store/_media_tombstones")
+        .select("media_id", "modality").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(tombs === Seq((4L, "image")),
+        "only the still-needed tombstone survives the fold")
+      val parts = new java.io.File(s"$store/fingerprints").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts === Seq("batch_id=1", "batch_id=2"))
+      // re-run: full no-op
+      MediaDedupStore.compactThrough(spark, store, through = 1L)
+      assert(ids() === before)
+
+      // EMPTY fold: tombstone everything still in the fold region and
+      // compact again — the stale fold-target partition must go, and
+      // nothing resurrects once the tombstones age out
+      MediaDedupStore.deleteMedia(
+        Seq((1L, "image"), (3L, "audio")).toDF("media_id", "modality"),
+        store, 1L)
+      MediaDedupStore.compactThrough(spark, store, through = 1L)
+      assert(ids() === Set.empty,
+        "erased fingerprints must stay erased after an empty fold")
+      val parts2 = new java.io.File(s"$store/fingerprints").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts2 === Seq("batch_id=2"),
+        "the stale fold-target partition must be deleted outright")
+    } finally rmrf(dir)
+  }
+
+  test("compaction is read-invisible through the full pair relation " +
+      "(the compact entry equals the delete entry)") {
+    val del = pairSet(MediaDedupStore.nqMediaDedupDelete(spark, sf0001))
+    val cmp = pairSet(MediaDedupStore.nqMediaDedupCompact(spark, sf0001))
+    assert(cmp === del,
+      s"diff = ${cmp.diff(del) ++ del.diff(cmp)}")
+  }
+
   test("post-erasure store read drops the image edit variants and " +
       "nothing else (the delete entry's contract)") {
     val out = MediaDedupStore.nqMediaDedupDelete(spark, sf0001)
