@@ -106,6 +106,14 @@ object MediaDedupStore {
     * store shuffle (spec-pinned: no SortMergeJoin in the plan). */
   private[sources] def crossPairs(s: SparkSession, batch: DataFrame,
       storePath: String, beforeBatch: Long, threshold: Int): DataFrame = {
+    // bootstrap: the very first batch judges against an empty store
+    // (no fingerprints dir yet) — no cross pairs by definition
+    val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
+    val dfs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!dfs.exists(dp))
+      return s.range(0).select(
+        lit("").as("modality"), col("id").as("id_a"),
+        col("id").as("id_b"), col("id").as("hamming"))
     // partition-pruned read of batches < beforeBatch, minus tombstones
     val cleaned = minusTombstones(s, storePath,
       s.read.parquet(dataDir(storePath))
@@ -176,6 +184,47 @@ object MediaDedupStore {
     graft.streaming.StreamingOps.bindStoreLineage(fs, root,
       s"media fingerprint store at $storePath", lineage)
     applyFingerprintBatch(batch, storePath, batchId)
+  }
+
+  /** Streaming judge-then-ingest — the crawl loop (the
+    * `substrIngestStream` shape for media): each micro-batch is judged
+    * against the standing store, its verdicts land under their own
+    * `batch_id` partition of `verdictsPath`, THEN the batch ingests.
+    * Exactly-once verdicts from at-least-once delivery with no
+    * high-water state: the judge reads only batches < the replayed id
+    * (its own ingest, landed or not, is invisible), so a replay
+    * re-derives byte-identical verdicts and both writes are idempotent
+    * partition overwrites. The lineage fence guards the batch-id
+    * space, as for ingest. */
+  def judgeIngestStream(stream: DataFrame, storePath: String,
+      verdictsPath: String, threshold: Int = 6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyJudgeIngestBatch(batch, storePath, verdictsPath, batchId,
+          graft.streaming.StreamingOps.streamingLineage(
+            batch.sparkSession), threshold)
+    }
+
+  /** One judge+ingest trigger (see [[judgeIngestStream]]). */
+  private[graft] def applyJudgeIngestBatch(batch: DataFrame,
+      storePath: String, verdictsPath: String, batchId: Long,
+      lineage: String, threshold: Int = 6): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    graft.streaming.StreamingOps.bindStoreLineage(fs, root,
+      s"media fingerprint store at $storePath", lineage)
+    val b = batch.localCheckpoint() // judged AND ingested — compute once
+    judgeBatch(s, b, storePath, batchId, threshold)
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(verdictsPath)
+    applyFingerprintBatch(b, storePath, batchId)
   }
 
   // -------------------------------------------------------- compaction

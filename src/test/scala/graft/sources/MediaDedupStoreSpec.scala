@@ -168,6 +168,50 @@ class MediaDedupStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("streaming judge-then-ingest: verdict union across micro-batches " +
+      "equals the one-shot join; replay re-derives identical verdicts") {
+    val dir = tmp("mediajudgestream")
+    try {
+      val store = dir.resolve("m").toString
+      val verdicts = dir.resolve("v").toString
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val q = MediaDedupStore.judgeIngestStream(
+          stream.toDF.toDF("media_id", "modality", "h"), store, verdicts)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData((1L, "image", 0L), (2L, "image", 3L))
+      q.processAllAvailable()
+      stream.addData((3L, "image", 1L), (4L, "audio", 0L))
+      q.processAllAvailable()
+      q.stop()
+      def readVerdicts = spark.read.parquet(verdicts)
+        .select("modality", "id_a", "id_b", "hamming").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val streamed = readVerdicts
+      // one-shot over the full set: (1,2) 0^3 = h2 within batch 0;
+      // batch 1's 3 (h=1) pairs with 1 (0^1 = h1) and 2 (3^1 = h1);
+      // audio 4 pairs with nothing
+      assert(streamed === Set(("image", 1L, 2L, 2L),
+        ("image", 1L, 3L, 1L), ("image", 2L, 3L, 1L)))
+      // replay batch 1 AFTER its ingest landed (at-least-once): the
+      // judge's < fence re-derives identical verdicts, both writes
+      // idempotent
+      val lineage = {
+        val src = scala.io.Source.fromFile(s"$store/_lineage")
+        try src.mkString.trim finally src.close()
+      }
+      MediaDedupStore.applyJudgeIngestBatch(
+        fpsDF((3L, "image", 1L), (4L, "audio", 0L)), store, verdicts,
+        1L, lineage)
+      assert(readVerdicts === streamed, "replayed verdicts must not move")
+      assert(MediaDedupStore.fingerprintsFromStore(spark, store)
+        .count() === 4L)
+    } finally rmrf(dir)
+  }
+
   test("compaction: reads preserved on current + as-of >= watermark, " +
       "log shrinks to still-needed tombstones, empty fold never " +
       "resurrects, re-run is a no-op") {
