@@ -250,7 +250,7 @@ object Bench {
     val full = fullLine(results, sfDir)
     // the full per-query line goes to a FILE (unbounded growth is fine
     // there); documented in README: SPARK_GRAFT_BENCH_OUT
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", DefaultBenchOut)
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(out),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -297,9 +297,13 @@ object Bench {
     * the bound). Per-query values live in `queriesFile` — the RESOLVED
     * output path (SPARK_GRAFT_BENCH_OUT may override the default, and
     * the pointer must follow it). */
+  /** One source of truth for the per-query output's default location —
+    * run()'s env fallback and summaryLine's default must never drift. */
+  private[graft] val DefaultBenchOut = "/root/repo/bench_out.json"
+
   private[graft] def summaryLine(results: Seq[(String, Double)],
       sfDir: String,
-      queriesFile: String = "/root/repo/bench_out.json"): String =
+      queriesFile: String = DefaultBenchOut): String =
     s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","n_queries":${results.size},"queries_file":"$queriesFile","sf":"$sfDir"}"""
 
   private[graft] def totalOf(results: Seq[(String, Double)]): Double =

@@ -27,16 +27,23 @@ object FixtureMemo {
   def parquet(s: SparkSession, key: String)(build: => DataFrame)
       : DataFrame = {
     val path = memo.getOrElseUpdate(key, {
-      val p = java.nio.file.Files.createTempDirectory("graftfixture")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      val out = s"$p/fixture"
+      val out = s"${scratchDir("graftfixture")}/fixture"
       build.write.mode("overwrite").parquet(out)
       out
     })
     s.read.parquet(path)
+  }
+
+  /** A temp dir cleaned up at JVM exit — the one create-then-walk-
+    * reverse-delete recipe, shared with the entry-scoped store builders
+    * (MediaDedupStore and friends) instead of re-inlined per caller. */
+  private[graft] def scratchDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    p
   }
 }

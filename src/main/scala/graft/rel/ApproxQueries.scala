@@ -52,16 +52,23 @@ object ApproxQueries {
     def inBound(a: String, e: String) =
       (abs(col(a).cast("double") - col(e).cast("double")) <=
         lit(HllEps) * col(e).cast("double"))
-    lineitem(s, d)
+    // two aggregates joined on the group-count-sized key, NOT one: a
+    // single agg mixing 3 DISTINCT aggregates with 3 sketch aggregates
+    // plans the sketches through the multi-distinct EXPAND — measured
+    // 8.3 s at sf0.1 vs 0.76 s for q11's pure-distinct shape; split,
+    // each half keeps its own efficient plan (~1 s combined)
+    val exact = lineitem(s, d)
       .groupBy("l_returnflag")
       .agg(
-        approx_count_distinct("l_partkey", 0.02).as("a_parts"),
-        approx_count_distinct("l_suppkey", 0.02).as("a_supps"),
-        approx_count_distinct("l_orderkey", 0.02).as("a_orders"),
         countDistinct(col("l_partkey")).as("exact_parts"),
         countDistinct(col("l_suppkey")).as("exact_supps"),
         countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n_rows"))
+    val approx = approxDistinct(s, d)
+      .select(col("l_returnflag"), col("approx_parts").as("a_parts"),
+        col("approx_supps").as("a_supps"),
+        col("approx_orders").as("a_orders"))
+    exact.join(broadcast(approx), "l_returnflag")
       .select(col("l_returnflag"), col("n_rows"),
         col("exact_parts"), col("exact_supps"), col("exact_orders"),
         inBound("a_parts", "exact_parts").as("parts_in_bound"),
@@ -123,8 +130,12 @@ object ApproxQueries {
       pcts.flatMap { case (nm, p) => Seq(
         round(expr(s"percentile(o_totalprice, $p)"), 2).as(s"${nm}_exact"),
         expr(s"approx_percentile(o_totalprice, $p, 10000)").as(s"a_$nm")) }
+    // materialized once (group-count-sized): `agg` feeds both the
+    // broadcast into the rank-count scan and the final join — without
+    // this each reference re-runs the whole percentile aggregate
     val agg = base.groupBy("o_orderstatus")
       .agg(aggCols.head, aggCols.tail: _*)
+      .localCheckpoint()
     // rank of each estimate within its own group: one scan, broadcast
     // group-count-sized estimates, map-side-combined counts
     val cntCols = pcts.map(_._1).flatMap { nm => Seq(

@@ -59,11 +59,14 @@ object Cusum {
         val n = pts.length
         var cs = 0L; var css = 0L
         // checked accumulation: an hourly sum ≥ ~3.04e9 cents overflows
-        // Long on the square. The oracle's BIGINT multiply RAISES there;
-        // unchecked += would silently wrap Spark-side — addExact/
-        // multiplyExact make the engine fail as loudly as the oracle
-        // (the documented < 2^53 assumption covers the sums, not their
-        // squares, so the squares get a hard guard instead)
+        // Long on the SQUARE — the oracle's BIGINT multiply raises
+        // there too, and unchecked += would silently wrap Spark-side.
+        // The css/cs ADDS are stricter than the oracle (DuckDB sums
+        // BIGINT into HUGEINT, so only its multiply can raise): inputs
+        // whose squares fit but whose SUM exceeds 2^63 make the engine
+        // refuse loudly where the oracle would continue — the right
+        // divergence direction for a monitor, and far outside the
+        // documented < 2^53 envelope in any case
         pts.foreach { p =>
           cs = Math.addExact(cs, p._3)
           css = Math.addExact(css, Math.multiplyExact(p._3, p._3))

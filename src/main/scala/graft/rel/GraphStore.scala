@@ -68,13 +68,21 @@ object GraphStore {
     * erasure-request-sized (exceptional by the store contract — reads
     * BROADCAST the whole log), never data-sized. */
   def deleteEdges(pairs: DataFrame, storePath: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // an erasure arriving INSIDE a compaction's interrupted log swap
+    // (log deleted, staged rename pending) must complete the swap
+    // first: writing directly would recreate the log with ONLY this
+    // batch, readers would stop falling back to the staged kept set,
+    // and every tombstone in it would silently stop applying
+    TombstoneLog.recoverSwap(fsOf(pairs.sparkSession, storePath),
+      tombDir(storePath), tombNextDir(storePath))
     pairs.select(col("src"), col("dst"))
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(tombDir(storePath))
+  }
 
   /** The current (or as-of) edge set: batches ≤ k minus tombstones.
     * The tombstone side is tiny relative to the graph (deletions are
@@ -161,95 +169,29 @@ object GraphStore {
     * The fold target is deleted outright instead (the erasure contract
     * outranks the fence's write-only discipline here). */
   def compactThrough(s: SparkSession, storePath: String,
-      through: Long): Unit = {
-    val fs = fsOf(s, storePath)
-    val tp = new org.apache.hadoop.fs.Path(tombDir(storePath))
-    // recover an interrupted log swap: old log deleted, staged
-    // replacement not yet renamed — finish the rename before reading
-    TombstoneLog.recoverSwap(fs, tombDir(storePath),
-      tombNextDir(storePath))
-    val hasTombs = fs.exists(tp)
-    val tombs =
-      if (hasTombs) s.read.parquet(tombDir(storePath))
-        .select(col("src").as("ts"), col("dst").as("td")).distinct()
-      else null
-    val data = s.read.parquet(dataDir(storePath))
-    val old = data.filter(col("batch_id") <= through).select("src", "dst")
-    // fold: the region's surviving edges (tombstones applied) — output
-    // re-enters the store in the exact ingest schema, so reads can't
-    // tell it from a plain batch. Materialized BEFORE the overwrite
-    // below rewrites one of its own input partitions.
-    val folded = (if (hasTombs)
-        old.join(broadcast(tombs),
-          col("src") === col("ts") && col("dst") === col("td"),
-          "left_anti")
-      else old).localCheckpoint()
-    // surviving tombstones — materialized before the log swap (it
-    // reads the dir the swap replaces)
-    val kept = if (hasTombs)
-        keptTombstones(s, storePath, through).localCheckpoint()
-      else null
-    if (folded.isEmpty) {
-      pruneEdgesThrough(s, storePath, through)
-      val tgt = new org.apache.hadoop.fs.Path(
-        s"${dataDir(storePath)}/batch_id=$through")
-      if (fs.exists(tgt)) fs.delete(tgt, true)
-    } else {
-      folded
-        .withColumn("batch_id", lit(through))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", 10000000L)
-        .partitionBy("batch_id")
-        .mode("overwrite").parquet(dataDir(storePath))
-      pruneEdgesThrough(s, storePath, through)
-    }
-    if (hasTombs)
-      // staged write + delete + rename (or outright delete when fully
-      // drained) — the shared crash discipline, see TombstoneLog
-      TombstoneLog.swapIn(kept, fs, tombDir(storePath),
-        tombNextDir(storePath))
-  }
+      through: Long): Unit =
+    KeyedCompaction.compactThrough(s, dataDir(storePath),
+      tombDir(storePath), tombNextDir(storePath), Seq("src", "dst"),
+      through)
 
   /** The tombstones [[compactThrough]] must keep: exactly those whose
     * (src, dst) still has a copy in a batch > `through`. The plan never
-    * exchanges the edge relation: the erasure-sized tombstone set
-    * broadcasts INTO the newer edges (one narrow pass — matches are
-    * tombstone-copy-sized), the match keys distinct down to at most the
-    * log's own size, and the log semi-joins that broadcast result. The
-    * former shape (`log SEMI JOIN (newer edges).distinct()`) forced a
-    * full (src, dst) exchange of every batch beyond the fold just to
-    * dedup a side a semi-join never needed deduped. */
+    * exchanges the edge relation ([[KeyedCompaction.keptTombstones]] —
+    * spec-pinned here): the former shape (`log SEMI JOIN (newer
+    * edges).distinct()`) forced a full (src, dst) exchange of every
+    * batch beyond the fold just to dedup a side a semi-join never
+    * needed deduped. */
   private[rel] def keptTombstones(s: SparkSession, storePath: String,
-      through: Long): DataFrame = {
-    val tombs = s.read.parquet(tombDir(storePath))
-      .select(col("src").as("ts"), col("dst").as("td")).distinct()
-    val survivingPairs = s.read.parquet(dataDir(storePath))
-      .filter(col("batch_id") > through)
-      .join(broadcast(tombs),
-        col("src") === col("ts") && col("dst") === col("td"))
-      .select(col("ts").as("ks"), col("td").as("kd")).distinct()
-    s.read.parquet(tombDir(storePath))
-      .join(broadcast(survivingPairs),
-        col("src") === col("ks") && col("dst") === col("kd"),
-        "left_semi")
-  }
+      through: Long): DataFrame =
+    KeyedCompaction.keptTombstones(s, dataDir(storePath),
+      tombDir(storePath), Seq("src", "dst"), through)
 
   /** Delete the `batch_id < through` EDGE partitions — compactThrough's
     * prune phase and its crash recovery (idempotent: lists what exists,
     * so sparse/time-based batch ids never loop). */
   def pruneEdgesThrough(s: SparkSession, storePath: String,
-      through: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dataDir(storePath))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("batch_id=") &&
-          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
-            .exists(_ < through))
-        fs.delete(st.getPath, true)
-    }
-  }
+      through: Long): Unit =
+    KeyedCompaction.pruneThrough(s, dataDir(storePath), through)
 
   // ----------------------------------------------------- nq_graph_store
   // one store build per immutable driver dir (the q81 memo policy)

@@ -20,7 +20,7 @@ import org.apache.spark.sql.DataFrame
   */
 private[graft] object TombstoneLog {
 
-  private def path(p: String) = new org.apache.hadoop.fs.Path(p)
+  private[rel] def path(p: String) = new org.apache.hadoop.fs.Path(p)
 
   /** Where the CURRENT log lives: the log dir, or — inside the swap
     * window — the fully-written staged replacement. None when neither
@@ -59,4 +59,117 @@ private[graft] object TombstoneLog {
       require(fs.rename(path(next), path(log)),
         s"cannot swap staged tombstone log $next into place")
     }
+}
+
+/** The keyed-deletion stores' shared compaction: fold `batch_id ≤
+  * through` minus tombstones into ONE fenced partition, age out
+  * tombstones with no surviving copy, shrink the log through
+  * [[TombstoneLog]]'s staged swap. Parameterized by the store's key
+  * columns — [[GraphStore]] compacts on (src, dst),
+  * `sources.MediaDedupStore` on (media_id, modality); ONE
+  * implementation of the crash discipline serves both (each store's
+  * own scaladoc carries the read-semantics contract and its specs pin
+  * the behavior).
+  *
+  * Crash windows (the AggStore.compactThrough lineage): fold + kept
+  * sets BOTH materialize before any file moves; (1) the folded
+  * partition writes under dynamic overwrite, (2) the folded originals
+  * prune, (3) the log swaps via staged write + delete + rename. A
+  * crash between (1) and (2) double-counts — recovery is
+  * [[pruneThrough]] (idempotent), not a re-run; a crash around (3)
+  * leaves either the old log (harmless — anti-joining an already-
+  * removed key is a no-op) or the staged replacement (readers fall
+  * back; the next maintenance entry completes the rename). A re-run
+  * after success is a full no-op.
+  *
+  * EMPTY-FOLD case: if every row in batches ≤ through is tombstoned,
+  * the dynamic overwrite writes NO partitions — an existing
+  * `batch_id=through` partition would keep its stale (all-deleted)
+  * rows while their tombstones age out, silently resurrecting erased
+  * keys. The fold target is deleted outright instead.
+  */
+private[graft] object KeyedCompaction {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions._
+
+  private def fsOf(s: SparkSession, p: String) =
+    TombstoneLog.path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def keyCond(keyCols: Seq[String], pre: String): Column =
+    keyCols.map(k => col(k) === col(s"$pre$k")).reduce(_ && _)
+
+  private def renamedKeys(keyCols: Seq[String], pre: String) =
+    keyCols.map(k => col(k).as(s"$pre$k"))
+
+  def compactThrough(s: SparkSession, dataPath: String, logPath: String,
+      nextPath: String, keyCols: Seq[String], through: Long): Unit = {
+    val fs = fsOf(s, dataPath)
+    TombstoneLog.recoverSwap(fs, logPath, nextPath)
+    val hasTombs = fs.exists(TombstoneLog.path(logPath))
+    val data = s.read.parquet(dataPath)
+    val payload = data.columns.filterNot(_ == "batch_id").toSeq
+    val old = data.filter(col("batch_id") <= through)
+      .select(payload.map(col): _*)
+    // fold: the region's surviving rows (tombstones applied) — output
+    // re-enters the store in the exact ingest schema. Materialized
+    // BEFORE the overwrite below rewrites one of its input partitions.
+    val folded = (if (!hasTombs) old
+      else old.join(
+          broadcast(s.read.parquet(logPath)
+            .select(renamedKeys(keyCols, "__t_"): _*).distinct()),
+          keyCond(keyCols, "__t_"), "left_anti")
+        .select(payload.map(col): _*)).localCheckpoint()
+    val kept = if (hasTombs)
+        keptTombstones(s, dataPath, logPath, keyCols, through)
+          .localCheckpoint()
+      else null
+    if (folded.isEmpty) {
+      pruneThrough(s, dataPath, through)
+      val tgt = TombstoneLog.path(s"$dataPath/batch_id=$through")
+      if (fs.exists(tgt)) fs.delete(tgt, true)
+    } else {
+      folded.withColumn("batch_id", lit(through))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", 10000000L)
+        .partitionBy("batch_id")
+        .mode("overwrite").parquet(dataPath)
+      pruneThrough(s, dataPath, through)
+    }
+    if (hasTombs) TombstoneLog.swapIn(kept, fs, logPath, nextPath)
+  }
+
+  /** The tombstones the fold must KEEP: exactly those with a copy in a
+    * batch > through. The plan never exchanges the data relation: the
+    * erasure-sized log broadcasts INTO the newer batches (matches are
+    * tombstone-copy-sized), the match keys distinct down to at most
+    * log size, and the log semi-joins that broadcast result. */
+  def keptTombstones(s: SparkSession, dataPath: String, logPath: String,
+      keyCols: Seq[String], through: Long): org.apache.spark.sql.DataFrame = {
+    val tombs = s.read.parquet(logPath)
+      .select(renamedKeys(keyCols, "__t_"): _*).distinct()
+    val surviving = s.read.parquet(dataPath)
+      .filter(col("batch_id") > through)
+      .join(broadcast(tombs), keyCond(keyCols, "__t_"))
+      .select(keyCols.map(k => col(s"__t_$k").as(s"__k_$k")): _*)
+      .distinct()
+    s.read.parquet(logPath)
+      .join(broadcast(surviving), keyCond(keyCols, "__k_"), "left_semi")
+  }
+
+  /** Delete the `batch_id < through` partitions — the prune phase and
+    * its idempotent crash recovery (lists what exists, so sparse /
+    * time-based batch ids never loop). */
+  def pruneThrough(s: SparkSession, dataPath: String,
+      through: Long): Unit = {
+    val p = TombstoneLog.path(dataPath)
+    val fs = fsOf(s, dataPath)
+    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("batch_id=") &&
+          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+            .exists(_ < through))
+        fs.delete(st.getPath, true)
+    }
+  }
 }

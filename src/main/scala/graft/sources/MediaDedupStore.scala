@@ -57,13 +57,22 @@ object MediaDedupStore {
     * of the key, so erasing an image never touches an audio clip that
     * happens to share the numeric id. coalesce(1): deletion batches are
     * erasure-request-sized (reads broadcast the whole log). */
-  def deleteMedia(keys: DataFrame, storePath: String, batchId: Long): Unit =
+  def deleteMedia(keys: DataFrame, storePath: String, batchId: Long): Unit = {
+    // complete any interrupted compaction swap BEFORE writing: a
+    // direct write would recreate the log with only this batch and
+    // orphan the staged kept-tombstone set (see GraphStore.deleteEdges)
+    val s = keys.sparkSession
+    graft.rel.TombstoneLog.recoverSwap(
+      new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration),
+      tombDir(storePath), tombNextDir(storePath))
     keys.select(col("media_id"), col("modality"))
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(tombDir(storePath))
+  }
 
   /** The standing fingerprint set: batches ≤ asOfBatch (all when None)
     * minus tombstones — which apply at EVERY as-of (erasure is not
@@ -256,72 +265,17 @@ object MediaDedupStore {
     * The kept-tombstone plan broadcasts the erasure-sized log into the
     * newer batches — the fingerprint relation is never exchanged. */
   def compactThrough(s: SparkSession, storePath: String,
-      through: Long): Unit = {
-    val root = new org.apache.hadoop.fs.Path(storePath)
-    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    graft.rel.TombstoneLog.recoverSwap(fs, tombDir(storePath),
-      tombNextDir(storePath))
-    val tp = new org.apache.hadoop.fs.Path(tombDir(storePath))
-    val hasTombs = fs.exists(tp)
-    val data = s.read.parquet(dataDir(storePath))
-    val old = data.filter(col("batch_id") <= through)
-      .select("media_id", "modality", "h")
-    val folded = (if (!hasTombs) old
-      else old.join(
-        broadcast(s.read.parquet(tombDir(storePath))
-          .select(col("media_id").as("ti"), col("modality").as("tm"))
-          .distinct()),
-        col("media_id") === col("ti") && col("modality") === col("tm"),
-        "left_anti")
-        .select("media_id", "modality", "h")).localCheckpoint()
-    val kept = if (hasTombs) {
-        val tombs = s.read.parquet(tombDir(storePath))
-          .select(col("media_id").as("ti"), col("modality").as("tm"))
-          .distinct()
-        val surviving = data.filter(col("batch_id") > through)
-          .join(broadcast(tombs),
-            col("media_id") === col("ti") && col("modality") === col("tm"))
-          .select(col("ti").as("ki"), col("tm").as("km")).distinct()
-        s.read.parquet(tombDir(storePath))
-          .join(broadcast(surviving),
-            col("media_id") === col("ki") && col("modality") === col("km"),
-            "left_semi")
-          .localCheckpoint()
-      } else null
-    if (folded.isEmpty) {
-      pruneFingerprintsThrough(s, storePath, through)
-      val tgt = new org.apache.hadoop.fs.Path(
-        s"${dataDir(storePath)}/batch_id=$through")
-      if (fs.exists(tgt)) fs.delete(tgt, true)
-    } else {
-      folded.withColumn("batch_id", lit(through))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", 10000000L)
-        .partitionBy("batch_id")
-        .mode("overwrite").parquet(dataDir(storePath))
-      pruneFingerprintsThrough(s, storePath, through)
-    }
-    if (hasTombs)
-      graft.rel.TombstoneLog.swapIn(kept, fs, tombDir(storePath),
-        tombNextDir(storePath))
-  }
+      through: Long): Unit =
+    graft.rel.KeyedCompaction.compactThrough(s, dataDir(storePath),
+      tombDir(storePath), tombNextDir(storePath),
+      Seq("media_id", "modality"), through)
 
   /** Delete the `batch_id < through` fingerprint partitions —
     * compactThrough's prune phase and its idempotent crash recovery
     * (lists what exists; sparse/time-based batch ids never loop). */
   def pruneFingerprintsThrough(s: SparkSession, storePath: String,
-      through: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dataDir(storePath))
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("batch_id=") &&
-          scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
-            .exists(_ < through))
-        fs.delete(st.getPath, true)
-    }
-  }
+      through: Long): Unit =
+    graft.rel.KeyedCompaction.pruneThrough(s, dataDir(storePath), through)
 
   // ------------------------------------------------------ fingerprints
   /** The full planted multimodal corpus as (media_id, modality, h) —
@@ -365,15 +319,8 @@ object MediaDedupStore {
   private val compactStoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def tempStore(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    sys.addShutdownHook {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    s"$p/media"
-  }
+  private def tempStore(prefix: String): String =
+    s"${graft.FixtureMemo.scratchDir(prefix)}/media"
 
   private def buildStore(s: SparkSession, d: String): String = {
     val path = tempStore("mediadedup")

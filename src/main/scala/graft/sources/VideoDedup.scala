@@ -171,29 +171,38 @@ object VideoDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.flatMap { case (id, avi) =>
-          VideoSource.parseAvi(avi).iterator.flatMap { case (_, _, fs) =>
-            var prev: Array[Long] = null
-            fs.iterator.zipWithIndex.flatMap { case (jpeg, f) =>
-              lumaGrid(jpeg) match {
-                case None => prev = null; Iterator.empty
-                case Some(g) =>
-                  val keep = f == 0 || prev == null || {
-                    var d = 0L; var i = 0
-                    while (i < g.length) {
-                      d += math.abs(g(i) - prev(i)); i += 1
-                    }
-                    d > deltaThreshold
-                  }
-                  prev = g
-                  if (keep) Iterator((packFrameId(id, f), jpeg))
-                  else Iterator.empty
-              }
-            }
-          }
-        }
+        it.flatMap(selectKeyframes(_, deltaThreshold,
+          (id, f, jpeg, _) => (packFrameId(id, f), jpeg)))
       }
       .toDF("image_id", "content")
+  }
+
+  /** The shared per-video keyframe scan: demux, decode each frame's
+    * 9×9 milli-luma grid ONCE, keep frame 0 / post-reset / L1-delta >
+    * threshold frames, and emit whatever `emit` derives from (video,
+    * frame, jpeg, grid). Sequential per video — the demux already is. */
+  private def selectKeyframes[T](v: (Long, Array[Byte]),
+      deltaThreshold: Long,
+      emit: (Long, Int, Array[Byte], Array[Long]) => T): Iterator[T] = {
+    val (id, avi) = v
+    VideoSource.parseAvi(avi).iterator.flatMap { case (_, _, fs) =>
+      var prev: Array[Long] = null
+      fs.iterator.zipWithIndex.flatMap { case (jpeg, f) =>
+        lumaGrid(jpeg) match {
+          case None => prev = null; Iterator.empty
+          case Some(g) =>
+            val keep = f == 0 || prev == null || {
+              var d = 0L; var i = 0
+              while (i < g.length) {
+                d += math.abs(g(i) - prev(i)); i += 1
+              }
+              d > deltaThreshold
+            }
+            prev = g
+            if (keep) Iterator(emit(id, f, jpeg, g)) else Iterator.empty
+        }
+      }
+    }
   }
 
   /** Fused selection + hash: (packed keyframe id, dHash) in ONE decode
@@ -209,29 +218,9 @@ object VideoDedup {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
-        it.flatMap { case (id, avi) =>
-          VideoSource.parseAvi(avi).iterator.flatMap { case (_, _, fs) =>
-            var prev: Array[Long] = null
-            fs.iterator.zipWithIndex.flatMap { case (jpeg, f) =>
-              lumaGrid(jpeg) match {
-                case None => prev = null; Iterator.empty
-                case Some(g) =>
-                  val keep = f == 0 || prev == null || {
-                    var d = 0L; var i = 0
-                    while (i < g.length) {
-                      d += math.abs(g(i) - prev(i)); i += 1
-                    }
-                    d > deltaThreshold
-                  }
-                  prev = g
-                  if (keep)
-                    Iterator((packFrameId(id, f),
-                      ImageDedup.dhashFromGrid(g)))
-                  else Iterator.empty
-              }
-            }
-          }
-        }
+        it.flatMap(selectKeyframes(_, deltaThreshold,
+          (id, f, _, g) => (packFrameId(id, f),
+            ImageDedup.dhashFromGrid(g))))
       }
       .toDF("image_id", "h")
   }
@@ -356,9 +345,13 @@ object VideoDedup {
        |  WHERE a.image_id % 100 <> 0
        |  GROUP BY a.image_id),
        |kf AS (
-       |  SELECT DISTINCT image_id FROM lum WHERE image_id % 100 = 0
-       |  UNION ALL
-       |  SELECT image_id FROM dl WHERE d > 0),
+       |  -- frame 0, OR grid-delta > 0, OR NO predecessor grid in the
+       |  -- dump (an undecodable frame is absent from lum, and the
+       |  -- engine resets: the next decodable frame is a keyframe)
+       |  SELECT f.image_id
+       |  FROM (SELECT DISTINCT image_id FROM lum) f
+       |  LEFT JOIN dl ON dl.image_id = f.image_id
+       |  WHERE f.image_id % 100 = 0 OR dl.d > 0 OR dl.image_id IS NULL),
        |bits AS (
        |  SELECT a.image_id,
        |    (a.px // 9) * 8 + (a.px % 9) AS bit,

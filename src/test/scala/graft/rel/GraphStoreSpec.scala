@@ -202,6 +202,33 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("an erasure arriving inside an interrupted swap completes the " +
+      "swap first — staged tombstones are never orphaned") {
+    val dir = java.nio.file.Files.createTempDirectory("graphstoredelswap")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst"), store, 0L)
+      GraphStore.deleteEdges(Seq((2L, 3L)).toDF("src", "dst"), store, 0L)
+      // simulate the crash window: complete log sits in _next only
+      val log = new java.io.File(s"$store/_edge_tombstones")
+      val next = new java.io.File(s"$store/_edge_tombstones_next")
+      assert(log.renameTo(next))
+      // a NEW erasure lands during the window: it must not recreate
+      // the log with only itself and orphan the staged kept set
+      GraphStore.deleteEdges(Seq((5L, 6L)).toDF("src", "dst"), store, 1L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((1L, 2L)),
+        "BOTH the staged tombstone and the new erasure must apply")
+      assert(log.exists() && !next.exists(),
+        "the write path must complete the rename before writing")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("kept-tombstone plan never exchanges the edge relation") {
     val dir = java.nio.file.Files.createTempDirectory("graphstorekept")
     try {

@@ -269,6 +269,28 @@ class MediaDedupStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("an erasure arriving inside an interrupted compaction swap " +
+      "completes the swap first") {
+    val dir = tmp("mediadelswap")
+    try {
+      val store = dir.resolve("m").toString
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((1L, "image", 0L), (2L, "image", 1L), (3L, "audio", 5L)),
+        store, 0L)
+      MediaDedupStore.deleteMedia(
+        Seq((2L, "image")).toDF("media_id", "modality"), store, 0L)
+      val log = new java.io.File(s"$store/_media_tombstones")
+      val next = new java.io.File(s"$store/_media_tombstones_next")
+      assert(log.renameTo(next))
+      MediaDedupStore.deleteMedia(
+        Seq((3L, "audio")).toDF("media_id", "modality"), store, 1L)
+      assert(MediaDedupStore.fingerprintsFromStore(spark, store)
+        .select("media_id").collect().map(_.getLong(0)).toSet ===
+        Set(1L), "BOTH the staged tombstone and the new erasure apply")
+      assert(log.exists() && !next.exists())
+    } finally rmrf(dir)
+  }
+
   test("compaction is read-invisible through the full pair relation " +
       "(the compact entry equals the delete entry)") {
     val del = pairSet(MediaDedupStore.nqMediaDedupDelete(spark, sf0001))
