@@ -25,7 +25,12 @@ object Bench {
     "q12_interval_join", "q13_running_total", "q14_json_extract",
     "q15_hourly_events", "q16_sessionize", "q23_dedup_exact",
     "q25_neardup_jaccard", "q30_knn_exact", "nq_lsh_neardup",
-    "nq_minhash_neardup", "nq_approx_distinct",
+    // r14: nq_approx_distinct left the set — its contract row became
+    // the INVARIANT-ORACLE form (sketch + exact distincts + bound
+    // booleans, ~1.8 s at sf0.1: a verification tax, not an operator
+    // cost). The sketch-scan shape stays benched through nq_profile's
+    // per-column HLL distincts; the exact-distinct shape through q11.
+    "nq_minhash_neardup",
     // LLM-pipeline composites: regressions in connected components,
     // end-to-end curation, and IVF ANN must show up in the bench, not
     // only in specs
