@@ -121,6 +121,28 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("mediajudge")) {
+      // the media store's SERVING cost: judge one incoming batch of
+      // PRECOMPUTED fingerprints against the standing store — the
+      // production ingest shape (fingerprints arrive with the batch;
+      // the nq_media_dedup_store entry's time is dominated by
+      // re-fingerprinting its whole corpus per call).
+      //   SPARK_GRAFT_IMMUTABLE_DIRS=/tmp/sf1f SPARK_GRAFT_SF_DIR=/tmp/sf1f \
+      //     runmain graft.tools.Scratch mediajudge [modFilter]
+      val modFilter = args.lift(1).map(_.toLong).getOrElse(1000L)
+      val store = graft.sources.MediaDedupStore.probeStore(spark, d)
+      val batch = graft.sources.MediaDedupStore.allFingerprints(spark, d)
+        .filter(pmod(col("media_id"), lit(modFilter)) === 0L)
+        .localCheckpoint()
+      println(s"[scratch] batch size: ${batch.count()} fingerprints")
+      for (r <- 1 to 3) time(s"judgeBatch run$r") {
+        graft.sources.MediaDedupStore
+          .judgeBatch(spark, batch, store, batchId = 99L)
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("profexp")) {
       // profiler cost split: is nq_profile's time the HLL updates, or
       // ALL 47 aggregates running interpreted because one imperative

@@ -126,6 +126,11 @@ class MediaDedupStoreSpec extends SparkSpec {
       val plan = cross.queryExecution.executedPlan.toString
       assert(!plan.contains("SortMergeJoin"),
         s"store side must flow through a broadcast join only:\n$plan")
+      // the batches-<-judged fence must reach the scan as a PARTITION
+      // filter (pruned directories), not a post-scan row filter
+      assert(plan.contains("PartitionFilters") &&
+        plan.contains("batch_id"),
+        s"batch_id fence did not prune partitions:\n$plan")
       assert(pairSet(cross) === Set(("image", 1L, 5L, 1L)))
     } finally rmrf(dir)
   }
