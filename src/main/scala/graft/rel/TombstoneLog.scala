@@ -17,6 +17,15 @@ import org.apache.spark.sql.DataFrame
   * staging dir when the log exists — the next run overwrites it);
   * between (b) and (c) readers fall back to the staged dir; the next
   * maintenance entry completes the rename ([[recoverSwap]]).
+  *
+  * The logs live under underscore-prefixed dirs INSIDE the store root
+  * on purpose: any glob of the root skips them (Spark's hidden-path
+  * filter), so the data reader can never accidentally ingest
+  * tombstones as rows. Reading such a dir EXPLICITLY works (the
+  * partition dirs inside are visible) but logs a benign
+  * "All paths were ignored" WARN from DataSource's root-path check —
+  * cosmetic; the reads are verified row-exact by the store specs and
+  * the driver oracles.
   */
 private[graft] object TombstoneLog {
 
