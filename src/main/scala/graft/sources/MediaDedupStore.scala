@@ -227,6 +227,11 @@ object MediaDedupStore {
     graft.streaming.StreamingOps.bindStoreLineage(fs, root,
       s"media fingerprint store at $storePath", lineage)
     val b = batch.localCheckpoint() // judged AND ingested — compute once
+    // coalesce(1): a batch's verdicts are match-output-sized (the
+    // banded join's collision tail), not corpus-sized — one file per
+    // batch keeps the verdict store's file count = batch count (the
+    // q81/store convention); a pathologically cliqued corpus is the
+    // documented output-bound regime, not a plan problem
     judgeBatch(s, b, storePath, batchId, threshold)
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
