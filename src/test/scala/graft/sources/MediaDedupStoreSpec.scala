@@ -274,6 +274,35 @@ class MediaDedupStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("keyframe video fingerprints compose with the store: scene " +
+      "reuse surfaces through the incremental judge") {
+    // the production pipeline: keyframe-sample incoming videos, hash
+    // once, ingest/judge through the standing store — base corpus
+    // ingested first, the re-timed copies judged as an arriving batch
+    val dir = tmp("mediakf")
+    try {
+      val store = dir.resolve("m").toString
+      val vids = VideoDedup.generateSceneVideos(spark, sf0001)
+      val fps = VideoDedup.keyframeHashes(vids)
+        .select(col("image_id").as("media_id"),
+          lit("video").as("modality"), col("h"))
+      val isCopy = col("media_id") >= 100000000L // packed (id+1e6)·100
+      MediaDedupStore.applyFingerprintBatch(
+        fps.filter(!isCopy), store, 0L)
+      val verdicts = pairSet(MediaDedupStore.judgeBatch(
+        spark, fps.filter(isCopy), store, 1L))
+      val planted = graft.Tables.documents(spark, sf0001)
+        .select("doc_id").as[Long].collect().filter(_ % 10 == 0)
+        .flatMap { id =>
+          val c = (id + 1000000L) * 100L
+          Seq(("video", id * 100L + 6L, c, 0L),
+            ("video", id * 100L + 9L, c + 4L, 0L))
+        }.toSet
+      assert(verdicts === planted,
+        s"diff = ${verdicts.diff(planted) ++ planted.diff(verdicts)}")
+    } finally rmrf(dir)
+  }
+
   test("an erasure arriving inside an interrupted compaction swap " +
       "completes the swap first") {
     val dir = tmp("mediadelswap")
