@@ -89,6 +89,11 @@ object GraphStore {
     * exceptional) — broadcast anti-join, no shuffle of the edge set. */
   def edgesFromStore(s: SparkSession, storePath: String,
       asOfBatch: Option[Long] = None): DataFrame = {
+    // a fully-erased store's data dir is deleted by compaction rather
+    // than left file-less (schema inference would fail) — read empty
+    if (!fsOf(s, storePath).exists(
+        new org.apache.hadoop.fs.Path(dataDir(storePath))))
+      return s.range(0).select(col("id").as("src"), col("id").as("dst"))
     val data = CardinalityStore.asOf(
       s.read.parquet(dataDir(storePath)), asOfBatch)
     tombReadDir(s, storePath) match {
@@ -207,13 +212,7 @@ object GraphStore {
     * hash-fail through the rank vector. */
   def nqGraphStore(s: SparkSession, d: String): DataFrame = {
     def build(): String = {
-      val p = java.nio.file.Files.createTempDirectory("graphstore")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      val path = s"$p/graph"
+      val path = s"${graft.FixtureMemo.scratchDir("graphstore")}/graph"
       val e = PageRank.citationEdges(s, d)
       (0 until 3).foreach(b => applyEdgeBatch(
         e.filter(pmod(col("src"), lit(3)) === b), path, b.toLong))
@@ -272,13 +271,7 @@ object GraphStore {
     * pair, or a kept-tombstone bug all hash-fail. */
   def nqGraphCompact(s: SparkSession, d: String): DataFrame = {
     def build(): String = {
-      val p = java.nio.file.Files.createTempDirectory("graphcompact")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      val path = s"$p/graph"
+      val path = s"${graft.FixtureMemo.scratchDir("graphcompact")}/graph"
       val e = PageRank.citationEdges(s, d)
       (0 until 3).foreach(b => applyEdgeBatch(
         e.filter(pmod(col("src"), lit(3)) === b), path, b.toLong))

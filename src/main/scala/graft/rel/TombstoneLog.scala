@@ -114,6 +114,11 @@ private[graft] object KeyedCompaction {
       nextPath: String, keyCols: Seq[String], through: Long): Unit = {
     val fs = fsOf(s, dataPath)
     TombstoneLog.recoverSwap(fs, logPath, nextPath)
+    // a fully-erased store's data dir was deleted by a prior empty-fold
+    // compaction (see below) — nothing to fold, and reading it would
+    // fail schema inference; the tombstone log is left as-is (its
+    // entries suppress nothing, harmlessly, until new data arrives)
+    if (!fs.exists(TombstoneLog.path(dataPath))) return
     val hasTombs = fs.exists(TombstoneLog.path(logPath))
     val data = s.read.parquet(dataPath)
     val payload = data.columns.filterNot(_ == "batch_id").toSeq
@@ -136,6 +141,15 @@ private[graft] object KeyedCompaction {
       pruneThrough(s, dataPath, through)
       val tgt = TombstoneLog.path(s"$dataPath/batch_id=$through")
       if (fs.exists(tgt)) fs.delete(tgt, true)
+      // if that was the LAST partition, a file-less dir would brick
+      // every later read (parquet schema inference fails on zero
+      // files) — delete the dir outright; the stores' readers return
+      // an empty relation for a missing data dir, and the next ingest
+      // recreates it
+      val anyLeft = fs.exists(TombstoneLog.path(dataPath)) &&
+        fs.listStatus(TombstoneLog.path(dataPath))
+          .exists(_.getPath.getName.startsWith("batch_id="))
+      if (!anyLeft) fs.delete(TombstoneLog.path(dataPath), true)
     } else {
       folded.withColumn("batch_id", lit(through))
         .write

@@ -171,27 +171,13 @@ object ImageDedup {
       .toDF("image_id", "content")
   }
 
-  /** 64-bit dHash of one encoded image; None when undecodable. */
+  /** 64-bit dHash of one encoded image; None when undecodable. One
+    * derivation: the 9×9 milli-luma grid ([[lumaGrid9]]) feeds the
+    * identity-transform gradient bits ([[dhashFromGrid]]) — the same
+    * two pieces every dihedral/keyframe variant composes, so the grid
+    * math can never drift between them. */
   private[sources] def dhash(bytes: Array[Byte]): Option[Long] =
-    ImageSource.resizedRgb(bytes, Grid).map { case (_, _, px) =>
-      def luma(i: Int): Long = {
-        val p = px(i)
-        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
-          114L * (p & 0xff)
-      }
-      var h = 0L
-      var r = 0
-      while (r < Grid - 1) {
-        var c = 0
-        while (c < Grid - 1) {
-          if (luma(r * Grid + c) < luma(r * Grid + c + 1))
-            h |= 1L << (r * 8 + c)
-          c += 1
-        }
-        r += 1
-      }
-      h
-    }
+    lumaGrid9(bytes).map(dhashFromGrid)
 
   // ------------------------------------------- dihedral-invariant hash
   /** Source grid index feeding target cell (r, c) under dihedral
@@ -222,21 +208,29 @@ object ImageDedup {
     * contract, edited ones best-effort (the usual canonicalization
     * trade; per-transform multi-probing is the recall-complete
     * alternative at 8× the index size). */
+  /** The dHash of dihedral transform `t` of grid `g` — the ONE inner
+    * loop every tier shares (identity = [[dhashFromGrid]], canonical
+    * min, multi-probe). */
+  private def dhashOfTransform(g: Array[Long], t: Int): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(srcIdx(t, r, c)) < g(srcIdx(t, r, c + 1)))
+          h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
   private[sources] def dihedralMin(g: Array[Long]): Long = {
     var min = Long.MaxValue
     var t = 0
     while (t < 8) {
-      var h = 0L
-      var r = 0
-      while (r < 8) {
-        var c = 0
-        while (c < 8) {
-          if (g(srcIdx(t, r, c)) < g(srcIdx(t, r, c + 1)))
-            h |= 1L << (r * 8 + c)
-          c += 1
-        }
-        r += 1
-      }
+      val h = dhashOfTransform(g, t)
       if (h < min) min = h
       t += 1
     }
@@ -288,20 +282,7 @@ object ImageDedup {
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { case (id, bytes) =>
           lumaGrid9(bytes).iterator.flatMap { g =>
-            (0 until 8).iterator.map { t =>
-              var h = 0L
-              var r = 0
-              while (r < 8) {
-                var c = 0
-                while (c < 8) {
-                  if (g(srcIdx(t, r, c)) < g(srcIdx(t, r, c + 1)))
-                    h |= 1L << (r * 8 + c)
-                  c += 1
-                }
-                r += 1
-              }
-              (id, h)
-            }
+            (0 until 8).iterator.map(t => (id, dhashOfTransform(g, t)))
           }
         }
       }
@@ -309,23 +290,11 @@ object ImageDedup {
   }
 
   /** dHash straight from an already-computed 9×9 milli-luma grid —
-    * bit-identical to [[dhash]] (same grid, same comparisons); lets a
-    * caller that already decoded the grid (keyframe selection) derive
-    * the hash without a second decode. */
-  private[sources] def dhashFromGrid(g: Array[Long]): Long = {
-    var h = 0L
-    var r = 0
-    while (r < Grid - 1) {
-      var c = 0
-      while (c < Grid - 1) {
-        if (g(r * Grid + c) < g(r * Grid + c + 1))
-          h |= 1L << (r * 8 + c)
-        c += 1
-      }
-      r += 1
-    }
-    h
-  }
+    * the identity transform of [[dhashOfTransform]]; lets a caller
+    * that already decoded the grid (keyframe selection) derive the
+    * hash without a second decode. */
+  private[sources] def dhashFromGrid(g: Array[Long]): Long =
+    dhashOfTransform(g, 0)
 
   /** (image_id, dhash) for every decodable image — one map pass. */
   def dhashes(images: DataFrame): DataFrame = {

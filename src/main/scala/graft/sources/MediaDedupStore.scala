@@ -79,6 +79,12 @@ object MediaDedupStore {
     * rewindable). */
   def fingerprintsFromStore(s: SparkSession, storePath: String,
       asOfBatch: Option[Long] = None): DataFrame = {
+    // a fully-erased store's data dir is deleted by compaction rather
+    // than left file-less (schema inference would fail) — read empty
+    val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
+    if (!dp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dp))
+      return s.range(0).select(col("id").as("media_id"),
+        lit("").as("modality"), col("id").as("h"))
     val data = graft.rel.CardinalityStore.asOf(
       s.read.parquet(dataDir(storePath)), asOfBatch)
     minusTombstones(s, storePath,

@@ -135,15 +135,11 @@ object VideoDedup {
 
   // --------------------------------------------------- keyframe sampling
   /** 9×9 integer milli-luma grid of one encoded frame — the SAME grid
-    * the dHash reads, reused for keyframe selection so the oracle can
-    * re-derive the selection from the dumped grids. */
+    * the dHash reads ([[ImageDedup.lumaGrid9]], one derivation),
+    * reused for keyframe selection so the oracle can re-derive the
+    * selection from the dumped grids. */
   private[sources] def lumaGrid(bytes: Array[Byte]): Option[Array[Long]] =
-    ImageSource.resizedRgb(bytes, 9).map { case (_, _, px) =>
-      px.map { p =>
-        299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
-          114L * (p & 0xff)
-      }
-    }
+    ImageDedup.lumaGrid9(bytes)
 
   /** Scene-change KEYFRAMES of each video: frame 0, plus every frame
     * whose grid-luma L1 distance from its predecessor exceeds

@@ -171,6 +171,38 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("FULL-erasure compaction: the store empties cleanly — reads " +
+      "return the empty relation, re-ingest revives it") {
+    // every edge in every batch tombstoned, compaction through the
+    // LAST batch: without the explicit dir handling the data dir would
+    // survive file-less and every later read would die on parquet
+    // schema inference — the store bricked by its own maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graphstorefull")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((3L, 4L)).toDF("src", "dst"), store, 1L)
+      GraphStore.deleteEdges(
+        Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"), store, 0L)
+      GraphStore.compactThrough(spark, store, through = 1L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === Seq(),
+        "fully-erased store reads empty, not AnalysisException")
+      // maintenance on the empty store is a no-op, not a crash
+      GraphStore.compactThrough(spark, store, through = 1L)
+      // and the next ingest simply revives it
+      GraphStore.applyEdgeBatch(
+        Seq((5L, 6L)).toDF("src", "dst"), store, 2L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) ===
+        Seq((5L, 6L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("interrupted tombstone-log swap: reads fall back to the staged " +
       "log and the next compaction completes the rename") {
     val dir = java.nio.file.Files.createTempDirectory("graphstoreswap")

@@ -127,9 +127,12 @@ class MediaDedupStoreSpec extends SparkSpec {
       assert(!plan.contains("SortMergeJoin"),
         s"store side must flow through a broadcast join only:\n$plan")
       // the batches-<-judged fence must reach the scan as a PARTITION
-      // filter (pruned directories), not a post-scan row filter
-      assert(plan.contains("PartitionFilters") &&
-        plan.contains("batch_id"),
+      // filter (pruned directories), not a post-scan row filter — the
+      // predicate must appear INSIDE the PartitionFilters list (a bare
+      // contains() would pass on "PartitionFilters: []" plus batch_id
+      // anywhere else in the plan)
+      assert("PartitionFilters: \\[[^\\]]*batch_id".r
+          .findFirstIn(plan).isDefined,
         s"batch_id fence did not prune partitions:\n$plan")
       assert(pairSet(cross) === Set(("image", 1L, 5L, 1L)))
     } finally rmrf(dir)
