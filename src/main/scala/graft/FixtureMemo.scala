@@ -19,19 +19,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object FixtureMemo {
 
-  // key -> materialized parquet path (path, not DataFrame: valid
-  // JVM-wide across sessions; the per-call read is footer-tax only)
+  // key -> lazy holder of the materialized parquet path (path, not
+  // DataFrame: valid JVM-wide across sessions; the per-call read is
+  // footer-tax only). The holder indirection makes the build run
+  // exactly once: TrieMap.getOrElseUpdate may evaluate its thunk in two
+  // RACING first callers — with the path built eagerly both would
+  // materialize the fixture, orphaning one scratch dir and skewing the
+  // first probe timing the memo exists to protect. Creating a holder is
+  // free; only the single stored holder's lazy val ever forces `build`
+  // (lazy-val init is synchronized by the JVM).
+  private final class Holder(thunk: () => String) {
+    lazy val path: String = thunk()
+  }
   private val memo =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, Holder]
 
   def parquet(s: SparkSession, key: String)(build: => DataFrame)
       : DataFrame = {
-    val path = memo.getOrElseUpdate(key, {
+    val holder = memo.getOrElseUpdate(key, new Holder(() => {
       val out = s"${scratchDir("graftfixture")}/fixture"
       build.write.mode("overwrite").parquet(out)
       out
-    })
-    s.read.parquet(path)
+    }))
+    s.read.parquet(holder.path)
   }
 
   /** A temp dir cleaned up at JVM exit — the one create-then-walk-

@@ -32,6 +32,15 @@ object Verify {
     // tools/check_oracle.py compares exactly what was dumped.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // a mistyped entry name would silently select nothing — the dump and
+    // oracle_sql.json would come out empty and the oracle check would
+    // report a vacuous pass for the subset; fail loudly instead
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_VERIFY_ONLY names not in SparkEntry.queries: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
     def selected(name: String) = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

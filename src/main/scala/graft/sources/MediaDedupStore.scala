@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   *   - deletes = (media_id, modality) tombstones under their own fenced
   *     partitions, erasure-request-sized, broadcast-anti-joined by
   *     every read at every as-of (erasure is not rewindable — the
-  *     store-family convention, [[graft.rel.GraphStore]]).
+  *     store-family convention, [[graft.rel.GraphStore]]); the judge
+  *     filters re-arrivals of erased keys, and [[scrubVerdicts]]
+  *     extends the erasure span to verdicts already written before the
+  *     erasure landed.
   *
   * 100 TB story: ingest appends without reading anything; the judge's
   * cost is proportional to the batch (broadcast) times the store scan —
@@ -120,7 +123,8 @@ object MediaDedupStore {
     * store-side work is one map pass + broadcast hash join, never a
     * store shuffle (spec-pinned: no SortMergeJoin in the plan). */
   private[sources] def crossPairs(s: SparkSession, batch: DataFrame,
-      storePath: String, beforeBatch: Long, threshold: Int): DataFrame = {
+      storePath: String, beforeBatch: Long, threshold: Int,
+      broadcastBatch: Boolean = true): DataFrame = {
     // bootstrap: the very first batch judges against an empty store
     // (no fingerprints dir yet) — no cross pairs by definition
     val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
@@ -141,7 +145,8 @@ object MediaDedupStore {
         batch.select(col("media_id"), col("modality"), col("h")))
       .select(col("modality"), col("bp"), col("bv"),
         col("media_id").as("bid"), col("h").as("bh"))
-    sb.join(broadcast(bb), Seq("modality", "bp", "bv"))
+    sb.join(if (broadcastBatch) broadcast(bb) else bb,
+        Seq("modality", "bp", "bv"))
       .filter(col("sid") =!= col("bid"))
       .withColumn("hamming", expr("bit_count(sh ^ bh)").cast("long"))
       .filter(col("hamming") <= threshold)
@@ -152,22 +157,52 @@ object MediaDedupStore {
       .distinct()
   }
 
+  /** The micro-batch contract's enforcement bound ([[judgeBatch]]):
+    * above this many batch fingerprints the ×28 key explosion would
+    * push an oversized relation through a driver broadcast (28 rows ×
+    * ~50 B each per fingerprint ≈ 1.4 GB at the bound) — the judge
+    * falls back to a plain equi-join and lets AQE pick the strategy.
+    * Streaming micro-batches sit orders of magnitude below this; only
+    * a backfill-sized "batch" crosses it, and a backfill pays a
+    * shuffle by design rather than a driver OOM. */
+  private[sources] val MaxBroadcastBatchRows = 1000000L
+
   /** Judge one incoming batch: all near-dup pairs it forms — against
     * the standing store (batches < `batchId`, cross pairs) and within
     * itself (the one-shot join over the batch alone). The union over an
     * ingest history reproduces the one-shot corpus join exactly (each
     * cross-batch pair surfaces when its LATER side arrives; each
     * within-batch pair once) — which is what lets the driver judge the
-    * store path against the one-shot oracles verbatim. */
+    * store path against the one-shot oracles verbatim.
+    *
+    * Erasure discipline: the incoming batch is anti-joined against the
+    * tombstone log FIRST, so a batch re-delivering an erased
+    * (media_id, modality) emits no verdicts naming it — without this,
+    * the verdict stream and the store reads (which suppress the key)
+    * would diverge for erased keys. Erasure is not rewindable, so a
+    * replay AFTER an erasure re-derives the batch's verdicts without
+    * the erased keys — and the idempotent partition overwrite of the
+    * streaming path then actively scrubs the stale ones.
+    *
+    * The batch side broadcasts only while it honors the micro-batch
+    * contract ([[MaxBroadcastBatchRows]]); an oversized batch (a
+    * backfill pushed through the serving path) falls back to a
+    * shuffled join instead of an oversized driver broadcast. The one
+    * count this costs is batch-sized. */
   def judgeBatch(s: SparkSession, batch: DataFrame, storePath: String,
-      batchId: Long, threshold: Int = 6): DataFrame = {
+      batchId: Long, threshold: Int = 6,
+      maxBroadcastBatchRows: Long = MaxBroadcastBatchRows): DataFrame = {
+    val b = minusTombstones(s, storePath,
+      batch.select(col("media_id"), col("modality"), col("h")))
+    val broadcastable = b.count() <= maxBroadcastBatchRows
     val within = ImageDedup.nearDupPairs(
-        batch.select(col("modality"), col("media_id").as("image_id"),
+        b.select(col("modality"), col("media_id").as("image_id"),
           col("h")),
         threshold, keyCols = Seq("modality"))
       .select(col("modality"), col("img_a").as("id_a"),
         col("img_b").as("id_b"), col("hamming"))
-    crossPairs(s, batch, storePath, batchId, threshold).union(within)
+    crossPairs(s, b, storePath, batchId, threshold,
+      broadcastBatch = broadcastable).union(within)
   }
 
   /** Streaming ingest — each micro-batch lands under its own fenced
@@ -232,7 +267,13 @@ object MediaDedupStore {
     fs.mkdirs(root)
     graft.streaming.StreamingOps.bindStoreLineage(fs, root,
       s"media fingerprint store at $storePath", lineage)
-    val b = batch.localCheckpoint() // judged AND ingested — compute once
+    // erased keys neither judge nor re-ingest: a batch re-delivering an
+    // erased (media_id, modality) would otherwise write a fingerprint
+    // every read suppresses (judgeBatch re-filters its own input —
+    // harmless second anti-join over this already-clean checkpoint)
+    val b = minusTombstones(s, storePath,
+      batch.select(col("media_id"), col("modality"), col("h")))
+      .localCheckpoint() // judged AND ingested — compute once
     // coalesce(1): a batch's verdicts are match-output-sized (the
     // banded join's collision tail), not corpus-sized — one file per
     // batch keeps the verdict store's file count = batch count (the
@@ -245,6 +286,56 @@ object MediaDedupStore {
       .partitionBy("batch_id")
       .mode("overwrite").parquet(verdictsPath)
     applyFingerprintBatch(b, storePath, batchId)
+  }
+
+  /** GDPR maintenance for the verdict store ([[judgeIngestStream]]'s
+    * output): tombstones suppress fingerprints in every STORE read and
+    * [[judgeBatch]] filters re-arrivals, but pairs ALREADY written to
+    * `verdictsPath` before an erasure keep naming the erased id — the
+    * erasure span must include them. Anti-joins every verdict
+    * partition against the store's tombstone log on BOTH endpoints and
+    * rewrites: partitions with survivors re-write under the idempotent
+    * dynamic overwrite; partitions left EMPTY are deleted outright (a
+    * dynamic overwrite writes nothing for them and their stale rows
+    * would persist — the KeyedCompaction empty-fold rule); a fully
+    * scrubbed store deletes its root (a file-less dir would brick
+    * later reads). Convergent, not atomic: a crash mid-scrub leaves a
+    * partially-scrubbed store that a re-run completes. The kept set
+    * materializes BEFORE any overwrite of its own input. Cost: one
+    * pass over the verdict store per scrub — maintenance-cadence work,
+    * like compaction, never on the ingest path. */
+  def scrubVerdicts(s: SparkSession, storePath: String,
+      verdictsPath: String): Unit = {
+    val vp = new org.apache.hadoop.fs.Path(verdictsPath)
+    val fs = vp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vp)) return
+    graft.rel.TombstoneLog.readDir(fs, tombDir(storePath),
+        tombNextDir(storePath)).foreach { dir =>
+      val tombs = broadcast(s.read.parquet(dir)
+        .select(col("media_id").as("ti"), col("modality").as("tm"))
+        .distinct())
+      def hitsTomb(idCol: String) =
+        col(idCol) === col("ti") && col("modality") === col("tm")
+      val kept = s.read.parquet(verdictsPath)
+        .join(tombs, hitsTomb("id_a"), "left_anti")
+        .join(tombs, hitsTomb("id_b"), "left_anti")
+        .localCheckpoint()
+      if (kept.isEmpty) fs.delete(vp, true)
+      else {
+        val before = fs.listStatus(vp).map(_.getPath.getName)
+          .filter(_.startsWith("batch_id=")).toSet
+        // batch-count-sized collect: one row per verdict partition
+        val after = kept.select("batch_id").distinct().collect()
+          .map(r => s"batch_id=${r.get(0)}").toSet
+        kept.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .mode("overwrite").parquet(verdictsPath)
+        (before -- after).foreach(p =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$verdictsPath/$p"),
+            true))
+      }
+    }
   }
 
   // -------------------------------------------------------- compaction

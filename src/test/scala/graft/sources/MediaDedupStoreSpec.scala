@@ -306,6 +306,102 @@ class MediaDedupStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("an oversized batch falls back to a shuffled join instead of a " +
+      "driver broadcast, with identical verdicts") {
+    val dir = tmp("mediabig")
+    try {
+      val store = dir.resolve("m").toString
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((1L, "image", 0L), (2L, "image", 255L)), store, 0L)
+      val batch = fpsDF((5L, "image", 1L), (6L, "image", 254L))
+      val normal = MediaDedupStore.judgeBatch(spark, batch, store, 1L)
+      // maxBroadcastBatchRows = 0: every batch is "oversized"
+      val fallback = MediaDedupStore.judgeBatch(spark, batch, store, 1L,
+        threshold = 6, maxBroadcastBatchRows = 0L)
+      assert(pairSet(fallback) === pairSet(normal))
+      assert(pairSet(fallback).nonEmpty)
+      // the guard must actually drop the broadcast hint on the batch
+      // side of the cross join (AQE may still pick a broadcast from
+      // stats at this toy size, so pin the HINT via the logical plan)
+      val hinted = MediaDedupStore.crossPairs(spark, batch, store, 1L, 6,
+        broadcastBatch = true)
+      val unhinted = MediaDedupStore.crossPairs(spark, batch, store, 1L, 6,
+        broadcastBatch = false)
+      def hasHint(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.toString
+          .contains("strategy=broadcast")
+      assert(hasHint(hinted), "the micro-batch path must keep the hint")
+      assert(!hasHint(unhinted),
+        "the oversized path must not hint a batch broadcast")
+    } finally rmrf(dir)
+  }
+
+  test("a batch re-delivering an erased key neither judges nor " +
+      "re-ingests it (verdict stream and store reads agree)") {
+    val dir = tmp("mediaredeliver")
+    try {
+      val store = dir.resolve("m").toString
+      val verdicts = dir.resolve("v").toString
+      MediaDedupStore.applyFingerprintBatch(
+        fpsDF((1L, "image", 0L), (2L, "image", 3L)), store, 0L)
+      MediaDedupStore.deleteMedia(
+        Seq((2L, "image")).toDF("media_id", "modality"), store, 0L)
+      // batch 1 re-delivers the erased id 2 alongside a new id 3
+      MediaDedupStore.applyJudgeIngestBatch(
+        fpsDF((2L, "image", 3L), (3L, "image", 1L)), store, verdicts,
+        1L, "lineage-x")
+      val v = spark.read.parquet(verdicts)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!v.exists { case (a, b) => a == 2L || b == 2L },
+        s"erased id 2 must not appear in verdicts: $v")
+      assert(v === Set((1L, 3L)))
+      // and the erased fingerprint was not re-ingested: even a LATER
+      // erasure-log compaction can never resurrect it
+      val stored = spark.read.parquet(s"$store/fingerprints")
+        .filter(col("batch_id") === 1L)
+        .select("media_id").collect().map(_.getLong(0)).toSet
+      assert(stored === Set(3L), s"batch 1 must hold only id 3: $stored")
+    } finally rmrf(dir)
+  }
+
+  test("scrubVerdicts extends erasure to already-written verdicts: " +
+      "both endpoints scrubbed, empty partitions deleted, idempotent") {
+    val dir = tmp("mediascrub")
+    try {
+      val store = dir.resolve("m").toString
+      val verdicts = dir.resolve("v").toString
+      // batch 0: ids 1,2 pair; batch 1: id 3 pairs with both
+      MediaDedupStore.applyJudgeIngestBatch(
+        fpsDF((1L, "image", 0L), (2L, "image", 3L)), store, verdicts,
+        0L, "lineage-y")
+      MediaDedupStore.applyJudgeIngestBatch(
+        fpsDF((3L, "image", 1L)), store, verdicts, 1L, "lineage-y")
+      assert(spark.read.parquet(verdicts).count() === 3L)
+      // erase id 1: the (1,2) and (1,3) verdicts must go; (2,3) stays
+      MediaDedupStore.deleteMedia(
+        Seq((1L, "image")).toDF("media_id", "modality"), store, 0L)
+      MediaDedupStore.scrubVerdicts(spark, store, verdicts)
+      def readPairs = spark.read.parquet(verdicts)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(readPairs === Set((2L, 3L)))
+      // idempotent re-run
+      MediaDedupStore.scrubVerdicts(spark, store, verdicts)
+      assert(readPairs === Set((2L, 3L)))
+      // erase the rest: the fully-scrubbed store deletes its root
+      // (batch-0's partition is now empty — the empty-fold rule)
+      MediaDedupStore.deleteMedia(
+        Seq((2L, "image"), (3L, "image")).toDF("media_id", "modality"),
+        store, 1L)
+      MediaDedupStore.scrubVerdicts(spark, store, verdicts)
+      assert(!new java.io.File(verdicts).exists(),
+        "a fully-scrubbed verdict store must delete its root")
+      // scrubbing a missing store is a no-op
+      MediaDedupStore.scrubVerdicts(spark, store, verdicts)
+    } finally rmrf(dir)
+  }
+
   test("an erasure arriving inside an interrupted compaction swap " +
       "completes the swap first") {
     val dir = tmp("mediadelswap")
