@@ -536,6 +536,108 @@ object MediaDedupStore {
       .orderBy("modality", "id_a", "id_b")
   }
 
+  // ------------------------------------------- flip-invariant store
+  private val flipStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Dihedral MULTI-PROBE fingerprints of the reoriented corpus — 8
+    * rows per image ([[ImageDedup.dihedralHashes]]): the store-side
+    * representation of flip/rotation invariance. The store machinery
+    * is fingerprint-agnostic, so invariance is an INGEST choice, not a
+    * store change: with every transform's hash ingested, a mirrored or
+    * rotated re-post arriving in a LATER batch aligns with its original
+    * already standing in the store (some transform of the copy
+    * re-aligns with some transform of the base at the grids' true
+    * distance); pairs collapse to their MIN aligned hamming. Price: 8×
+    * store rows and an 8× batch broadcast — the recall-complete tier,
+    * chosen over canonical-min (1× rows) because the min's argmin
+    * transform measurably flips on near-transform copies
+    * (ImageDedup.dihedralMin's documented 1% miss). */
+  private[sources] def flipFingerprints(s: SparkSession, d: String)
+      : DataFrame =
+    ImageDedup.dihedralHashes(ImageDedup.generateFlipImages(s, d))
+      .select(col("image_id").as("media_id"),
+        lit("image").as("modality"), col("h"))
+
+  /** nq_media_dedup_flip: the reoriented corpus (exactly
+    * [[ImageDedup.nqImageNeardupFlip]]'s — planted lossless mirrors and
+    * rot180s) arrives as 3 multi-probe fingerprint batches; each batch
+    * is judged against the store-so-far on arrival; the per-batch
+    * verdicts union and collapse to MIN aligned hamming. The oracle is
+    * nq_image_neardup_flip's SQL VERBATIM (the q81 shared-oracle
+    * discipline): all 8 transform hashes re-derived from the dumped
+    * grids in exact HUGEINT arithmetic, min-aligned pair distances —
+    * so a mirrored re-post that fails to match its standing original
+    * through the incremental path hash-fails the entry. */
+  def nqMediaDedupFlip(s: SparkSession, d: String): DataFrame = {
+    val store = memoStore(flipStoreFor, d) {
+      val path = tempStore("mediaflip")
+      val all = flipFingerprints(s, d).localCheckpoint()
+      (0 until 3).foreach(b => applyFingerprintBatch(
+        all.filter(pmod(col("media_id"), lit(3)) === b), path, b.toLong))
+      path
+    }
+    ImageSource.dumpPixels(s, ImageDedup.generateFlipImages(s, d),
+      resizeTo = 9, tag = "flip9")
+    val all = flipFingerprints(s, d).localCheckpoint()
+    val verdicts = (0 until 3).map { b =>
+      judgeBatch(s, all.filter(pmod(col("media_id"), lit(3)) === b),
+        store, b.toLong)
+    }.reduce(_.union(_))
+    verdicts.groupBy("id_a", "id_b")
+      .agg(min(col("hamming")).as("hamming"))
+      .select(col("id_a").as("img_a"), col("id_b").as("img_b"),
+        col("hamming"))
+      .orderBy("img_a", "img_b")
+  }
+
+  // --------------------------------------------- keyframe store entry
+  private val kfStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_video_keyframes_store: the scene-structured corpus (exactly
+    * [[VideoDedup.nqVideoKeyframes]]'s — re-timed partial copies) is
+    * keyframe-sampled and fingerprinted ONCE
+    * ([[VideoDedup.keyframeHashes]]'s fused decode pass), then arrives
+    * as 3 fingerprint batches keyed by VIDEO (all of a video's
+    * keyframes travel together — the production crawl unit); each
+    * batch is judged against the store-so-far on arrival. The union of
+    * per-batch verdicts must equal the one-shot keyframe join, so the
+    * oracle is nq_video_keyframes' SQL VERBATIM: selection re-derived
+    * from the dumped all-frame grids, bits, pairs, cross-video filter.
+    * This is the production composition the spec already pinned
+    * (keyframe-ingest test) given the contract treatment. */
+  def nqVideoKeyframesStore(s: SparkSession, d: String): DataFrame = {
+    val vids = VideoDedup.generateSceneVideos(s, d)
+    def fps = VideoDedup.keyframeHashes(vids)
+      .select(col("image_id").as("media_id"),
+        lit("video").as("modality"), col("h"))
+    // batch key = the VIDEO id inside the packed frame id
+    def batchOf = pmod(expr("media_id DIV 100"), lit(3))
+    val store = memoStore(kfStoreFor, d) {
+      val path = tempStore("mediakfstore")
+      val all = fps.localCheckpoint()
+      (0 until 3).foreach(b => applyFingerprintBatch(
+        all.filter(batchOf === b), path, b.toLong))
+      path
+    }
+    ImageSource.dumpPixels(s, VideoDedup.frames(vids), resizeTo = 9,
+      tag = "vkf9")
+    val all = fps.localCheckpoint()
+    val verdicts = (0 until 3).map { b =>
+      judgeBatch(s, all.filter(batchOf === b), store, b.toLong)
+    }.reduce(_.union(_))
+    verdicts
+      .filter(expr("id_a DIV 100") =!= expr("id_b DIV 100"))
+      .select(
+        expr("id_a DIV 100").as("vid_a"),
+        pmod(col("id_a"), lit(100L)).as("frame_a"),
+        expr("id_b DIV 100").as("vid_b"),
+        pmod(col("id_b"), lit(100L)).as("frame_b"),
+        col("hamming"))
+      .orderBy("vid_a", "frame_a", "vid_b", "frame_b")
+  }
+
   // ------------------------------------------------------------- oracle
   private val ImgDump = ImageSource.OracleDumpDir
 
@@ -599,7 +701,9 @@ object MediaDedupStore {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_media_dedup_store" -> (nqMediaDedupStore _),
     "nq_media_dedup_delete" -> (nqMediaDedupDelete _),
-    "nq_media_dedup_compact" -> (nqMediaDedupCompact _))
+    "nq_media_dedup_compact" -> (nqMediaDedupCompact _),
+    "nq_media_dedup_flip" -> (nqMediaDedupFlip _),
+    "nq_video_keyframes_store" -> (nqVideoKeyframesStore _))
 
   private val deleteSql =
     mediaUnionSql(" AND img_a < 2000000 AND img_b < 2000000")
@@ -610,5 +714,11 @@ object MediaDedupStore {
     "nq_media_dedup_delete" -> deleteSql,
     // compaction is read-invisible BY CONTRACT: the compacted store
     // must answer the identical SQL the uncompacted one does
-    "nq_media_dedup_compact" -> deleteSql)
+    "nq_media_dedup_compact" -> deleteSql,
+    // the incremental multi-probe path re-proves the one-shot
+    // flip-invariance SQL verbatim
+    "nq_media_dedup_flip" -> ImageDedup.nqImageNeardupFlipSql,
+    // keyframe ingest through the fenced store re-proves the one-shot
+    // keyframe selection + pair SQL verbatim
+    "nq_video_keyframes_store" -> VideoDedup.nqVideoKeyframesSql)
 }

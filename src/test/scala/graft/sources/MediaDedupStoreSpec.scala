@@ -424,6 +424,54 @@ class MediaDedupStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("flip store: a mirrored/rotated re-post arriving as a LATER " +
+      "batch matches its original standing in the store") {
+    val dir = tmp("mediaflipstore")
+    try {
+      val store = dir.resolve("m").toString
+      val fps = MediaDedupStore.flipFingerprints(spark, sf0001)
+      // bases first, every reoriented copy (ids >= 1e6) as batch 1
+      val isCopy = col("media_id") >= 1000000L
+      MediaDedupStore.applyFingerprintBatch(
+        fps.filter(!isCopy), store, 0L)
+      val verdicts = MediaDedupStore.judgeBatch(
+          spark, fps.filter(isCopy), store, 1L)
+        .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val planted = graft.Tables.documents(spark, sf0001)
+        .select("doc_id").as[Long].collect()
+        .collect {
+          case id if id % 10 == 0 => (id, id + 1000000L) // mirror
+          case id if id % 10 == 5 => (id, id + 2000000L) // rot180
+        }.toSet
+      assert(planted.subsetOf(verdicts),
+        s"missed re-posts: ${planted.diff(verdicts)}")
+    } finally rmrf(dir)
+  }
+
+  test("flip-store entry equals the one-shot multi-probe join " +
+      "(min aligned hamming)") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    val inc = asSet(MediaDedupStore.nqMediaDedupFlip(spark, sf0001))
+    val oneShot = asSet(ImageDedup.nqImageNeardupFlip(spark, sf0001))
+    assert(inc.nonEmpty)
+    assert(inc === oneShot,
+      s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
+  }
+
+  test("keyframe-store entry equals the one-shot keyframe join") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val inc = asSet(MediaDedupStore.nqVideoKeyframesStore(spark, sf0001))
+    val oneShot = asSet(VideoDedup.nqVideoKeyframes(spark, sf0001))
+    assert(inc.nonEmpty)
+    assert(inc === oneShot,
+      s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
+  }
+
   test("compaction is read-invisible through the full pair relation " +
       "(the compact entry equals the delete entry)") {
     val del = pairSet(MediaDedupStore.nqMediaDedupDelete(spark, sf0001))
