@@ -191,7 +191,19 @@ object Bench {
     // rescan sneaking in would jump it). The summary-line change made
     // the stdout tail size-invariant, so additions no longer risk the
     // r10/r11 truncation; the ≤0.5 s budget still applies
-    "nq_qnorm_store")
+    "nq_qnorm_store",
+    // round-15: the media fingerprint store's SERVING path — judge one
+    // precomputed-fingerprint batch (~2.4k) against the standing store
+    // (~48k, memoized build amortized per the store-entry convention):
+    // the ×28 block-pair broadcast into one column-pruned store scan +
+    // the within-batch self-join. ~1.0-1.2 s at sf0.1 — a DOCUMENTED
+    // exception to the ≤0.5 s budget (BASELINE.md): the cost is the
+    // serving join's fixed pipeline (broadcast build, candidate
+    // distinct, guard count), not data volume; shrinking the corpus
+    // further would bench scheduling noise instead of the operator the
+    // entry exists to watch. A store shuffle or a fence break would
+    // jump it far past this floor
+    "nq_media_judge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

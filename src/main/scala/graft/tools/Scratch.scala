@@ -143,6 +143,32 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("judgeprof")) {
+      // stage breakdown of the nq_media_judge bench entry: where do
+      // the warm seconds go? (store read / batch derive / judge body /
+      // guard count / orderBy tail)
+      val ms = graft.sources.MediaDedupStore
+      // warm the memoized store + codegen
+      ms.nqMediaJudge(spark, d).write.format("noop").mode("overwrite").save()
+      val store = ms.judgeBenchStore(spark, d)
+      for (r <- 1 to 2) {
+        val batch0 = time(s"run$r batch derive+ckpt")(
+          ms.syntheticFingerprints(spark, d)
+            .filter(pmod(col("media_id"), lit(20)) === 19).localCheckpoint())
+        time(s"run$r guard count")(batch0.count())
+        time(s"run$r judge noop (no orderBy)")(
+          ms.judgeBatch(spark, batch0, store, 19L)
+            .write.format("noop").mode("overwrite").save())
+        time(s"run$r cross only")(
+          ms.crossPairs(spark, batch0, store, 19L, 6)
+            .write.format("noop").mode("overwrite").save())
+        time(s"run$r full entry")(
+          ms.nqMediaJudge(spark, d).write.format("noop")
+            .mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("profexp")) {
       // profiler cost split: is nq_profile's time the HLL updates, or
       // ALL 47 aggregates running interpreted because one imperative

@@ -472,6 +472,24 @@ class MediaDedupStoreSpec extends SparkSpec {
       s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
   }
 
+  test("benched judge entry: planted near-dups touching the batch " +
+      "surface; store-store pairs never leak into the verdicts") {
+    val out = MediaDedupStore.nqMediaJudge(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // the judge of batch 19 must emit ONLY pairs with a side in it —
+    // a store-store pair surfacing means the fence or the probe leaked
+    assert(out.forall { case (a, b, _) => a % 20 == 19 || b % 20 == 19 },
+      s"store-store leak: ${out.filterNot { case (a, b, _) =>
+        a % 20 == 19 || b % 20 == 19 }.take(5).toSeq}")
+    // both planted kinds surface: the cross-batch copies (offset shifts
+    // the batch residue) and the within-batch ones (offset ≡ 0 mod 20)
+    assert(out.exists { case (a, b, h) => b == a + 10000001L && h <= 3 },
+      "cross-batch planted copies missing")
+    assert(out.exists { case (a, b, h) => b == a + 20000000L && h <= 1 },
+      "within-batch planted copies missing")
+  }
+
   test("compaction is read-invisible through the full pair relation " +
       "(the compact entry equals the delete entry)") {
     val del = pairSet(MediaDedupStore.nqMediaDedupDelete(spark, sf0001))
