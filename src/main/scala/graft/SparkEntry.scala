@@ -53,7 +53,7 @@ object SparkEntry {
       rel.JoinView.queries ++ text.QuantileNorm.queries ++
       rel.Cusum.queries ++ sources.ImageDedup.queries ++
       audio.AudioDedup.queries ++ sources.VideoDedup.queries ++
-      sources.MediaDedupStore.queries
+      sources.MediaDedupStore.queries ++ sources.MediaClusterStore.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -265,5 +265,9 @@ object SparkEntry {
       // are judged against the three one-shot oracles verbatim
       // (prefixed CTEs, modality-tagged union); keyframe video dedup's
       // selection + pairs re-derived from the dumped all-frame grids
-      sources.MediaDedupStore.oracle
+      sources.MediaDedupStore.oracle ++
+      // round-15: standing cluster assignments maintained by per-batch
+      // label union-find — the store read re-proves the one-shot
+      // recursive-CTE connected components verbatim
+      sources.MediaClusterStore.oracle
 }

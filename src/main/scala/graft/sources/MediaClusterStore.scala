@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Standing CLUSTER ASSIGNMENTS for the perceptual-dedup family — the
+  * SemDedup standing-assignment shape applied to media fingerprints:
+  * [[MediaDedupStore.judgeBatch]] turns an arriving batch into pairs,
+  * and this store turns pairs into maintained clusters WITHOUT ever
+  * re-clustering the corpus. One-shot resolution
+  * ([[ImageDedup.nqImageDedupClusters]]) recomputes connected
+  * components over all pairs; at crawl scale the corpus re-cluster per
+  * batch is the cost this store removes.
+  *
+  * Layout (the store-family fence discipline):
+  *   - `assignments/` partitioned by `batch_id`: (media_id, modality,
+  *     label) — each member's cluster label AS OF its arrival batch.
+  *     Written once per member, never rewritten (corpus-sized total,
+  *     batch-sized per write, naturally partitioned).
+  *   - `_remaps/` partitioned by `batch_id`: (modality, old_label,
+  *     new_label) — one row per CLUSTER-MERGE event: when a batch's
+  *     pairs bridge existing clusters, the losing labels remap to the
+  *     component's min. Merge events are bounded by the near-dup pairs
+  *     ever observed (match-output-sized — the verdict-store bound),
+  *     so the log is collectable and reads broadcast it.
+  *
+  * Maintenance ([[applyClusterBatch]]) reads ONLY batches < the
+  * applied id (the judge's replay fence: an at-least-once redelivery
+  * re-derives byte-identical partitions), resolves each pair
+  * endpoint's CURRENT label (own id for new members; assignment ∘
+  * remap closure for standing ones — one column-pruned semi-join
+  * against the broadcast endpoint set, endpoint-sized output), then
+  * runs a driver union-find over the LABEL graph — label-count-sized,
+  * not corpus-sized. New-label roots are the component MIN, so the
+  * resolved assignment equals the one-shot min-label connected
+  * components over the full pair history: remaps are strictly
+  * decreasing (new_label < old_label), which makes the closure acyclic
+  * and each old_label remapped at most once across the store's life.
+  *
+  * Reads ([[assignmentsFromStore]]) resolve raw labels through the
+  * broadcast remap closure — one scan, no shuffle. 100 TB story: per
+  * batch the distributed work is one assignment-store semi-join + one
+  * batch-sized write; driver state is merge-events + pair-endpoints,
+  * never members.
+  */
+object MediaClusterStore {
+
+  private def assignDir(p: String) = s"$p/assignments"
+  private def remapDir(p: String) = s"$p/_remaps"
+
+  private def pathOf(p: String) = new org.apache.hadoop.fs.Path(p)
+  private def fsOf(s: SparkSession, p: String) =
+    pathOf(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The remap closure from batches < `beforeBatch` (all when None),
+    * chain-resolved: old_label → its FINAL label. Merge-event-sized
+    * collect (see the scaladoc bound). Chains terminate because every
+    * entry decreases the label. */
+  private def resolvedRemaps(s: SparkSession, storePath: String,
+      beforeBatch: Option[Long]): Map[(String, Long), Long] = {
+    val dir = remapDir(storePath)
+    if (!fsOf(s, dir).exists(pathOf(dir))) return Map.empty
+    val raw0 = s.read.parquet(dir)
+    val raw = beforeBatch.map(b => raw0.filter(col("batch_id") < b))
+      .getOrElse(raw0)
+      .select("modality", "old_label", "new_label").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    def follow(m: String, l: Long): Long = {
+      var x = l
+      while (raw.contains((m, x))) x = raw((m, x))
+      x
+    }
+    raw.map { case ((m, o), _) => ((m, o), follow(m, o)) }
+  }
+
+  /** Merge one judged batch into the standing assignments.
+    *
+    * `batchMembers`: the arriving (media_id, modality) rows —
+    * batch-sized, never collected. `pairs`: the batch's judge verdicts
+    * (modality, id_a, id_b) — [[MediaDedupStore.judgeBatch]]'s output
+    * for the SAME batch id, collected under the match-output bound.
+    * Contract: cluster batches apply in ingest order (every pair
+    * endpoint is either a batch member or already assigned), and the
+    * batch's fingerprints ingest AFTER this call or under the same id
+    * (reads here are fenced to batches < `batchId`, so replay is
+    * byte-idempotent either way). */
+  def applyClusterBatch(s: SparkSession, batchMembers: DataFrame,
+      pairs: DataFrame, storePath: String, batchId: Long): Unit = {
+    import s.implicits._
+    val aDir = assignDir(storePath)
+    val fs = fsOf(s, storePath)
+
+    // this batch's pair edges — match-output-sized (the verdict bound)
+    val pr = pairs.select(col("modality"), col("id_a"), col("id_b"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val endpoints = pr.flatMap { case (m, a, b) => Seq((m, a), (m, b)) }
+      .distinct
+
+    // current labels of STANDING endpoints: one column-pruned semi-join
+    // of the assignment store against the broadcast endpoint set
+    // (fenced below the applied batch), endpoint-sized result
+    val rawLabels: Map[(String, Long), Long] =
+      if (endpoints.isEmpty || !fs.exists(pathOf(aDir))) Map.empty
+      else s.read.parquet(aDir).filter(col("batch_id") < batchId)
+        .join(broadcast(endpoints.toSeq.toDF("e_m", "e_id")),
+          col("modality") === col("e_m") &&
+            col("media_id") === col("e_id"), "left_semi")
+        .select("modality", "media_id", "label").collect()
+        .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val remap = resolvedRemaps(s, storePath, Some(batchId))
+    def resolve(m: String, l: Long): Long =
+      remap.getOrElse((m, l), l)
+    // a pair endpoint absent from the store is a batch member: its
+    // current label is itself (the applyClusterBatch ordering contract)
+    def labelOf(m: String, id: Long): Long =
+      rawLabels.get((m, id)).map(resolve(m, _)).getOrElse(id)
+
+    // driver union-find over LABELS, roots = component min
+    val parent = scala.collection.mutable.Map.empty[(String, Long), (String, Long)]
+    def find(x: (String, Long)): (String, Long) = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) {
+        val n = parent(c); parent(c) = r; c = n
+      }
+      r
+    }
+    def union(x: (String, Long), y: (String, Long)): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) {
+        if (rx._2 < ry._2) parent(ry) = rx else parent(rx) = ry
+      }
+    }
+    pr.foreach { case (m, a, b) =>
+      union((m, labelOf(m, a)), (m, labelOf(m, b)))
+    }
+
+    // merge events: every standing label whose component min dropped
+    // (iterator, NOT Map.map — a pair-valued map over a Map would
+    // rebuild a Map keyed by modality and collapse the labels)
+    val resolvedStanding: Seq[(String, Long)] = rawLabels.iterator
+      .map { case ((m, _), l) => (m, resolve(m, l)) }.toSet.toSeq
+    val newRemaps = resolvedStanding.flatMap { case (m, l) =>
+      val r = find((m, l))._2
+      if (r != l) Some((m, l, r)) else None
+    }
+    if (newRemaps.nonEmpty)
+      // coalesce(1): merge-event-sized by the scaladoc bound
+      newRemaps.toDF("modality", "old_label", "new_label")
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite").parquet(remapDir(storePath))
+
+    // new members' assignments: pair participants take their component
+    // root (a pair-endpoint-sized broadcast map), everyone else is its
+    // own singleton cluster — one batch-sized write, never collected
+    val memberRoots = endpoints
+      .filter(e => !rawLabels.contains(e))
+      .map { case (m, id) => (m, id, find((m, id))._2) }
+    batchMembers.select(col("media_id"), col("modality"))
+      .join(broadcast(memberRoots.toSeq.toDF("r_m", "r_id", "root")),
+        col("modality") === col("r_m") && col("media_id") === col("r_id"),
+        "left")
+      .select(col("media_id"), col("modality"),
+        coalesce(col("root"), col("media_id")).as("label"))
+      .withColumn("batch_id", lit(batchId))
+      .write
+      .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", 10000000L)
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(aDir)
+  }
+
+  /** Every member's CURRENT cluster: raw assignment labels resolved
+    * through the broadcast remap closure — (media_id, modality,
+    * cluster_id), one scan, no shuffle. */
+  def assignmentsFromStore(s: SparkSession, storePath: String)
+      : DataFrame = {
+    import s.implicits._
+    val aDir = assignDir(storePath)
+    if (!fsOf(s, aDir).exists(pathOf(aDir)))
+      return s.range(0).select(col("id").as("media_id"),
+        lit("").as("modality"), col("id").as("cluster_id"))
+    val base = s.read.parquet(aDir)
+      .select("media_id", "modality", "label")
+    val remap = resolvedRemaps(s, storePath, None)
+    if (remap.isEmpty)
+      base.select(col("media_id"), col("modality"),
+        col("label").as("cluster_id"))
+    else base.join(
+        broadcast(remap.toSeq.map { case ((m, o), n) => (m, o, n) }
+          .toDF("r_m", "old_label", "new_label")),
+        col("modality") === col("r_m") && col("label") === col("old_label"),
+        "left")
+      .select(col("media_id"), col("modality"),
+        coalesce(col("new_label"), col("label")).as("cluster_id"))
+  }
+
+  // --------------------------------------------------- contract entry
+  private val clusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_media_clusters_inc: the planted image corpus (exactly
+    * [[ImageDedup.nqImageDedupClusters]]'s) arrives as 3 fingerprint
+    * batches; each batch is judged against the fingerprint store-so-far
+    * and its pairs MERGE into the standing assignments (union-find over
+    * labels, never a corpus re-cluster). The final store read must
+    * equal the one-shot connected components, so the oracle is
+    * nq_image_dedup_clusters' recursive-CTE SQL VERBATIM over the full
+    * pair history — a merge miss, a remap-chain break, or a fence leak
+    * all hash-fail through the full assignment. */
+  def nqMediaClustersInc(s: SparkSession, d: String): DataFrame = {
+    val images = ImageDedup.generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = 9, tag = "dedup9")
+    val store = MediaDedupStore.memoStore(clusterStoreFor, d) {
+      val root = graft.FixtureMemo.scratchDir("mediaclusters").toString
+      val fpPath = s"$root/fp"
+      val clPath = s"$root/cl"
+      val fps = ImageDedup.dhashes(images)
+        .select(col("image_id").as("media_id"),
+          lit("image").as("modality"), col("h"))
+        .localCheckpoint()
+      (0 until 3).foreach { b =>
+        val batch = fps.filter(pmod(col("media_id"), lit(3)) === b)
+        val prs = MediaDedupStore.judgeBatch(s, batch, fpPath, b.toLong)
+        applyClusterBatch(s, batch.select("media_id", "modality"),
+          prs.select("modality", "id_a", "id_b"), clPath, b.toLong)
+        MediaDedupStore.applyFingerprintBatch(batch, fpPath, b.toLong)
+      }
+      clPath
+    }
+    assignmentsFromStore(s, store)
+      .select(col("media_id").as("image_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("image_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "nq_media_clusters_inc" -> (nqMediaClustersInc _))
+
+  val oracle: Map[String, String] = Map(
+    // the incremental merge path re-proves the one-shot q63-shape
+    // recursive-CTE clustering verbatim
+    "nq_media_clusters_inc" -> ImageDedup.nqImageDedupClustersSql)
+}

@@ -434,7 +434,7 @@ object MediaDedupStore {
     path
   }
 
-  private def memoStore(cache: scala.collection.concurrent
+  private[sources] def memoStore(cache: scala.collection.concurrent
         .TrieMap[String, String], d: String)(build: => String): String =
     if (graft.Tables.isImmutable(d)) cache.getOrElseUpdate(d, build)
     else build

@@ -1,0 +1,94 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The standing-cluster store's contract: per-batch pair merges equal
+  * the one-shot min-label connected components, remap chains resolve
+  * transitively, replay is idempotent (fenced reads), and singleton
+  * members assign themselves. */
+class MediaClusterStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def members(rows: Long*) =
+    rows.toSeq.map((_, "image")).toDF("media_id", "modality")
+
+  private def prs(rows: (Long, Long)*) =
+    rows.toSeq.map { case (a, b) => ("image", a, b) }
+      .toDF("modality", "id_a", "id_b")
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def rmrf(dir: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  private def clusters(store: String) =
+    MediaClusterStore.assignmentsFromStore(spark, store)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+
+  test("cross-batch merges remap standing clusters to the component " +
+      "min, through remap CHAINS") {
+    val dir = tmp("mcluster")
+    try {
+      val store = dir.resolve("c").toString
+      // batch 0: {10, 11} -> label 10; 12 is a singleton
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L, 12L), prs((10L, 11L)), store, 0L)
+      assert(clusters(store) === Map(10L -> 10L, 11L -> 10L, 12L -> 12L))
+      // batch 1: {20, 21} -> label 20
+      MediaClusterStore.applyClusterBatch(spark,
+        members(20L, 21L), prs((20L, 21L)), store, 1L)
+      assert(clusters(store)(21L) === 20L)
+      // batch 2: member 5 bridges BOTH standing clusters -> root 5
+      MediaClusterStore.applyClusterBatch(spark,
+        members(5L), prs((5L, 11L), (5L, 21L)), store, 2L)
+      assert(clusters(store) === Map(5L -> 5L, 10L -> 5L, 11L -> 5L,
+        20L -> 5L, 21L -> 5L, 12L -> 12L))
+      // batch 3: member 1 pairs with 10 — 10's RAW label is 10, whose
+      // remap chain is 10 -> 5; the new root 1 must reach EVERYONE
+      // (a chain break would leave 20/21 stranded at 5)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(1L), prs((1L, 10L)), store, 3L)
+      assert(clusters(store) === Map(1L -> 1L, 5L -> 1L, 10L -> 1L,
+        11L -> 1L, 20L -> 1L, 21L -> 1L, 12L -> 12L))
+    } finally rmrf(dir)
+  }
+
+  test("replay of a batch re-derives byte-identical partitions " +
+      "(fenced reads make at-least-once delivery safe)") {
+    val dir = tmp("mclusterreplay")
+    try {
+      val store = dir.resolve("c").toString
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(20L), prs((20L, 11L)), store, 1L)
+      val before = clusters(store)
+      assert(before === Map(10L -> 10L, 11L -> 10L, 20L -> 10L))
+      // redeliver batch 1 AFTER it already applied: reads are fenced
+      // to batches < 1, so the recomputed partition is byte-identical
+      MediaClusterStore.applyClusterBatch(spark,
+        members(20L), prs((20L, 11L)), store, 1L)
+      assert(clusters(store) === before)
+    } finally rmrf(dir)
+  }
+
+  test("incremental entry equals the one-shot connected components " +
+      "(the q63 shape) over the planted image corpus") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val inc = asSet(MediaClusterStore.nqMediaClustersInc(spark, sf0001))
+    val oneShot = asSet(ImageDedup.nqImageDedupClusters(spark, sf0001))
+    assert(inc.nonEmpty)
+    assert(inc === oneShot,
+      s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
+    // sanity: real multi-member clusters exist and keepers are minima
+    assert(inc.exists { case (id, cl, _) => id != cl })
+    assert(inc.forall { case (id, cl, k) => k == (id == cl) })
+  }
+}
