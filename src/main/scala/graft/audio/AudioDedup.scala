@@ -84,6 +84,16 @@ object AudioDedup {
     graft.FixtureMemo.parquet(s, s"audiodedup:$nClips")(
       buildDedupClips(s, nClips))
 
+  /** Corpus-keyed clip count: one clip per ~12 documents rows (floor
+    * 40 — the r13 constant), so the audio fixture SCALES with the
+    * source dir like the image/video fixtures do and store probes
+    * stress all three modalities at every sf (a constant-size audio
+    * third made sf1f probes exercise audio least). Deterministic in
+    * `d`; the count is parquet-metadata work. */
+  def generateDedupClips(s: SparkSession, d: String): DataFrame =
+    generateDedupClips(s,
+      math.max(40L, graft.Tables.documents(s, d).count() / 12L).toInt)
+
   private def buildDedupClips(s: SparkSession, nClips: Int): DataFrame = {
     import s.implicits._
     graft.gen.VoiceDataGen.generate(s, nClips)
@@ -159,7 +169,7 @@ object AudioDedup {
     * within hamming ≤ 6 via the shared banded join. The dumped energy
     * grids let DuckDB re-derive every bit and every distance. */
   def nqAudioNeardup(s: SparkSession, d: String): DataFrame = {
-    val clips = generateDedupClips(s)
+    val clips = generateDedupClips(s, d)
     dumpGrids(s, clips)
     graft.sources.ImageDedup.nearDupPairs(
         fingerprints(clips).withColumnRenamed("clip_id", "image_id"))

@@ -390,7 +390,7 @@ object MediaDedupStore {
       .select(col("image_id").as("media_id"),
         lit("image").as("modality"), col("h"))
     val aud = graft.audio.AudioDedup.fingerprints(
-        graft.audio.AudioDedup.generateDedupClips(s))
+        graft.audio.AudioDedup.generateDedupClips(s, d))
       .select(col("clip_id").as("media_id"),
         lit("audio").as("modality"), col("h"))
     val vid = ImageDedup.dhashes(
@@ -410,7 +410,7 @@ object MediaDedupStore {
       VideoDedup.frames(VideoDedup.generateDedupVideos(s, d)),
       resizeTo = 9, tag = "vdedup9")
     graft.audio.AudioDedup.dumpGrids(s,
-      graft.audio.AudioDedup.generateDedupClips(s))
+      graft.audio.AudioDedup.generateDedupClips(s, d))
   }
 
   // one store build per immutable driver dir (the q81 memo policy)
