@@ -485,7 +485,13 @@ object ImageDedup {
 
   private val Dump = ImageSource.OracleDumpDir
 
-  private[sources] val nqImageDedupClustersSql: String =
+  /** The q63-shape clustering CTE prefix over the dedup9 grid dump —
+    * bits → pairs → bidirectional edges → recursive reach. Shared by
+    * the one-shot cluster oracle below and the cluster-store erasure
+    * oracle ([[MediaClusterStore]]), so the reach derivation can never
+    * drift between them. Ends after `reach`; callers append their own
+    * tail CTEs/SELECT. */
+  private[sources] val clusterReachCtes: String =
     s"""WITH RECURSIVE lum AS (
        |  SELECT image_id, px,
        |    299 * r + 587 * g + 114 * b AS l
@@ -512,7 +518,10 @@ object ImageDedup {
        |reach(doc_id, label) AS (
        |  SELECT image_id, image_id FROM nodes
        |  UNION
-       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id)
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id)""".stripMargin
+
+  private[sources] val nqImageDedupClustersSql: String =
+    s"""$clusterReachCtes
        |SELECT doc_id AS image_id, min(label) AS cluster_id,
        |  (doc_id = min(label)) AS is_keeper
        |FROM reach GROUP BY doc_id ORDER BY image_id""".stripMargin

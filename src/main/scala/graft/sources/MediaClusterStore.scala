@@ -47,6 +47,8 @@ object MediaClusterStore {
 
   private def assignDir(p: String) = s"$p/assignments"
   private def remapDir(p: String) = s"$p/_remaps"
+  private def tombDir(p: String) = s"$p/_cluster_tombstones"
+  private def tombNextDir(p: String) = s"${tombDir(p)}_next"
 
   private def pathOf(p: String) = new org.apache.hadoop.fs.Path(p)
   private def fsOf(s: SparkSession, p: String) =
@@ -161,7 +163,11 @@ object MediaClusterStore {
     val memberRoots = endpoints
       .filter(e => !rawLabels.contains(e))
       .map { case (m, id) => (m, id, find((m, id))._2) }
-    batchMembers.select(col("media_id"), col("modality"))
+    // erased keys never (re-)join: a batch re-delivering an erased
+    // member must not write a fresh assignment row (the judge already
+    // filters its pairs when the fingerprint store was erased too)
+    minusTombstones(s, storePath,
+        batchMembers.select(col("media_id"), col("modality")))
       .join(broadcast(memberRoots.toSeq.toDF("r_m", "r_id", "root")),
         col("modality") === col("r_m") && col("media_id") === col("r_id"),
         "left")
@@ -174,6 +180,50 @@ object MediaClusterStore {
       .partitionBy("batch_id")
       .mode("overwrite").parquet(aDir)
   }
+
+  /** Keyed erasure for cluster MEMBERSHIP: (media_id, modality)
+    * tombstones under fenced partitions (the store-family log shape —
+    * [[graft.rel.TombstoneLog]]'s swap discipline, shared dirs
+    * convention). Erasure semantics, documented: membership is
+    * suppressed in every read and re-arrivals are filtered at merge
+    * time, but cluster TOPOLOGY is historical — survivors identified
+    * as duplicates via an erased member stay identified (the pair
+    * evidence concerned THEIR content), and label VALUES are opaque
+    * lineage ids that may name erased media; [[survivingAssignments]]
+    * re-elects the served cluster_id to the min surviving member so
+    * keepers are always real rows. Erase from the fingerprint store
+    * ([[MediaDedupStore.deleteMedia]]) in the same maintenance step so
+    * future judges never emit pairs naming the key. */
+  def deleteMembers(keys: DataFrame, storePath: String,
+      batchId: Long): Unit = {
+    val s = keys.sparkSession
+    graft.rel.TombstoneLog.recoverSwap(fsOf(s, storePath),
+      tombDir(storePath), tombNextDir(storePath))
+    keys.select(col("media_id"), col("modality"))
+      .withColumn("batch_id", lit(batchId))
+      .coalesce(1).write
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .mode("overwrite").parquet(tombDir(storePath))
+  }
+
+  /** Anti-join the broadcast cluster tombstone log (or its staged
+    * replacement inside a swap window). */
+  private def minusTombstones(s: SparkSession, storePath: String,
+      base: DataFrame): DataFrame =
+    graft.rel.TombstoneLog.readDir(fsOf(s, storePath),
+        tombDir(storePath), tombNextDir(storePath)) match {
+      case None => base
+      case Some(dir) =>
+        val cols = base.columns.toSeq
+        base.join(
+            broadcast(s.read.parquet(dir)
+              .select(col("media_id").as("ti"), col("modality").as("tm"))
+              .distinct()),
+            col("media_id") === col("ti") && col("modality") === col("tm"),
+            "left_anti")
+          .select(cols.map(col): _*)
+    }
 
   /** Every member's CURRENT cluster: raw assignment labels resolved
     * through the broadcast remap closure — (media_id, modality,
@@ -200,6 +250,23 @@ object MediaClusterStore {
         coalesce(col("new_label"), col("label")).as("cluster_id"))
   }
 
+  /** The post-erasure view: tombstoned members suppressed, and the
+    * served cluster_id RE-ELECTED to the min surviving member per
+    * resolved cluster (erasing a cluster's min must not leave keepers
+    * pointing at erased media — is_keeper downstream is
+    * `media_id == cluster_id` and keepers must be real rows). One
+    * scan + the broadcast closures + ONE cluster-keyed window min —
+    * no corpus re-cluster. */
+  def survivingAssignments(s: SparkSession, storePath: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("modality", "cluster_id")
+    minusTombstones(s, storePath, assignmentsFromStore(s, storePath))
+      .withColumn("elected", min(col("media_id")).over(w))
+      .select(col("media_id"), col("modality"),
+        col("elected").as("cluster_id"))
+  }
+
   // --------------------------------------------------- contract entry
   private val clusterStoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -213,37 +280,93 @@ object MediaClusterStore {
     * nq_image_dedup_clusters' recursive-CTE SQL VERBATIM over the full
     * pair history — a merge miss, a remap-chain break, or a fence leak
     * all hash-fail through the full assignment. */
+  /** The shared 3-batch ingest history (judge → cluster-merge →
+    * fingerprint ingest per batch — the crawl loop) over the planted
+    * image corpus; returns the cluster-store path. */
+  private def buildClusterHistory(s: SparkSession, images: DataFrame)
+      : String = {
+    val root = graft.FixtureMemo.scratchDir("mediaclusters").toString
+    val fpPath = s"$root/fp"
+    val clPath = s"$root/cl"
+    val fps = ImageDedup.dhashes(images)
+      .select(col("image_id").as("media_id"),
+        lit("image").as("modality"), col("h"))
+      .localCheckpoint()
+    (0 until 3).foreach { b =>
+      val batch = fps.filter(pmod(col("media_id"), lit(3)) === b)
+      val prs = MediaDedupStore.judgeBatch(s, batch, fpPath, b.toLong)
+      applyClusterBatch(s, batch.select("media_id", "modality"),
+        prs.select("modality", "id_a", "id_b"), clPath, b.toLong)
+      MediaDedupStore.applyFingerprintBatch(batch, fpPath, b.toLong)
+    }
+    clPath
+  }
+
   def nqMediaClustersInc(s: SparkSession, d: String): DataFrame = {
     val images = ImageDedup.generateDedupImages(s, d)
     ImageSource.dumpPixels(s, images, resizeTo = 9, tag = "dedup9")
-    val store = MediaDedupStore.memoStore(clusterStoreFor, d) {
-      val root = graft.FixtureMemo.scratchDir("mediaclusters").toString
-      val fpPath = s"$root/fp"
-      val clPath = s"$root/cl"
-      val fps = ImageDedup.dhashes(images)
-        .select(col("image_id").as("media_id"),
-          lit("image").as("modality"), col("h"))
-        .localCheckpoint()
-      (0 until 3).foreach { b =>
-        val batch = fps.filter(pmod(col("media_id"), lit(3)) === b)
-        val prs = MediaDedupStore.judgeBatch(s, batch, fpPath, b.toLong)
-        applyClusterBatch(s, batch.select("media_id", "modality"),
-          prs.select("modality", "id_a", "id_b"), clPath, b.toLong)
-        MediaDedupStore.applyFingerprintBatch(batch, fpPath, b.toLong)
-      }
-      clPath
-    }
+    val store = MediaDedupStore.memoStore(clusterStoreFor, d)(
+      buildClusterHistory(s, images))
     assignmentsFromStore(s, store)
       .select(col("media_id").as("image_id"), col("cluster_id"),
         (col("media_id") === col("cluster_id")).as("is_keeper"))
       .orderBy("image_id")
   }
 
+  // ------------------------------------------------- erasure entry
+  private val delClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_media_clusters_delete: the same 3-batch history, then ALL
+    * brightness-pair BASE images (media_id ≡ 0 mod 10 — each one the
+    * MIN of its cluster) erase, and the store is read through
+    * [[survivingAssignments]]. The oracle recomputes the q63 reach
+    * over the FULL history (topology is historical — reach through
+    * erased members persists), drops erased members, and re-elects
+    * cluster_id = min surviving per component — so a membership leak,
+    * a keeper pointing at erased media, or an over-eager erasure that
+    * splits a cluster all hash-fail. */
+  def nqMediaClustersDelete(s: SparkSession, d: String): DataFrame = {
+    val images = ImageDedup.generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = 9, tag = "dedup9")
+    val store = MediaDedupStore.memoStore(delClusterStoreFor, d) {
+      val cl = buildClusterHistory(s, images)
+      deleteMembers(
+        graft.Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"))
+          .filter(pmod(col("media_id"), lit(10)) === 0)
+          .withColumn("modality", lit("image")),
+        cl, 0L)
+      cl
+    }
+    survivingAssignments(s, store)
+      .select(col("media_id").as("image_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("image_id")
+  }
+
+  private[sources] val nqMediaClustersDeleteSql: String =
+    s"""${ImageDedup.clusterReachCtes},
+       |comp AS (
+       |  SELECT doc_id, min(label) AS label FROM reach GROUP BY doc_id),
+       |surv AS (
+       |  SELECT doc_id, label FROM comp
+       |  WHERE NOT (doc_id % 10 = 0 AND doc_id < 1000000)),
+       |relabel AS (
+       |  SELECT label, min(doc_id) AS cluster_id FROM surv
+       |  GROUP BY label)
+       |SELECT s.doc_id AS image_id, r.cluster_id,
+       |  (s.doc_id = r.cluster_id) AS is_keeper
+       |FROM surv s JOIN relabel r ON r.label = s.label
+       |ORDER BY image_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_media_clusters_inc" -> (nqMediaClustersInc _))
+    "nq_media_clusters_inc" -> (nqMediaClustersInc _),
+    "nq_media_clusters_delete" -> (nqMediaClustersDelete _))
 
   val oracle: Map[String, String] = Map(
     // the incremental merge path re-proves the one-shot q63-shape
     // recursive-CTE clustering verbatim
-    "nq_media_clusters_inc" -> ImageDedup.nqImageDedupClustersSql)
+    "nq_media_clusters_inc" -> ImageDedup.nqImageDedupClustersSql,
+    "nq_media_clusters_delete" -> nqMediaClustersDeleteSql)
 }

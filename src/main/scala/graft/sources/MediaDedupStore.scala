@@ -553,11 +553,31 @@ object MediaDedupStore {
     * chosen over canonical-min (1× rows) because the min's argmin
     * transform measurably flips on near-transform copies
     * (ImageDedup.dihedralMin's documented 1% miss). */
-  private[sources] def flipFingerprints(s: SparkSession, d: String)
-      : DataFrame =
-    ImageDedup.dihedralHashes(ImageDedup.generateFlipImages(s, d))
+  private[graft] def flipFingerprints(s: SparkSession, d: String)
+      : DataFrame = {
+    def derive = ImageDedup.dihedralHashes(
+        ImageDedup.generateFlipImages(s, d))
       .select(col("image_id").as("media_id"),
         lit("image").as("modality"), col("h"))
+    // fingerprints are a pure derivation of the (memoized) corpus, so
+    // the relation itself memoizes too — probes of the store entries
+    // measure the JUDGE, not a 60k-image re-decode per run (the
+    // production serving shape: fingerprints arrive with the batch)
+    if (graft.Tables.isImmutable(d))
+      graft.FixtureMemo.parquet(s, s"flipfp:$d")(derive)
+    else derive
+  }
+
+  /** Probe access to the memoized flip store (Scratch flipshuffle). */
+  private[graft] def flipStoreProbePath(s: SparkSession, d: String)
+      : String =
+    memoStore(flipStoreFor, d) {
+      val path = tempStore("mediaflip")
+      val all = flipFingerprints(s, d).localCheckpoint()
+      (0 until 3).foreach(b => applyFingerprintBatch(
+        all.filter(pmod(col("media_id"), lit(3)) === b), path, b.toLong))
+      path
+    }
 
   /** nq_media_dedup_flip: the reoriented corpus (exactly
     * [[ImageDedup.nqImageNeardupFlip]]'s — planted lossless mirrors and
@@ -570,13 +590,7 @@ object MediaDedupStore {
     * so a mirrored re-post that fails to match its standing original
     * through the incremental path hash-fails the entry. */
   def nqMediaDedupFlip(s: SparkSession, d: String): DataFrame = {
-    val store = memoStore(flipStoreFor, d) {
-      val path = tempStore("mediaflip")
-      val all = flipFingerprints(s, d).localCheckpoint()
-      (0 until 3).foreach(b => applyFingerprintBatch(
-        all.filter(pmod(col("media_id"), lit(3)) === b), path, b.toLong))
-      path
-    }
+    val store = flipStoreProbePath(s, d)
     ImageSource.dumpPixels(s, ImageDedup.generateFlipImages(s, d),
       resizeTo = 9, tag = "flip9")
     val all = flipFingerprints(s, d).localCheckpoint()
@@ -609,9 +623,16 @@ object MediaDedupStore {
     * (keyframe-ingest test) given the contract treatment. */
   def nqVideoKeyframesStore(s: SparkSession, d: String): DataFrame = {
     val vids = VideoDedup.generateSceneVideos(s, d)
-    def fps = VideoDedup.keyframeHashes(vids)
-      .select(col("image_id").as("media_id"),
-        lit("video").as("modality"), col("h"))
+    // memoized like flipFingerprints: keyframe selection + hash is a
+    // pure derivation of the memoized corpus — probes measure judging
+    def fps = {
+      def derive = VideoDedup.keyframeHashes(vids)
+        .select(col("image_id").as("media_id"),
+          lit("video").as("modality"), col("h"))
+      if (graft.Tables.isImmutable(d))
+        graft.FixtureMemo.parquet(s, s"kffp:$d")(derive)
+      else derive
+    }
     // batch key = the VIDEO id inside the packed frame id
     def batchOf = pmod(expr("media_id DIV 100"), lit(3))
     val store = memoStore(kfStoreFor, d) {

@@ -169,6 +169,38 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("flipshuffle")) {
+      // does the flip entry's corpus-third judge want the broadcast or
+      // the shuffled path? Replicate nq_media_dedup_flip's judges with
+      // maxBroadcastBatchRows=0 (every batch "oversized" -> shuffle)
+      // and compare against the entry's broadcast default.
+      val ms = graft.sources.MediaDedupStore
+      ms.nqMediaDedupFlip(spark, d).write.format("noop")
+        .mode("overwrite").save() // warm store + fixtures
+      for (r <- 1 to 2) {
+        time(s"run$r flip BROADCAST judges")(
+          ms.nqMediaDedupFlip(spark, d).write.format("noop")
+            .mode("overwrite").save())
+        time(s"run$r flip SHUFFLED judges") {
+          val all = ms.flipFingerprints(spark, d).localCheckpoint()
+          val store = java.nio.file.Files.list(
+            java.nio.file.Paths.get("/tmp")).iterator()
+          // judge against a fresh store copy is wrong; instead rebuild
+          // judges straight off the memoized store via the entry's own
+          // path: re-run with the bound forced to 0 through judgeBatch
+          val path = ms.flipStoreProbePath(spark, d)
+          (0 until 3).map { b =>
+            ms.judgeBatch(spark,
+              all.filter(pmod(col("media_id"), lit(3)) === b),
+              path, b.toLong, 6, maxBroadcastBatchRows = 0L)
+          }.reduce(_.union(_))
+            .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("profexp")) {
       // profiler cost split: is nq_profile's time the HLL updates, or
       // ALL 47 aggregates running interpreted because one imperative

@@ -77,6 +77,53 @@ class MediaClusterStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("erasure suppresses membership, re-elects the keeper to the " +
+      "min survivor, and filters re-arrivals") {
+    val dir = tmp("mclusterdel")
+    try {
+      val store = dir.resolve("c").toString
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L, 12L), prs((10L, 11L)), store, 0L)
+      // erase the cluster's MIN (10) and the singleton 12
+      MediaClusterStore.deleteMembers(
+        members(10L, 12L), store, 0L)
+      def surviving = MediaClusterStore
+        .survivingAssignments(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // 11 survives alone; the served cluster id RE-ELECTS to 11 (the
+      // raw label 10 names erased media and must not be served)
+      assert(surviving === Map(11L -> 11L))
+      // a batch re-delivering the erased member writes no assignment
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 20L), prs(), store, 1L)
+      assert(surviving === Map(11L -> 11L, 20L -> 20L))
+      // the un-erased view still resolves raw labels (labels are
+      // opaque lineage ids; erased membership only hides ROWS)
+      val raw = MediaClusterStore.assignmentsFromStore(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(raw(11L) === 10L)
+    } finally rmrf(dir)
+  }
+
+  test("delete entry: erased bases vanish, their brightness copies " +
+      "become their own keepers, nothing else moves") {
+    val out = MediaClusterStore.nqMediaClustersDelete(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    val erased = graft.Tables.documents(spark, sf0001)
+      .select("doc_id").as[Long].collect().filter(_ % 10 == 0)
+    assert(erased.nonEmpty)
+    erased.foreach { base =>
+      assert(!byId.contains(base), s"erased base $base still served")
+      // its brightness copy survives and re-elects itself as keeper
+      // (unless a wider collision cluster holds a smaller survivor)
+      val copy = base + 1000000L
+      assert(byId.contains(copy), s"copy $copy lost with its base")
+      val (_, cl, k) = byId(copy)
+      assert(cl >= 0 && (k == (copy == cl)))
+    }
+  }
+
   test("incremental entry equals the one-shot connected components " +
       "(the q63 shape) over the planted image corpus") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
