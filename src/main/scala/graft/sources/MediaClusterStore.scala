@@ -250,6 +250,130 @@ object MediaClusterStore {
         coalesce(col("new_label"), col("label")).as("cluster_id"))
   }
 
+  // ---------------------------------------------------- streaming loop
+  /** Streaming crawl loop WITH standing clusters — the
+    * [[MediaDedupStore.judgeIngestStream]] shape extended one stage:
+    * each micro-batch is judged against the standing fingerprint
+    * store, its pairs MERGE into the standing cluster assignments,
+    * THEN the batch's fingerprints ingest. Every stage reads only
+    * batches < the replayed id, so an at-least-once redelivery
+    * re-derives byte-identical partitions — PROVIDED the erasure state
+    * is unchanged since the original application (a remap computed
+    * from since-erased pairs is cross-batch state later batches build
+    * on; erase after the stream quiesces, or follow with a re-cluster
+    * — the maintenance-cadence contract). The lineage fence guards the
+    * shared batch-id space via the FINGERPRINT store root. */
+  def clusterIngestStream(stream: DataFrame, fpStorePath: String,
+      clusterStorePath: String, threshold: Int = 6)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        applyClusterIngestBatch(batch, fpStorePath, clusterStorePath,
+          batchId, graft.streaming.StreamingOps.streamingLineage(
+            batch.sparkSession), threshold)
+    }
+
+  /** One judge+merge+ingest trigger (see [[clusterIngestStream]]). */
+  private[graft] def applyClusterIngestBatch(batch: DataFrame,
+      fpStorePath: String, clusterStorePath: String, batchId: Long,
+      lineage: String, threshold: Int = 6): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(fpStorePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    graft.streaming.StreamingOps.bindStoreLineage(fs, root,
+      s"media fingerprint store at $fpStorePath", lineage)
+    // erased keys neither judge, nor join clusters, nor re-ingest
+    val b = MediaDedupStore.minusTombstones(s, fpStorePath,
+      batch.select(col("media_id"), col("modality"), col("h")))
+      .localCheckpoint()
+    val pairs = MediaDedupStore.judgeBatch(s, b, fpStorePath, batchId,
+      threshold)
+    applyClusterBatch(s, b.select("media_id", "modality"),
+      pairs.select("modality", "id_a", "id_b"), clusterStorePath,
+      batchId)
+    MediaDedupStore.applyFingerprintBatch(b, fpStorePath, batchId)
+  }
+
+  // ------------------------------------------------------- compaction
+  /** Horizontal compaction: assignment batches ≤ `through` fold into
+    * ONE `batch_id=through` partition with the remap closure ≤
+    * `through` BAKED IN (labels written at batch b are already
+    * resolved through remaps < b, so a remap at k ≤ through only ever
+    * targets labels raw in batches ≤ k — the fold region — which is
+    * what makes dropping the folded remap partitions sound), minus
+    * tombstones; tombstones with no member row beyond the watermark
+    * age out through the shared crash-safe log swap; remaps > through
+    * keep applying at read. Reads identical before and after
+    * (nq_media_clusters_compact re-proves the erasure oracle verbatim
+    * on the compacted store). Crash windows: fold + kept materialize
+    * before any file moves; re-applying a baked remap at read is a
+    * no-op (targets are never keys), so a crash between the fold
+    * write and the remap prune is benign; the prunes are idempotent
+    * ([[graft.rel.KeyedCompaction.pruneThrough]]). Compaction is a
+    * replay horizon for ids ≤ `through` — the store-family
+    * convention. */
+  def compactThrough(s: SparkSession, storePath: String,
+      through: Long): Unit = {
+    val fs = fsOf(s, storePath)
+    graft.rel.TombstoneLog.recoverSwap(fs, tombDir(storePath),
+      tombNextDir(storePath))
+    val aDir = assignDir(storePath)
+    if (!fs.exists(pathOf(aDir))) return
+    val hasTombs = graft.rel.TombstoneLog.readDir(fs,
+      tombDir(storePath), tombNextDir(storePath)).isDefined
+    import s.implicits._
+    val bakeIn = resolvedRemaps(s, storePath, Some(through + 1))
+    val old = s.read.parquet(aDir)
+      .filter(col("batch_id") <= through)
+      .select("media_id", "modality", "label")
+    val resolved =
+      if (bakeIn.isEmpty) old
+      else old.join(
+          broadcast(bakeIn.toSeq.map { case ((m, o), n) => (m, o, n) }
+            .toDF("r_m", "old_label", "new_label")),
+          col("modality") === col("r_m") &&
+            col("label") === col("old_label"), "left")
+        .select(col("media_id"), col("modality"),
+          coalesce(col("new_label"), col("label")).as("label"))
+    val folded = minusTombstones(s, storePath, resolved).localCheckpoint()
+    val kept = if (hasTombs)
+        graft.rel.KeyedCompaction.keptTombstones(s, aDir,
+          graft.rel.TombstoneLog.readDir(fs, tombDir(storePath),
+            tombNextDir(storePath)).get,
+          Seq("media_id", "modality"), through).localCheckpoint()
+      else null
+    if (folded.isEmpty) {
+      graft.rel.KeyedCompaction.pruneThrough(s, aDir, through)
+      val tgt = pathOf(s"$aDir/batch_id=$through")
+      if (fs.exists(tgt)) fs.delete(tgt, true)
+      val anyLeft = fs.exists(pathOf(aDir)) &&
+        fs.listStatus(pathOf(aDir))
+          .exists(_.getPath.getName.startsWith("batch_id="))
+      if (!anyLeft) fs.delete(pathOf(aDir), true)
+    } else {
+      folded.withColumn("batch_id", lit(through))
+        .write
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", 10000000L)
+        .partitionBy("batch_id")
+        .mode("overwrite").parquet(aDir)
+      graft.rel.KeyedCompaction.pruneThrough(s, aDir, through)
+    }
+    // folded remap partitions (≤ through) are baked into the fold —
+    // idempotent partition deletes, no swap needed; a fully-pruned log
+    // deletes its root (a file-less dir would fail schema inference)
+    graft.rel.KeyedCompaction.pruneThrough(s, remapDir(storePath),
+      through + 1)
+    val rDir = pathOf(remapDir(storePath))
+    if (fs.exists(rDir) && !fs.listStatus(rDir)
+        .exists(_.getPath.getName.startsWith("batch_id=")))
+      fs.delete(rDir, true)
+    if (hasTombs) graft.rel.TombstoneLog.swapIn(kept, fs,
+      tombDir(storePath), tombNextDir(storePath))
+  }
+
   /** The post-erasure view: tombstoned members suppressed, and the
     * served cluster_id RE-ELECTED to the min surviving member per
     * resolved cluster (erasing a cluster's min must not leave keepers
@@ -360,13 +484,51 @@ object MediaClusterStore {
        |FROM surv s JOIN relabel r ON r.label = s.label
        |ORDER BY image_id""".stripMargin
 
+  // ----------------------------------------------- compaction entry
+  private val compactClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_media_clusters_compact: the delete entry's exact history —
+    * 3 merged batches + the base-image erasure — then
+    * [[compactThrough]](1) folds batches 0-1 (remap closure baked in,
+    * tombstones applied, erasure log aged), and the store is read
+    * through the SAME surviving view. The oracle is
+    * nq_media_clusters_delete's SQL VERBATIM (the
+    * q81/nq_graph_compact shared-SQL pattern): compaction must be
+    * invisible through the full relabeled assignment — a lost member,
+    * a mis-baked remap chain, or a resurrected erased key all
+    * hash-fail. */
+  def nqMediaClustersCompact(s: SparkSession, d: String): DataFrame = {
+    val images = ImageDedup.generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = 9, tag = "dedup9")
+    val store = MediaDedupStore.memoStore(compactClusterStoreFor, d) {
+      val cl = buildClusterHistory(s, images)
+      deleteMembers(
+        graft.Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"))
+          .filter(pmod(col("media_id"), lit(10)) === 0)
+          .withColumn("modality", lit("image")),
+        cl, 0L)
+      compactThrough(s, cl, through = 1L)
+      cl
+    }
+    survivingAssignments(s, store)
+      .select(col("media_id").as("image_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("image_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_media_clusters_inc" -> (nqMediaClustersInc _),
-    "nq_media_clusters_delete" -> (nqMediaClustersDelete _))
+    "nq_media_clusters_delete" -> (nqMediaClustersDelete _),
+    "nq_media_clusters_compact" -> (nqMediaClustersCompact _))
 
   val oracle: Map[String, String] = Map(
     // the incremental merge path re-proves the one-shot q63-shape
     // recursive-CTE clustering verbatim
     "nq_media_clusters_inc" -> ImageDedup.nqImageDedupClustersSql,
-    "nq_media_clusters_delete" -> nqMediaClustersDeleteSql)
+    "nq_media_clusters_delete" -> nqMediaClustersDeleteSql,
+    // compaction is read-invisible BY CONTRACT: the compacted store
+    // must answer the identical SQL the uncompacted one does
+    "nq_media_clusters_compact" -> nqMediaClustersDeleteSql)
 }

@@ -96,7 +96,7 @@ object MediaDedupStore {
 
   /** Anti-join the broadcast tombstone log (or its staged replacement
     * inside a compaction swap window — [[graft.rel.TombstoneLog]]). */
-  private def minusTombstones(s: SparkSession, storePath: String,
+  private[sources] def minusTombstones(s: SparkSession, storePath: String,
       base: DataFrame): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

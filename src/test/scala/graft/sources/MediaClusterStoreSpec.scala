@@ -124,6 +124,91 @@ class MediaClusterStoreSpec extends SparkSpec {
     }
   }
 
+  test("streaming crawl loop: judge -> cluster-merge -> ingest per " +
+      "micro-batch equals the batch path; replay is idempotent") {
+    val dir = tmp("mclusterstream")
+    try {
+      val fp = dir.resolve("fp").toString
+      val cl = dir.resolve("cl").toString
+      implicit val sqlCtx = spark.sqlContext
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Long)]
+      val q = MediaClusterStore.clusterIngestStream(
+          stream.toDF.toDF("media_id", "modality", "h"), fp, cl)
+        .option("checkpointLocation", dir.resolve("ckpt").toString)
+        .start()
+      stream.addData((10L, "image", 0L), (11L, "image", 3L))
+      q.processAllAvailable()
+      stream.addData((5L, "image", 1L)) // bridges nothing new... pairs with both
+      q.processAllAvailable()
+      q.stop()
+      assert(clusters(cl) === Map(5L -> 5L, 10L -> 5L, 11L -> 5L))
+      // replay batch 1 after it fully applied (at-least-once): every
+      // stage reads batches < 1, so partitions re-derive byte-identical
+      val lineage = {
+        val src = scala.io.Source.fromFile(s"$fp/_lineage")
+        try src.mkString.trim finally src.close()
+      }
+      MediaClusterStore.applyClusterIngestBatch(
+        Seq((5L, "image", 1L)).toDF("media_id", "modality", "h"),
+        fp, cl, 1L, lineage)
+      assert(clusters(cl) === Map(5L -> 5L, 10L -> 5L, 11L -> 5L))
+      assert(MediaDedupStore.fingerprintsFromStore(spark, fp)
+        .count() === 3L)
+    } finally rmrf(dir)
+  }
+
+  test("compaction folds with remaps baked in and tombstones aged; " +
+      "reads identical; re-run no-op") {
+    val dir = tmp("mclustercompact")
+    try {
+      val store = dir.resolve("c").toString
+      // batch 0: {10,11} -> 10; batch 1: 5 bridges -> remap 10 -> 5;
+      // batch 2: 20 (own cluster)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(5L), prs((5L, 10L)), store, 1L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(20L), prs(), store, 2L)
+      // erase 11 (only copy inside the fold: tombstone ages out) and
+      // 20 (copy beyond the watermark: tombstone must survive)
+      MediaClusterStore.deleteMembers(members(11L, 20L), store, 0L)
+      def surviving = MediaClusterStore
+        .survivingAssignments(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val before = surviving
+      assert(before === Map(5L -> 5L, 10L -> 5L))
+
+      MediaClusterStore.compactThrough(spark, store, through = 1L)
+      assert(surviving === before, "compaction must be read-invisible")
+      // the folded region's remap (10 -> 5) is BAKED IN: raw labels in
+      // the fold already read 5, and the remap log is pruned away
+      assert(!new java.io.File(s"$store/_remaps").exists(),
+        "folded remap partitions must prune (and an empty log its root)")
+      val tombs = spark.read.parquet(s"$store/_cluster_tombstones")
+        .select("media_id").collect().map(_.getLong(0)).toSeq
+      assert(tombs === Seq(20L),
+        "only the beyond-watermark tombstone survives the fold")
+      val parts = new java.io.File(s"$store/assignments").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts === Seq("batch_id=1", "batch_id=2"))
+      // re-run: full no-op
+      MediaClusterStore.compactThrough(spark, store, through = 1L)
+      assert(surviving === before)
+    } finally rmrf(dir)
+  }
+
+  test("compact entry equals the delete entry (read-invisibility " +
+      "through the full relabeled assignment)") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val del = asSet(MediaClusterStore.nqMediaClustersDelete(spark, sf0001))
+    val cmp = asSet(MediaClusterStore.nqMediaClustersCompact(spark, sf0001))
+    assert(cmp === del, s"diff = ${cmp.diff(del) ++ del.diff(cmp)}")
+  }
+
   test("incremental entry equals the one-shot connected components " +
       "(the q63 shape) over the planted image corpus") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
