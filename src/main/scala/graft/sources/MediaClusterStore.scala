@@ -518,10 +518,51 @@ object MediaClusterStore {
       .orderBy("image_id")
   }
 
+  // ------------------------------------------------ text genericity
+  private val textClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_text_clusters_inc: the cluster store is MODALITY-GENERIC — the
+    * text dedup member plugs in unchanged. The documents corpus
+    * arrives as 3 batches; each batch's near-dup pairs come from the
+    * existing incremental MinHash path ((new × corpus-so-far) ∪
+    * (new × new) — [[graft.text.NearDup.minhashNeardupIncremental]],
+    * whose union over the history equals the one-shot banded pair set)
+    * and MERGE into the same standing assignments the media entries
+    * maintain, under modality 'text'. The final read must equal the
+    * one-shot banded clustering, so the oracle is nq_dedup_clusters'
+    * SQL verbatim (the full MinHash hash-family replica + recursive
+    * reach) — one cluster store serves text AND media. */
+  def nqTextClustersInc(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.Tables.documents(s, d)
+    val store = MediaDedupStore.memoStore(textClusterStoreFor, d) {
+      val clPath =
+        s"${graft.FixtureMemo.scratchDir("textclusters")}/cl"
+      (0 until 3).foreach { b =>
+        val batch = docs.filter(pmod(col("doc_id"), lit(3)) === b)
+        val earlier = docs.filter(pmod(col("doc_id"), lit(3)) < b)
+        val pairs = graft.text.NearDup
+          .minhashNeardupIncremental(earlier, batch)
+        applyClusterBatch(s,
+          batch.select(col("doc_id").as("media_id"),
+            lit("text").as("modality")),
+          pairs.select(lit("text").as("modality"),
+            col("d1").as("id_a"), col("d2").as("id_b")),
+          clPath, b.toLong)
+      }
+      clPath
+    }
+    assignmentsFromStore(s, store)
+      .select(col("media_id").as("doc_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_media_clusters_inc" -> (nqMediaClustersInc _),
     "nq_media_clusters_delete" -> (nqMediaClustersDelete _),
-    "nq_media_clusters_compact" -> (nqMediaClustersCompact _))
+    "nq_media_clusters_compact" -> (nqMediaClustersCompact _),
+    "nq_text_clusters_inc" -> (nqTextClustersInc _))
 
   val oracle: Map[String, String] = Map(
     // the incremental merge path re-proves the one-shot q63-shape
@@ -530,5 +571,9 @@ object MediaClusterStore {
     "nq_media_clusters_delete" -> nqMediaClustersDeleteSql,
     // compaction is read-invisible BY CONTRACT: the compacted store
     // must answer the identical SQL the uncompacted one does
-    "nq_media_clusters_compact" -> nqMediaClustersDeleteSql)
+    "nq_media_clusters_compact" -> nqMediaClustersDeleteSql,
+    // the text member through the SAME store re-proves the one-shot
+    // banded clustering oracle verbatim (full hash-family replica)
+    "nq_text_clusters_inc" ->
+      graft.text.DedupClusters.oracle("nq_dedup_clusters"))
 }

@@ -209,6 +209,19 @@ class MediaClusterStoreSpec extends SparkSpec {
     assert(cmp === del, s"diff = ${cmp.diff(del) ++ del.diff(cmp)}")
   }
 
+  test("the store is modality-generic: the text MinHash incremental " +
+      "path through it equals the one-shot banded clustering") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val inc = asSet(MediaClusterStore.nqTextClustersInc(spark, sf0001))
+    val oneShot = asSet(
+      graft.text.DedupClusters.dedupClusters(spark, sf0001))
+    assert(inc.nonEmpty)
+    assert(inc === oneShot,
+      s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
+  }
+
   test("incremental entry equals the one-shot connected components " +
       "(the q63 shape) over the planted image corpus") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
