@@ -78,7 +78,9 @@ object MediaClusterStore {
   /** Merge one judged batch into the standing assignments.
     *
     * `batchMembers`: the arriving (media_id, modality) rows —
-    * batch-sized, never collected. `pairs`: the batch's judge verdicts
+    * batch-sized, never collected, and DISTINCT by contract (a
+    * multi-probe fingerprint relation carries several rows per media:
+    * callers dedupe, or duplicate assignment rows reach every read). `pairs`: the batch's judge verdicts
     * (modality, id_a, id_b) — [[MediaDedupStore.judgeBatch]]'s output
     * for the SAME batch id, collected under the match-output bound.
     * Contract: cluster batches apply in ingest order (every pair

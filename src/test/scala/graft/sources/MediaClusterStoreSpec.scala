@@ -209,6 +209,39 @@ class MediaClusterStoreSpec extends SparkSpec {
     assert(cmp === del, s"diff = ${cmp.diff(del) ++ del.diff(cmp)}")
   }
 
+  test("mirrored re-posts join their originals' standing clusters " +
+      "(flip multi-probe fingerprints through judge + merge)") {
+    val dir = tmp("mclusterflip")
+    try {
+      val fp = dir.resolve("fp").toString
+      val cl = dir.resolve("cl").toString
+      val fps = MediaDedupStore.flipFingerprints(spark, sf0001)
+      val isCopy = col("media_id") >= 1000000L
+      Seq((0L, fps.filter(!isCopy)), (1L, fps.filter(isCopy)))
+        .foreach { case (b, batch) =>
+          val pairs = MediaDedupStore.judgeBatch(spark, batch, fp, b)
+          MediaClusterStore.applyClusterBatch(spark,
+            // multi-probe relations carry 8 rows per media: members
+            // dedupe to (media_id, modality) — the documented contract
+            batch.select("media_id", "modality").distinct(),
+            pairs.select("modality", "id_a", "id_b"), cl, b)
+          MediaDedupStore.applyFingerprintBatch(batch, fp, b)
+        }
+      val assigned = clusters(cl)
+      val planted = graft.Tables.documents(spark, sf0001)
+        .select("doc_id").as[Long].collect()
+        .collect {
+          case id if id % 10 == 0 => (id, id + 1000000L)
+          case id if id % 10 == 5 => (id, id + 2000000L)
+        }
+      assert(planted.nonEmpty)
+      planted.foreach { case (base, copy) =>
+        assert(assigned(copy) === assigned(base),
+          s"re-post $copy not clustered with its original $base")
+      }
+    } finally rmrf(dir)
+  }
+
   test("the store is modality-generic: the text MinHash incremental " +
       "path through it equals the one-shot banded clustering") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
