@@ -87,7 +87,13 @@ object MediaClusterStore {
     * endpoint is either a batch member or already assigned), and the
     * batch's fingerprints ingest AFTER this call or under the same id
     * (reads here are fenced to batches < `batchId`, so replay is
-    * byte-idempotent either way). */
+    * byte-idempotent either way). Media ids arrive ONCE across batch
+    * ids — an at-least-once redelivery replays the SAME id (idempotent
+    * partition overwrite); an id re-arriving under a NEW batch id is a
+    * caller error (it would write a second assignment row, which the
+    * judge's pair distinct tolerates but every cluster read would
+    * serve twice — detecting it would cost a corpus-sized anti-join on
+    * the merge path, so the contract is documented, not checked). */
   def applyClusterBatch(s: SparkSession, batchMembers: DataFrame,
       pairs: DataFrame, storePath: String, batchId: Long): Unit = {
     import s.implicits._
