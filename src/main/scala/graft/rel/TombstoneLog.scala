@@ -110,8 +110,15 @@ private[graft] object KeyedCompaction {
   private def renamedKeys(keyCols: Seq[String], pre: String) =
     keyCols.map(k => col(k).as(s"$pre$k"))
 
+  /** `foldTransform` rewrites the fold region's payload BEFORE the
+    * tombstone anti-join (identity for plain stores) — the
+    * schema-preserving hook that lets a store bake derived state into
+    * its fold (the cluster store's remap-closure resolution) without
+    * duplicating this crash-window choreography. */
   def compactThrough(s: SparkSession, dataPath: String, logPath: String,
-      nextPath: String, keyCols: Seq[String], through: Long): Unit = {
+      nextPath: String, keyCols: Seq[String], through: Long,
+      foldTransform: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = identity): Unit = {
     val fs = fsOf(s, dataPath)
     TombstoneLog.recoverSwap(fs, logPath, nextPath)
     // a fully-erased store's data dir was deleted by a prior empty-fold
@@ -122,8 +129,8 @@ private[graft] object KeyedCompaction {
     val hasTombs = fs.exists(TombstoneLog.path(logPath))
     val data = s.read.parquet(dataPath)
     val payload = data.columns.filterNot(_ == "batch_id").toSeq
-    val old = data.filter(col("batch_id") <= through)
-      .select(payload.map(col): _*)
+    val old = foldTransform(data.filter(col("batch_id") <= through)
+      .select(payload.map(col): _*))
     // fold: the region's surviving rows (tombstones applied) — output
     // re-enters the store in the exact ingest schema. Materialized
     // BEFORE the overwrite below rewrites one of its input partitions.

@@ -298,7 +298,10 @@ object MediaClusterStore {
       .localCheckpoint()
     val pairs = MediaDedupStore.judgeBatch(s, b, fpStorePath, batchId,
       threshold)
-    applyClusterBatch(s, b.select("media_id", "modality"),
+    // distinct: the applyClusterBatch member contract — a multi-probe
+    // fingerprint stream (the flip tier's 8 rows/image) carries
+    // several rows per member
+    applyClusterBatch(s, b.select("media_id", "modality").distinct(),
       pairs.select("modality", "id_a", "id_b"), clusterStorePath,
       batchId)
     MediaDedupStore.applyFingerprintBatch(b, fpStorePath, batchId)
@@ -324,51 +327,24 @@ object MediaClusterStore {
     * convention. */
   def compactThrough(s: SparkSession, storePath: String,
       through: Long): Unit = {
-    val fs = fsOf(s, storePath)
-    graft.rel.TombstoneLog.recoverSwap(fs, tombDir(storePath),
-      tombNextDir(storePath))
-    val aDir = assignDir(storePath)
-    if (!fs.exists(pathOf(aDir))) return
-    val hasTombs = graft.rel.TombstoneLog.readDir(fs,
-      tombDir(storePath), tombNextDir(storePath)).isDefined
     import s.implicits._
+    val fs = fsOf(s, storePath)
+    // ONE implementation of the fold/prune/empty-fold/tombstone-age
+    // crash discipline (the shared KeyedCompaction), with the remap
+    // closure ≤ through baked into the fold through its transform hook
     val bakeIn = resolvedRemaps(s, storePath, Some(through + 1))
-    val old = s.read.parquet(aDir)
-      .filter(col("batch_id") <= through)
-      .select("media_id", "modality", "label")
-    val resolved =
-      if (bakeIn.isEmpty) old
-      else old.join(
-          broadcast(bakeIn.toSeq.map { case ((m, o), n) => (m, o, n) }
-            .toDF("r_m", "old_label", "new_label")),
-          col("modality") === col("r_m") &&
-            col("label") === col("old_label"), "left")
-        .select(col("media_id"), col("modality"),
-          coalesce(col("new_label"), col("label")).as("label"))
-    val folded = minusTombstones(s, storePath, resolved).localCheckpoint()
-    val kept = if (hasTombs)
-        graft.rel.KeyedCompaction.keptTombstones(s, aDir,
-          graft.rel.TombstoneLog.readDir(fs, tombDir(storePath),
-            tombNextDir(storePath)).get,
-          Seq("media_id", "modality"), through).localCheckpoint()
-      else null
-    if (folded.isEmpty) {
-      graft.rel.KeyedCompaction.pruneThrough(s, aDir, through)
-      val tgt = pathOf(s"$aDir/batch_id=$through")
-      if (fs.exists(tgt)) fs.delete(tgt, true)
-      val anyLeft = fs.exists(pathOf(aDir)) &&
-        fs.listStatus(pathOf(aDir))
-          .exists(_.getPath.getName.startsWith("batch_id="))
-      if (!anyLeft) fs.delete(pathOf(aDir), true)
-    } else {
-      folded.withColumn("batch_id", lit(through))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", 10000000L)
-        .partitionBy("batch_id")
-        .mode("overwrite").parquet(aDir)
-      graft.rel.KeyedCompaction.pruneThrough(s, aDir, through)
-    }
+    graft.rel.KeyedCompaction.compactThrough(s, assignDir(storePath),
+      tombDir(storePath), tombNextDir(storePath),
+      Seq("media_id", "modality"), through,
+      foldTransform = old =>
+        if (bakeIn.isEmpty) old
+        else old.join(
+            broadcast(bakeIn.toSeq.map { case ((m, o), n) => (m, o, n) }
+              .toDF("r_m", "old_label", "new_label")),
+            col("modality") === col("r_m") &&
+              col("label") === col("old_label"), "left")
+          .select(col("media_id"), col("modality"),
+            coalesce(col("new_label"), col("label")).as("label")))
     // folded remap partitions (≤ through) are baked into the fold —
     // idempotent partition deletes, no swap needed; a fully-pruned log
     // deletes its root (a file-less dir would fail schema inference)
@@ -378,8 +354,6 @@ object MediaClusterStore {
     if (fs.exists(rDir) && !fs.listStatus(rDir)
         .exists(_.getPath.getName.startsWith("batch_id=")))
       fs.delete(rDir, true)
-    if (hasTombs) graft.rel.TombstoneLog.swapIn(kept, fs,
-      tombDir(storePath), tombNextDir(storePath))
   }
 
   /** The post-erasure view: tombstoned members suppressed, and the

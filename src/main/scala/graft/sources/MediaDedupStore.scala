@@ -188,7 +188,12 @@ object MediaDedupStore {
     * contract ([[MaxBroadcastBatchRows]]); an oversized batch (a
     * backfill pushed through the serving path) falls back to a
     * shuffled join instead of an oversized driver broadcast. The one
-    * count this costs is batch-sized. */
+    * count this costs is batch-sized. Callers pass MATERIALIZED
+    * batches (the entries and the streaming path localCheckpoint
+    * upstream): the guard count and the two joins each walk the batch
+    * lineage, and judgeBatch deliberately does not checkpoint
+    * internally — that would double-materialize the streaming path's
+    * already-checkpointed batch. */
   def judgeBatch(s: SparkSession, batch: DataFrame, storePath: String,
       batchId: Long, threshold: Int = 6,
       maxBroadcastBatchRows: Long = MaxBroadcastBatchRows): DataFrame = {
@@ -292,18 +297,19 @@ object MediaDedupStore {
     * output): tombstones suppress fingerprints in every STORE read and
     * [[judgeBatch]] filters re-arrivals, but pairs ALREADY written to
     * `verdictsPath` before an erasure keep naming the erased id — the
-    * erasure span must include them. Anti-joins every verdict
-    * partition against the store's tombstone log on BOTH endpoints and
-    * rewrites: partitions with survivors re-write under the idempotent
-    * dynamic overwrite; partitions left EMPTY are deleted outright (a
-    * dynamic overwrite writes nothing for them and their stale rows
-    * would persist — the KeyedCompaction empty-fold rule); a fully
-    * scrubbed store deletes its root (a file-less dir would brick
-    * later reads). Convergent, not atomic: a crash mid-scrub leaves a
-    * partially-scrubbed store that a re-run completes. The kept set
-    * materializes BEFORE any overwrite of its own input. Cost: one
-    * pass over the verdict store per scrub — maintenance-cadence work,
-    * like compaction, never on the ingest path. */
+    * erasure span must include them. One read pass finds the HIT
+    * partitions (a semi-join against the broadcast tombstone log on
+    * either endpoint); only those rewrite — an erasure touching 2 of
+    * 10k partitions rewrites 2, coalesce(1)-preserving the one-file-
+    * per-batch ingest convention. Partitions left EMPTY are deleted
+    * outright (a dynamic overwrite writes nothing for them and their
+    * stale rows would persist — the KeyedCompaction empty-fold rule);
+    * a fully scrubbed store deletes its root (a file-less dir would
+    * brick later reads). Convergent, not atomic: a crash mid-scrub
+    * leaves a partially-scrubbed store that a re-run completes. The
+    * kept set materializes BEFORE any overwrite of its own input.
+    * Maintenance-cadence work, like compaction, never on the ingest
+    * path. */
   def scrubVerdicts(s: SparkSession, storePath: String,
       verdictsPath: String): Unit = {
     val vp = new org.apache.hadoop.fs.Path(verdictsPath)
@@ -316,24 +322,36 @@ object MediaDedupStore {
         .distinct())
       def hitsTomb(idCol: String) =
         col(idCol) === col("ti") && col("modality") === col("tm")
-      val kept = s.read.parquet(verdictsPath)
-        .join(tombs, hitsTomb("id_a"), "left_anti")
-        .join(tombs, hitsTomb("id_b"), "left_anti")
-        .localCheckpoint()
-      if (kept.isEmpty) fs.delete(vp, true)
-      else {
-        val before = fs.listStatus(vp).map(_.getPath.getName)
-          .filter(_.startsWith("batch_id=")).toSet
-        // batch-count-sized collect: one row per verdict partition
+      val v = s.read.parquet(verdictsPath)
+      // only partitions that HIT a tombstone rewrite — an erasure
+      // touching 2 of 10k partitions must not rewrite the other 9998
+      // (batch-count-bounded collect: one row per affected partition)
+      val hitParts = v
+        .join(tombs, hitsTomb("id_a") || hitsTomb("id_b"), "left_semi")
+        .select("batch_id").distinct().collect().map(_.get(0)).toSeq
+      if (hitParts.nonEmpty) {
+        val kept = v.filter(col("batch_id").isInCollection(hitParts))
+          .join(tombs, hitsTomb("id_a"), "left_anti")
+          .join(tombs, hitsTomb("id_b"), "left_anti")
+          .localCheckpoint()
         val after = kept.select("batch_id").distinct().collect()
           .map(r => s"batch_id=${r.get(0)}").toSet
-        kept.write
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("batch_id")
-          .mode("overwrite").parquet(verdictsPath)
-        (before -- after).foreach(p =>
+        if (!kept.isEmpty)
+          // coalesce(1): survivors of the affected partitions are
+          // match-output-sized — keep the ingest path's one-file-per-
+          // batch convention through the rewrite
+          kept.coalesce(1).write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .mode("overwrite").parquet(verdictsPath)
+        hitParts.map(x => s"batch_id=$x").filterNot(after).foreach(p =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$verdictsPath/$p"),
             true))
+        // a fully-scrubbed store deletes its root (a file-less dir
+        // would brick later reads)
+        val anyLeft = fs.exists(vp) && fs.listStatus(vp)
+          .exists(_.getPath.getName.startsWith("batch_id="))
+        if (!anyLeft) fs.delete(vp, true)
       }
     }
   }
@@ -705,7 +723,7 @@ object MediaDedupStore {
     * fingerprint derivation, the ×28 block-pair broadcast into one
     * column-pruned store scan, and the within-batch self-join. The
     * oracle recomputes every hash via the XXH64 replica and takes
-    * ALL pairs with a side in batch 4 — a store-store pair leak, a
+    * ALL pairs with a side in batch 19 — a store-store pair leak, a
     * fence miss, or a banding recall hole all hash-fail. */
   private[graft] def judgeBenchStore(s: SparkSession, d: String): String =
     memoStore(judgeStoreFor, d) {

@@ -183,11 +183,6 @@ object Scratch {
             .mode("overwrite").save())
         time(s"run$r flip SHUFFLED judges") {
           val all = ms.flipFingerprints(spark, d).localCheckpoint()
-          val store = java.nio.file.Files.list(
-            java.nio.file.Paths.get("/tmp")).iterator()
-          // judge against a fresh store copy is wrong; instead rebuild
-          // judges straight off the memoized store via the entry's own
-          // path: re-run with the bound forced to 0 through judgeBatch
           val path = ms.flipStoreProbePath(spark, d)
           (0 until 3).map { b =>
             ms.judgeBatch(spark,
