@@ -236,16 +236,22 @@ object MediaClusterStore {
   /** Every member's CURRENT cluster: raw assignment labels resolved
     * through the broadcast remap closure — (media_id, modality,
     * cluster_id), one scan, no shuffle. */
-  def assignmentsFromStore(s: SparkSession, storePath: String)
-      : DataFrame = {
+  def assignmentsFromStore(s: SparkSession, storePath: String,
+      asOfBatch: Option[Long] = None): DataFrame = {
     import s.implicits._
     val aDir = assignDir(storePath)
     if (!fsOf(s, aDir).exists(pathOf(aDir)))
       return s.range(0).select(col("id").as("media_id"),
         lit("").as("modality"), col("id").as("cluster_id"))
-    val base = s.read.parquet(aDir)
-      .select("media_id", "modality", "label")
-    val remap = resolvedRemaps(s, storePath, None)
+    // as-of b = members that had ARRIVED by b, under the labels as
+    // MERGED by b (assignments AND remaps both fence at b — a later
+    // batch's bridge must not retro-merge the historical view; the
+    // compaction watermark bounds how far back as-of stays derivable,
+    // the store-family retention trade)
+    val data = graft.rel.CardinalityStore.asOf(
+      s.read.parquet(aDir), asOfBatch)
+    val base = data.select("media_id", "modality", "label")
+    val remap = resolvedRemaps(s, storePath, asOfBatch.map(_ + 1))
     if (remap.isEmpty)
       base.select(col("media_id"), col("modality"),
         col("label").as("cluster_id"))
@@ -363,11 +369,13 @@ object MediaClusterStore {
     * `media_id == cluster_id` and keepers must be real rows). One
     * scan + the broadcast closures + ONE cluster-keyed window min —
     * no corpus re-cluster. */
-  def survivingAssignments(s: SparkSession, storePath: String)
-      : DataFrame = {
+  def survivingAssignments(s: SparkSession, storePath: String,
+      asOfBatch: Option[Long] = None): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("modality", "cluster_id")
-    minusTombstones(s, storePath, assignmentsFromStore(s, storePath))
+    // tombstones apply at EVERY as-of (erasure is not rewindable)
+    minusTombstones(s, storePath,
+        assignmentsFromStore(s, storePath, asOfBatch))
       .withColumn("elected", min(col("media_id")).over(w))
       .select(col("media_id"), col("modality"),
         col("elected").as("cluster_id"))

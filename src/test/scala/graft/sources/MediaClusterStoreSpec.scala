@@ -58,6 +58,31 @@ class MediaClusterStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("as-of reads fence assignments AND remaps; erasure applies at " +
+      "every as-of") {
+    val dir = tmp("mclusterasof")
+    try {
+      val store = dir.resolve("c").toString
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(5L), prs((5L, 11L)), store, 1L)
+      def at(b: Option[Long]) = MediaClusterStore
+        .assignmentsFromStore(spark, store, b)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // the batch-1 bridge must NOT retro-merge the as-of-0 view
+      assert(at(Some(0L)) === Map(10L -> 10L, 11L -> 10L))
+      assert(at(Some(1L)) === Map(5L -> 5L, 10L -> 5L, 11L -> 5L))
+      assert(at(None) === at(Some(1L)))
+      // erasure is not rewindable: it suppresses at every as-of
+      MediaClusterStore.deleteMembers(members(10L), store, 0L)
+      val surv0 = MediaClusterStore
+        .survivingAssignments(spark, store, Some(0L))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(surv0 === Map(11L -> 11L))
+    } finally rmrf(dir)
+  }
+
   test("replay of a batch re-derives byte-identical partitions " +
       "(fenced reads make at-least-once delivery safe)") {
     val dir = tmp("mclusterreplay")
