@@ -203,7 +203,14 @@ object Bench {
     // further would bench scheduling noise instead of the operator the
     // entry exists to watch. A store shuffle or a fence break would
     // jump it far past this floor
-    "nq_media_judge")
+    "nq_media_judge",
+    // round-16: the cluster store's MERGE serving path — one
+    // precomputed-pairs merge (an idempotent batch-19 replay against
+    // the memoized standing assignments) + the standing-assignment
+    // read. Watches the per-batch maintenance cost the judge entry
+    // cannot: an accidental corpus-sized resolve, a remap-closure
+    // rescan, or a read shuffle jumps this number
+    "nq_cluster_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

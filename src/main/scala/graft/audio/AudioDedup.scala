@@ -178,8 +178,13 @@ object AudioDedup {
       .orderBy("clip_a", "clip_b")
   }
 
-  private[audio] val nqAudioNeardupSql: String =
-    s"""WITH grid AS (
+  /** The grid → bits → pairs CTE chain over the dumped energy grids,
+    * ending after `pairs` — shared VERBATIM by the one-shot oracle
+    * below and the audio cluster-store oracle
+    * ([[graft.sources.MediaClusterStore]]), the q81 shared-SQL
+    * discipline: the pair derivation can never drift between them. */
+  private[graft] val pairCtes: String =
+    s"""grid AS (
        |  SELECT clip_id, t, b, e
        |  FROM read_parquet('$GridDumpPath/*.parquet')),
        |bits AS (
@@ -194,7 +199,10 @@ object AudioDedup {
        |      AS hamming
        |  FROM bits x JOIN bits y
        |    ON x.bit = y.bit AND x.clip_id < y.clip_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private[audio] val nqAudioNeardupSql: String =
+    s"""WITH $pairCtes
        |SELECT clip_a, clip_b, hamming FROM pairs
        |WHERE hamming <= 6
        |ORDER BY clip_a, clip_b""".stripMargin

@@ -54,17 +54,64 @@ object MediaClusterStore {
   private def fsOf(s: SparkSession, p: String) =
     pathOf(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** True iff `dir` exists AND holds at least one fenced partition — a
+    * dynamic overwrite of an EMPTY relation leaves a file-less dir
+    * (_SUCCESS only) whose bare parquet read fails schema inference,
+    * so every store read gates on partitions, not bare existence (an
+    * all-tombstoned first batch on a fresh store hits this). */
+  private def hasBatches(s: SparkSession, dir: String): Boolean = {
+    val fs = fsOf(s, dir)
+    fs.exists(pathOf(dir)) && fs.listStatus(pathOf(dir))
+      .exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
+  /** Loud guard on the driver-collected merge-event log — the ONE
+    * in-principle-unbounded term in the store (the
+    * [[MediaDedupStore.MaxBroadcastBatchRows]] precedent): merge
+    * events are match-output-sized per batch but ACCUMULATE across the
+    * store's life until [[compactThrough]] bakes them into the fold
+    * and prunes the log — each label is remapped at most once, so the
+    * ceiling is label-count (≈ member-count on a pathologically
+    * chained corpus), not batch-sized. Measured growth: the
+    * `Scratch remapgrowth` adversarial probe (BASELINE.md) holds merge
+    * latency flat to 10⁶ events; above the soft bound every
+    * merge/read WARNS naming the compaction cadence, and above the
+    * hard bound (driver-heap territory: ~100 B/entry in the resolved
+    * map) the collect refuses instead of OOMing. Override per session
+    * via `spark.graft.cluster.maxRemapRows`. */
+  private[sources] val RemapLogWarnRows = 1000000L
+  private[sources] val DefaultMaxRemapRows = 4000000L
+  private[graft] val MaxRemapRowsConf = "spark.graft.cluster.maxRemapRows"
+
   /** The remap closure from batches < `beforeBatch` (all when None),
     * chain-resolved: old_label → its FINAL label. Merge-event-sized
-    * collect (see the scaladoc bound). Chains terminate because every
-    * entry decreases the label. */
+    * collect (bounded loudly — see [[DefaultMaxRemapRows]]). Chains
+    * terminate because every entry decreases the label. */
   private def resolvedRemaps(s: SparkSession, storePath: String,
-      beforeBatch: Option[Long]): Map[(String, Long), Long] = {
+      beforeBatch: Option[Long],
+      enforceBound: Boolean = true): Map[(String, Long), Long] = {
     val dir = remapDir(storePath)
-    if (!fsOf(s, dir).exists(pathOf(dir))) return Map.empty
+    if (!hasBatches(s, dir)) return Map.empty
     val raw0 = s.read.parquet(dir)
-    val raw = beforeBatch.map(b => raw0.filter(col("batch_id") < b))
+    val fenced = beforeBatch.map(b => raw0.filter(col("batch_id") < b))
       .getOrElse(raw0)
+    // count BEFORE collect: the guard must fire before an OOM-scale
+    // driver materialization, not after (the log is one small file per
+    // merged batch — metadata-cheap)
+    val n = fenced.count()
+    val bound = s.conf.getOption(MaxRemapRowsConf).map(_.toLong)
+      .getOrElse(DefaultMaxRemapRows)
+    require(!enforceBound || n <= bound,
+      s"cluster-store remap log at $storePath holds $n merge events " +
+        s"(> $bound, $MaxRemapRowsConf): run compactThrough to bake " +
+        "the closure into the assignments and prune the log before " +
+        "further merges/reads")
+    if (n > RemapLogWarnRows)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"cluster-store remap log at $storePath holds $n merge events " +
+          s"(soft bound $RemapLogWarnRows): schedule compactThrough — " +
+          "every merge and read collects and broadcasts this log")
+    val raw = fenced
       .select("modality", "old_label", "new_label").collect()
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     def follow(m: String, l: Long): Long = {
@@ -92,18 +139,38 @@ object MediaClusterStore {
     * partition overwrite); an id re-arriving under a NEW batch id is a
     * caller error (it would write a second assignment row, which the
     * judge's pair distinct tolerates but every cluster read would
-    * serve twice — detecting it would cost a corpus-sized anti-join on
-    * the merge path, so the contract is documented, not checked). */
+    * serve twice). DETECTED at judge time, for free: after the judge's
+    * `batch_id <` fence a surviving equal-id match IS that violation
+    * (a replay's own stored copy is fenced out), so pairs produced
+    * with [[MediaDedupStore.judgeBatch]]'s `keepReArrivals` — the
+    * crawl loop's form — carry the evidence as id_a == id_b rows, and
+    * this method fails loudly on them in the collect it already pays
+    * (best-effort: a re-arrival whose content drifted past the
+    * hamming threshold never collides; a full check would cost the
+    * corpus-sized anti-join this contract exists to avoid). */
   def applyClusterBatch(s: SparkSession, batchMembers: DataFrame,
       pairs: DataFrame, storePath: String, batchId: Long): Unit = {
     import s.implicits._
     val aDir = assignDir(storePath)
-    val fs = fsOf(s, storePath)
 
     // this batch's pair edges — match-output-sized (the verdict bound)
-    val pr = pairs.select(col("modality"), col("id_a"), col("id_b"))
+    val pr0 = pairs.select(col("modality"), col("id_a"), col("id_b"))
       .distinct().collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // equal-id rows are the judge's re-arrival diagnostic (see the
+    // contract scaladoc): an id already standing in an earlier batch
+    // arrived again under THIS new id — refuse before the store serves
+    // duplicate assignment rows
+    val reArrivals = pr0.filter { case (_, a, b) => a == b }
+    require(reArrivals.isEmpty,
+      s"cluster batch $batchId re-delivers media ids already standing " +
+        s"under an EARLIER batch id (media ids arrive once across " +
+        s"batch ids; replay the ORIGINAL id instead): " +
+        reArrivals.take(5).map { case (m, a, _) => s"($m, $a)" }
+          .mkString(", ") +
+        (if (reArrivals.length > 5) s" … ${reArrivals.length} total"
+         else ""))
+    val pr = pr0
     val endpoints = pr.flatMap { case (m, a, b) => Seq((m, a), (m, b)) }
       .distinct
 
@@ -111,7 +178,7 @@ object MediaClusterStore {
     // of the assignment store against the broadcast endpoint set
     // (fenced below the applied batch), endpoint-sized result
     val rawLabels: Map[(String, Long), Long] =
-      if (endpoints.isEmpty || !fs.exists(pathOf(aDir))) Map.empty
+      if (endpoints.isEmpty || !hasBatches(s, aDir)) Map.empty
       else s.read.parquet(aDir).filter(col("batch_id") < batchId)
         .join(broadcast(endpoints.toSeq.toDF("e_m", "e_id")),
           col("modality") === col("e_m") &&
@@ -240,7 +307,9 @@ object MediaClusterStore {
       asOfBatch: Option[Long] = None): DataFrame = {
     import s.implicits._
     val aDir = assignDir(storePath)
-    if (!fsOf(s, aDir).exists(pathOf(aDir)))
+    // partition-gated, not existence-gated: an all-tombstoned (or
+    // empty) first batch leaves a file-less dir — read it as empty
+    if (!hasBatches(s, aDir))
       return s.range(0).select(col("id").as("media_id"),
         lit("").as("modality"), col("id").as("cluster_id"))
     // as-of b = members that had ARRIVED by b, under the labels as
@@ -302,8 +371,12 @@ object MediaClusterStore {
     val b = MediaDedupStore.minusTombstones(s, fpStorePath,
       batch.select(col("media_id"), col("modality"), col("h")))
       .localCheckpoint()
+    // keepReArrivals: the judge's equal-id matches are the "id
+    // re-arrived under a NEW batch id" contract violation, and the
+    // merge below collects its pairs anyway — applyClusterBatch fails
+    // loudly on them (detected, not merely documented)
     val pairs = MediaDedupStore.judgeBatch(s, b, fpStorePath, batchId,
-      threshold)
+      threshold, keepReArrivals = true)
     // distinct: the applyClusterBatch member contract — a multi-probe
     // fingerprint stream (the flip tier's 8 rows/image) carries
     // several rows per member
@@ -338,7 +411,11 @@ object MediaClusterStore {
     // ONE implementation of the fold/prune/empty-fold/tombstone-age
     // crash discipline (the shared KeyedCompaction), with the remap
     // closure ≤ through baked into the fold through its transform hook
-    val bakeIn = resolvedRemaps(s, storePath, Some(through + 1))
+    // enforceBound = false: compaction IS the remedy the bound names —
+    // it must be allowed to collect an over-bound log ONCE to bake the
+    // closure and prune it (run it on a driver sized for the log)
+    val bakeIn = resolvedRemaps(s, storePath, Some(through + 1),
+      enforceBound = false)
     graft.rel.KeyedCompaction.compactThrough(s, assignDir(storePath),
       tombDir(storePath), tombNextDir(storePath),
       Seq("media_id", "modality"), through,
@@ -548,11 +625,202 @@ object MediaClusterStore {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------- audio/video modality proof
+  private val audioClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private val videoClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_audio_clusters_inc: the planted clip corpus (exactly
+    * [[graft.audio.AudioDedup.nqAudioNeardup]]'s) arrives as 3
+    * fingerprint batches through the SAME judge → cluster-merge →
+    * ingest loop the image and text members use — completing the
+    * cluster-modality matrix by PROOF, not plumbing (the store is
+    * modality-generic by construction). The final read must equal the
+    * one-shot clustering over the audio pair relation, so the oracle
+    * composes the one-shot pair CTEs VERBATIM
+    * ([[graft.audio.AudioDedup.pairCtes]]) with the q63-shape
+    * recursive reach. */
+  def nqAudioClustersInc(s: SparkSession, d: String): DataFrame = {
+    val clips = graft.audio.AudioDedup.generateDedupClips(s, d)
+    graft.audio.AudioDedup.dumpGrids(s, clips)
+    val store = MediaDedupStore.memoStore(audioClusterStoreFor, d) {
+      val root = graft.FixtureMemo.scratchDir("audioclusters").toString
+      val fpPath = s"$root/fp"
+      val clPath = s"$root/cl"
+      val fps = graft.audio.AudioDedup.fingerprints(clips)
+        .select(col("clip_id").as("media_id"),
+          lit("audio").as("modality"), col("h"))
+        .localCheckpoint()
+      (0 until 3).foreach { b =>
+        val batch = fps.filter(pmod(col("media_id"), lit(3)) === b)
+        val prs = MediaDedupStore.judgeBatch(s, batch, fpPath, b.toLong)
+        applyClusterBatch(s, batch.select("media_id", "modality"),
+          prs.select("modality", "id_a", "id_b"), clPath, b.toLong)
+        MediaDedupStore.applyFingerprintBatch(batch, fpPath, b.toLong)
+      }
+      clPath
+    }
+    assignmentsFromStore(s, store)
+      .select(col("media_id").as("clip_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("clip_id")
+  }
+
+  private[sources] lazy val nqAudioClustersIncSql: String =
+    s"""WITH RECURSIVE ${graft.audio.AudioDedup.pairCtes},
+       |p2 AS (
+       |  SELECT clip_a AS d1, clip_b AS d2 FROM pairs
+       |  WHERE hamming <= 6),
+       |edges AS (
+       |  SELECT d1 AS u, d2 AS v FROM p2
+       |  UNION SELECT d2, d1 FROM p2),
+       |nodes AS (SELECT DISTINCT clip_id FROM grid),
+       |reach(clip_id, label) AS (
+       |  SELECT clip_id, clip_id FROM nodes
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.clip_id)
+       |SELECT clip_id, min(label) AS cluster_id,
+       |  (clip_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY clip_id ORDER BY clip_id""".stripMargin
+
+  /** nq_video_clusters_inc: the scene-structured keyframe corpus
+    * (exactly [[VideoDedup.nqVideoKeyframes]]'s) arrives as 3
+    * fingerprint batches keyed by VIDEO (the
+    * [[MediaDedupStore.nqVideoKeyframesStore]] crawl unit); duplicate
+    * VERDICTS are the cross-video reuse pairs only (within-video
+    * keyframe similarity is static-scene detection, not duplication —
+    * the one-shot entry's convention), and those merge into standing
+    * keyframe clusters. The oracle composes the one-shot selection +
+    * pair CTEs VERBATIM ([[VideoDedup.keyframePairCtes]]) with the
+    * q63-shape recursive reach over keyframe nodes. */
+  def nqVideoClustersInc(s: SparkSession, d: String): DataFrame = {
+    val vids = VideoDedup.generateSceneVideos(s, d)
+    ImageSource.dumpPixels(s, VideoDedup.frames(vids), resizeTo = 9,
+      tag = "vkf9")
+    def batchOf = pmod(expr("media_id DIV 100"), lit(3))
+    val store = MediaDedupStore.memoStore(videoClusterStoreFor, d) {
+      val root = graft.FixtureMemo.scratchDir("videoclusters").toString
+      val fpPath = s"$root/fp"
+      val clPath = s"$root/cl"
+      val fps = VideoDedup.keyframeFingerprints(s, d).localCheckpoint()
+      (0 until 3).foreach { b =>
+        val batch = fps.filter(batchOf === b)
+        val prs = MediaDedupStore.judgeBatch(s, batch, fpPath, b.toLong)
+          .filter(expr("id_a DIV 100") =!= expr("id_b DIV 100"))
+        applyClusterBatch(s, batch.select("media_id", "modality"),
+          prs.select("modality", "id_a", "id_b"), clPath, b.toLong)
+        MediaDedupStore.applyFingerprintBatch(batch, fpPath, b.toLong)
+      }
+      clPath
+    }
+    assignmentsFromStore(s, store)
+      .select(col("media_id").as("frame_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("frame_id")
+  }
+
+  private[sources] lazy val nqVideoClustersIncSql: String =
+    s"""WITH RECURSIVE ${VideoDedup.keyframePairCtes},
+       |p2 AS (
+       |  SELECT img_a AS d1, img_b AS d2 FROM pairs
+       |  WHERE hamming <= 6 AND img_a // 100 <> img_b // 100),
+       |edges AS (
+       |  SELECT d1 AS u, d2 AS v FROM p2
+       |  UNION SELECT d2, d1 FROM p2),
+       |nodes AS (SELECT image_id FROM kf),
+       |reach(frame_id, label) AS (
+       |  SELECT image_id, image_id FROM nodes
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.frame_id)
+       |SELECT frame_id, min(label) AS cluster_id,
+       |  (frame_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY frame_id ORDER BY frame_id""".stripMargin
+
+  // ------------------------------------- benched merge serving path
+  private val mergeClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The standing cluster state over the synthetic bench corpus'
+    * 19 store residues: the judge-bench store's three fenced batches
+    * ([[MediaDedupStore.judgeBenchStore]] — already grouped exactly as
+    * ingested) each judged with its own fence and merged. Built once
+    * per immutable dir (the store-family bench amortization). */
+  private def buildMergeClusterStore(s: SparkSession, d: String): String = {
+    val fpStore = MediaDedupStore.judgeBenchStore(s, d)
+    val clPath = s"${graft.FixtureMemo.scratchDir("clustermerge")}/cl"
+    val all = MediaDedupStore.syntheticFingerprints(s, d)
+      .filter(pmod(col("media_id"), lit(20)) =!= 19)
+      .localCheckpoint()
+    (0 until 3).foreach { b =>
+      val batch = all.filter(
+        pmod(pmod(col("media_id"), lit(20)), lit(3)) === b)
+      val prs = MediaDedupStore.judgeBatch(s, batch, fpStore, b.toLong)
+      applyClusterBatch(s, batch.select("media_id", "modality"),
+        prs.select("modality", "id_a", "id_b"), clPath, b.toLong)
+    }
+    clPath
+  }
+
+  /** nq_cluster_merge: the cluster analogue of nq_media_judge — the
+    * MERGE serving path, benched. The standing assignments over the
+    * synthetic corpus' 19 store residues are memoized per immutable
+    * dir; the timed path is ONE precomputed-pairs merge (batch 19 —
+    * an idempotent REPLAY on every later run: reads fence < 19, so
+    * repeat bench runs re-derive identical partitions; the pairs are
+    * a memoized judge-output fixture, so no judging is re-billed —
+    * nq_media_judge already watches that) plus the
+    * standing-assignment read. A merge-path regression (an accidental
+    * corpus-sized resolve, a lost fence, a read shuffle) jumps this
+    * number. The oracle is the one-shot min-label connected
+    * components over ALL near-dup pairs of the synthetic corpus — the
+    * XXH64-replica zero-dump tier composed with the q63-shape reach —
+    * so a merge miss, a remap-chain break, or a fence leak hash-fail
+    * through the full assignment. */
+  def nqClusterMerge(s: SparkSession, d: String): DataFrame = {
+    val store = MediaDedupStore.memoStore(mergeClusterStoreFor, d)(
+      buildMergeClusterStore(s, d))
+    val batch = MediaDedupStore.judgeBenchBatch(s, d)
+    def derivePairs = MediaDedupStore.judgeBatch(s, batch,
+      MediaDedupStore.judgeBenchStore(s, d), 19L)
+    val pairs =
+      if (graft.Tables.isImmutable(d))
+        graft.FixtureMemo.parquet(s, s"clustermergepairs:$d")(derivePairs)
+      else derivePairs
+    applyClusterBatch(s, batch.select("media_id", "modality"),
+      pairs.select("modality", "id_a", "id_b"), store, 19L)
+    assignmentsFromStore(s, store)
+      .select(col("media_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("media_id")
+  }
+
+  private[sources] lazy val nqClusterMergeSql: String =
+    s"""WITH RECURSIVE ${MediaDedupStore.syntheticFpCtes},
+       |cpairs AS (
+       |  SELECT a.media_id AS id_a, b.media_id AS id_b
+       |  FROM fp a JOIN fp b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.h, b.h)) <= 6),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM cpairs
+       |  UNION SELECT id_b, id_a FROM cpairs),
+       |nodes AS (SELECT media_id FROM fp),
+       |reach(media_id, label) AS (
+       |  SELECT media_id, media_id FROM nodes
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.media_id)
+       |SELECT media_id, min(label) AS cluster_id,
+       |  (media_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY media_id ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_media_clusters_inc" -> (nqMediaClustersInc _),
     "nq_media_clusters_delete" -> (nqMediaClustersDelete _),
     "nq_media_clusters_compact" -> (nqMediaClustersCompact _),
-    "nq_text_clusters_inc" -> (nqTextClustersInc _))
+    "nq_text_clusters_inc" -> (nqTextClustersInc _),
+    "nq_audio_clusters_inc" -> (nqAudioClustersInc _),
+    "nq_video_clusters_inc" -> (nqVideoClustersInc _),
+    "nq_cluster_merge" -> (nqClusterMerge _))
 
   val oracle: Map[String, String] = Map(
     // the incremental merge path re-proves the one-shot q63-shape
@@ -565,5 +833,12 @@ object MediaClusterStore {
     // the text member through the SAME store re-proves the one-shot
     // banded clustering oracle verbatim (full hash-family replica)
     "nq_text_clusters_inc" ->
-      graft.text.DedupClusters.oracle("nq_dedup_clusters"))
+      graft.text.DedupClusters.oracle("nq_dedup_clusters"),
+    // the audio/video members re-prove their one-shot pair CTEs
+    // verbatim, composed with the q63-shape recursive reach
+    "nq_audio_clusters_inc" -> nqAudioClustersIncSql,
+    "nq_video_clusters_inc" -> nqVideoClustersIncSql,
+    // the benched merge path re-proves the zero-dump XXH64-replica
+    // corpus' one-shot connected components
+    "nq_cluster_merge" -> nqClusterMergeSql)
 }

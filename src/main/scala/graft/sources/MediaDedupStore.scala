@@ -124,7 +124,8 @@ object MediaDedupStore {
     * store shuffle (spec-pinned: no SortMergeJoin in the plan). */
   private[graft] def crossPairs(s: SparkSession, batch: DataFrame,
       storePath: String, beforeBatch: Long, threshold: Int,
-      broadcastBatch: Boolean = true): DataFrame = {
+      broadcastBatch: Boolean = true,
+      keepReArrivals: Boolean = false): DataFrame = {
     // bootstrap: the very first batch judges against an empty store
     // (no fingerprints dir yet) — no cross pairs by definition
     val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
@@ -145,9 +146,21 @@ object MediaDedupStore {
         batch.select(col("media_id"), col("modality"), col("h")))
       .select(col("modality"), col("bp"), col("bv"),
         col("media_id").as("bid"), col("h").as("bh"))
-    sb.join(if (broadcastBatch) broadcast(bb) else bb,
+    // after the `batch_id <` fence, an EQUAL-id match is exactly the
+    // "id re-arrived under a NEW batch id" caller error the cluster
+    // store documents ([[MediaClusterStore.applyClusterBatch]]): a
+    // replay's own stored copy is excluded by the fence, so the only
+    // way sid == bid survives is a second arrival under a fresh id.
+    // `keepReArrivals` keeps those rows (id_a == id_b, the diagnostic
+    // signal — detection is free, the banded join already collides
+    // them) for callers that collect pairs anyway; the default drops
+    // them, preserving the one-shot pair semantics the oracles prove.
+    // Best-effort by construction: a re-arrival whose content drifted
+    // past the hamming threshold never collides and stays undetected.
+    val joined = sb.join(if (broadcastBatch) broadcast(bb) else bb,
         Seq("modality", "bp", "bv"))
-      .filter(col("sid") =!= col("bid"))
+    (if (keepReArrivals) joined
+     else joined.filter(col("sid") =!= col("bid")))
       .withColumn("hamming", expr("bit_count(sh ^ bh)").cast("long"))
       .filter(col("hamming") <= threshold)
       .select(col("modality"),
@@ -196,7 +209,8 @@ object MediaDedupStore {
     * already-checkpointed batch. */
   def judgeBatch(s: SparkSession, batch: DataFrame, storePath: String,
       batchId: Long, threshold: Int = 6,
-      maxBroadcastBatchRows: Long = MaxBroadcastBatchRows): DataFrame = {
+      maxBroadcastBatchRows: Long = MaxBroadcastBatchRows,
+      keepReArrivals: Boolean = false): DataFrame = {
     val b = minusTombstones(s, storePath,
       batch.select(col("media_id"), col("modality"), col("h")))
     val broadcastable = b.count() <= maxBroadcastBatchRows
@@ -206,8 +220,12 @@ object MediaDedupStore {
         threshold, keyCols = Seq("modality"))
       .select(col("modality"), col("img_a").as("id_a"),
         col("img_b").as("id_b"), col("hamming"))
+    // keepReArrivals (see crossPairs): id_a == id_b rows survive as
+    // the re-arrival diagnostic — within-batch pairs are strictly
+    // a < b, so every equal-id row is a batch-vs-store collision
     crossPairs(s, b, storePath, batchId, threshold,
-      broadcastBatch = broadcastable).union(within)
+      broadcastBatch = broadcastable,
+      keepReArrivals = keepReArrivals).union(within)
   }
 
   /** Streaming ingest — each micro-batch lands under its own fenced
@@ -643,14 +661,7 @@ object MediaDedupStore {
     val vids = VideoDedup.generateSceneVideos(s, d)
     // memoized like flipFingerprints: keyframe selection + hash is a
     // pure derivation of the memoized corpus — probes measure judging
-    def fps = {
-      def derive = VideoDedup.keyframeHashes(vids)
-        .select(col("image_id").as("media_id"),
-          lit("video").as("modality"), col("h"))
-      if (graft.Tables.isImmutable(d))
-        graft.FixtureMemo.parquet(s, s"kffp:$d")(derive)
-      else derive
-    }
+    def fps = VideoDedup.keyframeFingerprints(s, d)
     // batch key = the VIDEO id inside the packed frame id
     def batchOf = pmod(expr("media_id DIV 100"), lit(3))
     val store = memoStore(kfStoreFor, d) {
@@ -697,6 +708,16 @@ object MediaDedupStore {
     * one-shot media entries cannot expose under the ≤0.5 s budget. */
   private[graft] def syntheticFingerprints(s: SparkSession, d: String)
       : DataFrame = {
+    // the copy offsets (+10000001 / +20000000) assume base ids stay
+    // below them: at documents.count()·8 ≥ 10000001 (roughly sf ≥ 20)
+    // copy ids would collide with base ids and the engine's pair
+    // distinct vs the oracle's all-pairs multiplicity would diverge as
+    // an opaque hash mismatch — fail loudly at the boundary instead
+    val nDocs = graft.Tables.documents(s, d).count()
+    require(nDocs * 8 < 10000001L,
+      s"syntheticFingerprints: $nDocs documents × 8 media ids reach " +
+        "the +10000001 copy offset — raise the offsets (and the oracle " +
+        "SQL literals) before benching at this scale")
     val hb = graft.Tables.documents(s, d).select(col("doc_id"))
       .withColumn("j", explode(sequence(lit(0), lit(7))))
       .select((col("doc_id") * 8 + col("j")).as("m"))
@@ -740,21 +761,27 @@ object MediaDedupStore {
       path
     }
 
+  /** The serving batch (media_id ≡ 19 mod 20) as ARRIVING data — a
+    * memoized parquet fixture per immutable dir, so timed probes pay
+    * one small read, not the synthetic re-derivation. Shared by
+    * nq_media_judge and the cluster-merge serving entry
+    * ([[MediaClusterStore.nqClusterMerge]]). */
+  private[sources] def judgeBenchBatch(s: SparkSession, d: String)
+      : DataFrame =
+    if (graft.Tables.isImmutable(d))
+      graft.FixtureMemo.parquet(s, s"mediajudgebatch:$d")(
+        syntheticFingerprints(s, d)
+          .filter(pmod(col("media_id"), lit(20)) === 19))
+    else syntheticFingerprints(s, d)
+      .filter(pmod(col("media_id"), lit(20)) === 19)
+
   def nqMediaJudge(s: SparkSession, d: String): DataFrame = {
-    // a serving batch ARRIVES as data — the precomputed fingerprints
-    // are a memoized parquet fixture (pure in d), so the timed path is
-    // the JUDGE: one small parquet read, the guard count, the ×28
-    // broadcast banded join against the standing store, the
+    // a serving batch ARRIVES as data (judgeBenchBatch), so the timed
+    // path is the JUDGE: one small parquet read, the guard count, the
+    // ×28 broadcast banded join against the standing store, the
     // within-batch self-join
     val store = judgeBenchStore(s, d)
-    val batch =
-      if (graft.Tables.isImmutable(d))
-        graft.FixtureMemo.parquet(s, s"mediajudgebatch:$d")(
-          syntheticFingerprints(s, d)
-            .filter(pmod(col("media_id"), lit(20)) === 19))
-      else syntheticFingerprints(s, d)
-        .filter(pmod(col("media_id"), lit(20)) === 19)
-    judgeBatch(s, batch, store, 19L)
+    judgeBatch(s, judgeBenchBatch(s, d), store, 19L)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
   }
@@ -763,8 +790,13 @@ object MediaDedupStore {
     * space, the same xor masks, then ALL pairs (exact all-pairs is
     * oracle-scale-only; the engine side is the banded join) with one
     * side in batch 9. */
-  private def mediaJudgeSql: String =
-    s"""WITH base AS (
+  /** The synthetic-corpus CTE chain — base ids → XXH64 replica →
+    * planted xor-mask copies, ending at fp(media_id, h). Shared by the
+    * judge oracle and the cluster-merge oracle
+    * ([[MediaClusterStore]]) so the corpus derivation can never drift
+    * between them (the q81 shared-SQL discipline). */
+  private[sources] lazy val syntheticFpCtes: String =
+    s"""base AS (
        |  SELECT doc_id * 8 + j.j AS m
        |  FROM documents, (SELECT unnest(generate_series(0, 7)) AS j) j),
        |${graft.text.Mixing.xxh64CtesBody("base", "m", "")},
@@ -784,7 +816,10 @@ object MediaDedupStore {
        |  UNION ALL
        |  SELECT m + 20000000,
        |    xor(h, 1::BIGINT << CAST((m*11) % 63 AS INT))
-       |  FROM hb WHERE m % 9 = 5),
+       |  FROM hb WHERE m % 9 = 5)""".stripMargin
+
+  private def mediaJudgeSql: String =
+    s"""WITH $syntheticFpCtes,
        |pairs AS (
        |  SELECT a.media_id AS id_a, b.media_id AS id_b,
        |    CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming

@@ -329,8 +329,29 @@ object VideoDedup {
       .orderBy("vid_a", "frame_a", "vid_b", "frame_b")
   }
 
-  private[sources] val nqVideoKeyframesSql: String =
-    s"""WITH lum AS (
+  /** Keyframe fingerprints of the scene corpus as store rows
+    * (media_id, 'video', h) — a pure derivation of the memoized corpus,
+    * itself memoized per immutable dir (the flipFingerprints policy:
+    * probes measure judging/merging, not a re-decode). Shared by the
+    * keyframe-store entry ([[MediaDedupStore.nqVideoKeyframesStore]])
+    * and the video cluster entry ([[MediaClusterStore]]). */
+  private[sources] def keyframeFingerprints(s: SparkSession, d: String)
+      : DataFrame = {
+    def derive = keyframeHashes(generateSceneVideos(s, d))
+      .select(col("image_id").as("media_id"),
+        lit("video").as("modality"), col("h"))
+    if (graft.Tables.isImmutable(d))
+      graft.FixtureMemo.parquet(s, s"kffp:$d")(derive)
+    else derive
+  }
+
+  /** The selection + pair CTE chain over the dumped all-frame grids
+    * (lum → delta → keyframes → bits → pairs), ending after `pairs` —
+    * shared VERBATIM by the one-shot keyframe oracle below and the
+    * video cluster-store oracle ([[MediaClusterStore]]), the q81
+    * shared-SQL discipline. */
+  private[graft] val keyframePairCtes: String =
+    s"""lum AS (
        |  SELECT image_id, px,
        |    299 * r + 587 * g + 114 * b AS l
        |  FROM read_parquet('$Dump/image_px_vkf9.parquet/*.parquet')),
@@ -362,7 +383,10 @@ object VideoDedup {
        |      AS hamming
        |  FROM bits x JOIN bits y
        |    ON x.bit = y.bit AND x.image_id < y.image_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private[sources] val nqVideoKeyframesSql: String =
+    s"""WITH $keyframePairCtes
        |SELECT img_a // 100 AS vid_a, img_a % 100 AS frame_a,
        |  img_b // 100 AS vid_b, img_b % 100 AS frame_b, hamming
        |FROM pairs

@@ -280,6 +280,186 @@ class MediaClusterStoreSpec extends SparkSpec {
       s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
   }
 
+  test("an id re-arriving under a NEW batch id fails loudly at merge " +
+      "time (the judge's equal-id diagnostic), while a same-id replay " +
+      "stays silent") {
+    val dir = tmp("mclusterrearrive")
+    try {
+      val fp = dir.resolve("fp").toString
+      val cl = dir.resolve("cl").toString
+      def batch(rows: (Long, String, Long)*) =
+        rows.toSeq.toDF("media_id", "modality", "h")
+      MediaClusterStore.applyClusterIngestBatch(
+        batch((10L, "image", 7L)), fp, cl, 0L, "spec-lineage")
+      // replaying the SAME id is the at-least-once contract: the fence
+      // excludes the batch's own stored copy, so no diagnostic fires
+      MediaClusterStore.applyClusterIngestBatch(
+        batch((10L, "image", 7L)), fp, cl, 0L, "spec-lineage")
+      assert(clusters(cl) === Map(10L -> 10L))
+      // the same id under a NEW batch id collides with its standing
+      // copy in the banded join — detected, not merely documented
+      val e = intercept[IllegalArgumentException] {
+        MediaClusterStore.applyClusterIngestBatch(
+          batch((10L, "image", 7L)), fp, cl, 1L, "spec-lineage")
+      }
+      assert(e.getMessage.contains("re-delivers"))
+      assert(e.getMessage.contains("(image, 10)"))
+    } finally rmrf(dir)
+  }
+
+  test("the remap-log collect refuses above the configured bound, " +
+      "naming compaction — and compaction (the remedy) still runs " +
+      "and clears it") {
+    val dir = tmp("mclusterbound")
+    try {
+      val store = dir.resolve("c").toString
+      // two chained merges -> 2 merge events in the log
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(5L), prs((5L, 10L)), store, 1L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(3L), prs((3L, 5L)), store, 2L)
+      spark.conf.set(MediaClusterStore.MaxRemapRowsConf, "1")
+      try {
+        val e = intercept[IllegalArgumentException](clusters(store))
+        assert(e.getMessage.contains("compactThrough"))
+        // compaction must be ALLOWED to collect the over-bound log —
+        // baking + pruning it is the remedy the bound points at
+        MediaClusterStore.compactThrough(spark, store, through = 2L)
+        assert(clusters(store) === Map(3L -> 3L, 5L -> 3L, 10L -> 3L,
+          11L -> 3L))
+      } finally spark.conf.unset(MediaClusterStore.MaxRemapRowsConf)
+    } finally rmrf(dir)
+  }
+
+  test("an all-tombstoned first batch leaves a readable (empty) " +
+      "store: partition-less dirs read as empty, later batches land") {
+    val dir = tmp("mclusterempty")
+    try {
+      val store = dir.resolve("c").toString
+      MediaClusterStore.deleteMembers(members(10L), store, 0L)
+      // every member tombstoned -> the dynamic overwrite writes NO
+      // partition; the dir (if created) is file-less
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L), prs(), store, 0L)
+      assert(MediaClusterStore.assignmentsFromStore(spark, store)
+        .count() === 0L)
+      assert(MediaClusterStore.survivingAssignments(spark, store)
+        .count() === 0L)
+      // the store is not bricked: a later batch lands and serves
+      MediaClusterStore.applyClusterBatch(spark,
+        members(20L), prs(), store, 1L)
+      assert(clusters(store) === Map(20L -> 20L))
+    } finally rmrf(dir)
+  }
+
+  test("erase-while-streaming caveat (spec-pinned): a replay AFTER an " +
+      "erasure can diverge — a remap computed from since-erased pairs " +
+      "is cross-batch state later batches built on") {
+    val dir = tmp("mclustermidstream")
+    try {
+      val fp = dir.resolve("fp").toString
+      val cl = dir.resolve("cl").toString
+      def batch(rows: (Long, Long)*) = rows.toSeq
+        .map { case (id, h) => (id, "image", h) }
+        .toDF("media_id", "modality", "h")
+      def ingest(id: Long, rows: (Long, Long)*) =
+        MediaClusterStore.applyClusterIngestBatch(batch(rows: _*), fp,
+          cl, id, "spec-lineage")
+      def surviving = MediaClusterStore
+        .survivingAssignments(spark, cl)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // batch 0: clique {20, 21, 22} -> cluster 20
+      ingest(0L, (20L, 0xFFFL), (21L, 0xFFFL), (22L, 0xFFFL))
+      // batch 1: {3, 5} bridge it (hamming(0xFFF, 0xFC0) = 6) -> the
+      // merge event 20 -> 3 is computed FROM pairs naming member 3
+      ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L))
+      // mid-stream erasure of 3 (both stores, the maintenance pairing)
+      MediaClusterStore.deleteMembers(members(3L), cl, 0L)
+      MediaDedupStore.deleteMedia(members(3L), fp, 0L)
+      // batch 2: member 7 joins the standing cluster through 5
+      ingest(2L, (7L, 0xFC0L))
+      // so far: suppression + historical topology hold — everyone
+      // (incl. 7, assigned via the erased member's merge event) serves
+      // under the re-elected min survivor 5
+      assert(surviving === Map(5L -> 5L, 7L -> 5L, 20L -> 5L,
+        21L -> 5L, 22L -> 5L))
+      // an at-least-once REPLAY of batch 1 after the erasure: the
+      // arriving batch is tombstone-filtered to {5}, the judge sees
+      // the erased member nowhere, and the re-derived merge event is
+      // 20 -> 5, overwriting the original 20 -> 3 — batch 2's standing
+      // assignment (7 -> 3) still references the vanished label, so 7
+      // strands in its own cluster: the DOCUMENTED divergence (erase
+      // after the stream quiesces, or follow with a re-cluster)
+      ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L))
+      assert(surviving === Map(5L -> 5L, 20L -> 5L, 21L -> 5L,
+        22L -> 5L, 7L -> 7L))
+    } finally rmrf(dir)
+  }
+
+  test("audio member: the incremental cluster path equals the " +
+      "one-shot connected components over the audio pair relation") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val inc = asSet(MediaClusterStore.nqAudioClustersInc(spark, sf0001))
+    val clips = graft.audio.AudioDedup.generateDedupClips(spark, sf0001)
+    val fps = graft.audio.AudioDedup.fingerprints(clips)
+      .localCheckpoint()
+    val pairs = ImageDedup.nearDupPairs(
+        fps.withColumnRenamed("clip_id", "image_id"))
+      .select(col("img_a").as("d1"), col("img_b").as("d2"))
+    val oneShot = asSet(graft.text.DedupClusters.connectedComponents(
+        fps.select(col("clip_id").as("doc_id")), pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper")))
+    assert(inc.nonEmpty)
+    assert(inc.exists { case (id, cl, _) => id != cl })
+    assert(inc === oneShot,
+      s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
+  }
+
+  test("video member: the incremental keyframe cluster path equals " +
+      "the one-shot connected components over cross-video reuse pairs") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val inc = asSet(MediaClusterStore.nqVideoClustersInc(spark, sf0001))
+    val fps = VideoDedup.keyframeFingerprints(spark, sf0001)
+      .localCheckpoint()
+    val pairs = ImageDedup.nearDupPairs(
+        fps.select(col("media_id").as("image_id"), col("h")))
+      .filter(expr("img_a DIV 100") =!= expr("img_b DIV 100"))
+      .select(col("img_a").as("d1"), col("img_b").as("d2"))
+    val oneShot = asSet(graft.text.DedupClusters.connectedComponents(
+        fps.select(col("media_id").as("doc_id")), pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper")))
+    assert(inc.nonEmpty)
+    assert(inc.exists { case (id, cl, _) => id != cl })
+    assert(inc === oneShot,
+      s"diff = ${inc.diff(oneShot) ++ oneShot.diff(inc)}")
+  }
+
+  test("cluster-merge serving entry: repeat runs are idempotent " +
+      "replays and planted synthetic copies cluster with their bases") {
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = asMap(MediaClusterStore.nqClusterMerge(spark, sf0001))
+    // the timed path re-applies batch 19 every run — fenced reads make
+    // the repeat a byte-idempotent replay, not a drifting store
+    val again = asMap(MediaClusterStore.nqClusterMerge(spark, sf0001))
+    assert(first === again)
+    val base7 = first.keys.filter(m =>
+      m < 10000001L && m % 7 == 0).toSeq
+    assert(base7.nonEmpty)
+    base7.foreach { m =>
+      assert(first(m + 10000001L) === first(m),
+        s"planted ≤3-bit copy of $m not clustered with its base")
+    }
+  }
+
   test("incremental entry equals the one-shot connected components " +
       "(the q63 shape) over the planted image corpus") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
