@@ -95,24 +95,30 @@ object MediaClusterStore {
     val raw0 = s.read.parquet(dir)
     val fenced = beforeBatch.map(b => raw0.filter(col("batch_id") < b))
       .getOrElse(raw0)
-    // count BEFORE collect: the guard must fire before an OOM-scale
-    // driver materialization, not after (the log is one small file per
-    // merged batch — metadata-cheap)
-    val n = fenced.count()
+      .select("modality", "old_label", "new_label")
     val bound = s.conf.getOption(MaxRemapRowsConf).map(_.toLong)
       .getOrElse(DefaultMaxRemapRows)
-    require(!enforceBound || n <= bound,
-      s"cluster-store remap log at $storePath holds $n merge events " +
-        s"(> $bound, $MaxRemapRowsConf): run compactThrough to bake " +
-        "the closure into the assignments and prune the log before " +
+    // the guarded path collects AT MOST bound+1 rows (the limit rides
+    // the same job — no separate count, and the driver never
+    // materializes an over-bound log before the check fires); the
+    // unguarded path (compaction, the remedy) must read everything
+    val rows =
+      if (enforceBound)
+        fenced.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt)
+          .collect()
+      else fenced.collect()
+    require(!enforceBound || rows.length <= bound,
+      s"cluster-store remap log at $storePath holds > $bound merge " +
+        s"events ($MaxRemapRowsConf): run compactThrough to bake the " +
+        "closure into the assignments and prune the log before " +
         "further merges/reads")
-    if (n > RemapLogWarnRows)
+    if (rows.length > RemapLogWarnRows)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"cluster-store remap log at $storePath holds $n merge events " +
-          s"(soft bound $RemapLogWarnRows): schedule compactThrough — " +
-          "every merge and read collects and broadcasts this log")
-    val raw = fenced
-      .select("modality", "old_label", "new_label").collect()
+        s"cluster-store remap log at $storePath holds ${rows.length} " +
+          s"merge events (soft bound $RemapLogWarnRows): schedule " +
+          "compactThrough — every merge and read collects and " +
+          "broadcasts this log")
+    val raw = rows
       .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     def follow(m: String, l: Long): Long = {
       var x = l
@@ -777,9 +783,13 @@ object MediaClusterStore {
     * XXH64-replica zero-dump tier composed with the q63-shape reach —
     * so a merge miss, a remap-chain break, or a fence leak hash-fail
     * through the full assignment. */
-  def nqClusterMerge(s: SparkSession, d: String): DataFrame = {
-    val store = MediaDedupStore.memoStore(mergeClusterStoreFor, d)(
+  /** Probe access to the memoized merge store (Scratch mergeprof). */
+  private[graft] def probeMergeStore(s: SparkSession, d: String): String =
+    MediaDedupStore.memoStore(mergeClusterStoreFor, d)(
       buildMergeClusterStore(s, d))
+
+  def nqClusterMerge(s: SparkSession, d: String): DataFrame = {
+    val store = probeMergeStore(s, d)
     val batch = MediaDedupStore.judgeBenchBatch(s, d)
     def derivePairs = MediaDedupStore.judgeBatch(s, batch,
       MediaDedupStore.judgeBenchStore(s, d), 19L)

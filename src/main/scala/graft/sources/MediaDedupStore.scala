@@ -766,7 +766,7 @@ object MediaDedupStore {
     * one small read, not the synthetic re-derivation. Shared by
     * nq_media_judge and the cluster-merge serving entry
     * ([[MediaClusterStore.nqClusterMerge]]). */
-  private[sources] def judgeBenchBatch(s: SparkSession, d: String)
+  private[graft] def judgeBenchBatch(s: SparkSession, d: String)
       : DataFrame =
     if (graft.Tables.isImmutable(d))
       graft.FixtureMemo.parquet(s, s"mediajudgebatch:$d")(

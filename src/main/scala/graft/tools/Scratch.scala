@@ -196,6 +196,98 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("remapgrowth")) {
+      // VERDICT r15 #1: adversarial remap-log growth — M chains whose
+      // members arrive in bridge-maximizing order (evens first as
+      // singletons, then each odd member bridges its two standing
+      // neighbors), so standing clusters keep merging and the merge-
+      // event log grows ~linearly in batches (each label remapped at
+      // most once; ceiling = label count ≈ member count). Records per
+      // batch: merge latency + log rows; then a read, compaction, and
+      // the post-compaction read/merge.
+      //   runmain graft.tools.Scratch remapgrowth [chains] [len]
+      val M = args.lift(1).map(_.toInt).getOrElse(20000)
+      val L = args.lift(2).map(_.toInt).getOrElse(24)
+      val store =
+        s"${graft.FixtureMemo.scratchDir("remapgrowth")}/cl"
+      val mcs = graft.sources.MediaClusterStore
+      val chains = spark.range(M).select(col("id").as("c"))
+        .localCheckpoint()
+      def member(i: Int) = chains.select(
+        (col("c") * 64 + i).as("media_id"), lit("m").as("modality"))
+      val order = (0 until L by 2) ++ (1 until L by 2)
+      order.zipWithIndex.foreach { case (i, b) =>
+        val nbrs = Seq(i - 1, i + 1)
+          .filter(j => j >= 0 && j < L && order.indexOf(j) < b)
+        val pairs = nbrs.map(j => chains.select(
+            lit("m").as("modality"),
+            (col("c") * 64 + math.min(i, j)).as("id_a"),
+            (col("c") * 64 + math.max(i, j)).as("id_b")))
+          .reduceOption(_ union _)
+          .getOrElse(member(i).select(col("modality"),
+            col("media_id").as("id_a"), col("media_id").as("id_b"))
+            .limit(0))
+        time(s"batch $b (member $i, ${nbrs.size} edges/chain) merge")(
+          mcs.applyClusterBatch(spark, member(i), pairs, store, b.toLong))
+        val rdir = new java.io.File(s"$store/_remaps")
+        val nRemap = if (rdir.exists)
+          spark.read.parquet(rdir.toString).count() else 0L
+        println(s"[scratch] after batch $b: remap log rows = $nRemap")
+      }
+      def readAll(label: String) = time(label)(
+        mcs.assignmentsFromStore(spark, store)
+          .write.format("noop").mode("overwrite").save())
+      for (r <- 1 to 2) readAll(s"pre-compaction read run$r")
+      val nClusters = mcs.assignmentsFromStore(spark, store)
+        .select("cluster_id").distinct().count()
+      println(s"[scratch] clusters = $nClusters (expect $M: every " +
+        "chain fully merged)")
+      time("compactThrough")(
+        mcs.compactThrough(spark, store, (L - 1).toLong))
+      val rdir = new java.io.File(s"$store/_remaps")
+      println(s"[scratch] post-compaction remap log rows = " +
+        s"${if (rdir.exists) spark.read.parquet(rdir.toString).count()
+            else 0L}")
+      for (r <- 1 to 2) readAll(s"post-compaction read run$r")
+      // one more bridge-heavy merge on the compacted store: latency
+      // must be back at the early-batch level (log collapsed)
+      val pairs = chains.select(lit("m").as("modality"),
+        (col("c") * 64 + (L - 2)).as("id_a"),
+        (col("c") * 64 + L).as("id_b"))
+      time("post-compaction merge")(
+        mcs.applyClusterBatch(spark, member(L), pairs, store, L.toLong))
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("mergeprof")) {
+      // stage breakdown of the nq_cluster_merge bench entry: fixture
+      // reads / merge (pair collect + endpoint semi-join + write) /
+      // standing-assignment read
+      val mcs = graft.sources.MediaClusterStore
+      val ms = graft.sources.MediaDedupStore
+      mcs.nqClusterMerge(spark, d).write.format("noop")
+        .mode("overwrite").save() // warm store + fixtures + codegen
+      for (r <- 1 to 2) {
+        val batch = time(s"run$r batch fixture")(
+          ms.judgeBenchBatch(spark, d).localCheckpoint())
+        val pairs = time(s"run$r pairs fixture")(
+          graft.FixtureMemo.parquet(spark, s"clustermergepairs:$d")(
+            sys.error("must be memoized")).localCheckpoint())
+        val store = mcs.probeMergeStore(spark, d)
+        time(s"run$r applyClusterBatch")(
+          mcs.applyClusterBatch(spark,
+            batch.select("media_id", "modality"),
+            pairs.select("modality", "id_a", "id_b"), store, 19L))
+        time(s"run$r assignments read")(
+          mcs.assignmentsFromStore(spark, store)
+            .write.format("noop").mode("overwrite").save())
+        time(s"run$r full entry")(
+          mcs.nqClusterMerge(spark, d).write.format("noop")
+            .mode("overwrite").save())
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("profexp")) {
       // profiler cost split: is nq_profile's time the HLL updates, or
       // ALL 47 aggregates running interpreted because one imperative
