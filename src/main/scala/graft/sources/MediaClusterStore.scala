@@ -73,9 +73,11 @@ object MediaClusterStore {
     * and prunes the log — each label is remapped at most once, so the
     * ceiling is label-count (≈ member-count on a pathologically
     * chained corpus), not batch-sized. Measured growth: the
-    * `Scratch remapgrowth` adversarial probe (BASELINE.md) holds merge
-    * latency flat to 10⁶ events; above the soft bound every
-    * merge/read WARNS naming the compaction cadence, and above the
+    * `Scratch remapgrowth` adversarial probe (BASELINE.md) holds
+    * merge latency flat through 2.2·10⁵ accumulated events while the
+    * standing-read cost grows with the log and collapses 10× after
+    * compaction; above the soft bound every merge/read WARNS naming
+    * the compaction cadence, and above the
     * hard bound (driver-heap territory: ~100 B/entry in the resolved
     * map) the collect refuses instead of OOMing. Override per session
     * via `spark.graft.cluster.maxRemapRows`. */
@@ -350,8 +352,14 @@ object MediaClusterStore {
     * is unchanged since the original application (a remap computed
     * from since-erased pairs is cross-batch state later batches build
     * on; erase after the stream quiesces, or follow with a re-cluster
-    * — the maintenance-cadence contract). The lineage fence guards the
-    * shared batch-id space via the FINGERPRINT store root. */
+    * — the maintenance-cadence contract). The divergence is real and
+    * spec-pinned (MediaClusterStoreSpec "erase-while-streaming
+    * caveat": a replay re-derives a remap that no longer names the
+    * erased bridge, stranding a later batch's member on the vanished
+    * label — suppression and historical topology hold throughout; a
+    * re-arriving erased member is tombstone-filtered). The lineage
+    * fence guards the shared batch-id space via the FINGERPRINT store
+    * root. */
   def clusterIngestStream(stream: DataFrame, fpStorePath: String,
       clusterStorePath: String, threshold: Int = 6)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -768,6 +776,11 @@ object MediaClusterStore {
     clPath
   }
 
+  /** Probe access to the memoized merge store (Scratch mergeprof). */
+  private[graft] def probeMergeStore(s: SparkSession, d: String): String =
+    MediaDedupStore.memoStore(mergeClusterStoreFor, d)(
+      buildMergeClusterStore(s, d))
+
   /** nq_cluster_merge: the cluster analogue of nq_media_judge — the
     * MERGE serving path, benched. The standing assignments over the
     * synthetic corpus' 19 store residues are memoized per immutable
@@ -783,11 +796,6 @@ object MediaClusterStore {
     * XXH64-replica zero-dump tier composed with the q63-shape reach —
     * so a merge miss, a remap-chain break, or a fence leak hash-fail
     * through the full assignment. */
-  /** Probe access to the memoized merge store (Scratch mergeprof). */
-  private[graft] def probeMergeStore(s: SparkSession, d: String): String =
-    MediaDedupStore.memoStore(mergeClusterStoreFor, d)(
-      buildMergeClusterStore(s, d))
-
   def nqClusterMerge(s: SparkSession, d: String): DataFrame = {
     val store = probeMergeStore(s, d)
     val batch = MediaDedupStore.judgeBenchBatch(s, d)
