@@ -67,68 +67,122 @@ object MediaClusterStore {
 
   /** Loud guard on the driver-collected merge-event log — the ONE
     * in-principle-unbounded term in the store (the
-    * [[MediaDedupStore.MaxBroadcastBatchRows]] precedent): merge
-    * events are match-output-sized per batch but ACCUMULATE across the
-    * store's life until [[compactThrough]] bakes them into the fold
-    * and prunes the log — each label is remapped at most once, so the
+    * [[MediaDedupStore.MaxBroadcastBatchRows]] precedent: a bound
+    * with a DISTRIBUTED fallback, not a refusal): merge events are
+    * match-output-sized per batch but ACCUMULATE across the store's
+    * life until [[compactThrough]] bakes them into the fold and
+    * prunes the log — each label is remapped at most once, so the
     * ceiling is label-count (≈ member-count on a pathologically
     * chained corpus), not batch-sized. Measured growth: the
     * `Scratch remapgrowth` adversarial probe (BASELINE.md) holds
     * merge latency flat through 2.2·10⁵ accumulated events while the
     * standing-read cost grows with the log and collapses 10× after
-    * compaction; above the soft bound every merge/read WARNS naming
-    * the compaction cadence, and above the
-    * hard bound (driver-heap territory: ~100 B/entry in the resolved
-    * map) the collect refuses instead of OOMing. Override per session
-    * via `spark.graft.cluster.maxRemapRows`. */
+    * compaction. Within the bound, merges and reads collect the log
+    * into a driver map and broadcast the closure (the fast path);
+    * above it they WARN naming the compaction cadence and fall back
+    * to [[resolvedRemapsRelation]] — closure resolution as
+    * pointer-doubling self-joins, never driver-materialized — so an
+    * over-bound store keeps serving at distributed-join cost instead
+    * of OOMing the driver. Override per session via
+    * `spark.graft.cluster.maxRemapRows`. */
   private[sources] val RemapLogWarnRows = 1000000L
   private[sources] val DefaultMaxRemapRows = 4000000L
   private[graft] val MaxRemapRowsConf = "spark.graft.cluster.maxRemapRows"
 
-  /** The remap closure from batches < `beforeBatch` (all when None),
-    * chain-resolved: old_label → its FINAL label. Merge-event-sized
-    * collect (bounded loudly — see [[DefaultMaxRemapRows]]). Chains
-    * terminate because every entry decreases the label. */
-  private def resolvedRemaps(s: SparkSession, storePath: String,
-      beforeBatch: Option[Long],
-      enforceBound: Boolean = true): Map[(String, Long), Long] = {
+  /** The fenced merge-event log as a relation (modality, old_label,
+    * new_label), None when no log stands. */
+  private def remapLog(s: SparkSession, storePath: String,
+      beforeBatch: Option[Long]): Option[DataFrame] = {
     val dir = remapDir(storePath)
-    if (!hasBatches(s, dir)) return Map.empty
-    val raw0 = s.read.parquet(dir)
-    val fenced = beforeBatch.map(b => raw0.filter(col("batch_id") < b))
-      .getOrElse(raw0)
-      .select("modality", "old_label", "new_label")
-    val bound = s.conf.getOption(MaxRemapRowsConf).map(_.toLong)
-      .getOrElse(DefaultMaxRemapRows)
-    // the guarded path collects AT MOST bound+1 rows (the limit rides
-    // the same job — no separate count, and the driver never
-    // materializes an over-bound log before the check fires); the
-    // unguarded path (compaction, the remedy) must read everything
-    val rows =
-      if (enforceBound)
-        fenced.limit(math.min(bound + 1, Int.MaxValue.toLong).toInt)
-          .collect()
-      else fenced.collect()
-    require(!enforceBound || rows.length <= bound,
-      s"cluster-store remap log at $storePath holds > $bound merge " +
-        s"events ($MaxRemapRowsConf): run compactThrough to bake the " +
-        "closure into the assignments and prune the log before " +
-        "further merges/reads")
-    if (rows.length > RemapLogWarnRows)
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"cluster-store remap log at $storePath holds ${rows.length} " +
-          s"merge events (soft bound $RemapLogWarnRows): schedule " +
-          "compactThrough — every merge and read collects and " +
-          "broadcasts this log")
-    val raw = rows
-      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-    def follow(m: String, l: Long): Long = {
-      var x = l
-      while (raw.contains((m, x))) x = raw((m, x))
-      x
+    if (!hasBatches(s, dir)) None
+    else {
+      val raw0 = s.read.parquet(dir)
+      Some(beforeBatch.map(b => raw0.filter(col("batch_id") < b))
+        .getOrElse(raw0)
+        .select("modality", "old_label", "new_label"))
     }
-    raw.map { case ((m, o), _) => ((m, o), follow(m, o)) }
   }
+
+  /** The remap closure from batches < `beforeBatch` (all when None)
+    * as a DRIVER MAP, chain-resolved: old_label → its FINAL label —
+    * or None when the log exceeds the bound (callers fall back to the
+    * distributed relation). The collect carries AT MOST bound+1 rows
+    * (the limit rides the collect job — no separate count, and the
+    * driver never materializes an over-bound log). Chains terminate
+    * because every entry decreases the label. */
+  private def collectedRemaps(s: SparkSession, storePath: String,
+      beforeBatch: Option[Long]): Option[Map[(String, Long), Long]] =
+    remapLog(s, storePath, beforeBatch) match {
+      case None => Some(Map.empty)
+      case Some(fenced) =>
+        val bound = s.conf.getOption(MaxRemapRowsConf).map(_.toLong)
+          .getOrElse(DefaultMaxRemapRows)
+        val rows = fenced
+          .limit(math.min(bound + 1, Int.MaxValue.toLong).toInt)
+          .collect()
+        if (rows.length > bound) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"cluster-store remap log at $storePath holds > $bound " +
+              s"merge events ($MaxRemapRowsConf): falling back to " +
+              "distributed closure resolution — run compactThrough " +
+              "to bake the closure into the assignments and restore " +
+              "the broadcast fast path")
+          None
+        } else {
+          if (rows.length > RemapLogWarnRows)
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"cluster-store remap log at $storePath holds " +
+                s"${rows.length} merge events (soft bound " +
+                s"$RemapLogWarnRows): schedule compactThrough — every " +
+                "merge and read collects and broadcasts this log")
+          val raw = rows
+            .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+            .toMap
+          def follow(m: String, l: Long): Long = {
+            var x = l
+            while (raw.contains((m, x))) x = raw((m, x))
+            x
+          }
+          Some(raw.map { case ((m, o), _) => ((m, o), follow(m, o)) })
+        }
+    }
+
+  /** The remap closure as a RELATION, chain-resolved by POINTER
+    * DOUBLING — the over-bound scale path (VERDICT r15 #1c): each
+    * round joins the partially-resolved log against itself
+    * (a.new_label = b.old_label), so chains of length ≤ 2ᵏ resolve in
+    * k rounds; labels strictly decrease, so 64 rounds cover any
+    * feasible chain and the fixpoint check (no row hopped) terminates
+    * the loop early — log-sized distributed work per round, nothing
+    * ever driver-materialized. localCheckpoint per round truncates
+    * the self-join lineage. */
+  private def resolvedRemapsRelation(s: SparkSession, storePath: String,
+      beforeBatch: Option[Long]): Option[DataFrame] =
+    remapLog(s, storePath, beforeBatch).map { fenced =>
+      var r = fenced.localCheckpoint()
+      var rounds = 0
+      var hopped = 1L
+      while (hopped > 0) {
+        require(rounds < 64,
+          "remap-closure pointer doubling exceeded 64 rounds — the " +
+            "strictly-decreasing-label invariant is broken")
+        val step = r.as("a").join(
+            r.select(col("modality").as("b_m"),
+              col("old_label").as("b_old"),
+              col("new_label").as("b_new")),
+            col("a.modality") === col("b_m") &&
+              col("a.new_label") === col("b_old"), "left")
+          .select(col("a.modality").as("modality"),
+            col("a.old_label").as("old_label"),
+            coalesce(col("b_new"), col("a.new_label")).as("new_label"),
+            col("b_old").isNotNull.as("hop"))
+          .localCheckpoint()
+        hopped = step.filter(col("hop")).count()
+        r = step.drop("hop")
+        rounds += 1
+      }
+      r
+    }
 
   /** Merge one judged batch into the standing assignments.
     *
@@ -193,7 +247,24 @@ object MediaClusterStore {
             col("media_id") === col("e_id"), "left_semi")
         .select("modality", "media_id", "label").collect()
         .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
-    val remap = resolvedRemaps(s, storePath, Some(batchId))
+    val remap: Map[(String, Long), Long] =
+      collectedRemaps(s, storePath, Some(batchId)).getOrElse {
+        // over-bound fallback: resolve ONLY the standing endpoints'
+        // labels through the distributed closure — endpoint-sized
+        // collect regardless of log size (the merge path never needed
+        // the full log, only these labels' final values)
+        val need = rawLabels.iterator
+          .map { case ((m, _), l) => (m, l) }.toSet.toSeq
+        if (need.isEmpty) Map.empty
+        else resolvedRemapsRelation(s, storePath, Some(batchId))
+          .map(_.join(broadcast(need.toDF("n_m", "n_l")),
+              col("modality") === col("n_m") &&
+                col("old_label") === col("n_l"), "left_semi")
+            .collect()
+            .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+            .toMap)
+          .getOrElse(Map.empty)
+      }
     def resolve(m: String, l: Long): Long =
       remap.getOrElse((m, l), l)
     // a pair endpoint absent from the store is a batch member: its
@@ -328,17 +399,28 @@ object MediaClusterStore {
     val data = graft.rel.CardinalityStore.asOf(
       s.read.parquet(aDir), asOfBatch)
     val base = data.select("media_id", "modality", "label")
-    val remap = resolvedRemaps(s, storePath, asOfBatch.map(_ + 1))
-    if (remap.isEmpty)
-      base.select(col("media_id"), col("modality"),
-        col("label").as("cluster_id"))
-    else base.join(
-        broadcast(remap.toSeq.map { case ((m, o), n) => (m, o, n) }
-          .toDF("r_m", "old_label", "new_label")),
+    def resolveThrough(rel: DataFrame) = base.join(rel,
         col("modality") === col("r_m") && col("label") === col("old_label"),
         "left")
       .select(col("media_id"), col("modality"),
         coalesce(col("new_label"), col("label")).as("cluster_id"))
+    collectedRemaps(s, storePath, asOfBatch.map(_ + 1)) match {
+      case Some(remap) if remap.isEmpty =>
+        base.select(col("media_id"), col("modality"),
+          col("label").as("cluster_id"))
+      case Some(remap) => resolveThrough(
+        broadcast(remap.toSeq.map { case ((m, o), n) => (m, o, n) }
+          .toDF("r_m", "old_label", "new_label")))
+      case None =>
+        // over-bound fallback: the closure joins as a RELATION and AQE
+        // picks the strategy — the scale path pays a real join rather
+        // than a driver materialization (warned; compaction restores
+        // the broadcast fast path)
+        resolveThrough(
+          resolvedRemapsRelation(s, storePath, asOfBatch.map(_ + 1)).get
+            .select(col("modality").as("r_m"), col("old_label"),
+              col("new_label")))
+    }
   }
 
   // ---------------------------------------------------- streaming loop
@@ -351,8 +433,9 @@ object MediaClusterStore {
     * re-derives byte-identical partitions — PROVIDED the erasure state
     * is unchanged since the original application (a remap computed
     * from since-erased pairs is cross-batch state later batches build
-    * on; erase after the stream quiesces, or follow with a re-cluster
-    * — the maintenance-cadence contract). The divergence is real and
+    * on; erase after the stream quiesces, or follow with
+    * [[reclusterFromPairs]] — the maintenance-cadence contract). The
+    * divergence is real and
     * spec-pinned (MediaClusterStoreSpec "erase-while-streaming
     * caveat": a replay re-derives a remap that no longer names the
     * erased bridge, stranding a later batch's member on the vanished
@@ -424,24 +507,25 @@ object MediaClusterStore {
     val fs = fsOf(s, storePath)
     // ONE implementation of the fold/prune/empty-fold/tombstone-age
     // crash discipline (the shared KeyedCompaction), with the remap
-    // closure ≤ through baked into the fold through its transform hook
-    // enforceBound = false: compaction IS the remedy the bound names —
-    // it must be allowed to collect an over-bound log ONCE to bake the
-    // closure and prune it (run it on a driver sized for the log)
-    val bakeIn = resolvedRemaps(s, storePath, Some(through + 1),
-      enforceBound = false)
+    // closure ≤ through baked into the fold through its transform
+    // hook. The closure joins as a RELATION (pointer-doubled, never
+    // collected — compaction is the remedy the bound names, so it
+    // must handle an over-bound log without a driver materialization;
+    // AQE broadcasts the small-log case by itself)
+    val bakeIn = resolvedRemapsRelation(s, storePath, Some(through + 1))
     graft.rel.KeyedCompaction.compactThrough(s, assignDir(storePath),
       tombDir(storePath), tombNextDir(storePath),
       Seq("media_id", "modality"), through,
-      foldTransform = old =>
-        if (bakeIn.isEmpty) old
-        else old.join(
-            broadcast(bakeIn.toSeq.map { case ((m, o), n) => (m, o, n) }
-              .toDF("r_m", "old_label", "new_label")),
+      foldTransform = old => bakeIn match {
+        case None => old
+        case Some(rel) => old.join(
+            rel.select(col("modality").as("r_m"), col("old_label"),
+              col("new_label")),
             col("modality") === col("r_m") &&
               col("label") === col("old_label"), "left")
           .select(col("media_id"), col("modality"),
-            coalesce(col("new_label"), col("label")).as("label")))
+            coalesce(col("new_label"), col("label")).as("label"))
+      })
     // folded remap partitions (≤ through) are baked into the fold —
     // idempotent partition deletes, no swap needed; a fully-pruned log
     // deletes its root (a file-less dir would fail schema inference)
@@ -452,6 +536,102 @@ object MediaClusterStore {
         .exists(_.getPath.getName.startsWith("batch_id=")))
       fs.delete(rDir, true)
   }
+
+  /** Maintenance RE-CLUSTER — the other half of the erase-while-
+    * streaming contract ([[clusterIngestStream]]: "erase after the
+    * stream quiesces, or follow with a re-cluster"): recompute every
+    * surviving member's label as fresh min-label connected components
+    * over the supplied PAIR EVIDENCE (the verdict store's relation,
+    * after [[MediaDedupStore.scrubVerdicts]] removed pairs naming
+    * erased ids — pairs are defensively tombstone-filtered here too),
+    * folded into ONE `batch_id=through` partition with the remap log
+    * pruned outright (a fresh clustering has no merge history). This
+    * is also the STRICT erasure tier: standing reads keep topology
+    * historical (reach through an erased member persists —
+    * [[deleteMembers]]), while scrub + recluster erases the EVIDENCE,
+    * so clusters bridged only by erased media split. Contract:
+    * `through` ≥ the newest applied batch (a full-store maintenance
+    * op at quiesce, like compaction it is a replay horizon); the CC
+    * label join is a real shuffle over the corpus-sized assignment
+    * relation — maintenance-cadence work, never the ingest path.
+    * Crash discipline is [[graft.rel.KeyedCompaction]]'s (fold
+    * materializes before any file moves; tombstones age through the
+    * shared swap). The remap prune runs FIRST, unlike compaction's:
+    * fresh CC labels are member ids, and member ids are exactly the
+    * domain stale remaps map FROM — pruning after the fold would
+    * leave a crash window where a stale remap re-applies to a fresh
+    * label and mis-clusters (possibly to an erased lineage id).
+    * Pruning first is convergent instead: a crash between the prune
+    * and the fold leaves reads serving the pre-merge RAW labels until
+    * the re-run lands — transient staleness at a quiesced maintenance
+    * op, never wrong-by-evidence; the prune and the fold are each
+    * idempotent. */
+  def reclusterFromPairs(s: SparkSession, storePath: String,
+      pairs: DataFrame, through: Long): Unit = {
+    val fs = fsOf(s, storePath)
+    val aDir = assignDir(storePath)
+    if (!hasBatches(s, aDir)) return
+    // surviving members = assignment keys minus tombstones (labels
+    // irrelevant — they are being recomputed)
+    val members = minusTombstones(s, storePath,
+        s.read.parquet(aDir).select("media_id", "modality"))
+      .distinct().localCheckpoint()
+    val cleanPairs = minusTombstonePairs(s, storePath,
+      pairs.select(col("modality"), col("id_a"), col("id_b")))
+      .localCheckpoint()
+    // per-modality connected components (modalities are an enum-sized
+    // driver list; the CC itself is the shared size-adaptive family
+    // member). Node-induced: pair endpoints not in the surviving
+    // member set (erased, or never clustered here) drop out.
+    val mods = members.select("modality").distinct()
+      .collect().map(_.getString(0))
+    val labels = mods.map { m =>
+      graft.text.DedupClusters.connectedComponents(
+          members.filter(col("modality") === m)
+            .select(col("media_id").as("doc_id")),
+          cleanPairs.filter(col("modality") === m)
+            .select(col("id_a").as("d1"), col("id_b").as("d2")))
+        .select(col("doc_id").as("media_id"), lit(m).as("modality"),
+          col("cluster_id").as("new_label"))
+    }.reduceOption(_ union _)
+      .getOrElse(members.select(col("media_id"), col("modality"),
+        col("media_id").as("new_label")))
+    // remap prune FIRST (see the crash-discipline scaladoc): the fold
+    // below carries fresh labels, so the log is dead weight either way
+    graft.rel.KeyedCompaction.pruneThrough(s, remapDir(storePath),
+      through + 1)
+    val rDir = pathOf(remapDir(storePath))
+    if (fs.exists(rDir) && !fs.listStatus(rDir)
+        .exists(_.getPath.getName.startsWith("batch_id=")))
+      fs.delete(rDir, true)
+    graft.rel.KeyedCompaction.compactThrough(s, aDir,
+      tombDir(storePath), tombNextDir(storePath),
+      Seq("media_id", "modality"), through,
+      foldTransform = old =>
+        old.drop("label")
+          .join(labels, Seq("media_id", "modality"))
+          .select(col("media_id"), col("modality"),
+            col("new_label").as("label")))
+  }
+
+  /** Anti-join pair EVIDENCE against the cluster tombstone log on
+    * either endpoint (the scrubVerdicts predicate, applied at
+    * recluster time in case the caller's evidence is unscrubbed). */
+  private def minusTombstonePairs(s: SparkSession, storePath: String,
+      pairs: DataFrame): DataFrame =
+    graft.rel.TombstoneLog.readDir(fsOf(s, storePath),
+        tombDir(storePath), tombNextDir(storePath)) match {
+      case None => pairs
+      case Some(dir) =>
+        val tombs = broadcast(s.read.parquet(dir)
+          .select(col("media_id").as("ti"), col("modality").as("tm"))
+          .distinct())
+        def hits(idCol: String) =
+          col(idCol) === col("ti") && col("modality") === col("tm")
+        pairs.join(tombs, hits("id_a"), "left_anti")
+          .join(tombs, hits("id_b"), "left_anti")
+          .select("modality", "id_a", "id_b")
+    }
 
   /** The post-erasure view: tombstoned members suppressed, and the
     * served cluster_id RE-ELECTED to the min surviving member per

@@ -307,29 +307,40 @@ class MediaClusterStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
-  test("the remap-log collect refuses above the configured bound, " +
-      "naming compaction — and compaction (the remedy) still runs " +
-      "and clears it") {
+  test("above the remap bound, merges and reads fall back to the " +
+      "distributed pointer-doubled closure (chains included) and " +
+      "still serve correctly; compaction restores the fast path") {
     val dir = tmp("mclusterbound")
     try {
       val store = dir.resolve("c").toString
-      // two chained merges -> 2 merge events in the log
+      // two chained merges -> 2 merge events in the log (10 -> 5 -> 3)
       MediaClusterStore.applyClusterBatch(spark,
         members(10L, 11L), prs((10L, 11L)), store, 0L)
       MediaClusterStore.applyClusterBatch(spark,
         members(5L), prs((5L, 10L)), store, 1L)
       MediaClusterStore.applyClusterBatch(spark,
         members(3L), prs((3L, 5L)), store, 2L)
+      val expect = Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 11L -> 3L)
+      assert(clusters(store) === expect) // broadcast fast path
       spark.conf.set(MediaClusterStore.MaxRemapRowsConf, "1")
       try {
-        val e = intercept[IllegalArgumentException](clusters(store))
-        assert(e.getMessage.contains("compactThrough"))
-        // compaction must be ALLOWED to collect the over-bound log —
-        // baking + pruning it is the remedy the bound points at
-        MediaClusterStore.compactThrough(spark, store, through = 2L)
-        assert(clusters(store) === Map(3L -> 3L, 5L -> 3L, 10L -> 3L,
-          11L -> 3L))
+        // READ fallback: the 2-event log exceeds the bound, so the
+        // closure joins as a relation — same answer, chain resolved
+        assert(clusters(store) === expect)
+        // MERGE fallback: the standing endpoint's label resolves
+        // through the relation (11's raw label 10 must reach 3, then
+        // the new member 1 re-roots everyone)
+        MediaClusterStore.applyClusterBatch(spark,
+          members(1L), prs((1L, 11L)), store, 3L)
+        assert(clusters(store) === Map(1L -> 1L, 3L -> 1L, 5L -> 1L,
+          10L -> 1L, 11L -> 1L))
+        // compaction bakes the (relation-joined) closure and prunes —
+        // the broadcast fast path is back and answers identically
+        MediaClusterStore.compactThrough(spark, store, through = 3L)
+        assert(!new java.io.File(s"$store/_remaps").exists())
       } finally spark.conf.unset(MediaClusterStore.MaxRemapRowsConf)
+      assert(clusters(store) === Map(1L -> 1L, 3L -> 1L, 5L -> 1L,
+        10L -> 1L, 11L -> 1L))
     } finally rmrf(dir)
   }
 
@@ -395,6 +406,78 @@ class MediaClusterStoreSpec extends SparkSpec {
       ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L))
       assert(surviving === Map(5L -> 5L, 20L -> 5L, 21L -> 5L,
         22L -> 5L, 7L -> 7L))
+    } finally rmrf(dir)
+  }
+
+  test("reclusterFromPairs: the maintenance re-cluster converges a " +
+      "diverged stream from surviving pair evidence and prunes the " +
+      "remap log") {
+    val dir = tmp("mclusterreclust")
+    try {
+      val fp = dir.resolve("fp").toString
+      val cl = dir.resolve("cl").toString
+      def batch(rows: (Long, Long)*) = rows.toSeq
+        .map { case (id, h) => (id, "image", h) }
+        .toDF("media_id", "modality", "h")
+      def ingest(id: Long, rows: (Long, Long)*) =
+        MediaClusterStore.applyClusterIngestBatch(batch(rows: _*), fp,
+          cl, id, "spec-lineage")
+      def surviving = MediaClusterStore
+        .survivingAssignments(spark, cl)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // the erase-while-streaming divergence scenario, replayed
+      ingest(0L, (20L, 0xFFFL), (21L, 0xFFFL), (22L, 0xFFFL))
+      ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L))
+      MediaClusterStore.deleteMembers(members(3L), cl, 0L)
+      MediaDedupStore.deleteMedia(members(3L), fp, 0L)
+      ingest(2L, (7L, 0xFC0L))
+      ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L)) // replay -> 7 strands
+      assert(surviving(7L) === 7L)
+      // maintenance: re-cluster from the surviving pair evidence (the
+      // scrubbed verdict relation; pairs naming 3 are filtered by the
+      // op itself — defensive double-scrub)
+      val evidence = Seq((20L, 21L), (20L, 22L), (21L, 22L), (3L, 5L),
+        (3L, 20L), (5L, 20L), (5L, 21L), (5L, 22L), (5L, 7L),
+        (7L, 20L), (7L, 21L), (7L, 22L))
+        .map { case (a, b) => ("image", a, b) }
+        .toDF("modality", "id_a", "id_b")
+      MediaClusterStore.reclusterFromPairs(spark, cl, evidence, 2L)
+      // converged: everyone (incl. the stranded 7) under min survivor 5
+      assert(surviving === Map(5L -> 5L, 7L -> 5L, 20L -> 5L,
+        21L -> 5L, 22L -> 5L))
+      // fresh clustering has no merge history; one folded partition
+      assert(!new java.io.File(s"$cl/_remaps").exists())
+      val parts = new java.io.File(s"$cl/assignments").listFiles()
+        .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
+      assert(parts === Seq("batch_id=2"))
+      // and the erased member stays gone at the raw level too
+      assert(!MediaClusterStore.assignmentsFromStore(spark, cl)
+        .collect().map(_.getLong(0)).contains(3L))
+    } finally rmrf(dir)
+  }
+
+  test("reclusterFromPairs is the STRICT erasure tier: clusters " +
+      "bridged only by erased media split (standing reads keep them " +
+      "together — topology historical)") {
+    val dir = tmp("mclusterstrict")
+    try {
+      val store = dir.resolve("c").toString
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(30L), prs((30L, 10L)), store, 1L)
+      MediaClusterStore.deleteMembers(members(10L), store, 0L)
+      def surviving = MediaClusterStore
+        .survivingAssignments(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // standing read: topology historical — 11 and 30 stay together
+      // (the pair evidence concerned THEIR content), re-elected to 11
+      assert(surviving === Map(11L -> 11L, 30L -> 11L))
+      // strict tier: the only bridges named the erased 10, so after
+      // scrub + re-cluster the evidence is gone and the cluster splits
+      MediaClusterStore.reclusterFromPairs(spark, store,
+        prs((10L, 11L), (30L, 10L)), 1L)
+      assert(surviving === Map(11L -> 11L, 30L -> 30L))
     } finally rmrf(dir)
   }
 
