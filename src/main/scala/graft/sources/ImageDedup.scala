@@ -485,13 +485,13 @@ object ImageDedup {
 
   private val Dump = ImageSource.OracleDumpDir
 
-  /** The q63-shape clustering CTE prefix over the dedup9 grid dump —
-    * bits → pairs → bidirectional edges → recursive reach. Shared by
-    * the one-shot cluster oracle below and the cluster-store erasure
-    * oracle ([[MediaClusterStore]]), so the reach derivation can never
-    * drift between them. Ends after `reach`; callers append their own
-    * tail CTEs/SELECT. */
-  private[sources] val clusterReachCtes: String =
+  /** The clustering PAIR prefix over the dedup9 grid dump — lum →
+    * bits → exact pair distances → thresholded (d1, d2) pairs. Shared
+    * by [[clusterReachCtes]] below and the STRICT-tier recluster
+    * oracle ([[MediaClusterStore]] — which filters these pairs before
+    * building its own reach), so the pair derivation can never drift.
+    * Ends after `pairs`. */
+  private[sources] val clusterPairCtes: String =
     s"""WITH RECURSIVE lum AS (
        |  SELECT image_id, px,
        |    299 * r + 587 * g + 114 * b AS l
@@ -510,7 +510,16 @@ object ImageDedup {
        |    ON x.bit = y.bit AND x.image_id < y.image_id
        |  GROUP BY 1, 2),
        |pairs AS (
-       |  SELECT img_a AS d1, img_b AS d2 FROM pairs0 WHERE hamming <= 6),
+       |  SELECT img_a AS d1, img_b AS d2 FROM pairs0 WHERE hamming <= 6)""".stripMargin
+
+  /** The q63-shape clustering CTE prefix over the dedup9 grid dump —
+    * bits → pairs → bidirectional edges → recursive reach. Shared by
+    * the one-shot cluster oracle below and the cluster-store erasure
+    * oracle ([[MediaClusterStore]]), so the reach derivation can never
+    * drift between them. Ends after `reach`; callers append their own
+    * tail CTEs/SELECT. */
+  private[sources] val clusterReachCtes: String =
+    s"""$clusterPairCtes,
        |edges AS (
        |  SELECT d1 AS u, d2 AS v FROM pairs
        |  UNION SELECT d2, d1 FROM pairs),

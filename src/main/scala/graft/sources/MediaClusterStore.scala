@@ -779,6 +779,73 @@ object MediaClusterStore {
       .orderBy("image_id")
   }
 
+  // -------------------------------------------- strict-tier entry
+  private val strictClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_media_clusters_strict: the STRICT erasure tier end-to-end —
+    * the delete entry's exact history (3 merged batches + the
+    * base-image erasure), then [[reclusterFromPairs]] recomputes every
+    * surviving member's label from the surviving PAIR EVIDENCE (the
+    * one-shot pair relation; pairs naming erased ids are filtered by
+    * the op). Where nq_media_clusters_delete proves topology stays
+    * HISTORICAL on standing reads (reach through erased members
+    * persists), this entry proves scrub + recluster erases the
+    * EVIDENCE: brightness pairs whose base was erased split into
+    * singleton copies. The oracle rebuilds the reach over pairs with
+    * BOTH endpoints surviving, nodes = surviving members — an
+    * independent derivation of the same strict semantic, so a member
+    * leak, a stale remap surviving the prune, or an un-split bridge
+    * all hash-fail. */
+  def nqMediaClustersStrict(s: SparkSession, d: String): DataFrame = {
+    val images = ImageDedup.generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = 9, tag = "dedup9")
+    val store = MediaDedupStore.memoStore(strictClusterStoreFor, d) {
+      val cl = buildClusterHistory(s, images)
+      deleteMembers(
+        graft.Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"))
+          .filter(pmod(col("media_id"), lit(10)) === 0)
+          .withColumn("modality", lit("image")),
+        cl, 0L)
+      // the full pair evidence (the one-shot relation the crawl's
+      // verdict store accumulates); the op scrubs erased endpoints
+      val pairs = ImageDedup.nearDupPairs(
+          ImageDedup.dhashes(images))
+        .select(lit("image").as("modality"),
+          col("img_a").as("id_a"), col("img_b").as("id_b"))
+      reclusterFromPairs(s, cl, pairs, through = 2L)
+      cl
+    }
+    survivingAssignments(s, store)
+      .select(col("media_id").as("image_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("image_id")
+  }
+
+  private[sources] val nqMediaClustersStrictSql: String =
+    s"""${ImageDedup.clusterPairCtes},
+       |erased AS (
+       |  SELECT image_id FROM (SELECT DISTINCT image_id FROM lum)
+       |  WHERE image_id % 10 = 0 AND image_id < 1000000),
+       |spairs AS (
+       |  SELECT d1, d2 FROM pairs
+       |  WHERE d1 NOT IN (SELECT image_id FROM erased)
+       |    AND d2 NOT IN (SELECT image_id FROM erased)),
+       |edges AS (
+       |  SELECT d1 AS u, d2 AS v FROM spairs
+       |  UNION SELECT d2, d1 FROM spairs),
+       |nodes AS (
+       |  SELECT image_id FROM (SELECT DISTINCT image_id FROM lum)
+       |  WHERE NOT (image_id % 10 = 0 AND image_id < 1000000)),
+       |reach(doc_id, label) AS (
+       |  SELECT image_id, image_id FROM nodes
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.doc_id)
+       |SELECT doc_id AS image_id, min(label) AS cluster_id,
+       |  (doc_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY doc_id ORDER BY image_id""".stripMargin
+
   // ------------------------------------------------ text genericity
   private val textClusterStoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1016,6 +1083,7 @@ object MediaClusterStore {
     "nq_media_clusters_delete" -> (nqMediaClustersDelete _),
     "nq_media_clusters_compact" -> (nqMediaClustersCompact _),
     "nq_text_clusters_inc" -> (nqTextClustersInc _),
+    "nq_media_clusters_strict" -> (nqMediaClustersStrict _),
     "nq_audio_clusters_inc" -> (nqAudioClustersInc _),
     "nq_video_clusters_inc" -> (nqVideoClustersInc _),
     "nq_cluster_merge" -> (nqClusterMerge _))
@@ -1032,6 +1100,9 @@ object MediaClusterStore {
     // banded clustering oracle verbatim (full hash-family replica)
     "nq_text_clusters_inc" ->
       graft.text.DedupClusters.oracle("nq_dedup_clusters"),
+    // the strict tier: reach rebuilt over surviving-endpoint pairs
+    // only (evidence erased), vs the delete entry's historical reach
+    "nq_media_clusters_strict" -> nqMediaClustersStrictSql,
     // the audio/video members re-prove their one-shot pair CTEs
     // verbatim, composed with the q63-shape recursive reach
     "nq_audio_clusters_inc" -> nqAudioClustersIncSql,

@@ -238,6 +238,17 @@ object Scratch {
         mcs.assignmentsFromStore(spark, store)
           .write.format("noop").mode("overwrite").save())
       for (r <- 1 to 2) readAll(s"pre-compaction read run$r")
+      // the over-bound regime: force the distributed pointer-doubled
+      // fallback and measure the same reads + one merge against it
+      spark.conf.set(mcs.MaxRemapRowsConf, "1000")
+      for (r <- 1 to 2) readAll(s"FALLBACK read run$r")
+      val pairsF = chains.select(lit("m").as("modality"),
+        (col("c") * 64 + (L - 1)).as("id_a"),
+        (col("c") * 64 + L + 1).as("id_b"))
+      time("FALLBACK merge (bridging batch)")(
+        mcs.applyClusterBatch(spark, member(L + 1), pairsF, store,
+          (L + 1).toLong))
+      spark.conf.unset(mcs.MaxRemapRowsConf)
       val nClusters = mcs.assignmentsFromStore(spark, store)
         .select("cluster_id").distinct().count()
       println(s"[scratch] clusters = $nClusters (expect $M: every " +

@@ -481,6 +481,23 @@ class MediaClusterStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("strict entry: the full recluster path reproduces the delete " +
+      "entry on the planted corpus (every erased cluster there has ONE " +
+      "survivor, so the historical and strict tiers coincide — the " +
+      "10/11/30 spec above pins where they diverge)") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val del = asSet(MediaClusterStore.nqMediaClustersDelete(spark, sf0001))
+    val strict = asSet(
+      MediaClusterStore.nqMediaClustersStrict(spark, sf0001))
+    assert(strict.nonEmpty)
+    // a recluster that corrupted labels, resurrected an erased member,
+    // or left a stale remap would break this equality
+    assert(strict === del,
+      s"diff = ${strict.diff(del) ++ del.diff(strict)}")
+  }
+
   test("audio member: the incremental cluster path equals the " +
       "one-shot connected components over the audio pair relation") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
