@@ -20,9 +20,13 @@ import org.apache.spark.sql.functions._
   *   - `_remaps/` partitioned by `batch_id`: (modality, old_label,
   *     new_label) — one row per CLUSTER-MERGE event: when a batch's
   *     pairs bridge existing clusters, the losing labels remap to the
-  *     component's min. Merge events are bounded by the near-dup pairs
-  *     ever observed (match-output-sized — the verdict-store bound),
-  *     so the log is collectable and reads broadcast it.
+  *     component's min. Merge events are match-output-sized per batch
+  *     but accumulate until compaction bakes them away; within the
+  *     guarded bound ([[DefaultMaxRemapRows]]) the log collects to a
+  *     driver map and reads broadcast the closure, above it merges
+  *     and reads fall back to the pointer-doubled closure RELATION
+  *     ([[resolvedRemapsRelation]] — measured and probed, see
+  *     BASELINE.md).
   *
   * Maintenance ([[applyClusterBatch]]) reads ONLY batches < the
   * applied id (the judge's replay fence: an at-least-once redelivery
