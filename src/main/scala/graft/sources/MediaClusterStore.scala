@@ -618,6 +618,212 @@ object MediaClusterStore {
             col("new_label").as("label")))
   }
 
+  // ------------------------------------- affected-component recluster
+  private def planDir(p: String) = s"$p/_recluster_plan"
+  private def planTmpDir(p: String) = s"${planDir(p)}_tmp"
+
+  /** AFFECTED-COMPONENT re-cluster — [[reclusterFromPairs]]'s
+    * semantics restricted to the clusters an erasure TOUCHED, at
+    * erasure-neighborhood cost instead of corpus cost (the 100 TB
+    * maintenance path: a full recompute per erasure cycle re-reads
+    * everything; the affected variant's work is proportional to the
+    * erased members' clusters). Detection: the erased keys' raw
+    * assignment rows resolve to their cluster ids (erasure-sized
+    * collect); affected members are one resolved read filtered by
+    * that broadcast set; fresh labels are min-label CC over the
+    * surviving affected members and the scrubbed evidence (restricted
+    * CC equals the global CC's restriction BECAUSE merged evidence
+    * never crosses resolved-cluster boundaries — pairs are also
+    * defensively filtered to both-endpoints-affected, so off-contract
+    * evidence is ignored rather than mis-applied). Mutation is
+    * partition-TARGETED (the scrubVerdicts discipline): only
+    * assignment partitions holding an affected member rewrite
+    * (tombstoned rows physically scrubbed, survivors relabeled raw),
+    * and only remap partitions holding an entry that resolves into an
+    * affected cluster rewrite (those entries drop — fresh labels are
+    * member ids, exactly the domain stale remaps map from).
+    *
+    * Crash discipline — the staged-plan form of the family's swap
+    * rule, because this op's PLANNING depends on state it mutates (a
+    * half-applied run would mis-detect the affected set on re-entry):
+    * the full plan (new content of every hit partition, both
+    * relations, plus the hit lists) materializes under
+    * `_recluster_plan_tmp` and RENAMES to `_recluster_plan` before
+    * any store mutation; applying is pure idempotent partition
+    * overwrites/deletes (remaps first — a transient raw-fragment
+    * split is benign, the reverse order's stale-remap window can
+    * mis-merge into erased lineage ids); the plan deletes LAST, and
+    * every entry replays a standing plan before computing a fresh
+    * one. Contract: quiesced (no concurrent merges), like
+    * compaction. */
+  def reclusterAffected(s: SparkSession, storePath: String,
+      pairs: DataFrame): Unit = {
+    val fs = fsOf(s, storePath)
+    // recover an interrupted application: a standing plan is
+    // authoritative (a half-written one never renamed and is discarded)
+    fs.delete(pathOf(planTmpDir(storePath)), true)
+    if (fs.exists(pathOf(planDir(storePath))))
+      applyReclusterPlan(s, storePath)
+    if (stageReclusterPlan(s, storePath, pairs))
+      applyReclusterPlan(s, storePath)
+  }
+
+  /** Compute + persist the plan (no store mutation); false = nothing
+    * affected. private[graft] so crash specs can stage without
+    * applying. */
+  private[graft] def stageReclusterPlan(s: SparkSession,
+      storePath: String, pairs: DataFrame): Boolean = {
+    import s.implicits._
+    val fs = fsOf(s, storePath)
+    val aDir = assignDir(storePath)
+    if (!hasBatches(s, aDir)) return false
+    val tombDirOpt = graft.rel.TombstoneLog.readDir(fs,
+      tombDir(storePath), tombNextDir(storePath))
+    if (tombDirOpt.isEmpty) return false
+    val tombs = broadcast(s.read.parquet(tombDirOpt.get)
+      .select(col("media_id").as("ti"), col("modality").as("tm"))
+      .distinct())
+    // one resolved read, reused for detection + membership
+    val resolved = assignmentsFromStore(s, storePath).localCheckpoint()
+    // the erased keys' clusters — erasure-sized collect
+    val affectedIds = resolved.join(tombs,
+        col("media_id") === col("ti") && col("modality") === col("tm"),
+        "left_semi")
+      .select("modality", "cluster_id").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (affectedIds.isEmpty) return false
+    val affIds = broadcast(affectedIds.toSeq.toDF("a_m", "a_cid"))
+    val affectedKeys = resolved.join(affIds,
+        col("modality") === col("a_m") &&
+          col("cluster_id") === col("a_cid"), "left_semi")
+      .select("media_id", "modality").localCheckpoint()
+    // fresh labels: min-label CC over surviving affected members and
+    // the scrubbed, affected-restricted evidence
+    val survivors = minusTombstones(s, storePath, affectedKeys)
+      .localCheckpoint()
+    def onlyAffected(p: DataFrame, idCol: String) = p.join(
+      affectedKeys.select(col("media_id").as(s"k_$idCol"),
+        col("modality").as(s"km_$idCol")),
+      col(idCol) === col(s"k_$idCol") &&
+        col("modality") === col(s"km_$idCol"), "left_semi")
+    val cleanPairs = onlyAffected(onlyAffected(
+        minusTombstonePairs(s, storePath,
+          pairs.select(col("modality"), col("id_a"), col("id_b"))),
+        "id_a"), "id_b")
+      .localCheckpoint()
+    val mods = survivors.select("modality").distinct()
+      .collect().map(_.getString(0))
+    val labels = mods.map { m =>
+      graft.text.DedupClusters.connectedComponents(
+          survivors.filter(col("modality") === m)
+            .select(col("media_id").as("doc_id")),
+          cleanPairs.filter(col("modality") === m)
+            .select(col("id_a").as("d1"), col("id_b").as("d2")))
+        .select(col("doc_id").as("media_id"), lit(m).as("modality"),
+          col("cluster_id").as("new_label"))
+    }.reduceOption(_ union _)
+      .getOrElse(survivors.select(col("media_id"), col("modality"),
+        col("media_id").as("new_label")))
+    // hit ASSIGNMENT partitions: those holding an affected member
+    val withBatch = s.read.parquet(aDir)
+    val hitAssign = withBatch.join(
+        affectedKeys.select(col("media_id").as("h_id"),
+          col("modality").as("h_m")),
+        col("media_id") === col("h_id") && col("modality") === col("h_m"),
+        "left_semi")
+      .select("batch_id").distinct().collect().map(_.get(0).toString)
+    // their full new content: tombstoned rows scrubbed, affected
+    // survivors relabeled raw, unaffected co-residents untouched
+    val planAssign = withBatch
+      .filter(col("batch_id").isInCollection(hitAssign.map(_.toLong)))
+      .join(tombs,
+        col("media_id") === col("ti") && col("modality") === col("tm"),
+        "left_anti")
+      .join(labels, Seq("media_id", "modality"), "left")
+      .select(col("media_id"), col("modality"),
+        coalesce(col("new_label"), col("label")).as("label"),
+        col("batch_id"))
+    // hit REMAP partitions: entries whose chain-resolved target is an
+    // affected cluster id (their FROM-labels are affected-component
+    // history; fresh labels would collide with them at read)
+    val remapState = remapLog(s, storePath, None).map { _ =>
+      val rel = resolvedRemapsRelation(s, storePath, None).get
+        .select(col("modality").as("c_m"), col("old_label").as("c_old"),
+          col("new_label").as("c_fin"))
+      val rawR = s.read.parquet(remapDir(storePath))
+      val withFin = rawR.join(rel,
+        col("modality") === col("c_m") && col("old_label") === col("c_old"))
+      val dropping = withFin.join(affIds,
+        col("modality") === col("a_m") && col("c_fin") === col("a_cid"),
+        "left_semi")
+      val hit = dropping.select("batch_id").distinct()
+        .collect().map(_.get(0).toString)
+      val kept = withFin
+        .filter(col("batch_id").isInCollection(hit.map(_.toLong)))
+        .join(affIds,
+          col("modality") === col("a_m") && col("c_fin") === col("a_cid"),
+          "left_anti")
+        .select("modality", "old_label", "new_label", "batch_id")
+      (hit, kept)
+    }
+    // ---- persist the plan: tmp dir, then ATOMIC rename (a crash
+    // mid-write leaves only the tmp, which re-entry discards)
+    val tmp = planTmpDir(storePath)
+    fs.delete(pathOf(tmp), true)
+    planAssign.write.parquet(s"$tmp/assign")
+    remapState.foreach { case (_, kept) =>
+      kept.write.parquet(s"$tmp/remaps") }
+    (hitAssign.map(("assign", _)) ++
+        remapState.map(_._1).getOrElse(Array.empty[String])
+          .map(("remaps", _)))
+      .toSeq.toDF("kind", "part")
+      .coalesce(1).write.parquet(s"$tmp/meta")
+    fs.delete(pathOf(planDir(storePath)), true)
+    require(fs.rename(pathOf(tmp), pathOf(planDir(storePath))),
+      s"could not stage recluster plan at ${planDir(storePath)}")
+    true
+  }
+
+  /** Apply a staged plan — pure idempotent partition overwrites and
+    * deletes, remaps first; re-runnable from any prefix. `phases`
+    * (private[graft]) lets crash specs stop after the remap half. */
+  private[graft] def applyReclusterPlan(s: SparkSession,
+      storePath: String, phases: Int = 2): Unit = {
+    val fs = fsOf(s, storePath)
+    val plan = planDir(storePath)
+    if (!fs.exists(pathOf(plan))) return
+    val meta = s.read.parquet(s"$plan/meta")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    def applyOne(kind: String, dataDir: String, src: String): Unit = {
+      val hit = meta.filter(_._1 == kind).map(_._2)
+      if (hit.isEmpty) return
+      val content =
+        if (fs.exists(pathOf(src))) s.read.parquet(src) else null
+      val present: Set[String] =
+        if (content == null) Set.empty
+        else content.select("batch_id").distinct()
+          .collect().map(_.get(0).toString).toSet
+      if (content != null && present.nonEmpty)
+        content.write
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .mode("overwrite").parquet(dataDir)
+      hit.filterNot(present).foreach(p =>
+        fs.delete(pathOf(s"$dataDir/batch_id=$p"), true))
+      // a fully-emptied relation deletes its root (file-less dirs
+      // brick schema inference — the empty-fold rule)
+      val d = pathOf(dataDir)
+      if (fs.exists(d) && !fs.listStatus(d)
+          .exists(_.getPath.getName.startsWith("batch_id=")))
+        fs.delete(d, true)
+    }
+    applyOne("remaps", remapDir(storePath), s"$plan/remaps")
+    if (phases >= 2) {
+      applyOne("assign", assignDir(storePath), s"$plan/assign")
+      fs.delete(pathOf(plan), true)
+    }
+  }
+
   /** Anti-join pair EVIDENCE against the cluster tombstone log on
     * either endpoint (the scrubVerdicts predicate, applied at
     * recluster time in case the caller's evidence is unscrubbed). */
@@ -849,6 +1055,42 @@ object MediaClusterStore {
        |SELECT doc_id AS image_id, min(label) AS cluster_id,
        |  (doc_id = min(label)) AS is_keeper
        |FROM reach GROUP BY doc_id ORDER BY image_id""".stripMargin
+
+  // ------------------------------------ affected-recluster entry
+  private val affectedClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_media_clusters_affected: [[reclusterAffected]] end-to-end on
+    * the delete history — same semantics as the strict entry, at
+    * erasure-neighborhood cost, so the oracle is
+    * nq_media_clusters_strict's SQL VERBATIM (the q81 shared-SQL
+    * discipline): restricted recompute must be indistinguishable from
+    * the full one through the whole served assignment — an affected-set
+    * miss, a stale remap surviving its targeted drop, or a corrupted
+    * co-resident row all hash-fail. */
+  def nqMediaClustersAffected(s: SparkSession, d: String): DataFrame = {
+    val images = ImageDedup.generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = 9, tag = "dedup9")
+    val store = MediaDedupStore.memoStore(affectedClusterStoreFor, d) {
+      val cl = buildClusterHistory(s, images)
+      deleteMembers(
+        graft.Tables.documents(s, d)
+          .select(col("doc_id").as("media_id"))
+          .filter(pmod(col("media_id"), lit(10)) === 0)
+          .withColumn("modality", lit("image")),
+        cl, 0L)
+      val pairs = ImageDedup.nearDupPairs(
+          ImageDedup.dhashes(images))
+        .select(lit("image").as("modality"),
+          col("img_a").as("id_a"), col("img_b").as("id_b"))
+      reclusterAffected(s, cl, pairs)
+      cl
+    }
+    survivingAssignments(s, store)
+      .select(col("media_id").as("image_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("image_id")
+  }
 
   // ------------------------------------------------ text genericity
   private val textClusterStoreFor =
@@ -1088,6 +1330,7 @@ object MediaClusterStore {
     "nq_media_clusters_compact" -> (nqMediaClustersCompact _),
     "nq_text_clusters_inc" -> (nqTextClustersInc _),
     "nq_media_clusters_strict" -> (nqMediaClustersStrict _),
+    "nq_media_clusters_affected" -> (nqMediaClustersAffected _),
     "nq_audio_clusters_inc" -> (nqAudioClustersInc _),
     "nq_video_clusters_inc" -> (nqVideoClustersInc _),
     "nq_cluster_merge" -> (nqClusterMerge _))
@@ -1107,6 +1350,9 @@ object MediaClusterStore {
     // the strict tier: reach rebuilt over surviving-endpoint pairs
     // only (evidence erased), vs the delete entry's historical reach
     "nq_media_clusters_strict" -> nqMediaClustersStrictSql,
+    // the affected-only recompute must be indistinguishable from the
+    // full strict recluster: the SAME SQL, verbatim
+    "nq_media_clusters_affected" -> nqMediaClustersStrictSql,
     // the audio/video members re-prove their one-shot pair CTEs
     // verbatim, composed with the q63-shape recursive reach
     "nq_audio_clusters_inc" -> nqAudioClustersIncSql,

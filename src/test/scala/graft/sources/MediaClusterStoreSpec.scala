@@ -498,6 +498,103 @@ class MediaClusterStoreSpec extends SparkSpec {
       s"diff = ${strict.diff(del) ++ del.diff(strict)}")
   }
 
+  // the affected-recluster fixture: b0 {10,11} pair -> cluster 10;
+  // b1 {5} bridges via 11 -> remap 10 -> 5; b2 {20,21} -> cluster 20
+  // (unaffected bystander); then 11 erases. Evidence = all 3 pairs.
+  private def buildAffectedFixture(store: String): Unit = {
+    MediaClusterStore.applyClusterBatch(spark,
+      members(10L, 11L), prs((10L, 11L)), store, 0L)
+    MediaClusterStore.applyClusterBatch(spark,
+      members(5L), prs((5L, 11L)), store, 1L)
+    MediaClusterStore.applyClusterBatch(spark,
+      members(20L, 21L), prs((20L, 21L)), store, 2L)
+    MediaClusterStore.deleteMembers(members(11L), store, 0L)
+  }
+  private def affectedEvidence = prs((10L, 11L), (5L, 11L), (20L, 21L))
+  private def survivingOf(store: String) = MediaClusterStore
+    .survivingAssignments(spark, store)
+    .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+
+  test("reclusterAffected equals the full recluster while touching " +
+      "ONLY partitions holding an affected member (bystander " +
+      "partition byte-untouched; remap entries into the affected " +
+      "cluster drop)") {
+    val dir = tmp("mclusteraffected")
+    try {
+      val store = dir.resolve("c").toString
+      val twin = dir.resolve("t").toString
+      buildAffectedFixture(store)
+      buildAffectedFixture(twin)
+      def fileState(p: String) = {
+        val f = new java.io.File(p)
+        if (!f.exists()) Map.empty[String, (Long, Long)]
+        else f.listFiles().map(x =>
+          x.getName -> (x.length(), x.lastModified())).toMap
+      }
+      val bystanderBefore = fileState(s"$store/assignments/batch_id=2")
+      MediaClusterStore.reclusterAffected(spark, store, affectedEvidence)
+      MediaClusterStore.reclusterFromPairs(spark, twin,
+        affectedEvidence, 2L)
+      // identical served clustering: the erased bridge's evidence is
+      // gone, so {5, 10} split; the bystander cluster keeps its pair
+      val expect = Map(5L -> 5L, 10L -> 10L, 20L -> 20L, 21L -> 20L)
+      assert(survivingOf(store) === expect)
+      assert(survivingOf(twin) === expect)
+      // partition-targeted: the bystander partition's files are
+      // byte-identical (same names, lengths, mtimes — never rewritten)
+      assert(fileState(s"$store/assignments/batch_id=2")
+        === bystanderBefore)
+      // the affected remap (10 -> 5) dropped, and with it the log root
+      assert(!new java.io.File(s"$store/_remaps").exists())
+      // the erased member's row is PHYSICALLY scrubbed
+      assert(spark.read.parquet(s"$store/assignments")
+        .filter(col("media_id") === 11L).count() === 0L)
+      // idempotent: nothing affected remains, a re-run is a no-op
+      MediaClusterStore.reclusterAffected(spark, store, affectedEvidence)
+      assert(survivingOf(store) === expect)
+    } finally rmrf(dir)
+  }
+
+  test("reclusterAffected crash window: a run interrupted after the " +
+      "remap drop is repaired by the standing plan on re-entry " +
+      "(planning never trusts half-applied state)") {
+    val dir = tmp("mclustercrash")
+    try {
+      val store = dir.resolve("c").toString
+      buildAffectedFixture(store)
+      // stage, then apply ONLY the remap half (the crash)
+      assert(MediaClusterStore.stageReclusterPlan(spark, store,
+        affectedEvidence))
+      MediaClusterStore.applyReclusterPlan(spark, store, phases = 1)
+      // mid-crash state: remap gone, assignments un-rewritten — a
+      // naive re-plan would now mis-detect 5 as unaffected (its raw
+      // label no longer resolves into the erased member's cluster)
+      assert(!new java.io.File(s"$store/_remaps").exists())
+      // re-entry replays the AUTHORITATIVE plan first, then finds
+      // nothing further affected
+      MediaClusterStore.reclusterAffected(spark, store, affectedEvidence)
+      assert(survivingOf(store) === Map(5L -> 5L, 10L -> 10L,
+        20L -> 20L, 21L -> 20L))
+      assert(spark.read.parquet(s"$store/assignments")
+        .filter(col("media_id") === 11L).count() === 0L)
+      assert(!new java.io.File(s"$store/_recluster_plan").exists())
+    } finally rmrf(dir)
+  }
+
+  test("affected entry equals the strict entry (restricted recompute " +
+      "indistinguishable from the full one)") {
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val strict = asSet(
+      MediaClusterStore.nqMediaClustersStrict(spark, sf0001))
+    val affected = asSet(
+      MediaClusterStore.nqMediaClustersAffected(spark, sf0001))
+    assert(affected.nonEmpty)
+    assert(affected === strict,
+      s"diff = ${affected.diff(strict) ++ strict.diff(affected)}")
+  }
+
   test("audio member: the incremental cluster path equals the " +
       "one-shot connected components over the audio pair relation") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
