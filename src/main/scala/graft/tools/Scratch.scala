@@ -270,6 +270,83 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("affectedprobe")) {
+      // VERDICT r16 prep: affected-component vs full recluster on the
+      // remapgrowth-style chained corpus — time AND rewritten bytes
+      // (the scale-honest metric: targeted partition IO vs a corpus
+      // fold).  runmain graft.tools.Scratch affectedprobe [M] [L] [K]
+      val M = args.lift(1).map(_.toInt).getOrElse(20000)
+      val L = args.lift(2).map(_.toInt).getOrElse(12)
+      val K = args.lift(3).map(_.toInt).getOrElse(100)
+      val mcs = graft.sources.MediaClusterStore
+      val B = 12 // chain-keyed batches — the crawl-unit convention
+      // (an item's members arrive together, like video-keyed keyframe
+      // ingest), so an erasure's clusters concentrate in few
+      // partitions — the regime partition-targeting exists for
+      val chains = spark.range(M).select(col("id").as("c"))
+        .localCheckpoint()
+      def build(store: String): Unit =
+        (0 until B).foreach { b =>
+          val cs = chains.filter(pmod(col("c"), lit(B)) === b)
+          val mem = cs.withColumn("i",
+              explode(array((0 until L).map(lit): _*)))
+            .select((col("c") * 64 + col("i")).as("media_id"),
+              lit("m").as("modality"))
+          val pairs = cs.withColumn("i",
+              explode(array((1 until L).map(lit): _*)))
+            .select(lit("m").as("modality"),
+              (col("c") * 64 + col("i") - 1).as("id_a"),
+              (col("c") * 64 + col("i")).as("id_b"))
+          mcs.applyClusterBatch(spark, mem, pairs, store, b.toLong)
+        }
+      val root = graft.FixtureMemo.scratchDir("affectedprobe")
+      val main = s"$root/main"; val twin = s"$root/twin"
+      time(s"build main ($M chains × $L, $B chain-keyed batches)")(
+        build(main))
+      time("build twin")(build(twin))
+      // erase member 1 of K chains, ALL from batch group 0 -> the
+      // affected clusters live in ONE partition
+      val erased = spark.range(K)
+        .select((col("id") * B * 64 + 1).as("media_id"),
+          lit("m").as("modality"))
+      mcs.deleteMembers(erased, main, 0L)
+      mcs.deleteMembers(erased, twin, 0L)
+      // the full chain-edge evidence relation
+      val evidence = chains
+        .withColumn("i", explode(array((1 until L).map(lit): _*)))
+        .select(lit("m").as("modality"),
+          (col("c") * 64 + col("i") - 1).as("id_a"),
+          (col("c") * 64 + col("i")).as("id_b"))
+        .localCheckpoint()
+      def partState(store: String) = {
+        val d = new java.io.File(s"$store/assignments")
+        d.listFiles().filter(_.getName.startsWith("batch_id="))
+          .map(p => p.getName -> p.listFiles()
+            .map(f => (f.getName, f.length(), f.lastModified())).toSet)
+          .toMap
+      }
+      val before = partState(main)
+      time(s"reclusterAffected (K=$K of $M chains)")(
+        mcs.reclusterAffected(spark, main, evidence))
+      val after = partState(main)
+      val rewritten = after.filter { case (k, v) => before.get(k) != Some(v) }
+      val bytes = rewritten.values.flatten.map(_._2).sum
+      println(s"[scratch] affected rewrote ${rewritten.size}/" +
+        s"${after.size} partitions, $bytes bytes")
+      time("reclusterFromPairs (full fold)")(
+        mcs.reclusterFromPairs(spark, twin, evidence, (B - 1).toLong))
+      val fullBytes = partState(twin).values.flatten.map(_._2).sum
+      println(s"[scratch] full fold wrote $fullBytes bytes " +
+        "(whole corpus, one partition)")
+      // sanity: identical served views
+      val a = mcs.survivingAssignments(spark, main)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      val f = mcs.survivingAssignments(spark, twin)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      println(s"[scratch] views equal: ${a == f} (${a.size} rows)")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("mergeprof")) {
       // stage breakdown of the nq_cluster_merge bench entry: fixture
       // reads / merge (pair collect + endpoint semi-join + write) /
