@@ -498,6 +498,43 @@ class MediaClusterStoreSpec extends SparkSpec {
       s"diff = ${strict.diff(del) ++ del.diff(strict)}")
   }
 
+  test("modality keys isolate JOINT batches: identical numeric ids " +
+      "in different modalities never merge, remap or resolve across") {
+    val dir = tmp("mclustermodal")
+    try {
+      val store = dir.resolve("c").toString
+      def mixed(rows: (Long, String)*) =
+        rows.toSeq.toDF("media_id", "modality")
+      // one joint batch: image 7-8 pair; audio 7, 8 arrive as
+      // singletons under the SAME numeric ids
+      MediaClusterStore.applyClusterBatch(spark,
+        mixed((7L, "image"), (8L, "image"), (7L, "audio"), (8L, "audio")),
+        prs((7L, 8L)), store, 0L)
+      def byKey = MediaClusterStore.assignmentsFromStore(spark, store)
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      assert(byKey === Map((7L, "image") -> 7L, (8L, "image") -> 7L,
+        (7L, "audio") -> 7L, (8L, "audio") -> 8L))
+      // a later AUDIO bridge remaps audio 7 only — the image cluster
+      // sharing the numeric label 7 must not resolve through it
+      MediaClusterStore.applyClusterBatch(spark,
+        mixed((5L, "audio")),
+        Seq(("audio", 5L, 7L)).toDF("modality", "id_a", "id_b"),
+        store, 1L)
+      assert(byKey === Map((7L, "image") -> 7L, (8L, "image") -> 7L,
+        (5L, "audio") -> 5L, (7L, "audio") -> 5L, (8L, "audio") -> 8L))
+      // and modality-keyed erasure: deleting audio 8 leaves image 8
+      MediaClusterStore.deleteMembers(
+        mixed((8L, "audio")).select(col("media_id"), col("modality")),
+        store, 0L)
+      val surv = MediaClusterStore.survivingAssignments(spark, store)
+        .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2)))
+        .toMap
+      assert(surv === Map((7L, "image") -> 7L, (8L, "image") -> 7L,
+        (5L, "audio") -> 5L, (7L, "audio") -> 5L))
+    } finally rmrf(dir)
+  }
+
   // the affected-recluster fixture: b0 {10,11} pair -> cluster 10;
   // b1 {5} bridges via 11 -> remap 10 -> 5; b2 {20,21} -> cluster 20
   // (unaffected bystander); then 11 erases. Evidence = all 3 pairs.
