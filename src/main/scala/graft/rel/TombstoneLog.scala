@@ -33,12 +33,22 @@ private[graft] object TombstoneLog {
 
   /** Where the CURRENT log lives: the log dir, or — inside the swap
     * window — the fully-written staged replacement. None when neither
-    * exists (no delete was ever issued). Readers never mutate. */
+    * exists (no delete was ever issued) OR the candidate holds no
+    * fenced partition: an EMPTY erasure request's dynamic overwrite
+    * leaves a file-less dir (_SUCCESS only) whose bare parquet read
+    * fails schema inference — every log layout is batch_id-partitioned
+    * (direct deletes and [[swapIn]] alike), so gate on content, not
+    * existence, and a file-less log reads as "no tombstones" for the
+    * whole store family. Readers never mutate. */
   def readDir(fs: org.apache.hadoop.fs.FileSystem, log: String,
-      next: String): Option[String] =
-    if (fs.exists(path(log))) Some(log)
-    else if (fs.exists(path(next))) Some(next)
+      next: String): Option[String] = {
+    def populated(p: String) = fs.exists(path(p)) &&
+      fs.listStatus(path(p))
+        .exists(_.getPath.getName.startsWith("batch_id="))
+    if (populated(log)) Some(log)
+    else if (populated(next)) Some(next)
     else None
+  }
 
   /** Complete an interrupted swap (old log deleted, staged rename not
     * done) — call on entry to any maintenance that reads the log. */

@@ -69,6 +69,14 @@ object MediaClusterStore {
       .exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** Delete `dir` when it holds NO fenced partition — the other half
+    * of the file-less-dir rule (a fully-pruned relation must drop its
+    * root, or the _SUCCESS-only husk bricks later schema inference).
+    * ONE implementation for every maintenance tail (compaction,
+    * recluster, plan application). */
+  private def deleteIfPartitionless(s: SparkSession, dir: String): Unit =
+    if (!hasBatches(s, dir)) fsOf(s, dir).delete(pathOf(dir), true)
+
   /** Loud guard on the driver-collected merge-event log — the ONE
     * in-principle-unbounded term in the store (the
     * [[MediaDedupStore.MaxBroadcastBatchRows]] precedent: a bound
@@ -119,11 +127,17 @@ object MediaClusterStore {
     remapLog(s, storePath, beforeBatch) match {
       case None => Some(Map.empty)
       case Some(fenced) =>
-        val bound = s.conf.getOption(MaxRemapRowsConf).map(_.toLong)
-          .getOrElse(DefaultMaxRemapRows)
-        val rows = fenced
-          .limit(math.min(bound + 1, Int.MaxValue.toLong).toInt)
-          .collect()
+        // the effective bound caps at Int.MaxValue-2: a larger config
+        // could not be enforced (rows.length is an Int, and limit
+        // takes one) — clamping only the LIMIT would silently make the
+        // over-bound branch unreachable and re-enable the driver OOM
+        // the bound exists to prevent, so the BOUND clamps instead
+        // (an over-clamp config still gets the distributed fallback)
+        val bound = math.min(
+          s.conf.getOption(MaxRemapRowsConf).map(_.toLong)
+            .getOrElse(DefaultMaxRemapRows),
+          Int.MaxValue.toLong - 2)
+        val rows = fenced.limit(bound.toInt + 1).collect()
         if (rows.length > bound) {
           org.slf4j.LoggerFactory.getLogger(getClass).warn(
             s"cluster-store remap log at $storePath holds > $bound " +
@@ -507,8 +521,6 @@ object MediaClusterStore {
     * convention. */
   def compactThrough(s: SparkSession, storePath: String,
       through: Long): Unit = {
-    import s.implicits._
-    val fs = fsOf(s, storePath)
     // ONE implementation of the fold/prune/empty-fold/tombstone-age
     // crash discipline (the shared KeyedCompaction), with the remap
     // closure ≤ through baked into the fold through its transform
@@ -532,13 +544,10 @@ object MediaClusterStore {
       })
     // folded remap partitions (≤ through) are baked into the fold —
     // idempotent partition deletes, no swap needed; a fully-pruned log
-    // deletes its root (a file-less dir would fail schema inference)
+    // deletes its root (the file-less-dir rule)
     graft.rel.KeyedCompaction.pruneThrough(s, remapDir(storePath),
       through + 1)
-    val rDir = pathOf(remapDir(storePath))
-    if (fs.exists(rDir) && !fs.listStatus(rDir)
-        .exists(_.getPath.getName.startsWith("batch_id=")))
-      fs.delete(rDir, true)
+    deleteIfPartitionless(s, remapDir(storePath))
   }
 
   /** Maintenance RE-CLUSTER — the other half of the erase-while-
@@ -572,7 +581,6 @@ object MediaClusterStore {
     * idempotent. */
   def reclusterFromPairs(s: SparkSession, storePath: String,
       pairs: DataFrame, through: Long): Unit = {
-    val fs = fsOf(s, storePath)
     val aDir = assignDir(storePath)
     if (!hasBatches(s, aDir)) return
     // surviving members = assignment keys minus tombstones (labels
@@ -604,10 +612,7 @@ object MediaClusterStore {
     // below carries fresh labels, so the log is dead weight either way
     graft.rel.KeyedCompaction.pruneThrough(s, remapDir(storePath),
       through + 1)
-    val rDir = pathOf(remapDir(storePath))
-    if (fs.exists(rDir) && !fs.listStatus(rDir)
-        .exists(_.getPath.getName.startsWith("batch_id=")))
-      fs.delete(rDir, true)
+    deleteIfPartitionless(s, remapDir(storePath))
     graft.rel.KeyedCompaction.compactThrough(s, aDir,
       tombDir(storePath), tombNextDir(storePath),
       Seq("media_id", "modality"), through,
@@ -655,7 +660,13 @@ object MediaClusterStore {
     * mis-merge into erased lineage ids); the plan deletes LAST, and
     * every entry replays a standing plan before computing a fresh
     * one. Contract: quiesced (no concurrent merges), like
-    * compaction. */
+    * compaction — and scope is the ERASURE neighborhood only: a
+    * stream-diverged store whose erased keys' raw rows were already
+    * scrubbed (the clusterIngestStream replay caveat) has nothing
+    * tombstone-detectable left, so this op no-ops there; the
+    * divergence repair is [[reclusterFromPairs]], and
+    * boundary-crossing evidence (the divergence signature) warns
+    * loudly instead of being silently discarded. */
   def reclusterAffected(s: SparkSession, storePath: String,
       pairs: DataFrame): Unit = {
     val fs = fsOf(s, storePath)
@@ -706,11 +717,25 @@ object MediaClusterStore {
         col("modality").as(s"km_$idCol")),
       col(idCol) === col(s"k_$idCol") &&
         col("modality") === col(s"km_$idCol"), "left_semi")
-    val cleanPairs = onlyAffected(onlyAffected(
-        minusTombstonePairs(s, storePath,
-          pairs.select(col("modality"), col("id_a"), col("id_b"))),
-        "id_a"), "id_b")
+    val scrubbed = minusTombstonePairs(s, storePath,
+        pairs.select(col("modality"), col("id_a"), col("id_b")))
       .localCheckpoint()
+    val cleanPairs = onlyAffected(onlyAffected(scrubbed, "id_a"), "id_b")
+      .localCheckpoint()
+    // boundary guard: under the merged-evidence invariant a pair's
+    // endpoints share a cluster, so a pair with exactly ONE affected
+    // endpoint cannot exist — seeing one means off-contract evidence
+    // (never merged) or a stream-diverged store, and the restricted
+    // recompute is then NOT equivalent to the full one: warn loudly
+    // instead of silently discarding (maintenance-cadence counts)
+    val crossing = onlyAffected(scrubbed, "id_a").count() +
+      onlyAffected(scrubbed, "id_b").count() - 2 * cleanPairs.count()
+    if (crossing > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"reclusterAffected at $storePath: $crossing evidence pairs " +
+          "cross the affected-cluster boundary (unmerged evidence or " +
+          "a stream-diverged store) — the restricted recompute " +
+          "ignores them; run reclusterFromPairs for a full repair")
     val mods = survivors.select("modality").distinct()
       .collect().map(_.getString(0))
     val labels = mods.map { m =>
@@ -747,9 +772,18 @@ object MediaClusterStore {
     // affected cluster id (their FROM-labels are affected-component
     // history; fresh labels would collide with them at read)
     val remapState = remapLog(s, storePath, None).map { _ =>
-      val rel = resolvedRemapsRelation(s, storePath, None).get
-        .select(col("modality").as("c_m"), col("old_label").as("c_old"),
-          col("new_label").as("c_fin"))
+      // hit-detection closure: the bounded driver map broadcasts (one
+      // cheap collect — not a second pointer-doubling run); only the
+      // over-bound regime pays a distributed resolution here alongside
+      // the detection read's
+      val rel = collectedRemaps(s, storePath, None)
+        .filter(_.nonEmpty)
+        .map(m => broadcast(m.toSeq.map { case ((mm, o), n) => (mm, o, n) }
+          .toDF("c_m", "c_old", "c_fin")))
+        .getOrElse(resolvedRemapsRelation(s, storePath, None).get
+          .select(col("modality").as("c_m"),
+            col("old_label").as("c_old"),
+            col("new_label").as("c_fin")))
       val rawR = s.read.parquet(remapDir(storePath))
       val withFin = rawR.join(rel,
         col("modality") === col("c_m") && col("old_label") === col("c_old"))
@@ -810,12 +844,8 @@ object MediaClusterStore {
           .mode("overwrite").parquet(dataDir)
       hit.filterNot(present).foreach(p =>
         fs.delete(pathOf(s"$dataDir/batch_id=$p"), true))
-      // a fully-emptied relation deletes its root (file-less dirs
-      // brick schema inference — the empty-fold rule)
-      val d = pathOf(dataDir)
-      if (fs.exists(d) && !fs.listStatus(d)
-          .exists(_.getPath.getName.startsWith("batch_id=")))
-        fs.delete(d, true)
+      // a fully-emptied relation drops its root (the file-less rule)
+      deleteIfPartitionless(s, dataDir)
     }
     applyOne("remaps", remapDir(storePath), s"$plan/remaps")
     if (phases >= 2) {

@@ -45,6 +45,21 @@ object MediaDedupStore {
   private def dataDir(p: String) = s"$p/fingerprints"
   private def tombDir(p: String) = s"$p/_media_tombstones"
 
+  /** True iff the fingerprint dir holds at least one fenced partition —
+    * an ALL-TOMBSTONED (or empty) batch's dynamic overwrite leaves a
+    * file-less dir (_SUCCESS only) whose bare parquet read fails
+    * schema inference, so readers gate on partitions, not bare
+    * existence (the [[MediaClusterStore]] hasBatches rule; without it
+    * a crawl loop whose first batch was fully erased bricks on its
+    * second batch). */
+  private def hasFingerprints(s: SparkSession, storePath: String)
+      : Boolean = {
+    val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
+    val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(dp) && fs.listStatus(dp)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
   /** Ingest one fingerprint batch under its own fenced partition. */
   def applyFingerprintBatch(fps: DataFrame, storePath: String,
       batchId: Long): Unit =
@@ -82,10 +97,10 @@ object MediaDedupStore {
     * rewindable). */
   def fingerprintsFromStore(s: SparkSession, storePath: String,
       asOfBatch: Option[Long] = None): DataFrame = {
-    // a fully-erased store's data dir is deleted by compaction rather
-    // than left file-less (schema inference would fail) — read empty
-    val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
-    if (!dp.getFileSystem(s.sparkContext.hadoopConfiguration).exists(dp))
+    // partition-gated, not existence-gated: a fully-erased store's dir
+    // is deleted by compaction, and an all-tombstoned batch's dynamic
+    // overwrite leaves a file-less dir — read either as empty
+    if (!hasFingerprints(s, storePath))
       return s.range(0).select(col("id").as("media_id"),
         lit("").as("modality"), col("id").as("h"))
     val data = graft.rel.CardinalityStore.asOf(
@@ -127,10 +142,9 @@ object MediaDedupStore {
       broadcastBatch: Boolean = true,
       keepReArrivals: Boolean = false): DataFrame = {
     // bootstrap: the very first batch judges against an empty store
-    // (no fingerprints dir yet) — no cross pairs by definition
-    val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
-    val dfs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!dfs.exists(dp))
+    // (no fingerprint partition yet — including the file-less dir an
+    // all-tombstoned first batch leaves) — no cross pairs by definition
+    if (!hasFingerprints(s, storePath))
       return s.range(0).select(
         lit("").as("modality"), col("id").as("id_a"),
         col("id").as("id_b"), col("id").as("hamming"))
@@ -709,14 +723,16 @@ object MediaDedupStore {
   private[graft] def syntheticFingerprints(s: SparkSession, d: String)
       : DataFrame = {
     // the copy offsets (+10000001 / +20000000) assume base ids stay
-    // below them: at documents.count()·8 ≥ 10000001 (roughly sf ≥ 20)
-    // copy ids would collide with base ids and the engine's pair
-    // distinct vs the oracle's all-pairs multiplicity would diverge as
+    // below them: once max(doc_id)·8+7 ≥ 10000001 (roughly sf ≥ 20 at
+    // dense ids — the MAX, not the count: sparse id spaces hit the
+    // boundary early) copy ids collide with base ids and the engine's
+    // pair distinct vs the oracle's all-pairs multiplicity diverges as
     // an opaque hash mismatch — fail loudly at the boundary instead
-    val nDocs = graft.Tables.documents(s, d).count()
-    require(nDocs * 8 < 10000001L,
-      s"syntheticFingerprints: $nDocs documents × 8 media ids reach " +
-        "the +10000001 copy offset — raise the offsets (and the oracle " +
+    val maxDoc = graft.Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head().getLong(0)
+    require(maxDoc * 8 + 7 < 10000001L,
+      s"syntheticFingerprints: max doc_id $maxDoc × 8 + 7 reaches the " +
+        "+10000001 copy offset — raise the offsets (and the oracle " +
         "SQL literals) before benching at this scale")
     val hb = graft.Tables.documents(s, d).select(col("doc_id"))
       .withColumn("j", explode(sequence(lit(0), lit(7))))

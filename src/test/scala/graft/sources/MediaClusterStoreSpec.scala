@@ -498,6 +498,57 @@ class MediaClusterStoreSpec extends SparkSpec {
       s"diff = ${strict.diff(del) ++ del.diff(strict)}")
   }
 
+  test("an all-tombstoned FIRST micro-batch leaves the FINGERPRINT " +
+      "store readable too: the crawl loop survives its own empty " +
+      "dynamic overwrite") {
+    val dir = tmp("mfpempty")
+    try {
+      val fp = dir.resolve("fp").toString
+      val cl = dir.resolve("cl").toString
+      MediaDedupStore.deleteMedia(members(10L), fp, 0L)
+      MediaClusterStore.deleteMembers(members(10L), cl, 0L)
+      def batch(rows: (Long, Long)*) = rows.toSeq
+        .map { case (id, h) => (id, "image", h) }
+        .toDF("media_id", "modality", "h")
+      // first batch filters to empty -> the fingerprint ingest writes
+      // a file-less dir; the SECOND batch's judge must read it as an
+      // empty store, not die on schema inference
+      MediaClusterStore.applyClusterIngestBatch(
+        batch((10L, 7L)), fp, cl, 0L, "spec-lineage")
+      MediaClusterStore.applyClusterIngestBatch(
+        batch((20L, 7L)), fp, cl, 1L, "spec-lineage")
+      assert(clusters(cl) === Map(20L -> 20L))
+      assert(MediaDedupStore.fingerprintsFromStore(spark, fp)
+        .collect().map(_.getLong(0)).toSeq === Seq(20L))
+    } finally rmrf(dir)
+  }
+
+  test("an EMPTY erasure request leaves the tombstone log readable " +
+      "(a file-less log reads as no tombstones, store-family-wide)") {
+    val dir = tmp("mtombempty")
+    try {
+      val store = dir.resolve("c").toString
+      val fp = dir.resolve("fp").toString
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L), prs(), store, 0L)
+      MediaDedupStore.applyFingerprintBatch(
+        Seq((10L, "image", 7L)).toDF("media_id", "modality", "h"),
+        fp, 0L)
+      // an automated erasure pipeline matched zero keys
+      MediaClusterStore.deleteMembers(members(), store, 0L)
+      MediaDedupStore.deleteMedia(members(), fp, 0L)
+      assert(clusters(store) === Map(10L -> 10L))
+      assert(MediaClusterStore.survivingAssignments(spark, store)
+        .count() === 1L)
+      assert(MediaDedupStore.fingerprintsFromStore(spark, fp)
+        .count() === 1L)
+      // and a real erasure afterwards still lands and suppresses
+      MediaClusterStore.deleteMembers(members(10L), store, 1L)
+      assert(MediaClusterStore.survivingAssignments(spark, store)
+        .count() === 0L)
+    } finally rmrf(dir)
+  }
+
   test("modality keys isolate JOINT batches: identical numeric ids " +
       "in different modalities never merge, remap or resolve across") {
     val dir = tmp("mclustermodal")
