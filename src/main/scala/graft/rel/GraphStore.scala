@@ -89,10 +89,11 @@ object GraphStore {
     * exceptional) — broadcast anti-join, no shuffle of the edge set. */
   def edgesFromStore(s: SparkSession, storePath: String,
       asOfBatch: Option[Long] = None): DataFrame = {
-    // a fully-erased store's data dir is deleted by compaction rather
-    // than left file-less (schema inference would fail) — read empty
-    if (!fsOf(s, storePath).exists(
-        new org.apache.hadoop.fs.Path(dataDir(storePath))))
+    // partition-gated, not existence-gated: a fully-erased store's dir
+    // is deleted by compaction, and an all-tombstoned (or empty)
+    // batch's dynamic overwrite leaves a FILE-LESS dir — read either
+    // as empty (the TombstoneLog.readDir rule)
+    if (!Tombstones.populated(s, dataDir(storePath)))
       return s.range(0).select(col("id").as("src"), col("id").as("dst"))
     val data = CardinalityStore.asOf(
       s.read.parquet(dataDir(storePath)), asOfBatch)

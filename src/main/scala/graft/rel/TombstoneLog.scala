@@ -131,12 +131,20 @@ private[graft] object KeyedCompaction {
         org.apache.spark.sql.DataFrame = identity): Unit = {
     val fs = fsOf(s, dataPath)
     TombstoneLog.recoverSwap(fs, logPath, nextPath)
+    def populated(p: String) = fs.exists(TombstoneLog.path(p)) &&
+      fs.listStatus(TombstoneLog.path(p))
+        .exists(_.getPath.getName.startsWith("batch_id="))
     // a fully-erased store's data dir was deleted by a prior empty-fold
-    // compaction (see below) — nothing to fold, and reading it would
-    // fail schema inference; the tombstone log is left as-is (its
-    // entries suppress nothing, harmlessly, until new data arrives)
-    if (!fs.exists(TombstoneLog.path(dataPath))) return
-    val hasTombs = fs.exists(TombstoneLog.path(logPath))
+    // compaction (see below) — nothing to fold; a FILE-LESS dir (an
+    // all-tombstoned or empty first batch's dynamic overwrite wrote
+    // only _SUCCESS) likewise holds nothing, and reading either would
+    // fail schema inference, so gate on partitions, not existence; the
+    // tombstone log is left as-is (its entries suppress nothing,
+    // harmlessly, until new data arrives)
+    if (!populated(dataPath)) return
+    // same partition gate for the log: an EMPTY erasure request leaves
+    // a file-less log dir that must read as "no tombstones"
+    val hasTombs = populated(logPath)
     val data = s.read.parquet(dataPath)
     val payload = data.columns.filterNot(_ == "batch_id").toSeq
     val old = foldTransform(data.filter(col("batch_id") <= through)

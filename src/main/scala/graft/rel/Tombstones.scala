@@ -42,15 +42,26 @@ object Tombstones {
       .partitionBy("batch_id")
       .mode("overwrite").parquet(logPath(storePath))
 
-  /** All tombstoned keys for a store (empty relation when no delete
-    * was ever issued — the common case costs one existence check). */
-  def deletedKeys(s: SparkSession, storePath: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(logPath(storePath))
+  /** True iff the batch-partitioned dir holds a fenced partition — an
+    * EMPTY request's dynamic overwrite leaves a file-less dir
+    * (_SUCCESS only) whose bare parquet read fails schema inference,
+    * so every ledger read gates on partitions, not existence (the
+    * TombstoneLog.readDir rule; shared by the ingest-membership
+    * ledgers in LmStore/SubstrDedup). */
+  private[graft] def populated(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(logPath(storePath))
-      .select(col("key")).distinct())
-    else None
+    fs.exists(p) && fs.listStatus(p)
+      .exists(_.getPath.getName.startsWith("batch_id="))
   }
+
+  /** All tombstoned keys for a store (empty relation when no delete
+    * was ever issued — the common case costs one partition check). */
+  def deletedKeys(s: SparkSession, storePath: String): Option[DataFrame] =
+    if (populated(s, logPath(storePath)))
+      Some(s.read.parquet(logPath(storePath))
+        .select(col("key")).distinct())
+    else None
 
   /** The read-side filter: store rows minus tombstoned keys. */
   def filterDeleted(rows: DataFrame, keyCol: String,
@@ -125,7 +136,7 @@ object Tombstones {
     val lp = logPath(storePath)
     val p = new org.apache.hadoop.fs.Path(lp)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
+    if (populated(s, lp)) {
       val rest = s.read.parquet(lp)
         .select(col("key").cast("long").as("key")).distinct()
         .filter(col("key") =!= batchId)

@@ -102,10 +102,11 @@ object LmStore {
     // tombstone the id — barring the future arrival — WITHOUT
     // subtracting counts that were never added (which would corrupt
     // every trigram shared with surviving docs)
-    val ip = new org.apache.hadoop.fs.Path(ingestedPath(storePath))
-    val fs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // partition-gated (the TombstoneLog.readDir rule): a first batch
+    // whose docs were all pre-tombstoned leaves a file-less ledger dir
     val contributed =
-      if (!fs.exists(ip)) fresh.limit(0)
+      if (!graft.rel.Tombstones.populated(s, ingestedPath(storePath)))
+        fresh.limit(0)
       else fresh.join(s.read.parquet(ingestedPath(storePath))
         .select(col("key").as(idCol)).distinct(), Seq(idCol))
     writeCounts(

@@ -322,10 +322,11 @@ object SubstrDedup {
     // survivor-shared grams toward ≤ 0, silently breaking their
     // duplicate suppression. The id still goes on the deletion
     // ledger below, barring the future arrival.
-    val ip = new org.apache.hadoop.fs.Path(ingestedLogPath(path))
-    val ifs = ip.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // partition-gated (the TombstoneLog.readDir rule): a first batch
+    // whose docs were all pre-tombstoned leaves a file-less ledger dir
     val contributed =
-      if (!ifs.exists(ip)) fresh.limit(0)
+      if (!graft.rel.Tombstones.populated(s, ingestedLogPath(path)))
+        fresh.limit(0)
       else fresh.join(s.read.parquet(ingestedLogPath(path))
         .select(col("key").as("doc_id")).distinct(), Seq("doc_id"))
     writeCountedBatch(

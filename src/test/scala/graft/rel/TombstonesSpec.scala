@@ -105,4 +105,32 @@ class TombstonesSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("an EMPTY delete request leaves the ledger readable (a " +
+      "file-less log reads as no tombstones) and later deletes land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tomb3")
+    val path = dir.resolve("t.parquet").toString
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "v")
+        .write.parquet(path)
+      // an automated erasure pipeline matched zero keys: the dynamic
+      // overwrite writes only _SUCCESS — every later read must treat
+      // the file-less log as "no tombstones", not die on schema
+      // inference
+      Tombstones.applyDelete(
+        Seq.empty[Long].toDF("doc_id"), "doc_id", path, 0L)
+      assert(Tombstones.deletedKeys(spark, path).isEmpty)
+      assert(Tombstones.filterDeleted(
+        spark.read.parquet(path), "doc_id", path).count() === 2L)
+      assert(Tombstones.gatedBatches(spark, path) === Set.empty[Long])
+      // a real delete afterwards still lands and suppresses
+      Tombstones.applyDelete(Seq(1L).toDF("doc_id"), "doc_id", path, 1L)
+      assert(Tombstones.filterDeleted(
+        spark.read.parquet(path), "doc_id", path).count() === 1L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
