@@ -306,12 +306,18 @@ object AggStore {
     * batch reproduces the pre-deletion answers (specs pin this), which
     * is intended for audit; pipelines with erasure obligations must
     * age out pre-deletion batches (compact the store) rather than rely
-    * on as-of reads forgetting them. */
+    * on as-of reads forgetting them.
+    *
+    * An as-of below the compaction fold watermark fails LOUDLY
+    * ([[FoldWatermark]]): its distinguishing partials were folded away
+    * and the `batch_id <=` filter would silently serve an empty view. */
   def aggFromStoreAsOf(s: SparkSession, storePath: String,
-      groupCols: Seq[String], asOfBatch: Long): DataFrame =
+      groupCols: Seq[String], asOfBatch: Long): DataFrame = {
+    FoldWatermark.requireAtOrAbove(s, storePath, asOfBatch)
     mergePartials(
       s.read.parquet(storePath).filter(col("batch_id") <= asOfBatch),
       groupCols)
+  }
 
   // -------------------------------------------------------- compaction
   /** Horizontal store compaction: re-partialize batches 0..through
@@ -328,7 +334,9 @@ object AggStore {
     * longer derivable (their distinguishing partials were folded) —
     * the retention trade every log-structured store makes, and the
     * erasure-compaction step the as-of docs require. Callers pick
-    * `through` = the oldest as-of they still need.
+    * `through` = the oldest as-of they still need — ENFORCED: the
+    * fold persists a [[FoldWatermark]] marker and every as-of read
+    * below it fails loudly instead of serving an empty history.
     *
     * Crash safety: the fold MATERIALIZES (collect of groups-sized
     * partials) before touching the store, writes the
@@ -359,6 +367,12 @@ object AggStore {
         max("max_val").as("max_val"))
       .localCheckpoint()
     writeFencedPartials(folded, storePath, through, singleFile)
+    // watermark BEFORE prune: a crash between the two refuses a
+    // still-derivable snapshot (conservative), never serves a partial
+    FoldWatermark.write(
+      new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration),
+      storePath, through)
     pruneThrough(s, storePath, through)
   }
 
@@ -393,6 +407,12 @@ object AggStore {
       groupCols: Seq[String], fromBatch: Long, toBatch: Long): DataFrame = {
     require(fromBatch <= toBatch,
       s"aggFromStoreBetween: fromBatch $fromBatch > toBatch $toBatch")
+    // the LOWER bound carries the watermark obligation: a window
+    // opening below the fold would include the batch_id=watermark fold
+    // partition, leaking every folded batch's contribution into the
+    // diff (fromBatch == watermark is fine — `batch_id >` excludes the
+    // fold partition exactly)
+    FoldWatermark.requireAtOrAbove(s, storePath, fromBatch)
     mergePartials(
       s.read.parquet(storePath)
         .filter(col("batch_id") > fromBatch && col("batch_id") <= toBatch),

@@ -76,7 +76,7 @@ object CardinalityStore {
   def estimateFromStore(s: SparkSession, storePath: String,
       groupCols: Seq[String], asOfBatch: Option[Long] = None): DataFrame =
     mergeSketches(
-      Tombstones.filterGated(asOf(s.read.parquet(storePath), asOfBatch),
+      Tombstones.filterGated(asOfRead(s, storePath, asOfBatch),
         storePath),
       groupCols)
 
@@ -85,6 +85,18 @@ object CardinalityStore {
   private[graft] def asOf(store: DataFrame, asOfBatch: Option[Long])
       : DataFrame =
     asOfBatch.fold(store)(k => store.filter(col("batch_id") <= k))
+
+  /** The GUARDED as-of read every path-reading store routes through:
+    * an as-of below the compaction fold watermark fails loudly
+    * ([[FoldWatermark]]) instead of silently serving the empty/partial
+    * history the `batch_id <= k` filter would leave after the fold
+    * partition dropped out. Stores that never compacted carry no
+    * marker — the guard costs one existence probe and passes. */
+  private[graft] def asOfRead(s: SparkSession, path: String,
+      asOfBatch: Option[Long]): DataFrame = {
+    asOfBatch.foreach(k => FoldWatermark.requireAtOrAbove(s, path, k))
+    asOf(s.read.parquet(path), asOfBatch)
+  }
 
   /** Re-sketch a gated batch from its RETAINED raw input minus the
     * deleted keys, overwrite its partition, and lift its gate — the

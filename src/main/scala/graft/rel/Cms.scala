@@ -134,7 +134,7 @@ object Cms {
       width: Int = Width, seed: Long = 42L,
       asOfBatch: Option[Long] = None): DataFrame =
     estimate(merge(
-        CardinalityStore.asOf(s.read.parquet(storePath), asOfBatch)
+        CardinalityStore.asOfRead(s, storePath, asOfBatch)
           .drop("batch_id")),
       probes, keyCol, depth, width, seed)
 

@@ -95,8 +95,7 @@ object GraphStore {
     // as empty (the TombstoneLog.readDir rule)
     if (!Tombstones.populated(s, dataDir(storePath)))
       return s.range(0).select(col("id").as("src"), col("id").as("dst"))
-    val data = CardinalityStore.asOf(
-      s.read.parquet(dataDir(storePath)), asOfBatch)
+    val data = CardinalityStore.asOfRead(s, dataDir(storePath), asOfBatch)
     tombReadDir(s, storePath) match {
       case None => data.select("src", "dst")
       case Some(dir) => data.join(

@@ -70,7 +70,7 @@ object KmvStore {
       asOfBatch: Option[Long] = None): DataFrame =
     mergeSketches(
       Tombstones.filterGated(
-        CardinalityStore.asOf(s.read.parquet(storePath), asOfBatch),
+        CardinalityStore.asOfRead(s, storePath, asOfBatch),
         storePath),
       groupCols, k)
 

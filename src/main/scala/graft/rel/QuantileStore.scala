@@ -81,7 +81,7 @@ object QuantileStore {
       asOfBatch: Option[Long] = None): DataFrame =
     mergeSketches(
       Tombstones.filterGated(
-        CardinalityStore.asOf(s.read.parquet(storePath), asOfBatch),
+        CardinalityStore.asOfRead(s, storePath, asOfBatch),
         storePath),
       groupCols, k)
 

@@ -41,14 +41,10 @@ private[graft] object TombstoneLog {
     * existence, and a file-less log reads as "no tombstones" for the
     * whole store family. Readers never mutate. */
   def readDir(fs: org.apache.hadoop.fs.FileSystem, log: String,
-      next: String): Option[String] = {
-    def populated(p: String) = fs.exists(path(p)) &&
-      fs.listStatus(path(p))
-        .exists(_.getPath.getName.startsWith("batch_id="))
-    if (populated(log)) Some(log)
-    else if (populated(next)) Some(next)
+      next: String): Option[String] =
+    if (Tombstones.populated(fs, log)) Some(log)
+    else if (Tombstones.populated(fs, next)) Some(next)
     else None
-  }
 
   /** Complete an interrupted swap (old log deleted, staged rename not
     * done) — call on entry to any maintenance that reads the log. */
@@ -131,9 +127,6 @@ private[graft] object KeyedCompaction {
         org.apache.spark.sql.DataFrame = identity): Unit = {
     val fs = fsOf(s, dataPath)
     TombstoneLog.recoverSwap(fs, logPath, nextPath)
-    def populated(p: String) = fs.exists(TombstoneLog.path(p)) &&
-      fs.listStatus(TombstoneLog.path(p))
-        .exists(_.getPath.getName.startsWith("batch_id="))
     // a fully-erased store's data dir was deleted by a prior empty-fold
     // compaction (see below) — nothing to fold; a FILE-LESS dir (an
     // all-tombstoned or empty first batch's dynamic overwrite wrote
@@ -141,10 +134,10 @@ private[graft] object KeyedCompaction {
     // fail schema inference, so gate on partitions, not existence; the
     // tombstone log is left as-is (its entries suppress nothing,
     // harmlessly, until new data arrives)
-    if (!populated(dataPath)) return
+    if (!Tombstones.populated(fs, dataPath)) return
     // same partition gate for the log: an EMPTY erasure request leaves
     // a file-less log dir that must read as "no tombstones"
-    val hasTombs = populated(logPath)
+    val hasTombs = Tombstones.populated(fs, logPath)
     val data = s.read.parquet(dataPath)
     val payload = data.columns.filterNot(_ == "batch_id").toSeq
     val old = foldTransform(data.filter(col("batch_id") <= through)
@@ -163,6 +156,11 @@ private[graft] object KeyedCompaction {
           .localCheckpoint()
       else null
     if (folded.isEmpty) {
+      // the watermark records the fold BEFORE any partition is pruned
+      // (a crash between marker and prune leaves as-of reads refusing
+      // a still-derivable snapshot — conservative, never wrong; the
+      // reverse order's crash window silently serves a partial one)
+      FoldWatermark.write(fs, dataPath, through)
       pruneThrough(s, dataPath, through)
       val tgt = TombstoneLog.path(s"$dataPath/batch_id=$through")
       if (fs.exists(tgt)) fs.delete(tgt, true)
@@ -171,10 +169,8 @@ private[graft] object KeyedCompaction {
       // files) — delete the dir outright; the stores' readers return
       // an empty relation for a missing data dir, and the next ingest
       // recreates it
-      val anyLeft = fs.exists(TombstoneLog.path(dataPath)) &&
-        fs.listStatus(TombstoneLog.path(dataPath))
-          .exists(_.getPath.getName.startsWith("batch_id="))
-      if (!anyLeft) fs.delete(TombstoneLog.path(dataPath), true)
+      if (!Tombstones.populated(fs, dataPath))
+        fs.delete(TombstoneLog.path(dataPath), true)
     } else {
       folded.withColumn("batch_id", lit(through))
         .write
@@ -182,6 +178,7 @@ private[graft] object KeyedCompaction {
         .option("maxRecordsPerFile", 10000000L)
         .partitionBy("batch_id")
         .mode("overwrite").parquet(dataPath)
+      FoldWatermark.write(fs, dataPath, through)
       pruneThrough(s, dataPath, through)
     }
     if (hasTombs) TombstoneLog.swapIn(kept, fs, logPath, nextPath)
@@ -219,5 +216,89 @@ private[graft] object KeyedCompaction {
             .exists(_ < through))
         fs.delete(st.getPath, true)
     }
+  }
+}
+
+/** The compaction FOLD WATERMARK — the retention contract, enforced.
+  *
+  * Every horizontal compaction folds `batch_id ≤ through` into ONE
+  * `batch_id=through` partition and prunes the originals, which makes
+  * snapshots BELOW `through` underivable: an as-of read at k < through
+  * filters `batch_id ≤ k`, drops the fold, and — before this marker —
+  * silently served an EMPTY/partial historical view indistinguishable
+  * from "before history began". The store family's rule is loud
+  * failure or fallback, never a silent wrong answer, so both shared
+  * compaction choreographies ([[KeyedCompaction.compactThrough]] and
+  * `AggStore.compactThrough`) persist the fold watermark as a
+  * `_fold_watermark` file INSIDE the data dir (underscore-prefixed:
+  * Spark's hidden-path filter keeps it out of every scan), and every
+  * as-of reader refuses an `asOf` below it, naming the retention trade
+  * ("pick compaction `through` = the oldest as-of still needed" — the
+  * AggStore scaladoc's advice, now enforced).
+  *
+  * Crash discipline: the marker value only ever RISES (monotonic max),
+  * writes go through a tmp file + delete + rename so no reader ever
+  * sees a partial value (readers fall back to the tmp inside the swap
+  * window — the [[TombstoneLog.readDir]] shape), and the marker lands
+  * BEFORE the prune phase: each crash window either refuses a
+  * still-derivable snapshot (harmless, conservative) or is the
+  * pre-existing double-count window whose recovery is pruneThrough.
+  * A fully-erased store's root deletion takes the marker with it —
+  * correct, because an erased store's history is empty at every as-of
+  * (erasure is not rewindable). */
+private[graft] object FoldWatermark {
+
+  private def marker(dataPath: String) =
+    TombstoneLog.path(s"$dataPath/_fold_watermark")
+  private def markerTmp(dataPath: String) =
+    TombstoneLog.path(s"$dataPath/_fold_watermark_tmp")
+
+  /** The persisted watermark (None = never compacted). Falls back to
+    * the staged tmp inside the write's delete→rename window. */
+  def read(fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String): Option[Long] = {
+    def rd(p: org.apache.hadoop.fs.Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val txt = try {
+          val buf = new Array[Byte](64)
+          val n = in.read(buf)
+          new String(buf, 0, math.max(n, 0),
+            java.nio.charset.StandardCharsets.UTF_8)
+        } finally in.close()
+        scala.util.Try(txt.trim.toLong).toOption
+      }
+    rd(marker(dataPath)).orElse(rd(markerTmp(dataPath)))
+  }
+
+  /** Raise the watermark to `through` (no-op when already at or
+    * above — the marker is monotonic, so interleaved maintenance can
+    * never LOWER the enforced retention bound). */
+  def write(fs: org.apache.hadoop.fs.FileSystem, dataPath: String,
+      through: Long): Unit =
+    if (!read(fs, dataPath).exists(_ >= through)) {
+      val tmp = markerTmp(dataPath)
+      val out = fs.create(tmp, true)
+      try out.write(through.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(marker(dataPath), false)
+      require(fs.rename(tmp, marker(dataPath)),
+        s"cannot swap fold-watermark marker into place at $dataPath")
+    }
+
+  /** The as-of read guard: loud refusal below the fold watermark —
+    * the one silent-wrong-answer class the store family had left. */
+  def requireAtOrAbove(s: org.apache.spark.sql.SparkSession,
+      dataPath: String, asOf: Long): Unit = {
+    val fs = TombstoneLog.path(dataPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    read(fs, dataPath).foreach(w => require(asOf >= w,
+      s"as-of batch $asOf is below the compaction fold watermark $w " +
+        s"at $dataPath: batches <= $w were folded into one partition " +
+        "and snapshots below the watermark are no longer derivable " +
+        "(the store-family retention trade — pick compaction " +
+        "`through` = the oldest as-of still needed)"))
   }
 }

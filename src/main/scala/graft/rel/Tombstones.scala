@@ -47,13 +47,20 @@ object Tombstones {
     * (_SUCCESS only) whose bare parquet read fails schema inference,
     * so every ledger read gates on partitions, not existence (the
     * TombstoneLog.readDir rule; shared by the ingest-membership
-    * ledgers in LmStore/SubstrDedup). */
-  private[graft] def populated(s: SparkSession, dir: String): Boolean = {
+    * ledgers in LmStore/SubstrDedup). This is the ONE implementation
+    * of the file-less-dir gate — every store-family reader
+    * (TombstoneLog.readDir, KeyedCompaction, the media stores) routes
+    * through it so the partition-naming rule cannot drift. */
+  private[graft] def populated(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.exists(p) && fs.listStatus(p)
       .exists(_.getPath.getName.startsWith("batch_id="))
   }
+
+  private[graft] def populated(s: SparkSession, dir: String): Boolean =
+    populated(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration), dir)
 
   /** All tombstoned keys for a store (empty relation when no delete
     * was ever issued — the common case costs one partition check). */

@@ -62,12 +62,11 @@ object MediaClusterStore {
     * dynamic overwrite of an EMPTY relation leaves a file-less dir
     * (_SUCCESS only) whose bare parquet read fails schema inference,
     * so every store read gates on partitions, not bare existence (an
-    * all-tombstoned first batch on a fresh store hits this). */
-  private def hasBatches(s: SparkSession, dir: String): Boolean = {
-    val fs = fsOf(s, dir)
-    fs.exists(pathOf(dir)) && fs.listStatus(pathOf(dir))
-      .exists(_.getPath.getName.startsWith("batch_id="))
-  }
+    * all-tombstoned first batch on a fresh store hits this). ONE
+    * shared implementation of the gate ([[graft.rel.Tombstones
+    * .populated]]) so the partition-naming rule cannot drift. */
+  private def hasBatches(s: SparkSession, dir: String): Boolean =
+    graft.rel.Tombstones.populated(s, dir)
 
   /** Delete `dir` when it holds NO fenced partition — the other half
     * of the file-less-dir rule (a fully-pruned relation must drop its
@@ -413,9 +412,9 @@ object MediaClusterStore {
     // MERGED by b (assignments AND remaps both fence at b — a later
     // batch's bridge must not retro-merge the historical view; the
     // compaction watermark bounds how far back as-of stays derivable,
-    // the store-family retention trade)
-    val data = graft.rel.CardinalityStore.asOf(
-      s.read.parquet(aDir), asOfBatch)
+    // the store-family retention trade — ENFORCED: an as-of below the
+    // fold watermark fails loudly instead of serving an empty history)
+    val data = graft.rel.CardinalityStore.asOfRead(s, aDir, asOfBatch)
     val base = data.select("media_id", "modality", "label")
     def resolveThrough(rel: DataFrame) = base.join(rel,
         col("modality") === col("r_m") && col("label") === col("old_label"),

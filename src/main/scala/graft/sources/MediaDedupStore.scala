@@ -53,12 +53,8 @@ object MediaDedupStore {
     * a crawl loop whose first batch was fully erased bricks on its
     * second batch). */
   private def hasFingerprints(s: SparkSession, storePath: String)
-      : Boolean = {
-    val dp = new org.apache.hadoop.fs.Path(dataDir(storePath))
-    val fs = dp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.exists(dp) && fs.listStatus(dp)
-      .exists(_.getPath.getName.startsWith("batch_id="))
-  }
+      : Boolean =
+    graft.rel.Tombstones.populated(s, dataDir(storePath))
 
   /** Ingest one fingerprint batch under its own fenced partition. */
   def applyFingerprintBatch(fps: DataFrame, storePath: String,
@@ -103,8 +99,8 @@ object MediaDedupStore {
     if (!hasFingerprints(s, storePath))
       return s.range(0).select(col("id").as("media_id"),
         lit("").as("modality"), col("id").as("h"))
-    val data = graft.rel.CardinalityStore.asOf(
-      s.read.parquet(dataDir(storePath)), asOfBatch)
+    val data = graft.rel.CardinalityStore.asOfRead(
+      s, dataDir(storePath), asOfBatch)
     minusTombstones(s, storePath,
       data.select("media_id", "modality", "h"))
   }
@@ -381,9 +377,8 @@ object MediaDedupStore {
             true))
         // a fully-scrubbed store deletes its root (a file-less dir
         // would brick later reads)
-        val anyLeft = fs.exists(vp) && fs.listStatus(vp)
-          .exists(_.getPath.getName.startsWith("batch_id="))
-        if (!anyLeft) fs.delete(vp, true)
+        if (!graft.rel.Tombstones.populated(fs, vp.toString))
+          fs.delete(vp, true)
       }
     }
   }

@@ -1012,8 +1012,7 @@ object StreamingOps {
       .localCheckpoint() // judged AND grammed below — compute once
     // prior live grams: net-positive refcounts over every partition
     // EXCEPT this trigger's own (own-batch exclusion, see scaladoc)
-    val hasData = fs.listStatus(fsp).exists(st =>
-      st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    val hasData = graft.rel.Tombstones.populated(fs, storePath)
     val prior =
       if (!hasData) s.range(0).select(col("id").as("h"))
       else s.read.parquet(storePath)

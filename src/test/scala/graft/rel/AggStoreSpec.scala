@@ -254,6 +254,56 @@ class AggStoreSpec extends SparkSpec {
     }
   }
 
+  test("as-of below the compaction fold watermark fails LOUDLY naming " +
+      "the retention trade; at/above the watermark unchanged; a " +
+      "never-compacted store's pre-history as-of still reads (empty)") {
+    val dir = java.nio.file.Files.createTempDirectory("aggwmark")
+    try {
+      val store = dir.resolve("store").toString
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b),
+        groupCols, "l_extendedprice", store, b.toLong))
+      def asOf(k: Long) = AggStore.aggFromStoreAsOf(spark, store, groupCols, k)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      // never compacted: an as-of BEFORE history began reads empty —
+      // that emptiness is true, not a fold artifact, so no guard fires
+      assert(AggStore.aggFromStoreAsOf(spark, store, groupCols, -1L)
+        .collect().isEmpty)
+      val asOf2Before = asOf(2L)
+      AggStore.compactThrough(spark, store, groupCols, 2L)
+      // below the watermark: the distinguishing partials are GONE and
+      // the filter would serve an empty view — must refuse, naming it
+      val e = intercept[IllegalArgumentException](asOf(1L))
+      assert(e.getMessage.contains("fold watermark 2") &&
+        e.getMessage.contains("no longer derivable"), e.getMessage)
+      // at/above: unchanged bit-for-bit
+      assert(asOf(2L) === asOf2Before)
+      // the diff window's LOWER bound carries the same obligation: a
+      // window opening below the fold would leak folded history in
+      val e2 = intercept[IllegalArgumentException](
+        AggStore.aggFromStoreBetween(spark, store, groupCols, 1L, 4L))
+      assert(e2.getMessage.contains("fold watermark"), e2.getMessage)
+      // fromBatch == watermark excludes the fold partition exactly
+      val w24 = AggStore.aggFromStoreBetween(spark, store, groupCols, 2L, 4L)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      val direct = AggStore.mergePartials(
+          AggStore.partialBatch(
+            li.filter(pmod($"l_orderkey", lit(5)).isin(3, 4)),
+            groupCols, "l_extendedprice"), groupCols)
+        .orderBy("l_returnflag", "l_linestatus").collect().map(_.toSeq).toSeq
+      assert(w24 === direct)
+      // a LATER compaction only RAISES the watermark (monotonic max)
+      AggStore.compactThrough(spark, store, groupCols, 3L)
+      val e3 = intercept[IllegalArgumentException](asOf(2L))
+      assert(e3.getMessage.contains("fold watermark 3"), e3.getMessage)
+      assert(asOf(3L).nonEmpty && asOf(4L).nonEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("diff read: batches (k1, k2] equal a direct aggregate over that " +
       "window's raw rows; asof n_rows/sums + diff n_rows/sums = full") {
     val dir = java.nio.file.Files.createTempDirectory("aggdiffspec")

@@ -132,6 +132,40 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("as-of below the fold watermark fails LOUDLY (the KeyedCompaction " +
+      "family's retention guard); at/above unchanged; never-compacted " +
+      "pre-history reads stay empty, not errors") {
+    val dir = java.nio.file.Files.createTempDirectory("graphwmark")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyEdgeBatch(
+        Seq((1L, 2L)).toDF("src", "dst"), store, 0L)
+      GraphStore.applyEdgeBatch(
+        Seq((3L, 4L)).toDF("src", "dst"), store, 1L)
+      GraphStore.applyEdgeBatch(
+        Seq((5L, 6L)).toDF("src", "dst"), store, 2L)
+      // a deletion so the compaction exercises the full choreography
+      GraphStore.deleteEdges(Seq((1L, 2L)).toDF("src", "dst"), store, 0L)
+      // never compacted: as-of before history began is a TRUE empty
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(-1L)))
+        .isEmpty)
+      val asof1 = edgeSet(GraphStore.edgesFromStore(spark, store, Some(1L)))
+      GraphStore.compactThrough(spark, store, through = 1L)
+      val e = intercept[IllegalArgumentException](
+        GraphStore.edgesFromStore(spark, store, Some(0L)))
+      assert(e.getMessage.contains("fold watermark 1") &&
+        e.getMessage.contains("no longer derivable"), e.getMessage)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(1L))) ===
+        asof1, "as-of AT the watermark must survive unchanged")
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(2L)))
+        .contains((5L, 6L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("fully-tombstoned fold region: the batch_id=through partition " +
       "is removed, erased edges never resurrect") {
     // EVERY edge in batches <= through is deleted: the dynamic

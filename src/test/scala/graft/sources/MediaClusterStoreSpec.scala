@@ -83,6 +83,39 @@ class MediaClusterStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("as-of below the compaction fold watermark fails LOUDLY instead " +
+      "of serving an empty history (the one silent-wrong-answer class " +
+      "the store family had left)") {
+    val dir = tmp("mclusterwmark")
+    try {
+      val store = dir.resolve("c").toString
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(20L), prs((20L, 11L)), store, 1L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(30L), prs(), store, 2L)
+      // never compacted: pre-history as-of reads empty, no guard
+      assert(MediaClusterStore.assignmentsFromStore(spark, store, Some(-1L))
+        .collect().isEmpty)
+      def at(b: Long) = MediaClusterStore
+        .assignmentsFromStore(spark, store, Some(b))
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val at1 = at(1L)
+      MediaClusterStore.compactThrough(spark, store, through = 1L)
+      val e = intercept[IllegalArgumentException](at(0L))
+      assert(e.getMessage.contains("fold watermark 1") &&
+        e.getMessage.contains("no longer derivable"), e.getMessage)
+      assert(at(1L) === at1, "as-of AT the watermark must survive")
+      assert(at(2L)(30L) === 30L)
+      // the surviving view inherits the guard (it reads through the
+      // same as-of path)
+      intercept[IllegalArgumentException](
+        MediaClusterStore.survivingAssignments(spark, store, Some(0L))
+          .collect())
+    } finally rmrf(dir)
+  }
+
   test("replay of a batch re-derives byte-identical partitions " +
       "(fenced reads make at-least-once delivery safe)") {
     val dir = tmp("mclusterreplay")
