@@ -270,6 +270,69 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("remapdeep")) {
+      // VERDICT r16 #2: per-read cost in the OVER-BOUND regime with
+      // DEEP remap chains (depth L-1 ≥ 32 → pointer doubling needs
+      // ≥ 6 self-join rounds). Before the r17 memo every standing
+      // read re-ran the whole doubling; now the cold read pays it
+      // once per log state and warm reads reuse the checkpointed
+      // relation.  runmain graft.tools.Scratch remapdeep [chains] [depth]
+      val M = args.lift(1).map(_.toInt).getOrElse(20000)
+      val L = args.lift(2).map(_.toInt).getOrElse(40)
+      val store = s"${graft.FixtureMemo.scratchDir("remapdeep")}/cl"
+      val mcs = graft.sources.MediaClusterStore
+      val chains = spark.range(M).select(col("id").as("c"))
+        .localCheckpoint()
+      // batch b adds member (L-b) per chain, bridging the standing
+      // root (L-b+1): every merge remaps the old root to the new
+      // smaller member — remap chain depth L-1 per chain
+      (0 until L).foreach { b =>
+        val mem = chains.select(
+          (col("c") * 256 + (L - b)).as("media_id"),
+          lit("m").as("modality"))
+        val pairs =
+          if (b == 0) mem.select(col("modality"),
+            col("media_id").as("id_a"), col("media_id").as("id_b"))
+            .limit(0)
+          else chains.select(lit("m").as("modality"),
+            (col("c") * 256 + (L - b)).as("id_a"),
+            (col("c") * 256 + (L - b + 1)).as("id_b"))
+        time(s"build batch $b merge")(
+          mcs.applyClusterBatch(spark, mem, pairs, store, b.toLong))
+      }
+      val nRemap = spark.read.parquet(s"$store/_remaps").count()
+      println(s"[scratch] remap log rows = $nRemap (chains $M × " +
+        s"depth ${L - 1})")
+      def readAll(label: String) = time(label)(
+        mcs.assignmentsFromStore(spark, store)
+          .write.format("noop").mode("overwrite").save())
+      spark.conf.set(mcs.MaxRemapRowsConf, "1000")
+      try {
+        mcs.clearRemapMemo()
+        val r0 = mcs.remapResolveRuns.get()
+        readAll("FORCED-BOUND cold read (pays the doubling)")
+        println(s"[scratch] doubling runs so far: " +
+          s"${mcs.remapResolveRuns.get() - r0}")
+        for (r <- 1 to 3) readAll(s"FORCED-BOUND warm read run$r (memo)")
+        println(s"[scratch] doubling runs total: " +
+          s"${mcs.remapResolveRuns.get() - r0} (warm reads add none)")
+        mcs.clearRemapMemo()
+        readAll("FORCED-BOUND re-cold read (memo dropped)")
+        // a merge in the over-bound regime (fresh fence — pays one
+        // endpoint-restricted resolution of its own)
+        val mem = chains.select((col("c") * 256).as("media_id"),
+          lit("m").as("modality"))
+        val pairs = chains.select(lit("m").as("modality"),
+          (col("c") * 256).as("id_a"), (col("c") * 256 + 1).as("id_b"))
+        time("FORCED-BOUND merge (bridging batch)")(
+          mcs.applyClusterBatch(spark, mem, pairs, store, L.toLong))
+      } finally spark.conf.unset(mcs.MaxRemapRowsConf)
+      val nClusters = mcs.assignmentsFromStore(spark, store)
+        .select("cluster_id").distinct().count()
+      println(s"[scratch] clusters = $nClusters (expect $M)")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("affectedprobe")) {
       // VERDICT r16 prep: affected-component vs full recluster on the
       // remapgrowth-style chained corpus — time AND rewritten bytes

@@ -377,6 +377,60 @@ class MediaClusterStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("over-bound resolution memoizes per log state: repeat reads " +
+      "reuse ONE pointer-doubling run, a log mutation recomputes, and " +
+      "the memoized path equals the recomputed one exactly") {
+    val dir = tmp("mclustermemo")
+    try {
+      val store = dir.resolve("c").toString
+      // a 4-deep remap chain (20 -> 15 -> 10 -> 5 -> 3)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(20L, 21L), prs((20L, 21L)), store, 0L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(15L), prs((15L, 20L)), store, 1L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L), prs((10L, 21L)), store, 2L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(5L), prs((5L, 20L)), store, 3L)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(3L), prs((3L, 21L)), store, 4L)
+      val expect = Map(3L -> 3L, 5L -> 3L, 10L -> 3L, 15L -> 3L,
+        20L -> 3L, 21L -> 3L)
+      spark.conf.set(MediaClusterStore.MaxRemapRowsConf, "1")
+      try {
+        MediaClusterStore.clearRemapMemo()
+        val runs0 = MediaClusterStore.remapResolveRuns.get()
+        val cold = clusters(store)
+        assert(cold === expect)
+        val runsAfterCold = MediaClusterStore.remapResolveRuns.get()
+        assert(runsAfterCold > runs0,
+          "the cold over-bound read must run the pointer doubling")
+        // warm reads: answers identical, ZERO additional doubling runs
+        assert(clusters(store) === expect)
+        assert(clusters(store) === expect)
+        assert(MediaClusterStore.remapResolveRuns.get() === runsAfterCold,
+          "warm over-bound reads must reuse the memoized relation")
+        // memoized ≡ recomputed: drop the memo and compare verbatim
+        MediaClusterStore.clearRemapMemo()
+        assert(clusters(store) === cold)
+        assert(MediaClusterStore.remapResolveRuns.get() > runsAfterCold,
+          "after clearRemapMemo the read must recompute")
+        // a log MUTATION (new merge event) invalidates the memo: the
+        // bridge below must surface through a FRESH resolution
+        val runsPreMerge = MediaClusterStore.remapResolveRuns.get()
+        MediaClusterStore.applyClusterBatch(spark,
+          members(1L), prs((1L, 21L)), store, 5L)
+        val after = clusters(store)
+        assert(after === expect.keySet.map(_ -> 1L).toMap + (1L -> 1L))
+        assert(MediaClusterStore.remapResolveRuns.get() > runsPreMerge,
+          "a grown log must recompute, not serve the stale closure")
+      } finally spark.conf.unset(MediaClusterStore.MaxRemapRowsConf)
+      // back under the bound: the broadcast fast path serves the same
+      assert(clusters(store) ===
+        expect.keySet.map(_ -> 1L).toMap + (1L -> 1L))
+    } finally rmrf(dir)
+  }
+
   test("an all-tombstoned first batch leaves a readable (empty) " +
       "store: partition-less dirs read as empty, later batches land") {
     val dir = tmp("mclusterempty")
@@ -685,7 +739,7 @@ class MediaClusterStoreSpec extends SparkSpec {
       buildAffectedFixture(store)
       // stage, then apply ONLY the remap half (the crash)
       assert(MediaClusterStore.stageReclusterPlan(spark, store,
-        affectedEvidence))
+        affectedEvidence).staged)
       MediaClusterStore.applyReclusterPlan(spark, store, phases = 1)
       // mid-crash state: remap gone, assignments un-rewritten — a
       // naive re-plan would now mis-detect 5 as unaffected (its raw
@@ -699,6 +753,81 @@ class MediaClusterStoreSpec extends SparkSpec {
       assert(spark.read.parquet(s"$store/assignments")
         .filter(col("media_id") === 11L).count() === 0L)
       assert(!new java.io.File(s"$store/_recluster_plan").exists())
+    } finally rmrf(dir)
+  }
+
+  test("divergence-targeted recluster: a store diverged by an " +
+      "erase-while-streaming replay repairs through reclusterAffected " +
+      "at neighborhood cost — equal to reclusterFromPairs, bystander " +
+      "partitions byte-untouched, crossing count surfaced") {
+    val dir = tmp("mclusterdiverge")
+    try {
+      def build(tag: String): (String, String) = {
+        val fp = dir.resolve(s"fp$tag").toString
+        val cl = dir.resolve(s"cl$tag").toString
+        def batch(rows: (Long, Long)*) = rows.toSeq
+          .map { case (id, h) => (id, "image", h) }
+          .toDF("media_id", "modality", "h")
+        def ingest(id: Long, rows: (Long, Long)*) =
+          MediaClusterStore.applyClusterIngestBatch(batch(rows: _*), fp,
+            cl, id, "spec-lineage")
+        // the MediaClusterStoreSpec erase-while-streaming scenario,
+        // plus a BYSTANDER cluster in its own batch
+        ingest(0L, (20L, 0xFFFL), (21L, 0xFFFL), (22L, 0xFFFL))
+        ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L))
+        MediaClusterStore.deleteMembers(members(3L), cl, 0L)
+        MediaDedupStore.deleteMedia(members(3L), fp, 0L)
+        ingest(2L, (7L, 0xFC0L))
+        ingest(3L, (100L, 0xFFFFFF000000L), (101L, 0xFFFFFF000000L))
+        ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L)) // the diverging replay
+        (fp, cl)
+      }
+      val (_, cl) = build("a")
+      val (_, twin) = build("b")
+      def surviving(store: String) = MediaClusterStore
+        .survivingAssignments(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      // diverged: 7 stranded on the vanished label's cluster
+      assert(surviving(cl)(7L) === 7L)
+      // the erased member's raw rows were scrubbed by the replay, so
+      // there is nothing tombstone-detectable — the OLD seeding
+      // no-op'd here; crossing-evidence seeding is what repairs it
+      val evidence = Seq((3L, 5L), (3L, 20L), (5L, 20L), (5L, 21L),
+        (5L, 22L), (5L, 7L), (7L, 20L), (7L, 21L), (7L, 22L),
+        (20L, 21L), (20L, 22L), (21L, 22L), (100L, 101L), (5L, 999L))
+        .map { case (a, b) => ("image", a, b) }
+        .toDF("modality", "id_a", "id_b")
+      val bystanderBefore = {
+        val f = new java.io.File(s"$cl/assignments/batch_id=3")
+        f.listFiles().map(x =>
+          x.getName -> (x.length(), x.lastModified())).toMap
+      }
+      val stats = MediaClusterStore.reclusterAffected(spark, cl, evidence)
+      assert(stats.staged)
+      // the divergence signature is SURFACED: 4 crossing pairs
+      // ((5,7) and 7 vs each of 20/21/22), two clusters seeded from
+      // them, and the one absent-member pair reported as ignored
+      assert(stats.crossingPairs === 4L, stats.toString)
+      assert(stats.affectedClusters === 2L, stats.toString)
+      assert(stats.unknownEndpointPairs === 1L, stats.toString)
+      // repaired ≡ the full recluster on the twin
+      MediaClusterStore.reclusterFromPairs(spark, twin, evidence, 3L)
+      val expect = Map(5L -> 5L, 7L -> 5L, 20L -> 5L, 21L -> 5L,
+        22L -> 5L, 100L -> 100L, 101L -> 100L)
+      assert(surviving(cl) === expect)
+      assert(surviving(twin) === expect)
+      // neighborhood cost: the bystander cluster's partition was
+      // never rewritten (same file names, lengths, mtimes)
+      val bystanderAfter = {
+        val f = new java.io.File(s"$cl/assignments/batch_id=3")
+        f.listFiles().map(x =>
+          x.getName -> (x.length(), x.lastModified())).toMap
+      }
+      assert(bystanderAfter === bystanderBefore)
+      // nothing left to repair: a re-run stages nothing
+      val again = MediaClusterStore.reclusterAffected(spark, cl, evidence)
+      assert(again.crossingPairs === 0L)
+      assert(surviving(cl) === expect)
     } finally rmrf(dir)
   }
 
