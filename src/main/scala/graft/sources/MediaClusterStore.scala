@@ -1463,6 +1463,110 @@ object MediaClusterStore {
        |  (frame_id = min(label)) AS is_keeper
        |FROM reach GROUP BY frame_id ORDER BY frame_id""".stripMargin
 
+  // ------------------------------------------ joint-modality entry
+  private val jointClusterStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** nq_media_clusters_joint: ONE batch carries image AND audio AND
+    * video fingerprints through ONE judge → merge → ingest pass —
+    * proof at the contract tier that the crawl loop needs no
+    * per-modality orchestration (the unit isolation spec pins that
+    * identical numeric ids across modalities never merge; this entry
+    * proves the composed pipeline against the drivers' oracles). The
+    * only modality-aware term is the VERDICT POLICY the video
+    * one-shot entry defines (within-video keyframe similarity is
+    * static-scene detection, not duplication) — one filter line over
+    * the joint pair relation, not a separate pipeline. The oracle is
+    * the UNION of the three one-shot clustering SQLs, each modality's
+    * shared pair CTEs verbatim (the q81 discipline) composed with the
+    * q63-shape recursive reach — so a cross-modality merge, a lost
+    * modality, or any single modality's pair drift all hash-fail
+    * through the full joint assignment. */
+  def nqMediaClustersJoint(s: SparkSession, d: String): DataFrame = {
+    val images = ImageDedup.generateDedupImages(s, d)
+    ImageSource.dumpPixels(s, images, resizeTo = 9, tag = "dedup9")
+    val clips = graft.audio.AudioDedup.generateDedupClips(s, d)
+    graft.audio.AudioDedup.dumpGrids(s, clips)
+    val vids = VideoDedup.generateSceneVideos(s, d)
+    ImageSource.dumpPixels(s, VideoDedup.frames(vids), resizeTo = 9,
+      tag = "vkf9")
+    val store = MediaDedupStore.memoStore(jointClusterStoreFor, d) {
+      val root = graft.FixtureMemo.scratchDir("jointclusters").toString
+      val fpPath = s"$root/fp"
+      val clPath = s"$root/cl"
+      val batch = ImageDedup.dhashes(images)
+          .select(col("image_id").as("media_id"),
+            lit("image").as("modality"), col("h"))
+        .unionAll(graft.audio.AudioDedup.fingerprints(clips)
+          .select(col("clip_id").as("media_id"),
+            lit("audio").as("modality"), col("h")))
+        .unionAll(VideoDedup.keyframeFingerprints(s, d))
+        .localCheckpoint()
+      val prs = MediaDedupStore.judgeBatch(s, batch, fpPath, 0L)
+        // the video verdict policy, one line over the joint pairs
+        .filter(col("modality") =!= "video" ||
+          expr("id_a DIV 100") =!= expr("id_b DIV 100"))
+      applyClusterBatch(s,
+        batch.select("media_id", "modality").distinct(),
+        prs.select("modality", "id_a", "id_b"), clPath, 0L)
+      MediaDedupStore.applyFingerprintBatch(batch, fpPath, 0L)
+      clPath
+    }
+    assignmentsFromStore(s, store)
+      .select(col("modality"), col("media_id"), col("cluster_id"),
+        (col("media_id") === col("cluster_id")).as("is_keeper"))
+      .orderBy("modality", "media_id")
+  }
+
+  /** The three one-shot clustering SQLs, UNIONed: the shared pair
+    * CTE prefixes verbatim, each inside its own subquery scope (the
+    * modalities' CTE names collide — `pairs` in all three — so each
+    * gets its own WITH RECURSIVE). */
+  private[sources] lazy val nqMediaClustersJointSql: String =
+    s"""SELECT * FROM (
+       |${ImageDedup.clusterReachCtes}
+       |SELECT 'image' AS modality, doc_id AS media_id,
+       |  min(label) AS cluster_id,
+       |  (doc_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY doc_id)
+       |UNION ALL
+       |SELECT * FROM (
+       |WITH RECURSIVE ${graft.audio.AudioDedup.pairCtes},
+       |p2 AS (
+       |  SELECT clip_a AS d1, clip_b AS d2 FROM pairs
+       |  WHERE hamming <= 6),
+       |edges AS (
+       |  SELECT d1 AS u, d2 AS v FROM p2
+       |  UNION SELECT d2, d1 FROM p2),
+       |nodes AS (SELECT DISTINCT clip_id FROM grid),
+       |reach(clip_id, label) AS (
+       |  SELECT clip_id, clip_id FROM nodes
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.clip_id)
+       |SELECT 'audio' AS modality, clip_id AS media_id,
+       |  min(label) AS cluster_id,
+       |  (clip_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY clip_id)
+       |UNION ALL
+       |SELECT * FROM (
+       |WITH RECURSIVE ${VideoDedup.keyframePairCtes},
+       |p2 AS (
+       |  SELECT img_a AS d1, img_b AS d2 FROM pairs
+       |  WHERE hamming <= 6 AND img_a // 100 <> img_b // 100),
+       |edges AS (
+       |  SELECT d1 AS u, d2 AS v FROM p2
+       |  UNION SELECT d2, d1 FROM p2),
+       |nodes AS (SELECT image_id FROM kf),
+       |reach(frame_id, label) AS (
+       |  SELECT image_id, image_id FROM nodes
+       |  UNION
+       |  SELECT e.u, r.label FROM reach r JOIN edges e ON e.v = r.frame_id)
+       |SELECT 'video' AS modality, frame_id AS media_id,
+       |  min(label) AS cluster_id,
+       |  (frame_id = min(label)) AS is_keeper
+       |FROM reach GROUP BY frame_id)
+       |ORDER BY modality, media_id""".stripMargin
+
   // ------------------------------------- benched merge serving path
   private val mergeClusterStoreFor =
     scala.collection.concurrent.TrieMap.empty[String, String]
@@ -1552,6 +1656,7 @@ object MediaClusterStore {
     "nq_media_clusters_affected" -> (nqMediaClustersAffected _),
     "nq_audio_clusters_inc" -> (nqAudioClustersInc _),
     "nq_video_clusters_inc" -> (nqVideoClustersInc _),
+    "nq_media_clusters_joint" -> (nqMediaClustersJoint _),
     "nq_cluster_merge" -> (nqClusterMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -1576,6 +1681,11 @@ object MediaClusterStore {
     // verbatim, composed with the q63-shape recursive reach
     "nq_audio_clusters_inc" -> nqAudioClustersIncSql,
     "nq_video_clusters_inc" -> nqVideoClustersIncSql,
+    // ONE batch, three modalities, one judge→merge→ingest pass — the
+    // oracle is the three one-shot clustering SQLs' UNION (shared
+    // pair CTEs verbatim), so cross-modality contamination or a lost
+    // modality hash-fails
+    "nq_media_clusters_joint" -> nqMediaClustersJointSql,
     // the benched merge path re-proves the zero-dump XXH64-replica
     // corpus' one-shot connected components
     "nq_cluster_merge" -> nqClusterMergeSql)

@@ -845,6 +845,26 @@ class MediaClusterStoreSpec extends SparkSpec {
       s"diff = ${affected.diff(strict) ++ strict.diff(affected)}")
   }
 
+  test("joint entry: ONE batch of image+audio+video fingerprints " +
+      "through one judge→merge→ingest pass equals the three " +
+      "single-modality cluster entries' union — no per-modality " +
+      "orchestration, no cross-modality contamination") {
+    def asSet(df: org.apache.spark.sql.DataFrame, m: String) =
+      df.collect().map(r => (m, r.getLong(0), r.getLong(1),
+        r.getBoolean(2))).toSet
+    val joint = MediaClusterStore.nqMediaClustersJoint(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSet
+    val expected =
+      asSet(MediaClusterStore.nqMediaClustersInc(spark, sf0001), "image") ++
+      asSet(MediaClusterStore.nqAudioClustersInc(spark, sf0001), "audio") ++
+      asSet(MediaClusterStore.nqVideoClustersInc(spark, sf0001), "video")
+    assert(joint.nonEmpty)
+    assert(Set("image", "audio", "video").subsetOf(joint.map(_._1)))
+    assert(joint === expected,
+      s"diff = ${joint.diff(expected) ++ expected.diff(joint)}")
+  }
+
   test("audio member: the incremental cluster path equals the " +
       "one-shot connected components over the audio pair relation") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
