@@ -24,22 +24,39 @@ object Stores {
     *
     * Compose with the store's own merge:
     * `mergePartials(Stores.readAsOf(s, path, n), groupCols)` etc.
-    * CAVEAT: compaction folds history into one partition and so
-    * truncates the snapshot horizon — pin snapshots only on stores
+    * Compaction folds history into one partition and so truncates the
+    * snapshot horizon — ENFORCED (r17): a snapshot below the
+    * persisted [[FoldWatermark]] fails loudly instead of silently
+    * merging an empty/partial view; pin snapshots only on stores
     * whose compaction cadence respects the experiment's lifetime
     * (the same trade-off every LSM/delta layout documents). */
   def readAsOf(s: SparkSession, storePath: String,
-      maxBatchId: Long): DataFrame =
+      maxBatchId: Long): DataFrame = {
+    FoldWatermark.requireAtOrAbove(s, storePath, maxBatchId)
     s.read.parquet(storePath)
       .filter(col("batch_id").cast("long") <= maxBatchId)
+  }
 
   /** Batch-range read: partials of batches in [fromId, toId] — the
     * "what changed between snapshots" read (difference of two as-of
-    * views for additive stores; the audit window for the rest). */
+    * views for additive stores; the audit window for the rest).
+    * The INCLUSIVE lower bound must sit strictly above the fold
+    * watermark: the `batch_id=watermark` fold partition aggregates
+    * ALL prior history, so a window opening at or below it would
+    * silently include every folded batch's contribution. */
   def readBatchRange(s: SparkSession, storePath: String,
-      fromId: Long, toId: Long): DataFrame =
+      fromId: Long, toId: Long): DataFrame = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    FoldWatermark.read(fs, storePath).foreach(w => require(fromId > w,
+      s"batch-range read opening at $fromId is at or below the " +
+        s"compaction fold watermark $w at $storePath: the fold " +
+        "partition aggregates all prior history, so the window is no " +
+        "longer derivable (pick compaction `through` below the oldest " +
+        "window still needed)"))
     s.read.parquet(storePath)
       .filter(col("batch_id").cast("long").between(fromId, toId))
+  }
 
   /** Store manifest — what the single maintenance owner looks at
     * before compacting, snapshotting, or rebuilding: one row per

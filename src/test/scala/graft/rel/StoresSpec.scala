@@ -55,6 +55,45 @@ class StoresSpec extends SparkSpec {
     }
   }
 
+  test("the generic snapshot/range views honor the fold watermark: " +
+      "readAsOf below it and readBatchRange opening at/below it fail " +
+      "loudly; at/above both read unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("asof-wmark")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      def slice(b: Int) = li.filter(pmod($"l_orderkey", lit(5)) === b)
+      (0 until 5).foreach(b => AggStore.applyBatch(slice(b), groupCols,
+        "l_extendedprice", store, b.toLong))
+      def asOf(n: Long) = AggStore.mergePartials(
+          Stores.readAsOf(spark, store, n).drop("batch_id"), groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val snap2 = asOf(2L)
+      AggStore.compactThrough(spark, store, groupCols, 2L)
+      assert(asOf(2L) === snap2, "as-of AT the watermark must survive")
+      val e = intercept[IllegalArgumentException](asOf(1L))
+      assert(e.getMessage.contains("fold watermark 2"), e.getMessage)
+      // the inclusive range guard: opening AT the watermark would
+      // silently include the whole folded history — refuse; opening
+      // strictly above reads the true window
+      val e2 = intercept[IllegalArgumentException](
+        Stores.readBatchRange(spark, store, 2L, 4L))
+      assert(e2.getMessage.contains("fold watermark"), e2.getMessage)
+      val window = AggStore.mergePartials(
+          Stores.readBatchRange(spark, store, 3L, 4L).drop("batch_id"),
+          groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val lateDirect = AggStore.mergePartials(
+          AggStore.partialBatch(li.filter(pmod($"l_orderkey", lit(5)) >= 3),
+            groupCols, "l_extendedprice"), groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      assert(window === lateDirect)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("as-of filter is a partition filter — snapshot reads prune " +
       "directories, they do not scan and discard") {
     val dir = java.nio.file.Files.createTempDirectory("asof-prune")
