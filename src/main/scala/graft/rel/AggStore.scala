@@ -79,7 +79,15 @@ object AggStore {
     * partitioning with a per-file cap. */
   private[rel] def writeFencedPartials(partials: DataFrame,
       storePath: String, batchId: Long,
-      singleFile: Boolean = true): Unit =
+      singleFile: Boolean = true,
+      compactionFold: Boolean = false): Unit = {
+    // the replay-horizon guard: an ingest at or below the fold
+    // watermark would resurrect a pruned partition (or clobber the
+    // fold at ==); only compaction's own fold write legitimately
+    // lands AT the watermark
+    if (!compactionFold)
+      FoldWatermark.requireIngestAbove(partials.sparkSession, storePath,
+        batchId)
     (if (singleFile) partials.withColumn("batch_id", lit(batchId))
         .coalesce(1)
      else partials.withColumn("batch_id", lit(batchId)))
@@ -88,6 +96,7 @@ object AggStore {
       .option("maxRecordsPerFile", 10000000L)
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+  }
 
   /** Reduce a batch and write it under its own `batch_id=N` store
     * partition — see the replay paragraph in the object doc. */
@@ -366,7 +375,8 @@ object AggStore {
         min("min_val").as("min_val"),
         max("max_val").as("max_val"))
       .localCheckpoint()
-    writeFencedPartials(folded, storePath, through, singleFile)
+    writeFencedPartials(folded, storePath, through, singleFile,
+      compactionFold = true)
     // watermark BEFORE prune: a crash between the two refuses a
     // still-derivable snapshot (conservative), never serves a partial
     FoldWatermark.write(

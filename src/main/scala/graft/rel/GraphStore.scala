@@ -52,7 +52,11 @@ object GraphStore {
     * by maxRecordsPerFile so a giant coalesced upstream can't produce
     * multi-GB files); the `batch_id` fence semantics are unchanged. */
   def applyEdgeBatch(edges: DataFrame, storePath: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // the replay-horizon guard: re-ingesting at or below the fold
+    // watermark would resurrect a pruned partition
+    FoldWatermark.requireIngestAbove(edges.sparkSession,
+      dataDir(storePath), batchId)
     edges.select(col("src"), col("dst"))
       .withColumn("batch_id", lit(batchId))
       .write
@@ -60,6 +64,7 @@ object GraphStore {
       .option("maxRecordsPerFile", 10000000L)
       .partitionBy("batch_id")
       .mode("overwrite").parquet(dataDir(storePath))
+  }
 
   /** Keyed edge deletion: (src, dst) pairs land in the tombstone log
     * under their own fenced partition; every read anti-joins them.

@@ -46,14 +46,7 @@ object Stores {
     * silently include every folded batch's contribution. */
   def readBatchRange(s: SparkSession, storePath: String,
       fromId: Long, toId: Long): DataFrame = {
-    val fs = new org.apache.hadoop.fs.Path(storePath)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    FoldWatermark.read(fs, storePath).foreach(w => require(fromId > w,
-      s"batch-range read opening at $fromId is at or below the " +
-        s"compaction fold watermark $w at $storePath: the fold " +
-        "partition aggregates all prior history, so the window is no " +
-        "longer derivable (pick compaction `through` below the oldest " +
-        "window still needed)"))
+    FoldWatermark.requireAbove(s, storePath, fromId)
     s.read.parquet(storePath)
       .filter(col("batch_id").cast("long").between(fromId, toId))
   }

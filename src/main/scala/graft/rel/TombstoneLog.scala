@@ -254,22 +254,43 @@ private[graft] object FoldWatermark {
     TombstoneLog.path(s"$dataPath/_fold_watermark_tmp")
 
   /** The persisted watermark (None = never compacted). Falls back to
-    * the staged tmp inside the write's delete→rename window. */
+    * the staged tmp inside the write's delete→rename window.
+    *
+    * Read discipline: readFully of the file's full length (a single
+    * in.read may return fewer bytes than the file holds on chunked
+    * streams — a short read of "12" as "1" would silently WEAKEN the
+    * guard, the exact class the marker exists to close). An
+    * unparsable MARKER fails loudly (the marker is only ever created
+    * by renaming a fully-written tmp, so corruption is external and
+    * must not silently disable the guard); an unparsable TMP reads as
+    * None (the one legitimate crash window — a first-ever write
+    * interrupted mid-tmp leaves a truncated tmp and NO marker, and
+    * the fold it belonged to never pruned). */
   def read(fs: org.apache.hadoop.fs.FileSystem,
       dataPath: String): Option[Long] = {
-    def rd(p: org.apache.hadoop.fs.Path): Option[Long] =
+    def rd(p: org.apache.hadoop.fs.Path,
+        loudOnCorrupt: Boolean): Option[Long] =
       if (!fs.exists(p)) None
       else {
+        val len = fs.getFileStatus(p).getLen
+        require(!loudOnCorrupt || len <= 64,
+          s"corrupt fold-watermark marker at $p: $len bytes")
+        val buf = new Array[Byte](math.min(len, 64L).toInt)
         val in = fs.open(p)
-        val txt = try {
-          val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          new String(buf, 0, math.max(n, 0),
-            java.nio.charset.StandardCharsets.UTF_8)
-        } finally in.close()
-        scala.util.Try(txt.trim.toLong).toOption
+        try in.readFully(0, buf) finally in.close()
+        val txt = new String(buf,
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        val v = txt.toLongOption
+        require(v.isDefined || !loudOnCorrupt,
+          s"corrupt fold-watermark marker at $p ('$txt'): refusing to " +
+            "serve as-of reads with the retention guard silently off — " +
+            "restore the marker (its value = the newest compaction " +
+            "`through`) or delete it ONLY if the store was never " +
+            "compacted")
+        v
       }
-    rd(marker(dataPath)).orElse(rd(markerTmp(dataPath)))
+    rd(marker(dataPath), loudOnCorrupt = true)
+      .orElse(rd(markerTmp(dataPath), loudOnCorrupt = false))
   }
 
   /** Raise the watermark to `through` (no-op when already at or
@@ -288,17 +309,51 @@ private[graft] object FoldWatermark {
         s"cannot swap fold-watermark marker into place at $dataPath")
     }
 
+  private def fsFor(s: org.apache.spark.sql.SparkSession,
+      dataPath: String) =
+    TombstoneLog.path(dataPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
   /** The as-of read guard: loud refusal below the fold watermark —
     * the one silent-wrong-answer class the store family had left. */
   def requireAtOrAbove(s: org.apache.spark.sql.SparkSession,
-      dataPath: String, asOf: Long): Unit = {
-    val fs = TombstoneLog.path(dataPath)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    read(fs, dataPath).foreach(w => require(asOf >= w,
+      dataPath: String, asOf: Long): Unit =
+    read(fsFor(s, dataPath), dataPath).foreach(w => require(asOf >= w,
       s"as-of batch $asOf is below the compaction fold watermark $w " +
         s"at $dataPath: batches <= $w were folded into one partition " +
         "and snapshots below the watermark are no longer derivable " +
         "(the store-family retention trade — pick compaction " +
         "`through` = the oldest as-of still needed)"))
-  }
+
+  /** The INCLUSIVE-lower-bound guard (batch-range reads): the
+    * `batch_id=watermark` fold partition aggregates ALL prior
+    * history, so a window opening at or below it would silently
+    * include every folded batch's contribution — strictly-above
+    * required. ONE implementation beside [[requireAtOrAbove]] so the
+    * two guard flavors cannot drift. */
+  def requireAbove(s: org.apache.spark.sql.SparkSession,
+      dataPath: String, fromBatch: Long): Unit =
+    read(fsFor(s, dataPath), dataPath).foreach(w => require(fromBatch > w,
+      s"batch-range read opening at $fromBatch is at or below the " +
+        s"compaction fold watermark $w at $dataPath: the fold " +
+        "partition aggregates all prior history, so the window is no " +
+        "longer derivable (pick compaction `through` below the oldest " +
+        "window still needed)"))
+
+  /** The INGEST-side replay-horizon guard: compaction is a replay
+    * horizon for batch ids ≤ `through` (every compaction scaladoc's
+    * contract) — re-ingesting at or below the fold watermark would
+    * resurrect a pruned partition (or clobber the fold itself at ==),
+    * and every later read would silently serve duplicate or
+    * conflicting rows. Compacting stores call this at their public
+    * ingest entry points; compaction's own fold write bypasses it
+    * (the fold legitimately writes AT the watermark). */
+  def requireIngestAbove(s: org.apache.spark.sql.SparkSession,
+      dataPath: String, batchId: Long): Unit =
+    read(fsFor(s, dataPath), dataPath).foreach(w => require(batchId > w,
+      s"ingest batch $batchId is at or below the compaction fold " +
+        s"watermark $w at $dataPath: compaction is a replay horizon — " +
+        s"batches <= $w were folded, and re-ingesting below the " +
+        "watermark would resurrect a pruned partition (replay only " +
+        "ids above it, or pick a fresh batch id)"))
 }

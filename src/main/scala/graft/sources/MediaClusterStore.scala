@@ -173,8 +173,14 @@ object MediaClusterStore {
   private val collectedMemo =
     new BoundedMemo[(String, Option[Long], Long, String),
       Option[Map[(String, Long), Long]]](8)
+  // the relation memo is SESSION-SCOPED (applicationId in the key): a
+  // localCheckpoint-backed DataFrame is bound to the context that
+  // materialized it, and serving one from a stopped session would
+  // throw on every read until the log happened to mutate. Evicted
+  // entries' checkpoint blocks free through the ContextCleaner once
+  // the DataFrame is unreferenced.
   private val relationMemo =
-    new BoundedMemo[(String, Option[Long], String), DataFrame](8)
+    new BoundedMemo[(String, String, Option[Long], String), DataFrame](8)
 
   /** Cached over-bound PROOF per store: (log state, fence, bound) at
     * proof time. Over-bound is monotone — the fenced log only grows
@@ -205,9 +211,11 @@ object MediaClusterStore {
   private[graft] val remapResolveRuns =
     new java.util.concurrent.atomic.AtomicLong
 
-  /** Drop every resolution memo (specs compare memoized ≡ recomputed;
-    * probes measure cold vs warm). */
-  private[graft] def clearRemapMemo(): Unit = {
+  /** Drop every resolution memo — public: an application that stops
+    * and recreates its SparkSession, or wants a forced recompute,
+    * must be able to reset driver-side memo state (specs compare
+    * memoized ≡ recomputed; probes measure cold vs warm). */
+  def clearRemapMemo(): Unit = {
     collectedMemo.clear(); relationMemo.clear(); overBoundProof.clear()
   }
 
@@ -218,10 +226,18 @@ object MediaClusterStore {
     * (the limit rides the collect job — no separate count, and the
     * driver never materializes an over-bound log). Chains terminate
     * because every entry decreases the label. */
-  private def collectedRemaps(s: SparkSession, storePath: String,
-      beforeBatch: Option[Long]): Option[Map[(String, Long), Long]] =
+  /** The resolution decision with ONE log-state listing per call:
+    * Right(map) = the broadcastable driver closure (empty when no log
+    * stands — the fast path); Left(relation) = the log is over the
+    * bound, here is the memoized pointer-doubled closure RELATION.
+    * Fusing the verdict and the fallback keeps over-bound reads at
+    * one FS listing instead of two (the listing is a metadata RPC
+    * storm on object stores). */
+  private def remapsResolved(s: SparkSession, storePath: String,
+      beforeBatch: Option[Long])
+      : Either[DataFrame, Map[(String, Long), Long]] =
     remapLog(s, storePath, beforeBatch) match {
-      case None => Some(Map.empty)
+      case None => Right(Map.empty)
       case Some(fenced) =>
         // the effective bound caps at Int.MaxValue-2: a larger config
         // could not be enforced (rows.length is an Int, and limit
@@ -240,40 +256,46 @@ object MediaClusterStore {
           case (pSt, pF, pB) =>
             proofCovers(pF, pB, beforeBatch, bound, pSt, state)
         }
-        if (proven) None
-        else collectedMemo.getOrElseUpdate(
-            (storePath, beforeBatch, bound, stateKey(state))) {
-          // the collect carries AT MOST bound+1 rows (the limit rides
-          // the collect job — no separate count; an over-bound log is
-          // shipped ONCE per log state, then proven from metadata)
-          val rows = fenced.limit(bound.toInt + 1).collect()
-          if (rows.length > bound) {
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"cluster-store remap log at $storePath holds > $bound " +
-                s"merge events ($MaxRemapRowsConf): falling back to " +
-                "distributed closure resolution — run compactThrough " +
-                "to bake the closure into the assignments and restore " +
-                "the broadcast fast path")
-            overBoundProof.put(storePath, (state, beforeBatch, bound))
-            None
-          } else {
-            if (rows.length > RemapLogWarnRows)
+        val collected: Option[Map[(String, Long), Long]] =
+          if (proven) None
+          else collectedMemo.getOrElseUpdate(
+              (storePath, beforeBatch, bound, stateKey(state))) {
+            // the collect carries AT MOST bound+1 rows (the limit rides
+            // the collect job — no separate count; an over-bound log is
+            // shipped ONCE per log state, then proven from metadata)
+            val rows = fenced.limit(bound.toInt + 1).collect()
+            if (rows.length > bound) {
               org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"cluster-store remap log at $storePath holds " +
-                  s"${rows.length} merge events (soft bound " +
-                  s"$RemapLogWarnRows): schedule compactThrough — every " +
-                  "merge and read collects and broadcasts this log")
-            val raw = rows
-              .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
-              .toMap
-            def follow(m: String, l: Long): Long = {
-              var x = l
-              while (raw.contains((m, x))) x = raw((m, x))
-              x
+                s"cluster-store remap log at $storePath holds > $bound " +
+                  s"merge events ($MaxRemapRowsConf): falling back to " +
+                  "distributed closure resolution — run compactThrough " +
+                  "to bake the closure into the assignments and restore " +
+                  "the broadcast fast path")
+              // crude size cap: one proof per store, and a pathological
+              // many-store driver sheds them all rather than growing
+              if (overBoundProof.size > 32) overBoundProof.clear()
+              overBoundProof.put(storePath, (state, beforeBatch, bound))
+              None
+            } else {
+              if (rows.length > RemapLogWarnRows)
+                org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                  s"cluster-store remap log at $storePath holds " +
+                    s"${rows.length} merge events (soft bound " +
+                    s"$RemapLogWarnRows): schedule compactThrough — every " +
+                    "merge and read collects and broadcasts this log")
+              val raw = rows
+                .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
+                .toMap
+              def follow(m: String, l: Long): Long = {
+                var x = l
+                while (raw.contains((m, x))) x = raw((m, x))
+                x
+              }
+              Some(raw.map { case ((m, o), _) => ((m, o), follow(m, o)) })
             }
-            Some(raw.map { case ((m, o), _) => ((m, o), follow(m, o)) })
           }
-        }
+        collected.toRight(
+          resolvedRelationFor(s, storePath, beforeBatch, fenced, state))
     }
 
   /** The remap closure as a RELATION, chain-resolved by POINTER
@@ -287,39 +309,47 @@ object MediaClusterStore {
     * the self-join lineage. */
   private def resolvedRemapsRelation(s: SparkSession, storePath: String,
       beforeBatch: Option[Long]): Option[DataFrame] =
-    remapLog(s, storePath, beforeBatch).map { fenced =>
-      // memoized per (store, fence, log state): the resolved relation
-      // is a pure function of the fenced log, so over-bound standing
-      // reads (fence None — every assignmentsFromStore and the
-      // recluster detection path) pay the doubling ONCE per log state
-      // and then reuse the checkpointed relation (VERDICT r16 #2)
-      relationMemo.getOrElseUpdate(
-          (storePath, beforeBatch, stateKey(remapLogState(s, storePath)))) {
-        remapResolveRuns.incrementAndGet()
-        var r = fenced.localCheckpoint()
-        var rounds = 0
-        var hopped = 1L
-        while (hopped > 0) {
-          require(rounds < 64,
-            "remap-closure pointer doubling exceeded 64 rounds — the " +
-              "strictly-decreasing-label invariant is broken")
-          val step = r.as("a").join(
-              r.select(col("modality").as("b_m"),
-                col("old_label").as("b_old"),
-                col("new_label").as("b_new")),
-              col("a.modality") === col("b_m") &&
-                col("a.new_label") === col("b_old"), "left")
-            .select(col("a.modality").as("modality"),
-              col("a.old_label").as("old_label"),
-              coalesce(col("b_new"), col("a.new_label")).as("new_label"),
-              col("b_old").isNotNull.as("hop"))
-            .localCheckpoint()
-          hopped = step.filter(col("hop")).count()
-          r = step.drop("hop")
-          rounds += 1
-        }
-        r
+    remapLog(s, storePath, beforeBatch).map(fenced =>
+      resolvedRelationFor(s, storePath, beforeBatch, fenced,
+        remapLogState(s, storePath)))
+
+  /** The pointer-doubling body, memoized per (session, store, fence,
+    * log state): the resolved relation is a pure function of the
+    * fenced log, so over-bound standing reads (fence None — every
+    * assignmentsFromStore and the recluster detection path) pay the
+    * doubling ONCE per log state and then reuse the checkpointed
+    * relation (VERDICT r16 #2). The session id keys the memo because
+    * checkpoint blocks die with their context. */
+  private def resolvedRelationFor(s: SparkSession, storePath: String,
+      beforeBatch: Option[Long], fenced: DataFrame,
+      state: Map[String, Set[(String, Long, Long)]]): DataFrame =
+    relationMemo.getOrElseUpdate(
+        (s.sparkContext.applicationId, storePath, beforeBatch,
+          stateKey(state))) {
+      remapResolveRuns.incrementAndGet()
+      var r = fenced.localCheckpoint()
+      var rounds = 0
+      var hopped = 1L
+      while (hopped > 0) {
+        require(rounds < 64,
+          "remap-closure pointer doubling exceeded 64 rounds — the " +
+            "strictly-decreasing-label invariant is broken")
+        val step = r.as("a").join(
+            r.select(col("modality").as("b_m"),
+              col("old_label").as("b_old"),
+              col("new_label").as("b_new")),
+            col("a.modality") === col("b_m") &&
+              col("a.new_label") === col("b_old"), "left")
+          .select(col("a.modality").as("modality"),
+            col("a.old_label").as("old_label"),
+            coalesce(col("b_new"), col("a.new_label")).as("new_label"),
+            col("b_old").isNotNull.as("hop"))
+          .localCheckpoint()
+        hopped = step.filter(col("hop")).count()
+        r = step.drop("hop")
+        rounds += 1
       }
+      r
     }
 
   /** Merge one judged batch into the standing assignments.
@@ -352,6 +382,12 @@ object MediaClusterStore {
       pairs: DataFrame, storePath: String, batchId: Long): Unit = {
     import s.implicits._
     val aDir = assignDir(storePath)
+    // the replay-horizon guard: a merge at or below the fold watermark
+    // would read an EMPTY prior view (its history was folded), treat
+    // standing members as fresh, and resurrect a pruned assignment
+    // partition — loud refusal instead (the remap-log write below
+    // shares the same horizon)
+    graft.rel.FoldWatermark.requireIngestAbove(s, aDir, batchId)
 
     // this batch's pair edges — match-output-sized (the verdict bound)
     val pr0 = pairs.select(col("modality"), col("id_a"), col("id_b"))
@@ -386,22 +422,22 @@ object MediaClusterStore {
         .select("modality", "media_id", "label").collect()
         .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     val remap: Map[(String, Long), Long] =
-      collectedRemaps(s, storePath, Some(batchId)).getOrElse {
-        // over-bound fallback: resolve ONLY the standing endpoints'
-        // labels through the distributed closure — endpoint-sized
-        // collect regardless of log size (the merge path never needed
-        // the full log, only these labels' final values)
-        val need = rawLabels.iterator
-          .map { case ((m, _), l) => (m, l) }.toSet.toSeq
-        if (need.isEmpty) Map.empty
-        else resolvedRemapsRelation(s, storePath, Some(batchId))
-          .map(_.join(broadcast(need.toDF("n_m", "n_l")),
+      remapsResolved(s, storePath, Some(batchId)) match {
+        case Right(m) => m
+        case Left(rel) =>
+          // over-bound fallback: resolve ONLY the standing endpoints'
+          // labels through the distributed closure — endpoint-sized
+          // collect regardless of log size (the merge path never
+          // needed the full log, only these labels' final values)
+          val need = rawLabels.iterator
+            .map { case ((m, _), l) => (m, l) }.toSet.toSeq
+          if (need.isEmpty) Map.empty
+          else rel.join(broadcast(need.toDF("n_m", "n_l")),
               col("modality") === col("n_m") &&
                 col("old_label") === col("n_l"), "left_semi")
             .collect()
             .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2)))
-            .toMap)
-          .getOrElse(Map.empty)
+            .toMap
       }
     def resolve(m: String, l: Long): Long =
       remap.getOrElse((m, l), l)
@@ -542,22 +578,20 @@ object MediaClusterStore {
         "left")
       .select(col("media_id"), col("modality"),
         coalesce(col("new_label"), col("label")).as("cluster_id"))
-    collectedRemaps(s, storePath, asOfBatch.map(_ + 1)) match {
-      case Some(remap) if remap.isEmpty =>
+    remapsResolved(s, storePath, asOfBatch.map(_ + 1)) match {
+      case Right(remap) if remap.isEmpty =>
         base.select(col("media_id"), col("modality"),
           col("label").as("cluster_id"))
-      case Some(remap) => resolveThrough(
+      case Right(remap) => resolveThrough(
         broadcast(remap.toSeq.map { case ((m, o), n) => (m, o, n) }
           .toDF("r_m", "old_label", "new_label")))
-      case None =>
+      case Left(rel) =>
         // over-bound fallback: the closure joins as a RELATION and AQE
         // picks the strategy — the scale path pays a real join rather
         // than a driver materialization (warned; compaction restores
         // the broadcast fast path)
-        resolveThrough(
-          resolvedRemapsRelation(s, storePath, asOfBatch.map(_ + 1)).get
-            .select(col("modality").as("r_m"), col("old_label"),
-              col("new_label")))
+        resolveThrough(rel.select(col("modality").as("r_m"),
+          col("old_label"), col("new_label")))
     }
   }
 
@@ -754,10 +788,16 @@ object MediaClusterStore {
     * signature; non-zero means the run REPAIRED it (those pairs'
     * clusters joined the affected set). `unknownEndpointPairs` names
     * evidence this op had to ignore (endpoints absent from the store)
-    * — the one case still requiring [[reclusterFromPairs]]. */
+    * — the one case still requiring [[reclusterFromPairs]].
+    * `divergenceChecked` says whether detection RAN at all: the op
+    * gates on a standing tombstone log (the cheap entry check), and a
+    * zero crossing count behind a false flag means "not checked", not
+    * "checked and clean" — a driver monitoring divergence on a store
+    * whose tombstones were aged out must escalate on the flag, not
+    * read the zero as health. */
   final case class ReclusterStats(staged: Boolean,
       affectedClusters: Long, crossingPairs: Long,
-      unknownEndpointPairs: Long)
+      unknownEndpointPairs: Long, divergenceChecked: Boolean)
 
   /** AFFECTED-COMPONENT re-cluster — [[reclusterFromPairs]]'s
     * semantics restricted to the clusters an erasure OR a stream
@@ -804,7 +844,9 @@ object MediaClusterStore {
     * compaction. Detection still gates on a standing tombstone log
     * (the cheap entry check — erasure is what creates both tiers'
     * work); a diverged store whose tombstones were fully aged out by
-    * a later compaction repairs via [[reclusterFromPairs]]. */
+    * a later compaction repairs via [[reclusterFromPairs]], and the
+    * returned stats say so honestly: `divergenceChecked=false` marks
+    * the skipped detection, never a zero that reads as "clean". */
   def reclusterAffected(s: SparkSession, storePath: String,
       pairs: DataFrame): ReclusterStats = {
     val fs = fsOf(s, storePath)
@@ -825,7 +867,8 @@ object MediaClusterStore {
   private[graft] def stageReclusterPlan(s: SparkSession,
       storePath: String, pairs: DataFrame): ReclusterStats = {
     import s.implicits._
-    val none = ReclusterStats(staged = false, 0L, 0L, 0L)
+    val none = ReclusterStats(staged = false, 0L, 0L, 0L,
+      divergenceChecked = false)
     val fs = fsOf(s, storePath)
     val aDir = assignDir(storePath)
     if (!hasBatches(s, aDir)) return none
@@ -905,7 +948,8 @@ object MediaClusterStore {
     // nothing affected: report what detection SAW anyway (unknown
     // evidence still matters to a maintenance driver)
     if (affectedIds.isEmpty)
-      return ReclusterStats(staged = false, 0L, crossing, unknown)
+      return ReclusterStats(staged = false, 0L, crossing, unknown,
+        divergenceChecked = true)
     val affIds = broadcast(affectedIds.toSeq.toDF("a_m", "a_cid"))
     val affectedKeys = resolved.join(affIds,
         col("modality") === col("a_m") &&
@@ -963,15 +1007,15 @@ object MediaClusterStore {
       // hit-detection closure: the bounded driver map broadcasts (one
       // cheap collect — not a second pointer-doubling run); only the
       // over-bound regime pays a distributed resolution here alongside
-      // the detection read's
-      val rel = collectedRemaps(s, storePath, None)
-        .filter(_.nonEmpty)
-        .map(m => broadcast(m.toSeq.map { case ((mm, o), n) => (mm, o, n) }
-          .toDF("c_m", "c_old", "c_fin")))
-        .getOrElse(resolvedRemapsRelation(s, storePath, None).get
-          .select(col("modality").as("c_m"),
-            col("old_label").as("c_old"),
-            col("new_label").as("c_fin")))
+      // the detection read's (memoized, so usually free by now)
+      val rel = remapsResolved(s, storePath, None) match {
+        case Right(m) =>
+          broadcast(m.toSeq.map { case ((mm, o), n) => (mm, o, n) }
+            .toDF("c_m", "c_old", "c_fin"))
+        case Left(r) => r.select(col("modality").as("c_m"),
+          col("old_label").as("c_old"),
+          col("new_label").as("c_fin"))
+      }
       val rawR = s.read.parquet(remapDir(storePath))
       val withFin = rawR.join(rel,
         col("modality") === col("c_m") && col("old_label") === col("c_old"))
@@ -1004,7 +1048,7 @@ object MediaClusterStore {
     require(fs.rename(pathOf(tmp), pathOf(planDir(storePath))),
       s"could not stage recluster plan at ${planDir(storePath)}")
     ReclusterStats(staged = true, affectedIds.length.toLong, crossing,
-      unknown)
+      unknown, divergenceChecked = true)
   }
 
   /** Apply a staged plan — pure idempotent partition overwrites and

@@ -58,7 +58,11 @@ object MediaDedupStore {
 
   /** Ingest one fingerprint batch under its own fenced partition. */
   def applyFingerprintBatch(fps: DataFrame, storePath: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    // the replay-horizon guard: re-ingesting at or below the fold
+    // watermark would resurrect a pruned partition
+    graft.rel.FoldWatermark.requireIngestAbove(fps.sparkSession,
+      dataDir(storePath), batchId)
     fps.select(col("media_id"), col("modality"), col("h"))
       .withColumn("batch_id", lit(batchId))
       .write
@@ -66,6 +70,7 @@ object MediaDedupStore {
       .option("maxRecordsPerFile", 10000000L)
       .partitionBy("batch_id")
       .mode("overwrite").parquet(dataDir(storePath))
+  }
 
   /** Keyed deletion: (media_id, modality) tombstones — modality is part
     * of the key, so erasing an image never touches an audio clip that

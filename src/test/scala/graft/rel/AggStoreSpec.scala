@@ -297,6 +297,17 @@ class AggStoreSpec extends SparkSpec {
       val e3 = intercept[IllegalArgumentException](asOf(2L))
       assert(e3.getMessage.contains("fold watermark 3"), e3.getMessage)
       assert(asOf(3L).nonEmpty && asOf(4L).nonEmpty)
+      // the INGEST side of the same horizon: re-ingesting at or below
+      // the watermark would resurrect a pruned partition (or clobber
+      // the fold at ==) — refused; above it, ingest proceeds
+      val e4 = intercept[IllegalArgumentException](AggStore.applyBatch(
+        li.limit(10), groupCols, "l_extendedprice", store, 3L))
+      assert(e4.getMessage.contains("replay horizon"), e4.getMessage)
+      intercept[IllegalArgumentException](AggStore.applyBatch(
+        li.limit(10), groupCols, "l_extendedprice", store, 1L))
+      AggStore.applyBatch(li.limit(10), groupCols, "l_extendedprice",
+        store, 5L)
+      assert(asOf(5L).nonEmpty)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

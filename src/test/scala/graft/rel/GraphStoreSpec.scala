@@ -159,6 +159,15 @@ class GraphStoreSpec extends SparkSpec {
         asof1, "as-of AT the watermark must survive unchanged")
       assert(edgeSet(GraphStore.edgesFromStore(spark, store, Some(2L)))
         .contains((5L, 6L)))
+      // the ingest side: a replay at or below the horizon is refused,
+      // a fresh batch above it lands
+      val e2 = intercept[IllegalArgumentException](
+        GraphStore.applyEdgeBatch(
+          Seq((7L, 8L)).toDF("src", "dst"), store, 1L))
+      assert(e2.getMessage.contains("replay horizon"), e2.getMessage)
+      GraphStore.applyEdgeBatch(Seq((7L, 8L)).toDF("src", "dst"), store, 3L)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store))
+        .contains((7L, 8L)))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

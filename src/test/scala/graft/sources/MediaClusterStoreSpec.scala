@@ -113,6 +113,31 @@ class MediaClusterStoreSpec extends SparkSpec {
       intercept[IllegalArgumentException](
         MediaClusterStore.survivingAssignments(spark, store, Some(0L))
           .collect())
+      // the MERGE side of the same horizon: a replayed batch at or
+      // below the watermark would read an empty prior view, treat
+      // standing members as fresh, and resurrect a pruned partition —
+      // refused loudly; a fresh id above it merges fine
+      val e2 = intercept[IllegalArgumentException](
+        MediaClusterStore.applyClusterBatch(spark,
+          members(20L), prs((20L, 11L)), store, 1L))
+      assert(e2.getMessage.contains("replay horizon"), e2.getMessage)
+      MediaClusterStore.applyClusterBatch(spark,
+        members(40L), prs((40L, 30L)), store, 3L)
+      assert(at(3L)(40L) === 30L)
+    } finally rmrf(dir)
+  }
+
+  test("reclusterAffected on a store with NO tombstone log reports " +
+      "divergenceChecked=false — a skipped detection is never a " +
+      "'checked and clean' zero") {
+    val dir = tmp("mclusternotomb")
+    try {
+      val store = dir.resolve("c").toString
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      val stats = MediaClusterStore.reclusterAffected(spark, store,
+        prs((10L, 11L)))
+      assert(!stats.staged && !stats.divergenceChecked)
     } finally rmrf(dir)
   }
 
@@ -803,7 +828,7 @@ class MediaClusterStoreSpec extends SparkSpec {
           x.getName -> (x.length(), x.lastModified())).toMap
       }
       val stats = MediaClusterStore.reclusterAffected(spark, cl, evidence)
-      assert(stats.staged)
+      assert(stats.staged && stats.divergenceChecked)
       // the divergence signature is SURFACED: 4 crossing pairs
       // ((5,7) and 7 vs each of 20/21/22), two clusters seeded from
       // them, and the one absent-member pair reported as ignored
@@ -824,8 +849,10 @@ class MediaClusterStoreSpec extends SparkSpec {
           x.getName -> (x.length(), x.lastModified())).toMap
       }
       assert(bystanderAfter === bystanderBefore)
-      // nothing left to repair: a re-run stages nothing
+      // nothing left to repair: a re-run stages nothing — and its
+      // zero crossing count is an HONEST zero (detection ran)
       val again = MediaClusterStore.reclusterAffected(spark, cl, evidence)
+      assert(!again.staged && again.divergenceChecked)
       assert(again.crossingPairs === 0L)
       assert(surviving(cl) === expect)
     } finally rmrf(dir)
