@@ -69,7 +69,13 @@ object JoinView {
     * maxRecordsPerFile caps the degenerate giant-file case. */
   def applyFactBatch(facts: DataFrame, dim: DataFrame,
       factKey: String, dimKey: String, dimAttr: String, valueCol: String,
-      storePath: String, batchId: Long): Unit =
+      storePath: String, batchId: Long): Unit = {
+    // the replay-horizon guard (see compactThrough's scaladoc — "a
+    // replayed fact batch below the watermark would RE-ADD its
+    // partials"; at == it would overwrite the fold): now loud, not
+    // documentation
+    FoldWatermark.requireIngestAbove(facts.sparkSession, storePath,
+      batchId)
     factBatchPartials(facts, dim, factKey, dimKey, dimAttr, valueCol)
       .withColumn("batch_id", lit(batchId))
       .write
@@ -77,6 +83,7 @@ object JoinView {
       .option("maxRecordsPerFile", 10000000L)
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+  }
 
   /** Dimension move: `moves` = (dimKey, old dimAttr → new dimAttr)
     * rows. ONE store-local upsert batch: the moved keys' current
@@ -122,12 +129,22 @@ object JoinView {
     // store it is about to append a partition to. coalesce(1): a move
     // batch is moves-sized (two rows per moved key), a keyed exception
     // like the graph store's tombstones — never dimension-sized.
-    retract.unionAll(insert).localCheckpoint()
-      .withColumn("batch_id", lit(batchId))
-      .coalesce(1).write
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id")
-      .mode("overwrite").parquet(storePath)
+    val delta = retract.unionAll(insert).localCheckpoint()
+    // fold-watermark interaction, move-specific: a REPLAYED folded
+    // move recomputes an EMPTY delta (the compacted store already
+    // reflects it — spec-pinned no-op), so an empty delta simply skips
+    // the write; a NON-empty delta at or below the watermark can only
+    // be a caller-error NEW move re-using a folded id, and writing it
+    // would dynamic-overwrite the fold partition itself — refuse loudly
+    if (!delta.isEmpty) {
+      FoldWatermark.requireIngestAbove(s, storePath, batchId)
+      delta
+        .withColumn("batch_id", lit(batchId))
+        .coalesce(1).write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite").parquet(storePath)
+    }
   }
 
   /** Horizontal compaction: the view store IS an AggStore at

@@ -118,6 +118,35 @@ class JoinViewSpec extends SparkSpec {
       val parts2 = new java.io.File(store).listFiles()
         .map(_.getName).filter(_.startsWith("batch_id=")).sorted.toSeq
       assert(parts2 === Seq("batch_id=3"))
+      // a replayed FACT batch at/below the watermark would re-add its
+      // folded partials (or overwrite the fold at ==) — refused loudly
+      // (the compactThrough scaladoc's rule, now enforced)
+      val eF = intercept[IllegalArgumentException](JoinView.applyFactBatch(
+        ord.filter(pmod($"o_orderkey", lit(3)) === 0), cust,
+        "o_custkey", "c_custkey", "c_nationkey", "o_totalprice",
+        store, 0L))
+      assert(eF.getMessage.contains("replay horizon"), eF.getMessage)
+      // a NEW (non-empty-delta) move re-using a folded id would
+      // dynamic-overwrite the fold partition itself — refused. The
+      // danger needs standing mass ABOVE the watermark (the move's
+      // own-partition exclusion hides the fold from its delta read),
+      // so land a legitimate fact batch 4 first.
+      JoinView.applyFactBatch(
+        ord.filter(pmod($"o_orderkey", lit(3)) === 0), cust,
+        "o_custkey", "c_custkey", "c_nationkey", "o_totalprice",
+        store, 4L)
+      val afterFact = viewRows(store)
+      val moves2 = cust.filter(pmod($"c_custkey", lit(20)) === 2)
+        .select($"c_custkey", $"c_nationkey".as("old_c_nationkey"),
+          (($"c_nationkey" + 2) % 25).as("new_c_nationkey"))
+      val eM = intercept[IllegalArgumentException](JoinView.applyDimMove(
+        spark, moves2, "c_custkey", "c_nationkey", store, 3L))
+      assert(eM.getMessage.contains("replay horizon"), eM.getMessage)
+      assert(viewRows(store) === afterFact,
+        "the refused move must not land")
+      JoinView.applyDimMove(spark, moves2, "c_custkey", "c_nationkey",
+        store, 5L)
+      assert(viewRows(store) !== afterFact, "the fresh-id move must land")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
