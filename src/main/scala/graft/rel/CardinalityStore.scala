@@ -118,6 +118,24 @@ object CardinalityStore {
       .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false)))
         .as("n_distinct_est"))
 
+  /** Horizontal compaction: batches ≤ `through` fold into ONE
+    * partition via the register-wise union WITHOUT the estimate tail
+    * (the union's updatable binary is itself a sketch, so the fold
+    * re-enters the store in ingest schema) — estimates are IDENTICAL
+    * before and after (same registers → same estimate; spec-pinned).
+    * Shared choreography: [[Stores.compactSketchesThrough]] (gate
+    * refusal, fold watermark, idempotent prune). No INGEST guard here,
+    * deliberately: register-max is idempotent, so a batch replayed
+    * below the watermark writes a small duplicate partition whose
+    * union changes NO estimate (answer-invariant; size-only) — and the
+    * unguarded applyBatch is what lets [[rebuildBatch]] overwrite a
+    * gated fold in place. The ADDITIVE stores (KLL, CMS) guard. */
+  def compactThrough(s: SparkSession, storePath: String,
+      groupCols: Seq[String], through: Long): Unit =
+    Stores.compactSketchesThrough(s, storePath, through)(
+      _.groupBy(groupCols.map(col): _*)
+        .agg(hll_union_agg(col("sketch"), lit(false)).as("sketch")))
+
   /** The merged per-group distinct estimates over the 5-way batch
     * split — the read-path answer a user of the store sees. Estimator
     * internals are not SQL-expressible, so this form is spec-pinned

@@ -75,6 +75,17 @@ object Cms {
   def merge(sketches: DataFrame): DataFrame =
     sketches.groupBy("d", "bucket").agg(sum("cnt").as("cnt"))
 
+  /** Horizontal compaction: batches ≤ `through` fold into ONE
+    * partition via the cell-wise counter sum — estimates IDENTICAL
+    * before and after bit-for-bit (counters are exactly additive;
+    * netted retraction batches fold with their signs). Shared
+    * choreography: [[Stores.compactSketchesThrough]] (fold watermark,
+    * idempotent prune; CMS deletes by retraction, not gates, so the
+    * gate refusal is inert here). */
+  def compactThrough(s: SparkSession, storePath: String,
+      through: Long): Unit =
+    Stores.compactSketchesThrough(s, storePath, through)(merge(_))
+
   /** Point-frequency estimates for each distinct key in `probes`:
     * min over rows d of the probed counter. The sketch side is
     * ≤ depth·width rows — broadcast it so the probe side never
@@ -96,13 +107,19 @@ object Cms {
     * a blind append would double-count). */
   def applyBatch(batch: DataFrame, keyCol: String, storePath: String,
       batchId: Long, depth: Int = Depth, width: Int = Width,
-      seed: Long = 42L): Unit =
+      seed: Long = 42L): Unit = {
+    // replay-horizon guard: counters are ADDITIVE — a batch replayed
+    // below the fold watermark would double-count (and at == would
+    // clobber the fold)
+    FoldWatermark.requireIngestAbove(batch.sparkSession, storePath,
+      batchId)
     cmsOf(batch, keyCol, depth, width, seed)
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+  }
 
   /** Retraction (DESIGN_upsert.md's by-negation class): the sketch of
     * the deleted rows with every counter NEGATED, under its own fence
@@ -117,7 +134,11 @@ object Cms {
     * precondition is documented loudly rather than silently assumed. */
   def retractBatch(deleted: DataFrame, keyCol: String, storePath: String,
       batchId: Long, depth: Int = Depth, width: Int = Width,
-      seed: Long = 42L): Unit =
+      seed: Long = 42L): Unit = {
+    // same replay horizon as applyBatch: a negated batch double-
+    // SUBTRACTS just as silently
+    FoldWatermark.requireIngestAbove(deleted.sparkSession, storePath,
+      batchId)
     cmsOf(deleted, keyCol, depth, width, seed)
       .select(col("d"), col("bucket"), (-col("cnt")).as("cnt"))
       .withColumn("batch_id", lit(batchId))
@@ -125,6 +146,7 @@ object Cms {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+  }
 
   /** Read path: estimates from the store alone — cell-wise merge of
     * the per-batch sketches (store-sized input), never the raw

@@ -60,6 +60,21 @@ object KmvStore {
       .agg(expr(s"kmv_sketch(h, $k)").as("sk"))
   }
 
+  /** Horizontal compaction: batches ≤ `through` fold into ONE
+    * partition via the store's own union-truncate merge — EXACTLY
+    * answer-invariant (the k smallest distinct hashes of a union are
+    * a pure function of the inputs, whatever the fold structure;
+    * spec-pinned as set equality). Shared choreography:
+    * [[Stores.compactSketchesThrough]] (gate refusal, fold watermark,
+    * idempotent prune). No INGEST guard, deliberately: min-k union is
+    * idempotent, so a below-watermark replay is answer-invariant
+    * (size-only), and gated-fold rebuilds reuse applyBatch in place —
+    * the CardinalityStore argument; the additive stores guard. */
+  def compactThrough(s: SparkSession, storePath: String,
+      groupCols: Seq[String], k: Int, through: Long): Unit =
+    Stores.compactSketchesThrough(s, storePath, through)(
+      mergeSketches(_, groupCols, k))
+
   /** Read path: per-group merged sketches from the store — store-sized
     * input (groups × batches rows of ≤ k longs), never raw history.
     * Batches gated by a key-level delete ([[Tombstones.gateBatches]] —

@@ -47,15 +47,33 @@ object QuantileStore {
       .agg(expr(s"kll_sketch(CAST(`$valueCol` AS DOUBLE), 1L, $k)").as("sk"))
   }
 
-  /** Sketch a batch into its own `batch_id=N` store partition. */
+  /** Sketch a batch into its own `batch_id=N` store partition.
+    *
+    * Replay-horizon guard (KLL weights are ADDITIVE — a batch
+    * replayed below the fold watermark resurrects a pruned partition
+    * and double-counts its weight in every quantile): refused at or
+    * below the watermark, with ONE exception — `batchId ==` the
+    * watermark while that id is GATED is the whole-fold REBUILD the
+    * rebuild-or-gate contract prescribes (re-sketch the fold's
+    * retained raw input minus deleted keys, then ungate), which must
+    * overwrite the fold partition in place. */
   def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
-      storePath: String, batchId: Long, k: Int): Unit =
+      storePath: String, batchId: Long, k: Int): Unit = {
+    val s = batch.sparkSession
+    val gatedFoldRebuild = FoldWatermark.read(
+        new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration),
+        storePath).contains(batchId) &&
+      Tombstones.gatedBatches(s, storePath).contains(batchId)
+    if (!gatedFoldRebuild)
+      FoldWatermark.requireIngestAbove(s, storePath, batchId)
     sketchBatch(batch, groupCols, valueCol, k)
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+  }
 
   /** Merge a (groupCols..., sk) relation across batches: explode the
     * retained weighted items and re-feed them — the binary-digit
@@ -71,6 +89,19 @@ object QuantileStore {
       .groupBy(groupCols.map(col): _*)
       .agg(expr(s"kll_sketch(v, w, $k)").as("sk"))
   }
+
+  /** Horizontal compaction: batches ≤ `through` fold into ONE
+    * partition via the store's own re-feed merge (retained items
+    * re-insert at their native levels, so TOTAL WEIGHT is preserved
+    * exactly — the row-count invariant — and estimates keep the
+    * monolithic rank-error class; spec pins exact weight + the
+    * quantile tail). Shared choreography:
+    * [[Stores.compactSketchesThrough]] (gate refusal, fold watermark,
+    * idempotent prune). */
+  def compactThrough(s: SparkSession, storePath: String,
+      groupCols: Seq[String], k: Int, through: Long): Unit =
+    Stores.compactSketchesThrough(s, storePath, through)(
+      mergeSketches(_, groupCols, k))
 
   /** Read path: merged per-group sketches from the store alone.
     * Batches gated by a key-level delete ([[Tombstones.gateBatches]] —

@@ -51,6 +51,70 @@ object Stores {
       .filter(col("batch_id").cast("long").between(fromId, toId))
   }
 
+  /** Horizontal compaction for the SKETCH-store family (HLL / KMV /
+    * KLL / CMS — r17): fold batches ≤ `through` into ONE
+    * `batch_id=through` partition via the store's own MERGE
+    * (associative by each store's founding invariant, so every read
+    * is identical before and after) and prune the originals — the
+    * small-files answer [[AggStore.compactThrough]] gives the exact
+    * store, extended to the sketch members (a year of hourly ingest
+    * is ~8.7k KB-sized partitions; listing + footer reads start to
+    * dominate the merge-at-read scan).
+    *
+    * GATE interaction (the rebuild-or-gate deletion contract,
+    * [[Tombstones.gateBatches]]): a gated batch awaits a clean
+    * REBUILD of exactly its own partition — folding it would bake the
+    * deleted keys' registers/items/counters into the fold where no
+    * per-batch rebuild can ever replace them, and pruning would strand
+    * the gate. A gated batch at or below `through` therefore REFUSES
+    * the compaction loudly (rebuild or compact below it); gates
+    * strictly above `through` don't block. Gating the FOLD id after
+    * compaction remains legal and excludes the whole folded history
+    * (conservative under-merge) until a whole-fold rebuild.
+    *
+    * Crash discipline (the AggStore lineage): fold materializes
+    * BEFORE any file moves, writes under dynamic overwrite, the
+    * [[FoldWatermark]] lands (the as-of guards already ride every
+    * sketch store's read path), then the prune — whose idempotent
+    * re-run is also the crash recovery. A re-run after success folds
+    * the fold into itself: a no-op. Compaction is a replay horizon
+    * for ids ≤ `through` (the family convention).
+    *
+    * `fold` = the store's merge at ingest grain (output schema must
+    * equal the per-batch sketch schema — every store's merge already
+    * satisfies this by construction). coalesce(1): fold output is
+    * group-count rows of KB sketches, the stores' own one-file-per-
+    * batch convention. */
+  def compactSketchesThrough(s: SparkSession, storePath: String,
+      through: Long)(fold: DataFrame => DataFrame): Unit = {
+    val gated = Tombstones.gatedBatches(s, storePath).filter(_ <= through)
+    require(gated.isEmpty,
+      s"cannot compact through $through at $storePath: gated batch(es) " +
+        s"${gated.toSeq.sorted.mkString(", ")} await a clean rebuild — " +
+        "folding them would bake deleted keys into the fold " +
+        "permanently; rebuild (applyBatch + ungateBatch) first or " +
+        "compact below them")
+    val store = s.read.parquet(storePath)
+    val region = store.filter(col("batch_id").cast("long") <= through)
+      .drop("batch_id")
+    val folded = fold(region).localCheckpoint()
+    // an empty region (no batches at or below `through`) is a no-op —
+    // writing a watermark for a fold that never happened would
+    // pointlessly refuse true-empty pre-history as-of reads
+    if (!folded.isEmpty) {
+      folded.withColumn("batch_id", lit(through))
+        .coalesce(1).write
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .mode("overwrite").parquet(storePath)
+      FoldWatermark.write(
+        new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration),
+        storePath, through)
+      AggStore.pruneThrough(s, storePath, through)
+    }
+  }
+
   /** Store manifest — what the single maintenance owner looks at
     * before compacting, snapshotting, or rebuilding: one row per
     * batch partition (id, row count, file count, bytes) plus the

@@ -95,6 +95,55 @@ class CardinalityStoreSpec extends SparkSpec {
     }
   }
 
+  test("horizontal compaction: estimates identical before/after (same " +
+      "registers), originals prune, as-of below the fold refuses, " +
+      "re-run no-ops, and a gated fold region refuses loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("cardcompact")
+    try {
+      val store = dir.resolve("store").toString
+      def slice(b: Int) = ev.filter(pmod($"event_id", lit(5)) === b)
+      (0 until 5).foreach(b => CardinalityStore.applyBatch(
+        slice(b), Seq("event_type"), "user_id", store, b.toLong))
+      def est(asOf: Option[Long] = None) = CardinalityStore
+        .estimateFromStore(spark, store, Seq("event_type"), asOf)
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      def partitions = spark.read.parquet(store)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      val before = est()
+      val asOf2Before = est(Some(2L))
+      CardinalityStore.compactThrough(spark, store, Seq("event_type"), 2L)
+      assert(partitions === Set(2L, 3L, 4L), s"got $partitions")
+      // register-wise union is exact: the folded store's registers ARE
+      // the originals' max, so every estimate is bit-identical
+      assert(est() === before)
+      assert(est(Some(2L)) === asOf2Before,
+        "as-of AT the watermark must survive")
+      val e = intercept[IllegalArgumentException](est(Some(1L)))
+      assert(e.getMessage.contains("fold watermark 2"), e.getMessage)
+      // a re-run folds the fold into itself — a full no-op
+      CardinalityStore.compactThrough(spark, store, Seq("event_type"), 2L)
+      assert(partitions === Set(2L, 3L, 4L) && est() === before)
+      // gates STRICTLY ABOVE `through` don't block; a gated batch in
+      // the fold region refuses (folding would bake deleted keys in)
+      Tombstones.gateBatches(spark, store, Seq(3L), 0L)
+      CardinalityStore.compactThrough(spark, store, Seq("event_type"), 2L)
+      val e2 = intercept[IllegalArgumentException](
+        CardinalityStore.compactThrough(spark, store,
+          Seq("event_type"), 4L))
+      assert(e2.getMessage.contains("gated"), e2.getMessage)
+      // rebuild + ungate lifts the refusal; the full fold then works
+      // and serves the same estimates (nothing was actually deleted)
+      CardinalityStore.rebuildBatch(slice(3), Seq("event_type"),
+        "user_id", store, 3L)
+      CardinalityStore.compactThrough(spark, store, Seq("event_type"), 4L)
+      assert(partitions === Set(4L) && est() === before)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("streaming ingest maintains the store; estimates equal monolithic") {
     val dir = java.nio.file.Files.createTempDirectory("cardstream")
     try {

@@ -113,6 +113,47 @@ class CmsSpec extends SparkSpec {
     }
   }
 
+  test("horizontal compaction: estimates bit-identical (cell-wise sums " +
+      "are exact), retractions fold with their signs, originals prune, " +
+      "as-of and ingest both guarded at the watermark") {
+    val dir = java.nio.file.Files.createTempDirectory("cmscompact")
+    try {
+      val store = dir.resolve("store").toString
+      def slice(b: Int) = ev.filter(pmod($"event_id", lit(3)) === b)
+      (0 until 3).foreach(b =>
+        Cms.applyBatch(slice(b), "user_id", store, b.toLong))
+      // a retraction inside the fold region: its negated counters must
+      // net into the fold exactly
+      Cms.retractBatch(slice(0).filter($"user_id" % 2 === 0),
+        "user_id", store, 3L)
+      def est(asOf: Option[Long] = None) = Cms.estimateFromStore(
+          spark, store, ev, "user_id", asOfBatch = asOf)
+        .orderBy("user_id").collect().map(_.toSeq).toSeq
+      val before = est()
+      Cms.compactThrough(spark, store, 3L)
+      val parts = spark.read.parquet(store)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(parts === Set(3L), s"got $parts")
+      assert(est() === before, "cell-wise sums make the fold exact")
+      val e = intercept[IllegalArgumentException](est(Some(2L)))
+      assert(e.getMessage.contains("fold watermark 3"), e.getMessage)
+      // counters are additive: replaying either batch KIND at/below
+      // the watermark would double-count / double-subtract — refused
+      val e2 = intercept[IllegalArgumentException](
+        Cms.applyBatch(slice(0), "user_id", store, 0L))
+      assert(e2.getMessage.contains("replay horizon"), e2.getMessage)
+      intercept[IllegalArgumentException](
+        Cms.retractBatch(slice(0), "user_id", store, 3L))
+      // fresh ids above the watermark land normally
+      Cms.applyBatch(slice(0), "user_id", store, 4L)
+      assert(est() !== before)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("a key whose cells are all absent estimates zero") {
     val one = Seq(Tuple1(7L)).toDF("k")
     val probe = Seq(Tuple1(123456789L)).toDF("k")

@@ -61,6 +61,33 @@ class KmvStoreSpec extends SparkSpec {
     assert(nFiles === filesBefore, "dynamic overwrite keeps size stable")
   }
 
+  test("horizontal compaction: merged sketches EXACTLY equal (min-k " +
+      "union is fold-structure-free), originals prune, as-of guarded") {
+    val dir = java.nio.file.Files.createTempDirectory("kmvcompact").toString
+    val path = s"$dir/kmv.parquet"
+    (0 until 4).foreach { b =>
+      KmvStore.applyBatch(hashed.filter(pmod(col("event_id"), lit(4)) === b),
+        Seq("event_type"), "h", path, b.toLong, K)
+    }
+    def merged(asOf: Option[Long] = None) = collectSketches(
+      KmvStore.sketchesFromStore(spark, path, Seq("event_type"), K, asOf))
+    val before = merged()
+    val asOf1Before = merged(Some(1L))
+    KmvStore.compactThrough(spark, path, Seq("event_type"), K, 1L)
+    val parts = spark.read.parquet(path)
+      .select("batch_id").distinct().as[Long].collect().toSet
+    assert(parts === Set(1L, 2L, 3L), s"got $parts")
+    // the k smallest distinct hashes are a pure function of the input
+    // SET — the folded store's sketches equal the originals' exactly
+    assert(merged() === before)
+    assert(merged(Some(1L)) === asOf1Before)
+    val e = intercept[IllegalArgumentException](merged(Some(0L)))
+    assert(e.getMessage.contains("fold watermark 1"), e.getMessage)
+    // re-run: the fold of the fold is itself
+    KmvStore.compactThrough(spark, path, Seq("event_type"), K, 1L)
+    assert(merged() === before)
+  }
+
   test("store-derived intersections equal the direct computation") {
     val dir = java.nio.file.Files.createTempDirectory("kmvsp2").toString
     val path = s"$dir/kmv.parquet"

@@ -114,6 +114,68 @@ class QuantileStoreSpec extends SparkSpec {
     }
   }
 
+  test("horizontal compaction: total weight exactly preserved, " +
+      "quantiles stay in band, as-of guarded, ingest below the " +
+      "watermark refused — EXCEPT the gated-fold rebuild in place") {
+    val dir = java.nio.file.Files.createTempDirectory("kllcompact")
+    try {
+      val store = dir.resolve("s").toString
+      def slice(b: Int) = ord.filter(pmod($"o_orderkey", lit(4)) === b)
+      (0 until 4).foreach(b => QuantileStore.applyBatch(
+        slice(b), gc, "o_totalprice", store, b.toLong, 256))
+      def totalWeight = QuantileStore
+        .sketchesFromStore(spark, store, gc, 256)
+        .select(col("o_orderstatus"), explode(col("sk")).as("it"))
+        .groupBy("o_orderstatus").agg(sum("it.w").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def p50 = QuantileStore.quantilesOf(
+          QuantileStore.sketchesFromStore(spark, store, gc, 256),
+          gc, Seq(("p50", 1, 2)))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val wBefore = totalWeight
+      QuantileStore.compactThrough(spark, store, gc, 256, 2L)
+      val parts = spark.read.parquet(store)
+        .select("batch_id").distinct().as[Long].collect().toSet
+      assert(parts === Set(2L, 3L), s"got $parts")
+      // the re-feed merge inserts weight 2^l at level l — total weight
+      // (= the row count) survives the fold EXACTLY
+      assert(totalWeight === wBefore)
+      // and the estimates stay in the rank-error band of the raw data
+      val exact = exactPct
+      p50.foreach { case (g, v) =>
+        val n = exact(g)._3
+        val rank = ord.filter($"o_orderstatus" === g &&
+          $"o_totalprice" <= v).count().toDouble / n
+        assert(math.abs(rank - 0.5) <= 0.04, s"$g: post-fold p50 $v")
+      }
+      val e = intercept[IllegalArgumentException](
+        QuantileStore.sketchesFromStore(spark, store, gc, 256, Some(1L)))
+      assert(e.getMessage.contains("fold watermark 2"), e.getMessage)
+      // INGEST guard: KLL weights are additive, so a below-watermark
+      // replay would double-count — refused at and below the fold
+      val e2 = intercept[IllegalArgumentException](QuantileStore
+        .applyBatch(slice(0), gc, "o_totalprice", store, 1L, 256))
+      assert(e2.getMessage.contains("replay horizon"), e2.getMessage)
+      intercept[IllegalArgumentException](QuantileStore
+        .applyBatch(slice(0), gc, "o_totalprice", store, 2L, 256))
+      // …except the GATED-fold rebuild: gate the fold id (its folded
+      // history contains deleted keys), re-sketch its retained raw
+      // input in place at the SAME id, ungate — the rebuild-or-gate
+      // contract's whole-fold form
+      Tombstones.gateBatches(spark, store, Seq(2L), 0L)
+      QuantileStore.applyBatch(
+        slice(0).unionAll(slice(1)).unionAll(slice(2)), gc,
+        "o_totalprice", store, 2L, 256)
+      Tombstones.ungateBatch(spark, store, 2L)
+      assert(totalWeight === wBefore,
+        "the in-place whole-fold rebuild must restore the full weight")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("as-of read: the snapshot sketch set equals a batches-0..k merge") {
     val dir = java.nio.file.Files.createTempDirectory("kllasof")
     try {
