@@ -191,6 +191,60 @@ object CardinalityStore {
       .orderBy("event_type", "slot")
   }
 
+  // one compacted store build per immutable driver dir (the
+  // nq_join_view_compact memo policy)
+  private val compactStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Driver entry (compacted twin): nq_card_store's exact 5-batch
+    * ingest history PERSISTED through [[applyBatch]], then
+    * [[compactThrough]](2) folds batches 0-2 into one partition, and
+    * the output is the merged register array read from the COMPACTED
+    * store. The oracle is nq_card_store's SQL VERBATIM over the same
+    * per-batch register dump (this entry re-dumps the identical
+    * deterministic content — the shared-dump discipline of the media
+    * compact entries): register-wise max is the merge, so the fold
+    * must be INVISIBLE through every register — a union bug, a lost
+    * batch, or a corrupted fold binary all hash-fail. */
+  def nqCardStoreCompact(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val perBatch = (0 until 5).map(b =>
+      sketchBatch(ev.filter(pmod(col("event_id"), lit(5)) === b),
+        Seq("event_type"), "user_id")
+        .withColumn("batch_id", lit(b)))
+    graft.OracleDump.dump(
+      perBatch.reduce(_ unionAll _)
+        .select(col("event_type"), col("batch_id"),
+          explode(regPairs(col("sketch"))).as("p"))
+        .select(col("event_type"), col("batch_id"),
+          col("p._1").as("slot"), col("p._2").as("reg")),
+      CardDumpDir)
+    def build(): String = {
+      val p = java.nio.file.Files.createTempDirectory("cardcompact")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = s"$p/card_store"
+      (0 until 5).foreach(b => applyBatch(
+        ev.filter(pmod(col("event_id"), lit(5)) === b),
+        Seq("event_type"), "user_id", path, b.toLong))
+      compactThrough(s, path, Seq("event_type"), through = 2L)
+      path
+    }
+    val store = if (graft.Tables.isImmutable(d))
+      compactStoreFor.getOrElseUpdate(d, build())
+    else build()
+    s.read.parquet(store)
+      .groupBy("event_type")
+      .agg(hll_union_agg(col("sketch"), lit(false)).as("msk"))
+      .select(col("event_type"), explode(regPairs(col("msk"))).as("p"))
+      .select(col("event_type"),
+        col("p._1").as("slot"), col("p._2").as("reg"))
+      .orderBy("event_type", "slot")
+  }
+
   /** Streaming ingest of the store: each micro-batch sketched and
     * appended via foreachBatch. Register max makes a redelivered
     * micro-batch a no-op on every estimate, so — unlike the additive
@@ -210,14 +264,20 @@ object CardinalityStore {
     }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "nq_card_store" -> (nqCardStore _))
+    "nq_card_store" -> (nqCardStore _),
+    "nq_card_store_compact" -> (nqCardStoreCompact _))
+
+  private val nqCardStoreSql: String =
+    s"""SELECT event_type, slot, max(reg) AS reg
+       |FROM read_parquet('$CardDumpDir/*.parquet')
+       |GROUP BY event_type, slot
+       |ORDER BY event_type, slot""".stripMargin
 
   /** The merge re-run by DuckDB over the dumped per-batch register
-    * pairs: pure per-(group, slot) integer max. */
+    * pairs: pure per-(group, slot) integer max. The compacted twin
+    * answers the IDENTICAL SQL (the q81 shared-SQL discipline) —
+    * compaction must be register-invisible. */
   val oracle: Map[String, String] = Map(
-    "nq_card_store" ->
-      s"""SELECT event_type, slot, max(reg) AS reg
-         |FROM read_parquet('$CardDumpDir/*.parquet')
-         |GROUP BY event_type, slot
-         |ORDER BY event_type, slot""".stripMargin)
+    "nq_card_store" -> nqCardStoreSql,
+    "nq_card_store_compact" -> nqCardStoreSql)
 }
