@@ -150,7 +150,14 @@ object Stores {
     }.sortBy(_._1)
     val tombstoned = Tombstones.deletedKeys(s, storePath)
       .map(_.count()).getOrElse(0L)
+    // the fold watermark is THE input to picking the next compaction
+    // `through` (and the floor below which as-of/ingest refuse) — the
+    // manifest is where the maintenance owner reads it (null = never
+    // compacted)
+    val wmark = FoldWatermark.read(fs, storePath)
     rows.toDF("batch_id", "n_rows", "n_files", "bytes")
       .withColumn("n_tombstoned_keys", lit(tombstoned))
+      .withColumn("fold_watermark",
+        wmark.map(lit(_)).getOrElse(lit(null)).cast("long"))
   }
 }

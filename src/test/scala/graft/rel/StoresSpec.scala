@@ -146,6 +146,14 @@ class StoresSpec extends SparkSpec {
       val m1 = Stores.describe(spark, store).collect()
       assert(m1.forall(_.getLong(4) === 1L),
         "the manifest must surface the standing mutation state")
+      // fold watermark: null until a compaction folds, then its value
+      assert(m1.forall(_.isNullAt(5)),
+        "a never-compacted store has no fold watermark")
+      Tombstones.ungateBatch(spark, store, 2L)
+      AggStore.compactThrough(spark, store, groupCols, 1L)
+      val m2 = Stores.describe(spark, store).collect()
+      assert(m2.nonEmpty && m2.forall(_.getLong(5) === 1L),
+        "the manifest must surface the fold watermark")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
