@@ -60,13 +60,16 @@ object QuantileStore {
   def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
       storePath: String, batchId: Long, k: Int): Unit = {
     val s = batch.sparkSession
-    val gatedFoldRebuild = FoldWatermark.read(
-        new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration),
-        storePath).contains(batchId) &&
+    // ONE marker read decides both the rebuild exception and the
+    // strictly-above refusal (the marker is a metadata RPC per ingest)
+    val wm = FoldWatermark.read(
+      new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration),
+      storePath)
+    val gatedFoldRebuild = wm.contains(batchId) &&
       Tombstones.gatedBatches(s, storePath).contains(batchId)
     if (!gatedFoldRebuild)
-      FoldWatermark.requireIngestAbove(s, storePath, batchId)
+      FoldWatermark.requireIngestAbove(storePath, batchId, wm)
     sketchBatch(batch, groupCols, valueCol, k)
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write

@@ -87,6 +87,12 @@ object Stores {
     * batch convention. */
   def compactSketchesThrough(s: SparkSession, storePath: String,
       through: Long)(fold: DataFrame => DataFrame): Unit = {
+    // the family's file-less-dir gate: a never-ingested store (or one
+    // whose only batch was an EMPTY dynamic overwrite — _SUCCESS with
+    // no batch_id= partition) holds nothing to fold, and a bare
+    // parquet read of it would crash schema inference instead of
+    // reaching the empty-region no-op below
+    if (!Tombstones.populated(s, storePath)) return
     val gated = Tombstones.gatedBatches(s, storePath).filter(_ <= through)
     require(gated.isEmpty,
       s"cannot compact through $through at $storePath: gated batch(es) " +

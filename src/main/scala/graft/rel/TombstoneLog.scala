@@ -350,7 +350,15 @@ private[graft] object FoldWatermark {
     * (the fold legitimately writes AT the watermark). */
   def requireIngestAbove(s: org.apache.spark.sql.SparkSession,
       dataPath: String, batchId: Long): Unit =
-    read(fsFor(s, dataPath), dataPath).foreach(w => require(batchId > w,
+    requireIngestAbove(dataPath, batchId, read(fsFor(s, dataPath), dataPath))
+
+  /** The same guard against an ALREADY-READ watermark — for ingest
+    * paths that need the value for their own decision too (the KLL
+    * gated-fold-rebuild probe) and must not pay a second marker read
+    * per batch. */
+  def requireIngestAbove(dataPath: String, batchId: Long,
+      watermark: Option[Long]): Unit =
+    watermark.foreach(w => require(batchId > w,
       s"ingest batch $batchId is at or below the compaction fold " +
         s"watermark $w at $dataPath: compaction is a replay horizon — " +
         s"batches <= $w were folded, and re-ingesting below the " +

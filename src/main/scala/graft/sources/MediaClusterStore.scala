@@ -422,7 +422,12 @@ object MediaClusterStore {
         .select("modality", "media_id", "label").collect()
         .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
     val remap: Map[(String, Long), Long] =
-      remapsResolved(s, storePath, Some(batchId)) match {
+      // no standing endpoints → nothing to resolve: skip the decision
+      // entirely (in the over-bound regime remapsResolved materializes
+      // the pointer-doubled relation, which a pair-less batch — the
+      // common no-near-dups trigger — would then discard unused)
+      if (rawLabels.isEmpty) Map.empty
+      else remapsResolved(s, storePath, Some(batchId)) match {
         case Right(m) => m
         case Left(rel) =>
           // over-bound fallback: resolve ONLY the standing endpoints'
@@ -431,8 +436,7 @@ object MediaClusterStore {
           // needed the full log, only these labels' final values)
           val need = rawLabels.iterator
             .map { case ((m, _), l) => (m, l) }.toSet.toSeq
-          if (need.isEmpty) Map.empty
-          else rel.join(broadcast(need.toDF("n_m", "n_l")),
+          rel.join(broadcast(need.toDF("n_m", "n_l")),
               col("modality") === col("n_m") &&
                 col("old_label") === col("n_l"), "left_semi")
             .collect()
@@ -636,6 +640,13 @@ object MediaClusterStore {
     fs.mkdirs(root)
     graft.streaming.StreamingOps.bindStoreLineage(fs, root,
       s"media fingerprint store at $fpStorePath", lineage)
+    // BOTH stores' replay-horizon guards BEFORE any write: a refusal
+    // mid-sequence (cluster batch landed, fingerprint ingest refused)
+    // would leave media clustered whose fingerprints can never store
+    // at this id — every later judge would silently miss them
+    MediaDedupStore.requireIngestAllowed(s, fpStorePath, batchId)
+    graft.rel.FoldWatermark.requireIngestAbove(s,
+      assignDir(clusterStorePath), batchId)
     // erased keys neither judge, nor join clusters, nor re-ingest
     val b = MediaDedupStore.minusTombstones(s, fpStorePath,
       batch.select(col("media_id"), col("modality"), col("h")))

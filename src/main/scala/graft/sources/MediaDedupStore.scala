@@ -56,13 +56,22 @@ object MediaDedupStore {
       : Boolean =
     graft.rel.Tombstones.populated(s, dataDir(storePath))
 
+  /** The fingerprint store's replay-horizon check, exposed so
+    * multi-store triggers (judge→ingest, judge→merge→ingest) can
+    * refuse BEFORE their first write — a mid-sequence refusal would
+    * leave verdicts/assignments standing for fingerprints that can
+    * never land at that id. */
+  private[sources] def requireIngestAllowed(s: SparkSession,
+      storePath: String, batchId: Long): Unit =
+    graft.rel.FoldWatermark.requireIngestAbove(s, dataDir(storePath),
+      batchId)
+
   /** Ingest one fingerprint batch under its own fenced partition. */
   def applyFingerprintBatch(fps: DataFrame, storePath: String,
       batchId: Long): Unit = {
     // the replay-horizon guard: re-ingesting at or below the fold
     // watermark would resurrect a pruned partition
-    graft.rel.FoldWatermark.requireIngestAbove(fps.sparkSession,
-      dataDir(storePath), batchId)
+    requireIngestAllowed(fps.sparkSession, storePath, batchId)
     fps.select(col("media_id"), col("modality"), col("h"))
       .withColumn("batch_id", lit(batchId))
       .write
@@ -305,6 +314,10 @@ object MediaDedupStore {
     fs.mkdirs(root)
     graft.streaming.StreamingOps.bindStoreLineage(fs, root,
       s"media fingerprint store at $storePath", lineage)
+    // replay-horizon guard BEFORE the first write: a refusal after the
+    // verdict write would leave verdicts standing for fingerprints
+    // that can never land at this id
+    requireIngestAllowed(s, storePath, batchId)
     // erased keys neither judge nor re-ingest: a batch re-delivering an
     // erased (media_id, modality) would otherwise write a fingerprint
     // every read suppresses (judgeBatch re-filters its own input —
