@@ -852,21 +852,27 @@ object MediaClusterStore {
     * mis-merge into erased lineage ids); the plan deletes LAST, and
     * every entry replays a standing plan before computing a fresh
     * one. Contract: quiesced (no concurrent merges), like
-    * compaction. Detection still gates on a standing tombstone log
-    * (the cheap entry check — erasure is what creates both tiers'
-    * work); a diverged store whose tombstones were fully aged out by
-    * a later compaction repairs via [[reclusterFromPairs]], and the
-    * returned stats say so honestly: `divergenceChecked=false` marks
-    * the skipped detection, never a zero that reads as "clean". */
+    * compaction. Detection gates on a standing tombstone log by
+    * default (the cheap entry check — erasure is what creates both
+    * tiers' work), and the returned stats say so honestly:
+    * `divergenceChecked=false` marks the skipped detection, never a
+    * zero that reads as "clean". `forceDivergenceCheck=true` runs the
+    * crossing-evidence detection WITHOUT a tombstone log — the repair
+    * for a diverged store whose tombstones were fully aged out by a
+    * later compaction, at the cost of the resolved read on every
+    * call (a maintenance-cadence scan; the default keeps no-op calls
+    * at two FS probes). */
   def reclusterAffected(s: SparkSession, storePath: String,
-      pairs: DataFrame): ReclusterStats = {
+      pairs: DataFrame,
+      forceDivergenceCheck: Boolean = false): ReclusterStats = {
     val fs = fsOf(s, storePath)
     // recover an interrupted application: a standing plan is
     // authoritative (a half-written one never renamed and is discarded)
     fs.delete(pathOf(planTmpDir(storePath)), true)
     if (fs.exists(pathOf(planDir(storePath))))
       applyReclusterPlan(s, storePath)
-    val stats = stageReclusterPlan(s, storePath, pairs)
+    val stats = stageReclusterPlan(s, storePath, pairs,
+      forceDivergenceCheck)
     if (stats.staged)
       applyReclusterPlan(s, storePath)
     stats
@@ -876,7 +882,8 @@ object MediaClusterStore {
     * nothing affected. private[graft] so crash specs can stage
     * without applying. */
   private[graft] def stageReclusterPlan(s: SparkSession,
-      storePath: String, pairs: DataFrame): ReclusterStats = {
+      storePath: String, pairs: DataFrame,
+      forceDivergenceCheck: Boolean = false): ReclusterStats = {
     import s.implicits._
     val none = ReclusterStats(staged = false, 0L, 0L, 0L,
       divergenceChecked = false)
@@ -885,10 +892,15 @@ object MediaClusterStore {
     if (!hasBatches(s, aDir)) return none
     val tombDirOpt = graft.rel.TombstoneLog.readDir(fs,
       tombDir(storePath), tombNextDir(storePath))
-    if (tombDirOpt.isEmpty) return none
-    val tombs = broadcast(s.read.parquet(tombDirOpt.get)
-      .select(col("media_id").as("ti"), col("modality").as("tm"))
-      .distinct())
+    if (tombDirOpt.isEmpty && !forceDivergenceCheck) return none
+    // forced mode with no log: detection proceeds tombstone-less
+    // (seed (a) is empty; seed (b) carries the whole run)
+    val tombs = broadcast(tombDirOpt
+      .map(d => s.read.parquet(d)
+        .select(col("media_id").as("ti"), col("modality").as("tm"))
+        .distinct())
+      .getOrElse(s.range(0)
+        .select(col("id").as("ti"), lit("").as("tm"))))
     // one resolved read, reused for detection + membership
     val resolved = assignmentsFromStore(s, storePath).localCheckpoint()
     // seed (a): the erased keys' clusters — erasure-sized collect

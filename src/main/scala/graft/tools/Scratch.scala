@@ -270,6 +270,49 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("sketchcompact")) {
+      // r17 sketch-store compaction probe: a KLL store ingests N
+      // batches (a year of hourly ingest ≈ 8.7k), reads pay listing +
+      // footer + per-partition explode costs that grow with the batch
+      // count; compactThrough folds them to one partition and the
+      // read must collapse while answering identically.
+      //   runmain graft.tools.Scratch sketchcompact [batches]
+      val N = args.lift(1).map(_.toInt).getOrElse(500)
+      val qs = graft.rel.QuantileStore
+      val ord = graft.Tables.orders(spark, d).localCheckpoint()
+      val store =
+        s"${graft.FixtureMemo.scratchDir("sketchcompact")}/kll"
+      val gc = Seq("o_orderstatus")
+      time(s"build $N KLL batches") {
+        (0 until N).foreach(b => qs.applyBatch(
+          ord.filter(pmod(col("o_orderkey"), lit(N)) === b),
+          gc, "o_totalprice", store, b.toLong, 256))
+      }
+      def readAll(label: String) = time(label)(
+        qs.quantilesOf(qs.sketchesFromStore(spark, store, gc, 256),
+            gc, Seq(("p50", 1, 2), ("p99", 99, 100)))
+          .write.format("noop").mode("overwrite").save())
+      def answers = qs.quantilesOf(
+          qs.sketchesFromStore(spark, store, gc, 256),
+          gc, Seq(("p50", 1, 2)))
+        .orderBy("o_orderstatus").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      for (r <- 1 to 3) readAll(s"pre-compaction read run$r ($N parts)")
+      val before = answers
+      time(s"compactThrough($N-1)")(
+        qs.compactThrough(spark, store, gc, 256, (N - 1).toLong))
+      for (r <- 1 to 3) readAll(s"post-compaction read run$r (1 part)")
+      val after = answers
+      println(s"[scratch] p50 answers equal: ${before.map(_._1) ==
+        after.map(_._1)} / values ${before == after} " +
+        s"(KLL re-feed keeps the rank-error class; exact-equality is " +
+        "not the contract, total weight is)")
+      val w = spark.read.parquet(store)
+        .select(explode(col("sk")).as("it")).agg(sum("it.w")).first().getLong(0)
+      println(s"[scratch] total weight = $w (expect ${ord.count()})")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("remapdeep")) {
       // VERDICT r16 #2: per-read cost in the OVER-BOUND regime with
       // DEEP remap chains (depth L-1 ≥ 32 → pointer doubling needs

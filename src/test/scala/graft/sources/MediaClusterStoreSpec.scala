@@ -858,6 +858,66 @@ class MediaClusterStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("forceDivergenceCheck repairs a diverged store whose tombstones " +
+      "were AGED OUT by compaction — the case the default gate skips " +
+      "(and honestly flags); still equals reclusterFromPairs") {
+    val dir = tmp("mclusterforce")
+    try {
+      def build(tag: String): String = {
+        val fp = dir.resolve(s"fp$tag").toString
+        val cl = dir.resolve(s"cl$tag").toString
+        def batch(rows: (Long, Long)*) = rows.toSeq
+          .map { case (id, h) => (id, "image", h) }
+          .toDF("media_id", "modality", "h")
+        def ingest(id: Long, rows: (Long, Long)*) =
+          MediaClusterStore.applyClusterIngestBatch(batch(rows: _*), fp,
+            cl, id, "spec-lineage")
+        ingest(0L, (20L, 0xFFFL), (21L, 0xFFFL), (22L, 0xFFFL))
+        ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L))
+        MediaClusterStore.deleteMembers(members(3L), cl, 0L)
+        MediaDedupStore.deleteMedia(members(3L), fp, 0L)
+        ingest(2L, (7L, 0xFC0L))
+        ingest(3L, (100L, 0xFFFFFF000000L), (101L, 0xFFFFFF000000L))
+        ingest(1L, (3L, 0xFC0L), (5L, 0xFC0L)) // diverging replay
+        // compaction ages the tombstone out (3's raw rows were
+        // scrubbed by the replay, so no copy survives the fold) —
+        // the divergence now has nothing tombstone-detectable
+        MediaClusterStore.compactThrough(spark, cl, through = 3L)
+        assert(!new java.io.File(s"$cl/_cluster_tombstones").exists())
+        cl
+      }
+      val cl = build("a")
+      val twin = build("b")
+      def surviving(store: String) = MediaClusterStore
+        .survivingAssignments(spark, store)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      assert(surviving(cl)(7L) === 7L, "diverged")
+      val evidence = Seq((3L, 5L), (3L, 20L), (5L, 20L), (5L, 21L),
+        (5L, 22L), (5L, 7L), (7L, 20L), (7L, 21L), (7L, 22L),
+        (20L, 21L), (20L, 22L), (21L, 22L), (100L, 101L))
+        .map { case (a, b) => ("image", a, b) }
+        .toDF("modality", "id_a", "id_b")
+      // the default gate skips — and SAYS so (never a clean-looking 0)
+      val skipped = MediaClusterStore.reclusterAffected(spark, cl,
+        evidence)
+      assert(!skipped.staged && !skipped.divergenceChecked)
+      assert(surviving(cl)(7L) === 7L)
+      // forced: crossing-evidence seeding carries the whole detection
+      val stats = MediaClusterStore.reclusterAffected(spark, cl,
+        evidence, forceDivergenceCheck = true)
+      assert(stats.staged && stats.divergenceChecked)
+      assert(stats.crossingPairs === 4L, stats.toString)
+      // the two pairs naming the erased (and aged-out) member 3 are
+      // unknown-endpoint evidence — ignored and surfaced
+      assert(stats.unknownEndpointPairs === 2L, stats.toString)
+      MediaClusterStore.reclusterFromPairs(spark, twin, evidence, 3L)
+      val expect = Map(5L -> 5L, 7L -> 5L, 20L -> 5L, 21L -> 5L,
+        22L -> 5L, 100L -> 100L, 101L -> 100L)
+      assert(surviving(cl) === expect)
+      assert(surviving(twin) === expect)
+    } finally rmrf(dir)
+  }
+
   test("affected entry equals the strict entry (restricted recompute " +
       "indistinguishable from the full one)") {
     def asSet(df: org.apache.spark.sql.DataFrame) =
