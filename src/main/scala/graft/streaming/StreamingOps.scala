@@ -806,9 +806,18 @@ object StreamingOps {
       val d = if (top.length <= k) 0L else top.last
       // ≤ k survivors by construction: at most k counts exceed the
       // (k+1)-th largest; the sentinel row carries the high-water
-      // mark whether or not any counter survived
+      // mark whether or not any counter survived — and the BUILD k in
+      // its cnt field (the MG guarantee floor is a property of the
+      // summary's k, so the read path must not trust a caller-supplied
+      // one; if the store ever saw a smaller k, keep the smaller —
+      // the floor is governed by the worst truncation in its history)
+      val prevK =
+        if (prev == null) k.toLong
+        else prev.filter(col("term").isNull)
+          .agg(coalesce(min("cnt"), lit(k.toLong))).head.getLong(0)
+      val effK = if (prevK > 0) math.min(k.toLong, prevK) else k.toLong
       val sentinel = s.range(1).select(
-        lit(null).cast("string").as("term"), lit(0L).as("cnt"))
+        lit(null).cast("string").as("term"), lit(effK).as("cnt"))
       val next = merged.filter(col("cnt") > d)
         .select(col("term"), (col("cnt") - d).as("cnt"))
         .unionAll(sentinel)
@@ -842,12 +851,27 @@ object StreamingOps {
     */
   def heavyHittersFromStore(docs: DataFrame, storePath: String, k: Int,
       support: Double): DataFrame = {
-    require(support >= 1.0 / (k + 1),
-      s"support $support below the MG guarantee floor 1/(k+1)=${1.0 / (k + 1)}:" +
-        " the summary may have dropped a qualifying term; rebuild the" +
-        " store with a larger k or raise support")
     val s = docs.sparkSession
-    val candidates = s.read.parquet(storePath)
+    val stored = s.read.parquet(storePath).localCheckpoint()
+    // the MG floor is a property of the summary's BUILD k (persisted
+    // on the sentinel row), not the caller's claim — a reader passing
+    // a larger k would satisfy the require while the summary had
+    // already dropped qualifying terms, silently voiding the
+    // guarantee. Sentinel cnt <= 0 = a pre-tracking store: fall back
+    // to the caller's k with the old (caller-trusting) semantics.
+    val sentinelK = stored.filter(col("term").isNull)
+      .agg(coalesce(min("cnt"), lit(0L))).head.getLong(0)
+    val effK = if (sentinelK > 0) sentinelK else k.toLong
+    require(sentinelK <= 0 || k.toLong == sentinelK,
+      s"heavy-hitter store $storePath was built with k=$sentinelK " +
+        s"but read with k=$k: the MG guarantee floor belongs to the " +
+        "build k — pass it, or rebuild the store")
+    require(support >= 1.0 / (effK + 1),
+      s"support $support below the MG guarantee floor " +
+        s"1/(k+1)=${1.0 / (effK + 1)}: the summary may have dropped a " +
+        "qualifying term; rebuild the store with a larger k or raise " +
+        "support")
+    val candidates = stored
       .filter(col("term").isNotNull)
       .select("term").collect().map(_.getString(0)).toSeq // ≤ k rows
     graft.text.TextQueries.exactVerify(
@@ -1001,6 +1025,11 @@ object StreamingOps {
       batchId: Long, storePath: String, verdictsPath: String,
       w: Int, lineage: String = "unknown"): Unit = {
     val s = batch.sparkSession
+    // BEFORE mkdirs: an interrupted compaction swap's recovery renames
+    // the old root back into place, which a just-created empty root
+    // would corrupt (rename into an existing dir nests instead of
+    // replacing)
+    graft.text.SubstrDedup.recoverGramCompactSwap(s, storePath)
     val fsp = new org.apache.hadoop.fs.Path(storePath)
     val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
     requireAtomicRename(fs,
@@ -1008,7 +1037,18 @@ object StreamingOps {
     fs.mkdirs(fsp)
     bindStoreLineage(fs, fsp,
       s"counted substring-dedup gram store at $storePath", lineage)
-    val b = batch.dropDuplicates("doc_id") // intra-batch redelivery
+    // a doc tombstoned BEFORE its content arrives must be neither
+    // judged nor stored (the ingestDedupStream discipline): the store
+    // write below filters internally, but the VERDICT write must not
+    // persist derived data of a deleted doc either
+    val clean = graft.rel.Tombstones
+      .deletedKeys(s, storePath) match {
+      case Some(prior) => batch.join(
+        prior.withColumnRenamed("key", "doc_id"), Seq("doc_id"),
+        "left_anti")
+      case None => batch
+    }
+    val b = clean.dropDuplicates("doc_id") // intra-batch redelivery
       .localCheckpoint() // judged AND grammed below — compute once
     // prior live grams: net-positive refcounts over every partition
     // EXCEPT this trigger's own (own-batch exclusion, see scaladoc)

@@ -54,6 +54,15 @@ object LmStore {
   private def ingestedPath(storePath: String): String =
     storePath.stripSuffix("/") + "_ingested"
 
+  /** DELETE-DURING-REPLAY CAVEAT (the clusterIngestStream convention,
+    * shared with [[graft.text.SubstrDedup.writeGramStoreCounted]]):
+    * the ledger filter makes a REDELIVERED batch diverge from its
+    * original write when a deletion landed in the crash window — the
+    * replay excludes the just-deleted doc while the deletion already
+    * subtracted its counts, double-subtracting every trigram it
+    * shares with surviving docs. Delete at quiesce (after the
+    * stream's checkpoint committed) — the erase-while-streaming
+    * contract. */
   def applyBatch(docs: DataFrame, storePath: String, batchId: Long,
       textCol: String = "text", idCol: String = "doc_id"): Unit = {
     require(batchId >= 0,
@@ -120,9 +129,16 @@ object LmStore {
 
   /** Merged NET counts across every ingested batch and deletion —
     * only net-positive types survive (a fully-deleted trigram nets to
-    * zero and vanishes from the model). */
+    * zero and vanishes from the model). Partition-gated (the
+    * file-less-dir rule): a delete-before-any-ingest writes an EMPTY
+    * negation whose dynamic overwrite leaves a _SUCCESS-only root —
+    * read it as "no counts", never a schema-inference crash. */
   def countsFromStore(s: SparkSession, storePath: String): DataFrame =
-    s.read.parquet(storePath)
+    if (!graft.rel.Tombstones.populated(s, storePath))
+      s.range(0).select(
+        lit("").as("w1"), lit("").as("w2"), lit("").as("w3"),
+        col("id").as("c3"))
+    else s.read.parquet(storePath)
       .groupBy("w1", "w2", "w3").agg(sum("c3").as("c3"))
       .filter(col("c3") > 0)
 
@@ -131,14 +147,34 @@ object LmStore {
   def lmFromStore(s: SparkSession, storePath: String): DataFrame =
     KneserNey.trigramLmFromCounts(countsFromStore(s, storePath))
 
-  /** Streaming ingest: each micro-batch counted and stored. */
+  /** Streaming ingest: each micro-batch counted and stored. The store
+    * binds to its FIRST streaming lineage (the
+    * `substrIngestStreamCounted` fence): a fresh checkpoint restarts
+    * batch ids at 0 and its batch 0 would silently dynamic-overwrite
+    * the original lineage's batch_id=0 with DIFFERENT docs' counts —
+    * the "partition IS the fence" replay argument only covers
+    * same-lineage redelivery, so any other lineage fails loudly. */
   def lmIngestStream(docs: DataFrame, storePath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, storePath, batchId)
+        applyStreamBatch(batch, storePath, batchId,
+          graft.streaming.StreamingOps.streamingLineage(
+            batch.sparkSession))
     }
+
+  /** One streaming trigger, exposed for the lineage-fence spec. */
+  private[graft] def applyStreamBatch(batch: DataFrame,
+      storePath: String, batchId: Long, lineage: String): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    graft.streaming.StreamingOps.bindStoreLineage(fs, root,
+      s"LM count store at $storePath", lineage)
+    applyBatch(batch, storePath, batchId)
+  }
 
   // -------------------------------------------------------- contract
   private val storeMemo =
@@ -153,12 +189,7 @@ object LmStore {
     * per immutable driver dir (the q81 policy). */
   def nqLmStore(s: SparkSession, d: String): DataFrame = {
     def build(): String = {
-      val p = java.nio.file.Files.createTempDirectory("graft_lm_store")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val p = graft.FixtureMemo.scratchDir("graft_lm_store")
       val path = s"$p/counts.parquet"
       val train = graft.Tables.documents(s, d)
         .filter(col("doc_id") % 5 =!= 0)

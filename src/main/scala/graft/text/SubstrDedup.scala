@@ -246,6 +246,14 @@ object SubstrDedup {
     require(batchId != Long.MinValue,
       "batch id Long.MinValue is reserved for the compaction fold " +
         "(a caller batch landing there would overwrite folded history)")
+    // the replay-horizon guard for INGEST ids (the counted algebra is
+    // additive: a folded batch redelivered after compaction would
+    // recreate a partition whose counts are already inside the fold —
+    // net refcounts inflate silently). Negative DELETION ids skip it:
+    // a replayed delete is ledger-fenced to an empty negation instead.
+    if (batchId >= 0)
+      graft.rel.FoldWatermark.requireIngestAbove(rows.sparkSession,
+        path, batchId)
     rows.withColumn("batch_id", lit(batchId))
       .write.option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
@@ -256,9 +264,29 @@ object SubstrDedup {
     * deletion ledger are EXCLUDED: a deleted doc id can never re-enter
     * the store (see [[deleteFromGramStoreCounted]] — deletes here are
     * permanent by contract, so a re-ingest must not resurrect counts
-    * the ledger will refuse to subtract again). */
+    * the ledger will refuse to subtract again). Ingest batch ids are
+    * NON-NEGATIVE (the streaming checkpoint's space); deletions take
+    * the negative ids — a shared space would let a redelivered trigger
+    * dynamic-overwrite a deletion's negation partition and silently
+    * resurrect the deleted docs' grams (the [[LmStore]] rule).
+    *
+    * DELETE-DURING-REPLAY CAVEAT (the clusterIngestStream convention):
+    * the ledger filter makes a REDELIVERED batch diverge from its
+    * original write when a deletion landed in the crash window — the
+    * replay excludes the just-deleted doc while the deletion already
+    * subtracted its counts from the ORIGINAL partition's content, so
+    * grams the doc shared with batch-mates can net to 0 and their
+    * duplicate suppression silently stops. Delete at quiesce (after
+    * the stream's checkpoint committed), or follow an in-window delete
+    * with [[compactGramStoreCounted]]'s maintenance pass AND a
+    * re-fingerprint of the affected batch from retained raw input —
+    * the erase-while-streaming contract every judged store here
+    * carries. */
   def writeGramStoreCounted(corpus: DataFrame, path: String,
       batchId: Long, w: Int = 20): Unit = {
+    require(batchId >= 0,
+      s"ingest batch ids are non-negative (got $batchId); negative " +
+        "ids are reserved for deletions")
     val admitted = (graft.rel.Tombstones
       .deletedKeys(corpus.sparkSession, path) match {
       case Some(prior) => corpus.join(
@@ -309,6 +337,12 @@ object SubstrDedup {
     * for stores whose compact can truncate the log. */
   def deleteFromGramStoreCounted(deleted: DataFrame, path: String,
       batchId: Long, w: Int = 20): Unit = {
+    require(batchId < 0,
+      s"deletion batch ids are negative (got $batchId); the " +
+        "non-negative space belongs to the ingest checkpoint — a " +
+        "redelivered trigger sharing a deletion's id would " +
+        "dynamic-overwrite the negation partition and silently " +
+        "resurrect the deleted docs' grams (the LmStore rule)")
     val s = deleted.sparkSession
     val fresh = (graft.rel.Tombstones.deletedKeys(s, path) match {
       case Some(prior) => deleted.join(
@@ -337,10 +371,19 @@ object SubstrDedup {
       path, batchId)
   }
 
-  /** The live gram set: hashes whose refcounts net positive. */
-  def liveGrams(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(path).groupBy("h").agg(sum(col("c")).as("c"))
+  /** The live gram set: hashes whose refcounts net positive.
+    * Partition-gated (the file-less-dir rule: a delete-before-any-
+    * ingest leaves a _SUCCESS-only root whose bare read fails schema
+    * inference — read it as "no grams"), and completes an interrupted
+    * compaction swap first (the store is authoritative wherever it
+    * stands). */
+  def liveGrams(s: SparkSession, path: String): DataFrame = {
+    recoverGramCompactSwap(s, path)
+    if (!graft.rel.Tombstones.populated(s, path))
+      s.range(0).select(col("id").as("h"))
+    else s.read.parquet(path).groupBy("h").agg(sum(col("c")).as("c"))
       .filter(col("c") > 0).select("h")
+  }
 
   /** [[substrDedupIncrementalStored]] against the counted store. */
   def substrDedupIncrementalStoredCounted(batch: DataFrame,
@@ -348,23 +391,86 @@ object SubstrDedup {
     incrementalAgainst(batch,
       liveGrams(batch.sparkSession, storePath), w)
 
-  /** Fold the net counts into one positive relation under batch_id 0.
-    * Read-before ≡ read-after (spec-pinned). REPLAY HORIZON: the
-    * compacted batch ids must not be redelivered afterwards — their
-    * fence partitions are gone — the standard compaction contract,
-    * same as [[graft.rel.Tombstones.compact]]; run from the single
-    * maintenance owner. */
+  private def gramCompactTmp(path: String) =
+    path.stripSuffix("/") + "_compact_tmp"
+  private def gramCompactOld(path: String) =
+    path.stripSuffix("/") + "_compact_old"
+
+  /** Complete an interrupted [[compactGramStoreCounted]] swap: the one
+    * crash window where the store root is ABSENT is between the two
+    * renames, and the fully-written old root is authoritative then
+    * (the fold is recomputable; accumulated history is not). Called
+    * on entry by the compaction, the streaming trigger, and the
+    * readers — idempotent, two FS probes in the steady state. */
+  private[graft] def recoverGramCompactSwap(s: SparkSession,
+      path: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(path)
+    val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(gramCompactOld(path))
+    if (!fs.exists(store) && fs.exists(old))
+      require(fs.rename(old, store),
+        s"cannot recover interrupted gram-store compaction at $path")
+  }
+
+  /** Fold the net counts into one positive relation under the RESERVED
+    * partition (writeCountedBatch rejects it from callers, so no later
+    * insert, delete, or streaming trigger can dynamic-overwrite folded
+    * history). Read-before ≡ read-after (spec-pinned).
+    *
+    * Crash discipline — the signature-store RENAME-SWAP, not an
+    * in-place overwrite (Spark's whole-root overwrite deletes the
+    * existing data before the job commits: a crash mid-write would
+    * present an EMPTY store and silently admit every duplicate): the
+    * fold writes COMPLETELY to a tmp sibling — carrying over the
+    * `_lineage` streaming fence marker, which a root swap would
+    * otherwise silently disarm — then store→old, tmp→store, delete
+    * old; every window leaves one complete root and
+    * [[recoverGramCompactSwap]] finishes an interrupted swap.
+    *
+    * REPLAY HORIZON, enforced: the fold records the largest folded
+    * INGEST id as the [[graft.rel.FoldWatermark]] (written into the
+    * tmp BEFORE the swap — no window without it), and
+    * writeCountedBatch refuses non-negative ids at or below it — a
+    * redelivered folded batch would recreate counts already inside
+    * the fold. Deletion ids stay unguarded (a replayed delete is
+    * ledger-fenced to an empty negation). Run from the single
+    * maintenance owner, quiesced, like every compaction here. */
   def compactGramStoreCounted(s: SparkSession, path: String): Unit = {
+    val store = new org.apache.hadoop.fs.Path(path)
+    val fs = store.getFileSystem(s.sparkContext.hadoopConfiguration)
+    recoverGramCompactSwap(s, path)
+    if (!graft.rel.Tombstones.populated(s, path)) return
+    val maxIngest = fs.listStatus(store).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("batch_id=").toLong).toOption)
+      .filter(_ >= 0)
+      .reduceOption(_ max _)
     val net = s.read.parquet(path).groupBy("h")
       .agg(sum(col("c")).as("c")).filter(col("c") > 0)
-      .localCheckpoint() // materialize before overwriting the source files
-    // the fold lands in the RESERVED partition (writeCountedBatch
-    // rejects it from callers), so no later insert, delete, or
-    // streaming trigger can dynamic-overwrite folded history
+      .localCheckpoint() // materialize before any file moves
+    val tmp = new org.apache.hadoop.fs.Path(gramCompactTmp(path))
+    val old = new org.apache.hadoop.fs.Path(gramCompactOld(path))
+    fs.delete(tmp, true)
+    fs.delete(old, true)
     net.withColumn("batch_id", lit(Long.MinValue))
-      .write.option("partitionOverwriteMode", "static")
+      .write.option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
-      .mode("overwrite").parquet(path) // static overwrite: whole root
+      .mode("overwrite").parquet(tmp.toString)
+    // carry the streaming lineage fence across the swap
+    val lineage = new org.apache.hadoop.fs.Path(store, "_lineage")
+    if (fs.exists(lineage))
+      org.apache.hadoop.fs.FileUtil.copy(fs, lineage, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_lineage"), false,
+        s.sparkContext.hadoopConfiguration)
+    maxIngest.foreach(m =>
+      graft.rel.FoldWatermark.write(fs, tmp.toString, m))
+    require(fs.rename(store, old),
+      s"gram-store compaction swap failed: cannot move $store aside")
+    require(fs.rename(tmp, store),
+      s"gram-store compaction swap failed: cannot move $tmp into place")
+    fs.delete(old, true)
   }
 
   /** One batch's distinct gram hashes — the unit the streaming ingest
@@ -429,12 +535,7 @@ object SubstrDedup {
     val docs = documents(s, d)
     val cut = docs.count() * 4 / 5
     def build(): String = {
-      val p = java.nio.file.Files.createTempDirectory("gramstore")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val p = graft.FixtureMemo.scratchDir("gramstore")
       val path = s"$p/grams.parquet"
       writeGramStore(docs.filter(col("doc_id") < cut), path)
       path
@@ -604,17 +705,12 @@ object SubstrDedup {
     val cut = docs.count() * 4 / 5
     def build(): String = {
       val corpus = docs.filter(col("doc_id") < cut)
-      val p = java.nio.file.Files.createTempDirectory("gramcounted")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      val p = graft.FixtureMemo.scratchDir("gramcounted")
       val path = s"$p/grams.parquet"
       writeGramStoreCounted(corpus, path, batchId = 0L)
       deleteFromGramStoreCounted(
         corpus.filter(pmod(col("doc_id"), lit(7)) === 3), path,
-        batchId = 1L)
+        batchId = -1L)
       path
     }
     val store = if (graft.Tables.isImmutable(d))

@@ -122,6 +122,34 @@ class HeavyHittersStreamSpec extends SparkSpec {
     } finally delete(dir)
   }
 
+  test("the MG floor is governed by the store's BUILD k, not the " +
+      "caller's claim: a mismatched k fails loudly instead of " +
+      "silently voiding the no-false-negative guarantee") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hhk")
+    val storePath = dir.resolve("hh").toString
+    try {
+      val docs = Seq((0L, "a a a b b c")).toDF("doc_id", "text")
+      StreamingOps.applyHeavyHitterBatch(docs, 0L, "L", storePath, 4)
+      // a reader claiming a LARGER k would pass the old caller-trusting
+      // floor check while the k=4 summary may already have dropped
+      // qualifying terms — the store's sentinel now pins the build k
+      val e = intercept[IllegalArgumentException](
+        StreamingOps.heavyHittersFromStore(docs, storePath, k = 1024,
+          support = 0.01))
+      assert(e.getMessage.contains("built with k=4"), e.getMessage)
+      // the build k with a support below ITS floor still refuses
+      val e2 = intercept[IllegalArgumentException](
+        StreamingOps.heavyHittersFromStore(docs, storePath, k = 4,
+          support = 0.01))
+      assert(e2.getMessage.contains("floor"), e2.getMessage)
+      // the sound read works
+      val hh = StreamingOps.heavyHittersFromStore(docs, storePath,
+          k = 4, support = 0.3)
+        .collect().map(_.getString(0)).toSet
+      assert(hh.contains("a"))
+    } finally delete(dir)
+  }
+
   test("store + exact verify ≡ batch heavy hitters on the same corpus") {
     // 3 streamed batches build the MG summary; reading it back through
     // the exact-verify pass must give exactly what the batch operator

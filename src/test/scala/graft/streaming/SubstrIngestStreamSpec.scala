@@ -202,4 +202,36 @@ class SubstrIngestStreamSpec extends SparkSpec {
         "the trigger after a delete must judge against survivors only")
     } finally cleanup(dir)
   }
+
+  test("counted ingest: a doc tombstoned BEFORE its content arrives is " +
+      "neither judged nor stored — no verdict row persists derived " +
+      "data of a deleted doc") {
+    val dir = tempDir()
+    try {
+      val store = dir.resolve("store").toString
+      val verd = dir.resolve("verdicts").toString
+      StreamingOps.applySubstrIngestBatchCounted(corpus, 0L, store, verd, 20)
+      // GDPR request for a doc that has NOT arrived yet (it carries
+      // text, as requests do) — bars the future arrival
+      val preDeleted = batch.filter($"doc_id" === batch
+        .select(min("doc_id")).head.getLong(0))
+      graft.text.SubstrDedup.deleteFromGramStoreCounted(
+        preDeleted, store, batchId = -1L)
+      // the doc arrives in the next trigger: it must be absent from
+      // BOTH the verdict file and the gram store
+      StreamingOps.applySubstrIngestBatchCounted(batch, 1L, store, verd, 20)
+      val barredId = preDeleted.select("doc_id").head.getLong(0)
+      val verdictIds = spark.read.parquet(s"$verd/batch-1.parquet")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(!verdictIds.contains(barredId),
+        "a pre-deleted doc must not get a persisted verdict")
+      assert(verdictIds.nonEmpty, "the rest of the batch still judges")
+      // and the survivors' verdicts equal judging the CLEAN batch
+      val direct = graft.text.SubstrDedup
+        .substrDedupIncremental(
+          batch.filter($"doc_id" =!= barredId), corpus)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(readVerdicts(verd, "batch-1.parquet").toSeq === direct.toSeq)
+    } finally cleanup(dir)
+  }
 }

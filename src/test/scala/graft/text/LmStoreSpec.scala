@@ -84,4 +84,51 @@ class LmStoreSpec extends SparkSpec {
     assert(LmStore.lmFromStore(spark, store).collect().toSeq ==
       KneserNey.trigramLm(docs((b1 ++ b2): _*)).collect().toSeq)
   }
+
+  test("the store binds to its first streaming lineage: a fresh " +
+      "checkpoint's batch 0 fails loudly instead of silently " +
+      "overwriting the original lineage's partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("lmlineage")
+    try {
+      val store = dir.resolve("counts").toString
+      LmStore.applyStreamBatch(docs(b1: _*), store, 0L, "lineage-A")
+      val before = LmStore.lmFromStore(spark, store).collect().toSeq
+      // same lineage redelivery: the partition is the fence, answers hold
+      LmStore.applyStreamBatch(docs(b1: _*), store, 0L, "lineage-A")
+      assert(LmStore.lmFromStore(spark, store).collect().toSeq == before)
+      // a DIFFERENT lineage's batch 0 carries different docs — without
+      // the fence it would dynamic-overwrite batch_id=0 silently
+      val e = intercept[IllegalStateException](
+        LmStore.applyStreamBatch(docs(b2: _*), store, 0L, "lineage-B"))
+      assert(e.getMessage.contains("lineage"), e.getMessage)
+      assert(LmStore.lmFromStore(spark, store).collect().toSeq == before)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("a delete-before-any-ingest leaves a READABLE empty store (the " +
+      "file-less-dir rule): counts and the model read empty, the " +
+      "barred id never enters, and the first real ingest lands") {
+    val dir = java.nio.file.Files.createTempDirectory("lmpredel")
+    try {
+      val store = dir.resolve("counts").toString
+      // the negation of a never-ingested doc is EMPTY: the dynamic
+      // overwrite leaves a _SUCCESS-only root
+      LmStore.deleteFromLmStore(docs(b3.head), store, -1L)
+      assert(LmStore.countsFromStore(spark, store).collect().isEmpty,
+        "a file-less count store must read as empty, not crash")
+      // the barred doc never enters; survivors land normally
+      LmStore.applyBatch(docs((b1 :+ b3.head): _*), store, 0L)
+      val got = LmStore.lmFromStore(spark, store).collect().toSeq
+      assert(got == KneserNey.trigramLm(docs(b1: _*)).collect().toSeq,
+        "the pre-deleted doc must be excluded from the first ingest")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }

@@ -233,7 +233,7 @@ class SubstrDedupSpec extends SparkSpec {
       val full = s"$dir/full.parquet"
       val survivors = s"$dir/survivors.parquet"
       SubstrDedup.writeGramStoreCounted(corpus, full, batchId = 0L)
-      SubstrDedup.deleteFromGramStoreCounted(deleted, full, batchId = 1L)
+      SubstrDedup.deleteFromGramStoreCounted(deleted, full, batchId = -1L)
       SubstrDedup.writeGramStoreCounted(
         corpus.filter(pmod($"doc_id", lit(7)) =!= 3), survivors, 0L)
       def judge(p: String) = SubstrDedup
@@ -243,7 +243,7 @@ class SubstrDedupSpec extends SparkSpec {
       assert(afterDelete.nonEmpty && afterDelete === judge(survivors),
         "write+delete must equal write-without-deleted bit-for-bit")
       // replayed delete batch: its own partition is the fence
-      SubstrDedup.deleteFromGramStoreCounted(deleted, full, batchId = 1L)
+      SubstrDedup.deleteFromGramStoreCounted(deleted, full, batchId = -1L)
       assert(judge(full) === afterDelete,
         "replayed delete must not move answers")
       // compact folds the net counts in without changing any answer
@@ -255,6 +255,70 @@ class SubstrDedupSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSeq
       assert(batches === Seq(Long.MinValue),
         "compact must leave one folded batch in the reserved partition")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("counted store compaction is crash-safe and horizon-enforced: " +
+      "an interrupted swap recovers to the FULL old store, the lineage " +
+      "marker survives the fold, deletion ids must be negative, and a " +
+      "folded ingest id refuses redelivery") {
+    val docs = graft.Tables.documents(spark, sf0001)
+    val corpus = docs.filter($"doc_id" < 100)
+    val dir = java.nio.file.Files.createTempDirectory("gramcntsafe")
+    try {
+      val path = s"$dir/grams.parquet"
+      SubstrDedup.writeGramStoreCounted(corpus, path, 0L)
+      SubstrDedup.writeGramStoreCounted(
+        docs.filter($"doc_id" >= 100 && $"doc_id" < 200), path, 1L)
+      // a streaming lineage marker (as the counted ingest stream binds)
+      val fsP = new org.apache.hadoop.fs.Path(path)
+      val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mk = new org.apache.hadoop.fs.Path(fsP, "_lineage")
+      val out = fs.create(mk, true)
+      out.write("lin-A".getBytes("UTF-8")); out.close()
+      def live() = SubstrDedup.liveGrams(spark, path)
+        .collect().map(_.getLong(0)).toSet
+      val before = live()
+      // ids are two-sided: positive deletes and negative ingests refuse
+      intercept[IllegalArgumentException](
+        SubstrDedup.deleteFromGramStoreCounted(corpus, path, 2L))
+      intercept[IllegalArgumentException](
+        SubstrDedup.writeGramStoreCounted(corpus, path, -3L))
+      SubstrDedup.compactGramStoreCounted(spark, path)
+      assert(live() === before, "compaction must not move the gram set")
+      // the lineage fence SURVIVES the root swap
+      assert(fs.exists(mk))
+      val in = fs.open(mk)
+      val lin = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString.trim finally in.close()
+      assert(lin === "lin-A")
+      // the replay horizon is enforced: folded ingest ids refuse, a
+      // fresh id above the watermark lands
+      val e = intercept[IllegalArgumentException](
+        SubstrDedup.writeGramStoreCounted(
+          docs.filter($"doc_id" >= 200 && $"doc_id" < 210), path, 1L))
+      assert(e.getMessage.contains("replay horizon"), e.getMessage)
+      SubstrDedup.writeGramStoreCounted(
+        docs.filter($"doc_id" >= 200 && $"doc_id" < 210), path, 2L)
+      // a replayed DELETE after compaction stays safe WITHOUT the
+      // horizon guard: the ledger fences it to an empty negation
+      SubstrDedup.deleteFromGramStoreCounted(
+        corpus.filter($"doc_id" === 1L), path, -9L)
+      val afterDel = live()
+      SubstrDedup.deleteFromGramStoreCounted(
+        corpus.filter($"doc_id" === 1L), path, -9L)
+      assert(live() === afterDel)
+      // interrupted swap: the one store-absent window (between the two
+      // renames) recovers to the complete old root on ANY entry
+      val old = new org.apache.hadoop.fs.Path(s"${path}_compact_old")
+      require(fs.rename(fsP, old))
+      assert(live() === afterDel,
+        "a reader inside the swap window must recover the old root")
+      assert(fs.exists(fsP) && !fs.exists(old))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -283,7 +347,7 @@ class SubstrDedupSpec extends SparkSpec {
       val path = s"$dir/grams.parquet"
       SubstrDedup.writeGramStoreCounted(corpus, path, 0L)
       SubstrDedup.deleteFromGramStoreCounted(
-        corpus.filter($"doc_id" === 1L), path, 1L)
+        corpus.filter($"doc_id" === 1L), path, -1L)
       def judge() = SubstrDedup
         .substrDedupIncrementalStoredCounted(batch, path)
         .select("doc_id", "n_dup_tokens")
@@ -297,7 +361,7 @@ class SubstrDedupSpec extends SparkSpec {
       // absorb it — a second subtraction would net the survivor-shared
       // P to zero and silently stop suppressing doc 0's passage
       SubstrDedup.deleteFromGramStoreCounted(
-        corpus.filter($"doc_id" === 1L), path, 2L)
+        corpus.filter($"doc_id" === 1L), path, -2L)
       assert(judge() === out,
         "a duplicate delete request must not subtract twice")
       // deletes are PERMANENT: re-ingesting the deleted doc id is
@@ -313,7 +377,7 @@ class SubstrDedupSpec extends SparkSpec {
       val preDeleted = Seq(
         (99L, s"${words("e", 4)} $p", "en", "s", 1L)
       ).toDF("doc_id", "text", "lang", "source", "n_chars")
-      SubstrDedup.deleteFromGramStoreCounted(preDeleted, path, 4L)
+      SubstrDedup.deleteFromGramStoreCounted(preDeleted, path, -4L)
       assert(judge() === out,
         "deleting a never-ingested doc must not subtract its grams")
       SubstrDedup.writeGramStoreCounted(preDeleted, path, 5L)
