@@ -155,6 +155,40 @@ object NswKnn {
         .withColumn("shard", pmod(xxhash64(col("vec_id")), lit(nShards))),
       nShards, m, efC)
 
+  /** The shard-walk search body shared by the in-query and stored
+    * paths (ONE implementation, so the "stored output ≡ in-query
+    * output" spec can never drift): group each shard's rows, build the
+    * local index, beam-walk every broadcast query, drop self-matches
+    * and the excluded (tombstoned) ids. */
+  private def searchShards(s: SparkSession, graph: DataFrame,
+      qs: Array[(Long, Array[Float], Double)], nShards: Int, efS: Int,
+      excluded: Set[Long]): DataFrame = {
+    import s.implicits._
+    val qb = s.sparkContext.broadcast(qs)
+    val xb = s.sparkContext.broadcast(excluded)
+    graph
+      .as[(Int, Long, Seq[Float], Double, Seq[Long])]
+      .repartition(nShards, col("shard"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
+          val sorted = rows.sortBy(_._2)
+          val ids = sorted.map(_._2).toArray
+          val local = ids.zipWithIndex.toMap
+          val vecs = sorted.map(_._3.toArray).toArray
+          val nrms = sorted.map(_._4).toArray
+          val adj = sorted.map(_._5.map(local).toArray).toArray
+          qb.value.iterator.flatMap { case (qid, qe, qn) =>
+            beam(qe, qn, 0, adj, vecs, nrms, efS).iterator
+              .collect {
+                case (c, li) if ids(li) != qid && !xb.value(ids(li)) =>
+                  (qid, ids(li), c)
+              }
+          }
+        }
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+  }
+
   /** Search: broadcast queries, beam-walk every shard graph, union the
     * per-shard candidates, exact-re-rank to top-k (q30's shared output
     * contract). */
@@ -168,27 +202,7 @@ object NswKnn {
       .as[(Long, Seq[Float], Double)].collect()
       .map { case (id, e, n) => (id, e.toArray, n) }
     require(qs.nonEmpty, "nswKnn: no query vectors")
-    val qb = s.sparkContext.broadcast(qs)
-    val cands = graph
-      .as[(Int, Long, Seq[Float], Double, Seq[Long])]
-      .repartition(nShards, col("shard"))
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val ids = sorted.map(_._2).toArray
-          val local = ids.zipWithIndex.toMap
-          val vecs = sorted.map(_._3.toArray).toArray
-          val nrms = sorted.map(_._4).toArray
-          val adj = sorted.map(_._5.map(local).toArray).toArray
-          qb.value.iterator.flatMap { case (qid, qe, qn) =>
-            beam(qe, qn, 0, adj, vecs, nrms, efS).iterator
-              .collect { case (c, li) if ids(li) != qid =>
-                (qid, ids(li), c)
-              }
-          }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "cos")
+    val cands = searchShards(s, graph, qs, nShards, efS, Set.empty)
     graft.OracleDump.dump(
       cands.select(col("query_id"), col("neighbor_id").as("cand_id")),
       s"${VecPrep.AnnOracleDir}/nq_nsw_knn.parquet")
@@ -227,33 +241,11 @@ object NswKnn {
       .as[(Long, Seq[Float], Double)].collect()
       .map { case (id, e, n) => (id, e.toArray, n) }
     require(qs.nonEmpty, "nswKnnStored: no query vectors")
-    val qb = s.sparkContext.broadcast(qs)
     // deletion-sized set (requests, not corpus) — broadcast it
-    val tb = s.sparkContext.broadcast(
-      graft.rel.Tombstones.deletedKeys(s, storePath)
-        .map(_.select(col("key").cast("long")).as[Long].collect().toSet)
-        .getOrElse(Set.empty[Long]))
-    val cands = graph
-      .as[(Int, Long, Seq[Float], Double, Seq[Long])]
-      .repartition(nShards, col("shard"))
-      .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-          val sorted = rows.sortBy(_._2)
-          val ids = sorted.map(_._2).toArray
-          val local = ids.zipWithIndex.toMap
-          val vecs = sorted.map(_._3.toArray).toArray
-          val nrms = sorted.map(_._4).toArray
-          val adj = sorted.map(_._5.map(local).toArray).toArray
-          qb.value.iterator.flatMap { case (qid, qe, qn) =>
-            beam(qe, qn, 0, adj, vecs, nrms, efS).iterator
-              .collect {
-                case (c, li) if ids(li) != qid && !tb.value(ids(li)) =>
-                  (qid, ids(li), c)
-              }
-          }
-        }
-      }
-      .toDF("query_id", "neighbor_id", "cos")
+    val excluded = graft.rel.Tombstones.deletedKeys(s, storePath)
+      .map(_.select(col("key").cast("long")).as[Long].collect().toSet)
+      .getOrElse(Set.empty[Long])
+    val cands = searchShards(s, graph, qs, nShards, efS, excluded)
     graft.OracleDump.dump(
       cands.select(col("query_id"), col("neighbor_id").as("cand_id")),
       s"${VecPrep.AnnOracleDir}/nq_nsw_store.parquet")
@@ -266,6 +258,56 @@ object NswKnn {
       batchId: Long): Unit =
     graft.rel.Tombstones.applyDelete(keys, "vec_id", storePath, batchId)
 
+  private def stageDir(p: String) = p.stripSuffix("/") + "_compact_stage"
+  private def stageTmpDir(p: String) = stageDir(p) + "_tmp"
+
+  /** Apply a standing compaction stage FROM DISK — pure idempotent
+    * partition overwrites + emptied-shard deletes + the full-deletion
+    * empty-root rewrite; the tombstone log deletes AFTER the apply and
+    * the stage deletes LAST, so every crash window either replays the
+    * stage or re-detects nothing (and reads stay correct throughout:
+    * the log still suppresses the victims until it is dropped). */
+  private def applyGraphStage(s: SparkSession, storePath: String): Unit = {
+    import s.implicits._
+    val st = new org.apache.hadoop.fs.Path(stageDir(storePath))
+    val fs = st.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(st)) return
+    val affected = s.read.parquet(s"$st/meta").as[Int].collect().toSet
+    val dataP = new org.apache.hadoop.fs.Path(s"$st/data")
+    val hasRows = fs.exists(dataP) && fs.listStatus(dataP)
+      .exists(_.getPath.getName.startsWith("shard="))
+    val present: Set[Int] =
+      if (!hasRows) Set.empty
+      else {
+        val data = s.read.parquet(dataP.toString)
+        data.write.option("partitionOverwriteMode", "dynamic")
+          .partitionBy("shard").mode("overwrite").parquet(storePath)
+        data.select(col("shard").cast("int")).distinct()
+          .as[Int].collect().toSet
+      }
+    // a shard whose every member was deleted produces no rows —
+    // remove the emptied partitions or the deletion silently undoes
+    // itself once the log is truncated
+    (affected -- present).foreach { sh =>
+      fs.delete(
+        new org.apache.hadoop.fs.Path(s"$storePath/shard=$sh"), true)
+    }
+    // a deletion covering EVERY member of EVERY shard leaves the root
+    // with no parquet files, and the next read would die in schema
+    // inference instead of answering empty — materialize the empty
+    // relation staged for exactly this (shard becomes a plain int
+    // column; nswKnnStored's select works on either layout)
+    val anyData = fs.listStatus(
+        new org.apache.hadoop.fs.Path(storePath))
+      .exists(x => x.isDirectory && x.getPath.getName.startsWith("shard="))
+    if (!anyData)
+      s.read.parquet(s"$st/empty")
+        .coalesce(1).write.mode("overwrite").parquet(storePath)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      graft.rel.Tombstones.logPath(storePath)), true)
+    fs.delete(st, true)
+  }
+
   /** Fold tombstones into the store by REBUILDING only the affected
     * shards — shard membership is `hash(vec_id) mod nShards`, so a
     * deletion batch touches at most |batch| shards and every other
@@ -274,14 +316,27 @@ object NswKnn {
     * the survivors would produce (same deterministic insert order).
     * Read-before vs read-after may differ only in recall near the
     * deleted nodes (routing waypoints disappear) — never in membership.
-    * Single maintenance owner, like every store rewrite. */
-  def compactGraphStore(s: SparkSession, storePath: String,
-      m: Int = 8, efC: Int = 32): Unit = {
+    * Single maintenance owner, like every store rewrite.
+    *
+    * Crash discipline — DURABLE staging (the recluster-plan shape):
+    * the rebuilt shards, the affected list, and the empty-root
+    * fallback all materialize under `_compact_stage_tmp` and RENAME to
+    * `_compact_stage` before any store mutation (the previous in-place
+    * overwrite replaced shard dirs from volatile localCheckpoint
+    * blocks — a crash mid-commit lost a shard's survivors with
+    * nothing to restore them). Applying is idempotent-from-disk
+    * ([[applyGraphStage]]); every entry replays a standing stage
+    * first, and reads stay correct through every window because the
+    * tombstone log — which still suppresses the victims — deletes
+    * only after the apply completes. */
+  /** Compute + persist the stage (no store mutation); false = nothing
+    * affected. private[sim] so the interrupt spec can stage without
+    * applying. */
+  private[sim] def stageGraphCompaction(s: SparkSession,
+      storePath: String, m: Int = 8, efC: Int = 32): Boolean = {
     import s.implicits._
-    graft.rel.Tombstones.deletedKeys(s, storePath).foreach { keys =>
+    graft.rel.Tombstones.deletedKeys(s, storePath).exists { keys =>
       val full = s.read.parquet(storePath)
-      // captured before any shard directory is deleted — the schema
-      // source for the full-deletion empty rewrite below
       val fullSchema = org.apache.spark.sql.types.StructType(
         full.schema.fields.map(f =>
           if (f.name == "shard")
@@ -296,41 +351,37 @@ object NswKnn {
       val fs = new org.apache.hadoop.fs.Path(storePath)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (affected.nonEmpty) {
+        val tmp = new org.apache.hadoop.fs.Path(stageTmpDir(storePath))
+        val st = new org.apache.hadoop.fs.Path(stageDir(storePath))
+        fs.delete(tmp, true)
+        fs.delete(st, true)
         val survivors = store
           .filter(col("shard").isin(affected.toSeq: _*))
           .join(victims, Seq("vec_id"), "left_anti")
-          .localCheckpoint() // materialize before overwriting the source
+          .localCheckpoint() // computed once: rebuild + stage write
         graphOf(survivors, affected.size, m, efC)
-          .write.option("partitionOverwriteMode", "dynamic")
-          .partitionBy("shard").mode("overwrite").parquet(storePath)
-        // a shard whose every member was deleted produces no rows, so
-        // dynamic overwrite leaves its old files standing — remove the
-        // emptied partitions explicitly or the deletion silently undoes
-        // itself once the log is truncated below
-        val kept = survivors.select("shard").distinct()
-          .as[Int].collect().toSet
-        (affected -- kept).foreach { sh =>
-          fs.delete(
-            new org.apache.hadoop.fs.Path(s"$storePath/shard=$sh"), true)
-        }
-        // a deletion covering EVERY member of EVERY shard leaves the
-        // root with no parquet files, and the next read would die in
-        // schema inference instead of answering empty — materialize an
-        // empty relation with the store's OWN schema, captured above
-        // (shard becomes a plain int column; nswKnnStored's select
-        // works on either layout)
-        val anyData = fs.listStatus(
-            new org.apache.hadoop.fs.Path(storePath))
-          .exists(st => st.isDirectory &&
-            st.getPath.getName.startsWith("shard="))
-        if (!anyData)
-          s.createDataFrame(s.sparkContext.emptyRDD[
-              org.apache.spark.sql.Row], fullSchema)
-            .coalesce(1).write.mode("overwrite").parquet(storePath)
+          .write.partitionBy("shard").parquet(s"$tmp/data")
+        affected.toSeq.toDF("shard")
+          .coalesce(1).write.parquet(s"$tmp/meta")
+        s.createDataFrame(s.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row], fullSchema)
+          .coalesce(1).write.parquet(s"$tmp/empty")
+        require(fs.rename(tmp, st),
+          s"could not stage graph compaction at $st")
+        true
+      } else {
+        fs.delete(new org.apache.hadoop.fs.Path(
+          graft.rel.Tombstones.logPath(storePath)), true)
+        false
       }
-      fs.delete(new org.apache.hadoop.fs.Path(
-        graft.rel.Tombstones.logPath(storePath)), true)
     }
+  }
+
+  def compactGraphStore(s: SparkSession, storePath: String,
+      m: Int = 8, efC: Int = 32): Unit = {
+    applyGraphStage(s, storePath) // replay an interrupted run first
+    if (stageGraphCompaction(s, storePath, m, efC))
+      applyGraphStage(s, storePath)
   }
 
   // one persisted graph per source dir, process lifetime (q81's memo
@@ -339,21 +390,28 @@ object NswKnn {
 
   /** Driver entry for the stored path: graph built and persisted once,
     * every invocation pays only the beam search. */
+  // mutable-dir rebuilds reuse ONE scratch root per source (the
+  // IvfPqStore policy: a fresh temp dir + shutdown hook per invocation
+  // leaks disk and hooks under repeated runs)
+  private val mutableGraphFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   def nqNswStore(s: SparkSession, d: String): DataFrame = {
-    def build(): String = {
-      val p = java.nio.file.Files.createTempDirectory("nswstore")
-      sys.addShutdownHook {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
-      val path = s"$p/graph.parquet"
+    def build(at: String): String = {
+      val path = s"$at/graph.parquet"
       writeGraph(s, d, path)
       path
     }
     val store = if (graft.Tables.isImmutable(d))
-      graphFor.getOrElseUpdate(d, build())
-    else build()
+      graphFor.getOrElseUpdate(d,
+        build(graft.FixtureMemo.scratchDir("nswstore").toString))
+    else {
+      val at = mutableGraphFor.getOrElseUpdate(d,
+        graft.FixtureMemo.scratchDir("nswstore").toString)
+      val p = new org.apache.hadoop.fs.Path(at)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      build(at)
+    }
     nswKnnStored(s, d, store)
   }
 

@@ -103,7 +103,13 @@ object SemDedup {
     val sample = e.orderBy(xxhash64(col("id")), col("id")).limit(2000)
       .select("emb").as[Seq[Float]].collect().map(_.toArray)
     require(sample.nonEmpty, "fitBounded: empty input")
-    val cents = PqKnn.lloyd(sample, k, iters = 10, seed = seed)
+    // k is bounded by the training sample: lloyd over 2000 points can
+    // realize at most 2000 distinct centroids — asking for more (a
+    // 10M-row corpus's autoK is 3163) only mints duplicate centroids
+    // that receive zero assignments while every corpus row still pays
+    // k×dim distance evaluations in the assignment UDF
+    val kEff = math.min(k, sample.length)
+    val cents = PqKnn.lloyd(sample, kEff, iters = 10, seed = seed)
     if (maxDepth <= 0) return ClusterTree(cents, Map.empty)
     val assigned = e.withColumn("cluster", assignCol(cents)).persist()
     try {
@@ -127,10 +133,17 @@ object SemDedup {
     * split clusters (small by construction).
     */
   private[sim] def assignTree(tree: ClusterTree, e: DataFrame): DataFrame = {
-    val assigned = e.withColumn("cluster", assignCol(tree.cents))
+    val assigned0 = e.withColumn("cluster", assignCol(tree.cents))
     if (tree.children.isEmpty)
-      assigned.withColumn("cluster", col("cluster").cast("string"))
+      assigned0.withColumn("cluster", col("cluster").cast("string"))
     else {
+      // referenced once per branch PLUS the flat filter — without a
+      // materialization each reference re-runs the node's k×dim
+      // assignment UDF over the node's whole input (Spark has no
+      // common-subplan reuse), and the callers multiply the tree
+      // again; localCheckpoint (not persist) because the tree is
+      // built once per fit and the blocks free with the reference
+      val assigned = assigned0.localCheckpoint()
       val splitKeys = tree.children.keys.toSeq
       val flat = assigned.filter(!col("cluster").isInCollection(splitKeys))
         .withColumn("cluster", col("cluster").cast("string"))
@@ -160,8 +173,10 @@ object SemDedup {
       k: Int = 0, sizeCap: Long = 0L, seed: Long = 42L,
       maxDepth: Int = 3): ClusterTree = {
     val e = prep(vecs, idCol, embCol)
-    val kEff = if (k > 0) k else autoK(e.count())
-    val capEff = if (sizeCap > 0) sizeCap else autoCap(e.count(), kEff)
+    // one count serves both defaults (each evaluation is a corpus scan)
+    lazy val n = e.count()
+    val kEff = if (k > 0) k else autoK(n)
+    val capEff = if (sizeCap > 0) sizeCap else autoCap(n, kEff)
     fitBounded(e, kEff, capEff, seed, maxDepth)
   }
 
@@ -255,12 +270,25 @@ object SemDedup {
   /** Projection + cluster assignment under an ALREADY-TRAINED flat
     * model — the reusable artifact of the incremental path (the
     * analogue of the text side's persisted signature store: train once
-    * over the corpus, assign forever). One narrow pass; the model's
-    * k×dim centers ride the closure. */
+    * over the corpus, assign forever). One narrow pass through
+    * `model.transform` (the prediction runs executor-side against the
+    * broadcast model).
+    *
+    * PRECONDITION: the model must have been configured with
+    * `featuresCol = "v"` and `predictionCol = "cluster"` (the columns
+    * `prep` produces and this select reads) — a default-configured
+    * KMeansModel fails at analysis. Enforced loudly here rather than
+    * surfacing as an unresolved-column error. */
   def assign(model: org.apache.spark.ml.clustering.KMeansModel,
-      vecs: DataFrame, idCol: String, embCol: String): DataFrame =
+      vecs: DataFrame, idCol: String, embCol: String): DataFrame = {
+    require(model.getFeaturesCol == "v" && model.getPredictionCol == "cluster",
+      s"assign expects a model trained with featuresCol=v and " +
+        s"predictionCol=cluster (got ${model.getFeaturesCol}/" +
+        s"${model.getPredictionCol}) — set both before fitting, or " +
+        "model.copy the params")
     model.transform(prep(vecs, idCol, embCol))
       .select(col("id"), col("emb"), col("nrm"), col("cluster"))
+  }
 
   /** Same under a size-bounded `ClusterTree` (from `fitCorpus`): the
     * cluster column is the leaf path, so a batch lands in exactly the

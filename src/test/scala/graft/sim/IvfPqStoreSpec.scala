@@ -217,6 +217,53 @@ class IvfPqStoreSpec extends SparkSpec {
     } finally cleanup(dir)
   }
 
+  test("compaction is crash-safe and total-deletion-safe: a deletion " +
+      "covering EVERY vector leaves a READABLE empty store, an " +
+      "interrupted swap recovers, and an intra-batch duplicate " +
+      "vec_id encodes once") {
+    val dir = tempDir()
+    try {
+      IvfPqStore.buildIndex(spark, sf0001, dir.toString)
+      val codes = s"$dir/codes.parquet"
+      val allIds = spark.read.parquet(codes)
+        .select("vec_id").as[Long].collect().toSeq
+      // intra-batch duplicate: an at-least-once source re-delivering
+      // the same vec_id INSIDE one frame must encode it once (the
+      // seen anti-join only blocks already-stored ids)
+      val freshId = allIds.max + 1000L
+      val vec = src.limit(1)
+        .select(lit(freshId).as("vec_id"), $"embedding")
+      IvfPqStore.encodeBatch(spark, dir.toString, vec.unionAll(vec))
+      assert(spark.read.parquet(codes)
+        .filter($"vec_id" === freshId).count() === 1L,
+        "a duplicated in-batch vec_id must encode exactly once")
+      // total deletion + compact: the codes root must stay READABLE
+      // (empty, schema-bearing) — a file-less root would crash every
+      // later read's schema inference
+      IvfPqStore.deleteFromIndex((allIds :+ freshId).toDF("vec_id"),
+        dir.toString, 1L)
+      IvfPqStore.compactIndex(spark, dir.toString)
+      assert(spark.read.parquet(codes).count() === 0L,
+        "a fully-deleted store must read as empty, not crash")
+      val empty = IvfPqStore.searchIndex(spark, dir.toString, src,
+        0L until 3L)
+      assert(empty.collect().isEmpty,
+        "searching the emptied index answers empty")
+      // and re-ingest after the full erasure works normally
+      IvfPqStore.encodeBatch(spark, dir.toString, vec)
+      assert(spark.read.parquet(codes).count() === 1L)
+      // interrupted swap: the one codes-absent window (between the two
+      // renames) recovers the complete old root on the next entry
+      val fs = new org.apache.hadoop.fs.Path(codes)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.rename(new org.apache.hadoop.fs.Path(codes),
+        new org.apache.hadoop.fs.Path(s"$dir/codes_compact_old")))
+      IvfPqStore.compactIndex(spark, dir.toString) // recovers, no log → no-op
+      assert(spark.read.parquet(codes).count() === 1L,
+        "an interrupted swap must recover the old root")
+    } finally cleanup(dir)
+  }
+
   test("delete-before-arrival: a vec_id tombstoned before its vector " +
       "lands is never encoded into the store") {
     val dir = tempDir()

@@ -135,4 +135,46 @@ class NswKnnSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("graph compaction is staged durably: an interrupted run (stage " +
+      "written, store untouched, log standing) replays from DISK on " +
+      "the next entry and lands the identical store") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nsw-stage")
+    try {
+      val path = s"$dir/graph.parquet"
+      val twin = s"$dir/twin.parquet"
+      NswKnn.writeGraph(spark, sf0001, path)
+      NswKnn.writeGraph(spark, sf0001, twin)
+      val victims = spark.read.parquet(path)
+        .select("vec_id").as[Long].collect().filter(_ % 17 == 3).toSeq
+      assert(victims.nonEmpty)
+      NswKnn.deleteFromGraphStore(victims.toDF("vec_id"), path, 0L)
+      NswKnn.deleteFromGraphStore(victims.toDF("vec_id"), twin, 0L)
+      // run the twin's compaction to completion — the expected state
+      NswKnn.compactGraphStore(spark, twin)
+      // the interrupt: stage through the op's own first half, stop
+      // before applying (the crash) — store untouched, log standing,
+      // stage complete on disk
+      val stage = s"${path}_compact_stage"
+      assert(NswKnn.stageGraphCompaction(spark, path))
+      assert(new java.io.File(stage).exists())
+      assert(spark.read.parquet(path)
+        .filter($"vec_id".isin(victims: _*)).count() > 0L)
+      // re-entry replays the stage from disk
+      NswKnn.compactGraphStore(spark, path)
+      assert(spark.read.parquet(path)
+        .filter($"vec_id".isin(victims: _*)).count() === 0L)
+      assert(!new java.io.File(stage).exists())
+      val a = NswKnn.nswKnnStored(spark, sf0001, path)
+        .collect().map(_.toSeq).toSeq
+      val b = NswKnn.nswKnnStored(spark, sf0001, twin)
+        .collect().map(_.toSeq).toSeq
+      assert(a === b, "staged replay must land the twin's exact store")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
