@@ -79,19 +79,34 @@ object Curation {
     // leading/trailing empties on whitespace-padded text, which would
     // inflate n_tokens past the minTokens gate and disagree with the
     // repetition gate's tokenizer (repetitionOf filters them) — one
-    // curation run must have ONE definition of "a token"
-    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
-    val quality = docs.select(col("doc_id"), col("lang"),
-      size(toks).cast("long").as("n_tokens"),
-      (size(array_distinct(toks)).cast("double") /
-        size(toks).cast("double")).as("distinct_ratio"))
+    // curation run must have ONE definition of "a token". ONE typed
+    // pass per row: the lambda-bearing split+filter HOF is excluded
+    // from Spark's subexpression elimination, so the previous three
+    // expression references re-tokenized every document three times
+    // (the NearDup.scala re-evaluation hazard, measured there at 23×)
+    val qualityMetrics = udf { (text: String) =>
+      val t = text.split("\\s+").filter(_.nonEmpty)
+      val n = t.length
+      // n = 0 → null ratio (matches Spark's Divide-by-zero NULL and
+      // the oracle's explicit CASE guard; 0.0/0 would be NaN in DuckDB)
+      (n.toLong,
+        if (n == 0) None else Some(t.toSet.size.toDouble / n))
+    }
+    val quality = docs
+      .select(col("doc_id"), col("lang"),
+        qualityMetrics(col("text")).as("qm"))
+      .select(col("doc_id"), col("lang"),
+        col("qm._1").as("n_tokens"), col("qm._2").as("distinct_ratio"))
     // gate 4 (optional): repetition — scores joined only when requested
     // (the None arm references no rep column anywhere downstream, so the
-    // default pipeline truly pays nothing)
+    // default pipeline truly pays nothing). The gate reads the
+    // UNROUNDED ratio: the rounded rep_ratio is presentation only, and
+    // gating on it would KEEP a doc whose true ratio sits within 5e-5
+    // above the threshold
     val withRep = maxRepRatio match {
       case None => quality
       case Some(_) => quality.join(
-        TextQueries.repetitionOf(docs).select("doc_id", "rep_ratio"),
+        TextQueries.repetitionOf(docs).select("doc_id", "rep_ratio_raw"),
         Seq("doc_id"), "left")
     }
     withRep
@@ -102,7 +117,7 @@ object Curation {
           .when(!col("is_cluster_keeper"), "near_dup")
           .when(col("n_tokens") < minTokens ||
             col("distinct_ratio") < minDistinctRatio, "low_quality")
-          .when(maxRepRatio.map(r => col("rep_ratio") > r)
+          .when(maxRepRatio.map(r => col("rep_ratio_raw") > r)
             .getOrElse(lit(false)), "repetitive"))
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         round(col("distinct_ratio"), 4).as("distinct_ratio"),
@@ -145,7 +160,9 @@ object Curation {
       |), q AS (
       |  SELECT doc_id, lang,
       |    CAST(len(l) AS BIGINT) AS n_tokens,
-      |    CAST(len(list_distinct(l)) AS DOUBLE) / len(l) AS distinct_ratio
+      |    CASE WHEN len(l) = 0 THEN NULL
+      |         ELSE CAST(len(list_distinct(l)) AS DOUBLE) / len(l)
+      |    END AS distinct_ratio
       |  FROM (SELECT doc_id, lang,
       |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')
       |            AS l

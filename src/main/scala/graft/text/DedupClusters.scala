@@ -53,13 +53,7 @@ object DedupClusters {
     // policy as the rest of the family. (Min-label was already
     // node-induced implicitly: a phantom endpoint has no label row, so
     // it dropped out of both sides of the round join.)
-    val ids = nodes.select(col("doc_id"))
-    val base = Checkpointing.truncate(
-      pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .filter(col("src") =!= col("dst"))
-        .join(ids.withColumnRenamed("doc_id", "src"), Seq("src"), "left_semi")
-        .join(ids.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst")).distinct())
+    val base = inducedEdges(nodes, pairs, "src", "dst")
     // SIZE-ADAPTIVE strategy, the AQE-broadcast move applied to graph
     // connectivity: a dup graph far smaller than the corpus (the common
     // real-world case — pairs are the OUTPUT of sub-quadratic pruning)
@@ -129,10 +123,27 @@ object DedupClusters {
     if (changed > 0)
       // component diameter exceeds maxIter (e.g. a 200-node chain):
       // min-label would need O(diameter) more rounds — switch to the
-      // logarithmic-round algorithm instead of failing or crawling
-      connectedComponentsStar(nodes, pairs)
+      // logarithmic-round algorithm instead of failing or crawling,
+      // handing over the ALREADY-checkpointed induced edges (the star
+      // pass must not re-derive them from raw pairs)
+      connectedComponentsStar(nodes, pairs, prepared = Some(base))
     else
       labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Node-induced distinct edge set (self-loops dropped, endpoints
+    * restricted to `nodes`), checkpointed — the ONE edge-prep shared
+    * by both CC strategies, so the fallback handover can never drift
+    * from the primary's restriction semantics. */
+  private def inducedEdges(nodes: DataFrame, pairs: DataFrame,
+      outA: String, outB: String): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
+    Checkpointing.truncate(
+      pairs.select(col("d1").as(outA), col("d2").as(outB))
+        .filter(col(outA) =!= col(outB))
+        .join(ids.withColumnRenamed("doc_id", outA), Seq(outA), "left_semi")
+        .join(ids.withColumnRenamed("doc_id", outB), Seq(outB), "left_semi")
+        .select(col(outA), col(outB)).distinct())
   }
 
   /** Large-star/small-star connected components — O(log n) rounds on ANY
@@ -149,7 +160,8 @@ object DedupClusters {
     * high-diameter graphs converge where label propagation cannot.
     */
   def connectedComponentsStar(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 64): DataFrame = {
+      maxRounds: Int = 64,
+      prepared: Option[DataFrame] = None): DataFrame = {
     def largeStar(e: DataFrame): DataFrame = {
       val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
         .distinct()
@@ -175,15 +187,13 @@ object DedupClusters {
     // labels that exist in `nodes`, so an edge endpoint absent from
     // `nodes` is inert there — but unrestricted star hooking would root
     // components at such phantom ids (cluster_ids no node carries →
-    // keeper-less clusters downstream). Semi-joins keep the two paths
-    // answer-equivalent, which the automatic fallback depends on.
-    val ids = nodes.select(col("doc_id"))
-    var e = Checkpointing.truncate(
-      pairs.select(col("d1").as("u"), col("d2").as("v"))
-        .filter(col("u") =!= col("v"))
-        .join(ids.withColumnRenamed("doc_id", "u"), Seq("u"), "left_semi")
-        .join(ids.withColumnRenamed("doc_id", "v"), Seq("v"), "left_semi")
-        .select(col("u"), col("v")).distinct())
+    // keeper-less clusters downstream). The shared inducedEdges prep
+    // keeps the two paths answer-equivalent, which the automatic
+    // fallback depends on — and the fallback hands its already-
+    // checkpointed edges over instead of re-deriving them.
+    var e = prepared
+      .map(_.toDF("u", "v"))
+      .getOrElse(inducedEdges(nodes, pairs, "u", "v"))
     var stable = e.isEmpty
     var round = 0
     while (!stable && round < maxRounds) {

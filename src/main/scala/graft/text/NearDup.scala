@@ -291,8 +291,13 @@ object NearDup {
 
   def minhashNeardupFast(s: SparkSession, d: String, nHashes: Int = 64,
       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val mh = signatures(documents(s, d), nHashes, rowsPerBand)
-      .cache() // reused by banding AND verification below
+    // reused by banding AND verification below — truncate, not
+    // cache(): cached blocks registered here were never unpersisted,
+    // piling up across repeated invocations in one JVM (bench/verify
+    // re-runs); checkpoint blocks free via the ContextCleaner once the
+    // frame is unreferenced (the family policy)
+    val mh = graft.Checkpointing.truncate(
+      signatures(documents(s, d), nHashes, rowsPerBand))
     val bands = mh.select(col("doc_id"),
       posexplode(col("band_sigs")).as(Seq("band", "sig")))
     val cands = bands.as("ba").join(bands.as("bb"),
@@ -350,8 +355,10 @@ object NearDup {
       nHashes: Int = 64, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame =
     incrementalFromSignatures(
-      signatures(corpus, nHashes, rowsPerBand).cache(),
-      signatures(newDocs, nHashes, rowsPerBand).cache(), threshold)
+      graft.Checkpointing.truncate(
+        signatures(corpus, nHashes, rowsPerBand)),
+      graft.Checkpointing.truncate(
+        signatures(newDocs, nHashes, rowsPerBand)), threshold)
 
   /** The stored-at-ingest form: corpus signatures come from a persisted
     * table (written once per doc by `writeSignatureStore`) instead of
@@ -366,20 +373,9 @@ object NearDup {
       threshold: Double = 0.5): DataFrame =
     incrementalFromSignatures(
       readSignatureStore(s, storePath, nHashes, rowsPerBand),
-      signatures(newDocs, nHashes, rowsPerBand).cache(), threshold)
+      graft.Checkpointing.truncate(
+        signatures(newDocs, nHashes, rowsPerBand)), threshold)
 
-  /** Open the signature store, failing fast if it was written under
-    * different banding parameters: a mismatched store joins on a
-    * DIFFERENT hash family — the band equi-join almost never collides
-    * and cross (new × corpus) dups silently vanish. The band count is
-    * checkable from the schema-carried array, so check it.
-    *
-    * The check scans the whole band_sigs column when no bad rows exist
-    * (the filter only short-circuits on a HIT), so its cost grows with
-    * the store — callers that open the store repeatedly (the streaming
-    * ingest path, once per trigger) validate once at stream start and
-    * pass validate = false thereafter.
-    */
   /** Stamp the banding parameters onto every signature row. Two literal
     * int columns cost nothing in parquet (RLE to a constant) and make
     * the store self-describing: the read-side fail-fast can check the

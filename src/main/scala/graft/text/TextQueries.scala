@@ -551,11 +551,16 @@ object TextQueries {
         else (0 to t.length - 3).iterator
           .map(i => (id, t(i) + " " + t(i + 1) + " " + t(i + 2)))
       }.toDF("doc_id", "gram")
+    // the UNROUNDED ratio rides along for gating callers (Curation's
+    // maxRepRatio): the rounded value is presentation only, and a gate
+    // on it would misclassify ratios within 5e-5 of the threshold
     grams.groupBy("doc_id", "gram")
       .agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("n_grams"), max("c").as("top_gram"))
       .select(col("doc_id"), col("n_grams"), col("top_gram"),
+        (col("top_gram").cast("double") /
+          col("n_grams").cast("double")).as("rep_ratio_raw"),
         round(col("top_gram").cast("double") /
           col("n_grams").cast("double"), 4).as("rep_ratio"))
   }
