@@ -216,6 +216,8 @@ object AggStore {
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.bindLineageForTrigger(
+          batch.sparkSession, storePath, s"agg store at $storePath")
         applyBatch(batch, groupCols, valueCol, storePath, batchId)
     }
 

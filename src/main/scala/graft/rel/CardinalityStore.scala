@@ -260,6 +260,13 @@ object CardinalityStore {
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        // lineage fence: register-max makes SAME-lineage redelivery a
+        // no-op, but a fresh checkpoint's batch 0 would REPLACE the
+        // original batch-0 partition (overwrite, not union) and lose
+        // its registers
+        graft.streaming.StreamingOps.bindLineageForTrigger(
+          batch.sparkSession, storePath,
+          s"cardinality store at $storePath")
         applyBatch(batch, groupCols, valueCol, storePath, batchId, lgK)
     }
 

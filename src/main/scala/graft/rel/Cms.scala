@@ -168,6 +168,8 @@ object Cms {
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.bindLineageForTrigger(
+          batch.sparkSession, storePath, s"CMS store at $storePath")
         applyBatch(batch, keyCol, storePath, batchId, depth, width, seed)
     }
 

@@ -74,6 +74,15 @@ object GraphStore {
     * BROADCAST the whole log), never data-sized. */
   def deleteEdges(pairs: DataFrame, storePath: String,
       batchId: Long): Unit = {
+    // the DELETE side of the replay horizon (symmetric with
+    // applyEdgeBatch's guard): after compactThrough drops a
+    // tombstone whose every copy was folded away, a REDELIVERED old
+    // delete batch would recreate it in the shrunken log — and since
+    // tombstones apply at every read, a legitimately re-inserted pair
+    // would silently vanish again (violating the "erased history;
+    // re-insert survives" contract)
+    FoldWatermark.requireIngestAbove(pairs.sparkSession,
+      dataDir(storePath), batchId)
     // an erasure arriving INSIDE a compaction's interrupted log swap
     // (log deleted, staged rename pending) must complete the swap
     // first: writing directly would recreate the log with ONLY this
@@ -117,16 +126,33 @@ object GraphStore {
     * micro-batch of (src, dst) rows lands under its own `batch_id`
     * partition via foreachBatch. At-least-once redelivery replays
     * composable batchIds and the partition overwrite makes each replay
-    * byte-idempotent — the batch's own partition IS the fence. The
-    * crawl shape: edges arrive continuously, centrality recomputes
-    * from the accumulated store on demand. */
+    * byte-idempotent — the batch's own partition IS the fence, but the
+    * fence only covers SAME-lineage redelivery: a fresh checkpoint
+    * restarts ids at 0 and would silently dynamic-overwrite the
+    * original lineage's partitions with different edges, so the store
+    * binds to its first streaming lineage and any other fails loudly
+    * (the `_lineage` fence every streaming store carries). */
   def edgeIngestStream(stream: DataFrame, storePath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        applyEdgeBatch(batch, storePath, batchId)
+        applyStreamEdgeBatch(batch, storePath, batchId,
+          graft.streaming.StreamingOps.streamingLineage(
+            batch.sparkSession))
     }
+
+  /** One streaming trigger, exposed for the lineage-fence spec. */
+  private[graft] def applyStreamEdgeBatch(batch: DataFrame,
+      storePath: String, batchId: Long, lineage: String): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    graft.streaming.StreamingOps.bindStoreLineage(fs, root,
+      s"edge store at $storePath", lineage)
+    applyEdgeBatch(batch, storePath, batchId)
+  }
 
   // -------------------------------------------------------- compaction
   /** Horizontal compaction with tombstone fold-in: batches ≤ `through`

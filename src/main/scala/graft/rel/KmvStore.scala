@@ -184,6 +184,8 @@ object KmvStore {
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.bindLineageForTrigger(
+          batch.sparkSession, storePath, s"KMV store at $storePath")
         applyBatch(batch, groupCols, hashCol, storePath, batchId, k)
     }
 

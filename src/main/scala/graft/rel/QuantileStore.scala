@@ -127,6 +127,8 @@ object QuantileStore {
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
+        graft.streaming.StreamingOps.bindLineageForTrigger(
+          batch.sparkSession, storePath, s"KLL store at $storePath")
         applyBatch(batch, groupCols, valueCol, storePath, batchId, k)
     }
 

@@ -166,11 +166,12 @@ private[graft] object KeyedCompaction {
       if (fs.exists(tgt)) fs.delete(tgt, true)
       // if that was the LAST partition, a file-less dir would brick
       // every later read (parquet schema inference fails on zero
-      // files) — delete the dir outright; the stores' readers return
-      // an empty relation for a missing data dir, and the next ingest
-      // recreates it
+      // files) — delete the dir, PRESERVING the fold watermark: the
+      // erased store's tombstones aged out with this fold, so the
+      // ingest replay horizon is the ONLY thing left refusing a
+      // redelivered pre-erasure batch from resurrecting erased rows
       if (!Tombstones.populated(fs, dataPath))
-        fs.delete(TombstoneLog.path(dataPath), true)
+        FoldWatermark.deletePreservingWatermark(fs, dataPath)
     } else {
       folded.withColumn("batch_id", lit(through))
         .write
@@ -339,6 +340,25 @@ private[graft] object FoldWatermark {
         "partition aggregates all prior history, so the window is no " +
         "longer derivable (pick compaction `through` below the oldest " +
         "window still needed)"))
+
+  /** Delete a store root WITHOUT losing its fold watermark: the
+    * full-erasure compaction path deletes a partition-less root (the
+    * file-less-dir rule), but the marker inside it carries the INGEST
+    * replay horizon — losing it would let a redelivered pre-erasure
+    * batch silently resurrect erased rows (the tombstones aged out
+    * with the fold, so nothing suppresses them). The root is recreated
+    * holding ONLY the marker: partition-gated readers still see an
+    * empty store, and the horizon guard survives. A root with no
+    * marker deletes outright. */
+  def deletePreservingWatermark(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val w = read(fs, dir)
+    fs.delete(TombstoneLog.path(dir), true)
+    w.foreach { v =>
+      fs.mkdirs(TombstoneLog.path(dir))
+      write(fs, dir, v)
+    }
+  }
 
   /** The INGEST-side replay-horizon guard: compaction is a replay
     * horizon for batch ids ≤ `through` (every compaction scaladoc's

@@ -32,15 +32,25 @@ object Tombstones {
     storePath.stripSuffix("/") + "_tombstones"
 
   /** Record one delete batch: the distinct keys, under the mutation
-    * batch's own fenced partition. */
+    * batch's own fenced partition. Completes an interrupted kept-log
+    * swap FIRST (the GraphStore.deleteEdges rule): a direct write
+    * inside the swap window would recreate the log with only this
+    * batch and orphan the staged kept set — its tombstones would
+    * silently stop applying. */
   def applyDelete(keys: DataFrame, keyCol: String, storePath: String,
-      batchId: Long): Unit =
+      batchId: Long): Unit = {
+    val log = logPath(storePath)
+    TombstoneLog.recoverSwap(
+      new org.apache.hadoop.fs.Path(log).getFileSystem(
+        keys.sparkSession.sparkContext.hadoopConfiguration),
+      log, log + "_next")
     keys.select(col(keyCol).as("key")).distinct()
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
-      .mode("overwrite").parquet(logPath(storePath))
+      .mode("overwrite").parquet(log)
+  }
 
   /** True iff the batch-partitioned dir holds a fenced partition — an
     * EMPTY request's dynamic overwrite leaves a file-less dir
@@ -63,12 +73,19 @@ object Tombstones {
       .getFileSystem(s.sparkContext.hadoopConfiguration), dir)
 
   /** All tombstoned keys for a store (empty relation when no delete
-    * was ever issued — the common case costs one partition check). */
-  def deletedKeys(s: SparkSession, storePath: String): Option[DataFrame] =
-    if (populated(s, logPath(storePath)))
-      Some(s.read.parquet(logPath(storePath))
-        .select(col("key")).distinct())
-    else None
+    * was ever issued — the common case costs one partition check).
+    * Falls back to a staged `_next` replacement inside a kept-log
+    * swap window (the TombstoneLog.readDir rule: a compaction that
+    * SHRINKS a log stages the kept set and swaps; a reader landing
+    * between the delete and the rename must not silently see "no
+    * tombstones"). Readers never mutate. */
+  def deletedKeys(s: SparkSession, storePath: String): Option[DataFrame] = {
+    val log = logPath(storePath)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    TombstoneLog.readDir(fs, log, log + "_next")
+      .map(dir => s.read.parquet(dir).select(col("key")).distinct())
+  }
 
   /** The read-side filter: store rows minus tombstoned keys. */
   def filterDeleted(rows: DataFrame, keyCol: String,
@@ -173,7 +190,12 @@ object Tombstones {
       fs.delete(new org.apache.hadoop.fs.Path(storePath), true)
       fs.rename(new org.apache.hadoop.fs.Path(tmp),
         new org.apache.hadoop.fs.Path(storePath))
+      // the log AND any staged kept-set replacement: deleting only the
+      // log inside a swap window would leave readers falling back to
+      // the stale staged set (resurrecting already-netted tombstones)
       fs.delete(new org.apache.hadoop.fs.Path(logPath(storePath)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        logPath(storePath) + "_next"), true)
     }
   }
 }

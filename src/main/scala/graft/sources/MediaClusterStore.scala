@@ -72,9 +72,12 @@ object MediaClusterStore {
     * of the file-less-dir rule (a fully-pruned relation must drop its
     * root, or the _SUCCESS-only husk bricks later schema inference).
     * ONE implementation for every maintenance tail (compaction,
-    * recluster, plan application). */
+    * recluster, plan application). The fold watermark survives the
+    * delete (it carries the ingest replay horizon — the erased
+    * store's last defense against a redelivered pre-erasure batch). */
   private def deleteIfPartitionless(s: SparkSession, dir: String): Unit =
-    if (!hasBatches(s, dir)) fsOf(s, dir).delete(pathOf(dir), true)
+    if (!hasBatches(s, dir))
+      graft.rel.FoldWatermark.deletePreservingWatermark(fsOf(s, dir), dir)
 
   /** Loud guard on the driver-collected merge-event log — the ONE
     * in-principle-unbounded term in the store (the

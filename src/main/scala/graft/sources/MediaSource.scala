@@ -39,10 +39,27 @@ object MediaSource {
       val base = new org.apache.hadoop.fs.Path(dir)
       val fs = base.getFileSystem(hconf.value)
       fs.mkdirs(base)
+      // per-attempt tmp name + rename: these are side-effect writes
+      // with no task-commit protocol, so under speculative execution
+      // (or a zombie attempt after a network partition) two attempts
+      // of the same partition write the same <id>.ext concurrently —
+      // two O_TRUNC streams interleaving buffers corrupt the file.
+      // Each attempt writes its own uniquely-named tmp and renames;
+      // content is deterministic per row, so whichever rename lands
+      // first wins and the loser just cleans up its tmp.
+      val attempt = java.util.UUID.randomUUID().toString
       it.foreach { r =>
-        val out = fs.create(
-          new org.apache.hadoop.fs.Path(base, s"${r.getLong(0)}.$ext"), true)
+        val target = new org.apache.hadoop.fs.Path(base,
+          s"${r.getLong(0)}.$ext")
+        val tmp = new org.apache.hadoop.fs.Path(base,
+          s".tmp-$attempt-${r.getLong(0)}.$ext")
+        val out = fs.create(tmp, true)
         try out.write(encode(r)) finally out.close()
+        // re-runs of the whole job legitimately overwrite: clear the
+        // target first, then rename (rename does not overwrite); a
+        // lost race leaves the winner's identical content standing
+        fs.delete(target, false)
+        if (!fs.rename(tmp, target)) fs.delete(tmp, false)
       }
     }
   }

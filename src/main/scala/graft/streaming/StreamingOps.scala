@@ -557,6 +557,24 @@ object StreamingOps {
     * create-tmp + atomic rename; losing a concurrent race re-reads and
     * enforces. Shared by the substring-dedup and semantic-dedup ingest
     * stores. */
+  /** Bind a batch-partitioned parquet store to its first streaming
+    * lineage before a trigger's write — shared by the foreachBatch
+    * ingests whose replay fence is the batch's OWN partition: that
+    * fence covers same-lineage redelivery only, while a fresh
+    * checkpoint restarts ids at 0 and would silently
+    * dynamic-overwrite the original lineage's partitions with
+    * different data (idempotent-merge stores included — the overwrite
+    * REPLACES the original batch's registers/sketches/partials, it
+    * does not merge with them). The marker is an underscore file
+    * inside the store root, invisible to every parquet read. */
+  private[graft] def bindLineageForTrigger(s: SparkSession,
+      storePath: String, what: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(root)
+    bindStoreLineage(fs, root, what, streamingLineage(s))
+  }
+
   private[graft] def bindStoreLineage(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: org.apache.hadoop.fs.Path, what: String,
@@ -1177,26 +1195,74 @@ object StreamingOps {
     * batch-file layout the ingest reader expects (the generic
     * [[graft.rel.Tombstones.compact]] would rewrite the dir as a plain
     * parquet table, and the reader's batch-file listing would then
-    * bootstrap empty): survivors collapse into one `batch-compacted`
-    * file, the original batch files and the log are removed.
-    * Read-before ≡ read-after (spec-pinned); the usual compaction
-    * replay horizon; single maintenance owner. */
+    * bootstrap empty) — the shared [[compactBatchFileStore]]
+    * choreography. */
   def compactAssignmentStore(s: SparkSession, storePath: String): Unit =
+    compactBatchFileStore(s, storePath, "id")
+
+  /** The ONE fold choreography for the batch-FILE stores (semantic
+    * assignments, audio features): survivors of every batch file
+    * EXCEPT the newest collapse into `batch-compacted.parquet`, then
+    * the folded sources delete, then the log shrinks.
+    *
+    * The NEWEST numbered batch file is deliberately left out of the
+    * fold: it may belong to a trigger whose streaming checkpoint has
+    * not committed yet, and folding it would defeat both the replay's
+    * own-file name exclusion (its rows would hide inside the compacted
+    * file and every doc would judge against its own vectors) and the
+    * deterministic-name idempotence (the replay would re-append the
+    * rows the fold already absorbed). Its tombstoned rows stay
+    * suppressed because the log SHRINKS to exactly the keys with a row
+    * in that file (the KeyedCompaction kept-tombstone rule) instead of
+    * being deleted outright.
+    *
+    * Crash discipline: the fold materializes and the compacted file
+    * commits (tmp + rename, [[writeSingleFile]]) BEFORE any source
+    * file deletes — the previous order deleted the sources first and a
+    * crash before the write left the store's only copy in volatile
+    * checkpoint blocks (permanent loss). The window between the
+    * compacted write and the source deletes double-lists rows; the
+    * fold is `dropDuplicates()` over identical copies, so a RE-RUN
+    * converges (the AggStore crash-window recovery shape). Single
+    * maintenance owner, quiesced, as for every store rewrite. */
+  private def compactBatchFileStore(s: SparkSession, storePath: String,
+      keyCol: String): Unit =
     graft.rel.Tombstones.deletedKeys(s, storePath).foreach { _ =>
       val fsp = new org.apache.hadoop.fs.Path(storePath)
       val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
       val files = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
         st.getPath.getName.startsWith("batch-"))
-      if (files.nonEmpty) {
+      val num = "batch-(\\d+)\\.parquet".r
+      val ids = files.flatMap(st => st.getPath.getName match {
+        case num(i) => Some(i.toLong -> st); case _ => None
+      })
+      val newest = ids.sortBy(_._1).lastOption.map(_._2)
+      val foldSet = files.filterNot(newest.contains)
+      if (foldSet.nonEmpty) {
         val survivors = graft.rel.Tombstones.filterDeleted(
-            s.read.parquet(files.map(_.getPath.toString): _*), "id",
+            s.read.parquet(foldSet.map(_.getPath.toString): _*), keyCol,
             storePath)
-          .localCheckpoint() // materialize before deleting the sources
-        files.foreach(st => fs.delete(st.getPath, false))
+          .dropDuplicates() // heals a re-run over the crash window
+          .localCheckpoint() // materialize before any file moves
         writeSingleFile(survivors, storePath, "batch-compacted.parquet")
+        foldSet.filterNot(_.getPath.getName == "batch-compacted.parquet")
+          .foreach(st => fs.delete(st.getPath, false))
       }
-      fs.delete(new org.apache.hadoop.fs.Path(
-        graft.rel.Tombstones.logPath(storePath)), true)
+      val logP = new org.apache.hadoop.fs.Path(
+        graft.rel.Tombstones.logPath(storePath))
+      newest match {
+        case Some(keep) =>
+          // shrink the log to tombstones with a row in the un-folded
+          // newest file — they must keep suppressing it at read
+          val kept = s.read.parquet(logP.toString)
+            .join(s.read.parquet(keep.getPath.toString)
+                .select(col(keyCol).cast("long").as("key")).distinct(),
+              Seq("key"), "left_semi")
+            .localCheckpoint()
+          graft.rel.TombstoneLog.swapIn(kept, fs, logP.toString,
+            logP.toString + "_next")
+        case None => fs.delete(logP, true)
+      }
     }
 
   /** Audio feature extraction at ingest — the multimodal × streaming
@@ -1290,26 +1356,12 @@ object StreamingOps {
     graft.rel.Tombstones.applyDelete(keys, idCol, storePath, batchId)
 
   /** Fold the tombstone log into the feature store, preserving the
-    * batch-file layout the ingest reader expects (the
-    * [[compactAssignmentStore]] contract verbatim). */
+    * batch-file layout the ingest reader expects — the shared
+    * [[compactBatchFileStore]] choreography (one implementation of
+    * the newest-file exclusion + kept-log + crash discipline). */
   def compactFeatureStore(s: SparkSession, storePath: String,
       idCol: String = "clip_id"): Unit =
-    graft.rel.Tombstones.deletedKeys(s, storePath).foreach { _ =>
-      val fsp = new org.apache.hadoop.fs.Path(storePath)
-      val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val files = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
-        st.getPath.getName.startsWith("batch-"))
-      if (files.nonEmpty) {
-        val survivors = graft.rel.Tombstones.filterDeleted(
-            s.read.parquet(files.map(_.getPath.toString): _*), idCol,
-            storePath)
-          .localCheckpoint() // materialize before deleting the sources
-        files.foreach(st => fs.delete(st.getPath, false))
-        writeSingleFile(survivors, storePath, "batch-compacted.parquet")
-      }
-      fs.delete(new org.apache.hadoop.fs.Path(
-        graft.rel.Tombstones.logPath(storePath)), true)
-    }
+    compactBatchFileStore(s, storePath, idCol)
 
   case class UserRunning(userId: Long, nEvents: Long, totalValue: Double)
 

@@ -168,6 +168,41 @@ class GraphStoreSpec extends SparkSpec {
       GraphStore.applyEdgeBatch(Seq((7L, 8L)).toDF("src", "dst"), store, 3L)
       assert(edgeSet(GraphStore.edgesFromStore(spark, store))
         .contains((7L, 8L)))
+      // the DELETE side shares the horizon: a redelivered old delete
+      // batch would recreate tombstones compaction aged out, silently
+      // re-suppressing legitimately re-inserted pairs — refused; a
+      // fresh delete above the horizon lands normally
+      val e3 = intercept[IllegalArgumentException](
+        GraphStore.deleteEdges(
+          Seq((1L, 2L)).toDF("src", "dst"), store, 0L))
+      assert(e3.getMessage.contains("replay horizon"), e3.getMessage)
+      GraphStore.deleteEdges(Seq((7L, 8L)).toDF("src", "dst"), store, 2L)
+      assert(!edgeSet(GraphStore.edgesFromStore(spark, store))
+        .contains((7L, 8L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("edge stream lineage fence: same-lineage replay is a no-op; a " +
+      "fresh checkpoint's batch 0 fails loudly instead of silently " +
+      "overwriting the original lineage's partition") {
+    val dir = java.nio.file.Files.createTempDirectory("graphlineage")
+    try {
+      val store = dir.resolve("g").toString
+      GraphStore.applyStreamEdgeBatch(
+        Seq((1L, 2L)).toDF("src", "dst"), store, 0L, "lineage-A")
+      val before = edgeSet(GraphStore.edgesFromStore(spark, store))
+      GraphStore.applyStreamEdgeBatch(
+        Seq((1L, 2L)).toDF("src", "dst"), store, 0L, "lineage-A")
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === before)
+      val e = intercept[IllegalStateException](
+        GraphStore.applyStreamEdgeBatch(
+          Seq((9L, 9L)).toDF("src", "dst"), store, 0L, "lineage-B"))
+      assert(e.getMessage.contains("lineage"), e.getMessage)
+      assert(edgeSet(GraphStore.edgesFromStore(spark, store)) === before)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

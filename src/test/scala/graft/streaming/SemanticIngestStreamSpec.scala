@@ -160,4 +160,57 @@ class SemanticIngestStreamSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("compact leaves the NEWEST batch file un-folded (it may belong " +
+      "to an uncommitted trigger) and SHRINKS the log to its victims — " +
+      "suppression is seamless across the folded/kept boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("semnewest")
+    try {
+      val corpus = (0L until 40L).map(i => (i, unit())).toDF("id", "emb")
+      val treePath = dir.resolve("tree.parquet").toString
+      SemDedup.writeTree(spark,
+        SemDedup.fitCorpus(corpus, "id", "emb", k = 4), treePath)
+      val store = dir.resolve("store").toString
+      val verdicts = dir.resolve("verdicts").toString
+      def ingest(batchId: Long, rows: Seq[(Long, Array[Float])]): Unit =
+        StreamingOps.applySemanticIngestBatch(
+          rows.toDF("vec_id", "embedding"), batchId,
+          treePath, store, verdicts, threshold = 0.97)
+      def verdict(id: Long): Boolean = spark.read.parquet(verdicts)
+        .filter($"vec_id" === id).select("is_dup")
+        .as[Boolean].head()
+      val a = unit()
+      ingest(0L, Seq((100L, a)))
+      ingest(1L, Seq((200L, twin(a))))
+      // victims straddle the fold boundary: 100 lives in the folded
+      // batch-0, 200 in the NEWEST batch-1
+      StreamingOps.deleteFromAssignmentStore(
+        Seq(100L, 200L).toDF("id"), store, batchId = 0L)
+      StreamingOps.compactAssignmentStore(spark, store)
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // the newest file is never folded (its trigger's checkpoint may
+      // not have committed; folding it would defeat the replay's
+      // own-file exclusion)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$store/batch-1.parquet")))
+      // 100 folded away physically; 200 physically present in the
+      // un-folded newest file but suppressed by the KEPT log
+      assert(spark.read.parquet(store)
+        .filter($"id" === 100L).count() === 0L)
+      assert(spark.read.parquet(store)
+        .filter($"id" === 200L).count() === 1L)
+      assert(graft.rel.Tombstones.deletedKeys(spark, store).nonEmpty,
+        "the log must SHRINK to the newest file's victims, not vanish")
+      // the combined suppression: every holder of a is gone (one
+      // folded, one log-suppressed) — a fresh twin of a must survive
+      ingest(2L, Seq((300L, twin(a))))
+      assert(!verdict(300L),
+        "the kept log must keep suppressing the un-folded victim")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
