@@ -51,15 +51,38 @@ object CardinalityStore {
     * would still add a duplicate file per replay — growing the store's
     * row/file count unboundedly under repeated recovery; overwriting
     * the batch's own partition makes redelivery a no-op on the store's
-    * SIZE too, while leaving every other batch's partition untouched. */
+    * SIZE too, while leaving every other batch's partition untouched.
+    *
+    * Replay-horizon guard (r18): register-max idempotence covers
+    * replays strictly BELOW the fold watermark (duplicate content the
+    * fold already unions — answer-invariant), but a same-lineage
+    * redelivery AT the watermark would dynamic-OVERWRITE the
+    * `batch_id=through` fold partition with one batch's registers,
+    * silently dropping all folded history from every estimate. The
+    * QuantileStore pattern applies family-wide: refuse at or below
+    * the watermark, with the one exception of the gated-fold REBUILD
+    * at == (re-sketch the fold's retained raw input minus deleted
+    * keys, then ungate — [[rebuildBatch]] must overwrite in place). */
   def applyBatch(batch: DataFrame, groupCols: Seq[String], valueCol: String,
-      storePath: String, batchId: Long, lgK: Int = 12): Unit =
+      storePath: String, batchId: Long, lgK: Int = 12): Unit = {
+    val s = batch.sparkSession
+    // ONE marker read decides both the rebuild exception and the
+    // strictly-above refusal (the marker is a metadata RPC per ingest)
+    val wm = FoldWatermark.read(
+      new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration),
+      storePath)
+    val gatedFoldRebuild = wm.contains(batchId) &&
+      Tombstones.gatedBatches(s, storePath).contains(batchId)
+    if (!gatedFoldRebuild)
+      FoldWatermark.requireIngestAbove(storePath, batchId, wm)
     sketchBatch(batch, groupCols, valueCol, lgK)
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+  }
 
   /** Merged distinct estimate per group across every batch in the
     * store — the read path: store-sized input (groups × batches rows),
@@ -124,12 +147,11 @@ object CardinalityStore {
     * re-enters the store in ingest schema) — estimates are IDENTICAL
     * before and after (same registers → same estimate; spec-pinned).
     * Shared choreography: [[Stores.compactSketchesThrough]] (gate
-    * refusal, fold watermark, idempotent prune). No INGEST guard here,
-    * deliberately: register-max is idempotent, so a batch replayed
-    * below the watermark writes a small duplicate partition whose
-    * union changes NO estimate (answer-invariant; size-only) — and the
-    * unguarded applyBatch is what lets [[rebuildBatch]] overwrite a
-    * gated fold in place. The ADDITIVE stores (KLL, CMS) guard. */
+    * refusal, fold watermark, idempotent prune). Ingest below the
+    * watermark is refused by [[applyBatch]] (r18): idempotence covers
+    * a sub-watermark replay's ANSWERS, but a redelivery AT the
+    * watermark would overwrite the fold partition itself — the
+    * gated-fold rebuild at == stays the one permitted exception. */
   def compactThrough(s: SparkSession, storePath: String,
       groupCols: Seq[String], through: Long): Unit =
     Stores.compactSketchesThrough(s, storePath, through)(

@@ -38,15 +38,32 @@ object KmvStore {
   }
 
   /** Sketch a batch into its own `batch_id=N` store partition
-    * (dynamic overwrite → replay-stable size; see object doc). */
+    * (dynamic overwrite → replay-stable size; see object doc).
+    *
+    * Replay-horizon guard (r18): min-k idempotence covers replays
+    * strictly BELOW the fold watermark, but a redelivery AT it would
+    * dynamic-overwrite the fold partition with one batch's k-mins,
+    * dropping all folded history — the CardinalityStore hazard. Same
+    * pattern: refuse `batchId <=` watermark except the gated-fold
+    * rebuild at == (which must overwrite the fold in place). */
   def applyBatch(batch: DataFrame, groupCols: Seq[String], hashCol: String,
-      storePath: String, batchId: Long, k: Int): Unit =
+      storePath: String, batchId: Long, k: Int): Unit = {
+    val s = batch.sparkSession
+    val wm = FoldWatermark.read(
+      new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration),
+      storePath)
+    val gatedFoldRebuild = wm.contains(batchId) &&
+      Tombstones.gatedBatches(s, storePath).contains(batchId)
+    if (!gatedFoldRebuild)
+      FoldWatermark.requireIngestAbove(storePath, batchId, wm)
     sketchBatch(batch, groupCols, hashCol, k)
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(storePath)
+  }
 
   /** Merge a (groupCols..., sk) relation across batches: explode the
     * retained values back to hashes and re-run the aggregate — the
@@ -66,10 +83,11 @@ object KmvStore {
     * a pure function of the inputs, whatever the fold structure;
     * spec-pinned as set equality). Shared choreography:
     * [[Stores.compactSketchesThrough]] (gate refusal, fold watermark,
-    * idempotent prune). No INGEST guard, deliberately: min-k union is
-    * idempotent, so a below-watermark replay is answer-invariant
-    * (size-only), and gated-fold rebuilds reuse applyBatch in place —
-    * the CardinalityStore argument; the additive stores guard. */
+    * idempotent prune). Ingest at or below the watermark is refused
+    * by [[applyBatch]] (r18) — idempotence covers sub-watermark
+    * replays' answers, but a redelivery AT the watermark would
+    * overwrite the fold itself; the gated-fold rebuild at == stays
+    * the one permitted exception, family-wide. */
   def compactThrough(s: SparkSession, storePath: String,
       groupCols: Seq[String], k: Int, through: Long): Unit =
     Stores.compactSketchesThrough(s, storePath, through)(

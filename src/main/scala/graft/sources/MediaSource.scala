@@ -48,20 +48,59 @@ object MediaSource {
       // content is deterministic per row, so whichever rename lands
       // first wins and the loser just cleans up its tmp.
       val attempt = java.util.UUID.randomUUID().toString
+      // publish protocol resolved ONCE per partition: FileContext's
+      // rename(OVERWRITE) is the no-window path (r18) — the previous
+      // delete-target-then-rename left a zombie window where a stale
+      // attempt deletes the winner's completed file and dies before
+      // its own rename, leaving the row's file MISSING with no error
+      // surfaced. Schemes with no AbstractFileSystem binding (s3a
+      // commonly) fall back to delete+rename, skipped entirely when
+      // the target already holds the expected byte count.
+      val fc: Option[org.apache.hadoop.fs.FileContext] =
+        try Some(org.apache.hadoop.fs.FileContext.getFileContext(
+          base.toUri, hconf.value))
+        catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            None
+        }
       it.foreach { r =>
         val target = new org.apache.hadoop.fs.Path(base,
           s"${r.getLong(0)}.$ext")
         val tmp = new org.apache.hadoop.fs.Path(base,
           s".tmp-$attempt-${r.getLong(0)}.$ext")
+        val bytes = encode(r)
         val out = fs.create(tmp, true)
-        try out.write(encode(r)) finally out.close()
-        // re-runs of the whole job legitimately overwrite: clear the
-        // target first, then rename (rename does not overwrite); a
-        // lost race leaves the winner's identical content standing
+        try out.write(bytes) finally out.close()
+        publish(fs, fc, tmp, target, bytes.length.toLong)
+      }
+    }
+  }
+
+  /** Move a fully-written per-attempt tmp into place. Preferred arm:
+    * atomic overwrite rename (no delete window, losers just replace
+    * the winner's identical bytes). Fallback arm (no FileContext
+    * binding for the scheme): a target already at the expected length
+    * IS this row's output — content is deterministic per row — so the
+    * tmp drops and the delete+rename (with its unavoidable window) is
+    * reserved for absent or partial targets. Re-runs of the whole job
+    * legitimately overwrite in both arms (the fallback's equal-length
+    * skip assumes per-row determinism, the sinks' documented
+    * contract). */
+  private[sources] def publish(fs: org.apache.hadoop.fs.FileSystem,
+      fc: Option[org.apache.hadoop.fs.FileContext],
+      tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
+      expectedLen: Long): Unit = fc match {
+    case Some(c) =>
+      c.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    case None =>
+      val complete =
+        try fs.getFileStatus(target).getLen == expectedLen
+        catch { case _: java.io.FileNotFoundException => false }
+      if (complete) fs.delete(tmp, false)
+      else {
         fs.delete(target, false)
         if (!fs.rename(tmp, target)) fs.delete(tmp, false)
       }
-    }
   }
 
   /** Binary sink: one file per row, named <id>.pcm (the distributed

@@ -85,7 +85,11 @@ object Curation {
     // expression references re-tokenized every document three times
     // (the NearDup.scala re-evaluation hazard, measured there at 23×)
     val qualityMetrics = udf { (text: String) =>
-      val t = text.split("\\s+").filter(_.nonEmpty)
+      // null text → 0 tokens / null ratio: the pre-UDF expression form
+      // (split/size) was null-tolerant and classified such docs as
+      // low_quality; a raw split would NPE and fail the whole job
+      val t = if (text == null) Array.empty[String]
+        else text.split("\\s+").filter(_.nonEmpty)
       val n = t.length
       // n = 0 → null ratio (matches Spark's Divide-by-zero NULL and
       // the oracle's explicit CASE guard; 0.0/0 would be NaN in DuckDB)

@@ -34,6 +34,11 @@ object NearDup {
     * (`bandedSignaturesTs`), so the two can't silently drift apart.
     */
   private def shingleArray(text: String): Array[String] = {
+    // null text shingles to nothing (r18): a crawl corpus WILL carry
+    // null rows, and the typed Dataset map reaches this with a real
+    // null — the doc simply has no near-dup evidence (the quality
+    // gate downstream classifies it), never a task-killing NPE
+    if (text == null) return Array.empty[String]
     // empty tokens filtered EXPLICITLY: Java split drops trailing empty
     // strings but keeps a leading one (text starting with whitespace),
     // while DuckDB's regexp_split_to_array keeps both — the oracles

@@ -464,8 +464,16 @@ object SubstrDedup {
       org.apache.hadoop.fs.FileUtil.copy(fs, lineage, fs,
         new org.apache.hadoop.fs.Path(tmp, "_lineage"), false,
         s.sparkContext.hadoopConfiguration)
-    maxIngest.foreach(m =>
-      graft.rel.FoldWatermark.write(fs, tmp.toString, m))
+    // carry the OLD horizon across the swap too (like `_lineage`): a
+    // re-compaction with no surviving non-negative partitions — an
+    // idempotent re-run, or the prescribed compact-after-deletions
+    // pass (deletions write only negative ids) — has maxIngest = None,
+    // and writing nothing into tmp would let the root swap silently
+    // disarm the replay-horizon guard, re-admitting a redelivered
+    // pre-fold ingest batch to double-count its grams
+    (graft.rel.FoldWatermark.read(fs, path) ++ maxIngest)
+      .reduceOption(_ max _)
+      .foreach(m => graft.rel.FoldWatermark.write(fs, tmp.toString, m))
     require(fs.rename(store, old),
       s"gram-store compaction swap failed: cannot move $store aside")
     require(fs.rename(tmp, store),

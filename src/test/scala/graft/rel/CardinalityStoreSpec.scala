@@ -288,4 +288,47 @@ class CardinalityStoreSpec extends SparkSpec {
     }
   }
 
+  test("ingest replay horizon (r18): at or below the watermark refuses " +
+      "— a redelivery AT it would overwrite the fold — and the " +
+      "gated-fold rebuild at == stays the one exception") {
+    val dir = java.nio.file.Files.createTempDirectory("cardhorizon")
+    try {
+      val store = dir.resolve("store").toString
+      def slice(b: Int) = ev.filter(pmod($"event_id", lit(5)) === b)
+      (0 until 5).foreach(b => CardinalityStore.applyBatch(
+        slice(b), Seq("event_type"), "user_id", store, b.toLong))
+      def est() = CardinalityStore
+        .estimateFromStore(spark, store, Seq("event_type"))
+        .orderBy("event_type").collect().map(_.toSeq).toSeq
+      val before = est()
+      CardinalityStore.compactThrough(spark, store, Seq("event_type"), 2L)
+      // AT the watermark: before this guard the dynamic overwrite
+      // replaced the fold partition with ONE batch's registers,
+      // silently dropping batches 0-1 from every estimate
+      val atFold = intercept[IllegalArgumentException](
+        CardinalityStore.applyBatch(slice(2), Seq("event_type"),
+          "user_id", store, 2L))
+      assert(atFold.getMessage.contains("fold watermark 2"),
+        atFold.getMessage)
+      // strictly below: refused too (family pattern — idempotence
+      // covers the answers, not the resurrected partition)
+      intercept[IllegalArgumentException](
+        CardinalityStore.applyBatch(slice(1), Seq("event_type"),
+          "user_id", store, 1L))
+      assert(est() === before, "refused ingests must not move answers")
+      // the gated-fold whole-rebuild at == is the permitted overwrite:
+      // gate the fold id, rebuild from the fold region's raw rows
+      Tombstones.gateBatches(spark, store, Seq(2L), 0L)
+      val foldRegion = ev.filter(pmod($"event_id", lit(5)) <= 2)
+      CardinalityStore.rebuildBatch(foldRegion, Seq("event_type"),
+        "user_id", store, 2L)
+      assert(est() === before,
+        "rebuild from the fold's own raw input must reproduce the store")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
 }

@@ -86,6 +86,25 @@ class KmvStoreSpec extends SparkSpec {
     // re-run: the fold of the fold is itself
     KmvStore.compactThrough(spark, path, Seq("event_type"), K, 1L)
     assert(merged() === before)
+    // ingest replay horizon (r18): a redelivery AT the watermark
+    // would overwrite the fold partition with one batch's k-mins —
+    // refused, as is strictly-below; the gated-fold rebuild at ==
+    // (applyBatch under a gate, then ungate) is the one exception
+    val atFold = intercept[IllegalArgumentException](
+      KmvStore.applyBatch(hashed.filter(pmod(col("event_id"), lit(4)) === 1),
+        Seq("event_type"), "h", path, 1L, K))
+    assert(atFold.getMessage.contains("fold watermark 1"),
+      atFold.getMessage)
+    intercept[IllegalArgumentException](
+      KmvStore.applyBatch(hashed.filter(pmod(col("event_id"), lit(4)) === 0),
+        Seq("event_type"), "h", path, 0L, K))
+    assert(merged() === before, "refused ingests must not move answers")
+    Tombstones.gateBatches(spark, path, Seq(1L), 0L)
+    KmvStore.applyBatch(hashed.filter(pmod(col("event_id"), lit(4)) <= 1),
+      Seq("event_type"), "h", path, 1L, K)
+    Tombstones.ungateBatch(spark, path, 1L)
+    assert(merged() === before,
+      "rebuild from the fold's own raw input must reproduce the store")
   }
 
   test("store-derived intersections equal the direct computation") {

@@ -159,4 +159,44 @@ class MediaSourceSpec extends SparkSpec {
     val preds = loaded.transform(ts)
     assert(preds.select("prediction").distinct().count() == 2)
   }
+
+  test("binary publish (r18): overwrite-rename replaces without a " +
+      "delete window; the no-FileContext fallback keeps a complete " +
+      "target and replaces a partial one") {
+    import org.apache.hadoop.fs.Path
+    val dir = tmpDir("pub")
+    val base = new Path(dir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(p: Path, bytes: Array[Byte]): Unit = {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+    def len(p: Path) = fs.getFileStatus(p).getLen
+    val winner = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)
+    // fallback arm, complete target already standing (the zombie
+    // scenario): the tmp drops, the winner's file is NEVER deleted
+    val t1 = new Path(base, "7.pcm"); put(t1, winner)
+    val tmp1 = new Path(base, ".tmp-a-7.pcm"); put(tmp1, winner)
+    MediaSource.publish(fs, None, tmp1, t1, winner.length.toLong)
+    assert(!fs.exists(tmp1) && len(t1) === 8L)
+    // fallback arm, absent target: rename lands
+    val t2 = new Path(base, "8.pcm")
+    val tmp2 = new Path(base, ".tmp-a-8.pcm"); put(tmp2, winner)
+    MediaSource.publish(fs, None, tmp2, t2, winner.length.toLong)
+    assert(fs.exists(t2) && !fs.exists(tmp2) && len(t2) === 8L)
+    // fallback arm, PARTIAL target (a crashed pre-r17 O_TRUNC write):
+    // replaced by the complete tmp
+    val t3 = new Path(base, "9.pcm"); put(t3, winner.take(3))
+    val tmp3 = new Path(base, ".tmp-a-9.pcm"); put(tmp3, winner)
+    MediaSource.publish(fs, None, tmp3, t3, winner.length.toLong)
+    assert(len(t3) === 8L)
+    // FileContext arm: atomic overwrite of a standing target, no
+    // delete step at all (this is the arm every local/HDFS run takes)
+    val fc = Some(org.apache.hadoop.fs.FileContext.getFileContext(
+      base.toUri, spark.sparkContext.hadoopConfiguration))
+    val tmp4 = new Path(base, ".tmp-b-7.pcm")
+    put(tmp4, winner.take(4))
+    MediaSource.publish(fs, fc, tmp4, t1, 4L)
+    assert(len(t1) === 4L && !fs.exists(tmp4))
+  }
 }

@@ -91,6 +91,30 @@ class CurationSpec extends SparkSpec {
     gated.unpersist()
   }
 
+  test("null text classifies low_quality instead of failing the job (r18)") {
+    // a 100 TB crawl WILL contain null text rows; the quality gate's
+    // typed tokenization pass must keep the pre-UDF expression form's
+    // null tolerance (0 tokens / null ratio → low_quality), not NPE
+    val docs = graft.Tables.documents(spark, sf0001).limit(50)
+    val nullDoc = Seq((90000L, null.asInstanceOf[String], "en", "web", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dirPath = java.nio.file.Files.createTempDirectory("nulldocs")
+    try {
+      docs.unionByName(nullDoc).coalesce(1).write.mode("overwrite")
+        .parquet(s"$dirPath/documents.parquet")
+      val cur = Curation.curate(spark, dirPath.toString)
+      assert(cur.count() === 51, "the null-text doc must not vanish")
+      val row = cur.filter(col("doc_id") === 90000L)
+        .select("n_tokens", "drop_reason").head()
+      assert(row.getLong(0) === 0L, s"null text must count 0 tokens: $row")
+      assert(row.getString(1) === "low_quality", s"got: $row")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("q64 exact-path variant agrees with the banded pipeline on this corpus") {
     // q64 swaps the near-dup stage to the exact-jaccard pair relation
     // (its DuckDB oracle needs determinism); on a corpus where MinHash

@@ -319,6 +319,27 @@ class SubstrDedupSpec extends SparkSpec {
       assert(live() === afterDel,
         "a reader inside the swap window must recover the old root")
       assert(fs.exists(fsP) && !fs.exists(old))
+      // RE-compaction with no surviving non-negative partitions (the
+      // idempotent re-run: only the fold's reserved partition stands)
+      // must CARRY the old watermark across the swap — before r18 the
+      // fresh root lost the marker, silently disarming the replay
+      // horizon and re-admitting a folded ingest id to double-count
+      SubstrDedup.compactGramStoreCounted(spark, path)
+      val e2 = intercept[IllegalArgumentException](
+        SubstrDedup.writeGramStoreCounted(
+          docs.filter($"doc_id" >= 210 && $"doc_id" < 220), path, 2L))
+      assert(e2.getMessage.contains("replay horizon"), e2.getMessage)
+      // ...and the same after a compact-after-deletions pass
+      // (deletions write only negative ids)
+      SubstrDedup.deleteFromGramStoreCounted(
+        corpus.filter($"doc_id" === 2L), path, -10L)
+      SubstrDedup.compactGramStoreCounted(spark, path)
+      intercept[IllegalArgumentException](
+        SubstrDedup.writeGramStoreCounted(
+          docs.filter($"doc_id" >= 210 && $"doc_id" < 220), path, 2L))
+      // a fresh id above the horizon still lands
+      SubstrDedup.writeGramStoreCounted(
+        docs.filter($"doc_id" >= 210 && $"doc_id" < 220), path, 3L)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
