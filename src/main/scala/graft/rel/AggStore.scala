@@ -142,7 +142,15 @@ object AggStore {
     * input (groups × batches rows), never the raw history. */
   def aggFromStore(s: SparkSession, storePath: String,
       groupCols: Seq[String]): DataFrame =
-    mergePartials(s.read.parquet(storePath), groupCols)
+    // leftover fence (r18): sub-watermark partials are a crashed
+    // compaction's pre-fold leftovers, already counted in the fold —
+    // merging them would double-count until the re-entry recovery runs
+    mergePartials(FoldWatermark.excludeFoldedLeftovers(
+      s.read.parquet(storePath),
+      FoldWatermark.read(
+        new org.apache.hadoop.fs.Path(storePath)
+          .getFileSystem(s.sparkContext.hadoopConfiguration),
+        storePath)), groupCols)
 
   // ------------------------------------------------------- retraction
   // Keyed delete/re-score for the ADDITIVE (invertible) store — the
@@ -324,9 +332,16 @@ object AggStore {
     * and the `batch_id <=` filter would silently serve an empty view. */
   def aggFromStoreAsOf(s: SparkSession, storePath: String,
       groupCols: Seq[String], asOfBatch: Long): DataFrame = {
-    FoldWatermark.requireAtOrAbove(s, storePath, asOfBatch)
+    // one marker probe: the as-of guard plus the r18 leftover fence
+    // (sub-watermark partials are already inside the fold partition)
+    val w = FoldWatermark.read(
+      new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration), storePath)
+    FoldWatermark.requireAtOrAbove(storePath, asOfBatch, w)
     mergePartials(
-      s.read.parquet(storePath).filter(col("batch_id") <= asOfBatch),
+      FoldWatermark.excludeFoldedLeftovers(
+          s.read.parquet(storePath), w)
+        .filter(col("batch_id") <= asOfBatch),
       groupCols)
   }
 
@@ -349,20 +364,35 @@ object AggStore {
     * fold persists a [[FoldWatermark]] marker and every as-of read
     * below it fails loudly instead of serving an empty history.
     *
-    * Crash safety: the fold MATERIALIZES (collect of groups-sized
-    * partials) before touching the store, writes the
-    * `batch_id=through` partition under dynamic overwrite, then
-    * prunes the folded partitions. A crash between write and prune
-    * leaves the store double-counting batches 0..through-1; the
-    * recovery is [[pruneThrough]] (idempotent — deleting a deleted
-    * partition is a no-op), NOT a re-run of compactThrough: re-running
-    * the fold over a half-compacted store would fold the already-
-    * folded partition together with the surviving originals. Re-running
-    * after a SUCCESSFUL compaction is a no-op (the fold of the folded
-    * partition is itself). */
+    * Crash safety (re-entrant since r18): the fold MATERIALIZES
+    * (collect of groups-sized partials) before touching the store,
+    * writes the `batch_id=through` partition under dynamic overwrite,
+    * marks it committed, records the [[FoldWatermark]], then prunes
+    * the folded partitions. A crash between write and prune used to
+    * leave a store whose natural retry double-counted (re-folding the
+    * fold together with the surviving originals); now re-entry reads
+    * the fold evidence ([[FoldWatermark.resumeAfterFold]]) and runs
+    * the prune-only recovery, so re-calling compactThrough IS the
+    * crash response. Re-running after a SUCCESSFUL compaction is a
+    * no-op either way, and compacting below the watermark refuses
+    * loudly. */
   def compactThrough(s: SparkSession, storePath: String,
       groupCols: Seq[String], through: Long,
       singleFile: Boolean = true): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // re-entry after a crash between fold and prune (r18): the fold
+    // already landed (watermark == through, or the fold-commit marker
+    // stands), so re-running it over fold + surviving originals would
+    // double-count every pre-fold batch's partials — the retry IS the
+    // recovery: raise the watermark if the crash preceded it, prune,
+    // done. A watermark ABOVE `through` refuses loudly inside
+    // resumeAfterFold (compacting below the fold is never meaningful).
+    if (FoldWatermark.resumeAfterFold(fs, storePath, through)) {
+      FoldWatermark.write(fs, storePath, through)
+      pruneThrough(s, storePath, through)
+      return
+    }
     val store = s.read.parquet(storePath)
     val old = store.filter(col("batch_id") <= through)
     // fold: counts/sums re-add, extrema re-extremize — output has the
@@ -379,12 +409,12 @@ object AggStore {
       .localCheckpoint()
     writeFencedPartials(folded, storePath, through, singleFile,
       compactionFold = true)
-    // watermark BEFORE prune: a crash between the two refuses a
-    // still-derivable snapshot (conservative), never serves a partial
-    FoldWatermark.write(
-      new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration),
-      storePath, through)
+    // commit marker, then watermark, then prune: every crash window
+    // either resumes as fold-done on re-entry (marker/watermark seen)
+    // or refuses a still-derivable snapshot (conservative) — never
+    // serves a partial answer and never re-folds on retry
+    FoldWatermark.markFoldCommitted(fs, storePath, through)
+    FoldWatermark.write(fs, storePath, through)
     pruneThrough(s, storePath, through)
   }
 

@@ -117,8 +117,17 @@ object CardinalityStore {
     * marker — the guard costs one existence probe and passes. */
   private[graft] def asOfRead(s: SparkSession, path: String,
       asOfBatch: Option[Long]): DataFrame = {
-    asOfBatch.foreach(k => FoldWatermark.requireAtOrAbove(s, path, k))
-    asOf(s.read.parquet(path), asOfBatch)
+    // ONE marker probe serves both the as-of guard and the r18
+    // leftover fence: sub-watermark rows are pre-fold leftovers of a
+    // compaction that crashed between fold and prune (their content
+    // is inside the fold partition), so excluding them keeps even the
+    // un-recovered crash window answer-invisible
+    val w = FoldWatermark.read(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration), path)
+    asOfBatch.foreach(k => FoldWatermark.requireAtOrAbove(path, k, w))
+    asOf(FoldWatermark.excludeFoldedLeftovers(s.read.parquet(path), w),
+      asOfBatch)
   }
 
   /** Re-sketch a gated batch from its RETAINED raw input minus the

@@ -99,7 +99,16 @@ object JoinView {
     // to zero, and overwrites the partition with zeros (un-moving the
     // keys). With the exclusion, the recomputed delta is bit-identical
     // to the first delivery and the overwrite is a no-op.
-    val cur = s.read.parquet(storePath)
+    // leftover fence (r18): inside a crashed compaction's window the
+    // store holds fold + pre-fold originals; deriving the delta from
+    // both would MOVE TWICE the standing mass — a write-side error,
+    // not just a read artifact
+    val cur = FoldWatermark.excludeFoldedLeftovers(
+        s.read.parquet(storePath),
+        FoldWatermark.read(
+          new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration),
+          storePath))
       .filter(col("batch_id") =!= batchId)
       .join(broadcast(moves.select(col(dimKey).as("mk"),
         col(s"old_$dimAttr"), col(s"new_$dimAttr"))),
@@ -178,7 +187,13 @@ object JoinView {
       grainCol: String): DataFrame = {
     val n = sum("cnt").cast("double")
     val cs = sum("sum_cents").cast("double")
-    s.read.parquet(storePath)
+    // leftover fence (r18): see applyDimMove
+    FoldWatermark.excludeFoldedLeftovers(
+        s.read.parquet(storePath),
+        FoldWatermark.read(
+          new org.apache.hadoop.fs.Path(storePath)
+            .getFileSystem(s.sparkContext.hadoopConfiguration),
+          storePath))
       .groupBy(col(grainCol))
       .agg(sum("cnt").as("n_rows"),
         (cs / lit(100.0)).as("sum_val"),

@@ -32,8 +32,14 @@ object Stores {
     * (the same trade-off every LSM/delta layout documents). */
   def readAsOf(s: SparkSession, storePath: String,
       maxBatchId: Long): DataFrame = {
-    FoldWatermark.requireAtOrAbove(s, storePath, maxBatchId)
-    s.read.parquet(storePath)
+    // one marker probe: the as-of guard plus the r18 leftover fence
+    // (sub-watermark rows are a crashed compaction's pre-fold
+    // leftovers, already represented inside the fold partition)
+    val w = FoldWatermark.read(
+      new org.apache.hadoop.fs.Path(storePath)
+        .getFileSystem(s.sparkContext.hadoopConfiguration), storePath)
+    FoldWatermark.requireAtOrAbove(storePath, maxBatchId, w)
+    FoldWatermark.excludeFoldedLeftovers(s.read.parquet(storePath), w)
       .filter(col("batch_id").cast("long") <= maxBatchId)
   }
 
@@ -72,13 +78,18 @@ object Stores {
     * compaction remains legal and excludes the whole folded history
     * (conservative under-merge) until a whole-fold rebuild.
     *
-    * Crash discipline (the AggStore lineage): fold materializes
-    * BEFORE any file moves, writes under dynamic overwrite, the
-    * [[FoldWatermark]] lands (the as-of guards already ride every
-    * sketch store's read path), then the prune — whose idempotent
-    * re-run is also the crash recovery. A re-run after success folds
-    * the fold into itself: a no-op. Compaction is a replay horizon
-    * for ids ≤ `through` (the family convention).
+    * Crash discipline (the AggStore lineage, re-entrant since r18):
+    * fold materializes BEFORE any file moves, writes under dynamic
+    * overwrite, the fold-commit marker and [[FoldWatermark]] land
+    * (the as-of guards already ride every sketch store's read path),
+    * then the prune. Re-calling compactThrough after ANY crash point
+    * is the recovery: entry reads the fold evidence
+    * ([[FoldWatermark.resumeAfterFold]]) and skips straight to the
+    * prune when the fold already landed — the additive sketches (KLL
+    * weights, CMS cells) would otherwise double-count permanently. A
+    * re-run after success is a no-op, and compacting below the
+    * watermark refuses loudly. Compaction is a replay horizon for
+    * ids ≤ `through` (the family convention).
     *
     * `fold` = the store's merge at ingest grain (output schema must
     * equal the per-batch sketch schema — every store's merge already
@@ -93,6 +104,20 @@ object Stores {
     // parquet read of it would crash schema inference instead of
     // reaching the empty-region no-op below
     if (!Tombstones.populated(s, storePath)) return
+    val fs = new org.apache.hadoop.fs.Path(storePath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // re-entry after a crash between fold and prune (r18): for the
+    // ADDITIVE sketches (KLL weights, CMS cells) re-running the fold
+    // over fold + surviving originals would permanently double-count —
+    // the retry IS the recovery: watermark (idempotent), prune, done.
+    // The gate check is fresh-fold-only: the landed fold already
+    // passed it, and prune bakes nothing. A watermark above `through`
+    // refuses loudly inside resumeAfterFold.
+    if (FoldWatermark.resumeAfterFold(fs, storePath, through)) {
+      FoldWatermark.write(fs, storePath, through)
+      AggStore.pruneThrough(s, storePath, through)
+      return
+    }
     val gated = Tombstones.gatedBatches(s, storePath).filter(_ <= through)
     require(gated.isEmpty,
       s"cannot compact through $through at $storePath: gated batch(es) " +
@@ -113,10 +138,10 @@ object Stores {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("batch_id")
         .mode("overwrite").parquet(storePath)
-      FoldWatermark.write(
-        new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration),
-        storePath, through)
+      // commit marker before watermark before prune: every crash
+      // window re-enters as fold-done (see resumeAfterFold above)
+      FoldWatermark.markFoldCommitted(fs, storePath, through)
+      FoldWatermark.write(fs, storePath, through)
       AggStore.pruneThrough(s, storePath, through)
     }
   }

@@ -138,6 +138,35 @@ private[graft] object KeyedCompaction {
     // same partition gate for the log: an EMPTY erasure request leaves
     // a file-less log dir that must read as "no tombstones"
     val hasTombs = Tombstones.populated(fs, logPath)
+    // re-entry after a crash between fold and prune (r18): the fold
+    // already landed, so re-running it over fold + surviving originals
+    // would keep each pre-fold row TWICE, permanently. The retry IS
+    // the recovery: finish the idempotent tail phases and return.
+    //  - watermark first (a fold-commit-marker entry means the crash
+    //    preceded the watermark write), then the prune;
+    //  - a `batch_id=through` partition WITHOUT the fold-commit marker
+    //    is the EMPTY-fold case's stale all-tombstoned leftover —
+    //    delete it (and a now-partition-less root, preserving the
+    //    watermark), exactly as the interrupted run was about to;
+    //  - the tombstone log is left UNTOUCHED, deliberately: the
+    //    crashed attempt's kept-set reflected the tombstones at ITS
+    //    fold time, and erasures that arrived since were never applied
+    //    to the fold — re-shrinking the log here could drop a new
+    //    tombstone whose only copies sit inside the fold, silently
+    //    resurrecting its rows. Un-shrunk entries suppress at read
+    //    time as always (harmless for folded-away keys), and the next
+    //    fresh fold applies + shrinks them.
+    if (FoldWatermark.resumeAfterFold(fs, dataPath, through)) {
+      FoldWatermark.write(fs, dataPath, through)
+      pruneThrough(s, dataPath, through)
+      if (!FoldWatermark.foldCommitted(fs, dataPath, through)) {
+        val tgt = TombstoneLog.path(s"$dataPath/batch_id=$through")
+        if (fs.exists(tgt)) fs.delete(tgt, true)
+        if (!Tombstones.populated(fs, dataPath))
+          FoldWatermark.deletePreservingWatermark(fs, dataPath)
+      }
+      return
+    }
     val data = s.read.parquet(dataPath)
     val payload = data.columns.filterNot(_ == "batch_id").toSeq
     val old = foldTransform(data.filter(col("batch_id") <= through)
@@ -179,6 +208,9 @@ private[graft] object KeyedCompaction {
         .option("maxRecordsPerFile", 10000000L)
         .partitionBy("batch_id")
         .mode("overwrite").parquet(dataPath)
+      // commit marker before the watermark: a crash between the two
+      // still resumes as fold-done on re-entry (see resumeAfterFold)
+      FoldWatermark.markFoldCommitted(fs, dataPath, through)
       FoldWatermark.write(fs, dataPath, through)
       pruneThrough(s, dataPath, through)
     }
@@ -319,7 +351,14 @@ private[graft] object FoldWatermark {
     * the one silent-wrong-answer class the store family had left. */
   def requireAtOrAbove(s: org.apache.spark.sql.SparkSession,
       dataPath: String, asOf: Long): Unit =
-    read(fsFor(s, dataPath), dataPath).foreach(w => require(asOf >= w,
+    requireAtOrAbove(dataPath, asOf, read(fsFor(s, dataPath), dataPath))
+
+  /** Same guard against an ALREADY-READ watermark — for read paths
+    * that need the value for the leftover-exclusion fence too and
+    * must not pay a second marker probe per read. */
+  def requireAtOrAbove(dataPath: String, asOf: Long,
+      watermark: Option[Long]): Unit =
+    watermark.foreach(w => require(asOf >= w,
       s"as-of batch $asOf is below the compaction fold watermark $w " +
         s"at $dataPath: batches <= $w were folded into one partition " +
         "and snapshots below the watermark are no longer derivable " +
@@ -357,6 +396,91 @@ private[graft] object FoldWatermark {
     w.foreach { v =>
       fs.mkdirs(TombstoneLog.path(dir))
       write(fs, dir, v)
+    }
+  }
+
+  /** Read-side leftover fence (r18): rows with `batch_id` BELOW the
+    * fold watermark are pre-fold leftovers of a compaction that
+    * crashed between fold and prune — their content is by definition
+    * inside the `batch_id=watermark` fold partition, so merging them
+    * would double-count (additive stores) or duplicate rows (keyed
+    * stores). Excluding them makes the crash window answer-invisible
+    * even before the re-entry recovery runs. Takes the ALREADY-READ
+    * watermark so read paths pay one marker probe, not two; the
+    * filter is a partition-pruning comparison on the store's
+    * partition column (no data file of an excluded batch is opened). */
+  def excludeFoldedLeftovers(df: org.apache.spark.sql.DataFrame,
+      watermark: Option[Long]): org.apache.spark.sql.DataFrame =
+    watermark.fold(df)(w => df.filter(
+      org.apache.spark.sql.functions.col("batch_id")
+        .cast("long") >= w))
+
+  private def foldCommitMarker(dataPath: String, through: Long) =
+    TombstoneLog.path(s"$dataPath/batch_id=$through/_fold_commit")
+
+  /** Mark the `batch_id=through` fold partition COMPLETE — touched
+    * right after the fold's write commits and before the watermark
+    * write, closing the re-entry window the watermark alone leaves:
+    * a crash after the fold landed but before the watermark would
+    * otherwise present a store whose re-entered compaction re-folds
+    * the fold together with the surviving originals — a permanent
+    * double-count for the additive stores. The marker lives INSIDE
+    * the partition (underscore-prefixed: invisible to every scan), so
+    * any rewrite of the partition deletes the marker with it, and an
+    * EMPTY fold (which writes no partition) never creates one — the
+    * existence guard below also keeps a crash-free empty fold from
+    * fabricating a file-less `batch_id=` dir, which would break the
+    * partition-gated readers' schema inference. The residual window
+    * is the instant between the fold job's commit and this one-file
+    * create — milliseconds, down from the whole fold→watermark span. */
+  def markFoldCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String, through: Long): Unit =
+    if (fs.exists(TombstoneLog.path(s"$dataPath/batch_id=$through")))
+      fs.create(foldCommitMarker(dataPath, through), true).close()
+
+  def foldCommitted(fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String, through: Long): Boolean =
+    fs.exists(foldCommitMarker(dataPath, through))
+
+  /** Compaction ENTRY decision (r18) — the contract that makes a
+    * crashed compactThrough's natural retry BE its recovery instead
+    * of a silent double-count:
+    *
+    *  - watermark ABOVE `through` → refuse loudly: batches ≤ watermark
+    *    were already folded into one partition, so compacting below
+    *    the fold is never meaningful;
+    *  - fold evidence at `through` (watermark == through, or the
+    *    fold-commit marker stands — the crash hit between fold write
+    *    and watermark write) AND pre-fold leftovers below `through`
+    *    still standing → the fold already landed and the prune did
+    *    not finish: the caller must SKIP the fold phase and run the
+    *    idempotent tail phases only (returns true);
+    *  - otherwise → fresh fold (returns false). This includes the
+    *    fold-evidence-but-no-leftovers case: with the originals
+    *    pruned, re-folding is safe for every choreography (the fold
+    *    of a fold is itself) and is exactly how a re-compaction at
+    *    the same `through` applies erasures that arrived since.
+    */
+  def resumeAfterFold(fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String, through: Long): Boolean = {
+    val w = read(fs, dataPath)
+    w.foreach(v => require(v <= through,
+      s"cannot compact through $through at $dataPath: the fold " +
+        s"watermark is already $v — batches <= $v were folded into " +
+        "one partition, so compacting below the fold is never " +
+        "meaningful (pick through >= the watermark)"))
+    (w.contains(through) || foldCommitted(fs, dataPath, through)) &&
+      hasPartitionsBelow(fs, dataPath, through)
+  }
+
+  private def hasPartitionsBelow(fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String, through: Long): Boolean = {
+    val p = TombstoneLog.path(dataPath)
+    fs.exists(p) && fs.listStatus(p).exists { st =>
+      val n = st.getPath.getName
+      n.startsWith("batch_id=") &&
+        scala.util.Try(n.stripPrefix("batch_id=").toLong).toOption
+          .exists(_ < through)
     }
   }
 
