@@ -191,16 +191,56 @@ object Cms {
       .orderBy("user_id")
   }
 
+  private val compactStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Driver entry (COMPACTED store, r18): the q89 question answered
+    * from a PERSISTED five-batch store whose batches 0..2 were
+    * horizontally folded into one partition. CMS cell sums are
+    * additive integers — a fold is cell-wise exact — so the merged
+    * estimates are BIT-IDENTICAL to the one-shot sketch's and the
+    * entry re-proves q89's zero-dump oracle SQL verbatim (the q81 /
+    * nq_card_store_compact shared-string discipline): any fold
+    * double-count or cell loss — the additive store's crash-window
+    * stakes — hash-fails through the exact counters. */
+  def nqCmsStoreCompact(s: SparkSession, d: String): DataFrame = {
+    def build(): String = {
+      val p = java.nio.file.Files.createTempDirectory("cmsstorecmp")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = s"$p/cms.parquet"
+      val ev = events(s, d)
+      (0 until 5).foreach(b => applyBatch(
+        ev.filter(pmod(col("event_id"), lit(5)) === b),
+        "user_id", path, b.toLong))
+      compactThrough(s, path, through = 2L)
+      path
+    }
+    val store = if (graft.Tables.isImmutable(d))
+      compactStoreFor.getOrElseUpdate(d, build())
+    else build()
+    val ev = events(s, d)
+    val truth = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    truth.join(estimateFromStore(s, store, ev, "user_id"), Seq("user_id"))
+      .select(col("user_id"), col("n_events"), col("est"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q89_cms_freq" -> (q89CmsFreq _))
+    "q89_cms_freq" -> (q89CmsFreq _),
+    "nq_cms_store_compact" -> (nqCmsStoreCompact _))
 
   // Oracle: the validated XXH64-long replica feeds the identical
   // lo/hi split + (lo + d·hi) mod width bucket map — all small-integer
   // arithmetic, so counters, mins, and the overestimate ordering are
-  // bit-exact across engines.
-  val oracle: Map[String, String] = Map(
-    "q89_cms_freq" -> (graft.text.Mixing.xxh64CtesOver(
-      "events", "user_id", "") +
+  // bit-exact across engines. ONE shared string: the compacted-store
+  // entry must answer the one-shot SQL verbatim (cell sums fold
+  // exactly, so compaction is counter-invisible — hash-proved).
+  private val q89CmsFreqSql: String =
+    graft.text.Mixing.xxh64CtesOver("events", "user_id", "") +
       """,
         |hb AS (SELECT user_id, hh % 4294967296 AS lo, hh // 4294967296 AS hi
         |       FROM r2h),
@@ -217,5 +257,9 @@ object Cms {
         |FROM (SELECT user_id, count(*) AS n_events FROM events
         |      GROUP BY user_id) t
         |JOIN est e ON t.user_id = e.user_id
-        |ORDER BY t.user_id""".stripMargin))
+        |ORDER BY t.user_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q89_cms_freq" -> q89CmsFreqSql,
+    "nq_cms_store_compact" -> q89CmsFreqSql)
 }

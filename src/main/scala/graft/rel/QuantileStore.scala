@@ -259,12 +259,64 @@ object QuantileStore {
     s"$DumpDir/nq_kll_store.parquet", "o_orderstatus", Q,
     "SELECT o_orderstatus, count(*) AS n_raw FROM orders GROUP BY 1")
 
+  private val compactStoreFor =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Driver entry (COMPACTED store, r18): the same five-batch ingest
+    * with batches 0..2 horizontally folded into one partition — then
+    * the identical store question. The oracle is [[nqKllStoreSql]]'s
+    * exact constructor over the entry's own dump: unlike the HLL twin
+    * (registers fold bit-identically, so the SQL string is shared
+    * byte-for-byte), a KLL fold's RETAINED ITEMS legitimately differ
+    * from the uncompacted merge's, so the compacted dump must be the
+    * entry's own. The compaction-correctness teeth are unchanged:
+    * `n_rows` joins from RAW orders, so any fold double-count or
+    * weight loss — the additive store's crash-window stakes —
+    * hash-fails, and the quantile tail re-runs in DuckDB over the
+    * dumped items verbatim. */
+  def nqKllStoreCompact(s: SparkSession, d: String,
+      k: Int = 256): DataFrame = {
+    def build(): String = {
+      val p = java.nio.file.Files.createTempDirectory("kllstorecmp")
+      sys.addShutdownHook {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      val path = s"$p/kll.parquet"
+      val o = orders(s, d)
+      (0 until 5).foreach { b =>
+        applyBatch(o.filter(pmod(col("o_orderkey"), lit(5)) === b),
+          Seq("o_orderstatus"), "o_totalprice", path, b.toLong, k)
+      }
+      compactThrough(s, path, Seq("o_orderstatus"), k, through = 2L)
+      path
+    }
+    val store = if (graft.Tables.isImmutable(d))
+      compactStoreFor.getOrElseUpdate(d, build())
+    else build()
+    val sk = pinned(sketchesFromStore(s, store, Seq("o_orderstatus"), k))
+    graft.OracleDump.dump(
+      sk.select(col("o_orderstatus"), explode(col("sk")).as("it"))
+        .select(col("o_orderstatus"), col("it.v").as("v"),
+          col("it.w").as("w")),
+      s"$DumpDir/nq_kll_store_compact.parquet")
+    quantilesOf(sk, Seq("o_orderstatus"), Q).orderBy("o_orderstatus")
+  }
+
+  val nqKllStoreCompactSql: String = quantileOracleSql(
+    s"$DumpDir/nq_kll_store_compact.parquet", "o_orderstatus", Q,
+    "SELECT o_orderstatus, count(*) AS n_raw FROM orders GROUP BY 1")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "nq_kll_quantiles" -> ((s: SparkSession, d: String) =>
       nqKllQuantiles(s, d)),
-    "nq_kll_store" -> ((s: SparkSession, d: String) => nqKllStore(s, d)))
+    "nq_kll_store" -> ((s: SparkSession, d: String) => nqKllStore(s, d)),
+    "nq_kll_store_compact" -> ((s: SparkSession, d: String) =>
+      nqKllStoreCompact(s, d)))
 
   val oracle: Map[String, String] = Map(
     "nq_kll_quantiles" -> nqKllQuantilesSql,
-    "nq_kll_store" -> nqKllStoreSql)
+    "nq_kll_store" -> nqKllStoreSql,
+    "nq_kll_store_compact" -> nqKllStoreCompactSql)
 }
