@@ -53,7 +53,8 @@ object SparkEntry {
       rel.JoinView.queries ++ text.QuantileNorm.queries ++
       rel.Cusum.queries ++ sources.ImageDedup.queries ++
       audio.AudioDedup.queries ++ sources.VideoDedup.queries ++
-      sources.MediaDedupStore.queries ++ sources.MediaClusterStore.queries
+      sources.MediaDedupStore.queries ++ sources.MediaClusterStore.queries ++
+      text.Pipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -269,5 +270,8 @@ object SparkEntry {
       // round-15: standing cluster assignments maintained by per-batch
       // label union-find — the store read re-proves the one-shot
       // recursive-CTE connected components verbatim
-      sources.MediaClusterStore.oracle
+      sources.MediaClusterStore.oracle ++
+      // r18: the composed end-to-end curation pipeline — the stage
+      // oracles' shared CTE bodies recomposed verbatim
+      text.Pipeline.oracle
 }

@@ -152,7 +152,11 @@ object Curation {
   // rounded value is presentation only, same as the Spark side). Shared
   // by q64 (exact reach) and the round-8 banded promotions (NearDup's
   // replicated band reach).
-  private val gatesCtes: String =
+  /** The dedup half of the gates — cluster assignment + exact keeper
+    * over any `reach(doc_id, label)` relation — split out (r18) so the
+    * end-to-end pipeline entry composes it verbatim; `gatesCtes`
+    * below concatenates back to the exact pre-split string. */
+  private[text] val gateCoreCtes: String =
     """,
       |clusters AS (
       |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
@@ -161,7 +165,10 @@ object Curation {
       |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
       |      AS is_exact_keeper
       |  FROM documents
-      |), q AS (
+      |)""".stripMargin
+
+  private val gateQualityCtes: String =
+    """, q AS (
       |  SELECT doc_id, lang,
       |    CAST(len(l) AS BIGINT) AS n_tokens,
       |    CASE WHEN len(l) = 0 THEN NULL
@@ -180,6 +187,8 @@ object Curation {
       |    END AS drop_reason
       |  FROM q JOIN ek USING (doc_id) JOIN clusters c USING (doc_id)
       |)""".stripMargin
+
+  private val gatesCtes: String = gateCoreCtes + gateQualityCtes
 
   private val curationSelect: String =
     """

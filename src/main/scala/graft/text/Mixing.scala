@@ -379,24 +379,37 @@ object Mixing {
       // side's exact IEEE operation sequence, with the pow exponent
       // interpolated from the SAME Scala double so both engines parse
       // the identical value (Double.toString round-trips exactly)
-      "q74_temperature_mix" -> (xxh64Ctes(", lang") +
-        s""",
-           |cnt AS (SELECT lang, count(*) AS n_dom FROM documents
-           |        GROUP BY lang),
-           |mn AS (SELECT min(n_dom) AS n_min FROM cnt),
-           |rt AS (SELECT lang, CAST(floor(1000000.0 *
-           |    pow(CAST(n_min AS DOUBLE) / CAST(n_dom AS DOUBLE),
-           |        ${1.0 - q74Alpha})) AS BIGINT) AS keep_thr
-           |  FROM cnt, mn),
-           |pm AS (SELECT doc_id, lang,
-           |  CAST(CASE WHEN hh >= 9223372036854775808
-           |    THEN (hh % 1000000 + 448384) % 1000000
-           |    ELSE hh % 1000000 END AS BIGINT) AS pmod FROM r2h)
-           |SELECT p.doc_id, p.lang, r.keep_thr
-           |FROM pm p JOIN rt r USING (lang)
-           |WHERE p.pmod < r.keep_thr
-           |ORDER BY p.doc_id""".stripMargin))
+      "q74_temperature_mix" -> q74Sql)
   }
+
+  /** The temperature-mix selection as a WITH-less CTE body ending in
+    * `mixsel(doc_id, lang, keep_thr)` — the selected documents. The
+    * rate CTEs are the q74 oracle's, with the mix-local names prefixed
+    * (mixmn/mixpm, r18) so the end-to-end pipeline oracle can compose
+    * this body verbatim next to the banded-reach (`mn`) and
+    * substring-span (`pm`) chains without CTE-name collisions;
+    * [[q74Sql]] itself is `WITH ` + this + the presentation select, so
+    * q74 and the pipeline share one string. */
+  private[text] lazy val mixCtesBody: String =
+    xxh64CtesBody("documents", "doc_id", ", lang") +
+      s""",
+         |cnt AS (SELECT lang, count(*) AS n_dom FROM documents
+         |        GROUP BY lang),
+         |mixmn AS (SELECT min(n_dom) AS n_min FROM cnt),
+         |rt AS (SELECT lang, CAST(floor(1000000.0 *
+         |    pow(CAST(n_min AS DOUBLE) / CAST(n_dom AS DOUBLE),
+         |        ${1.0 - q74Alpha})) AS BIGINT) AS keep_thr
+         |  FROM cnt, mixmn),
+         |mixpm AS (SELECT doc_id, lang,
+         |  CAST(CASE WHEN hh >= 9223372036854775808
+         |    THEN (hh % 1000000 + 448384) % 1000000
+         |    ELSE hh % 1000000 END AS BIGINT) AS pmod FROM r2h),
+         |mixsel AS (SELECT p.doc_id, p.lang, r.keep_thr
+         |  FROM mixpm p JOIN rt r USING (lang)
+         |  WHERE p.pmod < r.keep_thr)""".stripMargin
+
+  private[text] lazy val q74Sql: String = "WITH " + mixCtesBody +
+    "\nSELECT doc_id, lang, keep_thr FROM mixsel ORDER BY doc_id"
 
   // Contamination oracle compares raw shingle STRINGS where Spark
   // compares 64-bit shingle hashes (same counts unless two distinct

@@ -90,8 +90,12 @@ object QualityRules {
         "n_stopwords", "keep")
       .orderBy("doc_id")
 
-  val q75Sql: String =
-    """WITH d AS (
+  /** The whole gate chain as a WITH-less CTE body ending in
+    * `gop(doc_id, <metrics...>, keep)` — composed verbatim by the
+    * end-to-end pipeline oracle (r18); [[q75Sql]] is `WITH ` + this +
+    * the presentation select. */
+  private[text] val gopherCtesBody: String =
+    """d AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t,
       |    string_split(text, chr(10)) AS ln
@@ -121,17 +125,20 @@ object QualityRules {
       |      ('the','be','to','of','and','that','have','with'))))
       |      AS BIGINT) AS n_stopwords
       |  FROM d
-      |)
-      |SELECT *,
-      |  (n_tokens BETWEEN 50 AND 100000
-      |    AND mean_word_len BETWEEN 3.0 AND 10.0
-      |    AND frac_symbol_words <= 0.1
-      |    AND frac_alpha_words >= 0.8
-      |    AND frac_bullet_lines <= 0.9
-      |    AND frac_ellipsis_lines <= 0.3
-      |    AND n_stopwords >= 2) AS keep
-      |FROM m
-      |ORDER BY doc_id""".stripMargin
+      |), gop AS (
+      |  SELECT *,
+      |    (n_tokens BETWEEN 50 AND 100000
+      |      AND mean_word_len BETWEEN 3.0 AND 10.0
+      |      AND frac_symbol_words <= 0.1
+      |      AND frac_alpha_words >= 0.8
+      |      AND frac_bullet_lines <= 0.9
+      |      AND frac_ellipsis_lines <= 0.3
+      |      AND n_stopwords >= 2) AS keep
+      |  FROM m
+      |)""".stripMargin
+
+  val q75Sql: String = "WITH " + gopherCtesBody +
+    "\nSELECT * FROM gop ORDER BY doc_id"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_gopher_rules" -> (q75GopherRules _))

@@ -590,9 +590,11 @@ object SubstrDedup {
   // the first occurrence) — semantically identical to the min-struct
   // winners because (doc_id, start) is unique per gram row.
   /** Shared CTE chain ending in `sp(doc_id, span, s, e)` — the maximal
-    * duplicated spans — with `toks(doc_id, l)` still in scope. */
-  private val spanCtes: String =
-    """WITH toks AS (
+    * duplicated spans — with `toks(doc_id, l)` still in scope. The
+    * WITH-less body is exposed (r18) so the end-to-end pipeline
+    * oracle composes it verbatim behind its own WITH RECURSIVE head. */
+  private[text] val spanCtesBody: String =
+    """toks AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS l
       |  FROM documents
@@ -626,6 +628,8 @@ object SubstrDedup {
       |  SELECT doc_id, span, min(start) AS s, max(e) AS e
       |  FROM isl GROUP BY doc_id, span
       |)""".stripMargin
+
+  private val spanCtes: String = "WITH " + spanCtesBody
 
   val q73Sql: String = spanCtes + """, agg AS (
       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,

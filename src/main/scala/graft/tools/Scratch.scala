@@ -35,6 +35,15 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("oraclesql")) {
+      // print a contract entry's composed oracle SQL (for composing /
+      // debugging shared CTE chains against DuckDB directly):
+      //   runMain graft.tools.Scratch oraclesql nq_pipeline_e2e
+      for (name <- args.drop(1))
+        println(graft.SparkEntry.oracleSql(name))
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("verifyq")) {
       // subset Verify: run named contract queries with oracle dumps on,
       // write results + oracle_sql.json for tools/check_oracle.py —
