@@ -159,6 +159,96 @@ object Stores {
     * driver-side job loop — the manifest must stay a metadata
     * operation no matter how many batches exist).
     */
+  /** The maintenance DECISION view (r18) — everything the single
+    * maintenance owner of a 100 TB store needs in ONE call, instead
+    * of five store-specific APIs: batch extents + volume (parquet
+    * FOOTERS, no Spark job per batch — the [[describe]] discipline),
+    * the fold watermark and how much un-compacted history stands
+    * above it (the compaction trigger), gated batches awaiting a
+    * clean rebuild, tombstone volume, and — when the store carries
+    * the media-cluster adjunct dirs — the remap-log pressure (rows vs
+    * the session's collect bound: over it, standing reads pay the
+    * pointer-doubled regime until compaction), a staged-but-unapplied
+    * recluster plan, and the last divergence-check outcome (a
+    * never-ran / skipped detection surfaces as NULL / false — never
+    * as a clean-looking zero). One row; the only Spark work is the
+    * tombstone-log read the gate/tombstone counts need (deletion-
+    * sized), matching describe's own cost model.
+    */
+  def maintenancePlan(s: SparkSession, storePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(storePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // the media-cluster store is the one composite layout: its fenced
+    // batches live under assignments/ and its erasure log under
+    // _cluster_tombstones — sniffed here so ONE call covers it too
+    val isCluster = fs.exists(
+      new org.apache.hadoop.fs.Path(storePath, "assignments"))
+    val batchPath = if (isCluster) s"$storePath/assignments"
+      else storePath
+    val bp = new org.apache.hadoop.fs.Path(batchPath)
+    val ids: Seq[Long] =
+      if (!fs.exists(bp)) Seq.empty
+      else fs.listStatus(bp).toSeq
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("batch_id="))
+        .flatMap(st => scala.util.Try(
+          st.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
+    val wmark = FoldWatermark.read(fs, batchPath)
+    val gated = Tombstones.gatedBatches(s, storePath).toSeq.sorted
+    val tombstoned =
+      if (isCluster)
+        TombstoneLog.readDir(fs, s"$storePath/_cluster_tombstones",
+            s"$storePath/_cluster_tombstones_next")
+          .map(d => s.read.parquet(d).distinct().count()).getOrElse(0L)
+      else Tombstones.deletedKeys(s, storePath)
+        .map(_.count()).getOrElse(0L)
+    val remap = graft.sources.MediaClusterStore
+      .remapLogPressure(s, storePath)
+    val recluster = graft.sources.MediaClusterStore
+      .lastReclusterStats(s, storePath)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("n_batches", LongType, nullable = false),
+      StructField("min_batch_id", LongType, nullable = true),
+      StructField("max_batch_id", LongType, nullable = true),
+      StructField("fold_watermark", LongType, nullable = true),
+      StructField("n_batches_above_watermark", LongType,
+        nullable = false),
+      StructField("gated_batches", ArrayType(LongType, false),
+        nullable = false),
+      StructField("n_tombstoned_keys", LongType, nullable = false),
+      StructField("remap_log_batches", LongType, nullable = true),
+      StructField("remap_log_rows", LongType, nullable = true),
+      StructField("remap_over_bound", BooleanType, nullable = true),
+      StructField("recluster_plan_pending", BooleanType,
+        nullable = false),
+      StructField("last_divergence_checked", BooleanType,
+        nullable = true),
+      StructField("last_crossing_pairs", LongType, nullable = true),
+      StructField("last_unknown_pairs", LongType, nullable = true)))
+    val row = org.apache.spark.sql.Row(
+      ids.size.toLong,
+      ids.minOption.map(Long.box).orNull,
+      ids.maxOption.map(Long.box).orNull,
+      wmark.map(Long.box).orNull,
+      // the compaction trigger: batches strictly above the fold (or
+      // all of them when never compacted) = the un-folded history a
+      // `compactThrough(maxBatchId - retention)` would collapse
+      ids.count(id => wmark.forall(id > _)).toLong,
+      gated,
+      tombstoned,
+      remap.map(t => Long.box(t._1)).orNull,
+      remap.map(t => Long.box(t._2)).orNull,
+      remap.map(t => Boolean.box(t._3)).orNull,
+      graft.sources.MediaClusterStore
+        .reclusterPlanPending(s, storePath),
+      recluster.map(r => Boolean.box(r.divergenceChecked)).orNull,
+      recluster.map(r => Long.box(r.crossingPairs)).orNull,
+      recluster.map(r => Long.box(r.unknownEndpointPairs)).orNull)
+    s.createDataFrame(
+      java.util.Collections.singletonList(row), schema)
+  }
+
   def describe(s: SparkSession, storePath: String): DataFrame = {
     import s.implicits._
     import org.apache.parquet.hadoop.ParquetFileReader

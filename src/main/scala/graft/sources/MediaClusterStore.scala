@@ -878,7 +878,89 @@ object MediaClusterStore {
       forceDivergenceCheck)
     if (stats.staged)
       applyReclusterPlan(s, storePath)
+    // persist the outcome (tmp+rename) so Stores.maintenancePlan can
+    // surface the LAST divergence check without re-running the op —
+    // a skipped detection must never read as "checked and clean"
+    writeReclusterMarker(fs, storePath, stats)
     stats
+  }
+
+  private def reclusterMarker(p: String) = s"$p/_last_recluster"
+
+  private def writeReclusterMarker(fs: org.apache.hadoop.fs.FileSystem,
+      storePath: String, st: ReclusterStats): Unit = {
+    val tmp = pathOf(s"${reclusterMarker(storePath)}_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(
+      (s"staged=${st.staged};affected=${st.affectedClusters};" +
+        s"crossing=${st.crossingPairs};" +
+        s"unknown=${st.unknownEndpointPairs};" +
+        s"divergence_checked=${st.divergenceChecked}")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.delete(pathOf(reclusterMarker(storePath)), false)
+    require(fs.rename(tmp, pathOf(reclusterMarker(storePath))),
+      s"cannot swap recluster marker into place at $storePath")
+  }
+
+  /** Remap-log pressure, metadata-only (listings + parquet footers —
+    * no Spark job): (batch partitions, logged merge events, over the
+    * session's collect bound?). None when no log stands. Read by
+    * `Stores.maintenancePlan`: rows near/over the bound means
+    * standing reads are in (or approaching) the pointer-doubled
+    * over-bound regime — compaction restores the fast path. */
+  private[graft] def remapLogPressure(s: SparkSession,
+      storePath: String): Option[(Long, Long, Boolean)] = {
+    val dir = remapDir(storePath)
+    val fs = fsOf(s, dir)
+    if (!fs.exists(pathOf(dir))) return None
+    val conf = s.sparkContext.hadoopConfiguration
+    val parts = fs.listStatus(pathOf(dir)).filter(st =>
+      st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (parts.isEmpty) return None
+    val rows = parts.iterator.flatMap(p => fs.listStatus(p.getPath))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromStatus(f, conf))
+        try r.getRecordCount finally r.close()
+      }.sum
+    val bound = math.min(
+      s.conf.getOption(MaxRemapRowsConf).map(_.toLong)
+        .getOrElse(DefaultMaxRemapRows),
+      Int.MaxValue.toLong - 2)
+    Some((parts.length.toLong, rows, rows > bound))
+  }
+
+  /** A staged-but-unapplied recluster plan stands (crash between
+    * stage and apply) — the next reclusterAffected call applies it;
+    * surfaced so the maintenance owner knows one is pending. */
+  private[graft] def reclusterPlanPending(s: SparkSession,
+      storePath: String): Boolean =
+    fsOf(s, storePath).exists(pathOf(planDir(storePath)))
+
+  /** The persisted outcome of the last [[reclusterAffected]] run
+    * (None = never ran) — read by `Stores.maintenancePlan`. */
+  private[graft] def lastReclusterStats(s: SparkSession,
+      storePath: String): Option[ReclusterStats] = {
+    val fs = fsOf(s, storePath)
+    val p = pathOf(reclusterMarker(storePath))
+    if (!fs.exists(p)) None
+    else {
+      val len = fs.getFileStatus(p).getLen
+      require(len <= 256, s"corrupt recluster marker at $p: $len bytes")
+      val buf = new Array[Byte](len.toInt)
+      val in = fs.open(p)
+      try in.readFully(0, buf) finally in.close()
+      val kv = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        .trim.split(";").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+      Some(ReclusterStats(kv("staged").toBoolean, kv("affected").toLong,
+        kv("crossing").toLong, kv("unknown").toLong,
+        kv("divergence_checked").toBoolean))
+    }
   }
 
   /** Compute + persist the plan (no store mutation); staged=false =

@@ -160,4 +160,90 @@ class StoresSpec extends SparkSpec {
         .foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("maintenancePlan: one call surfaces batch extents, watermark " +
+      "distance, gates, and tombstone volume for a flat store") {
+    val dir = java.nio.file.Files.createTempDirectory("maintplan")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b), groupCols,
+        "l_extendedprice", store, b.toLong))
+      def plan() = Stores.maintenancePlan(spark, store).collect().head
+      val p0 = plan()
+      assert(p0.getAs[Long]("n_batches") === 5L)
+      assert(p0.getAs[Long]("min_batch_id") === 0L &&
+        p0.getAs[Long]("max_batch_id") === 4L)
+      assert(p0.isNullAt(p0.fieldIndex("fold_watermark")),
+        "never compacted -> no watermark")
+      assert(p0.getAs[Long]("n_batches_above_watermark") === 5L,
+        "never compacted -> ALL history is un-folded")
+      assert(p0.getAs[scala.collection.Seq[Long]]("gated_batches")
+        .isEmpty && p0.getAs[Long]("n_tombstoned_keys") === 0L)
+      assert(p0.isNullAt(p0.fieldIndex("remap_log_rows")) &&
+        p0.isNullAt(p0.fieldIndex("last_divergence_checked")) &&
+        !p0.getAs[Boolean]("recluster_plan_pending"),
+        "no media adjuncts on a flat store")
+      AggStore.compactThrough(spark, store, groupCols, 2L)
+      Tombstones.gateBatches(spark, store, Seq(4L), mutationId = 0L)
+      val p1 = plan()
+      assert(p1.getAs[Long]("fold_watermark") === 2L)
+      assert(p1.getAs[Long]("n_batches") === 3L &&
+        p1.getAs[Long]("n_batches_above_watermark") === 2L,
+        "the compaction trigger = batches strictly above the fold")
+      assert(p1.getAs[scala.collection.Seq[Long]]("gated_batches")
+        === Seq(4L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("maintenancePlan: the media-cluster composite layout surfaces " +
+      "remap-log pressure, the staged plan, and the LAST divergence " +
+      "check — a skipped detection is false, never a clean zero") {
+    import graft.sources.MediaClusterStore
+    val dir = java.nio.file.Files.createTempDirectory("maintcluster")
+    try {
+      val store = dir.resolve("c").toString
+      def members(rows: Long*) =
+        rows.toSeq.map((_, "image")).toDF("media_id", "modality")
+      def prs(rows: (Long, Long)*) =
+        rows.toSeq.map { case (a, b) => ("image", a, b) }
+          .toDF("modality", "id_a", "id_b")
+      MediaClusterStore.applyClusterBatch(spark,
+        members(10L, 11L), prs((10L, 11L)), store, 0L)
+      // a cross-batch merge writes a remap event
+      MediaClusterStore.applyClusterBatch(spark,
+        members(5L), prs((5L, 11L)), store, 1L)
+      def plan() = Stores.maintenancePlan(spark, store).collect().head
+      val p0 = plan()
+      assert(p0.getAs[Long]("n_batches") === 2L &&
+        p0.getAs[Long]("max_batch_id") === 1L,
+        "the composite layout's fenced batches live under assignments/")
+      assert(p0.getAs[Long]("remap_log_rows") >= 1L &&
+        !p0.getAs[Boolean]("remap_over_bound"))
+      assert(p0.isNullAt(p0.fieldIndex("last_divergence_checked")),
+        "reclusterAffected never ran")
+      // a no-tombstone-log run SKIPS detection: the plan must say so
+      MediaClusterStore.reclusterAffected(spark, store, prs((10L, 11L)))
+      val p1 = plan()
+      assert(p1.getAs[Boolean]("last_divergence_checked") === false,
+        "skipped detection surfaces as false, not a clean-looking zero")
+      // an erasure-triggered run CHECKS: the plan flips
+      MediaClusterStore.deleteMembers(members(11L), store, 0L)
+      MediaClusterStore.reclusterAffected(spark, store, prs((10L, 11L)))
+      val p2 = plan()
+      assert(p2.getAs[Boolean]("last_divergence_checked") === true)
+      assert(p2.getAs[Long]("n_tombstoned_keys") === 1L,
+        "the cluster store's own erasure log must be counted")
+      assert(!p2.getAs[Boolean]("recluster_plan_pending"),
+        "an applied plan leaves nothing pending")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
