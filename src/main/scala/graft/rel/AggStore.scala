@@ -147,10 +147,7 @@ object AggStore {
     // merging them would double-count until the re-entry recovery runs
     mergePartials(FoldWatermark.excludeFoldedLeftovers(
       s.read.parquet(storePath),
-      FoldWatermark.read(
-        new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(s.sparkContext.hadoopConfiguration),
-        storePath)), groupCols)
+      FoldWatermark.read(s, storePath)), groupCols)
 
   // ------------------------------------------------------- retraction
   // Keyed delete/re-score for the ADDITIVE (invertible) store — the
@@ -334,9 +331,7 @@ object AggStore {
       groupCols: Seq[String], asOfBatch: Long): DataFrame = {
     // one marker probe: the as-of guard plus the r18 leftover fence
     // (sub-watermark partials are already inside the fold partition)
-    val w = FoldWatermark.read(
-      new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration), storePath)
+    val w = FoldWatermark.read(s, storePath)
     FoldWatermark.requireAtOrAbove(storePath, asOfBatch, w)
     mergePartials(
       FoldWatermark.excludeFoldedLeftovers(
@@ -388,12 +383,17 @@ object AggStore {
     // recovery: raise the watermark if the crash preceded it, prune,
     // done. A watermark ABOVE `through` refuses loudly inside
     // resumeAfterFold (compacting below the fold is never meaningful).
-    if (FoldWatermark.resumeAfterFold(fs, storePath, through)) {
+    val wm = FoldWatermark.read(fs, storePath)
+    if (FoldWatermark.resumeAfterFold(fs, storePath, through, wm)) {
       FoldWatermark.write(fs, storePath, through)
       pruneThrough(s, storePath, through)
       return
     }
-    val store = s.read.parquet(storePath)
+    // fold region leftover-fenced (r18 review): a fresh fold at a
+    // HIGHER through than a crashed compaction must not re-fold that
+    // crash's sub-watermark leftovers with the fold containing them
+    val store = FoldWatermark.excludeFoldedLeftovers(
+      s.read.parquet(storePath), wm)
     val old = store.filter(col("batch_id") <= through)
     // fold: counts/sums re-add, extrema re-extremize — output has the
     // exact partialBatch schema, so reads can't tell it from an ingest.

@@ -68,10 +68,7 @@ object CardinalityStore {
     val s = batch.sparkSession
     // ONE marker read decides both the rebuild exception and the
     // strictly-above refusal (the marker is a metadata RPC per ingest)
-    val wm = FoldWatermark.read(
-      new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration),
-      storePath)
+    val wm = FoldWatermark.read(s, storePath)
     val gatedFoldRebuild = wm.contains(batchId) &&
       Tombstones.gatedBatches(s, storePath).contains(batchId)
     if (!gatedFoldRebuild)
@@ -122,9 +119,7 @@ object CardinalityStore {
     // compaction that crashed between fold and prune (their content
     // is inside the fold partition), so excluding them keeps even the
     // un-recovered crash window answer-invisible
-    val w = FoldWatermark.read(
-      new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration), path)
+    val w = FoldWatermark.read(s, path)
     asOfBatch.foreach(k => FoldWatermark.requireAtOrAbove(path, k, w))
     asOf(FoldWatermark.excludeFoldedLeftovers(s.read.parquet(path), w),
       asOfBatch)

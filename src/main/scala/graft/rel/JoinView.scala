@@ -104,11 +104,7 @@ object JoinView {
     // both would MOVE TWICE the standing mass — a write-side error,
     // not just a read artifact
     val cur = FoldWatermark.excludeFoldedLeftovers(
-        s.read.parquet(storePath),
-        FoldWatermark.read(
-          new org.apache.hadoop.fs.Path(storePath)
-            .getFileSystem(s.sparkContext.hadoopConfiguration),
-          storePath))
+        s.read.parquet(storePath), FoldWatermark.read(s, storePath))
       .filter(col("batch_id") =!= batchId)
       .join(broadcast(moves.select(col(dimKey).as("mk"),
         col(s"old_$dimAttr"), col(s"new_$dimAttr"))),
@@ -189,11 +185,7 @@ object JoinView {
     val cs = sum("sum_cents").cast("double")
     // leftover fence (r18): see applyDimMove
     FoldWatermark.excludeFoldedLeftovers(
-        s.read.parquet(storePath),
-        FoldWatermark.read(
-          new org.apache.hadoop.fs.Path(storePath)
-            .getFileSystem(s.sparkContext.hadoopConfiguration),
-          storePath))
+        s.read.parquet(storePath), FoldWatermark.read(s, storePath))
       .groupBy(col(grainCol))
       .agg(sum("cnt").as("n_rows"),
         (cs / lit(100.0)).as("sum_val"),

@@ -49,10 +49,7 @@ object KmvStore {
   def applyBatch(batch: DataFrame, groupCols: Seq[String], hashCol: String,
       storePath: String, batchId: Long, k: Int): Unit = {
     val s = batch.sparkSession
-    val wm = FoldWatermark.read(
-      new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration),
-      storePath)
+    val wm = FoldWatermark.read(s, storePath)
     val gatedFoldRebuild = wm.contains(batchId) &&
       Tombstones.gatedBatches(s, storePath).contains(batchId)
     if (!gatedFoldRebuild)

@@ -35,9 +35,7 @@ object Stores {
     // one marker probe: the as-of guard plus the r18 leftover fence
     // (sub-watermark rows are a crashed compaction's pre-fold
     // leftovers, already represented inside the fold partition)
-    val w = FoldWatermark.read(
-      new org.apache.hadoop.fs.Path(storePath)
-        .getFileSystem(s.sparkContext.hadoopConfiguration), storePath)
+    val w = FoldWatermark.read(s, storePath)
     FoldWatermark.requireAtOrAbove(storePath, maxBatchId, w)
     FoldWatermark.excludeFoldedLeftovers(s.read.parquet(storePath), w)
       .filter(col("batch_id").cast("long") <= maxBatchId)
@@ -113,7 +111,8 @@ object Stores {
     // The gate check is fresh-fold-only: the landed fold already
     // passed it, and prune bakes nothing. A watermark above `through`
     // refuses loudly inside resumeAfterFold.
-    if (FoldWatermark.resumeAfterFold(fs, storePath, through)) {
+    val wm = FoldWatermark.read(fs, storePath)
+    if (FoldWatermark.resumeAfterFold(fs, storePath, through, wm)) {
       FoldWatermark.write(fs, storePath, through)
       AggStore.pruneThrough(s, storePath, through)
       return
@@ -125,7 +124,13 @@ object Stores {
         "folding them would bake deleted keys into the fold " +
         "permanently; rebuild (applyBatch + ungateBatch) first or " +
         "compact below them")
-    val store = s.read.parquet(storePath)
+    // the fold region is leftover-FENCED too (r18 review): a fresh
+    // fold at a HIGHER through than a crashed compaction would
+    // otherwise fold that crash's sub-watermark leftovers together
+    // with the fold partition that already contains them — the same
+    // double-count resumeAfterFold closes at the SAME through
+    val store = FoldWatermark.excludeFoldedLeftovers(
+      s.read.parquet(storePath), wm)
     val region = store.filter(col("batch_id").cast("long") <= through)
       .drop("batch_id")
     val folded = fold(region).localCheckpoint()
@@ -194,12 +199,23 @@ object Stores {
         .flatMap(st => scala.util.Try(
           st.getPath.getName.stripPrefix("batch_id=").toLong).toOption)
     val wmark = FoldWatermark.read(fs, batchPath)
-    val gated = Tombstones.gatedBatches(s, storePath).toSeq.sorted
+    // gates always name LIVE batch partitions (compaction refuses
+    // gated folds, so a gate can never outlive its partition) — the
+    // intersection keeps a doc-KEYED store's deletion log (same
+    // `_tombstones` machinery, doc keys instead of batch ids) from
+    // misreporting every erased key as a gate awaiting rebuild;
+    // residual ambiguity (an erased doc key equal to a live batch id)
+    // is inherent to the shared log and documented here
+    val gated = Tombstones.gatedBatches(s, storePath)
+      .intersect(ids.toSet).toSeq.sorted
     val tombstoned =
       if (isCluster)
+        // distinct over the KEY columns only: a key erased in two
+        // mutation batches is one erased key, not two
         TombstoneLog.readDir(fs, s"$storePath/_cluster_tombstones",
             s"$storePath/_cluster_tombstones_next")
-          .map(d => s.read.parquet(d).distinct().count()).getOrElse(0L)
+          .map(d => s.read.parquet(d).drop("batch_id")
+            .distinct().count()).getOrElse(0L)
       else Tombstones.deletedKeys(s, storePath)
         .map(_.count()).getOrElse(0L)
     val remap = graft.sources.MediaClusterStore

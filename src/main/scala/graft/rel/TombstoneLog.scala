@@ -156,7 +156,8 @@ private[graft] object KeyedCompaction {
     //    resurrecting its rows. Un-shrunk entries suppress at read
     //    time as always (harmless for folded-away keys), and the next
     //    fresh fold applies + shrinks them.
-    if (FoldWatermark.resumeAfterFold(fs, dataPath, through)) {
+    val wm = FoldWatermark.read(fs, dataPath)
+    if (FoldWatermark.resumeAfterFold(fs, dataPath, through, wm)) {
       FoldWatermark.write(fs, dataPath, through)
       pruneThrough(s, dataPath, through)
       if (!FoldWatermark.foldCommitted(fs, dataPath, through)) {
@@ -167,7 +168,12 @@ private[graft] object KeyedCompaction {
       }
       return
     }
-    val data = s.read.parquet(dataPath)
+    // fold region leftover-fenced (r18 review): a fresh fold at a
+    // HIGHER through than a crashed compaction must not re-keep that
+    // crash's sub-watermark leftover rows beside the fold partition
+    // that already contains them
+    val data = FoldWatermark.excludeFoldedLeftovers(
+      s.read.parquet(dataPath), wm)
     val payload = data.columns.filterNot(_ == "batch_id").toSeq
     val old = foldTransform(data.filter(col("batch_id") <= through)
       .select(payload.map(col): _*))
@@ -347,6 +353,14 @@ private[graft] object FoldWatermark {
     TombstoneLog.path(dataPath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** Session-resolved convenience overload — the read-side fence
+    * sites need the VALUE (guard + leftover exclusion from one
+    * probe), and hand-building the FileSystem at each was the r18
+    * review's boilerplate finding. */
+  def read(s: org.apache.spark.sql.SparkSession,
+      dataPath: String): Option[Long] =
+    read(fsFor(s, dataPath), dataPath)
+
   /** The as-of read guard: loud refusal below the fold watermark —
     * the one silent-wrong-answer class the store family had left. */
   def requireAtOrAbove(s: org.apache.spark.sql.SparkSession,
@@ -462,8 +476,14 @@ private[graft] object FoldWatermark {
     *    the same `through` applies erasures that arrived since.
     */
   def resumeAfterFold(fs: org.apache.hadoop.fs.FileSystem,
-      dataPath: String, through: Long): Boolean = {
-    val w = read(fs, dataPath)
+      dataPath: String, through: Long): Boolean =
+    resumeAfterFold(fs, dataPath, through, read(fs, dataPath))
+
+  /** Same decision against an ALREADY-READ watermark — the
+    * choreographies need the value again for the fold-region fence
+    * below and must not pay a second marker probe. */
+  def resumeAfterFold(fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String, through: Long, w: Option[Long]): Boolean = {
     w.foreach(v => require(v <= through,
       s"cannot compact through $through at $dataPath: the fold " +
         s"watermark is already $v — batches <= $v were folded into " +

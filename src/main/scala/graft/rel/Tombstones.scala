@@ -126,10 +126,16 @@ object Tombstones {
     applyDelete(batchIds.toDF("gated"), "gated", storePath, mutationId)
   }
 
-  /** Currently gated batch ids (empty when no delete was issued). */
+  /** Currently gated batch ids (empty when no delete was issued).
+    * Non-numeric keys filter out (r18): the same log machinery backs
+    * doc-KEYED deletion on other store families, and a string key's
+    * null cast would NPE a caller that merely asked "any gates?" —
+    * such keys are deletions, not gates. */
   def gatedBatches(s: SparkSession, storePath: String): Set[Long] =
     deletedKeys(s, storePath)
-      .map(_.select(col("key").cast("long"))
+      // try_cast, not cast: ANSI mode throws on a non-numeric string
+      .map(_.select(expr("try_cast(key AS BIGINT)").as("k"))
+        .filter(col("k").isNotNull)
         .collect().map(_.getLong(0)).toSet)
       .getOrElse(Set.empty)
 

@@ -57,14 +57,21 @@ object Pipeline {
     // deployment documents (Rae et al. 2021 §A1 applies the rules
     // per-corpus). The oracle gates on the same subset over the
     // shared metric CTEs.
+    // coalesce-to-false pins the null-text outcome (r18 review): a
+    // null text yields NULL metrics on the DuckDB side (len(NULL)),
+    // and engine-dependent null/-1 sizes on the Spark side — both
+    // must deterministically DROP the doc as 'gopher', not let a NULL
+    // gate fall through the precedence CASE
     val gop = QualityRules.gopherGates(docs)
       .select(col("doc_id"),
-        (col("n_tokens").between(50L, 100000L) &&
-          col("mean_word_len").between(3.0, 10.0) &&
-          col("frac_symbol_words") <= 0.1 &&
-          col("frac_alpha_words") >= 0.8 &&
-          col("frac_bullet_lines") <= 0.9 &&
-          col("frac_ellipsis_lines") <= 0.3).as("gopher_keep"))
+        coalesce(
+          col("n_tokens").between(50L, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("frac_symbol_words") <= 0.1 &&
+            col("frac_alpha_words") >= 0.8 &&
+            col("frac_bullet_lines") <= 0.9 &&
+            col("frac_ellipsis_lines") <= 0.3,
+          lit(false)).as("gopher_keep"))
     // stage 2: exact-duplicate keeper (q23's min-id-per-fingerprint)
     val exact = docs
       .select(col("doc_id"), md5(col("text")).as("fp"))
@@ -131,12 +138,12 @@ object Pipeline {
       s""",
          |pgate AS (
          |  SELECT doc_id,
-         |    (n_tokens BETWEEN 50 AND 100000
+         |    coalesce(n_tokens BETWEEN 50 AND 100000
          |      AND mean_word_len BETWEEN 3.0 AND 10.0
          |      AND frac_symbol_words <= 0.1
          |      AND frac_alpha_words >= 0.8
          |      AND frac_bullet_lines <= 0.9
-         |      AND frac_ellipsis_lines <= 0.3) AS keep
+         |      AND frac_ellipsis_lines <= 0.3, FALSE) AS keep
          |  FROM m
          |), cov AS (
          |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_cov

@@ -85,6 +85,15 @@ class CompactionCrashSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         AggStore.compactThrough(spark, store, gc, 1L))
       assert(e.getMessage.contains("never meaningful"), e.getMessage)
+      // (d) a fresh fold at a HIGHER through than the crashed one:
+      // the fold region must FENCE the crash's leftovers (their
+      // content is already inside the batch_id=2 fold) — re-folding
+      // both would double-count batches 0,1 permanently
+      restoreLeftovers()
+      AggStore.compactThrough(spark, store, gc, 3L)
+      assert(partitions(store) === Set(3L, 4L) && full === want,
+        "a higher-through fold over a crashed state must not " +
+          "re-fold the leftovers")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -129,6 +138,12 @@ class CompactionCrashSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](
         QuantileStore.compactThrough(spark, store, gc, 256, 1L))
       assert(e.getMessage.contains("never meaningful"), e.getMessage)
+      // a fresh fold at a HIGHER through over the crashed state must
+      // fence the leftovers, or their weight doubles into the new fold
+      restoreLeftovers()
+      QuantileStore.compactThrough(spark, store, gc, 256, 3L)
+      assert(partitions(store) === Set(3L) && totalWeight === want,
+        "a higher-through fold must not re-feed the leftovers' items")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
@@ -216,6 +231,14 @@ class CompactionCrashSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(!foldRows.contains((1L, 2L)),
         "the fresh re-fold must bake the post-crash erasure in")
+      // a fresh fold at a HIGHER through over a re-created crash
+      // state: the leftover fence must keep batch 0's rows out — the
+      // (1,2) tombstone is SPENT (applied + dropped from the log), so
+      // an unfenced re-fold would silently RESURRECT the erased edge
+      copyDir(s"$backup/edges/batch_id=0", s"$edges/batch_id=0")
+      GraphStore.compactThrough(spark, store, 2L)
+      assert(partitions(edges) === Set(2L) && edgeSet === wantErased,
+        "a higher-through keyed fold must not re-keep fenced leftovers")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

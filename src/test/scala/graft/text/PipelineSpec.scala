@@ -101,7 +101,10 @@ class PipelineSpec extends SparkSpec {
       // a short junk doc that is also a byte-dup of another junk doc:
       // gopher fires first (precedence)
       (100009L, "tiny doc", "en", "web", 8L),
-      (100010L, "tiny doc", "en", "web", 8L))
+      (100010L, "tiny doc", "en", "web", 8L),
+      // null text: NULL metrics on both engines must deterministically
+      // drop as 'gopher', never fall through the precedence CASE
+      (100011L, null.asInstanceOf[String], "en", "web", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val dir = java.nio.file.Files.createTempDirectory("pipedocs")
     try {
@@ -115,6 +118,7 @@ class PipelineSpec extends SparkSpec {
       assert(v(100008L) === "substr_dup", s"got ${v(100008L)}")
       assert(v(100009L) === "gopher" && v(100010L) === "gopher",
         "gopher precedes exact_dup in pipeline order")
+      assert(v(100011L) === "gopher", "null text must drop as gopher")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
