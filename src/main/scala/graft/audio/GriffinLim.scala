@@ -113,6 +113,14 @@ object GriffinLim {
   def reconstruct(target: Array[Array[Double]], nFft: Int, hop: Int,
       outLen: Int, nIter: Int): Array[Double] = {
     require(nIter >= 1, s"nIter must be >= 1, got $nIter")
+    // after iteration 1 the phases come from stft of an outLen-length
+    // signal (outLen/hop + 1 frames); a mismatched target would read
+    // past that array inside an executor with no context — fail
+    // legibly at entry instead (r18 review)
+    require(target.length == outLen / hop + 1,
+      s"reconstruct: target has ${target.length} frames but outLen " +
+        s"$outLen at hop $hop frames to ${outLen / hop + 1} — the " +
+        "magnitudes and the requested length disagree")
     var ph = Array.fill(target.length)(new Array[Double](nFft / 2 + 1))
     var x: Array[Double] = null
     var it = 0
@@ -150,6 +158,11 @@ object GriffinLim {
   def invertClips(clips: DataFrame, nFft: Int, hop: Int, nIter: Int,
       pcmCol: String = "pcm"): DataFrame = {
     val gl = udf { pcm: Array[Byte] =>
+      // legible failure, not a bare executor NPE (the MelSpectrogram
+      // rule): a null payload is an undecoded upstream row leaking in
+      require(pcm != null,
+        "GriffinLim.invertClips: null PCM payload — filter undecoded " +
+          "rows (decoded=false) before inversion")
       val x = Dsp.pcm16ToDoubles(pcm)
       if (x.length < nFft) pcm // too short to frame: passthrough
       else {

@@ -115,6 +115,11 @@ object MelInvert {
       fMax: Double = 8000.0, pcmCol: String = "pcm",
       sampleRateCol: String = "sample_rate"): DataFrame = {
     val rt = udf { (pcm: Array[Byte], sr: Int) =>
+      // legible failure, not a bare executor NPE (the MelSpectrogram
+      // rule): a null payload is an undecoded upstream row leaking in
+      require(pcm != null,
+        "MelInvert.roundTripClips: null PCM payload — filter " +
+          "undecoded rows (decoded=false) before the round trip")
       val x = Dsp.pcm16ToDoubles(pcm)
       if (x.length < nFft) pcm
       else {

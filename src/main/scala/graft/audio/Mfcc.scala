@@ -23,7 +23,6 @@ object Mfcc {
   def withMfcc(melFrames: DataFrame, nMfcc: Int = 13,
       melCol: String = "mel", floorP: Double = 1e-10): DataFrame = {
     require(nMfcc > 0, s"nMfcc must be positive, got $nMfcc")
-    val s = melFrames.sparkSession
     val fn = udf { mel: Seq[Double] =>
       // null/empty in → null out (SQL convention): one malformed frame
       // row must degrade to a null feature, not fail the whole job

@@ -26,7 +26,11 @@ object PhaseVocoder {
     * interpolated between bracketing frames; phases accumulated from
     * wrapped inter-frame deviations against the expected per-hop
     * advance 2π·hop·k/nFft. Output length ≈ n/rate. */
-  def stretch(x: Array[Double], rate: Double, nFft: Int = 1024,
+  /** One constant shared by stretch's default and pitchShift's
+    * short-clip guard — the two must agree (see pitchShift). */
+  private[audio] val DefaultNFft = 1024
+
+  def stretch(x: Array[Double], rate: Double, nFft: Int = DefaultNFft,
       hop: Int = 256): Array[Double] = {
     require(rate > 0.0, s"rate must be positive, got $rate")
     if (x.length < nFft) return x.clone() // too short to frame: passthrough
@@ -105,8 +109,16 @@ object PhaseVocoder {
     require(steps.nonEmpty && steps.forall(s => math.abs(s) <= 12),
       s"semitone steps out of the sane [-12, 12] band: $steps")
     val shift = udf { (pcm: Array[Byte], sr: Int, n: Int) =>
+      // legible failure, not a bare executor NPE (the MelSpectrogram
+      // rule): a null payload is an undecoded upstream row leaking in
+      require(pcm != null,
+        "PhaseVocoder.pitchShift: null PCM payload — filter undecoded " +
+          "rows (decoded=false) before augmentation")
       val x = Dsp.pcm16ToDoubles(pcm)
-      if (n == 0 || x.length < 1024) pcm // 1024 = stretch's default nFft
+      // DefaultNFft shared with stretch: a drifted guard would let
+      // short clips pass through stretch unchanged and then resample
+      // alone — a duration change, violating this op's contract
+      if (n == 0 || x.length < DefaultNFft) pcm
       else {
         val f = math.pow(2.0, n / 12.0)
         val stretched = stretch(x, 1.0 / f)

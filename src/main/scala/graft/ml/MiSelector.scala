@@ -72,6 +72,15 @@ class MiSelector(override val uid: String)
           s"${stats.getLong(3 * i + 2)} null values — nulls would bias " +
           "the bin-0 count; drop or impute them first")
       val lo = stats.getDouble(3 * i); val hi = stats.getDouble(3 * i + 1)
+      // NaN rejected like null (r18 review): Spark's max() treats NaN
+      // as the largest double, so one NaN makes hi = NaN, the span
+      // guard below silently collapses to 1.0, real values pile into
+      // the clamped top bin and NaN rows bin to 0 — fabricated MI with
+      // no error, the exact class the null guard above rejects loudly
+      require(!lo.isNaN && !hi.isNaN,
+        s"MiSelector.fit: candidate '${cands(i)}' contains NaN values " +
+          "— NaNs would silently fabricate the bin counts; drop or " +
+          "impute them first")
       (lo, if (hi > lo) hi - lo else 1.0)
     }
     // pass 2: all candidates binned in one shuffle
