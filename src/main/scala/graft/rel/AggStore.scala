@@ -47,8 +47,7 @@ object AggStore {
   /** Integer-cents quantization: deterministic (pure IEEE double
     * multiply/add/floor — no decimal rounding-mode divergence between
     * engines) and exact-summable once cast to decimal. */
-  private def cents(v: Column): Column =
-    floor(v * lit(100.0) + lit(0.5)).cast("long")
+  private def cents(v: Column): Column = Stores.cents(v)
 
   /** One batch's per-group partials:
     * (groupCols..., cnt, sum_cents DECIMAL, sum_sq_cents2 DECIMAL,

@@ -52,6 +52,8 @@ object Cusum {
     val rows = series
       .select(col(keyCol).cast("string"), col(xCol).cast("long"),
         col("y_cents").cast("long"))
+      // null rows drop BEFORE the typed encoder — see Forecast.holt
+      .na.drop()
       .as[(String, Long, Long)]
     rows.groupByKey(_._1)
       .mapGroups { (key, it) =>
@@ -81,25 +83,12 @@ object Cusum {
         // ERROR in DuckDB — clamp identically on both sides
         val varc = (cssd - csd * csd / nd) / nd
         val sigc = math.sqrt(math.max(0.0, varc))
-        val slack = k * sigc
-        val thresh = h * sigc
-        var spos = 0.0; var sneg = 0.0
-        var maxPos = 0.0; var maxNeg = 0.0
-        var nAlarms = 0L
-        var firstAlarm: java.lang.Long = null
-        pts.foreach { p =>
-          val x = p._3.toDouble
-          spos = math.max(0.0, spos + (x - muc - slack))
-          sneg = math.max(0.0, sneg + (muc - x - slack))
-          if (spos > maxPos) maxPos = spos
-          if (sneg > maxNeg) maxNeg = sneg
-          if (spos > thresh || sneg > thresh) {
-            nAlarms += 1
-            if (firstAlarm == null) firstAlarm = p._2
-          }
-        }
-        (key, n.toLong, muc, sigc, maxPos, maxNeg, nAlarms,
-          Option(firstAlarm).map(_.longValue))
+        // the ONE shared recurrence (see foldAlarms) — the report and
+        // the monitors cannot drift apart structurally
+        val summary = foldAlarms(key, pts.map(p => (p._2, p._3)),
+          muc, sigc, k, h, (0.0, 0.0))._3
+        (key, n.toLong, muc, sigc, summary.maxPos, summary.maxNeg,
+          summary.nAlarms, summary.firstAlarmX)
       }
       .toDF(keyCol, "n_points", "muc", "sigc", "maxp", "maxn",
         "n_alarms", "first_alarm_x")
@@ -112,23 +101,42 @@ object Cusum {
       .orderBy(keyCol)
   }
 
+  /** One series' fold summary: running maxima of the two sides, the
+    * alarmed-point count, and the first alarmed x. */
+  private final case class FoldSummary(maxPos: Double, maxNeg: Double,
+      nAlarms: Long, firstAlarmX: Option[Long])
+
   /** The shared recurrence fold: alarms emitted per point, carry-in/
-    * carry-out state — ONE implementation behind the batch and
-    * streaming monitors so their equivalence is structural. */
+    * carry-out state, and the batch summary — ONE implementation
+    * behind [[cusum]]'s report AND the batch/streaming monitors (r18
+    * review: the report previously duplicated the recurrence inline,
+    * so an edit to the alarm test in one copy would silently de-sync
+    * the spec-pinned 'alarms ≡ one batch' equivalence). */
   private def foldAlarms(key: String, pts: Array[(Long, Long)],
       muc: Double, sigc: Double, k: Double, h: Double,
       init: (Double, Double))
-      : (Array[(String, Long, Double, Double)], (Double, Double)) = {
+      : (Array[(String, Long, Double, Double)], (Double, Double),
+         FoldSummary) = {
     val slack = k * sigc
     val thresh = h * sigc
     var sp = init._1; var sn = init._2
+    var maxPos = 0.0; var maxNeg = 0.0
+    var nAlarms = 0L
+    var firstAlarm: java.lang.Long = null
     val out = pts.flatMap { p =>
       val x = p._2.toDouble
       sp = math.max(0.0, sp + (x - muc - slack))
       sn = math.max(0.0, sn + (muc - x - slack))
-      if (sp > thresh || sn > thresh) Some((key, p._1, sp, sn)) else None
+      if (sp > maxPos) maxPos = sp
+      if (sn > maxNeg) maxNeg = sn
+      if (sp > thresh || sn > thresh) {
+        nAlarms += 1
+        if (firstAlarm == null) firstAlarm = p._1
+        Some((key, p._1, sp, sn))
+      } else None
     }
-    (out, (sp, sn))
+    (out, (sp, sn), FoldSummary(maxPos, maxNeg, nAlarms,
+      Option(firstAlarm).map(_.longValue)))
   }
 
   /** Batch alarm rows against a FROZEN baseline (keyCol → (μc, σc) in
@@ -145,6 +153,7 @@ object Cusum {
     series
       .select(col(keyCol).cast("string"), col(xCol).cast("long"),
         col("y_cents").cast("long"))
+      .na.drop() // see Forecast.holt
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
@@ -181,6 +190,7 @@ object Cusum {
     stream
       .select(col(keyCol).cast("string"), col(xCol).cast("long"),
         col("y_cents").cast("long"))
+      .na.drop() // see Forecast.holt
       .as[(String, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Double, Double),
@@ -190,7 +200,7 @@ object Cusum {
           bc.value.get(key) match {
             case None => Iterator.empty
             case Some((muc, sigc)) =>
-              val (out, next) = foldAlarms(key,
+              val (out, next, _) = foldAlarms(key,
                 it.toArray.sortBy(_._2).map(p => (p._2, p._3)),
                 muc, sigc, kk, hh,
                 state.getOption.getOrElse((0.0, 0.0)))
@@ -211,7 +221,7 @@ object Cusum {
       .groupBy(col("event_type"),
         expr("CAST(floor(unix_timestamp(ts) / 3600.0) AS BIGINT)")
           .as("hr"))
-      .agg(sum(floor(col("value") * lit(100.0) + lit(0.5))
+      .agg(sum(Stores.cents(col("value"))
         .cast("long")).as("y_cents"))
     cusum(hourly, "event_type", "hr")
   }

@@ -239,15 +239,21 @@ object Expectations {
         |    CAST(sum(CASE WHEN regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) AS BIGINT) AS c_name_fmt
         |  FROM customer),
         |fk1 AS (
+        |  -- NOT EXISTS, never NOT IN (r18 review): one NULL in the
+        |  -- reference column makes NOT IN evaluate to NULL for EVERY
+        |  -- candidate, silently collapsing n_bad to 0 while the Spark
+        |  -- side's anti-join keeps counting real violations
         |  SELECT (SELECT count(*) FROM orders) AS n,
-        |    (SELECT count(*) FROM orders
-        |     WHERE o_custkey IS NOT NULL
-        |       AND o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_bad),
+        |    (SELECT count(*) FROM orders o
+        |     WHERE o.o_custkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM customer c
+        |                       WHERE c.c_custkey = o.o_custkey)) AS n_bad),
         |fk2 AS (
         |  SELECT (SELECT count(*) FROM lineitem) AS n,
-        |    (SELECT count(*) FROM lineitem
-        |     WHERE l_orderkey IS NOT NULL
-        |       AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_bad),
+        |    (SELECT count(*) FROM lineitem li
+        |     WHERE li.l_orderkey IS NOT NULL
+        |       AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                       WHERE o2.o_orderkey = li.l_orderkey)) AS n_bad),
         |rows_out AS (
         |  SELECT 'complete(orders.o_custkey)' AS check_name, 'complete' AS check_type, c_complete AS compliant, n FROM o
         |  UNION ALL SELECT 'unique(orders.o_orderkey)', 'unique', c_unique, n FROM o

@@ -49,6 +49,12 @@ object Forecast {
     val rows = series
       .select(col(keyCol).cast("string"), col(xCol).cast("long"),
         col("y_cents").cast("long"))
+      // null rows drop BEFORE the typed encoder (r18 review): a null
+      // x/y would die in the non-nullable tuple field with no row
+      // context, and a null KEY would emit a series the oracle's
+      // equi-joins silently drop — a null observation carries nothing
+      // the recurrence can use
+      .na.drop()
       .as[(String, Long, Long)]
     rows.groupByKey(_._1)
       .mapGroups { (k, it) =>
@@ -88,7 +94,7 @@ object Forecast {
         .groupBy(col("event_type"),
           expr("CAST(floor(unix_timestamp(ts) / 604800.0) AS BIGINT)")
             .as("w"))
-        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5))
+        .agg(sum(Stores.cents(col("value"))
           .cast("long")).as("y_cents"))
       holt(weekly, "event_type", "w")
     }))

@@ -38,8 +38,7 @@ import graft.Tables._
   */
 object JoinView {
 
-  private def cents(v: org.apache.spark.sql.Column) =
-    floor(v * lit(100.0) + lit(0.5)).cast("long")
+  private def cents(v: org.apache.spark.sql.Column) = Stores.cents(v)
 
   import org.apache.spark.sql.types.DecimalType
 

@@ -45,7 +45,12 @@ object Resample {
     // double is micro/1e6 — the same exact division in both engines.
     val obs = events(s, d)
       .select(col("event_type"),
-        (unix_timestamp(col("ts")).divide(bucketSec)).cast("long")
+        // floor(), not divide-and-cast (r18 review): cast(long)
+        // truncates toward zero while the oracle's `//` floors — a
+        // pre-1970 (negative-epoch) event would land in a different
+        // bucket per engine. Exact: epochs sit far inside double's
+        // 2^53 integer range, and 900k/900 divides exactly
+        floor(unix_timestamp(col("ts")) / lit(bucketSec)).cast("long")
           .as("bidx"),
         col("value"))
       .groupBy("event_type", "bidx")
@@ -74,8 +79,16 @@ object Resample {
       .withColumn("m6",
         when(col("v6").isNotNull, col("v6"))
           .when(col("prev").isNotNull && col("next").isNotNull,
-            expr("(prev.v6 * (next.bidx - bidx) + next.v6 * " +
-              "(bidx - prev.bidx)) div (next.bidx - prev.bidx)")))
+            // FLOOR division to match the oracle's `//` (r18 review):
+            // Spark's `div` truncates toward zero, which diverges on a
+            // NEGATIVE numerator (negative interpolated values); the
+            // denominator is always > 0 (next.bidx > prev.bidx), so
+            // floordiv = truncdiv - 1 exactly when the remainder < 0
+            expr("((prev.v6 * (next.bidx - bidx) + next.v6 * " +
+              "(bidx - prev.bidx)) div (next.bidx - prev.bidx)) + " +
+              "(CASE WHEN (prev.v6 * (next.bidx - bidx) + next.v6 * " +
+              "(bidx - prev.bidx)) % (next.bidx - prev.bidx) < 0 " +
+              "THEN -1 ELSE 0 END)")))
       .select(col("event_type"),
         (col("bidx") * bucketSec).as("bucket_start"),
         (col("m6").cast("double") / lit(1e6)).as("value"),
@@ -150,7 +163,14 @@ object Resample {
     val dt38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val e = ev.select(col("user_id"), col("event_id"),
       unix_micros(col("ts")).as("us"),
-      floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+      Stores.cents(col("value")).as("vc"))
+      // null observations drop BEFORE the lead (r18 review): keeping
+      // them counted their holding interval in span_us while
+      // contributing nothing to wsum — silently biasing the average
+      // toward zero. Dropping extends the PREVIOUS observation across
+      // the gap (last-observation-carried-forward, this operator's own
+      // integration rule); the oracle filters identically
+      .filter(col("vc").isNotNull && col("us").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val stepped = e
@@ -172,7 +192,8 @@ object Resample {
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(ts) AS us,
       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
-      |  FROM events),
+      |  -- null observations drop (LOCF across the gap) — see twa()
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
       |st AS (
       |  SELECT user_id, us, vc,
       |    lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)

@@ -71,7 +71,11 @@ object Seasonal {
     val withTrend = x.withColumn("trend24", trend24)
       .withColumn("dt24", xd * lit(24.0) - col("trend24"))
       // integer hour-of-day (Spark's `/` on longs is DOUBLE division —
-      // `div` keeps it integral, matching the SQL's `// 3600 % 24`)
+      // `div` keeps it integral). h is a spine epoch, ALWAYS a
+      // multiple of 3600, so div == floor-div here; pmod keeps the
+      // slot non-negative for pre-1970 epochs, and the oracle wraps
+      // its signed `%` the same way (r18 review — DuckDB's % takes
+      // the dividend's sign)
       .withColumn("hod", expr("pmod(h div 3600, 24)"))
     // per-(type, hour-of-day) seasonal index: exact dyadic numerator,
     // one division — count(dt24) ≥ 1 whenever the series spans 25+
@@ -129,7 +133,9 @@ object Seasonal {
       |dt AS (
       |  SELECT event_type, h, n, trend24,
       |    CAST(n AS DOUBLE) * 24.0 - trend24 AS dt24,
-      |    (h // 3600) % 24 AS hod
+      |    -- wrapped to non-negative like Spark's pmod: DuckDB's %
+      |    -- takes the dividend's sign, diverging on pre-1970 epochs
+      |    (((h // 3600) % 24) + 24) % 24 AS hod
       |  FROM w),
       |sea AS (
       |  SELECT *,
@@ -160,9 +166,14 @@ object Seasonal {
     * mz tail (the nq_outliers convention: both engines flag on the
     * round-4 score). */
   def q104SeasonalAnomaly(s: SparkSession, d: String): DataFrame =
+    // materialized ONCE (r18 review): madOutliers scans its input
+    // three times (median, MAD, flag pass) and the decomposition —
+    // dense spine + two window passes — is the query's most expensive
+    // subtree; without the checkpoint it re-ran per scan
     Outliers.madOutliers(
-        decomposeHourlyCounts(graft.Tables.events(s, d))
-          .filter(col("resid").isNotNull),
+        graft.Checkpointing.truncate(
+          decomposeHourlyCounts(graft.Tables.events(s, d))
+            .filter(col("resid").isNotNull)),
         "event_type", "hour_epoch", "resid", threshold = 3.0)
       .select(col("event_type"), col("hour_epoch"),
         round(col("resid"), 6).as("resid"), col("mz"))

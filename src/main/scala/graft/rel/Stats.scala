@@ -77,7 +77,7 @@ object Stats {
     events(s, d)
       .select(col("event_type"),
         window(col("ts"), "1 hour", "15 minutes").as("w"),
-        floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("vc"))
+        Stores.cents(col("value")).as("vc"))
       .groupBy(col("event_type"),
         unix_timestamp(col("w.start")).as("win_start_sec"))
       .agg(count(lit(1)).as("n_events"),
@@ -89,7 +89,9 @@ object Stats {
       |  SELECT event_type,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS es,
       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vc
-      |  FROM events),
+      |  -- Spark's window() DROPS null timestamps; without this filter
+      |  -- a null ts would emit 4 NULL-window hop rows here (r18)
+      |  FROM events WHERE ts IS NOT NULL),
       |hops AS (
       |  SELECT event_type, vc,
       |    (es // 900) * 900 - 900 * i AS win_start_sec

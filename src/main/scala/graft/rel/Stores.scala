@@ -13,6 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Stores {
 
+  /** THE cents quantization — floor(v·100 + 0.5) as a LONG, mirrored
+    * as `CAST(floor(x * 100.0 + 0.5) AS BIGINT)` in every oracle that
+    * rides exact-cents arithmetic. ONE definition (r18 review: seven
+    * inline copies across the stores and time-series operators risked
+    * drifting a bit-replicability-critical rounding convention). */
+  private[graft] def cents(v: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    floor(v * lit(100.0) + lit(0.5)).cast("long")
+
   /** Snapshot read: only batches ≤ `maxBatchId` participate — the
     * reproducible-training-data read. Pin the snapshot id when an
     * experiment starts and every later ingest batch is invisible to

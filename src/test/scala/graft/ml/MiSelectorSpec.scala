@@ -42,6 +42,25 @@ class MiSelectorSpec extends SparkSpec {
     assert(e.getMessage.contains("holey") && e.getMessage.contains("null"))
   }
 
+  test("NaN candidate is rejected, not silently top-binned (r18)") {
+    // max() treats NaN as the largest double: without the guard the
+    // span collapses to 1.0, real values pile into the clamped top
+    // bin, NaN rows bin to 0, and a class-correlated NaN pattern
+    // fabricates MI with no error
+    val rows = (0 until 100).map { i =>
+      val label = if (i % 2 == 0) "A" else "B"
+      (label,
+        if (label == "A" && i % 4 == 0) Double.NaN else i.toDouble,
+        i.toDouble)
+    }
+    val df = rows.toDF("speaker", "nanny", "clean")
+    val e = intercept[IllegalArgumentException] {
+      new MiSelector().setFeatureCols(Array("nanny", "clean"))
+        .setLabelCol("speaker").fit(df)
+    }
+    assert(e.getMessage.contains("nanny") && e.getMessage.contains("NaN"))
+  }
+
   test("continuous/id-like label is rejected before the driver collect") {
     val df = (0 until 5000).map(i => (i.toDouble, i))
       .toDF("x", "id_label")

@@ -10,6 +10,22 @@ import org.apache.spark.sql.functions._
 class ResampleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("twa: a null-valued observation drops (LOCF across the gap) " +
+      "instead of counting interval without weight (r18)") {
+    def ts(sec: Long) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(sec))
+    val ev = Seq(
+      (7L, 1L, ts(0), Option(100.0)),
+      (7L, 2L, ts(10), Option.empty[Double]),
+      (7L, 3L, ts(20), Option(100.0)))
+      .toDF("user_id", "event_id", "ts", "value")
+    val r = Resample.twa(ev).collect().head
+    // pre-fix: the null row's 10 s counted in span but added nothing
+    // to wsum -> twa 50.0 on a series that never left 100
+    assert(r.getAs[Long]("n_events") === 2L, r.toString)
+    assert(r.getAs[Double]("twa") === 100.0, r.toString)
+  }
+
   test("hand fixture: dense spine, linear interior gaps, null edges") {
     // one series, 900 s buckets at epochs 0, 2700, 3600 (bidx 0, 3, 4):
     // values 10.0, 40.0, 20.0 → bidx 1 = 10 + (40-10)*1/3 = 20.0,
