@@ -46,9 +46,9 @@ object Hits {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .cache()
-    val univ = nodes.getOrElse(
-        e.select(col("src")).union(e.select(col("dst"))))
-      .toDF("id").distinct()
+    // cached (r18 review): referenced inside EVERY half-step, so the
+    // endpoints union+distinct otherwise re-ran 2×iters times
+    val univ = PageRank.nodeUniverse(e, "src", "dst", nodes).cache()
     val nRow = broadcast(univ.agg((lit(1.0) / count(lit(1))).as("inv_n")))
 
     // one L1-normalized propagation half-step: score flows across the
@@ -85,6 +85,7 @@ object Hits {
       .select(col("id"), col("auth"), col("hub"))
     val out = joined.localCheckpoint()
     e.unpersist(false)
+    univ.unpersist(false)
     out
   }
 

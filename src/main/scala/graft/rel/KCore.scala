@@ -37,15 +37,13 @@ object KCore {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
-      .filter(col("s") =!= col("t"))
-    val und = e0.select(least(col("s"), col("t")).as("a"),
-        greatest(col("s"), col("t")).as("b"))
-      .distinct()
+    val und = PageRank.undirectedSimple(e0, "s", "t")
     val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
       .cache()
-    val univ = nodes.getOrElse(
-        e0.select(col("s")).union(e0.select(col("t"))))
-      .toDF("id").distinct()
+    // universe from the RAW endpoints (r18 review): a node whose only
+    // edges are self-loops is still an endpoint and carries
+    // (in_core=false, 0) like every other non-core node
+    val univ = PageRank.nodeUniverse(e0, "s", "t", nodes)
 
     // alive: (id, deg) — degree within the current surviving subgraph
     var alive = sym.groupBy(col("a").as("id"))

@@ -40,9 +40,7 @@ object LabelProp {
     // undirected closure: each edge votes in both directions
     val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
-    val univ = nodes.getOrElse(
-        e0.select(col("src")).union(e0.select(col("dst"))))
-      .toDF("id").distinct()
+    val univ = PageRank.nodeUniverse(e0, "src", "dst", nodes)
 
     var labels = univ.select(col("id"), col("id").as("lab"))
     for (_ <- 1 to iters) {
@@ -54,8 +52,12 @@ object LabelProp {
         .groupBy(col("dst").as("vid"), col("lab"))
         .agg(count(lit(1)).as("c"))
         .groupBy("vid")
-        .agg(max_by(col("lab"),
-          struct(col("c"), (-col("lab")).as("nl"))).as("win"))
+        // min_by over (-count, label): largest count, ties to the
+        // SMALLEST label — negating the count (always numeric) instead
+        // of the label keeps string node ids working like the rest of
+        // the graph family (r18 review: -label threw on strings)
+        .agg(min_by(col("lab"),
+          struct((-col("c")).as("nc"), col("lab"))).as("win"))
       labels = PageRank.planLeaf(
         labels.join(votes, col("id") === col("vid"), "left")
           .select(col("id"), coalesce(col("win"), col("lab")).as("lab")))

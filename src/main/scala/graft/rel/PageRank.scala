@@ -52,6 +52,26 @@ object PageRank {
   private[rel] def planLeaf(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(df.rdd, df.schema)
 
+  /** The graph family's node universe: the explicit `nodes` set, else
+    * ALL raw edge endpoints — including nodes whose only edges are
+    * self-loops (r18 review: KCore/Triangles derived the default from
+    * the self-loop-FILTERED edge set and silently dropped such nodes
+    * while LabelProp kept them; one definition ends the drift). */
+  private[rel] def nodeUniverse(eRaw: DataFrame, c1: String, c2: String,
+      nodes: Option[DataFrame]): DataFrame =
+    nodes.getOrElse(eRaw.select(col(c1)).union(eRaw.select(col(c2))))
+      .toDF("id").distinct()
+
+  /** The family's canonical undirected simplification: self-loops
+    * dropped, unordered (a, b) with a < b, deduped — previously
+    * re-implemented per operator (the drift source above). */
+  private[rel] def undirectedSimple(eRaw: DataFrame, c1: String,
+      c2: String): DataFrame =
+    eRaw.filter(col(c1) =!= col(c2))
+      .select(least(col(c1), col(c2)).as("a"),
+        greatest(col(c1), col(c2)).as("b"))
+      .distinct()
+
   /** Ranks after `iters` damped power iterations over `edges`
     * (columns `srcCol`, `dstCol`; any integral or string node type).
     * Returns (id, r) for every node in `nodes` when given, else for
@@ -86,6 +106,12 @@ object PageRank {
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
     // |E|-sized, reused every iteration: join outdeg in once and cache
     val ed = e.join(outdeg, "src").cache()
+    // the dangling node SET is iteration-invariant (r18 review: the
+    // per-iteration anti-join against UNCACHED outdeg re-scanned and
+    // re-aggregated the whole edge table every round) — |dangling|-
+    // sized, cached once, released with ed
+    val dangIds = univ.join(outdeg, col("id") === col("src"),
+        "left_anti").select(col("id").as("did")).cache()
     // the teleport distribution p(v): uniform 1/N, or — personalized
     // PageRank (Page et al. 1999 §6; the seed-expansion operator of
     // host-graph curation) — 1/|S| on `seeds`, 0 elsewhere. Dangling
@@ -93,6 +119,7 @@ object PageRank {
     // forms derive from broadcast single-row aggregates, never a
     // driver collect; the |V|-row (id, p) vector is cached for reuse
     // across iterations and released with ed.
+    var ssCached: Option[DataFrame] = None
     val tele = (seeds match {
       case None =>
         univ.crossJoin(broadcast(
@@ -107,6 +134,10 @@ object PageRank {
         // it fails loudly instead. The semi-join is seed-set-sized.
         val ss = sd.toDF("sid").distinct()
           .join(univ, col("sid") === col("id"), "left_semi")
+          // seed-set-sized; referenced by the require plus two tele
+          // terms — cached so the universe distinct runs once (r18)
+          .cache()
+        ssCached = Some(ss)
         require(ss.limit(1).count() > 0,
           "pageRank: seeds must be non-empty and intersect the node universe")
         univ.join(ss, col("id") === col("sid"), "left")
@@ -124,7 +155,7 @@ object PageRank {
       val rr = ranks.select(col("id").as("rid"), col("r"))
       // dangling mass: rank sitting on nodes with no out-edges
       val dang = broadcast(
-        rr.join(outdeg, col("rid") === col("src"), "left_anti")
+        rr.join(dangIds, col("rid") === col("did"), "left_semi")
           .agg(coalesce(sum("r"), lit(0.0)).as("dmass")))
       val contrib = ed.join(rr, col("src") === col("rid"))
         .groupBy(col("dst").as("cid"))
@@ -145,6 +176,8 @@ object PageRank {
     // then releases both — no session-lifetime storage leak
     val out = ranks.localCheckpoint()
     ed.unpersist(false)
+    dangIds.unpersist(false)
+    ssCached.foreach(_.unpersist(false))
     tele.unpersist(false)
     out
   }

@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   * hot key is a duplicated/sentinel row) — a content hash cannot do
   * that, so the salt is seeded rand(): Spark seeds rand per partition
   * index, so recomputation of a partition under task retry reproduces
-  * the same salts (quirk Q6 discipline holds).
+  * the same salts (quirk Q6 discipline holds) — PROVIDED the
+  * partition's row membership and order are themselves deterministic
+  * under recomputation: a file scan or a checkpointed relation. A raw
+  * SHUFFLE OUTPUT is outside that contract (r18 review): shuffle
+  * fetch order is nondeterministic, so a retried upstream task can
+  * hand rows different salts than the copies a completed reducer
+  * already aggregated (the SPARK-23207 class — rows double-counted or
+  * dropped with no error). Callers salting a shuffled relation must
+  * materialize it first (`localCheckpoint`); the contract entry reads
+  * straight from parquet and is inside the contract.
   */
 object Skew {
 

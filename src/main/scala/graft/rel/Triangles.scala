@@ -44,17 +44,17 @@ object Triangles {
       srcCol: String = "src", dstCol: String = "dst",
       nodes: Option[DataFrame] = None): DataFrame = {
     val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
-      .filter(col("s") =!= col("t"))
-    // simple undirected canonical form: unordered pair, a < b, deduped
-    val und = e0.select(least(col("s"), col("t")).as("a"),
-        greatest(col("s"), col("t")).as("b"))
-      .distinct().cache()
-    val univ = nodes.getOrElse(
-        e0.select(col("s")).union(e0.select(col("t"))))
-      .toDF("id").distinct()
+    // simple undirected canonical form (shared helper, r18)
+    val und = PageRank.undirectedSimple(e0, "s", "t").cache()
+    // universe from the RAW endpoints: self-loop-only nodes still get
+    // their (degree 0, 0 triangles, null lcc) row (r18 review)
+    val univ = PageRank.nodeUniverse(e0, "s", "t", nodes)
+    // |V|-sized and referenced three times (both orient joins + the
+    // output join) — cached so the degree shuffle runs once (r18)
     val deg = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+      .cache()
     val oriented = orient(und, deg)
     val tri = closedWedges(oriented)
       .select(explode(array(col("u"), col("v"), col("w0"))).as("id"))
@@ -75,6 +75,7 @@ object Triangles {
     // plan pinning executor storage
     val computed = out.localCheckpoint()
     oriented.unpersist(false)
+    deg.unpersist(false)
     und.unpersist(false)
     computed
   }
@@ -135,19 +136,18 @@ object Triangles {
     require(den >= 1 && (den & (den - 1)) == 0,
       s"den must be a power of two, got $den")
     val e0 = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
-      .filter(col("s") =!= col("t"))
-    val und = e0.select(least(col("s"), col("t")).as("a"),
-        greatest(col("s"), col("t")).as("b"))
-      .distinct().cache()
+    val und = PageRank.undirectedSimple(e0, "s", "t").cache()
     // lit(42L), not lit(42): the literal folds as a LONG chunk — the
     // replica (and every other replica caller) models the long fold
     val samp = und.filter(
         (xxhash64(col("a") * lit(1L << 31) + col("b"), lit(42L))
           .bitwiseAND(lit((den - 1).toLong))) === 0L)
       .cache()
+    // cached: both orient joins read it (r18 — the deg shuffle ran twice)
     val deg = samp.select(col("a").as("id"))
       .union(samp.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("degree"))
+      .cache()
     val oriented = orient(samp, deg)
     val out = und.agg(count(lit(1)).as("n_edges"))
       .crossJoin(broadcast(samp.agg(count(lit(1)).as("n_edges_sampled"))))
@@ -159,6 +159,7 @@ object Triangles {
           .as("triangles_est"))
     val computed = out.localCheckpoint()
     oriented.unpersist(false)
+    deg.unpersist(false)
     samp.unpersist(false)
     und.unpersist(false)
     computed

@@ -294,4 +294,34 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(m(2L)._1 - 1.0) < 1e-12)
     assert(math.abs(m(1L)._2 - 1.0) < 1e-12)
   }
+
+  test("family universe: a node whose only edges are self-loops still " +
+      "appears in kCore and triangleStats output (r18 — the default " +
+      "universe comes from RAW endpoints, like labelProp's)") {
+    val edges = Seq((5L, 5L), (1L, 2L), (2L, 3L), (1L, 3L))
+      .toDF("src", "dst")
+    val core = KCore.kCore(edges, k = 1, rounds = 2)
+      .select("id").as[Long].collect().toSet
+    assert(core === Set(1L, 2L, 3L, 5L),
+      s"kCore universe must include the self-loop-only node: $core")
+    val tri = Triangles.triangleStats(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tri.keySet === Set(1L, 2L, 3L, 5L) && tri(5L) === 0L,
+      s"triangleStats must carry the self-loop-only node at zero: $tri")
+    val lpa = LabelProp.labelProp(edges, iters = 2)
+      .select("id").as[Long].collect().toSet
+    assert(lpa === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("labelProp accepts STRING node ids like the rest of the " +
+      "family (r18 — the tie-break negates the count, not the label)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    val out = LabelProp.labelProp(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set("a", "b", "c", "d"))
+    // the triangle a-b-c converges to the lexicographically smallest
+    // label; d hangs off a and follows it
+    assert(out.values.toSet === Set("a"), s"got $out")
+  }
 }
