@@ -418,7 +418,13 @@ object MediaClusterStore {
     // (fenced below the applied batch), endpoint-sized result
     val rawLabels: Map[(String, Long), Long] =
       if (endpoints.isEmpty || !hasBatches(s, aDir)) Map.empty
-      else s.read.parquet(aDir).filter(col("batch_id") < batchId)
+      // leftover fence (r18): a crashed compaction's pre-fold rows
+      // coexist with the fold until re-entry recovery prunes them —
+      // an endpoint matching BOTH copies would collect two label rows
+      else graft.rel.FoldWatermark.excludeFoldedLeftovers(
+          s.read.parquet(aDir),
+          graft.rel.FoldWatermark.read(s, aDir))
+        .filter(col("batch_id") < batchId)
         .join(broadcast(endpoints.toSeq.toDF("e_m", "e_id")),
           col("modality") === col("e_m") &&
             col("media_id") === col("e_id"), "left_semi")

@@ -159,8 +159,13 @@ object MediaDedupStore {
         lit("").as("modality"), col("id").as("id_a"),
         col("id").as("id_b"), col("id").as("hamming"))
     // partition-pruned read of batches < beforeBatch, minus tombstones
+    // and minus a crashed compaction's sub-watermark leftovers (r18:
+    // their fingerprints are already inside the fold partition, and
+    // keeping both would judge each history row twice)
     val cleaned = minusTombstones(s, storePath,
-      s.read.parquet(dataDir(storePath))
+      graft.rel.FoldWatermark.excludeFoldedLeftovers(
+          s.read.parquet(dataDir(storePath)),
+          graft.rel.FoldWatermark.read(s, dataDir(storePath)))
         .filter(col("batch_id") < beforeBatch)
         .select("media_id", "modality", "h"))
     val sb = ImageDedup.blockPairKeys(cleaned)
