@@ -307,12 +307,24 @@ object Bench {
   private[graft] def f3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** JSON string escape for the two interpolated PATH fields (r18
+    * review): a quote/backslash/control char in SPARK_GRAFT_SF_DIR or
+    * SPARK_GRAFT_BENCH_OUT would otherwise break the driver's parse
+    * of the summary line — the exact parsed:null class the summary
+    * line exists to prevent (the Verify.q discipline). */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   /** The full per-query JSON line — bench_out.json's single line. */
   private[graft] def fullLine(results: Seq[(String, Double)],
       sfDir: String): String = {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","queries":$qs,"sf":${jq(sfDir)}}"""
   }
 
   /** The driver-facing summary: total + counts only, NO per-query map —
@@ -328,7 +340,7 @@ object Bench {
   private[graft] def summaryLine(results: Seq[(String, Double)],
       sfDir: String,
       queriesFile: String = DefaultBenchOut): String =
-    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","n_queries":${results.size},"queries_file":"$queriesFile","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${f3(totalOf(results))},"unit":"sec","n_queries":${results.size},"queries_file":${jq(queriesFile)},"sf":${jq(sfDir)}}"""
 
   private[graft] def totalOf(results: Seq[(String, Double)]): Double =
     results.map(_._2).filter(_ >= 0).sum

@@ -31,6 +31,12 @@ import org.apache.spark.sql.Dataset
   *    lifecycle (both standard cluster practice).
   */
 object Checkpointing {
+  /** PRECONDITION (r18 review): pass a FRESH (un-persisted) dataset.
+    * The reliable-checkpoint arm persists around the write and then
+    * unpersists `ds` itself, so a caller's own cache on the same
+    * Dataset object would be dropped here — and only in that arm,
+    * invisibly at the call site. Every current caller passes a fresh
+    * plan; keep it that way or persist a separate reference. */
   def truncate[T](ds: Dataset[T]): Dataset[T] =
     if (ds.sparkSession.sparkContext.getCheckpointDir.isDefined) {
       // persist around the reliable checkpoint: Dataset.checkpoint()'s

@@ -36,7 +36,13 @@ object Tables {
     * the driver contract. */
   private val extraImmutable: Seq[String] =
     sys.env.get("SPARK_GRAFT_IMMUTABLE_DIRS")
-      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      // trim + strip trailing slashes (r18 review): "/tmp/sf1f/" or a
+      // space after the comma silently disabled the match — and a
+      // disabled memo shows up only as probe timings quietly measuring
+      // per-run store rebuilds instead of the read path
+      .map(_.split(',').toSeq.map(_.trim.stripSuffix("/"))
+        .filter(_.nonEmpty))
+      .getOrElse(Nil)
 
   def isImmutable(dir: String): Boolean =
     dir.startsWith(ImmutableRoot) || dir == ImmutableRoot.stripSuffix("/") ||

@@ -42,7 +42,10 @@ case class KmvSketch(
 
   lazy val k: Int = kExpr.eval(InternalRow.empty) match {
     case i: Int => i
-    case l: Long => l.toInt
+    case l: Long if l == l.toInt => l.toInt
+    case l: Long => throw new IllegalArgumentException(
+      s"k overflows Int: $l (a BIGINT literal this size is a caller " +
+        "error, not a k to silently truncate)")
     case other => throw new IllegalArgumentException(
       s"kmv_sketch: k must be an integer literal, got $other")
   }

@@ -56,6 +56,19 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       else if (xv > yv) j += 1
       else { c += 1; i += 1; j += 1 }
     }
+    // the UNVISITED tails carry the same null contract (r18 review:
+    // a null past the walk's exit previously escaped the loud
+    // rejection the doc promises) — tail scans are isNullAt-only
+    while (i < n) {
+      if (x.isNullAt(i)) throw new IllegalArgumentException(
+        "sorted_intersect_count: null array element")
+      i += 1
+    }
+    while (j < m) {
+      if (y.isNullAt(j)) throw new IllegalArgumentException(
+        "sorted_intersect_count: null array element")
+      j += 1
+    }
     c
   }
 
@@ -82,6 +95,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
          |  if ($xv < $yv) { $i++; }
          |  else if ($xv > $yv) { $j++; }
          |  else { $c++; $i++; $j++; }
+         |}
+         |while ($i < $n) {
+         |  if ($a.isNullAt($i)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count: null array element");
+         |  }
+         |  $i++;
+         |}
+         |while ($j < $m) {
+         |  if ($b.isNullAt($j)) {
+         |    throw new IllegalArgumentException(
+         |      "sorted_intersect_count: null array element");
+         |  }
+         |  $j++;
          |}
          |${ev.value} = $c;
        """.stripMargin

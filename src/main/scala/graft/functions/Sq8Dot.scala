@@ -34,10 +34,12 @@ case class Sq8Dot(left: Expression, right: Expression)
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
   }
 
-  private def mayHaveNullElements: Boolean = left.dataType match {
-    case ArrayType(_, cn) => cn
-    case _ => true
-  }
+  // lazy val, not def — constant per instance; see VecFunctions (r18)
+  @transient private lazy val mayHaveNullElements: Boolean =
+    left.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val q = a.asInstanceOf[ArrayData]

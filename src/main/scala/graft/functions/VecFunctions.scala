@@ -38,7 +38,10 @@ case class FloatVecDot(left: Expression, right: Expression)
   // exposure SortedIntersectCount guards against. The check is only
   // emitted when the schema admits nulls (containsNull), so the engine's
   // own columns (containsNull=false) keep the branch-free hot loop.
-  private def mayHaveNullElements: Boolean =
+  // lazy val, not def (r18 review): constant per expression instance,
+  // but a def re-allocated the Seq and re-matched per interpreted-eval
+  // ROW — the exact allocation the expression exists to avoid
+  @transient private lazy val mayHaveNullElements: Boolean =
     Seq(left, right).exists(_.dataType match {
       case ArrayType(_, cn) => cn
       case _ => true
@@ -131,33 +134,33 @@ object VecFunctions {
     * it), which makes this a no-op; query entry points still call it so a
     * plain SparkSession works too.
     */
+  /** ONE source of truth for the function set (r18 review: this list
+    * was duplicated verbatim between register() and GraftExtensions —
+    * a function added to one but not the other resolves in
+    * programmatic sessions but not `spark.sql.extensions` ones, or
+    * vice versa, surfacing only as an undefined-function at query
+    * time): (name, implementing class, arity-checked builder). */
+  private[graft] val registry
+      : Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", classOf[FloatVecDot], binary("vec_dot", FloatVecDot)),
+    ("sorted_intersect_count", classOf[SortedIntersectCount],
+      binary("sorted_intersect_count", SortedIntersectCount)),
+    // raw AggregateFunction: the analyzer wraps it in
+    // AggregateExpression, same as Spark's built-in aggs
+    ("top_k", classOf[BoundedTopK],
+      binary("top_k", (c, k) => BoundedTopK(c, k))),
+    ("kmv_sketch", classOf[KmvSketch],
+      binary("kmv_sketch", (c, k) => KmvSketch(c, k))),
+    ("kll_sketch", classOf[KllSketch],
+      ternary("kll_sketch", (v, w, k) => KllSketch(v, w, k))),
+    ("sq8_dot", classOf[Sq8Dot], binary("sq8_dot", Sq8Dot)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    val dot = org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot")
-    if (!reg.functionExists(dot))
-      reg.createOrReplaceTempFunction(
-        "vec_dot", binary("vec_dot", FloatVecDot), "built-in")
-    val sic = org.apache.spark.sql.catalyst
-      .FunctionIdentifier("sorted_intersect_count")
-    if (!reg.functionExists(sic))
-      reg.createOrReplaceTempFunction("sorted_intersect_count",
-        binary("sorted_intersect_count", SortedIntersectCount), "built-in")
-    val tk = org.apache.spark.sql.catalyst.FunctionIdentifier("top_k")
-    if (!reg.functionExists(tk)) // raw AggregateFunction: the analyzer
-      // wraps it in AggregateExpression, same as Spark's built-in aggs
-      reg.createOrReplaceTempFunction("top_k",
-        binary("top_k", (c, k) => BoundedTopK(c, k)), "built-in")
-    val kmv = org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_sketch")
-    if (!reg.functionExists(kmv))
-      reg.createOrReplaceTempFunction("kmv_sketch",
-        binary("kmv_sketch", (c, k) => KmvSketch(c, k)), "built-in")
-    val kll = org.apache.spark.sql.catalyst.FunctionIdentifier("kll_sketch")
-    if (!reg.functionExists(kll))
-      reg.createOrReplaceTempFunction("kll_sketch",
-        ternary("kll_sketch", (v, w, k) => KllSketch(v, w, k)), "built-in")
-    val sq8 = org.apache.spark.sql.catalyst.FunctionIdentifier("sq8_dot")
-    if (!reg.functionExists(sq8))
-      reg.createOrReplaceTempFunction("sq8_dot",
-        binary("sq8_dot", Sq8Dot), "built-in")
+    registry.foreach { case (name, _, builder) =>
+      val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+      if (!reg.functionExists(id))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
