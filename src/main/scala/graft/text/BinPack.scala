@@ -45,11 +45,23 @@ object BinPack {
         "pack an unsharded corpus through TrainPrep.shuffleShard first")
     val s = docs.sparkSession
     import s.implicits._
-    val keyed = docs.select(
-      concat_ws("\u0000", groupCols.map(col(_).cast("string")): _*)
-        .as("gkey"),
-      col(idCol).cast("long").as("pid"),
-      col(nTokensCol).cast("long").as("ntok"))
+    // group key via to_json(struct(...)) (r18 review): the previous
+    // NUL-joined cast-to-string key DROPPED null group values (a
+    // null-lang doc silently merged into a phantom group) and
+    // corrupted on an embedded \u0000; the original group columns
+    // and their TYPES are recovered by joining the assignment back on
+    // the id below — never by parsing the key string
+    val keyed = docs
+      // a null id cannot round-trip the join-back; surfaced by count
+      // delta, not packed under a fabricated id
+      .filter(col(idCol).isNotNull)
+      .select(
+        to_json(struct(groupCols.map(col): _*)).as("gkey"),
+        col(idCol).cast("long").as("pid"),
+        // null token counts (null text) pack as 0-length items: the
+        // doc keeps its slot instead of NPE-ing the typed encoder
+        // (the Curation null-text class, r18)
+        coalesce(col(nTokensCol).cast("long"), lit(0L)).as("ntok"))
       .as[(String, Long, Long)]
     val packed = keyed.groupByKey(_._1).flatMapGroups { (gkey, it) =>
       val items = it.map { case (_, id, n) => (id, n) }.toArray
@@ -72,10 +84,10 @@ object BinPack {
         })
       var nextBin = 0L
       val out = new scala.collection.mutable.ArrayBuffer[
-        (String, Long, Long, Long, Boolean)](items.length)
+        (Long, Long, Long, Boolean)](items.length)
       for ((id, n) <- items) {
         if (n > capacity) { // oversize: singleton bin, flagged
-          out += ((gkey, id, n, nextBin, true))
+          out += ((id, n, nextBin, true))
           nextBin += 1
         } else {
           val e = bins.ceilingEntry((n, -1L))
@@ -89,15 +101,17 @@ object BinPack {
             bins.put((res - n, b), b)
             b
           }
-          out += ((gkey, id, n, bin, false))
+          out += ((id, n, bin, false))
         }
       }
       out.iterator
-    }.toDF("gkey", "pid", "ntok", "bin_id", "oversize")
-    val parts = split(col("gkey"), "\u0000")
-    packed.select(
-      groupCols.zipWithIndex.map { case (c, i) => parts(i).as(c) } ++
-        Seq(col("pid").as(idCol), col("ntok").as(nTokensCol),
+    }.toDF("pid", "ntok", "bin_id", "oversize")
+    // group columns and types recovered from the INPUT by id — the
+    // id-keyed join is assignment-sized and broadcastable per shard
+    docs.select((groupCols.map(col) :+ col(idCol)).distinct: _*)
+      .join(packed, col(idCol).cast("long") === col("pid"))
+      .select(groupCols.map(col) ++
+        Seq(col(idCol), col("ntok").as(nTokensCol),
           col("bin_id"), col("oversize")): _*)
   }
 

@@ -92,11 +92,14 @@ object KneserNey {
     // the trigram TYPE table feeds six consumers (four derived tables,
     // two discount scalars); without materialization each one re-scans
     // the corpus and re-explodes the trigrams — observed as 14 parquet
-    // scans in the q98 plan. cache() pins the type table (vocab-bounded,
-    // corpus-independent — KB-to-MB scale however big the input), the
-    // q25/q73 shared-gram-relation precedent; batch path, so the
-    // lifecycle is query-scoped like SubstrDedup's batch cache
-    val tri = tri0.cache()
+    // scans in the q98 plan. Checkpointing.truncate, NOT cache() (r18
+    // review): the consumers return LAZY frames, so nothing could
+    // ever unpersist a cache() — each q98/q99/q100 call pinned a
+    // CacheManager entry for the session's lifetime. The type table
+    // is vocab-bounded (KB-to-MB however big the corpus), so the
+    // eager localCheckpoint is cheap and its blocks die with the plan
+    // references instead of the session.
+    val tri = graft.Checkpointing.truncate(tri0)
     val cont2 = tri.groupBy("w2", "w3").agg(count(lit(1)).as("m"))
     val ctx2 = tri.groupBy("w1", "w2")
       .agg(sum("c3").as("c2"), count(lit(1)).as("t3"))

@@ -88,8 +88,13 @@ object LangId {
   def langIdOf(docs: DataFrame): DataFrame = {
     val langsSorted = tokenProfiles.keys.toSeq.sorted
     val scored = docs
-      .select(col("doc_id"), col("lang"), col("text"),
-        split(col("text"), "\\s+").as("t"))
+      // null text normalizes to '' (r18 review): raw null scores made
+      // Spark's greatest-struct tie-break predict 'zh' while the
+      // oracle's NULL CASE fell to its ELSE — '' scores 0 everywhere
+      // and both sides deterministically emit 'und'
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("text"), lit("")).as("text"),
+        split(coalesce(col("text"), lit("")), "\\s+").as("t"))
       .select((col("doc_id") +: col("lang") +:
         langsSorted.map(l => score(l).as(s"score_$l"))): _*)
     val best = langsSorted.map(l => struct(col(s"score_$l").as("sc"),
@@ -150,8 +155,9 @@ object LangId {
       .map(l => s"WHEN score_$l = $best THEN '$l'").mkString("\n    ")
     Map("nq_lang_id" ->
       s"""WITH t AS (
-         |  SELECT doc_id, lang, text,
-         |    regexp_split_to_array(text, '\\s+') AS toks
+         |  -- coalesce: null text scores 0 -> 'und' (see langIdOf)
+         |  SELECT doc_id, lang, coalesce(text, '') AS text,
+         |    regexp_split_to_array(coalesce(text, ''), '\\s+') AS toks
          |  FROM documents
          |), sc AS (
          |  SELECT doc_id, lang,

@@ -21,11 +21,17 @@ object Mixing {
     */
   def domainMix(docs: DataFrame, domainCol: String,
       fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
-    val frac = fractions.foldLeft(lit(0.0)) { case (acc, (dom, f)) =>
-      when(col(domainCol) === dom, lit(f)).otherwise(acc)
+    // floor()ed INTEGER threshold (r18 review): comparing pmod against
+    // the raw double frac·10^6 kept pmod == floor(frac·10^6) rows that
+    // the oracle generator's truncated-long threshold drops — latent
+    // while every recipe fraction is a multiple of 1e-6, divergent for
+    // 1/3-style fractions (temperatureMix already floors)
+    val frac = fractions.foldLeft(lit(0L)) { case (acc, (dom, f)) =>
+      when(col(domainCol) === dom,
+        lit(math.floor(f * 1000000.0).toLong)).otherwise(acc)
     }
     docs.filter(pmod(xxhash64(col("doc_id"), lit(seed)), lit(1000000L)) <
-      frac * 1000000L)
+      frac)
   }
 
   /** Benchmark decontamination: per benchmark document, the fraction of

@@ -35,6 +35,34 @@ import org.apache.spark.sql.functions._
   * total sort) with identical semantics at sketch accuracy. The two
   * index lookups are plain equi-joins on the dense global rank.
   */
+/** The shared prefix-sum + binary-search kernel of the approx and
+  * store-backed calibration paths — ONE definition (r18 review: the
+  * two paths carried verbatim copies that could drift on a boundary
+  * fix and split nq_qnorm_approx from nq_qnorm_store). Serializable:
+  * the lookup UDF closures reference it from executors. */
+private object QnSearch extends Serializable {
+  /** (values, cumulative weights) of a retained-item array. */
+  def prefixSums(items: Array[(Double, Long)])
+      : (Array[Double], Array[Long]) = {
+    val vs = items.map(_._1)
+    val cw = new Array[Long](items.length)
+    var acc = 0L; var i = 0
+    while (i < items.length) { acc += items(i)._2; cw(i) = acc; i += 1 }
+    (vs, cw)
+  }
+
+  /** First index with cw(i) > t over the strictly-increasing prefix
+    * sums; == cw.length iff t >= the total weight. */
+  def firstAbove(cw: Array[Long], t: Long): Int = {
+    var lo = 0; var hi = cw.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (cw(mid) > t) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+}
+
 object QuantileNorm {
 
   /** (idCol, groupCol, scoreCol, pct, calibrated) — `pct` the
@@ -126,27 +154,15 @@ object QuantileNorm {
     require(items.length <= maxRetained,
       s"quantileNormalizeApprox: ${items.length} retained items exceed " +
         s"the $maxRetained driver bound — raise maxRetained deliberately")
-    val vArr = items.map(_._1)
-    val cwArr = new Array[Long](items.length)
-    var acc = 0L
-    var i = 0
-    while (i < items.length) { acc += items(i)._2; cwArr(i) = acc; i += 1 }
-    val n = acc // exact row count: KLL weight conservation
+    val (vArr, cwArr) = QnSearch.prefixSums(items)
+    val n = cwArr.last // exact row count: KLL weight conservation
     val bc = s.sparkContext.broadcast((cwArr, vArr))
-    // first index with cw > t (cw strictly increasing); == length iff
-    // t >= N, which lo <= N-1 precludes for vlo and COALESCEs for vhi
-    def firstAbove(cw: Array[Long], t: Long): Int = {
-      var lo = 0; var hi = cw.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (cw(mid) > t) hi = mid else lo = mid + 1
-      }
-      lo
-    }
+    // firstAbove == length iff t >= N, which lo <= N-1 precludes for
+    // vlo and COALESCEs for vhi
     val lookup = udf { (lo: Long, frac: Double) =>
       val (cw, vs) = bc.value
-      val vlo = vs(firstAbove(cw, lo))
-      val i2 = firstAbove(cw, lo + 1)
+      val vlo = vs(QnSearch.firstAbove(cw, lo))
+      val i2 = QnSearch.firstAbove(cw, lo + 1)
       val vhi = if (i2 < vs.length) vs(i2) else vlo
       // the EXACT form's interpolation tree, verbatim
       vlo + frac * (vhi - vlo)
@@ -193,26 +209,11 @@ object QuantileNorm {
       globalItems: Array[(Double, Long)]): DataFrame = {
     val s = batch.sparkSession
     require(globalItems.nonEmpty, "calibrateFromSketches: empty global")
-    def prefix(items: Array[(Double, Long)])
-        : (Array[Double], Array[Long]) = {
-      val vs = items.map(_._1)
-      val cw = new Array[Long](items.length)
-      var acc = 0L; var i = 0
-      while (i < items.length) { acc += items(i)._2; cw(i) = acc; i += 1 }
-      (vs, cw)
-    }
-    val (gv, gcw) = prefix(globalItems)
+    val (gv, gcw) = QnSearch.prefixSums(globalItems)
     val nGlob = gcw.last
-    val byGroup = groupItems.map { case (g, it) => g -> prefix(it) }
+    val byGroup = groupItems.map { case (g, it) =>
+      g -> QnSearch.prefixSums(it) }
     val bc = s.sparkContext.broadcast((byGroup, gv, gcw, nGlob))
-    def firstAbove(cw: Array[Long], t: Long): Int = {
-      var lo = 0; var hi = cw.length
-      while (lo < hi) {
-        val mid = (lo + hi) >>> 1
-        if (cw(mid) > t) hi = mid else lo = mid + 1
-      }
-      lo
-    }
     def firstGe(vs: Array[Double], x: Double): Int = {
       var lo = 0; var hi = vs.length
       while (lo < hi) {
@@ -234,8 +235,8 @@ object QuantileNorm {
         val p = pct * (n - 1L).toDouble
         val lo = math.floor(p).toLong
         val frac = p - lo.toDouble
-        val vlo = gvs(firstAbove(gcws, lo))
-        val i2 = firstAbove(gcws, lo + 1)
+        val vlo = gvs(QnSearch.firstAbove(gcws, lo))
+        val i2 = QnSearch.firstAbove(gcws, lo + 1)
         val vhi = if (i2 < gvs.length) gvs(i2) else vlo
         (pct, vlo + frac * (vhi - vlo))
       }

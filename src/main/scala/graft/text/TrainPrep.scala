@@ -57,9 +57,23 @@ object TrainPrep {
     */
   def exportShards(docs: DataFrame, idCol: String, path: String,
       nShards: Int, seed: Long = 42L, maxRecordsPerFile: Long = 0L): Unit =
-    docs.join(shuffleShard(docs, idCol, nShards, seed), Seq(idCol))
+    // ONE full-row exchange + one input scan (r18 review): the
+    // previous docs ⋈ shuffleShard(docs) form re-scanned the corpus
+    // and paid a corpus-wide doc_id join plus a SECOND full-row
+    // shuffle. hkey/shard/pos are pure functions of the id
+    // (shuffleShard's exact expressions), so they compute inline; the
+    // pos window reuses the shard repartition's exchange, and its
+    // task sort (shard, hkey, id) IS the written pos order the
+    // loaders stream.
+    docs
+      .withColumn("hkey", xxhash64(col(idCol), lit(seed)))
+      .withColumn("shard", pmod(col("hkey"), lit(nShards.toLong)))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions("shard", "pos")
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("shard")
+          .orderBy(col("hkey"), col(idCol)))
+        .cast("long"))
+      .drop("hkey")
       .write.partitionBy("shard")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite").parquet(path)
@@ -79,15 +93,14 @@ object TrainPrep {
     * input is.
     */
   def bigramLm(docs: DataFrame): DataFrame = {
-    val toks = filter(split(col("text"), "\\s+"), t => t =!= "")
     docs
-      .select(toks.as("t"))
-      // element_at is 1-based; lambda index i is 0-based over the slice
-      // of length n-1, so (x, i) pairs t[i+1] with t[i+2]
-      .select(explode(expr(
-        "transform(slice(t, 1, greatest(size(t) - 1, 0)), " +
-          "(x, i) -> struct(x AS w1, element_at(t, i + 2) AS w2))"))
-        .as("bg"))
+      // the SHARED tokenize/bigram exprs (r18 review: this builder
+      // carried its own inline copies of toksColumn/bigramsColumn —
+      // the q66 table must provably share the scorer's bigram shape;
+      // element_at is 1-based, lambda i 0-based over the n-1 slice,
+      // so (x, i) pairs t[i+1] with t[i+2])
+      .select(toksColumn.as("t"))
+      .select(explode(bigramsColumn).as("bg"))
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
       .withColumn("p",
@@ -244,7 +257,21 @@ object TrainPrep {
 
   def ccnetBucketsApprox(scoredLang: DataFrame,
       accuracy: Int = 10000): DataFrame = {
-    val th = ccnetThresholds(scoredLang, accuracy)
+    val s = scoredLang.sparkSession
+    import s.implicits._
+    // ONE materialization of the sketch thresholds (r18 review):
+    // percentile_approx is partial-merge-order-dependent, so a lazy
+    // `th` evaluated once for the dump and again for the join could
+    // dump thresholds that differ from the ones actually applied —
+    // the nq_ccnet_buckets flake class. Lang-cardinality collect; the
+    // dump and the broadcast join both read the collected rows.
+    val thRows = ccnetThresholds(scoredLang, accuracy)
+      .select(col("lang"), col("t1").cast("double"),
+        col("t2").cast("double"))
+      // Option: an all-null-score language has null thresholds, which
+      // must stay null (bucket null), not NPE the encoder
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    val th = thRows.toDF("lang", "t1", "t2")
     // Verify-only: the sketch's thresholds, so the oracle re-runs the
     // bucket ASSIGNMENT (the SQL-expressible half) on the exact scored
     // corpus — the GK sketch itself stays engine-specific, pinned by

@@ -88,4 +88,23 @@ class BinPackSpec extends SparkSpec {
     assert(fills.forall(_ <= 2048L))
     out.unpersist()
   }
+
+  test("null token counts and null group values survive packing (r18: " +
+      "null ntok NPE'd the encoder; the NUL-string key merged a " +
+      "null-lang doc into a phantom group)") {
+    val docs = Seq(
+      (1L, Option("en"), Option(100L)),
+      (2L, Option("en"), Option.empty[Long]),   // null text -> 0 tokens
+      (3L, Option.empty[String], Option(50L)))  // null group value
+      .toDF("doc_id", "lang", "n_tokens")
+    val out = BinPack.packBestFit(docs, Seq("lang"), "doc_id",
+      "n_tokens", capacity = 2048L)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (Option(r.getAs[String]("lang")),
+          r.getAs[Long]("n_tokens"))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L), s"every doc packs: $out")
+    assert(out(2L)._2 === 0L, "null count packs as a 0-length item")
+    assert(out(3L)._1.isEmpty,
+      "the null group value survives as NULL, not a phantom string")
+  }
 }

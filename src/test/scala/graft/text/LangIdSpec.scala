@@ -92,4 +92,12 @@ class LangIdSpec extends SparkSpec {
       (2L, "de", "Der Hund Und Die Katze")))
     assert(got === Map(1L -> "en", 2L -> "de"))
   }
+
+  test("null text predicts 'und' (r18 — raw null scores tie-broke to " +
+      "'zh' engine-side and diverged from the oracle's CASE fallback)") {
+    val got = predict(Seq(
+      (1L, "en", null.asInstanceOf[String]),
+      (2L, "en", "it was the best of times and the worst of times")))
+    assert(got === Map(1L -> "und", 2L -> "en"), got.toString)
+  }
 }
