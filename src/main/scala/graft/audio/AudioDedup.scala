@@ -77,7 +77,10 @@ object AudioDedup {
   /** Planted corpus: 40 deterministic synth clips; phrase_id ≡ 0
     * (mod 5) gets a half-gain copy (id + 10⁶ — every sample halved:
     * perceptually identical, bytes entirely different) and ≡ 3 a
-    * 0.05 s-muted copy (id + 2·10⁶ — a small edit). */
+    * 0.1 s-muted copy at t = 0.5 s (id + 2·10⁶ — a small edit; the
+    * doc previously claimed 0.05 s at 0.25 s, doubling the byte-vs-
+    * sample factor twice — r18 review fixed the DOC to the fixture
+    * the oracles already pin, not the fixture). */
   def generateDedupClips(s: SparkSession, nClips: Int = 40): DataFrame =
     // pure function of nClips (no source dir) → always memoizable:
     // probes must measure the fingerprint join, not the synth
@@ -96,6 +99,10 @@ object AudioDedup {
 
   private def buildDedupClips(s: SparkSession, nClips: Int): DataFrame = {
     import s.implicits._
+    // variant-id headroom (clip ids are dense 0..nClips-1)
+    require(nClips <= 1000000,
+      s"audio dedup fixture: $nClips clips collide with the " +
+        "planted-variant id offset 1000000")
     graft.gen.VoiceDataGen.generate(s, nClips)
       .select(col("phrase_id").cast("long"), col("pcm"))
       .as[(Long, Array[Byte])]
@@ -117,8 +124,10 @@ object AudioDedup {
             } else if (id % 5 == 3) {
               val out = pcm.clone()
               val sr = graft.gen.VoiceDataGen.SampleRate
-              val from = sr / 2 * 2 // byte offset of t = 0.25 s
-              val until = math.min(out.length, from + sr / 10 * 2) // 0.05 s
+              // BYTE offsets (2 bytes/sample): from = sample sr/2 =
+              // t 0.5 s; length sr/10 samples = 0.1 s
+              val from = sr / 2 * 2
+              val until = math.min(out.length, from + sr / 10 * 2)
               java.util.Arrays.fill(out, from, until, 0: Byte)
               Iterator((id + 2000000L, out))
             } else Iterator.empty

@@ -142,8 +142,12 @@ object Src {
       val y = resample(Dsp.pcm16ToDoubles(pcm), srIn, srOut)
       y.map(v => math.rint(v * 1e6).toLong)
     })
-    val ys = clips.select(col("phrase_id"), col("n_samples").as("n_in"),
+    val ys0 = clips.select(col("phrase_id"), col("n_samples").as("n_in"),
       res(col("pcm")).as("y6"))
+    // dump mode runs TWO actions over the windowed-sinc UDF (dump +
+    // the returned aggregate) — pin ONE materialization (r18 review);
+    // without the flag the single action keeps the lazy plan
+    val ys = if (graft.OracleDump.enabled) ys0.localCheckpoint() else ys0
     if (graft.OracleDump.enabled) {
       graft.OracleDump.dump(
         ys.select(col("phrase_id"), explode(col("y6")).as("y6")),

@@ -92,8 +92,25 @@ object ImageDedup {
         buildDedupImages(s, d))
     else buildDedupImages(s, d)
 
+  /** Planted-variant ids live at base + 1000000/2000000: guard
+    * max(doc_id), not count (sparse id spaces hit the boundary early —
+    * the MediaDedupStore convention, r18 review). A collision would
+    * silently alias a real doc's media with another doc's variant and
+    * corrupt both the pair relation and the oracle's pixel dump. */
+  private[graft] def requireVariantHeadroom(s: SparkSession, d: String,
+      offset: Long, what: String): Unit = {
+    val row = graft.Tables.documents(s, d)
+      .agg(max(col("doc_id"))).head
+    val maxId = if (row.isNullAt(0)) -1L else row.getLong(0)
+    require(maxId < offset,
+      s"$what dedup fixture: max(doc_id) $maxId collides with the " +
+        s"planted-variant id offset $offset — raise the offset before " +
+        "running at this scale")
+  }
+
   private def buildDedupImages(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    requireVariantHeadroom(s, d, 1000000L, "image")
     graft.Tables.documents(s, d).select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>
@@ -152,6 +169,7 @@ object ImageDedup {
 
   private def buildFlipImages(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    requireVariantHeadroom(s, d, 1000000L, "image")
     graft.Tables.documents(s, d).select(col("doc_id"))
       .as[Long]
       .mapPartitions { it =>

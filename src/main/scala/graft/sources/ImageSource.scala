@@ -202,8 +202,15 @@ object ImageSource {
     * aggregation from them (see [[dumpPixels]]).
     */
   def imageDecodeQuery(s: SparkSession, d: String): DataFrame = {
-    dumpPixels(s, generateImages(s, d), resizeTo = 32, tag = "32")
-    decodeImageFeatures(generateImages(s, d))
+    // ONE generation (r18 review): two generateImages calls plus
+    // dumpPixels' own two actions re-encoded the PNG corpus three
+    // times per Verify run; under dump mode pin one materialization
+    // (a no-op cost without the flag — single action, lazy plan)
+    val imgs = if (graft.OracleDump.enabled)
+      generateImages(s, d).localCheckpoint()
+    else generateImages(s, d)
+    dumpPixels(s, imgs, resizeTo = 32, tag = "32")
+    decodeImageFeatures(imgs)
       .withColumn("luma_hist",
         array_join(transform(col("luma_hist"), _.cast("string")), ","))
       .orderBy("image_id")
@@ -220,8 +227,12 @@ object ImageSource {
     * fallback for non-JDK codecs.
     */
   def imageFeaturesQuery(s: SparkSession, d: String): DataFrame = {
-    dumpPixels(s, generateImages(s, d), resizeTo = 64, tag = "64")
-    decodeImageFeatures(generateImages(s, d), resizeTo = 64)
+    // one generation — see imageDecodeQuery (r18)
+    val imgs = if (graft.OracleDump.enabled)
+      generateImages(s, d).localCheckpoint()
+    else generateImages(s, d)
+    dumpPixels(s, imgs, resizeTo = 64, tag = "64")
+    decodeImageFeatures(imgs, resizeTo = 64)
       .select(col("image_id"), col("width"), col("height"),
         col("mean_r"), col("mean_g"), col("mean_b"))
       .orderBy("image_id")

@@ -91,6 +91,8 @@ object VideoDedup {
 
   private def buildDedupVideos(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // variant-id headroom: the MediaDedupStore max(id) convention (r18)
+    ImageDedup.requireVariantHeadroom(s, d, 1000000L, "video")
     graft.Tables.documents(s, d).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(5)) === 0)
       .as[Long]
@@ -234,6 +236,8 @@ object VideoDedup {
 
   private def buildSceneVideos(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // variant-id headroom: the MediaDedupStore max(id) convention (r18)
+    ImageDedup.requireVariantHeadroom(s, d, 1000000L, "video")
     graft.Tables.documents(s, d).select(col("doc_id"))
       .filter(pmod(col("doc_id"), lit(5)) === 0)
       .as[Long]

@@ -364,6 +364,11 @@ object VideoSource {
         .as[(Long, Array[Byte])]
       graft.OracleDump.dump(
         src.mapPartitions { it =>
+          // no temp-file-per-frame (r18 review): the meta pass is the
+          // FIRST decode action on a fresh executor, so without this
+          // JVM-global flag every ImageIO.read spools through a
+          // FileCacheImageInputStream (the ImageSource comment's cost)
+          javax.imageio.ImageIO.setUseCache(false)
           it.map { case (id, bytes) =>
             parseAvi(bytes) match {
               case Some((scale, rate, frames)) =>
