@@ -54,7 +54,7 @@ object SparkEntry {
       rel.Cusum.queries ++ sources.ImageDedup.queries ++
       audio.AudioDedup.queries ++ sources.VideoDedup.queries ++
       sources.MediaDedupStore.queries ++ sources.MediaClusterStore.queries ++
-      text.Pipeline.queries
+      text.Pipeline.queries ++ text.PipelineInc.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -273,5 +273,8 @@ object SparkEntry {
       sources.MediaClusterStore.oracle ++
       // r18: the composed end-to-end curation pipeline — the stage
       // oracles' shared CTE bodies recomposed verbatim
-      text.Pipeline.oracle
+      text.Pipeline.oracle ++
+      // r19: the INCREMENTAL pipeline through the standing stores —
+      // three at-ingest prefix chains under one append-only pack window
+      text.PipelineInc.oracle
 }

@@ -502,7 +502,7 @@ object MediaDedupStore {
     path
   }
 
-  private[sources] def memoStore(cache: scala.collection.concurrent
+  private[graft] def memoStore(cache: scala.collection.concurrent
         .TrieMap[String, String], d: String)(build: => String): String =
     if (graft.Tables.isImmutable(d)) cache.getOrElseUpdate(d, build)
     else build

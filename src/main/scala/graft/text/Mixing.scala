@@ -139,18 +139,27 @@ object Mixing {
     * ratio a power of two) are exactly the ones pow computes exactly.
     */
   def temperatureMix(docs: DataFrame, domainCol: String, idCol: String,
-      alpha: Double = 0.3): DataFrame = {
+      alpha: Double = 0.3): DataFrame =
+    docs.join(broadcast(temperatureRates(docs, domainCol, alpha)), domainCol)
+      .filter(pmod(xxhash64(col(idCol), lit(42L)), lit(1000000L)) <
+        col("keep_thr"))
+
+  /** The rate TABLE alone — (domain, keep_thr), derived exactly as
+    * [[temperatureMix]] applies it (split out r19 so the incremental
+    * pipeline can FREEZE the table at calibration time and serve
+    * arriving batches against the persisted copy: the selection is a
+    * pure function of (id, keep_thr), so a frozen table makes the mix
+    * verdict batch-stable by construction). Domain-cardinality rows. */
+  private[text] def temperatureRates(docs: DataFrame, domainCol: String,
+      alpha: Double): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0,1]: $alpha")
     val counts = docs.groupBy(domainCol).agg(count(lit(1)).as("n_dom"))
-    val rates = counts
+    counts
       .crossJoin(counts.agg(min(col("n_dom")).as("n_min")))
       .select(col(domainCol),
         floor(lit(1000000.0) *
           pow(col("n_min").cast("double") / col("n_dom").cast("double"),
             lit(1.0 - alpha))).as("keep_thr"))
-    docs.join(broadcast(rates), domainCol)
-      .filter(pmod(xxhash64(col(idCol), lit(42L)), lit(1000000L)) <
-        col("keep_thr"))
   }
 
   private[text] val q74Alpha = 0.3

@@ -42,27 +42,26 @@ import graft.Tables._
   */
 object Pipeline {
 
-  private val PackSeqLen = 2048
-  private val PackShards = 8
+  private[text] val PackSeqLen = 2048
+  private[text] val PackShards = 8
 
-  def nqPipelineE2e(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
-    // stage 1: Gopher quality gates — q75's metric computation
-    // verbatim, gated on the STRUCTURAL rule subset (everything but
-    // the English-stop-word rule): the stop-word list is calibrated
-    // to natural English and zeroes out on the driver's word-salad
-    // corpus, which would starve every downstream stage of input —
-    // exactly the per-corpus threshold tuning every real Gopher
-    // deployment documents (Rae et al. 2021 §A1 applies the rules
-    // per-corpus). The oracle gates on the same subset over the
-    // shared metric CTEs.
-    // coalesce-to-false pins the null-text outcome (r18 review): a
-    // null text yields NULL metrics on the DuckDB side (len(NULL)),
-    // and engine-dependent null/-1 sizes on the Spark side — both
-    // must deterministically DROP the doc as 'gopher', not let a NULL
-    // gate fall through the precedence CASE
-    val gop = QualityRules.gopherGates(docs)
+  /** Stage 1's verdict — q75's metric computation verbatim, gated on
+    * the STRUCTURAL rule subset (everything but the English-stop-word
+    * rule): the stop-word list is calibrated to natural English and
+    * zeroes out on the driver's word-salad corpus, which would starve
+    * every downstream stage of input — exactly the per-corpus
+    * threshold tuning every real Gopher deployment documents (Rae et
+    * al. 2021 §A1 applies the rules per-corpus). The oracle gates on
+    * the same subset over the shared metric CTEs.
+    * coalesce-to-false pins the null-text outcome (r18 review): a
+    * null text yields NULL metrics on the DuckDB side (len(NULL)),
+    * and engine-dependent null/-1 sizes on the Spark side — both
+    * must deterministically DROP the doc as 'gopher', not let a NULL
+    * gate fall through the precedence CASE. Shared verbatim with the
+    * incremental pipeline ([[PipelineInc]]) so the gate subset cannot
+    * drift between the batch and serving paths. */
+  private[text] def structuralGate(docs: DataFrame): DataFrame =
+    QualityRules.gopherGates(docs)
       .select(col("doc_id"),
         coalesce(
           col("n_tokens").between(50L, 100000L) &&
@@ -72,6 +71,24 @@ object Pipeline {
             col("frac_bullet_lines") <= 0.9 &&
             col("frac_ellipsis_lines") <= 0.3,
           lit(false)).as("gopher_keep"))
+
+  /** The pipeline-precedence CASE — reason = first failing stage in
+    * pipeline order, NULL = kept. One definition serves the batch and
+    * incremental pipelines (stage-interface drift between the two
+    * would otherwise silently change serving verdicts). */
+  private[text] def reasonCol: org.apache.spark.sql.Column =
+    when(!col("gopher_keep"), "gopher")
+      .when(!col("is_exact_keeper"), "exact_dup")
+      .when(col("doc_id") =!= col("cluster_id"), "near_dup")
+      .when(col("n_tokens") > 0L && col("n_tokens_kept") === 0L,
+        "substr_dup")
+      .when(col("mix_in").isNull, "mix_out")
+
+  def nqPipelineE2e(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+    // stage 1: Gopher structural gates (see structuralGate's scaladoc)
+    val gop = structuralGate(docs)
     // stage 2: exact-duplicate keeper (q23's min-id-per-fingerprint)
     val exact = docs
       .select(col("doc_id"), md5(col("text")).as("fp"))
@@ -97,13 +114,7 @@ object Pipeline {
       .join(clusters, "doc_id")
       .join(cut, "doc_id")
       .join(mixSel, Seq("doc_id"), "left")
-      .withColumn("reason",
-        when(!col("gopher_keep"), "gopher")
-          .when(!col("is_exact_keeper"), "exact_dup")
-          .when(col("doc_id") =!= col("cluster_id"), "near_dup")
-          .when(col("n_tokens") > 0L && col("n_tokens_kept") === 0L,
-            "substr_dup")
-          .when(col("mix_in").isNull, "mix_out"))
+      .withColumn("reason", reasonCol)
     // stage 6: q58's shard-parallel pack arithmetic over the SURVIVOR
     // set's post-cut token counts
     val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
@@ -126,6 +137,46 @@ object Pipeline {
       .orderBy("doc_id")
   }
 
+  /** The precedence-verdict CTE chain appended after the stage bodies
+    * — ends in `verdict(doc_id, lang, reason, n_kept)`. Split out
+    * (r19) so [[PipelineInc]]'s per-batch at-ingest chains compose the
+    * SAME text (with only the corpus-prefix substitution) — the q81
+    * verbatim-SQL discipline applied to the serving tier. */
+  private[text] val verdictCtesTail: String =
+    """,
+      |pgate AS (
+      |  SELECT doc_id,
+      |    coalesce(n_tokens BETWEEN 50 AND 100000
+      |      AND mean_word_len BETWEEN 3.0 AND 10.0
+      |      AND frac_symbol_words <= 0.1
+      |      AND frac_alpha_words >= 0.8
+      |      AND frac_bullet_lines <= 0.9
+      |      AND frac_ellipsis_lines <= 0.3, FALSE) AS keep
+      |  FROM m
+      |), cov AS (
+      |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_cov
+      |  FROM sp GROUP BY doc_id
+      |), cut AS (
+      |  SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_toks,
+      |    CAST(len(t.l) AS BIGINT) - coalesce(c2.n_cov, 0) AS n_kept
+      |  FROM toks t LEFT JOIN cov c2 USING (doc_id)
+      |), verdict AS (
+      |  SELECT dd.doc_id, dd.lang,
+      |    CASE WHEN NOT g.keep THEN 'gopher'
+      |         WHEN NOT ek.is_exact_keeper THEN 'exact_dup'
+      |         WHEN dd.doc_id <> cl.cluster_id THEN 'near_dup'
+      |         WHEN ct.n_toks > 0 AND ct.n_kept = 0 THEN 'substr_dup'
+      |         WHEN ms.doc_id IS NULL THEN 'mix_out'
+      |    END AS reason,
+      |    ct.n_kept
+      |  FROM documents dd
+      |  JOIN pgate g USING (doc_id)
+      |  JOIN ek USING (doc_id)
+      |  JOIN clusters cl USING (doc_id)
+      |  JOIN cut ct USING (doc_id)
+      |  LEFT JOIN mixsel ms USING (doc_id)
+      |)""".stripMargin
+
   /** The composed oracle: the stage CTE bodies verbatim, then the
     * precedence verdict and the survivor pack — mirrors of the Spark
     * expressions above (the q58/q56 window arithmetic text). */
@@ -135,39 +186,8 @@ object Pipeline {
       ",\n" + QualityRules.gopherCtesBody +
       ",\n" + SubstrDedup.spanCtesBody +
       ",\n" + Mixing.mixCtesBody +
-      s""",
-         |pgate AS (
-         |  SELECT doc_id,
-         |    coalesce(n_tokens BETWEEN 50 AND 100000
-         |      AND mean_word_len BETWEEN 3.0 AND 10.0
-         |      AND frac_symbol_words <= 0.1
-         |      AND frac_alpha_words >= 0.8
-         |      AND frac_bullet_lines <= 0.9
-         |      AND frac_ellipsis_lines <= 0.3, FALSE) AS keep
-         |  FROM m
-         |), cov AS (
-         |  SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS n_cov
-         |  FROM sp GROUP BY doc_id
-         |), cut AS (
-         |  SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_toks,
-         |    CAST(len(t.l) AS BIGINT) - coalesce(c2.n_cov, 0) AS n_kept
-         |  FROM toks t LEFT JOIN cov c2 USING (doc_id)
-         |), verdict AS (
-         |  SELECT dd.doc_id, dd.lang,
-         |    CASE WHEN NOT g.keep THEN 'gopher'
-         |         WHEN NOT ek.is_exact_keeper THEN 'exact_dup'
-         |         WHEN dd.doc_id <> cl.cluster_id THEN 'near_dup'
-         |         WHEN ct.n_toks > 0 AND ct.n_kept = 0 THEN 'substr_dup'
-         |         WHEN ms.doc_id IS NULL THEN 'mix_out'
-         |    END AS reason,
-         |    ct.n_kept
-         |  FROM documents dd
-         |  JOIN pgate g USING (doc_id)
-         |  JOIN ek USING (doc_id)
-         |  JOIN clusters cl USING (doc_id)
-         |  JOIN cut ct USING (doc_id)
-         |  LEFT JOIN mixsel ms USING (doc_id)
-         |), packed AS (
+      verdictCtesTail +
+      s""", packed AS (
          |  SELECT doc_id, doc_id % $PackShards AS shard,
          |    sum(n_kept) OVER (PARTITION BY lang, doc_id % $PackShards
          |                      ORDER BY doc_id)
