@@ -36,20 +36,45 @@ object Tombstones {
     * swap FIRST (the GraphStore.deleteEdges rule): a direct write
     * inside the swap window would recreate the log with only this
     * batch and orphan the staged kept set — its tombstones would
-    * silently stop applying. */
+    * silently stop applying.
+    *
+    * `kind` tags every row with what it erases (r19, ADVICE): "key" =
+    * a doc/key-level erasure, "gate" = a batch gate ([[gateBatches]]
+    * sets it). The tag is what lets [[gatedBatches]] and
+    * [[deletedKeys]] stop ALIASING on stores whose doc-keyed deletion
+    * log shares this machinery — an erased doc key numerically equal
+    * to a live batch id used to misreport as a gate awaiting rebuild.
+    * Pre-r19 logs lack the column; readers treat untagged rows as
+    * BOTH (the legacy heuristic), so old logs keep their exact
+    * behavior and only newly-written rows disambiguate. */
   def applyDelete(keys: DataFrame, keyCol: String, storePath: String,
-      batchId: Long): Unit = {
+      batchId: Long, kind: String = "key"): Unit = {
     val log = logPath(storePath)
     TombstoneLog.recoverSwap(
       new org.apache.hadoop.fs.Path(log).getFileSystem(
         keys.sparkSession.sparkContext.hadoopConfiguration),
       log, log + "_next")
     keys.select(col(keyCol).as("key")).distinct()
+      .withColumn("kind", lit(kind))
       .withColumn("batch_id", lit(batchId))
       .coalesce(1).write
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .mode("overwrite").parquet(log)
+  }
+
+  /** The log rows with `kind` normalized (null on pre-r19 rows) —
+    * mergeSchema because a log can mix pre- and post-tag partitions. */
+  private def logRows(s: SparkSession, storePath: String)
+      : Option[DataFrame] = {
+    val log = logPath(storePath)
+    val fs = new org.apache.hadoop.fs.Path(log)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    TombstoneLog.readDir(fs, log, log + "_next").map { dir =>
+      val raw = s.read.option("mergeSchema", "true").parquet(dir)
+      if (raw.columns.contains("kind")) raw
+      else raw.withColumn("kind", lit(null).cast("string"))
+    }
   }
 
   /** True iff the batch-partitioned dir holds a fenced partition — an
@@ -79,13 +104,12 @@ object Tombstones {
     * SHRINKS a log stages the kept set and swaps; a reader landing
     * between the delete and the rename must not silently see "no
     * tombstones"). Readers never mutate. */
-  def deletedKeys(s: SparkSession, storePath: String): Option[DataFrame] = {
-    val log = logPath(storePath)
-    val fs = new org.apache.hadoop.fs.Path(log)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    TombstoneLog.readDir(fs, log, log + "_next")
-      .map(dir => s.read.parquet(dir).select(col("key")).distinct())
-  }
+  def deletedKeys(s: SparkSession, storePath: String): Option[DataFrame] =
+    // gate rows are batch gates, not key erasures — exclude when
+    // tagged; untagged (pre-r19) rows keep counting as both
+    logRows(s, storePath).map(_
+      .filter(col("kind").isNull || col("kind") =!= "gate")
+      .select(col("key")).distinct())
 
   /** The read-side filter: store rows minus tombstoned keys. */
   def filterDeleted(rows: DataFrame, keyCol: String,
@@ -123,19 +147,23 @@ object Tombstones {
       s"gate mutation ids must be >= 0 (got $mutationId): negative " +
         "partitions are reserved for the folded log")
     import s.implicits._
-    applyDelete(batchIds.toDF("gated"), "gated", storePath, mutationId)
+    applyDelete(batchIds.toDF("gated"), "gated", storePath, mutationId,
+      kind = "gate")
   }
 
   /** Currently gated batch ids (empty when no delete was issued).
-    * Non-numeric keys filter out (r18): the same log machinery backs
-    * doc-KEYED deletion on other store families, and a string key's
-    * null cast would NPE a caller that merely asked "any gates?" —
-    * such keys are deletions, not gates. */
+    * Rows tagged `kind="key"` are doc erasures, never gates (r19 —
+    * the aliasing fix); untagged pre-r19 rows fall back to the
+    * numeric heuristic: non-numeric keys filter out (r18 — the same
+    * log machinery backs doc-KEYED deletion on other store families,
+    * and a string key's null cast would NPE a caller that merely
+    * asked "any gates?"). */
   def gatedBatches(s: SparkSession, storePath: String): Set[Long] =
-    deletedKeys(s, storePath)
-      // try_cast, not cast: ANSI mode throws on a non-numeric string
-      .map(_.select(expr("try_cast(key AS BIGINT)").as("k"))
-        .filter(col("k").isNotNull)
+    logRows(s, storePath)
+      .map(_.filter(col("kind").isNull || col("kind") === "gate")
+        // try_cast, not cast: ANSI mode throws on a non-numeric string
+        .select(expr("try_cast(key AS BIGINT)").as("k"))
+        .filter(col("k").isNotNull).distinct()
         .collect().map(_.getLong(0)).toSet)
       .getOrElse(Set.empty)
 
@@ -167,9 +195,17 @@ object Tombstones {
     val p = new org.apache.hadoop.fs.Path(lp)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (populated(s, lp)) {
-      val rest = s.read.parquet(lp)
-        .select(col("key").cast("long").as("key")).distinct()
-        .filter(col("key") =!= batchId)
+      // remove ONLY the lifted gate; kind-tagged key erasures ride
+      // through untouched (untagged pre-r19 rows are gates here — the
+      // legacy convention this API served). coalesce-to-false keeps a
+      // non-numeric legacy key from null-dropping the whole row.
+      val isLifted =
+        coalesce(col("kind"), lit("gate")) === "gate" &&
+          coalesce(expr("try_cast(key AS BIGINT)") === lit(batchId),
+            lit(false))
+      val rest = logRows(s, storePath).get
+        .select(col("key"), col("kind")).distinct()
+        .filter(!isLifted)
         .localCheckpoint() // materialize before overwriting the source
       if (rest.isEmpty) fs.delete(p, true)
       else rest.withColumn("batch_id", lit(-1L))

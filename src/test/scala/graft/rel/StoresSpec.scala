@@ -142,10 +142,15 @@ class StoresSpec extends SparkSpec {
       val n1 = spark.read.parquet(store)
         .filter($"batch_id".cast("long") === 1L).count()
       assert(m0(1L).getLong(1) === n1)
+      // r19 kind tags: a GATE is not a key erasure — only the key
+      // delete counts (gates surface via gatedBatches/maintenancePlan)
       Tombstones.gateBatches(spark, store, Seq(2L), mutationId = 0L)
+      Tombstones.applyDelete(Seq(999L).toDF("doc_id"), "doc_id", store,
+        batchId = 1L)
       val m1 = Stores.describe(spark, store).collect()
       assert(m1.forall(_.getLong(4) === 1L),
-        "the manifest must surface the standing mutation state")
+        "the manifest must surface the standing key erasures, and " +
+          "gates must not inflate the count")
       // fold watermark: null until a compaction folds, then its value
       assert(m1.forall(_.isNullAt(5)),
         "a never-compacted store has no fold watermark")
@@ -240,6 +245,141 @@ class StoresSpec extends SparkSpec {
         "the cluster store's own erasure log must be counted")
       assert(!p2.getAs[Boolean]("recluster_plan_pending"),
         "an applied plan leaves nothing pending")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("maintenancePlan layout: a typo'd path reports 'absent', never " +
+      "a clean-looking zero row; real stores report their layout and " +
+      "autoMaintain refuses 'absent' loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("maintlayout")
+    try {
+      val typo = dir.resolve("no_such_store.parquet").toString
+      assert(Stores.maintenancePlan(spark, typo).collect().head
+        .getAs[String]("layout") === "absent")
+      val e = intercept[IllegalArgumentException] {
+        Stores.autoMaintain(spark, typo, _ => ())
+      }
+      assert(e.getMessage.contains("no store layout"))
+      // a non-store dir that merely EXISTS is still 'absent'
+      java.nio.file.Files.createDirectory(dir.resolve("junk"))
+      assert(Stores.maintenancePlan(spark, dir.resolve("junk").toString)
+        .collect().head.getAs[String]("layout") === "absent")
+      val store = dir.resolve("store.parquet").toString
+      AggStore.applyBatch(li, groupCols, "l_extendedprice", store, 0L)
+      assert(Stores.maintenancePlan(spark, store).collect().head
+        .getAs[String]("layout") === "batched")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("gate vs key erasure no longer alias (r19 kind tags): an " +
+      "erased doc key equal to a live batch id is not a gate, and a " +
+      "gate is not a tombstoned key") {
+    val dir = java.nio.file.Files.createTempDirectory("kindtags")
+    try {
+      val store = dir.resolve("store.parquet").toString
+      (0 until 3).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(3)) === b), groupCols,
+        "l_extendedprice", store, b.toLong))
+      // a doc-keyed erasure whose key COLLIDES with live batch id 1
+      Tombstones.applyDelete(Seq(1L).toDF("doc_id"), "doc_id", store,
+        batchId = 0L)
+      assert(Tombstones.gatedBatches(spark, store) === Set.empty[Long],
+        "a kind='key' erasure must never report as a gate")
+      val plan0 = Stores.maintenancePlan(spark, store).collect().head
+      assert(plan0.getAs[scala.collection.Seq[Long]]("gated_batches")
+        .isEmpty && plan0.getAs[Long]("n_tombstoned_keys") === 1L)
+      // a real gate joins the same log; the two stay disjoint
+      Tombstones.gateBatches(spark, store, Seq(2L), mutationId = 1L)
+      assert(Tombstones.gatedBatches(spark, store) === Set(2L))
+      assert(Tombstones.deletedKeys(spark, store).get.collect()
+        .map(_.getLong(0)).toSet === Set(1L),
+        "a gate must not count as a tombstoned key")
+      // ungate removes ONLY the gate row; the key erasure survives
+      Tombstones.ungateBatch(spark, store, 2L)
+      assert(Tombstones.gatedBatches(spark, store) === Set.empty[Long])
+      assert(Tombstones.deletedKeys(spark, store).get.collect()
+        .map(_.getLong(0)).toSet === Set(1L))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("autoMaintain drives a dirty multi-store fixture to clean " +
+      "state; the second pass is a no-op") {
+    import graft.sources.MediaClusterStore
+    val dir = java.nio.file.Files.createTempDirectory("automaint")
+    try {
+      // store A: an exact agg store, 5 un-folded batches, one GATE at
+      // batch 2 — the trigger must steer the fold BELOW the gate
+      val agg = dir.resolve("agg.parquet").toString
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b), groupCols,
+        "l_extendedprice", agg, b.toLong))
+      Tombstones.gateBatches(spark, agg, Seq(2L), mutationId = 0L)
+      val before = AggStore.mergePartials(
+          Tombstones.filterGated(spark.read.parquet(agg), agg)
+            .drop("batch_id"), groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+      val r1 = Stores.autoMaintain(spark, agg,
+        t => AggStore.compactThrough(spark, agg, groupCols, t),
+        compactAboveBatches = 4L)
+      assert(r1.layout === "batched" && r1.compactedThrough === Some(1L),
+        "fold must clip below the gated batch, not trip on it")
+      assert(AggStore.mergePartials(
+          Tombstones.filterGated(spark.read.parquet(agg), agg)
+            .drop("batch_id"), groupCols)
+        .orderBy(groupCols.map(col): _*).collect().map(_.toSeq).toSeq
+        === before, "read-before must equal read-after")
+      val r2 = Stores.autoMaintain(spark, agg,
+        t => AggStore.compactThrough(spark, agg, groupCols, t),
+        compactAboveBatches = 4L)
+      assert(r2.isNoOp, "steady state: the gate blocks further " +
+        "folding and the trigger must not re-fire forever")
+
+      // store B: a sketch store past the batch trigger, no gates
+      val kll = dir.resolve("kll.parquet").toString
+      (0 until 5).foreach(b => QuantileStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b), groupCols,
+        "l_extendedprice", kll, b.toLong, k = 64))
+      val r3 = Stores.autoMaintain(spark, kll,
+        t => QuantileStore.compactThrough(spark, kll, groupCols, 64, t),
+        compactAboveBatches = 4L, retainBatches = 1L)
+      assert(r3.compactedThrough === Some(3L))
+      assert(Stores.autoMaintain(spark, kll,
+        t => QuantileStore.compactThrough(spark, kll, groupCols, 64, t),
+        compactAboveBatches = 4L, retainBatches = 1L).isNoOp)
+
+      // store C: a cluster store with a standing erasure whose
+      // divergence was never checked — the repair trigger
+      val cl = dir.resolve("cl").toString
+      def members(rows: Long*) =
+        rows.toSeq.map((_, "image")).toDF("media_id", "modality")
+      def prs(rows: (Long, Long)*) =
+        rows.toSeq.map { case (a, b) => ("image", a, b) }
+          .toDF("modality", "id_a", "id_b")
+      MediaClusterStore.applyClusterBatch(spark, members(10L, 11L, 12L),
+        prs((10L, 11L), (11L, 12L)), cl, 0L)
+      MediaClusterStore.deleteMembers(members(11L), cl, 0L)
+      def repair() = Stores.autoMaintain(spark, cl, _ => (),
+        recluster = Some(() => {
+          MediaClusterStore.reclusterAffected(spark, cl,
+            prs((10L, 11L), (11L, 12L))); ()
+        }))
+      val r5 = repair()
+      assert(r5.layout === "cluster" && r5.reclustered,
+        "unchecked erasure divergence must trigger the repair")
+      assert(repair().isNoOp,
+        "a checked divergence must not re-trigger")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
