@@ -375,6 +375,10 @@ object AggStore {
       singleFile: Boolean = true): Unit = {
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a crashed ATOMIC fold publish recovers first (r19): a complete
+    // stage finishes its swap/watermark/prune tail, an incomplete one
+    // discards — so the decision below always reads a known state
+    FoldWatermark.recoverFoldStages(fs, storePath)
     // re-entry after a crash between fold and prune (r18): the fold
     // already landed (watermark == through, or the fold-commit marker
     // stands), so re-running it over fold + surviving originals would
@@ -406,13 +410,17 @@ object AggStore {
         min("min_val").as("min_val"),
         max("max_val").as("max_val"))
       .localCheckpoint()
-    writeFencedPartials(folded, storePath, through, singleFile,
-      compactionFold = true)
-    // commit marker, then watermark, then prune: every crash window
-    // either resumes as fold-done on re-entry (marker/watermark seen)
-    // or refuses a still-derivable snapshot (conservative) — never
+    // atomic publish (r19): stage + in-stage marker + one rename —
+    // no window where the fold stands without its commit evidence
+    FoldWatermark.publishFold(fs, storePath, through) { stage =>
+      (if (singleFile) folded.coalesce(1) else folded)
+        .write.option("maxRecordsPerFile", 10000000L)
+        .mode("overwrite").parquet(stage)
+    }
+    // watermark, then prune: every crash window resumes as fold-done
+    // on re-entry (the swapped-in partition carries the marker) or
+    // refuses a still-derivable snapshot (conservative) — never
     // serves a partial answer and never re-folds on retry
-    FoldWatermark.markFoldCommitted(fs, storePath, through)
     FoldWatermark.write(fs, storePath, through)
     pruneThrough(s, storePath, through)
   }

@@ -113,6 +113,9 @@ object Stores {
     if (!Tombstones.populated(s, storePath)) return
     val fs = new org.apache.hadoop.fs.Path(storePath)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a crashed ATOMIC fold publish recovers first (r19) — see
+    // FoldWatermark.recoverFoldStages
+    FoldWatermark.recoverFoldStages(fs, storePath)
     // re-entry after a crash between fold and prune (r18): for the
     // ADDITIVE sketches (KLL weights, CMS cells) re-running the fold
     // over fold + surviving originals would permanently double-count —
@@ -147,14 +150,11 @@ object Stores {
     // writing a watermark for a fold that never happened would
     // pointlessly refuse true-empty pre-history as-of reads
     if (!folded.isEmpty) {
-      folded.withColumn("batch_id", lit(through))
-        .coalesce(1).write
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .mode("overwrite").parquet(storePath)
-      // commit marker before watermark before prune: every crash
-      // window re-enters as fold-done (see resumeAfterFold above)
-      FoldWatermark.markFoldCommitted(fs, storePath, through)
+      // atomic publish (r19): stage + in-stage marker + one rename —
+      // no window where the fold stands without its commit evidence
+      FoldWatermark.publishFold(fs, storePath, through) { stage =>
+        folded.coalesce(1).write.mode("overwrite").parquet(stage)
+      }
       FoldWatermark.write(fs, storePath, through)
       AggStore.pruneThrough(s, storePath, through)
     }

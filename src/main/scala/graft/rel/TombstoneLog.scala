@@ -127,6 +127,9 @@ private[graft] object KeyedCompaction {
         org.apache.spark.sql.DataFrame = identity): Unit = {
     val fs = fsOf(s, dataPath)
     TombstoneLog.recoverSwap(fs, logPath, nextPath)
+    // a crashed ATOMIC fold publish recovers first (r19) — see
+    // FoldWatermark.recoverFoldStages
+    FoldWatermark.recoverFoldStages(fs, dataPath)
     // a fully-erased store's data dir was deleted by a prior empty-fold
     // compaction (see below) — nothing to fold; a FILE-LESS dir (an
     // all-tombstoned or empty first batch's dynamic overwrite wrote
@@ -208,15 +211,12 @@ private[graft] object KeyedCompaction {
       if (!Tombstones.populated(fs, dataPath))
         FoldWatermark.deletePreservingWatermark(fs, dataPath)
     } else {
-      folded.withColumn("batch_id", lit(through))
-        .write
-        .option("partitionOverwriteMode", "dynamic")
-        .option("maxRecordsPerFile", 10000000L)
-        .partitionBy("batch_id")
-        .mode("overwrite").parquet(dataPath)
-      // commit marker before the watermark: a crash between the two
-      // still resumes as fold-done on re-entry (see resumeAfterFold)
-      FoldWatermark.markFoldCommitted(fs, dataPath, through)
+      // atomic publish (r19): stage + in-stage marker + one rename —
+      // no window where the fold stands without its commit evidence
+      FoldWatermark.publishFold(fs, dataPath, through) { stage =>
+        folded.write.option("maxRecordsPerFile", 10000000L)
+          .mode("overwrite").parquet(stage)
+      }
       FoldWatermark.write(fs, dataPath, through)
       pruneThrough(s, dataPath, through)
     }
@@ -432,29 +432,96 @@ private[graft] object FoldWatermark {
   private def foldCommitMarker(dataPath: String, through: Long) =
     TombstoneLog.path(s"$dataPath/batch_id=$through/_fold_commit")
 
-  /** Mark the `batch_id=through` fold partition COMPLETE — touched
-    * right after the fold's write commits and before the watermark
-    * write, closing the re-entry window the watermark alone leaves:
-    * a crash after the fold landed but before the watermark would
-    * otherwise present a store whose re-entered compaction re-folds
-    * the fold together with the surviving originals — a permanent
-    * double-count for the additive stores. The marker lives INSIDE
-    * the partition (underscore-prefixed: invisible to every scan), so
-    * any rewrite of the partition deletes the marker with it, and an
-    * EMPTY fold (which writes no partition) never creates one — the
-    * existence guard below also keeps a crash-free empty fold from
-    * fabricating a file-less `batch_id=` dir, which would break the
-    * partition-gated readers' schema inference. The residual window
-    * is the instant between the fold job's commit and this one-file
-    * create — milliseconds, down from the whole fold→watermark span. */
-  def markFoldCommitted(fs: org.apache.hadoop.fs.FileSystem,
-      dataPath: String, through: Long): Unit =
-    if (fs.exists(TombstoneLog.path(s"$dataPath/batch_id=$through")))
-      fs.create(foldCommitMarker(dataPath, through), true).close()
-
+  /** The `_fold_commit` marker INSIDE a fold partition marks it
+    * COMPLETE. Since r19 it is written into [[publishFold]]'s stage
+    * and arrives via the swap rename, so partition and marker land
+    * ATOMICALLY — there is no instant where a committed fold stands
+    * without its evidence (r18's flow created it after the partition
+    * commit, leaving a window a retry could double-count through;
+    * the r18-era marker semantics still hold for already-written
+    * stores). Underscore-prefixed: invisible to every scan; any
+    * rewrite of the partition deletes the marker with it, and an
+    * EMPTY fold (which stages nothing) never creates one — so a
+    * crash-free empty fold can never fabricate a file-less
+    * `batch_id=` dir that would break partition-gated readers'
+    * schema inference. */
   def foldCommitted(fs: org.apache.hadoop.fs.FileSystem,
       dataPath: String, through: Long): Boolean =
     fs.exists(foldCommitMarker(dataPath, through))
+
+  private def foldStage(dataPath: String, through: Long) =
+    TombstoneLog.path(s"$dataPath/_fold_stage_$through")
+
+  /** Publish a fold ATOMICALLY (r19 ADVICE — the residual window):
+    * the r18 flow committed the fold partition via dynamic overwrite
+    * and THEN created the `_fold_commit` marker; a retry landing in
+    * between saw no fold evidence and re-folded the landed fold
+    * together with the surviving originals (permanent double-count
+    * for the additive stores) — "milliseconds" locally, but a
+    * multi-file partition commit is not atomic on object stores, so
+    * the window is materially wider there. Now the fold writes
+    * COMPLETELY to an underscore-hidden staging sibling, the marker
+    * lands INSIDE the stage, and one rename swaps the stage in as the
+    * `batch_id=through` partition: every crash point re-enters either
+    * as fold-not-started (incomplete stage discarded, originals
+    * untouched) or as fold-done ([[recoverFoldStages]] finishes the
+    * swap; the in-partition marker then carries the ordinary
+    * [[resumeAfterFold]] evidence) — never in between.
+    * `write` materializes the folded relation into the given stage
+    * dir (each choreography keeps its own file-count convention). */
+  def publishFold(fs: org.apache.hadoop.fs.FileSystem, dataPath: String,
+      through: Long)(write: String => Unit): Unit = {
+    val stage = foldStage(dataPath, through)
+    fs.delete(stage, true) // a prior incomplete attempt's litter
+    write(stage.toString)
+    fs.create(new org.apache.hadoop.fs.Path(stage, "_fold_commit"), true)
+      .close()
+    val tgt = TombstoneLog.path(s"$dataPath/batch_id=$through")
+    if (fs.exists(tgt)) fs.delete(tgt, true)
+    require(fs.rename(stage, tgt),
+      s"cannot swap fold stage into place at $tgt")
+  }
+
+  /** Entry-time recovery for a crashed [[publishFold]] — every
+    * compaction choreography calls this FIRST: a COMPLETE stage (its
+    * in-stage marker stands) is a landed fold whose swap/watermark/
+    * prune tail must finish — idempotently completed here, so the
+    * caller's ordinary resumeAfterFold/fresh-fold decision then reads
+    * a store in a known state; an INCOMPLETE stage (crash mid-write)
+    * is discarded — the originals were never touched, so a fresh fold
+    * is safe. A complete stage BELOW the current watermark is litter
+    * from a recovery that itself crashed after the watermark write:
+    * its content is already inside a higher fold — discard. */
+  def recoverFoldStages(fs: org.apache.hadoop.fs.FileSystem,
+      dataPath: String): Unit = {
+    val root = TombstoneLog.path(dataPath)
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(_.getPath.getName.startsWith("_fold_stage_"))
+      .foreach { st =>
+        scala.util.Try(st.getPath.getName
+          .stripPrefix("_fold_stage_").toLong).toOption match {
+          case Some(t) if fs.exists(new org.apache.hadoop.fs.Path(
+              st.getPath, "_fold_commit")) &&
+              read(fs, dataPath).forall(_ <= t) =>
+            val tgt = TombstoneLog.path(s"$dataPath/batch_id=$t")
+            if (fs.exists(tgt)) fs.delete(tgt, true)
+            require(fs.rename(st.getPath, tgt),
+              s"cannot recover fold stage into place at $tgt")
+            write(fs, dataPath, t)
+            // the prune tail, FS-only (shared by both choreographies'
+            // pruneThrough implementations — same listed deletes)
+            fs.listStatus(root).foreach { p =>
+              val n = p.getPath.getName
+              if (n.startsWith("batch_id=") &&
+                  scala.util.Try(n.stripPrefix("batch_id=").toLong)
+                    .toOption.exists(_ < t))
+                fs.delete(p.getPath, true)
+            }
+          case _ => fs.delete(st.getPath, true)
+        }
+      }
+  }
 
   /** Compaction ENTRY decision (r18) — the contract that makes a
     * crashed compactThrough's natural retry BE its recovery instead

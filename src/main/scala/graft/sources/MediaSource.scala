@@ -81,11 +81,15 @@ object MediaSource {
     * the winner's identical bytes). Fallback arm (no FileContext
     * binding for the scheme): a target already at the expected length
     * IS this row's output — content is deterministic per row — so the
-    * tmp drops and the delete+rename (with its unavoidable window) is
-    * reserved for absent or partial targets. Re-runs of the whole job
-    * legitimately overwrite in both arms (the fallback's equal-length
-    * skip assumes per-row determinism, the sinks' documented
-    * contract). */
+    * tmp drops; an ABSENT target takes a plain rename (no delete
+    * step, no window); a PARTIAL target is overwritten IN PLACE via
+    * `create(overwrite)` (r19 ADVICE — the old delete-then-rename
+    * left a crash window where the row's file was MISSING with no
+    * error until a full re-run; a crash mid-copy now leaves a
+    * wrong-length partial instead, which the next attempt detects and
+    * re-publishes). Re-runs of the whole job legitimately overwrite
+    * in both arms (the fallback's equal-length skip assumes per-row
+    * determinism, the sinks' documented contract). */
   private[sources] def publish(fs: org.apache.hadoop.fs.FileSystem,
       fc: Option[org.apache.hadoop.fs.FileContext],
       tmp: org.apache.hadoop.fs.Path, target: org.apache.hadoop.fs.Path,
@@ -93,13 +97,25 @@ object MediaSource {
     case Some(c) =>
       c.rename(tmp, target, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     case None =>
-      val complete =
-        try fs.getFileStatus(target).getLen == expectedLen
-        catch { case _: java.io.FileNotFoundException => false }
-      if (complete) fs.delete(tmp, false)
-      else {
-        fs.delete(target, false)
-        if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+      val standing =
+        try Some(fs.getFileStatus(target).getLen)
+        catch { case _: java.io.FileNotFoundException => None }
+      standing match {
+        case Some(len) if len == expectedLen =>
+          fs.delete(tmp, false)
+        case None =>
+          // absent target: rename straight in — losing the rename
+          // means a concurrent attempt won with identical bytes
+          if (!fs.rename(tmp, target)) fs.delete(tmp, false)
+        case Some(_) =>
+          val in = fs.open(tmp)
+          try {
+            val out = fs.create(target, true)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536,
+              false)
+            finally out.close()
+          } finally in.close()
+          fs.delete(tmp, false)
       }
   }
 

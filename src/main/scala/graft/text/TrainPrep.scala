@@ -65,7 +65,15 @@ object TrainPrep {
     // pos window reuses the shard repartition's exchange, and its
     // task sort (shard, hkey, id) IS the written pos order the
     // loaders stream.
+    // null ids drop (r19 ADVICE): xxhash64(null) degrades to the seed
+    // hash, so every null-id row would land in ONE shard and the
+    // row_number tie on (hkey, null) would deal them a
+    // NONDETERMINISTIC pos across runs — shard files must be
+    // re-materializable bit-for-bit. (The pre-r18 docs⋈shuffleShard
+    // form silently dropped them through its equi-join; this makes
+    // the drop explicit.)
     docs
+      .filter(col(idCol).isNotNull)
       .withColumn("hkey", xxhash64(col(idCol), lit(seed)))
       .withColumn("shard", pmod(col("hkey"), lit(nShards.toLong)))
       .repartition(nShards, col("shard"))

@@ -101,6 +101,74 @@ class CompactionCrashSpec extends SparkSpec {
     }
   }
 
+  test("atomic fold publish (r19): kill states INSIDE the old " +
+      "commit-window — complete stage unswapped, incomplete stage, " +
+      "and mid-swap — all re-enter to the uninterrupted twin's state") {
+    val dir = java.nio.file.Files.createTempDirectory("stagecrash")
+    try {
+      val store = dir.resolve("store").toString
+      val twin = dir.resolve("twin").toString
+      val li = graft.Tables.lineitem(spark, sf0001)
+      val gc = Seq("l_returnflag", "l_linestatus")
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b),
+        gc, "l_extendedprice", store, b.toLong))
+      def ans(p: String) = AggStore.aggFromStore(spark, p, gc)
+        .orderBy(gc.map(col): _*).collect().map(_.toSeq).toSeq
+      val want = ans(store)
+      // the uninterrupted twin supplies the landed fold's exact bytes
+      copyDir(store, twin)
+      AggStore.compactThrough(spark, twin, gc, 2L)
+      assert(ans(twin) === want)
+      val fs = fsOf(store)
+
+      // P0a: crash right after the in-stage marker create — stage
+      // COMPLETE (fold + _fold_commit inside), originals untouched,
+      // no watermark. The r18 flow had no such state: its fold landed
+      // IN the store before any marker, and a retry in that instant
+      // re-folded it with the originals (the ADVICE double-count).
+      copyDir(s"$twin/batch_id=2", s"$store/_fold_stage_2")
+      assert(ans(store) === want,
+        "a standing stage must be invisible to readers")
+      AggStore.compactThrough(spark, store, gc, 2L) // the natural retry
+      assert(partitions(store) === Set(2L, 3L, 4L) && ans(store) === want,
+        "complete-stage re-entry must swap + prune, never re-fold")
+      assert(FoldWatermark.read(fs, store) === Some(2L))
+
+      // P0b: crash MID-SWAP — target partition deleted, complete
+      // stage standing, watermark/prune lost. Rebuild the pre-crash
+      // batches first (fresh store), then sculpt the kill state.
+      fs.delete(hp(store), true)
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b),
+        gc, "l_extendedprice", store, b.toLong))
+      copyDir(s"$twin/batch_id=2", s"$store/_fold_stage_2")
+      fs.delete(hp(s"$store/batch_id=2"), true)
+      AggStore.compactThrough(spark, store, gc, 2L)
+      assert(partitions(store) === Set(2L, 3L, 4L) && ans(store) === want,
+        "mid-swap re-entry must finish the swap")
+
+      // P0c: crash MID-STAGE-WRITE — stage present, marker absent:
+      // the originals were never touched, so the stage discards and
+      // the fresh fold proceeds
+      fs.delete(hp(store), true)
+      (0 until 5).foreach(b => AggStore.applyBatch(
+        li.filter(pmod($"l_orderkey", lit(5)) === b),
+        gc, "l_extendedprice", store, b.toLong))
+      copyDir(s"$twin/batch_id=2", s"$store/_fold_stage_2")
+      fs.delete(hp(s"$store/_fold_stage_2/_fold_commit"), false)
+      AggStore.compactThrough(spark, store, gc, 2L)
+      assert(partitions(store) === Set(2L, 3L, 4L) && ans(store) === want,
+        "an incomplete stage must discard and fold fresh")
+      assert(!fs.exists(hp(s"$store/_fold_stage_2")),
+        "no stage litter after recovery")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   // -------------------------------------- sketch family (KLL + CMS)
   test("KLL crash re-entry: total weight (the double-count detector) " +
       "survives a kill between fold and prune + retry exactly") {
