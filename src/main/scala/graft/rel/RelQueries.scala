@@ -384,16 +384,28 @@ object RelQueries {
   // the oracle uses a regexp equivalent — same values.  [SURVEY §2.K]
   def q14JsonExtract(s: SparkSession, d: String): DataFrame =
     events(s, d)
-      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      // try_cast, not cast (r19 review): ANSI cast hard-crashes the
+      // whole query on one non-numeric k ('{"k": "text"}'); the
+      // extraction contract is null-on-malformed, like the oracle's
+      .withColumn("k",
+        expr("try_cast(get_json_object(props, '$.k') AS LONG)"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"),
         r4(avg("k")).as("avg_k"), r2(sum("value")).as("sum_value"))
       .orderBy("event_type")
 
+  // TRY_CAST(nullif(…)) mirrors get_json_object's null-on-missing
+  // (r19 review): DuckDB regexp_extract returns '' on no-match and a
+  // plain CAST('' AS BIGINT) is a hard conversion ERROR — one props
+  // row without a numeric "k" ('{}', malformed) would crash the
+  // whole oracle where Spark aggregates a null cleanly. The pattern
+  // also accepts a QUOTED integer ('"k": "7"') with a [,}] terminator
+  // — get_json_object unquotes scalars, so the Spark side extracts 7
+  // there; without the quotes-aware form the engines diverge
   val q14Sql: String =
     """SELECT event_type, count(*) AS n_events,
-      |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
-      |  round(avg(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)), 4) AS avg_k,
+      |  CAST(sum(TRY_CAST(nullif(regexp_extract(props, '"k":\s*"?(-?\d+)"?\s*[,}]', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(TRY_CAST(nullif(regexp_extract(props, '"k":\s*"?(-?\d+)"?\s*[,}]', 1), '') AS BIGINT)), 4) AS avg_k,
       |  round(sum(value), 2) AS sum_value
       |FROM events
       |GROUP BY event_type
@@ -427,6 +439,12 @@ object RelQueries {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events(s, d)
+      // null-ts events do not sessionize (r19 review — the q26/q94
+      // precedent: session_window drops them): without the filter the
+      // engines DIVERGE on the break count, because Spark's window
+      // ORDER BY puts nulls FIRST (each null row and the first real
+      // row both trigger prev_ts IS NULL) while DuckDB puts them LAST
+      .filter(col("ts").isNotNull)
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
@@ -445,7 +463,7 @@ object RelQueries {
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800.0
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM events
+      |  FROM events WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sess AS (
       |  SELECT user_id,
@@ -516,7 +534,11 @@ object RelQueries {
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"))
       .agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy("event_type")
-      .orderBy(col("n_events").desc, col("hour_epoch"))
+      // asc_nulls_last pins the tie-break to DuckDB's default (r19
+      // review): a null hour bucket (null-ts events) tying the max
+      // count would otherwise win on the Spark side (nulls FIRST on
+      // ASC) and lose on the oracle side
+      .orderBy(col("n_events").desc, col("hour_epoch").asc_nulls_last)
     hourly.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select("event_type", "hour_epoch", "n_events")
@@ -582,7 +604,10 @@ object RelQueries {
       |    CASE WHEN lag(ts) OVER w IS NULL
       |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800.0
       |         THEN 1 ELSE 0 END AS new_session
-      |  FROM events
+      |  -- Spark's session_window DROPS null timestamps (the q94
+      |  -- precedent); without this filter the lag/cumsum rewrite
+      |  -- would count them into the user's last session (r19)
+      |  FROM events WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
       |), sess AS (
       |  SELECT user_id, ts, value,

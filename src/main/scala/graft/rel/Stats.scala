@@ -40,15 +40,17 @@ object Stats {
     val rowTot = seen.groupBy(aCol).agg(sum("obs").as("row_tot"))
     val colTot = seen.groupBy(bCol).agg(sum("obs").as("col_tot"))
     val n = seen.agg(sum("obs").as("n_total"))
-    val cells = rowTot.select(aCol).crossJoin(broadcast(colTot.select(bCol)))
+    // the spine carries both marginals from the start (r19 review):
+    // building it from the marginals' key projections and then joining
+    // row_tot/col_tot back on again paid two redundant broadcast joins
+    val cells = rowTot.crossJoin(broadcast(colTot))
       .join(seen, Seq(aCol, bCol), "left")
-      .select(col(aCol), col(bCol), coalesce(col("obs"), lit(0L)).as("obs"))
+      .select(col(aCol), col(bCol), coalesce(col("obs"), lit(0L)).as("obs"),
+        col("row_tot"), col("col_tot"))
     val e = col("row_tot").cast("double") * col("col_tot").cast("double") /
       col("n_total").cast("double")
     val od = col("obs").cast("double")
-    cells.join(broadcast(rowTot), aCol)
-      .join(broadcast(colTot), bCol)
-      .crossJoin(broadcast(n))
+    cells.crossJoin(broadcast(n))
       .select(col(aCol), col(bCol), col("obs"),
         e.as("expected"),
         ((od - e) * (od - e) / e).as("contrib"))
@@ -156,8 +158,15 @@ object Stats {
   def q96SessionPaths(s: SparkSession, d: String, topK: Int = 15): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("us"), col("event_id"))
-    val e = events(s, d).select(col("user_id"), col("event_id"),
-      unix_micros(col("ts")).as("us"), col("event_type"))
+    // null-ts and null-typed events do not contribute to paths (r19
+    // review, pinned on BOTH sides): a null us diverges on window
+    // NULLS FIRST (Spark) vs LAST (DuckDB) ordering, and a null
+    // event_type diverges on concat_ws (skips nulls — a 2-gram
+    // disguised as a trigram) vs `||` (nulls the whole path)
+    val e = events(s, d)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
     val sessed = e
       .withColumn("brk",
         when(col("us") - lag("us", 1).over(w) > lit(1800000000L), lit(1))
@@ -187,7 +196,8 @@ object Stats {
     """WITH e AS (
       |  SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
       |    event_type
-      |  FROM events),
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL),
       |s AS (
       |  SELECT *, CASE WHEN us - lag(us) OVER
       |      (PARTITION BY user_id ORDER BY us, event_id) > 1800000000

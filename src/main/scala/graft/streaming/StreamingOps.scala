@@ -41,8 +41,10 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"),
         col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
-          .as("sum_cents"))
+        // the ONE cents quantization (r19 review): streaming ≡ q94
+        // equality is asserted, so the rounding must be structural,
+        // not a byte-identical copy that could drift
+        sum(graft.rel.Stores.cents(col("value"))).as("sum_cents"))
       .select(unix_timestamp(col("window.start")).as("win_start_sec"),
         col("event_type"), col("n_events"), col("sum_cents"))
 
@@ -592,23 +594,32 @@ object StreamingOps {
             "would overwrite history. Continue the original checkpoint, " +
             "or rebuild the store")
     } else {
-      val tmp = new org.apache.hadoop.fs.Path(dir, "_lineage.tmp")
+      // per-attempt tmp name: two concurrent first-binders sharing one
+      // tmp path would clobber each other's half-written bytes (r19
+      // review), and on POSIX local filesystems rename-to-existing
+      // REPLACES atomically and returns true — so the old
+      // "rename failed = lost the race" branch never fired there
+      val tmp = new org.apache.hadoop.fs.Path(dir,
+        s"_lineage.tmp-${java.util.UUID.randomUUID()}")
       val out = fs.create(tmp, true)
       try out.write(lineage.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, marker)) {
-        // lost a concurrent race: re-read and enforce like the branch above
-        fs.delete(tmp, false)
-        require(fs.exists(marker), s"cannot establish lineage marker at $marker")
-        val in2 = fs.open(marker)
-        val prev2 = try scala.io.Source.fromInputStream(in2, "UTF-8")
-          .mkString.trim
-        finally in2.close()
-        if (prev2 != lineage)
-          throw new IllegalStateException(
-            s"$what was just bound to lineage $prev2; this query is $lineage")
-      }
+      if (!fs.rename(tmp, marker)) fs.delete(tmp, false)
+      // verify-after-write closes the race on BOTH rename semantics:
+      // whichever racer's marker stands, exactly the other sees a
+      // foreign lineage here and refuses before its first overwrite
+      require(fs.exists(marker),
+        s"cannot establish lineage marker at $marker")
+      val in2 = fs.open(marker)
+      val prev2 = try scala.io.Source.fromInputStream(in2, "UTF-8")
+        .mkString.trim
+      finally in2.close()
+      if (prev2 != lineage)
+        throw new IllegalStateException(
+          s"$what was just bound to lineage $prev2; this query is $lineage — " +
+            "a fresh checkpoint restarts batch ids and would overwrite " +
+            "history. Continue the original checkpoint, or rebuild the store")
     }
   }
 
@@ -689,7 +700,13 @@ object StreamingOps {
         // to retain-prune, so the horizon pass is a no-op, not an NPE
         val newestRow = all.agg(max("ts_ms")).head
         if (newestRow.isNullAt(0)) all
-        else all.filter(col("ts_ms") >= newestRow.getLong(0) - horizonMs)
+        // null-ts_ms rows RETAIN (r19 review): a row without an event
+        // time cannot age out — rows from a pre-tsCol bootstrap or a
+        // null-timestamped ingest would otherwise drop wholesale,
+        // silently deleting their dedup history and un-fencing their
+        // doc ids against redelivery
+        else all.filter(col("ts_ms").isNull ||
+          col("ts_ms") >= newestRow.getLong(0) - horizonMs)
       }
     kept.repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
@@ -870,6 +887,14 @@ object StreamingOps {
   def heavyHittersFromStore(docs: DataFrame, storePath: String, k: Int,
       support: Double): DataFrame = {
     val s = docs.sparkSession
+    // the READ path recovers an interrupted compaction swap too (r19
+    // review): a crash inside applyHeavyHitterBatch's rename swap
+    // leaves no store at this path, and the stream that would have
+    // recovered it on its next trigger is the thing that just died —
+    // without this, every read throws until a write happens to run
+    val storeP = new org.apache.hadoop.fs.Path(storePath)
+    recoverCompactionSwap(
+      storeP.getFileSystem(s.sparkContext.hadoopConfiguration), storeP)
     val stored = s.read.parquet(storePath).localCheckpoint()
     // the MG floor is a property of the summary's BUILD k (persisted
     // on the sentinel row), not the caller's claim — a reader passing
@@ -1202,8 +1227,9 @@ object StreamingOps {
 
   /** The ONE fold choreography for the batch-FILE stores (semantic
     * assignments, audio features): survivors of every batch file
-    * EXCEPT the newest collapse into `batch-compacted.parquet`, then
-    * the folded sources delete, then the log shrinks.
+    * EXCEPT the newest collapse into a fresh
+    * `batch-compacted-<gen>.parquet` generation, then the folded
+    * sources delete, then the log shrinks.
     *
     * The NEWEST numbered batch file is deliberately left out of the
     * fold: it may belong to a trigger whose streaming checkpoint has
@@ -1211,25 +1237,43 @@ object StreamingOps {
     * own-file name exclusion (its rows would hide inside the compacted
     * file and every doc would judge against its own vectors) and the
     * deterministic-name idempotence (the replay would re-append the
-    * rows the fold already absorbed). Its tombstoned rows stay
-    * suppressed because the log SHRINKS to exactly the keys with a row
-    * in that file (the KeyedCompaction kept-tombstone rule) instead of
-    * being deleted outright.
+    * rows the fold already absorbed).
+    *
+    * Log shrink (r19 review — two bugs closed): tombstones are kept
+    * while they still suppress a row in the un-folded newest file OR
+    * while their key never arrived in ANY folded source — a
+    * delete-BEFORE-arrival tombstone is the only thing standing
+    * between a late-arriving deleted doc and the store (the ingest
+    * paths' advertised guarantee), so routine maintenance must not
+    * age it out. Only tombstones the fold fully APPLIED drop. The
+    * key comparison aligns on the LOG's own key type — the previous
+    * cast-to-long wiped the whole log for string-keyed stores.
     *
     * Crash discipline: the fold materializes and the compacted file
     * commits (tmp + rename, [[writeSingleFile]]) BEFORE any source
-    * file deletes — the previous order deleted the sources first and a
-    * crash before the write left the store's only copy in volatile
-    * checkpoint blocks (permanent loss). The window between the
-    * compacted write and the source deletes double-lists rows; the
-    * fold is `dropDuplicates()` over identical copies, so a RE-RUN
-    * converges (the AggStore crash-window recovery shape). Single
-    * maintenance owner, quiesced, as for every store rewrite. */
+    * file deletes. The compacted file takes a FRESH generation name
+    * (r19 review): overwriting `batch-compacted.parquet` in place
+    * paid writeSingleFile's delete-then-rename replace window while
+    * the old compacted file was itself a fold SOURCE — a crash inside
+    * it destroyed the only copy of every previously-folded row (the
+    * next run's tmp sweep deletes the survivor). A fresh name renames
+    * onto nothing, and the superseded generation deletes with the
+    * other sources only after the new one committed. The window
+    * between the compacted write and the source deletes double-lists
+    * rows; the fold is `dropDuplicates()` over identical copies, so a
+    * RE-RUN converges (the AggStore crash-window recovery shape).
+    * Single maintenance owner, quiesced, as for every store rewrite. */
   private def compactBatchFileStore(s: SparkSession, storePath: String,
       keyCol: String): Unit =
     graft.rel.Tombstones.deletedKeys(s, storePath).foreach { _ =>
       val fsp = new org.apache.hadoop.fs.Path(storePath)
       val fs = fsp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val logP = graft.rel.Tombstones.logPath(storePath)
+      // finish an interrupted log swap FIRST (r19 review): the shrink
+      // below reads the log dir directly, and mid-swap only the
+      // staged `_next` set exists — the read would abort the
+      // choreography halfway until an unrelated applyDelete recovered
+      graft.rel.TombstoneLog.recoverSwap(fs, logP, logP + "_next")
       val files = fs.listStatus(fsp).toSeq.filter(st => st.isFile &&
         st.getPath.getName.startsWith("batch-"))
       val num = "batch-(\\d+)\\.parquet".r
@@ -1238,31 +1282,44 @@ object StreamingOps {
       })
       val newest = ids.sortBy(_._1).lastOption.map(_._2)
       val foldSet = files.filterNot(newest.contains)
+      val log = s.read.parquet(logP)
+      val kt = log.schema("key").dataType
+      def keysOf(paths: Seq[String]) = s.read.parquet(paths: _*)
+        .select(col(keyCol).cast(kt).as("key")).distinct()
       if (foldSet.nonEmpty) {
+        // folded-source arrivals, materialized BEFORE the sources
+        // delete — the shrink below needs them to tell an applied
+        // tombstone from a delete-before-arrival fence
+        val foldedKeys = keysOf(foldSet.map(_.getPath.toString))
+          .localCheckpoint()
         val survivors = graft.rel.Tombstones.filterDeleted(
             s.read.parquet(foldSet.map(_.getPath.toString): _*), keyCol,
             storePath)
           .dropDuplicates() // heals a re-run over the crash window
           .localCheckpoint() // materialize before any file moves
-        writeSingleFile(survivors, storePath, "batch-compacted.parquet")
-        foldSet.filterNot(_.getPath.getName == "batch-compacted.parquet")
-          .foreach(st => fs.delete(st.getPath, false))
+        val gen = "batch-compacted-(\\d+)\\.parquet".r
+        val nextGen = files.map(_.getPath.getName).foldLeft(0L) {
+          case (m, gen(g)) => m max g.toLong
+          case (m, _) => m
+        } + 1L
+        writeSingleFile(survivors, storePath,
+          s"batch-compacted-$nextGen.parquet")
+        foldSet.foreach(st => fs.delete(st.getPath, false))
+        // drop ONLY the fully-applied tombstones: folded-and-gone
+        // keys with no surviving row in the newest file; keys in the
+        // newest file keep suppressing it, and keys that never
+        // arrived keep fencing a future arrival
+        val applied = newest.map(st =>
+            foldedKeys.join(keysOf(Seq(st.getPath.toString)),
+              Seq("key"), "left_anti"))
+          .getOrElse(foldedKeys)
+        val kept = log.join(applied, Seq("key"), "left_anti")
+          .localCheckpoint()
+        graft.rel.TombstoneLog.swapIn(kept, fs, logP, logP + "_next")
       }
-      val logP = new org.apache.hadoop.fs.Path(
-        graft.rel.Tombstones.logPath(storePath))
-      newest match {
-        case Some(keep) =>
-          // shrink the log to tombstones with a row in the un-folded
-          // newest file — they must keep suppressing it at read
-          val kept = s.read.parquet(logP.toString)
-            .join(s.read.parquet(keep.getPath.toString)
-                .select(col(keyCol).cast("long").as("key")).distinct(),
-              Seq("key"), "left_semi")
-            .localCheckpoint()
-          graft.rel.TombstoneLog.swapIn(kept, fs, logP.toString,
-            logP.toString + "_next")
-        case None => fs.delete(logP, true)
-      }
+      // nothing folded (≤ 1 batch file): no tombstone was applied, so
+      // the log stays as-is — in particular a delete-before-ANY-
+      // arrival log survives (the old code deleted it outright here)
     }
 
   /** Audio feature extraction at ingest — the multimodal × streaming
