@@ -86,7 +86,13 @@ object LshKnn {
   private[graft] def lshNeardupOn(emb: DataFrame, minCos: Double,
       rowsPerBand: Int, nTables: Int, seed: Long): DataFrame = {
     graft.functions.VecFunctions.register(emb.sparkSession)
-    val bands = banded(emb, rowsPerBand, nTables, seed)
+    // cached: the self-join references this relation TWICE — without it
+    // the typed mapPartitions (80 hyperplane dot products per vector,
+    // plus the Dataset ser/de boundary) runs once per side (r19 plan
+    // audit: two Scan+MapPartitions subtrees for one invocation; guide
+    // §2.4). Batch path over one source relation — the CacheManager
+    // dedups repeated invocations by canonicalized plan (q25's policy).
+    val bands = banded(emb, rowsPerBand, nTables, seed).cache()
     // Verify-only: the banded sign signatures, so the oracle re-runs
     // the SQL-expressible half — band-collision candidacy, the exact
     // cosine verify at minCos, multiplicity dedup — on identical

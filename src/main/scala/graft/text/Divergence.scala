@@ -34,8 +34,18 @@ object Divergence {
     val terms = docs.select(col(domainCol),
         explode(split(col("text"), "\\s+")).as("term"))
       .filter(col("term") =!= "")
+    // cached: referenced FOUR times below (join probe side + corpTerm +
+    // srcTot + corpTot) — without it each reference re-runs the corpus
+    // tokenize + (source, term) aggregate from the scan (r19 plan audit:
+    // 4 parquet scans + 4 Generates for one invocation; guide §2.4's
+    // "compute once" rule). The cached rows are the vocabulary-sized
+    // (source, term, cnt_s) counts, never the token stream — exactly the
+    // "aggregates OVER the per-source counts" shape the scaladoc above
+    // promises. Same lifecycle argument as q25's shingle cache: the
+    // batch path over one source relation, deduped by the CacheManager.
     val srcTerm = terms.groupBy(col(domainCol), col("term"))
       .agg(count(lit(1)).as("cnt_s"))
+      .cache()
     val corpTerm = srcTerm.groupBy("term").agg(sum("cnt_s").as("cnt_c"))
     val srcTot = srcTerm.groupBy(domainCol).agg(sum("cnt_s").as("tot_s"))
     val corpTot = srcTerm.agg(sum("cnt_s").as("tot_c"))

@@ -536,28 +536,54 @@ object TextQueries {
     * are ABSENT (q62 left-joins them back as null; Curation treats
     * absent as un-gateable). Shared with the curation repetition gate.
     */
+  /** Per-doc (n_grams, top_gram) computed ROW-LOCALLY: the 3-gram
+    * multiset lives entirely inside one document (one row), so both
+    * "aggregates" are a per-row HashMap over that doc's grams — bounded
+    * by the doc's token count, never corpus-scale. None for docs too
+    * short to score (< 3 tokens) and for null text (a crawl corpus WILL
+    * carry nulls; the old explode path would have NPE'd — same guard
+    * as Curation's quality UDF).
+    *
+    * r19 optimization (guide §2.4): the previous form exploded one
+    * (doc_id, gram-string) row per corpus token and ran TWO shuffled
+    * aggregates keyed (doc_id, gram) then doc_id — every key carrying
+    * the ~25-byte gram string across the exchange — to compute numbers
+    * that never leave the document. Plan went 3 Exchanges → 1 (the
+    * final orderBy); output bit-identical (integer counts either way).
+    */
+  @inline private def repCounts(text: String): Option[(Long, Long)] = {
+    // drop empty tokens EXPLICITLY: Java split keeps a leading empty
+    // on leading whitespace, DuckDB's regexp_split_to_array keeps
+    // trailing empties too — filtering both sides is the only
+    // tokenization the two engines agree on (q59 does the same)
+    val t = if (text == null) Array.empty[String]
+      else text.split("\\s+").filter(_.nonEmpty)
+    if (t.length < 3) None
+    else {
+      val counts = new java.util.HashMap[String, java.lang.Long](t.length * 2)
+      var top = 0L; var i = 0
+      while (i <= t.length - 3) {
+        val g = t(i) + " " + t(i + 1) + " " + t(i + 2)
+        val c: Long = counts.getOrDefault(g, 0L) + 1L
+        counts.put(g, c)
+        if (c > top) top = c
+        i += 1
+      }
+      Some(((t.length - 2).toLong, top))
+    }
+  }
+
   private[graft] def repetitionOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val grams = docs.select("doc_id", "text")
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        // drop empty tokens EXPLICITLY: Java split keeps a leading empty
-        // on leading whitespace, DuckDB's regexp_split_to_array keeps
-        // trailing empties too — filtering both sides is the only
-        // tokenization the two engines agree on (q59 does the same)
-        val t = text.split("\\s+").filter(_.nonEmpty)
-        if (t.length < 3) Iterator.empty
-        else (0 to t.length - 3).iterator
-          .map(i => (id, t(i) + " " + t(i + 1) + " " + t(i + 2)))
-      }.toDF("doc_id", "gram")
     // the UNROUNDED ratio rides along for gating callers (Curation's
     // maxRepRatio): the rounded value is presentation only, and a gate
     // on it would misclassify ratios within 5e-5 of the threshold
-    grams.groupBy("doc_id", "gram")
-      .agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_grams"), max("c").as("top_gram"))
+    docs.select("doc_id", "text")
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        repCounts(text).iterator.map { case (n, top) => (id, n, top) }
+      }.toDF("doc_id", "n_grams", "top_gram")
       .select(col("doc_id"), col("n_grams"), col("top_gram"),
         (col("top_gram").cast("double") /
           col("n_grams").cast("double")).as("rep_ratio_raw"),
@@ -565,14 +591,25 @@ object TextQueries {
           col("n_grams").cast("double"), 4).as("rep_ratio"))
   }
 
-  def q62Repetition(s: SparkSession, d: String): DataFrame =
-    // doc_id is the table's unique key — no distinct() (a full extra
-    // shuffle on both engines) to rebuild the doc list
-    documents(s, d).select(col("doc_id"))
-      .join(repetitionOf(documents(s, d)), Seq("doc_id"), "left")
+  def q62Repetition(s: SparkSession, d: String): DataFrame = {
+    // one pass, zero joins: short/null-text docs emit null scores inline
+    // (the old left-join-back of absent docs, without the join — its
+    // only purpose was re-attaching them)
+    val sess = s
+    import sess.implicits._
+    documents(s, d).select("doc_id", "text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        repCounts(text) match {
+          case Some((n, top)) => (id, Some(n), Some(top))
+          case None => (id, None, None)
+        }
+      }.toDF("doc_id", "n_grams", "top_gram")
       .select(col("doc_id"), col("n_grams"), col("top_gram"),
-        col("rep_ratio"))
+        round(col("top_gram").cast("double") /
+          col("n_grams").cast("double"), 4).as("rep_ratio"))
       .orderBy("doc_id")
+  }
 
   val q62Sql: String =
     """WITH toks AS (

@@ -28,10 +28,25 @@ object Scratch {
     }
 
     if (args.headOption.contains("explain")) {
-      // print the formatted physical plan of any contract query:
-      //   runMain graft.tools.Scratch explain q73_substr_dedup
-      val name = args(1)
-      graft.SparkEntry.queries(name)(spark, d).explain("formatted")
+      // print the formatted physical plan of contract queries (multi-name;
+      // optional "out=<dir>" first arg writes one <name>.txt per query):
+      //   runMain graft.tools.Scratch explain [out=/tmp/plans] q73_substr_dedup …
+      val outDir = args.drop(1).headOption.filter(_.startsWith("out="))
+        .map(_.stripPrefix("out="))
+      outDir.foreach(p => new java.io.File(p).mkdirs())
+      for (name <- args.drop(1).filterNot(_.startsWith("out="))) {
+        val plan = graft.SparkEntry.queries(name)(spark, d)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+        outDir match {
+          case Some(p) => java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$p/$name.txt"),
+            plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          case None =>
+            println(s"\n=================== $name ===================")
+            println(plan)
+        }
+      }
       spark.stop(); return
     }
 
