@@ -121,9 +121,17 @@ object Stats {
     val ev = events(s, d).select(col("user_id"),
       expr("CAST(floor(unix_timestamp(ts) / 604800.0) AS BIGINT)")
         .as("wk"))
+    // cohort week as a user-partitioned window MIN over the distinct
+    // relation instead of a separate groupBy + self-join (r19, guide
+    // §2.4): the join's two references re-ran the events scan + distinct
+    // once per side (plan audit: 2 parquet scans). The window form reads
+    // the distinct rows once; min().over() skips nulls exactly like the
+    // aggregate min did, so null-wk rows (null ts) still land in the
+    // (cohort, null-offset) cell — output identical.
     val userWeeks = ev.distinct()
-    val cohort = userWeeks.groupBy("user_id").agg(min("wk").as("cohort_wk"))
-    userWeeks.join(cohort, "user_id")
+      .withColumn("cohort_wk", min("wk").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+    userWeeks
       .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("cohort_wk", "wk_offset")
@@ -184,11 +192,20 @@ object Stats {
           |  i -> concat_ws('>', element_at(types, i),
           |    element_at(types, i + 1), element_at(types, i + 2)))"""
           .stripMargin)).as("path"))
+    // top-k via orderBy + limit (TakeOrderedAndProject: per-partition
+    // top-k, merged) instead of an unpartitioned row_number window,
+    // which funneled EVERY distinct path's count into one reducer (the
+    // "No Partition Defined for Window" warning; at scale that single
+    // task holds the whole path vocabulary). The rank window now runs
+    // over the ≤ topK surviving rows only. (n_occurrences desc, path)
+    // is a total order, so limit(topK) keeps exactly the rank ≤ topK
+    // rows — output identical. (r19, guide §2.5: bounded top-k.)
     paths.groupBy("path").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("path"))
+      .limit(topK)
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("n_occurrences").desc, col("path"))))
-      .filter(col("rank") <= topK)
       .orderBy("rank")
   }
 
