@@ -193,8 +193,14 @@ object ApproxQueries {
     * rescanned. */
   private[rel] def intersectSketches(sk: DataFrame, groupCol: String,
       k: Int, aName: String, bName: String, estName: String): DataFrame = {
-    val a = sk.select(col(groupCol).as(aName), col("sk").as("ska"))
-    val b = sk.select(col(groupCol).as(bName), col("sk").as("skb"))
+    // cached: both pair sides read this relation — uncached, the whole
+    // upstream sketch build (corpus shingle pass for nq_kmv_intersect,
+    // store read + merge for nq_kmv_store) ran once per side (r19 plan
+    // audit: 4 parquet scans for nq_kmv_intersect). The cached rows are
+    // group-count-sized (one ≤ k-long sketch per group) — guide §2.4.
+    val skC = sk.cache()
+    val a = skC.select(col(groupCol).as(aName), col("sk").as("ska"))
+    val b = skC.select(col(groupCol).as(bName), col("sk").as("skb"))
     a.join(broadcast(b), col(aName) < col(bName))
       .withColumn("theta", least(theta(col("ska"), k), theta(col("skb"), k)))
       .select(col(aName), col(bName),

@@ -35,6 +35,12 @@ object Zipf {
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
+      // cached: referenced by BOTH the totals aggregate and the top_k
+      // rank selection — uncached, each re-ran the corpus tokenize +
+      // vocabulary count from the scan (r19 plan audit: 2 parquet
+      // scans). Cached rows are vocabulary-sized, never the token
+      // stream (guide §2.4).
+      .cache()
     val totals = counts.agg(count(lit(1)).as("n_types"),
       sum("c").as("n_tokens"))
     // topK selection via the engine's bounded top_k aggregate, NOT a

@@ -10,11 +10,18 @@ object Scratch {
     // "benchq" replicates Bench's EXACT session (extensions, timezone)
     // so a per-query number here is comparable to BENCH_r{N}.json
     val benchMode = args.headOption.contains("benchq")
-    val builder = SparkSession.builder().master("local[32]")
+    // ad-hoc conf A/B: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" (tooling only —
+    // the driver contract sessions in Bench/Verify never read this)
+    val extraConf = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(';')).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }
+    val builder0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val builder = extraConf.foldLeft(builder0) {
+      case (b, (k, v)) => b.config(k, v) }
     val spark = (if (benchMode)
       builder.config("spark.sql.extensions", "graft.GraftExtensions")
         .config("spark.sql.session.timeZone", "UTC")
