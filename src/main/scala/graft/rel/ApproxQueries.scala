@@ -193,12 +193,13 @@ object ApproxQueries {
     * rescanned. */
   private[rel] def intersectSketches(sk: DataFrame, groupCol: String,
       k: Int, aName: String, bName: String, estName: String): DataFrame = {
-    // cached: both pair sides read this relation — uncached, the whole
-    // upstream sketch build (corpus shingle pass for nq_kmv_intersect,
-    // store read + merge for nq_kmv_store) ran once per side (r19 plan
-    // audit: 4 parquet scans for nq_kmv_intersect). The cached rows are
-    // group-count-sized (one ≤ k-long sketch per group) — guide §2.4.
-    val skC = sk.cache()
+    // NOT cached, A/B-measured and rejected (r19): both pair sides read
+    // this relation, so a cache would halve the upstream sketch build —
+    // but the two builds run as concurrent jobs on otherwise-idle cores
+    // at test SFs and the cache barrier serialized them (cached ~0.99 s
+    // vs uncached ~0.78 s for nq_kmv_intersect; same finding as
+    // Zipf/Seasonal, opposite of the heavy-subtree LSH case).
+    val skC = sk
     val a = skC.select(col(groupCol).as(aName), col("sk").as("ska"))
     val b = skC.select(col(groupCol).as(bName), col("sk").as("skb"))
     a.join(broadcast(b), col(aName) < col(bName))

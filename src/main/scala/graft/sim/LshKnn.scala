@@ -90,8 +90,13 @@ object LshKnn {
     // the typed mapPartitions (80 hyperplane dot products per vector,
     // plus the Dataset ser/de boundary) runs once per side (r19 plan
     // audit: two Scan+MapPartitions subtrees for one invocation; guide
-    // §2.4). Batch path over one source relation — the CacheManager
-    // dedups repeated invocations by canonicalized plan (q25's policy).
+    // §2.4). A/B-measured r19: cached 1.55 s vs uncached 1.90 s at
+    // sf0.1 — the duplicated subtree is heavy typed compute and the
+    // broadcast side gates the probe stage anyway, so unlike the small
+    // multi-aggregate fan-outs (Zipf/Seasonal, where a cache barrier
+    // LOST to idle-core concurrent recompute) this one pays for itself.
+    // Batch path over one source relation — the CacheManager dedups
+    // repeated invocations by canonicalized plan (q25's policy).
     val bands = banded(emb, rowsPerBand, nTables, seed).cache()
     // Verify-only: the banded sign signatures, so the oracle re-runs
     // the SQL-expressible half — band-collision candidacy, the exact

