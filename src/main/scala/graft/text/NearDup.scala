@@ -68,9 +68,14 @@ object NearDup {
   private[graft] def hashedShinglesOf(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    shinglesOf(docs).as[(Long, Array[String])]
-      .flatMap { case (id, sh) =>
-        sh.iterator.map(x => (id, hashShingle(x)))
+    // ONE typed pass (r19): composing shinglesOf + a second typed
+    // flatMap planned as MapElements → SerializeFromObject →
+    // DeserializeToObject → MapPartitions — every doc's shingle array
+    // crossed the Dataset ser/de boundary twice just to be re-opened
+    // and hashed. Fused, the array never materializes as a row at all.
+    docs.select("doc_id", "text").as[(Long, String)]
+      .flatMap { case (id, text) =>
+        shingleArray(text).iterator.map(x => (id, hashShingle(x)))
       }.toDF("doc_id", "h")
   }
 

@@ -69,6 +69,7 @@ object PrefixJoin {
     val prefix = ranked.filter(col("rank") <=
         col("sz") - expr(s"(($tNum * sz) + ${tDen - 1}) div $tDen") + 1)
       .select("doc_id", "h", "sz")
+      .cache()
 
     // candidate pairs: shared prefix token + integer-exact size filter
     // (t·|b| ≤ |a| and t·|a| ≤ |b|); dedup multiple shared tokens
@@ -85,6 +86,7 @@ object PrefixJoin {
     // Jaccard test; the reported jaccard is the only float
     val lists = tri.groupBy("doc_id")
       .agg(sort_array(collect_list("h")).as("hs"), count(lit(1)).as("sz"))
+      .cache()
     cand
       .join(lists.as("la"), col("d1") === col("la.doc_id"))
       .join(lists.as("lb"), col("d2") === col("lb.doc_id"))
