@@ -172,18 +172,23 @@ object TrainPrep {
 
   def lmScore(docs: DataFrame, lm: DataFrame,
       floorP: Double = 1e-4): DataFrame = {
+    // explode_outer keeps docs too short to bigram (< 2 tokens, or null
+    // text) as ONE null-bigram row instead of dropping them and joining
+    // the doc list back afterwards (r19, guide §2.4): the old tail was a
+    // second corpus scan + a doc-keyed join of the whole output just to
+    // re-attach null scores. nullif reproduces the join's null n_bigrams
+    // for those docs (count of a non-null w1 would say 0); nllColumn is
+    // already null on the padding row, so avg_nll stays null. Scored
+    // docs see identical rows either way — output bit-identical.
     val bgs = docs
       .select(col("doc_id"), toksColumn.as("t"))
-      .select(col("doc_id"), explode(bigramsColumn).as("bg"))
+      .select(col("doc_id"), explode_outer(bigramsColumn).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val scored = bgs
+    bgs
       .join(lm.select(col("w1"), col("w2"), col("p")), Seq("w1", "w2"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
+      .agg(nullif(count(col("w1")), lit(0L)).as("n_bigrams"),
         round(avg(nllColumn(floorP)), 4).as("avg_nll"))
-    // docs too short to score (< 2 tokens) come back as null, not absent
-    docs.select(col("doc_id"))
-      .join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_bigrams"), col("avg_nll"))
   }
 
