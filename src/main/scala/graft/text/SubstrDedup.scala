@@ -502,12 +502,26 @@ object SubstrDedup {
     val bGrams = graft.Checkpointing.truncate(gramsOf(bToks, w))
     val bWin = bGrams.groupBy("h")
       .agg(min(struct(col("doc_id"), col("start"))).as("win"))
-    val redundant = bGrams
-      .join(store.distinct().withColumn("__in", lit(1)), Seq("h"), "left")
-      .join(bWin, "h")
-      .filter(col("__in").isNotNull ||
-        col("doc_id") =!= col("win.doc_id") ||
+    // redundant = (hash already in the store) ∪ (not the batch-internal
+    // first occurrence). r19 (guide §2.3/§2.4): the store side probes
+    // through a LEFT SEMI join — duplicate-proof for ANY store layout —
+    // instead of the previous store.distinct() + marker left-join. That
+    // distinct was a CORPUS-token-keyed exchange paid on every batch
+    // judge, and for the persisted stores (q81's writeGramStore output,
+    // liveGrams' positive-net aggregate) whose hash keys are already
+    // unique it was a pure re-dedup tax. The union's dedup is keyed
+    // (doc_id, start) and batch-redundant-row-sized. Semantics are
+    // unchanged: a gram row lands in `redundant` under exactly the same
+    // disjunction as before (the old left-join marker never duplicated
+    // rows because both join sides were unique per h; the union-distinct
+    // restores that uniqueness here).
+    val inStore = bGrams.join(store.select("h"), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("start"))
+    val notFirst = bGrams.join(bWin, "h")
+      .filter(col("doc_id") =!= col("win.doc_id") ||
         col("start") =!= col("win.start"))
+      .select(col("doc_id"), col("start"))
+    val redundant = inStore.union(notFirst).distinct()
       .select(col("doc_id"), col("start"),
         (col("start") + lit((w - 1).toLong)).as("end"))
     coverage(bToks, mergeSpans(redundant))
