@@ -155,7 +155,12 @@ object TextQueries {
       .withColumnRenamed("h", "tri").cache()
     val hot = raw.groupBy("tri").agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf).select("tri")
-    val tri = raw.join(hot, Seq("tri"), "left_anti").cache()
+    // tri deliberately NOT cached (r19 A/B): its three consumers (size
+    // aggregate + both join sides) re-run only a broadcast anti-join
+    // over the CACHED raw rows — cheap — while a second cache added a
+    // materialization barrier (measured ~2.55 s with vs ~2.44 s without,
+    // flat calibrator; the Zipf/Seasonal finding at smaller scale).
+    val tri = raw.join(hot, Seq("tri"), "left_anti")
     val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val a = tri.as("a"); val b = tri.as("b")
     val inter = a.join(b,
