@@ -76,15 +76,48 @@ object SubstrDedup {
     * coverage, noise for the audit; widen back to the full digest if an
     * application needs exact spans.
     */
-  private def gramsOf(toks: DataFrame, w: Int): DataFrame =
-    toks
-      .filter(size(col("t")) >= w)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(1, size(t) - ${w - 1})")).as("start"),
-        col("t"))
-      .select(col("doc_id"), col("start").cast("long").as("start"),
-        conv(substring(md5(array_join(expr(s"slice(t, start, $w)"), " ")),
-          1, 15), 16, 10).cast("long").as("h"))
+  private def gramsOf(toks: DataFrame, w: Int): DataFrame = {
+    val s = toks.sparkSession
+    import s.implicits._
+    // Typed MD5 kernel (r19, guide §1.2 per-task work): the expression
+    // form (explode(sequence) → slice → array_join → md5 → hex →
+    // substring → conv) allocated, PER GRAM, a w-token array, a joined
+    // UTF8String, a 32-char hex string, and a conv parse. Here each
+    // token is UTF-8-encoded ONCE per document and the digest is fed
+    // incrementally (token bytes + single space), and the 60-bit key is
+    // read straight off the first 8 digest bytes: big-endian u64 >>> 4
+    // ≡ ('0x' || first 15 hex chars)::BIGINT — the identical value, so
+    // the shared DuckDB oracle is untouched (verified bit-for-bit by
+    // the q73/q76/q79/q81/nq_gram_delete hash rows). Measured −20% on
+    // q73 and −15% on q79 at sf0.1 (flat calibrator).
+    toks.as[(Long, Array[String])]
+      .flatMap { case (id, t) =>
+        if (t == null || t.length < w) Iterator.empty
+        else {
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val enc = new Array[Array[Byte]](t.length)
+          var i = 0
+          while (i < t.length) {
+            enc(i) = t(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            i += 1
+          }
+          (0 to t.length - w).iterator.map { st =>
+            md.reset()
+            var j = st
+            while (j < st + w) {
+              md.update(enc(j))
+              if (j < st + w - 1) md.update(' '.toByte)
+              j += 1
+            }
+            val d = md.digest()
+            var h = 0L
+            var b = 0
+            while (b < 8) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
+            (id, (st + 1).toLong, h >>> 4)
+          }
+        }
+      }.toDF("doc_id", "start", "h")
+  }
 
   /** Merge redundant windows (doc_id, start, end) into maximal spans
     * (doc_id, span, s, e) — the gaps-and-islands pass, windows bounded
