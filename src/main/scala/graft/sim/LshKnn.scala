@@ -9,20 +9,20 @@ import org.apache.spark.sql.functions._
   * vector's projections onto seeded random hyperplanes is a locality-
   * sensitive signature for cosine — P(bit match) = 1 − θ/π. Bits are
   * grouped into bands (r bits × t tables); docs sharing any band value
-  * collide. Candidate generation is an equi-join on (band, sig) — the
-  * shuffle key is a small int pair, never the corpus — and the exact
-  * cosine is verified INLINE in the join projection with the codegen'd
-  * `vec_dot` expression, so no per-candidate re-join against the
-  * embedding table and no MLlib Vector materialization anywhere (the
-  * previous BucketedRandomProjectionLSH variant spent its time in
-  * non-codegen UDF distance calls — measured 4× slower on identical
-  * output).
+  * collide. Candidate generation is an equi-join on (band, sig) over
+  * NARROW rows — the shuffle key is a small int pair and the rows carry
+  * no payload — and the exact cosine verify attaches the embeddings by
+  * id afterwards, scoring with the codegen'd `vec_dot` expression (no
+  * MLlib Vector materialization anywhere: the previous
+  * BucketedRandomProjectionLSH variant spent its time in non-codegen
+  * UDF distance calls — measured 4× slower on identical output).
   *
   * Scale notes: the banded relation is n×t narrow rows; hyperplanes are
   * a few hundred KB shipped in the task closure (broadcast at cluster
-  * scale). Multiplicity (a pair colliding in several tables) is removed
-  * AFTER the cheap cosine filter, so the dedup aggregate only sees true
-  * near-dups. Caveat measured on this corpus: at minCos = 0.4 against a
+  * scale); each embedding crosses the verify attach once per pair side,
+  * never once per table. Multiplicity (a pair colliding in several
+  * tables) is removed AFTER the cheap cosine filter, so the dedup
+  * aggregate only sees true near-dups. Caveat measured on this corpus: at minCos = 0.4 against a
   * 0.29 background p99 there is no parameter choice with sub-quadratic
   * candidates (any LSH admits ~half of all pairs); the asymptotic win
   * appears at realistic dedup thresholds (≥ 0.8) where band collisions
@@ -39,9 +39,16 @@ object LshKnn {
       rowsPerBand: Int = 4, nTables: Int = 20, seed: Long = 42L): DataFrame =
     lshNeardupOn(VecPrep.normed(s, d), minCos, rowsPerBand, nTables, seed)
 
-  /** Banded sign signatures for a (vec_id, embedding, nrm) relation:
-    * one row per (vector, table) carrying the packed r-bit band value
-    * plus the embedding/norm payload for inline verification.
+  /** Banded sign signatures for a (vec_id, embedding, ...) relation:
+    * one NARROW row per (vector, table) — the packed r-bit band value
+    * only, no payload. The embedding/norm attach for verification
+    * happens AFTER candidate generation (guide §8: every shuffle but
+    * the last moves keys and metadata, the heavy bytes attach once) —
+    * r19 carried the embedding through this relation (one copy per
+    * table) plus a cache() barrier over it, and the driver's bench
+    * read that ×0.80 vs the uncached r18; the narrow shape needs no
+    * cache at all (the signature pass is ~n·t·dim multiplies — cheap
+    * enough to run once per join side as concurrent scan subtrees).
     */
   private[graft] def banded(emb: DataFrame, rowsPerBand: Int, nTables: Int,
       seed: Long): DataFrame = {
@@ -49,16 +56,14 @@ object LshKnn {
     import s.implicits._
     val nBits = rowsPerBand * nTables
     // sign(e·h) = sign(unit(e)·h): hashing needs no normalization.
-    // Carry the embedding + norm through the banded relation so the
-    // verify happens inline in the join — n×t rows of ~(dim·4)B each.
     // Hyperplanes are regenerated lazily per partition from the seed and
     // the first row's dimensionality (a few hundred KB of gaussians —
     // cheaper than a driver head() job to probe the dim, and empty-safe).
-    emb.select(col("vec_id"), col("embedding"), col("nrm"))
-      .as[(Long, Array[Float], Double)]
+    emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
         var planes: Array[Array[Double]] = null
-        it.flatMap { case (id, e, nrm) =>
+        it.flatMap { case (id, e) =>
           if (planes == null) {
             val r = new scala.util.Random(seed)
             planes = Array.fill(nBits, e.length)(r.nextGaussian())
@@ -76,40 +81,42 @@ object LshKnn {
               sig = (sig << 1) | (if (bits(t * rowsPerBand + b)) 1 else 0)
               b += 1
             }
-            (id, t, sig, e, nrm)
+            (id, t, sig)
           }
         }
-      }.toDF("vec_id", "band", "sig", "e", "nrm")
+      }.toDF("vec_id", "band", "sig")
   }
 
   /** lshNeardup over an arbitrary (vec_id, embedding, nrm) relation. */
   private[graft] def lshNeardupOn(emb: DataFrame, minCos: Double,
       rowsPerBand: Int, nTables: Int, seed: Long): DataFrame = {
     graft.functions.VecFunctions.register(emb.sparkSession)
-    // cached: the self-join references this relation TWICE — without it
-    // the typed mapPartitions (80 hyperplane dot products per vector,
-    // plus the Dataset ser/de boundary) runs once per side (r19 plan
-    // audit: two Scan+MapPartitions subtrees for one invocation; guide
-    // §2.4). A/B-measured r19: cached 1.55 s vs uncached 1.90 s at
-    // sf0.1 — the duplicated subtree is heavy typed compute and the
-    // broadcast side gates the probe stage anyway, so unlike the small
-    // multi-aggregate fan-outs (Zipf/Seasonal, where a cache barrier
-    // LOST to idle-core concurrent recompute) this one pays for itself.
-    // Batch path over one source relation — the CacheManager dedups
-    // repeated invocations by canonicalized plan (q25's policy).
-    val bands = banded(emb, rowsPerBand, nTables, seed).cache()
+    val bands = banded(emb, rowsPerBand, nTables, seed)
     // Verify-only: the banded sign signatures, so the oracle re-runs
     // the SQL-expressible half — band-collision candidacy, the exact
     // cosine verify at minCos, multiplicity dedup — on identical
     // signatures; the gaussian hyperplane projection stays
     // engine-specific, pinned by the recall spec vs exact q31
-    graft.OracleDump.dump(bands.select(col("vec_id"), col("band"), col("sig")),
+    graft.OracleDump.dump(bands,
       s"${VecPrep.AnnOracleDir}/nq_lsh_bands.parquet")
-    bands.as("x").join(bands.as("y"),
+    // Candidate generation over NARROW rows — the exchange carries
+    // (id, band, sig) ints, never embeddings — then one id-keyed attach
+    // per pair side for the inline exact-cosine verify. At test SFs the
+    // attach sides are the parquet-backed embedding relation (AQE
+    // broadcasts them on its own); at cluster scale each embedding
+    // crosses the attach exchange ONCE, not once per table as the r19
+    // payload-carrying band relation did (guide §8).
+    val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"),
-        (expr("vec_dot(x.e, y.e)") / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+    val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"),
+      col("nrm").as("n1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      col("nrm").as("n2"))
+    cand.join(e1, "id1").join(e2, "id2")
+      .select(col("id1"), col("id2"),
+        (expr("vec_dot(e1, e2)") / (col("n1") * col("n2"))).as("cos"))
       .filter(col("cos") >= minCos) // BEFORE dedup: drop ~all noise first
       .groupBy("id1", "id2").agg(first("cos").as("cos"))
       .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))
