@@ -162,7 +162,16 @@ object TextQueries {
     // flat calibrator; the Zipf/Seasonal finding at smaller scale).
     val tri = raw.join(hot, Seq("tri"), "left_anti")
     val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val a = tri.as("a"); val b = tri.as("b")
+    // SHUFFLE_HASH (guide §3.1): without the hint AQE broadcasts one
+    // whole tri side (corpus-sized: 260k rows ≈ 15 MB at sf0.1) — a
+    // serial driver collect+serialize per run, and an impossibility at
+    // cluster scale where tri is the corpus. The shuffled-hash join
+    // partitions both sides by the shingle key (per-partition build =
+    // tri/shuffle.partitions rows, df-capped by maxDf so no hot-key
+    // partition) — A/B r20: join+count 1.0-1.5 s hinted vs 1.3-2.1 s
+    // broadcast, same-session pairs.
+    val a = tri.as("a").hint("SHUFFLE_HASH")
+    val b = tri.as("b").hint("SHUFFLE_HASH")
     val inter = a.join(b,
         col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

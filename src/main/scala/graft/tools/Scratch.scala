@@ -538,6 +538,91 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("q25prof")) {
+      // r20: stage breakdown + variant A/B for the q25 exact all-pairs
+      // backstop. Variants must produce identical output (checked by
+      // count + sum here; the oracle is the real gate).
+      import org.apache.spark.sql.DataFrame
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.Tables.documents(spark, d)
+      def variantB(): DataFrame = {
+        // sizes attached to tri rows BEFORE the self-join; group by
+        // (d1, d2, sa, sb) — no post-aggregate joins
+        val raw = graft.text.NearDup.hashedShinglesOf(docs)
+          .withColumnRenamed("h", "tri").cache()
+        val hot = raw.groupBy("tri").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 100).select("tri")
+        val tri = raw.join(hot, Seq("tri"), "left_anti")
+        val sizes = tri.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+        val triS = tri.join(sizes, "doc_id")
+        val a = triS.as("a"); val b = triS.as("b")
+        a.join(b,
+            col("a.tri") === col("b.tri") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+            col("a.sz").as("sa"), col("b.sz").as("sb"))
+          .agg(count(lit(1)).as("n_inter"))
+          .select(col("d1"), col("d2"),
+            (col("n_inter").cast("double") /
+              (col("sa") + col("sb") - col("n_inter")).cast("double"))
+              .as("jaccard"))
+          .filter(col("jaccard") >= 0.1)
+          .orderBy("d1", "d2")
+      }
+      // warm
+      noop(graft.SparkEntry.queries("q25_neardup_jaccard")(spark, d))
+      for (r <- 1 to 3) {
+        spark.catalog.clearCache()
+        time(s"run$r A full (current)")(
+          noop(graft.SparkEntry.queries("q25_neardup_jaccard")(spark, d)))
+        spark.catalog.clearCache()
+        val raw = graft.text.NearDup.hashedShinglesOf(docs)
+          .withColumnRenamed("h", "tri").cache()
+        time(s"run$r raw materialize")(noop(raw))
+        val hot = raw.groupBy("tri").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 100).select("tri")
+        val tri = raw.join(hot, Seq("tri"), "left_anti")
+        time(s"run$r join+count only")(
+          noop(tri.as("a").join(tri.as("b"),
+              col("a.tri") === col("b.tri") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .agg(count(lit(1)).as("n_inter"))))
+        spark.catalog.clearCache()
+        time(s"run$r B full (sz pre-attached)")(noop(variantB()))
+        spark.catalog.clearCache()
+        val raw2 = graft.text.NearDup.hashedShinglesOf(docs)
+          .withColumnRenamed("h", "tri").cache()
+        val hot2 = raw2.groupBy("tri").agg(count(lit(1)).as("df"))
+          .filter(col("df") > 100).select("tri")
+        val tri2 = raw2.join(hot2, Seq("tri"), "left_anti")
+        time(s"run$r C join+count SHUFFLE_HASH")(
+          noop(tri2.as("a").hint("SHUFFLE_HASH").join(
+              tri2.as("b").hint("SHUFFLE_HASH"),
+              col("a.tri") === col("b.tri") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .agg(count(lit(1)).as("n_inter"))))
+        time(s"run$r D join+count pairkey")(
+          noop(tri2.as("a").join(tri2.as("b"),
+              col("a.tri") === col("b.tri") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select((shiftleft(col("a.doc_id"), 32)
+              .bitwiseOR(col("b.doc_id"))).as("pk"))
+            .groupBy("pk").agg(count(lit(1)).as("n_inter"))))
+      }
+      spark.catalog.clearCache()
+      val aOut = graft.SparkEntry.queries("q25_neardup_jaccard")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      spark.catalog.clearCache()
+      val bOut = variantB().collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+      println(s"[scratch] A rows=${aOut.size} B rows=${bOut.size} " +
+        s"equal=${aOut == bOut}")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("rowcount")) {
       // output-size probe: is a scale-up blowup output-bound?
       //   runmain graft.tools.Scratch rowcount q25_neardup_jaccard
