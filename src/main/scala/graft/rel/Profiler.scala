@@ -55,34 +55,22 @@ object Profiler {
     * the estimator tail re-runs over the dumped sketches. */
   def profile(df: DataFrame, exactDistinct: Boolean = false,
       k: Int = ApproxK, dumpPath: Option[String] = None): DataFrame = {
-    if (!exactDistinct) graft.functions.VecFunctions.register(df.sparkSession)
     val cols = df.schema.fields
-    // hash once in a codegen'd projection BEFORE the aggregate: a
-    // TypedImperativeAggregate's update eval is interpreted, so its
-    // child must be a bound reference, not CASE+xxhash64 per row per
-    // column (measured r11: the hoist is the cheap half of the pass).
-    // Null-guarded: xxhash64(NULL) is the seed, not NULL — the sketch
-    // must see nulls as absent, like count distinct does.
-    val hashed =
-      if (exactDistinct) df
-      else df.select(cols.map(f => col(f.name)) ++ cols.map(f =>
-        when(col(f.name).isNotNull, xxhash64(col(f.name)))
-          .as(s"__h_${f.name}")): _*)
-    val aggs: Seq[Column] = cols.flatMap { f =>
-      val c = col(f.name)
-      val base = Seq(
-        count(c).as(s"__cnt_${f.name}"),
-        (if (exactDistinct) countDistinct(c).as(s"__nd_${f.name}")
-         else expr(s"kmv_sketch(`__h_${f.name}`, $k)")
-           .as(s"__sk_${f.name}")))
-      val num = if (isNumeric(f.dataType)) Seq(
-        min(c).cast("double").as(s"__min_${f.name}"),
-        max(c).cast("double").as(s"__max_${f.name}"),
-        round(avg(c.cast("double")), 4).as(s"__avg_${f.name}"))
-      else Seq.empty
-      base ++ num
-    }.toSeq
-    val wide = hashed.agg(count(lit(1)).as("__n"), aggs: _*)
+    val wide = if (exactDistinct) {
+      val aggs: Seq[Column] = cols.flatMap { f =>
+        val c = col(f.name)
+        val base = Seq(
+          count(c).as(s"__cnt_${f.name}"),
+          countDistinct(c).as(s"__nd_${f.name}"))
+        val num = if (isNumeric(f.dataType)) Seq(
+          min(c).cast("double").as(s"__min_${f.name}"),
+          max(c).cast("double").as(s"__max_${f.name}"),
+          round(avg(c.cast("double")), 4).as(s"__avg_${f.name}"))
+        else Seq.empty
+        base ++ num
+      }.toSeq
+      df.agg(count(lit(1)).as("__n"), aggs: _*)
+    } else approxWide(df, k)
     // KMV sketches are deterministic functions of the input SET (min-k
     // over hashes, order-free), so dumping them re-evaluates the
     // aggregate without pinning (contrast QuantileStore's KLL pin)
@@ -121,6 +109,146 @@ object Profiler {
     wide.select(explode(array(perCol: _*)).as("p"))
       .select("p.*")
       .orderBy("col_name")
+  }
+
+  /** The approx scale form's one-pass aggregate as a FUSED typed
+    * kernel (r20; guide §1.2 per-task work). The previous shape — 11
+    * `kmv_sketch` TypedImperativeAggregates + 30 declarative stats in
+    * one Aggregate — forced ObjectHashAggregateExec, which runs EVERY
+    * aggregate's update interpreted (41 MutableProjection evals per
+    * row; the scan's Project wasn't even whole-stage-codegen'd).
+    * Here the only per-row expression work is the codegen'd projection
+    * (null-guarded xxhash64 per column + numeric double casts); one
+    * mapPartitions pass then updates all counters and the k-bounded
+    * MinSets in tight JVM code — still ONE scan (the r11 two-job split
+    * stays rejected: it halves local time but doubles the 100 TB
+    * scan). Partials are one row per partition (k longs per column +
+    * a few doubles), merged in PARTITION-ID ORDER in a single task —
+    * the double sums are therefore deterministic, unlike the previous
+    * fetch-order final merge. Same wide-row schema out, so the pivot,
+    * estimator tail, and sketch dump are untouched; min/max use
+    * java.lang.Double.compare with first-value seeding, reproducing
+    * Spark's NaN-greatest aggregate ordering, and min/max-then-cast ≡
+    * cast-then-min/max because the numeric→double cast is monotone.
+    */
+  private def approxWide(df: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    val cols = df.schema.fields
+    val numIdx = cols.indices.filter(i => isNumeric(cols(i).dataType))
+    val nC = cols.length
+    val nN = numIdx.length
+    // codegen'd projection: one null-guarded hash per column (null iff
+    // the value is null — the kernel reads null-ness off the hash), then
+    // the numeric columns cast to double
+    val proj = df.select(
+      cols.map(f => when(col(f.name).isNotNull, xxhash64(col(f.name)))
+        .as(s"__h_${f.name}")) ++
+      numIdx.map(i => col(cols(i).name).cast("double")
+        .as(s"__v_${cols(i).name}")): _*)
+    val partialSchema = StructType(Seq(
+      StructField("pid", IntegerType, nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("cnt", ArrayType(LongType, containsNull = false)),
+      StructField("mn", ArrayType(DoubleType, containsNull = false)),
+      StructField("mx", ArrayType(DoubleType, containsNull = false)),
+      StructField("sm", ArrayType(DoubleType, containsNull = false)),
+      StructField("sks",
+        ArrayType(ArrayType(LongType, containsNull = false)))))
+    val partials = proj.mapPartitions { it =>
+      var n = 0L
+      val cnt = new Array[Long](nC)
+      val ncnt = new Array[Long](nN)
+      val mn = new Array[Double](nN)
+      val mx = new Array[Double](nN)
+      val sm = new Array[Double](nN)
+      val sks = Array.fill(nC)(new graft.functions.KmvSketch.MinSet(k))
+      while (it.hasNext) {
+        val r = it.next(); n += 1
+        var j = 0
+        while (j < nC) {
+          if (!r.isNullAt(j)) { cnt(j) += 1; sks(j).offer(r.getLong(j)) }
+          j += 1
+        }
+        var i = 0
+        while (i < nN) {
+          val c = nC + i
+          if (!r.isNullAt(c)) {
+            val v = r.getDouble(c)
+            if (ncnt(i) == 0L) { mn(i) = v; mx(i) = v }
+            else {
+              if (java.lang.Double.compare(v, mn(i)) < 0) mn(i) = v
+              if (java.lang.Double.compare(v, mx(i)) > 0) mx(i) = v
+            }
+            ncnt(i) += 1
+            sm(i) += v
+          }
+          i += 1
+        }
+      }
+      Iterator.single(Row(
+        org.apache.spark.TaskContext.getPartitionId(), n,
+        cnt.toSeq, mn.toSeq, mx.toSeq, sm.toSeq,
+        sks.toSeq.map(_.sortedAsc.toSeq)))
+    }(Encoders.row(partialSchema))
+    // one-row final merge: the exchange carries one k-bounded row per
+    // scan partition; merging in pid order pins the double-sum order
+    val one = partials.repartition(1).mapPartitions { it =>
+      val rows = it.toArray.sortBy(_.getInt(0))
+      var n = 0L
+      val cnt = new Array[Long](nC)
+      val ncnt = new Array[Long](nN)
+      val mn = new Array[Double](nN)
+      val mx = new Array[Double](nN)
+      val sm = new Array[Double](nN)
+      val sks = Array.fill(nC)(new graft.functions.KmvSketch.MinSet(k))
+      for (r <- rows) {
+        n += r.getLong(1)
+        val rc = r.getSeq[Long](2)
+        val rmn = r.getSeq[Double](3); val rmx = r.getSeq[Double](4)
+        val rsm = r.getSeq[Double](5)
+        val rsk = r.getSeq[Seq[Long]](6)
+        var j = 0
+        while (j < nC) {
+          cnt(j) += rc(j)
+          rsk(j).foreach(sks(j).offer)
+          j += 1
+        }
+        var i = 0
+        while (i < nN) {
+          // a partial's min/max slot is live iff that partial saw a
+          // non-null value for the column — recoverable from cnt
+          if (rc(numIdx(i)) > 0L) {
+            if (ncnt(i) == 0L) { mn(i) = rmn(i); mx(i) = rmx(i) }
+            else {
+              if (java.lang.Double.compare(rmn(i), mn(i)) < 0) mn(i) = rmn(i)
+              if (java.lang.Double.compare(rmx(i), mx(i)) > 0) mx(i) = rmx(i)
+            }
+            ncnt(i) += rc(numIdx(i))
+            sm(i) += rsm(i)
+          }
+          i += 1
+        }
+      }
+      Iterator.single(Row(0, n, cnt.toSeq, mn.toSeq, mx.toSeq, sm.toSeq,
+        sks.toSeq.map(_.sortedAsc.toSeq)))
+    }(Encoders.row(partialSchema))
+    one.select(
+      col("n").as("__n") +:
+      (cols.zipWithIndex.flatMap { case (f, j) =>
+        Seq(element_at(col("cnt"), j + 1).as(s"__cnt_${f.name}"),
+          element_at(col("sks"), j + 1).as(s"__sk_${f.name}"))
+      } ++
+      numIdx.zipWithIndex.flatMap { case (ci, i) =>
+        val c = cols(ci).name
+        val nonEmpty = element_at(col("cnt"), ci + 1) > 0L
+        Seq(
+          when(nonEmpty, element_at(col("mn"), i + 1)).as(s"__min_$c"),
+          when(nonEmpty, element_at(col("mx"), i + 1)).as(s"__max_$c"),
+          when(nonEmpty, round(
+            element_at(col("sm"), i + 1) /
+              element_at(col("cnt"), ci + 1).cast("double"), 4))
+            .as(s"__avg_$c"))
+      }): _*)
   }
 
   /** KMV size for the approx form: ~1/√k ≈ 2.2% relative error,

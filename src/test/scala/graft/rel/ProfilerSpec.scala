@@ -43,6 +43,34 @@ class ProfilerSpec extends SparkSpec {
     }
   }
 
+  test("approx kernel (r20 fused pass) matches the exact path on every " +
+      "shared stat, and under-full sketches ARE the exact distincts") {
+    // same fixture incl. nulls: n_rows/n_null/min/max/avg must be
+    // bit-identical between the declarative exact aggregate and the
+    // typed-kernel approx pass; with far fewer than k distinct values
+    // the KMV sketch is complete, so n_distinct_est = exact n_distinct
+    val exact = Profiler.profile(fixture, exactDistinct = true)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = Profiler.profile(fixture)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(approx.keySet === exact.keySet)
+    for (c <- exact.keySet) {
+      val (e, a) = (exact(c), approx(c))
+      assert(a.getLong(2) === e.getLong(2), s"$c n_rows")
+      assert(a.getLong(3) === e.getLong(3), s"$c n_null")
+      assert(a.getDouble(4) === e.getLong(4).toDouble, s"$c distinct")
+      for (i <- 5 to 7)
+        assert((a.isNullAt(i) && e.isNullAt(i)) ||
+          a.getDouble(i) === e.getDouble(i), s"$c stat col $i")
+    }
+    // an all-null column exercises the empty min/max/avg/sketch arms
+    val withNull = fixture.withColumn("z", lit(null).cast("double"))
+    val nz = Profiler.profile(withNull)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("z")
+    assert(nz.getLong(3) === 4L && nz.getDouble(4) === 0.0 &&
+      nz.isNullAt(5) && nz.isNullAt(6) && nz.isNullAt(7))
+  }
+
   test("the approx profile is one aggregate job (no EXPAND)") {
     val plan = Profiler.profile(graft.Tables.lineitem(spark, sf0001))
       .queryExecution.executedPlan.toString
