@@ -29,12 +29,10 @@ import graft.Tables._
   *    suffix-array space). The exploded rows carry (doc_id, start, 8B
   *    md5) — the kilobyte gram strings are hashed NARROWLY, before any
   *    exchange, and never shuffle.
-  *  - first-occurrence winners via `min` of the DECIMAL-packed
-  *    (doc_id, start) per hash (see [[packedPos]]) — map-side partial
-  *    aggregation in HashAggregateExec, so a boilerplate gram repeated
-  *    millions of times collapses per map partition before the
-  *    exchange (same skew-proof shape as q68) and the gram relation is
-  *    never sorted (the struct form forced SortAggregate).
+  *  - first-occurrence winners via `min(struct(doc_id, start))` per
+  *    hash — map-side partial aggregation, so a boilerplate gram
+  *    repeated millions of times collapses per map partition before the
+  *    exchange (same skew-proof shape as q68, plan-guarded there).
   *  - redundancy test = join grams⋈winners on the hash, with winners
   *    pre-filtered to hashes seen MORE than once (singletons can't
   *    yield redundant rows). That build side is overlap-sized, not
@@ -121,26 +119,6 @@ object SubstrDedup {
       }.toDF("doc_id", "start", "h")
   }
 
-  /** Lexicographic (doc_id, start) packed into ONE orderable
-    * DECIMAL(38,0): doc_id·2⁶³ + start. Injective and order-isomorphic
-    * to the pair ordering (0 ≤ start < 2⁶³ always; a negative doc_id
-    * still sorts first), so `min(packed)` ≡ `min(struct(doc_id,
-    * start))` and packed equality ≡ pair equality. The point (r20,
-    * guide §2.3): a struct aggregation buffer is not an UnsafeRow
-    * mutable type, so `min(struct)` forced SortAggregateExec — BOTH
-    * winner passes sorted the full gram relation (one row per corpus
-    * token) by hash before aggregating. A fixed-width decimal buffer
-    * keeps the same skew-proof partial-aggregate shape but runs in
-    * HashAggregateExec: no per-partition sort of the exploded grams at
-    * all (plan: SortAggregate×2 + Sort×2 → HashAggregate×2).
-    */
-  private val PackShift =
-    lit(new java.math.BigDecimal("9223372036854775808")) // 2^63
-  private def packedPos(docId: org.apache.spark.sql.Column,
-      start: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    docId.cast(org.apache.spark.sql.types.DecimalType(38, 0)) * PackShift +
-      start.cast(org.apache.spark.sql.types.DecimalType(38, 0))
-
   /** Merge redundant windows (doc_id, start, end) into maximal spans
     * (doc_id, span, s, e) — the gaps-and-islands pass, windows bounded
     * by one document. */
@@ -187,12 +165,13 @@ object SubstrDedup {
     // at the not-the-winner filter anyway.
     val winners = grams
       .groupBy("h")
-      .agg(min(packedPos(col("doc_id"), col("start"))).as("win"),
+      .agg(min(struct(col("doc_id"), col("start"))).as("win"),
         count(lit(1)).as("cnt"))
       .filter(col("cnt") > 1)
       .drop("cnt")
     val redundant = grams.join(winners, "h")
-      .filter(packedPos(col("doc_id"), col("start")) =!= col("win"))
+      .filter(col("doc_id") =!= col("win.doc_id") ||
+        col("start") =!= col("win.start"))
       .select(col("doc_id"), col("start"),
         (col("start") + lit((w - 1).toLong)).as("end"))
     // gaps-and-islands: a window is glued to the running span while its
@@ -555,7 +534,7 @@ object SubstrDedup {
     // and a cache() here would grow the CacheManager unboundedly
     val bGrams = graft.Checkpointing.truncate(gramsOf(bToks, w))
     val bWin = bGrams.groupBy("h")
-      .agg(min(packedPos(col("doc_id"), col("start"))).as("win"))
+      .agg(min(struct(col("doc_id"), col("start"))).as("win"))
     // redundant = (hash already in the store) ∪ (not the batch-internal
     // first occurrence). r19 (guide §2.3/§2.4): the store side probes
     // through a LEFT SEMI join — duplicate-proof for ANY store layout —
@@ -572,7 +551,8 @@ object SubstrDedup {
     val inStore = bGrams.join(store.select("h"), Seq("h"), "left_semi")
       .select(col("doc_id"), col("start"))
     val notFirst = bGrams.join(bWin, "h")
-      .filter(packedPos(col("doc_id"), col("start")) =!= col("win"))
+      .filter(col("doc_id") =!= col("win.doc_id") ||
+        col("start") =!= col("win.start"))
       .select(col("doc_id"), col("start"))
     val redundant = inStore.union(notFirst).distinct()
       .select(col("doc_id"), col("start"),

@@ -623,6 +623,150 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("q85prof")) {
+      // r20: fused one-exchange variant of the prefix join — one
+      // doc-keyed aggregate yields BOTH the prefix index and the
+      // sorted verify lists (was: window pass + separate lists agg).
+      import org.apache.spark.sql.DataFrame
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.Tables.documents(spark, d)
+      val (tNum, tDen) = (7, 10)
+      def variantF(): DataFrame = {
+        graft.functions.VecFunctions.register(spark)
+        val tri = graft.text.NearDup.hashedShinglesOf(docs).cache()
+        val dfreq = tri.groupBy("h").agg(count(lit(1)).as("df"))
+        val perDoc = tri.join(dfreq, "h")
+          .groupBy("doc_id")
+          .agg(sort_array(collect_list(struct(col("df"), col("h"))))
+            .as("dl"), count(lit(1)).cast("int").as("sz"))
+          .select(col("doc_id"),
+            expr(s"transform(slice(dl, 1, sz - ((($tNum * sz) + " +
+              s"${tDen - 1}) div $tDen) + 1), x -> x.h)").as("pre"),
+            sort_array(expr("transform(dl, x -> x.h)")).as("hs"),
+            col("sz"))
+          .cache()
+        val prefix = perDoc.select(col("doc_id"),
+          explode(col("pre")).as("h"), col("sz"))
+        val cand = prefix.as("a").join(prefix.as("b"),
+            col("a.h") === col("b.h") &&
+              col("a.doc_id") < col("b.doc_id") &&
+              col("a.sz") * tDen >= col("b.sz") * tNum &&
+              col("b.sz") * tDen >= col("a.sz") * tNum)
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        cand
+          .join(perDoc.as("la"), col("d1") === col("la.doc_id"))
+          .join(perDoc.as("lb"), col("d2") === col("lb.doc_id"))
+          .withColumn("n_inter",
+            expr("sorted_intersect_count(la.hs, lb.hs)").cast("long"))
+          .filter(col("n_inter") * tDen >=
+            (col("la.sz") + col("lb.sz") - col("n_inter")) * tNum)
+          .select(col("d1"), col("d2"),
+            (col("n_inter").cast("double") /
+              (col("la.sz") + col("lb.sz") - col("n_inter")).cast("double"))
+              .as("jaccard"))
+          .orderBy("d1", "d2")
+      }
+      noop(graft.SparkEntry.queries("q85_prefix_join")(spark, d))
+      for (r <- 1 to 3) {
+        spark.catalog.clearCache()
+        time(s"run$r A q85 current")(
+          noop(graft.SparkEntry.queries("q85_prefix_join")(spark, d)))
+        spark.catalog.clearCache()
+        time(s"run$r F q85 fused perDoc")(noop(variantF()))
+      }
+      spark.catalog.clearCache()
+      val aOut = graft.SparkEntry.queries("q85_prefix_join")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      spark.catalog.clearCache()
+      val fOut = variantF().collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+      println(s"[scratch] A rows=${aOut.size} F rows=${fOut.size} " +
+        s"equal=${aOut == fOut}")
+      spark.stop(); return
+    }
+
+    if (args.headOption.contains("q73prof")) {
+      // r20: interleaved A/B — decimal-packed winner (current) vs the
+      // r19 min(struct) SortAggregate form, rebuilt here verbatim.
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.expressions.Window
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val docs = graft.Tables.documents(spark, d)
+      val w = 20
+      def structForm(): DataFrame = {
+        val toksCol = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+        val toks = docs.select(col("doc_id"), toksCol.as("t"))
+        import spark.implicits._
+        val grams = toks.as[(Long, Array[String])]
+          .flatMap { case (id, t) =>
+            if (t == null || t.length < w) Iterator.empty
+            else {
+              val md = java.security.MessageDigest.getInstance("MD5")
+              val enc = t.map(_.getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              (0 to t.length - w).iterator.map { st =>
+                md.reset()
+                var j = st
+                while (j < st + w) {
+                  md.update(enc(j))
+                  if (j < st + w - 1) md.update(' '.toByte)
+                  j += 1
+                }
+                val dg = md.digest()
+                var h = 0L; var b = 0
+                while (b < 8) { h = (h << 8) | (dg(b) & 0xffL); b += 1 }
+                (id, (st + 1).toLong, h >>> 4)
+              }
+            }
+          }.toDF("doc_id", "start", "h").cache()
+        val winners = grams.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("start"))).as("win"),
+            count(lit(1)).as("cnt"))
+          .filter(col("cnt") > 1).drop("cnt")
+        val redundant = grams.join(winners, "h")
+          .filter(col("doc_id") =!= col("win.doc_id") ||
+            col("start") =!= col("win.start"))
+          .select(col("doc_id"), col("start"),
+            (col("start") + lit((w - 1).toLong)).as("end"))
+        val byDoc = Window.partitionBy("doc_id").orderBy("start")
+        val spans = redundant
+          .withColumn("pm", max(col("end")).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("fresh", when(col("pm").isNull ||
+            col("start") > col("pm") + 1, 1L).otherwise(0L))
+          .withColumn("span", sum(col("fresh")).over(
+            byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("doc_id"), col("span"))
+          .agg(min("start").as("s"), max("end").as("e"))
+        val perDoc = spans.groupBy("doc_id")
+          .agg(count(lit(1)).as("n_dup_spans"),
+            sum(col("e") - col("s") + 1).as("n_dup_tokens"))
+        toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+            coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+            when(col("n_tokens") > 0,
+              expr("10000 * coalesce(n_dup_tokens, 0L) DIV n_tokens"))
+              .otherwise(lit(0L)).as("dup_bp"))
+          .orderBy("doc_id")
+      }
+      noop(graft.SparkEntry.queries("q73_substr_dedup")(spark, d))
+      noop(structForm())
+      for (r <- 1 to 4) {
+        spark.catalog.clearCache()
+        time(s"run$r PACKED (current)")(
+          noop(graft.SparkEntry.queries("q73_substr_dedup")(spark, d)))
+        spark.catalog.clearCache()
+        time(s"run$r STRUCT (r19)")(noop(structForm()))
+      }
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("rowcount")) {
       // output-size probe: is a scale-up blowup output-bound?
       //   runmain graft.tools.Scratch rowcount q25_neardup_jaccard
