@@ -767,6 +767,51 @@ object Scratch {
       spark.stop(); return
     }
 
+    if (args.headOption.contains("lshprof")) {
+      // r20: does deduping band-collision candidates BEFORE the
+      // embedding attach beat per-collision verification? (multiplicity
+      // ~1-3 collisions/pair at minCos 0.4 vs one extra pair exchange)
+      import org.apache.spark.sql.DataFrame
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def variantD(): DataFrame = {
+        graft.functions.VecFunctions.register(spark)
+        val emb = graft.Tables.embeddings(spark, d)
+          .select(col("vec_id"), col("embedding"),
+            sqrt(expr("vec_dot(embedding, embedding)")).as("nrm"))
+        val bands = graft.sim.LshKnn.banded(emb, 4, 20, 42L)
+        val cand = bands.as("x").join(bands.as("y"),
+            col("x.band") === col("y.band") &&
+              col("x.sig") === col("y.sig") &&
+              col("x.vec_id") < col("y.vec_id"))
+          .select(col("x.vec_id").as("id1"), col("y.vec_id").as("id2"))
+          .distinct()
+        val e1 = emb.select(col("vec_id").as("id1"),
+          col("embedding").as("e1"), col("nrm").as("n1"))
+        val e2 = emb.select(col("vec_id").as("id2"),
+          col("embedding").as("e2"), col("nrm").as("n2"))
+        cand.join(e1, "id1").join(e2, "id2")
+          .select(col("id1"), col("id2"),
+            (expr("vec_dot(e1, e2)") / (col("n1") * col("n2"))).as("cos"))
+          .filter(col("cos") >= 0.4)
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cosine"))
+          .orderBy("id1", "id2")
+      }
+      noop(graft.SparkEntry.queries("nq_lsh_neardup")(spark, d))
+      for (r <- 1 to 4) {
+        time(s"run$r CURRENT (verify-then-dedup)")(
+          noop(graft.SparkEntry.queries("nq_lsh_neardup")(spark, d)))
+        time(s"run$r DISTINCT-FIRST")(noop(variantD()))
+      }
+      val a = graft.SparkEntry.queries("nq_lsh_neardup")(spark, d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      val b = variantD().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      println(s"[scratch] rows ${a.size}/${b.size} equal=${a == b}")
+      spark.stop(); return
+    }
+
     if (args.headOption.contains("rowcount")) {
       // output-size probe: is a scale-up blowup output-bound?
       //   runmain graft.tools.Scratch rowcount q25_neardup_jaccard
